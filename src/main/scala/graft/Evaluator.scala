@@ -1,0 +1,184 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.criteria._
+import graft.model.Stats
+
+/** Evaluation result: the scored frame (lazy) plus the cohort statistics
+  * that parameterized it. The reference instead mutates `_statistics` onto
+  * each criterion and exposes `get_statistics()`
+  * (`/root/reference/bid_evaluation/evaluator.py:321-329`) — a deliberate,
+  * semantics-preserving immutability deviation (SURVEY.md §7.3).
+  */
+final case class EvaluationResult(
+    df: DataFrame,
+    statistics: Map[String, Stats]
+)
+
+/** Single-stage evaluation engine — the Spark-native counterpart of the
+  * reference `Evaluator` (`/root/reference/bid_evaluation/evaluator.py`).
+  *
+  * Pipeline (operators E1-E5 of SURVEY.md §2.3):
+  *   1. criteria registry: insertion-ordered, keyed by column, last-wins on
+  *      re-registration (`evaluator.py:255-257`);
+  *   2. ONE stats aggregation job over all criterion columns;
+  *   3. one lazy projection appending every weighted `score_{name}` column;
+  *   4. `final_score` = sum of weighted scores, divided by total weight when
+  *      `normalizeWeights` (`evaluator.py:299-312`);
+  *   5. competition ranking + sort by ranking (`evaluator.py:314-319`).
+  *
+  * Everything after step 2 is a single Catalyst plan: the criterion math is
+  * `lit`-parameterized arithmetic that constant-folds and stays inside
+  * whole-stage codegen.
+  */
+object Evaluator {
+  /** Factory front ends (E6/E7, `evaluator.py:34-112`). */
+  def fromConfig(config: Map[String, Any], normalizeWeights: Boolean = true): Evaluator =
+    graft.config.ConfigLoader.evaluatorFromConfig(config, normalizeWeights)
+  def fromYaml(path: String, normalizeWeights: Boolean = true): Evaluator =
+    graft.config.ConfigLoader.evaluatorFromYaml(path, normalizeWeights)
+  def fromJson(path: String, normalizeWeights: Boolean = true): Evaluator =
+    graft.config.ConfigLoader.evaluatorFromJson(path, normalizeWeights)
+}
+
+class Evaluator(val normalizeWeights: Boolean = true) {
+
+  /** column -> criterion; LinkedHashMap preserves insertion order and keeps
+    * the original position on value replacement, matching Python dict. */
+  private val criteriaMap = mutable.LinkedHashMap.empty[String, Criterion]
+
+  def criteria: Seq[(String, Criterion)] = criteriaMap.toSeq
+
+  // === Fluent interface (evaluator.py:116-237) ===
+
+  def linear(column: String, weight: Double, name: String = null,
+             higherIsBetter: Boolean = true): this.type =
+    addCriterion(column,
+      LinearCriterion(Option(name).getOrElse(column), weight, higherIsBetter))
+
+  def threshold(column: String, weight: Double,
+                thresholds: Seq[(Double, Double, Double)],
+                name: String = null): this.type =
+    addCriterion(column,
+      ThresholdCriterion(Option(name).getOrElse(column), weight, thresholds))
+
+  def direct(column: String, weight: Double, name: String = null,
+             inputScale: Double = 100.0): this.type =
+    addCriterion(column,
+      DirectScoreCriterion(Option(name).getOrElse(column), weight, inputScale))
+
+  def minRatio(column: String, weight: Double, name: String = null): this.type =
+    addCriterion(column,
+      MinimumRatioCriterion(Option(name).getOrElse(column), weight))
+
+  def formula(column: String, weight: Double, formula: String = "value",
+              variables: Map[String, Double] = Map.empty,
+              name: String = null): this.type =
+    addCriterion(column,
+      FormulaCriterion(Option(name).getOrElse(column), weight, formula, variables))
+
+  def custom(column: String, weight: Double,
+             fn: (Column, Stats) => Column): this.type =
+    custom(column, weight, fn, null)
+
+  def custom(column: String, weight: Double, fn: (Column, Stats) => Column,
+             name: String): this.type =
+    addCriterion(column,
+      CustomCriterion(Option(name).getOrElse(column), weight, fn))
+
+  /** String shortcut to a built-in custom function
+    * (`evaluator.py:231-251`). */
+  def custom(column: String, weight: Double, builtin: String): this.type =
+    custom(column, weight, BuiltinCustom(builtin), null)
+
+  def custom(column: String, weight: Double, builtin: String,
+             name: String): this.type =
+    custom(column, weight, BuiltinCustom(builtin), name)
+
+  // === Registry (E1) ===
+
+  def addCriterion(column: String, criterion: Criterion): this.type = {
+    criteriaMap(column) = criterion
+    this
+  }
+
+  def removeCriterion(column: String): this.type = {
+    criteriaMap.remove(column)
+    this
+  }
+
+  def getTotalWeight: Double = criteriaMap.values.map(_.weight).sum
+
+  def getNormalizedWeights: Map[String, Double] = {
+    val total = getTotalWeight
+    if (total == 0) Map.empty
+    else criteriaMap.map { case (_, c) => c.name -> c.weight / total }.toMap
+  }
+
+  // === Evaluation (E2-E5) ===
+
+  def evaluate(bids: DataFrame, includeDetails: Boolean = true): DataFrame =
+    evaluateResult(bids, includeDetails).df
+
+  def evaluateResult(
+      bids: DataFrame,
+      includeDetails: Boolean = true
+  ): EvaluationResult = {
+    val specs = criteriaMap.toSeq
+    val stats = StatsAgg.compute(bids, specs.map(_._1))
+
+    // Weighted score expression per criterion, in registration order.
+    val scoreExprs: Seq[(String, Column)] = specs.map { case (column, c) =>
+      s"score_${c.name}" -> c.expr(col(column).cast("double"), stats(column))
+    }
+
+    // E2: single projection for all detail columns. Later criteria with a
+    // duplicate display name overwrite earlier ones, like pandas column
+    // assignment.
+    val detailNames = scoreExprs.map(_._1)
+    val withDetails =
+      if (includeDetails && scoreExprs.nonEmpty) {
+        val keep = bids.columns.filterNot(detailNames.contains).map(col)
+        val details = scoreExprs
+          .groupBy(_._1).view.mapValues(_.last._2).toMap // last wins per name
+        val ordered = detailNames.distinct.map(n => details(n).as(n))
+        bids.select(keep.toSeq ++ ordered: _*)
+      } else bids
+
+    // E3: final-score combine (evaluator.py:299-312). Sum in registration
+    // order for bit-exact parity with pandas' sequential `sum(...)`.
+    val finalScore: Column =
+      if (scoreExprs.isEmpty) lit(0.0)
+      else {
+        val summed = scoreExprs.map(_._2).reduceLeft(_ + _)
+        if (normalizeWeights) {
+          val total = getTotalWeight
+          if (total > 0) summed / lit(total) else lit(0.0)
+        } else summed
+      }
+
+    val scored = withDetails.withColumn("final_score", finalScore)
+
+    // E4: competition ranking; E5: output sort.
+    val ranked = Ranks
+      .withCompetitionRank(scored, "final_score", "ranking")
+      .orderBy("ranking")
+
+    EvaluationResult(ranked, specs.map { case (col_, c) => c.name -> stats(col_) }.toMap)
+  }
+
+  /** E9: criteria summary (`evaluator.py:331-344`). */
+  def summary(spark: SparkSession): DataFrame = {
+    val total = getTotalWeight
+    val rows = criteriaMap.toSeq.map { case (column, c) =>
+      (column, c.name, c.typeName, c.weight,
+        if (total > 0) c.weight / total else 0.0)
+    }
+    spark.createDataFrame(rows)
+      .toDF("column", "criterion_name", "type", "weight", "normalized_weight")
+  }
+}

@@ -1,0 +1,341 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model._
+
+/** One evaluation stage: a name, its own single-stage [[Evaluator]], an
+  * optional inter-stage filter, and a weight for weighted-combination mode
+  * (`/root/reference/bid_evaluation/staged.py:40-47`). */
+final case class StageDefinition(
+    name: String,
+    evaluator: Evaluator,
+    filter: Option[StageFilter] = None,
+    weight: Double = 1.0
+)
+
+/** Per-stage outcome (`/root/reference/bid_evaluation/staged.py:50-57`).
+  * The reference stores `pd.Index` objects; the Spark analogue keeps lazy
+  * id frames (single `__bid_id` column) so nothing materializes until asked.
+  */
+final case class StageResult(
+    name: String,
+    resultDf: DataFrame,
+    advancedIds: DataFrame,
+    eliminatedIds: DataFrame
+)
+
+/** Staged evaluation result (SURVEY.md §7.3 immutability deviation): the
+  * final frame, per-stage results, and per-stage statistics keyed
+  * `stageName -> criterionName -> Stats`. Call [[unpersist]] when done to
+  * release the frames cached during evaluation. */
+final case class StagedResult(
+    df: DataFrame,
+    stageResults: List[StageResult],
+    statistics: Map[String, Map[String, Stats]],
+    private[graft] val caches: Seq[DataFrame] = Nil
+) {
+  def unpersist(): Unit = caches.foreach(_.unpersist())
+}
+
+/** Multi-stage pipeline with inter-stage elimination — the Spark-native
+  * counterpart of the reference `StagedEvaluator`
+  * (`/root/reference/bid_evaluation/staged.py`).
+  *
+  * Where the reference slices rows by pandas index and writes scores back
+  * index-aligned (`staged.py:317,322-333`), this engine assigns each row a
+  * stable `__bid_id` (`monotonically_increasing_id`) once at entry and
+  * realizes every merge-back as an equi-join on that id. Stage k's cohort —
+  * and therefore all of stage k's statistics — is the set of rows not yet
+  * eliminated, exactly like the reference's active mask (`staged.py:292`).
+  *
+  * Scale design: the base frame is cached (each stage's stats aggregation
+  * re-reads it); per-stage score frames are narrow (id + score columns) and
+  * cached because they are consumed multiple times (result join, elimination
+  * marking, next-cohort anti-join). The driver crosses the cluster boundary
+  * once per stage for the stats aggregate (plus two scalar jobs for a top-N
+  * 'exclude' filter) — an inherently sequential pipeline, since stage k's
+  * statistics depend on stage k-1's filter. Everything else stays lazy.
+  */
+object StagedEvaluator {
+  /** Factory front ends (P13, `staged.py:86-159`). */
+  def fromConfig(config: Map[String, Any]): StagedEvaluator =
+    graft.config.ConfigLoader.stagedFromConfig(config)
+  def fromYaml(path: String): StagedEvaluator =
+    graft.config.ConfigLoader.stagedFromYaml(path)
+  def fromJson(path: String): StagedEvaluator =
+    graft.config.ConfigLoader.stagedFromJson(path)
+}
+
+class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastStage) {
+
+  def this(mode: String) = this(FinalScoreMode.fromString(mode))
+
+  private val stages = ArrayBuffer.empty[StageDefinition]
+
+  /** Stable row-identity column, the analogue of the pandas index. */
+  val BidId = "__bid_id"
+
+  def stageDefinitions: Seq[StageDefinition] = stages.toSeq
+
+  // === Fluent interface (staged.py:163-267) ===
+
+  def addStage(
+      name: String,
+      filterType: String = null,
+      threshold: java.lang.Double = null,
+      topN: java.lang.Integer = null,
+      onTie: String = "include",
+      weight: Double = 1.0
+  ): this.type = {
+    val filter = Option(filterType).map { ft =>
+      StageFilter(ft,
+        Option(threshold).map(_.doubleValue()),
+        Option(topN).map(_.intValue()), onTie)
+    }
+    stages += StageDefinition(name, new Evaluator(), filter, weight)
+    this
+  }
+
+  def addStage(name: String, filter: Option[StageFilter], weight: Double): this.type = {
+    stages += StageDefinition(name, new Evaluator(), filter, weight)
+    this
+  }
+
+  private def currentEvaluator: Evaluator = {
+    if (stages.isEmpty)
+      throw new IllegalStateException("No stages defined. Call add_stage() first.")
+    stages.last.evaluator
+  }
+
+  def linear(column: String, weight: Double, name: String = null,
+             higherIsBetter: Boolean = true): this.type = {
+    currentEvaluator.linear(column, weight, name, higherIsBetter); this
+  }
+
+  def threshold(column: String, weight: Double,
+                thresholds: Seq[(Double, Double, Double)],
+                name: String = null): this.type = {
+    currentEvaluator.threshold(column, weight, thresholds, name); this
+  }
+
+  def direct(column: String, weight: Double, name: String = null,
+             inputScale: Double = 100.0): this.type = {
+    currentEvaluator.direct(column, weight, name, inputScale); this
+  }
+
+  def minRatio(column: String, weight: Double, name: String = null): this.type = {
+    currentEvaluator.minRatio(column, weight, name); this
+  }
+
+  def formula(column: String, weight: Double, formula: String = "value",
+              variables: Map[String, Double] = Map.empty,
+              name: String = null): this.type = {
+    currentEvaluator.formula(column, weight, formula, variables, name); this
+  }
+
+  def custom(column: String, weight: Double,
+             fn: (Column, Stats) => Column): this.type = {
+    currentEvaluator.custom(column, weight, fn); this
+  }
+
+  def custom(column: String, weight: Double, builtin: String): this.type = {
+    currentEvaluator.custom(column, weight, builtin); this
+  }
+
+  /** Stage-name -> column-prefix sanitizer (`staged.py:455-457`). */
+  def safeName(name: String): String =
+    name.toLowerCase.replace(" ", "_").replace("-", "_")
+
+  // === Evaluation (staged.py:271-375) ===
+
+  def evaluate(bids: DataFrame, includeDetails: Boolean = true): DataFrame =
+    evaluateResult(bids, includeDetails).df
+
+  def evaluateResult(
+      bids: DataFrame,
+      includeDetails: Boolean = true
+  ): StagedResult = {
+    if (stages.isEmpty)
+      throw new IllegalStateException("No stages defined. Add stages before evaluating.")
+
+    // P12: empty-input short-circuit (staged.py:459-465).
+    if (bids.isEmpty) {
+      val empty = bids
+        .withColumn("eliminated_at_stage", lit(null).cast("string"))
+        .withColumn("final_score", lit(null).cast("double"))
+        .withColumn("ranking", lit(null).cast("long"))
+      return StagedResult(empty, Nil, Map.empty)
+    }
+
+    val base = bids
+      .withColumn(BidId, monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val caches = ArrayBuffer[DataFrame](base)
+
+    // Accumulating wide result: original columns + one narrow join per stage.
+    var result = base.withColumn("eliminated_at_stage", lit(null).cast("string"))
+    // Cohort for the next stage: original columns + BidId only.
+    var active = base
+
+    val stageResults = ArrayBuffer.empty[StageResult]
+    val statsOut = ArrayBuffer.empty[(String, Map[String, Stats])]
+    val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+    val n = stages.size
+    for ((stage, i) <- stages.zipWithIndex) {
+      val isLast = i == n - 1
+      val safe = safeName(stage.name)
+
+      if (active.isEmpty) {
+        // P6: all eliminated — warn, record empty stage, skip (staged.py:301-314).
+        logger.warn(
+          s"All bids were eliminated before stage '${stage.name}'. " +
+            "Skipping this and subsequent stages.")
+        val empty = active.limit(0).select(col(BidId))
+        stageResults += StageResult(stage.name, active.limit(0), empty, empty)
+      } else {
+        // Evaluate the surviving cohort with this stage's single-stage engine.
+        val er = stage.evaluator.evaluateResult(active, includeDetails)
+        statsOut += stage.name -> er.statistics
+
+        // Narrow frame of stage outputs, renamed with the stage prefix
+        // (staged.py:322-333): score_X -> {safe}_X, final_score ->
+        // {safe}_score, ranking -> {safe}_ranking.
+        val renames: Seq[Column] = er.df.columns.collect {
+          case c if c.startsWith("score_") =>
+            col(c).as(s"${safe}_${c.stripPrefix("score_")}")
+          case "final_score" => col("final_score").as(s"${safe}_score")
+          case "ranking"     => col("ranking").as(s"${safe}_ranking")
+        }.toSeq
+        val stageCols = er.df
+          .select(col(BidId) +: renames: _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        caches += stageCols
+
+        result = result.join(stageCols, Seq(BidId), "left")
+
+        val scoreCol = col(s"${safe}_score")
+        val rankCol = col(s"${safe}_ranking")
+
+        // P3-P5: inter-stage filter (never on the last stage, staged.py:336).
+        // `elimPred` must evaluate on rows of `stageCols`/`result` alike;
+        // a null outcome means "neither advanced nor eliminated" (pandas
+        // NaN-score rows fall through the threshold masks and stay active,
+        // staged.py:383-385,339-340).
+        val filterOpt = if (isLast) None else stage.filter
+        val (advPred, elimPred): (Column, Column) = filterOpt match {
+          case Some(StageFilter.ScoreThreshold(t)) =>
+            (scoreCol >= lit(t), scoreCol < lit(t))
+
+          case Some(StageFilter.TopN(topN, TieMode.Include)) =>
+            // P4: the stage's own competition ranking IS the filter ranking
+            // (both are rank(desc, method='min') over the cohort,
+            // staged.py:389-393). Unranked (null-score) rows are eliminated:
+            // pandas puts them in index.difference(advanced).
+            (rankCol <= lit(topN), coalesce(!(rankCol <= lit(topN)), lit(true)))
+
+          case Some(StageFilter.TopN(topN, TieMode.Exclude)) =>
+            // P5: cutoff = n-th highest score; if more than n rows sit
+            // at-or-above the cutoff the tie spans it -> advance only
+            // strictly-above (staged.py:394-409).
+            val activeCount = active.count()
+            if (activeCount <= topN) (lit(true), lit(false))
+            else {
+              val cutoff = stageCols
+                .select(scoreCol.as("s"))
+                .orderBy(col("s").desc)
+                .limit(topN)
+                .agg(min(col("s")))
+                .head().getDouble(0)
+              val atOrAbove = stageCols.filter(scoreCol >= lit(cutoff)).count()
+              val pred =
+                if (atOrAbove > topN) scoreCol > lit(cutoff)
+                else scoreCol >= lit(cutoff)
+              (pred, coalesce(!pred, lit(true)))
+            }
+
+          case _ => (lit(true), lit(false))
+        }
+
+        val advanced = stageCols.filter(advPred).select(col(BidId))
+        val eliminated = stageCols.filter(elimPred).select(col(BidId))
+
+        if (filterOpt.isDefined) {
+          // Mark eliminations on the wide result (it already carries this
+          // stage's columns, so the same predicate applies; rows eliminated
+          // in earlier stages are shielded by the isNull guard).
+          result = result.withColumn(
+            "eliminated_at_stage",
+            when(col("eliminated_at_stage").isNull && coalesce(elimPred, lit(false)),
+              lit(stage.name)
+            ).otherwise(col("eliminated_at_stage")))
+          // Next cohort = active minus eliminated (NOT "advanced only":
+          // pandas keeps neither-bucket rows active, staged.py:339-340).
+          active = active.join(eliminated, Seq(BidId), "left_anti")
+        }
+
+        stageResults += StageResult(stage.name, er.df, advanced, eliminated)
+      }
+    }
+
+    // P7/P8: final score (staged.py:415-453).
+    val lastSafe = safeName(stages.last.name)
+    val resultCols = result.columns.toSet
+    val finalScore: Column = finalScoreMode match {
+      case FinalScoreMode.LastStage =>
+        if (resultCols.contains(s"${lastSafe}_score")) col(s"${lastSafe}_score")
+        else lit(null).cast("double")
+      case FinalScoreMode.WeightedCombination =>
+        val totalWeight = stages.map(_.weight).sum
+        val present = stages.toSeq
+          .filter(s => resultCols.contains(s"${safeName(s.name)}_score"))
+        if (totalWeight == 0 || present.isEmpty) lit(Double.NaN)
+        else
+          present.foldLeft(lit(0.0): Column) { (acc, s) =>
+            val c = col(s"${safeName(s.name)}_score")
+            // pandas fillna(0) covers both missing (null) and NaN.
+            acc + coalesce(nanvl(c, lit(0.0)), lit(0.0)) * lit(s.weight / totalWeight)
+          }
+    }
+    result = result.withColumn("final_score", finalScore)
+
+    // P9: rank survivors only (staged.py:357-365); eliminated keep null.
+    val survivors = result
+      .filter(col("eliminated_at_stage").isNull)
+      .select(col(BidId), col("final_score"))
+    val survivorRanks = Ranks
+      .withCompetitionRank(survivors, "final_score", "ranking")
+      .select(col(BidId), col("ranking"))
+    result = result.join(survivorRanks, Seq(BidId), "left")
+
+    // P10: final sort (staged.py:367-372).
+    val sorted = result
+      .orderBy(col("ranking").asc_nulls_last, col("final_score").desc_nulls_last)
+      .drop(BidId)
+
+    StagedResult(sorted, stageResults.toList, statsOut.toMap, caches.toSeq)
+  }
+
+  // === Informational (staged.py:469-496) ===
+
+  def summary(spark: SparkSession): DataFrame = {
+    val rows = stages.toSeq.flatMap { stage =>
+      val filterDesc = stage.filter match {
+        case Some(StageFilter.ScoreThreshold(t)) => s"score >= $t"
+        case Some(StageFilter.TopN(tn, tie))     => s"top $tn (on_tie=${tie.key})"
+        case None                                => "None"
+      }
+      stage.evaluator.criteria.map { case (column, c) =>
+        (stage.name, stage.weight, filterDesc, column, c.name, c.typeName, c.weight)
+      }
+    }
+    spark.createDataFrame(rows).toDF(
+      "stage", "stage_weight", "filter", "column",
+      "criterion_name", "criterion_type", "criterion_weight")
+  }
+}
