@@ -121,8 +121,15 @@ class Evaluator(val normalizeWeights: Boolean = true) {
 
   // === Evaluation (E2-E5) ===
 
+  private var lastStatistics: Map[String, Stats] = Map.empty
+
   def evaluate(bids: DataFrame, includeDetails: Boolean = true): DataFrame =
     evaluateResult(bids, includeDetails).df
+
+  /** Statistics from the most recent evaluation, keyed by criterion name
+    * (`evaluator.py:321-329`); empty before any evaluate, like the
+    * reference's empty dict. Prefer [[EvaluationResult.statistics]]. */
+  def getStatistics: Map[String, Stats] = lastStatistics
 
   def evaluateResult(
       bids: DataFrame,
@@ -168,7 +175,9 @@ class Evaluator(val normalizeWeights: Boolean = true) {
       .withCompetitionRank(scored, "final_score", "ranking")
       .orderBy("ranking")
 
-    EvaluationResult(ranked, specs.map { case (col_, c) => c.name -> stats(col_) }.toMap)
+    val statsByName = specs.map { case (col_, c) => c.name -> stats(col_) }.toMap
+    lastStatistics = statsByName
+    EvaluationResult(ranked, statsByName)
   }
 
   /** E9: criteria summary (`evaluator.py:331-344`). */

@@ -76,6 +76,7 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
   def this(mode: String) = this(FinalScoreMode.fromString(mode))
 
   private val stages = ArrayBuffer.empty[StageDefinition]
+  private var lastResult: Option[StagedResult] = None
 
   /** Stable row-identity column, the analogue of the pandas index. */
   val BidId = "__bid_id"
@@ -206,12 +207,19 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
         // Narrow frame of stage outputs, renamed with the stage prefix
         // (staged.py:322-333): score_X -> {safe}_X, final_score ->
         // {safe}_score, ranking -> {safe}_ranking.
-        val renames: Seq[Column] = er.df.columns.collect {
+        val renamePairs: Seq[(String, Column)] = er.df.columns.collect {
           case c if c.startsWith("score_") =>
-            col(c).as(s"${safe}_${c.stripPrefix("score_")}")
-          case "final_score" => col("final_score").as(s"${safe}_score")
-          case "ranking"     => col("ranking").as(s"${safe}_ranking")
+            s"${safe}_${c.stripPrefix("score_")}" -> col(c)
+          case c @ "final_score" => s"${safe}_score" -> col(c)
+          case c @ "ranking"     => s"${safe}_ranking" -> col(c)
         }.toSeq
+        // Prefixed names can collide (e.g. criterion named 'score' makes
+        // score_score -> {safe}_score, same as final_score). pandas assigns
+        // sequentially so the LAST writer wins while the column keeps its
+        // first position — reproduce both.
+        val lastByName = renamePairs.groupBy(_._1).view.mapValues(_.last._2).toMap
+        val renames: Seq[Column] = renamePairs.map(_._1).distinct
+          .map(n => lastByName(n).as(n))
         val stageCols = er.df
           .select(col(BidId) +: renames: _*)
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -318,8 +326,23 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
       .orderBy(col("ranking").asc_nulls_last, col("final_score").desc_nulls_last)
       .drop(BidId)
 
-    StagedResult(sorted, stageResults.toList, statsOut.toMap, caches.toSeq)
+    val res = StagedResult(sorted, stageResults.toList, statsOut.toMap, caches.toSeq)
+    lastResult = Some(res)
+    res
   }
+
+  /** P15: per-stage statistics, post-evaluate only
+    * (`staged.py:498-505`, must-raise contract tested at
+    * `tests/test_staged.py:491-497`). Prefer reading
+    * [[StagedResult.statistics]] off the result object. */
+  def getStatistics: Map[String, Map[String, Stats]] =
+    lastResult.getOrElse(throw new IllegalStateException(
+      "Call evaluate() before get_statistics().")).statistics
+
+  /** P15: stage results, post-evaluate only (`staged.py:507-511`). */
+  def getStageResults: List[StageResult] =
+    lastResult.getOrElse(throw new IllegalStateException(
+      "Call evaluate() before get_stage_results().")).stageResults
 
   // === Informational (staged.py:469-496) ===
 
