@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // pandas/NumPy-compatible arithmetic (x/0 -> null, no overflow errors)
       .config("spark.sql.ansi.enabled", "false")
+      // testdata events.ts is TIMESTAMP(NANOS): read as long nanoseconds
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -16,6 +16,8 @@ object ExampleStaged {
       .appName("graft-example-staged")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.ansi.enabled", "false")
+      // testdata events.ts is TIMESTAMP(NANOS): read as long nanoseconds
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

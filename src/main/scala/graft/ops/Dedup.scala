@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * group-by), MinHash+LSH, SimHash, and n-gram Jaccard set-similarity —
+  * each expressed as shuffle-conscious DataFrame transformations.
+  *
+  * Scale notes baked into the design:
+  *   - exact dedup groups on a 128-bit digest, never on the raw text
+  *     (shuffle keys stay 16 bytes at 100 TB);
+  *   - MinHash banding turns all-pairs O(N^2) into per-bucket candidate
+  *     joins; signatures are computed in one codegen'd projection;
+  *   - the Jaccard inverted-index join applies a document-frequency cap to
+  *     stop-shingles (the classic prefix-filter trick) so hot tokens don't
+  *     quadratically explode a bucket.
+  */
+object Dedup {
+
+  /** Character k-shingles of the canonicalized text. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val canon = lower(regexp_replace(text, "\\s+", " "))
+    when(length(canon) < k, array(canon))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), length(canon) - lit(k)),
+        i => substr(canon, i + 1, lit(k)))))
+  }
+
+  /** Exact duplicate groups: canonical fingerprint -> group size + keeper
+    * (minimum id). `keep="first"` semantics of pandas drop_duplicates. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Per-row exact-dup annotation (window count over the fingerprint) —
+    * keeps every row, marks copies. */
+  def withDupCount(df: DataFrame, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    df.withColumn("fingerprint", fp)
+      .withColumn("dup_count",
+        count(lit(1)).over(Window.partitionBy("fingerprint")))
+  }
+
+  /** Drop exact duplicates keeping the minimum-id row — the distributed
+    * `drop_duplicates(keep='first')`. One shuffle on the digest. */
+  def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("__fp").orderBy(col(idCol).asc)
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** MinHash signature: for each of `numHashes` affine hash functions
+    * `(a_j*h + b_j) mod p`, the minimum over shingle hashes — computed in
+    * ONE traversal of the shingle array with a `numHashes`-wide accumulator
+    * (`aggregate` + `zip_with`). Higher-order functions evaluate outside
+    * whole-stage codegen, so a single pass (instead of `numHashes`
+    * array-min scans, each re-deriving the shingle hashes) is the
+    * difference between seconds and minutes per million documents.
+    * Shingle hashes are folded to 31 bits so `a*h + b` never overflows. */
+  def minhashSignature(text: Column, numHashes: Int = 64, k: Int = 5): Column = {
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val hashes = transform(shingles(text, k), s => pmod(xxhash64(s), lit(p)))
+    aggregate(
+      hashes,
+      array_repeat(lit(p), numHashes),
+      (acc, h) => zip_with(
+        acc,
+        sequence(lit(0L), lit(numHashes - 1L)),
+        (m, j) => least(m, pmod(h * (j * lit(2L) + lit(1L)) + (j + lit(1L)) * lit(7919L), lit(p)))))
+  }
+
+  /** Signature -> `bands` band keys (hash of each signature slice). Two
+    * documents land in the same (band, key) bucket iff a whole band of
+    * their signatures agrees — the standard LSH amplification. */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(to_json(struct(slice(signature, b * rowsPerBand + 1, rowsPerBand)))).as("key"))
+    }: _*)
+
+  /** Docs -> (id, minhash signature, exploded band buckets). */
+  def minhashBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      k: Int = 5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    df.select(col(idCol), minhashSignature(col(textCol), numHashes, k).as("signature"))
+      .withColumn("bucket", explode(bandKeys(col("signature"), bands, numHashes / bands)))
+      .select(col(idCol), col("signature"),
+        col("bucket.band").as("band"), col("bucket.key").as("band_key"))
+  }
+
+  /** MinHash LSH near-duplicate candidate pairs with estimated Jaccard
+    * (fraction of agreeing signature positions), filtered at `threshold`.
+    * Join is per (band, band_key) bucket; pair de-dup via id ordering. */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      k: Int = 5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // The repartition is a deliberate materialization barrier: without it,
+    // Catalyst delays the (expensive, non-codegen) signature projection
+    // past the bucket self-join and recomputes it per JOINED row. With the
+    // exchange in place the projection runs once per document, and Spark's
+    // ReuseExchange computes the shared subplan once for all 3 references.
+    val sigs = df.select(col(idCol),
+      minhashSignature(col(textCol), numHashes, k).as("signature"))
+      .repartition(col(idCol))
+    val buckets = sigs
+      .withColumn("bucket", explode(bandKeys(col("signature"), bands, numHashes / bands)))
+      .select(col(idCol), col("bucket.band").as("band"), col("bucket.key").as("band_key"))
+
+    // Candidate pairs carry ONLY the two ids through the bucket self-join
+    // and distinct — shipping the 64-long signatures through a dense-bucket
+    // shuffle is what kills this operator at scale. Signatures re-join
+    // afterwards against the (much smaller) per-doc signature frame.
+    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    * +-1 votes from each token's hash. Near-duplicates differ in few bits
+    * (small Hamming distance). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+    // Per bit i: vote = sum over tokens of (bit i of hash set ? +1 : -1);
+    // fingerprint bit i = (vote > 0). Shift counts must be literals in the
+    // functions API, so the 64 bit positions unroll as 64 array folds —
+    // still one codegen'd projection, no shuffle.
+    (0 until 64).map { i =>
+      val vote = aggregate(
+        hashes, lit(0),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash + 4 x 16-bit band keys (documents within Hamming distance 3
+    * share at least one exact 16-bit band — pigeonhole), for bucketed
+    * near-dup candidate generation. */
+  def simhashWithBands(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sh = simhash(col(textCol))
+    df.select(col(idCol), sh.as("simhash"))
+      .withColumn("band0", col("simhash").bitwiseAND(0xFFFFL))
+      .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
+      .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(0xFFFFL))
+      .withColumn("band3", shiftright(col("simhash"), 48).bitwiseAND(0xFFFFL))
+  }
+
+  /** Exact token-set Jaccard similarity for all pairs within a blocking
+    * key, via the inverted-index (explode -> self-join on token -> count
+    * common) pattern. `maxDocFreq` drops ubiquitous tokens before the join
+    * — the prefix-filter trick that keeps hot shingles from exploding.
+    *
+    * @param ngram 1 = unigram tokens, n>1 = word n-grams
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: Option[String] = None,
+      threshold: Double = 0.5,
+      ngram: Int = 1,
+      maxDocFreq: Option[Long] = None
+  ): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val grams =
+      if (ngram == 1) toks
+      else transform(
+        sequence(lit(0), greatest(size(toks) - lit(ngram), lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(ngram))))
+    val blockKey = blockCol.map(col).getOrElse(lit(0))
+
+    val docTokens = df
+      .select(col(idCol).as("id"), blockKey.as("__blk"),
+        explode(array_distinct(grams)).as("tok"))
+    val filtered = maxDocFreq match {
+      case Some(cap) =>
+        val df_ = docTokens.groupBy("tok").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("tok")
+        docTokens.join(df_, Seq("tok"), "left_semi")
+      case None => docTokens
+    }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
+
+    val a = filtered.select(col("id").as("id_a"), col("__blk"), col("tok"))
+    val b = filtered.select(col("id").as("id_b"), col("__blk"), col("tok"))
+    val common = a.join(b, Seq("__blk", "tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed (hyperplane bits
+    * via [[Similarity.hyperplaneBucket]]) then exact-cosine verified. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nBits: Int = 10,
+      nTables: Int = 3
+  ): DataFrame = {
+    // ids-only bucket join + distinct, vectors re-joined afterwards (same
+    // shuffle-hygiene rationale as minhashNearDupPairs).
+    val withB = (t: Int) => df.select(
+      col(idCol),
+      Similarity.hyperplaneBucket(col(vecCol), dim, nBits, 104729L * (t + 1)).as("bucket"),
+      lit(t).as("table"))
+    val bucketed = (0 until nTables).map(withB).reduce(_ unionAll _)
+    val l = bucketed.select(col(idCol).as("id_a"), col("bucket"), col("table"))
+    val r = bucketed.select(col(idCol).as("id_b"), col("bucket"), col("table"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

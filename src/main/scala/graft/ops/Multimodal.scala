@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns plus typed metadata, with decode / feature-extraction
+  * running batched per partition.
+  *
+  * The Spark-side contract is real and tested — schema, partitioning,
+  * batch shape, deterministic output — while the actual media decode is a
+  * STUB (`fakeDecode`): this container has no image/audio codecs, so the
+  * decoder derives a deterministic pseudo-feature vector from the bytes.
+  * Swapping in a real codec means replacing ONE function body; the
+  * pipeline shape (mapPartitions over an iterator of records, fixed-size
+  * feature output, spill-safe streaming) is exactly what a JNI/FFI decoder
+  * needs at 100 TB.
+  */
+object Multimodal {
+
+  /** Output schema of [[decodeFeatures]]: id, byte length, and a
+    * fixed-width feature vector. */
+  def featureSchema(idField: StructField, featureDim: Int): StructType =
+    StructType(Seq(
+      idField,
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
+    ))
+
+  /** STUB decoder: deterministic pseudo-features from the payload bytes.
+    * Real deployments replace this body with an image/audio decode +
+    * model-feature extraction; signature and batch shape stay identical. */
+  def fakeDecode(bytes: Array[Byte], featureDim: Int): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batched decode: one pass per partition over (id, payload) rows,
+    * emitting (id, n_bytes, features). Runs as a single narrow
+    * mapPartitions — no shuffle; partition sizing (and therefore decoder
+    * memory) is controlled upstream by `spark.sql.files.maxPartitionBytes`.
+    */
+  def decodeFeatures(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      featureDim: Int = 16
+  ): DataFrame = {
+    val idField = df.schema(idCol)
+    val schema = featureSchema(idField, featureDim)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        Row(r.get(idIdx), bytes.length.toLong,
+          fakeDecode(bytes, featureDim).toSeq)
+      }
+    }(encoder)
+  }
+
+  /** Attach media metadata columns derivable without decoding (cheap,
+    * codegen'd): payload size, leading magic bytes, a content digest. */
+  def withMediaMeta(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(payloadCol)).cast("long"))
+      .withColumn("magic", hex(substring(col(payloadCol), 1, 4)))
+      .withColumn("content_digest", md5(col(payloadCol)))
+
+  /** Frame-sampling plumbing for video-like payloads: split the payload
+    * into `frameSize`-byte chunks and keep every `stride`-th chunk — the
+    * partition/batch shape of real frame extraction, with byte-slicing
+    * standing in for the codec. */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      frameSize: Int = 256,
+      stride: Int = 4
+  ): DataFrame = {
+    val nFrames = ceil(length(col(payloadCol)).cast("double") / lit(frameSize.toDouble)).cast("int")
+    df.select(col(idCol), col(payloadCol),
+      explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))).as("frame_idx"))
+      .withColumn("frame_bytes",
+        col(payloadCol).substr(col("frame_idx") * lit(frameSize) + 1, lit(frameSize)))
+      .drop(payloadCol)
+  }
+}

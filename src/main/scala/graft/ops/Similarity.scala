@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators: exact cosine, brute-force top-k, and a
+  * hyperplane-LSH bucketed approximate variant for the 100 TB path.
+  *
+  * Vectors are `array<float>` columns (cast to double for the arithmetic);
+  * dot products use `zip_with` + `aggregate` — sequential, deterministic,
+  * codegen-friendly, no UDF.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity, computed as dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) —
+    * the exact formula mirrored by the DuckDB oracle SQL. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** All-pairs cosine between a (small, broadcast) query frame and the
+    * corpus. The query side is broadcast so the corpus streams through in
+    * one pass — the only scalable shape for 100 TB x small-query workloads.
+    *
+    * @return frame with (queryIdOut, corpus id col, "cosine")
+    */
+  def crossCosine(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      queryIdOut: String = "query_id"
+  ): DataFrame = {
+    val q = queries.select(
+      col(queryId).as(queryIdOut), col(queryVec).as("__q_vec"))
+    corpus
+      .join(broadcast(q), col(corpusId) =!= col(queryIdOut))
+      .withColumn("cosine", cosine(col("__q_vec"), col(corpusVec)))
+      .drop("__q_vec")
+  }
+
+  /** Exact brute-force top-k: per query, the k nearest corpus vectors by
+    * cosine. Deterministic tiebreak on corpus id. The per-query window
+    * shuffles only (n_queries x corpus) scored rows on the query key —
+    * with broadcast queries this is the canonical exact-ANN baseline. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding"
+  ): DataFrame = {
+    val scored = crossCosine(corpus, queries, corpusId, corpusVec, queryId, queryVec)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= k)
+  }
+
+  /** Sign bits of the vector against `nBits` deterministic pseudo-random
+    * +-1 hyperplanes -> an integer bucket key. The planes are generated
+    * driver-side from a seeded PRNG and embedded as array literals, so the
+    * per-row work is `nBits` plain dot products — no per-element hashing,
+    * reproducible across runs. */
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val vd = vec.cast("array<double>")
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    (0 until nBits).map { b =>
+      when(dot(vd, typedlit(planes(b))) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k via hyperplane-LSH bucketing: corpus and queries are
+    * bucketed with `nTables` independent bit-sets; candidates = corpus rows
+    * sharing a bucket with the query in ANY table; exact cosine + top-k is
+    * then computed over candidates only. At scale this turns an O(N x Q)
+    * cross join into `nTables` equi-joins on bucket keys. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      nBits: Int = 12,
+      nTables: Int = 4,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding"
+  ): DataFrame = {
+    // Bucket frames carry ONLY ids + bucket keys: vectors join back by id
+    // after the candidate set is deduplicated, so no float arrays travel
+    // through the bucket join or the distinct.
+    def buckets(df: DataFrame, id: String, vec: String, idOut: String): DataFrame = {
+      val arr = array((0 until nTables).map(t =>
+        struct(lit(t).as("table"),
+          hyperplaneBucket(col(vec), dim, nBits, seed = 7919L * (t + 1)).as("bucket"))): _*)
+      df.select(col(id).as(idOut), explode(arr).as("__b"))
+        .select(col(idOut), col("__b.table").as("table"), col("__b.bucket").as("bucket"))
+    }
+    val c = buckets(corpus, corpusId, corpusVec, "__cid")
+    val q = buckets(queries, queryId, queryVec, "query_id")
+
+    val candidates = c
+      .join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("__cid") =!= col("query_id"))
+      .select("query_id", "__cid")
+      .distinct()
+
+    val scored = candidates
+      .join(corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cv")), "__cid")
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))), "query_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .select(col("query_id"), col("__cid").as(corpusId), col("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("nn_rank", row_number().over(w)).filter(col("nn_rank") <= k)
+  }
+
+  /** Blocked exact nearest neighbor: per id in `blockCol` block, the top-1
+    * neighbor among rows sharing the block (an IVF-style partition-local
+    * search — the scalable pattern when a coarse partitioner exists). */
+  def blockedNearestNeighbor(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String
+  ): DataFrame = {
+    val left = df.select(col(idCol).as("id"), col(vecCol).as("__va"), col(blockCol).as("__blk"))
+    val right = df.select(col(idCol).as("nn_id"), col(vecCol).as("__vb"), col(blockCol).as("__blk"))
+    val pairs = left.join(right, Seq("__blk")).filter(col("id") =!= col("nn_id"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+    val w = Window.partitionBy("id")
+      .orderBy(round(col("cosine"), 6).desc, col("nn_id").asc)
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("nn_id"), col("__blk").as(blockCol), col("cosine"))
+  }
+}

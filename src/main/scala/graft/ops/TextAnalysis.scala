@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is pure Catalyst `Column` composition over the built-in
+  * string/array higher-order functions — no UDFs, so the whole pipeline
+  * stays inside whole-stage codegen and scales linearly with input: no
+  * shuffles, no driver round-trips, pushdown-friendly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. `split` on \s+ after trim; empty text -> empty. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + standalone punctuation, the
+    * `\w+|[^\w\s]` convention used by byte-pair pre-tokenizers. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\w]+|[^\\w\\s]"), lit(0)))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** Mean characters per token (whitespace removed / token count). */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") * lit(1.0) /
+      tokenCount(text).cast("double")
+
+  // --- language identification (stopword n-gram heuristic) ---
+
+  /** Tiny per-language stopword lists; a document votes for the language
+    * whose stopwords it contains most. Deliberately simple and fully
+    * SQL-expressible so the operator has a DuckDB oracle. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "im")
+  )
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(words)))
+
+  /** Argmax over per-language stopword hit counts; first language in
+    * [[StopwordSets]] order wins ties; zero hits everywhere -> "und"
+    * (undetermined, BCP-47 convention). */
+  def langId(text: Column): Column = {
+    val hits = StopwordSets.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val firstMax = hits.foldRight(lit("und")) { case ((lang, h), rest) =>
+      when(h === best && h > 0, lit(lang)).otherwise(rest)
+    }
+    firstMax
+  }
+
+  // --- quality scoring ---
+
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[!-/:-@\\[-`{-~]"), lit(0))).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  def digitRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, StopwordSets.head._2).cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** Composite [0,100] heuristic quality score: reward natural word
+    * lengths and stopword presence, penalize punctuation/digit soup. The
+    * exact blend is this engine's own (the reference has no text ops);
+    * each component is separately exposed for pipelines that want their
+    * own blend. */
+  def qualityScore(text: Column): Column = {
+    val awl = avgWordLen(text)
+    val lengthTerm = when(awl >= 3.0 && awl <= 8.0, lit(40.0))
+      .otherwise(greatest(lit(0.0), lit(40.0) - abs(awl - lit(5.5)) * lit(5.0)))
+    val stopTerm = least(stopwordRatio(text) * lit(200.0), lit(30.0))
+    val punctTerm = greatest(lit(0.0), lit(15.0) - punctRatio(text) * lit(100.0))
+    val digitTerm = greatest(lit(0.0), lit(15.0) - digitRatio(text) * lit(100.0))
+    lengthTerm + stopTerm + punctTerm + digitTerm
+  }
+
+  // --- fingerprinting ---
+
+  /** Canonical-form fingerprint: lowercase, collapse whitespace, md5.
+    * Identical canonical forms <=> identical fingerprints; used by exact
+    * dedup at 100 TB (32-byte key instead of full text). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** 64-bit rolling-window fingerprint set (winnowing-style): hash every
+    * k-shingle, keep the minimum hash per sliding window of w shingles,
+    * dedupe. Robust to small edits; the document-similarity analogue of
+    * Rabin fingerprinting. Returns array<long>. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val canon = lower(regexp_replace(text, "\\s+", " "))
+    val shingleHashes = transform(
+      sequence(lit(0), greatest(length(canon) - lit(k), lit(0))),
+      i => xxhash64(substr(canon, i + 1, lit(k))))
+    // window-min over shingle hashes
+    val mins = transform(
+      sequence(lit(0), greatest(size(shingleHashes) - lit(w), lit(0))),
+      i => array_min(slice(shingleHashes, i + 1, lit(w))))
+    array_distinct(mins)
+  }
+
+  /** Convenience: full per-document text-analysis projection. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_distinct_tokens", distinctTokenCount(t))
+      .withColumn("avg_word_len", avgWordLen(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("digit_ratio", digitRatio(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline and classical-relational queries over the shared
+  * testdata: dedup, similarity search, text analysis, multimodal plumbing,
+  * event-stream batch analytics. Oracle SQL mirrors arithmetic op-for-op
+  * where DuckDB can express it; hash-sensitive ops (xxhash64-based minhash/
+  * simhash/LSH) ship without oracles (rows-only driver check).
+  */
+object PipelineQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------ classical relational ops
+
+    "q30_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_r"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_r"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q31_join_revenue" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue_r"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    },
+
+    "q32_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // DuckDB evaluates windowed SUM with a segment tree (pairwise FP
+      // order), Spark sequentially — round to absorb the low-bit drift.
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(sum("value").over(w), 4).as("run_sum_r"))
+        .orderBy("user_id", "event_id")
+    },
+
+    "q33_sessionize" -> { (s, dir) =>
+      // gap > 30 min starts a new session; all integer microsecond math so
+      // the DuckDB oracle is exact. ts arrives as long nanoseconds (the
+      // sessions set spark.sql.legacy.parquet.nanosAsLong for the NANOS
+      // parquet type); `div` keeps the truncation integral like epoch_us.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val flagged = ev
+        .withColumn("prev_us", lag("us", 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > lit(1800000000L), 1)
+            .otherwise(0))
+      val sess = flagged.withColumn("session_id",
+        sum("new_session").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event"), max("event_id").as("last_event"),
+          (max("us") - min("us")).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // --------------------------------------------------- text analysis
+
+    "q40_dedup_exact" -> { (s, dir) =>
+      Dedup.withDupCount(t(s, dir, "documents"), "text")
+        .select("doc_id", "fingerprint", "dup_count")
+        .orderBy("doc_id")
+    },
+
+    "q42_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 2000),
+        "text", "doc_id", blockCol = Some("source"), threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    "q46_token_stats" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+          TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.StopwordSets.head._2)
+            .as("en_stopword_hits"))
+        .orderBy("doc_id")
+    },
+
+    "q48_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")
+    },
+
+    "q49_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------- similarity search
+
+    "q44_cosine_pairs" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.crossCosine(emb, queries, "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("query_id", "vec_id")
+    },
+
+    "q50_blocked_nn" -> { (s, dir) =>
+      Similarity.blockedNearestNeighbor(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", "label")
+        .select(col("id"), col("nn_id"), col("label"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("id")
+    },
+
+    // -------------------------------------- hash-based ops (rows-only)
+
+    "q41_minhash_buckets" -> { (s, dir) =>
+      Dedup.minhashBuckets(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "band", "band_key")
+        .orderBy("doc_id", "band")
+    },
+
+    "q43_simhash" -> { (s, dir) =>
+      Dedup.simhashWithBands(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    "q45_lsh_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, dim = 64)
+        .select("query_id", "vec_id", "cosine", "nn_rank")
+        .orderBy("query_id", "nn_rank")
+    },
+
+    "q47_near_dup_pairs" -> { (s, dir) =>
+      Dedup.minhashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "text", "doc_id", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ------------------------------------------------------- multimodal
+
+    "q52_multimodal_meta" -> { (s, dir) =>
+      Multimodal.withMediaMeta(
+        t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+        "payload")
+        .select(col("doc_id"), col("n_bytes"), col("content_digest"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"))
+        .orderBy("doc_id")
+    },
+
+    "q53_multimodal_decode" -> { (s, dir) =>
+      // real mapPartitions batch-decode plumbing with the stub decoder
+      val withPayload = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.decodeFeatures(withPayload, "doc_id", "payload", featureDim = 8)
+        .select(col("doc_id"), col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------- events tumbling window (batch)
+
+    "q51_event_windows" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(expr("ts div 1000") / lit(3600000000.0)).as("hour_bucket"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value_r"))
+        .orderBy("event_type", "hour_bucket")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  round(SUM(l_extendedprice), 2) AS sum_base_r,
+        |  round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_r,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q31_join_revenue" ->
+      """SELECT n_name, round(SUM(o_totalprice), 2) AS revenue_r, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q32_window_running" ->
+      """SELECT event_id, user_id, value,
+        |  round(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum_r
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q33_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event,
+        |  max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q40_dedup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents
+        |)
+        |SELECT doc_id, fingerprint,
+        |  COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q42_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 2000
+        |), d AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM toks
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM d a JOIN d b ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT id_a, id_b, n_common,
+        |    CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |)
+        |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_token_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) * 1.0 / CAST(len(toks) AS DOUBLE) AS avg_word_len,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS en_stopword_hits
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q48_lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('el','la','de','que','y','en','los','se','del','las'))) AS c_es,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('le','la','les','de','et','des','un','une','du','est'))) AS c_fr,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('der','die','das','und','von','zu','den','mit','ist','im'))) AS c_de
+        |  FROM documents
+        |)
+        |SELECT doc_id, CASE
+        |  WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) AND c_en > 0 THEN 'en'
+        |  WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) AND c_es > 0 THEN 'es'
+        |  WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) AND c_fr > 0 THEN 'fr'
+        |  WHEN c_de = GREATEST(c_en, c_es, c_fr, c_de) AND c_de > 0 THEN 'de'
+        |  ELSE 'und' END AS lang_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q49_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q44_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)
+        |SELECT query_id, vec_id,
+        |  round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine_r
+        |FROM e, q WHERE vec_id <> query_id
+        |ORDER BY query_id, vec_id""".stripMargin,
+
+    "q50_blocked_nn" ->
+      """WITH sub AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+        |), pairs AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nn_id, a.label,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |  FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY round(cosine, 6) DESC, nn_id) AS rn
+        |  FROM pairs
+        |)
+        |SELECT id, nn_id, label, round(cosine, 6) AS cosine_r
+        |FROM rk WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    "q52_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_digest,
+        |  ascii(substring(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q51_event_windows" ->
+      """SELECT event_type,
+        |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,
+        |  COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value_r
+        |FROM events GROUP BY event_type, hour_bucket
+        |ORDER BY event_type, hour_bucket""".stripMargin
+  )
+}

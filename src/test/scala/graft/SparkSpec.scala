@@ -28,6 +28,8 @@ object SparkSpec {
     // The engine targets pandas/NumPy arithmetic semantics (x/0 -> error
     // mapped to null/0, no overflow errors), i.e. Spark legacy mode.
     .config("spark.sql.ansi.enabled", "false")
+      // testdata events.ts is TIMESTAMP(NANOS): read as long nanoseconds
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
