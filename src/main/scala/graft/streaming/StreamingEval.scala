@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Evaluator
+import graft.model.Stats
+
+/** Streaming evaluation: the reference engine is fully batch
+  * (SURVEY.md §2.6 — no streaming surface), so this module is the
+  * extension layer that makes the same scoring semantics available over
+  * unbounded event streams via Structured Streaming.
+  *
+  * Design: criterion statistics are cohort aggregates, which are undefined
+  * over an unbounded stream — so the streaming scorer takes a FROZEN
+  * [[Stats]] snapshot (computed from a reference batch, e.g. yesterday's
+  * data) and applies the criterion expressions as a stateless projection.
+  * Windowed aggregation and stateful sessionization cover the cases where
+  * per-window or per-entity state is genuinely needed.
+  */
+object StreamingEval {
+
+  /** Stateless streaming scoring: apply an [[Evaluator]]'s criterion
+    * expressions with pre-computed statistics to a stream. Pure projection
+    * -> works in append mode with no state store, arbitrary throughput. */
+  def scoreStream(
+      stream: DataFrame,
+      evaluator: Evaluator,
+      frozenStats: Map[String, Stats],
+      includeDetails: Boolean = true
+  ): DataFrame = {
+    val specs = evaluator.criteria
+    val scoreExprs: Seq[(String, Column)] = specs.map { case (column, c) =>
+      s"score_${c.name}" -> c.expr(col(column).cast("double"), frozenStats(column))
+    }
+    val withDetails =
+      if (includeDetails)
+        scoreExprs.foldLeft(stream) { case (df, (n, e)) => df.withColumn(n, e) }
+      else stream
+    val finalScore =
+      if (scoreExprs.isEmpty) lit(0.0)
+      else {
+        val summed = scoreExprs.map(_._2).reduceLeft(_ + _)
+        val total = evaluator.getTotalWeight
+        if (evaluator.normalizeWeights && total > 0) summed / lit(total)
+        else if (evaluator.normalizeWeights) lit(0.0)
+        else summed
+      }
+    withDetails.withColumn("final_score", finalScore)
+  }
+
+  /** Tumbling-window aggregation with late-data handling: counts + value
+    * stats per (event_type, window). The streaming analogue of the batch
+    * q51_event_windows query. `tsCol` must be a TimestampType column. */
+  def windowedEventStats(
+      stream: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"),
+        avg("value").as("avg_value"))
+
+  /** Sliding-window variant (windowLen every slide). */
+  def slidingEventStats(
+      stream: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(typeCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  // ------------------------------------------------- stateful sessionize
+
+  case class SessionEvent(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionStartUs: Long, lastUs: Long, nEvents: Long, sumValue: Double)
+  case class SessionOut(
+      user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Stateful per-user sessionization with an inactivity gap — the
+    * streaming analogue of the batch q33_sessionize query, built on
+    * `flatMapGroupsWithState` (the engine's custom-state extension point).
+    *
+    * A session closes when (a) a same-user event arrives more than `gapUs`
+    * after the previous one, or (b) the event-time watermark passes
+    * last-event-time + gap (EventTimeTimeout). Event-time timeouts — not
+    * processing-time — keep the micro-batch engine quiescent between
+    * arrivals: a processing-time timeout re-triggers empty batches in a
+    * busy loop on an idle stream. */
+  def sessionize(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapUs: Long = 1800L * 1000000L,
+      watermarkDelay: String = "1 hour"
+  ): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessionStartUs, s.lastUs, s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var current = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val eUs = us(e.ts)
+              current match {
+                case Some(s) if eUs - s.lastUs <= gapUs =>
+                  current = Some(s.copy(lastUs = eUs,
+                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionStartUs, s.lastUs, s.nEvents, s.sumValue)
+                  current = Some(SessionState(eUs, eUs, 1L, e.value))
+                case None =>
+                  current = Some(SessionState(eUs, eUs, 1L, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L) // ms
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

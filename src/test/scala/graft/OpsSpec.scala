@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit specs for the training-data-pipeline operators, on synthetic
+  * fixtures with planted duplicates/neighbors so expected outputs are
+  * hand-derivable. */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  def docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "a"),
+    (1L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 0
+    (2L, "the quick brown fox jumped over the lazy dog", "a"), // near dup of 0
+    (3L, "completely different content about spark engines", "b"),
+    (4L, "the  quick   brown fox jumps over the lazy dog", "b") // ws-canonical dup of 0
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup: canonical fingerprint groups") {
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
+      .map(r => (r.getAs[Long]("n_copies"), r.getAs[Long]("keeper_id"))).toSet
+    // 0,1,4 share a canonical form (whitespace collapsed); 2 and 3 unique
+    assert(groups == Set((3L, 0L), (1L, 2L), (1L, 3L)))
+
+    val kept = Dedup.dropExactDups(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("minhash near-dup pairs find planted near-duplicates") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the dup cluster {0,1,4} and near-dup 2 must pair up; 3 must not
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact dups have estimated jaccard 1.0
+    val est = Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .head().getAs[Double]("est_jaccard")
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs identical fingerprints, near-dups close") {
+    val fp = Dedup.simhashWithBands(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(0L) == fp(1L)) // identical text
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(0L), fp(2L)) < hamming(fp(0L), fp(3L)))
+  }
+
+  test("jaccard pairs: hand-computed set similarity") {
+    val df = Seq(
+      (0L, "a b c d", "x"),
+      (1L, "a b c e", "x"),
+      (2L, "f g h i", "x"),
+      (3L, "a b c d", "y") // same text but different block -> no pair with 0
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.jaccardPairs(df, "text", "doc_id",
+      blockCol = Some("source"), threshold = 0.1)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    // |{a,b,c,d} ∩ {a,b,c,e}| = 3, union = 5 -> 0.6
+    assert(pairs((0L, 1L)) == 0.6)
+    assert(!pairs.contains((0L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("jaccard maxDocFreq drops ubiquitous tokens") {
+    val df = Seq(
+      (0L, "common a b", "x"), (1L, "common c d", "x"), (2L, "common e f", "x")
+    ).toDF("doc_id", "text", "source")
+    // 'common' appears in all 3 docs; cap at 2 removes it -> no pairs at all
+    val pairs = Dedup.jaccardPairs(df, "text", "doc_id", threshold = 0.01,
+      maxDocFreq = Some(2L))
+    assert(pairs.count() == 0)
+  }
+
+  test("cosine: hand-computed values and self-similarity") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f), 0),
+      (2L, Seq(1.0f, 1.0f), 0),
+      (3L, Seq(-1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cos = df.select(col("vec_id"),
+      Similarity.cosine(col("embedding"), typedlit(Seq(1.0, 0.0))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cos(0L) == 1.0)
+    assert(cos(1L) == 0.0)
+    assertNear(cos(2L), 1.0 / math.sqrt(2), 1e-12)
+    assert(cos(3L) == -1.0)
+  }
+
+  test("brute-force top-k returns true nearest neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") === 0)
+    val topk = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .orderBy("nn_rank").collect()
+    assert(topk.length == 5)
+    // ranks are 1..5 with non-increasing cosine
+    val cosines = topk.map(_.getAs[Double]("cosine"))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    assert(!topk.exists(_.getAs[Long]("vec_id") == 0L)) // self excluded
+  }
+
+  test("LSH top-k candidates are a subset ranked by true cosine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+    val lsh = Similarity.lshTopK(emb, q, k = 10, dim = 64).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(_.getAs[Long]("vec_id") != 0L))
+    val cosines = lsh.sortBy(_.getAs[Int]("nn_rank")).map(_.getAs[Double]("cosine"))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("text analysis basics") {
+    val df = Seq(
+      (0L, "the cat and the dog"),
+      (1L, ""),
+      (2L, "Der Hund und die Katze sind im Haus"),
+      (3L, "el perro y la casa de los gatos")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Int]("n_tokens") == 5)
+    assert(out(1L).getAs[Int]("n_tokens") == 0)
+    assert(out(0L).getAs[String]("lang_id") == "en")
+    assert(out(2L).getAs[String]("lang_id") == "de")
+    assert(out(3L).getAs[String]("lang_id") == "es")
+    // avg word len of "the cat and the dog": 15 chars / 5 tokens = 3.0
+    assert(out(0L).getAs[Double]("avg_word_len") == 3.0)
+  }
+
+  test("winnowing fingerprints: edit-robust overlap") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumped over the lazy dog again and again"),
+      (2L, "entirely unrelated words here about database engines")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      TextAnalysis.winnowingFingerprints(col("text")).as("fps")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    def overlap(a: Set[Long], b: Set[Long]) =
+      a.intersect(b).size.toDouble / a.union(b).size
+    assert(overlap(fps(0L), fps(1L)) > overlap(fps(0L), fps(2L)))
+    assert(overlap(fps(0L), fps(1L)) > 0.4)
+  }
+
+  test("multimodal: decode plumbing is deterministic and schema-stable") {
+    val df = docs.withColumn("payload", encode(col("text"), "UTF-8"))
+    val feats = Multimodal.decodeFeatures(df, "doc_id", "payload", featureDim = 4)
+    assert(feats.schema.fieldNames.toSeq == Seq("doc_id", "n_bytes", "features"))
+    val rows1 = feats.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"), r.getSeq[Float](2)))
+    val rows2 = feats.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"), r.getSeq[Float](2)))
+    assert(rows1.toSeq == rows2.toSeq) // deterministic
+    val r0 = rows1.find(_._1 == 0L).get
+    assert(r0._2 == "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length)
+    assert(r0._3.length == 4)
+
+    // identical payloads (docs 0 and 1) produce identical features
+    val byId = rows1.map(t => t._1 -> t._3).toMap
+    assert(byId(0L) == byId(1L))
+
+    // frame sampling: stride-4 over 256-byte frames
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", frameSize = 8, stride = 2)
+    val f0 = frames.filter(col("doc_id") === 0).collect()
+    assert(f0.nonEmpty)
+    assert(f0.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 8))
+  }
+
+  test("embedding near-dup pairs find planted duplicates") {
+    val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat)
+    val nearly = base.updated(0, base(0) + 0.001f)
+    val other = (0 until 64).map(i => math.cos(i * 2.3).toFloat)
+    val df = Seq(
+      (0L, base), (1L, base), (2L, nearly), (3L, other)
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", dim = 64,
+      threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
