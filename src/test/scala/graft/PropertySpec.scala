@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model.{StageFilter, TieMode}
+
+/** ScalaCheck-generated properties the reference only implies
+  * (FIXTURES.md F7): rank validity, score bounds, weight-scale
+  * invariance, top-N filter monotonicity. Uses scalacheck generators
+  * directly (fixed seeds, N samples) — the scalatest bridge artifact is
+  * not in the offline cache. Row counts stay small: the properties are
+  * about semantics, not scale. */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  val rowsGen: Gen[List[(Long, Double)]] = for {
+    n <- Gen.choose(1, 40)
+    // values drawn from a small grid so ties are likely
+    vs <- Gen.listOfN(n, Gen.choose(0, 12).map(_ * 7.5 + 1.0))
+  } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: competition ranking is valid (1-2-2-4 shape)") {
+    samples(rowsGen, 8).foreach { data =>
+      val df = data.toDF("id", "x")
+      val ranked = new Evaluator().linear("x", 1.0).evaluate(df)
+      val pairs = ranked.select("final_score", "ranking").collect()
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      // rank of a row = 1 + #rows with strictly greater score
+      pairs.foreach { case (score, rank) =>
+        assert(rank == 1L + pairs.count(_._1 > score))
+      }
+    }
+  }
+
+  test("property: linear scores bounded by [0,100]*w; formula clipped to [0,100]*w") {
+    samples(rowsGen, 8).foreach { data =>
+      val df = data.toDF("id", "x").withColumn("y", col("x") * 3 - 10)
+      val w = 0.7
+      val r = new Evaluator()
+        .linear("x", w)
+        .formula("y", 0.3, formula = "value * 3 - 20", name = "f")
+        .evaluate(df)
+      r.select(col("score_x"), col("score_f")).collect().foreach { row =>
+        val lin = row.getDouble(0)
+        assert(lin >= -1e-9 && lin <= 100.0 * w + 1e-9)
+        val f = row.getDouble(1)
+        assert(f >= -1e-9 && f <= 100.0 * 0.3 + 1e-9)
+      }
+    }
+  }
+
+  test("property: rescaling all weights leaves normalized final_score unchanged") {
+    samples(Gen.zip(rowsGen, Gen.choose(2, 9)), 6).foreach { case (data, k) =>
+      val df = data.toDF("id", "x").withColumn("y", col("x") * 2 + 1)
+      def scores(w1: Double, w2: Double): Map[Long, Double] =
+        new Evaluator().linear("x", w1).minRatio("y", w2).evaluate(df)
+          .select("id", "final_score").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val base = scores(0.3, 0.7)
+      val scaled = scores(0.3 * k, 0.7 * k)
+      base.foreach { case (id, s) => assert(math.abs(scaled(id) - s) < 1e-9) }
+    }
+  }
+
+  test("property: top-N exclude survivors ⊆ include survivors; sizes bracket n") {
+    samples(Gen.zip(rowsGen, Gen.choose(1, 10)), 6).foreach { case (data, n) =>
+      if (data.size >= 2) {
+        val df = data.toDF("id", "x")
+        def survivors(tie: String): Set[Long] = {
+          val r = new StagedEvaluator()
+            .addStage("S1", filterType = "top_n", topN = n, onTie = tie)
+            .direct("x", 1.0)
+            .addStage("S2")
+            .direct("x", 1.0)
+            .evaluate(df)
+          r.filter(col("eliminated_at_stage").isNull)
+            .select("id").collect().map(_.getLong(0)).toSet
+        }
+        val inc = survivors("include")
+        val exc = survivors("exclude")
+        assert(exc.subsetOf(inc))
+        assert(inc.size >= math.min(n, data.size))
+        assert(exc.size <= math.min(n, data.size))
+      }
+    }
+  }
+
+  test("property: threshold filter partitions rows exactly") {
+    samples(Gen.zip(rowsGen, Gen.choose(0.0, 100.0)), 6).foreach { case (data, t) =>
+      val df = data.toDF("id", "x")
+      val r = new StagedEvaluator()
+        .addStage("S1", filterType = "score_threshold", threshold = t)
+        .linear("x", 1.0)
+        .addStage("S2")
+        .direct("x", 1.0)
+        .evaluate(df)
+      r.select(col("s1_score"), col("eliminated_at_stage")).collect().foreach { row =>
+        val s = row.getDouble(0)
+        val elim = row.getString(1)
+        if (s >= t) assert(elim == null, s"score $s >= $t must survive")
+        else assert(elim == "S1", s"score $s < $t must be eliminated")
+      }
+    }
+  }
+}
