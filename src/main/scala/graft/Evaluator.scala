@@ -134,9 +134,18 @@ class Evaluator(val normalizeWeights: Boolean = true) {
   def evaluateResult(
       bids: DataFrame,
       includeDetails: Boolean = true
+  ): EvaluationResult =
+    buildResult(bids, StatsAgg.compute(bids, criteriaMap.keys.toSeq), includeDetails)
+
+  /** Plan construction given pre-computed statistics — lets the staged
+    * pipeline fuse its per-stage cohort count into the same aggregation
+    * job instead of issuing separate count/isEmpty jobs. */
+  private[graft] def buildResult(
+      bids: DataFrame,
+      stats: Map[String, Stats],
+      includeDetails: Boolean
   ): EvaluationResult = {
     val specs = criteriaMap.toSeq
-    val stats = StatsAgg.compute(bids, specs.map(_._1))
 
     // Weighted score expression per criterion, in registration order.
     val scoreExprs: Seq[(String, Column)] = specs.map { case (column, c) =>

@@ -192,7 +192,12 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
       val isLast = i == n - 1
       val safe = safeName(stage.name)
 
-      if (active.isEmpty) {
+      // One aggregation job per stage: all criterion statistics + the
+      // cohort count (used for the emptiness check and top-N cutoffs).
+      val (stageStats, activeCount) =
+        StatsAgg.computeWithCount(active, stage.evaluator.criteria.map(_._1))
+
+      if (activeCount == 0L) {
         // P6: all eliminated — warn, record empty stage, skip (staged.py:301-314).
         logger.warn(
           s"All bids were eliminated before stage '${stage.name}'. " +
@@ -201,7 +206,7 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
         stageResults += StageResult(stage.name, active.limit(0), empty, empty)
       } else {
         // Evaluate the surviving cohort with this stage's single-stage engine.
-        val er = stage.evaluator.evaluateResult(active, includeDetails)
+        val er = stage.evaluator.buildResult(active, stageStats, includeDetails)
         statsOut += stage.name -> er.statistics
 
         // Narrow frame of stage outputs, renamed with the stage prefix
@@ -251,7 +256,6 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
             // P5: cutoff = n-th highest score; if more than n rows sit
             // at-or-above the cutoff the tie spans it -> advance only
             // strictly-above (staged.py:394-409).
-            val activeCount = active.count()
             if (activeCount <= topN) (lit(true), lit(false))
             else {
               val cutoff = stageCols

@@ -27,19 +27,30 @@ object StatsAgg {
       df: DataFrame,
       columns: Seq[String],
       exact: Boolean = true
-  ): Map[String, Stats] = {
+  ): Map[String, Stats] =
+    if (columns.isEmpty) Map.empty
+    else computeWithCount(df, columns, exact)._1
+
+  /** Same single aggregation job, also returning the cohort row count —
+    * callers that need emptiness/size (the staged pipeline, top-N filters)
+    * get it for free instead of issuing a separate count job per stage. */
+  def computeWithCount(
+      df: DataFrame,
+      columns: Seq[String],
+      exact: Boolean = true
+  ): (Map[String, Stats], Long) = {
     val cols = columns.distinct
-    if (cols.isEmpty) return Map.empty
     val aggs: Seq[Column] = cols.flatMap { c =>
       val v = col(c).cast("double")
       val med =
         if (exact) expr(s"percentile(CAST(`$c` AS DOUBLE), array(0.5D, 0.25D, 0.75D))")
         else expr(s"approx_percentile(CAST(`$c` AS DOUBLE), array(0.5D, 0.25D, 0.75D))")
       Seq(min(v), max(v), avg(v), stddev_samp(v), med)
-    }
+    } :+ count(lit(1))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rowCount = row.getLong(cols.size * 5)
 
-    cols.zipWithIndex.map { case (c, i) =>
+    val stats = cols.zipWithIndex.map { case (c, i) =>
       val base = i * 5
       def d(j: Int): Double =
         if (row.isNullAt(base + j)) Double.NaN else row.getDouble(base + j)
@@ -50,5 +61,6 @@ object StatsAgg {
         min = d(0), max = d(1), mean = d(2),
         median = pct(0), std = d(3), q25 = pct(1), q75 = pct(2))
     }.toMap
+    (stats, rowCount)
   }
 }
