@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two double arrays. */
+  /** Sequential-order dot product of two double arrays, as a native
+    * codegen'd expression ([[graft.expressions.DotProduct]]). */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.dot(a, b)
+
+  /** The same dot product via stock higher-order functions — identical
+    * values (same summation order), ~an order of magnitude slower (HOFs
+    * evaluate interpreted, outside whole-stage codegen). Kept as the
+    * zero-custom-code fallback and as a differential-test oracle. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity, computed as dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) —

@@ -190,4 +190,22 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("native DotProduct: codegen matches HOF formulation bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val q = emb.selectExpr("embedding as qv").limit(1)
+    val pairs = emb.crossJoin(q)
+    val both = pairs.select(
+      Similarity.dot(col("embedding").cast("array<double>"), col("qv").cast("array<double>")).as("fast"),
+      Similarity.dotHof(col("embedding").cast("array<double>"), col("qv").cast("array<double>")).as("slow"))
+    assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
+
+    // hand-computed value
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(Similarity.dot(col("a"), col("b"))).head().getDouble(0) == 32.0)
+    // null array -> null
+    val dfn = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(dfn.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
 }
