@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's skew-join handling covers sort-merge
+  * joins at runtime; these cover the cases it does not — skewed broadcast-
+  * ineligible joins and aggregations with heavy accumulators — using the
+  * classic salting decomposition, as deterministic DataFrame transforms.
+  */
+object Salting {
+
+  /** Deterministic pseudo-random salt in [0, buckets) — derived from the
+    * row's id-ish expression so replays are stable (no rand()). */
+  def salt(of: Column, buckets: Int): Column =
+    pmod(xxhash64(of), lit(buckets.toLong)).cast("int")
+
+  /** Skew-safe aggregation: pre-aggregate on (keys, salt), then merge per
+    * key. Correct for algebraic aggregates expressed as (partialExpr,
+    * mergeExpr) pairs keyed by output name, e.g.
+    * {{{
+    * saltedAggregate(df, Seq("k"), col("id"), 16,
+    *   Map("cnt" -> (count(lit(1)), sum(col("cnt"))),
+    *       "total" -> (sum(col("v")), sum(col("total")))))
+    * }}}
+    * Hash aggregation already does map-side partial combine, so plain
+    * sums rarely need this; it pays off when the per-key state is heavy
+    * (collect_set/approx sketches) or a downstream window keys the skew. */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBy: Column,
+      buckets: Int,
+      aggs: Map[String, (Column, Column)]
+  ): DataFrame = {
+    val partial = df
+      .withColumn("__salt", salt(saltBy, buckets))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head._2._1.as(aggs.head._1),
+        aggs.tail.map { case (n, (p, _)) => p.as(n) }.toSeq: _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head._2._2.as(aggs.head._1),
+        aggs.tail.map { case (n, (_, m)) => m.as(n) }.toSeq: _*)
+  }
+
+  /** Skew-safe equi-join: the (small-ish but not broadcastable) right side
+    * is replicated `buckets` times with an explicit salt column; left rows
+    * get a deterministic salt, so each hot key's rows spread over `buckets`
+    * reducers instead of one. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    // the salt must vary WITHIN a key (a key-derived salt would send a
+    // hot key to a single bucket again): derive it from row identity
+    val saltedLeft = left.withColumn("__salt",
+      salt(monotonically_increasing_id(), buckets))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

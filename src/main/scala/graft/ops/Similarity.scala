@@ -138,6 +138,74 @@ object Similarity {
     scored.withColumn("nn_rank", row_number().over(w)).filter(col("nn_rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * a KMeans coarse quantizer (Spark MLlib) partitions the corpus into
+    * `nLists` cells; each query probes only its `nProbe` nearest cells and
+    * runs exact cosine top-k within them. Per-query work drops from O(N)
+    * to O(N * nProbe / nLists); the corpus-side assignment is one pass and
+    * can be persisted/partitioned by `list_id` for repeated query batches.
+    *
+    * @param trainFraction at 100 TB fit the quantizer on a sample; 1.0
+    *                      fits on the full corpus (fine up to ~1e7 rows)
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nLists: Int = 64,
+      nProbe: Int = 8,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding",
+      trainFraction: Double = 1.0,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val featurized = corpus.withColumn("__features",
+      array_to_vector(col(corpusVec).cast("array<double>")))
+    val trainSet =
+      if (trainFraction >= 1.0) featurized
+      else featurized.sample(withReplacement = false, trainFraction, seed)
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
+      .fit(trainSet)
+
+    val assigned = model.transform(featurized)
+      .select(col(corpusId), col(corpusVec), col("prediction").as("list_id"))
+
+    // centroid table is tiny: broadcast to rank probe cells per query by
+    // squared euclidean distance (|q|^2 constant per query -> rank by
+    // |c|^2 - 2 q.c).
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list_id", "__centroid")
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("__probe_score").asc, col("list_id").asc)
+    val qProbes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__probe_score",
+        dot(col("__centroid"), col("__centroid")) -
+          lit(2.0) * dot(col("__qv").cast("array<double>"), col("__centroid")))
+      .withColumn("__pr", row_number().over(probeRank))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("list_id"))
+
+    val scored = assigned
+      .join(broadcast(qProbes), Seq("list_id"))
+      .filter(col(corpusId) =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col(corpusVec)))
+      .select(col("query_id"), col(corpusId), col("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("nn_rank", row_number().over(w)).filter(col("nn_rank") <= k)
+  }
+
   /** Blocked exact nearest neighbor: per id in `blockCol` block, the top-1
     * neighbor among rows sharing the block (an IVF-style partition-local
     * search — the scalable pattern when a coarse partitioner exists). */

@@ -151,6 +151,14 @@ object PipelineQueries {
         .orderBy("query_id", "nn_rank")
     },
 
+    "q54_ivf_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nLists = 16, nProbe = 4)
+        .select("query_id", "vec_id", "cosine", "nn_rank")
+        .orderBy("query_id", "nn_rank")
+    },
+
     "q47_near_dup_pairs" -> { (s, dir) =>
       Dedup.minhashNearDupPairs(
         t(s, dir, "documents").filter(col("doc_id") < 1000),
