@@ -1,0 +1,47 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the engine's native expressions.
+  *
+  * Two registration paths:
+  *  - config-time: `spark.sql.extensions=graft.expressions.GraftExtensions`
+  *    (the standard extension-injection hook);
+  *  - runtime: [[GraftFunctions.register]] on an existing session (useful
+  *    in notebooks/tests where the session already exists).
+  *
+  * After either, SQL pipelines can call e.g.
+  * `SELECT graft_dot(a, b)` / `graft_cosine(a, b)` on array<double>
+  * columns directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[DotProduct].getCanonicalName, null, name, usage, "")
+
+  val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - sequential dot product of two array<double> columns."),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two array<double> columns."),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+  )
+
+  /** Idempotently register the functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, inf, builder) =>
+      org.apache.spark.sql.graft.FunctionRegistryBridge
+        .register(spark, id, inf, builder)
+    }
+}

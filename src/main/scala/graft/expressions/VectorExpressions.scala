@@ -70,11 +70,74 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass cosine similarity: dot, |a|^2 and |b|^2 accumulate in a single
+  * element loop, then `dot / (sqrt(aa) * sqrt(bb))` — the same combining
+  * formula (and therefore the same bits) as composing three [[DotProduct]]
+  * calls, with one array traversal instead of three. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; aa += xv * xv; bb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two numeric-array columns (cast to
     * array<double> here, so float embeddings work directly). */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** One-pass codegen'd cosine similarity (see [[CosineSimilarity]]). */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
 }

@@ -25,13 +25,12 @@ object Similarity {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity, computed as dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) —
-    * the exact formula mirrored by the DuckDB oracle SQL. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  /** Cosine similarity: dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) — the exact
+    * formula mirrored by the DuckDB oracle SQL, computed by the one-pass
+    * codegen'd [[graft.expressions.CosineSimilarity]] (same element order
+    * per accumulator, so bit-identical to composing three dot products). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosine(a, b)
 
   /** All-pairs cosine between a (small, broadcast) query frame and the
     * corpus. The query side is broadcast so the corpus streams through in

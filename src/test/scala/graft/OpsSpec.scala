@@ -208,4 +208,30 @@ class OpsSpec extends SparkSpec {
     val dfn = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     assert(dfn.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("SQL function registration: graft_dot / graft_cosine") {
+    graft.expressions.GraftFunctions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+      .head().getDouble(0)
+    assert(dot == 32.0)
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+      .head().getDouble(0)
+    assert(cos == 1.0)
+    // idempotent re-registration
+    graft.expressions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_dot(array(1.0D), array(2.0D))").head().getDouble(0) == 2.0)
+  }
+
+  test("one-pass CosineSimilarity matches composed formulation bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    val q = emb.selectExpr("embedding as qv").limit(1)
+    val both = emb.crossJoin(q).select(
+      Similarity.cosine(col("qv"), col("embedding")).as("fast"),
+      (Similarity.dot(col("qv").cast("array<double>"), col("embedding").cast("array<double>")) /
+        (sqrt(Similarity.dot(col("qv").cast("array<double>"), col("qv").cast("array<double>"))) *
+         sqrt(Similarity.dot(col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))).as("composed"))
+    assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
 }
