@@ -62,7 +62,13 @@ object Dedup {
     * array-min scans, each re-deriving the shingle hashes) is the
     * difference between seconds and minutes per million documents.
     * Shingle hashes are folded to 31 bits so `a*h + b` never overflows. */
-  def minhashSignature(text: Column, numHashes: Int = 64, k: Int = 5): Column = {
+  def minhashSignature(text: Column, numHashes: Int = 64, k: Int = 5): Column =
+    graft.expressions.MinHashSignature(text, numHashes, k)
+
+  /** HOF formulation of the same signature (identical values — kept as the
+    * zero-custom-code fallback and differential-test oracle for the native
+    * [[graft.expressions.MinHashSignature]]). */
+  def minhashSignatureHof(text: Column, numHashes: Int = 64, k: Int = 5): Column = {
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     val hashes = transform(shingles(text, k), s => pmod(xxhash64(s), lit(p)))
     aggregate(

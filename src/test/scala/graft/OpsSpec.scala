@@ -234,4 +234,21 @@ class OpsSpec extends SparkSpec {
          sqrt(Similarity.dot(col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))).as("composed"))
     assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
   }
+
+  test("native MinHashSignature matches HOF formulation exactly") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val both = real.select(
+      Dedup.minhashSignature(col("text")).as("fast"),
+      Dedup.minhashSignatureHof(col("text")).as("slow"))
+    assert(both.collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // short-text edge (length < k) and whitespace canonicalization
+    val edge = Seq((0L, "ab"), (1L, "A  B"), (2L, "a b")).toDF("doc_id", "text")
+    val e = edge.select(col("doc_id"),
+      Dedup.minhashSignature(col("text")).as("fast"),
+      Dedup.minhashSignatureHof(col("text")).as("slow")).collect()
+    assert(e.forall(r => r.getSeq[Long](1) == r.getSeq[Long](2)))
+    // "A  B" and "a b" canonicalize identically
+    val byId = e.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byId(1L) == byId(2L))
+  }
 }
