@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** §2.5 source/sink parity: the engine's bulk formats are plain
+  * `spark.read`/`write` — verify evaluator inputs survive CSV and JSON
+  * round-trips (the reference's `to_excel`/`to_csv` analogue), and that
+  * scoring over a re-read frame matches the in-memory original. */
+class SourcesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  def bids = Seq(
+    ("A", 10L, 100000.5),
+    ("B", 5L, 95000.25),
+    ("C", 8L, 110000.0)
+  ).toDF("vendor", "experience", "bid_amount")
+
+  test("CSV round-trip preserves evaluator results") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/bids"
+    bids.write.option("header", true).csv(dir)
+    val back = spark.read.option("header", true).option("inferSchema", true).csv(dir)
+
+    def score(df: org.apache.spark.sql.DataFrame) =
+      new Evaluator().minRatio("bid_amount", 0.6).linear("experience", 0.4)
+        .evaluate(df)
+        .select("vendor", "final_score", "ranking").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+
+    assert(score(back) == score(bids))
+  }
+
+  test("JSON round-trip preserves evaluator results") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/bids"
+    bids.write.json(dir)
+    val back = spark.read.json(dir)
+    val scored = new Evaluator().linear("experience", 1.0).evaluate(back)
+    assert(byKey(scored, "vendor")("A").getAs[Double]("score_experience") == 100.0)
+  }
+
+  test("evaluator registry API: remove, weights (evaluator.py:259-273)") {
+    val ev = new Evaluator()
+      .linear("a", 3.0)
+      .minRatio("b", 1.0)
+    assert(ev.getTotalWeight == 4.0)
+    assert(ev.getNormalizedWeights == Map("a" -> 0.75, "b" -> 0.25))
+    ev.removeCriterion("a")
+    assert(ev.criteria.map(_._1) == Seq("b"))
+    ev.removeCriterion("nope") // no-op like the reference
+    assert(ev.getTotalWeight == 1.0)
+    // zero total weight -> empty normalized map (evaluator.py:270-272)
+    val z = new Evaluator().linear("a", 0.0)
+    assert(z.getNormalizedWeights == Map.empty)
+  }
+
+  test("zero total weight with criteria -> final_score 0 (evaluator.py:304-307)") {
+    val df = Seq(("A", 1.0), ("B", 2.0)).toDF("vendor", "x")
+    val r = new Evaluator().linear("x", 0.0).evaluate(df)
+    assert(rows(r).forall(_.getAs[Double]("final_score") == 0.0))
+  }
+}
