@@ -43,4 +43,83 @@ object Ranks {
     df.join(ranks, df(scoreCol) === col("__graft_score"), "left")
       .drop("__graft_score")
   }
+
+  /** Fully distributed competition rank for CONTINUOUS score columns,
+    * where distinct-value aggregation degenerates (|distinct| ~ N and the
+    * small-frame window above would single-partition N rows).
+    *
+    * Three steps, none global: (1) range-partition descending on the score
+    * (equal values land in one partition, so tie groups never span a
+    * boundary); (2) collect the tiny per-partition row counts and prefix-
+    * sum them on the driver; (3) per partition, scan rows in sorted order
+    * assigning `offset + competition rank within partition`. The only
+    * driver data is one long per partition.
+    *
+    * Null scores get null rank (excluded from the universe), matching
+    * [[withCompetitionRank]].
+    */
+  def rangePartitionedRank(
+      df: DataFrame,
+      scoreCol: String,
+      outCol: String,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+    val nonNull = df.filter(col(scoreCol).isNotNull)
+    val nulls = df.filter(col(scoreCol).isNull)
+
+    // Persisted: the size-collection job and the ranking pass must see the
+    // SAME range partitioning (repartitionByRange samples bounds; a
+    // recompute could re-sample differently).
+    val sorted = nonNull
+      .repartitionByRange(n, col(scoreCol).desc)
+      .sortWithinPartitions(col(scoreCol).desc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // (1 long per partition) -> driver -> prefix offsets
+    val partSizes = sorted
+      .select(spark_partition_id().as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (partSizes.isEmpty) -1 else partSizes.keys.max
+    val offsets = new Array[Long](maxPid + 2)
+    var acc = 0L
+    for (pid <- 0 to maxPid) {
+      offsets(pid) = acc
+      acc += partSizes.getOrElse(pid, 0L)
+    }
+
+    val scoreIdx = sorted.schema.fieldIndex(scoreCol)
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    val encoder = Encoders.row(outSchema)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+
+    val ranked = sorted.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val base = {
+        val o = offsetsB.value
+        if (pid < o.length) o(pid) else 0L
+      }
+      var i = 0L
+      var tieStart = 0L
+      var prev: Double = Double.NaN
+      var first = true
+      rows.map { r =>
+        val s = r.getDouble(scoreIdx)
+        if (first || s != prev) { tieStart = i; prev = s; first = false }
+        i += 1
+        Row.fromSeq(r.toSeq :+ (base + tieStart + 1L))
+      }
+    }(encoder)
+
+    val nullRanked = nulls.withColumn(outCol, lit(null).cast("long"))
+    ranked.unionByName(nullRanked)
+  }
 }

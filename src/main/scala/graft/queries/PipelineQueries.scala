@@ -151,6 +151,16 @@ object PipelineQueries {
         .orderBy("query_id", "nn_rank")
     },
 
+    "q55_scalable_rank" -> { (s, dir) =>
+      // fully distributed competition rank over a continuous column
+      // (range-partitioned, no global window) — oracle = SQL RANK()
+      val scored = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("score"))
+      graft.Ranks.rangePartitionedRank(scored, "score", "ranking")
+        .select("o_orderkey", "score", "ranking")
+        .orderBy("o_orderkey")
+    },
+
     "q54_ivf_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
@@ -327,6 +337,11 @@ object PipelineQueries {
         |  md5(text) AS content_digest,
         |  ascii(substring(text, 1, 1)) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q55_scalable_rank" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS score,
+        |  RANK() OVER (ORDER BY CAST(o_totalprice AS DOUBLE) DESC) AS ranking
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q51_event_windows" ->
       """SELECT event_type,

@@ -82,4 +82,30 @@ class ScaleOpsSpec extends SparkSpec {
     val lj = Salting.saltedJoin(left, right, Seq("k"), buckets = 4, joinType = "left")
     assert(lj.filter(col("k") === "miss").count() == 1)
   }
+
+  test("range-partitioned rank equals distinct-score rank (incl. ties, nulls)") {
+    val rnd = new scala.util.Random(7)
+    // continuous scores with planted ties and a few nulls
+    val data = (0 until 500).map { i =>
+      val v: java.lang.Double =
+        if (i % 97 == 0) null
+        else if (i % 11 == 0) 42.5
+        else rnd.nextDouble() * 100.0
+      (i.toLong, v)
+    }
+    val df = data.toDF("id", "score")
+
+    val viaAgg = Ranks.withCompetitionRank(df, "score", "rank_a")
+      .select("id", "rank_a").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val viaRange = Ranks.rangePartitionedRank(df, "score", "rank_b", numPartitions = 7)
+      .select("id", "rank_b").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(viaRange == viaAgg)
+    // ties share one rank
+    val tieRanks = data.filter(d => d._2 != null && d._2 == 42.5)
+      .map(d => viaRange(d._1)).toSet
+    assert(tieRanks.size == 1)
+  }
 }

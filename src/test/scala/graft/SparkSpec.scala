@@ -31,6 +31,7 @@ object SparkSpec {
       // testdata events.ts is TIMESTAMP(NANOS): read as long nanoseconds
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
