@@ -160,12 +160,18 @@ object ParityQueries {
     },
 
     "q22_staged_topn_exclude" -> { (s, dir) =>
+      // cohort bounded to 500 bids so the tie band at the cutoff cannot
+      // swallow the whole rank range at larger scale factors (at sf0.1 the
+      // full table has ~400 rows per p_size value: every row ties at the
+      // 100th rank and 'exclude' correctly eliminates everyone — valid
+      // semantics, but then stage 2 never runs and the query has no
+      // price_score column to select)
       new StagedEvaluator()
         .addStage("Screen", filterType = "top_n", topN = 100, onTie = "exclude")
         .direct("p_size", 1.0, inputScale = 50.0)
         .addStage("Price")
         .minRatio("p_retailprice", 1.0)
-        .evaluate(t(s, dir, "part"))
+        .evaluate(t(s, dir, "part").filter(col("p_partkey") < 500))
         .select("p_partkey", "p_size", "screen_score", "screen_ranking",
           "eliminated_at_stage", "price_score", "price_ranking", "final_score", "ranking")
         .orderBy(col("ranking").asc_nulls_last, col("p_partkey"))
@@ -388,7 +394,7 @@ object ParityQueries {
       """WITH t AS (
         |  SELECT p_partkey, p_size, p_retailprice,
         |    ((CAST(p_size AS DOUBLE) * (100.0 / 50.0)) * 1.0) / 1.0 AS screen_score
-        |  FROM part
+        |  FROM part WHERE p_partkey < 500
         |), tr AS (
         |  SELECT t.*, RANK() OVER (ORDER BY screen_score DESC) AS screen_ranking FROM t
         |), cut AS (
