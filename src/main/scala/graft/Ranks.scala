@@ -119,7 +119,9 @@ object Ranks {
       }
     }(encoder)
 
-    val nullRanked = nulls.withColumn(outCol, lit(null).cast("long"))
-    ranked.unionByName(nullRanked)
+    if (df.schema(scoreCol).nullable) {
+      val nullRanked = nulls.withColumn(outCol, lit(null).cast("long"))
+      ranked.unionByName(nullRanked)
+    } else ranked
   }
 }

@@ -176,6 +176,14 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q56_embedding_near_dup" -> { (s, dir) =>
+      Dedup.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        threshold = 0.2, nBits = 8, nTables = 3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ------------------------------------------------------- multimodal
 
     "q52_multimodal_meta" -> { (s, dir) =>
