@@ -134,16 +134,29 @@ class Evaluator(val normalizeWeights: Boolean = true) {
   def evaluateResult(
       bids: DataFrame,
       includeDetails: Boolean = true
-  ): EvaluationResult =
-    buildResult(bids, StatsAgg.compute(bids, criteriaMap.keys.toSeq), includeDetails)
+  ): EvaluationResult = {
+    val cols = criteriaMap.keys.toSeq
+    if (cols.isEmpty) buildResult(bids, Map.empty, includeDetails, None)
+    else {
+      val (stats, n) = StatsAgg.computeWithCount(bids, cols)
+      buildResult(bids, stats, includeDetails, Some(n))
+    }
+  }
 
   /** Plan construction given pre-computed statistics — lets the staged
     * pipeline fuse its per-stage cohort count into the same aggregation
-    * job instead of issuing separate count/isEmpty jobs. */
+    * job instead of issuing separate count/isEmpty jobs. The row count
+    * (when known) also picks the ranking strategy: beyond
+    * `graft.rank.rangeThreshold` rows (default 2M) the distinct-score
+    * rank's window can itself grow unbounded, so ranking switches to the
+    * fully distributed [[Ranks.rangePartitionedRank]] — identical rank
+    * values either way. */
   private[graft] def buildResult(
       bids: DataFrame,
       stats: Map[String, Stats],
-      includeDetails: Boolean
+      includeDetails: Boolean,
+      rowCount: Option[Long],
+      sortOutput: Boolean = true
   ): EvaluationResult = {
     val specs = criteriaMap.toSeq
 
@@ -180,9 +193,15 @@ class Evaluator(val normalizeWeights: Boolean = true) {
     val scored = withDetails.withColumn("final_score", finalScore)
 
     // E4: competition ranking; E5: output sort.
-    val ranked = Ranks
-      .withCompetitionRank(scored, "final_score", "ranking")
-      .orderBy("ranking")
+    val rangeThreshold = bids.sparkSession.conf
+      .get("graft.rank.rangeThreshold", "2000000").toLong
+    val withRank = Ranks
+      .withCompetitionRank(scored, "final_score", "ranking",
+        scalable = rowCount.exists(_ > rangeThreshold))
+    // E5 output sort; the staged pipeline skips it (its joins would destroy
+    // the order anyway and it re-sorts at the end) — a full sort exchange
+    // saved per stage.
+    val ranked = if (sortOutput) withRank.orderBy("ranking") else withRank
 
     val statsByName = specs.map { case (col_, c) => c.name -> stats(col_) }.toMap
     lastStatistics = statsByName

@@ -28,20 +28,69 @@ object Ranks {
   def withCompetitionRank(
       df: DataFrame,
       scoreCol: String,
-      outCol: String
+      outCol: String,
+      scalable: Boolean = false
   ): DataFrame = {
     val counts = df
       .filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("__graft_score"))
       .agg(count(lit(1)).as("__graft_cnt"))
-    val w = Window.orderBy(col("__graft_score").desc)
-    val ranks = counts
-      .withColumn(
-        outCol,
-        (sum("__graft_cnt").over(w) - col("__graft_cnt") + lit(1L)).cast("long"))
-      .select(col("__graft_score"), col(outCol))
-    df.join(ranks, df(scoreCol) === col("__graft_score"), "left")
+    val ranks =
+      if (scalable) scalableCountRanks(counts, outCol)
+      else {
+        val w = Window.orderBy(col("__graft_score").desc)
+        counts.withColumn(
+          outCol,
+          (sum("__graft_cnt").over(w) - col("__graft_cnt") + lit(1L)).cast("long"))
+      }
+    df.join(ranks.select(col("__graft_score"), col(outCol)),
+        df(scoreCol) === col("__graft_score"), "left")
       .drop("__graft_score")
+  }
+
+  /** Competition ranks from a (score, count) frame WITHOUT a global window:
+    * range-partition the distinct scores descending (narrow rows — the only
+    * thing persisted), collect one partial count-sum per partition, prefix-
+    * sum on the driver, then a per-partition running sum yields
+    * `rank = rows-before-score + 1`. Used when the caller knows the input
+    * is big enough that |distinct scores| may itself be huge. */
+  private def scalableCountRanks(counts: DataFrame, outCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+
+    val spark = counts.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sorted = counts
+      .repartitionByRange(n, col("__graft_score").desc)
+      .sortWithinPartitions(col("__graft_score").desc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val partSums = sorted
+      .select(spark_partition_id().as("pid"), col("__graft_cnt"))
+      .groupBy("pid").agg(sum("__graft_cnt").as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (partSums.isEmpty) -1 else partSums.keys.max
+    val offsets = new Array[Long](maxPid + 2)
+    var acc = 0L
+    for (pid <- 0 to maxPid) {
+      offsets(pid) = acc
+      acc += partSums.getOrElse(pid, 0L)
+    }
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    sorted.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val o = offsetsB.value
+      var before = if (pid < o.length) o(pid) else 0L
+      rows.map { r =>
+        val cnt = r.getLong(1)
+        val out = Row.fromSeq(r.toSeq :+ (before + 1L))
+        before += cnt
+        out
+      }
+    }(Encoders.row(schema))
   }
 
   /** Fully distributed competition rank for CONTINUOUS score columns,

@@ -184,6 +184,7 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
     var active = base
 
     val stageResults = ArrayBuffer.empty[StageResult]
+    var lastActiveCount = 0L
     val statsOut = ArrayBuffer.empty[(String, Map[String, Stats])]
     val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -196,6 +197,7 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
       // cohort count (used for the emptiness check and top-N cutoffs).
       val (stageStats, activeCount) =
         StatsAgg.computeWithCount(active, stage.evaluator.criteria.map(_._1))
+      lastActiveCount = activeCount
 
       if (activeCount == 0L) {
         // P6: all eliminated — warn, record empty stage, skip (staged.py:301-314).
@@ -206,7 +208,8 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
         stageResults += StageResult(stage.name, active.limit(0), empty, empty)
       } else {
         // Evaluate the surviving cohort with this stage's single-stage engine.
-        val er = stage.evaluator.buildResult(active, stageStats, includeDetails)
+        val er = stage.evaluator.buildResult(active, stageStats, includeDetails,
+          Some(activeCount), sortOutput = false)
         statsOut += stage.name -> er.statistics
 
         // Narrow frame of stage outputs, renamed with the stage prefix
@@ -320,8 +323,11 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
     val survivors = result
       .filter(col("eliminated_at_stage").isNull)
       .select(col(BidId), col("final_score"))
+    val rangeThreshold = bids.sparkSession.conf
+      .get("graft.rank.rangeThreshold", "2000000").toLong
     val survivorRanks = Ranks
-      .withCompetitionRank(survivors, "final_score", "ranking")
+      .withCompetitionRank(survivors, "final_score", "ranking",
+        scalable = lastActiveCount > rangeThreshold)
       .select(col(BidId), col("ranking"))
     result = result.join(survivorRanks, Seq(BidId), "left")
 

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Evaluator, Ranks, StagedEvaluator}
+
+/** Scale smoke: replicate the sf0.1 tables in-memory (xN) and measure the
+  * core operators at 600k vs multi-million rows — the local proxy for "does
+  * the plan shape survive a 100x scale-up" (linear growth = yes; superlinear
+  * = a hidden global bottleneck). Run:
+  * {{{ sbt "runMain graft.tools.ScaleSmoke [factor]" }}}
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    def blowUp(df: DataFrame, n: Int): DataFrame =
+      df.crossJoin(spark.range(n).select(col("id").as("__rep")))
+        .withColumn("l_orderkey",
+          col("l_orderkey") * n + col("__rep")) // re-key so ids stay distinct
+        .drop("__rep")
+
+    def time[A](label: String)(f: => A): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
+    for (n <- Seq(1, factor)) {
+      val bids = blowUp(li, n)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+      val rows = n * 600000L
+      println(s"--- ${rows} rows (x$n) ---")
+
+      time(s"evaluate 3-criteria")(
+        new Evaluator()
+          .linear("l_extendedprice", 0.4)
+          .minRatio("l_quantity", 0.3)
+          .formula("l_discount", 0.3, formula = "clip(value * 1000, 0, 100)")
+          .evaluate(bids)
+          .count())
+
+      time(s"staged 2-stage + threshold") {
+        val res = new StagedEvaluator()
+          .addStage("S1", filterType = "score_threshold", threshold = 30.0)
+          .linear("l_extendedprice", 1.0)
+          .addStage("S2")
+          .minRatio("l_quantity", 1.0)
+          .evaluateResult(bids)
+        res.df.count()
+        res.unpersist() // release stage caches before the next measurement
+      }
+
+      time(s"range-partitioned rank")(
+        Ranks.rangePartitionedRank(
+          bids.select(col("l_orderkey"),
+            col("l_extendedprice").cast("double").as("score")),
+          "score", "ranking").count())
+    }
+    spark.stop()
+  }
+}
