@@ -33,17 +33,26 @@ object StatsAgg {
 
   /** Same single aggregation job, also returning the cohort row count —
     * callers that need emptiness/size (the staged pipeline, top-N filters)
-    * get it for free instead of issuing a separate count job per stage. */
+    * get it for free instead of issuing a separate count job per stage.
+    *
+    * Session conf `graft.stats.approx=true` switches the quantile
+    * statistics to `approx_percentile` — the 100 TB path: Spark's exact
+    * `Percentile` is a TypedImperativeAggregate that buffers every
+    * distinct value, a driver/executor memory hazard at scale, while the
+    * approximate sketch is bounded. min/max/mean/std are exact either way.
+    */
   def computeWithCount(
       df: DataFrame,
       columns: Seq[String],
       exact: Boolean = true
   ): (Map[String, Stats], Long) = {
+    val useExact = exact &&
+      !df.sparkSession.conf.get("graft.stats.approx", "false").toBoolean
     val cols = columns.distinct
     val aggs: Seq[Column] = cols.flatMap { c =>
       val v = col(c).cast("double")
       val med =
-        if (exact) expr(s"percentile(CAST(`$c` AS DOUBLE), array(0.5D, 0.25D, 0.75D))")
+        if (useExact) expr(s"percentile(CAST(`$c` AS DOUBLE), array(0.5D, 0.25D, 0.75D))")
         else expr(s"approx_percentile(CAST(`$c` AS DOUBLE), array(0.5D, 0.25D, 0.75D))")
       Seq(min(v), max(v), avg(v), stddev_samp(v), med)
     } :+ count(lit(1))

@@ -60,4 +60,22 @@ class SourcesSpec extends SparkSpec {
     val r = new Evaluator().linear("x", 0.0).evaluate(df)
     assert(rows(r).forall(_.getAs[Double]("final_score") == 0.0))
   }
+
+  test("graft.stats.approx switches quantiles to the sketch (100TB path)") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 10000).selectExpr("id as k", "CAST(id AS DOUBLE) as v")
+    val exact = StatsAgg.compute(df, Seq("v"))("v")
+    spark.conf.set("graft.stats.approx", "true")
+    try {
+      val approx = StatsAgg.compute(df, Seq("v"))("v")
+      assert(approx.min == exact.min && approx.max == exact.max)
+      assertNear(approx.mean, exact.mean, 1e-9)
+      // quantiles approximate but close on a uniform ramp
+      assert(math.abs(approx.median - exact.median) < 100.0)
+      assert(math.abs(approx.q25 - exact.q25) < 100.0)
+      // and the evaluator still runs end-to-end in approx mode
+      val scored = new Evaluator().custom("v", 1.0, "proximity_to_median").evaluate(df)
+      assert(scored.count() == 10000)
+    } finally spark.conf.set("graft.stats.approx", "false")
+  }
 }
