@@ -73,6 +73,37 @@ object Multimodal {
       .withColumn("magic", hex(substring(col(payloadCol), 1, 4)))
       .withColumn("content_digest", md5(col(payloadCol)))
 
+  /** Resize plumbing for image-like payloads: deterministic byte-level
+    * downsample standing in for a real scaler — keep every `factor`-th
+    * byte, batched per partition like [[decodeFeatures]]. Swapping in a
+    * real image scaler changes only the inner function; schema, batch
+    * shape, and partitioning are identical. */
+  def resizePayload(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      factor: Int = 4
+  ): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val idField = df.schema(idCol)
+    val schema = StructType(Seq(
+      idField,
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        Row(r.get(idIdx), bytes.length.toLong, out)
+      }
+    }(encoder)
+  }
+
   /** Frame-sampling plumbing for video-like payloads: split the payload
     * into `frameSize`-byte chunks and keep every `stride`-th chunk — the
     * partition/batch shape of real frame extraction, with byte-slicing

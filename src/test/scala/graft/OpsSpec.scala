@@ -251,4 +251,15 @@ class OpsSpec extends SparkSpec {
     val byId = e.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(byId(1L) == byId(2L))
   }
+
+  test("multimodal: resize plumbing downsamples deterministically") {
+    val df = docs.withColumn("payload", encode(col("text"), "UTF-8"))
+    val resized = Multimodal.resizePayload(df, "doc_id", "payload", factor = 4)
+    assert(resized.schema.fieldNames.toSeq == Seq("doc_id", "n_bytes", "resized"))
+    val r0 = resized.filter(col("doc_id") === 0).head()
+    val full = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    assert(r0.getAs[Long]("n_bytes") == full.length)
+    val expect = full.indices.collect { case i if i % 4 == 0 => full(i) }.toSeq
+    assert(r0.getAs[Array[Byte]]("resized").toSeq == expect)
+  }
 }
