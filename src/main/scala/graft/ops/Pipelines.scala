@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-cleaning composition — the canonical training-data
+  * preparation flow, assembled from the engine's operators:
+  *
+  *   1. exact dedup (canonical fingerprint, keep minimum id);
+  *   2. near-dup removal (MinHash LSH pairs -> greedy keep-lowest-id);
+  *   3. quality gate (heuristic score threshold);
+  *   4. optional language allowlist.
+  *
+  * Every step is a shuffle-conscious DataFrame transform; the result is
+  * lazy. `CleanStats` is computed on demand (four counts, one pass each).
+  */
+object Pipelines {
+
+  final case class CleanStats(
+      input: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long,
+      afterQuality: Long,
+      output: Long)
+
+  final case class CleanResult(df: DataFrame, stats: () => CleanStats)
+
+  def cleanCorpus(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nearDupThreshold: Double = 0.85,
+      minQuality: Double = 40.0,
+      langAllowlist: Seq[String] = Nil
+  ): CleanResult = {
+    val input = docs
+
+    // 1. exact dedup: keep the minimum-id row per canonical form
+    val exact = Dedup.dropExactDups(input, textCol, idCol)
+
+    // 2. near-dup removal: for every LSH-confirmed pair drop the higher id
+    // (greedy transitive-ish reduction: any doc that is the higher side of
+    // some pair goes; the lowest id of each near-dup cluster survives)
+    val losers = Dedup
+      .minhashNearDupPairs(exact, textCol, idCol, threshold = nearDupThreshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    val nearDeduped = exact.join(losers, Seq(idCol), "left_anti")
+
+    // 3 + 4. quality gate and language allowlist (one codegen'd filter)
+    val quality = TextAnalysis.qualityScore(col(textCol)) >= lit(minQuality)
+    val lang: Column =
+      if (langAllowlist.isEmpty) lit(true)
+      else TextAnalysis.langId(col(textCol)).isInCollection(langAllowlist)
+    val afterQuality = nearDeduped.filter(quality)
+    val output = afterQuality.filter(lang)
+
+    CleanResult(
+      output,
+      () => CleanStats(
+        input = input.count(),
+        afterExactDedup = exact.count(),
+        afterNearDedup = nearDeduped.count(),
+        afterQuality = afterQuality.count(),
+        output = output.count()))
+  }
+}

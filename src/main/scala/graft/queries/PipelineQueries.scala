@@ -176,6 +176,15 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q57_clean_corpus" -> { (s, dir) =>
+      // full corpus-cleaning composition (exact dedup -> minhash near-dup
+      // removal -> quality gate); hash-dependent, so rows-only
+      graft.ops.Pipelines.cleanCorpus(
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0)
+        .df.select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     "q56_embedding_near_dup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,

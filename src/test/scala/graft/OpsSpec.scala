@@ -262,4 +262,45 @@ class OpsSpec extends SparkSpec {
     val expect = full.indices.collect { case i if i % 4 == 0 => full(i) }.toSeq
     assert(r0.getAs[Array[Byte]]("resized").toSeq == expect)
   }
+
+  test("jaccard pairs with word bigrams") {
+    val df = Seq(
+      (0L, "the quick brown fox runs", "x"),
+      (1L, "the quick brown dog runs", "x"),
+      (2L, "unrelated totally different words", "x")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.jaccardPairs(df, "text", "doc_id", threshold = 0.1, ngram = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    // doc0 bigrams: {the quick, quick brown, brown fox, fox runs}
+    // doc1 bigrams: {the quick, quick brown, brown dog, dog runs}
+    // common 2, union 6 -> 1/3
+    assertNear(pairs((0L, 1L)), 2.0 / 6.0, 1e-12)
+    assert(!pairs.keys.exists(k => k._1 == 2L || k._2 == 2L))
+  }
+
+  test("cleanCorpus pipeline composes dedup + quality + language gates") {
+    import graft.ops.Pipelines
+    val corpus = Seq(
+      (0L, "the cat and the dog sat in the warm house for hours today"),
+      (1L, "the cat and the dog sat in the warm house for hours today"), // exact dup
+      (2L, "the cat and the dog sat in the warm house for hours yesterday"), // near dup
+      (3L, "zz xq 9#@!"), // junk -> quality gate
+      (4L, "der hund und die katze sind mit dem kind im haus geblieben") // german
+    ).toDF("doc_id", "text")
+
+    val res = Pipelines.cleanCorpus(corpus, nearDupThreshold = 0.6,
+      minQuality = 40.0, langAllowlist = Seq("en"))
+    val kept = res.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+
+    val st = res.stats()
+    assert(st.input == 5)
+    assert(st.afterExactDedup == 4)     // 1 dropped (exact dup)
+    assert(st.afterNearDedup == 3)      // 2 dropped (near dup of 0)
+    assert(st.output == 1)              // junk + german filtered
+
+    // without the language gate the german doc survives
+    val noLang = Pipelines.cleanCorpus(corpus, nearDupThreshold = 0.6, minQuality = 40.0)
+    assert(noLang.df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 4L))
+  }
 }
