@@ -155,7 +155,12 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
     * +-1 votes from each token's hash. Near-duplicates differ in few bits
     * (small Hamming distance). */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.expressions.SimHash64(text)
+
+  /** HOF formulation of the same fingerprint (identical values — the
+    * differential-test oracle for the native [[graft.expressions.SimHash64]]). */
+  def simhashHof(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
     // Per bit i: vote = sum over tokens of (bit i of hash set ? +1 : -1);
     // fingerprint bit i = (vote > 0). Shift counts must be literals in the

@@ -303,4 +303,20 @@ class OpsSpec extends SparkSpec {
     val noLang = Pipelines.cleanCorpus(corpus, nearDupThreshold = 0.6, minQuality = 40.0)
     assert(noLang.df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 4L))
   }
+
+  test("native SimHash64 matches HOF formulation exactly") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val both = real.select(
+      Dedup.simhash(col("text")).as("fast"),
+      Dedup.simhashHof(col("text")).as("slow"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+    val edge = Seq((0L, ""), (1L, "   "), (2L, "ONE token"), (3L, "one token"))
+      .toDF("doc_id", "text")
+    val e = edge.select(col("doc_id"), Dedup.simhash(col("text")).as("f"),
+      Dedup.simhashHof(col("text")).as("s")).collect()
+    assert(e.forall(r => r.getLong(1) == r.getLong(2)))
+    val byId = e.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == 0L && byId(1L) == 0L)
+    assert(byId(2L) == byId(3L)) // case-insensitive
+  }
 }
