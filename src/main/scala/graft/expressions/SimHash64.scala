@@ -29,11 +29,20 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash"
 
   override protected def nullSafeEval(input: Any): Any = {
-    // mirror TextAnalysis.tokens(lower(text)): trim, lower, split on \s+
-    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString.trim
+    // mirror TextAnalysis.tokens(lower(text)) EXACTLY: Spark's trim strips
+    // only ' ' (not Java String.trim's <= U+0020), and Spark's split keeps
+    // leading AND trailing empty tokens (Pattern.split needs limit -1 for
+    // the trailing ones). A tab-edged input must hash the same empty token
+    // the HOF path hashes.
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
+    var st = 0
+    var en = lowered.length
+    while (st < en && lowered.charAt(st) == ' ') st += 1
+    while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
+    val trimmed = lowered.substring(st, en)
     val votes = new Array[Int](64)
-    if (lowered.nonEmpty) {
-      val toks = ws.split(lowered)
+    if (trimmed.nonEmpty) {
+      val toks = ws.split(trimmed, -1)
       var t = 0
       while (t < toks.length) {
         val h = XxHash64Function.hash(UTF8String.fromString(toks(t)), StringType, 42L)

@@ -242,7 +242,8 @@ class OpsSpec extends SparkSpec {
       Dedup.minhashSignatureHof(col("text")).as("slow"))
     assert(both.collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
     // short-text edge (length < k) and whitespace canonicalization
-    val edge = Seq((0L, "ab"), (1L, "A  B"), (2L, "a b")).toDF("doc_id", "text")
+    val edge = Seq((0L, "ab"), (1L, "A  B"), (2L, "a b"),
+      (3L, "\tA\nB "), (4L, "\u0001xy"), (5L, "")).toDF("doc_id", "text")
     val e = edge.select(col("doc_id"),
       Dedup.minhashSignature(col("text")).as("fast"),
       Dedup.minhashSignatureHof(col("text")).as("slow")).collect()
@@ -310,7 +311,8 @@ class OpsSpec extends SparkSpec {
       Dedup.simhash(col("text")).as("fast"),
       Dedup.simhashHof(col("text")).as("slow"))
     assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
-    val edge = Seq((0L, ""), (1L, "   "), (2L, "ONE token"), (3L, "one token"))
+    val edge = Seq((0L, ""), (1L, "   "), (2L, "ONE token"), (3L, "one token"),
+      (4L, "\thello"), (5L, "a\n"), (6L, "\u0001x"), (7L, " x "), (8L, "a\r\nb"))
       .toDF("doc_id", "text")
     val e = edge.select(col("doc_id"), Dedup.simhash(col("text")).as("f"),
       Dedup.simhashHof(col("text")).as("s")).collect()
