@@ -149,8 +149,8 @@ class Evaluator(val normalizeWeights: Boolean = true) {
     * (when known) also picks the ranking strategy: beyond
     * `graft.rank.rangeThreshold` rows (default 2M) the distinct-score
     * rank's window can itself grow unbounded, so ranking switches to the
-    * fully distributed [[Ranks.rangePartitionedRank]] — identical rank
-    * values either way. */
+    * fully distributed prefix-sum strategy (`withCompetitionRank(scalable =
+    * true)`) — identical rank values either way. */
   private[graft] def buildResult(
       bids: DataFrame,
       stats: Map[String, Stats],
@@ -201,7 +201,9 @@ class Evaluator(val normalizeWeights: Boolean = true) {
     // E5 output sort; the staged pipeline skips it (its joins would destroy
     // the order anyway and it re-sorts at the end) — a full sort exchange
     // saved per stage.
-    val ranked = if (sortOutput) withRank.orderBy("ranking") else withRank
+    val ranked =
+      if (sortOutput) withRank.orderBy(col("ranking").asc_nulls_last)
+      else withRank
 
     val statsByName = specs.map { case (col_, c) => c.name -> stats(col_) }.toMap
     lastStatistics = statsByName

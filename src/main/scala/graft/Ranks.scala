@@ -31,7 +31,9 @@ object Ranks {
       outCol: String,
       scalable: Boolean = false
   ): DataFrame = {
-    val counts = df
+    // pandas result['ranking'] = ... overwrites; a join would duplicate
+    val base = if (df.columns.contains(outCol)) df.drop(outCol) else df
+    val counts = base
       .filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("__graft_score"))
       .agg(count(lit(1)).as("__graft_cnt"))
@@ -43,8 +45,8 @@ object Ranks {
           outCol,
           (sum("__graft_cnt").over(w) - col("__graft_cnt") + lit(1L)).cast("long"))
       }
-    df.join(ranks.select(col("__graft_score"), col(outCol)),
-        df(scoreCol) === col("__graft_score"), "left")
+    base.join(ranks.select(col("__graft_score"), col(outCol)),
+        base(scoreCol) === col("__graft_score"), "left")
       .drop("__graft_score")
   }
 
@@ -120,8 +122,9 @@ object Ranks {
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
-    val nonNull = df.filter(col(scoreCol).isNotNull)
-    val nulls = df.filter(col(scoreCol).isNull)
+    val base = if (df.columns.contains(outCol)) df.drop(outCol) else df
+    val nonNull = base.filter(col(scoreCol).isNotNull)
+    val nulls = base.filter(col(scoreCol).isNull)
 
     // Persisted: the size-collection job and the ranking pass must see the
     // SAME range partitioning (repartitionByRange samples bounds; a
@@ -168,7 +171,7 @@ object Ranks {
       }
     }(encoder)
 
-    if (df.schema(scoreCol).nullable) {
+    if (base.schema(scoreCol).nullable) {
       val nullRanked = nulls.withColumn(outCol, lit(null).cast("long"))
       ranked.unionByName(nullRanked)
     } else ranked

@@ -233,7 +233,11 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
           .persist(StorageLevel.MEMORY_AND_DISK)
         caches += stageCols
 
-        result = result.join(stageCols, Seq(BidId), "left")
+        // two stages can sanitize to the same prefix; pandas overwrites the
+        // columns, so drop the earlier ones before this stage's join
+        val overwritten = stageCols.columns
+          .filter(c => c != BidId && result.columns.contains(c))
+        result = result.drop(overwritten: _*).join(stageCols, Seq(BidId), "left")
 
         val scoreCol = col(s"${safe}_score")
         val rankCol = col(s"${safe}_ranking")
@@ -261,17 +265,24 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
             // strictly-above (staged.py:394-409).
             if (activeCount <= topN) (lit(true), lit(false))
             else {
-              val cutoff = stageCols
+              val cutoffRow = stageCols
                 .select(scoreCol.as("s"))
                 .orderBy(col("s").desc)
                 .limit(topN)
                 .agg(min(col("s")))
-                .head().getDouble(0)
-              val atOrAbove = stageCols.filter(scoreCol >= lit(cutoff)).count()
-              val pred =
-                if (atOrAbove > topN) scoreCol > lit(cutoff)
-                else scoreCol >= lit(cutoff)
-              (pred, coalesce(!pred, lit(true)))
+                .head()
+              if (cutoffRow.isNullAt(0)) {
+                // every stage score is null: pandas' NaN cutoff advances
+                // nobody (scores >= NaN is all-False) — eliminate the cohort
+                (lit(false), lit(true))
+              } else {
+                val cutoff = cutoffRow.getDouble(0)
+                val atOrAbove = stageCols.filter(scoreCol >= lit(cutoff)).count()
+                val pred =
+                  if (atOrAbove > topN) scoreCol > lit(cutoff)
+                  else scoreCol >= lit(cutoff)
+                (pred, coalesce(!pred, lit(true)))
+              }
             }
 
           case _ => (lit(true), lit(false))

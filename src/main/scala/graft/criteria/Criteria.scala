@@ -58,6 +58,11 @@ final case class LinearCriterion(
 ) extends Criterion {
   def typeName = "LinearCriterion"
   def expr(value: Column, stats: Stats): Column = {
+    // All-null cohort: stats come back NaN, and Spark (unlike Python)
+    // treats lit(NaN) === lit(NaN) as TRUE — the degenerate all-100 branch
+    // would fire. pandas computes NaN scores there; pin that explicitly.
+    if (stats.min.isNaN || stats.max.isNaN)
+      return lit(Double.NaN) * lit(weight)
     val base =
       if (higherIsBetter) {
         when(lit(stats.max) === lit(stats.min), lit(100.0))
@@ -148,16 +153,16 @@ final case class FormulaCriterion(
 ) extends Criterion {
   def typeName = "FormulaCriterion"
   def expr(value: Column, stats: Stats): Column = {
-    // A formula that cannot compile (bad syntax, unknown name) fails on
-    // EVERY row in the reference, so every row scores 0.0 there; here the
-    // whole expression collapses to the zero literal.
+    // A formula that cannot evaluate for EVERY row in the reference (bad
+    // syntax, unknown name, Python-number division by a constant zero)
+    // scores 0.0 everywhere; the compiler signals those by throwing.
+    // Runtime arithmetic follows numpy scalar semantics (x/0 -> +-inf,
+    // clipped below; NaN propagates), and a null input value yields a null
+    // score, the Spark analogue of pandas' NaN propagation.
     val raw =
       try graft.formula.FormulaCompiler.compile(formula, value, stats, variables)
       catch { case _: IllegalArgumentException => lit(0.0) }
-    // Python raises on x/0 and x%0 -> the reference maps any per-row error
-    // to 0.0. Spark's non-ANSI Divide/Remainder return null in exactly those
-    // cases, so coalesce(.., 0.0) reproduces the error-to-zero contract.
-    Clip.clip(coalesce(raw, lit(0.0)), 0.0, 100.0) * lit(weight)
+    Clip.clip(raw, 0.0, 100.0) * lit(weight)
   }
 }
 

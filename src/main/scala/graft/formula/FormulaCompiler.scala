@@ -60,7 +60,7 @@ object FormulaCompiler {
         "q25" -> lit(stats.q25),
         "q75" -> lit(stats.q75)
       ) ++ variables.map { case (k, v) => k -> lit(v) }
-    new Parser(Lexer.tokenize(formula), names).parseAll().num
+    new Parser(Lexer.tokenize(formula), names, variables).parseAll().num
   }
 
   // ---------------------------------------------------------------- lexer
@@ -109,14 +109,26 @@ object FormulaCompiler {
 
   // --------------------------------------------------------------- parser
 
-  /** A compiled node: the numeric view plus whether it is natively boolean
-    * (needed for Python bool<->number coercion). */
-  private final case class Node(col: Column, isBool: Boolean) {
+  /** A compiled node: the numeric view, whether it is natively boolean
+    * (for Python bool<->number coercion), and — when the subtree is built
+    * purely from literals and user variables — its compile-time value.
+    *
+    * Constness drives Python-faithful arithmetic-error semantics: the
+    * reference evaluates rows as NUMPY scalars, where x/0 yields +-inf
+    * (clipped later), while a PYTHON-number division like the literal
+    * '1/0' raises ZeroDivisionError (mapped to a 0.0 score). Literals and
+    * user variables are Python numbers; `value` and the statistics names
+    * are numpy scalars. */
+  private final case class Node(
+      col: Column, isBool: Boolean, const: Option[Double] = None) {
     def num: Column = if (isBool) col.cast("double") else col
     def bool: Column = if (isBool) col else col =!= lit(0.0)
   }
 
-  private final class Parser(toks: Vector[Tok], names: Map[String, Column]) {
+  private final class Parser(
+      toks: Vector[Tok],
+      names: Map[String, Column],
+      constNames: Map[String, Double]) {
     private var pos = 0
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -202,14 +214,21 @@ object FormulaCompiler {
       chain.map(c => Node(c, isBool = true)).getOrElse(left)
     }
 
+    private def constOp(a: Node, b: Node)(f: (Double, Double) => Double): Option[Double] =
+      for (x <- a.const; y <- b.const) yield f(x, y)
+
     private def additive(): Node = {
       var left = term()
       var done = false
       while (!done) {
         peek match {
-          case Some(Op("+")) => next(); left = Node(left.num + term().num, false)
-          case Some(Op("-")) => next(); left = Node(left.num - term().num, false)
-          case _             => done = true
+          case Some(Op("+")) =>
+            next(); val r = term()
+            left = Node(left.num + r.num, false, constOp(left, r)(_ + _))
+          case Some(Op("-")) =>
+            next(); val r = term()
+            left = Node(left.num - r.num, false, constOp(left, r)(_ - _))
+          case _ => done = true
         }
       }
       left
@@ -220,20 +239,54 @@ object FormulaCompiler {
       var done = false
       while (!done) {
         peek match {
-          case Some(Op("*")) => next(); left = Node(left.num * factor().num, false)
-          // try_divide/try_mod: null on zero divisor in BOTH ANSI and legacy
-          // sessions — the Spark analogue of Python's ZeroDivisionError,
-          // which the reference maps to a 0.0 score (criteria.py:146-149).
-          case Some(Op("/")) => next(); left = Node(try_divide(left.num, factor().num), false)
-          case Some(Op("%")) => next(); left = Node(try_mod(left.num, factor().num), false)
-          case _             => done = true
+          case Some(Op("*")) =>
+            next(); val r = factor()
+            left = Node(left.num * r.num, false, constOp(left, r)(_ * _))
+          case Some(Op("/")) =>
+            next(); val r = factor()
+            left = (left.const, r.const) match {
+              // Python-number division: literal 0 divisor raises -> the
+              // caller maps the compile failure to all-zero scores
+              case (Some(a), Some(b)) =>
+                if (b == 0.0) fail("division by zero in constant expression")
+                Node(lit(a / b), false, Some(a / b))
+              // numpy semantics: x/0 -> +-inf (0/0 -> NaN), else IEEE
+              case _ =>
+                val d = when(r.num === lit(0.0),
+                  when(left.num > 0, lit(Double.PositiveInfinity))
+                    .when(left.num < 0, lit(Double.NegativeInfinity))
+                    .otherwise(lit(Double.NaN)))
+                  .otherwise(left.num / r.num)
+                Node(d, false)
+            }
+          case Some(Op("%")) =>
+            next(); val r = factor()
+            left = (left.const, r.const) match {
+              case (Some(a), Some(b)) =>
+                if (b == 0.0) fail("modulo by zero in constant expression")
+                Node(lit(pyMod(a, b)), false, Some(pyMod(a, b)))
+              // numpy mod: sign of the DIVISOR (a - floor(a/b)*b); x%0 -> NaN
+              case _ =>
+                val m = when(r.num === lit(0.0), lit(Double.NaN))
+                  .otherwise(left.num - floor(left.num / r.num) * r.num)
+                Node(m, false)
+            }
+          case _ => done = true
         }
       }
       left
     }
 
+    /** Python float modulo: result takes the divisor's sign. */
+    private def pyMod(a: Double, b: Double): Double = {
+      val r = a % b
+      if (r != 0.0 && ((r < 0) != (b < 0))) r + b else r
+    }
+
     private def factor(): Node = peek match {
-      case Some(Op("-")) => next(); Node(-factor().num, isBool = false)
+      case Some(Op("-")) =>
+        next(); val inner = factor()
+        Node(-inner.num, isBool = false, inner.const.map(-_))
       case Some(Op("+")) => next(); factor()
       case _             => power()
     }
@@ -244,13 +297,20 @@ object FormulaCompiler {
         case Some(Op("**")) =>
           next()
           val exp = factor() // right-assoc; exponent may carry unary minus
-          Node(pow(base.num, exp.num), isBool = false)
+          val const = (base.const, exp.const) match {
+            case (Some(a), Some(b)) =>
+              if (a == 0.0 && b < 0)
+                fail("zero cannot be raised to a negative power") // Python raises
+              Some(math.pow(a, b))
+            case _ => None
+          }
+          Node(pow(base.num, exp.num), isBool = false, const)
         case _ => base
       }
     }
 
     private def atom(): Node = next() match {
-      case Num(v) => Node(lit(v), isBool = false)
+      case Num(v) => Node(lit(v), isBool = false, const = Some(v))
       case Op("(") =>
         val inner = ternary()
         expectOp(")")
@@ -266,8 +326,11 @@ object FormulaCompiler {
         call(fn, args.result())
       case Name(id) =>
         names.get(id) match {
-          case Some(c) => Node(c, isBool = false)
-          case None    => fail(s"unknown name '$id'")
+          // user variables are Python numbers -> compile-time constants;
+          // `value` and the statistics are numpy scalars -> runtime columns
+          case Some(c) =>
+            Node(c, isBool = false, const = constNames.get(id))
+          case None => fail(s"unknown name '$id'")
         }
       case other => fail(s"unexpected token $other")
     }

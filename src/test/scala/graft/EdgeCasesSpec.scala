@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Regression tests for defects found by adversarial review: Spark
+  * NaN/null semantics diverging from pandas, and column-name collisions
+  * pandas tolerates by overwriting. */
+class EdgeCasesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("top_n exclude with all-null stage scores eliminates the cohort, no NPE") {
+    // criterion column entirely null -> every stage score is null
+    val bids = Seq(("A", None: Option[Double], 10.0), ("B", None, 20.0),
+      ("C", None, 30.0)).toDF("vendor", "x", "y")
+    val result = new StagedEvaluator()
+      .addStage("S1", filterType = "top_n", topN = 2, onTie = "exclude")
+      .direct("x", 1.0)
+      .addStage("S2")
+      .direct("y", 1.0)
+      .evaluate(bids)
+    // pandas: NaN cutoff advances nobody
+    assert(rows(result).forall(_.getAs[String]("eliminated_at_stage") == "S1"))
+  }
+
+  test("linear criterion over an all-null cohort yields NaN scores (not 100)") {
+    val bids = Seq(("A", None: Option[Double]), ("B", None)).toDF("vendor", "x")
+    val result = new Evaluator().linear("x", 1.0).evaluate(bids)
+    assert(rows(result).forall(r => r.getAs[Double]("score_x").isNaN))
+  }
+
+  test("stage names sanitizing to the same prefix overwrite like pandas") {
+    val bids = Seq(("A", 10.0, 1.0), ("B", 20.0, 2.0)).toDF("vendor", "x", "y")
+    val result = new StagedEvaluator()
+      .addStage("Tech Review")
+      .direct("x", 1.0)
+      .addStage("tech-review") // same sanitized prefix: tech_review
+      .direct("y", 1.0)
+      .evaluate(bids)
+    // one surviving column set, values from the LAST stage
+    assert(result.columns.count(_ == "tech_review_score") == 1)
+    val m = byKey(result, "vendor")
+    assert(m("B").getAs[Double]("tech_review_score") == 2.0)
+    assert(m("B").getAs[Long]("ranking") == 1L)
+  }
+
+  test("input with a pre-existing ranking/final_score column is overwritten") {
+    val bids = Seq(("A", 10.0, 99L, 1.0), ("B", 20.0, 98L, 2.0))
+      .toDF("vendor", "x", "ranking", "final_score")
+    val result = new Evaluator().linear("x", 1.0).evaluate(bids)
+    assert(result.columns.count(_ == "ranking") == 1)
+    assert(result.columns.count(_ == "final_score") == 1)
+    val m = byKey(result, "vendor")
+    assert(m("B").getAs[Long]("ranking") == 1L) // engine's rank, not 98
+    assert(m("B").getAs[Double]("final_score") == 100.0)
+  }
+
+  test("rows with null scores sort last in the single-stage output") {
+    val bids = Seq(("A", Some(10.0)), ("B", None), ("C", Some(20.0)))
+      .toDF("vendor", "x")
+    val result = new Evaluator().linear("x", 1.0).evaluate(bids)
+    val order = rows(result).map(_.getAs[String]("vendor"))
+    assert(order.last == "B", s"null-ranked row must sort last, got $order")
+  }
+
+  test("formula numpy semantics: runtime /0 -> inf -> clip; const 1/0 -> all zero") {
+    val bids = Seq(("A", 5.0), ("B", -3.0), ("C", 7.0)).toDF("vendor", "x")
+    // (value - 7) is 0 for C: 7/(7-7) -> +inf -> clip 100; B: -3/-10=0.3
+    val r1 = new Evaluator()
+      .formula("x", 1.0, formula = "value / (value - 7)", name = "f")
+      .evaluate(bids)
+    val m = byKey(r1, "vendor")
+    assert(m("C").getAs[Double]("score_f") == 100.0)
+    assertNear(m("B").getAs[Double]("score_f"), 0.3)
+    // constant Python-number division by zero -> every row 0.0
+    val r2 = new Evaluator()
+      .formula("x", 1.0, formula = "value + 1 / 0", name = "g")
+      .evaluate(bids)
+    assert(rows(r2).forall(_.getAs[Double]("score_g") == 0.0))
+    // variables are Python numbers too: t / 0 with t a variable raises
+    val r3 = new Evaluator()
+      .formula("x", 1.0, formula = "t / 0 + value", variables = Map("t" -> 3.0),
+        name = "h")
+      .evaluate(bids)
+    assert(rows(r3).forall(_.getAs[Double]("score_h") == 0.0))
+  }
+
+  test("formula null input propagates as null score (pandas NaN analogue)") {
+    val bids = Seq(("A", Some(10.0)), ("B", None)).toDF("vendor", "x")
+    val result = new Evaluator()
+      .formula("x", 1.0, formula = "value * 2", name = "f")
+      .evaluate(bids)
+    val m = byKey(result, "vendor")
+    assert(m("A").getAs[Double]("score_f") == 20.0)
+    assert(m("B").isNullAt(m("B").fieldIndex("score_f")))
+  }
+}
