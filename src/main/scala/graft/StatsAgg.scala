@@ -49,11 +49,14 @@ object StatsAgg {
     val useExact = exact &&
       !df.sparkSession.conf.get("graft.stats.approx", "false").toBoolean
     val cols = columns.distinct
+    val pcts = array(lit(0.5), lit(0.25), lit(0.75))
     val aggs: Seq[Column] = cols.flatMap { c =>
       val v = col(c).cast("double")
+      // Column API (not string-interpolated SQL) so column-name resolution
+      // is identical across all five aggregates
       val med =
-        if (useExact) expr(s"percentile(CAST(`$c` AS DOUBLE), array(0.5D, 0.25D, 0.75D))")
-        else expr(s"approx_percentile(CAST(`$c` AS DOUBLE), array(0.5D, 0.25D, 0.75D))")
+        if (useExact) percentile(v, pcts)
+        else percentile_approx(v, pcts, lit(10000))
       Seq(min(v), max(v), avg(v), stddev_samp(v), med)
     } :+ count(lit(1))
     val row = df.agg(aggs.head, aggs.tail: _*).head()

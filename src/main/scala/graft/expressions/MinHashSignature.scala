@@ -38,9 +38,16 @@ case class MinHashSignature(child: Expression, numHashes: Int, k: Int)
   override def prettyName: String = "graft_minhash"
 
   override protected def nullSafeEval(input: Any): Any = {
-    // mirror lower(regexp_replace(text, "\s+", " ")) exactly
+    // mirror TextAnalysis.canonicalize exactly: lower, collapse \s+ runs
+    // to ' ', then Spark trim (strips ' ' — after the collapse every edge
+    // whitespace IS a space)
     val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val canon = ws.matcher(lowered).replaceAll(" ")
+    val collapsed = ws.matcher(lowered).replaceAll(" ")
+    var st = 0
+    var en = collapsed.length
+    while (st < en && collapsed.charAt(st) == ' ') st += 1
+    while (en > st && collapsed.charAt(en - 1) == ' ') en -= 1
+    val canon = collapsed.substring(st, en)
 
     val shingles = new java.util.HashSet[String]()
     if (canon.length < k) shingles.add(canon)

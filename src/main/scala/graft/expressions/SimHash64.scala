@@ -19,6 +19,7 @@ case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback with Serializable {
 
   @transient private lazy val ws = Pattern.compile("\\s+")
+  @transient private lazy val edgeWs = Pattern.compile("^\\s+|\\s+$")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -29,17 +30,12 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash"
 
   override protected def nullSafeEval(input: Any): Any = {
-    // mirror TextAnalysis.tokens(lower(text)) EXACTLY: Spark's trim strips
-    // only ' ' (not Java String.trim's <= U+0020), and Spark's split keeps
-    // leading AND trailing empty tokens (Pattern.split needs limit -1 for
-    // the trailing ones). A tab-edged input must hash the same empty token
-    // the HOF path hashes.
+    // mirror TextAnalysis.tokens(lower(text)) EXACTLY: edge whitespace of
+    // ALL kinds is stripped (regexp "^\s+|\s+$"), then split on \s+ —
+    // limit -1 like Spark's split (no empties can remain after the trim,
+    // but the contract stays aligned).
     val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
-    var st = 0
-    var en = lowered.length
-    while (st < en && lowered.charAt(st) == ' ') st += 1
-    while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
-    val trimmed = lowered.substring(st, en)
+    val trimmed = edgeWs.matcher(lowered).replaceAll("")
     val votes = new Array[Int](64)
     if (trimmed.nonEmpty) {
       val toks = ws.split(trimmed, -1)

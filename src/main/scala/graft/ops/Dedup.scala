@@ -21,7 +21,7 @@ object Dedup {
 
   /** Character k-shingles of the canonicalized text. */
   def shingles(text: Column, k: Int = 5): Column = {
-    val canon = lower(regexp_replace(text, "\\s+", " "))
+    val canon = TextAnalysis.canonicalize(text)
     when(length(canon) < k, array(canon))
       .otherwise(array_distinct(transform(
         sequence(lit(0), length(canon) - lit(k)),
@@ -211,9 +211,14 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(ngram))))
     val blockKey = blockCol.map(col).getOrElse(lit(0))
 
+    // materialization barrier: the tokenize+explode subtree feeds the
+    // doc-frequency filter, the sizes aggregate, and BOTH join sides —
+    // without the exchange Catalyst re-tokenizes the corpus per reference
+    // (same hazard as minhashNearDupPairs)
     val docTokens = df
       .select(col(idCol).as("id"), blockKey.as("__blk"),
         explode(array_distinct(grams)).as("tok"))
+      .repartition(col("id"))
     val filtered = maxDocFreq match {
       case Some(cap) =>
         val df_ = docTokens.groupBy("tok").agg(count(lit(1)).as("__df"))
@@ -257,7 +262,10 @@ object Dedup {
       col(idCol),
       Similarity.hyperplaneBucket(col(vecCol), dim, nBits, 104729L * (t + 1)).as("bucket"),
       lit(t).as("table"))
+    // barrier: both self-join sides reference this subtree; the exchange
+    // keeps the hyperplane projections to one evaluation per row
     val bucketed = (0 until nTables).map(withB).reduce(_ unionAll _)
+      .repartition(col(idCol))
     val l = bucketed.select(col(idCol).as("id_a"), col("bucket"), col("table"))
     val r = bucketed.select(col(idCol).as("id_b"), col("bucket"), col("table"))
     l.join(r, Seq("table", "bucket"))
@@ -266,7 +274,8 @@ object Dedup {
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
-      .filter(col("cosine") >= threshold)
+      // NaN (zero-norm vector) passes >= in Spark; numpy would say False
+      .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
 }

@@ -45,12 +45,18 @@ object Similarity {
       corpusVec: String,
       queryId: String,
       queryVec: String,
-      queryIdOut: String = "query_id"
+      queryIdOut: String = "query_id",
+      excludeSelf: Boolean = true
   ): DataFrame = {
+    // excludeSelf assumes corpus and query ids share ONE id space (the
+    // usual query-from-corpus case); pass false when the query batch has
+    // its own ids, or equal id values would silently drop valid pairs.
     val q = queries.select(
       col(queryId).as(queryIdOut), col(queryVec).as("__q_vec"))
-    corpus
-      .join(broadcast(q), col(corpusId) =!= col(queryIdOut))
+    val joined =
+      if (excludeSelf) corpus.join(broadcast(q), col(corpusId) =!= col(queryIdOut))
+      else corpus.crossJoin(broadcast(q))
+    joined
       .withColumn("cosine", cosine(col("__q_vec"), col(corpusVec)))
       .drop("__q_vec")
   }
@@ -69,6 +75,7 @@ object Similarity {
       queryVec: String = "embedding"
   ): DataFrame = {
     val scored = crossCosine(corpus, queries, corpusId, corpusVec, queryId, queryVec)
+      .filter(!isnan(col("cosine"))) // zero-norm vectors: NaN sorts FIRST in Spark
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col(corpusId).asc)
     scored
@@ -131,6 +138,7 @@ object Similarity {
       .join(corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cv")), "__cid")
       .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))), "query_id")
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .filter(!isnan(col("cosine"))) // zero-norm guard
       .select(col("query_id"), col("__cid").as(corpusId), col("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col(corpusId).asc)
@@ -181,15 +189,18 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("list_id", "__centroid")
+      .map { case (c, i) =>
+        val arr = c.toArray
+        (i, arr.toSeq, arr.map(x => x * x).sum) // |c|^2 precomputed once
+      }.toSeq
+      .toDF("list_id", "__centroid", "__c2")
     val probeRank = Window.partitionBy("query_id")
       .orderBy(col("__probe_score").asc, col("list_id").asc)
     val qProbes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .crossJoin(broadcast(centroids))
       .withColumn("__probe_score",
-        dot(col("__centroid"), col("__centroid")) -
+        col("__c2") -
           lit(2.0) * dot(col("__qv").cast("array<double>"), col("__centroid")))
       .withColumn("__pr", row_number().over(probeRank))
       .filter(col("__pr") <= nProbe)
@@ -199,6 +210,7 @@ object Similarity {
       .join(broadcast(qProbes), Seq("list_id"))
       .filter(col(corpusId) =!= col("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col(corpusVec)))
+      .filter(!isnan(col("cosine"))) // zero-norm guard
       .select(col("query_id"), col(corpusId), col("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col(corpusId).asc)
@@ -218,6 +230,7 @@ object Similarity {
     val right = df.select(col(idCol).as("nn_id"), col(vecCol).as("__vb"), col(blockCol).as("__blk"))
     val pairs = left.join(right, Seq("__blk")).filter(col("id") =!= col("nn_id"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(!isnan(col("cosine"))) // zero-norm guard
     val w = Window.partitionBy("id")
       .orderBy(round(col("cosine"), 6).desc, col("nn_id").asc)
     pairs

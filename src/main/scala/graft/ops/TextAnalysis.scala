@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. `split` on \s+ after trim; empty text -> empty. */
-  def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+  /** Whitespace tokens: strip ALL edge whitespace (Spark's `trim` strips
+    * only spaces — a trailing newline would otherwise yield a bogus empty
+    * token), then split on \s+; empty text -> empty array. */
+  def wsTrim(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
+  def tokens(text: Column): Column = {
+    val t = wsTrim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -95,14 +102,20 @@ object TextAnalysis {
     * Identical canonical forms <=> identical fingerprints; used by exact
     * dedup at 100 TB (32-byte key instead of full text). */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+    md5(canonicalize(text))
+
+  /** Shared canonical form: lowercase, collapse runs of whitespace to one
+    * space, strip edges — texts differing only in whitespace layout are
+    * identical canonical forms. */
+  def canonicalize(text: Column): Column =
+    trim(lower(regexp_replace(text, "\\s+", " ")))
 
   /** 64-bit rolling-window fingerprint set (winnowing-style): hash every
     * k-shingle, keep the minimum hash per sliding window of w shingles,
     * dedupe. Robust to small edits; the document-similarity analogue of
     * Rabin fingerprinting. Returns array<long>. */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val canon = lower(regexp_replace(text, "\\s+", " "))
+    val canon = canonicalize(text)
     val shingleHashes = transform(
       sequence(lit(0), greatest(length(canon) - lit(k), lit(0))),
       i => xxhash64(substr(canon, i + 1, lit(k))))

@@ -265,7 +265,7 @@ object PipelineQueries {
 
     "q40_dedup_exact" ->
       """WITH d AS (
-        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |  SELECT doc_id, md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         |  FROM documents
         |)
         |SELECT doc_id, fingerprint,
@@ -274,7 +274,7 @@ object PipelineQueries {
 
     "q42_jaccard_pairs" ->
       """WITH toks AS (
-        |  SELECT doc_id, source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  SELECT doc_id, source, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
         |  FROM documents WHERE doc_id < 2000
         |), d AS (
         |  SELECT DISTINCT doc_id, source, tok FROM toks
@@ -294,24 +294,24 @@ object PipelineQueries {
     "q46_token_stats" ->
       """WITH d AS (
         |  SELECT doc_id, text,
-        |    CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN [] ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
         |  FROM documents
         |)
         |SELECT doc_id,
         |  len(toks) AS n_tokens,
         |  len(list_distinct(toks)) AS n_distinct,
         |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) * 1.0 / CAST(len(toks) AS DOUBLE) AS avg_word_len,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |  len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
         |    x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS en_stopword_hits
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q48_lang_id" ->
       """WITH c AS (
         |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
-        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('el','la','de','que','y','en','los','se','del','las'))) AS c_es,
-        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('le','la','les','de','et','des','un','une','du','est'))) AS c_fr,
-        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('der','die','das','und','von','zu','den','mit','ist','im'))) AS c_de
+        |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+        |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), x -> x IN ('el','la','de','que','y','en','los','se','del','las'))) AS c_es,
+        |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), x -> x IN ('le','la','les','de','et','des','un','une','du','est'))) AS c_fr,
+        |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), x -> x IN ('der','die','das','und','von','zu','den','mit','ist','im'))) AS c_de
         |  FROM documents
         |)
         |SELECT doc_id, CASE
@@ -323,7 +323,7 @@ object PipelineQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q49_fingerprint" ->
-      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      """SELECT doc_id, md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q44_cosine_pairs" ->

@@ -94,4 +94,36 @@ class EdgeCasesSpec extends SparkSpec {
     assert(m("A").getAs[Double]("score_f") == 20.0)
     assert(m("B").isNullAt(m("B").fieldIndex("score_f")))
   }
+
+  test("zero-norm vectors never pollute top-k or near-dup results") {
+    val base = (0 until 8).map(i => math.sin(i * 1.3).toFloat)
+    val df = Seq(
+      (0L, base, 0),
+      (1L, base.map(x => (x * 0.9f + 0.01f)), 0),
+      (2L, Seq.fill(8)(0.0f), 0), // zero vector -> NaN cosine
+      (3L, base.map(-_), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val q = df.filter(col("vec_id") === 0)
+
+    val topk = graft.ops.Similarity.bruteForceTopK(df, q, k = 3)
+      .orderBy("nn_rank").collect()
+    assert(!topk.exists(_.getAs[Long]("vec_id") == 2L), "NaN row must not rank")
+    assert(topk.head.getAs[Long]("vec_id") == 1L) // true nearest first
+
+    val dups = graft.ops.Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      dim = 8, threshold = 0.5, nBits = 2, nTables = 2).collect()
+    assert(!dups.exists(r => r.getAs[Long]("id_a") == 2L || r.getAs[Long]("id_b") == 2L))
+  }
+
+  test("tab/newline-edged text tokenizes without empty tokens") {
+    import graft.ops.TextAnalysis
+    val df = Seq((0L, "hello world\n"), (1L, "\thello world"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    val counts = df.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts == Map(0L -> 2, 1L -> 2, 2L -> 2))
+    // fingerprints identical across whitespace layouts
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps.distinct.length == 1)
+  }
 }
