@@ -88,14 +88,23 @@ object Similarity {
     * driver-side from a seeded PRNG and embedded as array literals, so the
     * per-row work is `nBits` plain dot products — no per-element hashing,
     * reproducible across runs. */
-  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
+    graft.expressions.HyperplaneBits(vec, hyperplanes(dim, nBits, seed))
+
+  /** Composed formulation — nBits separate dot products; identical bucket
+    * keys (differential-test oracle for the fused native expression). */
+  def hyperplaneBucketHof(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
     val vd = vec.cast("array<double>")
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val planes = hyperplanes(dim, nBits, seed)
     (0 until nBits).map { b =>
       when(dot(vd, typedlit(planes(b))) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Deterministic seeded +-1 hyperplanes. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
   /** Approximate top-k via hyperplane-LSH bucketing: corpus and queries are

@@ -321,4 +321,12 @@ class OpsSpec extends SparkSpec {
     assert(byId(0L) == 0L && byId(1L) == 0L)
     assert(byId(2L) == byId(3L)) // case-insensitive
   }
+
+  test("fused HyperplaneBits matches composed formulation exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val both = emb.select(
+      Similarity.hyperplaneBucket(col("embedding"), 64, 12, 7919L).as("fast"),
+      Similarity.hyperplaneBucketHof(col("embedding"), 64, 12, 7919L).as("slow"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
 }
