@@ -25,10 +25,19 @@ object ConfigLoader {
 
   // ------------------------------------------------------- parsing helpers
 
-  /** jackson/snakeyaml produce java.util collections; normalize to Scala. */
+  /** jackson/snakeyaml produce java.util collections; normalize to Scala.
+    * Maps become ListMap: jackson/snakeyaml parse into LinkedHashMaps, and
+    * criterion REGISTRATION ORDER is part of the engine's contract (score
+    * column order, sequential final-score sum, last-wins duplicate names) —
+    * a plain .toMap hash-reorders any config with 5+ entries and silently
+    * breaks config-vs-fluent equivalence. */
   private[config] def normalize(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, value) => k.toString -> normalize(value) }.toMap
+      // iterate the entry set directly: mapping the asScala Map WRAPPER
+      // rebuilds a hash map and re-loses the order before ListMap sees it
+      scala.collection.immutable.ListMap.from(
+        m.entrySet().asScala.iterator
+          .map(e => e.getKey.toString -> normalize(e.getValue)))
     case l: java.util.List[_] => l.asScala.map(normalize).toList
     case other                => other
   }
@@ -37,9 +46,12 @@ object ConfigLoader {
     normalize(new ObjectMapper().readValue(text, classOf[java.util.Map[String, Any]]))
       .asInstanceOf[Map[String, Any]]
 
-  def parseYaml(text: String): Map[String, Any] =
-    normalize(new Yaml().load[java.util.Map[String, Any]](text))
-      .asInstanceOf[Map[String, Any]]
+  def parseYaml(text: String): Map[String, Any] = {
+    // an empty / comments-only document parses to null
+    val parsed = new Yaml().load[java.util.Map[String, Any]](text)
+    if (parsed == null) Map.empty
+    else normalize(parsed).asInstanceOf[Map[String, Any]]
+  }
 
   private def readFile(path: String): String =
     new String(Files.readAllBytes(Paths.get(path)), "UTF-8")

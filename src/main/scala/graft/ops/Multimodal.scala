@@ -59,8 +59,11 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
       rows.map { r =>
+        // null payloads are inevitable in ingested media tables: decode
+        // them to an empty feature vector instead of crashing the task
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        Row(r.get(idIdx), bytes.length.toLong,
+        if (bytes == null) Row(r.get(idIdx), 0L, Seq.empty[Float])
+        else Row(r.get(idIdx), bytes.length.toLong,
           fakeDecode(bytes, featureDim).toSeq)
       }
     }(encoder)
@@ -96,10 +99,13 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
-        Row(r.get(idIdx), bytes.length.toLong, out)
+        if (bytes == null) Row(r.get(idIdx), 0L, Array.empty[Byte])
+        else {
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          Row(r.get(idIdx), bytes.length.toLong, out)
+        }
       }
     }(encoder)
   }
@@ -116,7 +122,8 @@ object Multimodal {
       stride: Int = 4
   ): DataFrame = {
     val nFrames = ceil(length(col(payloadCol)).cast("double") / lit(frameSize.toDouble)).cast("int")
-    df.select(col(idCol), col(payloadCol),
+    df.filter(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .select(col(idCol), col(payloadCol),
       explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))).as("frame_idx"))
       .withColumn("frame_bytes",
         col(payloadCol).substr(col("frame_idx") * lit(frameSize) + 1, lit(frameSize)))

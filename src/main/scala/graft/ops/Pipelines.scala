@@ -57,11 +57,17 @@ object Pipelines {
 
     CleanResult(
       output,
-      () => CleanStats(
-        input = input.count(),
-        afterExactDedup = exact.count(),
-        afterNearDedup = nearDeduped.count(),
-        afterQuality = afterQuality.count(),
-        output = output.count()))
+      () => {
+        // the near-dup frame feeds three of the five counts (and the
+        // minhash join is the expensive part): cache it for the funnel
+        nearDeduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try CleanStats(
+          input = input.count(),
+          afterExactDedup = exact.count(),
+          afterNearDedup = nearDeduped.count(),
+          afterQuality = afterQuality.count(),
+          output = output.count())
+        finally nearDeduped.unpersist()
+      })
   }
 }

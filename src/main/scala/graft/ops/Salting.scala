@@ -55,6 +55,12 @@ object Salting {
       buckets: Int,
       joinType: String = "inner"
   ): DataFrame = {
+    // right/full outer semantics break under replication: each right row is
+    // exploded `buckets` times, so every unmatched replica would emit its
+    // own null-padded output row
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left join types, got '$joinType'")
     // the salt must vary WITHIN a key (a key-derived salt would send a
     // hot key to a single bucket again): derive it from row identity
     val saltedLeft = left.withColumn("__salt",

@@ -31,12 +31,21 @@ object StreamingEval {
       includeDetails: Boolean = true
   ): DataFrame = {
     val specs = evaluator.criteria
+    // frozenStats accepts either keying: criterion NAME (what
+    // EvaluationResult.statistics / getStatistics return) or column name
+    // (what StatsAgg produces directly)
+    def statsFor(column: String, name: String): Stats =
+      frozenStats.getOrElse(name, frozenStats.getOrElse(column,
+        throw new IllegalArgumentException(
+          s"frozenStats has no entry for criterion '$name' (column '$column')")))
     val scoreExprs: Seq[(String, Column)] = specs.map { case (column, c) =>
-      s"score_${c.name}" -> c.expr(col(column).cast("double"), frozenStats(column))
+      s"score_${c.name}" -> c.expr(col(column).cast("double"), statsFor(column, c.name))
     }
+    // one projection (the withColumn-per-criterion loop re-analyzes a
+    // growing plan every micro-batch)
     val withDetails =
-      if (includeDetails)
-        scoreExprs.foldLeft(stream) { case (df, (n, e)) => df.withColumn(n, e) }
+      if (includeDetails && scoreExprs.nonEmpty)
+        stream.select(col("*") +: scoreExprs.map { case (n, e) => e.as(n) }: _*)
       else stream
     val finalScore =
       if (scoreExprs.isEmpty) lit(0.0)

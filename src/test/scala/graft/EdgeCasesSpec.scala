@@ -126,4 +126,24 @@ class EdgeCasesSpec extends SparkSpec {
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
     assert(fps.distinct.length == 1)
   }
+
+  test("config with 5+ criteria preserves file order (config == fluent)") {
+    val json = """{"criteria": {
+      "c1": {"type": "direct", "weight": 0.1},
+      "c2": {"type": "direct", "weight": 0.1},
+      "c3": {"type": "direct", "weight": 0.2},
+      "c4": {"type": "direct", "weight": 0.2},
+      "c5": {"type": "direct", "weight": 0.2},
+      "c6": {"type": "direct", "weight": 0.2}
+    }}"""
+    val path = java.nio.file.Files.createTempFile("order", ".json")
+    java.nio.file.Files.writeString(path, json)
+    val ev = Evaluator.fromJson(path.toString)
+    // registration order must be file order (a hash-ordered Map breaks
+    // score-column order and the sequential final-score sum)
+    assert(ev.criteria.map(_._1) == Seq("c1", "c2", "c3", "c4", "c5", "c6"))
+    val df = Seq((1.0, 2.0, 3.0, 4.0, 5.0, 6.0)).toDF("c1", "c2", "c3", "c4", "c5", "c6")
+    val cols = ev.evaluate(df).columns.toSeq
+    assert(cols.indexOf("score_c1") < cols.indexOf("score_c6"))
+  }
 }

@@ -22,9 +22,9 @@ class StreamingSpec extends SparkSpec {
 
     // freeze stats from a reference batch
     val batch = Seq(("A", 10.0), ("B", 20.0), ("C", 30.0)).toDF("vendor", "amount")
-    val ev = new Evaluator().linear("amount", 1.0)
+    val ev = new Evaluator().linear("amount", 1.0, name = "amount_score")
+    // statistics come back keyed by criterion NAME; scoreStream accepts that
     val frozen = ev.evaluateResult(batch).statistics
-      .map { case (_, s) => "amount" -> s } // keyed by column for scoreStream
 
     val scored = StreamingEval.scoreStream(stream, ev, frozen)
     val query = scored.writeStream.format("memory").queryName("scored_stream")
@@ -34,6 +34,7 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       val out = spark.table("scored_stream").collect()
         .map(r => r.getAs[String]("vendor") -> r.getAs[Double]("final_score")).toMap
+      assert(spark.table("scored_stream").columns.contains("score_amount_score"))
       // frozen min=10 max=30: X=0, Y=75, Z=150 (out-of-range extrapolates, no clip in linear)
       assert(out("X") == 0.0)
       assert(out("Y") == 75.0)
