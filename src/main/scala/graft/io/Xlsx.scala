@@ -68,8 +68,13 @@ object Xlsx {
                          sst: IndexedSeq[String]): Seq[Map[Int, String]] = {
     val xml = XML.load(zip.getInputStream(zip.getEntry(partPath)))
     (xml \ "sheetData" \ "row").map { row =>
+      // c/@r is OPTIONAL in OOXML (absent = "next column"); streaming
+      // writers omit it, so track the running column index
+      var nextIdx = 0
       (row \ "c").flatMap { c =>
-        val idx = colIndex(c \@ "r")
+        val ref = c \@ "r"
+        val idx = if (ref.nonEmpty) colIndex(ref) else nextIdx
+        nextIdx = idx + 1
         val t = c \@ "t"
         val value: Option[String] = t match {
           case "s"         => (c \ "v").headOption.map(v => sst(v.text.trim.toInt))
@@ -109,12 +114,15 @@ object Xlsx {
         vs.flatten.nonEmpty && vs.flatten.forall(v => v.toLongOption.isDefined)
       def isDoubleCol(vs: Seq[Option[String]]) =
         vs.flatten.nonEmpty && vs.flatten.forall(v => v.toDoubleOption.isDefined)
+      def isBoolCol(vs: Seq[Option[String]]) =
+        vs.flatten.nonEmpty && vs.flatten.forall(v => v == "true" || v == "false")
 
       val fields = (0 until nCols).map { i =>
         val vs = colValues(i)
         val dt: DataType =
           if (isLongCol(vs)) LongType
           else if (isDoubleCol(vs)) DoubleType
+          else if (isBoolCol(vs)) BooleanType
           else StringType
         StructField(header(i), dt, nullable = true)
       }
@@ -124,9 +132,10 @@ object Xlsx {
           r.get(i) match {
             case None => null
             case Some(v) => fields(i).dataType match {
-              case LongType   => v.toLong
-              case DoubleType => v.toDouble
-              case _          => v
+              case LongType    => v.toLong
+              case DoubleType  => v.toDouble
+              case BooleanType => v.toBoolean
+              case _           => v
             }
           }
         })

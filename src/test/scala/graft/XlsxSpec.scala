@@ -57,4 +57,37 @@ class XlsxSpec extends SparkSpec {
     assert(scored.count() == 5)
     assert(scored.columns.contains("ranking"))
   }
+
+  test("boolean columns round-trip typed; r-less cells read positionally") {
+    val df = Seq(("A", true), ("B", false)).toDF("vendor", "active")
+    val path = java.nio.file.Files.createTempDirectory("xlsx").resolve("b.xlsx").toString
+    Xlsx.write(path, Seq("S" -> df))
+    val back = Xlsx.read(spark, path)
+    assert(back.schema("active").dataType.typeName == "boolean")
+    assert(back.filter(back("active")).count() == 1)
+
+    // hand-built sheet whose cells omit r= (legal OOXML: "next column")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx2")
+    val p2 = dir.resolve("noref.xlsx").toString
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val out = new ZipOutputStream(new java.io.FileOutputStream(p2))
+    def put(n: String, c: String): Unit = {
+      out.putNextEntry(new ZipEntry(n)); out.write(c.getBytes("UTF-8")); out.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="inlineStr"><is><t>a</t></is></c><c t="inlineStr"><is><t>b</t></is></c></row><row><c><v>1</v></c><c><v>2</v></c></row></sheetData></worksheet>""")
+    out.close()
+    val noref = Xlsx.read(spark, p2)
+    assert(noref.columns.toSeq == Seq("a", "b"))
+    val r = noref.head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+  }
 }
