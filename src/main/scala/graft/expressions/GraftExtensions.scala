@@ -26,15 +26,17 @@ object GraftFunctions {
   type Descriptor =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[DotProduct].getCanonicalName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getCanonicalName, null, name, usage, "")
 
   val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - sequential dot product of two array<double> columns."),
+      info(classOf[DotProduct], "graft_dot",
+        "graft_dot(a, b) - sequential dot product of two array<double> columns."),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two array<double> columns."),
+      info(classOf[CosineSimilarity], "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two array<double> columns."),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
   )
 

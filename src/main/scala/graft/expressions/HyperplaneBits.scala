@@ -48,7 +48,9 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
     var bucket = 0L
     var b = 0
     while (b < nBits) {
-      if (sums(b) >= 0) bucket |= (1L << b)
+      // Spark orders NaN above all doubles, so the composed when(dot >= 0)
+      // sets the bit for NaN sums; mirror that (Java NaN >= 0 is false)
+      if (sums(b) >= 0 || java.lang.Double.isNaN(sums(b))) bucket |= (1L << b)
       b += 1
     }
     bucket

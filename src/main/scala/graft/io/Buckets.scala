@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 /** Bucketed-table helpers: the co-located-join design for joins that
   * repeat at 100 TB (fact-to-fact on a shared key). Writing both sides
   * bucketed AND sorted by the join key lets Spark's bucketed scan satisfy
-  * the join's distribution and ordering requirements directly — the
-  * physical plan contains NO Exchange and no per-query Sort: the one-time
-  * write cost amortizes over every subsequent join.
+  * the join's distribution requirement directly — the physical plan
+  * contains NO Exchange; with
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (off by
+  * default since Spark 3.0) the per-query Sort disappears too. The
+  * one-time write cost amortizes over every subsequent join.
   *
   * (Plain parquet + AQE remains the default for ad-hoc work; bucketing is
   * the tool for standing pipelines over stable keys.)
@@ -22,7 +24,10 @@ object Buckets {
       sortCols: Seq[String] = Nil
   ): Unit = {
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
-    df.write
+    // repartition on the bucket key first: otherwise every write task emits
+    // its own file per bucket and a bucket becomes many small files
+    df.repartition(numBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

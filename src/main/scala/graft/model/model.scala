@@ -67,6 +67,7 @@ object StageFilter {
       onTie: String
   ): StageFilter = filterType match {
     case "score_threshold" =>
+      TieMode.fromString(onTie) // the reference validates on_tie for EVERY type
       ScoreThreshold(threshold.getOrElse(throw new IllegalArgumentException(
         "threshold is required for score_threshold filter.")))
     case "top_n" =>

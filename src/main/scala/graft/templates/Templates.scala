@@ -42,18 +42,31 @@ object Templates {
         throw new IllegalArgumentException(s"Parameter $key must be boolean, got $other")
     }
 
-  /** `custom_templates.py:11-25`: ((1 - |v-target|/target) * 100).clip(0,100) */
+  /** `custom_templates.py:11-25`: ((1 - |v-target|/target) * 100).clip(0,100).
+    * target == 0 follows numpy IEEE semantics (x/0 -> inf -> clip 0;
+    * 0/0 -> NaN propagates) instead of Spark's null-on-zero-divide. */
   def budgetProximity(v: Column, target: Double): Column =
-    clip((lit(1.0) - abs(v - lit(target)) / lit(target)) * lit(100.0), 0.0, 100.0)
+    if (target == 0.0)
+      when(v === lit(0.0), lit(Double.NaN)).otherwise(lit(0.0))
+    else
+      clip((lit(1.0) - abs(v - lit(target)) / lit(target)) * lit(100.0), 0.0, 100.0)
 
   /** `custom_templates.py:28-57`: 100 inside [minIdeal,maxIdeal]; linear
-    * distance penalty outside, clipped to [0,100]. */
-  def sweetSpotRange(v: Column, minIdeal: Double, maxIdeal: Double): Column =
-    when(v < lit(minIdeal),
-      clip(lit(100.0) - (lit(minIdeal) - v) / lit(minIdeal) * lit(100.0), 0.0, 100.0))
-      .when(v > lit(maxIdeal),
-        clip(lit(100.0) - (v - lit(maxIdeal)) / lit(maxIdeal) * lit(100.0), 0.0, 100.0))
+    * distance penalty outside, clipped to [0,100]. The above-max branch
+    * tests FIRST: the reference assigns the below-mask then overwrites with
+    * the above-mask, so above wins if a misconfigured minIdeal > maxIdeal
+    * makes them overlap. Zero ideals follow IEEE (x/0 -> inf -> clip 0). */
+  def sweetSpotRange(v: Column, minIdeal: Double, maxIdeal: Double): Column = {
+    val below =
+      if (minIdeal == 0.0) lit(0.0) // (0 - v)/0 with v<0 -> +inf distance -> clip 0
+      else clip(lit(100.0) - (lit(minIdeal) - v) / lit(minIdeal) * lit(100.0), 0.0, 100.0)
+    val above =
+      if (maxIdeal == 0.0) lit(0.0)
+      else clip(lit(100.0) - (v - lit(maxIdeal)) / lit(maxIdeal) * lit(100.0), 0.0, 100.0)
+    when(v > lit(maxIdeal), above)
+      .when(v < lit(minIdeal), below)
       .otherwise(lit(100.0))
+  }
 
   /** `custom_templates.py:60-82`: base - (v-threshold)*perUnit above the
     * threshold, else base; clipped to [0,100]. */
@@ -74,10 +87,19 @@ object Templates {
         + when(v >= lit(tier2Threshold), lit(tier2Bonus)).otherwise(lit(0.0)),
       0.0, 100.0)
 
-  /** `custom_templates.py:118-136`: v/max*100 (or min/v*100), clipped. */
+  /** `custom_templates.py:118-136`: v/max*100 (or min/v*100), clipped.
+    * Zero denominators follow numpy IEEE (inf clips to 100, NaN
+    * propagates) — Spark's divide would return null instead. */
   def percentageOfBest(v: Column, stats: Stats, higherIsBetter: Boolean): Column =
-    if (higherIsBetter) clip(v / lit(stats.max) * lit(100.0), 0.0, 100.0)
-    else clip(lit(stats.min) / v * lit(100.0), 0.0, 100.0)
+    if (higherIsBetter) {
+      if (stats.max == 0.0)
+        clip(v * lit(1.0 / 0.0) * lit(100.0), 0.0, 100.0) // v*inf: IEEE signs/NaN
+      else clip(v / lit(stats.max) * lit(100.0), 0.0, 100.0)
+    } else {
+      val ratio = when(v === lit(0.0), lit(stats.min / 0.0))
+        .otherwise(lit(stats.min) / v)
+      clip(ratio * lit(100.0), 0.0, 100.0)
+    }
 
   /** `custom_templates.py:139-167`: z-score mapped through (±z+3)/6*100,
     * clipped; all-100 when std == 0. */

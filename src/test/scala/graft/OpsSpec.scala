@@ -207,6 +207,19 @@ class OpsSpec extends SparkSpec {
     // null array -> null
     val dfn = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     assert(dfn.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+    // null ELEMENT and length mismatch -> null, matching the HOF oracle
+    val dfe = Seq(
+      (Seq(Some(1.0), None, Some(3.0)), Seq(Some(2.0), Some(5.0), Some(4.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0), Some(5.0)))
+    ).toDF("a", "b")
+    val outs = dfe.select(
+      Similarity.dot(col("a"), col("b")).as("fast"),
+      Similarity.dotHof(col("a").cast("array<double>"), col("b").cast("array<double>")).as("slow"))
+      .collect()
+    outs.foreach { r =>
+      assert(r.isNullAt(0), "native must be null for null elements / mismatched lengths")
+      assert(r.isNullAt(1), "HOF oracle null")
+    }
   }
 
   test("SQL function registration: graft_dot / graft_cosine") {
