@@ -84,9 +84,14 @@ object PipelineQueries {
     },
 
     "q42_jaccard_pairs" -> { (s, dir) =>
+      // maxDocFreq caps the inverted-index join: tokens present in >400 of
+      // the ~2000 docs (stopwords) would otherwise generate ~all-pairs per
+      // (block, token) bucket — the one shipped plan that used to degrade
+      // quadratically with corpus growth.
       Dedup.jaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 2000),
-        "text", "doc_id", blockCol = Some("source"), threshold = 0.5)
+        "text", "doc_id", blockCol = Some("source"), threshold = 0.5,
+        maxDocFreq = Some(400L))
         .orderBy("id_a", "id_b")
     },
 
@@ -253,8 +258,10 @@ object PipelineQueries {
         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         |), sess AS (
-        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  -- DuckDB windowed SUM over integers yields HUGEINT (float64 in the
+        |  -- driver's frame); CAST pins it to int64 to match Spark's output.
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -276,9 +283,15 @@ object PipelineQueries {
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
         |  FROM documents WHERE doc_id < 2000
-        |), d AS (
+        |), d0 AS (
         |  SELECT DISTINCT doc_id, source, tok FROM toks
+        |), keep AS (
+        |  -- mirror of maxDocFreq=400: drop tokens present in >400 docs
+        |  SELECT tok FROM d0 GROUP BY tok HAVING COUNT(*) <= 400
+        |), d AS (
+        |  SELECT d0.* FROM d0 JOIN keep USING (tok)
         |), sizes AS (
+        |  -- sizes AFTER the DF filter, matching the Spark operator
         |  SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id
         |), pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
