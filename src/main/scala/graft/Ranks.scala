@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
 object Ranks {
 
   /** Appends `outCol` = competition rank of `scoreCol` (descending: highest
-    * score -> rank 1) as a nullable LongType. Rows with null score get a
-    * null rank (they are excluded from the ranking universe, like pandas
-    * NaN). NaN scores rank first (Spark orders NaN above all doubles) and
-    * NaN==NaN holds in Spark joins, so NaN rows still get a consistent rank.
+    * score -> rank 1) as a nullable LongType. Rows with null OR NaN score
+    * get a null rank — both map to pandas NaN, which `rank()` excludes from
+    * the ranking universe (NaN rank, other ranks unshifted; the reference's
+    * subsequent `.astype(int)` would raise, so the engine defines the
+    * behavior pandas leaves undefined: NaN ≡ null ≡ unranked).
     */
   def withCompetitionRank(
       df: DataFrame,
@@ -34,7 +35,7 @@ object Ranks {
     // pandas result['ranking'] = ... overwrites; a join would duplicate
     val base = if (df.columns.contains(outCol)) df.drop(outCol) else df
     val counts = base
-      .filter(col(scoreCol).isNotNull)
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
       .groupBy(col(scoreCol).as("__graft_score"))
       .agg(count(lit(1)).as("__graft_cnt"))
     val ranks =
@@ -106,8 +107,8 @@ object Ranks {
     * assigning `offset + competition rank within partition`. The only
     * driver data is one long per partition.
     *
-    * Null scores get null rank (excluded from the universe), matching
-    * [[withCompetitionRank]].
+    * Null and NaN scores get null rank (excluded from the universe),
+    * matching [[withCompetitionRank]].
     */
   def rangePartitionedRank(
       df: DataFrame,
@@ -123,8 +124,8 @@ object Ranks {
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
     val base = if (df.columns.contains(outCol)) df.drop(outCol) else df
-    val nonNull = base.filter(col(scoreCol).isNotNull)
-    val nulls = base.filter(col(scoreCol).isNull)
+    val nonNull = base.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+    val unranked = base.filter(col(scoreCol).isNull || isnan(col(scoreCol)))
 
     // Persisted: the size-collection job and the ranking pass must see the
     // SAME range partitioning (repartitionByRange samples bounds; a
@@ -165,15 +166,18 @@ object Ranks {
       var first = true
       rows.map { r =>
         val s = r.getDouble(scoreIdx)
-        if (first || s != prev) { tieStart = i; prev = s; first = false }
+        // Double.compare, not !=: NaN != NaN would give each NaN row its own
+        // tie group here, while the groupBy strategy (Spark NaN==NaN) ties
+        // them — the two strategies must agree on NaN scores.
+        if (first || java.lang.Double.compare(s, prev) != 0) {
+          tieStart = i; prev = s; first = false
+        }
         i += 1
         Row.fromSeq(r.toSeq :+ (base + tieStart + 1L))
       }
     }(encoder)
 
-    if (base.schema(scoreCol).nullable) {
-      val nullRanked = nulls.withColumn(outCol, lit(null).cast("long"))
-      ranked.unionByName(nullRanked)
-    } else ranked
+    // always union: even a non-nullable double column can carry NaN
+    ranked.unionByName(unranked.withColumn(outCol, lit(null).cast("long")))
   }
 }

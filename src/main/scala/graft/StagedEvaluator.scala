@@ -255,32 +255,38 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
           case Some(StageFilter.TopN(topN, TieMode.Include)) =>
             // P4: the stage's own competition ranking IS the filter ranking
             // (both are rank(desc, method='min') over the cohort,
-            // staged.py:389-393). Unranked (null-score) rows are eliminated:
-            // pandas puts them in index.difference(advanced).
+            // staged.py:389-393). Unranked rows — null OR NaN score, both
+            // null-ranked by Ranks — are eliminated: pandas puts them in
+            // index.difference(advanced).
             (rankCol <= lit(topN), coalesce(!(rankCol <= lit(topN)), lit(true)))
 
           case Some(StageFilter.TopN(topN, TieMode.Exclude)) =>
             // P5: cutoff = n-th highest score; if more than n rows sit
             // at-or-above the cutoff the tie spans it -> advance only
-            // strictly-above (staged.py:394-409).
+            // strictly-above (staged.py:394-409). pandas sorts NaN last
+            // (Spark would sort it FIRST), so the cutoff window holds only
+            // real scores; fewer than topN real scores means the n-th
+            // sorted score is NaN and `scores >= NaN` advances nobody.
             if (activeCount <= topN) (lit(true), lit(false))
             else {
-              val cutoffRow = stageCols
+              val window = stageCols
+                .filter(scoreCol.isNotNull && !isnan(scoreCol))
                 .select(scoreCol.as("s"))
                 .orderBy(col("s").desc)
                 .limit(topN)
-                .agg(min(col("s")))
+                .agg(min(col("s")).as("cut"), count(lit(1)).as("n"))
                 .head()
-              if (cutoffRow.isNullAt(0)) {
-                // every stage score is null: pandas' NaN cutoff advances
-                // nobody (scores >= NaN is all-False) — eliminate the cohort
+              if (window.isNullAt(0) || window.getLong(1) < topN) {
+                // NaN/null cutoff: eliminate the whole cohort
                 (lit(false), lit(true))
               } else {
-                val cutoff = cutoffRow.getDouble(0)
-                val atOrAbove = stageCols.filter(scoreCol >= lit(cutoff)).count()
-                val pred =
-                  if (atOrAbove > topN) scoreCol > lit(cutoff)
-                  else scoreCol >= lit(cutoff)
+                val cutoff = window.getDouble(0)
+                // guard both the count and the predicate with !isnan:
+                // Spark evaluates NaN >= x as TRUE, numpy as False
+                val atOrAbove = stageCols
+                  .filter(!isnan(scoreCol) && scoreCol >= lit(cutoff)).count()
+                val pred = (if (atOrAbove > topN) scoreCol > lit(cutoff)
+                            else scoreCol >= lit(cutoff)) && !isnan(scoreCol)
                 (pred, coalesce(!pred, lit(true)))
               }
             }
@@ -342,9 +348,12 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
       .select(col(BidId), col("ranking"))
     result = result.join(survivorRanks, Seq(BidId), "left")
 
-    // P10: final sort (staged.py:367-372).
+    // P10: final sort (staged.py:367-372). nanvl maps NaN final scores to
+    // null so they sort LAST like pandas na_position='last' (raw Spark desc
+    // would put NaN above every real score).
     val sorted = result
-      .orderBy(col("ranking").asc_nulls_last, col("final_score").desc_nulls_last)
+      .orderBy(col("ranking").asc_nulls_last,
+        nanvl(col("final_score"), lit(null).cast("double")).desc_nulls_last)
       .drop(BidId)
 
     val res = StagedResult(sorted, stageResults.toList, statsOut.toMap, caches.toSeq)

@@ -205,10 +205,14 @@ object ConfigLoader {
         "Custom criteria cannot be serialized to config")
   }
 
+  /** Exports use ListMap: criterion registration order is part of the
+    * engine contract (score-column order, sequential final-score FP sum,
+    * last-wins duplicate names — see [[normalize]]), so a hash-reordering
+    * .toMap would make export→import round-trips silently change results
+    * once a config has 5+ criteria. */
   def evaluatorToConfig(ev: Evaluator): Map[String, Any] =
-    Map("criteria" -> ev.criteria.map { case (col, c) =>
-      col -> criterionToParams(c)
-    }.toMap)
+    Map("criteria" -> scala.collection.immutable.ListMap.from(
+      ev.criteria.map { case (col, c) => col -> criterionToParams(c) }))
 
   def stagedToConfig(staged: StagedEvaluator): Map[String, Any] =
     Map(
@@ -217,9 +221,8 @@ object ConfigLoader {
         Map(
           "name" -> s.name,
           "weight" -> s.weight,
-          "criteria" -> s.evaluator.criteria.map { case (col, c) =>
-            col -> criterionToParams(c)
-          }.toMap
+          "criteria" -> scala.collection.immutable.ListMap.from(
+            s.evaluator.criteria.map { case (col, c) => col -> criterionToParams(c) })
         ) ++ s.filter.map {
           case StageFilter.ScoreThreshold(t) =>
             "filter" -> Map("type" -> "score_threshold", "threshold" -> t)

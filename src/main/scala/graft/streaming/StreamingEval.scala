@@ -42,11 +42,18 @@ object StreamingEval {
       s"score_${c.name}" -> c.expr(col(column).cast("double"), statsFor(column, c.name))
     }
     // one projection (the withColumn-per-criterion loop re-analyzes a
-    // growing plan every micro-batch)
+    // growing plan every micro-batch); same dedup contract as the batch
+    // buildResult — input columns colliding with detail names are dropped
+    // and duplicate criterion display names resolve last-wins, so the
+    // output never carries duplicate/ambiguous columns
+    val detailNames = scoreExprs.map(_._1)
     val withDetails =
-      if (includeDetails && scoreExprs.nonEmpty)
-        stream.select(col("*") +: scoreExprs.map { case (n, e) => e.as(n) }: _*)
-      else stream
+      if (includeDetails && scoreExprs.nonEmpty) {
+        val keep = stream.columns.filterNot(detailNames.contains).map(col)
+        val lastByName = scoreExprs.groupBy(_._1).view.mapValues(_.last._2).toMap
+        val ordered = detailNames.distinct.map(n => lastByName(n).as(n))
+        stream.select(keep.toSeq ++ ordered: _*)
+      } else stream
     val finalScore =
       if (scoreExprs.isEmpty) lit(0.0)
       else {

@@ -146,4 +146,112 @@ class EdgeCasesSpec extends SparkSpec {
     val cols = ev.evaluate(df).columns.toSeq
     assert(cols.indexOf("score_c1") < cols.indexOf("score_c6"))
   }
+
+  // ---- NaN-score contract: NaN ≡ null ≡ pandas NaN (unranked, filtered) ----
+
+  private def nanInjector: (org.apache.spark.sql.Column, graft.model.Stats) => org.apache.spark.sql.Column =
+    (c, _) => when(c < 0, lit(Double.NaN)).otherwise(c)
+
+  test("NaN scores are unranked and eliminated by top_n include, ranks unshifted") {
+    // pandas rank() gives NaN scores a NaN rank WITHOUT shifting the others:
+    // D must not steal rank 1 from A (Spark alone would sort NaN first)
+    val bids = Seq(("A", 30.0, 1.0), ("B", 20.0, 1.0), ("C", 10.0, 1.0),
+      ("D", -1.0, 1.0)).toDF("vendor", "x", "y")
+    val result = new StagedEvaluator()
+      .addStage("S1", filterType = "top_n", topN = 2, onTie = "include")
+      .custom("x", 1.0, nanInjector)
+      .addStage("S2")
+      .direct("y", 1.0)
+      .evaluate(bids)
+    val m = byKey(result, "vendor")
+    assert(m("A").getAs[String]("eliminated_at_stage") == null)
+    assert(m("B").getAs[String]("eliminated_at_stage") == null)
+    assert(m("C").getAs[String]("eliminated_at_stage") == "S1")
+    assert(m("D").getAs[String]("eliminated_at_stage") == "S1")
+    assert(m("D").isNullAt(m("D").fieldIndex("s1_ranking")))
+  }
+
+  test("top_n exclude computes the cutoff over real scores only") {
+    // Spark sorts NaN ABOVE all doubles; pandas sort_values puts it last.
+    // Real scores 30,20,10 with n=2 -> cutoff 20 -> A,B advance.
+    val bids = Seq(("A", 30.0, 1.0), ("B", 20.0, 1.0), ("C", 10.0, 1.0),
+      ("D", -1.0, 1.0)).toDF("vendor", "x", "y")
+    val result = new StagedEvaluator()
+      .addStage("S1", filterType = "top_n", topN = 2, onTie = "exclude")
+      .custom("x", 1.0, nanInjector)
+      .addStage("S2")
+      .direct("y", 1.0)
+      .evaluate(bids)
+    val m = byKey(result, "vendor")
+    assert(m("A").getAs[String]("eliminated_at_stage") == null)
+    assert(m("B").getAs[String]("eliminated_at_stage") == null)
+    assert(m("C").getAs[String]("eliminated_at_stage") == "S1")
+    assert(m("D").getAs[String]("eliminated_at_stage") == "S1")
+  }
+
+  test("top_n exclude with fewer real scores than n eliminates the cohort") {
+    // 4 active rows > n=3, but only 2 real scores: pandas' sorted.iloc[n-1]
+    // is NaN and `scores >= NaN` advances nobody.
+    val bids = Seq(("A", Some(30.0), 1.0), ("B", Some(20.0), 1.0),
+      ("C", Some(-1.0), 1.0), ("D", None: Option[Double], 1.0))
+      .toDF("vendor", "x", "y")
+    val result = new StagedEvaluator()
+      .addStage("S1", filterType = "top_n", topN = 3, onTie = "exclude")
+      .custom("x", 1.0, nanInjector)
+      .addStage("S2")
+      .direct("y", 1.0)
+      .evaluate(bids)
+    assert(rows(result).forall(_.getAs[String]("eliminated_at_stage") == "S1"))
+  }
+
+  test("all rank strategies give NaN scores a null rank, others unshifted") {
+    val df = Seq(("a", 5.0), ("b", Double.NaN), ("c", Double.NaN), ("d", 3.0))
+      .toDF("id", "score")
+    val strategies = Seq(
+      Ranks.withCompetitionRank(df, "score", "rk"),
+      Ranks.withCompetitionRank(df, "score", "rk", scalable = true),
+      Ranks.rangePartitionedRank(df, "score", "rk"))
+    for (r <- strategies) {
+      val m = byKey(r, "id")
+      assert(m("a").getAs[Long]("rk") == 1L)
+      assert(m("d").getAs[Long]("rk") == 2L)
+      assert(m("b").isNullAt(m("b").fieldIndex("rk")))
+      assert(m("c").isNullAt(m("c").fieldIndex("rk")))
+    }
+  }
+
+  // -------------------- config export ordering / streaming dedup --------------------
+
+  test("config export preserves criterion registration order beyond 4 entries") {
+    import graft.config.ConfigLoader
+    val names = (1 to 8).map(i => s"c$i")
+    val ev = new Evaluator()
+    names.foreach(n => ev.linear(n, 1.0))
+    val parsed = ConfigLoader.parseJson(
+      ConfigLoader.toJsonString(ConfigLoader.evaluatorToConfig(ev)))
+    assert(parsed("criteria").asInstanceOf[Map[String, Any]].keys.toSeq == names)
+
+    val staged = new StagedEvaluator().addStage("S1")
+    names.foreach(n => staged.linear(n, 1.0))
+    val sParsed = ConfigLoader.parseJson(
+      ConfigLoader.toJsonString(ConfigLoader.stagedToConfig(staged)))
+    val stage0 = sParsed("stages").asInstanceOf[List[Any]].head
+      .asInstanceOf[Map[String, Any]]
+    assert(stage0("criteria").asInstanceOf[Map[String, Any]].keys.toSeq == names)
+  }
+
+  test("scoreStream deduplicates colliding score columns last-wins") {
+    import graft.streaming.StreamingEval
+    val ev = new Evaluator()
+      .direct("x", 1.0, name = "f")
+      .custom("y", 1.0, (c, _) => c * 2, "f") // duplicate display name
+    // input already carries a score_f column — must be dropped, not doubled
+    val df = Seq((1.0, 2.0, 99.0)).toDF("x", "y", "score_f")
+    val out = StreamingEval.scoreStream(df, ev,
+      Map("f" -> graft.model.Stats.empty))
+    assert(out.columns.count(_ == "score_f") == 1)
+    val row = out.head()
+    assert(row.getAs[Double]("score_f") == 4.0) // last registration wins
+    assert(row.getAs[Double]("final_score") == 2.5) // both criteria still summed
+  }
 }
