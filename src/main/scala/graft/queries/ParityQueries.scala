@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Evaluator, StagedEvaluator}
+import graft.config.ConfigLoader
+import graft.templates.Templates
 
 /** Oracle-checked queries exercising the reference-parity surface
   * (SURVEY.md §2.1-2.4) against the shared parquet testdata.
@@ -126,6 +128,67 @@ object ParityQueries {
         .minRatio("s_nationkey", 1.0)
         .summary(s)
         .orderBy("column")
+    },
+
+    // --------------------------------------- templates / config / XLSX (§2.2, E6/E7, §2.5)
+
+    "q13_template_sweet_spot" -> { (s, dir) =>
+      // §2.2 registry template through the custom-criterion path
+      // (custom_templates.py:28-57): 100 inside [1000, 1500], linear
+      // distance penalty outside, clipped.
+      new Evaluator()
+        .custom("p_retailprice", 1.0, Templates.applyTemplate("sweet_spot_range",
+          Map("min_ideal" -> 1000.0, "max_ideal" -> 1500.0)))
+        .evaluate(t(s, dir, "part"))
+        .select("p_partkey", "score_p_retailprice", "final_score", "ranking")
+        .orderBy("ranking", "p_partkey")
+    },
+
+    "q14_template_pct_best" -> { (s, dir) =>
+      // stats-parameterized template (custom_templates.py:118-136): v/max
+      // is bit-exact across engines (max is order-independent).
+      new Evaluator()
+        .custom("s_acctbal", 1.0, Templates.applyTemplate("percentage_of_best",
+          Map("higher_is_better" -> true)))
+        .evaluate(t(s, dir, "supplier"))
+        .select("s_suppkey", "score_s_acctbal", "final_score", "ranking")
+        .orderBy("ranking", "s_suppkey")
+    },
+
+    "q15_config_eval" -> { (s, dir) =>
+      // E6 dispatch: criteria built from a parsed JSON config must produce
+      // the exact q10 result (config == fluent is the tested invariant).
+      val cfg = """{"criteria": {
+        "p_retailprice": {"type": "min_ratio", "weight": 0.6},
+        "p_size": {"type": "linear", "weight": 0.4}
+      }}"""
+      ConfigLoader.evaluatorFromConfig(
+        ConfigLoader.parseJson(cfg)("criteria").asInstanceOf[Map[String, Any]])
+        .evaluate(t(s, dir, "part"))
+        .select("p_partkey", "score_p_retailprice", "score_p_size", "final_score", "ranking")
+        .orderBy("ranking", "p_partkey")
+    },
+
+    "q16_xlsx_roundtrip" -> { (s, dir) =>
+      // §2.5 Excel surface: write -> read-back -> score, checked against
+      // the SAME SQL oracle as a direct parquet read — the round-trip must
+      // be value-lossless (shortest-repr doubles, typed re-sniffing).
+      // Bounded subset: the XLSX writer is inherently driver-side.
+      val sup = t(s, dir, "supplier")
+        .filter(col("s_suppkey") <= 2000)
+        .select("s_suppkey", "s_name", "s_acctbal")
+      val path = java.nio.file.Files.createTempFile("graft_q16_", ".xlsx")
+      try {
+        graft.io.Xlsx.write(path.toString, Seq("supplier" -> sup))
+        // read materializes driver-side into a local relation, so the temp
+        // file can be deleted before the query's jobs run
+        val back = graft.io.Xlsx.read(s, path.toString, Some("supplier"))
+        new Evaluator()
+          .linear("s_acctbal", 1.0)
+          .evaluate(back)
+          .select("s_suppkey", "s_acctbal", "score_s_acctbal", "final_score", "ranking")
+          .orderBy("ranking", "s_suppkey")
+      } finally java.nio.file.Files.deleteIfExists(path)
     },
 
     // ------------------------------------------------------------- staged
@@ -302,6 +365,58 @@ object ParityQueries {
         |SELECT p_partkey,
         |  round((ln(CAST(p_retailprice AS DOUBLE) + 1.0) / lmx * 100.0) * 1.0, 6) AS score_r
         |FROM part, s ORDER BY p_partkey""".stripMargin,
+
+    "q13_template_sweet_spot" ->
+      """WITH b0 AS (SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS v FROM part),
+        |raw AS (SELECT p_partkey,
+        |  CASE WHEN v > 1500.0 THEN 100.0 - (v - 1500.0) / 1500.0 * 100.0
+        |       WHEN v < 1000.0 THEN 100.0 - (1000.0 - v) / 1000.0 * 100.0
+        |       ELSE 100.0 END AS r
+        |  FROM b0),
+        |b AS (SELECT p_partkey,
+        |  (CASE WHEN r < 0.0 THEN 0.0 WHEN r > 100.0 THEN 100.0 ELSE r END) * 1.0 AS score_p_retailprice
+        |  FROM raw),
+        |f AS (SELECT *, score_p_retailprice / 1.0 AS final_score FROM b)
+        |SELECT p_partkey, score_p_retailprice, final_score,
+        |  RANK() OVER (ORDER BY final_score DESC) AS ranking
+        |FROM f ORDER BY ranking, p_partkey""".stripMargin,
+
+    "q14_template_pct_best" ->
+      """WITH s AS (SELECT max(CAST(s_acctbal AS DOUBLE)) AS mx FROM supplier),
+        |raw AS (SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) / mx * 100.0 AS r FROM supplier, s),
+        |b AS (SELECT s_suppkey,
+        |  (CASE WHEN r < 0.0 THEN 0.0 WHEN r > 100.0 THEN 100.0 ELSE r END) * 1.0 AS score_s_acctbal
+        |  FROM raw),
+        |f AS (SELECT *, score_s_acctbal / 1.0 AS final_score FROM b)
+        |SELECT s_suppkey, score_s_acctbal, final_score,
+        |  RANK() OVER (ORDER BY final_score DESC) AS ranking
+        |FROM f ORDER BY ranking, s_suppkey""".stripMargin,
+
+    // q15 is the config-built twin of q10: identical oracle arithmetic
+    "q15_config_eval" ->
+      """WITH s AS (SELECT min(CAST(p_retailprice AS DOUBLE)) AS mn_p,
+        |  min(CAST(p_size AS DOUBLE)) AS mn_s, max(CAST(p_size AS DOUBLE)) AS mx_s FROM part),
+        |b AS (SELECT p_partkey,
+        |  (mn_p / CAST(p_retailprice AS DOUBLE)) * 100.0 * 0.6 AS score_p_retailprice,
+        |  (CASE WHEN mx_s = mn_s THEN 100.0 ELSE (CAST(p_size AS DOUBLE) - mn_s) / (mx_s - mn_s) * 100.0 END) * 0.4 AS score_p_size
+        |  FROM part, s),
+        |f AS (SELECT *, (score_p_retailprice + score_p_size) / 1.0 AS final_score FROM b)
+        |SELECT p_partkey, score_p_retailprice, score_p_size, final_score,
+        |  RANK() OVER (ORDER BY final_score DESC) AS ranking
+        |FROM f ORDER BY ranking, p_partkey""".stripMargin,
+
+    // q16 reads what the engine wrote to XLSX; the oracle reads the source
+    // parquet directly — a hash match proves the round-trip lossless
+    "q16_xlsx_roundtrip" ->
+      """WITH sub AS (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey <= 2000),
+        |s AS (SELECT min(CAST(s_acctbal AS DOUBLE)) AS mn, max(CAST(s_acctbal AS DOUBLE)) AS mx FROM sub),
+        |b AS (SELECT s_suppkey, s_acctbal,
+        |  (CASE WHEN mx = mn THEN 100.0 ELSE (CAST(s_acctbal AS DOUBLE) - mn) / (mx - mn) * 100.0 END) * 1.0 AS score_s_acctbal
+        |  FROM sub, s),
+        |f AS (SELECT *, score_s_acctbal / 1.0 AS final_score FROM b)
+        |SELECT s_suppkey, s_acctbal, score_s_acctbal, final_score,
+        |  RANK() OVER (ORDER BY final_score DESC) AS ranking
+        |FROM f ORDER BY ranking, s_suppkey""".stripMargin,
 
     "q10_multi_criteria" ->
       """WITH s AS (SELECT min(CAST(p_retailprice AS DOUBLE)) AS mn_p,
