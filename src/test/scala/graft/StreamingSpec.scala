@@ -96,4 +96,109 @@ class StreamingSpec extends SparkSpec {
       assert(out.head.session_end_us == t0us + 600L * 1000000L)
     } finally query.stop()
   }
+
+  // ---- differential: stream-replay the real events table and compare
+  // ---- with the batch formulations the oracle queries already pin
+
+  test("streaming sessionize matches batch sessionization on replayed events") {
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 1800L * 1000000L
+
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("value"))
+
+    // batch ground truth — the q33_sessionize construction
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val batchSessions = ev
+      .withColumn("prev_us", lag("us", 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > lit(gapUs), 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("start_us"), max("us").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .toSet
+
+    val events = ev
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+      .as[SessionEvent].collect().toSeq
+    val maxUs = events.map(e => e.ts.getTime * 1000L).max
+
+    val input = MemoryStream[SessionEvent]
+    val sessions = StreamingEval.sessionize(input.toDS(), gapUs = gapUs)
+    val query = sessions.writeStream.format("memory").queryName("diff_sess")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past every
+      // last-event+gap, the second runs a batch under that watermark so the
+      // EventTimeTimeout fires and flushes all open sessions
+      def sentinel(id: Long, offsetUs: Long) = SessionEvent(-1L, id,
+        new Timestamp((maxUs + offsetUs) / 1000L), 0.0)
+      input.addData(sentinel(-1L, gapUs + 2L * 3600L * 1000000L))
+      query.processAllAvailable()
+      input.addData(sentinel(-2L, gapUs + 4L * 3600L * 1000000L))
+      query.processAllAvailable()
+
+      val streamed = spark.table("diff_sess").as[SessionOut].collect()
+        .filter(_.user_id >= 0L)
+        .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+        .toSet
+      assert(streamed == batchSessions,
+        s"stream ${streamed.size} vs batch ${batchSessions.size} sessions; " +
+          s"missing=${(batchSessions -- streamed).take(3)} extra=${(streamed -- batchSessions).take(3)}")
+    } finally query.stop()
+  }
+
+  test("streaming windowed stats match batch hourly aggregation on replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+
+    // batch ground truth — the q51_event_windows construction
+    val batch = ev
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / lit(3600)) * lit(3600)).as("hour_start_s"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_start_s")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sv")))
+      .toMap
+
+    val rows = ev.as[(Timestamp, String, Double)].collect().toSeq
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val windowed = StreamingEval.windowedEventStats(
+      input.toDF().toDF("ts", "event_type", "value"), windowLen = "1 hour")
+    val query = windowed.writeStream.format("memory").queryName("diff_win")
+      .outputMode("complete").start()
+    try {
+      // single batch: nothing is late, so the watermark drops no rows and
+      // complete mode holds exactly the batch aggregation
+      input.addData(rows)
+      query.processAllAvailable()
+      val streamed = spark.table("diff_win")
+        .select(col("event_type"), col("window.start").cast("long").as("s"),
+          col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("s")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, (n, sv)) =>
+        assert(n == batch(k)._1, s"count mismatch at $k")
+        assert(math.abs(sv - batch(k)._2) <= 1e-6 * math.max(1.0, math.abs(sv)),
+          s"sum mismatch at $k: $sv vs ${batch(k)._2}")
+      }
+    } finally query.stop()
+  }
 }
