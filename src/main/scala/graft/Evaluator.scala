@@ -90,14 +90,16 @@ class Evaluator(val normalizeWeights: Boolean = true) {
     addCriterion(column,
       CustomCriterion(Option(name).getOrElse(column), weight, fn))
 
-  /** String shortcut to a built-in custom function
-    * (`evaluator.py:231-251`). */
+  /** String shortcut to a named scoring function: the four built-ins
+    * (`evaluator.py:231-251`) plus any classpath-discovered
+    * [[graft.criteria.ScoringFunctionProvider]] (the dynamic-loading
+    * analogue of the reference demo's `custom_functions/` directory). */
   def custom(column: String, weight: Double, builtin: String): this.type =
-    custom(column, weight, BuiltinCustom(builtin), null)
+    custom(column, weight, ScoringFunctions(builtin), null)
 
   def custom(column: String, weight: Double, builtin: String,
              name: String): this.type =
-    custom(column, weight, BuiltinCustom(builtin), name)
+    custom(column, weight, ScoringFunctions(builtin), name)
 
   // === Registry (E1) ===
 

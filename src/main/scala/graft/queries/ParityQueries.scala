@@ -169,6 +169,18 @@ object ParityQueries {
         .orderBy("ranking", "p_partkey")
     },
 
+    "q17_spi_function" -> { (s, dir) =>
+      // ServiceLoader-discovered scoring function (SqrtScaleProvider ships
+      // in the library jar via META-INF/services) resolved by name exactly
+      // like a built-in — locks the dynamic-loading analogue of the
+      // reference demo's custom_functions/ directory.
+      new Evaluator()
+        .custom("p_retailprice", 1.0, "sqrt_scale")
+        .evaluate(t(s, dir, "part"))
+        .select("p_partkey", "score_p_retailprice", "final_score", "ranking")
+        .orderBy("ranking", "p_partkey")
+    },
+
     "q16_xlsx_roundtrip" -> { (s, dir) =>
       // §2.5 Excel surface: write -> read-back -> score, checked against
       // the SAME SQL oracle as a direct parquet read — the round-trip must
@@ -402,6 +414,17 @@ object ParityQueries {
         |  FROM part, s),
         |f AS (SELECT *, (score_p_retailprice + score_p_size) / 1.0 AS final_score FROM b)
         |SELECT p_partkey, score_p_retailprice, score_p_size, final_score,
+        |  RANK() OVER (ORDER BY final_score DESC) AS ranking
+        |FROM f ORDER BY ranking, p_partkey""".stripMargin,
+
+    // IEEE sqrt is correctly rounded -> bit-exact across engines
+    "q17_spi_function" ->
+      """WITH s AS (SELECT max(CAST(p_retailprice AS DOUBLE)) AS mx FROM part),
+        |b AS (SELECT p_partkey,
+        |  sqrt(CAST(p_retailprice AS DOUBLE) / mx) * 100.0 * 1.0 AS score_p_retailprice
+        |  FROM part, s),
+        |f AS (SELECT *, score_p_retailprice / 1.0 AS final_score FROM b)
+        |SELECT p_partkey, score_p_retailprice, final_score,
         |  RANK() OVER (ORDER BY final_score DESC) AS ranking
         |FROM f ORDER BY ranking, p_partkey""".stripMargin,
 
