@@ -1,0 +1,132 @@
+package graft.ops
+
+/** Real decoders for the two classic uncompressed image formats — binary
+  * PPM (P6) and 24-bit uncompressed BMP — implemented from the public
+  * format specs with zero codec dependencies (this container ships none).
+  *
+  * These give [[Multimodal.decodeFeatures]] a genuine decode step: payloads
+  * carrying either magic are parsed header+pixels into packed RGB and
+  * feature-extracted for real; other byte streams fall back to the
+  * deterministic pseudo-features. JPEG/PNG/audio stay out of scope — they
+  * need entropy coders that would be re-implementation for its own sake;
+  * at deployment those arrive via JNI/FFI behind the same signature.
+  */
+object ImageCodecs {
+
+  /** Packed RGB (3 bytes/pixel, row-major, top-down). */
+  final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Magic-dispatched decode; None = not a supported image format. */
+  def decode(bytes: Array[Byte]): Option[DecodedImage] =
+    if (bytes == null || bytes.length < 2) None
+    else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else None
+
+  /** Binary PPM: `P6 <w> <h> <maxval>` as whitespace-separated ASCII
+    * tokens (with `#` comments), ONE whitespace byte, then w*h*3 raw RGB
+    * bytes. Only maxval 255 (the 1-byte-per-sample case) is supported. */
+  def decodePpm(bytes: Array[Byte]): Option[DecodedImage] = {
+    var pos = 2
+    def nextInt(): Option[Int] = {
+      while (pos < bytes.length &&
+        (Character.isWhitespace(bytes(pos).toChar) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < bytes.length && !Character.isWhitespace(bytes(pos).toChar)) pos += 1
+      if (start == pos) None
+      else try Some(new String(bytes, start, pos - start, "US-ASCII").toInt)
+      catch { case _: NumberFormatException => None }
+    }
+    for {
+      w <- nextInt()
+      h <- nextInt()
+      maxv <- nextInt()
+      // single whitespace separator before the raster
+      data = pos + 1
+      if w > 0 && h > 0 && maxv == 255 && bytes.length - data >= w.toLong * h * 3
+    } yield DecodedImage(w, h,
+      java.util.Arrays.copyOfRange(bytes, data, data + w * h * 3))
+  }
+
+  /** 24-bit uncompressed BMP (BITMAPINFOHEADER or longer): BGR samples,
+    * rows padded to 4 bytes, bottom-up unless height is negative. */
+  def decodeBmp(bytes: Array[Byte]): Option[DecodedImage] = {
+    def i32(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+      ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def i16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    if (bytes.length < 54) return None
+    val dataOffset = i32(10)
+    val hdrSize = i32(14)
+    val w = i32(18)
+    val hRaw = i32(22)
+    if (hdrSize < 40 || i16(26) != 1 || i16(28) != 24 || i32(30) != 0 ||
+      w <= 0 || hRaw == 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (dataOffset < 54 || bytes.length < dataOffset + rowSize.toLong * h) return None
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val src = dataOffset + srcRow * rowSize
+      var x = 0
+      while (x < w) {
+        rgb((y * w + x) * 3) = bytes(src + x * 3 + 2) // BMP stores BGR
+        rgb((y * w + x) * 3 + 1) = bytes(src + x * 3 + 1)
+        rgb((y * w + x) * 3 + 2) = bytes(src + x * 3)
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedImage(w, h, rgb))
+  }
+
+  /** PPM encoder (for tests and round-trip plumbing). */
+  def encodePpm(img: DecodedImage): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+    out
+  }
+
+  /** Deterministic image features, format-agnostic (the same image encoded
+    * as PPM or BMP yields identical features): `[width, height, meanR,
+    * meanG, meanB, luminance histogram over the remaining bins]`, channel
+    * means and histogram mass normalized to [0, 1]. */
+  def imageFeatures(img: DecodedImage, featureDim: Int): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    val n = img.width.toLong * img.height
+    if (featureDim > 0) out(0) = img.width.toFloat
+    if (featureDim > 1) out(1) = img.height.toFloat
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < n) {
+      r += img.rgb(3 * i) & 0xFF
+      g += img.rgb(3 * i + 1) & 0xFF
+      b += img.rgb(3 * i + 2) & 0xFF
+      i += 1
+    }
+    if (featureDim > 2) out(2) = (r.toDouble / n / 255.0).toFloat
+    if (featureDim > 3) out(3) = (g.toDouble / n / 255.0).toFloat
+    if (featureDim > 4) out(4) = (b.toDouble / n / 255.0).toFloat
+    val bins = featureDim - 5
+    if (bins > 0) {
+      val inc = (1.0 / n).toFloat
+      var j = 0
+      while (j < n) {
+        // integer ITU-R 601 luma, exact and portable
+        val lum = ((img.rgb(3 * j) & 0xFF) * 299 + (img.rgb(3 * j + 1) & 0xFF) * 587 +
+          (img.rgb(3 * j + 2) & 0xFF) * 114) / 1000
+        out(5 + lum * bins / 256) += inc
+        j += 1
+      }
+    }
+    out
+  }
+}

@@ -8,14 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns plus typed metadata, with decode / feature-extraction
   * running batched per partition.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, deterministic output — while the actual media decode is a
-  * STUB (`fakeDecode`): this container has no image/audio codecs, so the
-  * decoder derives a deterministic pseudo-feature vector from the bytes.
-  * Swapping in a real codec means replacing ONE function body; the
-  * pipeline shape (mapPartitions over an iterator of records, fixed-size
-  * feature output, spill-safe streaming) is exactly what a JNI/FFI decoder
-  * needs at 100 TB.
+  * The decode step is REAL for the two classic uncompressed image formats
+  * — binary PPM (P6) and 24-bit BMP, parsed header+pixels by
+  * [[ImageCodecs]] with zero codec dependencies — and falls back to a
+  * deterministic pseudo-feature hash for any other byte stream (JPEG/PNG/
+  * audio need entropy coders that arrive via JNI/FFI in deployment, behind
+  * the same signature). The pipeline shape (mapPartitions over an iterator
+  * of records, fixed-size feature output, spill-safe streaming) is exactly
+  * what such a decoder needs at 100 TB.
   */
 object Multimodal {
 
@@ -28,9 +28,9 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
     ))
 
-  /** STUB decoder: deterministic pseudo-features from the payload bytes.
-    * Real deployments replace this body with an image/audio decode +
-    * model-feature extraction; signature and batch shape stay identical. */
+  /** Fallback pseudo-features for byte streams that are not a supported
+    * image format: deterministic, so unknown-codec payloads still get a
+    * stable (if meaningless) vector instead of a crash. */
   def fakeDecode(bytes: Array[Byte], featureDim: Int): Array[Float] = {
     val out = new Array[Float](featureDim)
     var i = 0
@@ -40,6 +40,14 @@ object Multimodal {
     }
     out
   }
+
+  /** Decode dispatch: real PPM/BMP parse when the payload carries either
+    * magic, pseudo-feature fallback otherwise. */
+  def decodeToFeatures(bytes: Array[Byte], featureDim: Int): Array[Float] =
+    ImageCodecs.decode(bytes) match {
+      case Some(img) => ImageCodecs.imageFeatures(img, featureDim)
+      case None      => fakeDecode(bytes, featureDim)
+    }
 
   /** Batched decode: one pass per partition over (id, payload) rows,
     * emitting (id, n_bytes, features). Runs as a single narrow
@@ -64,7 +72,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         if (bytes == null) Row(r.get(idIdx), 0L, Seq.empty[Float])
         else Row(r.get(idIdx), bytes.length.toLong,
-          fakeDecode(bytes, featureDim).toSeq)
+          decodeToFeatures(bytes, featureDim).toSeq)
       }
     }(encoder)
   }

@@ -335,6 +335,56 @@ class OpsSpec extends SparkSpec {
     assert(byId(2L) == byId(3L)) // case-insensitive
   }
 
+  test("multimodal: real PPM/BMP decode with exact expected features") {
+    import graft.ops.ImageCodecs
+    // 2x2 test image: red, green / blue, white
+    val rgb = Array[Byte](
+      255.toByte, 0, 0, /**/ 0, 255.toByte, 0,
+      0, 0, 255.toByte, /**/ 255.toByte, 255.toByte, 255.toByte)
+    val img = ImageCodecs.DecodedImage(2, 2, rgb)
+    val ppm = ImageCodecs.encodePpm(img)
+
+    // hand-built 24bpp bottom-up BMP of the SAME image (BGR, 4-byte row pad)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val bmp = Array.concat(
+      Array[Byte]('B', 'M'), le32(70), le32(0), le32(54), // file header
+      le32(40), le32(2), le32(2), le16(1), le16(24), le32(0), // info header
+      Array.fill[Byte](20)(0), // rest of the 40-byte info header
+      // bottom row first: blue, white (as BGR) + 2 pad bytes
+      Array[Byte](255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte, 0, 0),
+      // top row: red, green (as BGR) + pad
+      Array[Byte](0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0))
+
+    // both containers decode to identical pixels
+    val fromPpm = ImageCodecs.decode(ppm).get
+    val fromBmp = ImageCodecs.decode(bmp).get
+    assert(fromPpm.width == 2 && fromPpm.height == 2)
+    assert(fromPpm.rgb.toSeq == rgb.toSeq)
+    assert(fromBmp.rgb.toSeq == rgb.toSeq)
+
+    // PPM header comments are legal
+    val commented = ("P6\n# test comment\n2 2\n255\n".getBytes("US-ASCII") ++ rgb)
+    assert(ImageCodecs.decode(commented).get.rgb.toSeq == rgb.toSeq)
+
+    // exact expected features at dim 8: [w, h, meanR, meanG, meanB, 3-bin
+    // luminance histogram]; means are 0.5 exactly, lumas 76/149/29/255 ->
+    // bins 0,1,0,2 -> [0.5, 0.25, 0.25]
+    val expected = Seq(2f, 2f, 0.5f, 0.5f, 0.5f, 0.5f, 0.25f, 0.25f)
+    assert(ImageCodecs.imageFeatures(img, 8).toSeq == expected)
+
+    // end-to-end through the batched decode: image payloads get real
+    // features, non-image payloads fall back to pseudo-features
+    val df = Seq(
+      (0L, ppm), (1L, bmp), (2L, "not an image at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val feats = Multimodal.decodeFeatures(df, "doc_id", "payload", featureDim = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](2)).toMap
+    assert(feats(0L) == expected)
+    assert(feats(1L) == expected) // format-agnostic: same image, same features
+    assert(feats(2L) == Multimodal.fakeDecode("not an image at all".getBytes("UTF-8"), 8).toSeq)
+  }
+
   test("fused HyperplaneBits matches composed formulation exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val both = emb.select(
