@@ -16,20 +16,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup outside the timed region: JVM/codegen/parquet-footer costs are
-    // one-time, not per-query; run one representative query untimed and
-    // iterate the rest in sorted order for stable attribution.
+    // one-time, not per-query; run one representative query untimed.
     try { SparkEntry.queries.head._2(spark, sfDir).count() }
     catch { case _: Throwable => () }
+    // Each query runs `iters` times and reports the MIN: the first
+    // iteration of the alphabetically-first query per table otherwise
+    // absorbs residual codegen/footer warmup and its time is not
+    // attributable to the plan (±20% run-to-run stability is the target).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        // a crashing query must not masquerade as a fast success
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
-      }
+      val times = (1 to iters).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          // a crashing query must not masquerade as a fast success
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
+      }.takeWhile(_ >= 0.0).toSeq // don't re-run a failing query
+      name -> (if (times.size < iters) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
