@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline and classical-relational queries over the shared
   * testdata: dedup, similarity search, text analysis, multimodal plumbing,
@@ -73,6 +73,23 @@ object PipelineQueries {
           min("event_id").as("first_event"), max("event_id").as("last_event"),
           (max("us") - min("us")).as("duration_us"))
         .orderBy("user_id", "session_id")
+    },
+
+    "q34_asof_join" -> { (s, dir) =>
+      // backward as-of: every click joined to the user's latest purchase
+      // at-or-before it — union + running-window shape, one shuffle, no
+      // range-join explosion (Joins.asofJoinBackward).
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("value"))
+      Joins.asofJoinBackward(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        keyCol = "user_id", leftTimeCol = "us", rightTimeCol = "us",
+        rightTieCol = "event_id", payloadCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_event_id"), col("asof_us"), col("asof_value"))
+        .orderBy("event_id")
     },
 
     // --------------------------------------------------- text analysis
@@ -269,6 +286,21 @@ object PipelineQueries {
         |  max(us) - min(us) AS duration_us
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q34_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events
+        |), c AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.us,
+        |    p.event_id AS asof_event_id, p.us AS asof_us, p.value AS asof_value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.us DESC, p.event_id DESC) AS rn
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.us <= c.us
+        |)
+        |SELECT event_id, user_id, us, asof_event_id, asof_us, asof_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q40_dedup_exact" ->
       """WITH d AS (

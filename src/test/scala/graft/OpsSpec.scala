@@ -335,6 +335,37 @@ class OpsSpec extends SparkSpec {
     assert(byId(2L) == byId(3L)) // case-insensitive
   }
 
+  test("as-of join backward: latest at-or-before match, tolerance, no-match") {
+    import graft.ops.Joins
+    val left = Seq(
+      (1L, 100L, 10L), // matches r2 (t=90, the latest <= 100)
+      (1L, 50L, 20L),  // matches r1 exactly at its own time (inclusive)
+      (1L, 10L, 30L),  // before any right row -> null
+      (2L, 100L, 40L)  // key with no right rows at all -> null
+    ).toDF("key", "t", "lv")
+    val right = Seq(
+      (1L, 50L, 101L, 1.5), // r1
+      (1L, 90L, 102L, 2.5), // r2
+      (1L, 90L, 103L, 3.5)  // r3: same time as r2 -> larger tie id wins
+    ).toDF("key", "t", "rid", "rv")
+
+    val out = Joins.asofJoinBackward(left, right, "key", "t", "t", "rid",
+        payloadCols = Seq("rid", "rv"))
+      .collect().map(r => r.getAs[Long]("lv") ->
+        (Option(r.getAs[Any]("asof_rid")), Option(r.getAs[Any]("asof_rv")))).toMap
+    assert(out(10L) == ((Some(103L), Some(3.5)))) // deterministic tie -> max rid
+    assert(out(20L) == ((Some(101L), Some(1.5)))) // inclusive at equal time
+    assert(out(30L) == ((None, None)))
+    assert(out(40L) == ((None, None)))
+
+    // tolerance: match older than 5 ticks is dropped
+    val tol = Joins.asofJoinBackward(left, right, "key", "t", "t", "rid",
+        payloadCols = Seq("rid"), tolerance = Some(5L))
+      .collect().map(r => r.getAs[Long]("lv") -> Option(r.getAs[Any]("asof_rid"))).toMap
+    assert(tol(10L) == None)        // 100 - 90 = 10 > 5
+    assert(tol(20L) == Some(101L))  // 50 - 50 = 0 <= 5
+  }
+
   test("multimodal: real PPM/BMP decode with exact expected features") {
     import graft.ops.ImageCodecs
     // 2x2 test image: red, green / blue, white
