@@ -80,4 +80,40 @@ object Joins {
     val rightCols = carry.map(n => withinTol.getField(n).as(s"asof_$n"))
     matched.select(leftCols ++ rightCols: _*)
   }
+
+  /** Range (interval) join: every left row paired with every interval row
+    * whose `[loCol, hiCol)` contains `valueCol`. Intervals may overlap.
+    *
+    * The naive plan — a join on `lo <= v AND v < hi` — is a broadcast
+    * nested loop (or worse, a cartesian) that dies when neither side is
+    * tiny. Here both sides are quantized to a `bucketWidth` grid: each
+    * interval explodes into the buckets it covers, the left side hashes to
+    * its single bucket, and an ordinary shuffled equi-join on the bucket id
+    * does the pairing, with the exact containment filter applied after.
+    * Intermediate size is |left| + Σ ceil(span/bucketWidth), so pick
+    * `bucketWidth` near the typical interval span: one grid cell per
+    * interval and one equi-join probe per left row.
+    *
+    * Column names of `left` and `intervals` must be disjoint (standard
+    * Spark join hygiene; alias beforehand if needed). */
+  def rangeJoin(
+      left: DataFrame,
+      valueCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol).cast("double") / w).cast("long"),
+        floor(col(hiCol).cast("double") / w).cast("long"))))
+    val l = left.withColumn("__bucket",
+      floor(col(valueCol).cast("double") / w).cast("long"))
+    l.join(iv, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bucket")
+  }
 }

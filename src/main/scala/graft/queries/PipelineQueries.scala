@@ -92,6 +92,21 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    "q35_range_join" -> { (s, dir) =>
+      // bucketed interval join: orders priced into OVERLAPPING price bands
+      // derived from nation keys (each order matches 1-2 bands) — the
+      // equi-join-on-grid plan, not a nested-loop range predicate.
+      val bands = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          (col("n_nationkey").cast("double") * lit(20000.0)).as("lo"),
+          (col("n_nationkey").cast("double") * lit(20000.0) + lit(40000.0)).as("hi"))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+      Joins.rangeJoin(orders, "price", bands, "lo", "hi", bucketWidth = 40000.0)
+        .select(col("o_orderkey"), col("price"), col("n_nationkey"), col("n_name"))
+        .orderBy("o_orderkey", "n_nationkey")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q40_dedup_exact" -> { (s, dir) =>
@@ -301,6 +316,17 @@ object PipelineQueries {
         |)
         |SELECT event_id, user_id, us, asof_event_id, asof_us, asof_value
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q35_range_join" ->
+      """WITH bands AS (
+        |  SELECT n_nationkey, n_name,
+        |    CAST(n_nationkey AS DOUBLE) * 20000.0 AS lo,
+        |    CAST(n_nationkey AS DOUBLE) * 20000.0 + 40000.0 AS hi
+        |  FROM nation
+        |), o AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders)
+        |SELECT o_orderkey, price, n_nationkey, n_name
+        |FROM o JOIN bands ON price >= lo AND price < hi
+        |ORDER BY o_orderkey, n_nationkey""".stripMargin,
 
     "q40_dedup_exact" ->
       """WITH d AS (

@@ -97,6 +97,25 @@ object StreamingEval {
       .groupBy(window(col(tsCol), windowLen, slide), col(typeCol))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 
+  /** Streaming exact deduplication: drop rows whose canonical text
+    * fingerprint (same canonicalization as the batch
+    * [[graft.ops.Dedup]] operators) was already seen within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` lets the state
+    * store evict expired fingerprints, so state is bounded by the
+    * duplicate-arrival window instead of growing with the stream —
+    * the only viable shape for an unbounded ingest pipeline. */
+  def dedupStream(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    stream
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   // ------------------------------------------------- stateful sessionize
 
   case class SessionEvent(

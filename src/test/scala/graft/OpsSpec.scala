@@ -366,6 +366,27 @@ class OpsSpec extends SparkSpec {
     assert(tol(20L) == Some(101L))  // 50 - 50 = 0 <= 5
   }
 
+  test("range join: overlapping intervals, inclusive-lo exclusive-hi") {
+    import graft.ops.Joins
+    val intervals = Seq(
+      (1L, 0.0, 10.0), (2L, 5.0, 15.0), (3L, 20.0, 30.0)
+    ).toDF("iv_id", "lo", "hi")
+    val values = Seq((100L, 0.0), (101L, 7.0), (102L, 10.0), (103L, 15.0),
+      (104L, 25.0), (105L, 99.0)).toDF("v_id", "v")
+
+    // bucketWidth deliberately smaller than the spans: intervals explode
+    // into several grid cells and matches must still be exact
+    val out = Joins.rangeJoin(values, "v", intervals, "lo", "hi", bucketWidth = 4.0)
+      .select("v_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(
+      (100L, 1L),             // v=0: inclusive lo
+      (101L, 1L), (101L, 2L), // v=7: overlap zone -> both intervals
+      (102L, 2L),             // v=10: hi of iv1 is EXCLUSIVE, lo half of iv2
+      (104L, 3L)              // v=15 excluded (hi of iv2), v=99 matches nothing
+    ))
+  }
+
   test("multimodal: real PPM/BMP decode with exact expected features") {
     import graft.ops.ImageCodecs
     // 2x2 test image: red, green / blue, white

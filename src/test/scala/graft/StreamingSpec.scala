@@ -97,6 +97,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops canonical duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val stream = input.toDF().toDF("ts", "text", "row_id")
+    val deduped = StreamingEval.dedupStream(stream, "text")
+    val query = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(
+        (t0, "hello world", 1L),
+        (t0, "hello   world", 2L), // whitespace-canonical duplicate of 1
+        (t0, "something else", 3L),
+        (t0, "hello world", 4L))   // exact duplicate of 1
+      query.processAllAvailable()
+      val kept = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("row_id")).toSet
+      assert(kept.contains(3L))
+      assert(kept.intersect(Set(1L, 2L, 4L)).size == 1,
+        s"exactly one of the canonical-duplicate trio survives, got $kept")
+      assert(!spark.table("dedup_stream").columns.contains("__fp"))
+    } finally query.stop()
+  }
+
   // ---- differential: stream-replay the real events table and compare
   // ---- with the batch formulations the oracle queries already pin
 
