@@ -23,7 +23,8 @@ object Bench {
     // iteration of the alphabetically-first query per table otherwise
     // absorbs residual codegen/footer warmup and its time is not
     // attributable to the plan (±20% run-to-run stability is the target).
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    val iters = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_ITERS").trim.toInt)
+      .toOption.getOrElse(2).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).iterator.map { _ =>
         val t0 = System.nanoTime()

@@ -43,6 +43,42 @@ object Evaluator {
     graft.config.ConfigLoader.evaluatorFromYaml(path, normalizeWeights)
   def fromJson(path: String, normalizeWeights: Boolean = true): Evaluator =
     graft.config.ConfigLoader.evaluatorFromJson(path, normalizeWeights)
+
+  /** Detail-column projection shared by the batch engine and the streaming
+    * scorer (one contract, one implementation): input columns colliding
+    * with detail names are dropped, duplicate display names resolve
+    * last-wins while the column keeps its first position — pandas
+    * sequential column assignment. */
+  private[graft] def detailProjection(
+      df: DataFrame,
+      scoreExprs: Seq[(String, Column)],
+      includeDetails: Boolean
+  ): DataFrame =
+    if (includeDetails && scoreExprs.nonEmpty) {
+      val detailNames = scoreExprs.map(_._1)
+      val keep = df.columns.filterNot(detailNames.contains).map(col)
+      val lastByName = scoreExprs.groupBy(_._1).view.mapValues(_.last._2).toMap
+      val ordered = detailNames.distinct.map(n => lastByName(n).as(n))
+      df.select(keep.toSeq ++ ordered: _*)
+    } else df
+
+  /** Final-score combine shared by batch and streaming: weighted scores
+    * summed in registration order (bit-exact parity with pandas'
+    * sequential `sum`), divided by the total weight when normalizing
+    * (all-zero weights pin to 0.0, `evaluator.py:299-312`). */
+  private[graft] def combinedFinalScore(
+      scoreExprs: Seq[(String, Column)],
+      normalizeWeights: Boolean,
+      totalWeight: => Double
+  ): Column =
+    if (scoreExprs.isEmpty) lit(0.0)
+    else {
+      val summed = scoreExprs.map(_._2).reduceLeft(_ + _)
+      if (normalizeWeights) {
+        val total = totalWeight
+        if (total > 0) summed / lit(total) else lit(0.0)
+      } else summed
+    }
 }
 
 class Evaluator(val normalizeWeights: Boolean = true) {
@@ -167,30 +203,12 @@ class Evaluator(val normalizeWeights: Boolean = true) {
       s"score_${c.name}" -> c.expr(col(column).cast("double"), stats(column))
     }
 
-    // E2: single projection for all detail columns. Later criteria with a
-    // duplicate display name overwrite earlier ones, like pandas column
-    // assignment.
-    val detailNames = scoreExprs.map(_._1)
-    val withDetails =
-      if (includeDetails && scoreExprs.nonEmpty) {
-        val keep = bids.columns.filterNot(detailNames.contains).map(col)
-        val details = scoreExprs
-          .groupBy(_._1).view.mapValues(_.last._2).toMap // last wins per name
-        val ordered = detailNames.distinct.map(n => details(n).as(n))
-        bids.select(keep.toSeq ++ ordered: _*)
-      } else bids
+    // E2: single projection for all detail columns (shared contract with
+    // the streaming scorer, Evaluator.detailProjection).
+    val withDetails = Evaluator.detailProjection(bids, scoreExprs, includeDetails)
 
-    // E3: final-score combine (evaluator.py:299-312). Sum in registration
-    // order for bit-exact parity with pandas' sequential `sum(...)`.
-    val finalScore: Column =
-      if (scoreExprs.isEmpty) lit(0.0)
-      else {
-        val summed = scoreExprs.map(_._2).reduceLeft(_ + _)
-        if (normalizeWeights) {
-          val total = getTotalWeight
-          if (total > 0) summed / lit(total) else lit(0.0)
-        } else summed
-      }
+    // E3: final-score combine (evaluator.py:299-312).
+    val finalScore = Evaluator.combinedFinalScore(scoreExprs, normalizeWeights, getTotalWeight)
 
     val scored = withDetails.withColumn("final_score", finalScore)
 

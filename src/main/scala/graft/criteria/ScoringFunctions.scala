@@ -33,14 +33,33 @@ object ScoringFunctions {
 
   /** Discovered providers, loaded once per JVM. On duplicate names the
     * later classpath entry wins — mirroring the demo's dict-update
-    * import loop, where the last module to define a name owns it. */
+    * import loop, where the last module to define a name owns it.
+    *
+    * Loads through the thread context classloader (falling back to the
+    * SPI's own): Spark ships `--jars`/`spark.jars` entries in a child
+    * MutableURLClassLoader that the library's defining loader cannot see,
+    * and user provider jars arrive exactly that way. One broken
+    * registration (stale class name, throwing constructor) is logged and
+    * skipped instead of poisoning every lookup including the built-ins. */
   lazy val discovered: Map[String, (Column, Stats) => Column] = {
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[ScoringFunctionProvider].getClassLoader)
     import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader
-      .load(classOf[ScoringFunctionProvider], classOf[ScoringFunctionProvider].getClassLoader)
-      .asScala
-      .map(p => p.name -> ((v: Column, s: Stats) => p.expr(v, s)))
-      .toMap
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Column, Stats) => Column]
+    // stream() defers class loading/instantiation to Provider.get(), so a
+    // bad entry throws inside OUR try per provider (the raw iterator()'s
+    // hasNext can throw and would be unsafe to loop over)
+    java.util.ServiceLoader.load(classOf[ScoringFunctionProvider], loader)
+      .stream().iterator().asScala.foreach { prov =>
+        try {
+          val p = prov.get()
+          out.put(p.name, (v: Column, s: Stats) => p.expr(v, s))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[graft] skipping broken ScoringFunctionProvider: ${e.getMessage}")
+        }
+      }
+    out.toMap
   }
 
   /** All selectable names, built-in and discovered. */

@@ -16,7 +16,14 @@ object ImageCodecs {
   /** Packed RGB (3 bytes/pixel, row-major, top-down). */
   final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
 
-  /** Magic-dispatched decode; None = not a supported image format. */
+  /** Hard ceiling on accepted pixel counts: a corrupt/hostile header must
+    * yield None, never an allocation failure that kills the task (and with
+    * it the whole job at 100 TB). 64M pixels = 192 MB RGB, far above any
+    * legitimate payload here. */
+  private val MaxPixels = 64L * 1024 * 1024
+
+  /** Magic-dispatched decode; None = not a supported image format OR a
+    * malformed/corrupt payload of a supported one — decode never throws. */
   def decode(bytes: Array[Byte]): Option[DecodedImage] =
     if (bytes == null || bytes.length < 2) None
     else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
@@ -45,9 +52,14 @@ object ImageCodecs {
       w <- nextInt()
       h <- nextInt()
       maxv <- nextInt()
-      // single whitespace separator before the raster
-      data = pos + 1
-      if w > 0 && h > 0 && maxv == 255 && bytes.length - data >= w.toLong * h * 3
+      // single whitespace separator before the raster — but tolerate the
+      // common out-of-spec CRLF writers ('\r\n' counts as one separator,
+      // else the raster silently shifts by one byte)
+      data = if (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos + 2 else pos + 1
+      if w > 0 && h > 0 && maxv == 255 &&
+        w.toLong * h <= MaxPixels &&
+        bytes.length - data >= w.toLong * h * 3
     } yield DecodedImage(w, h,
       java.util.Arrays.copyOfRange(bytes, data, data + w * h * 3))
   }
@@ -64,11 +76,15 @@ object ImageCodecs {
     val w = i32(18)
     val hRaw = i32(22)
     if (hdrSize < 40 || i16(26) != 1 || i16(28) != 24 || i32(30) != 0 ||
-      w <= 0 || hRaw == 0) return None
+      w <= 0 || hRaw == 0 || hRaw == Int.MinValue) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (dataOffset < 54 || bytes.length < dataOffset + rowSize.toLong * h) return None
+    // all size math in Long: a crafted width must fail the guards, not
+    // overflow Int into a negative allocation size
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    if (w.toLong * h > MaxPixels) return None
+    if (dataOffset < 54 || bytes.length < dataOffset + rowSizeL * h) return None
+    val rowSize = rowSizeL.toInt
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

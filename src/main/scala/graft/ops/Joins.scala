@@ -43,8 +43,11 @@ object Joins {
   ): DataFrame = {
     val carry = (rightTimeCol +: payloadCols).distinct
     // right rows: key, time, payload struct; __side=0 sorts BEFORE left
-    // rows at equal times, making the join inclusive (at-or-before)
-    val r = right.select(
+    // rows at equal times, making the join inclusive (at-or-before).
+    // Null-key right rows can never match under SQL equality semantics
+    // (the oracle's `l.key = r.key` never holds for null) — drop them so
+    // the null-key window partition doesn't pair nulls with nulls.
+    val r = right.filter(col(keyCol).isNotNull).select(
       col(keyCol).as("__key"),
       col(rightTimeCol).cast("long").as("__t"),
       col(rightTieCol).cast("long").as("__tie"),
@@ -102,14 +105,23 @@ object Joins {
       intervals: DataFrame,
       loCol: String,
       hiCol: String,
-      bucketWidth: Double
+      bucketWidth: Double,
+      maxBucketsPerInterval: Long = 1L << 20
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val w = lit(bucketWidth)
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(loCol).cast("double") / w).cast("long"),
-        floor(col(hiCol).cast("double") / w).cast("long"))))
+    val loB = floor(col(loCol).cast("double") / w).cast("long")
+    val hiB = floor(col(hiCol).cast("double") / w).cast("long")
+    // fail FAST and legibly on a stray outlier interval (an open-ended
+    // sentinel like hi=1e18 would otherwise ask sequence() for a
+    // trillion-element array and abort the job with an opaque error)
+    val guardMsg = concat(
+      lit(s"rangeJoin: interval spans more than $maxBucketsPerInterval buckets "),
+      lit("(lo="), col(loCol).cast("string"), lit(", hi="), col(hiCol).cast("string"),
+      lit(s", bucketWidth=$bucketWidth); raise bucketWidth or maxBucketsPerInterval"))
+    val hiGuarded = when(hiB - loB > lit(maxBucketsPerInterval),
+      raise_error(guardMsg).cast("long")).otherwise(hiB)
+    val iv = intervals.withColumn("__bucket", explode(sequence(loB, hiGuarded)))
     val l = left.withColumn("__bucket",
       floor(col(valueCol).cast("double") / w).cast("long"))
     l.join(iv, Seq("__bucket"))

@@ -42,28 +42,13 @@ object StreamingEval {
       s"score_${c.name}" -> c.expr(col(column).cast("double"), statsFor(column, c.name))
     }
     // one projection (the withColumn-per-criterion loop re-analyzes a
-    // growing plan every micro-batch); same dedup contract as the batch
-    // buildResult — input columns colliding with detail names are dropped
-    // and duplicate criterion display names resolve last-wins, so the
-    // output never carries duplicate/ambiguous columns
-    val detailNames = scoreExprs.map(_._1)
-    val withDetails =
-      if (includeDetails && scoreExprs.nonEmpty) {
-        val keep = stream.columns.filterNot(detailNames.contains).map(col)
-        val lastByName = scoreExprs.groupBy(_._1).view.mapValues(_.last._2).toMap
-        val ordered = detailNames.distinct.map(n => lastByName(n).as(n))
-        stream.select(keep.toSeq ++ ordered: _*)
-      } else stream
-    val finalScore =
-      if (scoreExprs.isEmpty) lit(0.0)
-      else {
-        val summed = scoreExprs.map(_._2).reduceLeft(_ + _)
-        val total = evaluator.getTotalWeight
-        if (evaluator.normalizeWeights && total > 0) summed / lit(total)
-        else if (evaluator.normalizeWeights) lit(0.0)
-        else summed
-      }
-    withDetails.withColumn("final_score", finalScore)
+    // growing plan every micro-batch); dedup and combine are the SAME
+    // implementation the batch buildResult uses, so batch and streaming
+    // cannot drift apart
+    Evaluator
+      .detailProjection(stream, scoreExprs, includeDetails)
+      .withColumn("final_score", Evaluator.combinedFinalScore(
+        scoreExprs, evaluator.normalizeWeights, evaluator.getTotalWeight))
   }
 
   /** Tumbling-window aggregation with late-data handling: counts + value

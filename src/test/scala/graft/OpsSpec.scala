@@ -387,6 +387,58 @@ class OpsSpec extends SparkSpec {
     ))
   }
 
+  test("as-of join: null keys never match (SQL equality semantics)") {
+    import graft.ops.Joins
+    val left = Seq((Option(1L), 100L, 1L), (None: Option[Long], 100L, 2L))
+      .toDF("key", "t", "lv")
+    val right = Seq((Option(1L), 50L, 10L, 1.0), (None: Option[Long], 50L, 11L, 2.0))
+      .toDF("key", "t", "rid", "rv")
+    val out = Joins.asofJoinBackward(left, right, "key", "t", "t", "rid",
+        payloadCols = Seq("rid"))
+      .collect().map(r => r.getAs[Long]("lv") -> Option(r.getAs[Any]("asof_rid"))).toMap
+    assert(out(1L) == Some(10L))
+    assert(out(2L) == None, "null = null must not match, like the SQL oracle")
+  }
+
+  test("range join fails fast and legibly on an outlier-wide interval") {
+    import graft.ops.Joins
+    val intervals = Seq((1L, 0.0, 1e18)).toDF("iv_id", "lo", "hi")
+    val values = Seq((1L, 5.0)).toDF("v_id", "v")
+    val e = intercept[Exception] {
+      Joins.rangeJoin(values, "v", intervals, "lo", "hi", bucketWidth = 1.0).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("rangeJoin")),
+      s"expected the legible guard message, got: ${messages(e)}")
+  }
+
+  test("image decode never throws on crafted or malformed payloads") {
+    import graft.ops.ImageCodecs
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // width chosen so rowSize overflows Int32 if computed in Int
+    val hostile = Array.concat(
+      Array[Byte]('B', 'M'), le32(70), le32(0), le32(54),
+      le32(40), le32(800000000), le32(1), le16(1), le16(24), le32(0),
+      Array.fill[Byte](26)(0))
+    assert(ImageCodecs.decode(hostile) == None)
+    // Int.MinValue height (math.abs stays negative)
+    val minH = Array.concat(
+      Array[Byte]('B', 'M'), le32(70), le32(0), le32(54),
+      le32(40), le32(2), le32(Int.MinValue), le16(1), le16(24), le32(0),
+      Array.fill[Byte](26)(0))
+    assert(ImageCodecs.decode(minH) == None)
+    // truncated PPM and garbage headers
+    assert(ImageCodecs.decode("P6\n9999 9999\n255\n".getBytes("US-ASCII")) == None)
+    assert(ImageCodecs.decode("P6\nnot numbers\n".getBytes("US-ASCII")) == None)
+
+    // CRLF-separated header must not shift the raster by one byte
+    val rgb = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val crlf = "P6\r\n2 2\r\n255\r\n".getBytes("US-ASCII") ++ rgb
+    assert(ImageCodecs.decode(crlf).get.rgb.toSeq == rgb.toSeq)
+  }
+
   test("multimodal: real PPM/BMP decode with exact expected features") {
     import graft.ops.ImageCodecs
     // 2x2 test image: red, green / blue, white
