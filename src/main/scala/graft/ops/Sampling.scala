@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/split operators for training-data pipelines.
+  *
+  * Assignment is a pure function of a stable row id — the first 8 hex
+  * chars of `md5(id || salt)` mapped into [0, 1) — NOT Spark's `sample()`:
+  * the split is reproducible across runs, cluster sizes, and
+  * repartitioning; adding rows never reassigns existing ones; changing the
+  * salt re-rolls every assignment; and any engine can re-derive the exact
+  * split (the SQL oracle recomputes it in DuckDB). This is the standard
+  * production shape for corpus train/val/test carving at 100 TB, where
+  * `sample()`'s per-partition RNG state would silently reshuffle whenever
+  * the file layout changes.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) from a stable key: md5 prefix as a 32-bit integer
+    * scaled by 2^-32. Codegen'd column arithmetic, no UDF. */
+  def unitHash(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Adds a `split` column assigning each row to the first name whose
+    * cumulative fraction exceeds the row's unit hash. Fractions summing
+    * to less than 1 leave the remainder unassigned (null split) — useful
+    * for carving a subsample out of a larger corpus. Prefer dyadic
+    * fractions (0.75/0.125/...) if an external system must reproduce the
+    * cuts bit-exactly: their cumulative sums are exact in binary. */
+  def withSplit(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = ""
+  ): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(fractions.forall(_._2 >= 0.0), "fractions must be non-negative")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val u = unitHash(col(idCol), salt)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+    val chain = fractions.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (None, ((name, _), cut))    => Some(when(u < lit(cut), lit(name)))
+      case (Some(w), ((name, _), cut)) => Some(w.when(u < lit(cut), lit(name)))
+    }.get.otherwise(lit(null).cast("string"))
+    df.withColumn("split", chain)
+  }
+
+  /** Per-stratum deterministic sampling: keep each row with its stratum's
+    * fraction (rows in unlisted strata use `default`). The distributed
+    * `df.sampleBy`, minus the nondeterminism. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      default: Double = 0.0,
+      salt: String = ""
+  ): DataFrame = {
+    val u = unitHash(col(idCol), salt)
+    val frac = fractions.foldLeft(lit(default): Column) {
+      case (acc, (k, f)) => when(col(strataCol) === lit(k), lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+}

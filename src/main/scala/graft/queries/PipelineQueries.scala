@@ -109,6 +109,19 @@ object PipelineQueries {
 
     // --------------------------------------------------- text analysis
 
+    "q36_hash_split" -> { (s, dir) =>
+      // deterministic train/val/test carve: pure function of doc_id+salt,
+      // reproducible by any engine (oracle recomputes the same md5 cut).
+      // Dyadic fractions -> FP-exact cumulative thresholds.
+      graft.ops.Sampling.withSplit(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+        salt = "graft-r2")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    },
+
     "q40_dedup_exact" -> { (s, dir) =>
       Dedup.withDupCount(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint", "dup_count")
@@ -327,6 +340,19 @@ object PipelineQueries {
         |SELECT o_orderkey, price, n_nationkey, n_name
         |FROM o JOIN bands ON price >= lo AND price < hi
         |ORDER BY o_orderkey, n_nationkey""".stripMargin,
+
+    "q36_hash_split" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r2'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM documents
+        |)
+        |SELECT doc_id, source,
+        |  CASE WHEN uh < 0.75 THEN 'train'
+        |       WHEN uh < 0.875 THEN 'val'
+        |       WHEN uh < 1.0 THEN 'test'
+        |       ELSE NULL END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q40_dedup_exact" ->
       """WITH d AS (

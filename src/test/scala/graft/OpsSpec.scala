@@ -439,6 +439,55 @@ class OpsSpec extends SparkSpec {
     assert(ImageCodecs.decode(crlf).get.rgb.toSeq == rgb.toSeq)
   }
 
+  test("hash split: deterministic, partition-invariant, proportional") {
+    import graft.ops.Sampling
+    val ids = spark.range(0, 10000).toDF("id")
+    val split = Sampling.withSplit(ids, "id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "s1")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 7500.0) < 300, s"train ~75%, got $counts")
+    assert(math.abs(counts("val") - 1250.0) < 150)
+
+    // partition-invariant: identical assignment after a repartition
+    val a = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.withSplit(ids.repartition(13), "id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+
+    // under-allocated fractions leave the remainder unassigned
+    val partial = Sampling.withSplit(ids, "id", Seq("sample" -> 0.25), salt = "s1")
+    val n = partial.filter(col("split").isNull).count()
+    assert(math.abs(n - 7500.0) < 300)
+
+    // a different salt re-rolls assignments
+    val c = Sampling.withSplit(ids, "id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c)
+  }
+
+  test("stratified sample keeps per-stratum fractions deterministically") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 8000).toDF("id")
+      .withColumn("stratum", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("a" -> 0.5, "b" -> 0.125), salt = "s1")
+    val counts = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 2000.0) < 200, s"got $counts")
+    assert(math.abs(counts("b") - 500.0) < 120, s"got $counts")
+    // unlisted strata default to dropped
+    val dropped = Sampling.stratifiedSample(
+      df.withColumn("stratum", lit("zzz")), "id", "stratum", Map("a" -> 0.5))
+    assert(dropped.count() == 0)
+    // deterministic: re-evaluation returns the identical row set
+    assert(kept.collect().map(_.getLong(0)).toSet ==
+      kept.collect().map(_.getLong(0)).toSet)
+  }
+
   test("multimodal: real PPM/BMP decode with exact expected features") {
     import graft.ops.ImageCodecs
     // 2x2 test image: red, green / blue, white
