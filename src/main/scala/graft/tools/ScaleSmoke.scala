@@ -69,6 +69,21 @@ object ScaleSmoke {
           bids.select(col("l_orderkey"),
             col("l_extendedprice").cast("double").as("score")),
           "score", "ranking").count())
+
+      // as-of join at scale: key = orderkey bucket (dense keys), both sides
+      // n*600k rows — linear growth proves the union+window shape holds
+      time(s"as-of join ($rows left x $rows right)") {
+        val l = bids.select((col("l_orderkey") % 10000).as("k"),
+          col("l_orderkey").as("t"), col("l_quantity"))
+        val r = bids.select((col("l_orderkey") % 10000).as("k"),
+          (col("l_orderkey") - 5).as("t"), col("l_orderkey").as("rid"),
+          col("l_extendedprice").as("rv"))
+        // aggregate over the MATCH column: a bare count() would let
+        // Catalyst prune the window away and time only the union
+        graft.ops.Joins.asofJoinBackward(l, r, "k", "t", "t", "rid",
+            payloadCols = Seq("rid", "rv"))
+          .agg(count(col("asof_rid"))).collect()
+      }
     }
     spark.stop()
   }
