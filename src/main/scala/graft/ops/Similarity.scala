@@ -32,6 +32,44 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExpressions.cosine(a, b)
 
+  /** L2-normalize a vector: `v / ||v||_2`. Zero-norm vectors normalize to
+    * null (the IEEE result would be an all-NaN vector, which then poisons
+    * every downstream dot product silently — null is loud). */
+  def l2Normalize(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm === 0.0 || isnan(norm), lit(null))
+      .otherwise(transform(vec, x => x.cast("double") / norm))
+  }
+
+  /** Symmetric int8 quantization: `code_i = clamp(round_half_away(v_i /
+    * scale * 127), ±127)` with `scale = max|v_i|` per vector. 4x smaller
+    * than float32 at rest — the standard storage/bandwidth lever for
+    * 100 TB embedding tables — and exactly reproducible by any engine
+    * (max is order-independent and the rounding is explicit floor-based,
+    * so the DuckDB oracle recomputes identical codes). Zero vectors get
+    * scale 0 and all-zero codes. Returns `struct(scale double,
+    * codes array<tinyint>)`; invert with [[dequantizeInt8]]. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double"))))
+    val codes = transform(vec, { x =>
+      val r = x.cast("double") / scale * lit(127.0)
+      // explicit half-away-from-zero: engines disagree on round()'s mode
+      val q = signum(r) * floor(abs(r) + lit(0.5))
+      greatest(lit(-127.0), least(lit(127.0), q)).cast("byte")
+    })
+    struct(
+      scale.as("scale"),
+      when(scale === 0.0, transform(vec, _ => lit(0).cast("byte")))
+        .otherwise(codes).as("codes"))
+  }
+
+  /** Dequantize [[quantizeInt8]] output back to doubles:
+    * `code * scale / 127`. Max absolute error is `scale / 254`. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c.cast("double") * q.getField("scale") / lit(127.0))
+
   /** All-pairs cosine between a (small, broadcast) query frame and the
     * corpus. The query side is broadcast so the corpus streams through in
     * one pass — the only scalable shape for 100 TB x small-query workloads.

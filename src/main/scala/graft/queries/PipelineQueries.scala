@@ -181,6 +181,22 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    "q37_quantize_embed" -> { (s, dir) =>
+      // int8 embedding quantization (4x storage at 100 TB): scale is
+      // order-independent (max), codes use explicit half-away rounding,
+      // so DuckDB recomputes them identically; the dequantized sum is
+      // rounded (summation order differs across engines).
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"),
+          col("embedding"))
+        .select(col("vec_id"),
+          col("q.scale").as("scale"),
+          aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c.cast("long")).as("code_sum"),
+          round(aggregate(Similarity.dequantizeInt8(col("q")), lit(0.0), (acc, x) => acc + x), 6)
+            .as("dequant_sum_r"))
+        .orderBy("vec_id")
+    },
+
     // -------------------------------------- hash-based ops (rows-only)
 
     "q41_minhash_buckets" -> { (s, dir) =>
@@ -353,6 +369,26 @@ object PipelineQueries {
         |       WHEN uh < 1.0 THEN 'test'
         |       ELSE NULL END AS split
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q37_quantize_embed" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |    ELSE list_transform(embedding, x ->
+        |      CAST(GREATEST(-127.0, LEAST(127.0,
+        |        sign(CAST(x AS DOUBLE) / scale * 127.0) *
+        |        floor(abs(CAST(x AS DOUBLE) / scale * 127.0) + 0.5))) AS INTEGER))
+        |    END AS codes
+        |  FROM q
+        |)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  round(list_sum(list_transform(codes, cd -> CAST(cd AS DOUBLE) * scale / 127.0)), 6) AS dequant_sum_r
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "q40_dedup_exact" ->
       """WITH d AS (

@@ -439,6 +439,46 @@ class OpsSpec extends SparkSpec {
     assert(ImageCodecs.decode(crlf).get.rgb.toSeq == rgb.toSeq)
   }
 
+  test("l2 normalize and int8 quantization round-trip within error bound") {
+    val df = Seq(
+      (0L, Seq(3.0f, 4.0f)),          // norm 5
+      (1L, Seq(0.0f, 0.0f)),          // zero vector
+      (2L, Seq(-1.0f, 0.5f, 0.25f))
+    ).toDF("vec_id", "v")
+
+    val normed = df.select(col("vec_id"), Similarity.l2Normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Double](1)).map(_.toSeq)).toMap
+    assert(normed(0L) == Some(Seq(0.6, 0.8)))
+    assert(normed(1L) == None, "zero-norm vector must normalize to null, not NaN")
+
+    val q = df.select(col("vec_id"), col("v"),
+        Similarity.quantizeInt8(col("v")).as("q"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"))).as("d"))
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") -> ((r.getAs[org.apache.spark.sql.Row]("q"),
+          r.getSeq[Float](r.fieldIndex("v")),
+          r.getSeq[Double](r.fieldIndex("d"))))
+      }.toMap
+
+    val (q0, v0, d0) = q(0L)
+    assert(q0.getAs[Double]("scale") == 4.0)
+    assert(q0.getSeq[Byte](q0.fieldIndex("codes")) == Seq(95.toByte, 127.toByte)) // round(3/4*127)=95
+    v0.zip(d0).foreach { case (orig, deq) =>
+      assert(math.abs(deq - orig) <= 4.0 / 254.0 + 1e-12, s"$deq vs $orig")
+    }
+
+    val (q1, _, d1) = q(1L)
+    assert(q1.getAs[Double]("scale") == 0.0)
+    assert(d1.forall(_ == 0.0), "zero vector dequantizes to exact zeros")
+
+    val (q2, v2, d2) = q(2L)
+    assert(q2.getSeq[Byte](q2.fieldIndex("codes")).head == (-127).toByte)
+    v2.zip(d2).foreach { case (orig, deq) =>
+      assert(math.abs(deq - orig) <= 1.0 / 254.0 + 1e-12)
+    }
+  }
+
   test("hash split: deterministic, partition-invariant, proportional") {
     import graft.ops.Sampling
     val ids = spark.range(0, 10000).toDF("id")
