@@ -70,6 +70,50 @@ object Similarity {
     transform(q.getField("codes"),
       c => c.cast("double") * q.getField("scale") / lit(127.0))
 
+  /** Two-stage quantized retrieval: an int8-code dot-product prefilter
+    * streams the whole corpus (integer math over 4x-smaller vectors —
+    * the scan stage a 100 TB deployment runs over the quantized table),
+    * then only the top `rerank` candidates per query are re-scored with
+    * exact float cosine. Code dot products are exact integers (well under
+    * 2^53), so the candidate set is deterministic and engine-reproducible;
+    * ties break toward the smaller corpus id at both stages. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      rerank: Int,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding"
+  ): DataFrame = {
+    require(rerank >= k, "rerank pool must be at least k")
+    // codes as double arrays so the native codegen'd DotProduct does the
+    // integer arithmetic (values are exact in doubles)
+    def codesD(vec: Column) =
+      transform(quantizeInt8(vec).getField("codes"), c => c.cast("double"))
+    val c = corpus.select(col(corpusId), col(corpusVec).as("__cvec"),
+      codesD(col(corpusVec)).as("__ccodes"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qvec"), codesD(col(queryVec)).as("__qcodes")))
+
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col(corpusId).asc)
+    val candidates = c.join(q, col(corpusId) =!= col("query_id"))
+      .withColumn("approx", dot(col("__qcodes"), col("__ccodes")))
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= rerank)
+
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    candidates
+      .withColumn("cosine", cosine(col("__qvec"), col("__cvec")))
+      .filter(!isnan(col("cosine")))
+      .withColumn("nn_rank", row_number().over(wExact))
+      .filter(col("nn_rank") <= k)
+      .select(col("query_id"), col(corpusId), col("cosine"), col("nn_rank"))
+  }
+
   /** All-pairs cosine between a (small, broadcast) query frame and the
     * corpus. The query side is broadcast so the corpus streams through in
     * one pass — the only scalable shape for 100 TB x small-query workloads.

@@ -197,6 +197,16 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    "q38_quantized_topk" -> { (s, dir) =>
+      // two-stage retrieval over the quantized corpus: integer code-dot
+      // prefilter (deterministic: exact ints) -> exact cosine rerank.
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5), k = 10, rerank = 30)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine_r"), col("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    },
+
     // -------------------------------------- hash-based ops (rows-only)
 
     "q41_minhash_buckets" -> { (s, dir) =>
@@ -389,6 +399,40 @@ object PipelineQueries {
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
         |  round(list_sum(list_transform(codes, cd -> CAST(cd AS DOUBLE) * scale / 127.0)), 6) AS dequant_sum_r
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q38_quantized_topk" ->
+      """WITH c0 AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |), cod AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0.0)
+        |    ELSE list_transform(embedding, x ->
+        |      GREATEST(-127.0, LEAST(127.0,
+        |        sign(CAST(x AS DOUBLE) / scale * 127.0) *
+        |        floor(abs(CAST(x AS DOUBLE) / scale * 127.0) + 0.5))))
+        |    END AS codes
+        |  FROM c0
+        |), qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, codes AS qc FROM cod WHERE vec_id < 5
+        |), cand AS (
+        |  SELECT query_id, c.vec_id, c.embedding AS cv, qs.qv,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_dot_product(qs.qc, c.codes) DESC, c.vec_id) AS arank
+        |  FROM cod c, qs WHERE c.vec_id <> query_id
+        |), scored AS (
+        |  SELECT query_id, vec_id,
+        |    list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cosine
+        |  FROM cand WHERE arank <= 30
+        |), rk AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, nn_rank
+        |FROM rk WHERE nn_rank <= 10 ORDER BY query_id, nn_rank""".stripMargin,
 
     "q40_dedup_exact" ->
       """WITH d AS (

@@ -479,6 +479,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k recalls the exact neighbors after rerank") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, queries, k = 10, rerank = 40)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@10 after int8 prefilter = $recall")
+  }
+
   test("hash split: deterministic, partition-invariant, proportional") {
     import graft.ops.Sampling
     val ids = spark.range(0, 10000).toDF("id")
