@@ -50,7 +50,16 @@ object Similarity {
     * so the DuckDB oracle recomputes identical codes). Zero vectors get
     * scale 0 and all-zero codes. Returns `struct(scale double,
     * codes array<tinyint>)`; invert with [[dequantizeInt8]]. */
-  def quantizeInt8(vec: Column): Column = {
+  def quantizeInt8(vec: Column): Column =
+    struct(
+      graft.expressions.QuantizeExpressions.maxAbs(vec).as("scale"),
+      graft.expressions.QuantizeExpressions.int8Codes(vec)
+        .cast("array<tinyint>").as("codes"))
+
+  /** HOF formulation of the same quantization (identical values — the
+    * differential-test oracle for the native fused
+    * [[graft.expressions.Int8Codes]]/[[graft.expressions.MaxAbs]]). */
+  def quantizeInt8Hof(vec: Column): Column = {
     val scale = array_max(transform(vec, x => abs(x.cast("double"))))
     val codes = transform(vec, { x =>
       val r = x.cast("double") / scale * lit(127.0)
@@ -89,9 +98,9 @@ object Similarity {
   ): DataFrame = {
     require(rerank >= k, "rerank pool must be at least k")
     // codes as double arrays so the native codegen'd DotProduct does the
-    // integer arithmetic (values are exact in doubles)
-    def codesD(vec: Column) =
-      transform(quantizeInt8(vec).getField("codes"), c => c.cast("double"))
+    // integer arithmetic (values are exact in doubles); the fused native
+    // Int8Codes emits that shape directly — no HOF in the scan stage
+    def codesD(vec: Column) = graft.expressions.QuantizeExpressions.int8Codes(vec)
     val c = corpus.select(col(corpusId), col(corpusVec).as("__cvec"),
       codesD(col(corpusVec)).as("__ccodes"))
     val q = broadcast(queries.select(col(queryId).as("query_id"),

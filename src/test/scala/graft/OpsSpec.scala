@@ -591,6 +591,22 @@ class OpsSpec extends SparkSpec {
     assert(feats(2L) == Multimodal.fakeDecode("not an image at all".getBytes("UTF-8"), 8).toSeq)
   }
 
+  test("native Int8Codes/MaxAbs match the HOF quantization exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    emb.select(
+        Similarity.quantizeInt8(col("embedding")).as("fast"),
+        Similarity.quantizeInt8Hof(col("embedding")).as("slow"))
+      .collect().foreach { r =>
+        val f = r.getStruct(0); val s = r.getStruct(1)
+        assert(f.getDouble(0) == s.getDouble(0), "scale must match bit-exactly")
+        assert(f.getSeq[Byte](1) == s.getSeq[Byte](1), "codes must match")
+      }
+    val z = Seq((0L, Seq(0.0f, 0.0f))).toDF("id", "embedding")
+      .select(Similarity.quantizeInt8(col("embedding")).as("fast"),
+        Similarity.quantizeInt8Hof(col("embedding")).as("slow")).head()
+    assert(z.getStruct(0) == z.getStruct(1), "zero vector: all-zero codes both ways")
+  }
+
   test("fused HyperplaneBits matches composed formulation exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val both = emb.select(
