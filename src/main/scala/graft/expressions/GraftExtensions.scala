@@ -37,7 +37,15 @@ object GraftFunctions {
     (FunctionIdentifier("graft_cosine"),
       info(classOf[CosineSimilarity], "graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two array<double> columns."),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("graft_maxabs"),
+      info(classOf[MaxAbs], "graft_maxabs",
+        "graft_maxabs(v) - max absolute value of an array<double> column (int8 quantization scale)."),
+      (children: Seq[Expression]) => MaxAbs(children(0))),
+    (FunctionIdentifier("graft_int8_codes"),
+      info(classOf[Int8Codes], "graft_int8_codes",
+        "graft_int8_codes(v) - symmetric int8 quantization codes of an array<double> column, as array<double>."),
+      (children: Seq[Expression]) => Int8Codes(children(0)))
   )
 
   /** Idempotently register the functions on an existing session. */

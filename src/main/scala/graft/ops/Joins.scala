@@ -84,6 +84,29 @@ object Joins {
     matched.select(leftCols ++ rightCols: _*)
   }
 
+  /** Forward as-of join: for every left row, the right row with the
+    * SMALLEST `rightTimeCol` at-or-after `leftTimeCol` within the key —
+    * [[asofJoinBackward]] on negated times. `tolerance` bounds
+    * `rightTime - leftTime`; ties on time still break toward the larger
+    * `rightTieCol`. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightTieCol: String,
+      payloadCols: Seq[String],
+      tolerance: Option[Long] = None
+  ): DataFrame =
+    asofJoinBackward(
+      left.withColumn("__fwd_t", -col(leftTimeCol).cast("long")),
+      right.withColumn("__fwd_t", -col(rightTimeCol).cast("long")),
+      keyCol, "__fwd_t", "__fwd_t", rightTieCol,
+      payloadCols = (rightTimeCol +: payloadCols).distinct,
+      tolerance = tolerance)
+      .drop("__fwd_t", "asof___fwd_t")
+
   /** Range (interval) join: every left row paired with every interval row
     * whose `[loCol, hiCol)` contains `valueCol`. Intervals may overlap.
     *

@@ -235,6 +235,10 @@ class OpsSpec extends SparkSpec {
     // idempotent re-registration
     graft.expressions.GraftFunctions.register(spark)
     assert(spark.sql("SELECT graft_dot(array(1.0D), array(2.0D))").head().getDouble(0) == 2.0)
+    // quantization expressions are registered too
+    assert(spark.sql("SELECT graft_maxabs(array(-3.0D, 2.0D))").head().getDouble(0) == 3.0)
+    assert(spark.sql("SELECT graft_int8_codes(array(-3.0D, 1.5D))")
+      .head().getSeq[Double](0) == Seq(-127.0, 64.0))
   }
 
   test("one-pass CosineSimilarity matches composed formulation bit-for-bit") {
@@ -385,6 +389,25 @@ class OpsSpec extends SparkSpec {
       (102L, 2L),             // v=10: hi of iv1 is EXCLUSIVE, lo half of iv2
       (104L, 3L)              // v=15 excluded (hi of iv2), v=99 matches nothing
     ))
+  }
+
+  test("as-of join forward: earliest at-or-after match with tolerance") {
+    import graft.ops.Joins
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 20L)).toDF("key", "t", "lv")
+    val right = Seq((1L, 100L, 101L, 1.0), (1L, 150L, 102L, 2.0), (1L, 400L, 103L, 3.0))
+      .toDF("key", "t", "rid", "rv")
+    val out = Joins.asofJoinForward(left, right, "key", "t", "t", "rid",
+        payloadCols = Seq("rid", "rv"))
+      .collect().map(r => r.getAs[Long]("lv") ->
+        ((Option(r.getAs[Any]("asof_rid")), Option(r.getAs[Any]("asof_t"))))).toMap
+    assert(out(10L) == ((Some(101L), Some(100L)))) // inclusive at-or-after
+    assert(out(20L) == ((Some(103L), Some(400L)))) // next future event
+    // tolerance drops matches further than 100 ticks ahead
+    val tol = Joins.asofJoinForward(left, right, "key", "t", "t", "rid",
+        payloadCols = Seq("rid"), tolerance = Some(100L))
+      .collect().map(r => r.getAs[Long]("lv") -> Option(r.getAs[Any]("asof_rid"))).toMap
+    assert(tol(10L) == Some(101L))
+    assert(tol(20L) == None) // 400 - 200 = 200 > 100
   }
 
   test("as-of join: null keys never match (SQL equality semantics)") {

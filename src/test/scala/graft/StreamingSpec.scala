@@ -97,6 +97,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sliding windows match batch sliding aggregation on replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val rows = ev.as[(Timestamp, String, Double)].collect().toSeq
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val windowed = StreamingEval.slidingEventStats(
+      input.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "1 hour", slide = "15 minutes")
+    val query = windowed.writeStream.format("memory").queryName("diff_slide")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows) // one batch: nothing late, complete == batch
+      query.processAllAvailable()
+      val streamed = spark.table("diff_slide")
+        .select(col("window.start").cast("long"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream ${streamed.size} vs batch ${batch.size} windows")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops canonical duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
