@@ -25,6 +25,35 @@ object Pipelines {
 
   final case class CleanResult(df: DataFrame, stats: () => CleanStats)
 
+  /** Full training-data preparation in one lazy plan: [[cleanCorpus]]
+    * (exact + near dedup, quality gate, language allowlist), per-document
+    * enrichment (token count, language id, canonical fingerprint — all
+    * codegen'd column arithmetic), then a deterministic train/val/test
+    * carve via [[Sampling.withSplit]] (reproducible across runs, cluster
+    * sizes, and repartitioning). The funnel counts come from the
+    * underlying clean stats. */
+  def prepareTrainingCorpus(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nearDupThreshold: Double = 0.85,
+      minQuality: Double = 40.0,
+      langAllowlist: Seq[String] = Nil,
+      splits: Seq[(String, Double)] = Seq(
+        "train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
+      salt: String = "graft"
+  ): CleanResult = {
+    val cleaned = cleanCorpus(docs, textCol, idCol,
+      nearDupThreshold, minQuality, langAllowlist)
+    val enriched = cleaned.df
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    CleanResult(
+      Sampling.withSplit(enriched, idCol, splits, salt),
+      cleaned.stats)
+  }
+
   def cleanCorpus(
       docs: DataFrame,
       textCol: String = "text",

@@ -261,6 +261,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q39_training_corpus" -> { (s, dir) =>
+      // the full preparation flow (clean -> enrich -> split) as one lazy
+      // plan; hash-dependent via minhash near-dup, so rows-only
+      graft.ops.Pipelines.prepareTrainingCorpus(
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0)
+        .df.select("doc_id", "split", "n_tokens", "lang_id")
+        .orderBy("doc_id")
+    },
+
     "q56_embedding_near_dup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,

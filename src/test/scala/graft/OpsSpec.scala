@@ -515,6 +515,27 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@10 after int8 prefilter = $recall")
   }
 
+  test("prepareTrainingCorpus cleans, enriches, and splits in one plan") {
+    import graft.ops.Pipelines
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and keeps running", "a"),
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running", "a"), // exact dup
+      (2L, "a completely different document about spark engines and scale", "b"),
+      (3L, "x", "b") // single char: length term ~17, no stopwords -> ~47
+    ).toDF("doc_id", "text", "source")
+    val result = Pipelines.prepareTrainingCorpus(corpus,
+      nearDupThreshold = 0.9, minQuality = 60.0,
+      splits = Seq("train" -> 0.75, "val" -> 0.25), salt = "t")
+    val rows = result.df.collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(0L, 2L), s"dup and low-quality docs dropped, got $ids")
+    assert(result.df.columns.contains("split"))
+    assert(rows.forall(r => Set("train", "val").contains(r.getAs[String]("split"))))
+    assert(rows.forall(_.getAs[Int]("n_tokens") > 0))
+    val stats = result.stats()
+    assert(stats.input == 4 && stats.afterExactDedup == 3 && stats.output == 2)
+  }
+
   test("hash split: deterministic, partition-invariant, proportional") {
     import graft.ops.Sampling
     val ids = spark.range(0, 10000).toDF("id")

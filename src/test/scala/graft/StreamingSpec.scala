@@ -126,6 +126,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("scoreStream with frozen cohort stats reproduces batch final scores") {
+    implicit val sqlCtx = spark.sqlContext
+    val suppliers = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .select("s_suppkey", "s_acctbal", "s_nationkey")
+    val ev = new Evaluator()
+      .linear("s_acctbal", 0.7)
+      .minRatio("s_nationkey", 0.3)
+    val batchResult = ev.evaluateResult(suppliers)
+    val expected = batchResult.df.collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Double]("final_score")).toMap
+
+    val input = MemoryStream[(Long, Double, Long)]
+    val scored = StreamingEval.scoreStream(
+      input.toDF().toDF("s_suppkey", "s_acctbal", "s_nationkey"),
+      ev, batchResult.statistics)
+    val query = scored.writeStream.format("memory").queryName("score_diff")
+      .outputMode("append").start()
+    try {
+      val rows = suppliers.collect().map(r =>
+        (r.getAs[Long]("s_suppkey"), r.getAs[Double]("s_acctbal"),
+          r.getAs[Int]("s_nationkey").toLong))
+      input.addData(rows.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("score_diff").collect()
+        .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Double]("final_score")).toMap
+      assert(streamed.keySet == expected.keySet)
+      // identical expressions + identical stats literals -> identical bits
+      streamed.foreach { case (k, v) => assert(v == expected(k), s"supplier $k") }
+    } finally query.stop()
+  }
+
   test("streaming dedup drops canonical duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
