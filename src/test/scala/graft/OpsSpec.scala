@@ -410,6 +410,49 @@ class OpsSpec extends SparkSpec {
     assert(tol(20L) == None) // 400 - 200 = 200 > 100
   }
 
+  test("range join plans an equi-join, never a nested-loop range predicate") {
+    import graft.ops.Joins
+    val intervals = spark.range(0, 200).select(col("id").as("iv_id"),
+      (col("id") * 10.0).as("lo"), (col("id") * 10.0 + 15.0).as("hi"))
+    val values = spark.range(0, 5000).select(col("id").as("v_id"),
+      (col("id") % 2000 * 1.0).as("v"))
+    val joined = Joins.rangeJoin(values, "v", intervals, "lo", "hi", bucketWidth = 10.0)
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must pair via the bucket equi-join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on the bucket id:\n$plan")
+  }
+
+  test("as-of join matches a naive reference on randomized data") {
+    import graft.ops.Joins
+    val rnd = new scala.util.Random(20260812)
+    val left = Seq.fill(300)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong,
+      rnd.nextLong().abs % 100000))
+    val right = Seq.fill(300)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong,
+      rnd.nextLong().abs % 100000, rnd.nextDouble()))
+
+    // naive reference: argmax over all at-or-before candidates, tie -> max rid
+    val expected = left.map { case (k, t, lv) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      val best = if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._2, r._3))).map(r => (r._3, r._4))
+      (k, t, lv) -> best
+    }.toMap
+
+    val out = Joins.asofJoinBackward(
+        left.toDF("key", "t", "lv"), right.toDF("key", "t", "rid", "rv"),
+        "key", "t", "t", "rid", payloadCols = Seq("rid", "rv"))
+      .collect().map { r =>
+        val m = if (r.isNullAt(r.fieldIndex("asof_rid"))) None
+          else Some((r.getAs[Long]("asof_rid"), r.getAs[Double]("asof_rv")))
+        (r.getAs[Long]("key"), r.getAs[Long]("t"), r.getAs[Long]("lv")) -> m
+      }.toMap
+    assert(out.size == expected.size)
+    expected.foreach { case (k, v) => assert(out(k) == v, s"mismatch at $k") }
+  }
+
   test("as-of join: null keys never match (SQL equality semantics)") {
     import graft.ops.Joins
     val left = Seq((Option(1L), 100L, 1L), (None: Option[Long], 100L, 2L))
