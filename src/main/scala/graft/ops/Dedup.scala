@@ -245,6 +245,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Benchmark-contamination check: which `bench` documents leak into
+    * `corpus`? A cross-corpus inverted-index join (same shape as
+    * [[jaccardPairs]], but between two different tables) scoring
+    * CONTAINMENT — `|tokens(corpus_doc) ∩ tokens(bench_doc)| /
+    * |tokens(bench_doc)|` — the standard contamination metric: a short
+    * benchmark item fully embedded in a long training document scores 1.0
+    * where symmetric Jaccard would dilute it.
+    *
+    * Scale shape: only (id, token) pairs shuffle; `maxDocFreq` caps
+    * stop-token fan-out by CORPUS document frequency (the big side).
+    * Word n-grams (`ngram` > 1) make matches structural instead of
+    * bag-of-words. */
+  def contaminationPairs(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      ngram: Int = 3,
+      maxDocFreq: Option[Long] = None
+  ): DataFrame = {
+    def grams(df: DataFrame, idOut: String): DataFrame = {
+      val toks = TextAnalysis.tokens(lower(col(textCol)))
+      val g =
+        if (ngram == 1) toks
+        else transform(
+          sequence(lit(0), greatest(size(toks) - lit(ngram), lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(ngram))))
+      df.select(col(idCol).as(idOut), explode(array_distinct(g)).as("tok"))
+    }
+    val filtered = maxDocFreq match {
+      case Some(cap) =>
+        // two references (DF aggregate + join) -> materialization barrier,
+        // or Catalyst re-tokenizes the corpus per reference
+        val corpusToks = grams(corpus, "corpus_id").repartition(col("corpus_id"))
+        val keep = corpusToks.groupBy("tok").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("tok")
+        corpusToks.join(keep, Seq("tok"), "left_semi")
+      case None => grams(corpus, "corpus_id") // single reference: no barrier
+    }
+    // bench side is small and referenced twice (join + sizes)
+    val benchToks = grams(bench, "bench_id").repartition(col("bench_id"))
+    val benchSizes = benchToks.groupBy("bench_id").agg(count(lit(1)).as("bench_sz"))
+
+    filtered.join(benchToks, Seq("tok"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_common"))
+      .join(benchSizes, "bench_id")
+      .withColumn("containment",
+        col("n_common").cast("double") / col("bench_sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("corpus_id", "bench_id", "n_common", "containment")
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed (hyperplane bits
     * via [[Similarity.hyperplaneBucket]]) then exact-cosine verified. */
   def embeddingNearDupPairs(

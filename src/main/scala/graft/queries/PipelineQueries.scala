@@ -270,6 +270,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q58_contamination" -> { (s, dir) =>
+      // benchmark-contamination check: treat doc_id >= 400 as the held-out
+      // benchmark and find its documents embedded in the doc_id < 400
+      // training corpus (trigram containment — planted near-dups cross
+      // the boundary).
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "text", "doc_id", threshold = 0.5, ngram = 3)
+        .orderBy("corpus_id", "bench_id")
+    },
+
     "q56_embedding_near_dup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
@@ -451,6 +464,30 @@ object PipelineQueries {
         |SELECT doc_id, fingerprint,
         |  COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q58_contamination" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
+        |  FROM base
+        |), d AS (
+        |  SELECT DISTINCT doc_id, tok FROM tri
+        |), c AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
+        |b AS (SELECT doc_id AS bench_id, tok FROM d WHERE doc_id >= 400),
+        |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
+        |common AS (
+        |  SELECT corpus_id, bench_id, COUNT(*) AS n_common
+        |  FROM c JOIN b USING (tok) GROUP BY corpus_id, bench_id
+        |)
+        |SELECT corpus_id, bench_id, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) AS containment
+        |FROM common JOIN sizes USING (bench_id)
+        |WHERE CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) >= 0.5
+        |ORDER BY corpus_id, bench_id""".stripMargin,
 
     "q42_jaccard_pairs" ->
       """WITH toks AS (

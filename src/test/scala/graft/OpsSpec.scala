@@ -410,6 +410,26 @@ class OpsSpec extends SparkSpec {
     assert(tol(20L) == None) // 400 - 200 = 200 > 100
   }
 
+  test("contamination check finds benchmark docs embedded in the corpus") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "totally unrelated training text about distributed engines here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "beta gamma delta epsilon zeta"),   // fully contained in doc 0
+      (101L, "lambda mu nu xi omicron pi rho")   // not present
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationPairs(corpus, bench, "text", "doc_id",
+        threshold = 0.8, ngram = 3)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Double]("containment")))
+    assert(hits.toSeq == Seq((0L, 100L, 1.0)), s"got ${hits.toSeq}")
+    // with a DF cap none of the corpus trigrams are frequent enough to drop
+    val capped = Dedup.contaminationPairs(corpus, bench, "text", "doc_id",
+      threshold = 0.8, ngram = 3, maxDocFreq = Some(10L)).count()
+    assert(capped == 1L)
+  }
+
   test("range join plans an equi-join, never a nested-loop range predicate") {
     import graft.ops.Joins
     val intervals = spark.range(0, 200).select(col("id").as("iv_id"),
