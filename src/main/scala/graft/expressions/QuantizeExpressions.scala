@@ -13,10 +13,13 @@ import org.apache.spark.sql.types._
   * The HOF formulation (`array_max(transform(...))` + nested `transform`)
   * interprets its lambdas per element outside whole-stage codegen; at
   * 100 TB the per-vector quantize is the innermost loop of the quantized
-  * scan, so like [[DotProduct]] it gets fused single-pass codegen. Kept
-  * bit-compatible with the HOF formulation in
-  * [[graft.ops.Similarity.quantizeInt8Hof]], which serves as the
-  * differential-test oracle.
+  * scan, so like [[DotProduct]] it gets fused single-pass codegen.
+  * Bit-compatible with the HOF formulation in
+  * [[graft.ops.Similarity.quantizeInt8Hof]] for FINITE, non-null element
+  * values (the differential-test oracle's domain); on corrupt inputs
+  * (null/NaN/Inf elements) the native expressions null the whole result —
+  * the engine's "null is loud" contract — where the HOF chain would emit
+  * per-element garbage.
   */
 private[graft] trait DoubleArrayUnary extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -27,7 +30,9 @@ private[graft] trait DoubleArrayUnary extends UnaryExpression {
 }
 
 /** max(|v_i|) over a double array — the per-vector quantization scale.
-  * Null elements make the result null (same contract as [[DotProduct]]). */
+  * Null or non-finite (NaN/Inf) elements make the result null: the
+  * engine-wide "NaN ≡ null, and null is loud" contract — a corrupt
+  * embedding must not silently produce garbage codes. */
 case class MaxAbs(child: Expression)
     extends DoubleArrayUnary with Serializable {
 
@@ -41,7 +46,9 @@ case class MaxAbs(child: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i)) return null
-      val av = math.abs(x.getDouble(i))
+      val v = x.getDouble(i)
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
+      val av = math.abs(v)
       if (av > m) m = av
       i += 1
     }
@@ -51,13 +58,18 @@ case class MaxAbs(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val m = ctx.freshName("m"); val av = ctx.freshName("av")
+      val m = ctx.freshName("m"); val v = ctx.freshName("v")
+      val av = ctx.freshName("av")
       s"""
          |int $n = $a.numElements();
          |double $m = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double $av = java.lang.Math.abs($a.getDouble($i));
+         |  double $v = $a.getDouble($i);
+         |  if (java.lang.Double.isNaN($v) || java.lang.Double.isInfinite($v)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  double $av = java.lang.Math.abs($v);
          |  if ($av > $m) $m = $av;
          |}
          |if (!${ev.isNull}) { ${ev.value} = $m; }
@@ -70,11 +82,10 @@ case class MaxAbs(child: Expression)
 
 /** Symmetric int8 quantization codes in ONE fused pass: scale = max|v_i|,
   * `code_i = clamp(sign(r)*floor(|r|+0.5), ±127)` with `r = v_i/scale*127`
-  * (half-away-from-zero, like the HOF/oracle formulation; NaN r clamps to
-  * 127 exactly as Spark's `least(127, NaN)` does). Zero scale yields all
-  * zeros. Emitted as array<double> (values are exact integers) so it feeds
-  * [[DotProduct]] directly; cast to array<tinyint> for storage. Null
-  * elements make the whole result null. */
+  * (half-away-from-zero). Zero scale yields all zeros. Null or non-finite
+  * elements make the whole result null (see [[MaxAbs]]). Emitted as
+  * array<double> (values are exact integers) so it feeds [[DotProduct]]
+  * directly; cast to array<tinyint> for storage. */
 case class Int8Codes(child: Expression)
     extends DoubleArrayUnary with Serializable {
 
@@ -88,7 +99,9 @@ case class Int8Codes(child: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i)) return null
-      val av = math.abs(x.getDouble(i))
+      val v = x.getDouble(i)
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
+      val av = math.abs(v)
       if (av > scale) scale = av
       i += 1
     }
@@ -98,8 +111,7 @@ case class Int8Codes(child: Expression)
       while (i < n) {
         val r = x.getDouble(i) / scale * 127.0
         var q = math.signum(r) * math.floor(math.abs(r) + 0.5)
-        if (java.lang.Double.isNaN(q)) q = 127.0
-        else if (q > 127.0) q = 127.0
+        if (q > 127.0) q = 127.0
         else if (q < -127.0) q = -127.0
         out(i) = q
         i += 1
@@ -111,7 +123,8 @@ case class Int8Codes(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val scale = ctx.freshName("scale"); val av = ctx.freshName("av")
+      val scale = ctx.freshName("scale"); val v = ctx.freshName("v")
+      val av = ctx.freshName("av")
       val out = ctx.freshName("out"); val r = ctx.freshName("r")
       val q = ctx.freshName("q"); val j = ctx.freshName("j")
       s"""
@@ -119,7 +132,11 @@ case class Int8Codes(child: Expression)
          |double $scale = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double $av = java.lang.Math.abs($a.getDouble($i));
+         |  double $v = $a.getDouble($i);
+         |  if (java.lang.Double.isNaN($v) || java.lang.Double.isInfinite($v)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  double $av = java.lang.Math.abs($v);
          |  if ($av > $scale) $scale = $av;
          |}
          |if (!${ev.isNull}) {
@@ -128,8 +145,7 @@ case class Int8Codes(child: Expression)
          |    for (int $j = 0; $j < $n; $j++) {
          |      double $r = $a.getDouble($j) / $scale * 127.0;
          |      double $q = java.lang.Math.signum($r) * java.lang.Math.floor(java.lang.Math.abs($r) + 0.5);
-         |      if (java.lang.Double.isNaN($q)) $q = 127.0;
-         |      else if ($q > 127.0) $q = 127.0;
+         |      if ($q > 127.0) $q = 127.0;
          |      else if ($q < -127.0) $q = -127.0;
          |      $out[$j] = $q;
          |    }

@@ -19,6 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Distinct word n-grams of the lowercased text (1 = unigram tokens).
+    * Empty/whitespace-only documents yield an EMPTY array for every n —
+    * without the size guard, n>1 would emit one empty-string gram and any
+    * two blank documents would count as sharing content. Shared by
+    * [[jaccardPairs]] and [[contaminationPairs]] so the two set-similarity
+    * paths can never drift apart. */
+  private[ops] def wordGrams(textCol: Column, ngram: Int): Column = {
+    val toks = TextAnalysis.tokens(lower(textCol))
+    val grams =
+      if (ngram == 1) toks
+      else when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), greatest(size(toks) - lit(ngram), lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(ngram)))))
+    array_distinct(grams)
+  }
+
   /** Character k-shingles of the canonicalized text. */
   def shingles(text: Column, k: Int = 5): Column = {
     val canon = TextAnalysis.canonicalize(text)
@@ -203,12 +220,6 @@ object Dedup {
       ngram: Int = 1,
       maxDocFreq: Option[Long] = None
   ): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val grams =
-      if (ngram == 1) toks
-      else transform(
-        sequence(lit(0), greatest(size(toks) - lit(ngram), lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(ngram))))
     val blockKey = blockCol.map(col).getOrElse(lit(0))
 
     // materialization barrier: the tokenize+explode subtree feeds the
@@ -217,7 +228,7 @@ object Dedup {
     // (same hazard as minhashNearDupPairs)
     val docTokens = df
       .select(col(idCol).as("id"), blockKey.as("__blk"),
-        explode(array_distinct(grams)).as("tok"))
+        explode(wordGrams(col(textCol), ngram)).as("tok"))
       .repartition(col("id"))
     val filtered = maxDocFreq match {
       case Some(cap) =>
@@ -254,9 +265,12 @@ object Dedup {
     * where symmetric Jaccard would dilute it.
     *
     * Scale shape: only (id, token) pairs shuffle; `maxDocFreq` caps
-    * stop-token fan-out by CORPUS document frequency (the big side).
-    * Word n-grams (`ngram` > 1) make matches structural instead of
-    * bag-of-words. */
+    * stop-token fan-out by CORPUS document frequency (the big side) and
+    * applies to BOTH sides — bench sizes are computed over surviving
+    * grams so numerator and denominator stay consistent (a cap trades
+    * recall on ubiquitous text for bounded fan-out; with n-grams the DF
+    * is naturally low and the cap is rarely needed). Word n-grams
+    * (`ngram` > 1) make matches structural instead of bag-of-words. */
   def contaminationPairs(
       corpus: DataFrame,
       bench: DataFrame,
@@ -266,27 +280,26 @@ object Dedup {
       ngram: Int = 3,
       maxDocFreq: Option[Long] = None
   ): DataFrame = {
-    def grams(df: DataFrame, idOut: String): DataFrame = {
-      val toks = TextAnalysis.tokens(lower(col(textCol)))
-      val g =
-        if (ngram == 1) toks
-        else transform(
-          sequence(lit(0), greatest(size(toks) - lit(ngram), lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(ngram))))
-      df.select(col(idCol).as(idOut), explode(array_distinct(g)).as("tok"))
-    }
-    val filtered = maxDocFreq match {
+    def grams(df: DataFrame, idOut: String): DataFrame =
+      df.select(col(idCol).as(idOut),
+        explode(wordGrams(col(textCol), ngram)).as("tok"))
+    val (filtered, benchFiltered) = maxDocFreq match {
       case Some(cap) =>
         // two references (DF aggregate + join) -> materialization barrier,
         // or Catalyst re-tokenizes the corpus per reference
         val corpusToks = grams(corpus, "corpus_id").repartition(col("corpus_id"))
         val keep = corpusToks.groupBy("tok").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap).select("tok")
-        corpusToks.join(keep, Seq("tok"), "left_semi")
-      case None => grams(corpus, "corpus_id") // single reference: no barrier
+        // the cap applies to both sides: bench sizes must be computed over
+        // the SAME gram universe as the intersection counts, or a heavily
+        // leaked item scores near 0 (capped numerator, full denominator)
+        (corpusToks.join(keep, Seq("tok"), "left_semi"),
+          grams(bench, "bench_id").join(keep, Seq("tok"), "left_semi"))
+      case None =>
+        (grams(corpus, "corpus_id"), grams(bench, "bench_id"))
     }
     // bench side is small and referenced twice (join + sizes)
-    val benchToks = grams(bench, "bench_id").repartition(col("bench_id"))
+    val benchToks = benchFiltered.repartition(col("bench_id"))
     val benchSizes = benchToks.groupBy("bench_id").agg(count(lit(1)).as("bench_sz"))
 
     filtered.join(benchToks, Seq("tok"))

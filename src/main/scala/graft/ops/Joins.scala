@@ -44,10 +44,14 @@ object Joins {
     val carry = (rightTimeCol +: payloadCols).distinct
     // right rows: key, time, payload struct; __side=0 sorts BEFORE left
     // rows at equal times, making the join inclusive (at-or-before).
-    // Null-key right rows can never match under SQL equality semantics
-    // (the oracle's `l.key = r.key` never holds for null) — drop them so
-    // the null-key window partition doesn't pair nulls with nulls.
-    val r = right.filter(col(keyCol).isNotNull).select(
+    // Null-KEY right rows can never match under SQL equality semantics
+    // (the oracle's `l.key = r.key` never holds for null), and null-TIME
+    // right rows can never satisfy `r.t <= l.t` — yet they would sort
+    // first (asc nulls-first) and be picked up by last(ignoreNulls).
+    // Drop both.
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTimeCol).isNotNull)
+      .select(
       col(keyCol).as("__key"),
       col(rightTimeCol).cast("long").as("__t"),
       col(rightTieCol).cast("long").as("__tie"),

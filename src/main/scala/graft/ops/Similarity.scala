@@ -38,7 +38,9 @@ object Similarity {
   def l2Normalize(vec: Column): Column = {
     val norm = sqrt(aggregate(vec, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    when(norm === 0.0 || isnan(norm), lit(null))
+    // norm is null when the array holds a null element: that case must
+    // also null the WHOLE result, not emit an array of nulls
+    when(norm.isNull || norm === 0.0 || isnan(norm), lit(null))
       .otherwise(transform(vec, x => x.cast("double") / norm))
   }
 

@@ -449,9 +449,11 @@ object PipelineQueries {
         |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cosine
         |  FROM cand WHERE arank <= 30
         |), rk AS (
+        |  -- zero-norm corpus vectors: Spark drops the NaN cosine rows
+        |  -- before ranking; DuckDB's x/0 is NULL — filter to mirror
         |  SELECT query_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
-        |  FROM scored
+        |  FROM scored WHERE cosine IS NOT NULL
         |)
         |SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, nn_rank
         |FROM rk WHERE nn_rank <= 10 ORDER BY query_id, nn_rank""".stripMargin,
@@ -467,13 +469,16 @@ object PipelineQueries {
 
     "q58_contamination" ->
       """WITH base AS (
-        |  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
         |  FROM documents
         |), tri AS (
+        |  -- empty docs emit NO grams (mirrors the engine's size guard)
         |  SELECT doc_id, unnest(list_transform(
         |    range(0, GREATEST(len(toks) - 3, 0) + 1),
         |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
-        |  FROM base
+        |  FROM base WHERE len(toks) > 0
         |), d AS (
         |  SELECT DISTINCT doc_id, tok FROM tri
         |), c AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),

@@ -712,6 +712,41 @@ class OpsSpec extends SparkSpec {
       .select(Similarity.quantizeInt8(col("embedding")).as("fast"),
         Similarity.quantizeInt8Hof(col("embedding")).as("slow")).head()
     assert(z.getStruct(0) == z.getStruct(1), "zero vector: all-zero codes both ways")
+
+    // corrupt inputs: native nulls the WHOLE result (null is loud), where
+    // the HOF chain would emit per-element garbage
+    val corrupt = Seq(
+      Seq(1.0, Double.NaN), Seq(1.0, Double.PositiveInfinity)
+    ).toDF("v").select(
+      graft.expressions.QuantizeExpressions.maxAbs(col("v")).as("s"),
+      graft.expressions.QuantizeExpressions.int8Codes(col("v")).as("c"))
+    corrupt.collect().foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), s"non-finite element must null the result: $r")
+    }
+    val withNull = Seq(Tuple1(Seq(Some(1.0), None))).toDF("v").select(
+      graft.expressions.QuantizeExpressions.int8Codes(col("v")).as("c")).head()
+    assert(withNull.isNullAt(0), "null element must null the result")
+  }
+
+  test("l2Normalize nulls the whole result for null-element vectors") {
+    val rows = Seq(
+      (0L, Seq(Some(3.0f), Some(4.0f))),
+      (1L, Seq(Some(1.0f), None))
+    ).toDF("id", "v").select(col("id"), Similarity.l2Normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(0L) && rows(1L))
+  }
+
+  test("as-of join ignores null-time right rows") {
+    import graft.ops.Joins
+    val left = Seq((1L, 100L, 1L)).toDF("key", "t", "lv")
+    val right = Seq((Option(1L), Option.empty[Long], 9L, 1.0),
+      (Option(1L), Option(50L), 10L, 2.0)).toDF("key", "t", "rid", "rv")
+    val out = Joins.asofJoinBackward(left, right, "key", "t", "t", "rid",
+        payloadCols = Seq("rid"))
+      .head()
+    assert(out.getAs[Long]("asof_rid") == 10L,
+      "null-time right row must not be selected (r.t <= l.t is never true for null)")
   }
 
   test("fused HyperplaneBits matches composed formulation exactly") {
