@@ -77,6 +77,37 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Batched WAV metadata + signal features via [[AudioCodecs.decodeWav]]:
+    * (id, sample_rate, channels, bits, n_frames, duration_us, rms), null
+    * metadata for undecodable payloads (same degrade-don't-crash contract
+    * as the image path). One narrow mapPartitions, no shuffle. */
+  def wavFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val schema = StructType(Seq(
+      idField,
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_us", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        AudioCodecs.decodeWav(bytes) match {
+          case Some(m) =>
+            Row(r.get(idIdx), m.sampleRate, m.channels, m.bitsPerSample,
+              m.nFrames, m.nFrames * 1000000L / m.sampleRate, m.rms)
+          case None =>
+            Row(r.get(idIdx), null, null, null, null, null, null)
+        }
+      }
+    }(encoder)
+  }
+
   /** Attach media metadata columns derivable without decoding (cheap,
     * codegen'd): payload size, leading magic bytes, a content digest. */
   def withMediaMeta(df: DataFrame, payloadCol: String): DataFrame =

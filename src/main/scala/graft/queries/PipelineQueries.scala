@@ -311,6 +311,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q59_wav_meta" -> { (s, dir) =>
+      // real RIFF/WAVE decode: synthesize PCM16 payloads from the document
+      // bytes (deterministic), decode with AudioCodecs, emit metadata the
+      // oracle re-derives from pure length arithmetic.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val wavs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val n = bytes.length / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (((bytes(2 * i + 1) & 0xFF) << 8) | (bytes(2 * i) & 0xFF)).toShort
+            i += 1
+          }
+          Row(r.getLong(0), graft.ops.AudioCodecs.encodeWavPcm16(16000, 1, samples))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+      Multimodal.wavFeatures(wavs, "doc_id", "payload")
+        .select("doc_id", "sample_rate", "channels", "bits", "n_frames", "duration_us")
+        .orderBy("doc_id")
+    },
+
     // ------------------------------------- events tumbling window (batch)
 
     "q51_event_windows" -> { (s, dir) =>
@@ -587,6 +615,15 @@ object PipelineQueries {
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS score,
         |  RANK() OVER (ORDER BY CAST(o_totalprice AS DOUBLE) DESC) AS ranking
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the WAV payload is PCM16 mono @16k built from the utf-8 text bytes,
+    // so every metadata field derives from octet_length arithmetic
+    "q59_wav_meta" ->
+      """SELECT doc_id,
+        |  16000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_frames,
+        |  CAST((octet_length(encode(text)) // 2) * 1000000 // 16000 AS BIGINT) AS duration_us
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q51_event_windows" ->
       """SELECT event_type,

@@ -648,6 +648,36 @@ class OpsSpec extends SparkSpec {
       kept.collect().map(_.getLong(0)).toSet)
   }
 
+  test("wav decode: round-trip, chunk walking, 8-bit, malformed") {
+    import graft.ops.AudioCodecs
+    // 4 samples at full/half scale: rms = sqrt((1 + 0.25 + 1 + 0) / 4)
+    val samples = Array[Short](32767, 16384, -32768, 0)
+    val wav = AudioCodecs.encodeWavPcm16(8000, 1, samples)
+    val m = AudioCodecs.decodeWav(wav).get
+    assert(m.sampleRate == 8000 && m.channels == 1 && m.bitsPerSample == 16)
+    assert(m.nFrames == 4L)
+    val expRms = math.sqrt((math.pow(32767 / 32768.0, 2) + math.pow(16384 / 32768.0, 2)
+      + 1.0 + 0.0) / 4)
+    assert(math.abs(m.rms - expRms) < 1e-12)
+
+    // a LIST chunk between WAVE and fmt must be skipped, not rejected
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val withList = wav.take(12) ++ listChunk ++ wav.drop(12)
+    // fix RIFF size field (4..7): content grew by 12
+    val riffLen = (wav.length - 8) + 12
+    withList(4) = riffLen.toByte; withList(5) = (riffLen >> 8).toByte
+    withList(6) = (riffLen >> 16).toByte; withList(7) = (riffLen >> 24).toByte
+    assert(AudioCodecs.decodeWav(withList).get.nFrames == 4L)
+
+    assert(AudioCodecs.decodeWav("not audio definitely not a riff header padding".getBytes("UTF-8")) == None)
+    assert(AudioCodecs.decodeWav(wav.take(20)) == None)
+
+    // stereo framing: 4 samples / 2 channels = 2 frames
+    val stereo = AudioCodecs.encodeWavPcm16(44100, 2, samples)
+    assert(AudioCodecs.decodeWav(stereo).get.nFrames == 2L)
+  }
+
   test("multimodal: real PPM/BMP decode with exact expected features") {
     import graft.ops.ImageCodecs
     // 2x2 test image: red, green / blue, white
