@@ -311,6 +311,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q60_sequence_packing" -> { (s, dir) =>
+      // concat-then-chunk packing into 512-token sequences, sharded by
+      // source (the scalable shape: prefix sums never cross shards)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.sequencePacking(
+        docs, "doc_id", "n_tokens", "source", budget = 512L, orderCol = "doc_id")
+        .select("doc_id", "source", "n_tokens", "offset",
+          "chunk_first", "chunk_last", "n_chunks")
+        .orderBy("doc_id")
+    },
+
     "q59_wav_meta" -> { (s, dir) =>
       // real RIFF/WAVE decode: synthesize PCM16 payloads from the document
       // bytes (deterministic), decode with AudioCodecs, emit metadata the
@@ -615,6 +628,25 @@ object PipelineQueries {
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS score,
         |  RANK() OVER (ORDER BY CAST(o_totalprice AS DOUBLE) DESC) AS ranking
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q60_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  -- exclusive prefix sum; CAST: DuckDB windowed SUM yields HUGEINT
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS "offset"
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tokens, "offset",
+        |  "offset" // 512 AS chunk_first,
+        |  ("offset" + GREATEST(n_tokens, 1) - 1) // 512 AS chunk_last,
+        |  ("offset" + GREATEST(n_tokens, 1) - 1) // 512 - "offset" // 512 + 1 AS n_chunks
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     // the WAV payload is PCM16 mono @16k built from the utf-8 text bytes,
     // so every metadata field derives from octet_length arithmetic

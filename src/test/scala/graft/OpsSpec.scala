@@ -648,6 +648,24 @@ class OpsSpec extends SparkSpec {
       kept.collect().map(_.getLong(0)).toSet)
   }
 
+  test("sequence packing: exclusive offsets, straddling docs, shard isolation") {
+    import graft.ops.Packing
+    val docs = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 500L), // a: 0, 300, 600
+      (4L, "b", 1200L), (5L, "b", 0L)                    // b: 0, 1200 (empty doc)
+    ).toDF("doc_id", "shard", "n_tokens")
+    val packed = Packing.sequencePacking(docs, "doc_id", "n_tokens", "shard",
+        budget = 512L, orderCol = "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("offset"), r.getAs[Long]("chunk_first"),
+          r.getAs[Long]("chunk_last"), r.getAs[Long]("n_chunks")))).toMap
+    assert(packed(1L) == ((0L, 0L, 0L, 1L)))      // tokens 0-299 in chunk 0
+    assert(packed(2L) == ((300L, 0L, 1L, 2L)))    // 300-599 straddles 511|512
+    assert(packed(3L) == ((600L, 1L, 2L, 2L)))    // 600-1099 straddles 1023|1024
+    assert(packed(4L) == ((0L, 0L, 2L, 3L)))      // shard b restarts at 0; 1200 tokens -> 3 chunks
+    assert(packed(5L) == ((1200L, 2L, 2L, 1L)))   // empty doc occupies its boundary chunk
+  }
+
   test("wav decode: round-trip, chunk walking, 8-bit, malformed") {
     import graft.ops.AudioCodecs
     // 4 samples at full/half scale: rms = sqrt((1 + 0.25 + 1 + 0) / 4)
