@@ -200,6 +200,23 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** [[bruteForceTopK]] with the heap aggregator instead of the ranking
+    * window ([[GroupTopK]]): identical rows, but map-side partial
+    * aggregation reduces each partition to k candidates per query BEFORE
+    * the shuffle — the formulation to use when the corpus side is huge. */
+  def bruteForceTopKAgg(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding"
+  ): DataFrame =
+    GroupTopK.topKPerGroup(
+      crossCosine(corpus, queries, corpusId, corpusVec, queryId, queryVec),
+      Seq("query_id"), corpusId, "cosine", k, rankCol = "nn_rank")
+
   /** Approximate top-k via hyperplane-LSH bucketing: corpus and queries are
     * bucketed with `nTables` independent bit-sets; candidates = corpus rows
     * sharing a bucket with the query in ANY table; exact cosine + top-k is

@@ -109,6 +109,18 @@ object PipelineQueries {
 
     // --------------------------------------------------- text analysis
 
+    "q61_group_topk" -> { (s, dir) =>
+      // heap-aggregated top-k per group (map-side partial aggregation, no
+      // window sort) — must equal SQL's row_number formulation exactly
+      val j = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("price"))
+      graft.ops.GroupTopK.topKPerGroup(j, Seq("n_name"), "o_orderkey", "price", k = 5)
+        .orderBy("n_name", "rank")
+    },
+
     "q36_hash_split" -> { (s, dir) =>
       // deterministic train/val/test carve: pure function of doc_id+salt,
       // reproducible by any engine (oracle recomputes the same md5 cut).
@@ -429,6 +441,19 @@ object PipelineQueries {
         |SELECT o_orderkey, price, n_nationkey, n_name
         |FROM o JOIN bands ON price >= lo AND price < hi
         |ORDER BY o_orderkey, n_nationkey""".stripMargin,
+
+    "q61_group_topk" ->
+      """WITH j AS (
+        |  SELECT n_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |), rk AS (
+        |  SELECT n_name, o_orderkey, price,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY price DESC, o_orderkey) AS rank
+        |  FROM j
+        |)
+        |SELECT n_name, rank, o_orderkey, price
+        |FROM rk WHERE rank <= 5 ORDER BY n_name, rank""".stripMargin,
 
     "q36_hash_split" ->
       """WITH u AS (

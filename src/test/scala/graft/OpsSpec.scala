@@ -648,6 +648,38 @@ class OpsSpec extends SparkSpec {
       kept.collect().map(_.getLong(0)).toSet)
   }
 
+  test("heap top-k aggregator matches the window formulation, windowless plan") {
+    import graft.ops.GroupTopK
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+    val viaAgg = Similarity.bruteForceTopKAgg(emb, queries, k = 7)
+    val aggRows = viaAgg.select("query_id", "nn_rank", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val winRows = Similarity.bruteForceTopK(emb, queries, k = 7)
+      .select("query_id", "nn_rank", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+    assert(aggRows.sorted.toSeq == winRows.sorted.toSeq)
+
+    // the plan must aggregate, not sort-and-rank
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"heap top-k must not plan a window:\n$plan")
+    assert(plan.contains("Aggregate"), s"expected an aggregate-based plan:\n$plan")
+
+    // ties break toward the smaller id, like orderBy(score desc, id asc)
+    val tied = Seq((1L, 10L, 5.0), (1L, 3L, 5.0), (1L, 7L, 5.0))
+      .toDF("g", "id", "s")
+    val top2 = GroupTopK.topKPerGroup(tied, Seq("g"), "id", "s", k = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+    assert(top2 == Seq(3L, 7L))
+
+    // null/NaN scores are excluded entirely
+    val messy = Seq((1L, 1L, Some(2.0)), (1L, 2L, Some(Double.NaN)),
+      (1L, 3L, None: Option[Double])).toDF("g", "id", "s")
+    val kept = GroupTopK.topKPerGroup(messy, Seq("g"), "id", "s", k = 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(1L))
+  }
+
   test("sequence packing: exclusive offsets, straddling docs, shard isolation") {
     import graft.ops.Packing
     val docs = Seq(
