@@ -24,8 +24,17 @@ object Dedup {
     * without the size guard, n>1 would emit one empty-string gram and any
     * two blank documents would count as sharing content. Shared by
     * [[jaccardPairs]] and [[contaminationPairs]] so the two set-similarity
-    * paths can never drift apart. */
-  private[ops] def wordGrams(textCol: Column, ngram: Int): Column = {
+    * paths can never drift apart.
+    *
+    * Computed by the native one-pass [[graft.expressions.WordGrams]]; the
+    * HOF chain it replaces interprets per element and its `array_distinct`
+    * is O(tokens²) per document — measured ~10x slower on real corpora. */
+  private[graft] def wordGrams(textCol: Column, ngram: Int): Column =
+    graft.expressions.WordGrams.wordGrams(textCol, ngram)
+
+  /** HOF formulation of [[wordGrams]] (identical values — the
+    * differential-test oracle for the native expression). */
+  private[graft] def wordGramsHof(textCol: Column, ngram: Int): Column = {
     val toks = TextAnalysis.tokens(lower(textCol))
     val grams =
       if (ngram == 1) toks

@@ -287,11 +287,13 @@ object PipelineQueries {
       // benchmark and find its documents embedded in the doc_id < 400
       // training corpus (trigram containment — planted near-dups cross
       // the boundary).
+      // maxDocFreq: generated docs share formulaic trigrams whose fan-out
+      // grows with the bench side — cap by corpus DF like q42
       val docs = t(s, dir, "documents")
       Dedup.contaminationPairs(
         docs.filter(col("doc_id") < 400),
         docs.filter(col("doc_id") >= 400),
-        "text", "doc_id", threshold = 0.5, ngram = 3)
+        "text", "doc_id", threshold = 0.5, ngram = 3, maxDocFreq = Some(100L))
         .orderBy("corpus_id", "bench_id")
     },
 
@@ -547,8 +549,13 @@ object PipelineQueries {
         |  FROM base WHERE len(toks) > 0
         |), d AS (
         |  SELECT DISTINCT doc_id, tok FROM tri
-        |), c AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
-        |b AS (SELECT doc_id AS bench_id, tok FROM d WHERE doc_id >= 400),
+        |), c0 AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
+        |b0 AS (SELECT doc_id AS bench_id, tok FROM d WHERE doc_id >= 400),
+        |-- mirror of maxDocFreq=100: cap by CORPUS document frequency,
+        |-- applied to both sides so the containment ratio stays consistent
+        |keep AS (SELECT tok FROM c0 GROUP BY tok HAVING COUNT(*) <= 100),
+        |c AS (SELECT c0.* FROM c0 JOIN keep USING (tok)),
+        |b AS (SELECT b0.* FROM b0 JOIN keep USING (tok)),
         |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
         |common AS (
         |  SELECT corpus_id, bench_id, COUNT(*) AS n_common

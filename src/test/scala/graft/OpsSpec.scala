@@ -410,6 +410,23 @@ class OpsSpec extends SparkSpec {
     assert(tol(20L) == None) // 400 - 200 = 200 > 100
   }
 
+  test("native WordGrams matches the HOF formulation exactly") {
+    import graft.ops.Dedup
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val edges = Seq("", "   ", "one", "one two", "a b c d e f",
+      "\ttab\nnewline  runs\r\n", "UPPER Case MiXeD", "dup dup dup dup")
+      .toDF("text")
+    for (df <- Seq(real.select("text"), edges); n <- Seq(1, 2, 3)) {
+      val both = df.select(
+        Dedup.wordGrams(col("text"), n).as("fast"),
+        Dedup.wordGramsHof(col("text"), n).as("slow")).collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("contamination check finds benchmark docs embedded in the corpus") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
