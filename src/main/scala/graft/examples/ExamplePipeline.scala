@@ -1,0 +1,72 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Joins, Packing, Pipelines, Sampling, Similarity}
+
+/** Training-data-pipeline usage trace: the end-to-end flow a corpus team
+  * would run — clean, check contamination, split, pack, and quantize —
+  * over the shared testdata. Run:
+  * {{{ sbt "runMain graft.examples.ExamplePipeline" }}}
+  */
+object ExamplePipeline {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-example-pipeline")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // 1. clean + enrich + deterministic split, one lazy plan
+    val prepared = Pipelines.prepareTrainingCorpus(
+      docs, nearDupThreshold = 0.9, minQuality = 30.0)
+    val stats = prepared.stats()
+    println(s"funnel: in=${stats.input} exact=${stats.afterExactDedup} " +
+      s"near=${stats.afterNearDedup} quality=${stats.afterQuality} out=${stats.output}")
+    prepared.df.groupBy("split").count().orderBy("split").show()
+
+    // 2. contamination: is the held-out tail leaked into the training head?
+    val leaks = Dedup.contaminationPairs(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+      "text", "doc_id", threshold = 0.5, ngram = 3, maxDocFreq = Some(100L))
+    println(s"contaminated benchmark docs: ${leaks.select("bench_id").distinct().count()}")
+
+    // 3. pack the training split into 512-token sequences per source shard
+    val packed = Packing.sequencePacking(
+      prepared.df.filter(col("split") === "train")
+        .select(col("doc_id"), col("source"), col("n_tokens")),
+      "doc_id", "n_tokens", "source", budget = 512L, orderCol = "doc_id")
+    packed.select(sum("n_chunks")).show()
+
+    // 4. quantize embeddings for the retrieval index; search via the
+    //    int8 prefilter + exact rerank
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 2), k = 5, rerank = 20)
+      .orderBy("query_id", "nn_rank").show()
+
+    // 5. as-of alignment on the event stream (latest purchase before click)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+    Joins.asofJoinBackward(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      "user_id", "us", "us", "event_id", payloadCols = Seq("event_id", "value"))
+      .select("event_id", "user_id", "asof_event_id", "asof_value")
+      .show(5)
+
+    // 6. deterministic stratified subsample for an eval set
+    val sampled = Sampling.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.25), default = 0.05)
+    println(s"stratified sample: ${sampled.count()} docs")
+
+    spark.stop()
+  }
+}
