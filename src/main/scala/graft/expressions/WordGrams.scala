@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens, empty array for empty/whitespace-only text, first-occurrence
   * dedup order.
   */
-case class WordGrams(child: Expression, n: Int)
+case class WordGrams(child: Expression, n: Int, lowercase: Boolean = true)
     extends UnaryExpression with Serializable {
 
   require(n >= 1, "n must be >= 1")
@@ -37,11 +37,11 @@ case class WordGrams(child: Expression, n: Int)
   override def prettyName: String = "graft_word_grams"
 
   override protected def nullSafeEval(a: Any): Any =
-    WordGrams.compute(a.asInstanceOf[UTF8String], n)
+    WordGrams.compute(a.asInstanceOf[UTF8String], n, lowercase)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.expressions.WordGrams.compute($a, $n);")
+      s"${ev.value} = graft.expressions.WordGrams.compute($a, $n, $lowercase);")
 
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
     copy(child = newChild)
@@ -54,8 +54,8 @@ object WordGrams {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toLowerCase.toString
+  def compute(text: UTF8String, n: Int, lowercase: Boolean): ArrayData = {
+    val s = (if (lowercase) text.toLowerCase else text).toString
     var st = 0
     var en = s.length
     while (st < en && isJavaWs(s.charAt(st))) st += 1
@@ -105,4 +105,9 @@ object WordGrams {
 
   def wordGrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordGrams(ColumnBridge.expression(text), n))
+
+  /** Case-preserving distinct tokens (n=1, no lowercasing) — the native
+    * backing for [[graft.ops.TextAnalysis.distinctTokenCount]]. */
+  def distinctTokens(text: Column): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(text), 1, lowercase = false))
 }

@@ -32,7 +32,14 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\w]+|[^\\w\\s]"), lit(0)))
 
+  /** Distinct-token count via the native one-pass [[graft.expressions.WordGrams]]
+    * (case-preserving) — the interpreted `array_distinct` it replaces is
+    * O(tokens²) per document. */
   def distinctTokenCount(text: Column): Column =
+    size(graft.expressions.WordGrams.distinctTokens(text))
+
+  /** HOF formulation of [[distinctTokenCount]] (differential oracle). */
+  private[graft] def distinctTokenCountHof(text: Column): Column =
     size(array_distinct(tokens(text)))
 
   /** Mean characters per token (whitespace removed / token count). */

@@ -427,6 +427,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("native distinctTokenCount matches the HOF formulation (case-sensitive)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+      .select("text")
+      .union(Seq("", "  ", "Case case CASE", "a A a\tA\n").toDF("text"))
+    val both = df.select(
+      TextAnalysis.distinctTokenCount(col("text")).as("fast"),
+      graft.ops.TextAnalysis.distinctTokenCountHof(col("text")).as("slow")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1), s"diverged: $r"))
+    // case-preserving: "Case case CASE" has 3 distinct tokens
+    val c = Seq("Case case CASE").toDF("text")
+      .select(TextAnalysis.distinctTokenCount(col("text"))).head().getInt(0)
+    assert(c == 3)
+  }
+
   test("contamination check finds benchmark docs embedded in the corpus") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
