@@ -273,13 +273,14 @@ object Dedup {
     * benchmark item fully embedded in a long training document scores 1.0
     * where symmetric Jaccard would dilute it.
     *
-    * Scale shape: only (id, token) pairs shuffle; `maxDocFreq` caps
-    * stop-token fan-out by CORPUS document frequency (the big side) and
-    * applies to BOTH sides — bench sizes are computed over surviving
-    * grams so numerator and denominator stay consistent (a cap trades
-    * recall on ubiquitous text for bounded fan-out; with n-grams the DF
-    * is naturally low and the cap is rarely needed). Word n-grams
-    * (`ngram` > 1) make matches structural instead of bag-of-words. */
+    * Scale shape: only (id, token) pairs shuffle; `maxDocFreq` drops
+    * grams whose CORPUS document frequency (the big side) exceeds the cap
+    * from BOTH sides — numerator and denominator stay consistent, while
+    * bench grams the corpus never contains remain in the denominator (a
+    * cap trades recall on ubiquitous text for bounded fan-out; with
+    * n-grams the DF is naturally low and the cap is rarely needed). Word
+    * n-grams (`ngram` > 1) make matches structural instead of
+    * bag-of-words. */
   def contaminationPairs(
       corpus: DataFrame,
       bench: DataFrame,
@@ -297,13 +298,16 @@ object Dedup {
         // two references (DF aggregate + join) -> materialization barrier,
         // or Catalyst re-tokenizes the corpus per reference
         val corpusToks = grams(corpus, "corpus_id").repartition(col("corpus_id"))
-        val keep = corpusToks.groupBy("tok").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap).select("tok")
-        // the cap applies to both sides: bench sizes must be computed over
-        // the SAME gram universe as the intersection counts, or a heavily
-        // leaked item scores near 0 (capped numerator, full denominator)
-        (corpusToks.join(keep, Seq("tok"), "left_semi"),
-          grams(bench, "bench_id").join(keep, Seq("tok"), "left_semi"))
+        val hot = corpusToks.groupBy("tok").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("tok")
+        // drop ONLY the over-cap grams, from both sides: bench sizes must
+        // span the same gram universe as the intersection counts (a capped
+        // numerator over a full denominator hides heavy leaks), but bench
+        // grams absent from the corpus must STAY in the denominator — a
+        // semi-join against kept corpus grams would shrink it to only the
+        // leaking grams and score everything near 1.0
+        (corpusToks.join(hot, Seq("tok"), "left_anti"),
+          grams(bench, "bench_id").join(hot, Seq("tok"), "left_anti"))
       case None =>
         (grams(corpus, "corpus_id"), grams(bench, "bench_id"))
     }

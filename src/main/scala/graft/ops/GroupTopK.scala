@@ -62,7 +62,10 @@ object GroupTopK {
     }
 
     override def finish(q: mutable.PriorityQueue[(Double, Long)]): Seq[ScoredId] =
-      q.toSeq.sortBy(t => (-t._1, t._2)).map(t => ScoredId(t._1, t._2))
+      // sort with the same comparator the heap evicts by: sortBy's
+      // java.lang.Double total order would distinguish -0.0 from 0.0,
+      // where `better` (like Spark's SQL ordering) ties them
+      q.toSeq.sortWith(better).map(t => ScoredId(t._1, t._2))
 
     override def bufferEncoder: Encoder[mutable.PriorityQueue[(Double, Long)]] =
       org.apache.spark.sql.Encoders.kryo[mutable.PriorityQueue[(Double, Long)]]

@@ -201,9 +201,10 @@ object Similarity {
   }
 
   /** [[bruteForceTopK]] with the heap aggregator instead of the ranking
-    * window ([[GroupTopK]]): identical rows, but map-side partial
-    * aggregation reduces each partition to k candidates per query BEFORE
-    * the shuffle — the formulation to use when the corpus side is huge. */
+    * window ([[GroupTopK]]): same (query_id, id, cosine, nn_rank) rows
+    * and schema, but map-side partial aggregation reduces each partition
+    * to k candidates per query BEFORE the shuffle — the formulation to
+    * use when the corpus side is huge. */
   def bruteForceTopKAgg(
       corpus: DataFrame,
       queries: DataFrame,
@@ -216,6 +217,9 @@ object Similarity {
     GroupTopK.topKPerGroup(
       crossCosine(corpus, queries, corpusId, corpusVec, queryId, queryVec),
       Seq("query_id"), corpusId, "cosine", k, rankCol = "nn_rank")
+      // drop-in schema parity with the window formulation
+      .select(col("query_id"), col(corpusId), col("cosine"),
+        col("nn_rank").cast("int").as("nn_rank"))
 
   /** Approximate top-k via hyperplane-LSH bucketing: corpus and queries are
     * bucketed with `nTables` independent bit-sets; candidates = corpus rows

@@ -551,11 +551,12 @@ object PipelineQueries {
         |  SELECT DISTINCT doc_id, tok FROM tri
         |), c0 AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
         |b0 AS (SELECT doc_id AS bench_id, tok FROM d WHERE doc_id >= 400),
-        |-- mirror of maxDocFreq=100: cap by CORPUS document frequency,
-        |-- applied to both sides so the containment ratio stays consistent
-        |keep AS (SELECT tok FROM c0 GROUP BY tok HAVING COUNT(*) <= 100),
-        |c AS (SELECT c0.* FROM c0 JOIN keep USING (tok)),
-        |b AS (SELECT b0.* FROM b0 JOIN keep USING (tok)),
+        |-- mirror of maxDocFreq=100: drop ONLY over-cap corpus grams from
+        |-- both sides (bench grams absent from the corpus stay in the
+        |-- denominator)
+        |hot AS (SELECT tok FROM c0 GROUP BY tok HAVING COUNT(*) > 100),
+        |c AS (SELECT * FROM c0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |b AS (SELECT * FROM b0 WHERE tok NOT IN (SELECT tok FROM hot)),
         |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
         |common AS (
         |  SELECT corpus_id, bench_id, COUNT(*) AS n_common

@@ -459,6 +459,19 @@ class OpsSpec extends SparkSpec {
     val capped = Dedup.contaminationPairs(corpus, bench, "text", "doc_id",
       threshold = 0.8, ngram = 3, maxDocFreq = Some(10L)).count()
     assert(capped == 1L)
+
+    // partial leak under a cap: the denominator must stay the FULL bench
+    // gram count — dropping bench grams merely absent from the corpus
+    // would score this 1/1 instead of 1/8
+    val corpus2 = Seq((0L, "alpha beta gamma unique1 unique2 unique3"))
+      .toDF("doc_id", "text")
+    val bench2 = Seq((200L, "alpha beta gamma completely different tail words here now ok"))
+      .toDF("doc_id", "text")
+    val partial = Dedup.contaminationPairs(corpus2, bench2, "text", "doc_id",
+      threshold = 0.01, ngram = 3, maxDocFreq = Some(10L)).collect()
+    assert(partial.length == 1)
+    assert(partial.head.getAs[Double]("containment") == 1.0 / 8.0,
+      s"got ${partial.head}")
   }
 
   test("range join plans an equi-join, never a nested-loop range predicate") {
@@ -684,11 +697,14 @@ class OpsSpec extends SparkSpec {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 4)
     val viaAgg = Similarity.bruteForceTopKAgg(emb, queries, k = 7)
+    // drop-in schema parity with the window formulation
+    assert(viaAgg.schema("nn_rank").dataType ==
+      org.apache.spark.sql.types.IntegerType)
     val aggRows = viaAgg.select("query_id", "nn_rank", "vec_id", "cosine").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     val winRows = Similarity.bruteForceTopK(emb, queries, k = 7)
       .select("query_id", "nn_rank", "vec_id", "cosine").collect()
-      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(aggRows.sorted.toSeq == winRows.sorted.toSeq)
 
     // the plan must aggregate, not sort-and-rank
