@@ -108,4 +108,86 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: grouped top-k equals the window formulation on random data") {
+    import graft.ops.GroupTopK
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 3L)
+        s <- Gen.choose(0, 6).map(_ * 2.5) // grid -> ties likely
+      } yield (g, s))
+    } yield rows.zipWithIndex.map { case ((g, s), i) => (g, i.toLong, s) }
+    samples(gen, 6).foreach { data =>
+      val df = data.toDF("g", "id", "s")
+      val k = 3
+      val viaAgg = GroupTopK.topKPerGroup(df, Seq("g"), "id", "s", k)
+        .select("g", "rank", "id", "s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("s").desc, col("id").asc)
+      val viaWindow = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("g", "rank", "id", "s").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3))).toSet
+      assert(viaAgg == viaWindow)
+    }
+  }
+
+  test("property: sequence packing offsets are contiguous and chunks consistent") {
+    import graft.ops.Packing
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        shard <- Gen.oneOf("a", "b", "c")
+        toks <- Gen.choose(0L, 900L)
+      } yield (shard, toks))
+    } yield rows.zipWithIndex.map { case ((sh, t), i) => (i.toLong, sh, t) }
+    samples(gen, 6).foreach { data =>
+      val budget = 256L
+      val out = Packing.sequencePacking(
+        data.toDF("doc_id", "shard", "n_tokens"),
+        "doc_id", "n_tokens", "shard", budget, orderCol = "doc_id")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("shard"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("offset"),
+          r.getAs[Long]("chunk_first"), r.getAs[Long]("chunk_last"),
+          r.getAs[Long]("n_chunks")))
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_._1)
+        // offsets are the exclusive prefix sums in doc order
+        ordered.foldLeft(0L) { case (expected, (_, _, toks, off, _, _, _)) =>
+          assert(off == expected, s"offset $off != prefix $expected")
+          expected + toks
+        }
+      }
+      out.foreach { case (_, _, toks, off, first, last, n) =>
+        assert(first == off / budget)
+        assert(last == (off + math.max(toks, 1L) - 1L) / budget)
+        assert(n == last - first + 1)
+      }
+    }
+  }
+
+  test("property: hash split fractions partition every row deterministically") {
+    import graft.ops.Sampling
+    val fracsGen = Gen.oneOf(
+      Seq("a" -> 0.5, "b" -> 0.5),
+      Seq("a" -> 0.25, "b" -> 0.25, "c" -> 0.5),
+      Seq("only" -> 0.125))
+    samples(fracsGen, 3).foreach { fracs =>
+      val ids = spark.range(0, 2000).toDF("id")
+      val out = Sampling.withSplit(ids, "id", fracs, salt = "p").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out.size == 2000)
+      val total = fracs.map(_._2).sum
+      val assigned = out.values.count(_.isDefined)
+      // every row assigned iff fractions sum to 1; otherwise ~total share
+      if (math.abs(total - 1.0) < 1e-12) assert(assigned == 2000)
+      else assert(math.abs(assigned - 2000 * total) < 150)
+      // re-evaluation is identical (pure function of id+salt)
+      val again = Sampling.withSplit(ids, "id", fracs, salt = "p").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(again == out)
+    }
+  }
 }
