@@ -88,6 +88,27 @@ object TextAnalysis {
     stopwordHits(text, StopwordSets.head._2).cast("double") /
       greatest(tokenCount(text).cast("double"), lit(1.0))
 
+  // --- repetition signals (Gopher-style quality rules) ---
+
+  /** Fraction of non-empty lines that are duplicates of an earlier line —
+    * boilerplate/template pages repeat navigation and legal lines. 0.0 for
+    * documents with no non-empty lines. Line counts are small, so the
+    * per-row array ops stay cheap. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    when(size(lines) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+  }
+
+  /** Fraction of tokens that repeat an earlier token (1 - distinct/total)
+    * — keyword-stuffed or looping generations score high. Uses the native
+    * one-pass counts. 0.0 for empty documents. */
+  def repeatedTokenFraction(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        distinctTokenCount(text).cast("double") / tokenCount(text).cast("double"))
+
   /** Composite [0,100] heuristic quality score: reward natural word
     * lengths and stopword presence, penalize punctuation/digit soup. The
     * exact blend is this engine's own (the reference has no text ops);

@@ -163,6 +163,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q47b_repetition" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.duplicateLineFraction(col("text")), 9).as("dup_line_frac_r"),
+          round(TextAnalysis.repeatedTokenFraction(col("text")), 9).as("rep_tok_frac_r"))
+        .orderBy("doc_id")
+    },
+
     "q48_lang_id" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
@@ -606,6 +614,21 @@ object PipelineQueries {
         |  len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
         |    x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS en_stopword_hits
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q47b_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(lines) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END, 9) AS dup_line_frac_r,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END, 9) AS rep_tok_frac_r
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q48_lang_id" ->
       """WITH c AS (

@@ -427,6 +427,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals: duplicate lines and repeated tokens") {
+    val df = Seq(
+      (0L, "nav\nbody text here\nnav\nfooter"),      // 4 lines, 1 dup -> 0.25
+      (1L, "first line\nsecond thing"),               // no dups either way
+      (2L, ""),                                       // empty -> 0.0 both
+      (3L, "spam spam spam ham")                      // 4 tokens, 2 distinct
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.duplicateLineFraction(col("text")).as("dl"),
+        TextAnalysis.repeatedTokenFraction(col("text")).as("rt"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(0L)._1 == 0.25)
+    assert(out(1L) == ((0.0, 0.0)))
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L)._2 == 0.5)
+  }
+
   test("native distinctTokenCount matches the HOF formulation (case-sensitive)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
       .select("text")
