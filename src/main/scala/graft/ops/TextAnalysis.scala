@@ -92,8 +92,11 @@ object TextAnalysis {
 
   /** Fraction of non-empty lines that are duplicates of an earlier line —
     * boilerplate/template pages repeat navigation and legal lines. 0.0 for
-    * documents with no non-empty lines. Line counts are small, so the
-    * per-row array ops stay cheap. */
+    * documents with no non-empty lines. The `lines` subtree appears three
+    * times and HOFs don't participate in codegen subexpression
+    * elimination, but line counts per document are tens, not thousands —
+    * unlike the token-level paths this stays cheap without a native
+    * expression. */
   def duplicateLineFraction(text: Column): Column = {
     val lines = filter(split(text, "\n"), l => length(l) > 0)
     when(size(lines) === 0, lit(0.0))
@@ -164,6 +167,8 @@ object TextAnalysis {
       .withColumn("punct_ratio", punctRatio(t))
       .withColumn("digit_ratio", digitRatio(t))
       .withColumn("quality_score", qualityScore(t))
+      .withColumn("dup_line_fraction", duplicateLineFraction(t))
+      .withColumn("repeated_token_fraction", repeatedTokenFraction(t))
       .withColumn("fingerprint", fingerprint(t))
   }
 }
