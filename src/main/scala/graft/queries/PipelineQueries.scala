@@ -163,6 +163,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q46b_bpeish_tokens" -> { (s, dir) =>
+      // BPE-ish subword counting (word pieces + standalone punctuation):
+      // Java and RE2 agree on this ASCII \w / \s subset
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    },
+
     "q47b_repetition" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -614,6 +623,11 @@ object PipelineQueries {
         |  len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
         |    x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS en_stopword_hits
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q46b_bpeish_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[\w]+|[^\w\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q47b_repetition" ->
       """WITH t AS (
