@@ -38,9 +38,12 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         sv, ov = s[c], o[c]
         try:
             if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
-                sn = sv.astype(float)
-                on = ov.astype(float)
-                neq = ~((sn == on) | (sn.isna() & on.isna()))
+                # Bit-level compare (not ==): the driver's hash distinguishes
+                # -0.0 from 0.0 (and NaN payloads), so we must too.
+                import numpy as np
+                sn = sv.astype(float).to_numpy()
+                on = ov.astype(float).to_numpy()
+                neq = pd.Series(sn.view(np.int64) != on.view(np.int64))
             else:
                 neq = ~((sv == ov) | (sv.isna() & ov.isna()))
         except Exception as exc:  # dtype mismatch etc

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,14 @@ object PipelineQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** round() with IEEE -0.0 normalized to +0.0 (`+ 0.0` is the identity on
+    * every other double). The driver's oracle compare hashes raw values, so
+    * a rounded sum that collapses to zero must land on the same zero SIGN in
+    * Spark and DuckDB — they don't always (observed: dequant_sum_r at
+    * sf0.01 row 163, Spark 0.0 vs DuckDB -0.0). Oracle SQL mirrors `+ 0.0`.
+    */
+  private def roundz(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------ classical relational ops
@@ -26,8 +34,8 @@ object PipelineQueries {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_r"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_r"),
+          roundz(sum(col("l_extendedprice")), 2).as("sum_base_r"),
+          roundz(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_r"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -37,7 +45,7 @@ object PipelineQueries {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum("o_totalprice"), 2).as("revenue_r"), count(lit(1)).as("n_orders"))
+        .agg(roundz(sum("o_totalprice"), 2).as("revenue_r"), count(lit(1)).as("n_orders"))
         .orderBy("n_name")
     },
 
@@ -48,7 +56,7 @@ object PipelineQueries {
       // order), Spark sequentially — round to absorb the low-bit drift.
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
-          round(sum("value").over(w), 4).as("run_sum_r"))
+          roundz(sum("value").over(w), 4).as("run_sum_r"))
         .orderBy("user_id", "event_id")
     },
 
@@ -175,8 +183,8 @@ object PipelineQueries {
     "q47b_repetition" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          round(TextAnalysis.duplicateLineFraction(col("text")), 9).as("dup_line_frac_r"),
-          round(TextAnalysis.repeatedTokenFraction(col("text")), 9).as("rep_tok_frac_r"))
+          roundz(TextAnalysis.duplicateLineFraction(col("text")), 9).as("dup_line_frac_r"),
+          roundz(TextAnalysis.repeatedTokenFraction(col("text")), 9).as("rep_tok_frac_r"))
         .orderBy("doc_id")
     },
 
@@ -198,7 +206,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
       Similarity.crossCosine(emb, queries, "vec_id", "embedding", "vec_id", "embedding")
-        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
+        .select(col("query_id"), col("vec_id"), roundz(col("cosine"), 6).as("cosine_r"))
         .orderBy("query_id", "vec_id")
     },
 
@@ -206,7 +214,7 @@ object PipelineQueries {
       Similarity.blockedNearestNeighbor(
         t(s, dir, "embeddings").filter(col("vec_id") < 200),
         "vec_id", "embedding", "label")
-        .select(col("id"), col("nn_id"), col("label"), round(col("cosine"), 6).as("cosine_r"))
+        .select(col("id"), col("nn_id"), col("label"), roundz(col("cosine"), 6).as("cosine_r"))
         .orderBy("id")
     },
 
@@ -221,7 +229,7 @@ object PipelineQueries {
         .select(col("vec_id"),
           col("q.scale").as("scale"),
           aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c.cast("long")).as("code_sum"),
-          round(aggregate(Similarity.dequantizeInt8(col("q")), lit(0.0), (acc, x) => acc + x), 6)
+          roundz(aggregate(Similarity.dequantizeInt8(col("q")), lit(0.0), (acc, x) => acc + x), 6)
             .as("dequant_sum_r"))
         .orderBy("vec_id")
     },
@@ -232,7 +240,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5), k = 10, rerank = 30)
         .select(col("query_id"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine_r"), col("nn_rank"))
+          roundz(col("cosine"), 6).as("cosine_r"), col("nn_rank"))
         .orderBy("query_id", "nn_rank")
     },
 
@@ -318,7 +326,7 @@ object PipelineQueries {
       Dedup.embeddingNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
         threshold = 0.2, nBits = 8, nTables = 3)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+        .select(col("id_a"), col("id_b"), roundz(col("cosine"), 6).as("cosine_r"))
         .orderBy("id_a", "id_b")
     },
 
@@ -338,7 +346,7 @@ object PipelineQueries {
       val withPayload = t(s, dir, "documents")
         .withColumn("payload", encode(col("text"), "UTF-8"))
       Multimodal.decodeFeatures(withPayload, "doc_id", "payload", featureDim = 8)
-        .select(col("doc_id"), col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"))
+        .select(col("doc_id"), col("n_bytes"), roundz(element_at(col("features"), 1), 4).as("f0"))
         .orderBy("doc_id")
     },
 
@@ -389,7 +397,7 @@ object PipelineQueries {
       t(s, dir, "events")
         .groupBy(col("event_type"),
           floor(expr("ts div 1000") / lit(3600000000.0)).as("hour_bucket"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value_r"))
+        .agg(count(lit(1)).as("n_events"), roundz(sum("value"), 2).as("sum_value_r"))
         .orderBy("event_type", "hour_bucket")
     }
   )
@@ -398,14 +406,14 @@ object PipelineQueries {
     "q30_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
-        |  round(SUM(l_extendedprice), 2) AS sum_base_r,
-        |  round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_r,
+        |  round(SUM(l_extendedprice), 2) + 0.0 AS sum_base_r,
+        |  round(SUM(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS sum_disc_r,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q31_join_revenue" ->
-      """SELECT n_name, round(SUM(o_totalprice), 2) AS revenue_r, COUNT(*) AS n_orders
+      """SELECT n_name, round(SUM(o_totalprice), 2) + 0.0 AS revenue_r, COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -413,7 +421,7 @@ object PipelineQueries {
     "q32_window_running" ->
       """SELECT event_id, user_id, value,
         |  round(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum_r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0 AS run_sum_r
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "q33_sessionize" ->
@@ -504,7 +512,7 @@ object PipelineQueries {
         |)
         |SELECT vec_id, scale,
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
-        |  round(list_sum(list_transform(codes, cd -> CAST(cd AS DOUBLE) * scale / 127.0)), 6) AS dequant_sum_r
+        |  round(list_sum(list_transform(codes, cd -> CAST(cd AS DOUBLE) * scale / 127.0)), 6) + 0.0 AS dequant_sum_r
         |FROM c ORDER BY vec_id""".stripMargin,
 
     "q38_quantized_topk" ->
@@ -540,7 +548,7 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
         |  FROM scored WHERE cosine IS NOT NULL
         |)
-        |SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, nn_rank
+        |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
         |FROM rk WHERE nn_rank <= 10 ORDER BY query_id, nn_rank""".stripMargin,
 
     "q40_dedup_exact" ->
@@ -639,9 +647,9 @@ object PipelineQueries {
         |)
         |SELECT doc_id,
         |  round(CASE WHEN len(lines) = 0 THEN 0.0
-        |    ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END, 9) AS dup_line_frac_r,
+        |    ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END, 9) + 0.0 AS dup_line_frac_r,
         |  round(CASE WHEN len(toks) = 0 THEN 0.0
-        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END, 9) AS rep_tok_frac_r
+        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END, 9) + 0.0 AS rep_tok_frac_r
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q48_lang_id" ->
@@ -669,7 +677,7 @@ object PipelineQueries {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)
         |SELECT query_id, vec_id,
-        |  round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine_r
+        |  round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) + 0.0 AS cosine_r
         |FROM e, q WHERE vec_id <> query_id
         |ORDER BY query_id, vec_id""".stripMargin,
 
@@ -684,7 +692,7 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY round(cosine, 6) DESC, nn_id) AS rn
         |  FROM pairs
         |)
-        |SELECT id, nn_id, label, round(cosine, 6) AS cosine_r
+        |SELECT id, nn_id, label, round(cosine, 6) + 0.0 AS cosine_r
         |FROM rk WHERE rn = 1 ORDER BY id""".stripMargin,
 
     "q52_multimodal_meta" ->
@@ -730,7 +738,7 @@ object PipelineQueries {
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,
-        |  COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value_r
+        |  COUNT(*) AS n_events, round(SUM(value), 2) + 0.0 AS sum_value_r
         |FROM events GROUP BY event_type, hour_bucket
         |ORDER BY event_type, hour_bucket""".stripMargin
   )
