@@ -131,6 +131,53 @@ object Dedup {
         col("bucket.band").as("band"), col("bucket.key").as("band_key"))
   }
 
+  // ------- oracle-reproducible polynomial MinHash (md5 token hashes)
+
+  /** Permutation constants for [[polyMinhashBands]] — pure arithmetic so
+    * the DuckDB oracle generator derives the identical (a, b) pairs. */
+  private[graft] val PolyPrime = 2147483647L // 2^31 - 1 (Mersenne)
+  private[graft] def polyPerms(numPerms: Int): Seq[(Long, Long)] =
+    (1 to numPerms).map { i =>
+      (1000003L * i % 1073741789L + 1L, 998244353L * i % PolyPrime)
+    }
+
+  /** MinHash LSH banding over ENGINE-INDEPENDENT hashes: token hash =
+    * first 8 md5 hex chars as a 32-bit int, permutations
+    * `h -> (a*h + b) mod p` with (a, b) from [[polyPerms]]. The
+    * production [[minhashSignature]] is the native xxhash64 codegen path
+    * (faster, but xxhash64 exists in no other engine — rows-only
+    * checkable); every step here is plain md5 + integer arithmetic, so
+    * the complete signature->band pipeline gets a full DuckDB oracle and
+    * any external system can re-derive the buckets bit-for-bit. Min is
+    * duplicate-invariant, so distinct-vs-raw token lists agree by
+    * construction. `a*h < 2^30 * 2^32 = 2^62`: no 64-bit overflow. */
+  def polyMinhashBands(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numPerms: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must be divisible by bands")
+    val rows = numPerms / bands
+    val p = PolyPrime
+    val hs = transform(
+      graft.expressions.WordGrams.distinctTokens(col(textCol)),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val withHs = df.select(col(idCol), hs.as("__hs"))
+    val sig = polyPerms(numPerms).map { case (a, b) =>
+      coalesce(
+        array_min(transform(col("__hs"), h => pmod(h * lit(a) + lit(b), lit(p)))),
+        lit(p))
+    }
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", sig.slice(b * rows, (b + 1) * rows): _*).as("band_key"))
+    }
+    withHs.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
   /** MinHash LSH near-duplicate candidate pairs with estimated Jaccard
     * (fraction of agreeing signature positions), filtered at `threshold`.
     * Join is per (band, band_key) bucket; pair de-dup via id ordering. */

@@ -64,4 +64,52 @@ object Sampling {
     }
     df.filter(u < frac)
   }
+
+  /** Temperature-based source mixing: sample an epoch so that source `s`
+    * with `n_s` rows contributes in proportion to `n_s^alpha` (alpha < 1
+    * upweights small sources — the multilingual-LM mixing rule). Each
+    * row is kept iff `unitHash(id) < a_s` where
+    * `a_s = min(1, target * p_s / n_s)`, `p_s = n_s^alpha / sum_t n_t^alpha`
+    * — deterministic, reproducible, engine-independent (same contract as
+    * [[withSplit]]).
+    *
+    * Scale shape: one tiny groupBy(source) agg (|sources| rows) collected
+    * to the driver, folded in sorted-source order so the normalizing sum
+    * is bit-reproducible by any engine, then broadcast back as a literal
+    * CASE chain — the 100-TB side is one codegen'd filter, no shuffle.
+    * Acceptance thresholds are bit-reproducible when every step is
+    * mirrored in order: sqrt/+/x/÷/min are IEEE-deterministic, so an
+    * oracle that folds the SAME sorted list and applies the SAME
+    * expression tree lands on the identical threshold (alpha = 0.5 uses
+    * IEEE-exact sqrt; other alphas inherit pow's platform rounding — keep
+    * alpha in {0.5, 1.0, 2.0} if an external engine must re-derive cuts).
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double,
+      targetRows: Long,
+      salt: String = ""
+  ): DataFrame = {
+    require(alpha > 0.0, "alpha must be positive")
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val powed = counts.map { case (s, n) => (s, n, math.pow(n.toDouble, alpha)) }
+    // fold left in sorted-source order: the oracle mirrors this exact
+    // summation order (list_reduce over a sorted list)
+    val z = powed.foldLeft(0.0)(_ + _._3)
+    val accept = powed.map { case (s, n, w) =>
+      // op order is part of the contract (see scaladoc): target * (w/z) / n
+      (s, math.min(1.0, targetRows.toDouble * (w / z) / n.toDouble))
+    }
+    val u = unitHash(col(idCol), salt)
+    val aCol = accept.foldLeft(lit(0.0): Column) {
+      case (acc, (s, a)) => when(col(sourceCol) === lit(s), lit(a)).otherwise(acc)
+    }
+    df.filter(u < aCol)
+  }
 }
