@@ -21,10 +21,11 @@ object Bench {
     catch { case _: Throwable => () }
     // Each query runs `iters` times and reports the MIN: the first
     // iteration of the alphabetically-first query per table otherwise
-    // absorbs residual codegen/footer warmup and its time is not
-    // attributable to the plan (±20% run-to-run stability is the target).
+    // absorbs residual codegen/footer warmup, and min-of-3 damps the
+    // machine-contention noise that inflated round 3's total by 31% with
+    // zero plan changes (±10% run-to-run stability is the target).
     val iters = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_ITERS").trim.toInt)
-      .toOption.getOrElse(2).max(1)
+      .toOption.getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).iterator.map { _ =>
         val t0 = System.nanoTime()

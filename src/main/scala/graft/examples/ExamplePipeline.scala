@@ -17,6 +17,8 @@ object ExamplePipeline {
       .appName("graft-example-pipeline")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.ansi.enabled", "false")
+      // testdata events.ts is TIMESTAMP(NANOS): read as long nanoseconds
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -248,6 +248,52 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** SimHash banding over ENGINE-INDEPENDENT hashes (md5) — the
+    * oracle-reproducible sibling of [[simhashWithBands]], same trick as
+    * [[polyMinhashBands]]: the production path hashes with the native
+    * xxhash64 codegen expression (which no other engine implements, so
+    * it is rows-only checkable), while every step here is md5 + integer
+    * arithmetic that DuckDB re-derives bit-for-bit.
+    *
+    * Per token (lowercased, non-distinct — votes weight by occurrence,
+    * like [[simhash]]): the first 16 hex chars of md5(token) supply 64
+    * bits, bit `i` living in hex digit `i/4` at weight `2^(i%4)`. Per
+    * bit, the fingerprint takes the sign of the summed ±1 votes; the 64
+    * bits split into 4 × 16-bit band keys (Hamming-distance-3 neighbors
+    * share a band by pigeonhole). Band values are ≤ 65535 — no signed-64
+    * overflow in any engine, unlike emitting the full fingerprint.
+    *
+    * One pass over the tokens with a 64-wide vote accumulator (the
+    * [[minhashSignatureHof]] shape); md5 runs once per token, digit
+    * extraction once per (token, hex digit). */
+  def simhashPolyBands(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val md5s = transform(TextAnalysis.tokens(lower(col(textCol))), t => md5(t))
+    val digitArrs = transform(md5s, m =>
+      transform(sequence(lit(1), lit(16)),
+        j => conv(m.substr(j, lit(1)), 16, 10).cast("int")))
+    val weights = typedlit(Seq(1, 2, 4, 8))
+    val votes = aggregate(
+      digitArrs,
+      array_repeat(lit(0), 64),
+      (acc, d) => zip_with(
+        acc,
+        sequence(lit(0), lit(63)),
+        (v, i) => {
+          val digit = element_at(d, (floor(i / lit(4)) + lit(1)).cast("int"))
+          val bit = pmod(
+            floor(digit / element_at(weights, pmod(i, lit(4)).cast("int") + lit(1)))
+              .cast("int"),
+            lit(2))
+          v + when(bit === 1, 1).otherwise(-1)
+        }))
+    val bands = (0 until 4).map { b =>
+      (0 until 16).map { r =>
+        when(element_at(votes, lit(b * 16 + r + 1)) > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"band$b")
+    }
+    df.select(col(idCol) +: bands: _*)
+  }
+
   /** SimHash + 4 x 16-bit band keys (documents within Hamming distance 3
     * share at least one exact 16-bit band — pigeonhole), for bucketed
     * near-dup candidate generation. */

@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus-cleaning composition — the canonical training-data
   * preparation flow, assembled from the engine's operators:
   *
+  *   0. optional text cleaning (HTML strip, entity decode, boilerplate
+  *      lines, PII redaction — [[TextCleaning.clean]], stage 0 of
+  *      C4/RefinedWeb-style prep; map-side, no shuffle);
   *   1. exact dedup (canonical fingerprint, keep minimum id);
   *   2. near-dup removal (MinHash LSH pairs -> greedy keep-lowest-id);
   *   3. quality gate (heuristic score threshold);
@@ -41,10 +44,11 @@ object Pipelines {
       langAllowlist: Seq[String] = Nil,
       splits: Seq[(String, Double)] = Seq(
         "train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
-      salt: String = "graft"
+      salt: String = "graft",
+      htmlClean: Boolean = false
   ): CleanResult = {
     val cleaned = cleanCorpus(docs, textCol, idCol,
-      nearDupThreshold, minQuality, langAllowlist)
+      nearDupThreshold, minQuality, langAllowlist, htmlClean)
     val enriched = cleaned.df
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
@@ -60,9 +64,20 @@ object Pipelines {
       idCol: String = "doc_id",
       nearDupThreshold: Double = 0.85,
       minQuality: Double = 40.0,
-      langAllowlist: Seq[String] = Nil
+      langAllowlist: Seq[String] = Nil,
+      htmlClean: Boolean = false
   ): CleanResult = {
-    val input = docs
+    // 0. optional web-text cleanup BEFORE dedup (markup variation would
+    // otherwise defeat the canonical fingerprint); the cleaned text
+    // replaces textCol so every downstream stage — and the caller's
+    // output — sees cleaned text, with the `<textCol>_pii` audit counts
+    // kept as an extra column. Pure map-side projection, no shuffle.
+    val input =
+      if (!htmlClean) docs
+      else TextCleaning.clean(docs, textCol, out = "__graft_clean")
+        .withColumn(textCol, col("__graft_clean"))
+        .withColumnRenamed("__graft_clean_pii", s"${textCol}_pii")
+        .drop("__graft_clean")
 
     // 1. exact dedup: keep the minimum-id row per canonical form
     val exact = Dedup.dropExactDups(input, textCol, idCol)

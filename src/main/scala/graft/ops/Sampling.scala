@@ -98,7 +98,13 @@ object Sampling {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
-    val powed = counts.map { case (s, n) => (s, n, math.pow(n.toDouble, alpha)) }
+    // alpha = 0.5 goes through sqrt, not pow: sqrt is IEEE correctly
+    // rounded (the scaladoc's bit-reproducibility contract), while pow is
+    // only 1-ulp accurate and may disagree with an oracle's sqrt
+    val powed = counts.map { case (s, n) =>
+      val w = if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+      (s, n, w)
+    }
     // fold left in sorted-source order: the oracle mirrors this exact
     // summation order (list_reduce over a sorted list)
     val z = powed.foldLeft(0.0)(_ + _._3)

@@ -87,7 +87,16 @@ object Similarity {
     * then only the top `rerank` candidates per query are re-scored with
     * exact float cosine. Code dot products are exact integers (well under
     * 2^53), so the candidate set is deterministic and engine-reproducible;
-    * ties break toward the smaller corpus id at both stages. */
+    * ties break toward the smaller corpus id at both stages.
+    *
+    * Both stages use the [[GroupTopK]] heap aggregate, not a ranking
+    * window: the approx scan reduces each input partition to ≤`rerank`
+    * rows per query BEFORE the shuffle (a `row_number` window here would
+    * funnel the whole corpus through one partition per query and fully
+    * sort it — invisible at test scale, fatal at 100 TB), and the
+    * candidate frame carries only ids until the exact stage joins the
+    * float vectors back. The retrieval plan has no Window node at all
+    * (asserted by PlanShapeSpec). */
   def quantizedTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -103,26 +112,29 @@ object Similarity {
     // integer arithmetic (values are exact in doubles); the fused native
     // Int8Codes emits that shape directly — no HOF in the scan stage
     def codesD(vec: Column) = graft.expressions.QuantizeExpressions.int8Codes(vec)
-    val c = corpus.select(col(corpusId), col(corpusVec).as("__cvec"),
-      codesD(col(corpusVec)).as("__ccodes"))
+    val c = corpus.select(col(corpusId), codesD(col(corpusVec)).as("__ccodes"))
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("__qvec"), codesD(col(queryVec)).as("__qcodes")))
+      codesD(col(queryVec)).as("__qcodes")))
 
-    val wApprox = Window.partitionBy("query_id")
-      .orderBy(col("approx").desc, col(corpusId).asc)
-    val candidates = c.join(q, col(corpusId) =!= col("query_id"))
+    val scored = c.join(q, col(corpusId) =!= col("query_id"))
       .withColumn("approx", dot(col("__qcodes"), col("__ccodes")))
-      .withColumn("__arank", row_number().over(wApprox))
-      .filter(col("__arank") <= rerank)
+      .select(col("query_id"), col(corpusId), col("approx"))
+    val candidates = GroupTopK.topKPerGroup(
+      scored, Seq("query_id"), corpusId, "approx", rerank, rankCol = "__arank")
 
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col(corpusId).asc)
+    // exact rerank over ≤ rerank·|queries| candidate rows: float vectors
+    // join back by id, then the same heap aggregate takes the final top-k
+    // (NaN cosines from zero-norm vectors are dropped inside topKPerGroup,
+    // matching the window formulation's !isnan filter)
     candidates
+      .join(corpus.select(col(corpusId), col(corpusVec).as("__cvec")), Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qvec"))), Seq("query_id"))
       .withColumn("cosine", cosine(col("__qvec"), col("__cvec")))
-      .filter(!isnan(col("cosine")))
-      .withColumn("nn_rank", row_number().over(wExact))
-      .filter(col("nn_rank") <= k)
-      .select(col("query_id"), col(corpusId), col("cosine"), col("nn_rank"))
+      .transform(GroupTopK.topKPerGroup(_, Seq("query_id"), corpusId, "cosine", k,
+        rankCol = "nn_rank"))
+      .select(col("query_id"), col(corpusId), col("cosine"),
+        col("nn_rank").cast("int").as("nn_rank"))
   }
 
   /** All-pairs cosine between a (small, broadcast) query frame and the
@@ -261,11 +273,15 @@ object Similarity {
       .join(corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cv")), "__cid")
       .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))), "query_id")
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-      .filter(!isnan(col("cosine"))) // zero-norm guard
       .select(col("query_id"), col("__cid").as(corpusId), col("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    scored.withColumn("nn_rank", row_number().over(w)).filter(col("nn_rank") <= k)
+    // heap aggregate, not a per-query ranking window: candidates are
+    // already bucket-pruned, but the aggregate keeps the final top-k
+    // map-side too (and NaN cosines from zero-norm vectors are dropped
+    // inside, same as the previous !isnan + window formulation)
+    GroupTopK.topKPerGroup(scored, Seq("query_id"), corpusId, "cosine", k,
+        rankCol = "nn_rank")
+      .select(col("query_id"), col(corpusId), col("cosine"),
+        col("nn_rank").cast("int").as("nn_rank"))
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
@@ -317,27 +333,34 @@ object Similarity {
         (i, arr.toSeq, arr.map(x => x * x).sum) // |c|^2 precomputed once
       }.toSeq
       .toDF("list_id", "__centroid", "__c2")
-    val probeRank = Window.partitionBy("query_id")
-      .orderBy(col("__probe_score").asc, col("list_id").asc)
-    val qProbes = queries
+    // probe-cell selection (nearest nProbe centroids per query) via the
+    // heap aggregate on the NEGATED distance — "smallest distance" ==
+    // "largest negated distance", ties toward the smaller list_id either
+    // way. Bounded at |queries| × nLists rows, but using the aggregate
+    // keeps the whole operator Window-free (PlanShapeSpec asserts it).
+    val qScored = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .crossJoin(broadcast(centroids))
-      .withColumn("__probe_score",
-        col("__c2") -
-          lit(2.0) * dot(col("__qv").cast("array<double>"), col("__centroid")))
-      .withColumn("__pr", row_number().over(probeRank))
-      .filter(col("__pr") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("list_id"))
+      .withColumn("__neg_probe",
+        lit(2.0) * dot(col("__qv").cast("array<double>"), col("__centroid")) - col("__c2"))
+      .select(col("query_id"), col("list_id"), col("__neg_probe"))
+    val qProbes = GroupTopK.topKPerGroup(
+        qScored, Seq("query_id"), "list_id", "__neg_probe", nProbe, rankCol = "__pr")
+      .select(col("query_id"), col("list_id").cast("int").as("list_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv"))), Seq("query_id"))
 
     val scored = assigned
       .join(broadcast(qProbes), Seq("list_id"))
       .filter(col(corpusId) =!= col("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col(corpusVec)))
-      .filter(!isnan(col("cosine"))) // zero-norm guard
       .select(col("query_id"), col(corpusId), col("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    scored.withColumn("nn_rank", row_number().over(w)).filter(col("nn_rank") <= k)
+    // final top-k: heap aggregate (NaN cosines from zero-norm vectors are
+    // dropped inside, same as the previous !isnan + window formulation)
+    GroupTopK.topKPerGroup(scored, Seq("query_id"), corpusId, "cosine", k,
+        rankCol = "nn_rank")
+      .select(col("query_id"), col(corpusId), col("cosine"),
+        col("nn_rank").cast("int").as("nn_rank"))
   }
 
   /** Blocked exact nearest neighbor: per id in `blockCol` block, the top-1

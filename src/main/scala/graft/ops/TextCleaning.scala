@@ -60,9 +60,12 @@ object TextCleaning {
   // ------------------------------------------------------------- PII
 
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  // +country? then 8-16 digits with ()-.\x20 separators, digit-anchored
-  // both ends; {6,14} inner chars keeps years ("2020-2024") unmatched.
-  private val PhonePat = "\\+?\\d[\\d()\\-. ]{6,14}\\d"
+  // 9-16 digits, at most two separator chars between consecutive digits
+  // ("(555) 123-4567" has ") " inside). Counting DIGITS — not inner chars,
+  // which the first cut of this pattern did — is what keeps 8-digit year
+  // ranges ("2020-2024") unmatched while real phone numbers (9+ digits)
+  // still redact. RE2-safe: no lookahead, so the DuckDB oracle mirrors it.
+  private val PhonePat = "\\+?\\d(?:[()\\-. ]{0,2}\\d){8,15}"
   private val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   def redactEmails(text: Column, token: String = "<EMAIL>"): Column =

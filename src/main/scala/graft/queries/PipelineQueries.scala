@@ -200,6 +200,58 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q62_poly_minhash" -> { (s, dir) =>
+      // oracle-checked MinHash LSH banding: md5 token hashes + integer
+      // permutation arithmetic, so DuckDB re-derives every band key
+      // bit-for-bit (the production minhashBuckets path is xxhash64 —
+      // faster, but rows-only checkable; q41 covers it)
+      Dedup.polyMinhashBands(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id", "band")
+    },
+
+    "q63_text_cleaning" -> { (s, dir) =>
+      // web-text cleanup chain on synthesized HTML-ish wrappers: tags +
+      // script elements stripped, entities decoded (&amp;lt; -> &lt;),
+      // boilerplate lines dropped, PII redacted (the 10-digit phone and
+      // the email/IP go; the 8-digit year range "2020-2024" must stay).
+      // Every regex is Java/RE2-common-subset, mirrored in the oracle.
+      val raw = t(s, dir, "documents").withColumn("html_text",
+        concat_ws("\n",
+          lit("<div>Call 555-123-4567 or mail bob@example.com</div><script>var x=1;</script>"),
+          col("text"),
+          lit("Copyright 2024 All rights reserved"),
+          lit("range 2020-2024 ping 10.0.0.1 &amp;lt;tag&gt; done")))
+      graft.ops.TextCleaning.clean(raw, "html_text", out = "clean_text")
+        .select(col("doc_id"),
+          md5(col("clean_text")).as("clean_digest"),
+          col("clean_text_pii.emails").as("n_emails"),
+          col("clean_text_pii.phones").as("n_phones"),
+          col("clean_text_pii.ipv4").as("n_ipv4"),
+          roundz(graft.ops.TextCleaning.boilerplateLineFraction(col("html_text")), 9)
+            .as("boiler_frac_r"))
+        .orderBy("doc_id")
+    },
+
+    "q64_temperature_mix" -> { (s, dir) =>
+      // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
+      // acceptance thresholds folded in sorted-source order with IEEE-exact
+      // sqrt, so the oracle lands on identical cuts; row keep = md5 unit
+      // hash, same contract as q36
+      graft.ops.Sampling.temperatureMix(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", alpha = 0.5, targetRows = 300, salt = "graft-r4")
+        .orderBy("doc_id")
+    },
+
+    "q65_poly_simhash" -> { (s, dir) =>
+      // oracle-checked SimHash banding: md5 hex digits supply the 64 vote
+      // bits, band values are 16-bit ints — DuckDB re-derives them exactly
+      // (q43's xxhash64 simhash stays the production path)
+      Dedup.simhashPolyBands(
+        t(s, dir, "documents").filter(col("doc_id") < 1000), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ------------------------------------------------- similarity search
 
     "q44_cosine_pairs" -> { (s, dir) =>
@@ -305,6 +357,17 @@ object PipelineQueries {
         t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0)
         .df.select("doc_id", "split", "n_tokens", "lang_id")
         .orderBy("doc_id")
+    },
+
+    "q66_corpus_funnel" -> { (s, dir) =>
+      // the prepareTrainingCorpus funnel counts as a 1-row frame — catches
+      // silent filter breakage (a stage passing everything or nothing) at
+      // verify/bench scale; hash-dependent via minhash, so rows-only
+      import s.implicits._
+      val st = graft.ops.Pipelines.prepareTrainingCorpus(
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0).stats()
+      Seq((st.input, st.afterExactDedup, st.afterNearDedup, st.afterQuality, st.output))
+        .toDF("n_input", "n_exact", "n_near", "n_quality", "n_output")
     },
 
     "q58_contamination" -> { (s, dir) =>
@@ -672,6 +735,136 @@ object PipelineQueries {
     "q49_fingerprint" ->
       """SELECT doc_id, md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every arithmetic step of polyMinhashBands mirrored: md5-prefix token
+    // hashes, (a*h+b) mod p permutations with the SAME polyPerms constants
+    // (interpolated below), min over the token set, 4-slice band keys
+    "q62_poly_minhash" -> {
+      val sigs = graft.ops.Dedup.polyPerms(16).zipWithIndex.map { case ((a, b), j) =>
+        s"    COALESCE(list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)), 2147483647) AS s${j + 1}"
+      }.mkString(",\n")
+      val bandSelects = (0 until 4).map { b =>
+        val cols = (1 to 4).map(r => s"s${b * 4 + r}").mkString(", ")
+        s"  SELECT doc_id, $b AS band, concat_ws('-', $cols) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS ts
+         |  FROM documents
+         |), hs0 AS (
+         |  SELECT doc_id, list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+         |  FROM toks
+         |), sig AS (
+         |  SELECT doc_id,
+         |$sigs
+         |  FROM hs0
+         |)
+         |SELECT doc_id, band, band_key FROM (
+         |$bandSelects
+         |)
+         |ORDER BY doc_id, band""".stripMargin
+    },
+
+    // the full cleaning chain mirrored step-for-step: strip script/style +
+    // tags, decode entities (ampersand LAST), drop boilerplate lines,
+    // redact email -> phone -> IP, collapse whitespace; pii counts run on
+    // the decoded pre-boilerplate text exactly like TextCleaning.clean
+    "q63_text_cleaning" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<div>Call 555-123-4567 or mail bob@example.com</div><script>var x=1;</script>' || chr(10) ||
+        |    text || chr(10) ||
+        |    'Copyright 2024 All rights reserved' || chr(10) ||
+        |    'range 2020-2024 ping 10.0.0.1 &amp;lt;tag&gt; done' AS h
+        |  FROM documents
+        |), detag AS (
+        |  SELECT doc_id, h, regexp_replace(regexp_replace(h,
+        |    '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |    '<[^>]*>', ' ', 'g') AS s
+        |  FROM raw
+        |), dec AS (
+        |  SELECT doc_id, h, replace(replace(replace(replace(replace(replace(replace(s,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&apos;', chr(39)), '&amp;', '&') AS s
+        |  FROM detag
+        |), boiler AS (
+        |  SELECT doc_id, h, s,
+        |    array_to_string(list_filter(string_split(s, chr(10)), l ->
+        |      len(regexp_replace(l, '^\s+|\s+$', '', 'g')) > 0 AND NOT regexp_matches(
+        |        regexp_replace(l, '^\s+|\s+$', '', 'g'),
+        |        '(?i)(cookie|copyright|all rights reserved|terms of (use|service)|privacy policy|subscribe|sign in|log in|newsletter|click here)')),
+        |      chr(10)) AS kept
+        |  FROM dec
+        |), red AS (
+        |  SELECT doc_id, h, s,
+        |    regexp_replace(regexp_replace(regexp_replace(kept,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?\d(?:[()\-. ]{0,2}\d){8,15}', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r
+        |  FROM boiler
+        |)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(r, '\s+', ' ', 'g'), '^ | $', '', 'g')) AS clean_digest,
+        |  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(s, '\+?\d(?:[()\-. ]{0,2}\d){8,15}')) AS n_phones,
+        |  len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  round(CASE WHEN len(string_split(h, chr(10))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(string_split(h, chr(10)), l ->
+        |      len(regexp_replace(l, '^\s+|\s+$', '', 'g')) = 0 OR regexp_matches(
+        |        regexp_replace(l, '^\s+|\s+$', '', 'g'),
+        |        '(?i)(cookie|copyright|all rights reserved|terms of (use|service)|privacy policy|subscribe|sign in|log in|newsletter|click here)'))) AS DOUBLE)
+        |      / CAST(len(string_split(h, chr(10))) AS DOUBLE) END, 9) + 0.0 AS boiler_frac_r
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    // sorted-source fold with IEEE-exact sqrt (alpha = 0.5), op order
+    // target * (w/z) / n mirrored exactly; row keep = q36's md5 unit hash
+    "q64_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        |), zz AS (
+        |  SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source), (a, b) -> a + b) AS z
+        |  FROM counts
+        |), acc AS (
+        |  SELECT source, LEAST(1.0, 300.0 * (sqrt(CAST(n AS DOUBLE)) / z) / CAST(n AS DOUBLE)) AS a
+        |  FROM counts, zz
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN acc USING (source)
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft-r4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < a
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // md5-hex vote bits: bit i lives in hex digit i//4 at weight 2^(i%4);
+    // per-bit +-1 vote sums, sign -> 4 x 16-bit band keys
+    "q65_poly_simhash" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents WHERE doc_id < 1000
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS t FROM base WHERE len(toks) > 0
+        |), votes AS (
+        |  SELECT doc_id, b.i AS bit,
+        |    SUM(CASE WHEN (CAST(('0x' || substr(md5(t), CAST(b.i // 4 AS INT) + 1, 1)) AS INT)
+        |      // (CASE WHEN b.i % 4 = 0 THEN 1 WHEN b.i % 4 = 1 THEN 2 WHEN b.i % 4 = 2 THEN 4 ELSE 8 END)) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS vote
+        |  FROM tok, range(64) AS b(i)
+        |  GROUP BY doc_id, b.i
+        |), bands AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 AND bit < 16 THEN (1 << CAST(bit AS INT)) ELSE 0 END) AS INTEGER) AS band0,
+        |    CAST(SUM(CASE WHEN vote > 0 AND bit >= 16 AND bit < 32 THEN (1 << CAST(bit - 16 AS INT)) ELSE 0 END) AS INTEGER) AS band1,
+        |    CAST(SUM(CASE WHEN vote > 0 AND bit >= 32 AND bit < 48 THEN (1 << CAST(bit - 32 AS INT)) ELSE 0 END) AS INTEGER) AS band2,
+        |    CAST(SUM(CASE WHEN vote > 0 AND bit >= 48 THEN (1 << CAST(bit - 48 AS INT)) ELSE 0 END) AS INTEGER) AS band3
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(band0, 0) AS band0, COALESCE(band1, 0) AS band1,
+        |  COALESCE(band2, 0) AS band2, COALESCE(band3, 0) AS band3
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+        |LEFT JOIN bands USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q44_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

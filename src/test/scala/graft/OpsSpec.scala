@@ -46,6 +46,65 @@ class OpsSpec extends SparkSpec {
     assert(est == 1.0)
   }
 
+  test("polyMinhashBands: dup cluster shares every band, distinct docs none") {
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.polyMinhashBands(df, "text", "doc_id").collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .view.mapValues(_.map(r => (r.getAs[Int]("band"), r.getAs[String]("band_key"))).toSet)
+        .toMap
+    val b = bands(docs)
+    assert(b(0L).size == 4)
+    // 0, 1 (exact dup) and 4 (whitespace-variant -> same token set) agree
+    // on the full signature, hence every band key
+    assert(b(0L) == b(1L) && b(0L) == b(4L))
+    // unrelated content shares no bucket
+    assert(b(0L).intersect(b(3L)).isEmpty)
+    // deterministic and partition-invariant (md5 arithmetic, no RNG state)
+    assert(bands(docs.repartition(7)) == b)
+  }
+
+  test("polyMinhash candidate pairs agree with the xxhash64 minhashBuckets path") {
+    // the two banding paths hash differently, so band KEYS differ — but on
+    // planted dups both must bucket the same candidate pairs
+    def pairsOf(buckets: org.apache.spark.sql.DataFrame, keyCol: String): Set[(Long, Long)] = {
+      val a = buckets.select(col("doc_id").as("id_a"), col("band"), col(keyCol))
+      val b = buckets.select(col("doc_id").as("id_b"), col("band"), col(keyCol))
+      a.join(b, Seq("band", keyCol)).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val poly = pairsOf(Dedup.polyMinhashBands(docs, "text", "doc_id"), "band_key")
+    val xx = pairsOf(Dedup.minhashBuckets(docs, "text", "doc_id"), "band_key")
+    // the exact-dup cluster {0,1,4} must pair under both hash families
+    val cluster = Set((0L, 1L), (0L, 4L), (1L, 4L))
+    assert(cluster.subsetOf(poly))
+    assert(cluster.subsetOf(xx))
+    assert(!poly.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashPolyBands: identical docs equal bands, bands are 16-bit") {
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashPolyBands(df, "text", "doc_id").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Seq(r.getAs[Int]("band0"), r.getAs[Int]("band1"),
+            r.getAs[Int]("band2"), r.getAs[Int]("band3"))).toMap
+    val b = bands(docs)
+    assert(b(0L) == b(1L)) // identical text
+    assert(b.values.flatten.forall(v => v >= 0 && v <= 0xFFFF))
+    // near-dup (one token changed) stays closer in fingerprint bits than
+    // unrelated content: compare reassembled 64-bit hamming distances
+    def fp(bs: Seq[Int]): Long =
+      bs.zipWithIndex.map { case (v, i) => v.toLong << (16 * i) }.sum
+    def ham(a: Long, c: Long) = java.lang.Long.bitCount(a ^ c)
+    assert(ham(fp(b(0L)), fp(b(2L))) < ham(fp(b(0L)), fp(b(3L))))
+    // deterministic under repartitioning
+    assert(bands(docs.repartition(5)) == b)
+    // empty doc: zero votes everywhere -> all-zero bands
+    import spark.implicits._
+    val empty = bands(Seq((9L, "", "z")).toDF("doc_id", "text", "source"))
+    assert(empty(9L) == Seq(0, 0, 0, 0))
+  }
+
   test("simhash: identical docs identical fingerprints, near-dups close") {
     val fp = Dedup.simhashWithBands(docs, "text", "doc_id").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
@@ -707,6 +766,41 @@ class OpsSpec extends SparkSpec {
     // deterministic: re-evaluation returns the identical row set
     assert(kept.collect().map(_.getLong(0)).toSet ==
       kept.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("temperature mix: n^alpha proportional draws, deterministic, upweights small sources") {
+    import graft.ops.Sampling
+    // sources of 100 / 400 / 900 rows; alpha=0.5 -> weights 10/20/30,
+    // z=60, target=300 -> acceptance 0.5 / 0.25 / 1/6, expected draws
+    // 50 / 100 / 150 (binomial sd < 10 each; assert within ~4 sigma)
+    val df = spark.range(0, 1400).toDF("id")
+      .withColumn("src",
+        when(col("id") < 100, "small").when(col("id") < 500, "mid").otherwise("big"))
+    val mixed = Sampling.temperatureMix(df, "id", "src", alpha = 0.5,
+      targetRows = 300, salt = "tm1")
+    val counts = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("small") - 50.0) < 30, s"got $counts")
+    assert(math.abs(counts("mid") - 100.0) < 40, s"got $counts")
+    assert(math.abs(counts("big") - 150.0) < 45, s"got $counts")
+    // alpha < 1 upweights small sources: keep RATE decreasing in size
+    assert(counts("small") / 100.0 > counts("mid") / 400.0)
+    assert(counts("mid") / 400.0 > counts("big") / 900.0)
+
+    // deterministic + partition-invariant (same contract as withSplit)
+    val a = mixed.collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(df.repartition(11), "id", "src", alpha = 0.5,
+      targetRows = 300, salt = "tm1").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+
+    // alpha = 1 reproduces plain proportional sampling: equal accept rate,
+    // so a source 9x bigger draws ~9x the rows
+    val prop = Sampling.temperatureMix(df, "id", "src", alpha = 1.0,
+      targetRows = 700, salt = "tm1")
+    val pc = prop.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(pc("big") - 450.0) < 60, s"got $pc") // 700 * 900/1400
+    assert(math.abs(pc("small") - 50.0) < 30, s"got $pc")
   }
 
   test("heap top-k aggregator matches the window formulation, windowless plan") {
