@@ -25,6 +25,60 @@ object PipelineQueries {
     */
   private def roundz(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
 
+  /** The 16 signature positions over an `hs` hash-list column, with the
+    * SAME polyPerms constants the engine uses (interpolated so the two
+    * sides can never drift). */
+  private val polySigList: String =
+    graft.ops.Dedup.polyPerms(16).zipWithIndex.map { case ((a, b), j) =>
+      s"    COALESCE(list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)), 2147483647) AS s${j + 1}"
+    }.mkString(",\n")
+
+  /** DuckDB CTE prefix for the token-unit poly-minhash oracle (q62):
+    * distinct case-preserving tokens -> md5-prefix 32-bit hashes -> the
+    * 16 signature positions. */
+  private val polySigCte: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+       |         ELSE list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS ts
+       |  FROM documents
+       |), hs0 AS (
+       |  SELECT doc_id, list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+       |  FROM toks
+       |), sig AS (
+       |  SELECT doc_id,
+       |$polySigList
+       |  FROM hs0
+       |)""".stripMargin
+
+  /** DuckDB CTE prefix for the shingle-unit poly-minhash oracle (q67):
+    * canonical form -> distinct char 5-shingles (short texts fall back to
+    * the whole canon, mirroring Dedup.shingles) -> md5-prefix hashes ->
+    * the 16 signature positions. */
+  private val polyShingleSigCte: String =
+    s"""c0 AS (
+       |  SELECT doc_id, trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS canon
+       |  FROM documents
+       |), hs0 AS (
+       |  SELECT doc_id, list_transform(
+       |    CASE WHEN len(canon) < 5 THEN [canon]
+       |         ELSE list_distinct(list_transform(range(0, len(canon) - 4),
+       |                i -> substr(canon, CAST(i + 1 AS INT), 5))) END,
+       |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+       |  FROM c0
+       |), sig AS (
+       |  SELECT doc_id,
+       |$polySigList
+       |  FROM hs0
+       |)""".stripMargin
+
+  /** The 4 band-key projections over the `sig` CTE (4 positions per band,
+    * '-'-joined decimal strings — exactly the engine's concat_ws). */
+  private val polyBandSelects: String = (0 until 4).map { b =>
+    val cols = (1 to 4).map(r => s"s${b * 4 + r}").mkString(", ")
+    s"  SELECT doc_id, $b AS band, concat_ws('-', $cols) AS band_key FROM sig"
+  }.mkString("\n  UNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------ classical relational ops
@@ -250,6 +304,15 @@ object PipelineQueries {
       Dedup.simhashPolyBands(
         t(s, dir, "documents").filter(col("doc_id") < 1000), "text", "doc_id")
         .orderBy("doc_id")
+    },
+
+    "q67_poly_near_dup" -> { (s, dir) =>
+      // the full near-dup PAIR pipeline (bucketed candidates + estimated
+      // Jaccard) under the engine-independent hash family — the pair-level
+      // oracle q47's xxhash64 path can't have
+      Dedup.polyMinhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5)
+        .orderBy("id_a", "id_b")
     },
 
     // ------------------------------------------------- similarity search
@@ -739,31 +802,30 @@ object PipelineQueries {
     // every arithmetic step of polyMinhashBands mirrored: md5-prefix token
     // hashes, (a*h+b) mod p permutations with the SAME polyPerms constants
     // (interpolated below), min over the token set, 4-slice band keys
-    "q62_poly_minhash" -> {
-      val sigs = graft.ops.Dedup.polyPerms(16).zipWithIndex.map { case ((a, b), j) =>
-        s"    COALESCE(list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)), 2147483647) AS s${j + 1}"
-      }.mkString(",\n")
-      val bandSelects = (0 until 4).map { b =>
-        val cols = (1 to 4).map(r => s"s${b * 4 + r}").mkString(", ")
-        s"  SELECT doc_id, $b AS band, concat_ws('-', $cols) AS band_key FROM sig"
-      }.mkString("\n  UNION ALL\n")
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
-         |         ELSE list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS ts
-         |  FROM documents
-         |), hs0 AS (
-         |  SELECT doc_id, list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
-         |  FROM toks
-         |), sig AS (
-         |  SELECT doc_id,
-         |$sigs
-         |  FROM hs0
-         |)
+    "q62_poly_minhash" ->
+      s"""WITH $polySigCte
          |SELECT doc_id, band, band_key FROM (
-         |$bandSelects
+         |$polyBandSelects
          |)
-         |ORDER BY doc_id, band""".stripMargin
+         |ORDER BY doc_id, band""".stripMargin,
+
+    // pair-level poly minhash over char 5-shingles: sig + band CTEs, then
+    // the bucketed candidate self-join and the position-agreement Jaccard
+    // estimate (an exact n/16 rational in both engines)
+    "q67_poly_near_dup" -> {
+      val agree = (1 to 16).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $polyShingleSigCte, bk AS (
+         |$polyBandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, CAST(($agree) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+         |WHERE CAST(($agree) AS DOUBLE) / 16.0 >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     // the full cleaning chain mirrored step-for-step: strip script/style +

@@ -82,6 +82,19 @@ class OpsSpec extends SparkSpec {
     assert(!poly.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("polyMinhashNearDupPairs: exact dups estimate 1.0, unrelated docs excluded") {
+    val pairs = Dedup.polyMinhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    // the exact-dup cluster {0,1,4} agrees on every signature position
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 4L)) == 1.0)
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // estimates are n/16 rationals by construction
+    assert(pairs.values.forall(v => (v * 16).isWhole))
+  }
+
   test("simhashPolyBands: identical docs equal bands, bands are 16-bit") {
     def bands(df: org.apache.spark.sql.DataFrame) =
       Dedup.simhashPolyBands(df, "text", "doc_id").collect()
