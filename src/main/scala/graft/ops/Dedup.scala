@@ -133,13 +133,12 @@ object Dedup {
 
   // ------- oracle-reproducible polynomial MinHash (md5 token hashes)
 
-  /** Permutation constants for [[polyMinhashBands]] — pure arithmetic so
-    * the DuckDB oracle generator derives the identical (a, b) pairs. */
+  /** Permutation constants for the poly minhash family — pure arithmetic
+    * so the DuckDB oracle generator derives the identical (a, b) pairs
+    * (single source of truth: the native expression's companion). */
   private[graft] val PolyPrime = 2147483647L // 2^31 - 1 (Mersenne)
   private[graft] def polyPerms(numPerms: Int): Seq[(Long, Long)] =
-    (1 to numPerms).map { i =>
-      (1000003L * i % 1073741789L + 1L, 998244353L * i % PolyPrime)
-    }
+    graft.expressions.PolyMinHashSignature.perms(numPerms)
 
   /** md5-prefix hashes (32-bit, engine-independent) of an array of text
     * units — the shared hash step of the poly minhash family. */
@@ -158,6 +157,20 @@ object Dedup {
         array_min(transform(col("__hs"), h => pmod(h * lit(a) + lit(b), lit(PolyPrime)))),
         lit(PolyPrime))
     }
+
+  /** HOF formulation of [[graft.expressions.PolyMinHashSignature]] over
+    * char `k`-shingles (identical values — the differential-test oracle
+    * for the native expression, and the array the q67 DuckDB SQL mirrors
+    * term-for-term). */
+  private[graft] def polyShingleSignatureHof(text: Column, numPerms: Int, k: Int): Column = {
+    val hs = polyHashes(shingles(text, k))
+    val sig = polyPerms(numPerms).map { case (a, b) =>
+      coalesce(
+        array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(PolyPrime)))),
+        lit(PolyPrime))
+    }
+    array(sig: _*)
+  }
 
   /** MinHash LSH banding over ENGINE-INDEPENDENT hashes: token hash =
     * first 8 md5 hex chars as a 32-bit int, permutations
@@ -211,9 +224,10 @@ object Dedup {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     val rows = numPerms / bands
     // same materialization barrier as minhashNearDupPairs: the signature
-    // projection feeds the bucket explode and both join-backs
-    val sigs = df.select(col(idCol), polyHashes(shingles(col(textCol), k)).as("__hs"))
-      .select(col(idCol), array(polySigCols(numPerms): _*).as("signature"))
+    // projection feeds the bucket explode and both join-backs. Native
+    // one-pass expression; polyShingleSignatureHof is the differential.
+    val sigs = df.select(col(idCol),
+        graft.expressions.PolyMinHashSignature(col(textCol), numPerms, k).as("signature"))
       .repartition(col(idCol))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -58,7 +58,7 @@ object PipelineQueries {
   private val polyShingleSigCte: String =
     s"""c0 AS (
        |  SELECT doc_id, trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS canon
-       |  FROM documents
+       |  FROM documents WHERE doc_id < 1000
        |), hs0 AS (
        |  SELECT doc_id, list_transform(
        |    CASE WHEN len(canon) < 5 THEN [canon]
@@ -309,8 +309,11 @@ object PipelineQueries {
     "q67_poly_near_dup" -> { (s, dir) =>
       // the full near-dup PAIR pipeline (bucketed candidates + estimated
       // Jaccard) under the engine-independent hash family — the pair-level
-      // oracle q47's xxhash64 path can't have
-      Dedup.polyMinhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+      // oracle q47's xxhash64 path can't have. Same doc_id<1000 subset as
+      // q47: the md5-per-shingle HOF chain is the deliberately portable
+      // (not production-fast) path, ~3ms/doc interpreted.
+      Dedup.polyMinhashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 1000), "text", "doc_id",
         threshold = 0.5)
         .orderBy("id_a", "id_b")
     },

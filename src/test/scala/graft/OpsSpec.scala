@@ -82,6 +82,23 @@ class OpsSpec extends SparkSpec {
     assert(!poly.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("native PolyMinHashSignature equals the HOF formulation") {
+    // differential over real corpus text (adversarial whitespace included
+    // via the fixture's doc 4); element order must match exactly since
+    // band keys concatenate positions
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+      .unionAll(docs.select(col("doc_id") + 10000, col("text")))
+    val native = corpus.select(col("doc_id"),
+      graft.expressions.PolyMinHashSignature(col("text"), 16, 5).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = corpus.select(col("doc_id"),
+      Dedup.polyShingleSignatureHof(col("text"), 16, 5).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof)
+    assert(native.values.forall(_.length == 16))
+  }
+
   test("polyMinhashNearDupPairs: exact dups estimate 1.0, unrelated docs excluded") {
     val pairs = Dedup.polyMinhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
