@@ -169,6 +169,32 @@ object PipelineQueries {
         .orderBy("o_orderkey", "n_nationkey")
     },
 
+    "q68_rollup" -> { (s, dir) =>
+      // multi-level aggregation (ROLLUP + grouping id): subtotals and the
+      // grand total in one pass — Catalyst plans it as a single Expand +
+      // hash aggregate, no per-level re-scan
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    "q69_lead_lag" -> { (s, dir) =>
+      // lead/lag event windows (per-user previous/next value + gap to the
+      // previous event) — integer microsecond math, exact in both engines
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("us"), col("value"))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("next_value", lead("value", 1).over(w))
+        .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+        .select("event_id", "user_id", "prev_value", "next_value", "gap_us")
+        .orderBy("event_id")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -597,6 +623,22 @@ object PipelineQueries {
         |SELECT o_orderkey, price, n_nationkey, n_name
         |FROM o JOIN bands ON price >= lo AND price < hi
         |ORDER BY o_orderkey, n_nationkey""".stripMargin,
+
+    "q68_rollup" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q69_lead_lag" ->
+      """SELECT event_id, user_id,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (
