@@ -79,7 +79,14 @@ object Pipelines {
         .withColumnRenamed("__graft_clean_pii", s"${textCol}_pii")
         .drop("__graft_clean")
 
-    // 1. exact dedup: keep the minimum-id row per canonical form
+    // 1. exact dedup: keep the minimum-id row per canonical form.
+    // (Deliberately NO repartition barrier here, although this frame is
+    // referenced by the near-dup path, the survivor join, and the funnel
+    // counts: an extra full-row exchange to enable ReuseExchange was
+    // measured 25-40% SLOWER than re-running the fingerprint window per
+    // reference — the dedup subtree is cheap relative to shuffling text
+    // payloads. The signature path has its own ids+signature barrier
+    // inside minhashNearDupPairs, which is the expensive projection.)
     val exact = Dedup.dropExactDups(input, textCol, idCol)
 
     // 2. near-dup removal: for every LSH-confirmed pair drop the higher id
