@@ -79,6 +79,34 @@ object PipelineQueries {
     s"  SELECT doc_id, $b AS band, concat_ws('-', $cols) AS band_key FROM sig"
   }.mkString("\n  UNION ALL\n")
 
+  /** Hyperplane-bucket SQL generator (q45, q56): the engine's +-1 planes
+    * come from a seeded driver-side PRNG, so this interpolates the EXACT
+    * constants as `+- v[i]` term chains over a `v` DOUBLE[] column
+    * (element order = the native HyperplaneBits accumulation order;
+    * `x * +-1.0` and sequential `+`/`-` are IEEE-exact) and ORs the
+    * per-table sign-bit keys into the any-table bucket match. Returns the
+    * (sum projections, key projections) for a two-CTE chain. */
+  private def hyperplaneKeySql(
+      dim: Int, nBits: Int, nTables: Int, seedOf: Int => Long): (String, String) = {
+    val sums = (0 until nTables).flatMap { t =>
+      val planes = graft.ops.Similarity.hyperplanes(dim, nBits, seedOf(t))
+      (0 until nBits).map { b =>
+        val terms = planes(b).zipWithIndex.map { case (p, i) =>
+          (if (p > 0) " + " else " - ") + s"v[${i + 1}]"
+        }.mkString
+        s"    (0.0$terms) AS s_${t}_$b"
+      }
+    }.mkString(",\n")
+    val keys = (0 until nTables).map { t =>
+      val bits = (0 until nBits).map { b =>
+        // engine sets the bit for NaN sums (Spark NaN >= 0 is true)
+        s"CASE WHEN s_${t}_$b >= 0 OR isnan(s_${t}_$b) THEN ${1L << b} ELSE 0 END"
+      }.mkString(" + ")
+      s"    ($bits) AS k_$t"
+    }.mkString(",\n")
+    (sums, keys)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------ classical relational ops
@@ -402,9 +430,16 @@ object PipelineQueries {
     },
 
     "q45_lsh_topk" -> { (s, dir) =>
+      // oracle-checked since round 4: the seeded +-1 hyperplanes are
+      // interpolated into the SQL (see hyperplaneKeySql), so the bucket
+      // match, candidate set, and cosine ranking all mirror exactly
+      // nBits = 8: 12-bit keys leave 500 vectors almost collision-free
+      // (1 candidate at sf0.01) — 8 bits yields a real candidate set
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, dim = 64)
-        .select("query_id", "vec_id", "cosine", "nn_rank")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, dim = 64,
+          nBits = 8)
+        .select(col("query_id"), col("vec_id"),
+          roundz(col("cosine"), 6).as("cosine_r"), col("nn_rank"))
         .orderBy("query_id", "nn_rank")
     },
 
@@ -940,6 +975,70 @@ object PipelineQueries {
         |FROM documents d JOIN acc USING (source)
         |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft-r4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < a
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the hyperplane-LSH near-dup pipeline is fully oracle-checkable: the
+    // +-1 planes come from a seeded driver-side PRNG, so the generator
+    // interpolates the EXACT constants as +-v[i] term chains (element
+    // order = the native HyperplaneBits accumulation order; x*+-1.0 and
+    // sequential +/- are IEEE-exact), then mirrors the any-table bucket
+    // match and the exact-cosine verify
+    "q56_embedding_near_dup" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 3, t => 104729L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+         |  FROM k a JOIN k c ON a.vec_id < c.vec_id
+         |    AND (a.k_0 = c.k_0 OR a.k_1 = c.k_1 OR a.k_2 = c.k_2)
+         |), scored AS (
+         |  SELECT id_a, id_b,
+         |    list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cosine
+         |  FROM pairs
+         |)
+         |SELECT id_a, id_b, round(cosine, 6) + 0.0 AS cosine_r
+         |FROM scored WHERE NOT isnan(cosine) AND cosine >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // LSH ANN top-k: hyperplane keys (12 bits x 4 tables, interpolated
+    // constants), any-table candidate match excluding self, exact cosine
+    // rank with the engine's (cosine DESC, vec_id) tie order
+    "q45_lsh_topk" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 4, t => 7919L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), q AS (SELECT * FROM k WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid, q.v AS qv, c.v AS cv
+         |  FROM k c JOIN q ON c.vec_id <> q.vec_id
+         |    AND (c.k_0 = q.k_0 OR c.k_1 = q.k_1 OR c.k_2 = q.k_2 OR c.k_3 = q.k_3)
+         |), scored AS (
+         |  SELECT query_id, cid AS vec_id,
+         |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+         |  FROM cand
+         |), rk AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
+         |  FROM scored WHERE NOT isnan(cosine)
+         |)
+         |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
+         |FROM rk WHERE nn_rank <= 10
+         |ORDER BY query_id, nn_rank""".stripMargin
+    },
 
     // md5-hex vote bits: bit i lives in hex digit i//4 at weight 2^(i%4);
     // per-bit +-1 vote sums, sign -> 4 x 16-bit band keys
