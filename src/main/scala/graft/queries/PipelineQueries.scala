@@ -1125,6 +1125,28 @@ object PipelineQueries {
         |  ("offset" + GREATEST(n_tokens, 1) - 1) // 512 - "offset" // 512 + 1 AS n_chunks
         |FROM o ORDER BY doc_id""".stripMargin,
 
+    // the payload is the utf-8 text bytes (pure ASCII in the testdata, so
+    // byte i == char i) and no image magic matches -> the stub decoder's
+    // pseudo-features: f0 = float32 sum over bytes at positions ≡ 0 mod 8
+    // of byte/255.0f. Float accumulation is emulated exactly: two floats
+    // sum exactly in double, so CAST(a + b AS REAL) per step == Java float
+    // addition; the final round-then-narrow mirrors round(float, 4)+0.0.
+    "q53_multimodal_decode" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |), f AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS REAL)
+        |    ELSE list_reduce(
+        |      list_transform(range(0, (n + 7) // 8),
+        |        k -> CAST(ascii(substr(text, CAST(1 + 8 * k AS INT), 1)) AS REAL) / CAST(255.0 AS REAL)),
+        |      (a, b) -> CAST(a + b AS REAL)) END AS f0f
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(CAST(round(CAST(f0f AS DOUBLE), 4) AS REAL) AS DOUBLE) + 0.0 AS f0
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // the WAV payload is PCM16 mono @16k built from the utf-8 text bytes,
     // so every metadata field derives from octet_length arithmetic
     "q59_wav_meta" ->
