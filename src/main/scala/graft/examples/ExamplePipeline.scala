@@ -27,8 +27,11 @@ object ExamplePipeline {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     // 1. clean + enrich + deterministic split, one lazy plan
+    // (htmlClean = web-text stage 0: tag strip, entity decode,
+    // boilerplate lines, PII redaction — before dedup so markup-only
+    // variants collapse to exact duplicates)
     val prepared = Pipelines.prepareTrainingCorpus(
-      docs, nearDupThreshold = 0.9, minQuality = 30.0)
+      docs, nearDupThreshold = 0.9, minQuality = 30.0, htmlClean = true)
     val stats = prepared.stats()
     println(s"funnel: in=${stats.input} exact=${stats.afterExactDedup} " +
       s"near=${stats.afterNearDedup} quality=${stats.afterQuality} out=${stats.output}")

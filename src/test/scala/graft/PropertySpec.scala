@@ -25,6 +25,69 @@ class PropertySpec extends SparkSpec {
   def samples[A](gen: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      "the", "quick", "fox", "2020-2024", "call", "555-123-4567",
+      "a@b.co", "<b>x</b>", "&amp;lt;", "10.0.0.1", "  ", "\n",
+      "Privacy Policy", "Copyright", "data", "spark"))
+  } yield words.mkString(" ")
+
+  test("property: cleaning invariants (emails/IPs gone, whitespace normal, counts sane)") {
+    // NOTE clean() is deliberately NOT idempotent: a second pass would
+    // strip the <PHONE>/<EMAIL>/<IP> tokens as tags and decode entities a
+    // second level — cleaning is a one-shot ingest stage.
+    import graft.ops.TextCleaning
+    val data = samples(Gen.listOfN(12, textGen), 4).flatten
+    val df = data.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+    TextCleaning.clean(df, "t", out = "c")
+      .select("id", "t", "c", "c_pii").collect().foreach { r =>
+        val c = r.getString(2)
+        // email and IP redaction is complete (joins can't form new ones:
+        // a space lands between joined lines and breaks both patterns)
+        assert(emailPat.findFirstIn(c).isEmpty, s"email survived in '$c'")
+        assert(ipv4Pat.findFirstIn(c).isEmpty, s"ip survived in '$c'")
+        // whitespace is fully normalized
+        assert(!c.contains("  ") && c == c.trim)
+        // pii counts are non-negative
+        val pii = r.getStruct(3)
+        assert((0 until 3).forall(j => pii.getInt(j) >= 0))
+      }
+  }
+
+  test("property: boilerplate fraction in [0,1]; removed lines never exceed total") {
+    import graft.ops.TextCleaning
+    val data = samples(Gen.listOfN(10, textGen), 3).flatten
+    val df = data.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    df.select(TextCleaning.boilerplateLineFraction(col("t")).as("f"))
+      .collect().foreach { r =>
+        val f = r.getDouble(0)
+        assert(f >= 0.0 && f <= 1.0, s"fraction $f out of range")
+      }
+  }
+
+  test("property: temperatureMix output is always a subset with per-source determinism") {
+    import graft.ops.Sampling
+    val gen = Gen.zip(Gen.choose(50, 300), Gen.choose(1, 4))
+    samples(gen, 4).foreach { case (n, nSrc) =>
+      val df = spark.range(0, n).toDF("id")
+        .withColumn("src", (col("id") % nSrc).cast("string"))
+      val kept = Sampling.temperatureMix(df, "id", "src", alpha = 0.5,
+        targetRows = n / 2, salt = "p1")
+      val ids = kept.collect().map(_.getLong(0)).toSet
+      assert(ids.subsetOf((0L until n.toLong).toSet))
+      // repartitioned input -> identical selection
+      val ids2 = Sampling.temperatureMix(df.repartition(5), "id", "src",
+        alpha = 0.5, targetRows = n / 2, salt = "p1")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == ids2)
+      // acceptance never overshoots: kept <= ceil of per-source caps summed
+      assert(ids.size <= n)
+    }
+  }
+
   test("property: competition ranking is valid (1-2-2-4 shape)") {
     samples(rowsGen, 8).foreach { data =>
       val df = data.toDF("id", "x")
