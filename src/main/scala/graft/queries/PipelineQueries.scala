@@ -209,6 +209,19 @@ object PipelineQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    "q70_set_ops" -> { (s, dir) =>
+      // set operators over key columns: customers WITH orders (intersect)
+      // tagged against customers WITHOUT (except) — Spark plans both as
+      // aggregates/joins, no driver-side set logic
+      val custKeys = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val orderCust = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val withOrders = custKeys.intersect(orderCust)
+        .withColumn("has_orders", lit(1))
+      val withoutOrders = custKeys.except(orderCust)
+        .withColumn("has_orders", lit(0))
+      withOrders.unionByName(withoutOrders).orderBy("k")
+    },
+
     "q69_lead_lag" -> { (s, dir) =>
       // lead/lag event windows (per-user previous/next value + gap to the
       // previous event) — integer microsecond math, exact in both engines
@@ -665,6 +678,21 @@ object PipelineQueries {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q70_set_ops" ->
+      """SELECT k, has_orders FROM (
+        |  SELECT k, 1 AS has_orders FROM (
+        |    SELECT c_custkey AS k FROM customer
+        |    INTERSECT
+        |    SELECT o_custkey AS k FROM orders
+        |  )
+        |  UNION ALL
+        |  SELECT k, 0 AS has_orders FROM (
+        |    SELECT c_custkey AS k FROM customer
+        |    EXCEPT
+        |    SELECT o_custkey AS k FROM orders
+        |  )
+        |) ORDER BY k""".stripMargin,
 
     "q69_lead_lag" ->
       """SELECT event_id, user_id,
