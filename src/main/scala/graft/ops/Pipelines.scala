@@ -45,10 +45,11 @@ object Pipelines {
       splits: Seq[(String, Double)] = Seq(
         "train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
       salt: String = "graft",
-      htmlClean: Boolean = false
+      htmlClean: Boolean = false,
+      portableHashes: Boolean = false
   ): CleanResult = {
     val cleaned = cleanCorpus(docs, textCol, idCol,
-      nearDupThreshold, minQuality, langAllowlist, htmlClean)
+      nearDupThreshold, minQuality, langAllowlist, htmlClean, portableHashes)
     val enriched = cleaned.df
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
@@ -65,7 +66,8 @@ object Pipelines {
       nearDupThreshold: Double = 0.85,
       minQuality: Double = 40.0,
       langAllowlist: Seq[String] = Nil,
-      htmlClean: Boolean = false
+      htmlClean: Boolean = false,
+      portableHashes: Boolean = false
   ): CleanResult = {
     // 0. optional web-text cleanup BEFORE dedup (markup variation would
     // otherwise defeat the canonical fingerprint); the cleaned text
@@ -91,9 +93,18 @@ object Pipelines {
 
     // 2. near-dup removal: for every LSH-confirmed pair drop the higher id
     // (greedy transitive-ish reduction: any doc that is the higher side of
-    // some pair goes; the lowest id of each near-dup cluster survives)
-    val losers = Dedup
-      .minhashNearDupPairs(exact, textCol, idCol, threshold = nearDupThreshold)
+    // some pair goes; the lowest id of each near-dup cluster survives).
+    // portableHashes swaps the xxhash64 signature for the md5 poly family
+    // — same bucketed plan shape, but every hash is reproducible by any
+    // engine, making the WHOLE pipeline DuckDB-oracle-checkable (q71).
+    val pairs =
+      if (portableHashes)
+        Dedup.polyMinhashNearDupPairs(exact, textCol, idCol,
+          threshold = nearDupThreshold)
+      else
+        Dedup.minhashNearDupPairs(exact, textCol, idCol,
+          threshold = nearDupThreshold)
+    val losers = pairs
       .select(col("id_b").as(idCol))
       .distinct()
     val nearDeduped = exact.join(losers, Seq(idCol), "left_anti")

@@ -51,14 +51,15 @@ object PipelineQueries {
        |  FROM hs0
        |)""".stripMargin
 
-  /** DuckDB CTE prefix for the shingle-unit poly-minhash oracle (q67):
-    * canonical form -> distinct char 5-shingles (short texts fall back to
-    * the whole canon, mirroring Dedup.shingles) -> md5-prefix hashes ->
-    * the 16 signature positions. */
-  private val polyShingleSigCte: String =
+  /** DuckDB CTE prefix for the shingle-unit poly-minhash oracles (q67,
+    * q71): canonical form -> distinct char 5-shingles (short texts fall
+    * back to the whole canon, mirroring Dedup.shingles) -> md5-prefix
+    * hashes -> the 16 signature positions. `srcRel` is the relation (with
+    * optional WHERE) supplying (doc_id, text). */
+  private def polyShingleSigCte(srcRel: String): String =
     s"""c0 AS (
        |  SELECT doc_id, trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS canon
-       |  FROM documents WHERE doc_id < 1000
+       |  FROM $srcRel
        |), hs0 AS (
        |  SELECT doc_id, list_transform(
        |    CASE WHEN len(canon) < 5 THEN [canon]
@@ -510,6 +511,18 @@ object PipelineQueries {
         .toDF("n_input", "n_exact", "n_near", "n_quality", "n_output")
     },
 
+    "q71_clean_pipeline" -> { (s, dir) =>
+      // the ENTIRE corpus-cleaning composition under portable hashes:
+      // exact dedup -> poly-minhash near-dup removal -> quality gate, all
+      // DuckDB-re-derived (the q57 twin is rows-only because its xxhash64
+      // signatures exist in no other engine)
+      graft.ops.Pipelines.cleanCorpus(
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0,
+        portableHashes = true)
+        .df.select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     "q58_contamination" -> { (s, dir) =>
       // benchmark-contamination check: treat doc_id >= 400 as the held-out
       // benchmark and find its documents embedded in the doc_id < 400
@@ -923,7 +936,7 @@ object PipelineQueries {
     "q67_poly_near_dup" -> {
       val agree = (1 to 16).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
         .mkString(" + ")
-      s"""WITH $polyShingleSigCte, bk AS (
+      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000")}, bk AS (
          |$polyBandSelects
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1066,6 +1079,61 @@ object PipelineQueries {
          |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
          |FROM rk WHERE nn_rank <= 10
          |ORDER BY query_id, nn_rank""".stripMargin
+    },
+
+    // the full cleaning pipeline mirrored end-to-end: exact dedup (keep
+    // min id per canonical md5), poly-minhash near-dup losers at est
+    // Jaccard >= 0.9, then the qualityScore blend term-for-term (all
+    // components already proven green in q46/q46b/q48-style oracles)
+    "q71_clean_pipeline" -> {
+      val agree = (1 to 16).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH canon0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ccanon
+         |  FROM documents
+         |), exact AS (
+         |  SELECT * FROM canon0
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM canon0 GROUP BY md5(ccanon))
+         |), ${polyShingleSigCte("exact")}, bk AS (
+         |$polyBandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |), losers AS (
+         |  SELECT DISTINCT id_b FROM cand
+         |  JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+         |  WHERE CAST(($agree) AS DOUBLE) / 16.0 >= 0.9
+         |), surv AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |), comp0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tok
+         |  FROM surv
+         |), comp1 AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) * 1.0 / CAST(n_tok AS DOUBLE) AS awl,
+         |    CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'),
+         |      x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE)
+         |      / GREATEST(CAST(n_tok AS DOUBLE), 1.0) AS stop_ratio,
+         |    CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE)
+         |      / GREATEST(CAST(len(text) AS DOUBLE), 1.0) AS punct_ratio,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+         |      / GREATEST(CAST(len(text) AS DOUBLE), 1.0) AS digit_ratio
+         |  FROM comp0
+         |), scored AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 40.0
+         |          ELSE GREATEST(0.0, 40.0 - abs(awl - 5.5) * 5.0) END)
+         |    + LEAST(stop_ratio * 200.0, 30.0)
+         |    + GREATEST(0.0, 15.0 - punct_ratio * 100.0)
+         |    + GREATEST(0.0, 15.0 - digit_ratio * 100.0) AS qscore
+         |  FROM comp1
+         |)
+         |SELECT doc_id, lang, source, n_chars FROM scored
+         |WHERE qscore >= 30.0 ORDER BY doc_id""".stripMargin
     },
 
     // md5-hex vote bits: bit i lives in hex digit i//4 at weight 2^(i%4);

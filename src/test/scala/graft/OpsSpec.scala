@@ -409,6 +409,14 @@ class OpsSpec extends SparkSpec {
     // without the language gate the german doc survives
     val noLang = Pipelines.cleanCorpus(corpus, nearDupThreshold = 0.6, minQuality = 40.0)
     assert(noLang.df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 4L))
+
+    // portable (md5 poly) hashes make the same keep/drop decisions on
+    // planted dups as the xxhash64 production family — the q71 oracle
+    // pipeline and the q57 production pipeline are semantic twins
+    val poly = Pipelines.cleanCorpus(corpus, nearDupThreshold = 0.6,
+      minQuality = 40.0, portableHashes = true)
+    assert(poly.df.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      noLang.df.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
   test("native SimHash64 matches HOF formulation exactly") {
