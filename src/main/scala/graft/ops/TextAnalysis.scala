@@ -124,7 +124,11 @@ object TextAnalysis {
     val stopTerm = least(stopwordRatio(text) * lit(200.0), lit(30.0))
     val punctTerm = greatest(lit(0.0), lit(15.0) - punctRatio(text) * lit(100.0))
     val digitTerm = greatest(lit(0.0), lit(15.0) - digitRatio(text) * lit(100.0))
-    lengthTerm + stopTerm + punctTerm + digitTerm
+    // null text must score null (engine-wide null ≡ unrankable contract);
+    // without the guard, greatest/least IGNORE the null components and
+    // null documents score a spurious 30.0, leaking through quality gates
+    when(text.isNull, lit(null).cast("double"))
+      .otherwise(lengthTerm + stopTerm + punctTerm + digitTerm)
   }
 
   // --- fingerprinting ---

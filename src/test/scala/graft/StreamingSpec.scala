@@ -181,6 +181,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming text cleaning matches batch cleaning (pure projection, no state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val cleaned = graft.ops.TextCleaning.clean(stream, "text")
+      .select(col("doc_id"), col("clean_text"),
+        col("clean_text_pii.emails").as("n_emails"))
+    val query = cleaned.writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "<div>mail a@b.co</div>"),
+        (2L, "Copyright 2024 All rights reserved\nreal content line"),
+        (3L, "range 2020-2024 call 555-123-4567"))
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("clean_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      import spark.implicits._
+      val batch = graft.ops.TextCleaning.clean(rows.toDF("doc_id", "text"), "text")
+        .select(col("doc_id"), col("clean_text"),
+          col("clean_text_pii.emails").as("n_emails"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      // column-pure cleaning means stream and batch cannot drift
+      assert(streamed == batch)
+      assert(streamed(1L)._1 == "mail <EMAIL>")
+      assert(streamed(3L)._1 == "range 2020-2024 call <PHONE>")
+    } finally query.stop()
+  }
+
   // ---- differential: stream-replay the real events table and compare
   // ---- with the batch formulations the oracle queries already pin
 

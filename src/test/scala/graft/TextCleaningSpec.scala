@@ -84,6 +84,20 @@ class TextCleaningSpec extends SparkSpec {
     assert(!cleaned.contains("Copyright"))
   }
 
+  test("null text degrades to null output, pipeline drops it without crashing") {
+    val df = Seq((0L, Option("x <b>y</b> z of the day")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextCleaning.clean(df, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "x y z of the day")
+    assert(out(1).getAs[String]("clean_text") == null)
+    // cleanCorpus: the null-text row is unrankable by the quality gate
+    // (null comparison) and silently drops; no NPE anywhere in the chain
+    val kept = Pipelines.cleanCorpus(df, "text", "doc_id",
+      nearDupThreshold = 0.99, minQuality = 0.0).df
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L))
+  }
+
   test("Pipelines htmlClean stage: markup-only variants collapse to exact dups") {
     val docs = Seq(
       (0L, "<p>hello  world of spark</p>"),
