@@ -38,6 +38,18 @@ case class PolyMinHashSignature(child: Expression, numPerms: Int, k: Int)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_poly_minhash"
+  override def nullable: Boolean = false
+
+  /** Null text yields the all-sentinel signature [P, P, ...] — NOT null:
+    * the HOF formulation's per-position `coalesce(array_min(...), P)` and
+    * the DuckDB oracles' COALESCE land there for null input, and the
+    * value-identity contract with both must hold on every input. (The
+    * UnaryExpression default would null-propagate and diverge.) */
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.fill(numPerms)(P))
+    else nullSafeEval(v)
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     // canonicalization identical to MinHashSignature / TextAnalysis

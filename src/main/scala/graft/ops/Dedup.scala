@@ -149,28 +149,26 @@ object Dedup {
   private def polyTokenHashes(textCol: Column): Column =
     polyHashes(graft.expressions.WordGrams.distinctTokens(textCol))
 
-  /** One signature position per (a, b) permutation: min over the token
-    * hashes of `(a*h + b) mod p`, empty documents pinned to p. */
-  private def polySigCols(numPerms: Int): Seq[Column] =
+  /** One signature position per (a, b) permutation over an `hs` hash
+    * array: min of `(a*h + b) mod p`, empty/null arrays pinned to p.
+    * The ONE body both the banding and the HOF-differential paths share
+    * — a constant tweak applied to a single copy cannot de-sync them. */
+  private def polySig(hs: Column, numPerms: Int): Seq[Column] =
     polyPerms(numPerms).map { case (a, b) =>
       coalesce(
-        array_min(transform(col("__hs"), h => pmod(h * lit(a) + lit(b), lit(PolyPrime)))),
+        array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(PolyPrime)))),
         lit(PolyPrime))
     }
+
+  private def polySigCols(numPerms: Int): Seq[Column] =
+    polySig(col("__hs"), numPerms)
 
   /** HOF formulation of [[graft.expressions.PolyMinHashSignature]] over
     * char `k`-shingles (identical values — the differential-test oracle
     * for the native expression, and the array the q67 DuckDB SQL mirrors
     * term-for-term). */
-  private[graft] def polyShingleSignatureHof(text: Column, numPerms: Int, k: Int): Column = {
-    val hs = polyHashes(shingles(text, k))
-    val sig = polyPerms(numPerms).map { case (a, b) =>
-      coalesce(
-        array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(PolyPrime)))),
-        lit(PolyPrime))
-    }
-    array(sig: _*)
-  }
+  private[graft] def polyShingleSignatureHof(text: Column, numPerms: Int, k: Int): Column =
+    array(polySig(polyHashes(shingles(text, k)), numPerms): _*)
 
   /** MinHash LSH banding over ENGINE-INDEPENDENT hashes: token hash =
     * first 8 md5 hex chars as a 32-bit int, permutations

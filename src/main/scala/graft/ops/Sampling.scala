@@ -94,9 +94,12 @@ object Sampling {
   ): DataFrame = {
     require(alpha > 0.0, "alpha must be positive")
     require(targetRows > 0, "targetRows must be positive")
+    // null source is a legitimate group: wrap in Option so the sorted
+    // fold is total (None sorts first — document order is part of the
+    // contract) instead of NPE-ing in Ordering[String]
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (Option(r.getString(0)), r.getLong(1)))
       .sortBy(_._1)
     // alpha = 0.5 goes through sqrt, not pow: sqrt is IEEE correctly
     // rounded (the scaladoc's bit-reproducibility contract), while pow is
@@ -113,8 +116,11 @@ object Sampling {
       (s, math.min(1.0, targetRows.toDouble * (w / z) / n.toDouble))
     }
     val u = unitHash(col(idCol), salt)
+    // null-safe equality: a null source group must match its own rows
+    // (plain === never matches null and would silently drop the group)
     val aCol = accept.foldLeft(lit(0.0): Column) {
-      case (acc, (s, a)) => when(col(sourceCol) === lit(s), lit(a)).otherwise(acc)
+      case (acc, (s, a)) =>
+        when(col(sourceCol) <=> lit(s.orNull).cast("string"), lit(a)).otherwise(acc)
     }
     df.filter(u < aCol)
   }

@@ -133,8 +133,11 @@ object Similarity {
       .withColumn("cosine", cosine(col("__qvec"), col("__cvec")))
       .transform(GroupTopK.topKPerGroup(_, Seq("query_id"), corpusId, "cosine", k,
         rankCol = "nn_rank"))
-      .select(col("query_id"), col(corpusId), col("cosine"),
-        col("nn_rank").cast("int").as("nn_rank"))
+      // topKPerGroup widens ids to long internally; hand callers back the
+      // corpus column's own type (int ids must not drift to long)
+      .select(col("query_id"),
+        col(corpusId).cast(corpus.schema(corpusId).dataType).as(corpusId),
+        col("cosine"), col("nn_rank").cast("int").as("nn_rank"))
   }
 
   /** All-pairs cosine between a (small, broadcast) query frame and the
@@ -280,8 +283,10 @@ object Similarity {
     // inside, same as the previous !isnan + window formulation)
     GroupTopK.topKPerGroup(scored, Seq("query_id"), corpusId, "cosine", k,
         rankCol = "nn_rank")
-      .select(col("query_id"), col(corpusId), col("cosine"),
-        col("nn_rank").cast("int").as("nn_rank"))
+      // hand back the corpus column's own id type (see quantizedTopK)
+      .select(col("query_id"),
+        col(corpusId).cast(corpus.schema(corpusId).dataType).as(corpusId),
+        col("cosine"), col("nn_rank").cast("int").as("nn_rank"))
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
@@ -359,8 +364,10 @@ object Similarity {
     // dropped inside, same as the previous !isnan + window formulation)
     GroupTopK.topKPerGroup(scored, Seq("query_id"), corpusId, "cosine", k,
         rankCol = "nn_rank")
-      .select(col("query_id"), col(corpusId), col("cosine"),
-        col("nn_rank").cast("int").as("nn_rank"))
+      // hand back the corpus column's own id type (see quantizedTopK)
+      .select(col("query_id"),
+        col(corpusId).cast(corpus.schema(corpusId).dataType).as(corpusId),
+        col("cosine"), col("nn_rank").cast("int").as("nn_rank"))
   }
 
   /** Blocked exact nearest neighbor: per id in `blockCol` block, the top-1

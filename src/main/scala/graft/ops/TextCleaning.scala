@@ -77,17 +77,25 @@ object TextCleaning {
   def redactIpv4(text: Column, token: String = "<IP>"): Column =
     regexp_replace(text, Ipv4Pat, token)
 
-  /** All three redactions, email first (emails contain digit runs a
-    * phone pattern could nibble at). */
+  /** All three redactions: email first (emails contain digit runs a
+    * phone pattern could nibble at), then IP BEFORE phone — a 9+-digit
+    * IPv4 like 192.168.100.200 is inside PhonePat's digit/dot grammar
+    * and would be mislabeled <PHONE> the other way around. */
   def redactPii(text: Column): Column =
-    redactIpv4(redactPhones(redactEmails(text)))
+    redactPhones(redactIpv4(redactEmails(text)))
 
-  /** Count of PII matches per kind — audit signal for scrub reports. */
-  def piiCounts(text: Column): Column =
+  /** Count of PII matches per kind — audit signal for scrub reports.
+    * Counts follow the [[redactPii]] sequence (each kind counted on the
+    * text with the previous kinds already redacted), so one span is never
+    * double-counted as both an IP and a phone. */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = redactEmails(text)
+    val afterIp = redactIpv4(afterEmail)
     struct(
       size(regexp_extract_all(text, lit(EmailPat), lit(0))).as("emails"),
-      size(regexp_extract_all(text, lit(PhonePat), lit(0))).as("phones"),
-      size(regexp_extract_all(text, lit(Ipv4Pat), lit(0))).as("ipv4"))
+      size(regexp_extract_all(afterIp, lit(PhonePat), lit(0))).as("phones"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Pat), lit(0))).as("ipv4"))
+  }
 
   // ----------------------------------------------------- boilerplate
 

@@ -80,6 +80,11 @@ object PipelineQueries {
     s"  SELECT doc_id, $b AS band, concat_ws('-', $cols) AS band_key FROM sig"
   }.mkString("\n  UNION ALL\n")
 
+  /** Signature-position agreement count between `sa` and `sb` sig rows
+    * (shared by the q67/q71 pair oracles). */
+  private val polyAgreeSql: String =
+    (1 to 16).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
+
   /** Hyperplane-bucket SQL generator (q45, q56): the engine's +-1 planes
     * come from a seeded driver-side PRNG, so this interpolates the EXACT
     * constants as `+- v[i]` term chains over a `v` DOUBLE[] column
@@ -934,8 +939,6 @@ object PipelineQueries {
     // the bucketed candidate self-join and the position-agreement Jaccard
     // estimate (an exact n/16 rational in both engines)
     "q67_poly_near_dup" -> {
-      val agree = (1 to 16).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
-        .mkString(" + ")
       s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000")}, bk AS (
          |$polyBandSelects
          |), cand AS (
@@ -943,9 +946,9 @@ object PipelineQueries {
          |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
          |    AND a.doc_id < b.doc_id
          |)
-         |SELECT id_a, id_b, CAST(($agree) AS DOUBLE) / 16.0 AS est_jaccard
+         |SELECT id_a, id_b, CAST(($polyAgreeSql) AS DOUBLE) / 16.0 AS est_jaccard
          |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
-         |WHERE CAST(($agree) AS DOUBLE) / 16.0 >= 0.5
+         |WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
     },
 
@@ -955,11 +958,14 @@ object PipelineQueries {
     // the decoded pre-boilerplate text exactly like TextCleaning.clean
     "q63_text_cleaning" ->
       """WITH raw AS (
+        |  -- concat_ws, not '||': Spark's concat_ws SKIPS null columns, so
+        |  -- a null text row keeps the literal lines instead of nulling out
         |  SELECT doc_id,
-        |    '<div>Call 555-123-4567 or mail bob@example.com</div><script>var x=1;</script>' || chr(10) ||
-        |    text || chr(10) ||
-        |    'Copyright 2024 All rights reserved' || chr(10) ||
-        |    'range 2020-2024 ping 10.0.0.1 &amp;lt;tag&gt; done' AS h
+        |    concat_ws(chr(10),
+        |      '<div>Call 555-123-4567 or mail bob@example.com</div><script>var x=1;</script>',
+        |      text,
+        |      'Copyright 2024 All rights reserved',
+        |      'range 2020-2024 ping 10.0.0.1 &amp;lt;tag&gt; done') AS h
         |  FROM documents
         |), detag AS (
         |  SELECT doc_id, h, regexp_replace(regexp_replace(h,
@@ -980,25 +986,32 @@ object PipelineQueries {
         |      chr(10)) AS kept
         |  FROM dec
         |), red AS (
+        |  -- redaction order email -> IP -> phone (mirrors redactPii)
         |  SELECT doc_id, h, s,
         |    regexp_replace(regexp_replace(regexp_replace(kept,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\+?\d(?:[()\-. ]{0,2}\d){8,15}', '<PHONE>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+?\d(?:[()\-. ]{0,2}\d){8,15}', '<PHONE>', 'g') AS r,
+        |    regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS se
         |  FROM boiler
+        |), red2 AS (
+        |  SELECT *, regexp_replace(se,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS si
+        |  FROM red
         |)
         |SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(r, '\s+', ' ', 'g'), '^ | $', '', 'g')) AS clean_digest,
         |  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(s, '\+?\d(?:[()\-. ]{0,2}\d){8,15}')) AS n_phones,
-        |  len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(si, '\+?\d(?:[()\-. ]{0,2}\d){8,15}')) AS n_phones,
+        |  len(regexp_extract_all(se, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
         |  round(CASE WHEN len(string_split(h, chr(10))) = 0 THEN 0.0
         |    ELSE CAST(len(list_filter(string_split(h, chr(10)), l ->
         |      len(regexp_replace(l, '^\s+|\s+$', '', 'g')) = 0 OR regexp_matches(
         |        regexp_replace(l, '^\s+|\s+$', '', 'g'),
         |        '(?i)(cookie|copyright|all rights reserved|terms of (use|service)|privacy policy|subscribe|sign in|log in|newsletter|click here)'))) AS DOUBLE)
         |      / CAST(len(string_split(h, chr(10))) AS DOUBLE) END, 9) + 0.0 AS boiler_frac_r
-        |FROM red ORDER BY doc_id""".stripMargin,
+        |FROM red2 ORDER BY doc_id""".stripMargin,
 
     // sorted-source fold with IEEE-exact sqrt (alpha = 0.5), op order
     // target * (w/z) / n mirrored exactly; row keep = q36's md5 unit hash
@@ -1086,8 +1099,6 @@ object PipelineQueries {
     // Jaccard >= 0.9, then the qualityScore blend term-for-term (all
     // components already proven green in q46/q46b/q48-style oracles)
     "q71_clean_pipeline" -> {
-      val agree = (1 to 16).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
-        .mkString(" + ")
       s"""WITH canon0 AS (
          |  SELECT doc_id, lang, source, n_chars, text,
          |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ccanon
@@ -1104,7 +1115,7 @@ object PipelineQueries {
          |), losers AS (
          |  SELECT DISTINCT id_b FROM cand
          |  JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
-         |  WHERE CAST(($agree) AS DOUBLE) / 16.0 >= 0.9
+         |  WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.9
          |), surv AS (
          |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
          |), comp0 AS (

@@ -839,6 +839,16 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(math.abs(pc("big") - 450.0) < 60, s"got $pc") // 700 * 900/1400
     assert(math.abs(pc("small") - 50.0) < 30, s"got $pc")
+
+    // a null source is a legitimate group (review finding: used to NPE in
+    // the driver-side sort; plain === would then drop the group outright)
+    val withNull = spark.range(0, 300).toDF("id")
+      .withColumn("src", when(col("id") < 100, lit(null).cast("string"))
+        .otherwise(lit("s")))
+    val keptNull = Sampling.temperatureMix(withNull, "id", "src", alpha = 0.5,
+      targetRows = 150, salt = "tm2")
+      .filter(col("src").isNull).count()
+    assert(keptNull > 0, "null-source rows must participate in the mix")
   }
 
   test("heap top-k aggregator matches the window formulation, windowless plan") {

@@ -67,6 +67,18 @@ class TextCleaningSpec extends SparkSpec {
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 1)))
   }
 
+  test("9+-digit IPv4 is labeled <IP>, not <PHONE>, and never double-counted") {
+    // 192.168.100.200 has 10 digits with '.' separators — inside
+    // PhonePat's grammar, so IP must redact first (review finding)
+    assert(applyCol("server 192.168.100.200 down", TextCleaning.redactPii)
+      == "server <IP> down")
+    val r = Seq("call 555-123-4567 at 192.168.100.200")
+      .toDF("t").select(TextCleaning.piiCounts(col("t")).as("p"))
+      .select("p.emails", "p.phones", "p.ipv4").head()
+    // sequenced counts: the IP span is not ALSO counted as a phone
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((0, 1, 1)))
+  }
+
   test("removeBoilerplate drops blank + chrome lines; fraction reports them") {
     val doc = "Real content here\n\n  Privacy Policy  \nSubscribe to our newsletter\nMore content"
     val kept = applyCol(doc, c => TextCleaning.removeBoilerplate(c))
