@@ -84,6 +84,29 @@ object ScaleSmoke {
             payloadCols = Seq("rid", "rv"))
           .agg(count(col("asof_rid"))).collect()
       }
+
+      // corpus ops over replicated documents (replicas are exact dups of
+      // their originals — the worst case for near-dup banding, since every
+      // replica cluster shares all band keys)
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val dN = docs
+        .crossJoin(spark.range(n).select(col("id").as("__rep")))
+        .withColumn("doc_id",
+          col("doc_id") * n + col("__rep")) // re-key so ids stay distinct
+        .drop("__rep")
+      val nDocs = n * docs.count()
+
+      time(s"text cleaning + quality gate ($nDocs docs)") {
+        graft.ops.TextCleaning.clean(dN, "text")
+          .filter(graft.ops.TextAnalysis.qualityScore(col("clean_text")) >= lit(30.0))
+          .agg(count(lit(1))).collect()
+      }
+
+      time(s"poly minhash near-dup pairs ($nDocs docs)") {
+        graft.ops.Dedup.polyMinhashNearDupPairs(dN, "text", "doc_id",
+            threshold = 0.9)
+          .agg(count(lit(1))).collect()
+      }
     }
     spark.stop()
   }
