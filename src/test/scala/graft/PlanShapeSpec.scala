@@ -32,6 +32,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("parquet scans prune columns and push filters down") {
+    // q36 selects only (doc_id, source): the documents scan must not read
+    // text/lang/n_chars — at 100 TB reading dead columns IS the bottleneck
+    val q36 = SparkEntry.queries("q36_hash_split")(spark, "/root/testdata/sf0.001")
+    val p36 = q36.queryExecution.executedPlan.toString
+    assert(p36.contains("ReadSchema"), s"expected a parquet scan:\n$p36")
+    assert(!p36.contains("text:"), s"q36 must not read the text column:\n$p36")
+
+    // q42 filters doc_id < 2000 before tokenizing: the predicate must
+    // reach the scan (PushedFilters), not run post-scan only
+    val q42 = SparkEntry.queries("q42_jaccard_pairs")(spark, "/root/testdata/sf0.001")
+    val p42 = q42.queryExecution.executedPlan.toString
+    assert(p42.contains("LessThan(doc_id,2000)"),
+      s"doc_id filter must be pushed to the parquet scan:\n$p42")
+  }
+
   test("quantizedTopK heap formulation equals the window formulation row-for-row") {
     // differential oracle: the pre-round-4 two-window implementation,
     // rebuilt inline (same tie order: score desc, id asc at both stages)
