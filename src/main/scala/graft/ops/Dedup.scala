@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** HOF formulation of [[graft.expressions.SignatureAgreement]]
+    * (identical values — the differential-test oracle for the native
+    * per-pair agreement loop). */
+  private[graft] def sigAgreementHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+
   /** Distinct word n-grams of the lowercased text (1 = unigram tokens).
     * Empty/whitespace-only documents yield an EMPTY array for every n —
     * without the size guard, n>1 would emit one empty-string gram and any
@@ -242,9 +250,8 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    val agree = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    // native per-pair agreement loop, same as minhashNearDupPairs
+    val agree = graft.expressions.SignatureAgreement(col("sig_a"), col("sig_b"))
     candidates
       .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")
@@ -289,9 +296,10 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    val agree = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    // native per-pair agreement loop (codegen'd) — this runs once per
+    // candidate pair, the hot inner loop on near-dup-rich corpora; the
+    // HOF formulation stays as sigAgreementHof's differential oracle
+    val agree = graft.expressions.SignatureAgreement(col("sig_a"), col("sig_b"))
     candidates
       .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")

@@ -82,6 +82,34 @@ class OpsSpec extends SparkSpec {
     assert(!poly.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("native SignatureAgreement equals the HOF formulation (incl. ragged/empty)") {
+    import graft.expressions.SignatureAgreement
+    val sigs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80)
+      .select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"))
+    val pairs = sigs.select(col("doc_id").as("ida"), col("sig").as("a"))
+      .crossJoin(sigs.select(col("doc_id").as("idb"), col("sig").as("b")))
+      .filter(col("ida") < col("idb")).limit(500)
+    val both = pairs.select(
+      SignatureAgreement(col("a"), col("b")).as("fast"),
+      Dedup.sigAgreementHof(col("a"), col("b")).as("slow")).collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getInt(0) == r.getInt(1)))
+    // ragged + empty arrays: zip_with null-pads, the when falls to 0 —
+    // the native loop must land on the same counts
+    import spark.implicits._
+    val edge = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L, 7L)), // ragged: prefix agreement 2
+      (Seq.empty[Long], Seq(1L, 2L)),          // empty left: 0
+      (Seq(5L), Seq(5L)))                      // exact: 1
+      .toDF("a", "b")
+    val e = edge.select(
+      SignatureAgreement(col("a"), col("b")).as("fast"),
+      Dedup.sigAgreementHof(col("a"), col("b")).as("slow")).collect()
+    assert(e.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((2, 2), (0, 0), (1, 1)))
+  }
+
   test("native PolyMinHashSignature equals the HOF formulation") {
     // differential over real corpus text (adversarial whitespace included
     // via the fixture's doc 4); element order must match exactly since
