@@ -45,7 +45,23 @@ object GraftFunctions {
     (FunctionIdentifier("graft_int8_codes"),
       info(classOf[Int8Codes], "graft_int8_codes",
         "graft_int8_codes(v) - symmetric int8 quantization codes of an array<double> column, as array<double>."),
-      (children: Seq[Expression]) => Int8Codes(children(0)))
+      (children: Seq[Expression]) => Int8Codes(children(0))),
+    (FunctionIdentifier("graft_sig_agreement"),
+      info(classOf[SignatureAgreement], "graft_sig_agreement",
+        "graft_sig_agreement(a, b) - number of agreeing positions of two array<bigint> minhash signatures."),
+      (children: Seq[Expression]) => SignatureAgreement(children(0), children(1))),
+    (FunctionIdentifier("graft_poly_minhash"),
+      info(classOf[PolyMinHashSignature], "graft_poly_minhash",
+        "graft_poly_minhash(text, numPerms, k) - engine-independent md5 minhash signature over char k-shingles (numPerms and k must be integer literals)."),
+      (children: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_poly_minhash $what must be an integer literal, got $other")
+        }
+        PolyMinHashSignature(children(0),
+          lit(children(1), "numPerms"), lit(children(2), "k"))
+      })
   )
 
   /** Idempotently register the functions on an existing session. */

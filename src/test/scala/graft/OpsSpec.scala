@@ -356,6 +356,15 @@ class OpsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_maxabs(array(-3.0D, 2.0D))").head().getDouble(0) == 3.0)
     assert(spark.sql("SELECT graft_int8_codes(array(-3.0D, 1.5D))")
       .head().getSeq[Double](0) == Seq(-127.0, 64.0))
+    // minhash family: agreement count + the poly signature (literal params)
+    assert(spark.sql("SELECT graft_sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L))")
+      .head().getInt(0) == 2)
+    val sig = spark.sql("SELECT graft_poly_minhash('the quick brown fox', 16, 5)")
+      .head().getSeq[Long](0)
+    assert(sig.length == 16 && sig.forall(v => v >= 0 && v < 2147483647L))
+    intercept[Exception] {
+      spark.sql("SELECT graft_poly_minhash('x', 1 + 1, 5)").head()
+    }
   }
 
   test("one-pass CosineSimilarity matches composed formulation bit-for-bit") {
