@@ -228,6 +228,19 @@ object PipelineQueries {
       withOrders.unionByName(withoutOrders).orderBy("k")
     },
 
+    "q72_cube" -> { (s, dir) =>
+      // CUBE: all 2^2 grouping combinations in one Expand + hash
+      // aggregate — with ROLLUP (q68) this completes the multi-level
+      // aggregation surface of the §2.6 checklist
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          roundz(sum("o_totalprice"), 2).as("sum_price_r"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     "q69_lead_lag" -> { (s, dir) =>
       // lead/lag event windows (per-user previous/next value + gap to the
       // previous event) — integer microsecond math, exact in both engines
@@ -711,6 +724,14 @@ object PipelineQueries {
         |    SELECT o_custkey AS k FROM orders
         |  )
         |) ORDER BY k""".stripMargin,
+
+    "q72_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  round(SUM(o_totalprice), 2) + 0.0 AS sum_price_r,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q69_lead_lag" ->
       """SELECT event_id, user_id,
