@@ -501,6 +501,58 @@ object Dedup {
       .select("corpus_id", "bench_id", "n_common", "containment")
   }
 
+  /** Transitive duplicate clusters from near-dup PAIRS: connected
+    * components by iterative min-label propagation — each round, every
+    * node adopts the smallest label among itself and its neighbors, until
+    * a fixpoint (or `maxIter`). Returns `(doc_id, cluster_id)` for every
+    * id that appears in a pair, where `cluster_id` is the minimum id of
+    * the component — the canonical keeper. (The greedy drop-the-higher-id
+    * reduction in [[Pipelines.cleanCorpus]] eliminates the same docs but
+    * never names clusters; this operator is the full cluster assignment,
+    * e.g. for provenance tracking or picking a keeper by quality instead
+    * of id.)
+    *
+    * Scale shape: the classic Pregel-style loop as DataFrame joins — per
+    * round one equi-join edges⋈labels + a groupBy-min + a change count
+    * (the only driver action). Rounds needed = component diameter; dup
+    * clusters are near-cliques so this converges in 2-3 rounds. Each
+    * round's labels are persisted and the previous round unpersisted, so
+    * lineage stays shallow. */
+  def dupClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20
+  ): DataFrame = {
+    val fwd = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neigh = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("nl").as("nlabel"))
+      val next = labels
+        .join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("__old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next.drop("__old")
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed (hyperplane bits
     * via [[Similarity.hyperplaneBucket]]) then exact-cosine verified. */
   def embeddingNearDupPairs(

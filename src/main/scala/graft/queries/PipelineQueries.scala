@@ -541,6 +541,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q73_dup_clusters" -> { (s, dir) =>
+      // transitive duplicate clusters (connected components by min-label
+      // propagation) over the PORTABLE near-dup pairs, so the whole
+      // pairs -> components chain has a DuckDB oracle (recursive CTE)
+      val pairs = Dedup.polyMinhashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 1000), "text", "doc_id",
+        threshold = 0.9)
+      Dedup.dupClusters(pairs).orderBy("doc_id")
+    },
+
     "q58_contamination" -> { (s, dir) =>
       // benchmark-contamination check: treat doc_id >= 400 as the held-out
       // benchmark and find its documents embedded in the doc_id < 400
@@ -1167,6 +1177,34 @@ object PipelineQueries {
          |SELECT doc_id, lang, source, n_chars FROM scored
          |WHERE qscore >= 30.0 ORDER BY doc_id""".stripMargin
     },
+
+    // the pairs -> connected-components chain: q67's poly pair CTEs at
+    // threshold 0.9, then transitive closure by recursive CTE; cluster id
+    // = min reachable id (LEAST with self covers singleton-direction
+    // nodes) — mirrors the engine's min-label propagation fixpoint
+    "q73_dup_clusters" ->
+      s"""WITH RECURSIVE ${polyShingleSigCte("documents WHERE doc_id < 1000")}, bk AS (
+         |$polyBandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id
+         |), pairs0 AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+         |  WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.9
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs0
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs0
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src
+         |ORDER BY doc_id""".stripMargin,
 
     // md5-hex vote bits: bit i lives in hex digit i//4 at weight 2^(i%4);
     // per-bit +-1 vote sums, sign -> 4 x 16-bit band keys

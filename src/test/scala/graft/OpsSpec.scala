@@ -82,6 +82,22 @@ class OpsSpec extends SparkSpec {
     assert(!poly.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dupClusters: transitive chains collapse to the min-id component") {
+    import spark.implicits._
+    // chain 0-1-2 (0-2 never paired directly) + separate pair 5-6 + 8-0
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (0L, 8L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 8L -> 0L, // transitive via 1 and 0
+      5L -> 5L, 6L -> 5L))
+    // repartitioned input -> identical assignment (pure joins, no RNG)
+    val again = Dedup.dupClusters(pairs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == clusters)
+  }
+
   test("native SignatureAgreement equals the HOF formulation (incl. ragged/empty)") {
     import graft.expressions.SignatureAgreement
     val sigs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
