@@ -530,7 +530,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var persisted = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -545,12 +545,27 @@ object Dedup {
           col("label").as("__old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
+      persisted.unpersist()
+      persisted = next
       labels = next.drop("__old")
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // a partial clustering (labels still moving when maxIter hit) would
+    // silently name spurious clusters for one real component — fail loud,
+    // the caller raises maxIter (rounds needed = component diameter)
+    if (changed > 0) {
+      persisted.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters did not converge within $maxIter rounds; " +
+          "a component's diameter exceeds maxIter — raise it")
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // release the loop's cache: the returned frame stays a correct lazy
+    // plan (the whole propagation re-runs per action, like every other
+    // lazy operator here) instead of pinning executor storage forever
+    persisted.unpersist()
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed (hyperplane bits

@@ -81,9 +81,27 @@ object PipelineQueries {
   }.mkString("\n  UNION ALL\n")
 
   /** Signature-position agreement count between `sa` and `sb` sig rows
-    * (shared by the q67/q71 pair oracles). */
+    * (shared by the q67/q71/q73 pair oracles). */
   private val polyAgreeSql: String =
     (1 to 16).map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
+
+  /** Band buckets -> distinct candidate pairs -> threshold-filtered pairs
+    * with est_jaccard, over the `sig` CTE — the ONE copy of the bucketed
+    * pair pipeline all three pair oracles (q67, q71, q73) append to their
+    * sig CTE chain. */
+  private def polyPairsCte(threshold: Double): String =
+    s"""bk AS (
+       |$polyBandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id
+       |), pairs0 AS (
+       |  SELECT id_a, id_b, CAST(($polyAgreeSql) AS DOUBLE) / 16.0 AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+       |  WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= $threshold
+       |)""".stripMargin
 
   /** Hyperplane-bucket SQL generator (q45, q56): the engine's +-1 planes
     * come from a seeded driver-side PRNG, so this interpolates the EXACT
@@ -969,19 +987,10 @@ object PipelineQueries {
     // pair-level poly minhash over char 5-shingles: sig + band CTEs, then
     // the bucketed candidate self-join and the position-agreement Jaccard
     // estimate (an exact n/16 rational in both engines)
-    "q67_poly_near_dup" -> {
-      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000")}, bk AS (
-         |$polyBandSelects
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id
-         |)
-         |SELECT id_a, id_b, CAST(($polyAgreeSql) AS DOUBLE) / 16.0 AS est_jaccard
-         |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
-         |WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "q67_poly_near_dup" ->
+      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000")}, ${polyPairsCte(0.5)}
+         |SELECT id_a, id_b, est_jaccard FROM pairs0
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // the full cleaning chain mirrored step-for-step: strip script/style +
     // tags, decode entities (ampersand LAST), drop boilerplate lines,
@@ -1137,16 +1146,8 @@ object PipelineQueries {
          |), exact AS (
          |  SELECT * FROM canon0
          |  WHERE doc_id IN (SELECT MIN(doc_id) FROM canon0 GROUP BY md5(ccanon))
-         |), ${polyShingleSigCte("exact")}, bk AS (
-         |$polyBandSelects
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id
-         |), losers AS (
-         |  SELECT DISTINCT id_b FROM cand
-         |  JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
-         |  WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.9
+         |), ${polyShingleSigCte("exact")}, ${polyPairsCte(0.9)}, losers AS (
+         |  SELECT DISTINCT id_b FROM pairs0
          |), surv AS (
          |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
          |), comp0 AS (
@@ -1178,22 +1179,14 @@ object PipelineQueries {
          |WHERE qscore >= 30.0 ORDER BY doc_id""".stripMargin
     },
 
-    // the pairs -> connected-components chain: q67's poly pair CTEs at
-    // threshold 0.9, then transitive closure by recursive CTE; cluster id
-    // = min reachable id (LEAST with self covers singleton-direction
-    // nodes) — mirrors the engine's min-label propagation fixpoint
+    // the pairs -> connected-components chain: the shared poly pair CTEs
+    // at threshold 0.9, then transitive closure by recursive CTE; cluster
+    // id = min reachable id — mirrors the engine's min-label propagation
+    // fixpoint. (LEAST(src, MIN(dst)) is belt-and-braces only: edges are
+    // bidirectional, so every node reaches itself via a 2-cycle and
+    // MIN(dst) already includes src.)
     "q73_dup_clusters" ->
-      s"""WITH RECURSIVE ${polyShingleSigCte("documents WHERE doc_id < 1000")}, bk AS (
-         |$polyBandSelects
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id
-         |), pairs0 AS (
-         |  SELECT id_a, id_b FROM cand
-         |  JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
-         |  WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.9
-         |), edges AS (
+      s"""WITH RECURSIVE ${polyShingleSigCte("documents WHERE doc_id < 1000")}, ${polyPairsCte(0.9)}, edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs0
          |  UNION
          |  SELECT id_b AS src, id_a AS dst FROM pairs0
