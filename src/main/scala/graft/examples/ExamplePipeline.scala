@@ -29,19 +29,29 @@ object ExamplePipeline {
     // 1. clean + enrich + deterministic split, one lazy plan
     // (htmlClean = web-text stage 0: tag strip, entity decode,
     // boilerplate lines, PII redaction — before dedup so markup-only
-    // variants collapse to exact duplicates)
+    // variants collapse to exact duplicates; lineDedup strips
+    // corpus-frequent chrome lines, the source quota caps any one
+    // domain, shuffleShards emits the deterministic epoch order)
     val prepared = Pipelines.prepareTrainingCorpus(
-      docs, nearDupThreshold = 0.9, minQuality = 30.0, htmlClean = true)
+      docs, nearDupThreshold = 0.9, minQuality = 30.0, htmlClean = true,
+      lineDedupMaxDocFreq = Some(50L),
+      sourceQuota = Some(("source", 100)),
+      shuffleShards = Some(8))
     val stats = prepared.stats()
     println(s"funnel: in=${stats.input} exact=${stats.afterExactDedup} " +
       s"near=${stats.afterNearDedup} quality=${stats.afterQuality} out=${stats.output}")
     prepared.df.groupBy("split").count().orderBy("split").show()
 
     // 2. contamination: is the held-out tail leaked into the training head?
+    // report the leaks, then drop the contaminated training docs
     val leaks = Dedup.contaminationPairs(
       docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
       "text", "doc_id", threshold = 0.5, ngram = 3, maxDocFreq = Some(100L))
     println(s"contaminated benchmark docs: ${leaks.select("bench_id").distinct().count()}")
+    val decontaminated = Dedup.decontaminate(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+      "text", "doc_id", threshold = 0.5, ngram = 3, maxDocFreq = Some(100L))
+    println(s"training docs after decontamination: ${decontaminated.count()}")
 
     // 3. pack the training split into 512-token sequences per source shard
     val packed = Packing.sequencePacking(

@@ -516,8 +516,9 @@ object Dedup {
     * round one equi-join edges⋈labels + a groupBy-min + a change count
     * (the only driver action). Rounds needed = component diameter; dup
     * clusters are near-cliques so this converges in 2-3 rounds. Each
-    * round's labels are persisted and the previous round unpersisted, so
-    * lineage stays shallow. */
+    * round's labels are eagerly localCheckpoint'ed — lineage truncation,
+    * not just caching, because the per-round plan references the previous
+    * labels twice and would otherwise double in size every round. */
   def dupClusters(
       pairs: DataFrame,
       idA: String = "id_a",
@@ -528,9 +529,20 @@ object Dedup {
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager), NOT persist: each round's plan references
+    // the previous round's labels TWICE (directly and through `neigh`),
+    // so without lineage truncation the LOGICAL plan doubles per round —
+    // 2^rounds copies of the pair-generation subtree. persist caches data
+    // but leaves lineage intact (analysis cost still explodes, and any
+    // downstream composition over the returned frame re-plans the full
+    // tree — q77's semantic graph froze .explain this way). Checkpointing
+    // pins the label frame (two longs per paired doc — small) and keeps
+    // every round's plan depth constant. At cluster scale the same shape
+    // holds; swap in reliable `checkpoint` if executor loss must be
+    // survivable mid-loop.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    var persisted = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -543,10 +555,8 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("__old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("__old")).count()
-      persisted.unpersist()
-      persisted = next
       labels = next.drop("__old")
       iter += 1
     }
@@ -555,17 +565,80 @@ object Dedup {
     // silently name spurious clusters for one real component — fail loud,
     // the caller raises maxIter (rounds needed = component diameter)
     if (changed > 0) {
-      persisted.unpersist()
       throw new IllegalStateException(
         s"dupClusters did not converge within $maxIter rounds; " +
           "a component's diameter exceeds maxIter — raise it")
     }
-    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    // release the loop's cache: the returned frame stays a correct lazy
-    // plan (the whole propagation re-runs per action, like every other
-    // lazy operator here) instead of pinning executor storage forever
-    persisted.unpersist()
-    out
+    // the returned frame reads the final checkpointed labels — a shallow
+    // plan downstream anti-joins can compose with freely; superseded
+    // rounds' checkpoint blocks are released by the ContextCleaner once
+    // unreferenced
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Lines that occur in more than `maxDocFreq` distinct documents —
+    * corpus-frequency boilerplate detection (the cross-document
+    * complement of the per-document pattern filter in
+    * `TextCleaning.removeBoilerplate`). A line is counted once per
+    * document (`array_distinct` before the explode) and compared EXACTLY
+    * (no normalization: "Home | About" and "home | about" are different
+    * lines — normalizing first would merge legitimate prose with menu
+    * chrome). Blank / whitespace-only lines are excluded: they occur in
+    * every multi-paragraph document and removing them would destroy
+    * paragraph structure rather than deduplicate content.
+    *
+    * Scale shape: one explode + groupBy(line) count — the only shuffle —
+    * with the `HAVING count > maxDocFreq` filter applied in the same
+    * aggregate, so the output is only the (small) frequent-line set. */
+  def frequentLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDocFreq: Long
+  ): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    df.select(explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy("line")
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
+  }
+
+  /** Line-wise corpus deduplication (RefinedWeb/CCNet-style): rewrite each
+    * document with every corpus-frequent line (per [[frequentLines]])
+    * removed, preserving the relative order of the surviving lines. Adds
+    * `out` next to the original text; null text stays null, and a document
+    * whose every line is frequent becomes the empty string.
+    *
+    * Scale shape: the frequent-line set is the join side — it is small by
+    * construction (only lines repeated across > maxDocFreq documents), so
+    * the anti-join broadcasts; the explode → anti-join → re-assemble path
+    * shuffles once on the document id. Blank lines never match (the
+    * frequent set excludes them) so document formatting survives. */
+  def dropFrequentLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDocFreq: Long,
+      out: String = "dedup_text"
+  ): DataFrame = {
+    val freq = broadcast(
+      frequentLines(df, textCol, idCol, maxDocFreq).select(col("line").as("__freq_line")))
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__line")
+    val rebuilt = lines
+      .join(freq, lines("__line") === freq("__freq_line"), "left_anti")
+      .groupBy(idCol)
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x("__line"))).as("__rebuilt"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(out,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__rebuilt"), lit(""))))
+      .drop("__rebuilt")
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed (hyperplane bits
@@ -600,5 +673,59 @@ object Dedup {
       // NaN (zero-norm vector) passes >= in Spark; numpy would say False
       .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** SemDeDup-style semantic deduplication: drop every row that is
+    * cosine-near some lower-id row, TRANSITIVELY — near-dup pairs from
+    * [[embeddingNearDupPairs]] (hyperplane LSH buckets + exact-cosine
+    * verify), connected components from [[dupClusters]], then keep only
+    * each component's minimum-id representative. Unpaired rows survive
+    * untouched. Unlike the greedy pairwise drop in
+    * [[Pipelines.cleanCorpus]] (which can orphan chains), the component
+    * keeper is canonical: exactly one survivor per semantic cluster.
+    *
+    * Scale shape: inherits the bucketed pair join (no all-pairs) and the
+    * Pregel-style label loop (rounds = component diameter, near-clique
+    * clusters converge in 2-3); the final anti-join ships only loser ids. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nBits: Int = 10,
+      nTables: Int = 3
+  ): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, idCol, vecCol, dim, threshold, nBits, nTables)
+    val losers = dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Benchmark decontamination: remove from `corpus` every document whose
+    * n-gram containment against some `bench` document reaches `threshold`
+    * (per [[contaminationPairs]]). The returned frame is `corpus` minus
+    * the contaminated rows — the filter stage that the contamination
+    * REPORT feeds in a real eval-hygiene pipeline.
+    *
+    * Scale shape: the pair search is the bounded inverted-index join of
+    * [[contaminationPairs]] (DF-capped, never all-pairs); the final
+    * anti-join ships only the distinct contaminated ids — small by
+    * construction (bounded by the benchmark's reach). */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      ngram: Int = 3,
+      maxDocFreq: Option[Long] = None
+  ): DataFrame = {
+    val contaminated = contaminationPairs(
+      corpus, bench, textCol, idCol, threshold, ngram, maxDocFreq)
+      .select(col("corpus_id").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 }

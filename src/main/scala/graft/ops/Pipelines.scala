@@ -31,10 +31,13 @@ object Pipelines {
   /** Full training-data preparation in one lazy plan: [[cleanCorpus]]
     * (exact + near dedup, quality gate, language allowlist), per-document
     * enrichment (token count, language id, canonical fingerprint — all
-    * codegen'd column arithmetic), then a deterministic train/val/test
-    * carve via [[Sampling.withSplit]] (reproducible across runs, cluster
-    * sizes, and repartitioning). The funnel counts come from the
-    * underlying clean stats. */
+    * codegen'd column arithmetic), an optional per-source quota cap
+    * ([[Sampling.quotaSample]] — no single domain may dominate the mix),
+    * a deterministic train/val/test carve via [[Sampling.withSplit]]
+    * (reproducible across runs, cluster sizes, and repartitioning), and
+    * an optional deterministic epoch-shuffle order
+    * ([[Sampling.withShuffleOrder]] — `shard` + `shuffle_pos` columns).
+    * The funnel counts come from the underlying clean stats. */
   def prepareTrainingCorpus(
       docs: DataFrame,
       textCol: String = "text",
@@ -46,17 +49,29 @@ object Pipelines {
         "train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
       salt: String = "graft",
       htmlClean: Boolean = false,
-      portableHashes: Boolean = false
+      portableHashes: Boolean = false,
+      lineDedupMaxDocFreq: Option[Long] = None,
+      sourceQuota: Option[(String, Int)] = None,
+      shuffleShards: Option[Int] = None
   ): CleanResult = {
     val cleaned = cleanCorpus(docs, textCol, idCol,
-      nearDupThreshold, minQuality, langAllowlist, htmlClean, portableHashes)
+      nearDupThreshold, minQuality, langAllowlist, htmlClean, portableHashes,
+      lineDedupMaxDocFreq)
     val enriched = cleaned.df
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
-    CleanResult(
-      Sampling.withSplit(enriched, idCol, splits, salt),
-      cleaned.stats)
+    val capped = sourceQuota match {
+      case Some((sourceCol, cap)) =>
+        Sampling.quotaSample(enriched, idCol, sourceCol, cap, salt).drop("quota_rank")
+      case None => enriched
+    }
+    val split = Sampling.withSplit(capped, idCol, splits, salt)
+    val ordered = shuffleShards match {
+      case Some(n) => Sampling.withShuffleOrder(split, idCol, n, salt)
+      case None    => split
+    }
+    CleanResult(ordered, cleaned.stats)
   }
 
   def cleanCorpus(
@@ -67,19 +82,31 @@ object Pipelines {
       minQuality: Double = 40.0,
       langAllowlist: Seq[String] = Nil,
       htmlClean: Boolean = false,
-      portableHashes: Boolean = false
+      portableHashes: Boolean = false,
+      lineDedupMaxDocFreq: Option[Long] = None
   ): CleanResult = {
     // 0. optional web-text cleanup BEFORE dedup (markup variation would
     // otherwise defeat the canonical fingerprint); the cleaned text
     // replaces textCol so every downstream stage — and the caller's
     // output — sees cleaned text, with the `<textCol>_pii` audit counts
     // kept as an extra column. Pure map-side projection, no shuffle.
-    val input =
+    val cleaned0 =
       if (!htmlClean) docs
       else TextCleaning.clean(docs, textCol, out = "__graft_clean")
         .withColumn(textCol, col("__graft_clean"))
         .withColumnRenamed("__graft_clean_pii", s"${textCol}_pii")
         .drop("__graft_clean")
+
+    // 0.5. optional line-wise corpus dedup (RefinedWeb-style): strip
+    // corpus-frequent boilerplate lines BEFORE document-level dedup, so
+    // two pages differing only in shared chrome collapse to exact dups
+    val input = lineDedupMaxDocFreq match {
+      case Some(maxDf) =>
+        Dedup.dropFrequentLines(cleaned0, textCol, idCol, maxDf, out = "__graft_ld")
+          .withColumn(textCol, col("__graft_ld"))
+          .drop("__graft_ld")
+      case None => cleaned0
+    }
 
     // 1. exact dedup: keep the minimum-id row per canonical form.
     // (Deliberately NO repartition barrier here, although this frame is

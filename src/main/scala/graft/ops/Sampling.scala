@@ -124,4 +124,96 @@ object Sampling {
     }
     df.filter(u < aCol)
   }
+
+  /** Per-source quota cap: keep at most `cap` rows per `sourceCol` group,
+    * chosen deterministically — the rows with the LOWEST unit hash (ties
+    * toward the smaller id), so the per-source survivor set is a uniform
+    * random-looking sample that is stable across runs, cluster sizes, and
+    * corpus growth below the cap. This is the domain-cap stage of web-corpus
+    * prep (no single site may dominate the training mix).
+    *
+    * Scale shape: selection runs through the heap top-k aggregate
+    * ([[graft.ops.GroupTopK.topKPerGroup]]) — map-side partial heaps mean
+    * the shuffle carries at most `cap x |sources|` rows, never the corpus;
+    * the winner ids then join back to the full rows (broadcast when the
+    * winner set is small). A window `row_number` over source would instead
+    * sort every source's full row set; at 100 TB a hot domain IS the
+    * corpus. Requires globally-unique numeric-castable ids (the same
+    * contract every unit-hash operator here carries).
+    */
+  def quotaSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      cap: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    // heap keeps HIGHEST score: negate the unit hash so lowest-hash wins
+    val scored = df.select(col(idCol), col(sourceCol),
+      (-unitHash(col(idCol), salt)).as("__neg_u"))
+    val winners = graft.ops.GroupTopK
+      .topKPerGroup(scored, Seq(sourceCol), idCol, "__neg_u", cap, rankCol = "quota_rank")
+      .select(col(idCol), col("quota_rank"))
+    df.join(broadcast(winners), Seq(idCol))
+  }
+
+  /** Quality-weighted deterministic sampling: keep each row with
+    * probability proportional to its heuristic text quality — acceptance
+    * `clamp(qualityScore/100, floor, ceil)` against the md5 unit hash.
+    * The FineWeb-style soft quality gate: instead of a hard threshold
+    * discarding everything below a cut, low-quality documents survive at
+    * a reduced (but nonzero, when `floor` > 0) rate, preserving
+    * distributional diversity. Same determinism contract as [[withSplit]]
+    * (reproducible across runs/partitioning; null text never passes).
+    *
+    * Scale shape: one codegen'd map-side filter — the quality score and
+    * the hash are pure column arithmetic, no shuffle, no UDF. */
+  def qualityWeightedSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      floor: Double = 0.0,
+      ceil: Double = 1.0,
+      salt: String = ""
+  ): DataFrame = {
+    require(floor >= 0.0 && ceil <= 1.0 && floor <= ceil,
+      "need 0 <= floor <= ceil <= 1")
+    val p = least(greatest(
+      TextAnalysis.qualityScore(col(textCol)) / lit(100.0), lit(floor)), lit(ceil))
+    // explicit null-text drop: greatest/least SKIP nulls in Spark (and
+    // DuckDB), so a null score would otherwise clamp UP to `floor` and
+    // sample null documents at the floor rate
+    df.filter(col(textCol).isNotNull && unitHash(col(idCol), salt) < p)
+  }
+
+  /** Deterministic global shuffle order for training-data serving: adds
+    * `shard` (= md5 prefix of the id mod `numShards`) and `shuffle_pos`
+    * (1-based rank within the shard, ordered by the full md5 hex then id).
+    * Reading shards in order, rows within each shard by `shuffle_pos`,
+    * yields a reproducible pseudo-random permutation of the corpus — the
+    * standard way to "shuffle" 100 TB without a global sort: the order is
+    * a pure function of ids, so any engine (or a resumed training job)
+    * re-derives the exact same epoch order.
+    *
+    * Scale shape: one hash-partition on `shard` + per-shard sort — with
+    * `numShards` sized to the cluster (thousands at 100 TB) each sort is a
+    * partition-local spillable sort, never a single global ordering. */
+  def withShuffleOrder(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val hex = md5(concat(col(idCol).cast("string"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__hex").asc, col(idCol).asc)
+    df.withColumn("__hex", hex)
+      .withColumn("shard",
+        pmod(conv(substring(col("__hex"), 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+      .withColumn("shuffle_pos", row_number().over(w).cast("long"))
+      .drop("__hex")
+  }
 }

@@ -103,6 +103,38 @@ object PipelineQueries {
        |  WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= $threshold
        |)""".stripMargin
 
+  /** DuckDB CTE chain computing the engine's qualityScore blend as
+    * `qscore` (CTE `scored`) over the (doc_id, text, `payload`...) rows
+    * of `srcRel` — ONE copy of the mirrored formula shared by the q71
+    * pipeline oracle and the q79 quality-sampling oracle, so the two can
+    * never drift. */
+  private def qualityCte(srcRel: String, payload: String): String =
+    s"""comp0 AS (
+       |  SELECT doc_id, $payload, text,
+       |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+       |         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tok
+       |  FROM $srcRel
+       |), comp1 AS (
+       |  SELECT doc_id, $payload,
+       |    CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) * 1.0 / CAST(n_tok AS DOUBLE) AS awl,
+       |    CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'),
+       |      x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE)
+       |      / GREATEST(CAST(n_tok AS DOUBLE), 1.0) AS stop_ratio,
+       |    CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE)
+       |      / GREATEST(CAST(len(text) AS DOUBLE), 1.0) AS punct_ratio,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+       |      / GREATEST(CAST(len(text) AS DOUBLE), 1.0) AS digit_ratio
+       |  FROM comp0
+       |), scored AS (
+       |  SELECT doc_id, $payload,
+       |    (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 40.0
+       |          ELSE GREATEST(0.0, 40.0 - abs(awl - 5.5) * 5.0) END)
+       |    + LEAST(stop_ratio * 200.0, 30.0)
+       |    + GREATEST(0.0, 15.0 - punct_ratio * 100.0)
+       |    + GREATEST(0.0, 15.0 - digit_ratio * 100.0) AS qscore
+       |  FROM comp1
+       |)""".stripMargin
+
   /** Hyperplane-bucket SQL generator (q45, q56): the engine's +-1 planes
     * come from a seeded driver-side PRNG, so this interpolates the EXACT
     * constants as `+- v[i]` term chains over a `v` DOUBLE[] column
@@ -422,6 +454,47 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q74_line_dedup" -> { (s, dir) =>
+      // corpus-frequency line removal (RefinedWeb-style): two planted
+      // boilerplate lines appear in every document and must be stripped;
+      // each document's own single-line text is unique and must survive.
+      // Exact-match, order-preserving, blank-line-preserving semantics —
+      // all DuckDB-mirrorable.
+      val planted = t(s, dir, "documents").withColumn("lined_text",
+        concat_ws("\n",
+          lit("Home | About | Contact"),
+          col("text"),
+          lit(""),
+          lit("Subscribe to our newsletter!")))
+      Dedup.dropFrequentLines(planted, "lined_text", "doc_id", maxDocFreq = 50,
+          out = "dedup_text")
+        .select(col("doc_id"),
+          md5(col("dedup_text")).as("dedup_digest"),
+          size(split(col("dedup_text"), "\n")).as("n_lines_kept"))
+        .orderBy("doc_id")
+    },
+
+    "q75_quota_sample" -> { (s, dir) =>
+      // per-source domain cap: at most 20 docs per source, lowest unit
+      // hash wins — selection runs through the heap top-k aggregate so
+      // the shuffle carries cap x |sources| rows, never the corpus
+      graft.ops.Sampling.quotaSample(
+        t(s, dir, "documents").select("doc_id", "source", "lang"),
+        "doc_id", "source", cap = 20, salt = "graft-r4")
+        .select("doc_id", "source", "lang", "quota_rank")
+        .orderBy("doc_id")
+    },
+
+    "q76_shuffle_order" -> { (s, dir) =>
+      // deterministic epoch shuffle: shard + intra-shard position as a
+      // pure function of ids — reproducible by any engine, no global sort
+      graft.ops.Sampling.withShuffleOrder(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", numShards = 8, salt = "graft-r4")
+        .select("doc_id", "shard", "shuffle_pos")
+        .orderBy("doc_id")
+    },
+
     // ------------------------------------------------- similarity search
 
     "q44_cosine_pairs" -> { (s, dir) =>
@@ -590,6 +663,42 @@ object PipelineQueries {
         threshold = 0.2, nBits = 8, nTables = 3)
         .select(col("id_a"), col("id_b"), roundz(col("cosine"), 6).as("cosine_r"))
         .orderBy("id_a", "id_b")
+    },
+
+    "q77_semantic_dedup" -> { (s, dir) =>
+      // SemDeDup: q56's near-dup pairs -> transitive clusters -> keep the
+      // min-id representative per cluster; fully oracle-checked (the
+      // hyperplane constants interpolate into SQL, the closure is a
+      // recursive CTE like q73)
+      Dedup.semanticDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        threshold = 0.2, nBits = 8, nTables = 3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+
+    "q78_decontaminate" -> { (s, dir) =>
+      // the filter stage over q58's contamination report: training corpus
+      // (doc_id < 400) minus every doc whose trigram containment against
+      // some benchmark doc (doc_id >= 400) reaches 0.5
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "text", "doc_id", threshold = 0.5, ngram = 3, maxDocFreq = Some(100L))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    "q79_quality_sample" -> { (s, dir) =>
+      // soft quality gate: acceptance = clamp(qualityScore/100, .05, .95)
+      // against the md5 unit hash — q71 proves the score blend, q36 the
+      // hash, this proves their composition
+      graft.ops.Sampling.qualityWeightedSample(
+        t(s, dir, "documents"), "doc_id", "text",
+        floor = 0.05, ceil = 0.95, salt = "graft-r4")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     },
 
     // ------------------------------------------------------- multimodal
@@ -1070,6 +1179,66 @@ object PipelineQueries {
         |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft-r4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < a
         |ORDER BY d.doc_id""".stripMargin,
 
+    // corpus-frequency line dedup: per-doc-distinct line counts (> 50 docs
+    // = frequent), exact match removal, blank lines exempt, order kept.
+    // concat_ws skips NULLs in both engines, so null text keeps the
+    // planted literals; the filtered list re-joins with chr(10) before
+    // the digest/line-count exactly like the engine's concat_ws
+    "q74_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10), 'Home | About | Contact', text, '',
+        |              'Subscribe to our newsletter!') AS lt
+        |  FROM documents
+        |), freq AS (
+        |  SELECT line FROM (
+        |    SELECT doc_id, unnest(list_distinct(string_split(lt, chr(10)))) AS line
+        |    FROM planted
+        |  ) WHERE len(regexp_replace(line, '^\s+|\s+$', '', 'g')) > 0
+        |  GROUP BY line HAVING COUNT(*) > 50
+        |), fl AS (
+        |  SELECT coalesce(list(line), []) AS fls FROM freq
+        |), rebuilt AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(string_split(lt, chr(10)),
+        |      l -> NOT list_contains(fls, l)), chr(10)) AS dedup
+        |  FROM planted, fl
+        |)
+        |SELECT doc_id, md5(dedup) AS dedup_digest,
+        |  len(string_split(dedup, chr(10))) AS n_lines_kept
+        |FROM rebuilt ORDER BY doc_id""".stripMargin,
+
+    // per-source quota cap: lowest md5 unit hash wins, ties toward the
+    // smaller id — ROW_NUMBER mirrors the heap aggregate's comparator
+    "q75_quota_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY uh, doc_id) AS quota_rank
+        |  FROM u
+        |)
+        |SELECT doc_id, source, lang, quota_rank
+        |FROM r WHERE quota_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    // deterministic shuffle order: shard = md5-prefix mod 8 (value is a
+    // non-negative 32-bit int, so % == pmod), position = rank within the
+    // shard by full hex then id
+    "q76_shuffle_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'graft-r4') AS hex
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, hex,
+        |    CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM h
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS BIGINT) AS shuffle_pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // the hyperplane-LSH near-dup pipeline is fully oracle-checkable: the
     // +-1 planes come from a seeded driver-side PRNG, so the generator
     // interpolates the EXACT constants as +-v[i] term chains (element
@@ -1100,6 +1269,85 @@ object PipelineQueries {
          |FROM scored WHERE NOT isnan(cosine) AND cosine >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // SemDeDup: q56's pair chain -> bidirectional edges -> transitive
+    // closure (recursive CTE, like q73) -> drop every node whose minimum
+    // reachable id is smaller than itself; survivors keep their payload
+    "q77_semantic_dedup" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 3, t => 104729L * (t + 1))
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), prs AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM k a JOIN k c ON a.vec_id < c.vec_id
+         |    AND (a.k_0 = c.k_0 OR a.k_1 = c.k_1 OR a.k_2 = c.k_2)
+         |  WHERE NOT isnan(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |    AND list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.2
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+         |), losers AS (
+         |  SELECT src AS vec_id FROM reach GROUP BY src HAVING MIN(dst) < src
+         |)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // decontamination: q58's containment chain as a predicate — training
+    // corpus minus every doc_id that appears as a contaminated corpus_id
+    "q78_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
+        |  FROM base WHERE len(toks) > 0
+        |), d AS (
+        |  SELECT DISTINCT doc_id, tok FROM tri
+        |), c0 AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
+        |b0 AS (SELECT doc_id AS bench_id, tok FROM d WHERE doc_id >= 400),
+        |hot AS (SELECT tok FROM c0 GROUP BY tok HAVING COUNT(*) > 100),
+        |c AS (SELECT * FROM c0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |b AS (SELECT * FROM b0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
+        |common AS (
+        |  SELECT corpus_id, bench_id, COUNT(*) AS n_common
+        |  FROM c JOIN b USING (tok) GROUP BY corpus_id, bench_id
+        |), cont AS (
+        |  SELECT DISTINCT corpus_id
+        |  FROM common JOIN sizes USING (bench_id)
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) >= 0.5
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT corpus_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
+
+    // soft quality gate: the shared qualityCte blend, acceptance
+    // clamp(qscore/100, .05, .95) against q36's md5 unit hash; null text
+    // drops explicitly in both engines
+    "q79_quality_sample" ->
+      s"""WITH ${qualityCte("documents WHERE text IS NOT NULL", "source, n_chars")}
+         |SELECT doc_id, source, n_chars FROM scored
+         |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
+         |      < LEAST(GREATEST(qscore / 100.0, 0.05), 0.95)
+         |ORDER BY doc_id""".stripMargin,
 
     // LSH ANN top-k: hyperplane keys (12 bits x 4 tables, interpolated
     // constants), any-table candidate match excluding self, exact cosine
@@ -1150,31 +1398,7 @@ object PipelineQueries {
          |  SELECT DISTINCT id_b FROM pairs0
          |), surv AS (
          |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
-         |), comp0 AS (
-         |  SELECT doc_id, lang, source, n_chars, text,
-         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
-         |         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tok
-         |  FROM surv
-         |), comp1 AS (
-         |  SELECT doc_id, lang, source, n_chars,
-         |    CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) * 1.0 / CAST(n_tok AS DOUBLE) AS awl,
-         |    CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'),
-         |      x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE)
-         |      / GREATEST(CAST(n_tok AS DOUBLE), 1.0) AS stop_ratio,
-         |    CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE)
-         |      / GREATEST(CAST(len(text) AS DOUBLE), 1.0) AS punct_ratio,
-         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-         |      / GREATEST(CAST(len(text) AS DOUBLE), 1.0) AS digit_ratio
-         |  FROM comp0
-         |), scored AS (
-         |  SELECT doc_id, lang, source, n_chars,
-         |    (CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 40.0
-         |          ELSE GREATEST(0.0, 40.0 - abs(awl - 5.5) * 5.0) END)
-         |    + LEAST(stop_ratio * 200.0, 30.0)
-         |    + GREATEST(0.0, 15.0 - punct_ratio * 100.0)
-         |    + GREATEST(0.0, 15.0 - digit_ratio * 100.0) AS qscore
-         |  FROM comp1
-         |)
+         |), ${qualityCte("surv", "lang, source, n_chars")}
          |SELECT doc_id, lang, source, n_chars FROM scored
          |WHERE qscore >= 30.0 ORDER BY doc_id""".stripMargin
     },

@@ -111,6 +111,25 @@ object ScaleSmoke {
             threshold = 0.9)
           .agg(count(lit(1))).collect()
       }
+
+      // line dedup: explode + broadcast anti-join + reassemble — the
+      // frequent-line set stays O(boilerplate), not O(corpus)
+      time(s"line-level corpus dedup ($nDocs docs)") {
+        val lined = dN.withColumn("text",
+          concat_ws("\n", lit("Home | About | Contact"), col("text")))
+        graft.ops.Dedup.dropFrequentLines(lined, "text", "doc_id",
+            maxDocFreq = 100)
+          .agg(count(col("dedup_text"))).collect()
+      }
+
+      // heap-aggregated source caps + sharded epoch order: the shuffle
+      // carries cap x |sources| rows, the sort is per-shard
+      time(s"source quota cap + shuffle order ($nDocs docs)") {
+        graft.ops.Sampling.withShuffleOrder(
+            graft.ops.Sampling.quotaSample(dN, "doc_id", "source", cap = 1000),
+            "doc_id", numShards = 64)
+          .agg(count(col("shuffle_pos"))).collect()
+      }
     }
     spark.stop()
   }

@@ -810,6 +810,40 @@ class OpsSpec extends SparkSpec {
     assert(stats.input == 4 && stats.afterExactDedup == 3 && stats.output == 2)
   }
 
+  test("prepareTrainingCorpus: line dedup, source quota, shuffle order stages") {
+    import graft.ops.Pipelines
+    val chrome = "Home | About | Contact"
+    // 6 docs share boilerplate chrome; 0 and 1 differ ONLY in chrome case
+    // -> after line dedup they collapse to exact dups; source "a" has 4
+    // survivors, quota cap 2 halves it
+    val corpus = Seq(
+      (0L, s"$chrome\nthe quick brown fox jumps over the lazy dog and runs", "a"),
+      (1L, s"$chrome\nthe quick brown fox jumps over the lazy dog and runs", "a"),
+      (2L, s"$chrome\na different document that is about spark engines and scale", "a"),
+      (3L, s"$chrome\nanother body of text with enough words to pass the quality gate", "a"),
+      (4L, s"$chrome\nyet another unique document with plenty of ordinary words here", "a"),
+      (5L, s"$chrome\nthe last unique document body with enough common words to pass", "b")
+    ).toDF("doc_id", "text", "source")
+    val result = Pipelines.prepareTrainingCorpus(corpus,
+      nearDupThreshold = 0.95, minQuality = 30.0,
+      splits = Seq("train" -> 1.0), salt = "t2",
+      lineDedupMaxDocFreq = Some(3L),
+      sourceQuota = Some(("source", 2)),
+      shuffleShards = Some(4))
+    val rows = result.df.collect()
+    // chrome stripped everywhere -> text starts with the body
+    assert(rows.forall(r => !r.getAs[String]("text").contains(chrome)))
+    // dup of 0/1 collapsed; per-source cap 2 -> at most 2 from "a", 1 from "b"
+    val bySrc = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc("a") == 2 && bySrc("b") == 1, s"got $bySrc")
+    // shuffle-order columns present and well-formed
+    assert(rows.forall { r =>
+      val s = r.getAs[Int]("shard"); s >= 0 && s < 4 && r.getAs[Long]("shuffle_pos") >= 1
+    })
+    val stats = result.stats()
+    assert(stats.input == 6 && stats.afterExactDedup == 5)
+  }
+
   test("hash split: deterministic, partition-invariant, proportional") {
     import graft.ops.Sampling
     val ids = spark.range(0, 10000).toDF("id")
@@ -1094,5 +1128,164 @@ class OpsSpec extends SparkSpec {
       Similarity.hyperplaneBucket(col("embedding"), 64, 12, 7919L).as("fast"),
       Similarity.hyperplaneBucketHof(col("embedding"), 64, 12, 7919L).as("slow"))
     assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("semanticDedup keeps one representative per embedding cluster") {
+    val mk = (xs: Seq[Double]) => xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, mk(Seq(1.0, 0.0, 0.0, 0.0))),
+      (1L, mk(Seq(1.0, 0.0, 0.0, 0.0))),   // exact dup of 0
+      (2L, mk(Seq(0.99, 0.01, 0.0, 0.0))), // near dup of 0
+      (3L, mk(Seq(0.0, 1.0, 0.0, 0.0))),   // orthogonal: its own cluster
+      (4L, mk(Seq(0.0, 0.0, 1.0, 0.0)))    // orthogonal: its own cluster
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding", dim = 4,
+        threshold = 0.95, nBits = 4, nTables = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // cluster {0,1,2} keeps its minimum id; singletons survive untouched
+    assert(kept == Set(0L, 3L, 4L), s"got $kept")
+  }
+
+  test("decontaminate removes corpus docs contained in the benchmark") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and keeps on running"),
+      (1L, "an entirely original training document about distributed engines"),
+      (2L, "another independent training document mentioning shuffle hygiene")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and keeps on running")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "text", "doc_id", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"doc 0 leaks the benchmark verbatim, got $kept")
+    // the report and the filter agree: removed ids == distinct corpus_ids
+    val reported = Dedup.contaminationPairs(corpus, bench, "text", "doc_id",
+        threshold = 0.8).select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(reported == Set(0L))
+  }
+
+  test("qualityWeightedSample: quality-proportional keep rate, null text dropped") {
+    import graft.ops.Sampling
+    val good = "the shuffle service keeps partial aggregates in memory and " +
+      "spills to disk when it is under pressure for a while"
+    val bad = "@@@@ #### 1234 5678 !!!! %%%% 9012 &&&& 3456 ****"
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("text",
+        when(col("id") < 2000, lit(good))
+          .when(col("id") < 3999, lit(bad))
+          .otherwise(lit(null).cast("string")))
+    val kept = Sampling.qualityWeightedSample(df, "id", "text", salt = "qw1")
+    val counts = kept.groupBy(col("id") < 2000).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    // good text scores ~100 -> keeps ~all rows; the symbol soup scores
+    // exactly 40 (awl 4 lands in the sweet band, everything else zero)
+    // -> keeps ~40%; null text must keep exactly zero
+    assert(counts(true) > 1800, s"got $counts")
+    val badKept = counts.getOrElse(false, 0L)
+    assert(badKept > 600 && badKept < 1000, s"bad-text keep ~0.4, got $counts")
+    assert(counts(true).toDouble / 2000.0 > badKept.toDouble / 1999.0)
+    assert(kept.filter(col("text").isNull).count() == 0)
+    // floor lifts low-quality acceptance; ceil caps high-quality
+    val floored = Sampling.qualityWeightedSample(df, "id", "text",
+      floor = 0.5, ceil = 0.6, salt = "qw1")
+    val fc = floored.groupBy(col("id") < 2000).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(fc(false) > 800, s"floor=0.5 must keep ~half the bad rows, got $fc")
+    assert(fc(true) < 1400, s"ceil=0.6 must cap the good rows, got $fc")
+    // deterministic + partition-invariant
+    val a = kept.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.qualityWeightedSample(df.repartition(9), "id", "text", salt = "qw1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("line dedup: corpus-frequent lines removed, order/blanks/nulls kept") {
+    val menu = "Home | About"
+    val lined = Seq(
+      (0L, s"$menu\nalpha body\n\nclosing alpha"),
+      (1L, s"$menu\nbeta body"),
+      (2L, s"$menu\ngamma body"),
+      (3L, menu), // nothing but the frequent line -> empty string
+      (4L, null.asInstanceOf[String]) // null text stays null
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropFrequentLines(lined, "text", "doc_id", maxDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dedup_text")).toMap
+    // menu appears in 4 docs > 2; bodies are unique; the blank line stays
+    assert(out(0L) == "alpha body\n\nclosing alpha")
+    assert(out(1L) == "beta body")
+    assert(out(3L) == "")
+    assert(out(4L) == null)
+
+    // frequency counts documents, not occurrences: a line repeated many
+    // times INSIDE one doc is not corpus boilerplate
+    val selfRep = Seq(
+      (0L, "x\nx\nx\nx\nx"), (1L, "a"), (2L, "b"), (3L, "c")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropFrequentLines(selfRep, "text", "doc_id", maxDocFreq = 2)
+      .filter(col("doc_id") === 0).head().getAs[String]("dedup_text")
+    assert(kept == "x\nx\nx\nx\nx", "per-doc repeats must not trip the doc-freq cap")
+
+    // exact match only: case variants are different lines
+    val cased = Seq(
+      (0L, "Menu\none"), (1L, "Menu\ntwo"), (2L, "Menu\nthree"), (3L, "menu\nfour")
+    ).toDF("doc_id", "text")
+    val c = Dedup.dropFrequentLines(cased, "text", "doc_id", maxDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dedup_text")).toMap
+    assert(c(0L) == "one" && c(3L) == "menu\nfour")
+  }
+
+  test("quota sample: per-source cap, deterministic, heap matches window") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("src", when(col("id") < 700, "big")
+        .when(col("id") < 990, "mid").otherwise(lit("tiny")))
+    val capped = Sampling.quotaSample(df, "id", "src", cap = 100, salt = "qs1")
+    val counts = capped.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // over-cap sources clamp to the cap; under-cap sources keep all rows
+    assert(counts == Map("big" -> 100L, "mid" -> 100L, "tiny" -> 10L), s"got $counts")
+
+    // deterministic + partition-invariant, and identical to the window
+    // row_number formulation (the heap aggregate's differential oracle)
+    val a = capped.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.quotaSample(df.repartition(13), "id", "src", cap = 100, salt = "qs1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("__u").asc, col("id").asc)
+    val windowed = df.withColumn("__u", Sampling.unitHash(col("id"), "qs1"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == windowed)
+
+    // a different salt re-rolls the per-source selection
+    val c = Sampling.quotaSample(df, "id", "src", cap = 100, salt = "qs2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("shuffle order: a deterministic permutation, contiguous per shard") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 2000).toDF("id")
+    val o = Sampling.withShuffleOrder(df, "id", numShards = 8, salt = "sh1")
+    val rows = o.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("shard"), r.getAs[Long]("shuffle_pos")))
+    assert(rows.length == 2000)
+    // every row lands in [0, 8) and positions are 1..n contiguous per shard
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // partition-invariant: the permutation is a pure function of ids
+    val b = Sampling.withShuffleOrder(df.repartition(17), "id", numShards = 8, salt = "sh1")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("shard"), r.getAs[Long]("shuffle_pos")))
+      .toSet
+    assert(rows.toSet == b)
+    // the order is shuffled, not id order: within some shard, consecutive
+    // positions are non-monotonic in id
+    val anyShard = rows.filter(_._2 == rows.head._2).sortBy(_._3).map(_._1)
+    assert(anyShard.zip(anyShard.tail).exists { case (x, y) => x > y })
   }
 }
