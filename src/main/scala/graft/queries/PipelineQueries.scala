@@ -305,6 +305,47 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    "q80_pivot" -> { (s, dir) =>
+      // pivot (long -> wide): per-source mean doc length by language, with
+      // the value list pinned so the output schema is static — mirrored as
+      // FILTER'd conditional aggregates
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(avg("n_chars"))
+        .select(col("source") +: langs.map(l => roundz(col(l), 6).as(s"avg_$l")): _*)
+        .orderBy("source")
+    },
+
+    "q81_ntile_rank" -> { (s, dir) =>
+      // distribution window functions: quartile, percent_rank, cume_dist
+      // per language — the tie-break on doc_id makes the order total, so
+      // ntile's bucket boundaries are engine-independent
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          ntile(4).over(w).as("quartile"),
+          roundz(percent_rank().over(w), 9).as("pct_rank_r"),
+          roundz(cume_dist().over(w), 9).as("cume_r"))
+        .orderBy("doc_id")
+    },
+
+    "q82_resample_fill" -> { (s, dir) =>
+      // hourly per-type event grid with holes materialized (215 empty
+      // buckets at sf0.01) and the running sum forward-filled — exact
+      // integer bucketing (ts div width), nulls only before a key's first
+      // event
+      val dense = graft.ops.Resample.resample(
+        t(s, dir, "events"), "event_type", "ts", 3600000000000L,
+        Seq(count(lit(1)).as("n"), sum("value").as("sv")))
+      graft.ops.Resample.forwardFill(dense, Seq("event_type"), "bucket", Seq("sv"))
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          roundz(col("sv"), 6).as("filled_sum_r"))
+        .orderBy("event_type", "bucket")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -878,6 +919,49 @@ object PipelineQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q80_pivot" ->
+      """SELECT source,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'de'), 6) + 0.0 AS avg_de,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'en'), 6) + 0.0 AS avg_en,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'es'), 6) + 0.0 AS avg_es,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'fr'), 6) + 0.0 AS avg_fr,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'zh'), 6) + 0.0 AS avg_zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q81_ntile_rank" ->
+      """SELECT doc_id, lang,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 9) + 0.0 AS pct_rank_r,
+        |  round(cume_dist() OVER w, 9) + 0.0 AS cume_r
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // dense hourly grid per event type (integer-div bucketing of epoch
+    // nanos), empty buckets joined in as zeros, running sum forward-filled
+    // with LAST_VALUE IGNORE NULLS over the same frame the engine uses
+    "q82_resample_fill" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+        |         count(*) AS n, sum(value) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(bucket) AS lo, max(bucket) AS hi FROM b
+        |), grid AS (
+        |  SELECT t.event_type, g.bucket
+        |  FROM (SELECT DISTINCT event_type FROM b) t,
+        |       (SELECT unnest(range(lo, hi + 1)) AS bucket FROM bounds) g
+        |), joined AS (
+        |  SELECT g.event_type, g.bucket, b.n, b.sv
+        |  FROM grid g LEFT JOIN b USING (event_type, bucket)
+        |)
+        |SELECT event_type, bucket,
+        |  coalesce(n, 0) AS n_events,
+        |  round(last_value(sv IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS filled_sum_r
+        |FROM joined ORDER BY event_type, bucket""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (

@@ -1130,6 +1130,43 @@ class OpsSpec extends SparkSpec {
     assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("resample densifies the grid; forwardFill carries the last value") {
+    import graft.ops.Resample
+    // key A has events in buckets 0 and 2 (hole at 1); key B only at 1 —
+    // the global grid is 0..2 for both keys
+    val ev = Seq(
+      ("A", 5L, 10.0), ("A", 9L, 20.0), ("A", 25L, 40.0),
+      ("B", 12L, 7.0)
+    ).toDF("k", "t", "v")
+    val dense = Resample.resample(ev, "k", "t", 10L,
+      Seq(count(lit(1)).as("n"), sum("v").as("sv")))
+    val rows = dense.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(rows == Set(
+      ("A", 0L, Some(2L), Some(30.0)), ("A", 1L, None, None), ("A", 2L, Some(1L), Some(40.0)),
+      ("B", 0L, None, None), ("B", 1L, Some(1L), Some(7.0)), ("B", 2L, None, None)),
+      s"got $rows")
+
+    val filled = Resample.forwardFill(dense, Seq("k"), "bucket", Seq("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    // A's hole carries 30.0 forward; B's LEADING hole stays null (nothing
+    // to carry), its trailing hole carries 7.0
+    assert(filled == Set(
+      ("A", 0L, Some(30.0)), ("A", 1L, Some(30.0)), ("A", 2L, Some(40.0)),
+      ("B", 0L, None), ("B", 1L, Some(7.0)), ("B", 2L, Some(7.0))),
+      s"got $filled")
+
+    // partition-invariant
+    val again = Resample.resample(ev.repartition(7), "k", "t", 10L,
+      Seq(count(lit(1)).as("n"), sum("v").as("sv")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == rows.map(r => (r._1, r._2)))
+  }
+
   test("semanticDedup keeps one representative per embedding cluster") {
     val mk = (xs: Seq[Double]) => xs.map(_.toFloat)
     val emb = Seq(
