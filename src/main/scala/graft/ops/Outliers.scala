@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group z-score outlier detection — the standard gate for dropping
+  * anomalous documents (absurd lengths, degenerate quality metrics) before
+  * training. The reference normalizes scores against group min/max
+  * (`bid_evaluation/criteria.py`); this extends the same
+  * group-statistics idea to standard-deviation units.
+  *
+  * The moments are computed as raw sums (`Σx`, `Σx²`, `n`) rather than
+  * Spark's streaming `stddev` aggregate: for integral inputs the sums are
+  * EXACT (order-independent), so the derived mean/variance/z-score are
+  * bit-reproducible across runs, partitionings, and engines — Welford-style
+  * incremental variance is arrival-order-dependent and cannot be
+  * hash-verified against another engine. For fractional inputs the sums
+  * are still far more stable than per-row incremental updates.
+  *
+  * Scale shape: one groupBy over the data (map-side partial sums), the
+  * |groups|-row stats frame broadcast back — no window, no second shuffle
+  * of the data.
+  */
+object Outliers {
+
+  /** Adds `zCol` = (x − mean) / stddev_pop within each `groupCols` group.
+    * Degenerate groups (variance 0, e.g. a single row) and null values get
+    * a null z-score. Population variance is `Σx²/n − mean²`.
+    */
+  def withGroupZscore(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      zCol: String = "zscore"
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "withGroupZscore needs group keys")
+    val v = col(valueCol)
+    val stats = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(v).as("__n"),
+        sum(v).as("__sx"),
+        sum(v * v).as("__sxx"))
+    val mean = col("__sx").cast("double") / col("__n")
+    val variance = col("__sxx").cast("double") / col("__n") - mean * mean
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(zCol,
+        when(variance > 0, (v.cast("double") - mean) / sqrt(variance)))
+      .drop("__n", "__sx", "__sxx")
+  }
+
+  /** Keeps only rows within `maxAbsZ` standard deviations of their group
+    * mean; rows with no z-score (null value, degenerate group) survive —
+    * a zero-variance group has no evidence of anomaly.
+    */
+  def dropOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      maxAbsZ: Double = 3.0
+  ): DataFrame = {
+    val z = "__graft_z"
+    withGroupZscore(df, groupCols, valueCol, z)
+      .filter(col(z).isNull || abs(col(z)) <= maxAbsZ)
+      .drop(z)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval primitives for training-data pipelines: vocabulary
+  * statistics, BM25 keyword search, and fixed-window document chunking.
+  * The reference has no text-retrieval surface (its pipeline is numeric
+  * scoring, `bid_evaluation/evaluator.py`); these extend the engine the
+  * way the dedup/similarity operators do — every formula is plain-SQL
+  * expressible so each has a DuckDB oracle.
+  *
+  * Scale shapes:
+  *  - [[vocabulary]]: explode is map-side; the (doc, term) pre-aggregate
+  *    combines map-side before its shuffle; the final per-term aggregate
+  *    is tiny; top-k lands on `TakeOrderedAndProject` (per-partition
+  *    top-k, driver merges |partitions|·k rows — never a full sort).
+  *  - [[bm25Search]]: postings are pruned to the query's terms BEFORE any
+  *    corpus-wide aggregation (a broadcast semi-join), so document
+  *    frequency and scoring touch only matching postings; the final
+  *    per-query top-k uses the [[GroupTopK]] heap aggregate (map-side
+  *    partial, the exchange carries k·|queries| rows).
+  *  - [[chunkText]]: pure per-row explode arithmetic, no shuffle.
+  */
+object Retrieval {
+
+  /** Corpus vocabulary: for each whitespace token, the number of documents
+    * containing it (`doc_freq`) and its total occurrence count
+    * (`term_freq`); the `topK` most document-frequent terms, ties broken
+    * by term ascending so the cut is deterministic.
+    */
+  def vocabulary(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val perDoc = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    perDoc
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"), sum("__tf").as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("term").asc)
+      .limit(topK)
+  }
+
+  /** Okapi BM25 top-k search: scores every document against every query in
+    * `queries` (a SMALL frame — it is broadcast) and returns the `topK`
+    * best documents per query with competition-ordered `rank` (ties on
+    * score break toward the smaller document id, the [[GroupTopK]]
+    * contract).
+    *
+    * idf = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene's non-negative form)
+    * score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *
+    * Determinism: the per-(query, doc) sum folds contributions in
+    * term-sorted order (`array_sort` + `aggregate`), so the FP result is
+    * reproducible and engine-mirrorable — a plain SUM would depend on
+    * shuffle arrival order.
+    */
+  def bm25Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val withLen = docs.select(
+      col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+
+    // one tiny corpus-constants row, broadcast into the plan (never a
+    // driver-side collect)
+    val consts = withLen.agg(
+      count(lit(1)).as("__n"),
+      avg(col("__dl").cast("double")).as("__avgdl"))
+
+    // each query's DISTINCT terms; duplicates in the query text must not
+    // double-count a term's contribution
+    val qTerms = queries.select(
+      col(queryIdCol),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
+
+    val postings = withLen
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      // prune to the query vocabulary before any corpus-wide work
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+
+    // document frequency over the pruned postings: (doc, term) is unique
+    // after the tf aggregate, so count(*) IS the doc frequency
+    val docFreq = postings.groupBy("term").agg(count(lit(1)).as("__df"))
+
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val contrib = postings
+      .join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(consts))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__c",
+        col("__idf") * ((col("__tf") * lit(k1p1)) /
+          (col("__tf") + lit(k1) * (lit(oneMinusB) + lit(b) * col("__dl") / col("__avgdl")))))
+
+    val scored = contrib
+      .join(broadcast(qTerms), Seq("term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("__c").as("c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("score"))
+
+    GroupTopK.topKPerGroup(scored, Seq(queryIdCol), idCol, "score", topK)
+  }
+
+  /** Fixed-window chunking with overlap: slice `textCol` into
+    * `chunkSize`-character windows starting every `chunkSize - overlap`
+    * characters — the standard context-window prep for retrieval corpora.
+    * The last window may be shorter; text no longer than one window yields
+    * exactly one chunk (so empty text yields one empty chunk); null text
+    * yields no rows. Chunk counting is `1 + ceil((len − chunkSize) / stride)`
+    * — the double division is exact below 2^53, so the count is
+    * engine-portable.
+    */
+  def chunkText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int
+  ): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    val len = length(col(textCol))
+    val nChunks = when(len <= chunkSize, lit(1L))
+      .otherwise(ceil((len - chunkSize).cast("double") / lit(stride.toDouble)) + 1L)
+    df.filter(col(textCol).isNotNull)
+      .withColumn("chunk_idx", explode(sequence(lit(0), (nChunks - 1).cast("int"))))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col(textCol).substr(col("chunk_idx") * stride + 1, lit(chunkSize)).as("chunk"))
+  }
+}

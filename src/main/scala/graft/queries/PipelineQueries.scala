@@ -346,6 +346,52 @@ object PipelineQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // --------------------------------------------------- retrieval / stats
+
+    "q83_vocabulary" -> { (s, dir) =>
+      // corpus vocabulary: top 50 terms by document frequency (term-asc
+      // tie-break makes the cut deterministic); top-k is
+      // TakeOrderedAndProject, never a full sort
+      graft.ops.Retrieval.vocabulary(t(s, dir, "documents"), "doc_id", "text", topK = 50)
+        .orderBy(col("doc_freq").desc, col("term").asc)
+    },
+
+    "q84_bm25" -> { (s, dir) =>
+      // BM25 top-10 per query: postings pruned to query terms before any
+      // corpus-wide agg; term-sorted contribution fold (IEEE-reproducible);
+      // heap top-k per query
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25Search(
+        t(s, dir, "documents"), "doc_id", "text", qs, "qid", "qtext", topK = 10)
+        .select(col("qid"), col("rank"), col("doc_id"), roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
+    },
+
+    "q85_zscore_outliers" -> { (s, dir) =>
+      // per-language z-score on document length from EXACT integer moments
+      // (sum / sum-of-squares / count) — order-independent, engine-portable,
+      // unlike streaming stddev
+      graft.ops.Outliers.withGroupZscore(
+        t(s, dir, "documents"), Seq("lang"), "n_chars", "z")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          roundz(col("z"), 9).as("z_r"),
+          (abs(col("z")) > 2.0).as("is_outlier"))
+        .orderBy("doc_id")
+    },
+
+    "q86_chunking" -> { (s, dir) =>
+      // 200-char context windows with 50-char overlap (stride 150); last
+      // chunk may be short; pure per-row explode arithmetic, no shuffle
+      graft.ops.Retrieval.chunkText(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 200, overlap = 50)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+          length(col("chunk")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -962,6 +1008,98 @@ object PipelineQueries {
         |    PARTITION BY event_type ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS filled_sum_r
         |FROM joined ORDER BY event_type, bucket""".stripMargin,
+
+    "q83_vocabulary" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(ts) AS term FROM toks
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2
+        |), v AS (
+        |  SELECT term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS term_freq
+        |  FROM tf GROUP BY term
+        |)
+        |SELECT term, doc_freq, term_freq FROM v
+        |ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin,
+
+    // BM25 constants are interpolated from the SAME Scala doubles the
+    // operator uses (Double.toString round-trips exactly), so the two
+    // sides cannot drift; the contribution fold is term-sorted on both.
+    "q84_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), dl AS (
+         |  SELECT doc_id, len(ts) AS dl, ts FROM toks
+         |), posting AS (
+         |  SELECT doc_id, dl, unnest(ts) AS term FROM dl
+         |), tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM posting GROUP BY 1, 2, 3
+         |), consts AS (
+         |  SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+         |), q(qid, term) AS (
+         |  VALUES (1, 'query'), (1, 'hash'), (1, 'join'),
+         |         (2, 'window'), (2, 'agg'), (2, 'fast'),
+         |         (3, 'customer'), (3, 'order'), (3, 'value'), (3, 'part')
+         |), m AS (
+         |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf
+         |  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+         |), dfq AS (
+         |  SELECT term, count(*) AS df FROM m GROUP BY term
+         |), contrib AS (
+         |  SELECT m.doc_id, m.term,
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |      ((tf * ${1.2 + 1.0}) / (tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * dl / avgdl))) AS c
+         |  FROM m JOIN dfq USING (term) CROSS JOIN consts
+         |), sc AS (
+         |  SELECT qid, doc_id,
+         |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
+         |  FROM contrib JOIN q USING (term) GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT qid, rank, doc_id, round(score, 6) + 0.0 AS score_r
+         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // z-scores from EXACT integer moments — both engines derive
+    // mean/variance from the same exact sums, so the doubles agree bitwise
+    "q85_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT lang, count(n_chars) AS n, sum(n_chars) AS sx,
+        |         sum(n_chars * n_chars) AS sxx
+        |  FROM documents GROUP BY lang
+        |), z AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    CAST(sx AS DOUBLE) / n AS mean,
+        |    CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS var
+        |  FROM documents d JOIN st USING (lang)
+        |)
+        |SELECT doc_id, lang, n_chars,
+        |  round(CASE WHEN var > 0 THEN (CAST(n_chars AS DOUBLE) - mean) / sqrt(var) END, 9) + 0.0 AS z_r,
+        |  CASE WHEN var > 0 THEN abs((CAST(n_chars AS DOUBLE) - mean) / sqrt(var)) > 2.0 END AS is_outlier
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q86_chunking" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(text) <= 200 THEN 1
+        |         ELSE CAST(ceil(CAST(len(text) - 200 AS DOUBLE) / 150.0) AS BIGINT) + 1 END AS nc
+        |  FROM documents WHERE text IS NOT NULL
+        |), e AS (
+        |  SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM n
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  substr(text, chunk_idx * 150 + 1, 200) AS chunk,
+        |  len(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_len
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Outliers, Retrieval}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabulary counts doc and term frequency with a deterministic cut") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b"),
+      (3L, "c c c d"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val v = Retrieval.vocabulary(docs, "doc_id", "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: df 2 cf 3 | b: df 2 cf 2 | c: df 2 cf 4 | d: df 1 cf 1
+    // tie on df=2 breaks term-asc: a, b, c
+    assert(v.toSeq == Seq(("a", 2L, 3L), ("b", 2L, 2L), ("c", 2L, 4L)))
+  }
+
+  test("bm25Search scores match the hand-computed formula and rank by score") {
+    val docs = Seq(
+      (10L, "apple banana apple"), // tf(apple)=2, dl=3
+      (20L, "apple cherry"),       // tf(apple)=1, dl=2
+      (30L, "durian elderberry fig grape") // no match, dl=4
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple")).toDF("qid", "qtext")
+    val got = Retrieval.bm25Search(docs, "doc_id", "text", qs, "qid", "qtext", topK = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    val n = 3.0; val df = 2.0; val avgdl = 3.0; val k1 = 1.2; val b = 0.75
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double) =
+      idf * ((tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl / avgdl)))
+    assert(got.length == 2) // the no-match doc never appears
+    assert(got(0)._2 == 10L && got(1)._2 == 20L)
+    assertNear(got(0)._3, s(2, 3))
+    assertNear(got(1)._3, s(1, 2))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+  }
+
+  test("bm25Search: duplicate query terms don't double-count; rarer term outweighs common") {
+    val docs = Seq(
+      (1L, "x common common"),
+      (2L, "rare common"),
+      (3L, "common filler pad"),
+      (4L, "filler pad again")
+    ).toDF("doc_id", "text")
+    val qs = Seq((7L, "rare rare common")).toDF("qid", "qtext")
+    val res = Retrieval.bm25Search(docs, "doc_id", "text", qs, "qid", "qtext", topK = 5)
+    val top = res.orderBy("rank").collect()
+    // doc 2 holds the rare term -> must rank first
+    assert(top.head.getLong(2) == 2L)
+    // dedup check: the same result with an already-distinct query text
+    val qs2 = Seq((7L, "rare common")).toDF("qid", "qtext")
+    val res2 = Retrieval.bm25Search(docs, "doc_id", "text", qs2, "qid", "qtext", topK = 5)
+    assert(res.collect().map(_.toSeq).toSeq == res2.collect().map(_.toSeq).toSeq)
+  }
+
+  test("bm25Search is partition-invariant") {
+    val docs = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} tail")).toDF("doc_id", "text")
+    val qs = Seq((1L, "w1 w2"), (2L, "w3 tail")).toDF("qid", "qtext")
+    val a = Retrieval.bm25Search(docs, "doc_id", "text", qs, "qid", "qtext", topK = 4)
+      .collect().map(_.toSeq).toSet
+    val bres = Retrieval.bm25Search(docs.repartition(13), "doc_id", "text", qs, "qid", "qtext", topK = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == bres)
+  }
+
+  test("chunkText windows with overlap; short, empty, and null text edge cases") {
+    val docs = Seq(
+      (1L, "abcdefghij"),   // len 10: chunks "abcde", "defgh", "ghij" (size 5, overlap 2, stride 3)
+      (2L, "abc"),          // single short chunk
+      (3L, ""),             // one empty chunk
+      (4L, null.asInstanceOf[String]) // no rows
+    ).toDF("doc_id", "text")
+    val got = Retrieval.chunkText(docs, "doc_id", "text", chunkSize = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "abcde"), (1L, 1, "defgh"), (1L, 2, "ghij"),
+      (2L, 0, "abc"),
+      (3L, 0, "")))
+    // exact multiple: len 8, size 5, stride 3 -> chunks at 0, 3 cover 0..8
+    val ex = Retrieval.chunkText(Seq((9L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text", 5, 2)
+      .collect().map(_.getString(2)).toSeq
+    assert(ex == Seq("abcde", "defgh"))
+  }
+
+  test("withGroupZscore matches exact moments; degenerate and null-safe") {
+    val df = Seq(
+      ("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 6L),
+      ("g2", 5L) // single row: variance 0 -> null z
+    ).toDF("g", "v")
+    val z = Outliers.withGroupZscore(df, Seq("g"), "v", "z")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    // g1: n=4 sx=12 sxx=50 mean=3 var=12.5-9=3.5
+    val sd = math.sqrt(3.5)
+    assert(z.contains(("g2", 5L, None)))
+    val g1 = z.filter(_._1 == "g1").map(t => (t._2, t._3.get)).toMap
+    assertNear(g1(1L), (1 - 3.0) / sd)
+    assertNear(g1(6L), (6 - 3.0) / sd)
+
+    val kept = Outliers.dropOutliers(df, Seq("g"), "v", maxAbsZ = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // |z|: 1->1.069 drops, 2->0.53 keeps, 3->0 keeps, 6->1.60 drops; g2 null z survives
+    assert(kept == Set(("g1", 2L), ("g1", 3L), ("g2", 5L)))
+  }
+}
