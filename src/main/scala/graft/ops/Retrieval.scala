@@ -90,12 +90,19 @@ object Retrieval {
       col(queryIdCol),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
 
+    // prune BEFORE the tf aggregate: the broadcast semi-join is a map-side
+    // filter, so the groupBy shuffles only tokens matching the query
+    // vocabulary instead of the whole corpus' token stream. The barrier
+    // persist matters: the pruned postings feed BOTH the doc-frequency agg
+    // and the contribution join — without it Catalyst recomputes the full
+    // corpus scan + explode for each consumer (observed: 3 parquet scans
+    // in the q84 plan).
     val postings = withLen
       .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy(col(idCol), col("__dl"), col("term"))
       .agg(count(lit(1)).as("__tf"))
-      // prune to the query vocabulary before any corpus-wide work
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // document frequency over the pruned postings: (doc, term) is unique
     // after the tf aggregate, so count(*) IS the doc frequency

@@ -80,4 +80,39 @@ class PlanShapeSpec extends SparkSpec {
     val heap = key(Similarity.quantizedTopK(emb, queries, k = k, rerank = rerank))
     assert(heap == key(windowed))
   }
+
+  test("bm25Search plan: window-free, heap top-k, at most two corpus scans") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Seq((1L, "query hash join")).toDF("qid", "qtext")
+    val df = graft.ops.Retrieval.bm25Search(docs, "doc_id", "text", qs, "qid", "qtext", topK = 5)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"bm25 must rank via the heap aggregate, not a per-query window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bm25 should contain the GroupTopK aggregate:\n$plan")
+    // postings persist barrier: docFreq + contrib must reuse ONE cached
+    // subtree instead of recomputing the corpus scan + explode each
+    // (pre-fix plan had 3 independent parquet scans)
+    assert(plan.contains("InMemoryTableScan"),
+      s"bm25 postings must be cache-reused across docFreq and contrib:\n$plan")
+  }
+
+  test("vocabulary plan: top-k via TakeOrderedAndProject, never a full sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.Retrieval.vocabulary(docs, "doc_id", "text", topK = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary's limit must plan as per-partition top-k:\n$plan")
+  }
+
+  test("withGroupZscore plan: stats join back by broadcast, no window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.Outliers.withGroupZscore(docs, Seq("lang"), "n_chars")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"zscore must not use a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |groups|-row stats frame must broadcast back:\n$plan")
+  }
 }
