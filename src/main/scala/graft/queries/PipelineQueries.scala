@@ -392,6 +392,44 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    "q87_bigram_lm" -> { (s, dir) =>
+      // bigram-LM perplexity quality signal: each doc scored under the
+      // corpus' own MLE bigram model; term-sorted contribution fold
+      graft.ops.LmScore.bigramScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          roundz(col("avg_logp"), 6).as("avg_logp_r"),
+          roundz(col("perplexity"), 6).as("ppl_r"))
+        .orderBy("doc_id")
+    },
+
+    "q88_latest_snapshot" -> { (s, dir) =>
+      // change-log compaction: latest event per user via max(struct(...))
+      // — one hash aggregate, the payload rides in the struct, no window
+      // sort and no join-back
+      // ts arrives as epoch-nanos int64 in Spark but DuckDB's TIMESTAMP is
+      // micro-precision — compare at MICROS on both sides so version ties
+      // (and the event_id tie-break) are engine-identical
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      graft.ops.Snapshot.latestByKey(ev, Seq("user_id"), col("ts_us"), "event_id")
+        .orderBy("user_id")
+    },
+
+    "q89_expectations" -> { (s, dir) =>
+      // one-pass data-quality gate: every check computed in a single
+      // aggregate; null predicate results count as violations
+      graft.ops.Expectations.report(t(s, dir, "lineitem"), Seq(
+        "quantity_range" -> col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_cap" -> (col("l_discount") <= 0.05),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_not_null" -> col("l_shipdate").isNotNull))
+        .withColumn("violation_rate_r", roundz(col("violation_rate"), 9))
+        .drop("violation_rate")
+        .orderBy("check_name")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1100,6 +1138,72 @@ object PipelineQueries {
         |  substr(text, chunk_idx * 150 + 1, 200) AS chunk,
         |  len(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_len
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // MLE bigram model from the corpus itself; doc score = Σ over DISTINCT
+    // bigrams of (in-doc count × ln p), folded in bigram-sorted order —
+    // identical-value addition commutes exactly, so this equals the
+    // position-order sum while staying engine-reproducible
+    "q87_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, unnest([ts[i] || ' ' || ts[i + 1] FOR i IN range(1, len(ts))]) AS bigram
+        |  FROM toks WHERE len(ts) >= 2
+        |), bc AS (
+        |  SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1, count(*) AS bc
+        |  FROM bi GROUP BY 1, 2, 3
+        |), bg AS (
+        |  SELECT w1, bigram, CAST(sum(bc) AS BIGINT) AS c2 FROM bc GROUP BY 1, 2
+        |), h AS (
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1
+        |), pr AS (
+        |  SELECT bigram, c2 / c1 AS p FROM bg JOIN h USING (w1)
+        |), sc AS (
+        |  SELECT doc_id, CAST(sum(bc) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(0.0, list(bc * ln(p) ORDER BY bigram)), (a, b) -> a + b) AS lp
+        |  FROM bc JOIN pr USING (bigram) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, n_bigrams,
+        |  round(lp / n_bigrams, 6) + 0.0 AS avg_logp_r,
+        |  round(exp(-(lp / n_bigrams)), 6) + 0.0 AS ppl_r
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q88_latest_snapshot" ->
+      """WITH rk AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, ts_us, value
+        |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q89_expectations" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_quantity,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_discount,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+        |  FROM lineitem
+        |)
+        |SELECT * FROM (
+        |  SELECT 'quantity_range' AS check_name, n AS n_rows, v_quantity AS n_violations,
+        |         round(CAST(v_quantity AS DOUBLE) / n, 9) + 0.0 AS violation_rate_r FROM t
+        |  UNION ALL
+        |  SELECT 'price_positive', n, v_price, round(CAST(v_price AS DOUBLE) / n, 9) + 0.0 FROM t
+        |  UNION ALL
+        |  SELECT 'discount_cap', n, v_discount, round(CAST(v_discount AS DOUBLE) / n, 9) + 0.0 FROM t
+        |  UNION ALL
+        |  SELECT 'returnflag_domain', n, v_flag, round(CAST(v_flag AS DOUBLE) / n, 9) + 0.0 FROM t
+        |  UNION ALL
+        |  SELECT 'shipdate_not_null', n, v_ship, round(CAST(v_ship AS DOUBLE) / n, 9) + 0.0 FROM t
+        |) ORDER BY check_name""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Expectations, LmScore, Snapshot}
+
+class CorpusQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramScore matches hand-computed MLE bigram probabilities") {
+    val docs = Seq(
+      (1L, "a b c"), // bigrams: "a b", "b c"
+      (2L, "a c"),   // bigram:  "a c"
+      (3L, "x")      // no bigrams -> null metrics
+    ).toDF("doc_id", "text")
+    val got = LmScore.bigramScore(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    // model: c("a b")=1, c("b c")=1, c("a c")=1; heads: a->2, b->1
+    // p(a b)=0.5, p(b c)=1.0, p(a c)=0.5
+    val d1avg = (math.log(0.5) + math.log(1.0)) / 2
+    assert(got(1L)._1.contains(2L))
+    assertNear(got(1L)._2.get.asInstanceOf[Double], d1avg)
+    assertNear(got(1L)._3.get.asInstanceOf[Double], math.exp(-d1avg)) // = sqrt 2
+    assertNear(got(2L)._2.get.asInstanceOf[Double], math.log(0.5))
+    assertNear(got(2L)._3.get.asInstanceOf[Double], 2.0)
+    assert(got(3L) == ((None, None, None)))
+  }
+
+  test("bigramScore: a surprising continuation of a common head scores lower") {
+    // p(cat|the) = 20/21, p(dog|the) = 1/21 — the doc with the rare
+    // continuation must be less probable than the majority docs
+    val docs = ((1L to 20L).map(i => (i, "the cat")) :+ (99L, "the dog"))
+      .toDF("doc_id", "text")
+    val res = LmScore.bigramScore(docs, "doc_id", "text")
+    val byId = byKey(res, "doc_id")
+    val common = byId(1L).getAs[Double]("avg_logp")
+    val rare = byId(99L).getAs[Double]("avg_logp")
+    assertNear(common, math.log(20.0 / 21.0))
+    assertNear(rare, math.log(1.0 / 21.0))
+    assert(common > rare)
+  }
+
+  test("bigramScore with a reference model skips OOV bigrams") {
+    val model = Seq((100L, "alpha beta gamma"), (101L, "alpha beta delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // both bigrams known
+      (2L, "alpha beta zzz"),   // "beta zzz" unseen -> skipped, n=1
+      (3L, "qq rr")             // nothing known -> null metrics
+    ).toDF("doc_id", "text")
+    val got = byKey(LmScore.bigramScore(docs, "doc_id", "text", Some(model)), "doc_id")
+    assert(got(1L).getAs[Long]("n_bigrams") == 2L)
+    // p(beta|alpha)=1, p(gamma|beta)=0.5
+    assertNear(got(1L).getAs[Double]("avg_logp"), math.log(0.5) / 2)
+    assert(got(2L).getAs[Long]("n_bigrams") == 1L)
+    assertNear(got(2L).getAs[Double]("avg_logp"), 0.0) // ln p(beta|alpha) = 0
+    assert(got(3L).isNullAt(got(3L).fieldIndex("n_bigrams")))
+  }
+
+  test("latestByKey keeps max version, larger-id tie-break, null version loses") {
+    val log = Seq(
+      ("u1", 1L, 10L, "a"), // superseded
+      ("u1", 2L, 30L, "b"), // winner: max version
+      ("u1", 3L, 20L, "c"),
+      ("u2", 4L, 10L, "d"),
+      ("u2", 5L, 10L, "e"), // tie on version: larger id wins
+      ("u3", 6L, -1L, "f"), // placeholder for null version below
+      ("u3", 7L, 5L, "g")
+    ).toDF("k", "id", "v", "payload")
+      .withColumn("v", when(col("id") === 6L, lit(null).cast("long")).otherwise(col("v")))
+    val got = Snapshot.latestByKey(log, Seq("k"), col("v"), "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet
+    assert(got == Set(("u1", 2L, "b"), ("u2", 5L, "e"), ("u3", 7L, "g")))
+
+    // partition invariance + plan shape: one aggregate, no window, no join
+    val repart = Snapshot.latestByKey(log.repartition(7), Seq("k"), col("v"), "id")
+    assert(repart.collect().map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSet == got)
+    val plan = repart.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"latestByKey must be a single aggregate:\n$plan")
+  }
+
+  test("Expectations.report counts violations; null predicate is a violation") {
+    val df = Seq(
+      (1L, 10.0, "A"),
+      (2L, -5.0, "A"),  // violates positive
+      (3L, 7.0, "Z"),   // violates domain
+      (4L, 3.0, "N")
+    ).toDF("id", "x", "flag")
+      .withColumn("x", when(col("id") === 4L, lit(null).cast("double")).otherwise(col("x")))
+    val rep = Expectations.report(df, Seq(
+      "x_positive" -> (col("x") > 0),           // row 2 false, row 4 null -> 2 violations
+      "flag_domain" -> col("flag").isin("A", "N", "R")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rep("x_positive") == ((4L, 2L, 0.5)))
+    assert(rep("flag_domain") == ((4L, 1L, 0.25)))
+  }
+}
