@@ -37,6 +37,10 @@ object Pipelines {
     * (reproducible across runs, cluster sizes, and repartitioning), and
     * an optional deterministic epoch-shuffle order
     * ([[Sampling.withShuffleOrder]] — `shard` + `shuffle_pos` columns).
+    * Optional quality gates run between enrichment and the quota cap:
+    * `maxPerplexity` drops docs too improbable under the corpus' own
+    * bigram model ([[LmScore.bigramScore]]); `maxLengthZ` drops
+    * per-language token-count outliers ([[Outliers.dropOutliers]]).
     * The funnel counts come from the underlying clean stats. */
   def prepareTrainingCorpus(
       docs: DataFrame,
@@ -52,15 +56,35 @@ object Pipelines {
       portableHashes: Boolean = false,
       lineDedupMaxDocFreq: Option[Long] = None,
       sourceQuota: Option[(String, Int)] = None,
-      shuffleShards: Option[Int] = None
+      shuffleShards: Option[Int] = None,
+      maxPerplexity: Option[Double] = None,
+      maxLengthZ: Option[Double] = None
   ): CleanResult = {
     val cleaned = cleanCorpus(docs, textCol, idCol,
       nearDupThreshold, minQuality, langAllowlist, htmlClean, portableHashes,
       lineDedupMaxDocFreq)
-    val enriched = cleaned.df
+    val enriched0 = cleaned.df
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    // optional bigram-LM perplexity gate (CCNet-style): a doc too
+    // improbable under the surviving corpus' own bigram model is dropped;
+    // docs with no scorable bigrams (< 2 tokens) carry null and survive —
+    // the `perplexity` column stays on as enrichment
+    val ppl = maxPerplexity match {
+      case Some(maxP) =>
+        val metrics = LmScore.bigramScore(enriched0, idCol, textCol)
+          .select(col(idCol), col("perplexity"))
+        enriched0.join(metrics, Seq(idCol), "left")
+          .filter(col("perplexity").isNull || col("perplexity") <= maxP)
+      case None => enriched0
+    }
+    // optional length-outlier gate: per-language z-score on the token
+    // count from exact integer moments; degenerate groups survive
+    val enriched = maxLengthZ match {
+      case Some(maxZ) => Outliers.dropOutliers(ppl, Seq("lang_id"), "n_tokens", maxZ)
+      case None       => ppl
+    }
     val capped = sourceQuota match {
       case Some((sourceCol, cap)) =>
         Sampling.quotaSample(enriched, idCol, sourceCol, cap, salt).drop("quota_rank")

@@ -25,6 +25,18 @@ object PipelineQueries {
     */
   private def roundz(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
 
+  /** A fixed 64-bucket weight vector for the q90 classifier demo —
+    * deterministic integer arithmetic; the doubles are interpolated into
+    * the oracle SQL via toString (round-trip exact), standing in for a
+    * model exported by an offline trainer. */
+  private val clfWeights: Seq[Double] =
+    (0 until 64).map(j => ((j * 37 + 11) % 101) / 101.0 - 0.5)
+  private val clfBias: Double = -0.05
+  // ::DOUBLE on every element: DuckDB types bare decimal literals as
+  // DECIMAL, which overflows in the list_reduce fold (DECIMAL(19,18))
+  private val clfWeightsSql: String =
+    clfWeights.map(w => s"($w)::DOUBLE").mkString("[", ", ", "]")
+
   /** The 16 signature positions over an `hs` hash-list column, with the
     * SAME polyPerms constants the engine uses (interpolated so the two
     * sides can never drift). */
@@ -428,6 +440,30 @@ object PipelineQueries {
         .withColumn("violation_rate_r", roundz(col("violation_rate"), 9))
         .drop("violation_rate")
         .orderBy("check_name")
+    },
+
+    "q90_classifier_gate" -> { (s, dir) =>
+      // hashing-trick linear quality classifier (fastText shape): pure
+      // map-side Column fold in token-position order, no shuffle; weights
+      // interpolated into the oracle from the same Scala doubles
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Classifier.scoreColumn(col("text"), clfWeights, clfBias).as("p"))
+        .select(col("doc_id"), roundz(col("p"), 9).as("prob_r"),
+          (col("p") >= 0.5).as("accept"))
+        .orderBy("doc_id")
+    },
+
+    "q91_unpivot" -> { (s, dir) =>
+      // wide -> long reshaping (§2.6 relational checklist): three metric
+      // columns melt into (metric, val) rows keyed by line identity
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
     },
 
     // --------------------------------------------------- text analysis
@@ -1204,6 +1240,35 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT 'shipdate_not_null', n, v_ship, round(CAST(v_ship AS DOUBLE) / n, 9) + 0.0 FROM t
         |) ORDER BY check_name""".stripMargin,
+
+    "q90_classifier_gate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id,
+         |    ($clfBias)::DOUBLE + CASE WHEN len(ts) > 0 THEN
+         |      list_reduce(list_prepend(0.0, list_transform(ts, t ->
+         |        $clfWeightsSql[CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS INT) + 1])),
+         |        (a, b) -> a + b) / len(ts)
+         |    END AS margin
+         |  FROM toks
+         |)
+         |SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-margin)), 9) + 0.0 AS prob_r,
+         |  (1.0 / (1.0 + exp(-margin)) >= 0.5) AS accept
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q91_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (

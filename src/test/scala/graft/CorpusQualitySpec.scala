@@ -81,6 +81,66 @@ class CorpusQualitySpec extends SparkSpec {
       s"latestByKey must be a single aggregate:\n$plan")
   }
 
+  test("Classifier score matches an independent md5 recomputation; map-only plan") {
+    import graft.ops.Classifier
+    val weights = (0 until 16).map(j => (j % 5) * 0.1 - 0.2)
+    val bias = 0.05
+    val docs = Seq((1L, "alpha beta beta"), (2L, ""), (3L, "gamma")).toDF("doc_id", "text")
+    val scored = Classifier.withScore(docs, "text", weights, bias, "p")
+
+    // independent recomputation: JDK MessageDigest, not Spark's md5
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % weights.size).toInt
+    }
+    def expected(text: String): Option[Double] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val m = bias + toks.map(t => weights(bucket(t))).sum / toks.length
+        Some(1.0 / (1.0 + math.exp(-m)))
+      }
+    }
+    val got = byKey(scored, "doc_id")
+    assertNear(got(1L).getAs[Double]("p"), expected("alpha beta beta").get)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("p")))
+    assertNear(got(3L).getAs[Double]("p"), expected("gamma").get)
+
+    // pure map-side projection: scoring must introduce no shuffle
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier scoring must not shuffle:\n$plan")
+
+    // the gate drops unscorable rows
+    val kept = Classifier.filterByScore(docs, "text", weights, bias, minProb = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("prepareTrainingCorpus quality gates: perplexity and length z-score") {
+    import graft.ops.Pipelines
+    // token-disjoint docs so the near-dup stage can't collapse them
+    val base = (1L to 20L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "en", "srcA"))
+    val long = (99L, ("tok " * 50).trim, "en", "srcA")
+    val docs = (base :+ long).toDF("doc_id", "text", "lang", "source")
+
+    // length gate: the 50-token doc is a z-outlier within its language
+    val gated = Pipelines.prepareTrainingCorpus(
+      docs, minQuality = 0.0, maxLengthZ = Some(1.0)).df
+    val ids = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(99L) && ids.size == 20, s"got $ids")
+
+    // perplexity gate: ppl >= 1 for every scorable doc, so a 0.5 cap
+    // drops them all; the perplexity column is retained as enrichment
+    val strict = Pipelines.prepareTrainingCorpus(
+      docs, minQuality = 0.0, maxPerplexity = Some(0.5))
+    assert(strict.df.columns.contains("perplexity"))
+    assert(strict.df.count() == 0)
+    val loose = Pipelines.prepareTrainingCorpus(
+      docs, minQuality = 0.0, maxPerplexity = Some(1e9)).df
+    assert(loose.count() == 21)
+  }
+
   test("Expectations.report counts violations; null predicate is a violation") {
     val df = Seq(
       (1L, 10.0, "A"),
