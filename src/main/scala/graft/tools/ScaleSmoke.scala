@@ -130,6 +130,34 @@ object ScaleSmoke {
             "doc_id", numShards = 64)
           .agg(count(col("shuffle_pos"))).collect()
       }
+
+      // BM25: postings pruned to the query vocabulary BEFORE the tf
+      // aggregate, heap top-k per query — scan-bound, shuffle stays tiny
+      time(s"bm25 search, 3 queries ($nDocs docs)") {
+        import spark.implicits._
+        val qs = Seq((1L, "query hash join"), (2L, "window agg fast"),
+          (3L, "customer order value")).toDF("qid", "qtext")
+        val res = graft.ops.Retrieval.bm25Search(dN, "doc_id", "text",
+          qs, "qid", "qtext", topK = 10)
+        res.agg(count(lit(1))).collect()
+      }
+
+      // classifier gate: pure map-side codegen fold — must scale linearly
+      // with zero shuffle
+      time(s"classifier gate ($nDocs docs)") {
+        val w = (0 until 64).map(j => ((j * 37 + 11) % 101) / 101.0 - 0.5)
+        graft.ops.Classifier.withScore(dN, "text", w, -0.05)
+          .agg(count(col("clf_prob"))).collect()
+      }
+
+      // snapshot compaction: ONE max-struct aggregate; the map-side
+      // partial combine ships one candidate per key per partition
+      time(s"latest-by-key compaction ($rows rows, 10k keys)") {
+        val log = bids.select((col("l_orderkey") % 10000).as("k"),
+          col("l_orderkey").as("id"), col("l_quantity"), col("l_extendedprice"))
+        graft.ops.Snapshot.latestByKey(log, Seq("k"), col("id"), "id")
+          .agg(count(lit(1))).collect()
+      }
     }
     spark.stop()
   }
