@@ -110,6 +110,42 @@ object StreamingEval {
       user_id: Long, session_start_us: Long, session_end_us: Long,
       n_events: Long, sum_value: Double)
 
+  // ------------------------------------------------- latest-wins upsert view
+
+  case class LatestState(versionUs: Long, eventId: Long, value: Double)
+  case class LatestOut(
+      user_id: Long, ts_us: Long, event_id: Long, value: Double)
+
+  /** Streaming latest-wins compaction — the unbounded analogue of
+    * [[graft.ops.Snapshot.latestByKey]]: maintain, per key, the row with
+    * the highest (version, id) and emit the current winner whenever it
+    * changes (run with `outputMode("update")`; an upsert sink keyed by
+    * `user_id` then holds exactly the batch `latestByKey` result at every
+    * point in time). Same tie contract as the batch op: version ties
+    * break toward the LARGER event id. State is one small record per key
+    * — bounded by key cardinality, not stream length. */
+  def latestStream(
+      events: org.apache.spark.sql.Dataset[SessionEvent]
+  ): org.apache.spark.sql.Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestOut](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[LatestState]) =>
+          val best = rows.foldLeft(state.getOption) { (acc, e) =>
+            val v = us(e.ts)
+            acc match {
+              case Some(s) if s.versionUs > v ||
+                (s.versionUs == v && s.eventId > e.event_id) => acc
+              case _ => Some(LatestState(v, e.event_id, e.value))
+            }
+          }.get // rows is non-empty when no timeout is configured
+          state.update(best)
+          LatestOut(userId, best.versionUs, best.eventId, best.value)
+      }
+  }
+
   /** Stateful per-user sessionization with an inactivity gap — the
     * streaming analogue of the batch q33_sessionize query, built on
     * `flatMapGroupsWithState` (the engine's custom-state extension point).

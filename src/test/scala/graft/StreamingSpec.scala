@@ -315,4 +315,46 @@ class StreamingSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  test("streaming latest-wins compaction converges to the batch latestByKey") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamingEval.SessionEvent]
+    val out = StreamingEval.latestStream(input.toDS())
+    val query = out.writeStream.format("memory").queryName("latest_stream")
+      .outputMode("update").start()
+    try {
+      def ev(uid: Long, eid: Long, sec: Int, v: Double) =
+        StreamingEval.SessionEvent(uid, eid,
+          Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), v)
+      // batch 1: u1 gets two versions (later wins), u2 one
+      input.addData(ev(1L, 10L, 5, 1.0), ev(1L, 11L, 9, 2.0), ev(2L, 20L, 3, 7.0))
+      query.processAllAvailable()
+      // batch 2: u1 a STALE update (must not win), u2 a same-ts tie
+      // (larger event_id wins), u3 appears
+      input.addData(ev(1L, 12L, 7, 3.0), ev(2L, 21L, 3, 8.0), ev(3L, 30L, 1, 4.0))
+      query.processAllAvailable()
+
+      // the upsert view: last emitted row per key
+      val emitted = spark.table("latest_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val view = emitted.zipWithIndex
+        .groupBy(_._1._1).map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+      assert(view(1L) == ((1L, Timestamp.valueOf("2024-01-01 00:00:09").getTime * 1000L, 11L, 2.0)))
+      assert(view(2L)._3 == 21L, s"same-version tie must pick the larger id: ${view(2L)}")
+      assert(view(3L)._3 == 30L)
+
+      // differential: equals the batch Snapshot.latestByKey over all events
+      val all = Seq(
+        (1L, 10L, 5, 1.0), (1L, 11L, 9, 2.0), (2L, 20L, 3, 7.0),
+        (1L, 12L, 7, 3.0), (2L, 21L, 3, 8.0), (3L, 30L, 1, 4.0))
+        .map { case (u, e, s, v) => (u, e, s.toLong * 1000000L +
+          Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L, v) }
+        .toDF("user_id", "event_id", "ts_us", "value")
+      val batch = graft.ops.Snapshot.latestByKey(all, Seq("user_id"), col("ts_us"), "event_id")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(2), r.getLong(1), r.getDouble(3))))
+        .toMap
+      assert(view.toMap == batch)
+    } finally query.stop()
+  }
 }
