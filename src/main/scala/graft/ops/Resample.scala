@@ -50,6 +50,31 @@ object Resample {
     grid.join(binned, Seq(keyCol, "bucket"), "left")
   }
 
+  /** Trailing rolling mean over the last `k` rows (current included)
+    * within each key, in `orderCol` order — the moving-average smoothing
+    * usually applied right after [[resample]]'s densification. Frames
+    * shorter than `k` (the first rows of each key) average what exists,
+    * the pandas `rolling(k, min_periods=1).mean()` convention.
+    *
+    * Scale shape: same as [[forwardFill]] — one window per partition key,
+    * each key's series sorts independently. */
+  def rollingMean(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      k: Int,
+      outCol: String = "rolling_mean"
+  ): DataFrame = {
+    require(k >= 1, "window must span at least one row")
+    require(partitionCols.nonEmpty,
+      "rollingMean needs partition keys: a global frame would sort everything into one partition")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(-(k - 1).toLong, Window.currentRow)
+    df.withColumn(outCol, avg(col(valueCol)).over(w))
+  }
+
   /** Forward-fill nulls in `cols`: each null takes the latest non-null
     * value at or before it within its `partitionCols` group, in `orderCol`
     * order (leading nulls stay null — there is nothing to carry). The

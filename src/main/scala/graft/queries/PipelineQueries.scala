@@ -466,6 +466,56 @@ object PipelineQueries {
         .orderBy("l_orderkey", "l_linenumber", "metric")
     },
 
+    "q92_rolling_mean" -> { (s, dir) =>
+      // densified hourly counts smoothed with a trailing 24-bucket moving
+      // average; integer inputs keep the windowed avg engine-exact
+      val dense = graft.ops.Resample.resample(
+        t(s, dir, "events"), "event_type", "ts", 3600000000000L,
+        Seq(count(lit(1)).as("n")))
+        .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      graft.ops.Resample.rollingMean(dense, Seq("event_type"), "bucket", "n_events", 24, "roll")
+        .select(col("event_type"), col("bucket"), col("n_events"),
+          roundz(col("roll"), 9).as("roll_r"))
+        .orderBy("event_type", "bucket")
+    },
+
+    "q93_percentiles" -> { (s, dir) =>
+      // per-group exact percentile grid (linear interpolation) — the
+      // small-SF twin of the approx_percentile sketch path (graft.stats
+      // .approx); quantile_cont mirrors the interpolation
+      val p = percentile(col("n_chars"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)))
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(p.as("q"))
+        .select(col("lang"),
+          roundz(element_at(col("q"), 1), 6).as("p25"),
+          roundz(element_at(col("q"), 2), 6).as("p50"),
+          roundz(element_at(col("q"), 3), 6).as("p75"),
+          roundz(element_at(col("q"), 4), 6).as("p90"))
+        .orderBy("lang")
+    },
+
+    "q94_anti_join" -> { (s, dir) =>
+      // left-anti join (§2.6): customers with no high-value order — the
+      // price filter pushes into the build side's parquet scan
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "q95_histogram" -> { (s, dir) =>
+      // fixed-width histogram per language: integer-div binning, exact
+      // min/max per bin
+      t(s, dir, "documents")
+        .withColumn("bin", expr("n_chars div 100"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .orderBy("lang", "bin")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1269,6 +1319,49 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q92_rolling_mean" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(bucket) AS lo, max(bucket) AS hi FROM b
+        |), grid AS (
+        |  SELECT t.event_type, g.bucket
+        |  FROM (SELECT DISTINCT event_type FROM b) t,
+        |       (SELECT unnest(range(lo, hi + 1)) AS bucket FROM bounds) g
+        |), joined AS (
+        |  SELECT g.event_type, g.bucket, coalesce(b.n, 0) AS n_events
+        |  FROM grid g LEFT JOIN b USING (event_type, bucket)
+        |)
+        |SELECT event_type, bucket, n_events,
+        |  round(avg(n_events) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 9) + 0.0 AS roll_r
+        |FROM joined ORDER BY event_type, bucket""".stripMargin,
+
+    "q93_percentiles" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT lang,
+        |  round(qs[1], 6) + 0.0 AS p25,
+        |  round(qs[2], 6) + 0.0 AS p50,
+        |  round(qs[3], 6) + 0.0 AS p75,
+        |  round(qs[4], 6) + 0.0 AS p90
+        |FROM q ORDER BY lang""".stripMargin,
+
+    "q94_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q95_histogram" ->
+      """SELECT lang, n_chars // 100 AS bin, count(*) AS n_docs,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (

@@ -1167,6 +1167,19 @@ class OpsSpec extends SparkSpec {
     assert(again == rows.map(r => (r._1, r._2)))
   }
 
+  test("rollingMean: trailing frame, partial leading windows, per-key isolation") {
+    import graft.ops.Resample
+    val ts = Seq(
+      ("A", 0L, 10.0), ("A", 1L, 20.0), ("A", 2L, 30.0), ("A", 3L, 40.0),
+      ("B", 0L, 100.0), ("B", 1L, 0.0)
+    ).toDF("k", "t", "v")
+    val got = Resample.rollingMean(ts, Seq("k"), "t", "v", k = 3, "m")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("A", 0L, 10.0), ("A", 1L, 15.0), ("A", 2L, 20.0), ("A", 3L, 30.0),
+      ("B", 0L, 100.0), ("B", 1L, 50.0)))
+  }
+
   test("semanticDedup keeps one representative per embedding cluster") {
     val mk = (xs: Seq[Double]) => xs.map(_.toFloat)
     val emb = Seq(
