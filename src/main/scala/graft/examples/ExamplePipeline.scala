@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Joins, Packing, Pipelines, Sampling, Similarity}
+import graft.ops.{Dedup, Joins, Packing, Pipelines, Retrieval, Sampling, Similarity, Snapshot}
 
 /** Training-data-pipeline usage trace: the end-to-end flow a corpus team
   * would run — clean, check contamination, split, pack, and quantize —
@@ -36,7 +36,9 @@ object ExamplePipeline {
       docs, nearDupThreshold = 0.9, minQuality = 30.0, htmlClean = true,
       lineDedupMaxDocFreq = Some(50L),
       sourceQuota = Some(("source", 100)),
-      shuffleShards = Some(8))
+      shuffleShards = Some(8),
+      maxPerplexity = Some(1e6), // bigram-LM gate (loose here: tiny corpus)
+      maxLengthZ = Some(4.0))    // per-language token-count outlier gate
     val stats = prepared.stats()
     println(s"funnel: in=${stats.input} exact=${stats.afterExactDedup} " +
       s"near=${stats.afterNearDedup} quality=${stats.afterQuality} out=${stats.output}")
@@ -81,6 +83,17 @@ object ExamplePipeline {
     val sampled = Sampling.stratifiedSample(
       docs, "doc_id", "lang", Map("en" -> 0.25), default = 0.05)
     println(s"stratified sample: ${sampled.count()} docs")
+
+    // 7. keyword retrieval over the cleaned corpus (BM25, heap top-k)
+    import spark.implicits._
+    val queries = Seq((1L, "query hash join"), (2L, "window agg fast"))
+      .toDF("qid", "qtext")
+    Retrieval.bm25Search(prepared.df, "doc_id", "text", queries, "qid", "qtext", topK = 3)
+      .orderBy("qid", "rank").show()
+
+    // 8. compact the event log to its latest state per user
+    val latest = Snapshot.latestByKey(ev, Seq("user_id"), col("us"), "event_id")
+    println(s"latest-state rows: ${latest.count()} (from ${ev.count()} events)")
 
     spark.stop()
   }
