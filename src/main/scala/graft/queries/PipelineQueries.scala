@@ -516,6 +516,21 @@ object PipelineQueries {
         .orderBy("lang", "bin")
     },
 
+    "q96_drift_psi" -> { (s, dir) =>
+      // distribution drift between two source snapshots: per-bin PSI
+      // contributions (Laplace-smoothed) plus the bin-ordered scalar fold
+      val d = t(s, dir, "documents")
+      graft.ops.Drift.binContributions(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") === "src1"),
+        "n_chars", binWidth = 100L)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          roundz(col("p_ref"), 9).as("p_ref_r"),
+          roundz(col("p_cur"), 9).as("p_cur_r"),
+          roundz(col("contrib"), 9).as("contrib_r"))
+        .orderBy("bin")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1362,6 +1377,28 @@ object PipelineQueries {
       """SELECT lang, n_chars // 100 AS bin, count(*) AS n_docs,
         |  min(n_chars) AS lo, max(n_chars) AS hi
         |FROM documents GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+    "q96_drift_psi" ->
+      """WITH r AS (
+        |  SELECT n_chars // 100 AS bin, count(*) AS n_ref
+        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT n_chars // 100 AS bin, count(*) AS n_cur
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(r.bin, c.bin) AS bin,
+        |         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM r FULL OUTER JOIN c ON r.bin = c.bin
+        |), t AS (
+        |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc,
+        |         count(*) AS b FROM j
+        |)
+        |SELECT bin, n_ref, n_cur,
+        |  round(CAST(n_ref + 1 AS DOUBLE) / (tr + b), 9) + 0.0 AS p_ref_r,
+        |  round(CAST(n_cur + 1 AS DOUBLE) / (tc + b), 9) + 0.0 AS p_cur_r,
+        |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + b) - CAST(n_ref + 1 AS DOUBLE) / (tr + b))
+        |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + b)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + b))), 9) + 0.0 AS contrib_r
+        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (

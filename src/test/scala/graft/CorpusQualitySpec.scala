@@ -141,6 +141,26 @@ class CorpusQualitySpec extends SparkSpec {
     assert(loose.count() == 21)
   }
 
+  test("Drift PSI: zero for identical snapshots, positive for shifted ones") {
+    import graft.ops.Drift
+    val ref = Seq(10L, 15L, 110L, 115L, 210L).toDF("v")
+    // identical distribution -> every contribution is exactly 0.0
+    val same = Drift.psi(ref, ref, "v", 100L).head()
+    assert(same.getDouble(0) == 0.0 && same.getLong(1) == 3L)
+
+    // shifted distribution -> strictly positive PSI; hand-check one bin:
+    // ref bins {0:2, 1:2, 2:1}, cur bins {2:1, 3:2} (values 210, 310, 315)
+    val cur = Seq(210L, 310L, 315L).toDF("v")
+    val bins = Drift.binContributions(ref, cur, "v", 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    assert(bins.keySet == Set(0L, 1L, 2L, 3L))
+    val (tr, tc, b) = (5.0, 3.0, 4.0)
+    val (pr0, pc0) = ((2 + 1) / (tr + b), (0 + 1) / (tc + b))
+    assertNear(bins(0L)._3, (pc0 - pr0) * math.log(pc0 / pr0))
+    val psi = Drift.psi(ref, cur, "v", 100L).head().getDouble(0)
+    assert(psi > 0.25, s"disjoint shift should read as drift, got $psi")
+  }
+
   test("Expectations.report counts violations; null predicate is a violation") {
     val df = Seq(
       (1L, 10.0, "A"),

@@ -78,4 +78,28 @@ class SourcesSpec extends SparkSpec {
       assert(scored.count() == 10000)
     } finally spark.conf.set("graft.stats.approx", "false")
   }
+
+  test("writePartitioned: hive-style directories, bounded files per partition") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    graft.io.Layout.writePartitioned(docs, out, Seq("lang"), filesPerPartition = 2)
+
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("lang=")), s"expected hive layout, got ${dirs.toSeq}")
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$out/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files <= 2, s"$d has $files files, expected <= filesPerPartition")
+    }
+    // read-back equality and partition pruning on the directory column
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val pruned = back.filter(col("lang") === "en")
+    assert(pruned.count() == docs.filter(col("lang") === "en").count())
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions:\n$plan")
+  }
 }
