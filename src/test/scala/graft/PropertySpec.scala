@@ -253,4 +253,50 @@ class PropertySpec extends SparkSpec {
       assert(again == out)
     }
   }
+
+  test("property: chunks reassemble to the original text for any size/overlap") {
+    import graft.ops.Retrieval
+    val caseGen: Gen[(String, Int, Int)] = for {
+      n <- Gen.choose(0, 400)
+      s <- Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)
+      size <- Gen.choose(1, 60)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (s, size, overlap)
+    samples(caseGen, 25).zipWithIndex.foreach { case ((text, size, overlap), i) =>
+      val chunks = Retrieval.chunkText(
+          Seq((i.toLong, text)).toDF("id", "t"), "id", "t", size, overlap)
+        .orderBy("chunk_idx").collect().map(_.getString(2)).toSeq
+      // drop each later chunk's overlapping prefix and concatenate
+      val rebuilt = (chunks.headOption.getOrElse("") +:
+        chunks.drop(1).map(_.drop(overlap))).mkString
+      assert(rebuilt == text,
+        s"case $i (len=${text.length}, size=$size, overlap=$overlap) reassembly failed")
+      // every chunk except the last is exactly `size` chars
+      chunks.dropRight(1).foreach(c => assert(c.length == size))
+      assert(chunks.isEmpty || chunks.last.nonEmpty || text.isEmpty)
+    }
+  }
+
+  test("property: bm25 never returns an unmatched doc; ranks are 1..k dense") {
+    import graft.ops.Retrieval
+    val docGen: Gen[List[String]] = for {
+      n <- Gen.choose(2, 25)
+      docs <- Gen.listOfN(n, Gen.listOf(
+        Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox")).map(_.mkString(" ")))
+    } yield docs
+    samples(docGen, 8).foreach { docsList =>
+      val docs = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val qs = Seq((1L, "cat dog"), (2L, "zzz")).toDF("qid", "qtext")
+      val res = Retrieval.bm25Search(docs, "doc_id", "text", qs, "qid", "qtext", topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val matched = docsList.zipWithIndex.collect {
+        case (t, i) if t.split("\\s+").exists(Set("cat", "dog")) => i.toLong
+      }.toSet
+      val returned = res.filter(_._1 == 1L)
+      assert(returned.map(_._3).toSet.subsetOf(matched))
+      assert(returned.map(_._2).sorted.toSeq == (1L to returned.length).toSeq)
+      // a query with no corpus hits returns nothing
+      assert(!res.exists(_._1 == 2L))
+    }
+  }
 }
