@@ -178,6 +178,43 @@ object Dedup {
   private[graft] def polyShingleSignatureHof(text: Column, numPerms: Int, k: Int): Column =
     array(polySig(polyHashes(shingles(text, k)), numPerms): _*)
 
+  /** Corpus-level MinHash signature (one row, `s1..sN`): position j is
+    * the min over every document's signature position — by
+    * min-distributivity, exactly the signature of the UNION of all the
+    * documents' token sets. Same md5 + integer-arithmetic hash family as
+    * [[polyMinhashBands]], so it is engine-portable. Scale shape: a
+    * map-side projection and ONE all-reduce of N longs. */
+  def corpusSignature(df: DataFrame, textCol: String, numPerms: Int = 16): DataFrame = {
+    val sigs = df.select(
+      polySig(polyTokenHashes(col(textCol)), numPerms).zipWithIndex
+        .map { case (c, j) => c.as(s"s${j + 1}") }: _*)
+    sigs.agg(
+      min(col("s1")).as("s1"),
+      (2 to numPerms).map(j => min(col(s"s$j")).as(s"s$j")): _*)
+  }
+
+  /** Whole-corpus vocabulary overlap: the fraction of agreeing
+    * [[corpusSignature]] positions estimates Jaccard(tokens(A),
+    * tokens(B)) — the one-number answer to "is this new crawl actually
+    * new data?" before any pairwise work. One row: `agreement`,
+    * `jaccard_est`. */
+  def corpusOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      numPerms: Int = 16
+  ): DataFrame = {
+    val sa = corpusSignature(a, textCol, numPerms)
+    val sb = corpusSignature(b, textCol, numPerms)
+      .select((1 to numPerms).map(j => col(s"s$j").as(s"t$j")): _*)
+    val agree = (1 to numPerms)
+      .map(j => when(col(s"s$j") === col(s"t$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sa.crossJoin(broadcast(sb))
+      .select(agree.as("agreement"),
+        (agree.cast("double") / numPerms).as("jaccard_est"))
+  }
+
   /** MinHash LSH banding over ENGINE-INDEPENDENT hashes: token hash =
     * first 8 md5 hex chars as a 32-bit int, permutations
     * `h -> (a*h + b) mod p` with (a, b) from [[polyPerms]]. The

@@ -531,6 +531,37 @@ object PipelineQueries {
         .orderBy("bin")
     },
 
+    "q97_corpus_overlap" -> { (s, dir) =>
+      // whole-corpus vocabulary overlap from corpus-level MinHash union
+      // signatures: one map-side projection + one N-long all-reduce per
+      // corpus — no pairwise work at all
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.corpusOverlap(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") === "src1"),
+        "text")
+    },
+
+    "q98_funnel_conversion" -> { (s, dir) =>
+      // click -> purchase conversion within 1h via the forward as-of
+      // join (one shuffle, no range explosion), rolled up per day
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      val conv = graft.ops.Joins.asofJoinForward(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "us", "us", "event_id",
+        payloadCols = Seq("event_id"), tolerance = Some(3600000000L))
+      conv
+        .groupBy(expr("us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("asof_event_id").isNotNull, 1L).otherwise(0L)).as("n_conv"))
+        .select(col("day"), col("n_clicks"), col("n_conv"),
+          roundz(col("n_conv").cast("double") / col("n_clicks"), 9).as("rate_r"))
+        .orderBy("day")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1399,6 +1430,49 @@ object PipelineQueries {
         |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + b) - CAST(n_ref + 1 AS DOUBLE) / (tr + b))
         |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + b)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + b))), 9) + 0.0 AS contrib_r
         |FROM j CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // corpus signatures = per-position min over the per-doc signatures
+    // (s1..s16 from the SAME interpolated polyPerms the engine uses)
+    "q97_corpus_overlap" -> {
+      def sigCte(tag: String, src: String) =
+        s"""t$tag AS (
+           |  SELECT CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+           |         ELSE list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS ts
+           |  FROM documents WHERE source = '$src'
+           |), h$tag AS (
+           |  SELECT list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs FROM t$tag
+           |), g$tag AS (
+           |  SELECT
+           |$polySigList
+           |  FROM h$tag
+           |), m$tag AS (SELECT ${(1 to 16).map(j => s"min(s$j) AS s$j").mkString(", ")} FROM g$tag)""".stripMargin
+      s"""WITH ${sigCte("a", "src0")},
+         |${sigCte("b", "src1")},
+         |ag AS (
+         |  SELECT (${(1 to 16).map(j => s"CASE WHEN ma.s$j = mb.s$j THEN 1 ELSE 0 END").mkString(" + ")}) AS agreement
+         |  FROM ma CROSS JOIN mb
+         |)
+         |SELECT CAST(agreement AS BIGINT) AS agreement,
+         |  CAST(agreement AS DOUBLE) / 16 AS jaccard_est
+         |FROM ag""".stripMargin
+    },
+
+    "q98_funnel_conversion" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+        |), c AS (
+        |  SELECT * FROM e WHERE event_type = 'click'
+        |), conv AS (
+        |  SELECT c.event_id, c.us,
+        |    EXISTS (SELECT 1 FROM e p
+        |            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |              AND p.us >= c.us AND p.us - c.us <= 3600000000) AS converted
+        |  FROM c
+        |)
+        |SELECT us // 86400000000 AS day, count(*) AS n_clicks,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+        |  round(CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9) + 0.0 AS rate_r
+        |FROM conv GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (

@@ -1167,6 +1167,23 @@ class OpsSpec extends SparkSpec {
     assert(again == rows.map(r => (r._1, r._2)))
   }
 
+  test("corpusOverlap: identical corpora agree fully, disjoint vocabularies don't") {
+    val a = Seq((1L, "alpha beta gamma"), (2L, "beta delta")).toDF("doc_id", "text")
+    val same = graft.ops.Dedup.corpusOverlap(a, a.repartition(5), "text").head()
+    assert(same.getLong(0) == 16L && same.getDouble(1) == 1.0)
+
+    val b = Seq((9L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8")).toDF("doc_id", "text")
+    val disj = graft.ops.Dedup.corpusOverlap(a, b, "text").head()
+    assert(disj.getLong(0) <= 2L, s"disjoint vocab should barely agree: $disj")
+
+    // union property: a corpus equals itself split into two frames
+    val split1 = a.filter(col("doc_id") === 1L)
+    val split2 = a.filter(col("doc_id") === 2L)
+    val sigWhole = graft.ops.Dedup.corpusSignature(a, "text").head().toSeq
+    val sigUnion = graft.ops.Dedup.corpusSignature(split1.union(split2), "text").head().toSeq
+    assert(sigWhole == sigUnion)
+  }
+
   test("rollingMean: trailing frame, partial leading windows, per-key isolation") {
     import graft.ops.Resample
     val ts = Seq(
