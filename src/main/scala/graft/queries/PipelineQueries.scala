@@ -562,6 +562,19 @@ object PipelineQueries {
         .orderBy("day")
     },
 
+    "q99_json_extract" -> { (s, dir) =>
+      // semi-structured extraction: pull a typed field out of the JSON
+      // props column (codegen'd path expression, no UDF) and roll it up
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum("k").as("sum_k"))
+        .select(col("event_type"), col("n"), col("sum_k"),
+          roundz(col("sum_k").cast("double") / col("n"), 9).as("avg_k_r"))
+        .orderBy("event_type")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1473,6 +1486,14 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
         |  round(CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9) + 0.0 AS rate_r
         |FROM conv GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q99_json_extract" ->
+      """WITH x AS (
+        |  SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events
+        |)
+        |SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(CAST(sum(k) AS DOUBLE) / count(k), 9) + 0.0 AS avg_k_r
+        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (
