@@ -575,6 +575,33 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    "q100_salted_agg" -> { (s, dir) =>
+      // skew-salted two-level aggregation must equal the plain GROUP BY:
+      // the salt only routes rows; counts and integral-double sums are
+      // exact at any accumulation order, so the oracle is the unsalted SQL
+      graft.ops.Salting.saltedAggregate(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_orderkey"), 16,
+        scala.collection.immutable.ListMap(
+          "cnt" -> ((count(lit(1)), sum(col("cnt")))),
+          "sum_qty" -> ((sum(col("l_quantity")), sum(col("sum_qty"))))))
+        .select(col("l_returnflag"), col("cnt"),
+          roundz(col("sum_qty"), 6).as("sum_qty_r"))
+        .orderBy("l_returnflag")
+    },
+
+    "q101_salted_join" -> { (s, dir) =>
+      // skew-salted equi-join (right side replicated x16) must equal the
+      // plain join row-for-row
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val r = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      graft.ops.Salting.saltedJoin(l, r, Seq("l_orderkey"), buckets = 16)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("qty"))
+        .select(col("o_custkey"), col("n_lines"), roundz(col("qty"), 6).as("qty_r"))
+        .orderBy("o_custkey")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1494,6 +1521,17 @@ object PipelineQueries {
         |SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  round(CAST(sum(k) AS DOUBLE) / count(k), 9) + 0.0 AS avg_k_r
         |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q100_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(sum(l_quantity), 6) + 0.0 AS sum_qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q101_salted_join" ->
+      """SELECT o_custkey, count(*) AS n_lines,
+        |  round(sum(l_quantity), 6) + 0.0 AS qty_r
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (
