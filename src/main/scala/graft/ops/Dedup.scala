@@ -178,6 +178,25 @@ object Dedup {
   private[graft] def polyShingleSignatureHof(text: Column, numPerms: Int, k: Int): Column =
     array(polySig(polyHashes(shingles(text, k)), numPerms): _*)
 
+  /** Incremental-snapshot diff: the rows of `current` whose CANONICAL
+    * content ([[TextAnalysis.fingerprint]]: lowercase, whitespace-
+    * collapsed, md5) does not appear anywhere in `previous` — the
+    * "process only genuinely new documents" step of an incremental
+    * ingest, robust to re-crawled duplicates arriving under new ids.
+    * Scale shape: a left-anti hash join on the 32-char fingerprint; the
+    * previous side projects to ONE column before shuffling. */
+  def newDocs(
+      current: DataFrame,
+      previous: DataFrame,
+      textCol: String
+  ): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    current
+      .withColumn("__fp", fp)
+      .join(previous.select(fp.as("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Corpus-level MinHash signature (one row, `s1..sN`): position j is
     * the min over every document's signature position — by
     * min-distributivity, exactly the signature of the UNION of all the

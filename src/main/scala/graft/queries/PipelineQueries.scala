@@ -602,6 +602,17 @@ object PipelineQueries {
         .orderBy("o_custkey")
     },
 
+    "q102_incremental_diff" -> { (s, dir) =>
+      // incremental ingest: docs in the src1 snapshot whose canonical
+      // content never appeared in src0 (anti-join on the md5 fingerprint)
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.newDocs(
+        d.filter(col("source") === "src1"),
+        d.filter(col("source") === "src0"), "text")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1532,6 +1543,17 @@ object PipelineQueries {
         |  round(sum(l_quantity), 6) + 0.0 AS qty_r
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    "q102_incremental_diff" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, n_chars, source,
+        |    md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_chars FROM fp c
+        |WHERE source = 'src1'
+        |  AND NOT EXISTS (SELECT 1 FROM fp p WHERE p.source = 'src0' AND p.f = c.f)
+        |ORDER BY doc_id""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (

@@ -1167,6 +1167,18 @@ class OpsSpec extends SparkSpec {
     assert(again == rows.map(r => (r._1, r._2)))
   }
 
+  test("newDocs diffs snapshots by canonical content, not id") {
+    val prev = Seq((1L, "Hello   World"), (2L, "old doc")).toDF("doc_id", "text")
+    val cur = Seq(
+      (10L, "hello world"),  // canonical dup of prev 1 (case+whitespace) -> excluded
+      (11L, "Brand New"),    // genuinely new -> kept
+      (12L, "old doc")       // exact dup -> excluded
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.newDocs(cur, prev, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L))
+  }
+
   test("corpusOverlap: identical corpora agree fully, disjoint vocabularies don't") {
     val a = Seq((1L, "alpha beta gamma"), (2L, "beta delta")).toDF("doc_id", "text")
     val same = graft.ops.Dedup.corpusOverlap(a, a.repartition(5), "text").head()

@@ -107,6 +107,21 @@ class PlanShapeSpec extends SparkSpec {
       s"vocabulary's limit must plan as per-partition top-k:\n$plan")
   }
 
+  test("ad-hoc rank<=k window queries get Spark's native WindowGroupLimit") {
+    // users writing the window formulation directly (not the GroupTopK
+    // heap) still avoid full per-group sorts: Spark 3.5+ inserts a
+    // per-partition group limit below the window — assert the optimizer
+    // actually fires on our data so the scale story holds for ad-hoc SQL
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val q = docs.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter should trigger WindowGroupLimit:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("withGroupZscore plan: stats join back by broadcast, no window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.ops.Outliers.withGroupZscore(docs, Seq("lang"), "n_chars")
