@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
 object Outliers {
 
   /** Adds `zCol` = (x − mean) / stddev_pop within each `groupCols` group.
-    * Degenerate groups (variance 0, e.g. a single row) and null values get
-    * a null z-score. Population variance is `Σx²/n − mean²`.
+    * Degenerate groups (variance 0, e.g. a single row), null values, and
+    * NaN values get a null z-score (the engine-wide NaN ≡ null contract —
+    * NaN rows are also excluded from the moments, so one bad row cannot
+    * poison its whole group's statistics). Population variance is
+    * `Σx²/n − mean²`.
     */
   def withGroupZscore(
       df: DataFrame,
@@ -34,7 +37,10 @@ object Outliers {
       zCol: String = "zscore"
   ): DataFrame = {
     require(groupCols.nonEmpty, "withGroupZscore needs group keys")
-    val v = col(valueCol)
+    val raw = col(valueCol)
+    // NaN ≡ null: a NaN input must neither receive a z-score nor
+    // contaminate the group sums (sum(NaN) would NaN the whole group)
+    val v = when(!isnan(raw.cast("double")), raw)
     val stats = df
       .groupBy(groupCols.map(col): _*)
       .agg(

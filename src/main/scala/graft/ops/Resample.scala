@@ -19,7 +19,10 @@ object Resample {
     * aggregate values in the holes (callers choose fill semantics —
     * `coalesce` for counts, [[forwardFill]] for carried metrics).
     * Bucketing uses integer `div` — exact on longs, no float rounding at
-    * nanosecond magnitudes (2^53 < epoch-nanos).
+    * nanosecond magnitudes (2^53 < epoch-nanos). `tsCol` must be
+    * non-negative (epoch units): `div` truncates toward zero, so a
+    * pre-1970 value would bucket differently from floor-division engines
+    * (DuckDB `//` floors).
     *
     * Scale shape: one groupBy(key, bucket) shuffle over the events; the
     * grid is |keys| x |buckets| built from a per-key `sequence` explode

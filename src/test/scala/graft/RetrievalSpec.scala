@@ -110,4 +110,18 @@ class RetrievalSpec extends SparkSpec {
     // |z|: 1->1.069 drops, 2->0.53 keeps, 3->0 keeps, 6->1.60 drops; g2 null z survives
     assert(kept == Set(("g1", 2L), ("g1", 3L), ("g2", 5L)))
   }
+
+  test("withGroupZscore: NaN neither poisons the group nor gets a score") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 6.0), ("g", Double.NaN))
+      .toDF("g", "v")
+    val rows = Outliers.withGroupZscore(df, Seq("g"), "v", "z")
+      .collect().map(r => (r.getDouble(1), Option(r.get(2))))
+    // moments must be NaN-free: same stats as the 4 clean rows (mean 3, var 3.5)
+    val sd = math.sqrt(3.5)
+    assertNear(rows.find(_._1 == 1.0).get._2.get.asInstanceOf[Double], (1 - 3.0) / sd)
+    assert(rows.find(_._1.isNaN).get._2.isEmpty, "NaN value must get a null z-score")
+    // and the null-z row survives the gate (engine NaN ≡ null contract)
+    val kept = Outliers.dropOutliers(df, Seq("g"), "v", maxAbsZ = 10.0).count()
+    assert(kept == 5L)
+  }
 }
