@@ -24,12 +24,14 @@ object Expectations {
   def report(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one expectation required")
     require(checks.map(_._1).distinct.size == checks.size, "check names must be unique")
-    val aggs = count(lit(1)).as("__n") +: checks.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+    // internal columns are INDEX-named: a check name containing '.' or
+    // '`' must not break col() resolution (dots would parse as a field path)
+    val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = array(checks.map { case (name, _) =>
-      struct(lit(name).as("name"), col(s"__v_$name").as("v"))
+    val pairs = array(checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("name"), col(s"__v_$i").as("v"))
     }: _*)
     one
       .select(col("__n"), explode(pairs).as("__c"))

@@ -177,5 +177,10 @@ class CorpusQualitySpec extends SparkSpec {
       .toMap
     assert(rep("x_positive") == ((4L, 2L, 0.5)))
     assert(rep("flag_domain") == ((4L, 1L, 0.25)))
+
+    // check names with dots must not break internal column resolution
+    val dotted = Expectations.report(df, Seq("x.is.positive" -> (col("x") > 0)))
+      .collect().head
+    assert(dotted.getString(0) == "x.is.positive" && dotted.getLong(2) == 2L)
   }
 }
