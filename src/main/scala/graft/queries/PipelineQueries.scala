@@ -613,6 +613,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q103_funnel_portable" -> { (s, dir) =>
+      // the q66 funnel counts under PORTABLE hashes: every stage count
+      // re-derived in DuckDB off the q71 CTE chain — the composition's
+      // arithmetic is hash-verified end to end, not just rows>0
+      import s.implicits._
+      val st = graft.ops.Pipelines.cleanCorpus(
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0,
+        portableHashes = true).stats()
+      Seq((st.input, st.afterExactDedup, st.afterNearDedup, st.afterQuality, st.output))
+        .toDF("n_input", "n_exact", "n_near", "n_quality", "n_output")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1554,6 +1566,29 @@ object PipelineQueries {
         |WHERE source = 'src1'
         |  AND NOT EXISTS (SELECT 1 FROM fp p WHERE p.source = 'src0' AND p.f = c.f)
         |ORDER BY doc_id""".stripMargin,
+
+    // stage counts off the same CTE chain as q71; no lang allowlist, so
+    // output == afterQuality
+    "q103_funnel_portable" -> {
+      s"""WITH canon0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ccanon
+         |  FROM documents
+         |), exact AS (
+         |  SELECT * FROM canon0
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM canon0 GROUP BY md5(ccanon))
+         |), ${polyShingleSigCte("exact")}, ${polyPairsCte(0.9)}, losers AS (
+         |  SELECT DISTINCT id_b FROM pairs0
+         |), surv AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |), ${qualityCte("surv", "lang, source, n_chars")}
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_input,
+         |  (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM surv) AS n_near,
+         |  (SELECT count(*) FROM scored WHERE qscore >= 30.0) AS n_quality,
+         |  (SELECT count(*) FROM scored WHERE qscore >= 30.0) AS n_output""".stripMargin
+    },
 
     "q61_group_topk" ->
       """WITH j AS (
