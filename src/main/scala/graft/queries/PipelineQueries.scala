@@ -625,6 +625,18 @@ object PipelineQueries {
         .toDF("n_input", "n_exact", "n_near", "n_quality", "n_output")
     },
 
+    "q104_prepare_portable" -> { (s, dir) =>
+      // the ENTIRE prepareTrainingCorpus output under portable hashes —
+      // cleaning chain + token/lang/fingerprint enrichment + deterministic
+      // split, every column re-derived in DuckDB
+      graft.ops.Pipelines.prepareTrainingCorpus(
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0,
+        portableHashes = true)
+        .df.select("doc_id", "lang", "source", "n_chars",
+          "n_tokens", "lang_id", "fingerprint", "split")
+        .orderBy("doc_id")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1588,6 +1600,53 @@ object PipelineQueries {
          |  (SELECT count(*) FROM surv) AS n_near,
          |  (SELECT count(*) FROM scored WHERE qscore >= 30.0) AS n_quality,
          |  (SELECT count(*) FROM scored WHERE qscore >= 30.0) AS n_output""".stripMargin
+    },
+
+    // q71's chain -> join text back -> q46/q48/q49/q36-style enrichment,
+    // with the default salt 'graft' and dyadic cuts 0.875/0.9375/1.0
+    "q104_prepare_portable" -> {
+      s"""WITH canon0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ccanon
+         |  FROM documents
+         |), exact AS (
+         |  SELECT * FROM canon0
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM canon0 GROUP BY md5(ccanon))
+         |), ${polyShingleSigCte("exact")}, ${polyPairsCte(0.9)}, losers AS (
+         |  SELECT DISTINCT id_b FROM pairs0
+         |), surv AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |), ${qualityCte("surv", "lang, source, n_chars")}, final0 AS (
+         |  SELECT s.doc_id, s.lang, s.source, s.n_chars, v.text
+         |  FROM scored s JOIN surv v USING (doc_id)
+         |  WHERE s.qscore >= 30.0
+         |), hits AS (
+         |  SELECT *,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('el','la','de','que','y','en','los','se','del','las'))) AS c_es,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('le','la','les','de','et','des','un','une','du','est'))) AS c_fr,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('der','die','das','und','von','zu','den','mit','ist','im'))) AS c_de
+         |  FROM final0
+         |), enr AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tokens,
+         |    CASE
+         |      WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) AND c_en > 0 THEN 'en'
+         |      WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) AND c_es > 0 THEN 'es'
+         |      WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) AND c_fr > 0 THEN 'fr'
+         |      WHEN c_de = GREATEST(c_en, c_es, c_fr, c_de) AND c_de > 0 THEN 'de'
+         |      ELSE 'und' END AS lang_id,
+         |    md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+         |  FROM hits
+         |)
+         |SELECT doc_id, lang, source, n_chars, n_tokens, lang_id, fingerprint,
+         |  CASE WHEN uh < 0.875 THEN 'train'
+         |       WHEN uh < 0.9375 THEN 'val'
+         |       WHEN uh < 1.0 THEN 'test'
+         |       ELSE NULL END AS split
+         |FROM enr ORDER BY doc_id""".stripMargin
     },
 
     "q61_group_topk" ->
