@@ -158,6 +158,43 @@ object Sampling {
     df.join(broadcast(winners), Seq(idCol))
   }
 
+  /** Weighted sampling WITHOUT replacement (k per group): the
+    * Efraimidis–Spirakis A-Res scheme — each row draws key
+    * `u^(1/w)` from its deterministic unit hash `u` and weight `w`, and
+    * the k largest keys per group win, giving inclusion probability
+    * proportional to weight. Implemented with the ORDER-EQUIVALENT key
+    * `ln(u)/w` (ln is monotone, so maximizing `u^(1/w)` ≡ maximizing
+    * `ln(u)/w` for w > 0) because `ln` agrees bit-for-bit across engines
+    * on this data where `pow` does not have that track record. Rows with
+    * null or non-positive weight cannot be weighted and are excluded.
+    * Ties (same key) break toward the smaller id — the [[GroupTopK]]
+    * contract; `u = 0` keys `-Infinity` and never wins over any u > 0.
+    *
+    * Scale shape: map-side key computation + the heap aggregate — the
+    * shuffle carries k·|groups| rows, then one broadcast join-back of
+    * the (small) winner set.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      groupCols: Seq[String],
+      weightCol: String,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty, "weightedSample needs group columns")
+    val w = col(weightCol).cast("double")
+    val key = log(unitHash(col(idCol), salt)) / w
+    val scored = df
+      .filter(w.isNotNull && !isnan(w) && w > 0)
+      .select((groupCols.map(col) :+ col(idCol) :+ key.as("__ares")): _*)
+    val winners = graft.ops.GroupTopK
+      .topKPerGroup(scored, groupCols, idCol, "__ares", k, rankCol = "sample_rank")
+      .select(col(idCol), col("sample_rank"))
+    df.join(broadcast(winners), Seq(idCol))
+  }
+
   /** Quality-weighted deterministic sampling: keep each row with
     * probability proportional to its heuristic text quality — acceptance
     * `clamp(qualityScore/100, floor, ceil)` against the md5 unit hash.

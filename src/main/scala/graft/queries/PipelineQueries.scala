@@ -637,6 +637,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q105_weighted_sample" -> { (s, dir) =>
+      // Efraimidis-Spirakis weighted sampling without replacement: 20 docs
+      // per source, inclusion odds ~ n_chars; ln(u)/w key ordering is
+      // engine-exact where pow would not be
+      graft.ops.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id", Seq("source"), "n_chars", k = 20, salt = "ws")
+        .select("doc_id", "source", "n_chars", "sample_rank")
+        .orderBy("source", "sample_rank")
+    },
+
+    "q106_dedup_keep_best" -> { (s, dir) =>
+      // exact dedup keeping the HIGHEST-QUALITY row per canonical group
+      // (not the min id): Snapshot.latestByKey composed with the quality
+      // score as the version — one max-struct aggregate, no window
+      val d = t(s, dir, "documents")
+        .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      graft.ops.Snapshot.latestByKey(d, Seq("__fp"), col("__q"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          roundz(col("__q"), 6).as("q_r"))
+        .orderBy("doc_id")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1647,6 +1670,34 @@ object PipelineQueries {
          |       WHEN uh < 1.0 THEN 'test'
          |       ELSE NULL END AS split
          |FROM enr ORDER BY doc_id""".stripMargin
+    },
+
+    "q105_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), rk AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS sample_rank
+        |  FROM u
+        |)
+        |SELECT doc_id, source, n_chars, sample_rank FROM rk
+        |WHERE sample_rank <= 20 ORDER BY source, sample_rank""".stripMargin,
+
+    "q106_dedup_keep_best" -> {
+      s"""WITH ${qualityCte("documents", "lang, source, n_chars")}, f AS (
+         |  SELECT s.doc_id, s.lang, s.source, s.n_chars, s.qscore,
+         |    md5(trim(lower(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM scored s JOIN documents d USING (doc_id)
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp
+         |    ORDER BY qscore DESC, doc_id DESC) AS rn
+         |  FROM f
+         |)
+         |SELECT doc_id, lang, source, n_chars, round(qscore, 6) + 0.0 AS q_r
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
 
     "q61_group_topk" ->

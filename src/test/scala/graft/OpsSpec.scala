@@ -1167,6 +1167,43 @@ class OpsSpec extends SparkSpec {
     assert(again == rows.map(r => (r._1, r._2)))
   }
 
+  test("weightedSample: k per group, weight-proportional, deterministic") {
+    import graft.ops.Sampling
+    // two groups; in g1 heavy rows (w=100) vastly outweigh light (w=1)
+    val rows = (1L to 50L).map(i => (i, "g1", if (i <= 25) 100L else 1L)) ++
+      (51L to 60L).map(i => (i, "g2", 10L))
+    val df = rows.toDF("id", "g", "w")
+    val got = Sampling.weightedSample(df, "id", Seq("g"), "w", k = 10, salt = "s")
+    val byG = got.collect().groupBy(_.getString(1))
+    assert(byG("g1").length == 10 && byG("g2").length == 10)
+    // heavy rows should dominate g1's sample (p(all-light pick) ~ 0)
+    val heavy = byG("g1").count(_.getLong(0) <= 25)
+    assert(heavy >= 7, s"expected heavy-weight dominance, got $heavy/10")
+
+    // deterministic under repartitioning; zero/null weights excluded
+    val again = Sampling.weightedSample(df.repartition(7), "id", Seq("g"), "w", 10, "s")
+    assert(again.collect().map(_.getLong(0)).toSet == got.collect().map(_.getLong(0)).toSet)
+    val withBad = (rows :+ ((99L, "g2", 0L))).toDF("id", "g", "w")
+    assert(!Sampling.weightedSample(withBad, "id", Seq("g"), "w", 10, "s")
+      .collect().map(_.getLong(0)).contains(99L))
+  }
+
+  test("keep-best dedup: latestByKey over fingerprint keeps the highest quality") {
+    import graft.ops.{Snapshot, TextAnalysis}
+    // rows 1/2 share canonical content (same quality -> larger id wins);
+    // row 3 is its own group
+    val df = Seq(
+      (1L, "The quick brown fox jumps high"),
+      (2L, "the  quick brown fox jumps high"),
+      (3L, "Completely different text here")
+    ).toDF("doc_id", "text")
+      .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+    val kept = Snapshot.latestByKey(df, Seq("__fp"), col("__q"), "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("newDocs diffs snapshots by canonical content, not id") {
     val prev = Seq((1L, "Hello   World"), (2L, "old doc")).toDF("doc_id", "text")
     val cur = Seq(
