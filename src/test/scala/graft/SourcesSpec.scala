@@ -79,6 +79,29 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("graft.stats.approx", "false")
   }
 
+  test("ORC and JSONL round-trips preserve the frame") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+    val base = java.nio.file.Files.createTempDirectory("graft_formats").toString
+
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val orc = spark.read.orc(s"$base/orc")
+    assert(orc.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+
+    // JSONL: the standard corpus interchange format (one JSON doc per line)
+    docs.write.mode("overwrite").json(s"$base/jsonl")
+    val jsonl = spark.read.schema(docs.schema).json(s"$base/jsonl")
+    assert(jsonl.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    val firstFile = new java.io.File(s"$base/jsonl").listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    val firstLine = scala.io.Source.fromFile(firstFile).getLines().next()
+    assert(firstLine.startsWith("{") && firstLine.endsWith("}"),
+      s"expected one JSON object per line, got: $firstLine")
+  }
+
   test("writePartitioned: hive-style directories, bounded files per partition") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
