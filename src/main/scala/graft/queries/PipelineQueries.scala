@@ -660,6 +660,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q107_knn_eval" -> { (s, dir) =>
+      // end-to-end retrieval evaluation: 1-NN label prediction over the
+      // full corpus (ranked on ROUNDED cosine so ordering is engine-exact,
+      // the q50 convention) -> per-class precision/recall/F1 from exact
+      // integer confusion counts
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("nn_id"), col("embedding").as("cv"))
+      val q = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = q.join(c, col("qid") =!= col("nn_id"))
+        .withColumn("cos_r", roundz(Similarity.cosine(col("qv"), col("cv")), 6))
+        .filter(!isnan(col("cos_r")))
+      val top1 = graft.ops.GroupTopK.topKPerGroup(
+        scored.select("qid", "nn_id", "cos_r"), Seq("qid"), "nn_id", "cos_r", 1)
+      val preds = top1
+        .join(broadcast(emb.select(col("vec_id").as("nn_id"), col("label").as("pred_label"))), Seq("nn_id"))
+        .join(broadcast(emb.select(col("vec_id").as("qid"), col("label").as("true_label"))), Seq("qid"))
+      graft.ops.Metrics.classificationReport(preds, "true_label", "pred_label")
+        .select(col("clazz"), col("support"), col("tp"),
+          roundz(col("precision"), 9).as("precision_r"),
+          roundz(col("recall"), 9).as("recall_r"),
+          roundz(col("f1"), 9).as("f1_r"))
+        .orderBy("clazz")
+    },
+
     // --------------------------------------------------- text analysis
 
     "q61_group_topk" -> { (s, dir) =>
@@ -1699,6 +1724,42 @@ object PipelineQueries {
          |SELECT doc_id, lang, source, n_chars, round(qscore, 6) + 0.0 AS q_r
          |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+
+    "q107_knn_eval" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv FROM e WHERE vec_id < 100),
+        |pairs AS (
+        |  SELECT qid, true_label, e.vec_id AS nn_id, e.label AS pred_label,
+        |    round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_r
+        |  FROM q, e WHERE e.vec_id <> qid
+        |), top1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, nn_id) AS rn
+        |    FROM pairs WHERE NOT isnan(cos_r)
+        |  ) WHERE rn = 1
+        |), cm AS (
+        |  SELECT true_label, pred_label, count(*) AS n FROM top1 GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT true_label AS clazz, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1
+        |), cs AS (
+        |  SELECT pred_label AS clazz, CAST(sum(n) AS BIGINT) AS predicted FROM cm GROUP BY 1
+        |), dg AS (
+        |  SELECT true_label AS clazz, n AS tp FROM cm WHERE true_label = pred_label
+        |), j AS (
+        |  SELECT coalesce(rs.clazz, cs.clazz) AS clazz,
+        |    coalesce(support, 0) AS support, coalesce(predicted, 0) AS predicted
+        |  FROM rs FULL OUTER JOIN cs ON rs.clazz = cs.clazz
+        |), j2 AS (
+        |  SELECT j.clazz, support, CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+        |    CASE WHEN predicted > 0 THEN CAST(coalesce(tp, 0) AS DOUBLE) / predicted END AS p,
+        |    CASE WHEN support > 0 THEN CAST(coalesce(tp, 0) AS DOUBLE) / support END AS r
+        |  FROM j LEFT JOIN dg ON j.clazz = dg.clazz
+        |)
+        |SELECT clazz, support, tp,
+        |  round(p, 9) + 0.0 AS precision_r,
+        |  round(r, 9) + 0.0 AS recall_r,
+        |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END, 9) + 0.0 AS f1_r
+        |FROM j2 ORDER BY clazz""".stripMargin,
 
     "q61_group_topk" ->
       """WITH j AS (

@@ -141,6 +141,24 @@ class CorpusQualitySpec extends SparkSpec {
     assert(loose.count() == 21)
   }
 
+  test("classificationReport: hand-computed precision/recall/F1, edge classes") {
+    import graft.ops.Metrics
+    // truth:  a a a b b c   pred: a a b b b a
+    // a: tp=2 support=3 predicted=3 -> p=2/3 r=2/3
+    // b: tp=2 support=2 predicted=3 -> p=2/3 r=1
+    // c: tp=0 support=1 predicted=0 -> p null (never predicted), r=0
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"))
+      .toDF("y", "yhat")
+    val rep = byKey(Metrics.classificationReport(df, "y", "yhat"), "clazz")
+    assert(rep("a").getAs[Long]("support") == 3L && rep("a").getAs[Long]("tp") == 2L)
+    assertNear(rep("a").getAs[Double]("precision"), 2.0 / 3)
+    assertNear(rep("b").getAs[Double]("recall"), 1.0)
+    assertNear(rep("b").getAs[Double]("f1"), 2 * (2.0 / 3) * 1.0 / (2.0 / 3 + 1.0))
+    assert(rep("c").isNullAt(rep("c").fieldIndex("precision")))
+    assertNear(rep("c").getAs[Double]("recall"), 0.0)
+    assert(rep("c").isNullAt(rep("c").fieldIndex("f1")))
+  }
+
   test("Drift PSI: zero for identical snapshots, positive for shifted ones") {
     import graft.ops.Drift
     val ref = Seq(10L, 15L, 110L, 115L, 210L).toDF("v")
