@@ -12,15 +12,22 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Writes `df` as parquet partitioned by `partitionCols`
-    * (`.../col=value/` directories → partition-pruned scans), with
+    * (`.../col=value/` directories → partition-pruned scans), with at most
     * `filesPerPartition` output files per partition value.
     *
     * The repartition BEFORE the write is the load-bearing part: without
     * it every input task writes its own file into every partition
     * directory it touches — tasks × partitions small files; with it,
     * rows hash-route to `filesPerPartition` buckets inside their
-    * partition first, so each directory gets exactly that many
-    * well-sized files. */
+    * partition first, bounding each directory's file count.
+    *
+    * The file bucket hashes ALL row values (not `spark_partition_id`,
+    * whose distinct values are capped by the upstream partition count — a
+    * coalesced or single-file input would collapse every directory to one
+    * file regardless of the setting). Row-value hashing is independent of
+    * input partitioning; directories can still come up short only when a
+    * partition value genuinely has too few distinct rows, or on hash
+    * collisions between buckets. */
   def writePartitioned(
       df: DataFrame,
       path: String,
@@ -30,9 +37,14 @@ object Layout {
     require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     val keys = partitionCols.map(col)
+    val bucket = pmod(hash(df.columns.map(col): _*), lit(filesPerPartition))
+    // explicit partition count when fanning out: an AQE-sized repartition
+    // (REPARTITION_BY_COL) coalesces small shuffles back to one task,
+    // which re-merges the buckets this call exists to split apart
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val routed =
       if (filesPerPartition == 1) df.repartition(keys: _*)
-      else df.repartition((keys :+ (spark_partition_id() % filesPerPartition)): _*)
+      else df.repartition(math.max(n, filesPerPartition), (keys :+ bucket): _*)
     routed.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)

@@ -189,9 +189,28 @@ object Xlsx {
     sb.toString
   }
 
+  /** Hard XLSX format ceiling (rows per worksheet, header included). */
+  private val MaxSheetRows = 1048576L
+
   /** Write sheets (name -> DataFrame, driver-collected) as an XLSX file —
-    * the analogue of the reference's three-sheet ExcelWriter export. */
+    * the analogue of the reference's three-sheet ExcelWriter export.
+    *
+    * Driver-side collection is intrinsic to a single-file XLSX, so this is
+    * a small-result demo/report sink by design; a frame over the format's
+    * own 1,048,576-row sheet limit fails fast with a pointer to the
+    * distributed writers instead of OOMing the driver mid-collect. */
   def write(path: String, sheets: Seq[(String, DataFrame)]): Unit = {
+    sheets.foreach { case (name, df) =>
+      // limit(n+1).count, not count(): bounds the check's work and short-
+      // circuits the scan as soon as the sheet is provably over the line
+      val overLimit = df.limit((MaxSheetRows).toInt).count() >= MaxSheetRows
+      if (overLimit) {
+        throw new IllegalArgumentException(
+          s"sheet '$name' exceeds the XLSX per-sheet limit of $MaxSheetRows rows " +
+            "(header included); XLSX is a driver-collected report sink — " +
+            "write large frames with df.write.parquet(...) or df.write.csv(...) instead")
+      }
+    }
     val out = new ZipOutputStream(new FileOutputStream(path))
     def put(name: String, content: String): Unit = {
       out.putNextEntry(new ZipEntry(name))

@@ -41,12 +41,23 @@ object Outliers {
     // NaN ≡ null: a NaN input must neither receive a z-score nor
     // contaminate the group sums (sum(NaN) would NaN the whole group)
     val v = when(!isnan(raw.cast("double")), raw)
+    // widen BEFORE squaring: an int column's per-row v*v product wraps Int
+    // at |v| >= 46341 (realistic web-document char/token counts) with ANSI
+    // off, silently corrupting the group variance. Decimal(38,0) keeps the
+    // integral moments exact (a long^2 is < 1e38) with no overflow short of
+    // a 1e38 sum of squares; fractional inputs stay double (their sums were
+    // never exact to begin with).
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    val vw = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => v.cast(DecimalType(38, 0))
+      case _ => v.cast("double")
+    }
     val stats = df
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(v).as("__n"),
-        sum(v).as("__sx"),
-        sum(v * v).as("__sxx"))
+        sum(vw).as("__sx"),
+        sum(vw * vw).as("__sxx"))
     val mean = col("__sx").cast("double") / col("__n")
     val variance = col("__sxx").cast("double") / col("__n") - mean * mean
     df.join(broadcast(stats), groupCols, "left")

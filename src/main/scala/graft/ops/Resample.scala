@@ -43,8 +43,12 @@ object Resample {
       .groupBy(col(keyCol), col("bucket"))
       .agg(aggs.head, aggs.tail: _*)
     // barrier: b feeds the grid keys, the global bounds, and the dense
-    // join; without it Catalyst re-aggregates the raw events three times
-    val binned = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // join; without it Catalyst re-aggregates the raw events three times.
+    // Eager localCheckpoint, not persist: persist pins CacheManager blocks
+    // for the session lifetime (no unpersist point exists — the returned
+    // lazy frame still references this), while checkpoint blocks are
+    // released by the ContextCleaner once the caller drops the frame.
+    val binned = b.localCheckpoint(true)
     val bounds = binned.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
     val grid = binned.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))

@@ -93,16 +93,19 @@ object Retrieval {
     // prune BEFORE the tf aggregate: the broadcast semi-join is a map-side
     // filter, so the groupBy shuffles only tokens matching the query
     // vocabulary instead of the whole corpus' token stream. The barrier
-    // persist matters: the pruned postings feed BOTH the doc-frequency agg
+    // matters: the pruned postings feed BOTH the doc-frequency agg
     // and the contribution join — without it Catalyst recomputes the full
     // corpus scan + explode for each consumer (observed: 3 parquet scans
-    // in the q84 plan).
+    // in the q84 plan). Eager localCheckpoint, not persist: the returned
+    // frame references the postings, so no unpersist point exists —
+    // persist would pin the blocks for the session; checkpoint blocks are
+    // ContextCleaner-released once the caller drops the frame.
     val postings = withLen
       .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy(col(idCol), col("__dl"), col("term"))
       .agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // document frequency over the pruned postings: (doc, term) is unique
     // after the tf aggregate, so count(*) IS the doc frequency

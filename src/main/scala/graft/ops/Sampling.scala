@@ -135,8 +135,10 @@ object Sampling {
     * Scale shape: selection runs through the heap top-k aggregate
     * ([[graft.ops.GroupTopK.topKPerGroup]]) — map-side partial heaps mean
     * the shuffle carries at most `cap x |sources|` rows, never the corpus;
-    * the winner ids then join back to the full rows (broadcast when the
-    * winner set is small). A window `row_number` over source would instead
+    * the winner ids then join back to the full rows (unhinted — AQE
+    * broadcasts when the measured winner set actually fits; a forced hint
+    * here would OOM at millions of sources x a large cap). A window
+    * `row_number` over source would instead
     * sort every source's full row set; at 100 TB a hot domain IS the
     * corpus. Requires globally-unique numeric-castable ids (the same
     * contract every unit-hash operator here carries).
@@ -155,7 +157,10 @@ object Sampling {
     val winners = graft.ops.GroupTopK
       .topKPerGroup(scored, Seq(sourceCol), idCol, "__neg_u", cap, rankCol = "quota_rank")
       .select(col(idCol), col("quota_rank"))
-    df.join(broadcast(winners), Seq(idCol))
+    // no broadcast hint: the winner set is cap x |sources| rows, which at
+    // web scale (millions of domains) can exceed executor memory — let
+    // AQE pick broadcast when the measured size actually fits
+    df.join(winners, Seq(idCol))
   }
 
   /** Weighted sampling WITHOUT replacement (k per group): the
@@ -171,8 +176,8 @@ object Sampling {
     * contract; `u = 0` keys `-Infinity` and never wins over any u > 0.
     *
     * Scale shape: map-side key computation + the heap aggregate — the
-    * shuffle carries k·|groups| rows, then one broadcast join-back of
-    * the (small) winner set.
+    * shuffle carries k·|groups| rows, then one join-back of the winner
+    * set (unhinted: AQE broadcasts it when its measured size fits).
     */
   def weightedSample(
       df: DataFrame,
@@ -185,14 +190,23 @@ object Sampling {
     require(k > 0, "k must be positive")
     require(groupCols.nonEmpty, "weightedSample needs group columns")
     val w = col(weightCol).cast("double")
-    val key = log(unitHash(col(idCol), salt)) / w
+    // Spark's log(0) is NULL, not -Infinity — without the coalesce a u = 0
+    // row would be silently dropped by the heap aggregate (which keeps
+    // -Inf, drops null/NaN) even when its group has fewer than k eligible
+    // rows; A-Res (and the DuckDB oracle's ln(0) = -inf) ranks it last but
+    // includes it. Null ids stay excluded: their unit hash is null, and
+    // promoting them to -Inf would let an unjoinable row occupy a winner
+    // slot.
+    val key = when(col(idCol).isNotNull,
+      coalesce(log(unitHash(col(idCol), salt)), lit(Double.NegativeInfinity))) / w
     val scored = df
       .filter(w.isNotNull && !isnan(w) && w > 0)
       .select((groupCols.map(col) :+ col(idCol) :+ key.as("__ares")): _*)
     val winners = graft.ops.GroupTopK
       .topKPerGroup(scored, groupCols, idCol, "__ares", k, rankCol = "sample_rank")
       .select(col(idCol), col("sample_rank"))
-    df.join(broadcast(winners), Seq(idCol))
+    // no broadcast hint — k x |groups| winner rows; see quotaSample
+    df.join(winners, Seq(idCol))
   }
 
   /** Quality-weighted deterministic sampling: keep each row with

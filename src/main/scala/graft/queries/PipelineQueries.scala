@@ -1367,7 +1367,7 @@ object PipelineQueries {
     "q85_zscore_outliers" ->
       """WITH st AS (
         |  SELECT lang, count(n_chars) AS n, sum(n_chars) AS sx,
-        |         sum(n_chars * n_chars) AS sxx
+        |         sum(CAST(n_chars AS BIGINT) * n_chars) AS sxx
         |  FROM documents GROUP BY lang
         |), z AS (
         |  SELECT d.doc_id, d.lang, d.n_chars,

@@ -92,11 +92,17 @@ class PlanShapeSpec extends SparkSpec {
       s"bm25 must rank via the heap aggregate, not a per-query window:\n$plan")
     assert(plan.contains("ObjectHashAggregate"),
       s"bm25 should contain the GroupTopK aggregate:\n$plan")
-    // postings persist barrier: docFreq + contrib must reuse ONE cached
+    // postings barrier: docFreq + contrib must reuse ONE materialized
     // subtree instead of recomputing the corpus scan + explode each
-    // (pre-fix plan had 3 independent parquet scans)
-    assert(plan.contains("InMemoryTableScan"),
-      s"bm25 postings must be cache-reused across docFreq and contrib:\n$plan")
+    // (pre-fix plan had 3 independent parquet scans). The barrier is an
+    // eager localCheckpoint (ContextCleaner-released, unlike a persist
+    // that would pin cache blocks for the session), so it appears as an
+    // RDD scan; only the corpus-constants row may still scan parquet.
+    assert(plan.contains("Scan ExistingRDD"),
+      s"bm25 postings must be checkpoint-reused across docFreq and contrib:\n$plan")
+    val parquetScans = "Scan parquet".r.findAllIn(plan).size
+    assert(parquetScans <= 2,
+      s"bm25 must not recompute the corpus scan per consumer ($parquetScans scans):\n$plan")
   }
 
   test("vocabulary plan: top-k via TakeOrderedAndProject, never a full sort") {

@@ -111,6 +111,19 @@ class RetrievalSpec extends SparkSpec {
     assert(kept == Set(("g1", 2L), ("g1", 3L), ("g2", 5L)))
   }
 
+  test("withGroupZscore: int values past 46341 must not wrap the square") {
+    // 50000^2 = 2.5e9 > Int.MaxValue: without widening before the square,
+    // the per-row product wraps (ANSI off) and corrupts every z in the group
+    val df = Seq(("g", 50000), ("g", 50001), ("g", 50005)).toDF("g", "v")
+    val z = Outliers.withGroupZscore(df, Seq("g"), "v", "z")
+      .collect().map(r => (r.getInt(1), r.get(2).asInstanceOf[Double])).toMap
+    val vals = Seq(50000.0, 50001.0, 50005.0)
+    val mean = vals.sum / 3.0
+    val variance = vals.map(x => x * x).sum / 3.0 - mean * mean
+    assertNear(z(50000), (50000.0 - mean) / math.sqrt(variance))
+    assertNear(z(50005), (50005.0 - mean) / math.sqrt(variance))
+  }
+
   test("withGroupZscore: NaN neither poisons the group nor gets a score") {
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 6.0), ("g", Double.NaN))
       .toDF("g", "v")

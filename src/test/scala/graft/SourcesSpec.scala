@@ -125,4 +125,20 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"),
       s"lang filter must prune partitions:\n$plan")
   }
+
+  test("writePartitioned: file fan-out is independent of input partitioning") {
+    import org.apache.spark.sql.functions._
+    // a single-partition input must still fan out to filesPerPartition
+    // files per directory: the bucket is a row-value hash, not
+    // spark_partition_id (whose distinct values a coalesce(1) collapses)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").coalesce(1)
+    val out = java.nio.file.Files.createTempDirectory("graft_layout1").toString
+    graft.io.Layout.writePartitioned(docs, out, Seq("lang"), filesPerPartition = 3)
+    val biggest = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(biggest >= 2,
+      s"coalesced input produced $biggest file(s) in the largest partition dir; " +
+        "row-hash bucketing should fan out")
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
 }

@@ -31,6 +31,20 @@ class XlsxSpec extends SparkSpec {
     assert(rows(0).getString(3) == "note, with comma & <xml>")
   }
 
+  test("write fails fast past the 1,048,576-row sheet limit, before collecting") {
+    val big = spark.range(1048576L).toDF("id") // + header row = 1,048,577
+    val path = Files.createTempDirectory("xlsx_big").resolve("big.xlsx").toString
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.write(path, Seq("Huge" -> big))
+    }
+    assert(e.getMessage.contains("XLSX per-sheet limit"), e.getMessage)
+    assert(e.getMessage.contains("parquet"), "error must point to the distributed writers")
+    // an in-limit frame still writes through the guard
+    val ok = spark.range(3L).toDF("id")
+    Xlsx.write(path, Seq("Ok" -> ok))
+    assert(Xlsx.read(spark, path).count() == 3)
+  }
+
   test("multi-sheet write with sheet selection on read") {
     val r = Seq(("A", 1L)).toDF("vendor", "rank")
     val s = Seq(("min", 5.0)).toDF("stat", "value")
