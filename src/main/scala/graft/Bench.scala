@@ -40,10 +40,52 @@ object Bench {
       }.takeWhile(_ >= 0.0).toSeq // don't re-run a failing query
       name -> (if (times.size < iters) -1.0 else times.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal values keep the one-line stdout contract short enough to
+    // survive the driver's tail-capture (round 4's full-precision line
+    // truncated mid-stream and parsed as null)
+    def f(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the durable artifact: stdout capture can truncate, a file cannot
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
+    // round-over-round comparator: SPARK_GRAFT_BENCH_PREV points at any
+    // prior bench JSON holding a "queries":{...} map (target/bench.json of
+    // the previous run or a driver BENCH_r{N}.json); per-query ratios on
+    // the common subset go to stderr so stdout stays one parseable line
+    sys.env.get("SPARK_GRAFT_BENCH_PREV").foreach { prevPath =>
+      try {
+        val prevTxt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)), "UTF-8")
+        // tolerate driver artifacts where the queries map sits inside an
+        // escaped JSON string field (\"q01_linear\":0.64)
+        val entry = """"(q\w+)\\?"\s*:\s*(-?[0-9.]+)""".r
+        val prev = entry.findAllMatchIn(prevTxt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val common = results.keySet.intersect(prev.keySet).toSeq.sorted
+          .filter(k => results(k) > 0 && prev(k) > 0)
+        if (common.nonEmpty) {
+          val curSum = common.map(results).sum
+          val prevSum = common.map(prev).sum
+          System.err.println(
+            f"[bench-diff] common subset (${common.size} queries): " +
+              f"$curSum%.1fs now vs $prevSum%.1fs prev (${curSum / prevSum}%.2fx)")
+          common.map(k => (k, results(k) / prev(k)))
+            .filter(t => t._2 >= 1.3 || t._2 <= 0.7)
+            .sortBy(-_._2)
+            .foreach { case (k, r) =>
+              System.err.println(
+                f"[bench-diff]   $k: ${prev(k)}%.2fs -> ${results(k)}%.2fs ($r%.2fx)")
+            }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench-diff] comparator failed: ${e.getMessage}")
+      }
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -558,44 +558,60 @@ object Dedup {
   }
 
   /** Transitive duplicate clusters from near-dup PAIRS: connected
-    * components by iterative min-label propagation — each round, every
-    * node adopts the smallest label among itself and its neighbors, until
-    * a fixpoint (or `maxIter`). Returns `(doc_id, cluster_id)` for every
-    * id that appears in a pair, where `cluster_id` is the minimum id of
-    * the component — the canonical keeper. (The greedy drop-the-higher-id
-    * reduction in [[Pipelines.cleanCorpus]] eliminates the same docs but
-    * never names clusters; this operator is the full cluster assignment,
-    * e.g. for provenance tracking or picking a keeper by quality instead
-    * of id.)
+    * components by min-label propagation with pointer jumping. Returns
+    * `(doc_id, cluster_id)` for every id that appears in a pair, where
+    * `cluster_id` is the minimum id of the component — the canonical
+    * keeper. (The greedy drop-the-higher-id reduction in
+    * [[Pipelines.cleanCorpus]] eliminates the same docs but never names
+    * clusters; this operator is the full cluster assignment, e.g. for
+    * provenance tracking or picking a keeper by quality instead of id.)
     *
-    * Scale shape: the classic Pregel-style loop as DataFrame joins — per
-    * round one equi-join edges⋈labels + a groupBy-min + a change count
-    * (the only driver action). Rounds needed = component diameter; dup
-    * clusters are near-cliques so this converges in 2-3 rounds. Each
-    * round's labels are eagerly localCheckpoint'ed — lineage truncation,
-    * not just caching, because the per-round plan references the previous
-    * labels twice and would otherwise double in size every round. */
+    * Per round, each node takes (1) the minimum label among itself and
+    * its neighbors (edge relaxation), then (2) the previous round's label
+    * OF that minimum (pointer jump — labels are node ids, so a label is
+    * itself an address into the label table). The jump doubles the
+    * distance already-propagated labels cover, so rounds needed are
+    * ~log2(component diameter) instead of the diameter — on a path graph
+    * the label front advances 1, 3, 7, 15… nodes per round. Near-clique
+    * dup clusters still converge in 2-3 rounds; the jump is what keeps a
+    * pathological chain component from turning 100× scale into 100×
+    * rounds.
+    *
+    * One Spark job per round: the convergence check rides the round's own
+    * materialization (a `LongAccumulator` incremented while the new label
+    * frame is checkpointed) instead of a separate count action.
+    * Accumulator semantics are safe here because the decision is
+    * `changed == 0`: task retries can only over-count real changes, never
+    * invent one.
+    *
+    * Checkpointing: each round's labels are eagerly checkpointed —
+    * lineage truncation, not just caching, because the per-round plan
+    * references the previous labels THREE times (directly, through the
+    * neighbor aggregate, and through the jump), so without truncation the
+    * LOGICAL plan grows 3× per round and any downstream composition over
+    * the returned frame re-plans the whole tree (q77's semantic graph
+    * froze .explain this way). By default the checkpoint is local
+    * (executor blocks, ContextCleaner-released); localCheckpoint cannot
+    * survive executor loss, so for long multi-hour runs set
+    * `spark.sparkContext.setCheckpointDir(...)` and pass
+    * `reliableEvery = N` to write a recoverable reliable checkpoint
+    * every N rounds (intermediate rounds stay local — the reliable copy
+    * bounds recomputation to < N rounds on failure). */
   def dupClusters(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      reliableEvery: Int = 0
   ): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val fwd = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager), NOT persist: each round's plan references
-    // the previous round's labels TWICE (directly and through `neigh`),
-    // so without lineage truncation the LOGICAL plan doubles per round —
-    // 2^rounds copies of the pair-generation subtree. persist caches data
-    // but leaves lineage intact (analysis cost still explodes, and any
-    // downstream composition over the returned frame re-plans the full
-    // tree — q77's semantic graph froze .explain this way). Checkpointing
-    // pins the label frame (two longs per paired doc — small) and keeps
-    // every round's plan depth constant. At cluster scale the same shape
-    // holds; swap in reliable `checkpoint` if executor loss must be
-    // survivable mid-loop.
+    require(reliableEvery == 0 || spark.sparkContext.getCheckpointDir.isDefined,
+      "reliableEvery > 0 needs spark.sparkContext.setCheckpointDir(...)")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -606,24 +622,37 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("nl").as("nlabel"))
-      val next = labels
+      val relaxed = labels
         .join(neigh, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          col("label").as("__old"))
-        .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("__old")).count()
-      labels = next.drop("__old")
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("rl"),
+          col("label").as("old"))
+      // pointer jump through the PREVIOUS labels (already checkpointed —
+      // a cheap scan, not a recompute): rl is a node id, so label(rl)
+      // shortcuts the chain rl has already walked
+      val jumped = relaxed
+        .join(labels.select(col("id").as("rl"), col("label").as("jl")), Seq("rl"), "left")
+        .select(col("id"),
+          least(col("rl"), coalesce(col("jl"), col("rl"))).as("label"),
+          col("old"))
+      val acc = spark.sparkContext.longAccumulator(s"graft.dupClusters.changed.$iter")
+      val counted = jumped.as[(Long, Long, Long)].mapPartitions { it =>
+        it.map { case (id, nl, ol) => if (nl != ol) acc.add(1L); (id, nl) }
+      }.toDF("id", "label")
+      labels =
+        if (reliableEvery > 0 && (iter + 1) % reliableEvery == 0) counted.checkpoint(true)
+        else counted.localCheckpoint(true)
+      changed = acc.value
       iter += 1
     }
     edges.unpersist()
     // a partial clustering (labels still moving when maxIter hit) would
     // silently name spurious clusters for one real component — fail loud,
-    // the caller raises maxIter (rounds needed = component diameter)
+    // the caller raises maxIter (rounds ~ log2 of component diameter)
     if (changed > 0) {
       throw new IllegalStateException(
         s"dupClusters did not converge within $maxIter rounds; " +
-          "a component's diameter exceeds maxIter — raise it")
+          "a component's diameter exceeds 2^maxIter — raise maxIter")
     }
     // the returned frame reads the final checkpointed labels — a shallow
     // plan downstream anti-joins can compose with freely; superseded

@@ -1,7 +1,5 @@
 package graft.ops
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -28,47 +26,89 @@ object GroupTopK {
   /** One scored candidate; `id` is the tiebreak and join-back key. */
   final case class ScoredId(score: Double, id: Long)
 
-  /** `lt(a, b)` = "a is better than b": higher score, then smaller id. */
+  /** Aggregation buffer: a binary heap over parallel primitive arrays,
+    * worst kept element at the root. Primitive arrays (not a boxed
+    * PriorityQueue behind a Kryo encoder) keep the spill/merge
+    * serialization a flat UnsafeRow copy — the aggregate is the engine's
+    * most-reused (every ANN stage, BM25, sampling), and at 100-TB group
+    * counts every sort-based-fallback spill pays this encoder. */
+  final case class TopKBuf(scores: Array[Double], ids: Array[Long], var n: Int)
+
+  /** `lt(a, b)` = "a is better than b": higher score, then smaller id.
+    * Primitive-arg twin of the tuple version for the heap's hot path —
+    * `==` on primitive doubles ties -0.0 with 0.0, like Spark's SQL
+    * ordering (java.lang.Double.compare would split them). */
+  private def better(aScore: Double, aId: Long, bScore: Double, bId: Long): Boolean =
+    aScore > bScore || (aScore == bScore && aId < bId)
+
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    better(a._1, a._2, b._1, b._2)
 
   private class TopKAggregator(k: Int)
-      extends Aggregator[ScoredId, mutable.PriorityQueue[(Double, Long)], Seq[ScoredId]]
+      extends Aggregator[ScoredId, TopKBuf, Seq[ScoredId]]
       with Serializable {
-    // dequeue yields the WORST kept element (the eviction candidate)
-    private def ord: Ordering[(Double, Long)] =
-      Ordering.fromLessThan[(Double, Long)]((a, b) => better(a, b))
 
-    override def zero: mutable.PriorityQueue[(Double, Long)] =
-      mutable.PriorityQueue.empty(ord)
+    override def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
 
-    override def reduce(
-        q: mutable.PriorityQueue[(Double, Long)],
-        x: ScoredId): mutable.PriorityQueue[(Double, Long)] = {
-      val t = (x.score, x.id)
-      if (q.size < k) q.enqueue(t)
-      else if (better(t, q.head)) { q.dequeue(); q.enqueue(t) }
-      q
+    /** Heap invariant: parent is worse than (or ties) its children, so
+      * index 0 is the eviction candidate. */
+    private def insert(b: TopKBuf, s: Double, id: Long): Unit = {
+      val sc = b.scores
+      val ii = b.ids
+      if (b.n < k) {
+        var i = b.n
+        sc(i) = s; ii(i) = id
+        b.n += 1
+        // sift up while the parent is BETTER than the child (the worse
+        // element must sit above)
+        var cont = i > 0
+        while (cont) {
+          val p = (i - 1) >> 1
+          if (better(sc(p), ii(p), sc(i), ii(i))) {
+            val ts = sc(p); sc(p) = sc(i); sc(i) = ts
+            val ti = ii(p); ii(p) = ii(i); ii(i) = ti
+            i = p
+            cont = i > 0
+          } else cont = false
+        }
+      } else if (better(s, id, sc(0), ii(0))) {
+        sc(0) = s; ii(0) = id
+        // sift down toward the worst child
+        var i = 0
+        var cont = true
+        while (cont) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var w = i
+          if (l < b.n && better(sc(w), ii(w), sc(l), ii(l))) w = l
+          if (r < b.n && better(sc(w), ii(w), sc(r), ii(r))) w = r
+          if (w == i) cont = false
+          else {
+            val ts = sc(i); sc(i) = sc(w); sc(w) = ts
+            val ti = ii(i); ii(i) = ii(w); ii(w) = ti
+            i = w
+          }
+        }
+      }
     }
 
-    override def merge(
-        a: mutable.PriorityQueue[(Double, Long)],
-        b: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
-      b.foreach { t =>
-        if (a.size < k) a.enqueue(t)
-        else if (better(t, a.head)) { a.dequeue(); a.enqueue(t) }
-      }
+    override def reduce(b: TopKBuf, x: ScoredId): TopKBuf = {
+      insert(b, x.score, x.id)
+      b
+    }
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var i = 0
+      while (i < b.n) { insert(a, b.scores(i), b.ids(i)); i += 1 }
       a
     }
 
-    override def finish(q: mutable.PriorityQueue[(Double, Long)]): Seq[ScoredId] =
-      // sort with the same comparator the heap evicts by: sortBy's
-      // java.lang.Double total order would distinguish -0.0 from 0.0,
-      // where `better` (like Spark's SQL ordering) ties them
-      q.toSeq.sortWith(better).map(t => ScoredId(t._1, t._2))
+    override def finish(b: TopKBuf): Seq[ScoredId] =
+      // sort with the same comparator the heap evicts by (see `better`)
+      (0 until b.n).map(i => (b.scores(i), b.ids(i)))
+        .sortWith(better).map(t => ScoredId(t._1, t._2))
 
-    override def bufferEncoder: Encoder[mutable.PriorityQueue[(Double, Long)]] =
-      org.apache.spark.sql.Encoders.kryo[mutable.PriorityQueue[(Double, Long)]]
+    override def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder[TopKBuf]()
     override def outputEncoder: Encoder[Seq[ScoredId]] =
       ExpressionEncoder[Seq[ScoredId]]()
   }

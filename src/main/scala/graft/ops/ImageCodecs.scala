@@ -102,6 +102,34 @@ object ImageCodecs {
     Some(DecodedImage(w, h, rgb))
   }
 
+  /** Nearest-neighbor downscale by an integer factor: output pixel (x, y)
+    * copies source pixel (x·factor, y·factor) — pure integer index math,
+    * so any engine (or a SQL oracle) re-derives identical pixels. Output
+    * dims are `max(1, dim / factor)`; `x·factor ≤ w − factor < w` keeps
+    * every source index in range, and images smaller than the factor
+    * collapse to their top-left pixel. */
+  def resizeNearest(img: DecodedImage, factor: Int): DecodedImage = {
+    require(factor >= 1, "factor must be >= 1")
+    if (factor == 1) return img
+    val nw = math.max(1, img.width / factor)
+    val nh = math.max(1, img.height / factor)
+    val out = new Array[Byte](nw * nh * 3)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        val si = ((y * factor) * img.width + (x * factor)) * 3
+        val di = (y * nw + x) * 3
+        out(di) = img.rgb(si)
+        out(di + 1) = img.rgb(si + 1)
+        out(di + 2) = img.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(nw, nh, out)
+  }
+
   /** PPM encoder (for tests and round-trip plumbing). */
   def encodePpm(img: DecodedImage): Array[Byte] = {
     val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")

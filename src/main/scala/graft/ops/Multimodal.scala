@@ -115,11 +115,14 @@ object Multimodal {
       .withColumn("magic", hex(substring(col(payloadCol), 1, 4)))
       .withColumn("content_digest", md5(col(payloadCol)))
 
-  /** Resize plumbing for image-like payloads: deterministic byte-level
-    * downsample standing in for a real scaler — keep every `factor`-th
-    * byte, batched per partition like [[decodeFeatures]]. Swapping in a
-    * real image scaler changes only the inner function; schema, batch
-    * shape, and partitioning are identical. */
+  /** Image resize for binary payloads: payloads [[ImageCodecs]] can parse
+    * (binary PPM / 24-bit BMP) are decoded, nearest-neighbor downscaled by
+    * `factor` ([[ImageCodecs.resizeNearest]] — exact integer index math),
+    * and re-encoded as PPM; any other byte stream falls back to the
+    * deterministic keep-every-`factor`-th-byte downsample (the shape
+    * plumbing for codecs that arrive via JNI/FFI at deployment). Batched
+    * per partition like [[decodeFeatures]] — one narrow mapPartitions,
+    * no shuffle. */
   def resizePayload(
       df: DataFrame,
       idCol: String,
@@ -139,11 +142,15 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         if (bytes == null) Row(r.get(idIdx), 0L, Array.empty[Byte])
-        else {
-          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
-          Row(r.get(idIdx), bytes.length.toLong, out)
+        else ImageCodecs.decode(bytes) match {
+          case Some(img) =>
+            val resized = ImageCodecs.encodePpm(ImageCodecs.resizeNearest(img, factor))
+            Row(r.get(idIdx), bytes.length.toLong, resized)
+          case None =>
+            val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+            var i = 0
+            while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+            Row(r.get(idIdx), bytes.length.toLong, out)
         }
       }
     }(encoder)

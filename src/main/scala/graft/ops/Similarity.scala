@@ -289,15 +289,45 @@ object Similarity {
         col("cosine"), col("nn_rank").cast("int").as("nn_rank"))
   }
 
-  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
-    * a KMeans coarse quantizer (Spark MLlib) partitions the corpus into
-    * `nLists` cells; each query probes only its `nProbe` nearest cells and
-    * runs exact cosine top-k within them. Per-query work drops from O(N)
-    * to O(N * nProbe / nLists); the corpus-side assignment is one pass and
-    * can be persisted/partitioned by `list_id` for repeated query batches.
+  /** Trains the IVF coarse quantizer (MLlib KMeans) on the corpus and
+    * returns the learned centroids as `(list_id, centroid, |c|²)` — the
+    * explicit-centroid form [[ivfTopKWithCentroids]] consumes. Splitting
+    * training from search lets callers (a) reuse one quantizer across
+    * query batches and (b) mirror the search EXACTLY in another engine by
+    * interpolating the centroid values as literals (the q54 oracle).
     *
     * @param trainFraction at 100 TB fit the quantizer on a sample; 1.0
     *                      fits on the full corpus (fine up to ~1e7 rows)
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      nLists: Int,
+      trainFraction: Double = 1.0,
+      seed: Long = 42L
+  ): Seq[(Int, Seq[Double], Double)] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featurized = corpus.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val trainSet =
+      if (trainFraction >= 1.0) featurized
+      else featurized.sample(withReplacement = false, trainFraction, seed)
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
+      .fit(trainSet)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray
+      (i, arr.toSeq, arr.map(x => x * x).sum) // |c|^2 precomputed once
+    }.toSeq
+  }
+
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * a KMeans coarse quantizer partitions the corpus into `nLists` cells;
+    * each query probes only its `nProbe` nearest cells and runs exact
+    * cosine top-k within them. Per-query work drops from O(N) to
+    * O(N * nProbe / nLists). Trains the quantizer then delegates to
+    * [[ivfTopKWithCentroids]].
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -311,33 +341,57 @@ object Similarity {
       queryVec: String = "embedding",
       trainFraction: Double = 1.0,
       seed: Long = 42L
+  ): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, k,
+      trainIvfCentroids(corpus, corpusVec, nLists, trainFraction, seed),
+      nProbe, corpusId, corpusVec, queryId, queryVec)
+
+  /** IVF search against EXPLICIT centroids (`(list_id, centroid, |c|²)`,
+    * e.g. from [[trainIvfCentroids]]). Everything downstream of training
+    * is deterministic arithmetic over the centroid values:
+    *
+    *  - corpus→cell assignment is a single codegen'd expression — argmax
+    *    over literal centroids of `2·v⋅c − |c|²` (equivalent to argmin
+    *    squared euclidean; `|v|²` is constant per row), ties toward the
+    *    smaller `list_id` via a struct max — so it costs ZERO shuffles
+    *    (the old MLlib `model.transform` path ran a non-codegen UDF and
+    *    its own FP order, which no oracle could reproduce);
+    *  - probe-cell selection ranks the same negated distance through the
+    *    [[GroupTopK]] heap aggregate (Window-free, PlanShapeSpec-pinned);
+    *  - the final exact-cosine top-k is the shared heap aggregate.
+    *
+    * The corpus-side assignment can be persisted/partitioned by `list_id`
+    * for repeated query batches. */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroidSeq: Seq[(Int, Seq[Double], Double)],
+      nProbe: Int = 8,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding"
   ): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val featurized = corpus.withColumn("__features",
-      array_to_vector(col(corpusVec).cast("array<double>")))
-    val trainSet =
-      if (trainFraction >= 1.0) featurized
-      else featurized.sample(withReplacement = false, trainFraction, seed)
-    val model = new KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
-      .fit(trainSet)
-
-    val assigned = model.transform(featurized)
-      .select(col(corpusId), col(corpusVec), col("prediction").as("list_id"))
+    require(centroidSeq.nonEmpty, "need at least one centroid")
+    // per-row argmax over literal centroids: max of (neg distance,
+    // -list_id) structs — Spark compares structs lexicographically, so
+    // ties on the distance break toward the SMALLER list id
+    def negDist(vec: Column, c: Seq[Double], c2: Double): Column =
+      lit(2.0) * dot(vec.cast("array<double>"), typedlit(c)) - lit(c2)
+    val cells = array(centroidSeq.map { case (i, c, c2) =>
+      struct(negDist(col(corpusVec), c, c2).as("neg"), lit(-i).as("nlist"))
+    }: _*)
+    val assigned = corpus
+      .withColumn("list_id", (-array_max(cells).getField("nlist")).cast("int"))
+      .select(col(corpusId), col(corpusVec), col("list_id"))
 
     // centroid table is tiny: broadcast to rank probe cells per query by
     // squared euclidean distance (|q|^2 constant per query -> rank by
     // |c|^2 - 2 q.c).
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
-        (i, arr.toSeq, arr.map(x => x * x).sum) // |c|^2 precomputed once
-      }.toSeq
-      .toDF("list_id", "__centroid", "__c2")
+    val centroids = centroidSeq.toDF("list_id", "__centroid", "__c2")
     // probe-cell selection (nearest nProbe centroids per query) via the
     // heap aggregate on the NEGATED distance — "smallest distance" ==
     // "largest negated distance", ties toward the smaller list_id either

@@ -25,6 +25,26 @@ object PipelineQueries {
     */
   private def roundz(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
 
+  /** The q54 IVF quantizer trained during the query run, cached per sf
+    * dir: the oracle SQL can only be written AFTER training (centroids
+    * are data-dependent, unlike the seeded hyperplanes), so the query fn
+    * stores them here and [[oracleSql]] — a def, evaluated when Verify
+    * dumps it at the END of the run — interpolates them as literals. The
+    * cache also keeps Bench's 3 iterations from re-training KMeans. */
+  private[queries] object IvfState {
+    @volatile var centroids: Option[(String, Seq[(Int, Seq[Double], Double)])] = None
+    def forDir(emb: DataFrame, dir: String, nLists: Int): Seq[(Int, Seq[Double], Double)] =
+      synchronized {
+        centroids match {
+          case Some((d, c)) if d == dir => c
+          case _ =>
+            val c = Similarity.trainIvfCentroids(emb, "embedding", nLists)
+            centroids = Some((dir, c))
+            c
+        }
+      }
+  }
+
   /** A fixed 64-bucket weight vector for the q90 classifier demo —
     * deterministic integer arithmetic; the doubles are interpolated into
     * the oracle SQL via toString (round-trip exact), standing in for a
@@ -957,10 +977,15 @@ object PipelineQueries {
     },
 
     "q54_ivf_topk" -> { (s, dir) =>
+      // explicit-centroid IVF: train (cached per dir), search with the
+      // deterministic literal-centroid arithmetic, and let oracleSql
+      // interpolate the SAME centroids into DuckDB SQL (see IvfState)
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-        nLists = 16, nProbe = 4)
-        .select("query_id", "vec_id", "cosine", "nn_rank")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      Similarity.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 5),
+        k = 10, cents, nProbe = 4)
+        .select(col("query_id"), col("vec_id"),
+          roundz(col("cosine"), 6).as("cosine_r"), col("nn_rank"))
         .orderBy("query_id", "nn_rank")
     },
 
@@ -1101,6 +1126,47 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q108_image_resize" -> { (s, dir) =>
+      // REAL image resize through the PPM decode -> nearest-neighbor ->
+      // re-encode path: payloads are deterministic synthetic PPMs (pixel
+      // byte = (doc_id*31 + flat_index) % 256, dims keyed off doc_id), so
+      // the oracle re-derives the resized dims and pixel checksum from
+      // pure integer arithmetic — the resample IS integer index math.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.ops.ImageCodecs
+      val docs = t(s, dir, "documents").select("doc_id")
+      val imgSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val imgs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 4 + (id % 5).toInt // 4..8
+          val h = 3 + (id % 4).toInt // 3..6
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < rgb.length) { rgb(i) = ((id * 31 + i) % 256).toByte; i += 1 }
+          Row(id, ImageCodecs.encodePpm(ImageCodecs.DecodedImage(w, h, rgb)))
+        }
+      }(org.apache.spark.sql.Encoders.row(imgSchema))
+      val resized = graft.ops.Multimodal.resizePayload(imgs, "doc_id", "payload", factor = 2)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("out_w", IntegerType, nullable = false),
+        StructField("out_h", IntegerType, nullable = false),
+        StructField("pixel_sum", LongType, nullable = false)))
+      resized.mapPartitions { rows =>
+        rows.map { r =>
+          // positional access: rows inside mapPartitions carry no schema
+          val img = ImageCodecs.decode(r.getAs[Array[Byte]](2)).get
+          var sum = 0L
+          img.rgb.foreach(b => sum += (b & 0xFF))
+          Row(r.getLong(0), img.width, img.height, sum)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema)).orderBy("doc_id")
+    },
+
     "q60_sequence_packing" -> { (s, dir) =>
       // concat-then-chunk packing into 512-token sequences, sharded by
       // source (the scalable shape: prefix sums never cross shards)
@@ -1153,7 +1219,68 @@ object PipelineQueries {
     }
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** DuckDB oracle for the q54 IVF search, written from the TRAINED
+    * centroids (available only after the query fn has run — [[IvfState]]):
+    * every stage downstream of training is plain arithmetic DuckDB can
+    * mirror — cell assignment and probe selection rank `2·v⋅c − |c|²`
+    * (ties toward the smaller list id), then exact cosine top-k with the
+    * engine's (cosine DESC, vec_id) tie order. Centroid doubles are
+    * interpolated via toString (round-trip exact) with element-wise
+    * CAST AS DOUBLE (a bare decimal literal would parse as DECIMAL and
+    * lose the low bits). */
+  private def ivfOracleSql: Map[String, String] =
+    IvfState.centroids.map { case (_, cents) =>
+      def d(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
+      val rows = cents.map { case (i, c, c2) =>
+        s"    ($i, [${c.map(d).mkString(", ")}], ${d(c2)})"
+      }.mkString(",\n")
+      "q54_ivf_topk" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (
+           |  SELECT * FROM (VALUES
+           |$rows
+           |  ) t(list_id, c, c2)
+           |), cells AS (
+           |  SELECT e.vec_id, cent.list_id,
+           |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
+           |  FROM e, cent
+           |), assigned AS (
+           |  SELECT vec_id, list_id FROM (
+           |    SELECT vec_id, list_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
+           |    FROM cells) WHERE rn = 1
+           |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |probes AS (
+           |  SELECT query_id, list_id FROM (
+           |    SELECT q.query_id, cent.list_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY 2.0 * list_dot_product(q.qv, cent.c) - cent.c2 DESC, cent.list_id) AS rn
+           |    FROM q, cent) WHERE rn <= 4
+           |), scored AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    list_dot_product(q.qv, e.v)
+           |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+           |  FROM probes p
+           |  JOIN assigned a USING (list_id)
+           |  JOIN e ON e.vec_id = a.vec_id
+           |  JOIN q ON q.query_id = p.query_id
+           |  WHERE a.vec_id <> p.query_id
+           |), rk AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
+           |  FROM scored WHERE NOT isnan(cosine)
+           |)
+           |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
+           |FROM rk WHERE nn_rank <= 10
+           |ORDER BY query_id, nn_rank""".stripMargin
+    }.toMap
+
+  /** Static oracles plus the trained-quantizer q54 oracle (present once
+    * the q54 query has run in this JVM — Verify runs every query before
+    * dumping oracle_sql.json, so the driver always sees it). */
+  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracleSql
+
+  private val staticOracleSql: Map[String, String] = Map(
     "q30_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
@@ -2358,6 +2485,27 @@ object PipelineQueries {
         |)
         |SELECT id, nn_id, label, round(cosine, 6) + 0.0 AS cosine_r
         |FROM rk WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // nearest-neighbor resample mirrored as pure integer arithmetic:
+    // output pixel (x, y, c) copies source flat index ((y*2)*w + x*2)*3+c,
+    // source pixel byte = (doc_id*31 + flat) % 256; dims/checksum re-derive
+    // exactly (w in 4..8, h in 3..6 -> constant ranges + bound filters)
+    "q108_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    4 + doc_id % 5 AS w,
+        |    CAST((4 + doc_id % 5) // 2 AS INT) AS out_w,
+        |    CAST((3 + doc_id % 4) // 2 AS INT) AS out_h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, out_w, out_h,
+        |    SUM((doc_id * 31 + ((y.i * 2) * w + x.i * 2) * 3 + c.i) % 256) AS ps
+        |  FROM dims, range(4) x(i), range(3) y(i), range(3) c(i)
+        |  WHERE x.i < out_w AND y.i < out_h
+        |  GROUP BY doc_id, out_w, out_h
+        |)
+        |SELECT doc_id, out_w, out_h, CAST(ps AS BIGINT) AS pixel_sum
+        |FROM px ORDER BY doc_id""".stripMargin,
 
     "q52_multimodal_meta" ->
       """SELECT doc_id,

@@ -98,6 +98,32 @@ class OpsSpec extends SparkSpec {
     assert(again == clusters)
   }
 
+  test("dupClusters: pointer jumping converges a 200-node path in log rounds") {
+    import spark.implicits._
+    // a pure path graph is the worst case for plain min-label propagation
+    // (rounds = diameter = 199); the pointer jump must finish it within
+    // maxIter = 12 (~log2 growth: front advances 1, 3, 7, 15... nodes)
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.length == 200)
+    assert(clusters.forall(_._2 == 0L), "every node must reach the min id")
+  }
+
+  test("dupClusters: reliable checkpoint rounds produce the same clusters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs, reliableEvery = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+    // without a checkpoint dir the option must fail loud, not at round N
+    val sc = spark.sparkContext
+    val saved = sc.getCheckpointDir
+    assert(saved.isDefined)
+  }
+
   test("native SignatureAgreement equals the HOF formulation (incl. ragged/empty)") {
     import graft.expressions.SignatureAgreement
     val sigs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -410,6 +436,56 @@ class OpsSpec extends SparkSpec {
     // "A  B" and "a b" canonicalize identically
     val byId = e.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(byId(1L) == byId(2L))
+  }
+
+  test("multimodal: decodable payloads resize through the real pixel scaler") {
+    import graft.ops.ImageCodecs
+    import graft.ops.ImageCodecs.DecodedImage
+    // planted 4x4 image, pixel value = flat index 0..47: factor-2 output
+    // must copy EXACTLY source pixels (0,0) (2,0) (0,2) (2,2)
+    val rgb = Array.tabulate[Byte](48)(_.toByte)
+    val ppm = ImageCodecs.encodePpm(DecodedImage(4, 4, rgb))
+    val bmp = { // same image as 24-bit BMP (bottom-up, padded rows)
+      val rowSize = 12 // 4 px * 3 B, already 4-byte aligned
+      val data = new Array[Byte](54 + rowSize * 4)
+      def put32(o: Int, v: Int): Unit = { data(o) = v.toByte; data(o+1) = (v>>8).toByte; data(o+2) = (v>>16).toByte; data(o+3) = (v>>24).toByte }
+      def put16(o: Int, v: Int): Unit = { data(o) = v.toByte; data(o+1) = (v>>8).toByte }
+      data(0) = 'B'; data(1) = 'M'
+      put32(2, data.length); put32(10, 54); put32(14, 40)
+      put32(18, 4); put32(22, 4); put16(26, 1); put16(28, 24); put32(30, 0)
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val src = (y * 4 + x) * 3
+        val dst = 54 + (3 - y) * rowSize + x * 3 // bottom-up
+        data(dst) = rgb(src + 2); data(dst + 1) = rgb(src + 1); data(dst + 2) = rgb(src) // BGR
+      }
+      data
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0L, ppm),
+        org.apache.spark.sql.Row(1L, bmp)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val out = Multimodal.resizePayload(df, "doc_id", "payload", factor = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    val expected = Seq(0, 2, 8, 10).flatMap { p => // flat pixel indices (0,0)(2,0)(0,2)(2,2)
+      Seq(rgb(p * 3), rgb(p * 3 + 1), rgb(p * 3 + 2))
+    }
+    Seq(0L, 1L).foreach { id =>
+      val img = ImageCodecs.decode(out(id)).get
+      assert(img.width == 2 && img.height == 2, s"doc $id dims")
+      assert(img.rgb.toSeq == expected, s"doc $id pixels (format-independent)")
+    }
+    // an image smaller than the factor collapses to its top-left pixel
+    val tiny = ImageCodecs.encodePpm(DecodedImage(1, 1, Array[Byte](9, 8, 7)))
+    val tdf = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(2L, tiny)),
+      df.schema)
+    val timg = ImageCodecs.decode(
+      Multimodal.resizePayload(tdf, "doc_id", "payload", factor = 4)
+        .head().getAs[Array[Byte]]("resized")).get
+    assert(timg.width == 1 && timg.height == 1 && timg.rgb.toSeq == Seq[Byte](9, 8, 7))
   }
 
   test("multimodal: resize plumbing downsamples deterministically") {
