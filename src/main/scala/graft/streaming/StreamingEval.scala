@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.Evaluator
-import graft.model.Stats
+import graft.{Evaluator, StagedEvaluator}
+import graft.model.{FinalScoreMode, StageFilter, Stats}
 
 /** Streaming evaluation: the reference engine is fully batch
   * (SURVEY.md §2.6 — no streaming surface), so this module is the
@@ -49,6 +49,92 @@ object StreamingEval {
       .detailProjection(stream, scoreExprs, includeDetails)
       .withColumn("final_score", Evaluator.combinedFinalScore(
         scoreExprs, evaluator.normalizeWeights, evaluator.getTotalWeight))
+  }
+
+  /** Stateless streaming STAGED scoring: the [[graft.StagedEvaluator]]
+    * cascade with pre-computed per-stage statistics (a completed batch
+    * run's `StagedResult.statistics` — stage k's stats ARE the stage-k
+    * cohort aggregates, so freezing them makes every stage a row-local
+    * projection). Emits the batch engine's stage score/detail columns,
+    * `eliminated_at_stage`, and `final_score` (both final-score modes);
+    * rows eliminated at an earlier stage get null scores for stages they
+    * never reached, exactly like the batch wide-result join.
+    *
+    * Two batch capabilities are inherently cohort-global and stay batch-
+    * only: top-N stage filters (they rank the whole cohort — passing one
+    * here throws) and the `ranking`/`{stage}_ranking` columns (omitted;
+    * rank downstream per window/snapshot if needed). Works in append mode
+    * with no state store, like [[scoreStream]]. */
+  def scoreStagedStream(
+      stream: DataFrame,
+      staged: StagedEvaluator,
+      frozenStats: Map[String, Map[String, Stats]],
+      includeDetails: Boolean = true
+  ): DataFrame = {
+    val stages = staged.stageDefinitions
+    require(stages.nonEmpty, "No stages defined. Add stages before evaluating.")
+    stages.foreach { st =>
+      st.filter.foreach {
+        case StageFilter.TopN(_, _) => throw new IllegalArgumentException(
+          s"stage '${st.name}': top-N filters rank the whole cohort and need " +
+            "the batch engine; streaming supports score-threshold filters")
+        case _ => ()
+      }
+    }
+    def statsFor(stage: String, column: String, name: String): Stats = {
+      val m = frozenStats.getOrElse(stage, throw new IllegalArgumentException(
+        s"frozenStats has no entry for stage '$stage'"))
+      m.getOrElse(name, m.getOrElse(column, throw new IllegalArgumentException(
+        s"frozenStats('$stage') has no entry for criterion '$name' (column '$column')")))
+    }
+
+    // One pass over the stage list builds every expression against the
+    // single input projection — scores masked by "not yet eliminated", the
+    // elimination marker folded stage over stage, all evaluated in ONE
+    // select (the per-stage joins of the batch engine collapse to column
+    // arithmetic once stats are literals).
+    var elim: Column = lit(null).cast("string")
+    val details = Seq.newBuilder[(String, Column)]
+    val stageScores = Seq.newBuilder[(graft.StageDefinition, Column)]
+    val n = stages.size
+    stages.zipWithIndex.foreach { case (stage, i) =>
+      val safe = staged.safeName(stage.name)
+      val alive = elim.isNull
+      val scoreExprs: Seq[(String, Column)] = stage.evaluator.criteria.map {
+        case (column, c) =>
+          s"${safe}_${c.name}" -> when(alive,
+            c.expr(col(column).cast("double"), statsFor(stage.name, column, c.name)))
+      }
+      // same combine as the batch stage engine; the mask rides inside the
+      // summands, so eliminated rows get null (≡ the batch join miss)
+      val stageScore = when(alive, Evaluator.combinedFinalScore(
+        scoreExprs, stage.evaluator.normalizeWeights, stage.evaluator.getTotalWeight))
+      details ++= scoreExprs
+      details += (s"${safe}_score" -> stageScore)
+      stageScores += stage -> stageScore
+      // P3 threshold filter (never on the last stage, like the batch); a
+      // null stage score is "neither advanced nor eliminated" and flows on
+      if (i < n - 1) stage.filter.foreach {
+        case StageFilter.ScoreThreshold(t) =>
+          elim = when(elim.isNotNull, elim)
+            .otherwise(when(coalesce(stageScore < lit(t), lit(false)), lit(stage.name)))
+        case _ => ()
+      }
+    }
+
+    // P7/P8 final score — same formulas as the batch result assembly
+    val finalScore: Column = staged.finalScoreMode match {
+      case FinalScoreMode.LastStage => stageScores.result().last._2
+      case FinalScoreMode.WeightedCombination =>
+        val totalWeight = stages.map(_.weight).sum
+        if (totalWeight == 0) lit(Double.NaN)
+        else stageScores.result().foldLeft(lit(0.0): Column) { case (acc, (s, c)) =>
+          acc + coalesce(nanvl(c, lit(0.0)), lit(0.0)) * lit(s.weight / totalWeight)
+        }
+    }
+    Evaluator.detailProjection(stream, details.result(), includeDetails)
+      .withColumn("eliminated_at_stage", elim)
+      .withColumn("final_score", finalScore)
   }
 
   /** Tumbling-window aggregation with late-data handling: counts + value

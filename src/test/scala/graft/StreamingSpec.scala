@@ -157,6 +157,101 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("scoreStagedStream with frozen per-stage stats reproduces the batch staged result") {
+    implicit val sqlCtx = spark.sqlContext
+    val bids = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum("l_quantity").cast("double").as("total_qty"))
+
+    val staged = new StagedEvaluator()
+      .addStage("Technical", filterType = "score_threshold", threshold = 40.0)
+      .linear("total_qty", 0.5)
+      .linear("n_items", 0.5)
+      .addStage("Economic")
+      .minRatio("n_items", 1.0)
+    val batchRes = staged.evaluateResult(bids)
+    // everything except the cohort-global rankings must replay identically
+    val cmp = Seq("technical_total_qty", "technical_n_items", "technical_score",
+      "economic_n_items", "economic_score", "eliminated_at_stage", "final_score")
+    val expected = batchRes.df.collect()
+      .map(r => r.getAs[Long]("l_suppkey") -> cmp.map(c => Option(r.getAs[Any](c))))
+      .toMap
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val scored = StreamingEval.scoreStagedStream(
+      input.toDF().toDF("l_suppkey", "n_items", "total_qty"),
+      staged, batchRes.statistics)
+    assert(!scored.columns.contains("ranking"),
+      "cohort-global ranking must not be fabricated on a stream")
+    val query = scored.writeStream.format("memory").queryName("staged_diff")
+      .outputMode("append").start()
+    try {
+      val rows = bids.as[(Long, Long, Double)].collect().toSeq
+      input.addData(rows)
+      query.processAllAvailable()
+      val streamed = spark.table("staged_diff").collect()
+        .map(r => r.getAs[Long]("l_suppkey") -> cmp.map(c => Option(r.getAs[Any](c))))
+        .toMap
+      assert(streamed.keySet == expected.keySet)
+      // identical criterion expressions + identical frozen stats ->
+      // bit-identical scores, same eliminations, null later-stage scores
+      // for eliminated rows
+      streamed.foreach { case (k, v) => assert(v == expected(k), s"supplier $k") }
+      assert(streamed.values.exists(_.apply(5).isDefined),
+        "fixture must actually eliminate someone at the threshold")
+      assert(streamed.exists { case (_, v) => v(5).isDefined && v(4).isEmpty },
+        "an eliminated row must have a null score for the stage it never reached")
+    } finally query.stop()
+  }
+
+  test("scoreStagedStream: weighted-combination mode and top-N rejection") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.StageFilter
+    val bids = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum("l_quantity").cast("double").as("total_qty"))
+
+    val staged = new StagedEvaluator("weighted_combination")
+      .addStage("A", Some(StageFilter.ScoreThreshold(30.0)), 2.0)
+      .linear("total_qty", 1.0)
+      .addStage("B", None, 1.0)
+      .minRatio("n_items", 1.0)
+    val batchRes = staged.evaluateResult(bids)
+    val expected = batchRes.df.collect()
+      .map(r => r.getAs[Long]("l_suppkey") ->
+        (Option(r.getAs[Any]("final_score")), Option(r.getAs[Any]("eliminated_at_stage"))))
+      .toMap
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val scored = StreamingEval.scoreStagedStream(
+      input.toDF().toDF("l_suppkey", "n_items", "total_qty"),
+      staged, batchRes.statistics)
+    val query = scored.writeStream.format("memory").queryName("staged_diff_w")
+      .outputMode("append").start()
+    try {
+      input.addData(bids.as[(Long, Long, Double)].collect().toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("staged_diff_w").collect()
+        .map(r => r.getAs[Long]("l_suppkey") ->
+          (Option(r.getAs[Any]("final_score")), Option(r.getAs[Any]("eliminated_at_stage"))))
+        .toMap
+      assert(streamed == expected)
+    } finally query.stop()
+
+    // top-N filters are cohort-ranked: the streaming scorer must refuse
+    val topN = new StagedEvaluator()
+      .addStage("S", filterType = "top_n", topN = 10, onTie = "include")
+      .linear("total_qty", 1.0)
+      .addStage("F")
+      .linear("n_items", 1.0)
+    val e = intercept[IllegalArgumentException] {
+      StreamingEval.scoreStagedStream(bids, topN, Map.empty)
+    }
+    assert(e.getMessage.contains("top-N"))
+  }
+
   test("streaming dedup drops canonical duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
