@@ -569,13 +569,24 @@ object Dedup {
     * Per round, each node takes (1) the minimum label among itself and
     * its neighbors (edge relaxation), then (2) the previous round's label
     * OF that minimum (pointer jump — labels are node ids, so a label is
-    * itself an address into the label table). The jump doubles the
-    * distance already-propagated labels cover, so rounds needed are
-    * ~log2(component diameter) instead of the diameter — on a path graph
-    * the label front advances 1, 3, 7, 15… nodes per round. Near-clique
-    * dup clusters still converge in 2-3 rounds; the jump is what keeps a
-    * pathological chain component from turning 100× scale into 100×
-    * rounds.
+    * itself an address into the label table). The jump fires whenever the
+    * adopted label is itself stale — the all-self-labels start and every
+    * post-merge reflood — doubling the distance covered per round there
+    * (a 200-node path with fresh labels converges in ~11 rounds, not
+    * 199; spec-pinned). Phases where the frontier adopts an already-FINAL
+    * label advance one hop per round (the jump is a no-op on a root), so
+    * the worst-case round count is the eccentricity of a component's
+    * minimum node, not log(diameter) — hence the generous default
+    * `maxIter`: rounds are cheap (the label frame is two longs per paired
+    * doc, one job each), and near-dup cluster graphs are near-cliques
+    * that converge in 2-4 regardless. A measured point for the
+    * adversarial shape: the sf0.001 semantic-dedup graph at cosine ≥ 0.2
+    * (345 nodes in thin threads) needs 21 rounds. Truly thread-shaped
+    * graphs at huge scale want an edge-rewriting algorithm
+    * (large-star/small-star), which buys its O(log²) bound by reshuffling
+    * the O(E) edge frame every round — the wrong trade for this
+    * operator's blob-shaped inputs, where the static (persisted) edge
+    * frame is the point.
     *
     * One Spark job per round: the convergence check rides the round's own
     * materialization (a `LongAccumulator` incremented while the new label
@@ -601,7 +612,7 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20,
+      maxIter: Int = 64,
       reliableEvery: Int = 0
   ): DataFrame = {
     val spark = pairs.sparkSession
@@ -646,13 +657,16 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"dupClusters converged in $iter rounds (maxIter $maxIter)")
     // a partial clustering (labels still moving when maxIter hit) would
     // silently name spurious clusters for one real component — fail loud,
-    // the caller raises maxIter (rounds ~ log2 of component diameter)
+    // the caller raises maxIter (worst case ~ eccentricity of a
+    // component's min node; see the scaladoc)
     if (changed > 0) {
       throw new IllegalStateException(
         s"dupClusters did not converge within $maxIter rounds; " +
-          "a component's diameter exceeds 2^maxIter — raise maxIter")
+          "a component min's eccentricity exceeds maxIter — raise it")
     }
     // the returned frame reads the final checkpointed labels — a shallow
     // plan downstream anti-joins can compose with freely; superseded
@@ -770,8 +784,9 @@ object Dedup {
     * keeper is canonical: exactly one survivor per semantic cluster.
     *
     * Scale shape: inherits the bucketed pair join (no all-pairs) and the
-    * Pregel-style label loop (rounds = component diameter, near-clique
-    * clusters converge in 2-3); the final anti-join ships only loser ids. */
+    * [[dupClusters]] label loop (near-clique clusters converge in 2-4
+    * rounds; see its scaladoc for the thin-thread worst case); the final
+    * anti-join ships only loser ids. */
   def semanticDedup(
       df: DataFrame,
       idCol: String,

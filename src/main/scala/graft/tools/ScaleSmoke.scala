@@ -150,6 +150,22 @@ object ScaleSmoke {
           .agg(count(col("clf_prob"))).collect()
       }
 
+      // connected components at edge scale: n*600k chain edges in
+      // 10-node chains PLUS one 10k-node path — the pathological
+      // diameter case pointer jumping exists for (plain min-label
+      // propagation would need 10k rounds; the jump converges in ~log2)
+      time(s"dup clusters (${rows} chain edges + one 10k-node path)") {
+        val chains = bids.select(
+          col("l_orderkey").as("id_a"),
+          when(col("l_orderkey") % 10 === 9, col("l_orderkey") - 9)
+            .otherwise(col("l_orderkey") + 1).as("id_b"))
+        val longPath = spark.range(9999).select(
+          (col("id") - 10000000000L).as("id_a"),
+          (col("id") - 10000000000L + 1).as("id_b"))
+        graft.ops.Dedup.dupClusters(chains.unionAll(longPath), maxIter = 20)
+          .agg(countDistinct(col("cluster_id"))).collect()
+      }
+
       // snapshot compaction: ONE max-struct aggregate; the map-side
       // partial combine ships one candidate per key per partition
       time(s"latest-by-key compaction ($rows rows, 10k keys)") {

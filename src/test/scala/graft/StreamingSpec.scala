@@ -205,6 +205,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("scoreStagedStream: null criterion values stay active, like the batch engine") {
+    implicit val sqlCtx = spark.sqlContext
+    // pandas NaN-score rows fall through the threshold masks and stay
+    // active ("neither advanced nor eliminated") — the null row must reach
+    // stage 2 in BOTH engines
+    val bids = Seq(
+      (1L, Some(100.0), 10.0), (2L, Some(50.0), 20.0),
+      (3L, None, 30.0), // null stage-1 input -> null score -> stays active
+      (4L, Some(0.0), 40.0)
+    ).toDF("id", "a", "b")
+    val staged = new StagedEvaluator()
+      .addStage("S1", filterType = "score_threshold", threshold = 40.0)
+      .linear("a", 1.0)
+      .addStage("S2")
+      .linear("b", 1.0)
+    val batchRes = staged.evaluateResult(bids)
+    val cmp = Seq("s1_score", "s2_score", "eliminated_at_stage", "final_score")
+    val expected = batchRes.df.collect()
+      .map(r => r.getAs[Long]("id") -> cmp.map(c => Option(r.getAs[Any](c)))).toMap
+    assert(expected(3L)(2).isEmpty, "null-input row must not be eliminated")
+    assert(expected(3L)(1).isDefined, "null-input row must reach stage 2")
+    assert(expected(4L)(2).contains("S1"), "score-0 row must fall to the threshold")
+
+    val input = MemoryStream[(Long, Option[Double], Double)]
+    val scored = StreamingEval.scoreStagedStream(
+      input.toDF().toDF("id", "a", "b"), staged, batchRes.statistics)
+    val query = scored.writeStream.format("memory").queryName("staged_diff_null")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, Some(100.0), 10.0), (2L, Some(50.0), 20.0),
+        (3L, None, 30.0), (4L, Some(0.0), 40.0))
+      query.processAllAvailable()
+      val streamed = spark.table("staged_diff_null").collect()
+        .map(r => r.getAs[Long]("id") -> cmp.map(c => Option(r.getAs[Any](c)))).toMap
+      assert(streamed == expected)
+    } finally query.stop()
+  }
+
   test("scoreStagedStream: weighted-combination mode and top-N rejection") {
     implicit val sqlCtx = spark.sqlContext
     import graft.model.StageFilter
