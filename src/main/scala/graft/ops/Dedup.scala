@@ -803,6 +803,42 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[semanticDedup]] with keeper-by-QUALITY: each semantic cluster keeps
+    * its highest-`qualityCol` member instead of the minimum id — the
+    * production SemDeDup policy (drop the redundant copies, keep the best
+    * written one). Ties break toward the smaller id; null/NaN quality maps
+    * to -Infinity (below every real score but still rankable), so an
+    * all-null cluster degrades to the min-id keeper instead of vanishing.
+    *
+    * Scale shape: [[semanticDedup]]'s bucketed pairs + label loop, plus
+    * one join of the (small) cluster assignment against the quality
+    * column and a k=1 [[GroupTopK]] heap — keeper selection never
+    * shuffles the corpus, only the clustered ids. */
+  def semanticDedupKeepBest(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      qualityCol: String,
+      threshold: Double = 0.95,
+      nBits: Int = 10,
+      nTables: Int = 3
+  ): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, idCol, vecCol, dim, threshold, nBits, nTables)
+    val clusters = dupClusters(pairs)
+    val q = col(qualityCol).cast("double")
+    val scored = clusters.join(
+      df.select(col(idCol).cast("long").as("doc_id"),
+        when(q.isNotNull && !isnan(q), q)
+          .otherwise(lit(Double.NegativeInfinity)).as("__q")),
+      Seq("doc_id"))
+    val keepers = GroupTopK.topKPerGroup(scored, Seq("cluster_id"), "doc_id", "__q", 1)
+      .select(col("doc_id"))
+    val losers = clusters.select("doc_id").join(keepers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: remove from `corpus` every document whose
     * n-gram containment against some `bench` document reaches `threshold`
     * (per [[contaminationPairs]]). The returned frame is `corpus` minus

@@ -1082,6 +1082,18 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    "q109_semantic_keep_best" -> { (s, dir) =>
+      // SemDeDup with keeper-by-quality: q77's clusters, but each keeps
+      // its highest-quality member (deterministic derived quality so the
+      // oracle re-ranks identically) instead of the min id
+      val emb = t(s, dir, "embeddings")
+        .withColumn("quality", (col("vec_id") % 7).cast("double"))
+      Dedup.semanticDedupKeepBest(emb, "vec_id", "embedding", dim = 64,
+        qualityCol = "quality", threshold = 0.2, nBits = 8, nTables = 3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+
     "q78_decontaminate" -> { (s, dir) =>
       // the filter stage over q58's contamination report: training corpus
       // (doc_id < 400) minus every doc whose trigram containment against
@@ -2309,6 +2321,51 @@ object PipelineQueries {
          |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
          |), losers AS (
          |  SELECT src AS vec_id FROM reach GROUP BY src HAVING MIN(dst) < src
+         |)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // q77's pair + closure chain, keeper re-ranked by the derived quality
+    // (q DESC, id ASC — the engine's GroupTopK tie contract); clusters
+    // name themselves via LEAST(src, MIN(dst)) like q73
+    "q109_semantic_keep_best" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 3, t => 104729L * (t + 1))
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), prs AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM k a JOIN k c ON a.vec_id < c.vec_id
+         |    AND (a.k_0 = c.k_0 OR a.k_1 = c.k_1 OR a.k_2 = c.k_2)
+         |  WHERE NOT isnan(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |    AND list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.2
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+         |), clusters AS (
+         |  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), keepers AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY CAST(vec_id % 7 AS DOUBLE) DESC, vec_id) AS rn
+         |    FROM clusters) WHERE rn = 1
+         |), losers AS (
+         |  SELECT vec_id FROM clusters
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM keepers)
          |)
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)

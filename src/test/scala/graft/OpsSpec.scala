@@ -98,6 +98,31 @@ class OpsSpec extends SparkSpec {
     assert(again == clusters)
   }
 
+  test("semanticDedupKeepBest: highest quality wins; all-null clusters keep min id") {
+    import spark.implicits._
+    // two planted clusters of identical vectors (cosine 1), orthogonal to
+    // each other (cosine 0 — the exact-verify stage must NOT merge them),
+    // plus an unpaired singleton
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val c = Seq(0.0f, 0.0f, 1.0f, 0.0f)
+    val df = Seq(
+      (10L, a, Some(1.0)), (11L, a, Some(5.0)), (12L, a, Some(3.0)), // keeper: 11
+      (20L, b, None), (21L, b, None),                                // all-null -> min id 20
+      (30L, c, Some(0.5))                                            // singleton survives
+    ).toDF("vec_id", "embedding", "quality")
+    val kept = Dedup.semanticDedupKeepBest(df, "vec_id", "embedding", dim = 4,
+      qualityCol = "quality", threshold = 0.9, nBits = 6, nTables = 2)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(11L, 20L, 30L))
+    // ties on quality break toward the smaller id (the GroupTopK contract)
+    val tied = df.withColumn("quality", lit(2.0))
+    val keptTied = Dedup.semanticDedupKeepBest(tied, "vec_id", "embedding", dim = 4,
+      qualityCol = "quality", threshold = 0.9, nBits = 6, nTables = 2)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptTied == Seq(10L, 20L, 30L))
+  }
+
   test("dupClusters: pointer jumping converges a 200-node path in log rounds") {
     import spark.implicits._
     // a pure path graph is the worst case for plain min-label propagation
