@@ -864,4 +864,55 @@ object Dedup {
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** [[decontaminate]] through a Bloom-filter pre-filter — the 100-TB
+    * shape: one distributed aggregate builds a Bloom sketch (a few MB)
+    * over the benchmark's n-gram hashes; the corpus scan then probes it
+    * as a plan LITERAL (codegen'd, map-side, no shuffle) and only
+    * documents sharing at least one probable gram with the benchmark —
+    * a tiny fraction of a web corpus, since benchmarks are small — enter
+    * the shuffle-bearing exact containment join. Bloom filters have NO
+    * false negatives, so every truly contaminated document is a
+    * candidate and the result is IDENTICAL to the exact operator (the
+    * uncapped variant; a corpus-wide doc-frequency cap would need the
+    * full-corpus gram aggregate the Bloom path exists to avoid). False
+    * positives only cost extra exact-join work, bounded by `fpp`.
+    *
+    * Uses Spark's own runtime-filter expressions
+    * ([[org.apache.spark.sql.graft.BloomBridge]]), so the probe stays
+    * inside whole-stage codegen. `expectedGrams`/`fpp` size the sketch
+    * (defaults: 2^20 grams at 1% ≈ 1.2 MB); keep `expectedGrams` within
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4e6
+    * default). */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      ngram: Int = 3,
+      expectedGrams: Long = 1L << 20,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    require(expectedGrams > 0, "expectedGrams must be positive")
+    val numBits = math.max(64L, math.ceil(
+      -expectedGrams.toDouble * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
+    val bloom = bench
+      .select(explode(wordGrams(col(textCol), ngram)).as("tok"))
+      .agg(org.apache.spark.sql.graft.BloomBridge
+        .bloomAgg(xxhash64(col("tok")), expectedGrams, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bloom == null) corpus // empty benchmark: nothing to remove
+    else {
+      val anyHit = exists(wordGrams(col(textCol), ngram),
+        g => org.apache.spark.sql.graft.BloomBridge.mightContain(bloom, xxhash64(g)))
+      val candidates = corpus.filter(coalesce(anyHit, lit(false)))
+      val contaminated = contaminationPairs(
+          candidates, bench, textCol, idCol, threshold, ngram, maxDocFreq = None)
+        .select(col("corpus_id").as(idCol))
+        .distinct()
+      corpus.join(contaminated, Seq(idCol), "left_anti")
+    }
+  }
 }

@@ -238,6 +238,46 @@ object Sampling {
     df.filter(col(textCol).isNotNull && unitHash(col(idCol), salt) < p)
   }
 
+  /** Cluster-balanced (diversity) sampling: assign every row to its
+    * nearest centroid (one codegen'd literal-centroid argmax —
+    * [[Similarity.assignCell]], zero shuffle) and keep a deterministic
+    * uniform sample of at most `perCluster` rows per cell — the
+    * embedding-space analogue of per-source quotas: a cap per semantic
+    * region, so over-represented content (boilerplate clusters, template
+    * farms) can't dominate the corpus. Selection ranks the [[unitHash]]
+    * of the id ascending (ties toward the smaller id), so the sample is
+    * reproducible across runs, partitionings, and engines; centroids come
+    * from [[Similarity.trainIvfCentroids]] or any external quantizer.
+    *
+    * Adds `list_id` (assigned cell) and `sample_rank` (1-based within
+    * the cell). Null ids are excluded (their hash is null — unrankable).
+    *
+    * Scale shape: map-side assignment + the [[GroupTopK]] heap aggregate
+    * (shuffle carries perCluster·nLists winner ids), then one join-back
+    * (AQE broadcasts the winner set when it fits). */
+  def clusterBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double], Double)],
+      perCluster: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    val assigned = df
+      .withColumn("list_id", graft.ops.Similarity.assignCell(col(vecCol), centroids))
+    // GroupTopK keeps the LARGEST scores; rank the unit hash ascending
+    // by negating it. Hash of a null id is null -> dropped by the heap.
+    val scored = assigned
+      .select(col("list_id"), col(idCol),
+        (-unitHash(col(idCol), salt)).as("__neg_u"))
+    val winners = GroupTopK
+      .topKPerGroup(scored, Seq("list_id"), idCol, "__neg_u", perCluster,
+        rankCol = "sample_rank")
+      .select(col(idCol), col("sample_rank"))
+    assigned.join(winners, Seq(idCol))
+  }
+
   /** Deterministic global shuffle order for training-data serving: adds
     * `shard` (= md5 prefix of the id mod `numShards`) and `shuffle_pos`
     * (1-based rank within the shard, ordered by the full md5 hex then id).

@@ -346,6 +346,23 @@ object Similarity {
       trainIvfCentroids(corpus, corpusVec, nLists, trainFraction, seed),
       nProbe, corpusId, corpusVec, queryId, queryVec)
 
+  /** Nearest-centroid cell id for a vector column, as a single codegen'd
+    * expression over LITERAL centroids: argmax of `2·v⋅c − |c|²`
+    * (equivalent to argmin squared euclidean — `|v|²` is constant per
+    * row) via a struct max, ties toward the SMALLER `list_id` (Spark
+    * compares structs lexicographically). Zero shuffles, exactly
+    * mirrorable in SQL by interpolating the centroid values — shared by
+    * [[ivfTopKWithCentroids]] and
+    * [[Sampling.clusterBalancedSample]]. */
+  def assignCell(vec: Column, centroidSeq: Seq[(Int, Seq[Double], Double)]): Column = {
+    require(centroidSeq.nonEmpty, "need at least one centroid")
+    val cells = array(centroidSeq.map { case (i, c, c2) =>
+      struct((lit(2.0) * dot(vec.cast("array<double>"), typedlit(c)) - lit(c2)).as("neg"),
+        lit(-i).as("nlist"))
+    }: _*)
+    (-array_max(cells).getField("nlist")).cast("int")
+  }
+
   /** IVF search against EXPLICIT centroids (`(list_id, centroid, |c|²)`,
     * e.g. from [[trainIvfCentroids]]). Everything downstream of training
     * is deterministic arithmetic over the centroid values:
@@ -374,16 +391,8 @@ object Similarity {
       queryVec: String = "embedding"
   ): DataFrame = {
     require(centroidSeq.nonEmpty, "need at least one centroid")
-    // per-row argmax over literal centroids: max of (neg distance,
-    // -list_id) structs — Spark compares structs lexicographically, so
-    // ties on the distance break toward the SMALLER list id
-    def negDist(vec: Column, c: Seq[Double], c2: Double): Column =
-      lit(2.0) * dot(vec.cast("array<double>"), typedlit(c)) - lit(c2)
-    val cells = array(centroidSeq.map { case (i, c, c2) =>
-      struct(negDist(col(corpusVec), c, c2).as("neg"), lit(-i).as("nlist"))
-    }: _*)
     val assigned = corpus
-      .withColumn("list_id", (-array_max(cells).getField("nlist")).cast("int"))
+      .withColumn("list_id", assignCell(col(corpusVec), centroidSeq))
       .select(col(corpusId), col(corpusVec), col("list_id"))
 
     // centroid table is tiny: broadcast to rank probe cells per query by

@@ -822,6 +822,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q110_gopher_rules" -> { (s, dir) =>
+      // Gopher quality-rule bundle (published thresholds): the seven
+      // per-document measures plus the overall pass verdict — all pure
+      // codegen'd Column arithmetic, mirrored measure-for-measure in the
+      // oracle (x/0 -> null on both engines, null components fail rules)
+      graft.ops.QualityRules.withGopherFlags(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("g_words"),
+          roundz(col("g_avg_word_len"), 6).as("awl_r"),
+          roundz(col("g_symbol_ratio"), 6).as("symbol_r"),
+          roundz(col("g_bullet_frac"), 6).as("bullet_r"),
+          roundz(col("g_ellipsis_frac"), 6).as("ellipsis_r"),
+          roundz(col("g_alpha_frac"), 6).as("alpha_r"),
+          col("g_stopword_hits"), col("g_pass"))
+        .orderBy("doc_id")
+    },
+
+    "q111_cluster_balanced" -> { (s, dir) =>
+      // cluster-balanced diversity sampling: nearest-centroid assignment
+      // against q54's cached quantizer (one literal-centroid argmax, zero
+      // shuffle) + a deterministic md5-ranked quota per cell; the oracle
+      // interpolates the SAME centroids and re-ranks the same hash
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      graft.ops.Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+        cents, perCluster = 10, salt = "cb")
+        .select("vec_id", "list_id", "sample_rank")
+        .orderBy("list_id", "sample_rank")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -1107,6 +1136,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q112_bloom_decontaminate" -> { (s, dir) =>
+      // q78's decontamination flow through the Bloom scale path: the
+      // bench-gram Bloom sketch (NO false negatives) clears
+      // non-overlapping docs inside the codegen'd corpus scan; only
+      // candidates reach the exact containment join, so the result is
+      // bit-identical to the exact uncapped operator — which is exactly
+      // what the oracle computes (q78's SQL minus the doc-frequency cap)
+      val docs = t(s, dir, "documents")
+      Dedup.bloomDecontaminate(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "text", "doc_id", threshold = 0.5, ngram = 3)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     "q79_quality_sample" -> { (s, dir) =>
       // soft quality gate: acceptance = clamp(qualityScore/100, .05, .95)
       // against the md5 unit hash — q71 proves the score blend, q36 the
@@ -1241,11 +1286,42 @@ object PipelineQueries {
     * CAST AS DOUBLE (a bare decimal literal would parse as DECIMAL and
     * lose the low bits). */
   private def ivfOracleSql: Map[String, String] =
-    IvfState.centroids.map { case (_, cents) =>
+    IvfState.centroids.toSeq.flatMap { case (_, cents) =>
       def d(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
       val rows = cents.map { case (i, c, c2) =>
         s"    ($i, [${c.map(d).mkString(", ")}], ${d(c2)})"
       }.mkString(",\n")
+      Seq(
+      // cluster-balanced sampling shares the quantizer: same cell
+      // assignment CTEs, then the q105-style md5 unit hash ranked
+      // ascending per cell (ties toward the smaller id)
+      "q111_cluster_balanced" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (
+           |  SELECT * FROM (VALUES
+           |$rows
+           |  ) t(list_id, c, c2)
+           |), cells AS (
+           |  SELECT e.vec_id, cent.list_id,
+           |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
+           |  FROM e, cent
+           |), assigned AS (
+           |  SELECT vec_id, list_id FROM (
+           |    SELECT vec_id, list_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
+           |    FROM cells) WHERE rn = 1
+           |), u AS (
+           |  SELECT vec_id, list_id,
+           |    CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'cb'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+           |  FROM assigned
+           |), rk AS (
+           |  SELECT vec_id, list_id,
+           |    row_number() OVER (PARTITION BY list_id ORDER BY uh, vec_id) AS sample_rank
+           |  FROM u
+           |)
+           |SELECT vec_id, list_id, sample_rank FROM rk
+           |WHERE sample_rank <= 10
+           |ORDER BY list_id, sample_rank""".stripMargin,
       "q54_ivf_topk" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |cent AS (
@@ -1285,11 +1361,12 @@ object PipelineQueries {
            |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
            |FROM rk WHERE nn_rank <= 10
            |ORDER BY query_id, nn_rank""".stripMargin
+      )
     }.toMap
 
-  /** Static oracles plus the trained-quantizer q54 oracle (present once
-    * the q54 query has run in this JVM — Verify runs every query before
-    * dumping oracle_sql.json, so the driver always sees it). */
+  /** Static oracles plus the trained-quantizer q54/q111 oracles (present
+    * once a quantizer query has run in this JVM — Verify runs every query
+    * before dumping oracle_sql.json, so the driver always sees them). */
   def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracleSql
 
   private val staticOracleSql: Map[String, String] = Map(
@@ -2183,6 +2260,52 @@ object PipelineQueries {
         |      / CAST(len(string_split(h, chr(10))) AS DOUBLE) END, 9) + 0.0 AS boiler_frac_r
         |FROM red2 ORDER BY doc_id""".stripMargin,
 
+    // Gopher rules measure-for-measure: q46's token CTE (trim-both +
+    // \s+ split, empty -> []), literal-\n line split, non-overlapping
+    // symbol scan, presence (not count) of the 8 required stop words;
+    // x/0 -> NULL on both engines, CASE/when treat a NULL contains as 0,
+    // and NULL AND FALSE = FALSE in both 3VLs, so g_pass is total
+    "q110_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN [] ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN [] ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS lowtoks,
+        |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS g_words,
+        |    CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) * 1.0 / CAST(len(toks) AS DOUBLE) AS awl,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symr,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•‣▪]'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS bf,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS ef,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS af,
+        |    (CASE WHEN list_contains(lowtoks, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'with') THEN 1 ELSE 0 END) AS hits
+        |  FROM d
+        |)
+        |SELECT doc_id, g_words,
+        |  round(awl, 6) + 0.0 AS awl_r,
+        |  round(symr, 6) + 0.0 AS symbol_r,
+        |  round(bf, 6) + 0.0 AS bullet_r,
+        |  round(ef, 6) + 0.0 AS ellipsis_r,
+        |  round(af, 6) + 0.0 AS alpha_r,
+        |  hits AS g_stopword_hits,
+        |  coalesce(g_words BETWEEN 50 AND 100000
+        |    AND awl BETWEEN 3.0 AND 10.0
+        |    AND symr <= 0.1
+        |    AND coalesce(bf <= 0.9, true)
+        |    AND coalesce(ef <= 0.3, true)
+        |    AND af >= 0.8
+        |    AND hits >= 2, false) AS g_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // sorted-source fold with IEEE-exact sqrt (alpha = 0.5), op order
     // target * (w/z) / n mirrored exactly; row keep = q36's md5 unit hash
     "q64_temperature_mix" ->
@@ -2392,6 +2515,37 @@ object PipelineQueries {
         |hot AS (SELECT tok FROM c0 GROUP BY tok HAVING COUNT(*) > 100),
         |c AS (SELECT * FROM c0 WHERE tok NOT IN (SELECT tok FROM hot)),
         |b AS (SELECT * FROM b0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
+        |common AS (
+        |  SELECT corpus_id, bench_id, COUNT(*) AS n_common
+        |  FROM c JOIN b USING (tok) GROUP BY corpus_id, bench_id
+        |), cont AS (
+        |  SELECT DISTINCT corpus_id
+        |  FROM common JOIN sizes USING (bench_id)
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) >= 0.5
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT corpus_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the Bloom pre-filter is exact-equivalent (no false negatives), so
+    // the oracle is simply q78's containment SQL WITHOUT the
+    // doc-frequency cap — the Bloom path's uncapped semantics
+    "q112_bloom_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
+        |  FROM base WHERE len(toks) > 0
+        |), d AS (
+        |  SELECT DISTINCT doc_id, tok FROM tri
+        |), c AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
+        |b AS (SELECT doc_id AS bench_id, tok FROM d WHERE doc_id >= 400),
         |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
         |common AS (
         |  SELECT corpus_id, bench_id, COUNT(*) AS n_common

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, QualityRules, Similarity, TextAnalysis}
 
 /** Unit specs for the training-data-pipeline operators, on synthetic
   * fixtures with planted duplicates/neighbors so expected outputs are
@@ -121,6 +121,85 @@ class OpsSpec extends SparkSpec {
       qualityCol = "quality", threshold = 0.9, nBits = 6, nTables = 2)
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(keptTied == Seq(10L, 20L, 30L))
+  }
+
+  test("gopher rules: measures are exact; each rule gates; null text fails") {
+    val cfg = QualityRules.GopherConfig(minWords = 3, maxWords = 10,
+      minAvgWordLen = 2.0, maxAvgWordLen = 8.0, maxSymbolRatio = 0.4,
+      maxBulletFrac = 0.5, maxEllipsisFrac = 0.5, minAlphaFrac = 0.6,
+      minStopwordHits = 1)
+    val rich = "- the cat...\nsat on # mat…\nnow here done"
+    val rows = Seq(
+      (1L, Option("the cat sat on that mat")),   // passes every rule
+      (2L, Option("the cat")),                   // word count below min
+      (3L, Option("the abcdefghijklmnop qrstuvwxyzabcdef xyzabcdefghijkl")), // avg word len
+      (4L, Option("##### the cat sat now")),     // symbol ratio 5/5 > 0.4
+      (5L, Option("- the cat\n- sat on\nmat here now")), // bullet lines 2/3
+      (6L, Option("the cat is...\nsat mat is...\nnow here is fine")), // ellipsis 2/3
+      (7L, Option("the 111 222 333 444")),       // alpha fraction 1/5
+      (8L, Option("zz yy xx ww vv")),            // no required stop word
+      (9L, Option.empty[String]),                // null text
+      (10L, Option(rich))
+    ).toDF("doc_id", "text")
+    val out = QualityRules.withGopherFlags(rows, "text", cfg)
+    val pass = out.select("doc_id", "g_pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(pass == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false, 8L -> false, 9L -> false,
+      10L -> false))
+    // hand-derived measures for the rich document: 10 tokens, 31 non-ws
+    // chars, symbols {#, ..., …}, 1 of 3 lines bulleted, 2 of 3 ending
+    // in an ellipsis, 8 of 10 tokens alphabetic, one required stop word
+    val m = out.filter(col("doc_id") === 10L).select(
+      "g_words", "g_avg_word_len", "g_symbol_ratio", "g_bullet_frac",
+      "g_ellipsis_frac", "g_alpha_frac", "g_stopword_hits").head()
+    assert(m.getInt(0) == 10)
+    assert(m.getDouble(1) == 31.0 / 10.0)
+    assert(m.getDouble(2) == 3.0 / 10.0)
+    assert(m.getDouble(3) == 1.0 / 3.0)
+    assert(m.getDouble(4) == 2.0 / 3.0)
+    assert(m.getDouble(5) == 8.0 / 10.0)
+    assert(m.getInt(6) == 1)
+    // the production-default gate is a pure filter (no helper columns)
+    val kept = QualityRules.gopherFilter(rows, "text", cfg)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("clusterBalancedSample: per-cell quota, hash-rank winners, partition-invariant") {
+    import graft.ops.Sampling
+    val cents = Seq((0, Seq(1.0, 0.0), 1.0), (1, Seq(0.0, 1.0), 1.0))
+    val df = Seq(
+      (Option(1L), Seq(0.9f, 0.1f)), (Option(2L), Seq(0.8f, 0.0f)),
+      (Option(3L), Seq(1.1f, -0.1f)), (Option(4L), Seq(0.7f, 0.2f)),
+      (Option(5L), Seq(0.1f, 1.0f)), (Option(6L), Seq(-0.2f, 0.9f)),
+      (Option.empty[Long], Seq(1.0f, 0.0f)) // null id: unrankable, dropped
+    ).toDF("id", "vec")
+    val out = Sampling.clusterBalancedSample(df, "id", "vec", cents, perCluster = 2, salt = "t")
+    val byCell = out.groupBy("list_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCell == Map(0 -> 2L, 1 -> 2L)) // cell 0 has 4 candidates, capped at 2
+    // winners must be exactly the two smallest unit hashes per cell, in
+    // hash order — recompute with the same hash through a window rank
+    import org.apache.spark.sql.expressions.Window
+    val expected = df.filter(col("id").isNotNull)
+      .withColumn("list_id", Similarity.assignCell(col("vec"), cents))
+      .withColumn("__u", Sampling.unitHash(col("id"), "t"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("list_id").orderBy(col("__u"), col("id"))))
+      .filter(col("rk") <= 2)
+      .select(col("id"), col("list_id"), col("rk").cast("long").as("sample_rank"))
+    val got = out.select("id", "list_id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exp = expected.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == exp)
+    // deterministic under repartitioning
+    val again = Sampling.clusterBalancedSample(
+        df.repartition(7), "id", "vec", cents, perCluster = 2, salt = "t")
+      .select("id", "list_id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == got)
   }
 
   test("dupClusters: pointer jumping converges a 200-node path in log rounds") {
@@ -1379,6 +1458,34 @@ class OpsSpec extends SparkSpec {
     val reported = Dedup.contaminationPairs(corpus, bench, "text", "doc_id",
         threshold = 0.8).select("corpus_id").collect().map(_.getLong(0)).toSet
     assert(reported == Set(0L))
+  }
+
+  test("bloomDecontaminate: identical to exact decontaminate; empty bench is a no-op") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and keeps on running"),
+      (1L, "an entirely original training document about distributed engines"),
+      (2L, "another independent training document mentioning shuffle hygiene"),
+      (3L, null.asInstanceOf[String]) // null text: never contaminated, kept
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and keeps on running"),
+      (11L, "training document mentioning shuffle hygiene practices at scale")
+    ).toDF("doc_id", "text")
+    for (threshold <- Seq(0.3, 0.8)) {
+      val exact = Dedup.decontaminate(corpus, bench, "text", "doc_id", threshold)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bloomed = Dedup.bloomDecontaminate(corpus, bench, "text", "doc_id", threshold)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloomed == exact, s"bloom path diverged at threshold $threshold")
+    }
+    // no false negatives: the verbatim leak is always removed
+    assert(!Dedup.bloomDecontaminate(corpus, bench, "text", "doc_id", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).contains(0L))
+    // empty benchmark: null bloom short-circuits, corpus unchanged
+    val kept = Dedup.bloomDecontaminate(
+        corpus, bench.filter(col("doc_id") < 0), "text", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L))
   }
 
   test("qualityWeightedSample: quality-proportional keep rate, null text dropped") {

@@ -32,6 +32,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("gopher gate and cluster-balanced sampling keep their scale shapes") {
+    import graft.ops.{QualityRules, Sampling}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the Gopher gate is a map-side projection+filter: no exchange, no
+    // aggregate — at 100 TB it must run inside the scan stage
+    val gated = QualityRules.gopherFilter(docs, "text")
+    val gPlan = gated.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("Exchange"),
+      s"gopherFilter must not shuffle:\n$gPlan")
+    assert(gPlan.contains("*("), // executedPlan marks codegen stages "*(n)"
+      s"gopherFilter should stay inside codegen:\n$gPlan")
+
+    // cluster-balanced sampling ranks through the heap aggregate: no
+    // Window node (a per-cell window would sort whole cells)
+    val cents = Seq((0, Seq.fill(64)(0.1), 0.64), (1, Seq.fill(64)(-0.1), 0.64))
+    val sampled = Sampling.clusterBalancedSample(
+      emb, "vec_id", "embedding", cents, perCluster = 5)
+    assert(sampled.count() == 10)
+    val sPlan = sampled.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Window"),
+      s"clusterBalancedSample must rank via the heap aggregate:\n$sPlan")
+    assert(sPlan.contains("ObjectHashAggregate"),
+      s"clusterBalancedSample should contain the GroupTopK aggregate:\n$sPlan")
+  }
+
+  test("bloom decontamination probes map-side: no shuffle before the candidate filter") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val bench = docs.filter(col("doc_id") >= 450)
+    val out = Dedup.bloomDecontaminate(corpus, bench, "text", "doc_id", 0.5)
+    // the bloom probe compiles to Spark's might_contain over a literal
+    // sketch inside the corpus scan stage — assert the expression is
+    // present and the result stays exact (smoke: output is a subset)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the native bloom probe in the plan:\n$plan")
+    assert(out.count() <= corpus.count())
+  }
+
   test("parquet scans prune columns and push filters down") {
     // q36 selects only (doc_id, source): the documents scan must not read
     // text/lang/n_chars — at 100 TB reading dead columns IS the bottleneck
