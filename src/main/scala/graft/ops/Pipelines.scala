@@ -58,11 +58,12 @@ object Pipelines {
       sourceQuota: Option[(String, Int)] = None,
       shuffleShards: Option[Int] = None,
       maxPerplexity: Option[Double] = None,
-      maxLengthZ: Option[Double] = None
+      maxLengthZ: Option[Double] = None,
+      gopherRules: Option[QualityRules.GopherConfig] = None
   ): CleanResult = {
     val cleaned = cleanCorpus(docs, textCol, idCol,
       nearDupThreshold, minQuality, langAllowlist, htmlClean, portableHashes,
-      lineDedupMaxDocFreq)
+      lineDedupMaxDocFreq, gopherRules)
     val enriched0 = cleaned.df
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
@@ -107,7 +108,8 @@ object Pipelines {
       langAllowlist: Seq[String] = Nil,
       htmlClean: Boolean = false,
       portableHashes: Boolean = false,
-      lineDedupMaxDocFreq: Option[Long] = None
+      lineDedupMaxDocFreq: Option[Long] = None,
+      gopherRules: Option[QualityRules.GopherConfig] = None
   ): CleanResult = {
     // 0. optional web-text cleanup BEFORE dedup (markup variation would
     // otherwise defeat the canonical fingerprint); the cleaned text
@@ -160,8 +162,13 @@ object Pipelines {
       .distinct()
     val nearDeduped = exact.join(losers, Seq(idCol), "left_anti")
 
-    // 3 + 4. quality gate and language allowlist (one codegen'd filter)
-    val quality = TextAnalysis.qualityScore(col(textCol)) >= lit(minQuality)
+    // 3 + 4. quality gate and language allowlist (one codegen'd filter);
+    // the optional Gopher rule bundle rides the quality stage — same
+    // map-side shape, and the funnel's afterQuality count reflects it
+    val quality = gopherRules.foldLeft(
+      TextAnalysis.qualityScore(col(textCol)) >= lit(minQuality)) {
+      (q, cfg) => q && QualityRules.gopherPass(col(textCol), cfg)
+    }
     val lang: Column =
       if (langAllowlist.isEmpty) lit(true)
       else TextAnalysis.langId(col(textCol)).isInCollection(langAllowlist)

@@ -99,34 +99,42 @@ object QualityRules {
       .withColumn("g_stopword_hits", requiredStopwordHits(t))
   }
 
-  /** Measures plus the overall `g_pass` verdict. A null component (empty
-    * or null document) fails its rule — `g_pass` is never null. */
+  /** The all-rules verdict as ONE Column predicate (never null — a null
+    * component, i.e. an empty or null document, fails its rule). Usable
+    * directly in any `filter`; [[Pipelines.cleanCorpus]] folds it into
+    * the quality stage. No non-empty lines -> null line fractions ->
+    * vacuously compliant (the paper's rules are line-shape caps, not
+    * line requirements; such docs fail the word-count rule anyway). */
+  def gopherPass(text: Column, cfg: GopherConfig = GopherConfig()): Column = {
+    val words = TextAnalysis.tokenCount(text)
+    val pass =
+      words.between(cfg.minWords, cfg.maxWords) &&
+        TextAnalysis.avgWordLen(text)
+          .between(cfg.minAvgWordLen, cfg.maxAvgWordLen) &&
+        (symbolCount(text).cast("double") / words.cast("double")
+          <= cfg.maxSymbolRatio) &&
+        coalesce(bulletLineFraction(text) <= cfg.maxBulletFrac, lit(true)) &&
+        coalesce(ellipsisLineFraction(text) <= cfg.maxEllipsisFrac, lit(true)) &&
+        (alphaWordFraction(text) >= cfg.minAlphaFrac) &&
+        (requiredStopwordHits(text) >= cfg.minStopwordHits)
+    coalesce(pass, lit(false))
+  }
+
+  /** Measures plus the overall `g_pass` verdict. */
   def withGopherFlags(
       df: DataFrame,
       textCol: String,
       cfg: GopherConfig = GopherConfig()
-  ): DataFrame = {
-    val m = withGopherMeasures(df, textCol)
-    val pass =
-      col("g_words").between(cfg.minWords, cfg.maxWords) &&
-        col("g_avg_word_len").between(cfg.minAvgWordLen, cfg.maxAvgWordLen) &&
-        (col("g_symbol_ratio") <= cfg.maxSymbolRatio) &&
-        // no non-empty lines -> null fraction -> vacuously compliant
-        // (the paper's rules are line-shape caps, not line requirements)
-        coalesce(col("g_bullet_frac") <= cfg.maxBulletFrac, lit(true)) &&
-        coalesce(col("g_ellipsis_frac") <= cfg.maxEllipsisFrac, lit(true)) &&
-        (col("g_alpha_frac") >= cfg.minAlphaFrac) &&
-        (col("g_stopword_hits") >= cfg.minStopwordHits)
-    m.withColumn("g_pass", coalesce(pass, lit(false)))
-  }
+  ): DataFrame =
+    withGopherMeasures(df, textCol)
+      .withColumn("g_pass", gopherPass(col(textCol), cfg))
 
-  /** Keep only documents passing every rule (the map-side corpus gate). */
+  /** Keep only documents passing every rule (the map-side corpus gate);
+    * adds no helper columns. */
   def gopherFilter(
       df: DataFrame,
       textCol: String,
       cfg: GopherConfig = GopherConfig()
   ): DataFrame =
-    withGopherFlags(df, textCol, cfg).filter(col("g_pass"))
-      .drop("g_words", "g_avg_word_len", "g_symbol_ratio", "g_bullet_frac",
-        "g_ellipsis_frac", "g_alpha_frac", "g_stopword_hits", "g_pass")
+    df.filter(gopherPass(col(textCol), cfg))
 }

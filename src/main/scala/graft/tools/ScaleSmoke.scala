@@ -122,6 +122,17 @@ object ScaleSmoke {
           .agg(count(col("dedup_text"))).collect()
       }
 
+      // bloom decontamination: the bench-gram sketch is probed inside the
+      // corpus scan, so docs sharing no gram with the bench never reach
+      // the exact containment join — cost tracks the scan, not the
+      // corpus x bench pair space
+      time(s"bloom decontaminate ($nDocs docs vs 100-doc bench)") {
+        val bench = docs.filter(col("doc_id") >= baseDocs - 100)
+        graft.ops.Dedup.bloomDecontaminate(dN, bench, "text", "doc_id",
+            threshold = 0.5)
+          .agg(count(lit(1))).collect()
+      }
+
       // heap-aggregated source caps + sharded epoch order: the shuffle
       // carries cap x |sources| rows, the sort is per-shard
       time(s"source quota cap + shuffle order ($nDocs docs)") {

@@ -650,6 +650,16 @@ class OpsSpec extends SparkSpec {
       minQuality = 40.0, portableHashes = true)
     assert(poly.df.select("doc_id").collect().map(_.getLong(0)).toSet ==
       noLang.df.select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    // the optional Gopher bundle rides the quality stage: a doc passing
+    // the heuristic score but failing a rule (word count here) drops,
+    // and the funnel's afterQuality count reflects it
+    val gophered = Pipelines.cleanCorpus(corpus, nearDupThreshold = 0.6,
+      minQuality = 40.0,
+      gopherRules = Some(QualityRules.GopherConfig(minWords = 12)))
+    assert(gophered.df.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(0L)) // doc 4 (german) lacks the required English stop words
+    assert(gophered.stats().afterQuality == 1)
   }
 
   test("native SimHash64 matches HOF formulation exactly") {

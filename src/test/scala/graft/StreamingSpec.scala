@@ -344,6 +344,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming gopher gate matches the batch filter (stateless, no helper cols)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val cfg = graft.ops.QualityRules.GopherConfig(minWords = 3, minStopwordHits = 1)
+    val gated = graft.ops.QualityRules.gopherFilter(stream, "text", cfg)
+    val query = gated.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "the cat sat near the mat"), // awl exactly 3.0 (inclusive bound)
+        (2L, "zz"),                    // word count
+        (3L, "the 111 222 333 444"))   // alpha fraction
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("gopher_stream")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      import spark.implicits._
+      val batch = graft.ops.QualityRules
+        .gopherFilter(rows.toDF("doc_id", "text"), "text", cfg)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(1L))
+    } finally query.stop()
+  }
+
   // ---- differential: stream-replay the real events table and compare
   // ---- with the batch formulations the oracle queries already pin
 
