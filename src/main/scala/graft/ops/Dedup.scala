@@ -774,6 +774,66 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Cross-frame semantic contamination report: every (corpus, bench)
+    * pair whose embedding cosine reaches `threshold` — the
+    * embedding-space analogue of [[contaminationPairs]], catching bench
+    * PARAPHRASES that n-gram containment misses. Both sides key with the
+    * SAME hyperplane tables, so candidate generation is an equi-join on
+    * (table, bucket); the bench side is a benchmark suite — small by
+    * definition — and broadcasts, making candidate generation MAP-SIDE
+    * (zero shuffle of the corpus): the only shuffled rows are the
+    * candidate id pairs themselves (distinct) before the exact-cosine
+    * verify. NaN cosines (zero-norm vectors) never match. */
+  def semanticContaminationPairs(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.9,
+      nBits: Int = 10,
+      nTables: Int = 3
+  ): DataFrame = {
+    def withB(df: DataFrame, out: String): DataFrame =
+      (0 until nTables).map { t =>
+        df.select(col(idCol).as(out),
+          Similarity.hyperplaneBucket(col(vecCol), dim, nBits, 104729L * (t + 1))
+            .as("bucket"),
+          lit(t).as("table"))
+      }.reduce(_ unionAll _)
+    withB(corpus, "corpus_id")
+      .join(broadcast(withB(bench, "bench_id")), Seq("table", "bucket"))
+      .select("corpus_id", "bench_id").distinct()
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__vc")),
+        "corpus_id")
+      .join(broadcast(bench.select(col(idCol).as("bench_id"), col(vecCol).as("__vb"))),
+        "bench_id")
+      .withColumn("cosine", Similarity.cosine(col("__vc"), col("__vb")))
+      .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
+      .select("corpus_id", "bench_id", "cosine")
+  }
+
+  /** Remove from `corpus` every row semantically contaminated against
+    * `bench` (per [[semanticContaminationPairs]]) — [[decontaminate]]'s
+    * embedding-space sibling. The anti-join ships only the distinct
+    * contaminated ids. */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.9,
+      nBits: Int = 10,
+      nTables: Int = 3
+  ): DataFrame = {
+    val contaminated = semanticContaminationPairs(
+        corpus, bench, idCol, vecCol, dim, threshold, nBits, nTables)
+      .select(col("corpus_id").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic deduplication: drop every row that is
     * cosine-near some lower-id row, TRANSITIVELY — near-dup pairs from
     * [[embeddingNearDupPairs]] (hyperplane LSH buckets + exact-cosine

@@ -81,4 +81,43 @@ object Outliers {
       .filter(col(z).isNull || abs(col(z)) <= maxAbsZ)
       .drop(z)
   }
+
+  /** Per-group winsorization: adds `outCol` = `valueCol` clipped into the
+    * group's exact [`lower`, `upper`] percentile band — the
+    * keep-but-tame alternative to [[dropOutliers]] for heavy-tailed
+    * features (char/token counts, scores) where dropping the tail would
+    * bias the corpus. Percentiles are Spark's EXACT linear-interpolation
+    * `percentile` (== DuckDB `quantile_cont`, the q93-verified pair), so
+    * the clip bounds are engine-reproducible. Null and NaN values get a
+    * null `outCol` (the engine-wide contract) and are excluded from the
+    * percentile computation.
+    *
+    * Scale shape: one groupBy (exact percentile needs the group's sorted
+    * values — the documented cost of exactness, same trade as q93), the
+    * |groups|-row bounds frame broadcast back; no window, the data
+    * shuffles once. */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lower: Double = 0.05,
+      upper: Double = 0.95,
+      outCol: String = "winsorized"
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs group keys")
+    require(0.0 <= lower && lower < upper && upper <= 1.0,
+      "need 0 <= lower < upper <= 1")
+    val raw = col(valueCol)
+    val v = when(!isnan(raw.cast("double")), raw) // NaN ≡ null, as in z-score
+    val bounds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        percentile(v, lit(lower)).as("__lo"),
+        percentile(v, lit(upper)).as("__hi"))
+    df.join(broadcast(bounds), groupCols, "left")
+      .withColumn(outCol,
+        when(v.isNotNull,
+          least(greatest(v.cast("double"), col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
 }

@@ -238,6 +238,34 @@ object Sampling {
     df.filter(col(textCol).isNotNull && unitHash(col(idCol), salt) < p)
   }
 
+  /** Exactly-n deterministic uniform sample of the whole frame: the n
+    * rows with the smallest [[unitHash]] of their id — "ORDER BY hash
+    * LIMIT n" semantics WITHOUT a global sort. The [[GroupTopK]] heap
+    * keeps at most n candidates per partition map-side, so the single
+    * final merge sees ≤ n·partitions rows and holds one n-row heap —
+    * fine for the n a human asks for (eval sets, spot-check samples; for
+    * corpus-scale carves use the fractional [[withSplit]]). Adds
+    * `sample_rank` (1-based hash order). Deterministic across runs,
+    * partitionings, and engines; null ids are excluded; returns all rows
+    * (ranked) when the frame has fewer than n. */
+  def uniformSampleExact(
+      df: DataFrame,
+      idCol: String,
+      n: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(n > 0, "n must be positive")
+    val scored = df
+      .filter(col(idCol).isNotNull)
+      .select(lit(1).as("__g"), col(idCol),
+        (-unitHash(col(idCol), salt)).as("__neg_u"))
+    val winners = GroupTopK
+      .topKPerGroup(scored, Seq("__g"), idCol, "__neg_u", n,
+        rankCol = "sample_rank")
+      .select(col(idCol), col("sample_rank"))
+    df.join(winners, Seq(idCol))
+  }
+
   /** Cluster-balanced (diversity) sampling: assign every row to its
     * nearest centroid (one codegen'd literal-centroid argmax —
     * [[Similarity.assignCell]], zero shuffle) and keep a deterministic

@@ -851,6 +851,27 @@ object PipelineQueries {
         .orderBy("list_id", "sample_rank")
     },
 
+    "q113_winsorize" -> { (s, dir) =>
+      // per-language winsorization of n_chars into the exact [p10, p90]
+      // band — Spark percentile == DuckDB quantile_cont (the q93 pair),
+      // so the clip bounds are engine-identical
+      graft.ops.Outliers.winsorize(
+        t(s, dir, "documents"), Seq("lang"), "n_chars",
+        lower = 0.1, upper = 0.9, outCol = "clipped")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          roundz(col("clipped"), 6).as("clipped_r"))
+        .orderBy("doc_id")
+    },
+
+    "q114_uniform_sample_exact" -> { (s, dir) =>
+      // exactly-200 deterministic sample: smallest md5 unit hashes win,
+      // ranked — no global sort (map-side heap, one n-row merge)
+      graft.ops.Sampling.uniformSampleExact(
+        t(s, dir, "documents"), "doc_id", n = 200, salt = "gx")
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("sample_rank")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -1097,6 +1118,22 @@ object PipelineQueries {
         threshold = 0.2, nBits = 8, nTables = 3)
         .select(col("id_a"), col("id_b"), roundz(col("cosine"), 6).as("cosine_r"))
         .orderBy("id_a", "id_b")
+    },
+
+    "q115_semantic_decontaminate" -> { (s, dir) =>
+      // embedding-space decontamination: corpus (vec_id < 400) minus
+      // every vector cosine-near (>= 0.3) some benchmark vector
+      // (vec_id >= 400) — catches paraphrase leakage q78's n-gram
+      // containment can't see; candidate generation is a broadcast
+      // bucket join (map-side), mirrored via interpolated planes
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDecontaminate(
+        emb.filter(col("vec_id") < 400),
+        emb.filter(col("vec_id") >= 400),
+        "vec_id", "embedding", dim = 64,
+        threshold = 0.3, nBits = 8, nTables = 3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     },
 
     "q77_semantic_dedup" -> { (s, dir) =>
@@ -2306,6 +2343,34 @@ object PipelineQueries {
         |    AND hits >= 2, false) AS g_pass
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // winsorize: quantile_cont == Spark exact percentile (q93-verified);
+    // GREATEST/LEAST over non-null bounds, null value -> null clip
+    "q113_winsorize" ->
+      """WITH b AS (
+        |  SELECT lang, quantile_cont(n_chars, [0.1, 0.9]) AS qs
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  round(CASE WHEN d.n_chars IS NOT NULL
+        |    THEN LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), qs[1]), qs[2]) END, 6) + 0.0 AS clipped_r
+        |FROM documents d JOIN b USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // exactly-n sample: the engine's heap ranks -unitHash with ties
+    // toward the smaller id == ORDER BY hash, id ascending
+    "q114_uniform_sample_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'gx'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), rk AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (ORDER BY uh, doc_id) AS sample_rank
+        |  FROM u
+        |)
+        |SELECT doc_id, source, sample_rank FROM rk
+        |WHERE sample_rank <= 200 ORDER BY sample_rank""".stripMargin,
+
     // sorted-source fold with IEEE-exact sqrt (alpha = 0.5), op order
     // target * (w/z) / n mirrored exactly; row keep = q36's md5 unit hash
     "q64_temperature_mix" ->
@@ -2412,6 +2477,31 @@ object PipelineQueries {
          |SELECT id_a, id_b, round(cosine, 6) + 0.0 AS cosine_r
          |FROM scored WHERE NOT isnan(cosine) AND cosine >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q56's keyed-pair chain split corpus/bench on vec_id: any-table
+    // band match -> exact cosine >= 0.3 -> corpus anti-join
+    "q115_semantic_decontaminate" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 3, t => 104729L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), cont AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM k a JOIN k c ON a.vec_id < 400 AND c.vec_id >= 400
+         |    AND (a.k_0 = c.k_0 OR a.k_1 = c.k_1 OR a.k_2 = c.k_2)
+         |  WHERE NOT isnan(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |    AND list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3
+         |)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id < 400 AND vec_id NOT IN (SELECT vec_id FROM cont)
+         |ORDER BY vec_id""".stripMargin
     },
 
     // SemDeDup: q56's pair chain -> bidirectional edges -> transitive

@@ -202,6 +202,52 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("winsorize: exact percentile clip bounds; null/NaN pass through as null") {
+    import graft.ops.Outliers
+    val rows = (1 to 10).map(i => ("a", Option(i.toDouble))) ++
+      Seq(("a", Option(Double.NaN)), ("a", Option.empty[Double]),
+        ("b", Option(100.0))) // single-row group: lo == hi == value
+    val df = rows.toDF("g", "v")
+    val out = Outliers.winsorize(df, Seq("g"), "v", lower = 0.1, upper = 0.9,
+        outCol = "w").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    // linear-interpolated p10/p90 of 1..10: 1.9 and 9.1 (index p*(n-1))
+    val a = out.filter(x => x._1 == "a" && x._2.exists(v =>
+      !v.asInstanceOf[Double].isNaN))
+    assert(a.collect { case (_, Some(v), Some(w)) => (v, w) }.toSet ==
+      Set((1.0, 1.9), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0), (5.0, 5.0),
+        (6.0, 6.0), (7.0, 7.0), (8.0, 8.0), (9.0, 9.0), (10.0, 9.1)))
+    // NaN and null values clip to null (and NaN didn't poison the bounds)
+    assert(out.filter(x => x._2.isEmpty ||
+      x._2.exists(v => v.asInstanceOf[Double].isNaN)).forall(_._3.isEmpty))
+    // degenerate single-row group clips to itself
+    assert(out.filter(_._1 == "b").head._3.contains(100.0))
+  }
+
+  test("uniformSampleExact: n smallest hashes win; partition-invariant; small frames rank fully") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 100).toDF("id")
+    val out = Sampling.uniformSampleExact(df, "id", n = 10, salt = "s")
+    assert(out.count() == 10)
+    val expected = df
+      .withColumn("__u", Sampling.unitHash(col("id"), "s"))
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("__u"), col("id"))).cast("long"))
+      .filter(col("sample_rank") <= 10)
+      .select("id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.select("id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    val again = Sampling.uniformSampleExact(df.repartition(13), "id", 10, "s")
+      .select("id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+    // n >= rows: everything survives, fully ranked
+    assert(Sampling.uniformSampleExact(df.limit(5), "id", 10, "s").count() == 5)
+  }
+
   test("dupClusters: pointer jumping converges a 200-node path in log rounds") {
     import spark.implicits._
     // a pure path graph is the worst case for plain min-label propagation
@@ -1468,6 +1514,22 @@ class OpsSpec extends SparkSpec {
     val reported = Dedup.contaminationPairs(corpus, bench, "text", "doc_id",
         threshold = 0.8).select("corpus_id").collect().map(_.getLong(0)).toSet
     assert(reported == Set(0L))
+  }
+
+  test("semanticDecontaminate removes embedding-space leaks; zero vectors never match") {
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val z = Seq(0.0f, 0.0f, 0.0f, 0.0f)
+    val corpus = Seq((1L, a), (2L, b), (3L, z)).toDF("vec_id", "embedding")
+    val bench = Seq((100L, a)).toDF("vec_id", "embedding") // 1 is a paraphrase leak
+    val pairs = Dedup.semanticContaminationPairs(corpus, bench, "vec_id",
+      "embedding", dim = 4, threshold = 0.9, nBits = 6, nTables = 2)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 100L))) // orthogonal 2 fails the verify; zero-norm 3 is NaN
+    val kept = Dedup.semanticDecontaminate(corpus, bench, "vec_id", "embedding",
+        dim = 4, threshold = 0.9, nBits = 6, nTables = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
   }
 
   test("bloomDecontaminate: identical to exact decontaminate; empty bench is a no-op") {
