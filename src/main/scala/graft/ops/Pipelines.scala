@@ -59,12 +59,22 @@ object Pipelines {
       shuffleShards: Option[Int] = None,
       maxPerplexity: Option[Double] = None,
       maxLengthZ: Option[Double] = None,
-      gopherRules: Option[QualityRules.GopherConfig] = None
+      gopherRules: Option[QualityRules.GopherConfig] = None,
+      benchDecontaminate: Option[(DataFrame, Double)] = None
   ): CleanResult = {
     val cleaned = cleanCorpus(docs, textCol, idCol,
       nearDupThreshold, minQuality, langAllowlist, htmlClean, portableHashes,
       lineDedupMaxDocFreq, gopherRules)
-    val enriched0 = cleaned.df
+    // optional benchmark decontamination on the cleaned survivors, via
+    // the Bloom scale path (exact-equivalent, see bloomDecontaminate):
+    // runs BEFORE enrichment/splitting so leaked eval documents never
+    // reach a training shard
+    val decontaminated = benchDecontaminate match {
+      case Some((bench, thr)) =>
+        Dedup.bloomDecontaminate(cleaned.df, bench, textCol, idCol, thr)
+      case None => cleaned.df
+    }
+    val enriched0 = decontaminated
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))

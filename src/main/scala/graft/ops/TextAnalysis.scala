@@ -131,6 +131,32 @@ object TextAnalysis {
       .otherwise(lengthTerm + stopTerm + punctTerm + digitTerm)
   }
 
+  /** Character-level Shannon entropy (bits/char) — the
+    * information-density quality signal: single-character spam scores
+    * 0, keyboard mash and natural prose separate cleanly, highly
+    * repetitive generations sit low. Computed as a DETERMINISTIC fold
+    * over the SORTED distinct characters (`-Σ (c/n)·log2(c/n)`), so the
+    * FP result is bit-reproducible across runs, partitionings, and
+    * engines (an unordered sum would be arrival-order-dependent).
+    * Per-character counts use length-difference against `replace` —
+    * O(distinct·len) per document, fine for the tens-of-distinct-chars
+    * regime of real text. Empty text scores 0.0; null scores null. */
+  def charEntropy(text: Column): Column = {
+    val n = length(text).cast("double")
+    // drop empty elements: Spark's split keeps trailing empties (limit
+    // -1), DuckDB's does not — filtering makes both engines agree
+    val distinctChars = array_sort(array_distinct(
+      filter(split(text, ""), c => length(c) > 0)))
+    val ln2 = log(lit(2.0)) // constant-folded; == DuckDB ln(2) bit-exact
+    val acc = aggregate(distinctChars, lit(0.0),
+      (s, c) => {
+        val cnt = (length(text) - length(replace(text, c, lit("")))).cast("double")
+        s + (cnt / n) * log(cnt / n) / ln2
+      })
+    when(text.isNull, lit(null).cast("double"))
+      .otherwise(when(n === 0, lit(0.0)).otherwise(-acc))
+  }
+
   // --- fingerprinting ---
 
   /** Canonical-form fingerprint: lowercase, collapse whitespace, md5.

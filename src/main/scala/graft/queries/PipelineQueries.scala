@@ -872,6 +872,18 @@ object PipelineQueries {
         .orderBy("sample_rank")
     },
 
+    "q116_char_entropy" -> { (s, dir) =>
+      // character-entropy quality signal: deterministic sorted-char fold
+      // (-Σ p·ln(p)/ln2), bit-reproducible across engines; the < 3.0
+      // flag is the junk/repetition gate a pipeline would filter on
+      val ent = TextAnalysis.charEntropy(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          roundz(ent, 6).as("entropy_r"),
+          (ent < 3.0).as("is_low"))
+        .orderBy("doc_id")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2342,6 +2354,25 @@ object PipelineQueries {
         |    AND af >= 0.8
         |    AND hits >= 2, false) AS g_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // char entropy: same sorted-fold determinism contract as q84/q87 —
+    // terms (c/n)·ln(c/n)/ln(2) summed left-to-right over the SORTED
+    // distinct chars from 0.0; ln == Math.log bit-exact (the q105 pair)
+    "q116_char_entropy" ->
+      """WITH ent AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN NULL
+        |         WHEN len(text) = 0 THEN 0.0
+        |         ELSE -list_reduce(list_prepend(0.0,
+        |           list_transform(list_sort(list_distinct(string_split(text, ''))),
+        |             c -> (CAST(len(text) - len(replace(text, c, '')) AS DOUBLE) / CAST(len(text) AS DOUBLE))
+        |                  * ln(CAST(len(text) - len(replace(text, c, '')) AS DOUBLE) / CAST(len(text) AS DOUBLE)) / ln(2))),
+        |           (a, b) -> a + b)
+        |    END AS entropy
+        |  FROM documents
+        |)
+        |SELECT doc_id, round(entropy, 6) + 0.0 AS entropy_r, entropy < 3.0 AS is_low
+        |FROM ent ORDER BY doc_id""".stripMargin,
 
     // winsorize: quantile_cont == Spark exact percentile (q93-verified);
     // GREATEST/LEAST over non-null bounds, null value -> null clip

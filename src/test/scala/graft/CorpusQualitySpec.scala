@@ -139,6 +139,15 @@ class CorpusQualitySpec extends SparkSpec {
     val loose = Pipelines.prepareTrainingCorpus(
       docs, minQuality = 0.0, maxPerplexity = Some(1e9)).df
     assert(loose.count() == 21)
+
+    // decontamination stage: a doc leaking a benchmark verbatim never
+    // reaches a training shard; everything else is untouched
+    val bench = Seq((1000L, "w5a w5b w5c w5d w5e")).toDF("doc_id", "text")
+    val decon = Pipelines.prepareTrainingCorpus(
+      docs, minQuality = 0.0,
+      benchDecontaminate = Some((bench, 0.8))).df
+    val deconIds = decon.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!deconIds.contains(5L) && deconIds.size == 20, s"got $deconIds")
   }
 
   test("classificationReport: hand-computed precision/recall/F1, edge classes") {

@@ -202,6 +202,29 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("charEntropy: exact bits for planted distributions; empty 0, null null") {
+    val df = Seq(
+      (1L, Option("aaaa")),   // one symbol -> 0 bits
+      (2L, Option("aabb")),   // two at p=.5 -> exactly 1 bit
+      (3L, Option("abcd")),   // four at p=.25 -> exactly 2 bits
+      (4L, Option("")),       // empty -> 0.0
+      (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("e")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L).contains(0.0))
+    assert(out(2L).contains(1.0))
+    assert(out(3L).contains(2.0))
+    assert(out(4L).contains(0.0))
+    assert(out(5L).isEmpty)
+    // natural prose sits well above keyboard-mash floor
+    val prose = df.sparkSession.range(1).select(
+      TextAnalysis.charEntropy(lit("the quick brown fox jumps over the lazy dog")))
+      .head().getDouble(0)
+    assert(prose > 3.0 && prose < 5.0)
+  }
+
   test("winsorize: exact percentile clip bounds; null/NaN pass through as null") {
     import graft.ops.Outliers
     val rows = (1 to 10).map(i => ("a", Option(i.toDouble))) ++
