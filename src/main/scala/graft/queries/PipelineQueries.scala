@@ -884,6 +884,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q117_pagerank" -> { (s, dir) =>
+      // weighted PageRank over the nation trade graph (customer nation ->
+      // supplier nation, weight = lineitem count): the domain-authority
+      // prior a crawl corpus weights sources by; source-sorted fold makes
+      // every FP rank engine-exact
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      graft.ops.Graphs.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("node"), roundz(col("rank"), 9).as("rank_r"))
+        .orderBy("node")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2354,6 +2372,38 @@ object PipelineQueries {
         |    AND af >= 0.8
         |    AND hits >= 2, false) AS g_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // PageRank: 5 chained iteration CTEs, each the engine's exact
+    // arithmetic — teleport (1-d)/N + d * source-sorted contribution
+    // fold (list ORDER BY src, prepend 0.0, left reduce +)
+    "q117_pagerank" -> {
+      def iterCte(cur: String, prev: String): String =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |    (1.0 - 0.85) / CAST(nn.n AS DOUBLE) + 0.85 * COALESCE(s.acc, 0.0) AS rank
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      list_reduce(list_prepend(0.0, list(r.rank * e.w / e.outw ORDER BY e.src)), (a, b) -> a + b) AS acc
+           |    FROM e JOIN $prev r ON e.src = r.node
+           |    GROUP BY e.dst) s ON s.node = nodes.node
+           |)""".stripMargin
+      val iters = (1 to 5).map(i => iterCte(s"r$i", s"r${i - 1}")).mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2
+         |), od AS (SELECT src, SUM(w) AS outw FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, e0.w, od.outw FROM e0 JOIN od USING (src)),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst FROM e0),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank FROM nodes, nn),
+         |$iters
+         |SELECT node, round(rank, 9) + 0.0 AS rank_r FROM r5 ORDER BY node""".stripMargin
+    },
 
     // char entropy: same sorted-fold determinism contract as q84/q87 —
     // terms (c/n)·ln(c/n)/ln(2) summed left-to-right over the SORTED

@@ -133,6 +133,16 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // weighted PageRank: K=5 rounds of join + sorted-fold aggregate
+      // over a ~50k-node graph with n*600k edges — the contribution
+      // shuffle is the cost, rounds are fixed
+      time(s"pagerank ($rows edges, ~50k nodes, 5 iters)") {
+        val g = bids.select((col("l_orderkey") % 50000).as("src"),
+          ((col("l_orderkey") * 31 + 7) % 50000).as("dst"))
+        graft.ops.Graphs.pageRank(g, "src", "dst", iterations = 5)
+          .agg(count(col("rank"))).collect()
+      }
+
       // heap-aggregated source caps + sharded epoch order: the shuffle
       // carries cap x |sources| rows, the sort is per-shard
       time(s"source quota cap + shuffle order ($nDocs docs)") {

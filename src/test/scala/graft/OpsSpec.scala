@@ -202,6 +202,35 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("pageRank: symmetric cycle is uniform; chain ranks exactly; partition-invariant") {
+    import graft.ops.Graphs
+    // 2-cycle with equal weights: stationary at 0.5/0.5 from the uniform
+    // start, every iteration — and mass is conserved (no dangling)
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val cr = Graphs.pageRank(cycle, "src", "dst", iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cr(1L) == 0.5 && cr(2L) == 0.5)
+    // A -> B dangling chain, 2 iterations: exact IEEE replay of the
+    // engine's own op order (teleport + d * (rank * w / outw))
+    val chain = Seq((1L, 2L)).toDF("src", "dst")
+    val t2 = (1.0 - 0.85) / 2.0
+    val b1 = t2 + 0.85 * (0.5 * 1.0 / 1.0)
+    val b2 = t2 + 0.85 * (t2 * 1.0 / 1.0) // round 2 feeds A's settled teleport rank
+    val got = Graphs.pageRank(chain, "src", "dst", iterations = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == t2 && got(2L) == b2 && b1 > b2)
+    // weighted: parallel edges merge; ranks identical under repartition
+    val g = Seq((1L, 3L, 2.0), (2L, 3L, 1.0), (3L, 1L, 1.0), (3L, 2L, 1.0),
+      (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val a = Graphs.pageRank(g, "src", "dst", Some("w"), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graphs.pageRank(g.repartition(7), "src", "dst", Some("w"), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b) // bit-exact, not approximately equal
+    assert(math.abs(a.values.sum - 1.0) < 1e-12) // no dangling: mass conserved
+    assert(a(3L) > a(1L) && a(3L) > a(2L)) // the hub out-ranks the spokes
+  }
+
   test("charEntropy: exact bits for planted distributions; empty 0, null null") {
     val df = Seq(
       (1L, Option("aaaa")),   // one symbol -> 0 bits
