@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Joins, Packing, Pipelines, Retrieval, Sampling, Similarity, Snapshot}
+import graft.ops.{Dedup, Graphs, Joins, Packing, Pipelines, QualityRules, Retrieval, Sampling, Similarity, Snapshot}
 
 /** Training-data-pipeline usage trace: the end-to-end flow a corpus team
   * would run — clean, check contamination, split, pack, and quantize —
@@ -38,7 +38,12 @@ object ExamplePipeline {
       sourceQuota = Some(("source", 100)),
       shuffleShards = Some(8),
       maxPerplexity = Some(1e6), // bigram-LM gate (loose here: tiny corpus)
-      maxLengthZ = Some(4.0))    // per-language token-count outlier gate
+      maxLengthZ = Some(4.0),    // per-language token-count outlier gate
+      // Gopher rule bundle riding the quality stage (lenient word floor:
+      // the synthetic docs are short) and Bloom-path decontamination
+      // against the held-out tail, all in the same lazy plan
+      gopherRules = Some(QualityRules.GopherConfig(minWords = 5)),
+      benchDecontaminate = Some((docs.filter(col("doc_id") >= 400), 0.5)))
     val stats = prepared.stats()
     println(s"funnel: in=${stats.input} exact=${stats.afterExactDedup} " +
       s"near=${stats.afterNearDedup} quality=${stats.afterQuality} out=${stats.output}")
@@ -94,6 +99,27 @@ object ExamplePipeline {
     // 8. compact the event log to its latest state per user
     val latest = Snapshot.latestByKey(ev, Seq("user_id"), col("us"), "event_id")
     println(s"latest-state rows: ${latest.count()} (from ${ev.count()} events)")
+
+    // 9. diversity-balanced eval carve: cap each embedding-space region
+    //    (trained IVF quantizer), then an exactly-100 uniform spot-check set
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nLists = 8)
+    val balanced = Sampling.clusterBalancedSample(
+      emb, "vec_id", "embedding", cents, perCluster = 25)
+    println(s"cluster-balanced sample: ${balanced.count()} vectors over 8 cells")
+    println(s"exact-100 sample: " +
+      s"${Sampling.uniformSampleExact(docs, "doc_id", 100).count()} docs")
+
+    // 10. domain-authority prior: PageRank the nation trade graph and
+    //     surface the top sources a crawl would upweight
+    val o2 = spark.read.parquet(s"$dir/orders.parquet")
+    val c2 = spark.read.parquet(s"$dir/customer.parquet")
+    val s2 = spark.read.parquet(s"$dir/supplier.parquet")
+    val li2 = spark.read.parquet(s"$dir/lineitem.parquet")
+    val trade = li2.join(o2, li2("l_orderkey") === o2("o_orderkey"))
+      .join(c2, o2("o_custkey") === c2("c_custkey"))
+      .join(s2, li2("l_suppkey") === s2("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    Graphs.pageRank(trade, "src", "dst").orderBy(desc("rank")).show(5)
 
     spark.stop()
   }
