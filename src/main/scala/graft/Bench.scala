@@ -13,12 +13,17 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       // testdata events.ts is TIMESTAMP(NANOS): read as long nanoseconds
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner fallback for checkpoint blocks: on a big heap the
+      // driver may never GC mid-session, so force the reference sweep
+      // often (Checkpoints.freeAll below is the primary cleanup path)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup outside the timed region: JVM/codegen/parquet-footer costs are
     // one-time, not per-query; run one representative query untimed.
     try { SparkEntry.queries.head._2(spark, sfDir).count() }
     catch { case _: Throwable => () }
+    Checkpoints.freeAll(spark)
     // Each query runs `iters` times and reports the MIN: the first
     // iteration of the alphabetically-first query per table otherwise
     // absorbs residual codegen/footer warmup, and min-of-3 damps the
@@ -36,6 +41,11 @@ object Bench {
           // a crashing query must not masquerade as a fast success
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
+        } finally {
+          // the iteration's result is materialized: drop its checkpoint
+          // blocks so a 100+-query session doesn't accumulate them
+          // (round 5: bm25 degraded 0.98s -> 9.78s from exactly this)
+          Checkpoints.freeAll(spark)
         }
       }.takeWhile(_ >= 0.0).toSeq // don't re-run a failing query
       name -> (if (times.size < iters) -1.0 else times.min)

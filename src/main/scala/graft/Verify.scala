@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       // testdata events.ts is TIMESTAMP(NANOS): read as long nanoseconds
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner fallback for checkpoint blocks (Checkpoints.freeAll
+      // after each query is the primary cleanup path)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -27,6 +30,10 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // result written: drop the query's checkpoint blocks so the
+        // 100+-query dump doesn't accumulate session state
+        Checkpoints.freeAll(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -601,13 +601,25 @@ object Dedup {
     * neighbor aggregate, and through the jump), so without truncation the
     * LOGICAL plan grows 3× per round and any downstream composition over
     * the returned frame re-plans the whole tree (q77's semantic graph
-    * froze .explain this way). By default the checkpoint is local
-    * (executor blocks, ContextCleaner-released); localCheckpoint cannot
-    * survive executor loss, so for long multi-hour runs set
+    * froze .explain this way). Each round FREES the round it supersedes
+    * (via [[graft.Checkpoints]]) the moment its own checkpoint is
+    * materialized, so at most two rounds' blocks are ever live — a long
+    * label loop does not accumulate per-round block sets. By default the
+    * checkpoint is local (executor blocks); a local checkpoint cannot
+    * survive executor loss (its lineage is truncated, so lost blocks are
+    * unrecomputable). For long multi-hour runs set
     * `spark.sparkContext.setCheckpointDir(...)` and pass
-    * `reliableEvery = N` to write a recoverable reliable checkpoint
-    * every N rounds (intermediate rounds stay local — the reliable copy
-    * bounds recomputation to < N rounds on failure). */
+    * `reliableEvery = N`: every Nth round writes a recoverable reliable
+    * (file-backed) checkpoint, and when a later round FAILS the loop
+    * rewinds to the most recent reliable round and replays from there
+    * (up to 3 rewinds) — so a failure costs < N replayed rounds instead
+    * of the whole call. */
+  /** Test seam: invoked at the start of each [[dupClusters]] round with
+    * the round number; a spec throws from here to exercise the
+    * rewind-to-reliable path (executor loss is not simulable in local
+    * mode). No-op in production. */
+  private[graft] var roundProbe: Int => Unit = _ => ()
+
   def dupClusters(
       pairs: DataFrame,
       idA: String = "id_a",
@@ -623,38 +635,69 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     require(reliableEvery == 0 || spark.sparkContext.getCheckpointDir.isDefined,
       "reliableEvery > 0 needs spark.sparkContext.setCheckpointDir(...)")
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = graft.Checkpoints.localCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    // whether `labels` is a local checkpoint we own (freeable when
+    // superseded) vs a reliable file-backed one (no storage blocks)
+    var labelsLocal = true
+    // most recent reliable checkpoint and the round count it represents —
+    // the rewind target when a later round fails
+    var reliable: Option[(DataFrame, Int)] = None
+    var rewinds = 0
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val neigh = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min("nl").as("nlabel"))
-      val relaxed = labels
-        .join(neigh, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("rl"),
-          col("label").as("old"))
-      // pointer jump through the PREVIOUS labels (already checkpointed —
-      // a cheap scan, not a recompute): rl is a node id, so label(rl)
-      // shortcuts the chain rl has already walked
-      val jumped = relaxed
-        .join(labels.select(col("id").as("rl"), col("label").as("jl")), Seq("rl"), "left")
-        .select(col("id"),
-          least(col("rl"), coalesce(col("jl"), col("rl"))).as("label"),
-          col("old"))
-      val acc = spark.sparkContext.longAccumulator(s"graft.dupClusters.changed.$iter")
-      val counted = jumped.as[(Long, Long, Long)].mapPartitions { it =>
-        it.map { case (id, nl, ol) => if (nl != ol) acc.add(1L); (id, nl) }
-      }.toDF("id", "label")
-      labels =
-        if (reliableEvery > 0 && (iter + 1) % reliableEvery == 0) counted.checkpoint(true)
-        else counted.localCheckpoint(true)
-      changed = acc.value
-      iter += 1
+      try {
+        roundProbe(iter)
+        val neigh = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min("nl").as("nlabel"))
+        val relaxed = labels
+          .join(neigh, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("rl"),
+            col("label").as("old"))
+        // pointer jump through the PREVIOUS labels (already checkpointed —
+        // a cheap scan, not a recompute): rl is a node id, so label(rl)
+        // shortcuts the chain rl has already walked
+        val jumped = relaxed
+          .join(labels.select(col("id").as("rl"), col("label").as("jl")), Seq("rl"), "left")
+          .select(col("id"),
+            least(col("rl"), coalesce(col("jl"), col("rl"))).as("label"),
+            col("old"))
+        val acc = spark.sparkContext.longAccumulator(s"graft.dupClusters.changed.$iter")
+        val counted = jumped.as[(Long, Long, Long)].mapPartitions { it =>
+          it.map { case (id, nl, ol) => if (nl != ol) acc.add(1L); (id, nl) }
+        }.toDF("id", "label")
+        val takeReliable = reliableEvery > 0 && (iter + 1) % reliableEvery == 0
+        val next =
+          if (takeReliable) counted.checkpoint(true)
+          else graft.Checkpoints.localCheckpoint(counted)
+        // `next` is fully materialized: the superseded round's local
+        // blocks are dead — free them now instead of letting one block
+        // set per round pile up for the session
+        if (labelsLocal) graft.Checkpoints.free(labels)
+        labels = next
+        labelsLocal = !takeReliable
+        if (takeReliable) reliable = Some((next, iter + 1))
+        changed = acc.value
+        iter += 1
+      } catch {
+        case e: Throwable if reliable.isDefined && rewinds < 3 =>
+          // executor loss takes local checkpoint blocks with it and their
+          // truncated lineage cannot recompute them — rewind to the last
+          // reliable (file-backed) round and replay the rounds since
+          rewinds += 1
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"dupClusters round $iter failed (${e.getMessage}); rewinding to " +
+              s"reliable round ${reliable.get._2} (rewind $rewinds/3)")
+          labels = reliable.get._1
+          labelsLocal = false
+          iter = reliable.get._2
+          changed = 1L
+      }
     }
     edges.unpersist()
     org.slf4j.LoggerFactory.getLogger(getClass)
@@ -669,9 +712,10 @@ object Dedup {
           "a component min's eccentricity exceeds maxIter — raise it")
     }
     // the returned frame reads the final checkpointed labels — a shallow
-    // plan downstream anti-joins can compose with freely; superseded
-    // rounds' checkpoint blocks are released by the ContextCleaner once
-    // unreferenced
+    // plan downstream anti-joins can compose with freely; every
+    // superseded round was freed as it was replaced, and the final
+    // round's blocks are released by the host's `Checkpoints.freeAll`
+    // barrier once the caller is done
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -779,11 +823,13 @@ object Dedup {
     * embedding-space analogue of [[contaminationPairs]], catching bench
     * PARAPHRASES that n-gram containment misses. Both sides key with the
     * SAME hyperplane tables, so candidate generation is an equi-join on
-    * (table, bucket); the bench side is a benchmark suite — small by
-    * definition — and broadcasts, making candidate generation MAP-SIDE
-    * (zero shuffle of the corpus): the only shuffled rows are the
-    * candidate id pairs themselves (distinct) before the exact-cosine
-    * verify. NaN cosines (zero-norm vectors) never match. */
+    * (table, bucket). The bench side is UNHINTED: a benchmark suite is
+    * usually small, and AQE broadcasts it when its MEASURED size fits —
+    * candidate generation is then map-side (zero shuffle of the corpus),
+    * while an oversized bench frame degrades to a shuffle join instead
+    * of OOMing under a forced broadcast. The only shuffled rows beyond
+    * that are the candidate id pairs themselves (distinct) before the
+    * exact-cosine verify. NaN cosines (zero-norm vectors) never match. */
   def semanticContaminationPairs(
       corpus: DataFrame,
       bench: DataFrame,
@@ -802,11 +848,11 @@ object Dedup {
           lit(t).as("table"))
       }.reduce(_ unionAll _)
     withB(corpus, "corpus_id")
-      .join(broadcast(withB(bench, "bench_id")), Seq("table", "bucket"))
+      .join(withB(bench, "bench_id"), Seq("table", "bucket"))
       .select("corpus_id", "bench_id").distinct()
       .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__vc")),
         "corpus_id")
-      .join(broadcast(bench.select(col(idCol).as("bench_id"), col(vecCol).as("__vb"))),
+      .join(bench.select(col(idCol).as("bench_id"), col(vecCol).as("__vb")),
         "bench_id")
       .withColumn("cosine", Similarity.cosine(col("__vc"), col("__vb")))
       .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
@@ -847,7 +893,14 @@ object Dedup {
     * [[dupClusters]] label loop (near-clique clusters converge in 2-4
     * rounds; see its scaladoc for the thin-thread worst case); the final
     * anti-join ships only loser ids. */
-  def semanticDedup(
+  /** The shared cluster-assignment step of [[semanticDedup]] /
+    * [[semanticDedupKeepBest]]: bucketed near-dup pairs → connected
+    * components, as `(doc_id, cluster_id)` for every paired id. Exposed
+    * so a session evaluating BOTH keeper policies (or any other
+    * cluster-consuming stage) computes the expensive pair + closure
+    * chain ONCE and feeds the same clusters frame to each — pass the
+    * result as the `clusters` argument of either policy. */
+  def semanticClusters(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -855,9 +908,22 @@ object Dedup {
       threshold: Double = 0.95,
       nBits: Int = 10,
       nTables: Int = 3
+  ): DataFrame =
+    dupClusters(embeddingNearDupPairs(df, idCol, vecCol, dim, threshold, nBits, nTables))
+
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nBits: Int = 10,
+      nTables: Int = 3,
+      clusters: Option[DataFrame] = None
   ): DataFrame = {
-    val pairs = embeddingNearDupPairs(df, idCol, vecCol, dim, threshold, nBits, nTables)
-    val losers = dupClusters(pairs)
+    val cl = clusters.getOrElse(
+      semanticClusters(df, idCol, vecCol, dim, threshold, nBits, nTables))
+    val losers = cl
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -873,7 +939,9 @@ object Dedup {
     * Scale shape: [[semanticDedup]]'s bucketed pairs + label loop, plus
     * one join of the (small) cluster assignment against the quality
     * column and a k=1 [[GroupTopK]] heap — keeper selection never
-    * shuffles the corpus, only the clustered ids. */
+    * shuffles the corpus, only the clustered ids. When both policies run
+    * in one session, compute [[semanticClusters]] once and pass it as
+    * `clusters` here and to [[semanticDedup]]. */
   def semanticDedupKeepBest(
       df: DataFrame,
       idCol: String,
@@ -882,19 +950,20 @@ object Dedup {
       qualityCol: String,
       threshold: Double = 0.95,
       nBits: Int = 10,
-      nTables: Int = 3
+      nTables: Int = 3,
+      clusters: Option[DataFrame] = None
   ): DataFrame = {
-    val pairs = embeddingNearDupPairs(df, idCol, vecCol, dim, threshold, nBits, nTables)
-    val clusters = dupClusters(pairs)
+    val cl = clusters.getOrElse(
+      semanticClusters(df, idCol, vecCol, dim, threshold, nBits, nTables))
     val q = col(qualityCol).cast("double")
-    val scored = clusters.join(
+    val scored = cl.join(
       df.select(col(idCol).cast("long").as("doc_id"),
         when(q.isNotNull && !isnan(q), q)
           .otherwise(lit(Double.NegativeInfinity)).as("__q")),
       Seq("doc_id"))
     val keepers = GroupTopK.topKPerGroup(scored, Seq("cluster_id"), "doc_id", "__q", 1)
       .select(col("doc_id"))
-    val losers = clusters.select("doc_id").join(keepers, Seq("doc_id"), "left_anti")
+    val losers = cl.select("doc_id").join(keepers, Seq("doc_id"), "left_anti")
       .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }

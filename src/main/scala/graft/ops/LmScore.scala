@@ -56,16 +56,15 @@ object LmScore {
   ): DataFrame = {
     // barrier: the per-doc counts feed the (self-trained) model
     // aggregation AND the scoring join; without it the corpus
-    // scan + explode recomputes per consumer. Eager localCheckpoint, not
+    // scan + explode recomputes per consumer. Eager checkpoint, not
     // persist: the returned frame still references these counts, so there
-    // is no safe unpersist point — persist would pin the blocks for the
-    // session; checkpoint blocks are ContextCleaner-released once the
-    // caller drops the frame.
-    val bc = bigramPairs(docs, idCol, textCol)
+    // is no safe unpersist point here — blocks are released by the
+    // host's `Checkpoints.freeAll` barrier once the result is
+    // materialized (ContextCleaner as fallback).
+    val bc = graft.Checkpoints.localCheckpoint(bigramPairs(docs, idCol, textCol)
       .groupBy(col(idCol), col("bigram"))
       .agg(count(lit(1)).as("__bc"))
-      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
-      .localCheckpoint(true)
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0)))
 
     val modelPairs = model match {
       case None    => bc.select(col("__w1"), col("bigram"), col("__bc"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-group z-score outlier detection — the standard gate for dropping
@@ -95,7 +95,13 @@ object Outliers {
     * Scale shape: one groupBy (exact percentile needs the group's sorted
     * values — the documented cost of exactness, same trade as q93), the
     * |groups|-row bounds frame broadcast back; no window, the data
-    * shuffles once. */
+    * shuffles once. The exact aggregate buffers a GROUP's values in one
+    * aggregation buffer — a hazard when one group dominates the corpus
+    * (one language = 80% of 100 TB). Session conf
+    * `graft.stats.approx=true` (the same switch [[graft.StatsAgg]]
+    * honors) swaps in `approx_percentile`'s bounded sketch; the clip
+    * bounds are then approximate and no longer oracle-exact, which is
+    * the right trade at scale. */
   def winsorize(
       df: DataFrame,
       groupCols: Seq[String],
@@ -109,11 +115,13 @@ object Outliers {
       "need 0 <= lower < upper <= 1")
     val raw = col(valueCol)
     val v = when(!isnan(raw.cast("double")), raw) // NaN ≡ null, as in z-score
+    val approx = df.sparkSession.conf.get("graft.stats.approx", "false").toBoolean
+    def pct(p: Double): Column =
+      if (approx) percentile_approx(v, lit(p), lit(10000)).cast("double")
+      else percentile(v, lit(p))
     val bounds = df
       .groupBy(groupCols.map(col): _*)
-      .agg(
-        percentile(v, lit(lower)).as("__lo"),
-        percentile(v, lit(upper)).as("__hi"))
+      .agg(pct(lower).as("__lo"), pct(upper).as("__hi"))
     df.join(broadcast(bounds), groupCols, "left")
       .withColumn(outCol,
         when(v.isNotNull,

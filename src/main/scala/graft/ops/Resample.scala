@@ -44,11 +44,11 @@ object Resample {
       .agg(aggs.head, aggs.tail: _*)
     // barrier: b feeds the grid keys, the global bounds, and the dense
     // join; without it Catalyst re-aggregates the raw events three times.
-    // Eager localCheckpoint, not persist: persist pins CacheManager blocks
-    // for the session lifetime (no unpersist point exists — the returned
-    // lazy frame still references this), while checkpoint blocks are
-    // released by the ContextCleaner once the caller drops the frame.
-    val binned = b.localCheckpoint(true)
+    // Eager checkpoint, not persist: the returned lazy frame still
+    // references this, so blocks are released by the host's
+    // `Checkpoints.freeAll` barrier (ContextCleaner as fallback), never
+    // pinned for the session the way persist would.
+    val binned = graft.Checkpoints.localCheckpoint(b)
     val bounds = binned.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
     val grid = binned.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))

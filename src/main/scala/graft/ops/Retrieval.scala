@@ -96,16 +96,16 @@ object Retrieval {
     // matters: the pruned postings feed BOTH the doc-frequency agg
     // and the contribution join — without it Catalyst recomputes the full
     // corpus scan + explode for each consumer (observed: 3 parquet scans
-    // in the q84 plan). Eager localCheckpoint, not persist: the returned
-    // frame references the postings, so no unpersist point exists —
-    // persist would pin the blocks for the session; checkpoint blocks are
-    // ContextCleaner-released once the caller drops the frame.
-    val postings = withLen
+    // in the q84 plan). Eager checkpoint, not persist: the returned
+    // frame references the postings, so no unpersist point exists inside
+    // this function — the blocks are released by the host's
+    // `Checkpoints.freeAll` barrier once the result is materialized (or
+    // by the ContextCleaner as a fallback).
+    val postings = graft.Checkpoints.localCheckpoint(withLen
       .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy(col(idCol), col("__dl"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("__tf")))
 
     // document frequency over the pruned postings: (doc, term) is unique
     // after the tf aggregate, so count(*) IS the doc frequency

@@ -75,8 +75,17 @@ object Sampling {
     *
     * Scale shape: one tiny groupBy(source) agg (|sources| rows) collected
     * to the driver, folded in sorted-source order so the normalizing sum
-    * is bit-reproducible by any engine, then broadcast back as a literal
-    * CASE chain — the 100-TB side is one codegen'd filter, no shuffle.
+    * is bit-reproducible by any engine, then broadcast back — the 100-TB
+    * side is one map-side filter, no shuffle of the corpus. Up to
+    * [[TemperatureMixCaseBound]] sources the acceptance table inlines as
+    * a literal CASE chain (codegen'd, oracle-friendly); above it the
+    * thresholds ship as a broadcast-joined lookup frame instead — a
+    * per-source `when` branch each would explode the PLAN itself (codegen
+    * blows past the JIT method limit around a few thousand branches).
+    * The driver-side collect is |sources| rows: sized for source/corpus
+    * mixing (dozens to a few thousand groups), NOT per-domain mixing at
+    * millions of groups — cap domains with [[quotaSample]] /
+    * [[weightedSample]], whose selection never leaves the cluster.
     * Acceptance thresholds are bit-reproducible when every step is
     * mirrored in order: sqrt/+/x/÷/min are IEEE-deterministic, so an
     * oracle that folds the SAME sorted list and applies the SAME
@@ -116,14 +125,43 @@ object Sampling {
       (s, math.min(1.0, targetRows.toDouble * (w / z) / n.toDouble))
     }
     val u = unitHash(col(idCol), salt)
-    // null-safe equality: a null source group must match its own rows
-    // (plain === never matches null and would silently drop the group)
-    val aCol = accept.foldLeft(lit(0.0): Column) {
-      case (acc, (s, a)) =>
-        when(col(sourceCol) <=> lit(s.orNull).cast("string"), lit(a)).otherwise(acc)
-    }
-    df.filter(u < aCol)
+    applyAcceptance(df, sourceCol, u, accept,
+      useJoin = accept.length > TemperatureMixCaseBound)
   }
+
+  /** Max |sources| inlined as a literal CASE chain by [[temperatureMix]]
+    * before switching to the broadcast-join acceptance table. */
+  private[graft] val TemperatureMixCaseBound = 64
+
+  /** Applies per-source acceptance thresholds either as a literal CASE
+    * chain (small |sources| — codegen'd, oracle-friendly) or as a
+    * broadcast-joined lookup frame (identical decisions, plan O(1) in
+    * |sources|). Factored out so specs can pin the two paths agree. */
+  private[graft] def applyAcceptance(
+      df: DataFrame,
+      sourceCol: String,
+      u: Column,
+      accept: Seq[(Option[String], Double)],
+      useJoin: Boolean
+  ): DataFrame =
+    if (!useJoin) {
+      // null-safe equality: a null source group must match its own rows
+      // (plain === never matches null and would silently drop the group)
+      val aCol = accept.foldLeft(lit(0.0): Column) {
+        case (acc, (s, a)) =>
+          when(col(sourceCol) <=> lit(s.orNull).cast("string"), lit(a)).otherwise(acc)
+      }
+      df.filter(u < aCol)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val acceptDf = accept.map { case (s, a) => (s.orNull, a) }
+        .toDF("__graft_src", "__graft_accept")
+      df.join(broadcast(acceptDf),
+          col(sourceCol).cast("string") <=> col("__graft_src"))
+        .filter(u < col("__graft_accept"))
+        .drop("__graft_src", "__graft_accept")
+    }
 
   /** Per-source quota cap: keep at most `cap` rows per `sourceCol` group,
     * chosen deterministically — the rows with the LOWEST unit hash (ties
@@ -293,7 +331,7 @@ object Sampling {
   ): DataFrame = {
     require(perCluster > 0, "perCluster must be positive")
     val assigned = df
-      .withColumn("list_id", graft.ops.Similarity.assignCell(col(vecCol), centroids))
+      .transform(d => graft.ops.Similarity.assignCells(d, vecCol, centroids, "list_id"))
     // GroupTopK keeps the LARGEST scores; rank the unit hash ascending
     // by negating it. Hash of a null id is null -> dropped by the heap.
     val scored = assigned

@@ -363,6 +363,66 @@ object Similarity {
     (-array_max(cells).getField("nlist")).cast("int")
   }
 
+  /** Literal-inlining bound for [[assignCell]]: the expression embeds
+    * `nLists × dim` double literals, so analysis/codegen cost grows
+    * linearly with the centroid count — sound to ~10⁴ centroids, the
+    * common IVF regime. [[assignCells]] switches to the broadcast-array
+    * fold above this. */
+  private[graft] val AssignCellLiteralBound = 4096
+
+  /** Nearest-centroid assignment as a frame transform: adds `outCol`
+    * (int cell id) to `df`. Dispatches on centroid count: up to
+    * [[AssignCellLiteralBound]] it is the zero-shuffle literal argmax of
+    * [[assignCell]]; above it the centroids travel as DATA — one
+    * broadcast row holding the sorted centroid array, folded per row —
+    * so the plan stays O(1) in `nLists` while assignment remains
+    * zero-shuffle and deterministic (same argmax, same smaller-id tie
+    * rule). */
+  def assignCells(
+      df: DataFrame,
+      vecCol: String,
+      centroidSeq: Seq[(Int, Seq[Double], Double)],
+      outCol: String = "list_id"
+  ): DataFrame =
+    if (centroidSeq.size <= AssignCellLiteralBound)
+      df.withColumn(outCol, assignCell(col(vecCol), centroidSeq))
+    else assignCellsViaBroadcast(df, vecCol, centroidSeq, outCol)
+
+  /** The large-centroid-set path of [[assignCells]], exposed for parity
+    * testing: centroids as a single broadcast row (sorted by cell id),
+    * argmax by a fold that mirrors [[assignCell]]'s semantics — strict
+    * improvement keeps the FIRST (smallest) cell id on ties, NaN scores
+    * rank above every real score (Spark's double ordering). */
+  private[graft] def assignCellsViaBroadcast(
+      df: DataFrame,
+      vecCol: String,
+      centroidSeq: Seq[(Int, Seq[Double], Double)],
+      outCol: String
+  ): DataFrame = {
+    require(centroidSeq.nonEmpty, "need at least one centroid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centArr = centroidSeq.toDF("__cid", "__c", "__c2")
+      .agg(sort_array(collect_list(struct(col("__cid"), col("__c"), col("__c2"))))
+        .as("__cents"))
+    val vec = col(vecCol).cast("array<double>")
+    val st0 = struct(lit(Double.NegativeInfinity).as("neg"), lit(-1).as("cell"))
+    val best = aggregate(col("__cents"), st0,
+      (st, x) => {
+        val cand = lit(2.0) * dot(vec, x.getField("__c")) - x.getField("__c2")
+        val prev = st.getField("neg")
+        // ordering-greater with NaN largest (assignCell's struct-max
+        // order); equal (incl. NaN == NaN) keeps the earlier, smaller id
+        val better = (isnan(cand) && !isnan(prev)) || (cand > prev)
+        when(better, struct(cand.as("neg"), x.getField("__cid").as("cell")))
+          .otherwise(st)
+      },
+      st => st.getField("cell"))
+    df.crossJoin(broadcast(centArr))
+      .withColumn(outCol, best.cast("int"))
+      .drop("__cents")
+  }
+
   /** IVF search against EXPLICIT centroids (`(list_id, centroid, |c|²)`,
     * e.g. from [[trainIvfCentroids]]). Everything downstream of training
     * is deterministic arithmetic over the centroid values:
@@ -391,8 +451,7 @@ object Similarity {
       queryVec: String = "embedding"
   ): DataFrame = {
     require(centroidSeq.nonEmpty, "need at least one centroid")
-    val assigned = corpus
-      .withColumn("list_id", assignCell(col(corpusVec), centroidSeq))
+    val assigned = assignCells(corpus, corpusVec, centroidSeq, "list_id")
       .select(col(corpusId), col(corpusVec), col("list_id"))
 
     // centroid table is tiny: broadcast to rank probe cells per query by

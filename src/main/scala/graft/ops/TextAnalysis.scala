@@ -135,26 +135,42 @@ object TextAnalysis {
     * information-density quality signal: single-character spam scores
     * 0, keyboard mash and natural prose separate cleanly, highly
     * repetitive generations sit low. Computed as a DETERMINISTIC fold
-    * over the SORTED distinct characters (`-Σ (c/n)·log2(c/n)`), so the
-    * FP result is bit-reproducible across runs, partitionings, and
-    * engines (an unordered sum would be arrival-order-dependent).
-    * Per-character counts use length-difference against `replace` —
-    * O(distinct·len) per document, fine for the tens-of-distinct-chars
-    * regime of real text. Empty text scores 0.0; null scores null. */
+    * in SORTED-character order (`-Σ (c/n)·log2(c/n)`), so the FP result
+    * is bit-reproducible across runs, partitionings, and engines (an
+    * unordered sum would be arrival-order-dependent).
+    *
+    * Implementation is a run-length fold over the sorted character
+    * array: one pass, O(len·log len) total, INDEPENDENT of alphabet
+    * size — safe for CJK / mixed-script corpora with thousands of
+    * distinct characters per document, where the naive
+    * replace-per-distinct-char formulation degrades to
+    * O(distinct·len). Each run's term is added exactly when its
+    * character's run ends, i.e. in sorted-distinct-character order —
+    * bit-identical to folding the sorted distinct set (the q116 oracle's
+    * shape). Empty text scores 0.0; null scores null. */
   def charEntropy(text: Column): Column = {
     val n = length(text).cast("double")
     // drop empty elements: Spark's split keeps trailing empties (limit
     // -1), DuckDB's does not — filtering makes both engines agree
-    val distinctChars = array_sort(array_distinct(
-      filter(split(text, ""), c => length(c) > 0)))
+    val chars = array_sort(filter(split(text, ""), c => length(c) > 0))
     val ln2 = log(lit(2.0)) // constant-folded; == DuckDB ln(2) bit-exact
-    val acc = aggregate(distinctChars, lit(0.0),
-      (s, c) => {
-        val cnt = (length(text) - length(replace(text, c, lit("")))).cast("double")
-        s + (cnt / n) * log(cnt / n) / ln2
-      })
+    // a completed run of `cnt` occurrences contributes (c/n)·log2(c/n);
+    // the cnt = 0 sentinel (before the first run) contributes exact 0.0
+    def term(cnt: Column): Column = {
+      val p = cnt.cast("double") / n
+      when(cnt > lit(0L), p * log(p) / ln2).otherwise(lit(0.0))
+    }
+    val st0 = struct(lit("").as("prev"), lit(0L).as("cnt"), lit(0.0).as("acc"))
+    val folded = aggregate(chars, st0,
+      (st, c) => when(c === st.getField("prev"),
+        struct(st.getField("prev").as("prev"),
+          (st.getField("cnt") + lit(1L)).as("cnt"),
+          st.getField("acc").as("acc")))
+        .otherwise(struct(c.as("prev"), lit(1L).as("cnt"),
+          (st.getField("acc") + term(st.getField("cnt"))).as("acc"))),
+      st => st.getField("acc") + term(st.getField("cnt")))
     when(text.isNull, lit(null).cast("double"))
-      .otherwise(when(n === 0, lit(0.0)).otherwise(-acc))
+      .otherwise(when(n === 0, lit(0.0)).otherwise(-folded))
   }
 
   // --- fingerprinting ---

@@ -32,18 +32,47 @@ object PipelineQueries {
     * dumps it at the END of the run — interpolates them as literals. The
     * cache also keeps Bench's 3 iterations from re-training KMeans. */
   private[queries] object IvfState {
-    @volatile var centroids: Option[(String, Seq[(Int, Seq[Double], Double)])] = None
+    /** Trained quantizers keyed by (sf dir, nLists): a cache keyed on dir
+      * alone would silently hand a 16-list quantizer to a caller asking
+      * for a different list count. */
+    @volatile private var cache: Map[(String, Int), Seq[(Int, Seq[Double], Double)]] =
+      Map.empty
+    /** The most recently requested key — [[ivfOracleSql]] interpolates
+      * THIS quantizer. Verify dumps oracles after running one dir's
+      * queries, so "most recent" is exactly the dumped dir. */
+    @volatile private var lastKey: Option[(String, Int)] = None
     def forDir(emb: DataFrame, dir: String, nLists: Int): Seq[(Int, Seq[Double], Double)] =
       synchronized {
-        centroids match {
-          case Some((d, c)) if d == dir => c
-          case _ =>
+        val key = (dir, nLists)
+        lastKey = Some(key)
+        cache.get(key) match {
+          case Some(c) => c
+          case None =>
             val c = Similarity.trainIvfCentroids(emb, "embedding", nLists)
-            centroids = Some((dir, c))
+            cache += key -> c
             c
         }
       }
+    /** The quantizer behind the last [[forDir]] call, if any — None when
+      * oracleSql is requested before any IVF query ran (the q54/q111
+      * oracles are then omitted and the driver records a rows-only
+      * check). */
+    def current: Option[Seq[(Int, Seq[Double], Double)]] =
+      synchronized { lastKey.flatMap(cache.get) }
   }
+
+  /** q77/q109 shared SemDeDup closure (identical parameters), computed
+    * once per (session, sf dir) and pinned across [[graft.Checkpoints]]
+    * cleanup barriers — the two keeper policies are views over the SAME
+    * cluster assignment, and recomputing the pair + closure chain per
+    * policy was round 5's heaviest redundant work (q109 at 4.4s re-ran
+    * everything q77 had just computed). */
+  private def semClusters(s: SparkSession, dir: String): DataFrame =
+    graft.Checkpoints.pinned(
+      s"semclusters:${s.sparkContext.applicationId}:$dir:0.2:8:3") {
+      Dedup.semanticClusters(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.2, nBits = 8, nTables = 3)
+    }
 
   /** A fixed 64-bucket weight vector for the q90 classifier demo —
     * deterministic integer arithmetic; the doubles are interpolated into
@@ -1170,22 +1199,27 @@ object PipelineQueries {
       // SemDeDup: q56's near-dup pairs -> transitive clusters -> keep the
       // min-id representative per cluster; fully oracle-checked (the
       // hyperplane constants interpolate into SQL, the closure is a
-      // recursive CTE like q73)
+      // recursive CTE like q73). The clusters come from the session-pinned
+      // shared closure — q109 consumes the SAME frame.
       Dedup.semanticDedup(
         t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
-        threshold = 0.2, nBits = 8, nTables = 3)
+        threshold = 0.2, nBits = 8, nTables = 3,
+        clusters = Some(semClusters(s, dir)))
         .select("vec_id", "label")
         .orderBy("vec_id")
     },
 
     "q109_semantic_keep_best" -> { (s, dir) =>
-      // SemDeDup with keeper-by-quality: q77's clusters, but each keeps
-      // its highest-quality member (deterministic derived quality so the
-      // oracle re-ranks identically) instead of the min id
+      // SemDeDup with keeper-by-quality: q77's clusters (the shared pinned
+      // frame — the pair+closure chain runs once per session, not once per
+      // policy), but each cluster keeps its highest-quality member
+      // (deterministic derived quality so the oracle re-ranks identically)
+      // instead of the min id
       val emb = t(s, dir, "embeddings")
         .withColumn("quality", (col("vec_id") % 7).cast("double"))
       Dedup.semanticDedupKeepBest(emb, "vec_id", "embedding", dim = 64,
-        qualityCol = "quality", threshold = 0.2, nBits = 8, nTables = 3)
+        qualityCol = "quality", threshold = 0.2, nBits = 8, nTables = 3,
+        clusters = Some(semClusters(s, dir)))
         .select("vec_id", "label")
         .orderBy("vec_id")
     },
@@ -1353,7 +1387,7 @@ object PipelineQueries {
     * CAST AS DOUBLE (a bare decimal literal would parse as DECIMAL and
     * lose the low bits). */
   private def ivfOracleSql: Map[String, String] =
-    IvfState.centroids.toSeq.flatMap { case (_, cents) =>
+    IvfState.current.toSeq.flatMap { cents =>
       def d(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
       val rows = cents.map { case (i, c, c2) =>
         s"    ($i, [${c.map(d).mkString(", ")}], ${d(c2)})"
@@ -2374,8 +2408,9 @@ object PipelineQueries {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // PageRank: 5 chained iteration CTEs, each the engine's exact
-    // arithmetic — teleport (1-d)/N + d * source-sorted contribution
-    // fold (list ORDER BY src, prepend 0.0, left reduce +)
+    // arithmetic — teleport (1-d)/N + d * the TWO-LEVEL contribution
+    // fold (src-sorted fold per (dst, md5 sub-bucket), then bucket-sorted
+    // fold of the partials — the hub-safe order the engine uses)
     "q117_pagerank" -> {
       def iterCte(cur: String, prev: String): String =
         s"""$cur AS (
@@ -2383,10 +2418,14 @@ object PipelineQueries {
            |    (1.0 - 0.85) / CAST(nn.n AS DOUBLE) + 0.85 * COALESCE(s.acc, 0.0) AS rank
            |  FROM nodes CROSS JOIN nn
            |  LEFT JOIN (
-           |    SELECT e.dst AS node,
-           |      list_reduce(list_prepend(0.0, list(r.rank * e.w / e.outw ORDER BY e.src)), (a, b) -> a + b) AS acc
-           |    FROM e JOIN $prev r ON e.src = r.node
-           |    GROUP BY e.dst) s ON s.node = nodes.node
+           |    SELECT dst AS node,
+           |      list_reduce(list_prepend(0.0, list(p ORDER BY b)), (a, x) -> a + x) AS acc
+           |    FROM (
+           |      SELECT e.dst, e.b,
+           |        list_reduce(list_prepend(0.0, list(r.rank * e.w / e.outw ORDER BY e.src)), (a, x) -> a + x) AS p
+           |      FROM e JOIN $prev r ON e.src = r.node
+           |      GROUP BY e.dst, e.b) s1
+           |    GROUP BY dst) s ON s.node = nodes.node
            |)""".stripMargin
       val iters = (1 to 5).map(i => iterCte(s"r$i", s"r${i - 1}")).mkString(",\n")
       s"""WITH e0 AS (
@@ -2397,7 +2436,9 @@ object PipelineQueries {
          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |  GROUP BY 1, 2
          |), od AS (SELECT src, SUM(w) AS outw FROM e0 GROUP BY src),
-         |e AS (SELECT e0.src, e0.dst, e0.w, od.outw FROM e0 JOIN od USING (src)),
+         |e AS (SELECT e0.src, e0.dst, e0.w, od.outw,
+         |  CAST(('0x' || substr(md5(CAST(e0.src AS VARCHAR)), 1, 4)) AS BIGINT) % 1024 AS b
+         |  FROM e0 JOIN od USING (src)),
          |nodes AS (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst FROM e0),
          |nn AS (SELECT COUNT(*) AS n FROM nodes),
          |r0 AS (SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank FROM nodes, nn),
