@@ -931,6 +931,25 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    "q118_dsir" -> { (s, dir) =>
+      // DSIR data selection: hashed-bigram log-likelihood ratio of the
+      // target slice (doc_id >= 400, the q58/q78 benchmark convention)
+      // vs the raw training slice (doc_id < 400); each raw doc's score
+      // folds count x llr in bucket-sorted order, top 50 by (score, id).
+      // Every step is md5/ln-mirrorable, so the whole selection is
+      // oracle-checked end to end.
+      val docs = t(s, dir, "documents")
+      val raw = docs.filter(col("doc_id") < 400)
+      val target = docs.filter(col("doc_id") >= 400)
+      val w = graft.ops.Dsir.logRatioWeights(target, raw, "text",
+        n = 2, buckets = 4096, alpha = 0.01)
+      val scored = graft.ops.Dsir.importanceScores(raw, "doc_id", "text", w,
+        n = 2, buckets = 4096)
+      graft.ops.Dsir.selectTop(scored, "doc_id", 50)
+        .select(col("doc_id"), roundz(col("dsir_score"), 6).as("dsir_score_r"))
+        .orderBy(col("dsir_score_r").desc, col("doc_id"))
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2444,6 +2463,50 @@ object PipelineQueries {
          |r0 AS (SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank FROM nodes, nn),
          |$iters
          |SELECT node, round(rank, 9) + 0.0 AS rank_r FROM r5 ORDER BY node""".stripMargin
+    },
+
+    // DSIR: md5-bucketed bigram counts, add-alpha log-likelihood ratios
+    // (ln == Math.log bit-exact, the q105 pair), per-doc bucket-sorted
+    // fold of count x llr, top 50 by raw score then the rounded display
+    // order. alpha*buckets is interpolated from the engine's own double
+    // product so both sides smooth with the identical constant.
+    "q118_dsir" -> {
+      val aB = (0.01 * 4096).toString
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS toks
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) = 0 THEN []
+         |         WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) END AS gs
+         |  FROM tok
+         |), gb AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+         |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+         |), tc AS (SELECT b, count(*) AS ct FROM gb WHERE doc_id >= 400 GROUP BY b),
+         |rc AS (SELECT b, count(*) AS cr FROM gb WHERE doc_id < 400 GROUP BY b),
+         |tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS nt,
+         |               (SELECT COALESCE(SUM(cr), 0) FROM rc) AS nr),
+         |w AS (
+         |  SELECT COALESCE(tc.b, rc.b) AS b,
+         |    ln((CAST(COALESCE(tc.ct, 0) AS DOUBLE) + CAST(0.01 AS DOUBLE))
+         |       / (CAST(nt AS DOUBLE) + CAST($aB AS DOUBLE)))
+         |    - ln((CAST(COALESCE(rc.cr, 0) AS DOUBLE) + CAST(0.01 AS DOUBLE))
+         |       / (CAST(nr AS DOUBLE) + CAST($aB AS DOUBLE))) AS llr
+         |  FROM tc FULL JOIN rc ON tc.b = rc.b CROSS JOIN tot
+         |), dbc AS (
+         |  SELECT doc_id, b, count(*) AS cnt FROM gb WHERE doc_id < 400 GROUP BY doc_id, b
+         |), sc AS (
+         |  SELECT dbc.doc_id,
+         |    list_reduce(list_prepend(0.0, list(CAST(dbc.cnt AS DOUBLE) * COALESCE(w.llr, 0.0) ORDER BY dbc.b)), (a, x) -> a + x) AS s
+         |  FROM dbc LEFT JOIN w ON dbc.b = w.b
+         |  GROUP BY dbc.doc_id
+         |), top AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 50)
+         |SELECT doc_id, round(s, 6) + 0.0 AS dsir_score_r FROM top
+         |ORDER BY dsir_score_r DESC, doc_id""".stripMargin
     },
 
     // char entropy: same sorted-fold determinism contract as q84/q87 —
