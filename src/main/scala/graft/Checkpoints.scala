@@ -48,6 +48,12 @@ object Checkpoints {
   private val pinnedIds = mutable.Set[Int]()
   private val pinnedFrames = mutable.Map[String, DataFrame]()
 
+  /** SQL-cached (CacheManager) frames registered via [[trackCache]].
+    * These are NOT visible in `getPersistentRDDs` and the ContextCleaner
+    * never reclaims them, so the registry must hold the frame itself;
+    * the reference is dropped at the next [[freeAll]]. */
+  private val trackedCaches = mutable.Buffer[DataFrame]()
+
   /** Eagerly local-checkpoints `df` and registers the resulting block set
     * for later [[freeAll]] release. Drop-in replacement for
     * `df.localCheckpoint(true)`. */
@@ -69,10 +75,21 @@ object Checkpoints {
     roots.foreach(_.unpersist(blocking = false))
   }
 
-  /** Unpersists every tracked (non-pinned) checkpoint in the session.
-    * Call at a barrier where all frames from the finished unit of work
-    * are dead — e.g. between benchmark queries, after a request's results
-    * are written. */
+  /** Registers a SQL-persisted (`df.persist`) frame for release at the
+    * next [[freeAll]] barrier — for operator-internal caches whose
+    * consumer is the returned lazy frame, where the operator itself has
+    * no unpersist point (StagedEvaluator's stage caches). Unlike
+    * checkpoints, a freed cache only costs recomputation if the caller
+    * re-executes the frame. Returns `df` for chaining. */
+  def trackCache(df: DataFrame): DataFrame = {
+    synchronized { trackedCaches += df }
+    df
+  }
+
+  /** Unpersists every tracked (non-pinned) checkpoint and every tracked
+    * SQL cache in the session. Call at a barrier where all frames from
+    * the finished unit of work are dead — e.g. between benchmark
+    * queries, after a request's results are written. */
   def freeAll(spark: SparkSession): Unit = synchronized {
     val live = spark.sparkContext.getPersistentRDDs
     tracked.filterNot(pinnedIds).foreach { id =>
@@ -81,6 +98,11 @@ object Checkpoints {
     val keep = tracked.filter(pinnedIds)
     tracked.clear()
     tracked ++= keep
+    trackedCaches.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () } // a stopped session's cache is already gone
+    }
+    trackedCaches.clear()
   }
 
   /** Number of tracked (non-pinned) checkpoints — observability/tests. */

@@ -63,10 +63,16 @@ object Ranks {
 
     val spark = counts.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val sorted = counts
+    // Eager checkpoint, not persist: the partial-sum collection and the
+    // ranking pass must see the SAME range partitioning
+    // (repartitionByRange SAMPLES bounds — a recompute could re-sample
+    // differently and silently mis-rank against the collected offsets).
+    // Truncated lineage makes a divergent recompute impossible, and the
+    // blocks are released at the host's Checkpoints.freeAll barrier
+    // instead of pinning the CacheManager for the session.
+    val sorted = graft.Checkpoints.localCheckpoint(counts
       .repartitionByRange(n, col("__graft_score").desc)
-      .sortWithinPartitions(col("__graft_score").desc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sortWithinPartitions(col("__graft_score").desc))
 
     val partSums = sorted
       .select(spark_partition_id().as("pid"), col("__graft_cnt"))
@@ -127,13 +133,15 @@ object Ranks {
     val nonNull = base.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
     val unranked = base.filter(col(scoreCol).isNull || isnan(col(scoreCol)))
 
-    // Persisted: the size-collection job and the ranking pass must see the
-    // SAME range partitioning (repartitionByRange samples bounds; a
-    // recompute could re-sample differently).
-    val sorted = nonNull
+    // Eager checkpoint, not persist: the size-collection job and the
+    // ranking pass must see the SAME range partitioning
+    // (repartitionByRange SAMPLES bounds — a recompute could re-sample
+    // differently and silently mis-rank against the collected offsets).
+    // Truncated lineage makes a divergent recompute impossible; blocks
+    // release at the host's Checkpoints.freeAll barrier.
+    val sorted = graft.Checkpoints.localCheckpoint(nonNull
       .repartitionByRange(n, col(scoreCol).desc)
-      .sortWithinPartitions(col(scoreCol).desc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sortWithinPartitions(col(scoreCol).desc))
 
     // (1 long per partition) -> driver -> prefix offsets
     val partSizes = sorted

@@ -37,9 +37,13 @@ final case class StagedResult(
     df: DataFrame,
     stageResults: List[StageResult],
     statistics: Map[String, Map[String, Stats]],
-    private[graft] val caches: Seq[DataFrame] = Nil
+    private[graft] val caches: Seq[DataFrame] = Nil,
+    private[graft] val checkpoints: Seq[DataFrame] = Nil
 ) {
-  def unpersist(): Unit = caches.foreach(_.unpersist())
+  def unpersist(): Unit = {
+    caches.foreach(_.unpersist())
+    checkpoints.foreach(graft.Checkpoints.free)
+  }
 }
 
 /** Multi-stage pipeline with inter-stage elimination — the Spark-native
@@ -173,10 +177,14 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
       return StagedResult(empty, Nil, Map.empty)
     }
 
-    val base = bids
-      .withColumn(BidId, monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val caches = ArrayBuffer[DataFrame](base)
+    // Eager checkpoint, not persist: BidId is monotonically_increasing_id,
+    // which is NONDETERMINISTIC across recomputes — a persist made a
+    // divergent re-assignment merely unlikely (evicted blocks recompute),
+    // truncated lineage makes it impossible. Blocks release via
+    // StagedResult.unpersist() or the host's Checkpoints.freeAll barrier.
+    val base = graft.Checkpoints.localCheckpoint(
+      bids.withColumn(BidId, monotonically_increasing_id()))
+    val caches = ArrayBuffer[DataFrame]()
 
     // Accumulating wide result: original columns + one narrow join per stage.
     var result = base.withColumn("eliminated_at_stage", lit(null).cast("string"))
@@ -228,9 +236,13 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
         val lastByName = renamePairs.groupBy(_._1).view.mapValues(_.last._2).toMap
         val renames: Seq[Column] = renamePairs.map(_._1).distinct
           .map(n => lastByName(n).as(n))
-        val stageCols = er.df
+        // persist (not checkpoint): deterministic given the checkpointed
+        // base, so a post-release re-execution recomputes correctly; the
+        // registry releases it at the host's freeAll barrier for callers
+        // that never call StagedResult.unpersist()
+        val stageCols = graft.Checkpoints.trackCache(er.df
           .select(col(BidId) +: renames: _*)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(StorageLevel.MEMORY_AND_DISK))
         caches += stageCols
 
         // two stages can sanitize to the same prefix; pandas overwrites the
@@ -356,7 +368,8 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
         nanvl(col("final_score"), lit(null).cast("double")).desc_nulls_last)
       .drop(BidId)
 
-    val res = StagedResult(sorted, stageResults.toList, statsOut.toMap, caches.toSeq)
+    val res = StagedResult(sorted, stageResults.toList, statsOut.toMap,
+      caches.toSeq, checkpoints = Seq(base))
     lastResult = Some(res)
     res
   }

@@ -165,6 +165,40 @@ class LifecycleSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stats.approx")
   }
 
+  test("trackCache releases SQL-cached frames at the barrier") {
+    val df = Seq(1, 2, 3).toDF("x")
+    Checkpoints.trackCache(df.persist())
+    assert(df.count() == 3)
+    assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    Checkpoints.freeAll(spark)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "the tracked SQL cache must be uncached by freeAll")
+  }
+
+  test("staged evaluation + scalable rank leave no blocks after the barrier") {
+    Checkpoints.freeAll(spark)
+    val before = persistedIds
+    val bids = Seq(
+      ("A", 10L, 80L, 100000L),
+      ("B", 5L, 60L, 95000L),
+      ("C", 8L, 90L, 110000L)
+    ).toDF("vendor", "experience", "quality_score", "bid_amount")
+    val out = new StagedEvaluator()
+      .addStage("Technical", filterType = "score_threshold", threshold = 10.0)
+      .linear("experience", 0.4)
+      .direct("quality_score", 0.6)
+      .addStage("Economic")
+      .minRatio("bid_amount", 1.0)
+      .evaluate(bids)
+    assert(out.count() == 3)
+    val ranked = Ranks.rangePartitionedRank(
+      Seq((1L, 5.0), (2L, 3.0), (3L, 5.0)).toDF("id", "score"), "score", "rk")
+    assert(ranked.count() == 3)
+    Checkpoints.freeAll(spark)
+    assert((persistedIds -- before).isEmpty,
+      "staged base checkpoint, stage caches, and rank partitions must all be released")
+  }
+
   test("writePartitioned buckets around unhashable map columns") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_layout_map").toString
     val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
