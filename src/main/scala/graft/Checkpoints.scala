@@ -54,11 +54,19 @@ object Checkpoints {
     * the reference is dropped at the next [[freeAll]]. */
   private val trackedCaches = mutable.Buffer[DataFrame]()
 
-  /** Eagerly local-checkpoints `df` and registers the resulting block set
-    * for later [[freeAll]] release. Drop-in replacement for
-    * `df.localCheckpoint(true)`. */
-  def localCheckpoint(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(true)
+  /** Local-checkpoints `df` and registers the resulting block set for
+    * later [[freeAll]] release. Drop-in replacement for
+    * `df.localCheckpoint(eager)`. Eager (default) runs a materialization
+    * job NOW — right when the checkpoint is a barrier several consumers
+    * share. Pass `eager = false` when the first downstream action is
+    * already a FULL pass over the frame (an aggregation, a collect of
+    * per-partition stats): the blocks then materialize inside that
+    * first job instead of paying a separate upfront scan. Lazy
+    * checkpoints must not be first consumed by a partial evaluation
+    * (e.g. `limit`) — the truncated lineage only covers computed
+    * partitions. */
+  def localCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val out = df.localCheckpoint(eager)
     val ids = persistedRootIds(out)
     synchronized { tracked ++= ids }
     out

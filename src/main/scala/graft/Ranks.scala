@@ -70,9 +70,11 @@ object Ranks {
     // Truncated lineage makes a divergent recompute impossible, and the
     // blocks are released at the host's Checkpoints.freeAll barrier
     // instead of pinning the CacheManager for the session.
+    // lazy: the partial-sum collection below is a full pass, so the
+    // blocks materialize inside it — no separate upfront scan
     val sorted = graft.Checkpoints.localCheckpoint(counts
       .repartitionByRange(n, col("__graft_score").desc)
-      .sortWithinPartitions(col("__graft_score").desc))
+      .sortWithinPartitions(col("__graft_score").desc), eager = false)
 
     val partSums = sorted
       .select(spark_partition_id().as("pid"), col("__graft_cnt"))
@@ -139,9 +141,10 @@ object Ranks {
     // differently and silently mis-rank against the collected offsets).
     // Truncated lineage makes a divergent recompute impossible; blocks
     // release at the host's Checkpoints.freeAll barrier.
+    // lazy: the size-collection below is a full pass (see above)
     val sorted = graft.Checkpoints.localCheckpoint(nonNull
       .repartitionByRange(n, col(scoreCol).desc)
-      .sortWithinPartitions(col(scoreCol).desc))
+      .sortWithinPartitions(col(scoreCol).desc), eager = false)
 
     // (1 long per partition) -> driver -> prefix offsets
     val partSizes = sorted

@@ -182,8 +182,10 @@ class StagedEvaluator(val finalScoreMode: FinalScoreMode = FinalScoreMode.LastSt
     // divergent re-assignment merely unlikely (evicted blocks recompute),
     // truncated lineage makes it impossible. Blocks release via
     // StagedResult.unpersist() or the host's Checkpoints.freeAll barrier.
+    // lazy: stage 1's statistics aggregation is a full pass over base,
+    // so the id assignment freezes inside that first job
     val base = graft.Checkpoints.localCheckpoint(
-      bids.withColumn(BidId, monotonically_increasing_id()))
+      bids.withColumn(BidId, monotonically_increasing_id()), eager = false)
     val caches = ArrayBuffer[DataFrame]()
 
     // Accumulating wide result: original columns + one narrow join per stage.

@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens, empty array for empty/whitespace-only text, first-occurrence
   * dedup order.
   */
-case class WordGrams(child: Expression, n: Int, lowercase: Boolean = true)
+case class WordGrams(child: Expression, n: Int, lowercase: Boolean = true,
+    distinct: Boolean = true)
     extends UnaryExpression with Serializable {
 
   require(n >= 1, "n must be >= 1")
@@ -37,11 +38,11 @@ case class WordGrams(child: Expression, n: Int, lowercase: Boolean = true)
   override def prettyName: String = "graft_word_grams"
 
   override protected def nullSafeEval(a: Any): Any =
-    WordGrams.compute(a.asInstanceOf[UTF8String], n, lowercase)
+    WordGrams.compute(a.asInstanceOf[UTF8String], n, lowercase, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.expressions.WordGrams.compute($a, $n, $lowercase);")
+      s"${ev.value} = graft.expressions.WordGrams.compute($a, $n, $lowercase, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
     copy(child = newChild)
@@ -54,7 +55,10 @@ object WordGrams {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def compute(text: UTF8String, n: Int, lowercase: Boolean): ArrayData = {
+  def compute(text: UTF8String, n: Int, lowercase: Boolean): ArrayData =
+    compute(text, n, lowercase, distinct = true)
+
+  def compute(text: UTF8String, n: Int, lowercase: Boolean, distinct: Boolean): ArrayData = {
     val s = (if (lowercase) text.toLowerCase else text).toString
     var st = 0
     var en = s.length
@@ -75,10 +79,10 @@ object WordGrams {
     }
     if (en > tokStart) toks += s.substring(tokStart, en)
 
-    val out = new java.util.LinkedHashSet[String]()
+    val grams = scala.collection.mutable.ArrayBuffer.empty[String]
     if (n == 1) {
       var j = 0
-      while (j < toks.length) { out.add(toks(j)); j += 1 }
+      while (j < toks.length) { grams += toks(j); j += 1 }
     } else {
       // i in 0..max(len-n, 0); documents shorter than n yield one short gram
       val last = math.max(toks.length - n, 0)
@@ -92,15 +96,24 @@ object WordGrams {
           sb.append(toks(k))
           k += 1
         }
-        out.add(sb.toString)
+        grams += sb.toString
         j += 1
       }
     }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
-    new GenericArrayData(arr)
+    if (distinct) {
+      val out = new java.util.LinkedHashSet[String]()
+      grams.foreach(out.add)
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var j = 0
+      while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(arr)
+    } else {
+      val arr = new Array[Any](grams.length)
+      var j = 0
+      while (j < grams.length) { arr(j) = UTF8String.fromString(grams(j)); j += 1 }
+      new GenericArrayData(arr)
+    }
   }
 
   def wordGrams(text: Column, n: Int): Column =
@@ -110,4 +123,12 @@ object WordGrams {
     * backing for [[graft.ops.TextAnalysis.distinctTokenCount]]. */
   def distinctTokens(text: Column): Column =
     ColumnBridge.column(WordGrams(ColumnBridge.expression(text), 1, lowercase = false))
+
+  /** Case-preserving word n-grams WITH multiplicity (document order, no
+    * dedup) — the feature extractor for count-based models
+    * ([[graft.ops.Dsir]]). Same tokenization/short-document semantics as
+    * the distinct variant. */
+  def wordGramsMulti(text: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(text), n,
+      lowercase = false, distinct = false))
 }

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * order — so scores, and therefore the selected subset, are
   * bit-reproducible across runs, partitionings, and engines.
   *
-  * Scale shape: two corpus passes build the two bucket-count frames
-  * (explode + map-side-combinable groupBy, output ≤ `buckets` rows each);
+  * Scale shape: ONE gram pass per corpus ([[scoreAgainstTarget]] derives
+  * the raw histogram from the per-document feature frame; the ≤
+  * `buckets`-row joined counts are checkpointed so no consumer re-scans);
   * the ≤ `buckets`-row weight table broadcasts; scoring is one
   * (id, bucket) partial-count shuffle plus one per-document fold whose
   * buffer is bounded by min(distinct grams, `buckets`). No all-pairs, no
@@ -30,20 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Word n-grams WITH multiplicity (unlike
-    * [[graft.expressions.WordGrams]]'s distinct sets — feature counts are
-    * the point here): whitespace tokens, space-joined windows of `n`.
+  /** Word n-grams WITH multiplicity (feature counts are the point here):
+    * whitespace tokens, space-joined windows of `n`, via the native
+    * one-pass [[graft.expressions.WordGrams]] in multiset mode.
     * Documents shorter than `n` tokens contribute their whole token
     * string as one gram; empty/null text yields no grams. Case is
     * PRESERVED (lowercase upstream if wanted — engine-portable
     * lowercasing is locale-fraught). */
-  private[graft] def grams(text: Column, n: Int): Column = {
+  private[graft] def grams(text: Column, n: Int): Column =
+    graft.expressions.WordGrams.wordGramsMulti(text, n)
+
+  /** HOF formulation of [[grams]] — the differential oracle only. An
+    * interpreted lambda RE-EVALUATES its captured expression tree per
+    * element, so the token split runs once per window position — O(len²)
+    * per document (measured: 2x the whole q118 runtime just from the
+    * second `element_at`'s re-split). Never on the hot path. */
+  private[graft] def gramsHof(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
-    if (n == 1) toks
-    else when(size(toks) === 0, toks)
-      .when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    val out =
+      if (n == 1) toks
+      else when(size(toks) === 0, toks)
+        .when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
+    // legacy size(null) = -1 would fall into the short-doc branch and emit
+    // [""] for null text; the native expression (and the oracle) yield null
+    when(text.isNotNull, out)
   }
 
   /** md5-prefix feature bucket in [0, buckets) — the hashing trick over
@@ -85,10 +99,23 @@ object Dsir {
       buckets: Int = 1 << 16,
       alpha: Double = 0.01
   ): DataFrame = {
-    require(alpha > 0.0, "alpha must be positive")
     val tc = bucketCounts(target, textCol, n, buckets).withColumnRenamed("cnt", "__ct")
     val rc = bucketCounts(raw, textCol, n, buckets).withColumnRenamed("cnt", "__cr")
-    val joined = tc.join(rc, Seq("bucket"), "full")
+    weightsFromCounts(tc, rc, buckets, alpha)
+  }
+
+  /** llr frame from two (bucket, count) frames. The joined counts are a
+    * ≤ `buckets`-row frame consumed TWICE (totals + per-bucket ratios) —
+    * eagerly checkpointed so the expensive gram scans behind each count
+    * frame run exactly once, not once per consumer. */
+  private def weightsFromCounts(
+      tc: DataFrame,
+      rc: DataFrame,
+      buckets: Int,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha > 0.0, "alpha must be positive")
+    val joined = graft.Checkpoints.localCheckpoint(tc.join(rc, Seq("bucket"), "full"))
     // totals ride a one-row frame broadcast into the plan, never a
     // driver-side collect (the bm25 consts pattern)
     val totals = joined.agg(
@@ -99,8 +126,8 @@ object Dsir {
       .select(col("bucket"),
         (log((coalesce(col("__ct"), lit(0L)).cast("double") + lit(alpha)) /
           (col("__nt").cast("double") + lit(aB))) -
-          log((coalesce(col("__cr"), lit(0L)).cast("double") + lit(alpha)) /
-            (col("__nr").cast("double") + lit(aB)))).as("llr"))
+          (log((coalesce(col("__cr"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("__nr").cast("double") + lit(aB))))).as("llr"))
   }
 
   /** Per-document DSIR importance score: Σ over the document's hashed
@@ -118,18 +145,58 @@ object Dsir {
       n: Int = 2,
       buckets: Int = 1 << 16,
       scoreCol: String = "dsir_score"
+  ): DataFrame =
+    foldScores(perBucketCounts(df, idCol, textCol, n, buckets), idCol, weights, scoreCol)
+
+  /** One-scan scoring of `raw` against `target` — the common whole-recipe
+    * call. [[logRatioWeights]] + [[importanceScores]] composed naively
+    * scan the raw corpus' grams twice (once for its count histogram, once
+    * for per-document features); here the per-document feature frame is
+    * computed once (lazily checkpointed — the weights broadcast build is
+    * its first, full-pass consumer) and the corpus histogram is derived
+    * from it by a second tiny aggregation. */
+  def scoreAgainstTarget(
+      target: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      buckets: Int = 1 << 16,
+      alpha: Double = 0.01,
+      scoreCol: String = "dsir_score"
   ): DataFrame = {
-    val perBucket = df
-      .select(col(idCol), explode(grams(col(textCol), n)).as("__g"))
+    val perBucket = graft.Checkpoints.localCheckpoint(
+      perBucketCounts(raw, idCol, textCol, n, buckets), eager = false)
+    val rc = perBucket.groupBy("bucket").agg(sum("__cnt").as("__cr"))
+    val tc = bucketCounts(target, textCol, n, buckets).withColumnRenamed("cnt", "__ct")
+    foldScores(perBucket, idCol, weightsFromCounts(tc, rc, buckets, alpha), scoreCol)
+  }
+
+  /** Per-document (id, bucket, count) features: one explode + one
+    * map-side-combinable groupBy; ≤ min(grams, buckets) rows per doc. */
+  private def perBucketCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      buckets: Int
+  ): DataFrame =
+    df.select(col(idCol), explode(grams(col(textCol), n)).as("__g"))
       .select(col(idCol), gramBucket(col("__g"), buckets).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__cnt"))
+
+  private def foldScores(
+      perBucket: DataFrame,
+      idCol: String,
+      weights: DataFrame,
+      scoreCol: String
+  ): DataFrame =
     perBucket.join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(aggregate(
         array_sort(collect_list(struct(col("bucket"),
           (col("__cnt").cast("double") * coalesce(col("llr"), lit(0.0))).as("c")))),
         lit(0.0), (acc, x) => acc + x.getField("c")).as(scoreCol))
-  }
 
   /** The hard-selection policy: top `k` documents by importance score,
     * ties toward the smaller id. `orderBy.limit` lowers to

@@ -941,10 +941,8 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       val raw = docs.filter(col("doc_id") < 400)
       val target = docs.filter(col("doc_id") >= 400)
-      val w = graft.ops.Dsir.logRatioWeights(target, raw, "text",
-        n = 2, buckets = 4096, alpha = 0.01)
-      val scored = graft.ops.Dsir.importanceScores(raw, "doc_id", "text", w,
-        n = 2, buckets = 4096)
+      val scored = graft.ops.Dsir.scoreAgainstTarget(target, raw,
+        "doc_id", "text", n = 2, buckets = 4096, alpha = 0.01)
       graft.ops.Dsir.selectTop(scored, "doc_id", 50)
         .select(col("doc_id"), roundz(col("dsir_score"), 6).as("dsir_score_r"))
         .orderBy(col("dsir_score_r").desc, col("doc_id"))

@@ -37,6 +37,16 @@ class DsirSpec extends SparkSpec {
     assert(top == Set(0L, 2L), s"top-2 must be the domain-matching docs, got $top")
   }
 
+  test("dsir: scoreAgainstTarget equals the composed weights+scores path bit-exactly") {
+    val w = Dsir.logRatioWeights(target, raw, "text", n = 2, buckets = 1024)
+    val composed = Dsir.importanceScores(raw, "doc_id", "text", w, n = 2, buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fused = Dsir.scoreAgainstTarget(target, raw, "doc_id", "text",
+        n = 2, buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused == composed)
+  }
+
   test("dsir: scores are bit-identical under repartition of every input") {
     def scores(t: DataFrame, r: DataFrame): Map[Long, Double] = {
       val w = Dsir.logRatioWeights(t, r, "text", n = 2, buckets = 1024)
@@ -57,6 +67,23 @@ class DsirSpec extends SparkSpec {
     val single = Dsir.bucketCounts(Seq((1L, "hello")).toDF("doc_id", "text"),
       "text", n = 2, buckets = 64).agg(sum("cnt")).head().getLong(0)
     assert(single == 1, "a sub-n document is one whole-text gram")
+  }
+
+  test("dsir: native multiset grams equal the HOF formulation (incl. short/empty docs)") {
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "single"),
+      (3L, ""),
+      (4L, "  padded   whitespace  run  "),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = docs.select(col("doc_id"), Dsir.grams(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1)).map(_.toList)).toMap
+      val hof = docs.select(col("doc_id"), Dsir.gramsHof(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1)).map(_.toList)).toMap
+      assert(native == hof, s"n=$n")
+    }
   }
 
   test("dsir: gumbelSample is deterministic and degenerates to selectTop at tiny T") {
