@@ -121,6 +121,21 @@ object ExamplePipeline {
       .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
     Graphs.pageRank(trade, "src", "dst").orderBy(desc("rank")).show(5)
 
+    // 11. DSIR data selection: score the training head by how target-like
+    //     its hashed bigrams are (held-out tail as the target domain),
+    //     then keep a Gumbel-resampled subset proportional to
+    //     exp(score/T) — the soft importance-resampling policy
+    val dsirScores = graft.ops.Dsir.scoreAgainstTarget(
+      docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+      "doc_id", "text", n = 2, buckets = 4096)
+    val picked = graft.ops.Dsir.gumbelSample(dsirScores, "doc_id", 50,
+      temperature = 2.0, salt = "epoch1")
+    println(s"dsir-resampled training subset: ${picked.count()} docs")
+
+    // release every operator checkpoint the pipeline accumulated — the
+    // barrier a long-lived session calls between units of work
+    graft.Checkpoints.freeAll(spark)
+
     spark.stop()
   }
 }
