@@ -405,7 +405,10 @@ object Similarity {
     val centArr = centroidSeq.toDF("__cid", "__c", "__c2")
       .agg(sort_array(collect_list(struct(col("__cid"), col("__c"), col("__c2"))))
         .as("__cents"))
-    val vec = col(vecCol).cast("array<double>")
+    // the fold lambda must reference a bound COLUMN, not `col(vecCol)
+    // .cast(...)`: a lambda re-evaluates captured expression trees per
+    // element, and an array cast allocates a fresh copy per centroid
+    val vec = col("__graft_vd")
     val st0 = struct(lit(Double.NegativeInfinity).as("neg"), lit(-1).as("cell"))
     val best = aggregate(col("__cents"), st0,
       (st, x) => {
@@ -418,9 +421,10 @@ object Similarity {
           .otherwise(st)
       },
       st => st.getField("cell"))
-    df.crossJoin(broadcast(centArr))
+    df.withColumn("__graft_vd", col(vecCol).cast("array<double>"))
+      .crossJoin(broadcast(centArr))
       .withColumn(outCol, best.cast("int"))
-      .drop("__cents")
+      .drop("__cents", "__graft_vd")
   }
 
   /** IVF search against EXPLICIT centroids (`(list_id, centroid, |c|²)`,

@@ -155,20 +155,27 @@ object TextAnalysis {
     val chars = array_sort(filter(split(text, ""), c => length(c) > 0))
     val ln2 = log(lit(2.0)) // constant-folded; == DuckDB ln(2) bit-exact
     // a completed run of `cnt` occurrences contributes (c/n)·log2(c/n);
-    // the cnt = 0 sentinel (before the first run) contributes exact 0.0
-    def term(cnt: Column): Column = {
-      val p = cnt.cast("double") / n
+    // the cnt = 0 sentinel (before the first run) contributes exact 0.0.
+    // n rides IN the fold state: a lambda capturing `length(text)` would
+    // re-walk the string's bytes at every run transition (the captured-
+    // expression re-evaluation trap) — a state field is evaluated once.
+    def term(st: Column): Column = {
+      val cnt = st.getField("cnt")
+      val p = cnt.cast("double") / st.getField("n")
       when(cnt > lit(0L), p * log(p) / ln2).otherwise(lit(0.0))
     }
-    val st0 = struct(lit("").as("prev"), lit(0L).as("cnt"), lit(0.0).as("acc"))
+    val st0 = struct(lit("").as("prev"), lit(0L).as("cnt"), lit(0.0).as("acc"),
+      n.as("n"))
     val folded = aggregate(chars, st0,
       (st, c) => when(c === st.getField("prev"),
         struct(st.getField("prev").as("prev"),
           (st.getField("cnt") + lit(1L)).as("cnt"),
-          st.getField("acc").as("acc")))
+          st.getField("acc").as("acc"),
+          st.getField("n").as("n")))
         .otherwise(struct(c.as("prev"), lit(1L).as("cnt"),
-          (st.getField("acc") + term(st.getField("cnt"))).as("acc"))),
-      st => st.getField("acc") + term(st.getField("cnt")))
+          (st.getField("acc") + term(st)).as("acc"),
+          st.getField("n").as("n"))),
+      st => st.getField("acc") + term(st))
     when(text.isNull, lit(null).cast("double"))
       .otherwise(when(n === 0, lit(0.0)).otherwise(-folded))
   }
@@ -190,8 +197,18 @@ object TextAnalysis {
   /** 64-bit rolling-window fingerprint set (winnowing-style): hash every
     * k-shingle, keep the minimum hash per sliding window of w shingles,
     * dedupe. Robust to small edits; the document-similarity analogue of
-    * Rabin fingerprinting. Returns array<long>. */
-  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    * Rabin fingerprinting. Returns array<long>. Native one-pass
+    * expression ([[graft.expressions.WinnowingFingerprints]]) — the HOF
+    * formulation below is O(len³): its outer lambda re-evaluates the
+    * entire shingle transform (which itself re-canonicalizes) per
+    * window position. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.expressions.WinnowingFingerprints.winnowing(canonicalize(text), k, w)
+
+  /** HOF formulation of [[winnowingFingerprints]] — differential oracle
+    * only, never the hot path (captured-expression re-evaluation makes
+    * it cubic in document length). */
+  private[graft] def winnowingFingerprintsHof(text: Column, k: Int = 8, w: Int = 4): Column = {
     val canon = canonicalize(text)
     val shingleHashes = transform(
       sequence(lit(0), greatest(length(canon) - lit(k), lit(0))),
@@ -200,7 +217,9 @@ object TextAnalysis {
     val mins = transform(
       sequence(lit(0), greatest(size(shingleHashes) - lit(w), lit(0))),
       i => array_min(slice(shingleHashes, i + 1, lit(w))))
-    array_distinct(mins)
+    // guard: xxhash64(null) returns the SEED, so without this a null
+    // text would fingerprint as [42] instead of null
+    when(text.isNotNull, array_distinct(mins))
   }
 
   /** Convenience: full per-document text-analysis projection. */

@@ -513,6 +513,26 @@ class OpsSpec extends SparkSpec {
     assert(overlap(fps(0L), fps(1L)) > 0.4)
   }
 
+  test("winnowing: native expression equals the HOF formulation") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "tiny"),
+      (2L, ""),
+      (3L, "  spaced   out   TEXT  "),
+      (4L, null.asInstanceOf[String]),
+      (5L, "ünïcödé shingles ünïcödé shingles ünïcödé")
+    ).toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 4), (3, 2), (5, 1), (1, 3))) {
+      def fps(c: org.apache.spark.sql.Column): Map[Long, Option[List[Long]]] =
+        df.select(col("doc_id"), c.as("f")).collect()
+          .map(r => r.getLong(0) -> Option(r.getSeq[Long](1)).map(_.toList)).toMap
+      val native = fps(TextAnalysis.winnowingFingerprints(col("text"), k, w))
+      val hof = fps(TextAnalysis.winnowingFingerprintsHof(col("text"), k, w))
+      assert(native == hof, s"k=$k w=$w")
+      assert(native(4L).isEmpty, "null text must fingerprint as null")
+    }
+  }
+
   test("multimodal: decode plumbing is deterministic and schema-stable") {
     val df = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val feats = Multimodal.decodeFeatures(df, "doc_id", "payload", featureDim = 4)
