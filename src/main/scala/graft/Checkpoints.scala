@@ -38,6 +38,11 @@ import org.apache.spark.storage.StorageLevel
   * Defense in depth for sessions that never call [[freeAll]]: set
   * `spark.cleaner.periodicGC.interval` to ~1min (default 30min) so the
   * ContextCleaner's reference-tracking actually fires on big heaps.
+  *
+  * The registry is JVM-global and assumes ONE active SparkContext (the
+  * overwhelmingly common deployment): with several concurrent contexts in
+  * one JVM, [[freeAll]] forgets ids belonging to the other context
+  * (falling back to its ContextCleaner) rather than freeing them.
   */
 object Checkpoints {
 
