@@ -994,6 +994,76 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Verbatim-span contamination: every corpus document sharing at least
+    * one `span`-token window (lowercased, whitespace-normalized — the
+    * published "13-gram collision" decontamination convention used for
+    * GPT-3-style training sets) with some benchmark document. This is
+    * the EXACT-substring complement of [[contaminationPairs]]'s distinct
+    * n-gram containment RATIO: a single verbatim 13-token overlap flags
+    * the document regardless of how much else differs.
+    *
+    * Sub-`span` documents participate with their whole token string as
+    * one window (the [[wordGrams]] short-document convention), so two
+    * short documents collide only when verbatim-equal after
+    * normalization.
+    *
+    * Scale shape: one window explode per side, then an ids-only
+    * left-semi join against the DISTINCT bench window set — benchmarks
+    * are small, so AQE broadcasts the measured build side and the
+    * corpus never shuffles; the output is the distinct contaminated id
+    * set, bounded by the benchmark's reach. */
+  def spanContaminatedIds(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int = 13
+  ): DataFrame = {
+    require(span >= 1, "span must be >= 1")
+    corpus
+      .select(col(idCol).as("corpus_id"), explode(wordGrams(col(textCol), span)).as("__w"))
+      .join(bench.select(explode(wordGrams(col(textCol), span)).as("__w")).distinct(),
+        Seq("__w"), "left_semi")
+      .select("corpus_id").distinct()
+  }
+
+  /** The (corpus, bench) pair report behind [[spanContaminatedIds]]:
+    * which benchmark document each contaminated corpus document collides
+    * with, and on how many distinct windows — the audit trail an eval
+    * team reviews before dropping data. Same join shape; the pair count
+    * aggregates distinct shared windows per pair. */
+  def spanContaminationPairs(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int = 13
+  ): DataFrame = {
+    require(span >= 1, "span must be >= 1")
+    val cw = corpus.select(col(idCol).as("corpus_id"),
+      explode(wordGrams(col(textCol), span)).as("__w"))
+    val bw = bench.select(col(idCol).as("bench_id"),
+      explode(wordGrams(col(textCol), span)).as("__w"))
+    cw.join(bw, Seq("__w"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
+  /** `corpus` minus every verbatim-span-contaminated document (per
+    * [[spanContaminatedIds]]) — the filter stage of the 13-gram-collision
+    * recipe. */
+  def spanDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int = 13
+  ): DataFrame = {
+    val contaminated = spanContaminatedIds(corpus, bench, textCol, idCol, span)
+      .select(col("corpus_id").as(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** [[decontaminate]] through a Bloom-filter pre-filter — the 100-TB
     * shape: one distributed aggregate builds a Bloom sketch (a few MB)
     * over the benchmark's n-gram hashes; the corpus scan then probes it

@@ -948,6 +948,20 @@ object PipelineQueries {
         .orderBy(col("dsir_score_r").desc, col("doc_id"))
     },
 
+    "q119_span_decontaminate" -> { (s, dir) =>
+      // verbatim 13-gram collision decontamination (the GPT-3 convention):
+      // drop every training doc sharing a 13-token lowercased window with
+      // the held-out tail; windows come from the native WordGrams
+      // expression, the match is an ids-only semi-join against the bench
+      // window set (AQE broadcasts it), the corpus never shuffles
+      val docs = t(s, dir, "documents")
+      Dedup.spanDecontaminate(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "text", "doc_id", span = 13)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2506,6 +2520,30 @@ object PipelineQueries {
          |SELECT doc_id, round(s, 6) + 0.0 AS dsir_score_r FROM top
          |ORDER BY dsir_score_r DESC, doc_id""".stripMargin
     },
+
+    // 13-gram collision decontamination: lowercased whitespace tokens
+    // (the q58 idiom), 13-token windows with the WordGrams short-doc
+    // convention (sub-13 docs contribute their whole token string), any
+    // shared window with the bench tail -> dropped
+    "q119_span_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 13, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 13], ' '))) AS win
+        |  FROM base WHERE len(toks) > 0
+        |), bw AS (SELECT DISTINCT win FROM w WHERE doc_id >= 400),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM w
+        |  WHERE doc_id < 400 AND win IN (SELECT win FROM bw)
+        |)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
 
     // char entropy: same sorted-fold determinism contract as q84/q87 —
     // terms (c/n)·ln(c/n)/ln(2) summed left-to-right over the SORTED

@@ -513,6 +513,33 @@ class OpsSpec extends SparkSpec {
     assert(overlap(fps(0L), fps(1L)) > 0.4)
   }
 
+  test("span decontamination: verbatim 13-token collision flags; near-miss survives") {
+    val span13 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val bench = Seq(
+      (100L, s"intro $span13 outro"),
+      (101L, "  TINY   DOC  ")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, s"training doc containing $span13 verbatim"),
+      (1L, span13.replace("seven", "sevn") + " with extra trailing tokens"),
+      (2L, "totally unrelated content with many other words"),
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val ids = Dedup.spanContaminatedIds(corpus, bench, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 0: verbatim window; 3: sub-span doc whole-string-equal after
+    // lowercase + whitespace normalization; 1 (one token altered) and 2
+    // survive — the point of span collision vs containment ratio
+    assert(ids == Set(0L, 3L))
+    val pairs = Dedup.spanContaminationPairs(corpus, bench, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((0L, 100L, 1L)))
+    assert(pairs.contains((3L, 101L, 1L)))
+    val kept = Dedup.spanDecontaminate(corpus, bench, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("winnowing: native expression equals the HOF formulation") {
     val df = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
