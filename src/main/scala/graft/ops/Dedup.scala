@@ -1064,6 +1064,69 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Serialized Bloom sketch over `bench`'s distinct `span`-token windows
+    * (the [[spanContaminatedIds]] window convention), built by one
+    * distributed aggregate — a few MB at default sizing, `None` for an
+    * empty benchmark. Bloom filters have NO false negatives: every truly
+    * shared window probes positive. Feed to [[spanContaminatedFlag]] /
+    * [[spanBloomDecontaminate]], or ship it to a streaming ingest. */
+  def spanBloomSketch(
+      bench: DataFrame,
+      textCol: String,
+      span: Int = 13,
+      expectedWindows: Long = 1L << 20,
+      fpp: Double = 0.01
+  ): Option[Array[Byte]] = {
+    require(span >= 1, "span must be >= 1")
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    require(expectedWindows > 0, "expectedWindows must be positive")
+    val numBits = math.max(64L, math.ceil(
+      -expectedWindows.toDouble * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
+    Option(bench
+      .select(explode(wordGrams(col(textCol), span)).as("__w"))
+      .agg(org.apache.spark.sql.graft.BloomBridge
+        .bloomAgg(xxhash64(col("__w")), expectedWindows, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
+  }
+
+  /** Map-side conservative span-contamination flag: true iff some
+    * `span`-token window of `text` probes positive against a
+    * [[spanBloomSketch]]. A single codegen'd predicate — no shuffle, no
+    * state — so it is STREAM-LEGAL: a structured-streaming ingest can
+    * drop probably-contaminated documents at parse time
+    * ([[graft.streaming.StreamingEval.decontaminateStream]]). False
+    * positives are bounded by the sketch's fpp (a conservative extra
+    * drop); false negatives are impossible. Null text flags false. */
+  def spanContaminatedFlag(text: Column, sketch: Array[Byte], span: Int = 13): Column = {
+    require(span >= 1, "span must be >= 1")
+    coalesce(exists(wordGrams(text, span),
+      w => org.apache.spark.sql.graft.BloomBridge.mightContain(sketch, xxhash64(w))),
+      lit(false))
+  }
+
+  /** [[spanDecontaminate]] through the Bloom pre-filter — the 100-TB
+    * shape: the corpus scan probes the sketch map-side and only the
+    * candidate sliver enters the exact window semi-join, so the result
+    * is IDENTICAL to the exact operator (no false negatives; false
+    * positives only cost verify work, bounded by `fpp`). */
+  def spanBloomDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int = 13,
+      expectedWindows: Long = 1L << 20,
+      fpp: Double = 0.01
+  ): DataFrame =
+    spanBloomSketch(bench, textCol, span, expectedWindows, fpp) match {
+      case None => corpus // empty benchmark: nothing to remove
+      case Some(bf) =>
+        val candidates = corpus.filter(spanContaminatedFlag(col(textCol), bf, span))
+        val contaminated = spanContaminatedIds(candidates, bench, textCol, idCol, span)
+          .select(col("corpus_id").as(idCol))
+        corpus.join(contaminated, Seq(idCol), "left_anti")
+    }
+
   /** [[decontaminate]] through a Bloom-filter pre-filter — the 100-TB
     * shape: one distributed aggregate builds a Bloom sketch (a few MB)
     * over the benchmark's n-gram hashes; the corpus scan then probes it

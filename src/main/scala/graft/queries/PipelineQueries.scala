@@ -67,6 +67,31 @@ object PipelineQueries {
     * cluster assignment, and recomputing the pair + closure chain per
     * policy was round 5's heaviest redundant work (q109 at 4.4s re-ran
     * everything q77 had just computed). */
+  /** q119/q120 shared oracle: 13-gram collision decontamination.
+    * lowercased whitespace tokens (the q58 idiom), 13-token windows with
+    * the WordGrams short-doc convention (sub-13 docs contribute their
+    * whole token string), any shared window with the bench tail drops
+    * the doc. q120 (the Bloom pre-filtered path) is bit-identical. */
+  private val spanDecontaminateOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+      |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, GREATEST(len(toks) - 13, 0) + 1),
+      |    i -> array_to_string(toks[i + 1 : i + 13], ' '))) AS win
+      |  FROM base WHERE len(toks) > 0
+      |), bw AS (SELECT DISTINCT win FROM w WHERE doc_id >= 400),
+      |bad AS (
+      |  SELECT DISTINCT doc_id FROM w
+      |  WHERE doc_id < 400 AND win IN (SELECT win FROM bw)
+      |)
+      |SELECT doc_id, lang FROM documents
+      |WHERE doc_id < 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
   private def semClusters(s: SparkSession, dir: String): DataFrame =
     graft.Checkpoints.pinned(
       s"semclusters:${s.sparkContext.applicationId}:$dir:0.2:8:3") {
@@ -956,6 +981,20 @@ object PipelineQueries {
       // window set (AQE broadcasts it), the corpus never shuffles
       val docs = t(s, dir, "documents")
       Dedup.spanDecontaminate(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "text", "doc_id", span = 13)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    "q120_span_bloom_decontaminate" -> { (s, dir) =>
+      // q119 through the Bloom pre-filter: the corpus scan probes the
+      // bench-window sketch map-side (codegen'd, zero shuffle) and only
+      // the candidate sliver enters the exact window semi-join — result
+      // BIT-IDENTICAL to q119 (Bloom has no false negatives), so the
+      // same oracle SQL hashes both (the q112/q78 precedent)
+      val docs = t(s, dir, "documents")
+      Dedup.spanBloomDecontaminate(
         docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
         "text", "doc_id", span = 13)
         .select("doc_id", "lang")
@@ -2524,26 +2563,10 @@ object PipelineQueries {
     // 13-gram collision decontamination: lowercased whitespace tokens
     // (the q58 idiom), 13-token windows with the WordGrams short-doc
     // convention (sub-13 docs contribute their whole token string), any
-    // shared window with the bench tail -> dropped
-    "q119_span_decontaminate" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
-        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
-        |  FROM documents
-        |), w AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(0, GREATEST(len(toks) - 13, 0) + 1),
-        |    i -> array_to_string(toks[i + 1 : i + 13], ' '))) AS win
-        |  FROM base WHERE len(toks) > 0
-        |), bw AS (SELECT DISTINCT win FROM w WHERE doc_id >= 400),
-        |bad AS (
-        |  SELECT DISTINCT doc_id FROM w
-        |  WHERE doc_id < 400 AND win IN (SELECT win FROM bw)
-        |)
-        |SELECT doc_id, lang FROM documents
-        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
-        |ORDER BY doc_id""".stripMargin,
+    // shared window with the bench tail -> dropped. q120 (the Bloom
+    // pre-filtered path) is bit-identical and reuses this oracle.
+    "q119_span_decontaminate" -> spanDecontaminateOracle,
+    "q120_span_bloom_decontaminate" -> spanDecontaminateOracle,
 
     // char entropy: same sorted-fold determinism contract as q84/q87 —
     // terms (c/n)·ln(c/n)/ln(2) summed left-to-right over the SORTED

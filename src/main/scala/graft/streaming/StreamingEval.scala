@@ -284,4 +284,25 @@ object StreamingEval {
           }
       }
   }
+
+  /** Streaming benchmark decontamination: drops every document whose
+    * text probes positive against a [[graft.ops.Dedup.spanBloomSketch]]
+    * of the benchmark's verbatim span windows. The probe is one
+    * codegen'd map-side predicate ([[graft.ops.Dedup
+    * .spanContaminatedFlag]]) — no shuffle, no state, legal in any
+    * output mode — so an ingest pipeline can refuse contaminated
+    * documents at parse time, before they ever land in the corpus.
+    * Conservative by construction: the sketch has no false negatives
+    * (every truly contaminated document is dropped) and its false
+    * positives (bounded by the sketch's fpp) drop a small extra sliver —
+    * the right trade for an append-only ingest, where a batch
+    * exact-verify pass ([[graft.ops.Dedup.spanBloomDecontaminate]]) can
+    * always reclaim survivors later. */
+  def decontaminateStream(
+      docs: DataFrame,
+      textCol: String,
+      benchSketch: Array[Byte],
+      span: Int = 13
+  ): DataFrame =
+    docs.filter(!graft.ops.Dedup.spanContaminatedFlag(col(textCol), benchSketch, span))
 }

@@ -540,6 +540,27 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("span bloom decontamination is identical to the exact operator") {
+    val span13 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val bench = Seq((100L, s"intro $span13 outro")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, s"leading tokens $span13 trailing"),
+      (1L, span13.replace("four", "fuor") + " more words"),
+      (2L, "unrelated words entirely different content"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.spanDecontaminate(corpus, bench, "text", "doc_id"))
+    val bloom = ids(Dedup.spanBloomDecontaminate(corpus, bench, "text", "doc_id"))
+    assert(exact == Set(1L, 2L, 3L), "verbatim hit dropped; near-miss/null survive")
+    assert(bloom == exact, "bloom pre-filter must not change the result")
+    // empty benchmark: everything survives, no sketch built
+    assert(Dedup.spanBloomSketch(bench.limit(0), "text").isEmpty)
+    assert(ids(Dedup.spanBloomDecontaminate(corpus, bench.limit(0), "text", "doc_id"))
+      == Set(0L, 1L, 2L, 3L))
+  }
+
   test("winnowing: native expression equals the HOF formulation") {
     val df = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

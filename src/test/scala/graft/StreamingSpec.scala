@@ -516,4 +516,34 @@ class StreamingSpec extends SparkSpec {
       assert(view.toMap == batch)
     } finally query.stop()
   }
+
+  test("streaming span decontamination refuses sketch-positive docs at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val span13 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val bench = Seq((100L, s"intro $span13 outro")).toDF("doc_id", "text")
+    val sketch = graft.ops.Dedup.spanBloomSketch(bench, "text").get
+    val docs = Seq(
+      (0L, s"stream doc carrying $span13 inside"),
+      (1L, "clean content entirely different from anything"),
+      (2L, span13.replace("nine", "nein") + " nearly verbatim"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val filtered = StreamingEval.decontaminateStream(stream, "text", sketch)
+    val query = filtered.writeStream.format("memory").queryName("span_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val kept = spark.table("span_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(!kept.contains(0L), "verbatim span must be refused at ingest")
+      assert(kept.contains(1L))
+      // differential: identical to the batch filter over the same sketch
+      // (the stream gate IS the batch predicate — no state, no drift)
+      val batchKept = docs.toDF("doc_id", "text")
+        .filter(!graft.ops.Dedup.spanContaminatedFlag(col("text"), sketch))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == batchKept)
+    } finally query.stop()
+  }
 }
