@@ -176,4 +176,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"the |groups|-row stats frame must broadcast back:\n$plan")
   }
+
+  test("DSIR scoring plan: broadcast weights, top-k via TakeOrdered, no window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = graft.ops.Dsir.scoreAgainstTarget(
+      docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+      "doc_id", "text", n = 2, buckets = 1024)
+    val top = graft.ops.Dsir.selectTop(scored, "doc_id", 20)
+    assert(top.count() == 20)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"DSIR must not use windows:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <= buckets-row weight table must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"hard selection must be per-partition heaps, not a global sort:\n$plan")
+  }
+
+  test("span decontamination plan: semi-join against broadcast bench windows") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val bench = docs.filter(col("doc_id") >= 400)
+    val ids = Dedup.spanContaminatedIds(corpus, bench, "text", "doc_id")
+    ids.count()
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"window match must be an ids-only semi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the measured-small bench window set must broadcast (corpus never shuffles into the join):\n$plan")
+    // the bloom path's probe stays inside the corpus scan stage
+    val bloomed = Dedup.spanBloomDecontaminate(corpus, bench, "text", "doc_id")
+    val bPlan = bloomed.queryExecution.executedPlan.toString
+    assert(bPlan.contains("might_contain"),
+      s"expected the native bloom probe in the span plan:\n$bPlan")
+  }
 }
