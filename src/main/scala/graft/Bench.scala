@@ -4,20 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      // pandas/NumPy-compatible arithmetic (x/0 -> null, no overflow errors)
-      .config("spark.sql.ansi.enabled", "false")
-      // testdata events.ts is TIMESTAMP(NANOS): read as long nanoseconds
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // ContextCleaner fallback for checkpoint blocks: on a big heap the
-      // driver may never GC mid-session, so force the reference sweep
-      // often (Checkpoints.freeAll below is the primary cleanup path)
-      .config("spark.cleaner.periodicGC.interval", "60s")
-      .getOrCreate()
+    val spark = GraftSession.builder(cpus, "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup outside the timed region: JVM/codegen/parquet-footer costs are
     // one-time, not per-query; run one representative query untimed.
@@ -57,8 +44,14 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // a -1.0 sentinel must never read as all-clear: surface the failing
+    // names in the JSON line itself AND exit nonzero (round 6 shipped 8
+    // broken queries behind rc=0 because only the per-query value carried
+    // the signal)
+    val failed = results.filter(_._2 < 0.0).keys.toSeq.sorted
+    val total = results.values.filter(_ >= 0.0).sum
+    val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failures":$failJson,"sf":"$sfDir"}"""
     // the durable artifact: stdout capture can truncate, a file cannot
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
@@ -97,5 +90,9 @@ object Bench {
     }
     println(line)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -7,21 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // pandas/NumPy-compatible arithmetic (x/0 -> null, no overflow errors)
-      .config("spark.sql.ansi.enabled", "false")
-      // testdata events.ts is TIMESTAMP(NANOS): read as long nanoseconds
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // ContextCleaner fallback for checkpoint blocks (Checkpoints.freeAll
-      // after each query is the primary cleanup path)
-      .config("spark.cleaner.periodicGC.interval", "60s")
-      .getOrCreate()
+    val spark = GraftSession.builder(cpus, "graft-verify").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -29,6 +18,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         // result written: drop the query's checkpoint blocks so the
@@ -51,6 +41,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A crashed query is a MISSING parquet dir, which the downstream compare
+    // silently drops from the correctness report (round 6: 5 queries vanished
+    // behind an all-clear rc). Leave a durable marker next to the results and
+    // shout on stderr; rc stays 0 so the healthy queries still get compared.
+    val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/_verify_failures.json"), failJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} FAILED queries (absent from results): ${failed.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -74,7 +74,7 @@ object ExamplePipeline {
       .orderBy("query_id", "nn_rank").show()
 
     // 5. as-of alignment on the event stream (latest purchase before click)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.io.Tables.table(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("us"), col("value"))
     Joins.asofJoinBackward(

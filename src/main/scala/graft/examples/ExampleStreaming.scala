@@ -22,7 +22,7 @@ object ExampleStreaming {
     spark.sparkContext.setLogLevel("WARN")
 
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.io.Tables.table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
     // Stream the same data through a file source to exercise the real

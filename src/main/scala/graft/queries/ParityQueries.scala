@@ -23,7 +23,7 @@ import graft.templates.Templates
 object ParityQueries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.io.Tables.table(spark, dir, name)
 
   // --------------------------------------------------------------- queries
 

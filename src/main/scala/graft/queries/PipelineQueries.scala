@@ -15,7 +15,7 @@ import graft.ops.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
 object PipelineQueries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.io.Tables.table(spark, dir, name)
 
   /** round() with IEEE -0.0 normalized to +0.0 (`+ 0.0` is the identity on
     * every other double). The driver's oracle compare hashes raw values, so

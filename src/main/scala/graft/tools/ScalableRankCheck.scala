@@ -3,12 +3,7 @@ import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 object ScalableRankCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.GraftSession.builder("4", "graft-scalable-rank-check")
       // force EVERY evaluation through the scalable counts-rank path
       .config("graft.rank.rangeThreshold", "1")
       .getOrCreate()

@@ -14,14 +14,8 @@ import graft.{Evaluator, Ranks, StagedEvaluator}
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-scale-smoke")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.GraftSession
+      .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-scale-smoke")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -25,12 +25,7 @@ object SkewBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
     def session(skewJoin: Boolean): SparkSession = {
-      val b = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .appName(s"graft-skew-bench-$skewJoin")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.ansi.enabled", "false")
-        .config("spark.ui.enabled", "false")
+      val b = graft.GraftSession.builder(cpus, s"graft-skew-bench-$skewJoin")
         // the no-broadcast regime (a broadcastable right side has no skew
         // problem to solve)
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -99,7 +99,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming sliding windows match batch sliding aggregation on replayed events") {
     implicit val sqlCtx = spark.sqlContext
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "events")
       .select(timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
     val batch = ev
@@ -378,7 +378,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val gapUs = 1800L * 1000000L
 
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "events")
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("us"), col("value"))
 
@@ -434,7 +434,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming windowed stats match batch hourly aggregation on replayed events") {
     implicit val sqlCtx = spark.sqlContext
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "events")
       .select(timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
 
