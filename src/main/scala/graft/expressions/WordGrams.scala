@@ -131,4 +131,12 @@ object WordGrams {
   def wordGramsMulti(text: Column, n: Int): Column =
     ColumnBridge.column(WordGrams(ColumnBridge.expression(text), n,
       lowercase = false, distinct = false))
+
+  /** Lowercased word n-grams WITH multiplicity in document order — the
+    * positioned-window form: element i is the window starting at token i,
+    * so `posexplode` recovers exact token offsets
+    * ([[graft.ops.Dedup.repeatedSpanRemovals]]). */
+  def wordGramsMultiLower(text: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(text), n,
+      lowercase = true, distinct = false))
 }

@@ -1177,4 +1177,85 @@ object Dedup {
       corpus.join(contaminated, Seq(idCol), "left_anti")
     }
   }
+
+  // ------------------------------------------------------------------
+  // Exact-substring SELF-dedup (repeated verbatim spans WITHIN a corpus)
+  // ------------------------------------------------------------------
+
+  /** Positioned lowercased `span`-token windows: (`__id`, `pos`, `__w`)
+    * with `pos` the 0-based token offset the window starts at. Sub-`span`
+    * documents contribute their whole token string at pos 0 (the
+    * [[wordGrams]] short-document convention). */
+  private def positionedWindows(
+      df: DataFrame, textCol: String, idCol: String, span: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      posexplode(graft.expressions.WordGrams.wordGramsMultiLower(col(textCol), span))
+        .as(Seq("pos", "__w")))
+
+  /** Every non-first occurrence of a verbatim repeated `span`-token
+    * window across (or within) documents — the removal set of
+    * exact-substring self-deduplication, the within-corpus complement of
+    * [[spanContaminatedIds]]'s corpus-vs-benchmark collision. Published
+    * recipe: repeated verbatim spans in web corpora are near-universally
+    * boilerplate/templating, and keeping ONE canonical occurrence while
+    * cutting the rest measurably improves LMs trained on the result.
+    *
+    * Canonical occurrence ("owner") = the (id, pos)-smallest, so results
+    * are deterministic and re-runnable. Output: (`idCol`, `pos`) token
+    * spans to cut, `[pos, pos + span)`.
+    *
+    * Scale shape: windows shuffle by their md5 (16-byte key, not the
+    * ~100-byte window text); the window-multiset shuffle is inherent to
+    * EXACT substring matching (a distributed suffix array pays the same
+    * pass) — there is no candidate pre-filter that preserves exactness.
+    * The per-window aggregate is a bounded (min, count) fold, never a
+    * list; the removal join-back is ids+hash only. */
+  def repeatedSpanRemovals(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int = 13
+  ): DataFrame = {
+    require(span >= 1, "span must be >= 1")
+    val w = positionedWindows(corpus, textCol, idCol, span)
+      .select(col("__id"), col("pos"), md5(col("__w")).as("__h"))
+    val repeated = w.groupBy("__h")
+      .agg(min(struct(col("__id"), col("pos"))).as("__owner"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("__h", "__owner")
+    w.join(repeated, Seq("__h"))
+      .filter(struct(col("__id"), col("pos")) =!= col("__owner"))
+      .select(col("__id").as(idCol), col("pos"))
+  }
+
+  /** Exact-substring self-dedup: cut every [[repeatedSpanRemovals]] span
+    * out of its document, keeping the canonical occurrence. A document's
+    * rebuilt text is its (case-preserved) tokens outside the union of its
+    * removal ranges, joined with single spaces — i.e. trimmed documents
+    * come back whitespace-normalized (the tokenizer's convention);
+    * untouched documents keep their original text byte-for-byte.
+    * Documents trimmed to zero tokens survive as empty strings (drop
+    * them with a length filter if desired — the quality gates downstream
+    * do). Token positions are stable under lowercasing (case changes
+    * never touch whitespace), so the lowercased match positions index
+    * the raw token array directly. */
+  def selfDedupSpans(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int = 13
+  ): DataFrame = {
+    val cuts = repeatedSpanRemovals(corpus, textCol, idCol, span)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("__cuts"))
+    val rawToks = graft.expressions.WordGrams.wordGramsMulti(col(textCol), 1)
+    val rebuilt = array_join(
+      filter(rawToks, (_, i) =>
+        !exists(col("__cuts"), p => p <= i && i < p + lit(span))), " ")
+    corpus.join(cuts, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__cuts").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("__cuts")
+  }
 }

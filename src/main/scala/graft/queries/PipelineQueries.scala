@@ -92,6 +92,13 @@ object PipelineQueries {
       |WHERE doc_id < 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  /** q122 probe tokens: frequent function words plus never-occurring
+    * controls (est 0 via an untouched counter row somewhere in the grid).
+    * Fixed by contract — a CM sketch is probed, not enumerated. */
+  private val CmsProbes: Seq[String] = Seq(
+    "the", "and", "of", "to", "data", "supplier", "quality",
+    "zzz_absent_token", "qqq_never_seen")
+
   private def semClusters(s: SparkSession, dir: String): DataFrame =
     graft.Checkpoints.pinned(
       s"semclusters:${s.sparkContext.applicationId}:$dir:0.2:8:3") {
@@ -999,6 +1006,59 @@ object PipelineQueries {
         "text", "doc_id", span = 13)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    "q121_kmv_distinct" -> { (s, dir) =>
+      // KMV (bottom-k) distinct-count sketch: per-source unique-document
+      // cardinality from the k=64 smallest md5 hashes — fixed k-row state
+      // per group through the GroupTopK heap (map-side partials), exact
+      // below k, (k-1)/u_k above; every hash and the estimator itself are
+      // md5/double arithmetic DuckDB replays bit-identically
+      graft.ops.Sketches.kmvDistinct(
+        t(s, dir, "documents"), Seq("source"), "text", k = 64)
+        .orderBy("source")
+    },
+
+    "q122_cms_counts" -> { (s, dir) =>
+      // count-min sketch token-frequency service: depth-4 x width-512 md5
+      // counter grid over the token multiset (<= 2048 rows out regardless
+      // of corpus size), probed for a fixed token set; estimates are the
+      // classic min-across-rows upper bound, never an undercount
+      val sketch = graft.ops.Sketches.cmsSketch(
+        t(s, dir, "documents"), "text", depth = 4, width = 512)
+      graft.ops.Sketches.cmsEstimate(sketch, CmsProbes, depth = 4, width = 512)
+        .orderBy("token")
+    },
+
+    "q123_repeated_spans" -> { (s, dir) =>
+      // exact-substring self-dedup, detection half: every non-first
+      // occurrence of a verbatim repeated 13-token window within the
+      // corpus (owner = (id, pos)-smallest). Windows shuffle by md5, the
+      // per-window aggregate is a bounded (min, count) fold
+      graft.ops.Dedup.repeatedSpanRemovals(
+        t(s, dir, "documents"), "text", "doc_id", span = 13)
+        .orderBy("doc_id", "pos")
+    },
+
+    "q124_self_dedup_spans" -> { (s, dir) =>
+      // exact-substring self-dedup, removal half: cut each repeated span
+      // occurrence out of its document (canonical occurrence kept),
+      // rebuilt text = surviving case-preserved tokens space-joined;
+      // untouched docs keep their original bytes
+      graft.ops.Dedup.selfDedupSpans(
+        t(s, dir, "documents"), "text", "doc_id", span = 13)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n_chars_after"))
+        .orderBy("doc_id")
+    },
+
+    "q125_kmv_overlap" -> { (s, dir) =>
+      // KMV set-operation cardinalities between two overlapping corpus
+      // slices: three bottom-k aggregates (per side + merged), never a
+      // cross-corpus join — the estimate path for q97's exact overlap
+      val docs = t(s, dir, "documents")
+      graft.ops.Sketches.kmvOverlap(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 300),
+        "text", k = 64)
     },
 
     "q64_temperature_mix" -> { (s, dir) =>
@@ -2566,6 +2626,147 @@ object PipelineQueries {
     // shared window with the bench tail -> dropped. q120 (the Bloom
     // pre-filtered path) is bit-identical and reuses this oracle.
     "q119_span_decontaminate" -> spanDecontaminateOracle,
+
+    // KMV bottom-k distinct sketch: k smallest distinct 60-bit md5 hashes
+    // per source; exact count below k, (k-1)/u_k estimator above. The
+    // 63*2^60 numerator is exact in a double on both engines, so the
+    // division is the only rounding step and it is IEEE-identical.
+    "q121_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS u
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT source, u, row_number() OVER (PARTITION BY source ORDER BY u) AS rn FROM h
+        |), a AS (
+        |  SELECT source, max(u) AS uk, count(*) AS m FROM r WHERE rn <= 64 GROUP BY source
+        |)
+        |SELECT source,
+        |  CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(uk AS DOUBLE) END AS est_distinct
+        |FROM a ORDER BY source""".stripMargin,
+
+    // KMV overlap: per-side and merged bottom-64 sketches; intersection by
+    // inclusion-exclusion clamped at 0; every estimate replays the q121
+    // estimator arithmetic
+    "q125_kmv_overlap" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS u
+        |  FROM documents WHERE doc_id < 400 AND text IS NOT NULL
+        |), hb AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS u
+        |  FROM documents WHERE doc_id >= 300 AND text IS NOT NULL
+        |), hu AS (
+        |  SELECT u FROM ha UNION SELECT u FROM hb
+        |), ea AS (
+        |  SELECT max(u) AS uk, count(*) AS m
+        |  FROM (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM ha) WHERE rn <= 64
+        |), eb AS (
+        |  SELECT max(u) AS uk, count(*) AS m
+        |  FROM (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM hb) WHERE rn <= 64
+        |), eu AS (
+        |  SELECT max(u) AS uk, count(*) AS m
+        |  FROM (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM hu) WHERE rn <= 64
+        |), est AS (
+        |  SELECT
+        |    (SELECT CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(uk AS DOUBLE) END FROM ea) AS est_a,
+        |    (SELECT CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(uk AS DOUBLE) END FROM eb) AS est_b,
+        |    (SELECT CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(uk AS DOUBLE) END FROM eu) AS est_union
+        |)
+        |SELECT est_a, est_b, est_union,
+        |  GREATEST(est_a + est_b - est_union, 0.0) AS est_intersection,
+        |  CASE WHEN est_union > 0.0
+        |       THEN GREATEST(est_a + est_b - est_union, 0.0) / est_union
+        |       ELSE 0.0 END AS est_jaccard
+        |FROM est""".stripMargin,
+
+    // count-min sketch: depth-4 x width-512 grid, cell = md5("row:token")
+    // 60-bit prefix mod width; estimate = min counter across rows, missing
+    // cells read 0. Token multiset via the q84/q87 split idiom.
+    "q122_cms_counts" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), tok AS (
+        |  SELECT unnest(ts) AS t FROM toks
+        |), cells AS (
+        |  SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, 15)) AS BIGINT) % 512 AS cell,
+        |         count(*) AS cnt
+        |  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS r) GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT unnest(['the', 'and', 'of', 'to', 'data', 'supplier', 'quality',
+        |                 'zzz_absent_token', 'qqq_never_seen']) AS token
+        |), pc AS (
+        |  SELECT token, r,
+        |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 512 AS cell
+        |  FROM probes, (SELECT unnest([0, 1, 2, 3]) AS r)
+        |)
+        |SELECT token, min(coalesce(cnt, 0)) AS est_count
+        |FROM pc LEFT JOIN cells USING (r, cell)
+        |GROUP BY token ORDER BY token""".stripMargin,
+
+    // exact-substring self-dedup, detection half: positioned lowercased
+    // 13-token windows (short docs = whole token string at pos 0), every
+    // occurrence of a >1-count window except the (doc_id, pos)-smallest
+    "q123_repeated_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, pw.pos AS pos, pw.win AS win FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(0, GREATEST(len(toks) - 13, 0) + 1),
+        |      i -> {'pos': i, 'win': array_to_string(toks[i + 1 : i + 13], ' ')})) AS pw
+        |    FROM base WHERE len(toks) > 0)
+        |), rep AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(*) > 1
+        |), ranked AS (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM w WHERE win IN (SELECT win FROM rep)
+        |)
+        |SELECT doc_id, pos FROM ranked WHERE rn > 1 ORDER BY doc_id, pos""".stripMargin,
+
+    // removal half: cut [pos, pos+13) token ranges of each removal from
+    // its doc (1-based lambda index in DuckDB vs 0-based in Spark);
+    // untouched docs keep original text, trimmed docs come back
+    // whitespace-normalized from case-preserved tokens
+    "q124_self_dedup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS rtoks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, pw.pos AS pos, pw.win AS win FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(0, GREATEST(len(toks) - 13, 0) + 1),
+        |      i -> {'pos': i, 'win': array_to_string(toks[i + 1 : i + 13], ' ')})) AS pw
+        |    FROM base WHERE len(toks) > 0)
+        |), rep AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(*) > 1
+        |), ranked AS (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM w WHERE win IN (SELECT win FROM rep)
+        |), cuts AS (
+        |  SELECT doc_id, list_sort(list(pos)) AS cs FROM ranked WHERE rn > 1 GROUP BY doc_id
+        |), out AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c.cs IS NULL THEN b.text
+        |         -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+        |         -- array_join: a fully-trimmed doc must survive as ''
+        |         ELSE coalesce(array_to_string(list_filter(b.rtoks,
+        |           (x, i) -> NOT len(list_filter(c.cs, p -> p <= i - 1 AND i - 1 < p + 13)) > 0), ' '), '')
+        |    END AS text
+        |  FROM base b LEFT JOIN cuts c USING (doc_id)
+        |)
+        |SELECT doc_id, text, len(text) AS n_chars_after FROM out ORDER BY doc_id""".stripMargin,
     "q120_span_bloom_decontaminate" -> spanDecontaminateOracle,
 
     // char entropy: same sorted-fold determinism contract as q84/q87 —

@@ -210,4 +210,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(bPlan.contains("might_contain"),
       s"expected the native bloom probe in the span plan:\n$bPlan")
   }
+
+  test("kmv sketch plan: bottom-k via the heap aggregate, never a window sort") {
+    import graft.ops.Sketches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val est = Sketches.kmvDistinct(docs, Seq("source"), "text", k = 16)
+    assert(est.count() > 0)
+    val plan = est.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"kmvDistinct must keep bottom-k hashes in the heap aggregate:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"kmvDistinct should contain the GroupTopK aggregate:\n$plan")
+  }
+
+  test("cms sketch plan: counters partial-aggregate before the only exchange") {
+    import graft.ops.Sketches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sketch = Sketches.cmsSketch(docs, "text", depth = 2, width = 64)
+    assert(sketch.count() <= 2 * 64)
+    val plan = sketch.queryExecution.executedPlan.toString
+    // partial_count before the exchange = each map partition reduces to
+    // <= depth*width rows before anything shuffles
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"cmsSketch must map-side combine its counters:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"cmsSketch should shuffle exactly once (the counter aggregate):\n$plan")
+  }
+
+  test("repeated-span removals shuffle 16-byte hashes, not window text") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rem = Dedup.repeatedSpanRemovals(docs, "text", "doc_id", span = 13)
+    rem.count()
+    val plan = rem.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"owner selection must be a (min, count) fold, not a window:\n$plan")
+    // the join back to positioned windows carries only (__h, __id, pos)
+    assert(plan.contains("md5"),
+      s"the shuffle key should be the md5 of the window:\n$plan")
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct is exact below k and deterministic under repartition") {
+    val df = (0 until 40).map(i => ("g" + (i % 2), "v" + (i % 13))).toDF("g", "v")
+    // every value appears in both groups across 40 rows; 13 distinct per
+    // group with k=16 > 13 -> exact
+    val out = byKey(Sketches.kmvDistinct(df, Seq("g"), "v", k = 16), "g")
+    assert(out("g0").getAs[Double]("est_distinct") == 13.0)
+    assert(out("g1").getAs[Double]("est_distinct") == 13.0)
+    // above k: estimate is deterministic bit-for-bit across partitionings
+    val big = (0 until 5000).map(i => ("g", "v" + i)).toDF("g", "v")
+    val a = Sketches.kmvDistinct(big, Seq("g"), "v", k = 64).head().getDouble(1)
+    val b = Sketches.kmvDistinct(big.repartition(13), Seq("g"), "v", k = 64)
+      .head().getDouble(1)
+    assert(a == b, s"estimate must not depend on partitioning: $a vs $b")
+    // and lands within the sketch's error regime (~1/sqrt(62) ~ 13%; 4
+    // sigma guard so the test never flakes on an unlucky hash draw)
+    assert(math.abs(a - 5000.0) / 5000.0 < 0.5, s"estimate $a vs true 5000")
+  }
+
+  test("kmvDistinct ignores null values and duplicate rows") {
+    val df = Seq(("g", "x"), ("g", "x"), ("g", null), ("g", "y"))
+      .toDF("g", "v")
+    assert(Sketches.kmvDistinct(df, Seq("g"), "v", k = 8)
+      .head().getAs[Double]("est_distinct") == 2.0)
+  }
+
+  test("cms estimates never undercount and are exact without collisions") {
+    val docs = Seq(
+      "alpha alpha beta", "alpha gamma", "beta beta beta").toDF("text")
+    val sketch = Sketches.cmsSketch(docs, "text", depth = 4, width = 1024)
+    val est = byKey(
+      Sketches.cmsEstimate(sketch, Seq("alpha", "beta", "gamma", "absent"),
+        depth = 4, width = 1024), "token")
+    val truth = Map("alpha" -> 3L, "beta" -> 4L, "gamma" -> 1L, "absent" -> 0L)
+    truth.foreach { case (tok, n) =>
+      val e = est(tok).getAs[Long]("est_count")
+      assert(e >= n, s"$tok undercounted: $e < $n")
+      // 8 token occurrences in a 4x1024 grid: collisions impossible to
+      // matter across all 4 rows simultaneously only probabilistically —
+      // but with these fixed md5 cells the estimates are reproducible, so
+      // exactness here is a pinned regression value, not luck
+      assert(e == n, s"$tok: got $e, want exact $n")
+    }
+  }
+
+  test("kmvOverlap is exact below k and consistent under inclusion-exclusion") {
+    val a = (0 until 30).map(i => "v" + i).toDF("v")
+    val b = (20 until 50).map(i => "v" + i).toDF("v")
+    val r = graft.ops.Sketches.kmvOverlap(a, b, "v", k = 64).head()
+    assert(r.getAs[Double]("est_a") == 30.0)
+    assert(r.getAs[Double]("est_b") == 30.0)
+    assert(r.getAs[Double]("est_union") == 50.0)
+    assert(r.getAs[Double]("est_intersection") == 10.0)
+    assert(r.getAs[Double]("est_jaccard") == 0.2)
+  }
+
+  test("cms sketch size is bounded by depth x width regardless of input") {
+    val docs = (0 until 500).map(i => s"tok$i common words here").toDF("text")
+    val n = Sketches.cmsSketch(docs, "text", depth = 3, width = 16).count()
+    assert(n <= 3 * 16, s"sketch has $n rows, cap is 48")
+  }
+}
