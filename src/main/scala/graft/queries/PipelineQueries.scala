@@ -1061,6 +1061,14 @@ object PipelineQueries {
         "text", k = 64)
     },
 
+    "q126_bootstrap_ci" -> { (s, dir) =>
+      // Poisson-bootstrap CI for mean document length: one pass, 200
+      // deterministic md5-seeded Poisson(1) replica weights per row,
+      // exact integer replica sums, percentile over the 200 means
+      graft.ops.Bootstrap.meanCI(
+        t(s, dir, "documents"), "doc_id", "n_chars", replicas = 200)
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2681,6 +2689,41 @@ object PipelineQueries {
         |       THEN GREATEST(est_a + est_b - est_union, 0.0) / est_union
         |       ELSE 0.0 END AS est_jaccard
         |FROM est""".stripMargin,
+
+    // Poisson bootstrap: per-(row, replica) Poisson(1) weights via the
+    // inverse CDF over md5 unit draws (the literal thresholds mirror
+    // Bootstrap.PoissonCdf); replica sums are exact integers, the CI is
+    // quantile_cont == Spark exact percentile (q93-verified)
+    "q126_bootstrap_ci" ->
+      """WITH rws AS (
+        |  SELECT doc_id AS id, n_chars AS x FROM documents WHERE n_chars IS NOT NULL
+        |), u AS (
+        |  SELECT x, b,
+        |    CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM rws, (SELECT unnest(range(0, 200)) AS b)
+        |), w AS (
+        |  SELECT b, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999909967049427 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM u
+        |), pr AS (
+        |  SELECT b, CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+        |  FROM w GROUP BY b HAVING sum(w) > 0
+        |)
+        |SELECT
+        |  (SELECT CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM rws) AS mean,
+        |  quantile_cont(m, 0.025) AS ci_low,
+        |  quantile_cont(m, 0.975) AS ci_high,
+        |  count(*) AS replicas
+        |FROM pr""".stripMargin,
 
     // count-min sketch: depth-4 x width-512 grid, cell = md5("row:token")
     // 60-bit prefix mod width; estimate = min counter across rows, missing

@@ -189,6 +189,28 @@ object ScaleSmoke {
         graft.ops.Snapshot.latestByKey(log, Seq("k"), col("id"), "id")
           .agg(count(lit(1))).collect()
       }
+
+      // exact-substring self-dedup: replicas share ALL windows, so the
+      // removal set is (n-1) x windows-per-base-doc — output LINEAR in n
+      // (the per-window state stays a bounded min/count fold either way)
+      time(s"repeated-span removals ($nDocs docs, n-replica window collisions)") {
+        graft.ops.Dedup.repeatedSpanRemovals(dN, "text", "doc_id", span = 13)
+          .agg(count(lit(1))).collect()
+      }
+
+      // KMV sketch: replicas add NO new distinct hashes — cost tracks the
+      // scan + map-side distinct, state stays k rows per group
+      time(s"kmv distinct per source ($nDocs docs, k=256)") {
+        graft.ops.Sketches.kmvDistinct(dN, Seq("source"), "text", k = 256)
+          .agg(count(lit(1))).collect()
+      }
+
+      // Poisson bootstrap: 200-way explode into one hash aggregate; the
+      // map-side combine bounds the exchange at 200 rows per partition
+      time(s"bootstrap mean CI ($nDocs docs x 200 replicas)") {
+        graft.ops.Bootstrap.meanCI(dN, "doc_id", "n_chars", replicas = 200)
+          .collect()
+      }
     }
     spark.stop()
   }
