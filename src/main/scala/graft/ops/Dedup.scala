@@ -316,6 +316,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Train/val/test LEAKAGE audit: near-duplicate pairs whose members sit
+    * in DIFFERENT splits — the contamination an in-split dedup cannot see
+    * (a test doc near-duplicating a train doc silently inflates eval).
+    * Built on [[polyMinhashNearDupPairs]]'s bucketed candidates (the
+    * engine-portable hash family), then an ids-only split-label join-back;
+    * output: (id_a, split_a, id_b, split_b, est_jaccard), id_a < id_b.
+    *
+    * Scale: the pair set is the LSH candidate sliver, so the split joins
+    * touch pairs, never the corpus cross-product; run it after the split
+    * assignment and before anything trains. */
+  def splitLeakagePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      splitCol: String,
+      threshold: Double = 0.5,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      k: Int = 5
+  ): DataFrame = {
+    val pairs = polyMinhashNearDupPairs(df, textCol, idCol, threshold, numPerms, bands, k)
+    val labels = df.select(col(idCol), col(splitCol))
+    pairs
+      .join(labels.select(col(idCol).as("id_a"), col(splitCol).as("split_a")), "id_a")
+      .join(labels.select(col(idCol).as("id_b"), col(splitCol).as("split_b")), "id_b")
+      .filter(!(col("split_a") <=> col("split_b")))
+      .select(col("id_a"), col("split_a"), col("id_b"), col("split_b"), col("est_jaccard"))
+  }
+
   /** MinHash LSH near-duplicate candidate pairs with estimated Jaccard
     * (fraction of agreeing signature positions), filtered at `threshold`.
     * Join is per (band, band_key) bucket; pair de-dup via id ordering. */

@@ -119,16 +119,27 @@ object Pipelines {
       htmlClean: Boolean = false,
       portableHashes: Boolean = false,
       lineDedupMaxDocFreq: Option[Long] = None,
-      gopherRules: Option[QualityRules.GopherConfig] = None
+      gopherRules: Option[QualityRules.GopherConfig] = None,
+      nfcNormalize: Boolean = false
   ): CleanResult = {
+    // -0.5. optional Unicode NFC canonicalization FIRST: composed vs
+    // decomposed renderings of the same text hash/shingle/window
+    // differently, so un-normalized corpora leak duplicates past every
+    // hash-based stage below. Map-side native expression, no shuffle;
+    // default off for bit-compat with existing pipelines.
+    val docs0 =
+      if (!nfcNormalize) docs
+      else docs.withColumn(textCol,
+        graft.expressions.NfcNormalize.normalizeNfc(col(textCol)))
+
     // 0. optional web-text cleanup BEFORE dedup (markup variation would
     // otherwise defeat the canonical fingerprint); the cleaned text
     // replaces textCol so every downstream stage — and the caller's
     // output — sees cleaned text, with the `<textCol>_pii` audit counts
     // kept as an extra column. Pure map-side projection, no shuffle.
     val cleaned0 =
-      if (!htmlClean) docs
-      else TextCleaning.clean(docs, textCol, out = "__graft_clean")
+      if (!htmlClean) docs0
+      else TextCleaning.clean(docs0, textCol, out = "__graft_clean")
         .withColumn(textCol, col("__graft_clean"))
         .withColumnRenamed("__graft_clean_pii", s"${textCol}_pii")
         .drop("__graft_clean")

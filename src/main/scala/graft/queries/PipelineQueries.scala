@@ -1061,6 +1061,38 @@ object PipelineQueries {
         "text", k = 64)
     },
 
+    "q127_split_leakage" -> { (s, dir) =>
+      // eval-hygiene audit: near-dup pairs straddling the q36 split
+      // assignment — LSH candidates first, split labels joined onto the
+      // pair sliver only (never the corpus cross-product)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val split = graft.ops.Sampling.withSplit(
+        docs.select("doc_id"), "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "graft-r2")
+      Dedup.splitLeakagePairs(
+        docs.join(split.select("doc_id", "split"), "doc_id"),
+        "text", "doc_id", "split", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    "q128_nfc_normalize" -> { (s, dir) =>
+      // Unicode NFC canonicalization (the pre-hash normalization step):
+      // decompose every 'e' into e+COMBINING ACUTE deterministically, then
+      // NFC must recompose — per-doc code-point counts before/after and a
+      // changed flag, all mirrored by DuckDB's nfc_normalize
+      val nfc = graft.expressions.NfcNormalize.normalizeNfc _
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          // "e" + U+0301 COMBINING ACUTE, escaped so no tool can
+          // silently recompose this source file
+          replace(col("text"), lit("e"), lit("e\u0301")).as("t"))
+        .select(col("doc_id"),
+          length(col("t")).as("n_decomposed"),
+          length(nfc(col("t"))).as("n_nfc"),
+          (nfc(col("t")) =!= col("t")).as("changed"))
+        .orderBy("doc_id")
+    },
+
     "q126_bootstrap_ci" -> { (s, dir) =>
       // Poisson-bootstrap CI for mean document length: one pass, 200
       // deterministic md5-seeded Poisson(1) replica weights per row,
@@ -2689,6 +2721,40 @@ object PipelineQueries {
         |       THEN GREATEST(est_a + est_b - est_union, 0.0) / est_union
         |       ELSE 0.0 END AS est_jaccard
         |FROM est""".stripMargin,
+
+    // NFC canonicalization: plant e+COMBINING ACUTE (chr(769) = U+0301),
+    // nfc_normalize must recompose to the same code-point counts and
+    // changed flags the native expression produces
+    "q128_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t FROM documents
+        |)
+        |SELECT doc_id, len(t) AS n_decomposed, len(nfc_normalize(t)) AS n_nfc,
+        |  nfc_normalize(t) != t AS changed
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // split leakage: the q67 pair pipeline joined onto the q36 split
+    // labels, keeping only cross-split pairs (IS DISTINCT FROM matches
+    // the engine's null-safe inequality)
+    "q127_split_leakage" ->
+      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000")}, ${polyPairsCte(0.5)},
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN uh < 0.75 THEN 'train'
+         |         WHEN uh < 0.875 THEN 'val'
+         |         WHEN uh < 1.0 THEN 'test'
+         |         ELSE NULL END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r2'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+         |    FROM documents WHERE doc_id < 1000)
+         |)
+         |SELECT id_a, sa.split AS split_a, id_b, sb.split AS split_b, est_jaccard
+         |FROM pairs0
+         |JOIN sp sa ON sa.doc_id = id_a
+         |JOIN sp sb ON sb.doc_id = id_b
+         |WHERE sa.split IS DISTINCT FROM sb.split
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Poisson bootstrap: per-(row, replica) Poisson(1) weights via the
     // inverse CDF over md5 unit draws (the literal thresholds mirror

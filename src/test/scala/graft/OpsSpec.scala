@@ -828,6 +828,22 @@ class OpsSpec extends SparkSpec {
     assert(gophered.stats().afterQuality == 1)
   }
 
+  test("cleanCorpus nfcNormalize collapses composed/decomposed duplicates") {
+    import graft.ops.Pipelines
+    // same sentence; doc 1 renders every é as e+U+0301 (decomposed)
+    val corpus = Seq(
+      (0L, "the caf\u00e9 serves d\u00e9cent meals for the whole busy neighborhood crowd"),
+      (1L, "the cafe\u0301 serves de\u0301cent meals for the whole busy neighborhood crowd")
+    ).toDF("doc_id", "text")
+    // default: the renderings hash apart and BOTH survive exact dedup
+    val off = Pipelines.cleanCorpus(corpus, minQuality = 0.0)
+    assert(off.stats().afterExactDedup == 2)
+    // nfc stage: they canonicalize to one digest, duplicate dropped
+    val on = Pipelines.cleanCorpus(corpus, minQuality = 0.0, nfcNormalize = true)
+    assert(on.stats().afterExactDedup == 1)
+    assert(on.df.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L))
+  }
+
   test("native SimHash64 matches HOF formulation exactly") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
     val both = real.select(

@@ -546,4 +546,37 @@ class StreamingSpec extends SparkSpec {
       assert(kept == batchKept)
     } finally query.stop()
   }
+
+  test("streaming count-min sketch converges to the batch sketch") {
+    // the CMS grid is an ordinary hash aggregate, so it is STREAM-LEGAL in
+    // complete mode: counters update per micro-batch and the final state
+    // must equal the one-shot batch sketch over the same documents
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq("alpha alpha beta", "alpha gamma", "beta beta beta delta")
+    val input = MemoryStream[String]
+    val streamSketch = graft.ops.Sketches.cmsSketch(
+      input.toDF().toDF("text"), "text", depth = 3, width = 64)
+    val query = streamSketch.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(docs.head)
+      query.processAllAvailable() // first micro-batch: partial counters
+      input.addData(docs.tail: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getAs[Int]("row"), r.getAs[Long]("cell")) -> r.getAs[Long]("cnt"))
+        .toMap
+      val batch = graft.ops.Sketches.cmsSketch(
+          docs.toDF("text"), "text", depth = 3, width = 64).collect()
+        .map(r => (r.getAs[Int]("row"), r.getAs[Long]("cell")) -> r.getAs[Long]("cnt"))
+        .toMap
+      assert(streamed == batch, "streamed counters must equal the batch sketch")
+      // and the probe path reads the streamed state like any sketch
+      val est = graft.ops.Sketches.cmsEstimate(
+        spark.table("cms_stream"), Seq("alpha", "delta", "absent"),
+        depth = 3, width = 64)
+      val m = est.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m("alpha") == 3L && m("delta") == 1L && m("absent") == 0L)
+    } finally query.stop()
+  }
 }
