@@ -132,6 +132,31 @@ object ExamplePipeline {
       temperature = 2.0, salt = "epoch1")
     println(s"dsir-resampled training subset: ${picked.count()} docs")
 
+    // 12. corpus accounting with fixed-size sketches: per-source distinct
+    //     docs (KMV bottom-k) and overlap between two slices — k-row
+    //     state however large the corpus
+    graft.ops.Sketches.kmvDistinct(docs, Seq("source"), "text", k = 64)
+      .orderBy("source").show(5)
+    graft.ops.Sketches.kmvOverlap(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 300),
+      "text", k = 64).show()
+
+    // 13. exact-substring self-dedup: cut repeated verbatim 13-token
+    //     spans (boilerplate), keep one canonical occurrence
+    val trimmed = graft.ops.Dedup.selfDedupSpans(docs, "text", "doc_id")
+    println(s"self-dedup: ${trimmed.filter(length(col("text")) > 0).count()} docs keep text")
+
+    // 14. error bars on a corpus metric: one-pass Poisson-bootstrap CI
+    //     for mean document length
+    graft.ops.Bootstrap.meanCI(docs, "doc_id", "n_chars", replicas = 200).show()
+
+    // 15. train/test leakage audit over the split we carved in `prepared`:
+    //     near-dup pairs straddling splits (eval docs that would leak)
+    val splitLeaks = graft.ops.Dedup.splitLeakagePairs(
+      prepared.df.select("doc_id", "text", "split"), "text", "doc_id", "split",
+      threshold = 0.5)
+    println(s"cross-split near-dup pairs: ${splitLeaks.count()}")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)

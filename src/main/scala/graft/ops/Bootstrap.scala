@@ -59,30 +59,53 @@ object Bootstrap {
       replicas: Int = 200,
       low: Double = 0.025,
       high: Double = 0.975
+  ): DataFrame =
+    groupedMeanCI(df, Nil, idCol, valueCol, replicas, low, high)
+
+  /** [[meanCI]] per group — the per-slice error-bar report (mean length by
+    * language, quality by source, ...). Each group resamples its OWN rows
+    * (the draws key on the row id alone, so a row's replica weight is
+    * identical whether the frame is sliced or whole — per-group CIs and
+    * the global CI come from one consistent resampling). Output: groupCols
+    * + (mean, ci_low, ci_high, replicas). Scale: the only exchange
+    * carries |groups| × replicas partial rows after map-side combine. */
+  def groupedMeanCI(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      replicas: Int = 200,
+      low: Double = 0.025,
+      high: Double = 0.975
   ): DataFrame = {
     require(replicas >= 10, "need at least 10 replicas for a CI")
     require(0.0 < low && low < high && high < 1.0, "need 0 < low < high < 1")
-    val rows = df.select(col(idCol).as("__id"), col(valueCol).as("__x"))
+    val gs = groupCols.map(col)
+    val rows = df.select(gs :+ col(idCol).as("__id") :+ col(valueCol).as("__x"): _*)
       .filter(col("__x").isNotNull)
     val weighted = rows
-      .select(col("__id"), col("__x"),
-        explode(sequence(lit(0), lit(replicas - 1))).as("__b"))
-      .select(col("__b"), col("__x"),
-        poissonWeight(unit(col("__id"), col("__b"))).as("__w"))
+      .select(gs :+ col("__id") :+ col("__x") :+
+        explode(sequence(lit(0), lit(replicas - 1))).as("__b"): _*)
+      .select(gs :+ col("__b") :+ col("__x") :+
+        poissonWeight(unit(col("__id"), col("__b"))).as("__w"): _*)
     val perReplica = weighted
-      .groupBy("__b")
+      .groupBy(gs :+ col("__b"): _*)
       .agg(sum(col("__w") * col("__x").cast("long")).as("__num"),
         sum(col("__w")).as("__den"))
       .filter(col("__den") > 0L)
-      .select((col("__num").cast("double") / col("__den").cast("double")).as("__mean"))
-    val base = rows.agg(
-      (sum(col("__x").cast("long")).cast("double") / count(lit(1)).cast("double"))
-        .as("mean"))
-    base.crossJoin(
-      perReplica.agg(
-        percentile(col("__mean"), array(lit(low), lit(high))).as("__ci"),
+      .select(gs :+
+        (col("__num").cast("double") / col("__den").cast("double")).as("__mean"): _*)
+    val ci = perReplica
+      .groupBy(gs: _*)
+      .agg(percentile(col("__mean"), array(lit(low), lit(high))).as("__ci"),
         count(lit(1)).as("replicas"))
-        .select(col("__ci").getItem(0).as("ci_low"),
-          col("__ci").getItem(1).as("ci_high"), col("replicas")))
+      .select(gs :+ col("__ci").getItem(0).as("ci_low") :+
+        col("__ci").getItem(1).as("ci_high") :+ col("replicas"): _*)
+    val base = rows
+      .groupBy(gs: _*)
+      .agg((sum(col("__x").cast("long")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean"))
+    if (groupCols.isEmpty) base.crossJoin(ci)
+    else base.join(ci, groupCols)
   }
 }

@@ -285,12 +285,14 @@ object Dedup {
   ): DataFrame = {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     val rows = numPerms / bands
-    // same materialization barrier as minhashNearDupPairs: the signature
-    // projection feeds the bucket explode and both join-backs. Native
-    // one-pass expression; polyShingleSignatureHof is the differential.
-    val sigs = df.select(col(idCol),
-        graft.expressions.PolyMinHashSignature(col(textCol), numPerms, k).as("signature"))
-      .repartition(col(idCol))
+    // same materialization barrier + plan-truncating checkpoint as
+    // minhashNearDupPairs: the signature projection feeds the bucket
+    // explode and both join-backs. Native one-pass expression;
+    // polyShingleSignatureHof is the differential.
+    val sigs = graft.Checkpoints.localCheckpoint(
+      df.select(col(idCol),
+          graft.expressions.PolyMinHashSignature(col(textCol), numPerms, k).as("signature"))
+        .repartition(col(idCol)))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("-", (0 until rows).map(r =>
@@ -363,9 +365,17 @@ object Dedup {
     // past the bucket self-join and recomputes it per JOINED row. With the
     // exchange in place the projection runs once per document, and Spark's
     // ReuseExchange computes the shared subplan once for all 3 references.
-    val sigs = df.select(col(idCol),
-      minhashSignature(col(textCol), numHashes, k).as("signature"))
-      .repartition(col(idCol))
+    // The managed checkpoint then TRUNCATES the upstream plan: a deep
+    // input (a full pipeline output) would otherwise be repeated verbatim
+    // in all 3 reference subtrees — plan strings grow 3x the pipeline and
+    // a long chain OOMs the driver building explain output (observed via
+    // splitLeakagePairs over prepareTrainingCorpus). Signatures-only, so
+    // the checkpointed bytes are ids + numHashes ints, not corpus text;
+    // Checkpoints.freeAll reclaims them at the host's barrier.
+    val sigs = graft.Checkpoints.localCheckpoint(
+      df.select(col(idCol),
+        minhashSignature(col(textCol), numHashes, k).as("signature"))
+        .repartition(col(idCol)))
     val buckets = sigs
       .withColumn("bucket", explode(bandKeys(col("signature"), bands, numHashes / bands)))
       .select(col(idCol), col("bucket.band").as("band"), col("bucket.key").as("band_key"))

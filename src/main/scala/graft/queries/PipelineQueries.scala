@@ -1093,6 +1093,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q129_grouped_bootstrap" -> { (s, dir) =>
+      // per-language error bars from the same one-pass Poisson resampling
+      // (a row's replica weight keys on doc_id alone, so slice CIs and the
+      // q126 global CI come from one consistent draw)
+      graft.ops.Bootstrap.groupedMeanCI(
+        t(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars", replicas = 200)
+        .orderBy("lang")
+    },
+
     "q126_bootstrap_ci" -> { (s, dir) =>
       // Poisson-bootstrap CI for mean document length: one pass, 200
       // deterministic md5-seeded Poisson(1) replica weights per row,
@@ -2755,6 +2764,42 @@ object PipelineQueries {
          |JOIN sp sb ON sb.doc_id = id_b
          |WHERE sa.split IS DISTINCT FROM sb.split
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // grouped bootstrap: q126's resampling with lang in every GROUP BY;
+    // the weight arithmetic is identical because draws key on doc_id only
+    "q129_grouped_bootstrap" ->
+      """WITH rws AS (
+        |  SELECT lang, doc_id AS id, n_chars AS x FROM documents WHERE n_chars IS NOT NULL
+        |), u AS (
+        |  SELECT lang, x, b,
+        |    CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM rws, (SELECT unnest(range(0, 200)) AS b)
+        |), w AS (
+        |  SELECT lang, b, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999909967049427 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM u
+        |), pr AS (
+        |  SELECT lang, b, CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+        |  FROM w GROUP BY lang, b HAVING sum(w) > 0
+        |), ci AS (
+        |  SELECT lang, quantile_cont(m, 0.025) AS ci_low, quantile_cont(m, 0.975) AS ci_high,
+        |         count(*) AS replicas
+        |  FROM pr GROUP BY lang
+        |), base AS (
+        |  SELECT lang, CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM rws GROUP BY lang
+        |)
+        |SELECT base.lang, mean, ci_low, ci_high, replicas
+        |FROM base JOIN ci USING (lang) ORDER BY lang""".stripMargin,
 
     // Poisson bootstrap: per-(row, replica) Poisson(1) weights via the
     // inverse CDF over md5 unit draws (the literal thresholds mirror

@@ -30,6 +30,26 @@ class BootstrapSpec extends SparkSpec {
     assert(r1.getAs[Long]("replicas") == 100L)
   }
 
+  test("grouped CIs use the same draws as the global CI (slice consistency)") {
+    val df = (1 to 600).map(i => (i.toLong, if (i % 3 == 0) "a" else "b",
+      (i % 50).toLong)).toDF("id", "g", "x")
+    val grouped = byKey(
+      graft.ops.Bootstrap.groupedMeanCI(df, Seq("g"), "id", "x", replicas = 60), "g")
+    assert(grouped.keySet == Set("a", "b"))
+    grouped.values.foreach { r =>
+      assert(r.getAs[Double]("ci_low") < r.getAs[Double]("mean"))
+      assert(r.getAs[Double]("mean") < r.getAs[Double]("ci_high"))
+    }
+    // a one-group frame reproduces the ungrouped CI exactly: same draws,
+    // same replica sums, same percentile inputs
+    val one = graft.ops.Bootstrap.groupedMeanCI(
+      df.filter(col("g") === "a").withColumn("g", lit("a")),
+      Seq("g"), "id", "x", replicas = 60).drop("g").head()
+    val flat = graft.ops.Bootstrap.meanCI(
+      df.filter(col("g") === "a"), "id", "x", replicas = 60).head()
+    assert(one == flat)
+  }
+
   test("null metric values are excluded from mean and draws") {
     val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
       .toDF("id", "x")
