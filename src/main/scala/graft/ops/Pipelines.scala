@@ -120,7 +120,8 @@ object Pipelines {
       portableHashes: Boolean = false,
       lineDedupMaxDocFreq: Option[Long] = None,
       gopherRules: Option[QualityRules.GopherConfig] = None,
-      nfcNormalize: Boolean = false
+      nfcNormalize: Boolean = false,
+      docLineDedup: Boolean = false
   ): CleanResult = {
     // -0.5. optional Unicode NFC canonicalization FIRST: composed vs
     // decomposed renderings of the same text hash/shingle/window
@@ -144,15 +145,24 @@ object Pipelines {
         .withColumnRenamed("__graft_clean_pii", s"${textCol}_pii")
         .drop("__graft_clean")
 
+    // 0.4. optional WITHIN-document line dedup: a page's internal
+    // repetition (per-section nav chrome, copy-paste loops) collapses
+    // map-side before any corpus aggregate sees the line frequencies.
+    // Pure projection, no shuffle.
+    val cleaned1 =
+      if (!docLineDedup) cleaned0
+      else cleaned0.withColumn(textCol,
+        graft.expressions.DistinctLines.distinctLines(col(textCol)))
+
     // 0.5. optional line-wise corpus dedup (RefinedWeb-style): strip
     // corpus-frequent boilerplate lines BEFORE document-level dedup, so
     // two pages differing only in shared chrome collapse to exact dups
     val input = lineDedupMaxDocFreq match {
       case Some(maxDf) =>
-        Dedup.dropFrequentLines(cleaned0, textCol, idCol, maxDf, out = "__graft_ld")
+        Dedup.dropFrequentLines(cleaned1, textCol, idCol, maxDf, out = "__graft_ld")
           .withColumn(textCol, col("__graft_ld"))
           .drop("__graft_ld")
-      case None => cleaned0
+      case None => cleaned1
     }
 
     // 1. exact dedup: keep the minimum-id row per canonical form.

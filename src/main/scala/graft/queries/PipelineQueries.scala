@@ -1093,6 +1093,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q130_doc_line_dedup" -> { (s, dir) =>
+      // WITHIN-document line dedup (map-side, stream-legal): plant nav
+      // chrome + a copy-paste repeat around each doc, then the native
+      // expression must keep first occurrences and every blank line
+      val planted = t(s, dir, "documents").withColumn("lined",
+        concat_ws("\n", lit("Nav | Menu"), col("text"), lit("Nav | Menu"),
+          lit(""), col("text"), lit("Footer")))
+      planted.select(col("doc_id"),
+          graft.expressions.DistinctLines.distinctLines(col("lined")).as("dedup_text"))
+        .withColumn("n_lines_after", size(split(col("dedup_text"), "\n", -1)))
+        .orderBy("doc_id")
+    },
+
     "q129_grouped_bootstrap" -> { (s, dir) =>
       // per-language error bars from the same one-pass Poisson resampling
       // (a row's replica weight keys on doc_id alone, so slice CIs and the
@@ -2764,6 +2777,25 @@ object PipelineQueries {
          |JOIN sp sb ON sb.doc_id = id_b
          |WHERE sa.split IS DISTINCT FROM sb.split
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // within-doc line dedup: indexed list_filter keeps a line iff blank or
+    // unseen in the prefix (1-based lambda index; coalesce guards the
+    // list_position absent-value convention across DuckDB versions)
+    "q130_doc_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10), 'Nav | Menu', text, 'Nav | Menu', '', text, 'Footer') AS lined
+        |  FROM documents
+        |), split_ AS (
+        |  SELECT doc_id, string_split(lined, chr(10)) AS lines FROM planted
+        |), dl AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_filter(lines, (l, i) -> l = '' OR coalesce(list_position(lines[1:i-1], l), 0) = 0),
+        |    chr(10)) AS dedup_text
+        |  FROM split_
+        |)
+        |SELECT doc_id, dedup_text, len(string_split(dedup_text, chr(10))) AS n_lines_after
+        |FROM dl ORDER BY doc_id""".stripMargin,
 
     // grouped bootstrap: q126's resampling with lang in every GROUP BY;
     // the weight arithmetic is identical because draws key on doc_id only

@@ -828,6 +828,22 @@ class OpsSpec extends SparkSpec {
     assert(gophered.stats().afterQuality == 1)
   }
 
+  test("cleanCorpus docLineDedup collapses internally-repetitive twins") {
+    import graft.ops.Pipelines
+    // both docs carry the same payload; doc 1 repeats its own lines — with
+    // within-doc dedup ON they canonicalize to the same text and exact
+    // dedup drops one
+    val payload = "the cat and the dog sat in the warm house for hours today"
+    val corpus = Seq(
+      (0L, s"nav menu\n$payload"),
+      (1L, s"nav menu\n$payload\nnav menu\n$payload")
+    ).toDF("doc_id", "text")
+    val off = Pipelines.cleanCorpus(corpus, minQuality = 0.0)
+    assert(off.stats().afterExactDedup == 2)
+    val on = Pipelines.cleanCorpus(corpus, minQuality = 0.0, docLineDedup = true)
+    assert(on.stats().afterExactDedup == 1)
+  }
+
   test("cleanCorpus nfcNormalize collapses composed/decomposed duplicates") {
     import graft.ops.Pipelines
     // same sentence; doc 1 renders every é as e+U+0301 (decomposed)
