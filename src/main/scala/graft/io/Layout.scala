@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Output-layout helpers for corpus sinks. At 100 TB the WRITE layout is
@@ -63,5 +63,68 @@ object Layout {
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
+
+  /** Z-order (Morton) key over numeric columns: each value quantizes to
+    * `bits` buckets between its column's global min/max (one aggregate,
+    * broadcast back — never a driver collect), then the bucket bits
+    * interleave (dimension j owns bit positions k·d + j). Rows close in
+    * the key are close in EVERY keyed dimension, so range-partitioning +
+    * sorting by it clusters each output file into a tight hyper-rectangle
+    * and parquet min/max stats prune scans filtered on ANY of the
+    * dimensions — multi-column data skipping where a lexicographic sort
+    * only serves its leading column. Pure long arithmetic (shift/and),
+    * engine-portable. Nulls and degenerate (min == max) columns quantize
+    * to bucket 0. */
+  def withZOrderKey(
+      df: DataFrame,
+      zCols: Seq[String],
+      bits: Int = 8,
+      out: String = "zorder_key"
+  ): DataFrame = {
+    require(zCols.size >= 2, "z-ordering needs at least 2 columns (else just sort)")
+    require(bits >= 1 && zCols.size * bits <= 63,
+      s"${zCols.size} cols x $bits bits must fit a positive long")
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__zmin_$c"),
+      max(col(c)).cast("double").as(s"__zmax_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val d = zCols.size
+    val quantized = zCols.map { c =>
+      val x = col(c).cast("double")
+      val lo = col(s"__zmin_$c")
+      val hi = col(s"__zmax_$c")
+      when(x.isNull || hi === lo, lit(0L)).otherwise(
+        least(lit((1L << bits) - 1), greatest(lit(0L),
+          floor((x - lo) / (hi - lo) * lit(1L << bits)).cast("long"))))
+    }
+    val z = (0 until bits).flatMap { k =>
+      quantized.zipWithIndex.map { case (q, j) =>
+        shiftleft(shiftright(q, k).bitwiseAND(lit(1L)), k * d + j)
+      }
+    }.reduce(_ + _)
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, z)
+      .drop(zCols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c")): _*)
+  }
+
+  /** Write `df` z-order-clustered on `zCols` into `files` range-sliced
+    * parquet files: [[withZOrderKey]] + range partition + in-partition
+    * sort, so each file owns a disjoint key range (= a tight region of
+    * the keyed space) and its parquet column stats actually prune. The
+    * key column itself is dropped — it is layout, not data. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      bits: Int = 8,
+      files: Int = 32
+  ): Unit = {
+    require(files >= 1, "files must be >= 1")
+    withZOrderKey(df, zCols, bits)
+      .repartitionByRange(files, col("zorder_key"))
+      .sortWithinPartitions("zorder_key")
+      .drop("zorder_key")
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -1093,6 +1093,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q131_zorder_key" -> { (s, dir) =>
+      // Morton keys for multi-column data skipping: quantize part/supp
+      // keys to 8-bit buckets between their global min/max (one broadcast
+      // aggregate), interleave bits — pure long shift/and arithmetic the
+      // oracle replays term-for-term
+      graft.io.Layout.withZOrderKey(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select("l_orderkey", "l_linenumber", "zorder_key")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     "q130_doc_line_dedup" -> { (s, dir) =>
       // WITHIN-document line dedup (map-side, stream-legal): plant nav
       // chrome + a copy-paste repeat around each doc, then the native
@@ -2777,6 +2789,28 @@ object PipelineQueries {
          |JOIN sp sb ON sb.doc_id = id_b
          |WHERE sa.split IS DISTINCT FROM sb.split
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // z-order: same quantization (double ratio, floor, clamp) and the same
+    // 16 interleave terms — bit j of dim d lands at position k*2 + d
+    "q131_zorder_key" -> {
+      val terms = (0 until 8).flatMap { k =>
+        Seq(s"(((q0 >> $k) & 1) << ${k * 2})", s"(((q1 >> $k) & 1) << ${k * 2 + 1})")
+      }.mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT CAST(min(l_partkey) AS DOUBLE) AS mn0, CAST(max(l_partkey) AS DOUBLE) AS mx0,
+         |         CAST(min(l_suppkey) AS DOUBLE) AS mn1, CAST(max(l_suppkey) AS DOUBLE) AS mx1
+         |  FROM lineitem
+         |), q AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN l_partkey IS NULL OR mx0 = mn0 THEN 0
+         |         ELSE LEAST(255, GREATEST(0, CAST(floor((CAST(l_partkey AS DOUBLE) - mn0) / (mx0 - mn0) * 256) AS BIGINT))) END AS q0,
+         |    CASE WHEN l_suppkey IS NULL OR mx1 = mn1 THEN 0
+         |         ELSE LEAST(255, GREATEST(0, CAST(floor((CAST(l_suppkey AS DOUBLE) - mn1) / (mx1 - mn1) * 256) AS BIGINT))) END AS q1
+         |  FROM lineitem, s
+         |)
+         |SELECT l_orderkey, l_linenumber, $terms AS zorder_key
+         |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
     // within-doc line dedup: indexed list_filter keeps a line iff blank or
     // unseen in the prefix (1-based lambda index; coalesce guards the
