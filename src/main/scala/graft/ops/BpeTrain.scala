@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.expressions.{BpeExpressions, WordGrams}
+
+/** Distributed byte-pair-encoding tokenizer training and application
+  * (Sennrich et al. 2016) — the subword-vocabulary step of an LLM data
+  * pipeline, built Spark-first:
+  *
+  *  - Training never touches the corpus after ONE tokenizing pass: it
+  *    runs on the distinct-WORD histogram (weights = corpus frequencies),
+  *    which is what every published BPE trainer does — at 100 TB the
+  *    histogram is ~10⁸ rows where the corpus is ~10¹¹ documents, and the
+  *    histogram shuffle is a map-side-combined word count.
+  *  - Each merge round is ONE aggregation job over the histogram
+  *    (adjacent-pair counts via `zip_with` of two slices — codegen'd,
+  *    no HOF re-evaluation) plus a `TakeOrderedAndProject` argmax; the
+  *    winning pair comes to the driver as a single row.
+  *  - The symbol-rewrite step is a native greedy-pass expression
+  *    ([[graft.expressions.BpeMergeStep]]); the histogram is
+  *    lineage-truncated through the managed [[graft.Checkpoints]]
+  *    registry every [[CheckpointEvery]] rounds (the superseded round is
+  *    freed immediately — ≤ 2 rounds' blocks ever live, the dupClusters
+  *    contract).
+  *  - Encoding applies the learned merge list in rank order with one
+  *    native expression pass per word over the DISTINCT words again
+  *    (corpus token streams then come from a word → tokens join that AQE
+  *    broadcasts when the vocabulary fits — the standard word-cache
+  *    encode shape).
+  *
+  * Determinism contract (what makes the whole recipe DuckDB-replayable):
+  * greedy left-to-right merge semantics, code-point symbolization, and
+  * the argmax tie-break (count DESC, then left ASC, then right ASC in
+  * binary string order) are all engine-portable — the oracle re-trains
+  * from scratch and must land on the identical merge table.
+  */
+object BpeTrain {
+
+  /** Re-checkpoint the rewritten histogram every this many merge rounds:
+    * between checkpoints a round's plan is a short chain of greedy-pass
+    * projections over the last checkpoint (cheap to recompute), and each
+    * checkpoint frees its predecessor so block storage stays bounded. */
+  private val CheckpointEvery = 8
+
+  /** One learned merge: `left + right → left||right` at `rank` (1-based),
+    * with the pair's corpus frequency at the time it won. */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Case-preserving word histogram of a corpus: (word, cnt), counted
+    * WITH multiplicity by the shared native tokenizer. The only pass
+    * over the full corpus in the whole training recipe. */
+  def wordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(WordGrams.wordGramsMulti(col(textCol), 1)).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent symbol pairs of `symsCol` weighted by `cntCol`:
+    * (left_sym, right_sym, pair_count). Single-symbol rows contribute
+    * nothing (the zipped slices are empty and `explode` drops the row). */
+  def pairCounts(df: DataFrame, symsCol: String, cntCol: String): DataFrame = {
+    val n = size(col(symsCol))
+    val pairs = zip_with(
+      slice(col(symsCol), lit(1), n - 1),
+      slice(col(symsCol), lit(2), n - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+    df.select(col(cntCol), explode(pairs).as("p"))
+      .groupBy(col("p.a").as("left_sym"), col("p.b").as("right_sym"))
+      .agg(sum(col(cntCol)).as("pair_count"))
+  }
+
+  /** First-round pair counts straight off a corpus (the merge-candidate
+    * table): code-point symbols + end marker, weighted by word frequency. */
+  def initialPairCounts(df: DataFrame, textCol: String): DataFrame =
+    pairCounts(
+      wordHistogram(df, textCol)
+        .withColumn("syms", BpeExpressions.bpeSymbols(col("word"))),
+      "syms", "cnt")
+
+  /** Train `numMerges` BPE merges on the corpus. Returns the merge list
+    * in rank order (possibly shorter if the histogram runs out of pairs).
+    *
+    * Driver loop by design: BPE is inherently sequential in the merge
+    * rank (each round's counts depend on the previous merge), so the
+    * right distributed shape is numMerges small aggregation jobs over the
+    * bounded histogram — NOT an attempt to parallelize across rounds. */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val base = wordHistogram(df, textCol)
+      .withColumn("syms", BpeExpressions.bpeSymbols(col("word")))
+    // first action below is the full-pass pairs aggregation → lazy blocks
+    var anchor = graft.Checkpoints.localCheckpoint(base, eager = false)
+    var state = anchor
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val top = pairCounts(state, "syms", "cnt")
+        .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) {
+        exhausted = true
+      } else {
+        val row = top(0)
+        val (a, b) = (row.getString(0), row.getString(1))
+        merges += Merge(r, a, b, row.getLong(2))
+        state = state.withColumn(
+          "syms", BpeExpressions.bpeMergeStep(col("syms"), a, b))
+        if (r % CheckpointEvery == 0 && r < numMerges) {
+          val next = graft.Checkpoints.localCheckpoint(state, eager = true)
+          graft.Checkpoints.free(anchor)
+          anchor = next
+          state = next
+        }
+        r += 1
+      }
+    }
+    graft.Checkpoints.free(anchor)
+    merges.toSeq
+  }
+
+  /** The learned merge table as a DataFrame:
+    * (rank, left_sym, right_sym, pair_count). */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("merge_rank", IntegerType, nullable = false),
+      StructField("left_sym", StringType, nullable = false),
+      StructField("right_sym", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.map(m => Row(m.rank, m.left, m.right, m.pairCount)), 1),
+      schema)
+  }
+
+  /** Distinct-word encodings under a learned merge list:
+    * (word, cnt, tokens) — the word-cache frame corpus encodes join
+    * against. One native encode pass per distinct word. */
+  def encodeWords(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame =
+    wordHistogram(df, textCol)
+      .withColumn("tokens",
+        BpeExpressions.bpeEncode(col("word"), merges.map(m => (m.left, m.right))))
+
+  /** Corpus-wide subword token frequencies after BPE encoding:
+    * (token, freq), frequency-weighted by the word histogram — the
+    * vocabulary-coverage report for a trained tokenizer. Never touches
+    * the corpus beyond the histogram pass. */
+  def tokenFrequencies(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame =
+    encodeWords(df, textCol, merges)
+      .select(col("cnt"), explode(col("tokens")).as("token"))
+      .groupBy("token")
+      .agg(sum("cnt").as("freq"))
+
+  /** Per-document BPE token counts: explode each document's words (with
+    * multiplicity), join the word-cache encodings, sum token counts —
+    * the sequence-length profile a packing/sharding stage consumes.
+    * Documents with no tokens report 0.
+    *
+    * Scale shape: the per-word token LENGTH (one int) is joined back,
+    * not the token arrays; AQE broadcasts the distinct-word side when it
+    * fits. */
+  def tokensPerDoc(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val wordLens = encodeWords(df, textCol, merges)
+      .select(col("word"), size(col("tokens")).as("n_tok"))
+    val docWords = df
+      .select(col(idCol),
+        explode_outer(WordGrams.wordGramsMulti(coalesce(col(textCol), lit("")), 1))
+          .as("word"))
+    docWords
+      .join(wordLens, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(coalesce(sum("n_tok"), lit(0L)).as("n_bpe_tokens"))
+  }
+}

@@ -344,6 +344,49 @@ object Sampling {
     assigned.join(winners, Seq(idCol))
   }
 
+  /** Token-budget quota sampling: admit each source's documents in
+    * deterministic [[unitHash]] order until the source's token budget is
+    * spent — the budget-denominated sibling of [[quotaSample]]'s row cap
+    * (a data-mixing recipe is usually written in TOKENS per source, not
+    * documents). A row is admitted iff the total weight of rows admitted
+    * BEFORE it is still under `budget`, so every source overshoots by at
+    * most one document and admission is prefix-closed in hash order.
+    * Deterministic across runs/partitionings/engines (same md5 contract
+    * as [[withSplit]]); rows with null id or null/negative weight are
+    * excluded (a negative weight would break prefix-closure).
+    *
+    * Adds `tokens_before` (exclusive running weight) and `budget_rank`
+    * (1-based admission order).
+    *
+    * Scale shape: one hash-partition by source + per-source ORDERED
+    * prefix sum (a window, not a heap — budget admission needs the
+    * running total, which no fixed-k aggregate can produce). The sort is
+    * per-source and spillable, but a single hot source IS the corpus at
+    * web scale: cap such sources first with [[quotaSample]] (heap-only)
+    * or pre-filter, as the published mixing pipelines do. */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weightCol: String,
+      budget: Long,
+      salt: String = ""
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val win = W.partitionBy(col(sourceCol))
+      .orderBy(unitHash(col(idCol), salt).asc, col(idCol).asc)
+    val prior = coalesce(
+      sum(col(weightCol).cast("long"))
+        .over(win.rowsBetween(W.unboundedPreceding, -1)),
+      lit(0L))
+    df.filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) >= 0)
+      .withColumn("tokens_before", prior)
+      .withColumn("budget_rank", row_number().over(win))
+      .filter(col("tokens_before") < budget)
+  }
+
   /** Deterministic global shuffle order for training-data serving: adds
     * `shard` (= md5 prefix of the id mod `numShards`) and `shuffle_pos`
     * (1-based rank within the shard, ordered by the full md5 hex then id).

@@ -136,6 +136,61 @@ object Sketches {
     pmod(conv(substring(md5(concat(row.cast("string"), lit(":"), token)), 1, 15), 16, 10)
       .cast("long"), lit(width.toLong))
 
+  /** Per-group quantile ESTIMATES from a deterministic bounded uniform
+    * sample: the k rows with the smallest 32-bit md5 unit hash of their id
+    * form a without-replacement uniform sample (the bottom-k trick again,
+    * this time keeping the ROWS), and the exact linear-interpolation
+    * percentile of the sample estimates each requested quantile. The
+    * scale-safe complement of the exact per-group `percentile` paths
+    * (q93 / winsorize): a degenerate group — one language owning 80% of a
+    * 100-TB corpus — costs k heap rows here instead of buffering every
+    * value in one aggregation buffer.
+    *
+    * Everything is engine-replayable: the unit hash is the [[Sampling]]
+    * md5 convention (exact in a double), ties break toward the smaller id
+    * (the [[GroupTopK]] contract — mirror with `ORDER BY uh, id`), and
+    * Spark's exact `percentile` matches DuckDB's `quantile_cont`
+    * interpolation bit-for-bit on integer inputs (q93-pinned). Groups
+    * with fewer than k rows are sampled exactly (the estimate is the true
+    * quantile).
+    *
+    * Output: groupCols + one double column per requested (name, prob).
+    *
+    * Scale shape: map-side heap partials bound the exchange at k rows per
+    * group; the winner ids join back (AQE broadcasts the sliver) and one
+    * ordinary hash aggregate computes all quantiles per group. */
+  def sampledQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      quantiles: Seq[(String, Double)],
+      k: Int = 1024,
+      salt: String = ""
+  ): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall(q => q._2 >= 0.0 && q._2 <= 1.0), "probs must be in [0,1]")
+    require(k >= 1, "k must be >= 1")
+    val scored = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ col(idCol) :+
+        (-Sampling.unitHash(col(idCol), salt)).as("__neg_u")): _*)
+    val winners = GroupTopK
+      .topKPerGroup(scored, groupCols, idCol, "__neg_u", k, rankCol = "__srank")
+      .select((groupCols.map(col) :+ col(idCol)): _*)
+    val sample = winners.join(
+      df.select((groupCols.map(col) :+ col(idCol) :+ col(valueCol)): _*),
+      groupCols :+ idCol)
+    val probs = array(quantiles.map(q => lit(q._2)): _*)
+    sample
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), probs).as("__qs"))
+      .select((groupCols.map(col) ++
+        quantiles.zipWithIndex.map { case ((name, _), i) =>
+          col("__qs").getItem(i).as(name)
+        }): _*)
+  }
+
   /** Point-query the sketch for each probe token: the estimate is the MIN
     * counter across the depth rows (classic CM upper bound — never
     * undercounts, overcounts bounded by collisions). Missing cells read 0.

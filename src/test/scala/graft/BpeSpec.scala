@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.BpeExpressions
+import graft.ops.BpeTrain
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Toy corpus with a hand-verified greedy-BPE merge table (computed by
+    * an independent reference implementation: symbols = code points +
+    * '</w>', greedy left-to-right merge passes, argmax tie-break
+    * count DESC then left/right ASC). */
+  private val toyDocs = Seq(
+    "the cat sat on the mat",
+    "the cats eat fat rats",
+    "low lower lowest newer newest",
+    "aaaa aaa aa a",
+    "  spaced   out\ttabs\nnewlines  ",
+    "the the the thee them theme")
+
+  private val expectedMerges = Seq(
+    (1, "h", "e", 9L),
+    (2, "t", "he", 9L),
+    (3, "t", "</w>", 8L),
+    (4, "a", "a", 6L),
+    (5, "the", "</w>", 6L),
+    (6, "a", "t</w>", 5L),
+    (7, "n", "e", 4L),
+    (8, "s", "</w>", 4L))
+
+  test("training reproduces the reference greedy merge table") {
+    val df = toyDocs.toDF("text")
+    val merges = BpeTrain.train(df, "text", 8)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pairCount)) == expectedMerges)
+  }
+
+  test("merge step is greedy left-to-right: aaaa + (a,a) -> [aa, aa]") {
+    val out = Seq("aaaa").toDF("w")
+      .select(BpeExpressions.bpeMergeStep(
+        BpeExpressions.bpeSymbols(col("w")), "a", "a").as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("aa", "aa", "</w>"))
+    // odd run: aaa -> [aa, a]
+    val odd = Seq("aaa").toDF("w")
+      .select(BpeExpressions.bpeMergeStep(
+        BpeExpressions.bpeSymbols(col("w")), "a", "a").as("s"))
+      .as[Seq[String]].head()
+    assert(odd == Seq("aa", "a", "</w>"))
+  }
+
+  test("symbols split by code point, not UTF-16 unit") {
+    // U+1F600 is a surrogate pair in UTF-16; it must stay one symbol
+    val out = Seq("😀a").toDF("w")
+      .select(BpeExpressions.bpeSymbols(col("w")).as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("😀", "a", "</w>"))
+  }
+
+  test("encode under k merges equals the training state after k merges") {
+    val df = toyDocs.toDF("text")
+    val merges = BpeTrain.train(df, "text", 8)
+    val pairs = merges.map(m => (m.left, m.right))
+    // fold the merge steps one at a time — must equal the single-pass encode
+    val words = BpeTrain.wordHistogram(df, "text").select("word")
+    val folded = pairs.foldLeft(
+      words.withColumn("s", BpeExpressions.bpeSymbols(col("word")))) {
+      case (acc, (a, b)) =>
+        acc.withColumn("s", BpeExpressions.bpeMergeStep(col("s"), a, b))
+    }
+    val encoded = words.withColumn("e", BpeExpressions.bpeEncode(col("word"), pairs))
+    val joined = folded.join(encoded, "word")
+      .filter(col("s") =!= col("e"))
+    assert(joined.count() == 0)
+  }
+
+  test("training is deterministic under repartitioning") {
+    val df = toyDocs.toDF("text")
+    val a = BpeTrain.train(df.repartition(7), "text", 6)
+    val b = BpeTrain.train(df.repartition(2), "text", 6)
+    assert(a == b)
+  }
+
+  test("token frequencies are corpus-weighted symbol counts") {
+    val df = Seq("ab ab ab", "ab cd").toDF("text")
+    // 1 merge: (a,b) wins with count 4
+    val merges = BpeTrain.train(df, "text", 1)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)) == Seq(("a", "b", 4L)))
+    val freq = BpeTrain.tokenFrequencies(df, "text", merges)
+      .as[(String, Long)].collect().toMap
+    assert(freq("ab") == 4L)      // merged token, once per 'ab' word
+    assert(freq("</w>") == 5L)    // every word ends once
+    assert(freq("c") == 1L && freq("d") == 1L)
+  }
+
+  test("tokensPerDoc counts every word occurrence; empty/null text -> 0") {
+    val df = Seq(
+      (1L, "ab ab"),
+      (2L, "ab"),
+      (3L, "   "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val merges = BpeTrain.train(df, "text", 1)
+    val out = BpeTrain.tokensPerDoc(df, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    // after merging (a,b): 'ab' encodes to [ab, </w>] = 2 tokens
+    assert(out == Map(1L -> 4L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("single-symbol exhaustion stops training early, merges stay ranked") {
+    // one repeated single-char word: only pair is (x, </w>) — after
+    // merging it there are no pairs left; train must stop, not loop
+    val df = Seq("x x x").toDF("text")
+    val merges = BpeTrain.train(df, "text", 10)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pairCount)) ==
+      Seq((1, "x", "</w>", 3L)))
+  }
+
+  test("encode expressions stay codegen'd (no interpreter fallback) and shuffle-free") {
+    val df = Seq("hello world").toDF("text")
+      .select(BpeExpressions.bpeEncode(col("text"), Seq(("l", "l"), ("o", "</w>"))).as("e"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    // (l,l) fuses the first ll; (o,</w>) finds no adjacency here
+    assert(df.as[Seq[String]].head() ==
+      Seq("h", "e", "ll", "o", " ", "w", "o", "r", "l", "d", "</w>"))
+  }
+}
