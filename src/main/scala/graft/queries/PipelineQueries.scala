@@ -1216,11 +1216,11 @@ object PipelineQueries {
 
     "q137_token_budget" -> { (s, dir) =>
       // token-budget source mixing: admit docs per source in md5 order
-      // while the EXCLUSIVE running n_chars total is under 20k — the
+      // while the EXCLUSIVE running n_chars total is under 3k — the
       // tokens-denominated quota (mixing recipes budget tokens, not rows)
       graft.ops.Sampling.tokenBudgetSample(
         t(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        "doc_id", "source", "n_chars", budget = 20000L, salt = "graft-tb")
+        "doc_id", "source", "n_chars", budget = 3000L, salt = "graft-tb")
         .select("doc_id", "source", "n_chars", "tokens_before", "budget_rank")
         .orderBy("source", "budget_rank")
     },
@@ -1862,7 +1862,7 @@ object PipelineQueries {
         |  FROM h
         |)
         |SELECT doc_id, source, n_chars, tokens_before, budget_rank
-        |FROM r WHERE tokens_before < 20000
+        |FROM r WHERE tokens_before < 3000
         |ORDER BY source, budget_rank""".stripMargin,
 
     "q132_bpe_pair_counts" ->

@@ -1813,6 +1813,41 @@ class OpsSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("token budget sample: prefix-closed admission, one-doc overshoot max") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("src", when(col("id") < 300, "big").otherwise(lit("small")))
+      .withColumn("w", lit(10L))
+    val out = Sampling.tokenBudgetSample(df, "id", "src", "w", budget = 250L, salt = "tb1")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3), r.getInt(4)))
+    val bySrc = out.groupBy(_._1)
+    // 250-token budget over 10-token docs: exactly 25 admitted per source
+    assert(bySrc("big").length == 25 && bySrc("small").length == 25)
+    // admission is the exact hash-order prefix: ranks are 1..25 and the
+    // exclusive running totals are 0,10,...,240
+    for (src <- Seq("big", "small")) {
+      val ranks = bySrc(src).map(_._4).sorted
+      assert(ranks.toSeq == (1 to 25))
+      assert(bySrc(src).map(_._3).sorted.toSeq == (0 until 25).map(_ * 10L))
+    }
+    // deterministic under repartitioning
+    val again = Sampling.tokenBudgetSample(
+      df.repartition(11), "id", "src", "w", budget = 250L, salt = "tb1")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3), r.getInt(4))).toSet
+    assert(again == out.toSet)
+    // overshoot is bounded by one document: a 999-budget admits the doc
+    // that CROSSES the boundary but nothing after it
+    val over = Sampling.tokenBudgetSample(df, "id", "src", "w", budget = 999L, salt = "tb1")
+    val perSrc = over.groupBy("src").agg(sum("w").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.values.forall(t => t >= 999L && t < 999L + 10L))
+    // negative/null weights are excluded, never admitted
+    val dirty = df.withColumn("w",
+      when(col("id") % 7 === 0, lit(-1L)).when(col("id") % 11 === 0, lit(null)).otherwise(lit(10L)))
+    val cleaned = Sampling.tokenBudgetSample(dirty, "id", "src", "w", budget = 100000L, salt = "tb1")
+    assert(cleaned.filter(col("w") < 0 || col("w").isNull).count() == 0)
+  }
+
   test("shuffle order: a deterministic permutation, contiguous per shard") {
     import graft.ops.Sampling
     val df = spark.range(0, 2000).toDF("id")

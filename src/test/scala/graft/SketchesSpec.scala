@@ -67,4 +67,29 @@ class SketchesSpec extends SparkSpec {
     val n = Sketches.cmsSketch(docs, "text", depth = 3, width = 16).count()
     assert(n <= 3 * 16, s"sketch has $n rows, cap is 48")
   }
+
+  test("sampledQuantiles is exact below k and deterministic under repartition") {
+    // group 'a' has 50 rows (< k=64) -> the sample IS the group, so the
+    // estimate must equal the true interpolated percentile
+    val rows = (0 until 50).map(i => ("a", i.toLong, i.toLong)) ++
+      (0 until 500).map(i => ("b", 1000L + i, i.toLong))
+    val df = rows.toDF("g", "id", "v")
+    val out = Sketches.sampledQuantiles(
+      df, Seq("g"), "id", "v", Seq("p50" -> 0.5, "p90" -> 0.9), k = 64)
+    val m = out.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m("a") == ((24.5, 44.1)))  // exact: (0..49) interpolated
+    // big group: estimate within a loose band of the true quantile
+    assert(math.abs(m("b")._1 - 249.5) < 80.0)
+    val again = Sketches.sampledQuantiles(
+      df.repartition(7), Seq("g"), "id", "v", Seq("p50" -> 0.5, "p90" -> 0.9), k = 64)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(again == m)
+  }
+
+  test("sampledQuantiles bounds state: heap plan, no Window node") {
+    val df = (0 until 100).map(i => ("g", i.toLong, i.toLong)).toDF("g", "id", "v")
+    val out = Sketches.sampledQuantiles(df, Seq("g"), "id", "v", Seq("p50" -> 0.5), k = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "sampling must ride the heap aggregate, not a window")
+  }
 }
