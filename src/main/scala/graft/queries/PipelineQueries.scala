@@ -1225,6 +1225,37 @@ object PipelineQueries {
         .orderBy("source", "budget_rank")
     },
 
+    "q138_label_centroids" -> { (s, dir) =>
+      // per-label mean embeddings via the two-level deterministic fold
+      // (sorted per md5 sub-bucket, then sorted over ≤64 partials — the
+      // PageRank hub-safe shape): centroid doubles are bit-identical
+      // across engines; output exploded per dim for the oracle compare
+      graft.ops.Labels.labelCentroids(
+        t(s, dir, "embeddings"), "label", "vec_id", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "m")))
+        .select(col("label"), col("dim"), (round(col("m"), 9) + lit(0.0)).as("mean_r"))
+        .orderBy("label", "dim")
+    },
+
+    "q139_label_noise" -> { (s, dir) =>
+      // mislabeled-example screening: the 5 rows per label LEAST similar
+      // to their own label centroid (confident-learning-style flagging);
+      // heap-ranked on round(cos, 6), ties toward smaller id, no Window
+      graft.ops.Labels.labelNoiseCandidates(
+        t(s, dir, "embeddings"), "label", "vec_id", "embedding", k = 5)
+        .orderBy("label", "noise_rank")
+    },
+
+    "q140_hard_negatives" -> { (s, dir) =>
+      // contrastive hard-negative mining: for 5 anchor vectors, the 5
+      // most-similar corpus rows with a DIFFERENT label — the map-side
+      // heap reduces each anchor's candidates before the shuffle
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Labels.hardNegatives(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", "label", k = 5)
+        .orderBy("anchor_id", "neg_rank")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -1828,6 +1859,29 @@ object PipelineQueries {
   private def bpeStatePrefix(n: Int): String =
     "WITH " + bpeW0Sql + ",\n" + (1 to n).map(bpeRoundSql).mkString(",\n")
 
+  /** Shared q138/q139 centroid derivation: the two-level deterministic
+    * fold (64 md5 sub-buckets) in the exact order the engine sums. */
+  private val labelCentroidCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+      |), d AS (
+      |  SELECT label, vec_id, i AS dim, v[i+1] AS x,
+      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b
+      |  FROM e, unnest(range(len(v))) AS u(i)
+      |), p AS (
+      |  SELECT label, dim, b,
+      |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (acc, z) -> acc + z) AS ps,
+      |    count(*) AS n
+      |  FROM d GROUP BY label, dim, b
+      |), c AS (
+      |  SELECT label, dim,
+      |    list_reduce(list_prepend(0.0, list(ps ORDER BY b)), (acc, z) -> acc + z)
+      |      / CAST(sum(n) AS BIGINT) AS m
+      |  FROM p GROUP BY label, dim
+      |)
+      |""".stripMargin
+
   private val staticOracleSql: Map[String, String] = Map(
     // bottom-64 uniform sample (md5 unit hash, ties to smaller id) then
     // quantile_cont == Spark exact percentile (q93-pinned parity)
@@ -1864,6 +1918,50 @@ object PipelineQueries {
         |SELECT doc_id, source, n_chars, tokens_before, budget_rank
         |FROM r WHERE tokens_before < 3000
         |ORDER BY source, budget_rank""".stripMargin,
+
+    // two-level deterministic centroid fold: per (label, dim, md5-bucket)
+    // list_reduce in id order, then in bucket order — the engine's exact
+    // summation order, so means agree bit-for-bit before the round
+    "q138_label_centroids" ->
+      (labelCentroidCte +
+        """SELECT label, dim, round(m, 9) + 0.0 AS mean_r
+          |FROM c ORDER BY label, dim""".stripMargin),
+
+    "q139_label_noise" ->
+      (labelCentroidCte +
+        """, cent AS (
+          |  SELECT label, list(m ORDER BY dim) AS cv FROM c GROUP BY label
+          |), scored AS (
+          |  SELECT e.label, e.vec_id,
+          |    round(list_dot_product(e.v, cent.cv) /
+          |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) + 0.0 AS cr
+          |  FROM e JOIN cent ON e.label = cent.label
+          |), rk AS (
+          |  SELECT label, vec_id, cr,
+          |    row_number() OVER (PARTITION BY label ORDER BY cr ASC, vec_id) AS noise_rank
+          |  FROM scored WHERE NOT isnan(cr)
+          |)
+          |SELECT label, vec_id, cr AS cos_centroid_r, noise_rank
+          |FROM rk WHERE noise_rank <= 5
+          |ORDER BY label, noise_rank""".stripMargin),
+
+    "q140_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), a AS (
+        |  SELECT vec_id AS anchor_id, label AS al, v AS av FROM e WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+        |    round(list_dot_product(av, e.v) /
+        |      (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0.0 AS cr
+        |  FROM a JOIN e ON e.label <> a.al
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cr DESC, neg_id) AS neg_rank
+        |  FROM sc WHERE NOT isnan(cr)
+        |)
+        |SELECT anchor_id, neg_id, neg_label, cr AS cos_r, neg_rank
+        |FROM rk WHERE neg_rank <= 5
+        |ORDER BY anchor_id, neg_rank""".stripMargin,
 
     "q132_bpe_pair_counts" ->
       ("WITH " + bpeW0Sql + "\n" +

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Labels
+
+class LabelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Int, Seq[Double])*) =
+    rows.toDF("vec_id", "label", "embedding")
+
+  test("labelCentroids: exact means per label and dim") {
+    val df = emb(
+      (1L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(3.0, 2.0)),
+      (3L, 1, Seq(-1.0, 4.0)))
+    val cents = Labels.labelCentroids(df, "label", "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(0) == Seq(2.0, 1.0))
+    assert(cents(1) == Seq(-1.0, 4.0))
+  }
+
+  test("labelCentroids: bit-identical under repartitioning and bucket count") {
+    val rows = (0 until 300).map(i =>
+      (i.toLong, i % 3, Seq.tabulate(8)(d => math.sin(i * 0.37 + d) * 1e-3 + d)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val a = Labels.labelCentroids(df, "label", "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val b = Labels.labelCentroids(df.repartition(13), "label", "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b) // exact double equality: the fold order is pinned
+    // a DIFFERENT bucket count changes the fold tree and may change bits;
+    // it must still be deterministic for its own count
+    val c1 = Labels.labelCentroids(df, "label", "vec_id", "embedding", buckets = 7)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val c2 = Labels.labelCentroids(df.repartition(5), "label", "vec_id", "embedding", buckets = 7)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 == c2)
+  }
+
+  test("labelNoiseCandidates flags the planted mislabeled row first") {
+    // label 0 clusters near (1, 0); label 1 near (0, 1); row 99 carries
+    // label 0 but sits on label 1's axis — it must rank as label 0's
+    // top noise candidate
+    val rows = (0 until 20).map(i => (i.toLong, 0, Seq(1.0, 0.01 * i))) ++
+      (20 until 40).map(i => (i.toLong, 1, Seq(0.01 * (i - 20), 1.0))) :+
+      ((99L, 0, Seq(0.0, 1.0)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val noise = Labels.labelNoiseCandidates(df, "label", "vec_id", "embedding", k = 3)
+    val top0 = noise.filter(col("label") === 0 && col("noise_rank") === 1)
+      .select("vec_id").as[Long].head()
+    assert(top0 == 99L)
+    // no Window node: ranking rides the heap aggregate
+    assert(!noise.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("hardNegatives: different-label only, similarity-ranked") {
+    val df = emb(
+      (1L, 0, Seq(1.0, 0.0)),    // anchor
+      (2L, 0, Seq(0.99, 0.1)),   // same label: never a negative
+      (3L, 1, Seq(0.9, 0.1)),    // closest other-label
+      (4L, 1, Seq(0.0, 1.0)),    // orthogonal
+      (5L, 2, Seq(-1.0, 0.0)))   // opposite
+    val out = Labels.hardNegatives(
+      df.filter(col("vec_id") === 1), df, "vec_id", "embedding", "label", k = 3)
+      .orderBy("neg_rank")
+      .select("neg_id", "neg_label", "neg_rank").as[(Long, Int, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(3L, 4L, 5L))
+    assert(!out.map(_._2).contains(0))
+  }
+}
