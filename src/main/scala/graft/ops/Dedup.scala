@@ -318,6 +318,85 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** INCREMENTAL near-dup: match a new batch against an existing corpus
+    * WITHOUT ever pairing the corpus with itself — the daily-crawl shape
+    * at 100 TB, where the historical index is orders of magnitude larger
+    * than the increment and re-deduping it per batch would dominate the
+    * pipeline. Band keys are computed per side and joined CROSS-SIDE
+    * only; the batch side's buckets are the small build side (AQE
+    * broadcasts them when measured-small), so the index never shuffles
+    * by anything except its own band keys. In production the index side
+    * would read persisted signatures (write [[polyMinhashBands]] /
+    * signature frames once per ingest); this entry point recomputes them
+    * from text for self-containedness.
+    *
+    * Output: (new_id, index_id, est_jaccard) — every batch doc paired
+    * with every index doc sharing a band whose estimated Jaccard clears
+    * `threshold`. Same portable hash family / estimated-Jaccard contract
+    * as [[polyMinhashNearDupPairs]]. */
+  def incrementalNearDupPairs(
+      index: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      k: Int = 5
+  ): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must be divisible by bands")
+    val rows = numPerms / bands
+    def sigsOf(df: DataFrame, idOut: String, sigOut: String) =
+      graft.Checkpoints.localCheckpoint(
+        df.select(col(idCol).as(idOut),
+            graft.expressions.PolyMinHashSignature(col(textCol), numPerms, k).as(sigOut))
+          .repartition(col(idOut)))
+    def bucketsOf(sigs: DataFrame, idOut: String, sigCol: String) = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("-", (0 until rows).map(r =>
+            element_at(col(sigCol), b * rows + r + 1)): _*).as("band_key"))
+      }
+      sigs.select(col(idOut), explode(array(bandCols: _*)).as("bk"))
+        .select(col(idOut), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    }
+    val idxSigs = sigsOf(index, "index_id", "sig_i")
+    val newSigs = sigsOf(batch, "new_id", "sig_n")
+    val candidates = bucketsOf(newSigs, "new_id", "sig_n")
+      .join(bucketsOf(idxSigs, "index_id", "sig_i"), Seq("band", "band_key"))
+      .select("new_id", "index_id")
+      .distinct()
+    val agree = graft.expressions.SignatureAgreement(col("sig_n"), col("sig_i"))
+    candidates
+      .join(newSigs, "new_id")
+      .join(idxSigs, "index_id")
+      .withColumn("est_jaccard", agree.cast("double") / lit(numPerms.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("index_id"), col("est_jaccard"))
+  }
+
+  /** The admission half of incremental ingest: batch rows that near-dup
+    * NOTHING in the index (distinct-ids anti-join over
+    * [[incrementalNearDupPairs]]'s candidate sliver). Within-batch
+    * duplicates are deliberately out of scope — run the batch through
+    * [[dropExactDups]] / [[polyMinhashNearDupPairs]] first; this
+    * operator's contract is purely batch-vs-index. */
+  def incrementalDedup(
+      index: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      k: Int = 5
+  ): DataFrame = {
+    val hit = incrementalNearDupPairs(index, batch, textCol, idCol,
+        threshold, numPerms, bands, k)
+      .select(col("new_id").as(idCol)).distinct()
+    batch.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Train/val/test LEAKAGE audit: near-duplicate pairs whose members sit
     * in DIFFERENT splits — the contamination an in-split dedup cannot see
     * (a test doc near-duplicating a train doc silently inflates eval).

@@ -174,22 +174,29 @@ object PipelineQueries {
     * back to the whole canon, mirroring Dedup.shingles) -> md5-prefix
     * hashes -> the 16 signature positions. `srcRel` is the relation (with
     * optional WHERE) supplying (doc_id, text). */
-  private def polyShingleSigCte(srcRel: String): String =
-    s"""c0 AS (
+  private def polyShingleSigCte(srcRel: String, sfx: String = ""): String =
+    s"""c0$sfx AS (
        |  SELECT doc_id, trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS canon
        |  FROM $srcRel
-       |), hs0 AS (
+       |), hs0$sfx AS (
        |  SELECT doc_id, list_transform(
        |    CASE WHEN len(canon) < 5 THEN [canon]
        |         ELSE list_distinct(list_transform(range(0, len(canon) - 4),
        |                i -> substr(canon, CAST(i + 1 AS INT), 5))) END,
        |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
-       |  FROM c0
-       |), sig AS (
+       |  FROM c0$sfx
+       |), sig$sfx AS (
        |  SELECT doc_id,
        |$polySigList
-       |  FROM hs0
+       |  FROM hs0$sfx
        |)""".stripMargin
+
+  /** Band-key projections over a suffixed `sig` CTE (the cross-side
+    * variant [[polyBandSelects]] is the "" instance of). */
+  private def polyBandSelectsFor(sfx: String): String = (0 until 4).map { b =>
+    val cols = (1 to 4).map(r => s"s${b * 4 + r}").mkString(", ")
+    s"  SELECT doc_id, $b AS band, concat_ws('-', $cols) AS band_key FROM sig$sfx"
+  }.mkString("\n  UNION ALL\n")
 
   /** The 4 band-key projections over the `sig` CTE (4 positions per band,
     * '-'-joined decimal strings — exactly the engine's concat_ws). */
@@ -1256,6 +1263,28 @@ object PipelineQueries {
         .orderBy("anchor_id", "neg_rank")
     },
 
+    "q141_incremental_near_dups" -> { (s, dir) =>
+      // daily-crawl ingest: new batch (doc_id % 4 = 0) near-dup-matched
+      // against the standing index (doc_id % 4 <> 0) — band keys joined
+      // CROSS-SIDE only, the index never pairs with itself
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", threshold = 0.5)
+        .orderBy("new_id", "index_id")
+    },
+
+    "q142_incremental_dedup" -> { (s, dir) =>
+      // the admission half: batch docs that near-dup nothing in the index
+      // survive ingest (distinct-ids anti-join over the candidate sliver)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", threshold = 0.5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -1918,6 +1947,48 @@ object PipelineQueries {
         |SELECT doc_id, source, n_chars, tokens_before, budget_rank
         |FROM r WHERE tokens_before < 3000
         |ORDER BY source, budget_rank""".stripMargin,
+
+    // cross-side-only band join: batch buckets vs index buckets, never
+    // index-index; agreement arithmetic identical to the q67 pair oracle
+    "q141_incremental_near_dups" ->
+      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000 AND doc_id % 4 <> 0", "_i")},
+         |${polyShingleSigCte("documents WHERE doc_id < 1000 AND doc_id % 4 = 0", "_n")},
+         |bk_i AS (
+         |${polyBandSelectsFor("_i")}
+         |), bk_n AS (
+         |${polyBandSelectsFor("_n")}
+         |), cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+         |  FROM bk_n n JOIN bk_i i ON n.band = i.band AND n.band_key = i.band_key
+         |)
+         |SELECT new_id, index_id, CAST(($polyAgreeSql) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM cand
+         |JOIN sig_n sa ON sa.doc_id = new_id
+         |JOIN sig_i sb ON sb.doc_id = index_id
+         |WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.5
+         |ORDER BY new_id, index_id""".stripMargin,
+
+    "q142_incremental_dedup" ->
+      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000 AND doc_id % 4 <> 0", "_i")},
+         |${polyShingleSigCte("documents WHERE doc_id < 1000 AND doc_id % 4 = 0", "_n")},
+         |bk_i AS (
+         |${polyBandSelectsFor("_i")}
+         |), bk_n AS (
+         |${polyBandSelectsFor("_n")}
+         |), cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+         |  FROM bk_n n JOIN bk_i i ON n.band = i.band AND n.band_key = i.band_key
+         |), hit AS (
+         |  SELECT DISTINCT new_id
+         |  FROM cand
+         |  JOIN sig_n sa ON sa.doc_id = new_id
+         |  JOIN sig_i sb ON sb.doc_id = index_id
+         |  WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.5
+         |)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id < 1000 AND d.doc_id % 4 = 0
+         |  AND d.doc_id NOT IN (SELECT new_id FROM hit)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // two-level deterministic centroid fold: per (label, dim, md5-bucket)
     // list_reduce in id order, then in bucket order — the engine's exact

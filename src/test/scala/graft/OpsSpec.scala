@@ -1813,6 +1813,30 @@ class OpsSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("incremental near-dup: cross-side pairs only, admission drops hits") {
+    import graft.ops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val index = Seq(
+      (1L, base),
+      (2L, base),                      // exact dup INSIDE the index: must not pair
+      (3L, "completely different content about spark aggregation plans and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " tonight"),        // near-dups the index
+      (11L, "fresh unrelated news article covering distributed tokenizer training")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDupPairs(index, batch, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 10 matches both copies in the index; 11 matches nothing; the
+    // index's own 1<->2 duplicate never appears
+    assert(pairs.map(_._1).toSet == Set(10L))
+    assert(pairs.map(_._2).toSet == Set(1L, 2L))
+    assert(pairs.forall(_._3 >= 0.5))
+    val admitted = Dedup.incrementalDedup(index, batch, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(11L))
+  }
+
   test("token budget sample: prefix-closed admission, one-doc overshoot max") {
     import graft.ops.Sampling
     val df = spark.range(0, 400).toDF("id")
