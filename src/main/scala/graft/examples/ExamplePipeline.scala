@@ -157,6 +157,42 @@ object ExamplePipeline {
       threshold = 0.5)
     println(s"cross-split near-dup pairs: ${splitLeaks.count()}")
 
+    // 16. tokenizer economics: train 12 BPE merges on the cleaned corpus,
+    //     report the sequence-length profile a packing stage would see,
+    //     then mix sources under a TOKEN budget (not a row cap)
+    val merges = graft.ops.BpeTrain.train(docs, "text", numMerges = 12)
+    println(s"bpe merges: " + merges.take(5).map(m => s"${m.left}+${m.right}").mkString(", ") + ", ...")
+    val lens = graft.ops.BpeTrain.tokensPerDoc(docs, "doc_id", "text", merges)
+    val budgeted = Sampling.tokenBudgetSample(
+      docs, "doc_id", "source", "n_chars", budget = 3000L)
+    val meanLen = lens.agg(avg("n_bpe_tokens")).first().getDouble(0)
+    println(f"token-budget mix admits ${budgeted.count()} docs; mean seq len $meanLen%.1f")
+
+    // 17. label hygiene before any classifier training: per-label
+    //     centroids, worst-fitting rows flagged, hard negatives mined
+    val noisy = graft.ops.Labels.labelNoiseCandidates(
+      emb, "label", "vec_id", "embedding", k = 3)
+    println(s"label-noise candidates: ${noisy.count()} flagged")
+    graft.ops.Labels.hardNegatives(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", "label", k = 3)
+      .orderBy("anchor_id", "neg_rank").show(9)
+
+    // 18. incremental ingest: yesterday's corpus is the index, today's
+    //     batch only joins cross-side — admit what near-dups nothing
+    val admitted = graft.ops.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+      "text", "doc_id", threshold = 0.5)
+    println(s"incremental ingest admits ${admitted.count()} of " +
+      s"${docs.filter(col("doc_id") % 4 === 0).count()} batch docs")
+
+    // 19. a fully verifiable quantizer: portable kmeans (hash-seeded,
+    //     deterministic folds) feeding the same IVF machinery as MLlib's
+    val kmCents = Similarity.trainKmeansPortable(
+      emb, "vec_id", "embedding", k = 8, iters = 4)
+    val kmBalanced = Sampling.clusterBalancedSample(
+      emb, "vec_id", "embedding", kmCents, perCluster = 25)
+    println(s"portable-kmeans balanced sample: ${kmBalanced.count()} vectors")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)

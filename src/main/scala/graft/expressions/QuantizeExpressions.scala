@@ -27,6 +27,11 @@ private[graft] trait DoubleArrayUnary extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<double> input, got ${other.simpleString}")
   }
+  // both subclasses null corrupt inputs even when the child is
+  // non-nullable; without the override codegen declares ev.isNull as the
+  // `false` literal and the `ev.isNull = true` branch fails to COMPILE —
+  // a silent whole-stage interpreter fallback (see DotProduct.nullable)
+  override def nullable: Boolean = true
 }
 
 /** max(|v_i|) over a double array — the per-vector quantization scale.

@@ -39,6 +39,11 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // can return null on length mismatch / null elements EVEN when both
+  // children are non-nullable; without this override codegen declares
+  // ev.isNull as the `false` literal and `ev.isNull = true` fails to
+  // compile (silent interpreter fallback on e.g. collect_list inputs)
+  override def nullable: Boolean = true
 
   // Mismatched lengths and null elements yield NULL — identical to the
   // zip_with/aggregate formulation (zip_with pads the shorter array with
@@ -102,6 +107,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // see DotProduct.nullable: null is reachable from non-nullable children
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

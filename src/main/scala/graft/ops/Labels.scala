@@ -32,7 +32,9 @@ object Labels {
     * over `buckets` × dim aggregation buffers instead of concentrating
     * its whole column in one; no buffer ever holds more than its
     * sub-bucket's values, and the second-level fold sees ≤ `buckets`
-    * rows. Null vectors are excluded. */
+    * rows. Null vectors are excluded. Ids must be numeric-castable and
+    * unique (the engine-wide unit-hash contract): the native fold sorts
+    * by the id cast to long. */
   def labelCentroids(
       df: DataFrame,
       labelCol: String,
@@ -46,17 +48,22 @@ object Labels {
       .select(col(labelCol).as("label"), col(idCol).as("__id"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__x")))
       .withColumn("__b", bucketOf(col("__id"), buckets))
+    // the fold itself is the native OrderedKeyedSum — identical order
+    // (sort by id / by bucket, then left-fold) to the HOF
+    // aggregate(array_sort(collect_list(...))) convention, but one
+    // codegen'd call instead of an interpreted lambda per element
+    // (330s -> seconds at 10⁸ exploded elements in ScaleSmoke)
+    val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
     val partial = dims
       .groupBy("label", "dim", "__b")
       .agg(
-        aggregate(array_sort(collect_list(struct(col("__id"), col("__x")))),
-          lit(0.0), (acc, s) => acc + s.getField("__x")).as("__ps"),
+        oks(collect_list(struct(col("__id").cast("long").as("k"), col("__x").as("v"))))
+          .as("__ps"),
         count(lit(1)).as("__n"))
     val perDim = partial
       .groupBy("label", "dim")
       .agg(
-        aggregate(array_sort(collect_list(struct(col("__b"), col("__ps")))),
-          lit(0.0), (acc, s) => acc + s.getField("__ps")).as("__sum"),
+        oks(collect_list(struct(col("__b").as("k"), col("__ps").as("v")))).as("__sum"),
         sum("__n").as("__cnt"))
       .select(col("label"), col("dim"), (col("__sum") / col("__cnt")).as("__mean"))
     perDim

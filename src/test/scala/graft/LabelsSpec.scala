@@ -96,6 +96,27 @@ class LabelsSpec extends SparkSpec {
     assert(learned.contains(Seq(5.0, 5.0)) && learned.contains(Seq(-5.0, -5.0)))
   }
 
+  test("vector expressions stay codegen'd over NON-NULLABLE inputs") {
+    // collect_list/transform outputs are non-nullable; dot/cosine/maxabs
+    // can still return null (length mismatch, corrupt elements), so they
+    // must declare nullable=true or codegen emits `false = true` and
+    // silently falls back to the interpreter. fallback=false makes any
+    // such compile error FATAL here.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((0, 1.0), (0, 2.0), (1, 3.0)).toDF("g", "x")
+        .groupBy("g").agg(collect_list(col("x")).as("v")) // non-nullable array
+        .select(col("g"), col("v"),
+          graft.expressions.VectorExpressions.cosine(col("v"), col("v")).as("c"),
+          graft.expressions.VectorExpressions.dot(col("v"), col("v")).as("d"),
+          graft.expressions.QuantizeExpressions.maxAbs(col("v")).as("m"),
+          graft.expressions.QuantizeExpressions.int8Codes(col("v")).as("q"))
+      val rows = df.collect()
+      assert(rows.length == 2)
+      assert(rows.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-12))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("hardNegatives: different-label only, similarity-ranked") {
     val df = emb(
       (1L, 0, Seq(1.0, 0.0)),    // anchor
