@@ -61,7 +61,34 @@ object GraftFunctions {
         }
         PolyMinHashSignature(children(0),
           lit(children(1), "numPerms"), lit(children(2), "k"))
-      })
+      }),
+    (FunctionIdentifier("graft_distinct_lines"),
+      info(classOf[DistinctLines], "graft_distinct_lines",
+        "graft_distinct_lines(text) - drop within-document repeats of non-blank lines (first occurrence wins, blanks survive)."),
+      (children: Seq[Expression]) => DistinctLines(children(0))),
+    (FunctionIdentifier("graft_nfc"),
+      info(classOf[NfcNormalize], "graft_nfc",
+        "graft_nfc(text) - Unicode NFC canonicalization (pre-hash normalization)."),
+      (children: Seq[Expression]) => NfcNormalize(children(0))),
+    (FunctionIdentifier("graft_word_grams"),
+      info(classOf[WordGrams], "graft_word_grams",
+        "graft_word_grams(text, n) - distinct lowercased word n-grams (n must be an integer literal)."),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_word_grams n must be an integer literal, got $other")
+        }
+        WordGrams(children(0), n)
+      }),
+    (FunctionIdentifier("graft_bpe_symbols"),
+      info(classOf[BpeSymbols], "graft_bpe_symbols",
+        "graft_bpe_symbols(word) - code-point symbols of a word plus the '</w>' end marker (BPE base alphabet)."),
+      (children: Seq[Expression]) => BpeSymbols(children(0))),
+    (FunctionIdentifier("graft_ordered_keyed_sum"),
+      info(classOf[OrderedKeyedSum], "graft_ordered_keyed_sum",
+        "graft_ordered_keyed_sum(kv) - deterministic sum of array<struct<k bigint, v double>>: sort by k, left-fold 0.0 + v."),
+      (children: Seq[Expression]) => OrderedKeyedSum(children(0)))
   )
 
   /** Idempotently register the functions on an existing session. */

@@ -25,6 +25,51 @@ object Labels {
     pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** Whole-vector elementwise sum buffer: `s(d) = v0(d) + v1(d) + ...`
+    * in ARRIVAL order (the first vector is copied, not added to zeros, so
+    * the per-dimension fold is the unseeded `v0 + v1 + ...`). Arrival
+    * order is the caller's responsibility: [[labelCentroids]] feeds it
+    * from a repartition-by-group + sortWithinPartitions stage, so each
+    * group folds in id order inside one partition and `merge` only ever
+    * sees one non-empty side. */
+  private final case class VecSumBuf(var s: Array[Double], var n: Long)
+
+  private class VectorSumAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[
+        scala.collection.Seq[Double], VecSumBuf, (Seq[Double], Long)]
+      with Serializable {
+    override def zero: VecSumBuf = VecSumBuf(Array.emptyDoubleArray, 0L)
+    override def reduce(b: VecSumBuf, v: scala.collection.Seq[Double]): VecSumBuf = {
+      if (b.n == 0L) {
+        b.s = v.toArray
+        b.n = 1L
+      } else {
+        require(v.length == b.s.length,
+          s"vector length mismatch: ${v.length} vs ${b.s.length}")
+        var i = 0
+        while (i < b.s.length) { b.s(i) += v(i); i += 1 }
+        b.n += 1L
+      }
+      b
+    }
+    override def merge(a: VecSumBuf, b: VecSumBuf): VecSumBuf =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        require(a.s.length == b.s.length,
+          s"vector length mismatch: ${a.s.length} vs ${b.s.length}")
+        var i = 0
+        while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
+        a.n += b.n
+        a
+      }
+    override def finish(b: VecSumBuf): (Seq[Double], Long) = (b.s.toSeq, b.n)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[VecSumBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[VecSumBuf]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Seq[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Long)]()
+  }
+
   /** Per-label mean embedding: (label, centroid array<double>).
     *
     * Scale shape: posexplode to (label, dim, value) — the shuffle key is
@@ -43,24 +88,34 @@ object Labels {
       buckets: Int = 64
   ): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val dims = df
+    // Whole vectors stay together: the shuffle carries ROWS (id, vector),
+    // never row x dim exploded elements — at 768-dim embeddings the
+    // exploded shape multiplies shuffle rows by the dimensionality and
+    // dominated everything (measured 330s -> 32s at 12M x 8 dims across
+    // the redesigns of this fold). Level-1 determinism comes from
+    // repartition-by-group + sortWithinPartitions: the aggregate runs in
+    // the same stage (partitioning already matches, no second exchange),
+    // so the vector aggregator folds each group's vectors in id order —
+    // per dimension the unseeded `v0 + v1 + ...` the oracle replays.
+    val rows = df
       .filter(col(vecCol).isNotNull && col(idCol).isNotNull)
-      .select(col(labelCol).as("label"), col(idCol).as("__id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__x")))
-      .withColumn("__b", bucketOf(col("__id"), buckets))
-    // the fold itself is the native OrderedKeyedSum — identical order
-    // (sort by id / by bucket, then left-fold) to the HOF
-    // aggregate(array_sort(collect_list(...))) convention, but one
-    // codegen'd call instead of an interpreted lambda per element
-    // (330s -> seconds at 10⁸ exploded elements in ScaleSmoke)
+      .select(col(labelCol).as("label"), col(idCol).cast("long").as("__id"),
+        bucketOf(col(idCol), buckets).as("__b"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val vecSum = udaf(new VectorSumAggregator(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[scala.collection.Seq[Double]]())
+    val partial = rows
+      .repartition(col("label"), col("__b"))
+      .sortWithinPartitions(col("label"), col("__b"), col("__id"))
+      .groupBy("label", "__b")
+      .agg(vecSum(col("__v")).as("__vs"))
+    // level 2: ≤ `buckets` partial vectors per label — tiny. Explode to
+    // dims and fold partials in bucket order through the native
+    // OrderedKeyedSum (seeded 0.0 + p0 + p1 + ..., the list_prepend form).
     val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
-    val partial = dims
-      .groupBy("label", "dim", "__b")
-      .agg(
-        oks(collect_list(struct(col("__id").cast("long").as("k"), col("__x").as("v"))))
-          .as("__ps"),
-        count(lit(1)).as("__n"))
     val perDim = partial
+      .select(col("label"), col("__b"), col("__vs._2").as("__n"),
+        posexplode(col("__vs._1")).as(Seq("dim", "__ps")))
       .groupBy("label", "dim")
       .agg(
         oks(collect_list(struct(col("__b").as("k"), col("__ps").as("v")))).as("__sum"),

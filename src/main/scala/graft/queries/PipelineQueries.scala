@@ -1958,7 +1958,7 @@ object PipelineQueries {
        |  FROM asg_$r, unnest(range(len(v))) AS u(i)
        |), p_$r AS (
        |  SELECT cid, dim, b,
-       |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (acc, z) -> acc + z) AS ps,
+       |    list_reduce(list(x ORDER BY vec_id), (acc, z) -> acc + z) AS ps,
        |    count(*) AS n
        |  FROM d_$r GROUP BY cid, dim, b
        |), m_$r AS (
@@ -2002,7 +2002,7 @@ object PipelineQueries {
       |  FROM e, unnest(range(len(v))) AS u(i)
       |), p AS (
       |  SELECT label, dim, b,
-      |    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (acc, z) -> acc + z) AS ps,
+      |    list_reduce(list(x ORDER BY vec_id), (acc, z) -> acc + z) AS ps,
       |    count(*) AS n
       |  FROM d GROUP BY label, dim, b
       |), c AS (

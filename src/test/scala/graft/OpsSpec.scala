@@ -677,6 +677,16 @@ class OpsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_poly_minhash('x', 1 + 1, 5)").head()
     }
+    // text projections + the deterministic fold
+    assert(spark.sql("SELECT graft_distinct_lines('a\nb\na')").head().getString(0) == "a\nb")
+    assert(spark.sql("SELECT graft_nfc('e\u0301')").head().getString(0) == "\u00e9")
+    assert(spark.sql("SELECT graft_word_grams('The the cat', 1)")
+      .head().getSeq[String](0) == Seq("the", "cat"))
+    assert(spark.sql("SELECT graft_bpe_symbols('ab')")
+      .head().getSeq[String](0) == Seq("a", "b", "</w>"))
+    assert(spark.sql(
+      "SELECT graft_ordered_keyed_sum(array(struct(2L, 10.0D), struct(1L, 1.5D)))")
+      .head().getDouble(0) == 11.5)
   }
 
   test("one-pass CosineSimilarity matches composed formulation bit-for-bit") {

@@ -344,6 +344,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming BPE encode matches batch (pure projection with frozen merges)") {
+    // the serving shape: merges train OFFLINE on the corpus, the stream
+    // tokenizes each arriving document with the frozen merge list — a
+    // stateless codegen'd projection, legal in any output mode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq("the cat sat", "the cats eat", "low lower lowest").toDF("text")
+    val merges = graft.ops.BpeTrain.train(corpus, "text", numMerges = 6)
+    val pairs = merges.map(m => (m.left, m.right))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "word")
+      .withColumn("toks", graft.expressions.BpeExpressions.bpeEncode(col("word"), pairs))
+    val query = stream.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, "the"), (2L, "lowest"), (3L, "cats"))
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("bpe_stream").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+      val batch = rows.toDF("doc_id", "word")
+        .withColumn("toks", graft.expressions.BpeExpressions.bpeEncode(col("word"), pairs))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+      assert(streamed == batch)
+      assert(streamed.values.forall(_.nonEmpty))
+    } finally query.stop()
+  }
+
   test("streaming gopher gate matches the batch filter (stateless, no helper cols)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
