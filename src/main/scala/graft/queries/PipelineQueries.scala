@@ -1335,6 +1335,20 @@ object PipelineQueries {
         .orderBy("cluster")
     },
 
+    "q145_source_quality" -> { (s, dir) =>
+      // per-source quality triage: the heuristic quality score profiled
+      // per source through the bounded sampled-quantile sketch — the
+      // report that decides which domains get downweighted, at k rows of
+      // state per source regardless of source size
+      val scored = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+      graft.ops.Sketches.sampledQuantiles(scored, Seq("source"), "doc_id", "q",
+        Seq("q25" -> 0.25, "q50" -> 0.5, "q90" -> 0.9), k = 16, salt = "graft-sq2")
+        .orderBy("source")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2049,6 +2063,24 @@ object PipelineQueries {
         |SELECT doc_id, source, n_chars, tokens_before, budget_rank
         |FROM r WHERE tokens_before < 3000
         |ORDER BY source, budget_rank""".stripMargin,
+
+    // the q79 quality blend + the q136 sampled-quantile machinery, per
+    // source (quantile_cont == exact percentile, q93/q113 parity)
+    "q145_source_quality" ->
+      (s"WITH ${qualityCte("documents WHERE text IS NOT NULL", "source")},\n" +
+        """h AS (
+          |  SELECT source, doc_id, qscore,
+          |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-sq2'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+          |  FROM scored WHERE qscore IS NOT NULL
+          |), r AS (
+          |  SELECT source, qscore, row_number() OVER (PARTITION BY source ORDER BY uh, doc_id) AS rn
+          |  FROM h
+          |)
+          |SELECT source,
+          |  quantile_cont(qscore, 0.25) AS q25,
+          |  quantile_cont(qscore, 0.5) AS q50,
+          |  quantile_cont(qscore, 0.9) AS q90
+          |FROM r WHERE rn <= 16 GROUP BY source ORDER BY source""".stripMargin),
 
     // DuckDB re-trains the portable kmeans end to end (4 Lloyd rounds)
     "q143_kmeans_train" ->
