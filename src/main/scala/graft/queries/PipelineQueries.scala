@@ -1349,6 +1349,24 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "q146_bpe_packing" -> { (s, dir) =>
+      // the tokenizer -> packing handoff: per-doc BPE sequence lengths
+      // (trained merges), deterministic shard + shuffle order, then
+      // 512-token chunk layout via sharded exclusive prefix sums — the
+      // full "tokenize, shuffle, pack" tail of a training-data pipeline
+      val docs = t(s, dir, "documents")
+      val merges = BpeState.forDir(docs, dir, BpeNumMerges)
+      val lens = graft.ops.BpeTrain.tokensPerDoc(docs, "doc_id", "text", merges)
+      val sharded = graft.ops.Sampling.withShuffleOrder(
+        lens, "doc_id", numShards = 8, salt = "graft-pack")
+      graft.ops.Packing.sequencePacking(
+        sharded, "doc_id", "n_bpe_tokens", "shard", budget = 512L,
+        orderCol = "shuffle_pos")
+        .select("doc_id", "shard", "shuffle_pos", "n_bpe_tokens", "offset",
+          "chunk_first", "chunk_last", "n_chunks")
+        .orderBy("shard", "shuffle_pos")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2211,6 +2229,49 @@ object PipelineQueries {
          |SELECT sym AS token, CAST(sum(cnt) AS BIGINT) AS freq
          |FROM state_$BpeNumMerges, unnest(s) AS u(sym)
          |GROUP BY sym ORDER BY freq DESC, token LIMIT 40""".stripMargin),
+
+    // tokenize (replayed training state) -> q76 shard/shuffle -> q60
+    // packing arithmetic, end to end in one SQL chain
+    "q146_bpe_packing" ->
+      (bpeStatePrefix(BpeNumMerges) + s""",
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN text IS NULL OR len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |           ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END) AS word
+         |  FROM documents
+         |),
+         |tl AS (
+         |  SELECT dw.doc_id, CAST(sum(len(st.s)) AS BIGINT) AS n
+         |  FROM dw JOIN state_$BpeNumMerges st USING (word)
+         |  GROUP BY dw.doc_id
+         |),
+         |lens AS (
+         |  SELECT d.doc_id, coalesce(tl.n, 0) AS n_bpe_tokens
+         |  FROM documents d LEFT JOIN tl USING (doc_id)
+         |),
+         |hx AS (
+         |  SELECT doc_id, n_bpe_tokens, md5(CAST(doc_id AS VARCHAR) || 'graft-pack') AS hex
+         |  FROM lens
+         |),
+         |sp AS (
+         |  SELECT doc_id, n_bpe_tokens,
+         |    CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+         |    CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT)
+         |      ORDER BY hex, doc_id) AS BIGINT) AS shuffle_pos
+         |  FROM hx
+         |),
+         |o AS (
+         |  SELECT doc_id, shard, shuffle_pos, n_bpe_tokens,
+         |    CAST(SUM(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY shuffle_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe_tokens AS BIGINT) AS "offset"
+         |  FROM sp
+         |)
+         |SELECT doc_id, shard, shuffle_pos, n_bpe_tokens, "offset",
+         |  "offset" // 512 AS chunk_first,
+         |  ("offset" + GREATEST(n_bpe_tokens, 1) - 1) // 512 AS chunk_last,
+         |  ("offset" + GREATEST(n_bpe_tokens, 1) - 1) // 512 - "offset" // 512 + 1 AS n_chunks
+         |FROM o ORDER BY shard, shuffle_pos""".stripMargin),
 
     "q135_bpe_tokens_per_doc" ->
       (bpeStatePrefix(BpeNumMerges) + s""",
