@@ -47,6 +47,25 @@ object Sampling {
     df.withColumn("split", chain)
   }
 
+  /** GROUP-coherent split: every row of a group (domain, author, session)
+    * lands in the SAME split — the assignment hashes the group key, not
+    * the row id. This is the leakage-proof way to carve train/val/test
+    * when near-duplicates cluster within groups (same-domain pages,
+    * same-user sessions): an id-hashed split scatters a domain's
+    * near-identical pages across splits and [[graft.ops.Dedup
+    * .splitLeakagePairs]] lights up; a group-hashed split cannot leak
+    * within groups by construction. Same determinism contract as
+    * [[withSplit]]; null group keys get a null split (unassigned, loud). */
+  def withGroupSplit(
+      df: DataFrame,
+      groupCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = ""
+  ): DataFrame =
+    // withSplit's key needs no uniqueness — hashing the shared group key
+    // IS the mechanism (identical key -> identical unit hash -> same cut)
+    withSplit(df, groupCol, fractions, salt)
+
   /** Per-stratum deterministic sampling: keep each row with its stratum's
     * fraction (rows in unlisted strata use `default`). The distributed
     * `df.sampleBy`, minus the nondeterminism. */

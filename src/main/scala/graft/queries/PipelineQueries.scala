@@ -1367,6 +1367,18 @@ object PipelineQueries {
         .orderBy("shard", "shuffle_pos")
     },
 
+    "q147_group_split" -> { (s, dir) =>
+      // leakage-proof carving: the split hashes the SOURCE, so a domain's
+      // near-identical pages can never straddle train/val/test; output
+      // proves coherence (one split per source) and shows the realized
+      // row fractions
+      val split = graft.ops.Sampling.withGroupSplit(
+        t(s, dir, "documents"), "source",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "graft-gs")
+      split.groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2081,6 +2093,23 @@ object PipelineQueries {
         |SELECT doc_id, source, n_chars, tokens_before, budget_rank
         |FROM r WHERE tokens_before < 3000
         |ORDER BY source, budget_rank""".stripMargin,
+
+    // group-hashed split: the q36 cut arithmetic over md5(source||salt)
+    "q147_group_split" ->
+      """WITH sp AS (
+        |  SELECT source,
+        |    CASE WHEN uh < 0.75 THEN 'train'
+        |         WHEN uh < 0.875 THEN 'val'
+        |         WHEN uh < 1.0 THEN 'test'
+        |         ELSE NULL END AS split
+        |  FROM (
+        |    SELECT source,
+        |      CAST(CAST(('0x' || substr(md5(source || 'graft-gs'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |    FROM documents)
+        |)
+        |SELECT source, split, count(*) AS n
+        |FROM sp GROUP BY source, split
+        |ORDER BY source, split""".stripMargin,
 
     // the q79 quality blend + the q136 sampled-quantile machinery, per
     // source (quantile_cont == exact percentile, q93/q113 parity)

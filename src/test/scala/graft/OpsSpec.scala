@@ -1823,6 +1823,24 @@ class OpsSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("group split: every group lands whole in one split") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("domain", concat(lit("d"), (col("id") % 100).cast("string")))
+    val split = Sampling.withGroupSplit(df, "domain",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "gs1")
+    // coherence: one distinct split value per domain
+    val perGroup = split.groupBy("domain")
+      .agg(countDistinct("split").as("k")).filter(col("k") =!= 1)
+    assert(perGroup.count() == 0)
+    // all three splits are populated at 100 domains
+    assert(split.select("split").distinct().count() == 3)
+    // deterministic and identical to hashing the raw key with withSplit
+    val direct = Sampling.withSplit(df, "domain",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "gs1")
+    assert(split.exceptAll(direct).count() == 0)
+  }
+
   test("incremental near-dup: cross-side pairs only, admission drops hits") {
     import graft.ops.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
