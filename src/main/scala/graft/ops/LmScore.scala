@@ -96,4 +96,126 @@ object LmScore {
 
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
   }
+
+  /** The (id, tokens) frame all n-gram streams derive from. */
+  private def tokenArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__ts"))
+
+  /** Interpolated TRIGRAM language-model scoring (Jelinek–Mercer): each
+    * document position scores `ln p̂(w3 | w1 w2)` with
+    * `p̂ = λ3·p_ML(w3|w1w2) + λ2·p_ML(w3|w2) + λ1·p_ML(w3)` — the classic
+    * n-gram perplexity filter (CCNet runs a KenLM 5-gram; the published
+    * recipe's shape is identical, interpolation weights instead of
+    * Kneser–Ney backoff so every probability stays a ratio of integer
+    * counts any engine re-derives).
+    *
+    * Per document: `n_trigrams`, `avg_logp`, `perplexity`. Fewer than
+    * three tokens → null metrics. Self-trained by default; with a
+    * reference `model` the standard OOV conventions apply: trigram
+    * positions whose w3 UNIGRAM the model has never seen are skipped
+    * (λ1·p1 > 0 keeps every kept position finite), and unseen
+    * trigram/bigram contexts contribute 0 through their λ term.
+    * `lambda1` must be positive — it is the floor that keeps ln finite.
+    *
+    * Scale shape: three map-side n-gram explodes into map-side-combined
+    * count aggregates; probability joins key on the n-gram (never
+    * broadcast-assumed — vocabulary³ worst case); the per-doc fold adds
+    * `count × ln p̂` over DISTINCT trigrams in sorted order (identical-
+    * value addition commutes exactly), the engine's deterministic-FP
+    * convention. The token arrays and per-doc counts are barriers
+    * (multiple consumers) and ride the managed checkpoint registry. */
+  def trigramScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Option[DataFrame] = None,
+      lambda3: Double = 0.7,
+      lambda2: Double = 0.2,
+      lambda1: Double = 0.1
+  ): DataFrame = {
+    require(lambda1 > 0.0, "lambda1 must be > 0 (the finite-logp floor)")
+    require(lambda2 >= 0.0 && lambda3 >= 0.0, "lambdas must be non-negative")
+
+    def triStream(toks: DataFrame): DataFrame = {
+      val n = size(col("__ts"))
+      val s1 = slice(col("__ts"), lit(1), n - 2)
+      val s2 = slice(col("__ts"), lit(2), n - 2)
+      val s3 = slice(col("__ts"), lit(3), n - 2)
+      toks.filter(n >= 3)
+        .select(toks.columns.filter(_ != "__ts").map(col) :+
+          explode(zip_with(
+            zip_with(s1, s2, (a, b) => struct(a.as("w1"), b.as("w2"))),
+            s3,
+            (ab, c) => struct(ab.getField("w1").as("w1"),
+              ab.getField("w2").as("w2"), c.as("w3")))).as("__t"): _*)
+        .select(toks.columns.filter(_ != "__ts").map(col) :+
+          col("__t.w1").as("w1") :+ col("__t.w2").as("w2") :+
+          col("__t.w3").as("w3"): _*)
+    }
+    def biStream(toks: DataFrame): DataFrame = {
+      val n = size(col("__ts"))
+      toks.filter(n >= 2)
+        .select(explode(zip_with(
+          slice(col("__ts"), lit(1), n - 1),
+          slice(col("__ts"), lit(2), n - 1),
+          (a, b) => struct(a.as("wa"), b.as("wb")))).as("__b"))
+        .select(col("__b.wa").as("wa"), col("__b.wb").as("wb"))
+    }
+
+    val docToks = graft.Checkpoints.localCheckpoint(
+      tokenArrays(docs, idCol, textCol), eager = false)
+    // per-doc distinct trigram counts: feeds the self-trained model AND
+    // the scoring join
+    val tc = graft.Checkpoints.localCheckpoint(
+      triStream(docToks)
+        .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("__tc")))
+
+    val modelToks = model match {
+      case None    => docToks
+      case Some(m) => graft.Checkpoints.localCheckpoint(
+        tokenArrays(m, idCol, textCol), eager = false)
+    }
+    val triCounts = (model match {
+      case None    => tc.groupBy("w1", "w2", "w3").agg(sum("__tc").as("__c3"))
+      case Some(_) => triStream(modelToks)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__c3"))
+    })
+    val ctx3 = triCounts.groupBy("w1", "w2").agg(sum("__c3").cast("long").as("__x3"))
+    val p3 = triCounts.join(ctx3, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"), (col("__c3") / col("__x3")).as("__p3"))
+
+    val biCounts = biStream(modelToks).groupBy("wa", "wb").agg(count(lit(1)).as("__c2"))
+    val ctx2 = biCounts.groupBy("wa").agg(sum("__c2").cast("long").as("__x2"))
+    val p2 = biCounts.join(ctx2, Seq("wa"))
+      .select(col("wa").as("w2"), col("wb").as("w3"), (col("__c2") / col("__x2")).as("__p2"))
+
+    val uniCounts = modelToks.select(explode(col("__ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c1"))
+    val totals = uniCounts.agg(sum("__c1").cast("long").as("__n1"))
+    val p1 = uniCounts.crossJoin(broadcast(totals))
+      .select(col("w").as("w3"), (col("__c1") / col("__n1")).as("__p1"))
+
+    val phat = lit(lambda3) * coalesce(col("__p3"), lit(0.0)) +
+      lit(lambda2) * coalesce(col("__p2"), lit(0.0)) +
+      lit(lambda1) * col("__p1")
+    val scored = tc
+      .join(p1, Seq("w3")) // inner: unknown-w3 positions are skipped (OOV)
+      .join(p3, Seq("w1", "w2", "w3"), "left")
+      .join(p2, Seq("w2", "w3"), "left")
+      .withColumn("__lp1", col("__tc") * log(phat))
+      .withColumn("__g", concat_ws(" ", col("w1"), col("w2"), col("w3")))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__tc").as("n_trigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("__g"), col("__lp1").as("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("__lp"))
+      .withColumn("avg_logp", col("__lp") / col("n_trigrams"))
+      .withColumn("perplexity", exp(-col("avg_logp")))
+      .drop("__lp")
+
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
 }

@@ -1379,6 +1379,19 @@ object PipelineQueries {
         .orderBy("source", "split")
     },
 
+    "q148_trigram_lm" -> { (s, dir) =>
+      // interpolated trigram LM perplexity (Jelinek–Mercer λ=0.7/0.2/0.1
+      // over ML tri/bi/unigram ratios): the n-gram perplexity filter with
+      // every probability an integer-count ratio DuckDB re-derives; the
+      // per-doc fold adds count x ln(p̂) over sorted distinct trigrams
+      graft.ops.LmScore.trigramScore(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          (round(col("avg_logp"), 6) + lit(0.0)).as("avg_logp_r"),
+          (round(col("perplexity"), 6) + lit(0.0)).as("perp_r"))
+        .orderBy("doc_id")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2093,6 +2106,61 @@ object PipelineQueries {
         |SELECT doc_id, source, n_chars, tokens_before, budget_rank
         |FROM r WHERE tokens_before < 3000
         |ORDER BY source, budget_rank""".stripMargin,
+
+    // interpolated trigram LM: ML ratios from three n-gram streams,
+    // λ-blend in the engine's operand order, ln, sorted distinct-trigram
+    // fold (prepend-0.0 == aggregate's lit(0.0) seed)
+    "q148_trigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2, ts[i+3] AS w3
+        |  FROM toks, unnest(range(len(ts)-2)) AS u(i) WHERE len(ts) >= 3
+        |), dtc AS (
+        |  SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tc
+        |  FROM tri GROUP BY doc_id, w1, w2, w3
+        |), c3 AS (
+        |  SELECT w1, w2, w3, CAST(sum(tc) AS BIGINT) AS c3 FROM dtc GROUP BY w1, w2, w3
+        |), x3 AS (
+        |  SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS x3 FROM c3 GROUP BY w1, w2
+        |), bi AS (
+        |  SELECT ts[i+1] AS wa, ts[i+2] AS wb
+        |  FROM toks, unnest(range(len(ts)-1)) AS u(i) WHERE len(ts) >= 2
+        |), c2 AS (
+        |  SELECT wa, wb, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY wa, wb
+        |), x2 AS (
+        |  SELECT wa, CAST(sum(c2) AS BIGINT) AS x2 FROM c2 GROUP BY wa
+        |), uni AS (
+        |  SELECT unnest(ts) AS w FROM toks
+        |), c1 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w
+        |), n1 AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM c1
+        |), sc AS (
+        |  SELECT dtc.doc_id, dtc.tc,
+        |    concat_ws(' ', dtc.w1, dtc.w2, dtc.w3) AS g,
+        |    0.7 * COALESCE(CAST(c3.c3 AS DOUBLE) / x3.x3, 0.0)
+        |      + 0.2 * COALESCE(CAST(c2.c2 AS DOUBLE) / x2.x2, 0.0)
+        |      + 0.1 * (CAST(c1.c1 AS DOUBLE) / (SELECT n1 FROM n1)) AS phat
+        |  FROM dtc
+        |  JOIN c1 ON c1.w = dtc.w3
+        |  LEFT JOIN c3 ON c3.w1 = dtc.w1 AND c3.w2 = dtc.w2 AND c3.w3 = dtc.w3
+        |  LEFT JOIN x3 ON x3.w1 = dtc.w1 AND x3.w2 = dtc.w2
+        |  LEFT JOIN c2 ON c2.wa = dtc.w2 AND c2.wb = dtc.w3
+        |  LEFT JOIN x2 ON x2.wa = dtc.w2
+        |), ag AS (
+        |  SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_trigrams,
+        |    list_reduce(list_prepend(0.0, list(tc * ln(phat) ORDER BY g)), (a, b) -> a + b) AS lp
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, ag.n_trigrams,
+        |  round(ag.lp / ag.n_trigrams, 6) + 0.0 AS avg_logp_r,
+        |  round(exp(-(ag.lp / ag.n_trigrams)), 6) + 0.0 AS perp_r
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // group-hashed split: the q36 cut arithmetic over md5(source||salt)
     "q147_group_split" ->

@@ -42,6 +42,50 @@ class CorpusQualitySpec extends SparkSpec {
     assert(common > rare)
   }
 
+  test("trigramScore: hand-computed interpolated probabilities") {
+    // corpus: "a b c" and "a b d" — trigrams abc, abd (one each)
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b")).toDF("doc_id", "text")
+    val got = byKey(LmScore.trigramScore(docs, "doc_id", "text"), "doc_id")
+    // model counts: c3(abc)=c3(abd)=1, x3(ab)=2 -> p3 = 0.5
+    // bigrams: ab x2, bc, bd (and "a b" doc adds ab) -> c2(bc)=1, x2(b)=2 -> p2(c|b)=0.5
+    // unigrams: a:3 b:3 c:1 d:1 N=8 -> p1(c)=1/8
+    val expected = 0.7 * 0.5 + 0.2 * 0.5 + 0.1 * (1.0 / 8.0)
+    assertNear(got(1L).getAs[Double]("avg_logp"), math.log(expected))
+    assertNear(got(1L).getAs[Double]("perplexity"), 1.0 / expected)
+    assert(got(1L).getAs[Long]("n_trigrams") == 1L)
+    // two tokens -> no trigrams -> null metrics
+    assert(got(3L).isNullAt(got(3L).fieldIndex("avg_logp")))
+  }
+
+  test("trigramScore with a reference model: OOV w3 skipped, unseen contexts back off") {
+    val model = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),   // fully known trigram
+      (2L, "c c b"),   // trigram (c c b): context "c c" unseen -> only λ2·p2(b|c)? c2(cb)=0 too -> λ1·p1(b)
+      (3L, "z z z z")  // w3 unknown -> every position skipped -> null
+    ).toDF("doc_id", "text")
+    val got = byKey(LmScore.trigramScore(docs, "doc_id", "text", Some(model)), "doc_id")
+    // model: tokens a b c a b c (N=6; a:2 b:2 c:2)
+    // tri: abc, bca, cab, abc -> c3(abc)=2, x3(ab)=2 -> p3=1
+    // bi: ab,bc,ca,ab,bc -> c2(bc)=2, x2(b)=2 -> p2(c|b)=1 ; p1(c)=2/6
+    val p1c = 2.0 / 6.0
+    assertNear(got(1L).getAs[Double]("avg_logp"),
+      math.log(0.7 * 1.0 + 0.2 * 1.0 + 0.1 * p1c))
+    // doc 2: single trigram (c,c,b): p3 ctx unseen -> 0; c2(c b)=0 -> 0; p1(b)=2/6
+    assertNear(got(2L).getAs[Double]("avg_logp"), math.log(0.1 * (2.0 / 6.0)))
+    assert(got(3L).isNullAt(got(3L).fieldIndex("n_trigrams")))
+  }
+
+  test("trigramScore is deterministic under repartitioning") {
+    val docs = (1L to 60L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 2}"))
+      .toDF("doc_id", "text")
+    val a = LmScore.trigramScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.get(2))).toMap
+    val b = LmScore.trigramScore(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.get(2))).toMap
+    assert(a == b) // exact double equality: sorted fold
+  }
+
   test("bigramScore with a reference model skips OOV bigrams") {
     val model = Seq((100L, "alpha beta gamma"), (101L, "alpha beta delta")).toDF("doc_id", "text")
     val docs = Seq(
