@@ -555,6 +555,106 @@ object Similarity {
         col("cosine"), col("nn_rank").cast("int").as("nn_rank"))
   }
 
+  /** Product-quantization codebooks (FAISS-style PQ): the vector splits
+    * into `m` contiguous subspaces and each subspace gets its own
+    * `k`-codeword quantizer trained by [[trainKmeansPortable]] — so the
+    * entire artifact (init, assignment, updates) is deterministic and
+    * engine-replayable, unlike an MLlib-trained codebook. Returns one
+    * `(cid, centroid, |c|²)` codebook per subspace, in subspace order.
+    *
+    * PQ is the standard 100-TB embedding-compression lever: 64 float32
+    * dims → `m` uint8 codes (16× smaller at m=4/k≤256) with
+    * asymmetric-distance search ([[pqTopK]]) over the codes. */
+  def trainPqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      salt: String = ""
+  ): Seq[Seq[(Int, Seq[Double], Double)]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), lit(s * subDim + 1), lit(subDim))
+          .as("__sub"))
+      trainKmeansPortable(sub, idCol, "__sub", k, iters, salt + s"-pq$s")
+    }
+  }
+
+  /** PQ-encode: `outCol` = the `m` nearest-codeword ids (one zero-shuffle
+    * literal argmax per subspace — [[assignCell]]'s contract, ties toward
+    * the smaller codeword id). A pure projection: stream-legal, and the
+    * codes column is what a 100-TB deployment persists. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Double], Double)]],
+      outCol: String = "pq_codes"
+  ): DataFrame = {
+    require(codebooks.nonEmpty, "need at least one codebook")
+    val subDim = codebooks.head.head._2.size
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      assignCell(
+        slice(col(vecCol).cast("array<double>"), lit(s * subDim + 1), lit(subDim)), cb)
+    }
+    df.withColumn(outCol, array(codes: _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes a
+    * per-subspace lookup table of exact squared distances to the k
+    * codewords (`|q_s|² − 2·q_s⋅c + |c|²`, literal-codebook arithmetic),
+    * and every corpus row's approximate distance is the subspace-ordered
+    * sum of its codes' table entries — the corpus is scanned as CODES
+    * ONLY (the 16×-compressed table), never as float vectors. Ranking:
+    * smallest distance, ties toward the smaller corpus id, through the
+    * [[GroupTopK]] heap (map-side partials, Window-free). Output:
+    * (query_id, corpus id, adist, pq_rank).
+    *
+    * Exact-rerank composition: join the returned candidate ids back to
+    * the float vectors and re-score, as [[quantizedTopK]] does for the
+    * int8 scan. */
+  def pqTopK(
+      corpusCodes: DataFrame,
+      queries: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double], Double)]],
+      k: Int,
+      corpusId: String = "vec_id",
+      codesCol: String = "pq_codes",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding"
+  ): DataFrame = {
+    require(codebooks.nonEmpty, "need at least one codebook")
+    val subDim = codebooks.head.head._2.size
+    // per-query LUTs: an array of |codebook| exact distance terms per
+    // subspace, computed once per query row (queries are the small side)
+    val luts = codebooks.zipWithIndex.map { case (cb, s) =>
+      val qs = slice(col("__qv"), lit(s * subDim + 1), lit(subDim))
+      array(cb.sortBy(_._1).map { case (_, c, c2) =>
+        dot(qs, qs) - lit(2.0) * dot(qs, typedlit(c)) + lit(c2)
+      }: _*).as(s"__lut$s")
+    }
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("__qv"))
+      .select(col("query_id") +: luts: _*)
+    // subspace-ordered left-assoc sum — mirrored by the oracle term chain
+    val dist = codebooks.indices.map { s =>
+      element_at(col(s"__lut$s"), element_at(col(codesCol), s + 1) + lit(1))
+    }.reduceLeft(_ + _)
+    val scored = corpusCodes.select(col(corpusId), col(codesCol))
+      .crossJoin(broadcast(q))
+      .filter(col(corpusId) =!= col("query_id"))
+      .withColumn("__negd", -(round(dist, 6) + lit(0.0)))
+      .select(col("query_id"), col(corpusId), col("__negd"))
+    GroupTopK.topKPerGroup(scored, Seq("query_id"), corpusId, "__negd", k,
+        rankCol = "pq_rank")
+      .select(col("query_id"), col(corpusId),
+        (-col("__negd") + lit(0.0)).as("adist_r"), col("pq_rank"))
+  }
+
   /** Blocked exact nearest neighbor: per id in `blockCol` block, the top-1
     * neighbor among rows sharing the block (an IVF-style partition-local
     * search — the scalable pattern when a coarse partitioner exists). */

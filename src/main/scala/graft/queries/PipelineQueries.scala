@@ -109,6 +109,37 @@ object PipelineQueries {
       }
   }
 
+  /** Product-quantization parameters for q149/q150 (dim 64 → m=4
+    * subspaces × 16 codewords, 3 Lloyd rounds each). */
+  private val PqM = 4
+  private val PqK = 16
+  private val PqIters = 3
+  private val PqSalt = "graft"
+
+  /** Trained PQ codebooks keyed by sf dir (q149/q150 + Bench iterations
+    * share one training); `current` backs the late-bound oracle, the
+    * IvfState convention. */
+  private[queries] object PqState {
+    @volatile private var cache: Map[String, Seq[Seq[(Int, Seq[Double], Double)]]] =
+      Map.empty
+    @volatile private var lastDir: Option[String] = None
+    def forDir(emb: DataFrame, dir: String): Seq[Seq[(Int, Seq[Double], Double)]] =
+      synchronized {
+        lastDir = Some(dir)
+        cache.get(dir) match {
+          case Some(c) => c
+          case None =>
+            val c = Similarity.trainPqCodebooks(
+              emb, "vec_id", "embedding", dim = 64, m = PqM, k = PqK,
+              iters = PqIters, salt = PqSalt)
+            cache += dir -> c
+            c
+        }
+      }
+    def current: Option[Seq[Seq[(Int, Seq[Double], Double)]]] =
+      synchronized { lastDir.flatMap(cache.get) }
+  }
+
   /** q77/q109 shared SemDeDup closure (identical parameters), computed
     * once per (session, sf dir) and pinned across [[graft.Checkpoints]]
     * cleanup barriers — the two keeper policies are views over the SAME
@@ -1392,6 +1423,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q149_pq_encode" -> { (s, dir) =>
+      // product quantization, storage half: 64 float dims → 4 codeword
+      // ids (16 codewords per subspace, portable-kmeans codebooks), one
+      // zero-shuffle literal argmax per subspace — the 16x-compressed
+      // embedding table a 100-TB deployment persists
+      val emb = t(s, dir, "embeddings")
+      val cbs = PqState.forDir(emb, dir)
+      Similarity.pqEncode(emb, "embedding", cbs)
+        .select(col("vec_id"),
+          element_at(col("pq_codes"), 1).as("c0"),
+          element_at(col("pq_codes"), 2).as("c1"),
+          element_at(col("pq_codes"), 3).as("c2"),
+          element_at(col("pq_codes"), 4).as("c3"))
+        .orderBy("vec_id")
+    },
+
+    "q150_pq_topk" -> { (s, dir) =>
+      // product quantization, search half: asymmetric-distance top-10 for
+      // 5 queries — per-query LUTs of exact subspace distances, corpus
+      // scanned as CODES only, heap-ranked (Window-free)
+      val emb = t(s, dir, "embeddings")
+      val cbs = PqState.forDir(emb, dir)
+      val codes = Similarity.pqEncode(emb, "embedding", cbs)
+      Similarity.pqTopK(codes, emb.filter(col("vec_id") < 5), cbs, k = 10)
+        .orderBy("query_id", "pq_rank")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -1926,10 +1984,90 @@ object PipelineQueries {
       )
     }.toMap
 
-  /** Static oracles plus the trained-quantizer q54/q111 oracles (present
-    * once a quantizer query has run in this JVM — Verify runs every query
-    * before dumping oracle_sql.json, so the driver always sees them). */
-  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracleSql
+  /** Static oracles plus the trained-quantizer q54/q111 oracles and the
+    * trained-PQ q149/q150 oracles (present once the corresponding query
+    * has run in this JVM — Verify runs every query before dumping
+    * oracle_sql.json, so the driver always sees them). */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ ivfOracleSql ++ pqOracleSql
+
+  /** Late-bound PQ oracles: the trained codebooks interpolate as a VALUES
+    * table; assignment is the literal argmax (rounded-free — both engines
+    * compute identical doubles), search replays the LUT arithmetic
+    * term-for-term with the subspace sum in the engine's left-assoc
+    * order. */
+  private def pqOracleSql: Map[String, String] =
+    PqState.current.toSeq.flatMap { cbs =>
+      def d(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
+      val rows = cbs.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { case (cid, c, c2) =>
+          s"    ($s, $cid, [${c.map(d).mkString(", ")}], ${d(c2)})"
+        }
+      }.mkString(",\n")
+      val subDim = cbs.head.head._2.size
+      val svSelects = cbs.indices.map { s =>
+        val lo = s * subDim + 1
+        val hi = (s + 1) * subDim
+        s"  SELECT vec_id, $s AS s, v[$lo:$hi] AS vs FROM e"
+      }.mkString("\n  UNION ALL\n")
+      val qsvSelects = cbs.indices.map { s =>
+        val lo = s * subDim + 1
+        val hi = (s + 1) * subDim
+        s"  SELECT query_id, $s AS s, qv[$lo:$hi] AS qs FROM q"
+      }.mkString("\n  UNION ALL\n")
+      val commonCtes =
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cb AS (
+           |  SELECT * FROM (VALUES
+           |$rows
+           |  ) t(sub, cid, c, c2)
+           |), sv AS (
+           |$svSelects
+           |), asg AS (
+           |  SELECT vec_id, s, cid FROM (
+           |    SELECT sv.vec_id, sv.s, cb.cid,
+           |      row_number() OVER (PARTITION BY sv.vec_id, sv.s
+           |        ORDER BY 2.0 * list_dot_product(sv.vs, cb.c) - cb.c2 DESC, cb.cid) AS rn
+           |    FROM sv JOIN cb ON cb.sub = sv.s) WHERE rn = 1
+           |)""".stripMargin
+      val pivot = cbs.indices.map(s =>
+        s"    max(CASE WHEN s = $s THEN cid END) AS c$s").mkString(",\n")
+      val tPivot = cbs.indices.map(s =>
+        s"    max(CASE WHEN s = $s THEN term END) AS t$s").mkString(",\n")
+      val tChain = cbs.indices.map(s => s"t$s").mkString(" + ")
+      Seq(
+        "q149_pq_encode" ->
+          s"""$commonCtes
+             |SELECT vec_id,
+             |$pivot
+             |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        "q150_pq_topk" ->
+          s"""$commonCtes,
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |qsv AS (
+             |$qsvSelects
+             |), lut AS (
+             |  SELECT query_id, qsv.s, cb.cid,
+             |    list_dot_product(qs, qs) - 2.0 * list_dot_product(qs, cb.c) + cb.c2 AS term
+             |  FROM qsv JOIN cb ON cb.sub = qsv.s
+             |), contrib AS (
+             |  SELECT l.query_id, a.vec_id, a.s, l.term
+             |  FROM asg a JOIN lut l ON l.s = a.s AND l.cid = a.cid
+             |), pv AS (
+             |  SELECT query_id, vec_id,
+             |$tPivot
+             |  FROM contrib GROUP BY query_id, vec_id
+             |), dist AS (
+             |  SELECT query_id, vec_id, round($tChain, 6) + 0.0 AS adist_r
+             |  FROM pv WHERE vec_id <> query_id
+             |), rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist_r ASC, vec_id) AS pq_rank
+             |  FROM dist
+             |)
+             |SELECT query_id, vec_id, adist_r, pq_rank
+             |FROM rk WHERE pq_rank <= 10
+             |ORDER BY query_id, pq_rank""".stripMargin)
+    }.toMap
 
   /** BPE training oracle, shared machinery: `state_0` is the word
     * histogram symbolized to code points + '</w>'; each round derives
