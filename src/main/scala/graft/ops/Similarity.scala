@@ -655,6 +655,76 @@ object Similarity {
         (-col("__negd") + lit(0.0)).as("adist_r"), col("pq_rank"))
   }
 
+  /** IVF-PQ search (the production FAISS composition): a coarse
+    * quantizer prunes the corpus to each query's `nProbe` nearest cells,
+    * and ranking inside the probed cells runs asymmetric-distance over
+    * PQ CODES — per-query work is `nProbe/nLists` of the corpus, scanned
+    * at 16× compression, exact floats touched never. Both quantizers are
+    * engine-replayable ([[trainKmeansPortable]] /
+    * [[trainPqCodebooks]]); non-residual PQ (codes quantize the raw
+    * vector, not the cell residual — the deterministic-oracle tradeoff,
+    * one reconstruction table instead of nLists).
+    *
+    * Output: (query_id, corpus id, adist_r, pq_rank). Same heap-ranked,
+    * Window-free shape as every other retrieval path. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      coarse: Seq[(Int, Seq[Double], Double)],
+      codebooks: Seq[Seq[(Int, Seq[Double], Double)]],
+      k: Int,
+      nProbe: Int = 2,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding"
+  ): DataFrame = {
+    require(coarse.nonEmpty && codebooks.nonEmpty, "need coarse centroids and codebooks")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codes = pqEncode(
+      assignCells(corpus, corpusVec, coarse, "list_id"), corpusVec, codebooks)
+      .select(col(corpusId), col("list_id"), col("pq_codes"))
+
+    // probe-cell selection: the ivfTopKWithCentroids heap ranking
+    val centroids = coarse.toDF("list_id", "__centroid", "__c2")
+    val qScored = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__neg_probe",
+        lit(2.0) * dot(col("__qv").cast("array<double>"), col("__centroid")) - col("__c2"))
+      .select(col("query_id"), col("list_id"), col("__neg_probe"))
+    val probes = GroupTopK.topKPerGroup(
+        qScored, Seq("query_id"), "list_id", "__neg_probe", nProbe, rankCol = "__pr")
+      .select(col("query_id"), col("list_id").cast("int").as("list_id"))
+
+    // per-query ADC LUTs (the pqTopK construction)
+    val subDim = codebooks.head.head._2.size
+    val luts = codebooks.zipWithIndex.map { case (cb, s) =>
+      val qs = slice(col("__qv"), lit(s * subDim + 1), lit(subDim))
+      array(cb.sortBy(_._1).map { case (_, c, c2) =>
+        dot(qs, qs) - lit(2.0) * dot(qs, typedlit(c)) + lit(c2)
+      }: _*).as(s"__lut$s")
+    }
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("__qv"))
+      .select(col("query_id") +: luts: _*)
+      .join(probes, "query_id")
+
+    val dist = codebooks.indices.map { s =>
+      element_at(col(s"__lut$s"), element_at(col("pq_codes"), s + 1) + lit(1))
+    }.reduceLeft(_ + _)
+    val scored = codes
+      .join(broadcast(q), Seq("list_id"))
+      .filter(col(corpusId) =!= col("query_id"))
+      .withColumn("__negd", -(round(dist, 6) + lit(0.0)))
+      .select(col("query_id"), col(corpusId), col("__negd"))
+    GroupTopK.topKPerGroup(scored, Seq("query_id"), corpusId, "__negd", k,
+        rankCol = "pq_rank")
+      .select(col("query_id"), col(corpusId),
+        (-col("__negd") + lit(0.0)).as("adist_r"), col("pq_rank"))
+  }
+
   /** Blocked exact nearest neighbor: per id in `blockCol` block, the top-1
     * neighbor among rows sharing the block (an IVF-style partition-local
     * search — the scalable pattern when a coarse partitioner exists). */

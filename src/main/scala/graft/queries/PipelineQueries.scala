@@ -96,8 +96,10 @@ object PipelineQueries {
     * values only — no interplay with the Checkpoints lifecycle. */
   private[queries] object KmState {
     @volatile private var cache: Map[String, Seq[(Int, Seq[Double], Double)]] = Map.empty
+    @volatile private var lastDir: Option[String] = None
     def forDir(emb: DataFrame, dir: String): Seq[(Int, Seq[Double], Double)] =
       synchronized {
+        lastDir = Some(dir)
         cache.get(dir) match {
           case Some(c) => c
           case None =>
@@ -107,6 +109,9 @@ object PipelineQueries {
             c
         }
       }
+    /** Backs the late-bound q151 oracle (IvfState convention). */
+    def current: Option[Seq[(Int, Seq[Double], Double)]] =
+      synchronized { lastDir.flatMap(cache.get) }
   }
 
   /** Product-quantization parameters for q149/q150 (dim 64 → m=4
@@ -1450,6 +1455,19 @@ object PipelineQueries {
         .orderBy("query_id", "pq_rank")
     },
 
+    "q151_ivf_pq" -> { (s, dir) =>
+      // the production FAISS composition: coarse portable-kmeans cells
+      // prune to nProbe=3 per query, ADC over PQ codes ranks inside the
+      // probed cells — per-query work nProbe/nLists of the corpus at 16x
+      // compression, floats never touched after encode
+      val emb = t(s, dir, "embeddings")
+      val coarse = KmState.forDir(emb, dir)
+      val cbs = PqState.forDir(emb, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), coarse, cbs,
+        k = 10, nProbe = 3)
+        .orderBy("query_id", "pq_rank")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -1989,7 +2007,104 @@ object PipelineQueries {
     * has run in this JVM — Verify runs every query before dumping
     * oracle_sql.json, so the driver always sees them). */
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ ivfOracleSql ++ pqOracleSql
+    staticOracleSql ++ ivfOracleSql ++ pqOracleSql ++ ivfPqOracleSql
+
+  private def sqlDouble(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
+
+  /** The shared PQ CTE block: codebook VALUES, per-subspace slices,
+    * literal-argmax code assignment. */
+  private def pqCommonCtes(cbs: Seq[Seq[(Int, Seq[Double], Double)]]): String = {
+    val rows = cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (cid, c, c2) =>
+        s"    ($s, $cid, [${c.map(sqlDouble).mkString(", ")}], ${sqlDouble(c2)})"
+      }
+    }.mkString(",\n")
+    val subDim = cbs.head.head._2.size
+    val svSelects = cbs.indices.map { s =>
+      s"  SELECT vec_id, $s AS s, v[${s * subDim + 1}:${(s + 1) * subDim}] AS vs FROM e"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (
+       |  SELECT * FROM (VALUES
+       |$rows
+       |  ) t(sub, cid, c, c2)
+       |), sv AS (
+       |$svSelects
+       |), asg AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT sv.vec_id, sv.s, cb.cid,
+       |      row_number() OVER (PARTITION BY sv.vec_id, sv.s
+       |        ORDER BY 2.0 * list_dot_product(sv.vs, cb.c) - cb.c2 DESC, cb.cid) AS rn
+       |    FROM sv JOIN cb ON cb.sub = sv.s) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** IVF-PQ oracle: interpolates BOTH trained quantizers (coarse kmeans
+    * cells + PQ codebooks) and replays probe selection, assignment, and
+    * the ADC term chain. */
+  private def ivfPqOracleSql: Map[String, String] =
+    (for {
+      coarse <- KmState.current
+      cbs <- PqState.current
+    } yield {
+      val coarseRows = coarse.map { case (i, c, c2) =>
+        s"    ($i, [${c.map(sqlDouble).mkString(", ")}], ${sqlDouble(c2)})"
+      }.mkString(",\n")
+      val subDim = cbs.head.head._2.size
+      val qsvSelects = cbs.indices.map { s =>
+        s"  SELECT query_id, $s AS s, qv[${s * subDim + 1}:${(s + 1) * subDim}] AS qs FROM q"
+      }.mkString("\n  UNION ALL\n")
+      val tPivot = cbs.indices.map(s =>
+        s"    max(CASE WHEN s = $s THEN term END) AS t$s").mkString(",\n")
+      val tChain = cbs.indices.map(s => s"t$s").mkString(" + ")
+      Map("q151_ivf_pq" ->
+        (pqCommonCtes(cbs) + s""",
+           |coarse AS (
+           |  SELECT * FROM (VALUES
+           |$coarseRows
+           |  ) t(list_id, cc, cc2)
+           |), cells AS (
+           |  SELECT vec_id, list_id FROM (
+           |    SELECT e.vec_id, coarse.list_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY 2.0 * list_dot_product(e.v, coarse.cc) - coarse.cc2 DESC, coarse.list_id) AS rn
+           |    FROM e, coarse) WHERE rn = 1
+           |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |probes AS (
+           |  SELECT query_id, list_id FROM (
+           |    SELECT q.query_id, coarse.list_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY 2.0 * list_dot_product(q.qv, coarse.cc) - coarse.cc2 DESC, coarse.list_id) AS rn
+           |    FROM q, coarse) WHERE rn <= 3
+           |), qsv AS (
+           |$qsvSelects
+           |), lut AS (
+           |  SELECT query_id, qsv.s, cb.cid,
+           |    list_dot_product(qs, qs) - 2.0 * list_dot_product(qs, cb.c) + cb.c2 AS term
+           |  FROM qsv JOIN cb ON cb.sub = qsv.s
+           |), cand AS (
+           |  SELECT p.query_id, cells.vec_id
+           |  FROM probes p JOIN cells ON cells.list_id = p.list_id
+           |  WHERE cells.vec_id <> p.query_id
+           |), contrib AS (
+           |  SELECT c.query_id, c.vec_id, a.s, l.term
+           |  FROM cand c
+           |  JOIN asg a ON a.vec_id = c.vec_id
+           |  JOIN lut l ON l.query_id = c.query_id AND l.s = a.s AND l.cid = a.cid
+           |), pv AS (
+           |  SELECT query_id, vec_id,
+           |$tPivot
+           |  FROM contrib GROUP BY query_id, vec_id
+           |), dist AS (
+           |  SELECT query_id, vec_id, round($tChain, 6) + 0.0 AS adist_r FROM pv
+           |), rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist_r ASC, vec_id) AS pq_rank
+           |  FROM dist
+           |)
+           |SELECT query_id, vec_id, adist_r, pq_rank
+           |FROM rk WHERE pq_rank <= 10
+           |ORDER BY query_id, pq_rank""".stripMargin))
+    }).getOrElse(Map.empty)
 
   /** Late-bound PQ oracles: the trained codebooks interpolate as a VALUES
     * table; assignment is the literal argmax (rounded-free — both engines
@@ -1998,38 +2113,13 @@ object PipelineQueries {
     * order. */
   private def pqOracleSql: Map[String, String] =
     PqState.current.toSeq.flatMap { cbs =>
-      def d(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
-      val rows = cbs.zipWithIndex.flatMap { case (cb, s) =>
-        cb.map { case (cid, c, c2) =>
-          s"    ($s, $cid, [${c.map(d).mkString(", ")}], ${d(c2)})"
-        }
-      }.mkString(",\n")
       val subDim = cbs.head.head._2.size
-      val svSelects = cbs.indices.map { s =>
-        val lo = s * subDim + 1
-        val hi = (s + 1) * subDim
-        s"  SELECT vec_id, $s AS s, v[$lo:$hi] AS vs FROM e"
-      }.mkString("\n  UNION ALL\n")
       val qsvSelects = cbs.indices.map { s =>
         val lo = s * subDim + 1
         val hi = (s + 1) * subDim
         s"  SELECT query_id, $s AS s, qv[$lo:$hi] AS qs FROM q"
       }.mkString("\n  UNION ALL\n")
-      val commonCtes =
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |cb AS (
-           |  SELECT * FROM (VALUES
-           |$rows
-           |  ) t(sub, cid, c, c2)
-           |), sv AS (
-           |$svSelects
-           |), asg AS (
-           |  SELECT vec_id, s, cid FROM (
-           |    SELECT sv.vec_id, sv.s, cb.cid,
-           |      row_number() OVER (PARTITION BY sv.vec_id, sv.s
-           |        ORDER BY 2.0 * list_dot_product(sv.vs, cb.c) - cb.c2 DESC, cb.cid) AS rn
-           |    FROM sv JOIN cb ON cb.sub = sv.s) WHERE rn = 1
-           |)""".stripMargin
+      val commonCtes = pqCommonCtes(cbs)
       val pivot = cbs.indices.map(s =>
         s"    max(CASE WHEN s = $s THEN cid END) AS c$s").mkString(",\n")
       val tPivot = cbs.indices.map(s =>

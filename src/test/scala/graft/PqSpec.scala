@@ -47,6 +47,25 @@ class PqSpec extends SparkSpec {
     assert(byQ.values.forall(g => g.map(_._3).sorted.toSeq == (1L to 5L)))
   }
 
+  test("ivf-pq: probed-cell search agrees with full ADC on covered candidates") {
+    val emb = mkEmb(90)
+    val coarse = Similarity.trainKmeansPortable(emb, "vec_id", "embedding", k = 3, iters = 3)
+    val cbs = Similarity.trainPqCodebooks(
+      emb, "vec_id", "embedding", dim = 24, m = 3, k = 4, iters = 3)
+    val codes = Similarity.pqEncode(emb, "embedding", cbs)
+    val full = Similarity.pqTopK(codes, emb.filter(col("vec_id") < 3), cbs, k = 90)
+      .select("query_id", "vec_id", "adist_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), coarse, cbs,
+      k = 5, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    // every ivf-pq distance equals the full ADC distance for that pair
+    assert(ivf.forall { case (q, n, d) => full((q, n)) == d })
+    // with 3 tight blobs and nProbe=1, neighbors stay in the query's blob
+    assert(ivf.forall { case (q, n, _) => q % 3 == n % 3 })
+  }
+
   test("pq training rejects a dimension that does not split into m") {
     val emb = mkEmb(10)
     intercept[IllegalArgumentException] {
