@@ -39,7 +39,8 @@ object Pipelines {
     * ([[Sampling.withShuffleOrder]] — `shard` + `shuffle_pos` columns).
     * Optional quality gates run between enrichment and the quota cap:
     * `maxPerplexity` drops docs too improbable under the corpus' own
-    * bigram model ([[LmScore.bigramScore]]); `maxLengthZ` drops
+    * n-gram model (`lmOrder` 2 = [[LmScore.bigramScore]], 3 = the
+    * interpolated [[LmScore.trigramScore]]); `maxLengthZ` drops
     * per-language token-count outliers ([[Outliers.dropOutliers]]).
     * The funnel counts come from the underlying clean stats. */
   def prepareTrainingCorpus(
@@ -60,8 +61,10 @@ object Pipelines {
       maxPerplexity: Option[Double] = None,
       maxLengthZ: Option[Double] = None,
       gopherRules: Option[QualityRules.GopherConfig] = None,
-      benchDecontaminate: Option[(DataFrame, Double)] = None
+      benchDecontaminate: Option[(DataFrame, Double)] = None,
+      lmOrder: Int = 2
   ): CleanResult = {
+    require(lmOrder == 2 || lmOrder == 3, "lmOrder must be 2 (bigram) or 3 (trigram)")
     val cleaned = cleanCorpus(docs, textCol, idCol,
       nearDupThreshold, minQuality, langAllowlist, htmlClean, portableHashes,
       lineDedupMaxDocFreq, gopherRules)
@@ -84,7 +87,9 @@ object Pipelines {
     // the `perplexity` column stays on as enrichment
     val ppl = maxPerplexity match {
       case Some(maxP) =>
-        val metrics = LmScore.bigramScore(enriched0, idCol, textCol)
+        val metrics = (if (lmOrder == 3)
+          LmScore.trigramScore(enriched0, idCol, textCol)
+        else LmScore.bigramScore(enriched0, idCol, textCol))
           .select(col(idCol), col("perplexity"))
         enriched0.join(metrics, Seq(idCol), "left")
           .filter(col("perplexity").isNull || col("perplexity") <= maxP)

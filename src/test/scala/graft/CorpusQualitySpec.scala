@@ -184,6 +184,16 @@ class CorpusQualitySpec extends SparkSpec {
       docs, minQuality = 0.0, maxPerplexity = Some(1e9)).df
     assert(loose.count() == 21)
 
+    // lmOrder = 3 swaps in the interpolated trigram model: same gate
+    // semantics (ppl >= 1 for scorable docs; short docs carry null and
+    // survive a strict cap)
+    val tri = Pipelines.prepareTrainingCorpus(
+      docs, minQuality = 0.0, maxPerplexity = Some(1e9), lmOrder = 3).df
+    assert(tri.count() == 21)
+    intercept[IllegalArgumentException] {
+      Pipelines.prepareTrainingCorpus(docs, lmOrder = 5)
+    }
+
     // decontamination stage: a doc leaking a benchmark verbatim never
     // reaches a training shard; everything else is untouched
     val bench = Seq((1000L, "w5a w5b w5c w5d w5e")).toDF("doc_id", "text")
