@@ -318,6 +318,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Image near-duplicate pairs over perceptual average-hashes
+    * ([[Multimodal.imageHashes]] output: id + two 32-bit halves): the
+    * 64-bit hash splits into four 16-bit band keys, candidates share at
+    * least one band, and exact Hamming distance (`bit_count(xor)` over
+    * both halves) verifies. Pigeonhole guarantee: with 4 bands, any pair
+    * within Hamming distance 3 shares an identical band — recall is
+    * EXACT for `maxHamming` ≤ 3 (the standard near-identical-image
+    * regime); larger radii degrade gracefully (candidates only).
+    *
+    * Scale shape: band explode (4 rows/image of id + 16-bit key), ids
+    * join per bucket, never an all-pairs product; the verify touches the
+    * candidate sliver only. Null hashes (undecodable payloads) are
+    * excluded. Output: (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    val h = hashes
+      .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+      .select(col(idCol), col("ahash_hi"), col("ahash_lo"))
+    val bands = h.select(col(idCol), explode(array(
+      struct(lit(0).as("band"), shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)).as("bk")),
+      struct(lit(1).as("band"), col("ahash_hi").bitwiseAND(lit(65535L)).as("bk")),
+      struct(lit(2).as("band"), shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)).as("bk")),
+      struct(lit(3).as("band"), col("ahash_lo").bitwiseAND(lit(65535L)).as("bk"))
+    )).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
+    val candidates = bands.select(col(idCol).as("id_a"), col("band"), col("bk"))
+      .join(bands.select(col(idCol).as("id_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(h.select(col(idCol).as("id_a"), col("ahash_hi").as("__hia"),
+        col("ahash_lo").as("__loa")), "id_a")
+      .join(h.select(col(idCol).as("id_b"), col("ahash_hi").as("__hib"),
+        col("ahash_lo").as("__lob")), "id_b")
+      .withColumn("hamming",
+        (bit_count(col("__hia").bitwiseXOR(col("__hib"))) +
+          bit_count(col("__loa").bitwiseXOR(col("__lob")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** INCREMENTAL near-dup: match a new batch against an existing corpus
     * WITHOUT ever pairing the corpus with itself — the daily-crawl shape
     * at 100 TB, where the historical index is orders of magnitude larger

@@ -130,6 +130,53 @@ object ImageCodecs {
     DecodedImage(nw, nh, out)
   }
 
+  /** Perceptual average-hash over the decoded pixels, INTEGER-EXACT so
+    * any engine replays it bit-for-bit (no float luma, no mean division):
+    *
+    *  - cell (cx, cy) of the `grid`×`grid` sampling reads source pixel
+    *    `(cx·w / grid, cy·h / grid)` (integer division — the
+    *    [[resizeNearest]] index convention);
+    *  - cell luminance = r + g + b (0..765, exact);
+    *  - bit b = cy·grid + cx is set iff `lum_b · grid² > Σ lums`
+    *    (cross-multiplied mean comparison — division-free, exact);
+    *  - returned as two non-negative 32-bit halves (hi = bits 32..63,
+    *    lo = bits 0..31) so SQL oracles avoid 64-bit sign pitfalls.
+    *
+    * Near-identical images differ in few bits; Hamming distance over the
+    * halves drives [[graft.ops.Dedup.imageNearDupPairs]]. */
+  def averageHashHalves(img: DecodedImage, grid: Int = 8): (Long, Long) = {
+    require(grid >= 1 && grid * grid <= 64, "grid² must fit in 64 bits")
+    val cells = new Array[Long](grid * grid)
+    var total = 0L
+    var cy = 0
+    while (cy < grid) {
+      var cx = 0
+      while (cx < grid) {
+        val sx = cx * img.width / grid
+        val sy = cy * img.height / grid
+        val si = (sy * img.width + sx) * 3
+        val lum = (img.rgb(si) & 0xFF) + (img.rgb(si + 1) & 0xFF) +
+          (img.rgb(si + 2) & 0xFF)
+        cells(cy * grid + cx) = lum.toLong
+        total += lum
+        cx += 1
+      }
+      cy += 1
+    }
+    val n = grid * grid
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < n) {
+      if (cells(b) * n > total) {
+        if (b < 32) lo |= 1L << b
+        else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
   /** PPM encoder (for tests and round-trip plumbing). */
   def encodePpm(img: DecodedImage): Array[Byte] = {
     val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")

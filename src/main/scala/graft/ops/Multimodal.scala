@@ -77,6 +77,41 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Batched perceptual hashing: decode each payload and emit the
+    * integer-exact average-hash halves
+    * ([[ImageCodecs.averageHashHalves]]) — (id, ahash_hi, ahash_lo),
+    * null halves for undecodable/null payloads (degrade-don't-crash).
+    * One narrow mapPartitions, no shuffle; the hash pair (8 bytes) is
+    * what a 100-TB media table persists for dedup — payload bytes never
+    * travel again. */
+  def imageHashes(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      grid: Int = 8
+  ): DataFrame = {
+    val idField = df.schema(idCol)
+    val schema = StructType(Seq(
+      idField,
+      StructField("ahash_hi", LongType, nullable = true),
+      StructField("ahash_lo", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val decoded = if (bytes == null) None else ImageCodecs.decode(bytes)
+        decoded match {
+          case Some(img) =>
+            val (hi, lo) = ImageCodecs.averageHashHalves(img, grid)
+            Row(r.get(idIdx), hi, lo)
+          case None => Row(r.get(idIdx), null, null)
+        }
+      }
+    }(encoder)
+  }
+
   /** Batched WAV metadata + signal features via [[AudioCodecs.decodeWav]]:
     * (id, sample_rate, channels, bits, n_frames, duration_us, rms), null
     * metadata for undecodable payloads (same degrade-don't-crash contract

@@ -1468,6 +1468,28 @@ object PipelineQueries {
         .orderBy("query_id", "pq_rank")
     },
 
+    "q152_image_ahash" -> { (s, dir) =>
+      // perceptual average-hash of decoded images, integer-exact: the
+      // q108 synthetic PPMs (pixel byte = (id*31 + flat) % 256) hash to
+      // two 32-bit halves the oracle re-derives arithmetically — the
+      // 8-byte artifact a media table persists for dedup
+      Multimodal.imageHashes(
+        syntheticPpms(t(s, dir, "documents").select("doc_id")), "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+
+    "q153_image_near_dups" -> { (s, dir) =>
+      // image near-dup pairs: even/odd doc pairs share a base 16x12
+      // image (odd perturbs one SAMPLED pixel by +128), banded 16-bit
+      // hash keys bucket candidates, bit_count(xor) verifies — exact
+      // recall at Hamming <= 3 by pigeonhole
+      val hashes = Multimodal.imageHashes(
+        pairedPpms(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)),
+        "doc_id", "payload")
+      Dedup.imageNearDupPairs(hashes, "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2223,6 +2245,52 @@ object PipelineQueries {
   private def bpeStatePrefix(n: Int): String =
     "WITH " + bpeW0Sql + ",\n" + (1 to n).map(bpeRoundSql).mkString(",\n")
 
+  /** q108-convention synthetic PPM payloads: w = 4 + id%5, h = 3 + id%4,
+    * pixel byte = (id·31 + flat) % 256 — deterministic, so oracles
+    * re-derive every decoded byte arithmetically. */
+  private def syntheticPpms(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) { rgb(i) = ((id * 31 + i) % 256).toByte; i += 1 }
+        Row(id, graft.ops.ImageCodecs.encodePpm(graft.ops.ImageCodecs.DecodedImage(w, h, rgb)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Near-dup planted pairs: even/odd ids share base image gid = id/2
+    * (16×12, pixel byte = (gid·31 + flat) % 256); odd ids perturb the
+    * SAMPLED pixel byte at flat index 6 by +128. */
+  private def pairedPpms(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val gid = id / 2
+        val w = 16
+        val h = 12
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) { rgb(i) = ((gid * 31 + i) % 256).toByte; i += 1 }
+        if (id % 2 == 1) rgb(6) = ((gid * 31 + 6 + 128) % 256).toByte
+        Row(id, graft.ops.ImageCodecs.encodePpm(graft.ops.ImageCodecs.DecodedImage(w, h, rgb)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Portable-kmeans oracle machinery: DuckDB re-trains Lloyd's rounds —
     * hash-seeded init, argmax assignment (`2·v⋅c − |c|²` DESC, cid ASC),
     * two-level-fold centroid update, empty clusters keep their centroid.
@@ -2389,6 +2457,72 @@ object PipelineQueries {
         |  round(exp(-(ag.lp / ag.n_trigrams)), 6) + 0.0 AS perp_r
         |FROM documents d LEFT JOIN ag USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // average-hash replay: cell luminance from the synthetic pixel
+    // formula, division-free mean comparison, bit shifts assemble halves
+    "q152_image_ahash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        |), cells AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id*31 + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3) % 256)
+        |    + ((doc_id*31 + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3 + 1) % 256)
+        |    + ((doc_id*31 + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3 + 2) % 256) AS lum
+        |  FROM d, unnest(range(64)) AS u(i)
+        |), t AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tot FROM cells GROUP BY doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CAST(sum(CASE WHEN i >= 32 AND c.lum * 64 > t.tot
+        |        THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN i < 32 AND c.lum * 64 > t.tot
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM cells c JOIN t USING (doc_id)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // planted even/odd image pairs: the perturbed byte rides the CASE,
+    // then banded 16-bit keys and bit_count(xor) verify — identical
+    // candidate + verify arithmetic to the engine
+    "q153_image_near_dups" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE doc_id < 200
+        |), cells AS (
+        |  SELECT doc_id, i,
+        |    (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 = 6
+        |          THEN (gid*31 + 134) % 256
+        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3) % 256 END)
+        |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1 = 6
+        |          THEN (gid*31 + 134) % 256
+        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1) % 256 END)
+        |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2 = 6
+        |          THEN (gid*31 + 134) % 256
+        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2) % 256 END) AS lum
+        |  FROM d, unnest(range(64)) AS u(i)
+        |), t AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tot FROM cells GROUP BY doc_id
+        |), hh AS (
+        |  SELECT c.doc_id,
+        |    CAST(sum(CASE WHEN i >= 32 AND c.lum * 64 > t.tot
+        |          THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN i < 32 AND c.lum * 64 > t.tot
+        |          THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM cells c JOIN t USING (doc_id) GROUP BY c.doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM hh
+        |  UNION ALL SELECT doc_id, 1, hi & 65535 FROM hh
+        |  UNION ALL SELECT doc_id, 2, (lo >> 16) & 65535 FROM hh
+        |  UNION ALL SELECT doc_id, 3, lo & 65535 FROM hh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+        |FROM cand
+        |JOIN hh ha ON ha.doc_id = id_a
+        |JOIN hh hb ON hb.doc_id = id_b
+        |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // group-hashed split: the q36 cut arithmetic over md5(source||salt)
     "q147_group_split" ->

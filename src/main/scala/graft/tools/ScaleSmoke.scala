@@ -254,6 +254,27 @@ object ScaleSmoke {
           "text", "doc_id", threshold = 0.5)
           .agg(count(lit(1))).collect()
       }
+
+      // interpolated trigram LM: three n-gram explodes + count joins —
+      // linear in corpus tokens, model table never broadcast-assumed
+      time(s"trigram LM perplexity ($nDocs docs)") {
+        graft.ops.LmScore.trigramScore(dN, "doc_id", "text")
+          .agg(count(lit(1))).collect()
+        graft.Checkpoints.freeAll(spark)
+      }
+
+      // PQ: train once on the base table, then encode + ADC-search the
+      // replicated corpus — the scan is codes-only, queries broadcast
+      time(s"pq encode + ADC top-10, 5 queries (${n * 2000} vectors)") {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val embN = blowUpKeyed(emb, n, "vec_id")
+        val cbs = graft.ops.Similarity.trainPqCodebooks(
+          emb, "vec_id", "embedding", dim = 64, m = 4, k = 16, iters = 2)
+        val codes = graft.ops.Similarity.pqEncode(embN, "embedding", cbs)
+        graft.ops.Similarity.pqTopK(
+          codes, emb.filter(col("vec_id") < 5), cbs, k = 10)
+          .agg(count(lit(1))).collect()
+      }
     }
     spark.stop()
   }

@@ -1841,6 +1841,47 @@ class OpsSpec extends SparkSpec {
     assert(split.exceptAll(direct).count() == 0)
   }
 
+  test("image near-dup: perturbed copy found, unrelated image excluded") {
+    import graft.ops.{Dedup, ImageCodecs, Multimodal}
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
+    val near = base.clone(); near(7) = ((near(7) & 0xFF) + 120 % 256).toByte
+    val other = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
+    val rows = Seq(
+      (1L, ImageCodecs.encodePpm(ImageCodecs.DecodedImage(24, 16, base))),
+      (2L, ImageCodecs.encodePpm(ImageCodecs.DecodedImage(24, 16, near))),
+      (3L, ImageCodecs.encodePpm(ImageCodecs.DecodedImage(24, 16, other))),
+      (4L, "not an image".getBytes("UTF-8")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 2),
+      schema)
+    val hashes = Multimodal.imageHashes(df, "doc_id", "payload")
+    val h = hashes.collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(h(4L) == ((None, None))) // undecodable -> null halves
+    assert(h(1L)._1.isDefined && h(3L)._1.isDefined)
+    val pairs = Dedup.imageNearDupPairs(hashes, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the perturbed copy pairs with its base at tiny Hamming distance
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(pairs.forall { case (a, b, _) => Set(a, b) != Set(1L, 3L) || false },
+      s"unrelated pair matched: $pairs")
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+    // hamming 0 self-dup detection: identical payloads collide at 0
+    val dupHashes = Multimodal.imageHashes(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(10L, rows.head._2),
+          org.apache.spark.sql.Row(11L, rows.head._2)), 2), schema),
+      "doc_id", "payload")
+    val dupPairs = Dedup.imageNearDupPairs(dupHashes, "doc_id", maxHamming = 0)
+      .collect()
+    assert(dupPairs.length == 1 && dupPairs.head.getInt(2) == 0)
+  }
+
   test("incremental near-dup: cross-side pairs only, admission drops hits") {
     import graft.ops.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
