@@ -237,6 +237,50 @@ class PlanShapeSpec extends SparkSpec {
       s"cmsSketch should shuffle exactly once (the counter aggregate):\n$plan")
   }
 
+  test("PQ / IVF-PQ search plans are Window-free with broadcast queries") {
+    val cbs = Similarity.trainPqCodebooks(
+      emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 1)
+    val coarse = Similarity.trainKmeansPortable(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val codes = Similarity.pqEncode(emb, "embedding", cbs)
+    val q = emb.filter(col("vec_id") < 3)
+    for ((name, df) <- Seq(
+        "pqTopK" -> Similarity.pqTopK(codes, q, cbs, k = 5),
+        "ivfPqTopK" -> Similarity.ivfPqTopK(emb, q, coarse, cbs, k = 5, nProbe = 2))) {
+      assert(df.count() > 0, s"$name returned no rows")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name must rank via the heap aggregate, not a window:\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        s"$name must broadcast the query/LUT side, not shuffle the corpus:\n$plan")
+    }
+  }
+
+  test("BPE pair counting: two aggregates, exactly two exchanges, TakeOrdered argmax") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val top = graft.ops.BpeTrain.initialPairCounts(docs, "text")
+      .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym")).limit(1)
+    top.collect()
+    // AQE repeats the tree under "== Initial Plan =="; count the final only
+    val plan = top.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the argmax must be TakeOrdered, never a full sort:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"histogram + pair counts = exactly two shuffles:\n$plan")
+  }
+
+  test("incremental near-dup: the index side never self-joins") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+      "text", "doc_id", threshold = 0.5)
+    pairs.count()
+    val plan = pairs.queryExecution.executedPlan.toString
+    // one cross-side band join; a self-join would add a second join of
+    // the same (band, band_key) shape
+    assert(!plan.contains("Window"), s"no window anywhere in ingest:\n$plan")
+  }
+
   test("repeated-span removals shuffle 16-byte hashes, not window text") {
     import graft.ops.Dedup
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
