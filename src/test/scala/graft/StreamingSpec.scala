@@ -372,6 +372,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming image hashing matches batch (stateless mapPartitions decode)") {
+    // media ingest shape: hash arriving payloads at the edge, persist the
+    // 8-byte artifact; dedup against history is then a hash-only join
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.ImageCodecs
+    def img(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      ImageCodecs.encodePpm(ImageCodecs.DecodedImage(16, 8,
+        Array.fill(16 * 8 * 3)(r2.nextInt(256).toByte)))
+    }
+    val rows = Seq((1L, img(1)), (2L, img(2)), (3L, "junk".getBytes("UTF-8")))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val hashed = graft.ops.Multimodal.imageHashes(
+      input.toDF().toDF("doc_id", "payload"), "doc_id", "payload")
+    val query = hashed.writeStream.format("memory").queryName("img_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("img_stream").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+      import spark.implicits._
+      val batch = graft.ops.Multimodal.imageHashes(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload")
+        .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+      assert(streamed == batch)
+      assert(streamed(3L) == ((None, None)))
+    } finally query.stop()
+  }
+
   test("streaming gopher gate matches the batch filter (stateless, no helper cols)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
