@@ -392,6 +392,23 @@ object Sampling {
       salt: String = ""
   ): DataFrame = {
     require(budget > 0, "budget must be positive")
+    budgetAdmit(
+      df.filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) >= 0),
+      idCol, sourceCol, weightCol, lit(budget), salt)
+  }
+
+  /** Shared admission core: hash-order prefix per source while the
+    * EXCLUSIVE running weight stays under `budget` (a per-row column, so
+    * per-source budgets work). Caller pre-filters null/negative rows. */
+  private def budgetAdmit(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weightCol: String,
+      budget: Column,
+      salt: String
+  ): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val win = W.partitionBy(col(sourceCol))
       .orderBy(unitHash(col(idCol), salt).asc, col(idCol).asc)
@@ -399,11 +416,59 @@ object Sampling {
       sum(col(weightCol).cast("long"))
         .over(win.rowsBetween(W.unboundedPreceding, -1)),
       lit(0L))
-    df.filter(col(idCol).isNotNull &&
-        col(weightCol).isNotNull && col(weightCol) >= 0)
-      .withColumn("tokens_before", prior)
+    df.withColumn("tokens_before", prior)
       .withColumn("budget_rank", row_number().over(win))
       .filter(col("tokens_before") < budget)
+  }
+
+  /** Temperature mixing in TOKENS: source `s` with token total `T_s`
+    * receives budget `target · T_s^α / Σ_t T_t^α` (α < 1 upweights small
+    * sources — [[temperatureMix]]'s rule, denominated in tokens because
+    * that is what a training-mix recipe actually budgets), and documents
+    * admit in deterministic hash order under that budget
+    * (prefix-closed, one-document overshoot per source, like
+    * [[tokenBudgetSample]]).
+    *
+    * Determinism contract: per-source totals are exact integer sums; the
+    * normalizer folds `T^α` in sorted-source order with IEEE-exact sqrt
+    * (keep α ∈ {0.5, 1.0} when an external engine must re-derive
+    * budgets — [[temperatureMix]]'s caveat); budgets are |sources| rows
+    * collected to the driver and broadcast-joined back, so the corpus
+    * side is one window per source. Adds `token_budget`, `tokens_before`,
+    * `budget_rank`. */
+  def tokenBudgetMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weightCol: String,
+      alpha: Double,
+      targetTokens: Long,
+      salt: String = ""
+  ): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    require(alpha > 0.0 && alpha <= 2.0, "alpha must be in (0, 2]")
+    val clean = df.filter(col(idCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol) >= 0)
+    val totals = clean
+      .groupBy(col(sourceCol))
+      .agg(sum(col(weightCol).cast("long")).as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    require(totals.nonEmpty, "no admissible rows")
+    def wpow(t: Long): Double =
+      if (alpha == 0.5) math.sqrt(t.toDouble)
+      else if (alpha == 1.0) t.toDouble
+      else math.pow(t.toDouble, alpha)
+    // sorted-source left fold — the bit-reproducible normalizer
+    val z = totals.foldLeft(0.0) { case (acc, (_, t)) => acc + wpow(t) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = totals.map { case (s, t) =>
+      (s, targetTokens.toDouble * (wpow(t) / z))
+    }.toSeq.toDF(sourceCol, "token_budget")
+    budgetAdmit(clean.join(broadcast(budgets), sourceCol),
+      idCol, sourceCol, weightCol, col("token_budget"), salt)
   }
 
   /** Deterministic global shuffle order for training-data serving: adds

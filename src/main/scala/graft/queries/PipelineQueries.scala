@@ -1490,6 +1490,21 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q154_token_budget_mix" -> { (s, dir) =>
+      // temperature mixing denominated in TOKENS: budget_s = 60000 ·
+      // sqrt(T_s)/Σ sqrt(T_t) over per-source n_chars totals, admission
+      // in md5 order under each source's budget — the q64 rule budgeting
+      // what mixing recipes actually budget
+      graft.ops.Sampling.tokenBudgetMix(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", alpha = 0.5, targetTokens = 60000L,
+        salt = "graft-tbm")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (round(col("token_budget"), 6) + lit(0.0)).as("budget_r"),
+          col("tokens_before"), col("budget_rank"))
+        .orderBy("source", "budget_rank")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2523,6 +2538,36 @@ object PipelineQueries {
         |JOIN hh hb ON hb.doc_id = id_b
         |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // token-denominated temperature budgets: exact integer totals, the
+    // q64 sorted-source sqrt fold, then the q137 admission window with a
+    // per-source budget; the filter compares the RAW budget double
+    "q154_token_budget_mix" ->
+      """WITH cl AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+        |), tt AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS t FROM cl GROUP BY source
+        |), zz AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(sqrt(CAST(t AS DOUBLE)) ORDER BY source)),
+        |    (a, b) -> a + b) AS z
+        |  FROM tt
+        |), bud AS (
+        |  SELECT tt.source, 60000.0 * (sqrt(CAST(t AS DOUBLE)) / z) AS b FROM tt, zz
+        |), h AS (
+        |  SELECT cl.*,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-tbm'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM cl
+        |), r AS (
+        |  SELECT h.doc_id, h.source, h.n_chars, bud.b,
+        |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY h.source ORDER BY uh, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+        |    row_number() OVER (PARTITION BY h.source ORDER BY uh, doc_id) AS budget_rank
+        |  FROM h JOIN bud ON bud.source = h.source
+        |)
+        |SELECT doc_id, source, n_chars, round(b, 6) + 0.0 AS budget_r, tokens_before, budget_rank
+        |FROM r WHERE tokens_before < b
+        |ORDER BY source, budget_rank""".stripMargin,
 
     // group-hashed split: the q36 cut arithmetic over md5(source||salt)
     "q147_group_split" ->

@@ -1823,6 +1823,32 @@ class OpsSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("token budget mix: sqrt-temperature budgets, per-source admission bound") {
+    import graft.ops.Sampling
+    // big: 900 docs x 10 tokens (9000); small: 100 x 10 (1000)
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("src", when(col("id") < 900, "big").otherwise(lit("small")))
+      .withColumn("w", lit(10L))
+    val out = Sampling.tokenBudgetMix(df, "id", "src", "w",
+      alpha = 0.5, targetTokens = 4000L, salt = "tm1")
+    val spent = out.groupBy("src").agg(sum("w").as("tok"), max("token_budget").as("b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // budgets: z = sqrt(9000) + sqrt(1000); b_big = 4000*sqrt(9000)/z etc.
+    val z = math.sqrt(9000.0) + math.sqrt(1000.0)
+    assert(spent("big")._2 == 4000.0 * (math.sqrt(9000.0) / z))
+    assert(spent("small")._2 == 4000.0 * (math.sqrt(1000.0) / z))
+    // alpha = 0.5 narrows the 9:1 corpus to a 3:1 token spend, each
+    // source within one doc of its budget
+    for ((s, (tok, b)) <- spent) {
+      assert(tok >= b.toLong - 9 && tok < b + 10.0, s"$s spent $tok of $b")
+    }
+    // deterministic under repartition
+    val again = Sampling.tokenBudgetMix(df.repartition(13), "id", "src", "w",
+      alpha = 0.5, targetTokens = 4000L, salt = "tm1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("group split: every group lands whole in one split") {
     import graft.ops.Sampling
     val df = spark.range(0, 3000).toDF("id")
