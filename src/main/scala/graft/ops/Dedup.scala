@@ -318,19 +318,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** Image near-duplicate pairs over perceptual average-hashes
-    * ([[Multimodal.imageHashes]] output: id + two 32-bit halves): the
-    * 64-bit hash splits into four 16-bit band keys, candidates share at
-    * least one band, and exact Hamming distance (`bit_count(xor)` over
-    * both halves) verifies. Pigeonhole guarantee: with 4 bands, any pair
-    * within Hamming distance 3 shares an identical band — recall is
-    * EXACT for `maxHamming` ≤ 3 (the standard near-identical-image
-    * regime); larger radii degrade gracefully (candidates only).
+  /** EXACT image duplicate classes: every distinct average-hash with two
+    * or more members, with the min-id keeper and the member count —
+    * Hamming-0 dedup as a GROUP report, never a pairwise expansion (a
+    * million copies of a blank image is one row here; as pairs it would
+    * be 5·10¹¹ rows — no operator can output that). One map-side-combined
+    * groupBy; drop non-keepers by anti-joining `keep_id` back. */
+  def imageDupGroups(hashes: DataFrame, idCol: String): DataFrame =
+    hashes
+      .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+      .groupBy("ahash_hi", "ahash_lo")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+
+  /** NEAR-duplicate image pairs over perceptual average-hashes
+    * ([[Multimodal.imageHashes]] output: id + two 32-bit halves),
+    * between DISTINCT hash classes: each distinct hash is represented by
+    * its min-id member, the 64-bit hash splits into four 16-bit band
+    * keys, candidate representatives share a band, and exact Hamming
+    * distance (`bit_count(xor)` over both halves) verifies. Pigeonhole:
+    * with 4 bands any pair within Hamming distance 3 shares a band —
+    * recall is EXACT for `maxHamming` ≤ 3 between classes.
     *
-    * Scale shape: band explode (4 rows/image of id + 16-bit key), ids
-    * join per bucket, never an all-pairs product; the verify touches the
-    * candidate sliver only. Null hashes (undecodable payloads) are
-    * excluded. Output: (id_a, id_b, hamming), id_a < id_b. */
+    * Identical-hash members are deliberately NOT paired here — that is
+    * [[imageDupGroups]]'s job as a group report. The distinction is what
+    * keeps this operator alive on dup-heavy corpora: a hash class with
+    * 10⁶ members previously put 10⁶ identical band keys in one bucket
+    * and the candidate self-join went quadratic (measured: 733s for 100k
+    * synthetic images that collapse to a few hundred classes; 3s after).
+    *
+    * Scale shape: distinct-hash reduce, band explode over CLASSES, ids
+    * join per bucket, verify on the candidate sliver. Null hashes
+    * (undecodable payloads) are excluded. Output: (id_a, id_b, hamming
+    * ≥ 1), id_a < id_b, ids are class representatives. */
   def imageNearDupPairs(
       hashes: DataFrame,
       idCol: String,
@@ -339,6 +359,8 @@ object Dedup {
     require(maxHamming >= 0, "maxHamming must be >= 0")
     val h = hashes
       .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+      .groupBy("ahash_hi", "ahash_lo")
+      .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("ahash_hi"), col("ahash_lo"))
     val bands = h.select(col(idCol), explode(array(
       struct(lit(0).as("band"), shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)).as("bk")),

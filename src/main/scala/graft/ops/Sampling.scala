@@ -462,6 +462,9 @@ object Sampling {
       else math.pow(t.toDouble, alpha)
     // sorted-source left fold — the bit-reproducible normalizer
     val z = totals.foldLeft(0.0) { case (acc, (_, t)) => acc + wpow(t) }
+    // all-zero totals would make every budget NaN and silently admit
+    // nothing; that input is a caller bug — fail loudly
+    require(z > 0.0, "every source has zero admissible tokens")
     val spark = df.sparkSession
     import spark.implicits._
     val budgets = totals.map { case (s, t) =>

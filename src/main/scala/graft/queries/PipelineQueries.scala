@@ -1479,15 +1479,27 @@ object PipelineQueries {
     },
 
     "q153_image_near_dups" -> { (s, dir) =>
-      // image near-dup pairs: even/odd doc pairs share a base 16x12
-      // image (odd perturbs one SAMPLED pixel by +128), banded 16-bit
-      // hash keys bucket candidates, bit_count(xor) verifies — exact
-      // recall at Hamming <= 3 by pigeonhole
+      // image near-dup pairs BETWEEN distinct hash classes: even/odd doc
+      // pairs share a base 16x12 image (odd perturbs one SAMPLED pixel
+      // by +128), min-id class representatives band by 16-bit keys,
+      // bit_count(xor) verifies — exact recall at Hamming <= 3 by
+      // pigeonhole; identical-hash members are q155's group report
       val hashes = Multimodal.imageHashes(
         pairedPpms(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)),
         "doc_id", "payload")
       Dedup.imageNearDupPairs(hashes, "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    "q155_image_dup_groups" -> { (s, dir) =>
+      // exact-hash duplicate classes (Hamming 0) as a GROUP report with
+      // the min-id keeper — a million-copy image is one row, never a
+      // quadratic pair expansion
+      val hashes = Multimodal.imageHashes(
+        pairedPpms(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)),
+        "doc_id", "payload")
+      Dedup.imageDupGroups(hashes, "doc_id")
+        .orderBy("keep_id")
     },
 
     "q154_token_budget_mix" -> { (s, dir) =>
@@ -2522,11 +2534,13 @@ object PipelineQueries {
         |    CAST(sum(CASE WHEN i < 32 AND c.lum * 64 > t.tot
         |          THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo
         |  FROM cells c JOIN t USING (doc_id) GROUP BY c.doc_id
+        |), rep AS (
+        |  SELECT min(doc_id) AS doc_id, hi, lo FROM hh GROUP BY hi, lo
         |), bands AS (
-        |  SELECT doc_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM hh
-        |  UNION ALL SELECT doc_id, 1, hi & 65535 FROM hh
-        |  UNION ALL SELECT doc_id, 2, (lo >> 16) & 65535 FROM hh
-        |  UNION ALL SELECT doc_id, 3, lo & 65535 FROM hh
+        |  SELECT doc_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM rep
+        |  UNION ALL SELECT doc_id, 1, hi & 65535 FROM rep
+        |  UNION ALL SELECT doc_id, 2, (lo >> 16) & 65535 FROM rep
+        |  UNION ALL SELECT doc_id, 3, lo & 65535 FROM rep
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
@@ -2534,10 +2548,42 @@ object PipelineQueries {
         |SELECT id_a, id_b,
         |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
         |FROM cand
-        |JOIN hh ha ON ha.doc_id = id_a
-        |JOIN hh hb ON hb.doc_id = id_b
+        |JOIN rep ha ON ha.doc_id = id_a
+        |JOIN rep hb ON hb.doc_id = id_b
         |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-hash image classes: same cell/threshold replay as q153, then
+    // a plain group-by with the min-id keeper
+    "q155_image_dup_groups" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE doc_id < 200
+        |), cells AS (
+        |  SELECT doc_id, i,
+        |    (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 = 6
+        |          THEN (gid*31 + 134) % 256
+        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3) % 256 END)
+        |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1 = 6
+        |          THEN (gid*31 + 134) % 256
+        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1) % 256 END)
+        |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2 = 6
+        |          THEN (gid*31 + 134) % 256
+        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2) % 256 END) AS lum
+        |  FROM d, unnest(range(64)) AS u(i)
+        |), t AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tot FROM cells GROUP BY doc_id
+        |), hh AS (
+        |  SELECT c.doc_id,
+        |    CAST(sum(CASE WHEN i >= 32 AND c.lum * 64 > t.tot
+        |          THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN i < 32 AND c.lum * 64 > t.tot
+        |          THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM cells c JOIN t USING (doc_id) GROUP BY c.doc_id
+        |)
+        |SELECT hi AS ahash_hi, lo AS ahash_lo,
+        |  min(doc_id) AS keep_id, count(*) AS n_members
+        |FROM hh GROUP BY hi, lo HAVING count(*) >= 2
+        |ORDER BY keep_id""".stripMargin,
 
     // token-denominated temperature budgets: exact integer totals, the
     // q64 sorted-source sqrt fold, then the q137 admission window with a

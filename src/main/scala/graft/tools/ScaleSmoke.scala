@@ -263,6 +263,30 @@ object ScaleSmoke {
         graft.Checkpoints.freeAll(spark)
       }
 
+      // image dedup: hash every payload once (mapPartitions decode),
+      // pair via 16-bit Hamming bands — payload bytes never re-travel
+      time(s"image ahash + near-dup pairs ($nDocs synthetic images)") {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val imgs = dN.select("doc_id").mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val gid = id / 2
+            val rgb = new Array[Byte](16 * 12 * 3)
+            var i = 0
+            while (i < rgb.length) { rgb(i) = ((gid * 31 + i) % 256).toByte; i += 1 }
+            Row(id, graft.ops.ImageCodecs.encodePpm(
+              graft.ops.ImageCodecs.DecodedImage(16, 12, rgb)))
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+        val hashes = graft.ops.Multimodal.imageHashes(imgs, "doc_id", "payload")
+        graft.ops.Dedup.imageNearDupPairs(hashes, "doc_id", maxHamming = 0)
+          .agg(count(lit(1))).collect()
+      }
+
       // PQ: train once on the base table, then encode + ADC-search the
       // replicated corpus — the scan is codes-only, queries broadcast
       time(s"pq encode + ADC top-10, 5 queries (${n * 2000} vectors)") {

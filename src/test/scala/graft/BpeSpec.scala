@@ -107,6 +107,17 @@ class BpeSpec extends SparkSpec {
     assert(out == Map(1L -> 4L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("empty / null-only corpus trains zero merges without failing") {
+    val empty = Seq.empty[String].toDF("text")
+    assert(BpeTrain.train(empty, "text", 5).isEmpty)
+    val nulls = Seq[String](null, "   ").toDF("text")
+    assert(BpeTrain.train(nulls, "text", 5).isEmpty)
+    // encoding under zero merges is pure symbolization
+    val enc = BpeTrain.tokenFrequencies(Seq("ab").toDF("text"), "text", Nil)
+      .as[(String, Long)].collect().toMap
+    assert(enc == Map("a" -> 1L, "b" -> 1L, "</w>" -> 1L))
+  }
+
   test("single-symbol exhaustion stops training early, merges stay ranked") {
     // one repeated single-char word: only pair is (x, </w>) — after
     // merging it there are no pairs left; train must stop, not loop

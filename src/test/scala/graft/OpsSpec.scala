@@ -1867,12 +1867,17 @@ class OpsSpec extends SparkSpec {
     assert(split.exceptAll(direct).count() == 0)
   }
 
-  test("image near-dup: perturbed copy found, unrelated image excluded") {
+  test("image near-dup: perturbed copy pairs, identical copies group, unrelated excluded") {
     import graft.ops.{Dedup, ImageCodecs, Multimodal}
     import org.apache.spark.sql.types._
     val rnd = new scala.util.Random(42)
     val base = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
-    val near = base.clone(); near(7) = ((near(7) & 0xFF) + 120 % 256).toByte
+    // pixel (3, 0) IS sampled by the 8x8 grid (sx = 3·cx at w=24): force
+    // its cell bit to flip between base (black) and near (white)
+    val pOff = (0 * 24 + 3) * 3
+    base(pOff) = 0; base(pOff + 1) = 0; base(pOff + 2) = 0
+    val near = base.clone()
+    near(pOff) = -1; near(pOff + 1) = -1; near(pOff + 2) = -1 // 0xFF
     val other = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
     val rows = Seq(
       (1L, ImageCodecs.encodePpm(ImageCodecs.DecodedImage(24, 16, base))),
@@ -1889,23 +1894,27 @@ class OpsSpec extends SparkSpec {
     val h = hashes.collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
     assert(h(4L) == ((None, None))) // undecodable -> null halves
     assert(h(1L)._1.isDefined && h(3L)._1.isDefined)
+    assert(h(1L) != h(2L), "the sampled-pixel perturbation must change the hash")
     val pairs = Dedup.imageNearDupPairs(hashes, "doc_id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    // the perturbed copy pairs with its base at tiny Hamming distance
-    assert(pairs.exists { case (a, b, _) => a == 1L && b == 2L })
-    assert(pairs.forall { case (a, b, _) => Set(a, b) != Set(1L, 3L) || false },
-      s"unrelated pair matched: $pairs")
-    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
-    // hamming 0 self-dup detection: identical payloads collide at 0
+    // the perturbed copy pairs with its base at small positive Hamming
+    assert(pairs.exists { case (a, b, hd) => a == 1L && b == 2L && hd >= 1 && hd <= 3 },
+      s"expected (1,2) pair: $pairs")
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L },
+      s"unrelated image matched: $pairs")
+    // identical payloads are a GROUP (hamming-0 classes never expand to
+    // pairs — the dup-heavy-corpus contract), with the min-id keeper
     val dupHashes = Multimodal.imageHashes(
       spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(
           org.apache.spark.sql.Row(10L, rows.head._2),
-          org.apache.spark.sql.Row(11L, rows.head._2)), 2), schema),
+          org.apache.spark.sql.Row(11L, rows.head._2),
+          org.apache.spark.sql.Row(12L, rows(2)._2)), 2), schema),
       "doc_id", "payload")
-    val dupPairs = Dedup.imageNearDupPairs(dupHashes, "doc_id", maxHamming = 0)
-      .collect()
-    assert(dupPairs.length == 1 && dupPairs.head.getInt(2) == 0)
+    assert(Dedup.imageNearDupPairs(dupHashes, "doc_id", maxHamming = 0).collect().isEmpty)
+    val groups = Dedup.imageDupGroups(dupHashes, "doc_id")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(groups.toSeq == Seq((10L, 2L)))
   }
 
   test("incremental near-dup: cross-side pairs only, admission drops hits") {
