@@ -128,6 +128,64 @@ object Labels {
         transform(col("__dm"), s => s.getField("__mean")).as("centroid"))
   }
 
+  /** Per-DIMENSION corpus statistics of an embedding column: (dim, mean,
+    * variance, std), with both moments accumulated through the same
+    * vector-wise deterministic fold as [[labelCentroids]] (Σx and Σx² per
+    * dimension fold in id order within md5 sub-buckets, then over the
+    * ≤ `buckets` partials) — so the statistics are bit-identical across
+    * runs, partitionings, and engines. Variance is the population
+    * `Σx²/n − mean²` clamped at 0 (FP can dip a hair negative on
+    * near-constant dimensions). The input to feature standardization /
+    * whitening and to per-dimension drift monitoring. */
+  def dimStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      buckets: Int = 64
+  ): DataFrame = {
+    val sq = df
+      .filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol), col("__v"),
+        transform(col("__v"), x => x * x).as("__v2"))
+    val means = labelCentroids(
+      sq.select(lit(0).as("__one"), col(idCol), col("__v")),
+      "__one", idCol, "__v", buckets)
+      .select(posexplode(col("centroid")).as(Seq("dim", "mean")))
+    val sqMeans = labelCentroids(
+      sq.select(lit(0).as("__one"), col(idCol), col("__v2")),
+      "__one", idCol, "__v2", buckets)
+      .select(posexplode(col("centroid")).as(Seq("dim", "__m2")))
+    means.join(sqMeans, "dim")
+      .select(col("dim"), col("mean"),
+        greatest(col("__m2") - col("mean") * col("mean"), lit(0.0)).as("variance"))
+      .withColumn("std", sqrt(col("variance")))
+  }
+
+  /** Standardize an embedding column against [[dimStats]]: adds `outCol`
+    * = `(x_d − mean_d) / std_d` per dimension (zero-variance dimensions
+    * map to 0.0 — they carry no signal, and the alternative is a
+    * division by zero poisoning the whole vector). Stats travel as plain
+    * literal arrays (dim doubles — driver-sized by construction), so the
+    * transform is a zero-shuffle codegen'd projection, stream-legal. */
+  def standardize(
+      df: DataFrame,
+      vecCol: String,
+      stats: Seq[(Int, Double, Double)], // (dim, mean, std), dim-sorted
+      outCol: String = "z_vec"
+  ): DataFrame = {
+    require(stats.nonEmpty, "need at least one dimension")
+    val sorted = stats.sortBy(_._1)
+    val meansLit = typedlit(sorted.map(_._2))
+    val stdsLit = typedlit(sorted.map(_._3))
+    val centered = zip_with(col(vecCol).cast("array<double>"), meansLit,
+      (x, m) => x - m)
+    df.withColumn(outCol,
+      zip_with(centered, stdsLit,
+        (d, s) => when(s === 0.0, lit(0.0)).otherwise(d / s)))
+  }
+
   /** Cosine of every row's embedding against ITS OWN label centroid:
     * input columns + `cos_centroid`. The centroid frame is |labels| rows
     * — the join is broadcast-sized by construction, so this is one

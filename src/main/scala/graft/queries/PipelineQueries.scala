@@ -1517,6 +1517,34 @@ object PipelineQueries {
         .orderBy("source", "budget_rank")
     },
 
+    "q156_dim_stats" -> { (s, dir) =>
+      // per-dimension embedding statistics via the deterministic
+      // vector-wise fold (Σx and Σx² in pinned order): the whitening /
+      // drift-monitoring input, bit-identical across engines
+      graft.ops.Labels.dimStats(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("dim"),
+          (round(col("mean"), 9) + lit(0.0)).as("mean_r"),
+          (round(col("variance"), 9) + lit(0.0)).as("var_r"),
+          (round(col("std"), 9) + lit(0.0)).as("std_r"))
+        .orderBy("dim")
+    },
+
+    "q157_standardized" -> { (s, dir) =>
+      // feature standardization against the corpus dim stats: a
+      // zero-shuffle literal-array projection (stats are dim doubles),
+      // zero-variance dims map to 0 — first three z components verified
+      val emb = t(s, dir, "embeddings")
+      val stats = graft.ops.Labels.dimStats(emb, "vec_id", "embedding")
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3)))
+      graft.ops.Labels.standardize(emb, "embedding", stats.toSeq)
+        .select(col("vec_id"),
+          (round(element_at(col("z_vec"), 1), 6) + lit(0.0)).as("z0"),
+          (round(element_at(col("z_vec"), 2), 6) + lit(0.0)).as("z1"),
+          (round(element_at(col("z_vec"), 3), 6) + lit(0.0)).as("z2"))
+        .orderBy("vec_id")
+    },
+
     "q64_temperature_mix" -> { (s, dir) =>
       // n^0.5 source upweighting (multilingual-LM mixing rule): per-source
       // acceptance thresholds folded in sorted-source order with IEEE-exact
@@ -2370,6 +2398,32 @@ object PipelineQueries {
        |  FROM init WHERE rn <= $k
        |)""".stripMargin + ",\n" + (1 to iters).map(kmRoundSql).mkString(",\n")
 
+  /** q156/q157 shared derivation: per-dim Σx and Σx² through the same
+    * two-level fold order the engine's vector aggregator uses. */
+  private val dimStatsCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+      |), d AS (
+      |  SELECT vec_id, i AS dim, v[i+1] AS x,
+      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b
+      |  FROM e, unnest(range(len(v))) AS u(i)
+      |), p AS (
+      |  SELECT dim, b,
+      |    list_reduce(list(x ORDER BY vec_id), (acc, z) -> acc + z) AS ps,
+      |    list_reduce(list(x * x ORDER BY vec_id), (acc, z) -> acc + z) AS ps2,
+      |    count(*) AS n
+      |  FROM d GROUP BY dim, b
+      |), m AS (
+      |  SELECT dim,
+      |    list_reduce(list_prepend(0.0, list(ps ORDER BY b)), (acc, z) -> acc + z)
+      |      / CAST(sum(n) AS BIGINT) AS mean,
+      |    list_reduce(list_prepend(0.0, list(ps2 ORDER BY b)), (acc, z) -> acc + z)
+      |      / CAST(sum(n) AS BIGINT) AS m2
+      |  FROM p GROUP BY dim
+      |)
+      |""".stripMargin
+
   /** Shared q138/q139 centroid derivation: the two-level deterministic
     * fold (64 md5 sub-buckets) in the exact order the engine sums. */
   private val labelCentroidCte: String =
@@ -2552,6 +2606,32 @@ object PipelineQueries {
         |JOIN rep hb ON hb.doc_id = id_b
         |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-dim moment folds in the engine's exact order: unseeded level-1
+    // list_reduce (the vector aggregator's v0+v1+...), prepend-seeded
+    // level-2 over bucket partials, x·x per element before any fold
+    "q156_dim_stats" ->
+      (dimStatsCte +
+        """SELECT dim, round(mean, 9) + 0.0 AS mean_r,
+          |  round(GREATEST(m2 - mean * mean, 0.0), 9) + 0.0 AS var_r,
+          |  round(sqrt(GREATEST(m2 - mean * mean, 0.0)), 9) + 0.0 AS std_r
+          |FROM m ORDER BY dim""".stripMargin),
+
+    "q157_standardized" ->
+      (dimStatsCte +
+        """, st AS (
+          |  SELECT dim, mean, sqrt(GREATEST(m2 - mean * mean, 0.0)) AS std FROM m
+          |), z AS (
+          |  SELECT e.vec_id, st.dim,
+          |    CASE WHEN st.std = 0.0 THEN 0.0
+          |         ELSE (e.v[st.dim + 1] - st.mean) / st.std END AS zv
+          |  FROM e JOIN st ON st.dim < 3
+          |)
+          |SELECT vec_id,
+          |  round(max(CASE WHEN dim = 0 THEN zv END), 6) + 0.0 AS z0,
+          |  round(max(CASE WHEN dim = 1 THEN zv END), 6) + 0.0 AS z1,
+          |  round(max(CASE WHEN dim = 2 THEN zv END), 6) + 0.0 AS z2
+          |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin),
 
     // exact-hash image classes: same cell/threshold replay as q153, then
     // a plain group-by with the min-id keeper

@@ -96,6 +96,33 @@ class LabelsSpec extends SparkSpec {
     assert(learned.contains(Seq(5.0, 5.0)) && learned.contains(Seq(-5.0, -5.0)))
   }
 
+  test("dimStats: exact moments, zero-variance clamp, bit-determinism") {
+    import graft.ops.Labels
+    // dim 0: values 1,3 -> mean 2, var 1; dim 1: constant 5 -> var 0
+    val df = Seq((1L, Seq(1.0, 5.0)), (2L, Seq(3.0, 5.0))).toDF("vec_id", "embedding")
+    val st = Labels.dimStats(df, "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(st(0) == ((2.0, 1.0, 1.0)))
+    assert(st(1) == ((5.0, 0.0, 0.0)))
+    val big = (0 until 500).map(i => (i.toLong,
+      Seq.tabulate(6)(d => math.cos(i * 0.13 + d) * 3.7))).toDF("vec_id", "embedding")
+    val a = Labels.dimStats(big, "vec_id", "embedding").collect().map(_.toSeq).toSeq
+    val b = Labels.dimStats(big.repartition(11), "vec_id", "embedding").collect().map(_.toSeq).toSeq
+    assert(a == b) // exact double equality
+  }
+
+  test("standardize: unit-variance output, zero-variance dims -> 0, shuffle-free") {
+    import graft.ops.Labels
+    val df = Seq((1L, Seq(1.0, 5.0)), (2L, Seq(3.0, 5.0))).toDF("vec_id", "embedding")
+    val stats = Labels.dimStats(df, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3)))
+    val z = Labels.standardize(df, "embedding", stats.toSeq)
+    assert(!z.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = z.select("vec_id", "z_vec").as[(Long, Seq[Double])].collect().toMap
+    assert(rows(1L) == Seq(-1.0, 0.0)) // (1-2)/1 ; constant dim -> 0
+    assert(rows(2L) == Seq(1.0, 0.0))
+  }
+
   test("vector expressions stay codegen'd over NON-NULLABLE inputs") {
     // collect_list/transform outputs are non-nullable; dot/cosine/maxabs
     // can still return null (length mismatch, corrupt elements), so they
