@@ -351,24 +351,32 @@ object Dedup {
     * join per bucket, verify on the candidate sliver. Null hashes
     * (undecodable payloads) are excluded. Output: (id_a, id_b, hamming
     * ≥ 1), id_a < id_b, ids are class representatives. */
+  /** The four 16-bit Hamming band keys of an ahash-halves frame. */
+  private def ahashBands(h: DataFrame, idOut: String): DataFrame =
+    h.select(col(idOut), explode(array(
+      struct(lit(0).as("band"), shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)).as("bk")),
+      struct(lit(1).as("band"), col("ahash_hi").bitwiseAND(lit(65535L)).as("bk")),
+      struct(lit(2).as("band"), shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)).as("bk")),
+      struct(lit(3).as("band"), col("ahash_lo").bitwiseAND(lit(65535L)).as("bk"))
+    )).as("b"))
+      .select(col(idOut), col("b.band").as("band"), col("b.bk").as("bk"))
+
+  /** Distinct-hash classes with the min-id representative. */
+  private def ahashClasses(hashes: DataFrame, idCol: String, idOut: String): DataFrame =
+    hashes
+      .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+      .groupBy("ahash_hi", "ahash_lo")
+      .agg(min(col(idCol)).as(idOut))
+
   def imageNearDupPairs(
       hashes: DataFrame,
       idCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
-    val h = hashes
-      .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
-      .groupBy("ahash_hi", "ahash_lo")
-      .agg(min(col(idCol)).as(idCol))
+    val h = ahashClasses(hashes, idCol, idCol)
       .select(col(idCol), col("ahash_hi"), col("ahash_lo"))
-    val bands = h.select(col(idCol), explode(array(
-      struct(lit(0).as("band"), shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)).as("bk")),
-      struct(lit(1).as("band"), col("ahash_hi").bitwiseAND(lit(65535L)).as("bk")),
-      struct(lit(2).as("band"), shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)).as("bk")),
-      struct(lit(3).as("band"), col("ahash_lo").bitwiseAND(lit(65535L)).as("bk"))
-    )).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
+    val bands = ahashBands(h, idCol)
     val candidates = bands.select(col(idCol).as("id_a"), col("band"), col("bk"))
       .join(bands.select(col(idCol).as("id_b"), col("band"), col("bk")),
         Seq("band", "bk"))
@@ -385,6 +393,63 @@ object Dedup {
           bit_count(col("__loa").bitwiseXOR(col("__lob")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** INCREMENTAL image ingest: match a new batch's perceptual hashes
+    * against a standing image index — the media sibling of
+    * [[incrementalNearDupPairs]]. Exact matches come from a plain
+    * (hi, lo) equi-join of the two sides' DISTINCT hash classes
+    * (hamming 0); near matches band the class representatives and join
+    * CROSS-SIDE only, so the index never pairs with itself and a daily
+    * increment costs the increment. Output: (new_id, index_id, hamming)
+    * over class representatives. In production the index side reads the
+    * persisted 8-byte hash table ([[Multimodal.imageHashes]] output) —
+    * payload bytes never travel. */
+  def incrementalImageDups(
+      indexHashes: DataFrame,
+      batchHashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    val idx = ahashClasses(indexHashes, idCol, "index_id")
+    val bat = ahashClasses(batchHashes, idCol, "new_id")
+    val exact = bat.join(idx, Seq("ahash_hi", "ahash_lo"))
+      .select(col("new_id"), col("index_id"), lit(0).as("hamming"))
+    val near = ahashBands(bat.select(col("new_id"), col("ahash_hi"), col("ahash_lo")), "new_id")
+      .join(ahashBands(idx.select(col("index_id"), col("ahash_hi"), col("ahash_lo")), "index_id"),
+        Seq("band", "bk"))
+      .select("new_id", "index_id")
+      .distinct()
+      .join(bat.select(col("new_id"), col("ahash_hi").as("__hin"),
+        col("ahash_lo").as("__lon")), "new_id")
+      .join(idx.select(col("index_id"), col("ahash_hi").as("__hii"),
+        col("ahash_lo").as("__loi")), "index_id")
+      .withColumn("hamming",
+        (bit_count(col("__hin").bitwiseXOR(col("__hii"))) +
+          bit_count(col("__lon").bitwiseXOR(col("__loi")))).cast("int"))
+      .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+      .select(col("new_id"), col("index_id"), col("hamming"))
+    exact.unionByName(near)
+  }
+
+  /** The admission half of image ingest: batch rows whose hash CLASS
+    * matches nothing in the index (exactly or within `maxHamming`).
+    * Undecodable payloads (null hashes) cannot be vetted and are
+    * excluded — admit them explicitly if the pipeline wants them. */
+  def incrementalImageDedup(
+      indexHashes: DataFrame,
+      batchHashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val hitClasses = incrementalImageDups(indexHashes, batchHashes, idCol, maxHamming)
+      .join(ahashClasses(batchHashes, idCol, "new_id"), "new_id")
+      .select("ahash_hi", "ahash_lo")
+      .distinct()
+    batchHashes
+      .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+      .join(hitClasses, Seq("ahash_hi", "ahash_lo"), "left_anti")
   }
 
   /** INCREMENTAL near-dup: match a new batch against an existing corpus

@@ -1502,6 +1502,22 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    "q158_image_ingest" -> { (s, dir) =>
+      // incremental media ingest: odd-id batch images match the even-id
+      // index (shared gid bases, perturbed) exactly or within Hamming 3;
+      // odd ids >= 200 carry fresh bases and must admit — exact classes
+      // equi-join, near classes band CROSS-SIDE only
+      val docs = t(s, dir, "documents").select("doc_id")
+      val idxH = Multimodal.imageHashes(
+        pairedPpms(docs.filter(col("doc_id") < 200 && col("doc_id") % 2 === 0)),
+        "doc_id", "payload")
+      val batH = Multimodal.imageHashes(
+        pairedPpms(docs.filter(col("doc_id") < 300 && col("doc_id") % 2 === 1)),
+        "doc_id", "payload")
+      Dedup.incrementalImageDups(idxH, batH, "doc_id", maxHamming = 3)
+        .orderBy("new_id", "index_id")
+    },
+
     "q154_token_budget_mix" -> { (s, dir) =>
       // temperature mixing denominated in TOKENS: budget_s = 60000 ·
       // sqrt(T_s)/Σ sqrt(T_t) over per-source n_chars totals, admission
@@ -2398,6 +2414,37 @@ object PipelineQueries {
        |  FROM init WHERE rn <= $k
        |)""".stripMargin + ",\n" + (1 to iters).map(kmRoundSql).mkString(",\n")
 
+  /** The paired-PPM average-hash CTE chain (q153/q155/q158): planted
+    * even/odd images (gid = doc_id/2, odd perturbs sampled-pixel byte 6),
+    * cell luminance replay, division-free threshold, shift-assembled
+    * halves. `rel` filters documents; `sfx` suffixes the CTE names so two
+    * sides can coexist in one query. */
+  private def imageAhashCtes(rel: String, sfx: String): String =
+    s"""d$sfx AS (
+       |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE $rel
+       |), cells$sfx AS (
+       |  SELECT doc_id, i,
+       |    (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 = 6
+       |          THEN (gid*31 + 134) % 256
+       |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3) % 256 END)
+       |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1 = 6
+       |          THEN (gid*31 + 134) % 256
+       |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1) % 256 END)
+       |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2 = 6
+       |          THEN (gid*31 + 134) % 256
+       |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2) % 256 END) AS lum
+       |  FROM d$sfx, unnest(range(64)) AS u(i)
+       |), t$sfx AS (
+       |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tot FROM cells$sfx GROUP BY doc_id
+       |), hh$sfx AS (
+       |  SELECT c.doc_id,
+       |    CAST(sum(CASE WHEN i >= 32 AND c.lum * 64 > t$sfx.tot
+       |          THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN i < 32 AND c.lum * 64 > t$sfx.tot
+       |          THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM cells$sfx c JOIN t$sfx USING (doc_id) GROUP BY c.doc_id
+       |)""".stripMargin
+
   /** q156/q157 shared derivation: per-dim Σx and Σx² through the same
     * two-level fold order the engine's vector aggregator uses. */
   private val dimStatsCte: String =
@@ -2565,47 +2612,65 @@ object PipelineQueries {
     // then banded 16-bit keys and bit_count(xor) verify — identical
     // candidate + verify arithmetic to the engine
     "q153_image_near_dups" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE doc_id < 200
-        |), cells AS (
-        |  SELECT doc_id, i,
-        |    (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 = 6
-        |          THEN (gid*31 + 134) % 256
-        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3) % 256 END)
-        |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1 = 6
-        |          THEN (gid*31 + 134) % 256
-        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1) % 256 END)
-        |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2 = 6
-        |          THEN (gid*31 + 134) % 256
-        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2) % 256 END) AS lum
-        |  FROM d, unnest(range(64)) AS u(i)
-        |), t AS (
-        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tot FROM cells GROUP BY doc_id
-        |), hh AS (
-        |  SELECT c.doc_id,
-        |    CAST(sum(CASE WHEN i >= 32 AND c.lum * 64 > t.tot
-        |          THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN i < 32 AND c.lum * 64 > t.tot
-        |          THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM cells c JOIN t USING (doc_id) GROUP BY c.doc_id
-        |), rep AS (
-        |  SELECT min(doc_id) AS doc_id, hi, lo FROM hh GROUP BY hi, lo
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM rep
-        |  UNION ALL SELECT doc_id, 1, hi & 65535 FROM rep
-        |  UNION ALL SELECT doc_id, 2, (lo >> 16) & 65535 FROM rep
-        |  UNION ALL SELECT doc_id, 3, lo & 65535 FROM rep
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-        |)
-        |SELECT id_a, id_b,
-        |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
-        |FROM cand
-        |JOIN rep ha ON ha.doc_id = id_a
-        |JOIN rep hb ON hb.doc_id = id_b
-        |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      (s"WITH ${imageAhashCtes("doc_id < 200", "")},\n" +
+        """rep AS (
+          |  SELECT min(doc_id) AS doc_id, hi, lo FROM hh GROUP BY hi, lo
+          |), bands AS (
+          |  SELECT doc_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM rep
+          |  UNION ALL SELECT doc_id, 1, hi & 65535 FROM rep
+          |  UNION ALL SELECT doc_id, 2, (lo >> 16) & 65535 FROM rep
+          |  UNION ALL SELECT doc_id, 3, lo & 65535 FROM rep
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+          |)
+          |SELECT id_a, id_b,
+          |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+          |FROM cand
+          |JOIN rep ha ON ha.doc_id = id_a
+          |JOIN rep hb ON hb.doc_id = id_b
+          |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
+
+
+    // incremental image ingest: exact classes equi-join, near classes
+    // band cross-side, bit_count verify in 1..3 — same arithmetic, two
+    // suffixed CTE chains
+    "q158_image_ingest" ->
+      (s"WITH ${imageAhashCtes("doc_id < 200 AND doc_id % 2 = 0", "_i")},\n" +
+        s"${imageAhashCtes("doc_id < 300 AND doc_id % 2 = 1", "_n")},\n" +
+        """ci AS (SELECT hi, lo, min(doc_id) AS index_id FROM hh_i GROUP BY hi, lo),
+          |cn AS (SELECT hi, lo, min(doc_id) AS new_id FROM hh_n GROUP BY hi, lo),
+          |ex AS (
+          |  SELECT cn.new_id, ci.index_id, 0 AS hamming
+          |  FROM cn JOIN ci ON cn.hi = ci.hi AND cn.lo = ci.lo
+          |),
+          |bi AS (
+          |  SELECT index_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM ci
+          |  UNION ALL SELECT index_id, 1, hi & 65535 FROM ci
+          |  UNION ALL SELECT index_id, 2, (lo >> 16) & 65535 FROM ci
+          |  UNION ALL SELECT index_id, 3, lo & 65535 FROM ci
+          |),
+          |bn AS (
+          |  SELECT new_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM cn
+          |  UNION ALL SELECT new_id, 1, hi & 65535 FROM cn
+          |  UNION ALL SELECT new_id, 2, (lo >> 16) & 65535 FROM cn
+          |  UNION ALL SELECT new_id, 3, lo & 65535 FROM cn
+          |),
+          |nearc AS (
+          |  SELECT DISTINCT bn.new_id, bi.index_id FROM bn JOIN bi USING (band, bk)
+          |),
+          |nr AS (
+          |  SELECT n.new_id, n.index_id,
+          |    CAST(bit_count(xor(cn.hi, ci.hi)) + bit_count(xor(cn.lo, ci.lo)) AS INT) AS hamming
+          |  FROM nearc n
+          |  JOIN cn ON cn.new_id = n.new_id
+          |  JOIN ci ON ci.index_id = n.index_id
+          |)
+          |SELECT new_id, index_id, hamming FROM ex
+          |UNION ALL
+          |SELECT new_id, index_id, hamming FROM nr WHERE hamming BETWEEN 1 AND 3
+          |ORDER BY new_id, index_id""".stripMargin),
 
     // per-dim moment folds in the engine's exact order: unseeded level-1
     // list_reduce (the vector aggregator's v0+v1+...), prepend-seeded
@@ -2636,34 +2701,12 @@ object PipelineQueries {
     // exact-hash image classes: same cell/threshold replay as q153, then
     // a plain group-by with the min-id keeper
     "q155_image_dup_groups" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE doc_id < 200
-        |), cells AS (
-        |  SELECT doc_id, i,
-        |    (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 = 6
-        |          THEN (gid*31 + 134) % 256
-        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3) % 256 END)
-        |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1 = 6
-        |          THEN (gid*31 + 134) % 256
-        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 1) % 256 END)
-        |    + (CASE WHEN doc_id % 2 = 1 AND (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2 = 6
-        |          THEN (gid*31 + 134) % 256
-        |          ELSE (gid*31 + (((i // 8) * 12 // 8) * 16 + ((i % 8) * 2)) * 3 + 2) % 256 END) AS lum
-        |  FROM d, unnest(range(64)) AS u(i)
-        |), t AS (
-        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tot FROM cells GROUP BY doc_id
-        |), hh AS (
-        |  SELECT c.doc_id,
-        |    CAST(sum(CASE WHEN i >= 32 AND c.lum * 64 > t.tot
-        |          THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN i < 32 AND c.lum * 64 > t.tot
-        |          THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM cells c JOIN t USING (doc_id) GROUP BY c.doc_id
-        |)
-        |SELECT hi AS ahash_hi, lo AS ahash_lo,
-        |  min(doc_id) AS keep_id, count(*) AS n_members
-        |FROM hh GROUP BY hi, lo HAVING count(*) >= 2
-        |ORDER BY keep_id""".stripMargin,
+      (s"WITH ${imageAhashCtes("doc_id < 200", "")}\n" +
+        """SELECT hi AS ahash_hi, lo AS ahash_lo,
+          |  min(doc_id) AS keep_id, count(*) AS n_members
+          |FROM hh GROUP BY hi, lo HAVING count(*) >= 2
+          |ORDER BY keep_id""".stripMargin),
+
 
     // token-denominated temperature budgets: exact integer totals, the
     // q64 sorted-source sqrt fold, then the q137 admission window with a

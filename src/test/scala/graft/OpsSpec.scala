@@ -1917,6 +1917,40 @@ class OpsSpec extends SparkSpec {
     assert(groups.toSeq == Seq((10L, 2L)))
   }
 
+  test("incremental image ingest: exact + near classes hit, fresh admits") {
+    import graft.ops.{Dedup, ImageCodecs, Multimodal}
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11)
+    def ppm(bytes: Array[Byte]) =
+      ImageCodecs.encodePpm(ImageCodecs.DecodedImage(24, 16, bytes))
+    val base = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
+    val pOff = (0 * 24 + 3) * 3 // sampled pixel (3, 0)
+    base(pOff) = 0; base(pOff + 1) = 0; base(pOff + 2) = 0
+    val near = base.clone()
+    near(pOff) = -1; near(pOff + 1) = -1; near(pOff + 2) = -1
+    val fresh = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    def frame(rows: Seq[(Long, Array[Byte])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 2),
+      schema)
+    val idxH = Multimodal.imageHashes(frame(Seq((1L, ppm(base)))), "doc_id", "payload")
+    val batH = Multimodal.imageHashes(frame(Seq(
+      (10L, ppm(base)),   // exact copy of the index image
+      (11L, ppm(near)),   // perturbed copy (near)
+      (12L, ppm(fresh))   // unrelated
+    )), "doc_id", "payload")
+    val hits = Dedup.incrementalImageDups(idxH, batH, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hits.exists { case (n, i, hd) => n == 10L && i == 1L && hd == 0 })
+    assert(hits.exists { case (n, i, hd) => n == 11L && i == 1L && hd >= 1 && hd <= 3 })
+    assert(!hits.exists(_._1 == 12L), s"fresh image matched: $hits")
+    val admitted = Dedup.incrementalImageDedup(idxH, batH, "doc_id", maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(12L))
+  }
+
   test("incremental near-dup: cross-side pairs only, admission drops hits") {
     import graft.ops.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
