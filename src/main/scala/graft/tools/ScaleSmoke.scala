@@ -287,6 +287,33 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // incremental image ingest: 5% batch vs the rest as index — class
+      // reduce first, cross-side bands only; cost tracks the increment
+      time(s"incremental image ingest (5% batch vs $nDocs-image index)") {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        def imgsOf(ids: org.apache.spark.sql.DataFrame) = ids.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val gid = id / 2
+            val rgb = new Array[Byte](16 * 12 * 3)
+            var i = 0
+            while (i < rgb.length) { rgb(i) = ((gid * 31 + i) % 256).toByte; i += 1 }
+            Row(id, graft.ops.ImageCodecs.encodePpm(
+              graft.ops.ImageCodecs.DecodedImage(16, 12, rgb)))
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+        val idxH = graft.ops.Multimodal.imageHashes(
+          imgsOf(dN.select("doc_id").filter(col("doc_id") % 20 =!= 0)), "doc_id", "payload")
+        val batH = graft.ops.Multimodal.imageHashes(
+          imgsOf(dN.select("doc_id").filter(col("doc_id") % 20 === 0)), "doc_id", "payload")
+        graft.ops.Dedup.incrementalImageDups(idxH, batH, "doc_id", maxHamming = 3)
+          .agg(count(lit(1))).collect()
+      }
+
       // PQ: train once on the base table, then encode + ADC-search the
       // replicated corpus — the scan is codes-only, queries broadcast
       time(s"pq encode + ADC top-10, 5 queries (${n * 2000} vectors)") {
