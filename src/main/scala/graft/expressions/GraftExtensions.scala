@@ -88,7 +88,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_ordered_keyed_sum"),
       info(classOf[OrderedKeyedSum], "graft_ordered_keyed_sum",
         "graft_ordered_keyed_sum(kv) - deterministic sum of array<struct<k bigint, v double>>: sort by k, left-fold 0.0 + v."),
-      (children: Seq[Expression]) => OrderedKeyedSum(children(0)))
+      (children: Seq[Expression]) => OrderedKeyedSum(children(0))),
+    (FunctionIdentifier("graft_ordered_keyed_vec_sum"),
+      info(classOf[OrderedKeyedVecSum], "graft_ordered_keyed_vec_sum",
+        "graft_ordered_keyed_vec_sum(kv) - deterministic elementwise vector sum of array<struct<k bigint, v array<double>>>: sort by k, fold v0 + v1 + ...; returns struct(sum, count)."),
+      (children: Seq[Expression]) => OrderedKeyedVecSum(children(0)))
   )
 
   /** Idempotently register the functions on an existing session. */

@@ -95,3 +95,106 @@ object OrderedKeyedSum {
   def orderedKeyedSum(kv: Column): Column =
     ColumnBridge.column(OrderedKeyedSum(ColumnBridge.expression(kv)))
 }
+
+/** Vector sibling of [[OrderedKeyedSum]]: sort
+  * `array<struct<k: long, v: array<double>>>` by key, then fold the
+  * vectors ELEMENTWISE in key order with the engine's unseeded
+  * `v0 + v1 + ...` convention (the first vector is copied, not added to
+  * zeros). Output: `struct<_1: array<double> sum, _2: bigint count>` —
+  * the shape [[graft.ops.Labels.labelCentroids]]'s level-1 fold hands to
+  * level 2.
+  *
+  * Why this exists: the previous level-1 fold was an Aggregator whose
+  * per-group summation order was whatever row order the aggregate exec
+  * delivered — correct only while `repartition + sortWithinPartitions`
+  * order survived into the hash aggregate, which
+  * ObjectHashAggregateExec's sort-based fallback (default threshold 128
+  * distinct keys per partition) does not guarantee. Here order is
+  * explicit: collect_list may deliver the structs in ANY order (hash
+  * fallback, partial-merge interleaving — all irrelevant), the sort by
+  * unique key fixes the fold order, so the doubles are bit-identical
+  * across runs, partitionings, exec strategies, and engines.
+  *
+  * Contract: keys unique within one array (the engine-wide unique-id
+  * contract); all vectors same length (throws otherwise — silent nulls
+  * would hide upstream corruption); null entries/fields → null result
+  * (defensive, same as [[OrderedKeyedSum]]). */
+case class OrderedKeyedVecSum(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(k, v)), _)
+        if k.dataType == LongType &&
+          v.dataType.isInstanceOf[ArrayType] &&
+          v.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ordered_keyed_vec_sum requires array<struct<long, array<double>>>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("_1", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("_2", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ordered_keyed_vec_sum"
+
+  override protected def nullSafeEval(a: Any): Any =
+    OrderedKeyedVecSum.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("okvs")
+      s"""
+         |Object $tmp = graft.expressions.OrderedKeyedVecSum.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedKeyedVecSum =
+    copy(child = newChild)
+}
+
+object OrderedKeyedVecSum {
+
+  /** Sort by key, copy the first vector, add the rest elementwise in key
+    * order. Returns an InternalRow (sum array, count) or null on corrupt
+    * input. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val keys = new Array[Long](n)
+    val vecs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val st = arr.getStruct(i, 2)
+      if (st.isNullAt(0) || st.isNullAt(1)) return null
+      keys(i) = st.getLong(0)
+      vecs(i) = st.getArray(1)
+      i += 1
+    }
+    val idx = Array.range(0, n).map(Integer.valueOf)
+    java.util.Arrays.sort(idx, (x: Integer, y: Integer) =>
+      java.lang.Long.compare(keys(x.intValue()), keys(y.intValue())))
+    val first = vecs(idx(0).intValue())
+    val dim = first.numElements()
+    val s = first.toDoubleArray()
+    var j = 1
+    while (j < n) {
+      val v = vecs(idx(j).intValue())
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"vector length mismatch: ${v.numElements()} vs $dim")
+      var d = 0
+      while (d < dim) { s(d) += v.getDouble(d); d += 1 }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(s),
+      n.toLong)
+  }
+
+  /** Column API: deterministic keyed vector sum of (k: long,
+    * v: array<double>) → struct(sum, count). */
+  def orderedKeyedVecSum(kv: Column): Column =
+    ColumnBridge.column(OrderedKeyedVecSum(ColumnBridge.expression(kv)))
+}

@@ -25,61 +25,33 @@ object Labels {
     pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
 
-  /** Whole-vector elementwise sum buffer: `s(d) = v0(d) + v1(d) + ...`
-    * in ARRIVAL order (the first vector is copied, not added to zeros, so
-    * the per-dimension fold is the unseeded `v0 + v1 + ...`). Arrival
-    * order is the caller's responsibility: [[labelCentroids]] feeds it
-    * from a repartition-by-group + sortWithinPartitions stage, so each
-    * group folds in id order inside one partition and `merge` only ever
-    * sees one non-empty side. */
-  private final case class VecSumBuf(var s: Array[Double], var n: Long)
-
-  private class VectorSumAggregator
-      extends org.apache.spark.sql.expressions.Aggregator[
-        scala.collection.Seq[Double], VecSumBuf, (Seq[Double], Long)]
-      with Serializable {
-    override def zero: VecSumBuf = VecSumBuf(Array.emptyDoubleArray, 0L)
-    override def reduce(b: VecSumBuf, v: scala.collection.Seq[Double]): VecSumBuf = {
-      if (b.n == 0L) {
-        b.s = v.toArray
-        b.n = 1L
-      } else {
-        require(v.length == b.s.length,
-          s"vector length mismatch: ${v.length} vs ${b.s.length}")
-        var i = 0
-        while (i < b.s.length) { b.s(i) += v(i); i += 1 }
-        b.n += 1L
-      }
-      b
-    }
-    override def merge(a: VecSumBuf, b: VecSumBuf): VecSumBuf =
-      if (a.n == 0L) b
-      else if (b.n == 0L) a
-      else {
-        require(a.s.length == b.s.length,
-          s"vector length mismatch: ${a.s.length} vs ${b.s.length}")
-        var i = 0
-        while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
-        a.n += b.n
-        a
-      }
-    override def finish(b: VecSumBuf): (Seq[Double], Long) = (b.s.toSeq, b.n)
-    override def bufferEncoder: org.apache.spark.sql.Encoder[VecSumBuf] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[VecSumBuf]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[(Seq[Double], Long)] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Long)]()
-  }
-
   /** Per-label mean embedding: (label, centroid array<double>).
     *
-    * Scale shape: posexplode to (label, dim, value) — the shuffle key is
-    * (label, dim, bucket), so a label owning most of the corpus spreads
-    * over `buckets` × dim aggregation buffers instead of concentrating
-    * its whole column in one; no buffer ever holds more than its
-    * sub-bucket's values, and the second-level fold sees ≤ `buckets`
-    * rows. Null vectors are excluded. Ids must be numeric-castable and
-    * unique (the engine-wide unit-hash contract): the native fold sorts
-    * by the id cast to long. */
+    * Scale shape: the shuffle carries ROWS (id, vector), never row × dim
+    * exploded elements — at 768-dim embeddings the exploded shape
+    * multiplies shuffle rows by the dimensionality and dominated
+    * everything (measured 330s → 32s at 12M × 8 dims across the redesigns
+    * of this fold). A label owning most of the corpus spreads over
+    * `buckets` md5 sub-buckets instead of concentrating in one
+    * aggregation buffer; the second-level fold sees ≤ `buckets` rows.
+    *
+    * Level-1 determinism is ORDER-INDEPENDENT of the aggregate exec:
+    * each (label, bucket) group collects its (id, vector) structs — in
+    * whatever order the exec delivers them (hash, sort-based fallback,
+    * partial merges: all irrelevant) — and the native
+    * [[graft.expressions.OrderedKeyedVecSum]] sorts by id and folds
+    * elementwise in id order, the unseeded `v0 + v1 + ...` per dimension
+    * the oracle replays. (The previous Aggregator folded in ARRIVAL
+    * order and silently depended on a repartition+sortWithinPartitions
+    * order surviving ObjectHashAggregateExec — which its sort-based
+    * fallback past 128 distinct keys/partition does not guarantee.)
+    *
+    * Memory: one (label, bucket) group buffers |group|/`buckets` vectors
+    * in its collect_list before the fold — at large per-label row counts
+    * scale `buckets` up (≈ sqrt(rowsPerLabel) balances the level-1 list
+    * against the level-2 partial count). Null vectors are excluded. Ids
+    * must be numeric-castable and unique (the engine-wide unit-hash
+    * contract): the native fold sorts by the id cast to long. */
   def labelCentroids(
       df: DataFrame,
       labelCol: String,
@@ -88,27 +60,15 @@ object Labels {
       buckets: Int = 64
   ): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    // Whole vectors stay together: the shuffle carries ROWS (id, vector),
-    // never row x dim exploded elements — at 768-dim embeddings the
-    // exploded shape multiplies shuffle rows by the dimensionality and
-    // dominated everything (measured 330s -> 32s at 12M x 8 dims across
-    // the redesigns of this fold). Level-1 determinism comes from
-    // repartition-by-group + sortWithinPartitions: the aggregate runs in
-    // the same stage (partitioning already matches, no second exchange),
-    // so the vector aggregator folds each group's vectors in id order —
-    // per dimension the unseeded `v0 + v1 + ...` the oracle replays.
     val rows = df
       .filter(col(vecCol).isNotNull && col(idCol).isNotNull)
       .select(col(labelCol).as("label"), col(idCol).cast("long").as("__id"),
         bucketOf(col(idCol), buckets).as("__b"),
         col(vecCol).cast("array<double>").as("__v"))
-    val vecSum = udaf(new VectorSumAggregator(),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[scala.collection.Seq[Double]]())
     val partial = rows
-      .repartition(col("label"), col("__b"))
-      .sortWithinPartitions(col("label"), col("__b"), col("__id"))
       .groupBy("label", "__b")
-      .agg(vecSum(col("__v")).as("__vs"))
+      .agg(graft.expressions.OrderedKeyedVecSum.orderedKeyedVecSum(
+        collect_list(struct(col("__id").as("k"), col("__v").as("v")))).as("__vs"))
     // level 2: ≤ `buckets` partial vectors per label — tiny. Explode to
     // dims and fold partials in bucket order through the native
     // OrderedKeyedSum (seeded 0.0 + p0 + p1 + ..., the list_prepend form).

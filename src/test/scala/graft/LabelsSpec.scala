@@ -38,6 +38,34 @@ class LabelsSpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("labelCentroids: bit-identical under forced sort-based agg fallback") {
+    // ObjectHashAggregateExec switches to sort-based aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold distinct
+    // keys per partition, and the fallback's within-group row order is
+    // not a documented guarantee. The level-1 fold must not care: order
+    // comes from the explicit sort inside OrderedKeyedVecSum, not from
+    // arrival. Force the fallback at threshold 2 with 500 labels and
+    // assert bit-identity against the default-config run.
+    val rows = (0 until 2000).map(i =>
+      (i.toLong, i % 500, Seq.tabulate(4)(d => math.cos(i * 0.61 + d) * 1e-3 + d)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val base = Labels.labelCentroids(df, "label", "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "2")
+      val forced = Labels.labelCentroids(df.repartition(11), "label", "vec_id", "embedding")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      assert(forced == base)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("labelNoiseCandidates flags the planted mislabeled row first") {
     // label 0 clusters near (1, 0); label 1 near (0, 1); row 99 carries
     // label 0 but sits on label 1's axis — it must rank as label 0's
@@ -157,5 +185,27 @@ class LabelsSpec extends SparkSpec {
       .select("neg_id", "neg_label", "neg_rank").as[(Long, Int, Long)].collect()
     assert(out.map(_._1).toSeq == Seq(3L, 4L, 5L))
     assert(!out.map(_._2).contains(0))
+  }
+
+  test("zero-norm embeddings never rank: NaN cosines drop before the heap") {
+    // a zero vector's cosine is NaN; the q139/q140 oracles exclude NaN
+    // rows (WHERE NOT isnan(cr)), and GroupTopK filters null/NaN scores
+    // before the aggregator — so the engine must agree: no NaN-ranked
+    // rows, and real rows still fill the ranks
+    val df = emb(
+      (1L, 0, Seq(1.0, 0.0)),
+      (2L, 0, Seq(0.0, 0.0)),   // zero-norm, label 0
+      (3L, 1, Seq(0.9, 0.1)),
+      (4L, 1, Seq(0.0, 0.0)))   // zero-norm, label 1
+    val noise = Labels.labelNoiseCandidates(df, "label", "vec_id", "embedding", k = 5)
+      .collect()
+    assert(!noise.map(_.getLong(1)).toSet.contains(2L))
+    assert(!noise.map(_.getLong(1)).toSet.contains(4L))
+    assert(noise.forall(r => !r.getDouble(2).isNaN))
+    val negs = Labels.hardNegatives(
+      df.filter(col("vec_id") === 1), df, "vec_id", "embedding", "label", k = 5)
+      .collect()
+    assert(negs.map(_.getLong(1)).toSeq == Seq(3L)) // 4 is NaN-cos, dropped
+    assert(negs.forall(r => !r.getDouble(3).isNaN))
   }
 }
