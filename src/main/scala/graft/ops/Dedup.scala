@@ -395,6 +395,87 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The 256-bit sibling of [[imageNearDupPairs]], over
+    * [[Multimodal.imageHashes256]] output (dh0..dh7, eight non-negative
+    * 32-bit words): distinct-class reduce, Hamming banding, exact
+    * `bit_count(xor)` verify — same algorithm, bigger hash, WIDER bands.
+    *
+    * Why it exists: 64-bit average-hash banding at exact recall ≤ 3
+    * forces 16-bit band keys — 65,536 buckets per band, so per-bucket
+    * class counts (and the candidate self-join) grow LINEARLY with
+    * distinct-image count; at 10⁹ distinct images that is ~15k classes
+    * and ~10⁸ candidate pairs per bucket. With 256 bits the default
+    * `nBands = 8` gives 32-bit band keys (keyspace 2³² — expected bucket
+    * occupancy stays O(1) past 10⁹ classes) at exact recall for Hamming
+    * ≤ 7, the same 2.7% relative radius as 3/64ths. `nBands = 16`
+    * (16-bit keys, recall ≤ 15) trades keyspace back for radius when
+    * recall matters more than corpus size.
+    *
+    * Output: (id_a, id_b, hamming ≥ 1), id_a < id_b, ids are min-id
+    * class representatives; identical-hash members are
+    * [[imageDupGroups256]]'s report. */
+  def imageNearDupPairs256(
+      hashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 7,
+      nBands: Int = 8
+  ): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    require(Seq(8, 16, 32).contains(nBands),
+      "nBands must be 8, 16, or 32 (band width 32/16/8 bits within words)")
+    require(maxHamming < nBands,
+      s"exact recall needs maxHamming < nBands (pigeonhole): got $maxHamming >= $nBands")
+    val wordCols = (0 until 8).map(j => s"dh$j")
+    val nonNull = wordCols.map(c => col(c).isNotNull).reduce(_ && _)
+    val h = hashes
+      .filter(nonNull)
+      .groupBy(wordCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol) +: wordCols.map(col): _*)
+    val width = 256 / nBands
+    val perWord = 32 / width
+    val mask = (1L << width) - 1L
+    // words are non-negative (32-bit values in longs), so arithmetic
+    // shiftright never sign-extends — SQL mirrors need no unsigned ops
+    def bandStructs(b: Int) = {
+      val j = b / perWord
+      val off = (b % perWord) * width
+      struct(lit(b).as("band"),
+        shiftright(col(s"dh$j"), off).bitwiseAND(lit(mask)).as("bk"))
+    }
+    val bands = h.select(col(idCol),
+        explode(array((0 until nBands).map(bandStructs): _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
+    val candidates = bands.select(col(idCol).as("id_a"), col("band"), col("bk"))
+      .join(bands.select(col(idCol).as("id_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val hamming = wordCols.map(c =>
+      bit_count(col(s"__a_$c").bitwiseXOR(col(s"__b_$c")))).reduce(_ + _)
+    candidates
+      .join(h.select(col(idCol).as("id_a") +:
+        wordCols.map(c => col(c).as(s"__a_$c")): _*), "id_a")
+      .join(h.select(col(idCol).as("id_b") +:
+        wordCols.map(c => col(c).as(s"__b_$c")): _*), "id_b")
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact 256-bit duplicate classes (Hamming 0) as a group report with
+    * the min-id keeper — [[imageDupGroups]] over the gradient hash. */
+  def imageDupGroups256(hashes: DataFrame, idCol: String): DataFrame = {
+    val wordCols = (0 until 8).map(j => s"dh$j")
+    hashes
+      .filter(wordCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(wordCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .select("keep_id", "n_members")
+  }
+
   /** INCREMENTAL image ingest: match a new batch's perceptual hashes
     * against a standing image index — the media sibling of
     * [[incrementalNearDupPairs]]. Exact matches come from a plain

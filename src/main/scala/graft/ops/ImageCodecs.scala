@@ -177,6 +177,48 @@ object ImageCodecs {
     (hi, lo)
   }
 
+  /** 256-bit perceptual GRADIENT hash (dHash) over the decoded pixels,
+    * INTEGER-EXACT like [[averageHashHalves]]:
+    *
+    *  - 16 sample rows × 17 sample columns: point (cx, cy) reads source
+    *    pixel `(cx·w / 17, cy·h / 16)` (integer division, the
+    *    [[resizeNearest]] index convention); luminance = r + g + b;
+    *  - bit `cy·16 + cx` (cx in 0..15) is set iff
+    *    `lum(cx+1, cy) > lum(cx, cy)` — the horizontal gradient sign;
+    *  - returned as EIGHT non-negative 32-bit words (word j = bits
+    *    32j..32j+31), long-typed so SQL oracles never touch the 64-bit
+    *    sign bit (DuckDB raises on `1::BIGINT << 63`).
+    *
+    * Why 256 bits when [[averageHashHalves]] is 64: Hamming banding over
+    * a 64-bit hash pigeonholes exact-recall-≤3 into four 16-bit bands —
+    * a 65,536-key space whose per-bucket occupancy grows linearly with
+    * distinct-image count (the corpus ceiling). 256 bits support
+    * 32-bit bands (keyspace 2³²) at the same relative radius — see
+    * [[graft.ops.Dedup.imageNearDupPairs256]]. */
+  def gradientHashWords(img: DecodedImage): Array[Long] = {
+    val words = new Array[Long](8)
+    var cy = 0
+    while (cy < 16) {
+      val sy = cy * img.height / 16
+      var prev = 0
+      var cx = 0
+      while (cx <= 16) {
+        val sx = cx * img.width / 17
+        val si = (sy * img.width + sx) * 3
+        val lum = (img.rgb(si) & 0xFF) + (img.rgb(si + 1) & 0xFF) +
+          (img.rgb(si + 2) & 0xFF)
+        if (cx > 0 && lum > prev) {
+          val idx = cy * 16 + (cx - 1)
+          words(idx / 32) |= 1L << (idx % 32)
+        }
+        prev = lum
+        cx += 1
+      }
+      cy += 1
+    }
+    words
+  }
+
   /** PPM encoder (for tests and round-trip plumbing). */
   def encodePpm(img: DecodedImage): Array[Byte] = {
     val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")

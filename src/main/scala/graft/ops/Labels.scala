@@ -200,20 +200,30 @@ object Labels {
     *
     * Scale shape: brute-force anchor × corpus scoring reduced by the
     * [[GroupTopK]] heap map-side (≤ k rows per anchor reach the shuffle)
-    * — the right shape when anchors are a bounded mining batch (the
+    * — the right shape ONLY when anchors are a bounded mining batch (the
     * standard setup: mine hard negatives for a training epoch's sample).
-    * For anchor sets at corpus scale, pre-bucket with
-    * [[Similarity.lshTopK]]'s hyperplane buckets and mine within
-    * buckets instead. */
+    * The anchor frame is counted up-front and the call FAILS LOUDLY past
+    * `maxBruteAnchors` (the cross join's cost is |anchors| full corpus
+    * scans — a silent scale-killer otherwise); large anchor sets belong
+    * on [[hardNegativesLsh]]. */
   def hardNegatives(
       anchors: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       labelCol: String,
-      k: Int
+      k: Int,
+      maxBruteAnchors: Int = 10000
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(maxBruteAnchors >= 1, "maxBruteAnchors must be >= 1")
+    // limit(n+1).count() bounds the guard's own cost: the scan stops at
+    // n+1 rows, never counting a corpus-sized anchor frame in full
+    val nAnchors = anchors.limit(maxBruteAnchors + 1).count()
+    require(nAnchors <= maxBruteAnchors,
+      s"hardNegatives is a brute-force anchors x corpus scan: got > $maxBruteAnchors " +
+        s"anchor rows; use hardNegativesLsh for large anchor sets " +
+        s"(or raise maxBruteAnchors explicitly)")
     val a = anchors.select(
       col(idCol).as("anchor_id"), col(labelCol).as("anchor_label"),
       col(vecCol).cast("array<double>").as("__av"))
@@ -228,6 +238,57 @@ object Labels {
       rankCol = "neg_rank")
     top
       .join(c.select(col("neg_id"), col("neg_label")), "neg_id")
+      .select(col("anchor_id"), col("neg_id"), col("neg_label"),
+        col("__cos").as("cos_r"), col("neg_rank"))
+  }
+
+  /** [[hardNegatives]] for anchor sets at corpus scale: candidate pairs
+    * come from hyperplane-LSH bucket equi-joins (the
+    * [[Similarity.lshTopK]] machinery — `nTables` independent `nBits`-bit
+    * sign-bucket tables, candidates = different-label rows sharing a
+    * bucket in ANY table), then only candidates get the exact cosine +
+    * [[GroupTopK]] heap ranking. Approximate where the brute path is
+    * exact — a far anchor–negative pair landing in no shared bucket is
+    * missed — which is the standard LSH recall trade, and hard-negative
+    * mining wants the HIGH-cosine pairs LSH is best at keeping.
+    *
+    * Scale shape: no cartesian anywhere (PlanShapeSpec-pinned) — two
+    * bucket projections, `nTables`-way equi-join, candidate dedup, two
+    * id equi-joins to fetch vectors, heap top-k. Bucket frames carry ids
+    * and labels only; vectors never travel through the bucket join.
+    * Output: (anchor_id, neg_id, neg_label, cos_r, neg_rank) — same
+    * schema and ranking convention as [[hardNegatives]]. */
+  def hardNegativesLsh(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 8,
+      nTables: Int = 4
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val a = Similarity.lshBuckets(anchors, idCol, vecCol, "anchor_id",
+      dim, nBits, nTables, extraCols = Seq(labelCol -> "anchor_label"))
+    val c = Similarity.lshBuckets(corpus, idCol, vecCol, "neg_id",
+      dim, nBits, nTables, extraCols = Seq(labelCol -> "neg_label"))
+    val candidates = c
+      .join(a, Seq("table", "bucket"))
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .select("anchor_id", "neg_id")
+      .distinct()
+    val scored = candidates
+      .join(corpus.select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+        col(vecCol).cast("array<double>").as("__cv")), "neg_id")
+      .join(anchors.select(col(idCol).as("anchor_id"),
+        col(vecCol).cast("array<double>").as("__av")), "anchor_id")
+      .withColumn("__cos", round(Similarity.cosine(col("__av"), col("__cv")), 6) + lit(0.0))
+      .select(col("anchor_id"), col("neg_id"), col("__cos"))
+    GroupTopK.topKPerGroup(scored, Seq("anchor_id"), "neg_id", "__cos", k,
+        rankCol = "neg_rank")
+      .join(corpus.select(col(idCol).as("neg_id"), col(labelCol).as("neg_label")), "neg_id")
       .select(col("anchor_id"), col("neg_id"), col("neg_label"),
         col("__cos").as("cos_r"), col("neg_rank"))
   }

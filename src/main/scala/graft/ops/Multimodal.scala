@@ -112,6 +112,39 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Batched 256-bit gradient hashing ([[ImageCodecs.gradientHashWords]]):
+    * (id, dh0..dh7) — eight non-negative 32-bit words, long-typed, null
+    * for undecodable/null payloads. The 32-byte artifact a 100-TB media
+    * table persists when 64-bit average-hash banding hits its
+    * distinct-image ceiling (see
+    * [[graft.ops.Dedup.imageNearDupPairs256]]). One narrow
+    * mapPartitions, no shuffle. */
+  def imageHashes256(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String
+  ): DataFrame = {
+    val idField = df.schema(idCol)
+    val schema = StructType(
+      idField +: (0 until 8).map(j =>
+        StructField(s"dh$j", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val decoded = if (bytes == null) None else ImageCodecs.decode(bytes)
+        decoded match {
+          case Some(img) =>
+            val w = ImageCodecs.gradientHashWords(img)
+            Row.fromSeq(r.get(idIdx) +: w.toSeq)
+          case None => Row.fromSeq(r.get(idIdx) +: Seq.fill[Any](8)(null))
+        }
+      }
+    }(encoder)
+  }
+
   /** Batched WAV metadata + signal features via [[AudioCodecs.decodeWav]]:
     * (id, sample_rate, channels, bits, n_frames, duration_us, rms), null
     * metadata for undecodable payloads (same degrade-don't-crash contract

@@ -54,7 +54,7 @@ object Pipelines {
         "train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
       salt: String = "graft",
       htmlClean: Boolean = false,
-      portableHashes: Boolean = false,
+      portableHashes: Boolean = true,
       lineDedupMaxDocFreq: Option[Long] = None,
       sourceQuota: Option[(String, Int)] = None,
       shuffleShards: Option[Int] = None,
@@ -122,7 +122,7 @@ object Pipelines {
       minQuality: Double = 40.0,
       langAllowlist: Seq[String] = Nil,
       htmlClean: Boolean = false,
-      portableHashes: Boolean = false,
+      portableHashes: Boolean = true,
       lineDedupMaxDocFreq: Option[Long] = None,
       gopherRules: Option[QualityRules.GopherConfig] = None,
       nfcNormalize: Boolean = false,
@@ -183,9 +183,13 @@ object Pipelines {
     // 2. near-dup removal: for every LSH-confirmed pair drop the higher id
     // (greedy transitive-ish reduction: any doc that is the higher side of
     // some pair goes; the lowest id of each near-dup cluster survives).
-    // portableHashes swaps the xxhash64 signature for the md5 poly family
-    // — same bucketed plan shape, but every hash is reproducible by any
-    // engine, making the WHOLE pipeline DuckDB-oracle-checkable (q71).
+    // The DEFAULT signature family is the md5 poly family — reproducible
+    // by any engine, so the production-default pipeline is the
+    // DuckDB-oracle-checked one (q71/q103/q104). portableHashes = false
+    // opts into the xxhash64 fast path (one 8-byte hash call per shingle
+    // vs an md5 per shingle x perm) — same bucketed plan shape, pinned
+    // equivalent by the differential specs, but its hashes exist in no
+    // other engine (rows-only checkable).
     val pairs =
       if (portableHashes)
         Dedup.polyMinhashNearDupPairs(exact, textCol, idCol,

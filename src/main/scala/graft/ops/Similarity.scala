@@ -236,6 +236,29 @@ object Similarity {
       .select(col("query_id"), col(corpusId), col("cosine"),
         col("nn_rank").cast("int").as("nn_rank"))
 
+  /** Shared LSH bucketing stage: one row per (id, table, bucket) — ids
+    * plus any `extraCols` payload, never the vectors (vectors join back
+    * by id after candidate dedup). Buckets use the engine-wide seed
+    * family `7919 * (table + 1)`. */
+  private[ops] def lshBuckets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      idOut: String,
+      dim: Int,
+      nBits: Int,
+      nTables: Int,
+      extraCols: Seq[(String, String)] = Nil
+  ): DataFrame = {
+    val arr = array((0 until nTables).map(t =>
+      struct(lit(t).as("table"),
+        hyperplaneBucket(col(vecCol), dim, nBits, seed = 7919L * (t + 1)).as("bucket"))): _*)
+    val keep = col(idCol).as(idOut) +: extraCols.map { case (c, out) => col(c).as(out) }
+    df.select(keep :+ explode(arr).as("__b"): _*)
+      .select((col(idOut) +: extraCols.map(e => col(e._2))) ++
+        Seq(col("__b.table").as("table"), col("__b.bucket").as("bucket")): _*)
+  }
+
   /** Approximate top-k via hyperplane-LSH bucketing: corpus and queries are
     * bucketed with `nTables` independent bit-sets; candidates = corpus rows
     * sharing a bucket with the query in ANY table; exact cosine + top-k is
@@ -256,15 +279,8 @@ object Similarity {
     // Bucket frames carry ONLY ids + bucket keys: vectors join back by id
     // after the candidate set is deduplicated, so no float arrays travel
     // through the bucket join or the distinct.
-    def buckets(df: DataFrame, id: String, vec: String, idOut: String): DataFrame = {
-      val arr = array((0 until nTables).map(t =>
-        struct(lit(t).as("table"),
-          hyperplaneBucket(col(vec), dim, nBits, seed = 7919L * (t + 1)).as("bucket"))): _*)
-      df.select(col(id).as(idOut), explode(arr).as("__b"))
-        .select(col(idOut), col("__b.table").as("table"), col("__b.bucket").as("bucket"))
-    }
-    val c = buckets(corpus, corpusId, corpusVec, "__cid")
-    val q = buckets(queries, queryId, queryVec, "query_id")
+    val c = lshBuckets(corpus, corpusId, corpusVec, "__cid", dim, nBits, nTables)
+    val q = lshBuckets(queries, queryId, queryVec, "query_id", dim, nBits, nTables)
 
     val candidates = c
       .join(broadcast(q), Seq("table", "bucket"))

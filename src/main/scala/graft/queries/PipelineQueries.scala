@@ -1322,6 +1322,17 @@ object PipelineQueries {
         .orderBy("anchor_id", "neg_rank")
     },
 
+    "q159_hard_negatives_lsh" -> { (s, dir) =>
+      // corpus-scale hard-negative mining: candidates from hyperplane-LSH
+      // bucket equi-joins (no cartesian anywhere — PlanShapeSpec pins it),
+      // exact cosine + heap top-k over the candidate sliver only
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Labels.hardNegativesLsh(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", "label",
+        k = 5, dim = 64, nBits = 8, nTables = 4)
+        .orderBy("anchor_id", "neg_rank")
+    },
+
     "q141_incremental_near_dups" -> { (s, dir) =>
       // daily-crawl ingest: new batch (doc_id % 4 = 0) near-dup-matched
       // against the standing index (doc_id % 4 <> 0) — band keys joined
@@ -1488,6 +1499,29 @@ object PipelineQueries {
         pairedPpms(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)),
         "doc_id", "payload")
       Dedup.imageNearDupPairs(hashes, "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    "q160_image_dhash256" -> { (s, dir) =>
+      // 256-bit gradient hash (16 rows x 17 sample columns, horizontal
+      // gradient sign), integer-exact, as eight non-negative 32-bit words
+      // — the artifact that unlocks 32-bit Hamming bands past the 64-bit
+      // hash's 65,536-key band ceiling
+      Multimodal.imageHashes256(
+        pairedPpms(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)),
+        "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+
+    "q161_image_near_dups256" -> { (s, dir) =>
+      // near-dup pairs over the 256-bit hash: distinct classes, EIGHT
+      // 32-bit band keys (keyspace 2^32 per band — bucket occupancy stays
+      // O(1) past 1e9 distinct images), bit_count verify, exact recall at
+      // Hamming <= 7 by pigeonhole
+      val hashes = Multimodal.imageHashes256(
+        pairedPpms(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)),
+        "doc_id", "payload")
+      Dedup.imageNearDupPairs256(hashes, "doc_id", maxHamming = 7, nBands = 8)
         .orderBy("id_a", "id_b")
     },
 
@@ -1681,12 +1715,16 @@ object PipelineQueries {
     // -------------------------------------- hash-based ops (rows-only)
 
     "q41_minhash_buckets" -> { (s, dir) =>
+      // EXPLICIT xxhash64 fast-path variant (rows-only by nature); the
+      // portable md5 twin q62 is the oracle-checked default family
       Dedup.minhashBuckets(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "band", "band_key")
         .orderBy("doc_id", "band")
     },
 
     "q43_simhash" -> { (s, dir) =>
+      // EXPLICIT xxhash64 fast-path variant (rows-only by nature); the
+      // portable twin q65 is the oracle-checked default family
       Dedup.simhashWithBands(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     },
@@ -1729,6 +1767,8 @@ object PipelineQueries {
     },
 
     "q47_near_dup_pairs" -> { (s, dir) =>
+      // EXPLICIT xxhash64 fast-path variant (rows-only by nature); the
+      // portable md5 twin q67 is the oracle-checked default family
       Dedup.minhashNearDupPairs(
         t(s, dir, "documents").filter(col("doc_id") < 1000),
         "text", "doc_id", threshold = 0.5)
@@ -1736,30 +1776,37 @@ object PipelineQueries {
     },
 
     "q57_clean_corpus" -> { (s, dir) =>
-      // full corpus-cleaning composition (exact dedup -> minhash near-dup
-      // removal -> quality gate); hash-dependent, so rows-only
+      // the EXPLICIT xxhash64 fast-path variant of the cleaning
+      // composition (portableHashes = false, opt-in): its hashes exist in
+      // no other engine, so rows-only — the pipeline DEFAULT is the
+      // portable md5 family, oracle-checked end-to-end as q71
       graft.ops.Pipelines.cleanCorpus(
-        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0)
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0,
+        portableHashes = false)
         .df.select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
 
     "q39_training_corpus" -> { (s, dir) =>
-      // the full preparation flow (clean -> enrich -> split) as one lazy
-      // plan; hash-dependent via minhash near-dup, so rows-only
+      // the EXPLICIT xxhash64 fast-path variant of the full preparation
+      // flow (portableHashes = false, opt-in): rows-only — the pipeline
+      // DEFAULT is the portable md5 family, oracle-checked as q104
       graft.ops.Pipelines.prepareTrainingCorpus(
-        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0)
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0,
+        portableHashes = false)
         .df.select("doc_id", "split", "n_tokens", "lang_id")
         .orderBy("doc_id")
     },
 
     "q66_corpus_funnel" -> { (s, dir) =>
-      // the prepareTrainingCorpus funnel counts as a 1-row frame — catches
-      // silent filter breakage (a stage passing everything or nothing) at
-      // verify/bench scale; hash-dependent via minhash, so rows-only
+      // the funnel counts of the EXPLICIT xxhash64 fast path (opt-in,
+      // rows-only) — catches silent filter breakage (a stage passing
+      // everything or nothing) at verify/bench scale; the DEFAULT
+      // portable-family funnel is oracle-checked as q103
       import s.implicits._
       val st = graft.ops.Pipelines.prepareTrainingCorpus(
-        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0).stats()
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0,
+        portableHashes = false).stats()
       Seq((st.input, st.afterExactDedup, st.afterNearDedup, st.afterQuality, st.output))
         .toDF("n_input", "n_exact", "n_near", "n_quality", "n_output")
     },
@@ -2445,6 +2492,44 @@ object PipelineQueries {
        |  FROM cells$sfx c JOIN t$sfx USING (doc_id) GROUP BY c.doc_id
        |)""".stripMargin
 
+  /** The paired-PPM 256-bit GRADIENT-hash CTE chain (q160/q161): same
+    * planted even/odd 16×12 images as [[imageAhashCtes]], sampled on the
+    * dHash 16-row × 17-column grid, bit `cy·16+cx` set iff the right
+    * neighbor's luminance is greater, assembled into eight non-negative
+    * 32-bit words (no 64-bit sign pitfalls — DuckDB raises on
+    * `1::BIGINT << 63`). */
+  private def imageDhashCtes(rel: String, sfx: String): String = {
+    // sampled-pixel byte formula: base = ((cy*12/16)*16 + (cx*16/17))*3,
+    // byte(p) = (gid*31 + p) % 256, odd docs perturb byte 6 to +128
+    def byteAt(off: Int): String =
+      s"""(CASE WHEN doc_id % 2 = 1 AND (((cy*12) // 16)*16 + ((cx*16) // 17))*3 + $off = 6
+         |          THEN (gid*31 + 134) % 256
+         |          ELSE (gid*31 + (((cy*12) // 16)*16 + ((cx*16) // 17))*3 + $off) % 256 END)""".stripMargin
+    val words = (0 until 8).map(j =>
+      s"""    CAST(coalesce(sum(CASE WHEN idx // 32 = $j
+         |      THEN (CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) END), 0) AS BIGINT) AS dh$j""".stripMargin)
+      .mkString(",\n")
+    s"""d$sfx AS (
+       |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE $rel
+       |), lums$sfx AS (
+       |  SELECT doc_id, cy, cx,
+       |    ${byteAt(0)}
+       |    + ${byteAt(1)}
+       |    + ${byteAt(2)} AS lum
+       |  FROM d$sfx, unnest(range(16)) AS r1(cy), unnest(range(17)) AS r2(cx)
+       |), bits$sfx AS (
+       |  SELECT a.doc_id, a.cy * 16 + a.cx AS idx
+       |  FROM lums$sfx a JOIN lums$sfx b
+       |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 16 AND b.lum > a.lum
+       |), hh$sfx AS (
+       |  SELECT d$sfx.doc_id,
+       |$words
+       |  FROM d$sfx LEFT JOIN bits$sfx ON bits$sfx.doc_id = d$sfx.doc_id
+       |  GROUP BY d$sfx.doc_id
+       |)""".stripMargin
+  }
+
   /** q156/q157 shared derivation: per-dim Σx and Σx² through the same
     * two-level fold order the engine's vector aggregator uses. */
   private val dimStatsCte: String =
@@ -2607,6 +2692,48 @@ object PipelineQueries {
         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM cells c JOIN t USING (doc_id)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // 256-bit gradient hash dump: the dHash sampling/bit arithmetic
+    // replayed exactly, eight 32-bit words per doc
+    "q160_image_dhash256" ->
+      (s"WITH ${imageDhashCtes("doc_id < 200", "")}\n" +
+        """SELECT doc_id, dh0, dh1, dh2, dh3, dh4, dh5, dh6, dh7
+          |FROM hh ORDER BY doc_id""".stripMargin),
+
+    // 256-bit near-dup pairs: distinct classes by all eight words, band
+    // key = the WORD ITSELF (nBands=8 -> 32-bit keys), bit_count verify
+    // over the eight xors, exact recall at Hamming <= 7
+    "q161_image_near_dups256" ->
+      (s"WITH ${imageDhashCtes("doc_id < 200", "")},\n" +
+        """rep AS (
+          |  SELECT min(doc_id) AS doc_id, dh0, dh1, dh2, dh3, dh4, dh5, dh6, dh7
+          |  FROM hh GROUP BY dh0, dh1, dh2, dh3, dh4, dh5, dh6, dh7
+          |), bands AS (
+          |  SELECT doc_id, 0 AS band, dh0 AS bk FROM rep
+          |  UNION ALL SELECT doc_id, 1, dh1 FROM rep
+          |  UNION ALL SELECT doc_id, 2, dh2 FROM rep
+          |  UNION ALL SELECT doc_id, 3, dh3 FROM rep
+          |  UNION ALL SELECT doc_id, 4, dh4 FROM rep
+          |  UNION ALL SELECT doc_id, 5, dh5 FROM rep
+          |  UNION ALL SELECT doc_id, 6, dh6 FROM rep
+          |  UNION ALL SELECT doc_id, 7, dh7 FROM rep
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+          |)
+          |SELECT id_a, id_b,
+          |  CAST(bit_count(xor(ha.dh0, hb.dh0)) + bit_count(xor(ha.dh1, hb.dh1))
+          |     + bit_count(xor(ha.dh2, hb.dh2)) + bit_count(xor(ha.dh3, hb.dh3))
+          |     + bit_count(xor(ha.dh4, hb.dh4)) + bit_count(xor(ha.dh5, hb.dh5))
+          |     + bit_count(xor(ha.dh6, hb.dh6)) + bit_count(xor(ha.dh7, hb.dh7)) AS INT) AS hamming
+          |FROM cand
+          |JOIN rep ha ON ha.doc_id = id_a
+          |JOIN rep hb ON hb.doc_id = id_b
+          |WHERE bit_count(xor(ha.dh0, hb.dh0)) + bit_count(xor(ha.dh1, hb.dh1))
+          |    + bit_count(xor(ha.dh2, hb.dh2)) + bit_count(xor(ha.dh3, hb.dh3))
+          |    + bit_count(xor(ha.dh4, hb.dh4)) + bit_count(xor(ha.dh5, hb.dh5))
+          |    + bit_count(xor(ha.dh6, hb.dh6)) + bit_count(xor(ha.dh7, hb.dh7)) <= 7
+          |ORDER BY id_a, id_b""".stripMargin),
 
     // planted even/odd image pairs: the perturbed byte rides the CASE,
     // then banded 16-bit keys and bit_count(xor) verify — identical
@@ -2878,6 +3005,41 @@ object PipelineQueries {
         |SELECT anchor_id, neg_id, neg_label, cr AS cos_r, neg_rank
         |FROM rk WHERE neg_rank <= 5
         |ORDER BY anchor_id, neg_rank""".stripMargin,
+
+    // LSH hard negatives: the q45 hyperplane-key interpolation, any-table
+    // bucket match restricted to different-label pairs, exact cosine +
+    // the engine's (cr DESC, neg_id) tie order over candidates only
+    "q159_hard_negatives_lsh" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 4, t => 7919L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, label, v,
+         |$sums
+         |  FROM e
+         |), kk AS (
+         |  SELECT vec_id, label, v,
+         |$keys
+         |  FROM s
+         |), a AS (SELECT * FROM kk WHERE vec_id < 50),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS neg_id
+         |  FROM kk c JOIN a ON c.label <> a.label
+         |    AND (c.k_0 = a.k_0 OR c.k_1 = a.k_1 OR c.k_2 = a.k_2 OR c.k_3 = a.k_3)
+         |), sc AS (
+         |  SELECT cand.anchor_id, cand.neg_id, c.label AS neg_label,
+         |    round(list_dot_product(a.v, c.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) + 0.0 AS cr
+         |  FROM cand
+         |  JOIN e c ON c.vec_id = cand.neg_id
+         |  JOIN e a ON a.vec_id = cand.anchor_id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cr DESC, neg_id) AS neg_rank
+         |  FROM sc WHERE NOT isnan(cr)
+         |)
+         |SELECT anchor_id, neg_id, neg_label, cr AS cos_r, neg_rank
+         |FROM rk WHERE neg_rank <= 5
+         |ORDER BY anchor_id, neg_rank""".stripMargin
+    },
 
     "q132_bpe_pair_counts" ->
       ("WITH " + bpeW0Sql + "\n" +

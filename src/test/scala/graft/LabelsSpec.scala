@@ -187,6 +187,39 @@ class LabelsSpec extends SparkSpec {
     assert(!out.map(_._2).contains(0))
   }
 
+  test("hardNegatives refuses unbounded anchor sets; LSH path takes over") {
+    val rows = (0 until 40).map(i => (i.toLong, i % 2, Seq(1.0 + 0.01 * i, 0.5)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Labels.hardNegatives(df, df, "vec_id", "embedding", "label", k = 2,
+        maxBruteAnchors = 10)
+    }
+    assert(e.getMessage.contains("hardNegativesLsh"))
+    // raising the ceiling explicitly still works
+    assert(Labels.hardNegatives(df, df, "vec_id", "embedding", "label", k = 2,
+      maxBruteAnchors = 100).count() > 0)
+  }
+
+  test("hardNegativesLsh finds the planted near-identical other-label row") {
+    // anchor 0 (label 0) at (1, 0, ...); row 100 (label 1) nearly parallel
+    // to it — LSH buckets agree on near-parallel vectors, so the planted
+    // negative must surface at rank 1 despite the approximate candidates
+    val dim = 8
+    val rows =
+      Seq((0L, 0, Seq.tabulate(dim)(d => if (d == 0) 1.0 else 0.0))) ++
+      (1 until 20).map(i => (i.toLong, 0, Seq.tabulate(dim)(d => math.sin(i + d)))) ++
+      Seq((100L, 1, Seq.tabulate(dim)(d => if (d == 0) 0.999 else 0.001))) ++
+      (101 until 120).map(i => (i.toLong, 1, Seq.tabulate(dim)(d => math.cos(i + d))))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Labels.hardNegativesLsh(
+      df.filter(col("vec_id") === 0), df, "vec_id", "embedding", "label",
+      k = 3, dim = dim)
+      .orderBy("neg_rank").collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(1) == 100L, s"expected planted negative first: ${out.toSeq}")
+    assert(out.forall(_.getInt(2) == 1)) // never the anchor's own label
+  }
+
   test("zero-norm embeddings never rank: NaN cosines drop before the heap") {
     // a zero vector's cosine is NaN; the q139/q140 oracles exclude NaN
     // rows (WHERE NOT isnan(cr)), and GroupTopK filters null/NaN scores

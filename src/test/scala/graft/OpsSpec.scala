@@ -1917,6 +1917,60 @@ class OpsSpec extends SparkSpec {
     assert(groups.toSeq == Seq((10L, 2L)))
   }
 
+  test("image near-dup 256: wide-band pairs, groups, pigeonhole guard") {
+    import graft.ops.{Dedup, ImageCodecs, Multimodal}
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
+    // dHash at w=24 samples sx = cx*24/17: cx=3 -> sx=4; sy = cy (h=16).
+    // Black->white at sampled (4, 0) flips the two adjacent gradient
+    // comparisons of row 0 — a 1..7-bit perturbation by construction
+    val pOff = (0 * 24 + 4) * 3
+    base(pOff) = 0; base(pOff + 1) = 0; base(pOff + 2) = 0
+    val near = base.clone()
+    near(pOff) = -1; near(pOff + 1) = -1; near(pOff + 2) = -1
+    val other = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
+    def ppm(b: Array[Byte]) =
+      ImageCodecs.encodePpm(ImageCodecs.DecodedImage(24, 16, b))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    def frame(rows: Seq[(Long, Array[Byte])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 2),
+      schema)
+    val hashes = Multimodal.imageHashes256(frame(Seq(
+      (1L, ppm(base)), (2L, ppm(near)), (3L, ppm(other)),
+      (4L, "not an image".getBytes("UTF-8")))), "doc_id", "payload")
+    val h = hashes.collect().map(r => r.getLong(0) -> (1 to 8).map(r.get)).toMap
+    assert(h(4L).forall(_ == null)) // undecodable -> all-null words
+    // words are unsigned 32-bit values in longs (no sign bit anywhere)
+    assert(h(1L).forall(w => w.asInstanceOf[Long] >= 0L &&
+      w.asInstanceOf[Long] < (1L << 32)))
+    assert(h(1L) != h(2L))
+    val pairs = Dedup.imageNearDupPairs256(hashes, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, hd) => a == 1L && b == 2L && hd >= 1 && hd <= 7 },
+      s"expected (1,2) pair: ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L },
+      s"unrelated image matched: ${pairs.toSeq}")
+    // identical payloads: group report, never pairs
+    val dup = Multimodal.imageHashes256(frame(Seq(
+      (10L, ppm(base)), (11L, ppm(base)), (12L, ppm(other)))), "doc_id", "payload")
+    assert(Dedup.imageNearDupPairs256(dup, "doc_id", maxHamming = 0, nBands = 8)
+      .collect().isEmpty)
+    assert(Dedup.imageDupGroups256(dup, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 2L)))
+    // pigeonhole guard: recall past nBands-1 must fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.imageNearDupPairs256(hashes, "doc_id", maxHamming = 8, nBands = 8)
+    }
+    // 16-band variant agrees with the 8-band one at radius <= 7 (both
+    // exact by pigeonhole there)
+    val p16 = Dedup.imageNearDupPairs256(hashes, "doc_id", maxHamming = 7, nBands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p16 == pairs.toSet)
+  }
+
   test("incremental image ingest: exact + near classes hit, fresh admits") {
     import graft.ops.{Dedup, ImageCodecs, Multimodal}
     import org.apache.spark.sql.types._

@@ -32,6 +32,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesLsh: no cartesian, window-free, heap-ranked") {
+    val anchors = emb.filter(col("vec_id") < 3)
+    val df = graft.ops.Labels.hardNegativesLsh(
+      anchors, emb, "vec_id", "embedding", "label", k = 5, dim = 64)
+    assert(df.count() > 0, "hardNegativesLsh returned no rows")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"hardNegativesLsh must candidate-generate via bucket equi-joins, not a cartesian:\n$plan")
+    assert(!plan.contains("Window"),
+      s"hardNegativesLsh must rank via the heap aggregate:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"hardNegativesLsh should contain the GroupTopK aggregate:\n$plan")
+  }
+
   test("gopher gate and cluster-balanced sampling keep their scale shapes") {
     import graft.ops.{QualityRules, Sampling}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
