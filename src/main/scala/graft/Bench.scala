@@ -89,6 +89,16 @@ object Bench {
       }
     }
     println(line)
+    // The driver's BENCH artifact keeps only the LAST ~2000 stdout chars,
+    // and the full line above outgrew that at ~150 queries (round 7's
+    // per-query diff covered 65 of 153). Two fixes: (1) persist the
+    // complete line as a COMMITTED repo-root artifact (target/ is
+    // gitignored) so any future round can diff every query; (2) end
+    // stdout with a SHORT summary line that always fits the tail capture
+    // whole, with a pointer to the full map.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries_n":${results.size},"failures":$failJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} FAILED queries: ${failed.mkString(", ")}")

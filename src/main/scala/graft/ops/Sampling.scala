@@ -124,11 +124,22 @@ object Sampling {
     require(targetRows > 0, "targetRows must be positive")
     // null source is a legitimate group: wrap in Option so the sorted
     // fold is total (None sorts first — document order is part of the
-    // contract) instead of NPE-ing in Ordering[String]
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    // contract) instead of NPE-ing in Ordering[String]. The group key is
+    // cast to string IN the aggregation so non-string source columns
+    // (int domain ids) work instead of ClassCastException-ing at
+    // getString; limit + require bound the driver collect — mixing is a
+    // per-SOURCE op, and a per-domain key at web scale must fail loudly
+    // here, not OOM the driver (cap domains with quotaSample first)
+    val counts = df.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("n"))
+      .limit(MixMaxSources + 1)
       .collect()
       .map(r => (Option(r.getString(0)), r.getLong(1)))
       .sortBy(_._1)
+    require(counts.length <= MixMaxSources,
+      s"temperatureMix saw > $MixMaxSources distinct sources — this is a " +
+        s"per-source mixing op, not a per-domain one; cap domains with " +
+        s"quotaSample/weightedSample first")
     // alpha = 0.5 goes through sqrt, not pow: sqrt is IEEE correctly
     // rounded (the scaladoc's bit-reproducibility contract), while pow is
     // only 1-ulp accurate and may disagree with an oracle's sqrt
@@ -152,6 +163,12 @@ object Sampling {
     * before switching to the broadcast-join acceptance table. */
   private[graft] val TemperatureMixCaseBound = 64
 
+  /** Distinct-source ceiling for the driver-collected mixing ops
+    * ([[temperatureMix]], [[tokenBudgetMix]]): far above any real
+    * source/corpus mix (dozens–thousands), far below the per-domain
+    * cardinalities that would OOM the driver collect. */
+  private[graft] val MixMaxSources = 100000
+
   /** Applies per-source acceptance thresholds either as a literal CASE
     * chain (small |sources| — codegen'd, oracle-friendly) or as a
     * broadcast-joined lookup frame (identical decisions, plan O(1) in
@@ -168,7 +185,11 @@ object Sampling {
       // (plain === never matches null and would silently drop the group)
       val aCol = accept.foldLeft(lit(0.0): Column) {
         case (acc, (s, a)) =>
-          when(col(sourceCol) <=> lit(s.orNull).cast("string"), lit(a)).otherwise(acc)
+          // cast the COLUMN side: thresholds were computed on the
+          // string-cast group key, so non-string sources must match the
+          // same way (int 7 -> "7"), not via implicit coercion
+          when(col(sourceCol).cast("string") <=> lit(s.orNull).cast("string"),
+            lit(a)).otherwise(acc)
       }
       df.filter(u < aCol)
     } else {
@@ -449,13 +470,23 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 2.0, "alpha must be in (0, 2]")
     val clean = df.filter(col(idCol).isNotNull &&
       col(weightCol).isNotNull && col(weightCol) >= 0)
+    // group key cast to string IN the aggregation (non-string source
+    // columns work instead of ClassCastException-ing at getString), null
+    // sources Option-wrapped (None sorts first — temperatureMix's
+    // convention), and the driver collect is limit+require-bounded: a
+    // per-domain key at web scale must fail loudly, not OOM the driver
     val totals = clean
-      .groupBy(col(sourceCol))
+      .groupBy(col(sourceCol).cast("string").as("__src"))
       .agg(sum(col(weightCol).cast("long")).as("__t"))
+      .limit(MixMaxSources + 1)
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map(r => Option(r.getString(0)) -> r.getLong(1))
       .sortBy(_._1)
     require(totals.nonEmpty, "no admissible rows")
+    require(totals.length <= MixMaxSources,
+      s"tokenBudgetMix saw > $MixMaxSources distinct sources — this is a " +
+        s"per-source mixing op, not a per-domain one; cap domains with " +
+        s"quotaSample/weightedSample first")
     def wpow(t: Long): Double =
       if (alpha == 0.5) math.sqrt(t.toDouble)
       else if (alpha == 1.0) t.toDouble
@@ -468,9 +499,14 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val budgets = totals.map { case (s, t) =>
-      (s, targetTokens.toDouble * (wpow(t) / z))
-    }.toSeq.toDF(sourceCol, "token_budget")
-    budgetAdmit(clean.join(broadcast(budgets), sourceCol),
+      (s.orNull, targetTokens.toDouble * (wpow(t) / z))
+    }.toSeq.toDF("__graft_src", "token_budget")
+    // null-safe join on the string-cast key: a null-source group keeps
+    // its budget instead of silently vanishing through an equi-join
+    budgetAdmit(
+      clean.join(broadcast(budgets),
+        col(sourceCol).cast("string") <=> col("__graft_src"))
+        .drop("__graft_src"),
       idCol, sourceCol, weightCol, col("token_budget"), salt)
   }
 

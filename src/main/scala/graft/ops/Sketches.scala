@@ -177,10 +177,19 @@ object Sketches {
         (-Sampling.unitHash(col(idCol), salt)).as("__neg_u")): _*)
     val winners = GroupTopK
       .topKPerGroup(scored, groupCols, idCol, "__neg_u", k, rankCol = "__srank")
-      .select((groupCols.map(col) :+ col(idCol)): _*)
+      .select(groupCols.map(c => col(c).as(s"__w_$c")) :+
+        col(idCol).as("__w_id"): _*)
+    // NULL-SAFE join-back on the group keys: groupBy keeps a null group
+    // through the heap, and a plain equi-join here would silently drop
+    // its rows — the exact-percentile paths report a null-group row, so
+    // the sampled path must too
+    val joinCond = (groupCols.map(c => col(s"__w_$c") <=> col(c)) :+
+      (col("__w_id") === col(idCol))).reduce(_ && _)
     val sample = winners.join(
-      df.select((groupCols.map(col) :+ col(idCol) :+ col(valueCol)): _*),
-      groupCols :+ idCol)
+        df.select((groupCols.map(col) :+ col(idCol) :+ col(valueCol)): _*),
+        joinCond)
+      .drop("__w_id")
+      .drop(groupCols.map(c => s"__w_$c"): _*)
     val probs = array(quantiles.map(q => lit(q._2)): _*)
     sample
       .groupBy(groupCols.map(col): _*)

@@ -264,8 +264,12 @@ object ScaleSmoke {
       }
 
       // image dedup: hash every payload once (mapPartitions decode),
-      // pair via 16-bit Hamming bands — payload bytes never re-travel
-      time(s"image ahash + near-dup pairs ($nDocs synthetic images)") {
+      // pair via 16-bit Hamming bands — payload bytes never re-travel.
+      // Odd ids perturb one SAMPLED pixel (+128 at byte 6, the q153
+      // convention), so the candidate-verify stage actually emits
+      // hamming-1..3 pairs instead of timing an empty-by-construction
+      // hamming-0 run (distinct classes are always >= 1 apart)
+      time(s"image ahash + near-dup pairs ($nDocs dup-heavy images)") {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(
@@ -278,12 +282,45 @@ object ScaleSmoke {
             val rgb = new Array[Byte](16 * 12 * 3)
             var i = 0
             while (i < rgb.length) { rgb(i) = ((gid * 31 + i) % 256).toByte; i += 1 }
+            if (id % 2 == 1) rgb(6) = ((gid * 31 + 134) % 256).toByte
             Row(id, graft.ops.ImageCodecs.encodePpm(
               graft.ops.ImageCodecs.DecodedImage(16, 12, rgb)))
           }
         }(org.apache.spark.sql.Encoders.row(schema))
         val hashes = graft.ops.Multimodal.imageHashes(imgs, "doc_id", "payload")
-        graft.ops.Dedup.imageNearDupPairs(hashes, "doc_id", maxHamming = 0)
+        val n = graft.ops.Dedup.imageNearDupPairs(hashes, "doc_id", maxHamming = 3)
+          .count()
+        require(n > 0, "near-dup verify stage produced no rows — smoke is vacuous")
+      }
+
+      // 256-bit gradient-hash near-dup over an ALL-DISTINCT corpus — the
+      // adversarial complement of the dup-heavy row above: every image is
+      // its own hash class, so band-bucket occupancy (not class reduce)
+      // carries the cost. 32-bit band keys keep buckets O(1) as distinct
+      // classes grow; the 64-bit ahash path's 16-bit keys would pack
+      // classes/65536 per bucket and go quadratic at corpus scale
+      time(s"image dhash256 near-dup pairs ($nDocs ALL-DISTINCT images)") {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val imgs = dN.select("doc_id").mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val rgb = new Array[Byte](16 * 12 * 3)
+            var i = 0
+            while (i < rgb.length) {
+              rgb(i) = (((id * 2654435761L + i * 7919L) >>> 3) % 256).toByte
+              i += 1
+            }
+            Row(id, graft.ops.ImageCodecs.encodePpm(
+              graft.ops.ImageCodecs.DecodedImage(16, 12, rgb)))
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+        val hashes = graft.ops.Multimodal.imageHashes256(imgs, "doc_id", "payload")
+        graft.ops.Dedup.imageNearDupPairs256(hashes, "doc_id",
+            maxHamming = 7, nBands = 8)
           .agg(count(lit(1))).collect()
       }
 
@@ -312,6 +349,44 @@ object ScaleSmoke {
           imgsOf(dN.select("doc_id").filter(col("doc_id") % 20 === 0)), "doc_id", "payload")
         graft.ops.Dedup.incrementalImageDups(idxH, batH, "doc_id", maxHamming = 3)
           .agg(count(lit(1))).collect()
+      }
+
+      // LSH hard-negative mining: 100 FIXED anchors vs the replicated
+      // corpus — bucket equi-joins (no cartesian), so cost tracks the
+      // corpus scan + candidate sliver, never |anchors| corpus scans
+      time(s"hardNegativesLsh, 100 anchors (${n * 2000} vectors)") {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val embN = blowUpKeyed(emb, n, "vec_id")
+        val anchors = emb.filter(col("vec_id") < 100)
+        graft.ops.Labels.hardNegativesLsh(
+          anchors, embN, "vec_id", "embedding", "label", k = 10, dim = 64)
+          .agg(count(lit(1))).collect()
+      }
+
+      // the COMPOSED preparation pipeline with every optional stage on
+      // (clean -> line dedup -> portable near-dup -> gopher + quality ->
+      // decontaminate -> enrich -> perplexity + length gates -> quota ->
+      // split -> shuffle order): catches cross-stage state interactions
+      // that per-operator rows cannot (lenient thresholds — the cost is
+      // the composition, not the filter rates)
+      time(s"prepareTrainingCorpus, all stages ($nDocs docs)") {
+        val bench = docs.filter(col("doc_id") >= baseDocs - 100)
+        graft.ops.Pipelines.prepareTrainingCorpus(
+          dN,
+          nearDupThreshold = 0.9,
+          minQuality = 10.0,
+          htmlClean = true,
+          lineDedupMaxDocFreq = Some(100L),
+          sourceQuota = Some(("source", 100000)),
+          shuffleShards = Some(64),
+          maxPerplexity = Some(1e9),
+          maxLengthZ = Some(8.0),
+          gopherRules = Some(graft.ops.QualityRules.GopherConfig(
+            minWords = 1, minAvgWordLen = 0.0, maxAvgWordLen = 100.0,
+            maxSymbolRatio = 1.0, minAlphaFrac = 0.0, minStopwordHits = 0)),
+          benchDecontaminate = Some((bench, 0.8)))
+          .df.agg(count(col("shuffle_pos"))).collect()
+        graft.Checkpoints.freeAll(spark)
       }
 
       // PQ: train once on the base table, then encode + ADC-search the

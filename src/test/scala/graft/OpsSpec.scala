@@ -1849,6 +1849,48 @@ class OpsSpec extends SparkSpec {
     assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixing ops: int source keys, null-source groups, loud source ceiling") {
+    import graft.ops.Sampling
+    // INT source column: previously a ClassCastException at the driver
+    // collect (getString on an int); the string-cast group key must give
+    // the same decisions as pre-casting the column
+    val intSrc = spark.range(0, 600).toDF("id")
+      .withColumn("src", (col("id") % 3).cast("int"))
+      .withColumn("w", lit(5L))
+    val viaInt = Sampling.tokenBudgetMix(intSrc, "id", "src", "w",
+      alpha = 0.5, targetTokens = 900L, salt = "im1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaStr = Sampling.tokenBudgetMix(
+      intSrc.withColumn("src", col("src").cast("string")), "id", "src", "w",
+      alpha = 0.5, targetTokens = 900L, salt = "im1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaInt == viaStr && viaInt.nonEmpty)
+    assert(Sampling.temperatureMix(intSrc, "id", "src",
+      alpha = 0.5, targetRows = 300L, salt = "im2").count() > 0)
+    // a null-source group keeps its budget (null-safe join, not a silent
+    // equi-join drop)
+    val withNull = spark.range(0, 200).toDF("id")
+      .withColumn("src", when(col("id") < 100, "a").otherwise(lit(null).cast("string")))
+      .withColumn("w", lit(5L))
+    val nullKept = Sampling.tokenBudgetMix(withNull, "id", "src", "w",
+      alpha = 0.5, targetTokens = 500L, salt = "im3")
+      .filter(col("src").isNull).count()
+    assert(nullKept > 0, "null-source group vanished from tokenBudgetMix")
+    // per-domain misuse fails loudly instead of collecting the world
+    val manySources = spark.range(0, Sampling.MixMaxSources + 1L).toDF("id")
+      .withColumn("src", col("id").cast("string"))
+      .withColumn("w", lit(1L))
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(manySources, "id", "src", alpha = 0.5, targetRows = 10L)
+    }
+    assert(e1.getMessage.contains("distinct sources"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMix(manySources, "id", "src", "w",
+        alpha = 0.5, targetTokens = 10L)
+    }
+    assert(e2.getMessage.contains("distinct sources"))
+  }
+
   test("group split: every group lands whole in one split") {
     import graft.ops.Sampling
     val df = spark.range(0, 3000).toDF("id")

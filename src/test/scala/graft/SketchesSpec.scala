@@ -86,6 +86,21 @@ class SketchesSpec extends SparkSpec {
     assert(again == m)
   }
 
+  test("sampledQuantiles keeps a null group like the exact paths do") {
+    // a null group key survives groupBy; the join-back must be null-safe
+    // or the whole group silently vanishes from the report
+    val rows = (0 until 30).map(i => (Option("a"), i.toLong, i.toLong)) ++
+      (0 until 30).map(i => (Option.empty[String], 100L + i, (i * 2).toLong))
+    val df = rows.toDF("g", "id", "v")
+    val out = Sketches.sampledQuantiles(df, Seq("g"), "id", "v",
+      Seq("p50" -> 0.5), k = 64)
+    val m = out.collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(m.contains(None), s"null group dropped: $m")
+    // below k the sample is the group: exact interpolated percentiles
+    assert(m(Some("a")) == 14.5)
+    assert(m(None) == 29.0)
+  }
+
   test("sampledQuantiles bounds state: heap plan, no Window node") {
     val df = (0 until 100).map(i => ("g", i.toLong, i.toLong)).toDF("g", "id", "v")
     val out = Sketches.sampledQuantiles(df, Seq("g"), "id", "v", Seq("p50" -> 0.5), k = 8)
