@@ -77,6 +77,25 @@ object Checkpoints {
     out
   }
 
+  /** [[localCheckpoint]] only when the frame's logical plan is deep
+    * enough for lineage truncation to matter. The checkpoint exists to
+    * stop a DEEP upstream subtree (a full pipeline output) being repeated
+    * verbatim in every consumer branch — plan strings grow multiplicative
+    * and a long chain OOMs the driver building AQE explain output. But an
+    * eager checkpoint is a real materialization job (~0.5s flat even on a
+    * raw-scan input where there is nothing to truncate), so shallow plans
+    * skip it and keep their ordinary exchange barrier. `minNodes` = 32:
+    * raw scan + project + filter chains sit well under 10 logical nodes;
+    * composed pipeline outputs run to dozens–hundreds. */
+  def localCheckpointIfDeep(
+      df: DataFrame,
+      eager: Boolean = true,
+      minNodes: Int = 32
+  ): DataFrame = {
+    val nodes = df.queryExecution.logical.collect { case n => n }.size
+    if (nodes >= minNodes) localCheckpoint(df, eager) else df
+  }
+
   /** Immediately unpersists the persisted/checkpointed RDD(s) backing
     * `df`. Call only on frames produced by [[localCheckpoint]] (or graft
     * operators that use it) once nothing will read them again — an

@@ -289,7 +289,7 @@ object Dedup {
     // minhashNearDupPairs: the signature projection feeds the bucket
     // explode and both join-backs. Native one-pass expression;
     // polyShingleSignatureHof is the differential.
-    val sigs = graft.Checkpoints.localCheckpoint(
+    val sigs = graft.Checkpoints.localCheckpointIfDeep(
       df.select(col(idCol),
           graft.expressions.PolyMinHashSignature(col(textCol), numPerms, k).as("signature"))
         .repartition(col(idCol)))
@@ -562,7 +562,7 @@ object Dedup {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     val rows = numPerms / bands
     def sigsOf(df: DataFrame, idOut: String, sigOut: String) =
-      graft.Checkpoints.localCheckpoint(
+      graft.Checkpoints.localCheckpointIfDeep(
         df.select(col(idCol).as(idOut),
             graft.expressions.PolyMinHashSignature(col(textCol), numPerms, k).as(sigOut))
           .repartition(col(idOut)))
@@ -665,8 +665,11 @@ object Dedup {
     // a long chain OOMs the driver building explain output (observed via
     // splitLeakagePairs over prepareTrainingCorpus). Signatures-only, so
     // the checkpointed bytes are ids + numHashes ints, not corpus text;
-    // Checkpoints.freeAll reclaims them at the host's barrier.
-    val sigs = graft.Checkpoints.localCheckpoint(
+    // Checkpoints.freeAll reclaims them at the host's barrier. CONDITIONAL
+    // on plan depth: a raw-scan input has nothing to truncate, and the
+    // eager materialization job cost ~0.6s flat on sub-second queries
+    // (round-7 q56 regression) — shallow plans keep just the exchange.
+    val sigs = graft.Checkpoints.localCheckpointIfDeep(
       df.select(col(idCol),
         minhashSignature(col(textCol), numHashes, k).as("signature"))
         .repartition(col(idCol)))

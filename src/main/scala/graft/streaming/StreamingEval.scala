@@ -305,4 +305,58 @@ object StreamingEval {
       span: Int = 13
   ): DataFrame =
     docs.filter(!graft.ops.Dedup.spanContaminatedFlag(col(textCol), benchSketch, span))
+
+  /** END-TO-END streaming image ingest — the executable daily-crawl
+    * story: each micro-batch's payloads are hashed
+    * ([[graft.ops.Multimodal.imageHashes]], stateless decode), vetted
+    * against the PERSISTED hash index with
+    * [[graft.ops.Dedup.incrementalImageDedup]] semantics (admit only
+    * rows whose hash class matches nothing in the index exactly or
+    * within `maxHamming`), and the admissions are APPENDED to the index
+    * — so batch N+1 dedups against the original index PLUS every earlier
+    * batch's admissions. Runs as `foreachBatch`: inside the hook the
+    * batch frame is ordinary batch data, so the exact batch operator —
+    * not a re-implementation — does the vetting (streamed admissions are
+    * bit-identical to a sequential batch replay, StreamingSpec-pinned).
+    *
+    * Scale shape per batch: the index is read as HASHES ONLY (the
+    * persisted 8-byte-pairs table — payload bytes never travel), the
+    * band join is cross-side only, and the append writes just the
+    * admitted rows. Within one batch, members of one new hash class are
+    * all admitted (class-level vetting, the batch operator's contract);
+    * undecodable payloads (null hashes) are excluded — route them
+    * explicitly if the pipeline wants them.
+    *
+    * The caller owns checkpointing (`.option("checkpointLocation", …)` on
+    * a real deployment) and starting: this returns the configured
+    * `DataStreamWriter`; call `.start()` and await. `indexPath` need not
+    * exist yet — an absent index admits everything in batch 0 and is
+    * created by the first append. */
+  def imageIngestStream(
+      images: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      maxHamming: Int = 3
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    images.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val hashes = graft.ops.Multimodal.imageHashes(batch, idCol, payloadCol)
+      val index =
+        try spark.read.parquet(indexPath)
+        catch {
+          // first batch against a not-yet-created index: empty frame of
+          // the hash schema (same columns the append below will write)
+          case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              hashes.schema)
+        }
+      val admitted = graft.ops.Dedup.incrementalImageDedup(
+        index, hashes, idCol, maxHamming)
+      // one deterministic append per micro-batch; the NEXT batch's read
+      // sees it, which is what makes cross-batch dedup work
+      admitted.write.mode("append").parquet(indexPath)
+      ()
+    }
 }

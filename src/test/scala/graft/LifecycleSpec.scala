@@ -17,6 +17,34 @@ class LifecycleSpec extends SparkSpec {
   private def persistedIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
+  test("localCheckpointIfDeep: shallow plans skip the job, deep plans truncate") {
+    Checkpoints.freeAll(spark)
+    val before = Checkpoints.trackedCount
+    // shallow: scan + filter + project — no materialization job, no blocks
+    val shallow = Checkpoints.localCheckpointIfDeep(
+      spark.range(100).toDF("id").filter(col("id") > 2).select(col("id") * 2))
+    assert(shallow.count() == 97)
+    assert(Checkpoints.trackedCount == before, "shallow plan must not checkpoint")
+    // deep: a 40-step column chain crosses the node threshold and must be
+    // truncated (the repeated-subtree driver-OOM guard)
+    val deep = (1 to 40).foldLeft(spark.range(50).toDF("id")) {
+      (df, i) => df.filter(col("id") =!= lit(-i))
+    }
+    val cp = Checkpoints.localCheckpointIfDeep(deep)
+    assert(cp.count() == 50)
+    assert(Checkpoints.trackedCount > before, "deep plan must checkpoint")
+    assert(cp.queryExecution.logical.collect { case n => n }.size < 5,
+      "checkpoint must truncate the logical plan")
+    Checkpoints.freeAll(spark)
+    // the near-dup signature path rides the conditional: a raw-frame
+    // input leaves no tracked checkpoint behind
+    val docs = (0 until 50).map(i => (i.toLong, s"doc text $i body")).toDF("doc_id", "text")
+    Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.9).count()
+    assert(Checkpoints.trackedCount == 0,
+      "raw-scan near-dup input must not leave checkpoint blocks")
+    Checkpoints.freeAll(spark)
+  }
+
   test("Checkpoints: freeAll drops tracked blocks; pinned survives until releasePinned") {
     Checkpoints.freeAll(spark)
     val base = persistedIds

@@ -402,6 +402,60 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming image ingest: cross-batch dedup against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Dedup, ImageCodecs, Multimodal}
+    def img(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      ImageCodecs.encodePpm(ImageCodecs.DecodedImage(16, 8,
+        Array.fill(16 * 8 * 3)(r2.nextInt(256).toByte)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-img-ingest").toString
+    val indexPath = s"$dir/index"
+    import spark.implicits._
+    // seed the standing index with image A (id 1)
+    Multimodal.imageHashes(
+        Seq((1L, img(1))).toDF("doc_id", "payload"), "doc_id", "payload")
+      .write.parquet(indexPath)
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = graft.streaming.StreamingEval.imageIngestStream(
+        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", indexPath)
+      .start()
+    try {
+      // batch 1: a copy of A (reject), new image B (admit), junk (excluded)
+      input.addData((10L, img(1)), (11L, img(2)), (12L, "junk".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val after1 = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L, 11L), s"batch 1 admissions wrong: $after1")
+      // batch 2: a copy of B (MUST reject against batch 1's admission —
+      // the cross-batch property), new image C (admit)
+      input.addData((20L, img(2)), (21L, img(3)))
+      query.processAllAvailable()
+      val after2 = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 11L, 21L), s"batch 2 admissions wrong: $after2")
+
+      // differential: the streamed index equals a sequential BATCH replay
+      // of incrementalImageDedup over the same two batches
+      val idx0 = Multimodal.imageHashes(
+        Seq((1L, img(1))).toDF("doc_id", "payload"), "doc_id", "payload")
+      val b1 = Multimodal.imageHashes(
+        Seq((10L, img(1)), (11L, img(2)), (12L, "junk".getBytes("UTF-8")))
+          .toDF("doc_id", "payload"), "doc_id", "payload")
+      val adm1 = Dedup.incrementalImageDedup(idx0, b1, "doc_id")
+      val idx1 = idx0.unionByName(adm1)
+      val b2 = Multimodal.imageHashes(
+        Seq((20L, img(2)), (21L, img(3))).toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      val adm2 = Dedup.incrementalImageDedup(idx1, b2, "doc_id")
+      val replay = idx1.unionByName(adm2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after2 == replay, s"streamed $after2 != batch replay $replay")
+    } finally query.stop()
+  }
+
   test("streaming gopher gate matches the batch filter (stateless, no helper cols)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
