@@ -414,6 +414,41 @@ object Dedup {
     * Output: (id_a, id_b, hamming ≥ 1), id_a < id_b, ids are min-id
     * class representatives; identical-hash members are
     * [[imageDupGroups256]]'s report. */
+  private val DhashWordCols: Seq[String] = (0 until 8).map(j => s"dh$j")
+
+  /** Distinct 256-bit hash classes (all 8 words) with the min-id rep. */
+  private def dhashClasses(hashes: DataFrame, idCol: String, idOut: String): DataFrame =
+    hashes
+      .filter(DhashWordCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(DhashWordCols.map(col): _*)
+      .agg(min(col(idCol)).as(idOut))
+      .select(col(idOut) +: DhashWordCols.map(col): _*)
+
+  /** The `nBands` Hamming band keys of a dhash-words frame. Words are
+    * non-negative (32-bit values in longs), so arithmetic shiftright
+    * never sign-extends — SQL mirrors need no unsigned ops. */
+  private def dhashBands(h: DataFrame, idOut: String, nBands: Int): DataFrame = {
+    require(Seq(8, 16, 32).contains(nBands),
+      "nBands must be 8, 16, or 32 (band width 32/16/8 bits within words)")
+    val width = 256 / nBands
+    val perWord = 32 / width
+    val mask = (1L << width) - 1L
+    def bandStructs(b: Int) = {
+      val j = b / perWord
+      val off = (b % perWord) * width
+      struct(lit(b).as("band"),
+        shiftright(col(s"dh$j"), off).bitwiseAND(lit(mask)).as("bk"))
+    }
+    h.select(col(idOut),
+        explode(array((0 until nBands).map(bandStructs): _*)).as("b"))
+      .select(col(idOut), col("b.band").as("band"), col("b.bk").as("bk"))
+  }
+
+  /** Exact 256-bit Hamming distance between two prefixed word sets. */
+  private def dhashHamming(aPrefix: String, bPrefix: String): Column =
+    DhashWordCols.map(c =>
+      bit_count(col(s"$aPrefix$c").bitwiseXOR(col(s"$bPrefix$c")))).reduce(_ + _)
+
   def imageNearDupPairs256(
       hashes: DataFrame,
       idCol: String,
@@ -421,59 +456,90 @@ object Dedup {
       nBands: Int = 8
   ): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
-    require(Seq(8, 16, 32).contains(nBands),
-      "nBands must be 8, 16, or 32 (band width 32/16/8 bits within words)")
     require(maxHamming < nBands,
       s"exact recall needs maxHamming < nBands (pigeonhole): got $maxHamming >= $nBands")
-    val wordCols = (0 until 8).map(j => s"dh$j")
-    val nonNull = wordCols.map(c => col(c).isNotNull).reduce(_ && _)
-    val h = hashes
-      .filter(nonNull)
-      .groupBy(wordCols.map(col): _*)
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol) +: wordCols.map(col): _*)
-    val width = 256 / nBands
-    val perWord = 32 / width
-    val mask = (1L << width) - 1L
-    // words are non-negative (32-bit values in longs), so arithmetic
-    // shiftright never sign-extends — SQL mirrors need no unsigned ops
-    def bandStructs(b: Int) = {
-      val j = b / perWord
-      val off = (b % perWord) * width
-      struct(lit(b).as("band"),
-        shiftright(col(s"dh$j"), off).bitwiseAND(lit(mask)).as("bk"))
-    }
-    val bands = h.select(col(idCol),
-        explode(array((0 until nBands).map(bandStructs): _*)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
+    val h = dhashClasses(hashes, idCol, idCol)
+    val bands = dhashBands(h, idCol, nBands)
     val candidates = bands.select(col(idCol).as("id_a"), col("band"), col("bk"))
       .join(bands.select(col(idCol).as("id_b"), col("band"), col("bk")),
         Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val hamming = wordCols.map(c =>
-      bit_count(col(s"__a_$c").bitwiseXOR(col(s"__b_$c")))).reduce(_ + _)
     candidates
       .join(h.select(col(idCol).as("id_a") +:
-        wordCols.map(c => col(c).as(s"__a_$c")): _*), "id_a")
+        DhashWordCols.map(c => col(c).as(s"__a_$c")): _*), "id_a")
       .join(h.select(col(idCol).as("id_b") +:
-        wordCols.map(c => col(c).as(s"__b_$c")): _*), "id_b")
-      .withColumn("hamming", hamming.cast("int"))
+        DhashWordCols.map(c => col(c).as(s"__b_$c")): _*), "id_b")
+      .withColumn("hamming", dhashHamming("__a_", "__b_").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Exact 256-bit duplicate classes (Hamming 0) as a group report with
     * the min-id keeper — [[imageDupGroups]] over the gradient hash. */
-  def imageDupGroups256(hashes: DataFrame, idCol: String): DataFrame = {
-    val wordCols = (0 until 8).map(j => s"dh$j")
+  def imageDupGroups256(hashes: DataFrame, idCol: String): DataFrame =
     hashes
-      .filter(wordCols.map(c => col(c).isNotNull).reduce(_ && _))
-      .groupBy(wordCols.map(col): _*)
+      .filter(DhashWordCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(DhashWordCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_members"))
       .filter(col("n_members") >= 2)
       .select("keep_id", "n_members")
+
+  /** INCREMENTAL 256-bit image ingest — [[incrementalImageDups]] over the
+    * gradient hash: exact matches equi-join all eight words, near matches
+    * band the class representatives CROSS-SIDE only (the standing index
+    * never pairs with itself; with the default 32-bit bands its bucket
+    * occupancy stays O(1) however big the index grows — exactly where the
+    * 64-bit band ceiling bit hardest). Output: (new_id, index_id,
+    * hamming) over class representatives. */
+  def incrementalImageDups256(
+      indexHashes: DataFrame,
+      batchHashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 7,
+      nBands: Int = 8
+  ): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    require(maxHamming < nBands,
+      s"exact recall needs maxHamming < nBands (pigeonhole): got $maxHamming >= $nBands")
+    val idx = dhashClasses(indexHashes, idCol, "index_id")
+    val bat = dhashClasses(batchHashes, idCol, "new_id")
+    val exact = bat.join(idx, DhashWordCols)
+      .select(col("new_id"), col("index_id"), lit(0).as("hamming"))
+    val near = dhashBands(bat, "new_id", nBands)
+      .join(dhashBands(idx, "index_id", nBands), Seq("band", "bk"))
+      .select("new_id", "index_id")
+      .distinct()
+      .join(bat.select(col("new_id") +:
+        DhashWordCols.map(c => col(c).as(s"__n_$c")): _*), "new_id")
+      .join(idx.select(col("index_id") +:
+        DhashWordCols.map(c => col(c).as(s"__i_$c")): _*), "index_id")
+      .withColumn("hamming", dhashHamming("__n_", "__i_").cast("int"))
+      .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+      .select(col("new_id"), col("index_id"), col("hamming"))
+    exact.unionByName(near)
+  }
+
+  /** The admission half of 256-bit image ingest: batch rows whose hash
+    * class matches nothing in the index exactly or within `maxHamming`
+    * ([[incrementalImageDedup]] over the gradient hash). Undecodable
+    * payloads (null words) are excluded. */
+  def incrementalImageDedup256(
+      indexHashes: DataFrame,
+      batchHashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 7,
+      nBands: Int = 8
+  ): DataFrame = {
+    val hitClasses = incrementalImageDups256(
+        indexHashes, batchHashes, idCol, maxHamming, nBands)
+      .join(dhashClasses(batchHashes, idCol, "new_id"), "new_id")
+      .select(DhashWordCols.map(col): _*)
+      .distinct()
+    batchHashes
+      .filter(DhashWordCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .join(hitClasses, DhashWordCols, "left_anti")
   }
 
   /** INCREMENTAL image ingest: match a new batch's perceptual hashes

@@ -1525,6 +1525,23 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q162_image_ingest256" -> { (s, dir) =>
+      // incremental media ingest over the 256-bit gradient hash: exact
+      // classes equi-join all eight words, near classes band CROSS-SIDE
+      // only with 32-bit keys — the ingest shape that survives a
+      // billion-image standing index (q158's 64-bit twin hits the
+      // 65,536-key band ceiling there)
+      val docs = t(s, dir, "documents").select("doc_id")
+      val idxH = Multimodal.imageHashes256(
+        pairedPpms(docs.filter(col("doc_id") < 200 && col("doc_id") % 2 === 0)),
+        "doc_id", "payload")
+      val batH = Multimodal.imageHashes256(
+        pairedPpms(docs.filter(col("doc_id") < 300 && col("doc_id") % 2 === 1)),
+        "doc_id", "payload")
+      Dedup.incrementalImageDups256(idxH, batH, "doc_id", maxHamming = 7, nBands = 8)
+        .orderBy("new_id", "index_id")
+    },
+
     "q155_image_dup_groups" -> { (s, dir) =>
       // exact-hash duplicate classes (Hamming 0) as a GROUP report with
       // the min-id keeper — a million-copy image is one row, never a
@@ -2734,6 +2751,47 @@ object PipelineQueries {
           |    + bit_count(xor(ha.dh4, hb.dh4)) + bit_count(xor(ha.dh5, hb.dh5))
           |    + bit_count(xor(ha.dh6, hb.dh6)) + bit_count(xor(ha.dh7, hb.dh7)) <= 7
           |ORDER BY id_a, id_b""".stripMargin),
+
+    // 256-bit incremental ingest: exact classes equi-join all 8 words,
+    // near classes band cross-side (band key = the word), hamming 1..7
+    "q162_image_ingest256" -> {
+      val w = (0 until 8).map(j => s"dh$j")
+      val wList = w.mkString(", ")
+      def classes(sfx: String, idOut: String) =
+        s"SELECT $wList, min(doc_id) AS $idOut FROM hh$sfx GROUP BY $wList"
+      def bandsOf(src: String, idOut: String) =
+        (0 until 8).map(j => s"SELECT $idOut, $j AS band, dh$j AS bk FROM $src")
+          .mkString("\n  UNION ALL ")
+      val eqAll = w.map(c => s"cn.$c = ci.$c").mkString(" AND ")
+      val ham = w.map(c => s"bit_count(xor(cn.$c, ci.$c))").mkString(" + ")
+      s"""WITH ${imageDhashCtes("doc_id < 200 AND doc_id % 2 = 0", "_i")},
+         |${imageDhashCtes("doc_id < 300 AND doc_id % 2 = 1", "_n")},
+         |ci AS (${classes("_i", "index_id")}),
+         |cn AS (${classes("_n", "new_id")}),
+         |ex AS (
+         |  SELECT cn.new_id, ci.index_id, 0 AS hamming
+         |  FROM cn JOIN ci ON $eqAll
+         |),
+         |bi AS (
+         |  ${bandsOf("ci", "index_id")}
+         |),
+         |bn AS (
+         |  ${bandsOf("cn", "new_id")}
+         |),
+         |nearc AS (
+         |  SELECT DISTINCT bn.new_id, bi.index_id
+         |  FROM bn JOIN bi ON bn.band = bi.band AND bn.bk = bi.bk
+         |),
+         |near AS (
+         |  SELECT nearc.new_id, nearc.index_id, CAST($ham AS INT) AS hamming
+         |  FROM nearc
+         |  JOIN cn ON cn.new_id = nearc.new_id
+         |  JOIN ci ON ci.index_id = nearc.index_id
+         |  WHERE $ham BETWEEN 1 AND 7
+         |)
+         |SELECT * FROM ex UNION ALL SELECT * FROM near
+         |ORDER BY new_id, index_id""".stripMargin
+    },
 
     // planted even/odd image pairs: the perturbed byte rides the CASE,
     // then banded 16-bit keys and bit_count(xor) verify — identical

@@ -2013,6 +2013,44 @@ class OpsSpec extends SparkSpec {
     assert(p16 == pairs.toSet)
   }
 
+  test("incremental image ingest 256: exact + near hit cross-side, fresh admits") {
+    import graft.ops.{Dedup, ImageCodecs, Multimodal}
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(23)
+    def ppm(bytes: Array[Byte]) =
+      ImageCodecs.encodePpm(ImageCodecs.DecodedImage(24, 16, bytes))
+    val base = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
+    val pOff = (0 * 24 + 4) * 3 // dHash-sampled pixel (4, 0) — cx=3
+    base(pOff) = 0; base(pOff + 1) = 0; base(pOff + 2) = 0
+    val near = base.clone()
+    near(pOff) = -1; near(pOff + 1) = -1; near(pOff + 2) = -1
+    val fresh = Array.fill(24 * 16 * 3)(rnd.nextInt(256).toByte)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    def frame(rows: Seq[(Long, Array[Byte])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 2),
+      schema)
+    val idxH = Multimodal.imageHashes256(frame(Seq((1L, ppm(base)))), "doc_id", "payload")
+    val batH = Multimodal.imageHashes256(frame(Seq(
+      (10L, ppm(base)),   // exact copy -> hamming 0 hit
+      (11L, ppm(near)),   // perturbed -> near hit in 1..7
+      (12L, ppm(fresh)),  // unrelated -> admits
+      (13L, "junk".getBytes("UTF-8")))), "doc_id", "payload") // undecodable
+    val hits = Dedup.incrementalImageDups256(idxH, batH, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hits.exists { case (n, i, h) => n == 10L && i == 1L && h == 0 })
+    assert(hits.exists { case (n, i, h) => n == 11L && i == 1L && h >= 1 && h <= 7 },
+      s"perturbed copy missed: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 12L))
+    // the index NEVER pairs with itself: no index-index rows possible by
+    // construction (cross-side bands only) — and admissions are exactly
+    // the fresh image (undecodable excluded)
+    val admitted = Dedup.incrementalImageDedup256(idxH, batH, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(12L), s"admissions wrong: $admitted")
+  }
+
   test("incremental image ingest: exact + near classes hit, fresh admits") {
     import graft.ops.{Dedup, ImageCodecs, Multimodal}
     import org.apache.spark.sql.types._
