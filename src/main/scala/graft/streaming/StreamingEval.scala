@@ -339,9 +339,37 @@ object StreamingEval {
       indexPath: String,
       maxHamming: Int = 3
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestWith(images, indexPath,
+      graft.ops.Multimodal.imageHashes(_, idCol, payloadCol),
+      graft.ops.Dedup.incrementalImageDedup(_, _, idCol, maxHamming))
+
+  /** [[imageIngestStream]] over the 256-bit gradient hash — the variant
+    * whose band-bucket occupancy stays O(1) however big the standing
+    * index grows (see [[graft.ops.Dedup.imageNearDupPairs256]]); the
+    * persisted index holds (id, dh0..dh7). */
+  def imageIngestStream256(
+      images: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      maxHamming: Int = 7,
+      nBands: Int = 8
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestWith(images, indexPath,
+      graft.ops.Multimodal.imageHashes256(_, idCol, payloadCol),
+      graft.ops.Dedup.incrementalImageDedup256(_, _, idCol, maxHamming, nBands))
+
+  /** Shared foreachBatch ingest core: hash the batch, vet against the
+    * persisted index, append admissions. */
+  private def ingestWith(
+      images: DataFrame,
+      indexPath: String,
+      hashFn: DataFrame => DataFrame,
+      dedupFn: (DataFrame, DataFrame) => DataFrame
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     images.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
-      val hashes = graft.ops.Multimodal.imageHashes(batch, idCol, payloadCol)
+      val hashes = hashFn(batch)
       val index =
         try spark.read.parquet(indexPath)
         catch {
@@ -352,8 +380,7 @@ object StreamingEval {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               hashes.schema)
         }
-      val admitted = graft.ops.Dedup.incrementalImageDedup(
-        index, hashes, idCol, maxHamming)
+      val admitted = dedupFn(index, hashes)
       // one deterministic append per micro-batch; the NEXT batch's read
       // sees it, which is what makes cross-batch dedup work
       admitted.write.mode("append").parquet(indexPath)

@@ -456,6 +456,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming image ingest 256: same cross-batch property, gradient hash") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{ImageCodecs, Multimodal}
+    def img(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed + 100)
+      ImageCodecs.encodePpm(ImageCodecs.DecodedImage(16, 8,
+        Array.fill(16 * 8 * 3)(r2.nextInt(256).toByte)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-img-ingest256").toString
+    val indexPath = s"$dir/index"
+    import spark.implicits._
+    Multimodal.imageHashes256(
+        Seq((1L, img(1))).toDF("doc_id", "payload"), "doc_id", "payload")
+      .write.parquet(indexPath)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = graft.streaming.StreamingEval.imageIngestStream256(
+        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", indexPath)
+      .start()
+    try {
+      input.addData((10L, img(1)), (11L, img(2)))
+      query.processAllAvailable()
+      input.addData((20L, img(2)), (21L, img(3)))
+      query.processAllAvailable()
+      val ids = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 11L, 21L), s"256-bit streamed index wrong: $ids")
+    } finally query.stop()
+  }
+
   test("streaming gopher gate matches the batch filter (stateless, no helper cols)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
