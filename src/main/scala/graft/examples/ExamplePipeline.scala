@@ -193,6 +193,33 @@ object ExamplePipeline {
       emb, "vec_id", "embedding", kmCents, perCluster = 25)
     println(s"portable-kmeans balanced sample: ${kmBalanced.count()} vectors")
 
+    // 20. corpus-scale hard-negative mining: the LSH-bucketed path (no
+    //     cartesian) — what replaces stage 17's brute scan when the
+    //     anchor set itself is corpus-sized
+    val lshNegs = graft.ops.Labels.hardNegativesLsh(
+      emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", "label",
+      k = 3, dim = 64)
+    println(s"lsh hard negatives: ${lshNegs.count()} pairs for 50 anchors")
+
+    // 21. media dedup past the 64-bit band ceiling: 256-bit gradient
+    //     hashes, 32-bit Hamming bands, exact recall at distance <= 7
+    import org.apache.spark.sql.types._
+    val ppms = docs.limit(400).select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val gid = id / 2
+        val rgb = Array.tabulate(16 * 12 * 3)(i => ((gid * 31 + i) % 256).toByte)
+        if (id % 2 == 1) rgb(6) = ((gid * 31 + 134) % 256).toByte
+        org.apache.spark.sql.Row(id, graft.ops.ImageCodecs.encodePpm(
+          graft.ops.ImageCodecs.DecodedImage(16, 12, rgb)))
+      }
+    }(org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))))
+    val dh = graft.ops.Multimodal.imageHashes256(ppms, "doc_id", "payload")
+    val dhPairs = graft.ops.Dedup.imageNearDupPairs256(dh, "doc_id")
+    println(s"256-bit image near-dup pairs: ${dhPairs.count()}")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)
