@@ -18,11 +18,10 @@ object AudioCodecs {
 
   private val MaxDataBytes = 256L * 1024 * 1024 // corrupt-header allocation guard
 
-  /** Decode a RIFF/WAVE payload: walks the chunk list (fmt may be
-    * preceded/followed by LIST/fact/etc chunks), supports PCM (format 1)
-    * with 8-bit unsigned or 16-bit signed little-endian samples.
-    * None on anything malformed — never throws. */
-  def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+  /** Validated PCM layout: (channels, rate, bits, data offset, data len).
+    * The shared chunk walk behind [[decodeWav]] and
+    * [[energyFingerprintHalves]]. */
+  private def pcmLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
     def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def u32(o: Int): Long = (u16(o).toLong & 0xFFFF) | ((u16(o + 2).toLong & 0xFFFF) << 16)
     if (bytes == null || bytes.length < 44) return None
@@ -48,6 +47,16 @@ object AudioCodecs {
       (channels, rate, bits) <- fmt
       (off, len) <- data
       if channels > 0 && rate > 0 && (bits == 8 || bits == 16)
+    } yield (channels, rate, bits, off, len)
+  }
+
+  /** Decode a RIFF/WAVE payload: walks the chunk list (fmt may be
+    * preceded/followed by LIST/fact/etc chunks), supports PCM (format 1)
+    * with 8-bit unsigned or 16-bit signed little-endian samples.
+    * None on anything malformed — never throws. */
+  def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+    for {
+      (channels, rate, bits, off, len) <- pcmLayout(bytes)
       bytesPerFrame = channels * (bits / 8)
       nFrames = len / bytesPerFrame
       if nFrames >= 0
@@ -70,6 +79,60 @@ object AudioCodecs {
       WavMeta(rate, channels, bits, nFrames, rms)
     }
   }
+
+  /** 64-bit perceptual ENERGY fingerprint of a PCM clip, INTEGER-EXACT
+    * (the audio analogue of [[ImageCodecs.averageHashHalves]] /
+    * `gradientHashWords`, chromaprint's shape without the FFT — float
+    * spectra are not bit-portable across engines, integer energy sums
+    * are):
+    *
+    *  - the clip divides into 65 windows by FRAME index: frame `f`
+    *    belongs to window `f·65 / nFrames` (integer division — the
+    *    resize/avg-hash index convention);
+    *  - window energy `E_w` = Σ |sample| over every channel sample of
+    *    its frames (integer magnitudes: 16-bit signed or 8-bit
+    *    offset-128 — sums stay well under 2⁶³, exact);
+    *  - bit `w` (0..63) is set iff `E_{w+1} > E_w` — the energy-gradient
+    *    sign, loudness-scale-robust like dHash is brightness-robust;
+    *  - returned as two non-negative 32-bit halves (lo = bits 0..31),
+    *    the [[graft.ops.Dedup.audioNearDupPairs]] artifact.
+    *
+    * None for malformed payloads or zero-frame clips. */
+  def energyFingerprintHalves(bytes: Array[Byte]): Option[(Long, Long)] =
+    pcmLayout(bytes).flatMap { case (channels, _, bits, off, len) =>
+      val bytesPerFrame = channels * (bits / 8)
+      val nFrames = len / bytesPerFrame
+      if (nFrames <= 0) None
+      else {
+        val energies = new Array[Long](65)
+        val nSamples = (len / (bits / 8)).toInt
+        var i = 0
+        while (i < nSamples) {
+          val mag =
+            if (bits == 8) math.abs((bytes(off + i) & 0xFF) - 128)
+            else {
+              val lo = bytes(off + 2 * i) & 0xFF
+              val hi = bytes(off + 2 * i + 1)
+              math.abs((hi << 8) | lo)
+            }
+          val frame = i / channels
+          val w = ((frame * 65L) / nFrames).toInt
+          energies(w) += mag
+          i += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        var w = 0
+        while (w < 64) {
+          if (energies(w + 1) > energies(w)) {
+            if (w < 32) lo |= 1L << w
+            else hi |= 1L << (w - 32)
+          }
+          w += 1
+        }
+        Some((hi, lo))
+      }
+    }
 
   /** WAV encoder (tests and payload-synthesis plumbing): 16-bit signed
     * little-endian PCM, standard 44-byte header. */

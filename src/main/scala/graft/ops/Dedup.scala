@@ -414,6 +414,36 @@ object Dedup {
     * Output: (id_a, id_b, hamming ≥ 1), id_a < id_b, ids are min-id
     * class representatives; identical-hash members are
     * [[imageDupGroups256]]'s report. */
+  /** Audio near-duplicate pairs over energy fingerprints
+    * ([[Multimodal.audioFingerprints]] output: id + afp_hi/afp_lo) —
+    * the same distinct-class + four-16-bit-band + bit_count-verify
+    * machinery as [[imageNearDupPairs]] (exact recall at Hamming ≤ 3
+    * between classes; identical-fingerprint members are
+    * [[audioDupGroups]]'s report). A re-encoded or slightly re-leveled
+    * clip keeps most energy-gradient signs; an unrelated clip differs
+    * in ~32 bits. */
+  def audioNearDupPairs(
+      fingerprints: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame =
+    imageNearDupPairs(
+      fingerprints
+        .withColumnRenamed("afp_hi", "ahash_hi")
+        .withColumnRenamed("afp_lo", "ahash_lo"),
+      idCol, maxHamming)
+
+  /** Exact audio duplicate classes (fingerprint Hamming 0) with the
+    * min-id keeper — [[imageDupGroups]] over energy fingerprints. */
+  def audioDupGroups(fingerprints: DataFrame, idCol: String): DataFrame =
+    imageDupGroups(
+      fingerprints
+        .withColumnRenamed("afp_hi", "ahash_hi")
+        .withColumnRenamed("afp_lo", "ahash_lo"),
+      idCol)
+      .withColumnRenamed("ahash_hi", "afp_hi")
+      .withColumnRenamed("ahash_lo", "afp_lo")
+
   private val DhashWordCols: Seq[String] = (0 until 8).map(j => s"dh$j")
 
   /** Distinct 256-bit hash classes (all 8 words) with the min-id rep. */

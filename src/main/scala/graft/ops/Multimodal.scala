@@ -176,6 +176,36 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Batched audio fingerprinting
+    * ([[AudioCodecs.energyFingerprintHalves]]): (id, afp_hi, afp_lo) —
+    * the 8-byte integer-exact energy-gradient artifact audio dedup
+    * persists; null halves for undecodable/empty payloads. One narrow
+    * mapPartitions, no shuffle — the audio sibling of [[imageHashes]]. */
+  def audioFingerprints(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String
+  ): DataFrame = {
+    val idField = df.schema(idCol)
+    val schema = StructType(Seq(
+      idField,
+      StructField("afp_hi", LongType, nullable = true),
+      StructField("afp_lo", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val fp = if (bytes == null) None else AudioCodecs.energyFingerprintHalves(bytes)
+        fp match {
+          case Some((hi, lo)) => Row(r.get(idIdx), hi, lo)
+          case None           => Row(r.get(idIdx), null, null)
+        }
+      }
+    }(encoder)
+  }
+
   /** Attach media metadata columns derivable without decoding (cheap,
     * codegen'd): payload size, leading magic bytes, a content digest. */
   def withMediaMeta(df: DataFrame, payloadCol: String): DataFrame =

@@ -1525,6 +1525,28 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q163_audio_fingerprint" -> { (s, dir) =>
+      // 64-bit integer-exact energy fingerprint of REAL decoded WAVs
+      // (65 frame-windows, energy-gradient sign bits) — the 8-byte
+      // artifact audio dedup persists; oracle re-derives the synthetic
+      // clips arithmetically
+      Multimodal.audioFingerprints(
+        pairedWavs(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)),
+        "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+
+    "q164_audio_near_dups" -> { (s, dir) =>
+      // audio near-dup pairs BETWEEN distinct fingerprint classes: the
+      // image band machinery over energy fingerprints — a re-leveled
+      // clip pairs with its base at small positive Hamming
+      val fps = Multimodal.audioFingerprints(
+        pairedWavs(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)),
+        "doc_id", "payload")
+      Dedup.audioNearDupPairs(fps, "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     "q162_image_ingest256" -> { (s, dir) =>
       // incremental media ingest over the 256-bit gradient hash: exact
       // classes equi-join all eight words, near classes band CROSS-SIDE
@@ -2405,6 +2427,33 @@ object PipelineQueries {
   /** Near-dup planted pairs: even/odd ids share base image gid = id/2
     * (16×12, pixel byte = (gid·31 + flat) % 256); odd ids perturb the
     * SAMPLED pixel byte at flat index 6 by +128. */
+  /** Paired synthetic WAVs (q163/q164): even/odd ids share a base clip
+    * (gid = doc_id/2, 2048 mono PCM16 samples, value = ((gid·7919 +
+    * i·31) mod 4096) − 2048); odd ids perturb samples 96..127 (+997
+    * before the mod) — a localized loudness change touching 2–3 energy
+    * windows, so pairs land at small positive fingerprint Hamming. */
+  private def pairedWavs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val gid = id / 2
+        val samples = new Array[Short](2048)
+        var i = 0
+        while (i < 2048) {
+          val off = if (id % 2 == 1 && i >= 96 && i < 128) 997L else 0L
+          samples(i) = (((gid * 7919L + i * 31L + off) % 4096L) - 2048L).toShort
+          i += 1
+        }
+        Row(id, graft.ops.AudioCodecs.encodeWavPcm16(16000, 1, samples))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   private def pairedPpms(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -2546,6 +2595,37 @@ object PipelineQueries {
        |  GROUP BY d$sfx.doc_id
        |)""".stripMargin
   }
+
+  /** The paired-WAV energy-fingerprint CTE chain (q163/q164): replays
+    * [[pairedWavs]]' sample arithmetic, the frame→window assignment
+    * `w = i·65 / 2048`, integer window energies, and the gradient-sign
+    * half assembly — ending in `hh(doc_id, afp_hi, afp_lo)`. */
+  private val audioFpCtes: String =
+    """d AS (
+      |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE doc_id < 200
+      |), smp AS (
+      |  SELECT doc_id, (i * 65) // 2048 AS w,
+      |    CASE WHEN doc_id % 2 = 1 AND i >= 96 AND i < 128
+      |         THEN abs(((gid*7919 + i*31 + 997) % 4096) - 2048)
+      |         ELSE abs(((gid*7919 + i*31) % 4096) - 2048) END AS mag
+      |  FROM d, unnest(range(2048)) AS u(i)
+      |), en AS (
+      |  SELECT doc_id, w, CAST(sum(mag) AS BIGINT) AS e
+      |  FROM smp GROUP BY doc_id, w
+      |), grid AS (
+      |  SELECT d.doc_id, g.w FROM d, unnest(range(65)) AS g(w)
+      |), eg AS (
+      |  SELECT grid.doc_id, grid.w, coalesce(en.e, 0) AS e
+      |  FROM grid LEFT JOIN en ON en.doc_id = grid.doc_id AND en.w = grid.w
+      |), hh AS (
+      |  SELECT a.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN a.w >= 32 AND b.e > a.e
+      |          THEN (CAST(1 AS BIGINT) << CAST(a.w - 32 AS INT)) END), 0) AS BIGINT) AS afp_hi,
+      |    CAST(coalesce(sum(CASE WHEN a.w < 32 AND b.e > a.e
+      |          THEN (CAST(1 AS BIGINT) << CAST(a.w AS INT)) END), 0) AS BIGINT) AS afp_lo
+      |  FROM eg a JOIN eg b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      |  GROUP BY a.doc_id
+      |)""".stripMargin
 
   /** q156/q157 shared derivation: per-dim Σx and Σx² through the same
     * two-level fold order the engine's vector aggregator uses. */
@@ -2709,6 +2789,36 @@ object PipelineQueries {
         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM cells c JOIN t USING (doc_id)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // audio energy-fingerprint dump: sample arithmetic, window energies,
+    // and gradient-sign halves replayed exactly
+    "q163_audio_fingerprint" ->
+      (s"WITH $audioFpCtes\n" +
+        """SELECT doc_id, afp_hi, afp_lo FROM hh ORDER BY doc_id""".stripMargin),
+
+    // audio near-dup pairs: distinct fingerprint classes, four 16-bit
+    // bands, bit_count verify — the q153 machinery over energy halves
+    "q164_audio_near_dups" ->
+      (s"WITH $audioFpCtes,\n" +
+        """rep AS (
+          |  SELECT min(doc_id) AS doc_id, afp_hi AS hi, afp_lo AS lo
+          |  FROM hh GROUP BY afp_hi, afp_lo
+          |), bands AS (
+          |  SELECT doc_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM rep
+          |  UNION ALL SELECT doc_id, 1, hi & 65535 FROM rep
+          |  UNION ALL SELECT doc_id, 2, (lo >> 16) & 65535 FROM rep
+          |  UNION ALL SELECT doc_id, 3, lo & 65535 FROM rep
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+          |)
+          |SELECT id_a, id_b,
+          |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+          |FROM cand
+          |JOIN rep ha ON ha.doc_id = id_a
+          |JOIN rep hb ON hb.doc_id = id_b
+          |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
 
     // 256-bit gradient hash dump: the dHash sampling/bit arithmetic
     // replayed exactly, eight 32-bit words per doc

@@ -2013,6 +2013,44 @@ class OpsSpec extends SparkSpec {
     assert(p16 == pairs.toSet)
   }
 
+  test("audio fingerprint dedup: perturbed clip pairs, identical group, junk null") {
+    import graft.ops.{AudioCodecs, Dedup, Multimodal}
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(2048)((rnd.nextInt(4096) - 2048).toShort)
+    // re-level one window's worth of samples: flips the adjacent
+    // energy-gradient bits, a 1..3-bit perturbation
+    val near = base.clone()
+    for (i <- 96 until 128) near(i) = (near(i) / 4).toShort
+    val other = Array.fill(2048)((rnd.nextInt(4096) - 2048).toShort)
+    def wav(s: Array[Short]) = AudioCodecs.encodeWavPcm16(16000, 1, s)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    def frame(rows: Seq[(Long, Array[Byte])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 2),
+      schema)
+    val fps = Multimodal.audioFingerprints(frame(Seq(
+      (1L, wav(base)), (2L, wav(near)), (3L, wav(other)),
+      (4L, "junk".getBytes("UTF-8")))), "doc_id", "payload")
+    val m = fps.collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(m(4L) == ((None, None)))
+    assert(m(1L)._1.isDefined && m(1L) != m(2L))
+    val pairs = Dedup.audioNearDupPairs(fps, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h >= 1 && h <= 3 },
+      s"expected (1,2) pair: ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+    // identical clips: a GROUP, never pairs
+    val dup = Multimodal.audioFingerprints(frame(Seq(
+      (10L, wav(base)), (11L, wav(base)), (12L, wav(other)))), "doc_id", "payload")
+    assert(Dedup.audioNearDupPairs(dup, "doc_id", maxHamming = 0).collect().isEmpty)
+    val groups = Dedup.audioDupGroups(dup, "doc_id")
+      .select("keep_id", "n_members")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(groups.toSeq == Seq((10L, 2L)))
+  }
+
   test("incremental image ingest 256: exact + near hit cross-side, fresh admits") {
     import graft.ops.{Dedup, ImageCodecs, Multimodal}
     import org.apache.spark.sql.types._
