@@ -44,6 +44,92 @@ object Classifier {
   ): DataFrame =
     df.withColumn(outCol, scoreColumn(col(textCol), weights, bias))
 
+  /** PORTABLE deterministic trainer for the hashing-trick linear
+    * classifier — the in-engine path from labeled documents to a weight
+    * vector [[withScore]] can gate with, with every arithmetic step
+    * engine-replayable (the logreg sibling of
+    * [[Similarity.trainKmeansPortable]] / BPE training):
+    *
+    *  - features: per-doc bucket counts `c_j` over the SAME md5 token
+    *    buckets as [[scoreColumn]], normalized by token count `n`;
+    *  - margin: `z = Σ_j w_j · c_j / n` folded in ASCENDING bucket order
+    *    (the [[graft.expressions.OrderedKeyedSum]] seeded-fold
+    *    convention — exec-order-independent);
+    *  - link: the RATIONAL sigmoid `p = 0.5·(1 + z/(1+|z|))` — only
+    *    `+ × ÷ abs`, all IEEE-exact cross-engine, unlike `exp` whose
+    *    last-ulp platform differences would compound across iterations;
+    *    monotone like the logistic, so thresholding semantics match;
+    *  - update: full-batch `w_j ← w_j − lr · (Σ_docs (p−y)·c_j/n) / N`,
+    *    the gradient summed by the engine's TWO-LEVEL deterministic fold
+    *    (doc-sorted per (bucket j, md5 doc sub-bucket), then sub-bucket
+    *    order) — bit-identical across runs, partitionings, and engines.
+    *
+    * Scale shape: token explode + count aggregation runs ONCE (cached);
+    * each iteration is one bounded margin aggregate + one two-level
+    * gradient fold; the driver holds `dim` doubles, never data. Labels
+    * must be 0/1; docs with null id/label/text or zero tokens are
+    * excluded. Bias is not trained (fold it in as a constant feature
+    * upstream if needed); score the result with `bias = 0`. */
+  def trainPortable(
+      docs: DataFrame,
+      textCol: String,
+      labelCol: String,
+      idCol: String,
+      dim: Int = 64,
+      iters: Int = 4,
+      lr: Double = 0.5,
+      foldBuckets: Int = 64
+  ): Seq[Double] = {
+    require(dim >= 1, "dim must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    require(foldBuckets >= 1, "foldBuckets must be >= 1")
+    val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
+    val toks = TextAnalysis.tokens(col(textCol))
+    val exploded = docs
+      .filter(col(idCol).isNotNull && col(labelCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(labelCol).cast("double").as("__y"),
+        size(toks).as("__n"), explode(toks).as("__t"))
+      .withColumn("__j",
+        conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long") % dim)
+    val tc = exploded
+      .groupBy("__id", "__y", "__n", "__j")
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nd = tc.select("__id").distinct().count()
+      require(nd > 0, "no trainable documents (null/empty text or labels)")
+      val bOf = pmod(
+        conv(substring(md5(col("__id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(foldBuckets.toLong))
+      var w = Array.fill(dim)(0.0)
+      var it = 0
+      while (it < iters) {
+        val wLit = array(w.map(lit).toSeq: _*)
+        val margins = tc
+          .withColumn("__wv",
+            element_at(wLit, (col("__j") + 1).cast("int")) * col("__c") / col("__n"))
+          .groupBy("__id", "__y")
+          .agg(oks(collect_list(struct(col("__j").as("k"), col("__wv").as("v")))).as("__z"))
+          .withColumn("__r",
+            lit(0.5) * (lit(1.0) + col("__z") / (lit(1.0) + abs(col("__z")))) - col("__y"))
+          .select("__id", "__r")
+        val lvl1 = tc.join(margins, "__id")
+          .withColumn("__v", col("__r") * col("__c") / col("__n"))
+          .withColumn("__b", bOf)
+          .groupBy("__j", "__b")
+          .agg(oks(collect_list(struct(col("__id").as("k"), col("__v").as("v")))).as("__p"))
+        val grad = lvl1
+          .groupBy("__j")
+          .agg(oks(collect_list(struct(col("__b").as("k"), col("__p").as("v")))).as("__g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        w = Array.tabulate(dim)(j => w(j) - lr * (grad.getOrElse(j, 0.0) / nd.toDouble))
+        it += 1
+      }
+      w.toSeq
+    } finally tc.unpersist()
+  }
+
   /** Keeps rows whose probability clears `minProb`; unscorable rows
     * (null/empty text) are dropped — a gate must not pass what it cannot
     * judge. */

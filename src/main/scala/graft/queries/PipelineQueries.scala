@@ -1525,6 +1525,22 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q165_classifier_train" -> { (s, dir) =>
+      // in-engine PORTABLE classifier training (full-batch GD, rational
+      // sigmoid link, two-level deterministic gradient folds): the DuckDB
+      // oracle RE-TRAINS all 4 iterations from scratch and must land on
+      // bit-identical weights at 9 decimals (the q143-kmeans contract)
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("y", (col("doc_id") % 2).cast("double"))
+      val w = graft.ops.Classifier.trainPortable(
+        docs, "text", "y", "doc_id", dim = 64, iters = 4, lr = 0.5)
+      w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("j", "w")
+        .select(col("j"), (round(col("w"), 9) + lit(0.0)).as("w_r"))
+        .orderBy("j")
+    },
+
     "q163_audio_fingerprint" -> { (s, dir) =>
       // 64-bit integer-exact energy fingerprint of REAL decoded WAVs
       // (65 frame-windows, energy-gradient sign bits) — the 8-byte
@@ -2789,6 +2805,55 @@ object PipelineQueries {
         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM cells c JOIN t USING (doc_id)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // full 4-iteration portable-logreg RE-TRAINING in DuckDB: token
+    // bucket counts once, then per iteration the j-ordered margin fold,
+    // the rational sigmoid residual, and the two-level doc-sorted
+    // gradient fold — every step the engine's exact arithmetic order
+    "q165_classifier_train" -> {
+      val iters = 4
+      val iterCtes = (1 to iters).map { t =>
+        s"""m_$t AS MATERIALIZED (
+           |  SELECT tc.doc_id, tc.y,
+           |    list_reduce(list_prepend(0.0, list(w.wv * tc.c / tc.n ORDER BY tc.j)),
+           |      (a, x) -> a + x) AS z
+           |  FROM tc JOIN w_${t - 1} w USING (j) GROUP BY tc.doc_id, tc.y
+           |), l1_$t AS MATERIALIZED (
+           |  SELECT tc.j, tc.b,
+           |    list_reduce(list_prepend(0.0, list(
+           |      (0.5 * (1.0 + m.z / (1.0 + abs(m.z))) - m.y) * tc.c / tc.n
+           |      ORDER BY tc.doc_id)), (a, x) -> a + x) AS p
+           |  FROM tc JOIN m_$t m USING (doc_id) GROUP BY tc.j, tc.b
+           |), g_$t AS MATERIALIZED (
+           |  SELECT j, list_reduce(list_prepend(0.0, list(p ORDER BY b)),
+           |    (a, x) -> a + x) AS g
+           |  FROM l1_$t GROUP BY j
+           |), w_$t AS MATERIALIZED (
+           |  SELECT w.j,
+           |    w.wv - 0.5 * (coalesce(g.g, 0.0) / (SELECT nd FROM ndc)) AS wv
+           |  FROM w_${t - 1} w LEFT JOIN g_$t g USING (j)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents WHERE text IS NOT NULL
+         |), tc AS MATERIALIZED (
+         |  SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y, len(ts) AS n,
+         |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS BIGINT) AS j,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM toks, unnest(ts) AS u(t)
+         |  GROUP BY doc_id, y, n, j, b
+         |), ndc AS MATERIALIZED (
+         |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM tc
+         |), w_0 AS MATERIALIZED (
+         |  SELECT CAST(r.j AS BIGINT) AS j, 0.0 AS wv FROM range(64) AS r(j)
+         |),
+         |$iterCtes
+         |SELECT j, round(wv, 9) + 0.0 AS w_r FROM w_$iters ORDER BY j""".stripMargin
+    },
 
     // audio energy-fingerprint dump: sample arithmetic, window energies,
     // and gradient-sign halves replayed exactly

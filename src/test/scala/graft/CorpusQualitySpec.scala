@@ -161,6 +161,33 @@ class CorpusQualitySpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("trainPortable learns a separable gate, bit-deterministic under repartition") {
+    import graft.ops.Classifier
+    // class 1 docs carry "superb", class 0 docs carry "awful" (buckets 37/24
+    // at dim 64 — chosen non-colliding; "excellent"/"terrible" collide at
+    // bucket 4!); filler tokens shared. 4 iterations must separate.
+    val docs = ((0 until 40).map(i => (i.toLong, 1.0, "superb item fine")) ++
+      (40 until 80).map(i => (i.toLong, 0.0, "awful item fine")))
+      .toDF("doc_id", "y", "text")
+    val w = Classifier.trainPortable(docs, "text", "y", "doc_id",
+      dim = 64, iters = 4, lr = 2.0)
+    assert(w.size == 64)
+    // gate with the trained weights (bias 0): margin sign separates, and
+    // both sigmoid links agree at the 0.5 threshold (both cross at z=0)
+    val kept = Classifier.filterByScore(docs, "text", w, bias = 0.0, minProb = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 40L).toSet, s"trained gate wrong: $kept")
+    // bit-identical under repartitioning (the two-level fold contract)
+    val again = Classifier.trainPortable(docs.repartition(13), "text", "y", "doc_id",
+      dim = 64, iters = 4, lr = 2.0)
+    assert(w == again)
+    // degenerate inputs fail loudly
+    intercept[IllegalArgumentException] {
+      Classifier.trainPortable(
+        docs.filter(col("doc_id") < 0), "text", "y", "doc_id")
+    }
+  }
+
   test("prepareTrainingCorpus quality gates: perplexity and length z-score") {
     import graft.ops.Pipelines
     // token-disjoint docs so the near-dup stage can't collapse them
