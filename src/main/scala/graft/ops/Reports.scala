@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset "datasheet" reports — the per-source summary a training-data
+  * pipeline publishes alongside a corpus release (datasheets-for-datasets
+  * style): volume, token mass, exact-duplication rate, quality, and
+  * language mix, each computed with the engine's deterministic
+  * conventions so the whole card is DuckDB-oracle-checkable.
+  */
+object Reports {
+
+  private def bucketOf(id: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Per-source corpus datasheet:
+    *
+    *  - `n_docs`, `n_tokens` (whitespace tokens), `n_chars` — exact
+    *    integer sums, order-independent;
+    *  - `n_exact_classes` (distinct canonical fingerprints) and
+    *    `dup_rate_r = round(1 − classes/docs, 6)` — the exact-dup burden;
+    *  - `mean_quality_r` — the heuristic quality blend averaged through
+    *    the engine's two-level deterministic fold (doc-sorted per md5
+    *    sub-bucket, then sub-bucket order), bit-reproducible, round 9;
+    *  - `top_lang` — majority [[TextAnalysis.langId]] vote; ties break
+    *    toward the LARGER language code (max-struct order).
+    *
+    * Scale shape: four per-source aggregations (each bounded at
+    * |sources| output rows; the quality fold spreads any hot source over
+    * `foldBuckets` sub-buckets) joined on the tiny source key — the
+    * corpus streams through map-side projections, nothing collects.
+    * Null-id/null-text rows are excluded (they carry no judgeable
+    * content). */
+  def corpusDatasheet(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      foldBuckets: Int = 64
+  ): DataFrame = {
+    require(foldBuckets >= 1, "foldBuckets must be >= 1")
+    val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(idCol).cast("long").as("__id"),
+        col(textCol).as("__text"))
+      .withColumn("__ntok", TextAnalysis.tokenCount(col("__text")).cast("long"))
+      .withColumn("__nchr", length(col("__text")).cast("long"))
+      .withColumn("__q", TextAnalysis.qualityScore(col("__text")))
+      .withColumn("__lang", TextAnalysis.langId(col("__text")))
+      .withColumn("__fp", TextAnalysis.fingerprint(col("__text")))
+
+    // exact integer totals — order-free
+    val volumes = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("__ntok").as("n_tokens"),
+      sum("__nchr").as("n_chars"))
+
+    // exact-dup burden: distinct canonical fingerprints per source
+    val classes = base.groupBy("source")
+      .agg(countDistinct(col("__fp")).as("n_exact_classes"))
+
+    // deterministic mean quality: two-level sorted fold (the centroid
+    // shape on a scalar), so the double is bit-identical across runs,
+    // partitionings, and engines
+    val qLvl1 = base
+      .withColumn("__b", bucketOf(col("__id"), foldBuckets))
+      .groupBy("source", "__b")
+      .agg(oks(collect_list(struct(col("__id").as("k"), col("__q").as("v")))).as("__p"),
+        count(lit(1)).as("__n"))
+    val quality = qLvl1.groupBy("source")
+      .agg((oks(collect_list(struct(col("__b").as("k"), col("__p").as("v"))))
+        / sum("__n")).as("__mq"))
+      .select(col("source"), (round(col("__mq"), 9) + lit(0.0)).as("mean_quality_r"))
+
+    // majority language: max over (count, lang) structs — deterministic
+    // tie toward the larger code
+    val langs = base.groupBy("source", "__lang").agg(count(lit(1)).as("__c"))
+      .groupBy("source")
+      .agg(max(struct(col("__c"), col("__lang").as("l"))).getField("l").as("top_lang"))
+
+    volumes
+      .join(classes, "source")
+      .join(quality, "source")
+      .join(langs, "source")
+      .withColumn("dup_rate_r",
+        round(lit(1.0) - col("n_exact_classes") / col("n_docs"), 6) + lit(0.0))
+      .select("source", "n_docs", "n_tokens", "n_chars", "n_exact_classes",
+        "dup_rate_r", "mean_quality_r", "top_lang")
+  }
+}

@@ -1525,6 +1525,14 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q166_corpus_datasheet" -> { (s, dir) =>
+      // the per-source dataset card a corpus release ships: exact volume
+      // integers, exact-dup burden, deterministic-fold mean quality,
+      // majority language — every cell oracle-replayed
+      graft.ops.Reports.corpusDatasheet(t(s, dir, "documents"))
+        .orderBy("source")
+    },
+
     "q165_classifier_train" -> { (s, dir) =>
       // in-engine PORTABLE classifier training (full-batch GD, rational
       // sigmoid link, two-level deterministic gradient folds): the DuckDB
@@ -2805,6 +2813,66 @@ object PipelineQueries {
         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM cells c JOIN t USING (doc_id)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // per-source datasheet: volume integers, distinct canonical classes,
+    // the two-level quality fold, majority lang (count desc, lang desc)
+    "q166_corpus_datasheet" -> {
+      def stopHits(words: Seq[String]) =
+        s"len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+      val en = stopHits(Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"))
+      val es = stopHits(Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"))
+      val fr = stopHits(Seq("le", "la", "les", "de", "et", "des", "un", "une", "du", "est"))
+      val de = stopHits(Seq("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "im"))
+      s"""WITH base AS (
+         |  SELECT source, doc_id, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), ${qualityCte("base", "source")}, vol AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(text)) AS BIGINT) AS n_chars
+         |  FROM base GROUP BY source
+         |), cls AS (
+         |  SELECT source,
+         |    count(DISTINCT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_exact_classes
+         |  FROM base GROUP BY source
+         |), q1 AS (
+         |  SELECT s.source,
+         |    CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b,
+         |    list_reduce(list_prepend(0.0, list(s.qscore ORDER BY s.doc_id)), (a, x) -> a + x) AS p,
+         |    count(*) AS n
+         |  FROM scored s GROUP BY s.source, b
+         |), qm AS (
+         |  SELECT source,
+         |    round(list_reduce(list_prepend(0.0, list(p ORDER BY b)), (a, x) -> a + x)
+         |      / CAST(sum(n) AS BIGINT), 9) + 0.0 AS mean_quality_r
+         |  FROM q1 GROUP BY source
+         |), lid AS (
+         |  SELECT source, doc_id,
+         |    $en AS c_en, $es AS c_es, $fr AS c_fr, $de AS c_de
+         |  FROM base
+         |), lv AS (
+         |  SELECT source, CASE
+         |    WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) AND c_en > 0 THEN 'en'
+         |    WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) AND c_es > 0 THEN 'es'
+         |    WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) AND c_fr > 0 THEN 'fr'
+         |    WHEN c_de = GREATEST(c_en, c_es, c_fr, c_de) AND c_de > 0 THEN 'de'
+         |    ELSE 'und' END AS lang
+         |  FROM lid
+         |), lc AS (
+         |  SELECT source, lang, count(*) AS c FROM lv GROUP BY source, lang
+         |), lt AS (
+         |  SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
+         |    FROM lc
+         |  ) WHERE rn = 1
+         |)
+         |SELECT vol.source, vol.n_docs, vol.n_tokens, vol.n_chars, cls.n_exact_classes,
+         |  round(1.0 - cls.n_exact_classes / vol.n_docs, 6) + 0.0 AS dup_rate_r,
+         |  qm.mean_quality_r, lt.top_lang
+         |FROM vol JOIN cls USING (source) JOIN qm USING (source) JOIN lt USING (source)
+         |ORDER BY vol.source""".stripMargin
+    },
 
     // full 4-iteration portable-logreg RE-TRAINING in DuckDB: token
     // bucket counts once, then per iteration the j-ordered margin fold,

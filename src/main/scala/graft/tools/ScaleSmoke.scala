@@ -389,6 +389,42 @@ object ScaleSmoke {
         graft.Checkpoints.freeAll(spark)
       }
 
+      // audio dedup: decode + fingerprint each WAV once (mapPartitions),
+      // pair via the banded Hamming machinery — payloads never re-travel
+      time(s"audio fingerprint + near-dup pairs ($nDocs synthetic WAVs)") {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val wavs = dN.select("doc_id").mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val gid = id / 2
+            val samples = new Array[Short](2048)
+            var i = 0
+            while (i < 2048) {
+              val off = if (id % 2 == 1 && i >= 96 && i < 128) 997L else 0L
+              samples(i) = (((gid * 7919L + i * 31L + off) % 4096L) - 2048L).toShort
+              i += 1
+            }
+            Row(id, graft.ops.AudioCodecs.encodeWavPcm16(16000, 1, samples))
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+        val fps = graft.ops.Multimodal.audioFingerprints(wavs, "doc_id", "payload")
+        graft.ops.Dedup.audioNearDupPairs(fps, "doc_id", maxHamming = 3)
+          .agg(count(lit(1))).collect()
+      }
+
+      // portable classifier training: token counts aggregate ONCE, then 4
+      // bounded fold-iterations — cost tracks the token explode, driver
+      // holds 64 doubles
+      time(s"portable classifier training, 4 iters ($nDocs docs)") {
+        val labeled = dN.withColumn("y", (col("doc_id") % 2).cast("double"))
+        graft.ops.Classifier.trainPortable(
+          labeled, "text", "y", "doc_id", dim = 64, iters = 4, lr = 0.5)
+      }
+
       // PQ: train once on the base table, then encode + ADC-search the
       // replicated corpus — the scan is codes-only, queries broadcast
       time(s"pq encode + ADC top-10, 5 queries (${n * 2000} vectors)") {

@@ -2013,6 +2013,30 @@ class OpsSpec extends SparkSpec {
     assert(p16 == pairs.toSet)
   }
 
+  test("corpusDatasheet: exact volumes, dup burden, majority lang, determinism") {
+    import graft.ops.Reports
+    val docs = Seq(
+      (1L, "web", "the cat and the dog"),        // en, 5 tokens
+      (2L, "web", "THE  cat and the   dog"),     // canonical dup of 1
+      (3L, "web", "el gato y la casa de"),       // es
+      (4L, "books", "von der die und das im")    // de
+    ).toDF("doc_id", "source", "text")
+    val card = Reports.corpusDatasheet(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = card("web")
+    assert(web.getAs[Long]("n_docs") == 3L)
+    assert(web.getAs[Long]("n_tokens") == 5L + 5L + 6L)
+    assert(web.getAs[Long]("n_exact_classes") == 2L) // 1 & 2 collapse
+    assert(math.abs(web.getAs[Double]("dup_rate_r") - (1.0 - 2.0 / 3.0)) < 1e-6)
+    assert(web.getAs[String]("top_lang") == "en") // en:2 vs es:1
+    assert(card("books").getAs[String]("top_lang") == "de")
+    assert(card("books").getAs[Double]("dup_rate_r") == 0.0)
+    // bit-deterministic under repartitioning (the fold contract)
+    val a = Reports.corpusDatasheet(docs).collect().toSet
+    val b = Reports.corpusDatasheet(docs.repartition(7)).collect().toSet
+    assert(a == b)
+  }
+
   test("audio fingerprint dedup: perturbed clip pairs, identical group, junk null") {
     import graft.ops.{AudioCodecs, Dedup, Multimodal}
     import org.apache.spark.sql.types._

@@ -485,6 +485,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming audio fingerprinting matches batch (stateless decode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.AudioCodecs
+    def wav(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      AudioCodecs.encodeWavPcm16(16000, 1,
+        Array.fill(512)((r2.nextInt(4096) - 2048).toShort))
+    }
+    val rows = Seq((1L, wav(1)), (2L, wav(2)), (3L, "junk".getBytes("UTF-8")))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val fps = graft.ops.Multimodal.audioFingerprints(
+      input.toDF().toDF("doc_id", "payload"), "doc_id", "payload")
+    val query = fps.writeStream.format("memory").queryName("afp_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("afp_stream").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+      import spark.implicits._
+      val batch = graft.ops.Multimodal.audioFingerprints(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload")
+        .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+      assert(streamed == batch)
+      assert(streamed(3L) == ((None, None)))
+    } finally query.stop()
+  }
+
   test("streaming gopher gate matches the batch filter (stateless, no helper cols)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
