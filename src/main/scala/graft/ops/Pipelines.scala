@@ -62,7 +62,8 @@ object Pipelines {
       maxLengthZ: Option[Double] = None,
       gopherRules: Option[QualityRules.GopherConfig] = None,
       benchDecontaminate: Option[(DataFrame, Double)] = None,
-      lmOrder: Int = 2
+      lmOrder: Int = 2,
+      classifierGate: Option[(Seq[Double], Double, Double)] = None
   ): CleanResult = {
     require(lmOrder == 2 || lmOrder == 3, "lmOrder must be 2 (bigram) or 3 (trigram)")
     val cleaned = cleanCorpus(docs, textCol, idCol,
@@ -77,7 +78,16 @@ object Pipelines {
         Dedup.bloomDecontaminate(cleaned.df, bench, textCol, idCol, thr)
       case None => cleaned.df
     }
-    val enriched0 = decontaminated
+    // optional trained-classifier gate (weights, bias, minProb) — the
+    // fastText-style quality model ([[Classifier.withScore]]'s hashed
+    // buckets; weights from [[Classifier.trainPortable]] or an offline
+    // trainer). Map-side codegen filter, like the heuristic gates.
+    val gated = classifierGate match {
+      case Some((wts, bias, minProb)) =>
+        Classifier.filterByScore(decontaminated, textCol, wts, bias, minProb)
+      case None => decontaminated
+    }
+    val enriched0 = gated
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))

@@ -809,6 +809,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q167_prepare_clf_gate" -> { (s, dir) =>
+      // q104's full portable preparation with the trained-classifier gate
+      // on: the fastText-style hashed-bucket model filters between
+      // decontamination and enrichment — every stage still oracle-replayed
+      graft.ops.Pipelines.prepareTrainingCorpus(
+        t(s, dir, "documents"), nearDupThreshold = 0.9, minQuality = 30.0,
+        classifierGate = Some((clfWeights, clfBias, 0.45)))
+        .df.select("doc_id", "lang", "source", "n_chars",
+          "n_tokens", "lang_id", "fingerprint", "split")
+        .orderBy("doc_id")
+    },
+
     "q105_weighted_sample" -> { (s, dir) =>
       // Efraimidis-Spirakis weighted sampling without replacement: 20 docs
       // per source, inclusion odds ~ n_chars; ln(u)/w key ordering is
@@ -3947,6 +3959,65 @@ object PipelineQueries {
          |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('le','la','les','de','et','des','un','une','du','est'))) AS c_fr,
          |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('der','die','das','und','von','zu','den','mit','ist','im'))) AS c_de
          |  FROM final0
+         |), enr AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tokens,
+         |    CASE
+         |      WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) AND c_en > 0 THEN 'en'
+         |      WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) AND c_es > 0 THEN 'es'
+         |      WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) AND c_fr > 0 THEN 'fr'
+         |      WHEN c_de = GREATEST(c_en, c_es, c_fr, c_de) AND c_de > 0 THEN 'de'
+         |      ELSE 'und' END AS lang_id,
+         |    md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+         |  FROM hits
+         |)
+         |SELECT doc_id, lang, source, n_chars, n_tokens, lang_id, fingerprint,
+         |  CASE WHEN uh < 0.875 THEN 'train'
+         |       WHEN uh < 0.9375 THEN 'val'
+         |       WHEN uh < 1.0 THEN 'test'
+         |       ELSE NULL END AS split
+         |FROM enr ORDER BY doc_id""".stripMargin
+    },
+
+    // q104's chain + the q90 classifier margin as a gate after the
+    // quality stage (between decontamination and enrichment)
+    "q167_prepare_clf_gate" -> {
+      s"""WITH canon0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ccanon
+         |  FROM documents
+         |), exact AS (
+         |  SELECT * FROM canon0
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM canon0 GROUP BY md5(ccanon))
+         |), ${polyShingleSigCte("exact")}, ${polyPairsCte(0.9)}, losers AS (
+         |  SELECT DISTINCT id_b FROM pairs0
+         |), surv AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |), ${qualityCte("surv", "lang, source, n_chars")}, final0 AS (
+         |  SELECT s.doc_id, s.lang, s.source, s.n_chars, v.text
+         |  FROM scored s JOIN surv v USING (doc_id)
+         |  WHERE s.qscore >= 30.0
+         |), clf AS (
+         |  SELECT *,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM final0
+         |), clfg AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM clf
+         |  WHERE len(ts) > 0 AND 1.0 / (1.0 + exp(-(
+         |    ($clfBias)::DOUBLE +
+         |    list_reduce(list_prepend(0.0, list_transform(ts, t ->
+         |      $clfWeightsSql[CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS INT) + 1])),
+         |      (a, b) -> a + b) / len(ts)))) >= 0.45
+         |), hits AS (
+         |  SELECT *,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('el','la','de','que','y','en','los','se','del','las'))) AS c_es,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('le','la','les','de','et','des','un','une','du','est'))) AS c_fr,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('der','die','das','und','von','zu','den','mit','ist','im'))) AS c_de
+         |  FROM clfg
          |), enr AS (
          |  SELECT doc_id, lang, source, n_chars,
          |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
