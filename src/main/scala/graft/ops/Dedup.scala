@@ -654,13 +654,48 @@ object Dedup {
       numPerms: Int = 16,
       bands: Int = 4,
       k: Int = 5
+  ): DataFrame =
+    incrementalNearDupPairsFromSigs(
+      polySignatures(index, textCol, idCol, numPerms, k),
+      polySignatures(batch, textCol, idCol, numPerms, k),
+      idCol, threshold, numPerms, bands)
+
+  /** The per-doc portable MinHash signature frame `(idCol, signature)` —
+    * the artifact a production ingest PERSISTS once per batch so the
+    * standing index is vetted as signatures, never re-hashed text
+    * ([[incrementalNearDupPairsFromSigs]] /
+    * [[graft.streaming.StreamingEval.textIngestStream]] consume it). */
+  def polySignatures(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numPerms: Int = 16,
+      k: Int = 5
+  ): DataFrame =
+    docs.select(col(idCol),
+      graft.expressions.PolyMinHashSignature(col(textCol), numPerms, k).as("signature"))
+
+  /** [[incrementalNearDupPairs]] over PRE-COMPUTED signature frames
+    * (`(idCol, signature)` each, e.g. [[polySignatures]] output or the
+    * persisted index table): band keys per side, joined CROSS-SIDE only,
+    * agreement-verify on the candidate sliver. The daily increment costs
+    * the increment — the index never re-hashes, never self-joins. */
+  def incrementalNearDupPairsFromSigs(
+      indexSigs: DataFrame,
+      batchSigs: DataFrame,
+      idCol: String,
+      threshold: Double = 0.5,
+      numPerms: Int = 16,
+      bands: Int = 4
   ): DataFrame = {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     val rows = numPerms / bands
-    def sigsOf(df: DataFrame, idOut: String, sigOut: String) =
+    // barrier per side: each signature frame feeds its bucket explode AND
+    // the verify join-back (same shuffle-hygiene as the self-join path);
+    // checkpoint only when the upstream plan is deep enough to need it
+    def prep(df: DataFrame, idOut: String, sigOut: String) =
       graft.Checkpoints.localCheckpointIfDeep(
-        df.select(col(idCol).as(idOut),
-            graft.expressions.PolyMinHashSignature(col(textCol), numPerms, k).as(sigOut))
+        df.select(col(idCol).as(idOut), col("signature").as(sigOut))
           .repartition(col(idOut)))
     def bucketsOf(sigs: DataFrame, idOut: String, sigCol: String) = {
       val bandCols = (0 until bands).map { b =>
@@ -671,8 +706,8 @@ object Dedup {
       sigs.select(col(idOut), explode(array(bandCols: _*)).as("bk"))
         .select(col(idOut), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     }
-    val idxSigs = sigsOf(index, "index_id", "sig_i")
-    val newSigs = sigsOf(batch, "new_id", "sig_n")
+    val idxSigs = prep(indexSigs, "index_id", "sig_i")
+    val newSigs = prep(batchSigs, "new_id", "sig_n")
     val candidates = bucketsOf(newSigs, "new_id", "sig_n")
       .join(bucketsOf(idxSigs, "index_id", "sig_i"), Seq("band", "band_key"))
       .select("new_id", "index_id")

@@ -359,6 +359,36 @@ object StreamingEval {
       graft.ops.Multimodal.imageHashes256(_, idCol, payloadCol),
       graft.ops.Dedup.incrementalImageDedup256(_, _, idCol, maxHamming, nBands))
 
+  /** Streaming TEXT ingest against a persisted SIGNATURE index — the
+    * daily-crawl near-dup loop as Structured Streaming: each micro-batch
+    * is MinHash-signed once ([[graft.ops.Dedup.polySignatures]]), vetted
+    * against the persisted `(id, signature)` index with the exact batch
+    * [[graft.ops.Dedup.incrementalNearDupPairsFromSigs]] operator (band
+    * keys cross-side only — the index never re-hashes text and never
+    * self-joins), and the admitted signatures are APPENDED so later
+    * batches dedup against earlier admissions. Within-batch duplicates
+    * are out of scope, same as the batch operator — pre-dedup the batch
+    * if its internal repetition matters. The persisted index is
+    * signatures only: 16 longs per document, never corpus text. */
+  def textIngestStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      threshold: Double = 0.5,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      k: Int = 5
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestWith(docs, indexPath,
+      batch => graft.ops.Dedup.polySignatures(batch, textCol, idCol, numPerms, k),
+      (index, sigs) => {
+        val hits = graft.ops.Dedup.incrementalNearDupPairsFromSigs(
+            index, sigs, idCol, threshold, numPerms, bands)
+          .select(col("new_id")).distinct()
+        sigs.join(hits, sigs(idCol) === hits("new_id"), "left_anti")
+      })
+
   /** Shared foreachBatch ingest core: hash the batch, vet against the
     * persisted index, append admissions. */
   private def ingestWith(

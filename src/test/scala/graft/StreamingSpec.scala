@@ -485,6 +485,56 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming text ingest: signature index grows, cross-batch near-dups reject") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different subject matter about spark query planning internals"
+    val c = "yet another unrelated document concerning audio codecs and wave headers"
+    val dir = java.nio.file.Files.createTempDirectory("graft-txt-ingest").toString
+    val indexPath = s"$dir/index"
+    import spark.implicits._
+    // standing index: document A's signature
+    Dedup.polySignatures(Seq((1L, a)).toDF("doc_id", "text"), "text", "doc_id")
+      .write.parquet(indexPath)
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.textIngestStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", indexPath)
+      .start()
+    try {
+      // batch 1: a copy of A (reject), fresh B (admit)
+      input.addData((10L, a), (11L, b))
+      query.processAllAvailable()
+      val after1 = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L, 11L), s"batch 1 admissions wrong: $after1")
+      // batch 2: a copy of B (MUST reject against batch 1's admission),
+      // fresh C (admit)
+      input.addData((20L, b), (21L, c))
+      query.processAllAvailable()
+      val after2 = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 11L, 21L), s"batch 2 admissions wrong: $after2")
+      // differential: equals the sequential batch replay over signatures
+      val idx0 = Dedup.polySignatures(Seq((1L, a)).toDF("doc_id", "text"), "text", "doc_id")
+      val s1 = Dedup.polySignatures(
+        Seq((10L, a), (11L, b)).toDF("doc_id", "text"), "text", "doc_id")
+      val adm1 = s1.join(
+        Dedup.incrementalNearDupPairsFromSigs(idx0, s1, "doc_id")
+          .select(col("new_id")).distinct(),
+        s1("doc_id") === col("new_id"), "left_anti")
+      val idx1 = idx0.unionByName(adm1)
+      val s2 = Dedup.polySignatures(
+        Seq((20L, b), (21L, c)).toDF("doc_id", "text"), "text", "doc_id")
+      val adm2 = s2.join(
+        Dedup.incrementalNearDupPairsFromSigs(idx1, s2, "doc_id")
+          .select(col("new_id")).distinct(),
+        s2("doc_id") === col("new_id"), "left_anti")
+      val replay = idx1.unionByName(adm2).select("doc_id").as[Long].collect().toSet
+      assert(after2 == replay, s"streamed $after2 != batch replay $replay")
+    } finally query.stop()
+  }
+
   test("streaming audio fingerprinting matches batch (stateless decode)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.AudioCodecs
