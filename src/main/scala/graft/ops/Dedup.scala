@@ -414,6 +414,51 @@ object Dedup {
     * Output: (id_a, id_b, hamming ≥ 1), id_a < id_b, ids are min-id
     * class representatives; identical-hash members are
     * [[imageDupGroups256]]'s report. */
+  /** Estimator-quality AUDIT of the portable near-dup report — "measure,
+    * don't guess" for the dedup stage itself: every pair
+    * [[polyMinhashNearDupPairs]] reports gets its EXACT canonical
+    * char-k-shingle Jaccard computed alongside the MinHash estimate, so
+    * a pipeline can quantify estimator error (and false-positive rate at
+    * its threshold) before trusting a corpus-wide sweep.
+    *
+    * Scale shape: exact sets are computed ONLY for pair members (a
+    * semi-join slivers the corpus — the report is bounded, so the exact
+    * work is too; never an all-pairs exact pass). Output: (id_a, id_b,
+    * est_jaccard, exact_jaccard_r, abs_err_r). */
+  def nearDupAudit(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      k: Int = 5
+  ): DataFrame = {
+    val pairs = polyMinhashNearDupPairs(docs, textCol, idCol, threshold, numPerms, bands, k)
+    // the SAME shingle universe the signatures hash: distinct char
+    // k-shingles of the canonical form, whole-canon fallback under k
+    val canon = TextAnalysis.canonicalize(col(textCol))
+    val shingles = when(length(canon) < k, array(canon))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(canon) - lit(k) + 1),
+        i => canon.substr(i, lit(k)))))
+    val involved = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val sets = docs
+      .join(involved, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles.as("__ss"))
+    val inter = size(array_intersect(col("__ssa"), col("__ssb"))).cast("double")
+    val exact = inter /
+      (size(col("__ssa")) + size(col("__ssb")) - inter).cast("double")
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("__ss").as("__ssa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__ss").as("__ssb")), "id_b")
+      .withColumn("exact_jaccard_r", round(exact, 6) + lit(0.0))
+      .withColumn("abs_err_r", round(abs(col("est_jaccard") - exact), 6) + lit(0.0))
+      .select("id_a", "id_b", "est_jaccard", "exact_jaccard_r", "abs_err_r")
+  }
+
   /** Audio near-duplicate pairs over energy fingerprints
     * ([[Multimodal.audioFingerprints]] output: id + afp_hi/afp_lo) —
     * the same distinct-class + four-16-bit-band + bit_count-verify

@@ -1537,6 +1537,16 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q168_near_dup_audit" -> { (s, dir) =>
+      // estimator-quality audit: every reported near-dup pair carries its
+      // EXACT canonical-shingle Jaccard next to the MinHash estimate —
+      // exact sets computed only for pair members, never all-pairs
+      Dedup.nearDupAudit(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "text", "doc_id", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     "q166_corpus_datasheet" -> { (s, dir) =>
       // the per-source dataset card a corpus release ships: exact volume
       // integers, exact-dup burden, deterministic-fold mean quality,
@@ -2825,6 +2835,30 @@ object PipelineQueries {
         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM cells c JOIN t USING (doc_id)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // near-dup audit: the q67 pair chain + exact list_intersect Jaccard
+    // over the same canonical shingle lists the signatures hash
+    "q168_near_dup_audit" -> {
+      s"""WITH ${polyShingleSigCte("(SELECT doc_id, text FROM documents WHERE doc_id < 1000)")},
+         |${polyPairsCte(0.5)}, sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(canon) < 5 THEN [canon]
+         |         ELSE list_distinct(list_transform(range(0, len(canon) - 4),
+         |                i -> substr(canon, CAST(i + 1 AS INT), 5))) END AS ss
+         |  FROM c0
+         |), ex AS (
+         |  SELECT p.id_a, p.id_b, p.est_jaccard,
+         |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+         |      / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE) AS exact_j
+         |  FROM pairs0 p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b
+         |)
+         |SELECT id_a, id_b, est_jaccard,
+         |  round(exact_j, 6) + 0.0 AS exact_jaccard_r,
+         |  round(abs(est_jaccard - exact_j), 6) + 0.0 AS abs_err_r
+         |FROM ex ORDER BY id_a, id_b""".stripMargin
+    },
 
     // per-source datasheet: volume integers, distinct canonical classes,
     // the two-level quality fold, majority lang (count desc, lang desc)

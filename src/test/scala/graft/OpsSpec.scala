@@ -2013,6 +2013,29 @@ class OpsSpec extends SparkSpec {
     assert(p16 == pairs.toSet)
   }
 
+  test("nearDupAudit: exact Jaccard rides each reported pair, bounded sliver") {
+    import graft.ops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and keeps running fast"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " today"), // near-dup of 1: high exact jaccard
+      (3L, "an entirely different subject concerning query planners and joins"))
+      .toDF("doc_id", "text")
+    val audit = Dedup.nearDupAudit(docs, "text", "doc_id", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(audit.contains((1L, 2L)), s"planted pair missing: ${audit.keySet}")
+    val (est, exact, err) = audit((1L, 2L))
+    assert(exact > 0.7, s"exact jaccard too low: $exact")
+    assert(math.abs(est - exact) - err < 1e-6)
+    assert(!audit.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // exact shingle sets are computed on the PAIR-MEMBER sliver only: the
+    // corpus reaches the set projection through a semi-join
+    val plan = Dedup.nearDupAudit(docs, "text", "doc_id", threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join sliver:\n$plan")
+  }
+
   test("corpusDatasheet: exact volumes, dup burden, majority lang, determinism") {
     import graft.ops.Reports
     val docs = Seq(
