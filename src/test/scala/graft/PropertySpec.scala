@@ -88,6 +88,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dhash256 is brightness-shift invariant; pigeonhole recall holds") {
+    import graft.ops.ImageCodecs
+    val rnd = new scala.util.Random(31)
+    (0 until 20).foreach { trial =>
+      val w = 17 + rnd.nextInt(8)
+      val h = 16 + rnd.nextInt(8)
+      // pixels in [40, 200): a global +20 brightness shift never clips,
+      // so every horizontal luminance gradient keeps its sign
+      val rgb = Array.fill(w * h * 3)((40 + rnd.nextInt(160)).toByte)
+      val shifted = rgb.map(b => (b + 20).toByte)
+      val base = ImageCodecs.gradientHashWords(ImageCodecs.DecodedImage(w, h, rgb))
+      val shift = ImageCodecs.gradientHashWords(ImageCodecs.DecodedImage(w, h, shifted))
+      assert(base.toSeq == shift.toSeq, s"trial $trial: brightness shift changed dhash")
+      // every word is an unsigned 32-bit value (the no-sign-bit contract)
+      assert(base.forall(x => x >= 0L && x < (1L << 32)))
+    }
+  }
+
+  test("property: audio fingerprint is volume-scale invariant (within headroom)") {
+    import graft.ops.AudioCodecs
+    val rnd = new scala.util.Random(77)
+    (0 until 20).foreach { trial =>
+      val n = 256 + rnd.nextInt(512)
+      // samples within half headroom so doubling never clips shorts
+      val s = Array.fill(n)((rnd.nextInt(16000) - 8000).toShort)
+      val loud = s.map(x => (x * 2).toShort)
+      val a = AudioCodecs.energyFingerprintHalves(AudioCodecs.encodeWavPcm16(16000, 1, s))
+      val b = AudioCodecs.energyFingerprintHalves(AudioCodecs.encodeWavPcm16(16000, 1, loud))
+      // |2x| = 2|x| exactly -> window energies double -> gradient signs hold
+      assert(a == b, s"trial $trial: volume scaling changed fingerprint")
+    }
+  }
+
   test("property: competition ranking is valid (1-2-2-4 shape)") {
     samples(rowsGen, 8).foreach { data =>
       val df = data.toDF("id", "x")
