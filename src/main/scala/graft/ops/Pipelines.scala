@@ -228,16 +228,29 @@ object Pipelines {
     CleanResult(
       output,
       () => {
-        // the near-dup frame feeds three of the five counts (and the
-        // minhash join is the expensive part): cache it for the funnel
-        nearDeduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try CleanStats(
-          input = input.count(),
-          afterExactDedup = exact.count(),
-          afterNearDedup = nearDeduped.count(),
-          afterQuality = afterQuality.count(),
-          output = output.count())
-        finally nearDeduped.unpersist()
+        // ONE-PASS funnel: instead of five separate counts (each
+        // re-running its stage prefix — the old shape cost ~5 pipeline
+        // scans), every row gets stage-survival FLAGS and one aggregation
+        // counts all five levels. The exact-dup flag re-derives
+        // dropExactDups' keep rule (min id per canonical fingerprint —
+        // ids are unique, so min-id == row_number 1); the near-dup flag
+        // is the same losers anti-join expressed as a left join + null
+        // test; quality/lang are the row-local gate predicates.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+        val row = input
+          .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+          .withColumn("__keep", col(idCol) === min(col(idCol)).over(w))
+          .join(losers.withColumn("__hit", lit(true)), Seq(idCol), "left")
+          .withColumn("__surv", col("__keep") && col("__hit").isNull)
+          .agg(
+            count(lit(1)).as("n_in"),
+            count(when(col("__keep"), 1)).as("n_ex"),
+            count(when(col("__surv"), 1)).as("n_near"),
+            count(when(col("__surv") && quality, 1)).as("n_q"),
+            count(when(col("__surv") && quality && lang, 1)).as("n_out"))
+          .head()
+        CleanStats(row.getLong(0), row.getLong(1), row.getLong(2),
+          row.getLong(3), row.getLong(4))
       })
   }
 }
