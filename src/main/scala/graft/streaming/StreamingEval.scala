@@ -400,16 +400,15 @@ object StreamingEval {
     images.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       val hashes = hashFn(batch)
+      // first batch against a not-yet-created index: empty frame of the
+      // hash schema (an existence probe, not try/catch — Spark logs the
+      // failed read's full stack before the exception surfaces)
+      val path = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
       val index =
-        try spark.read.parquet(indexPath)
-        catch {
-          // first batch against a not-yet-created index: empty frame of
-          // the hash schema (same columns the append below will write)
-          case _: org.apache.spark.sql.AnalysisException =>
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              hashes.schema)
-        }
+        if (fs.exists(path)) spark.read.parquet(indexPath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hashes.schema)
       val admitted = dedupFn(index, hashes)
       // one deterministic append per micro-batch; the NEXT batch's read
       // sees it, which is what makes cross-batch dedup work
