@@ -92,9 +92,14 @@ object Classifier {
         size(toks).as("__n"), explode(toks).as("__t"))
       .withColumn("__j",
         conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long") % dim)
+    // cached pre-partitioned by doc id: every iteration's margin
+    // aggregate (grouping key __id, __y — clustered by __id) and the
+    // gradient join (on __id) then reuse this partitioning instead of
+    // re-exchanging the token counts 2x per iteration
     val tc = exploded
       .groupBy("__id", "__y", "__n", "__j")
       .agg(count(lit(1)).cast("long").as("__c"))
+      .repartition(col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nd = tc.select("__id").distinct().count()
@@ -105,7 +110,13 @@ object Classifier {
       var w = Array.fill(dim)(0.0)
       var it = 0
       while (it < iters) {
-        val wLit = array(w.map(lit).toSeq: _*)
+        // ONE array literal, not dim scalar literals: a typedlit array
+        // rides the codegen references array, so the generated source is
+        // IDENTICAL across iterations and the JIT-compiled plan is
+        // reused; 64 inlined double constants changed the source every
+        // iteration and recompilation dominated training wall-clock
+        // (measured ~10s flat at any sf before this)
+        val wLit = typedlit(w.toSeq)
         val margins = tc
           .withColumn("__wv",
             element_at(wLit, (col("__j") + 1).cast("int")) * col("__c") / col("__n"))
