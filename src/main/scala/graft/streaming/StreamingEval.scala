@@ -331,7 +331,16 @@ object StreamingEval {
     * a real deployment) and starting: this returns the configured
     * `DataStreamWriter`; call `.start()` and await. `indexPath` need not
     * exist yet — an absent index admits everything in batch 0 and is
-    * created by the first append. */
+    * created by the first append.
+    *
+    * Failure/replay semantics: foreachBatch is at-least-once, but the
+    * loop is IDEMPOTENT at hash-class level — a replayed batch whose
+    * first attempt already appended finds its classes in the index and
+    * admits nothing, so a crash between append and checkpoint commit
+    * cannot double-admit a class (duplicate `(id, hash)` rows from a
+    * crash mid-append are harmless: vetting reduces to distinct classes
+    * first). The same holds for [[imageIngestStream256]] and
+    * [[textIngestStream]] (signature classes). */
   def imageIngestStream(
       images: DataFrame,
       idCol: String,
