@@ -64,12 +64,18 @@ object Classifier {
     *    (doc-sorted per (bucket j, md5 doc sub-bucket), then sub-bucket
     *    order) — bit-identical across runs, partitionings, and engines.
     *
-    * Scale shape: token explode + count aggregation runs ONCE (cached);
-    * each iteration is one bounded margin aggregate + one two-level
-    * gradient fold; the driver holds `dim` doubles, never data. Labels
-    * must be 0/1; docs with null id/label/text or zero tokens are
-    * excluded. Bias is not trained (fold it in as a constant feature
-    * upstream if needed); score the result with `bias = 0`. */
+    * Scale shape: token explode + count aggregation runs ONCE (cached,
+    * pre-partitioned by doc id so per-iteration stages reuse the
+    * partitioning); each iteration is one action — margin aggregate +
+    * two-level gradient fold — and the driver holds `dim` doubles, never
+    * data. Memory of the level-1 gradient fold: each (bucket j,
+    * doc-sub-bucket) group buffers ≈ `nDocs / foldBuckets` (id, value)
+    * pairs before its sorted fold — at large corpora scale `foldBuckets`
+    * up (≈ sqrt(nDocs) balances level-1 lists against the level-2
+    * partial count, the [[Labels.labelCentroids]] rule). Labels must be
+    * 0/1; docs with null id/label/text or zero tokens are excluded.
+    * Bias is not trained (fold it in as a constant feature upstream if
+    * needed); score the result with `bias = 0`. */
   def trainPortable(
       docs: DataFrame,
       textCol: String,
