@@ -459,6 +459,41 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard", "exact_jaccard_r", "abs_err_r")
   }
 
+  /** One-row summary of [[nearDupAudit]] — the numbers a pipeline
+    * actually acts on before trusting a sweep at its threshold:
+    * `n_pairs`, `n_true` (exact Jaccard also clears the threshold),
+    * `precision_r`, `mae_r` (mean |est − exact|, summed in
+    * (id_a, id_b)-sorted order so the double is engine-reproducible),
+    * and `max_err_r`. */
+  def nearDupAuditSummary(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      k: Int = 5
+  ): DataFrame = {
+    val audit = nearDupAudit(docs, textCol, idCol, threshold, numPerms, bands, k)
+    val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
+    // pair-sorted deterministic fold of the errors: key pairs by a
+    // single long (ids are engine-contract unique longs; interleave via
+    // a large multiplier safe for test/corpus id ranges)
+    audit
+      .withColumn("__pk", col("id_a") * lit(1000000000L) + col("id_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("exact_jaccard_r") >= threshold, 1)).as("n_true"),
+        (oks(collect_list(struct(col("__pk").as("k"), col("abs_err_r").as("v"))))
+          / count(lit(1))).as("__mae"),
+        max(col("abs_err_r")).as("max_err_r"))
+      .select(
+        col("n_pairs"), col("n_true"),
+        (round(col("n_true") / col("n_pairs"), 6) + lit(0.0)).as("precision_r"),
+        (round(col("__mae"), 9) + lit(0.0)).as("mae_r"),
+        col("max_err_r"))
+  }
+
   /** Audio near-duplicate pairs over energy fingerprints
     * ([[Multimodal.audioFingerprints]] output: id + afp_hi/afp_lo) —
     * the same distinct-class + four-16-bit-band + bit_count-verify

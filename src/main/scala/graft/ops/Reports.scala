@@ -29,10 +29,11 @@ object Reports {
     *
     * Scale shape: four per-source aggregations (each bounded at
     * |sources| output rows; the quality fold spreads any hot source over
-    * `foldBuckets` sub-buckets) joined on the tiny source key — the
-    * corpus streams through map-side projections, nothing collects.
-    * Null-id/null-text rows are excluded (they carry no judgeable
-    * content). */
+    * `foldBuckets` sub-buckets — scale it ≈ sqrt(rowsPerSource) at large
+    * corpora, the [[Labels.labelCentroids]] rule) joined on the tiny
+    * source key — the corpus streams through map-side projections,
+    * nothing collects. Null-id/null-text rows are excluded (they carry
+    * no judgeable content). */
   def corpusDatasheet(
       docs: DataFrame,
       textCol: String = "text",

@@ -1547,6 +1547,14 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q169_near_dup_audit_summary" -> { (s, dir) =>
+      // the one-row verdict on the estimator: pair count, precision at
+      // the threshold against exact Jaccard, deterministic-fold MAE
+      Dedup.nearDupAuditSummary(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "text", "doc_id", threshold = 0.5)
+    },
+
     "q166_corpus_datasheet" -> { (s, dir) =>
       // the per-source dataset card a corpus release ships: exact volume
       // integers, exact-dup burden, deterministic-fold mean quality,
@@ -2858,6 +2866,38 @@ object PipelineQueries {
          |  round(exact_j, 6) + 0.0 AS exact_jaccard_r,
          |  round(abs(est_jaccard - exact_j), 6) + 0.0 AS abs_err_r
          |FROM ex ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // audit summary: q168's chain reduced to the one-row verdict; MAE
+    // folds errors in pair-key order (id_a*1e9 + id_b)
+    "q169_near_dup_audit_summary" -> {
+      s"""WITH ${polyShingleSigCte("(SELECT doc_id, text FROM documents WHERE doc_id < 1000)")},
+         |${polyPairsCte(0.5)}, sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(canon) < 5 THEN [canon]
+         |         ELSE list_distinct(list_transform(range(0, len(canon) - 4),
+         |                i -> substr(canon, CAST(i + 1 AS INT), 5))) END AS ss
+         |  FROM c0
+         |), ex AS (
+         |  SELECT p.id_a, p.id_b, p.est_jaccard,
+         |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+         |      / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE) AS exact_j
+         |  FROM pairs0 p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b
+         |), exr AS (
+         |  SELECT id_a * 1000000000 + id_b AS pk,
+         |    round(exact_j, 6) + 0.0 AS exact_jaccard_r,
+         |    round(abs(est_jaccard - exact_j), 6) + 0.0 AS abs_err_r
+         |  FROM ex
+         |)
+         |SELECT count(*) AS n_pairs,
+         |  count(CASE WHEN exact_jaccard_r >= 0.5 THEN 1 END) AS n_true,
+         |  round(count(CASE WHEN exact_jaccard_r >= 0.5 THEN 1 END) / count(*), 6) + 0.0 AS precision_r,
+         |  round(list_reduce(list_prepend(0.0, list(abs_err_r ORDER BY pk)), (a, x) -> a + x)
+         |    / count(*), 9) + 0.0 AS mae_r,
+         |  max(abs_err_r) AS max_err_r
+         |FROM exr""".stripMargin
     },
 
     // per-source datasheet: volume integers, distinct canonical classes,
