@@ -741,6 +741,37 @@ object Similarity {
         (-col("__negd") + lit(0.0)).as("adist_r"), col("pq_rank"))
   }
 
+  /** Recall@k of an approximate retrieval result against the exact one —
+    * "measure, don't guess" for the ANN stack: both inputs are retrieval
+    * frames `(queryCol, idCol, …, nn_rank)` (any of [[lshTopK]],
+    * [[ivfTopKWithCentroids]], [[pqTopK]]'s rank column renamed,
+    * [[quantizedTopK]] vs [[bruteForceTopKAgg]]). Per query:
+    * `n_hits` = |approx top-k ∩ exact top-k| and
+    * `recall_r = round(n_hits / |exact top-k|, 6)` — the denominator is
+    * the EXACT list's size, so queries with fewer than k true neighbors
+    * score fairly. Queries the approx side missed entirely report 0.
+    *
+    * Scale shape: two rank filters, one semi-join on (query, id), two
+    * bounded per-query counts — all k·|queries|-sized frames. */
+  def recallAtK(
+      approx: DataFrame,
+      exact: DataFrame,
+      k: Int,
+      queryCol: String = "query_id",
+      idCol: String = "vec_id"
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val a = approx.filter(col("nn_rank") <= k).select(col(queryCol), col(idCol))
+    val e = exact.filter(col("nn_rank") <= k).select(col(queryCol), col(idCol))
+    val hits = a.join(e, Seq(queryCol, idCol), "left_semi")
+      .groupBy(queryCol).agg(count(lit(1)).as("__h"))
+    e.groupBy(queryCol).agg(count(lit(1)).as("__n"))
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("__h"), lit(0L)).as("n_hits"),
+        (round(coalesce(col("__h"), lit(0L)) / col("__n"), 6) + lit(0.0)).as("recall_r"))
+  }
+
   /** Blocked exact nearest neighbor: per id in `blockCol` block, the top-1
     * neighbor among rows sharing the block (an IVF-style partition-local
     * search — the scalable pattern when a coarse partitioner exists). */

@@ -1822,6 +1822,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    "q170_ann_recall" -> { (s, dir) =>
+      // recall@10 of hyperplane-LSH retrieval vs the exact ranking, per
+      // query — the ANN stack's own estimator audit, fully oracle-replayed
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val approx = Similarity.lshTopK(emb, qs, k = 10, dim = 64, nBits = 8)
+      val exact = Similarity.bruteForceTopKAgg(emb, qs, k = 10)
+      Similarity.recallAtK(approx, exact, k = 10)
+        .orderBy("query_id")
+    },
+
     "q45_lsh_topk" -> { (s, dir) =>
       // oracle-checked since round 4: the seeded +-1 hyperplanes are
       // interpolated into the SQL (see hyperplaneKeySql), so the bucket
@@ -5219,6 +5230,51 @@ object PipelineQueries {
          |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
          |      < LEAST(GREATEST(qscore / 100.0, 0.05), 0.95)
          |ORDER BY doc_id""".stripMargin,
+
+    // ANN recall audit: the q45 LSH chain and the exact ranking, reduced
+    // to per-query hit counts over the exact denominator
+    "q170_ann_recall" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 4, t => 7919L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), kk AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), q AS (SELECT * FROM kk WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid, q.v AS qv, c.v AS cv
+         |  FROM kk c JOIN q ON c.vec_id <> q.vec_id
+         |    AND (c.k_0 = q.k_0 OR c.k_1 = q.k_1 OR c.k_2 = q.k_2 OR c.k_3 = q.k_3)
+         |), ark AS (
+         |  SELECT query_id, cid,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC, cid) AS rnk
+         |  FROM cand
+         |  WHERE NOT isnan(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+         |), approx AS (SELECT query_id, cid FROM ark WHERE rnk <= 10),
+         |erk AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rnk
+         |  FROM e c JOIN e q ON c.vec_id <> q.vec_id AND q.vec_id < 20
+         |  WHERE NOT isnan(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |), exact AS (SELECT query_id, cid FROM erk WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.query_id, count(*) AS h
+         |  FROM approx a JOIN exact x ON x.query_id = a.query_id AND x.cid = a.cid
+         |  GROUP BY a.query_id
+         |), den AS (
+         |  SELECT query_id, count(*) AS n FROM exact GROUP BY query_id
+         |)
+         |SELECT den.query_id, coalesce(hits.h, 0) AS n_hits,
+         |  round(coalesce(hits.h, 0) / den.n, 6) + 0.0 AS recall_r
+         |FROM den LEFT JOIN hits USING (query_id)
+         |ORDER BY den.query_id""".stripMargin
+    },
 
     // LSH ANN top-k: hyperplane keys (12 bits x 4 tables, interpolated
     // constants), any-table candidate match excluding self, exact cosine

@@ -2013,6 +2013,31 @@ class OpsSpec extends SparkSpec {
     assert(p16 == pairs.toSet)
   }
 
+  test("recallAtK: identity = 1, misses = 0, short exact lists score fairly") {
+    import graft.ops.Similarity
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)) // query 2 has only 2 true neighbors
+      .toDF("query_id", "vec_id", "nn_rank")
+    // approx: query 1 gets 2 of 3 right (one wrong id); query 2 missing
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3))
+      .toDF("query_id", "vec_id", "nn_rank")
+    val got = Similarity.recallAtK(approx, exact, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((2L, 0.666667)))
+    assert(got(2L) == ((0L, 0.0))) // approx missed the query entirely
+    // identity: approx == exact -> recall 1 everywhere, denominator = the
+    // exact list size (2 for query 2, not k)
+    val ident = Similarity.recallAtK(exact, exact, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ident == Map(1L -> 1.0, 2L -> 1.0))
+    // ranks beyond k are ignored on both sides
+    val deep = Similarity.recallAtK(approx, exact, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep == Map(1L -> 1L, 2L -> 0L))
+  }
+
   test("nearDupAudit: exact Jaccard rides each reported pair, bounded sliver") {
     import graft.ops.Dedup
     val base = "the quick brown fox jumps over the lazy dog and keeps running fast"
