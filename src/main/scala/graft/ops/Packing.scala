@@ -46,4 +46,35 @@ object Packing {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
       .drop("__last_tok")
   }
+
+  /** MATERIALIZE the packed training sequences — the last step of
+    * "tokenize, shuffle, pack": each document's token array (any element
+    * type) lands on its global stream positions (`offset + position`)
+    * and every (shard, chunk) collects its tokens in exact stream order.
+    * Output: (shard, chunk_id, n_tokens, tokens) — full chunks carry
+    * `budget` tokens, each shard's tail chunk runs short.
+    *
+    * Order is explicit (array_sort on the unique global position), never
+    * exec arrival order — the engine-wide determinism contract. Scale
+    * shape: one token explode (linear in corpus tokens — the size of the
+    * thing being produced) into one aggregation; each (shard, chunk)
+    * buffer holds ≤ `budget` tokens. */
+  def materializeChunks(
+      packed: DataFrame,
+      tokensCol: String,
+      shardCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    packed
+      .select(col(shardCol).as("shard"), col("offset"),
+        posexplode(col(tokensCol)).as(Seq("__pos", "__tok")))
+      .withColumn("__gpos", col("offset") + col("__pos"))
+      .withColumn("chunk_id", expr(s"__gpos div $budget"))
+      .groupBy("shard", "chunk_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        transform(array_sort(collect_list(struct(col("__gpos"), col("__tok")))),
+          x => x.getField("__tok")).as("tokens"))
+  }
 }

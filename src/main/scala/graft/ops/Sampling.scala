@@ -510,6 +510,46 @@ object Sampling {
       idCol, sourceCol, weightCol, col("token_budget"), salt)
   }
 
+  /** Per-source EPOCH REPEATS — the other half of a mixing recipe, where
+    * upweighted sources appear MORE than once per epoch (repeat factor
+    * 2.3 = two full copies + a 0.3-probability third): each row explodes
+    * into `ceil(r_s)` candidate copies and copy `i` survives iff
+    * `i < floor(r_s)` or (`i == floor(r_s)` and
+    * `unitHash(id + "#i") < frac(r_s)`) — deterministic, reproducible,
+    * engine-independent, with every copy tagged by `epoch_copy` so
+    * downstream shuffling ([[withShuffleOrder]] keyed by id AND copy)
+    * spreads the copies through the epoch. Sources absent from `repeats`
+    * default to factor 1 (one copy). Factors must be positive; a factor
+    * < 1 admits a single fractional copy (equivalent to
+    * [[temperatureMix]]-style downsampling).
+    *
+    * Scale shape: one explode bounded by ceil(max r) copies — a pure
+    * map-side projection, no shuffle, stream-legal. */
+  def withEpochRepeats(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      repeats: Map[String, Double],
+      salt: String = ""
+  ): DataFrame = {
+    require(repeats.values.forall(r => r > 0.0 && r <= 64.0),
+      "repeat factors must be in (0, 64]")
+    val maxCopies = repeats.values.map(r => math.ceil(r).toInt).foldLeft(1)(math.max)
+    // per-row factor: literal CASE chain over the (bounded) recipe map
+    val factor = repeats.foldLeft(lit(1.0): Column) {
+      case (acc, (s, r)) =>
+        when(col(sourceCol).cast("string") <=> lit(s), lit(r)).otherwise(acc)
+    }
+    val copy = col("epoch_copy")
+    val keepCopy = copy < floor(factor) ||
+      (copy === floor(factor) &&
+        unitHash(concat(col(idCol).cast("string"), lit("#"), copy.cast("string")), salt)
+          < (factor - floor(factor)))
+    df.withColumn("epoch_copy",
+        explode(sequence(lit(0L), lit(maxCopies.toLong - 1L))))
+      .filter(keepCopy)
+  }
+
   /** Deterministic global shuffle order for training-data serving: adds
     * `shard` (= md5 prefix of the id mod `numShards`) and `shuffle_pos`
     * (1-based rank within the shard, ordered by the full md5 hex then id).

@@ -1547,6 +1547,36 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q172_packed_chunks" -> { (s, dir) =>
+      // the materialized training sequences: tokenize -> deterministic
+      // shuffle order -> 64-token packing -> per-chunk token streams in
+      // exact global order (tail chunks run short)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val lens = docs.select(col("doc_id"), toks.as("__toks"),
+        when(col("text").isNull, lit(0)).otherwise(size(toks)).as("n_tok"))
+      val sharded = graft.ops.Sampling.withShuffleOrder(
+        lens, "doc_id", numShards = 8, salt = "graft-pack2")
+      val packed = graft.ops.Packing.sequencePacking(
+        sharded, "doc_id", "n_tok", "shard", budget = 64L, orderCol = "shuffle_pos")
+      graft.ops.Packing.materializeChunks(packed, "__toks", "shard", budget = 64L)
+        .withColumn("chunk_text", concat_ws(" ", col("tokens")))
+        .select("shard", "chunk_id", "n_tokens", "chunk_text")
+        .orderBy("shard", "chunk_id")
+    },
+
+    "q171_epoch_repeats" -> { (s, dir) =>
+      // >1-epoch mixing weights: src0 appears 2.5x per epoch (two full
+      // copies + a hash-gated 0.5 third), src1 downsampled to 0.25 —
+      // pure map-side explode, every copy deterministic
+      graft.ops.Sampling.withEpochRepeats(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25), salt = "graft-er")
+        .select("doc_id", "source", "n_chars", "epoch_copy")
+        .orderBy("doc_id", "epoch_copy")
+    },
+
     "q169_near_dup_audit_summary" -> { (s, dir) =>
       // the one-row verdict on the estimator: pair count, precision at
       // the threshold against exact Jaccard, deterministic-fold MAE
@@ -2878,6 +2908,55 @@ object PipelineQueries {
          |  round(abs(est_jaccard - exact_j), 6) + 0.0 AS abs_err_r
          |FROM ex ORDER BY id_a, id_b""".stripMargin
     },
+
+    // packed chunks: q146's shard/shuffle/prefix-sum conventions (salt
+    // 'graft-pack2', whitespace tokens, budget 64) + per-chunk
+    // string_agg in global-position order
+    "q172_packed_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id, len(ts) AS n, ts FROM toks
+        |), hx AS (
+        |  SELECT doc_id, n, ts, md5(CAST(doc_id AS VARCHAR) || 'graft-pack2') AS hex
+        |  FROM lens
+        |), sp AS (
+        |  SELECT doc_id, n, ts,
+        |    CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT)
+        |      ORDER BY hex, doc_id) AS BIGINT) AS shuffle_pos
+        |  FROM hx
+        |), o AS (
+        |  SELECT doc_id, shard, ts,
+        |    CAST(SUM(n) OVER (PARTITION BY shard ORDER BY shuffle_pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS "offset"
+        |  FROM sp
+        |), tokpos AS (
+        |  SELECT shard, "offset" + u.i AS gpos, ts[CAST(u.i + 1 AS INT)] AS tok
+        |  FROM o, unnest(range(len(ts))) AS u(i)
+        |)
+        |SELECT shard, gpos // 64 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  string_agg(tok, ' ' ORDER BY gpos) AS chunk_text
+        |FROM tokpos GROUP BY shard, gpos // 64
+        |ORDER BY shard, chunk_id""".stripMargin,
+
+    // epoch repeats: copy explode + the same md5 unit-hash gate on the
+    // fractional copy, every branch of the CASE factor replayed
+    "q171_epoch_repeats" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, n_chars, i AS epoch_copy,
+        |    CASE WHEN source = 'src0' THEN 2.5
+        |         WHEN source = 'src1' THEN 0.25 ELSE 1.0 END AS f
+        |  FROM documents, unnest(range(3)) AS u(i)
+        |)
+        |SELECT doc_id, source, n_chars, epoch_copy FROM c
+        |WHERE epoch_copy < floor(f) OR (epoch_copy = floor(f)
+        |  AND CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch_copy AS VARCHAR) || 'graft-er'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < f - floor(f))
+        |ORDER BY doc_id, epoch_copy""".stripMargin,
 
     // audit summary: q168's chain reduced to the one-row verdict; MAE
     // folds errors in pair-key order (id_a*1e9 + id_b)

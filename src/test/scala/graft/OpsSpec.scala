@@ -2013,6 +2013,64 @@ class OpsSpec extends SparkSpec {
     assert(p16 == pairs.toSet)
   }
 
+  test("withEpochRepeats: full copies exact, fractional copy hash-gated") {
+    import graft.ops.Sampling
+    val docs = spark.range(0, 400).toDF("id")
+      .withColumn("src", when(col("id") < 200, "hot").otherwise(lit("cold")))
+    val out = Sampling.withEpochRepeats(docs, "id", "src",
+      Map("hot" -> 2.5), salt = "er1")
+    val perRow = out.groupBy("id", "src").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // cold rows appear exactly once; hot rows 2 or 3 times
+    assert(perRow.filter(_._2 == "cold").forall(_._3 == 1L))
+    assert(perRow.filter(_._2 == "hot").forall(n => n._3 == 2L || n._3 == 3L))
+    // the fractional third copy lands near its 0.5 rate
+    val third = perRow.count(r => r._2 == "hot" && r._3 == 3L)
+    assert(third > 60 && third < 140, s"fractional copy rate off: $third/200")
+    // deterministic under repartitioning
+    val again = Sampling.withEpochRepeats(docs.repartition(7), "id", "src",
+      Map("hot" -> 2.5), salt = "er1")
+      .select("id", "epoch_copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == out.select("id", "epoch_copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // sub-1 factors downsample; epoch_copy stays 0
+    val down = Sampling.withEpochRepeats(docs, "id", "src",
+      Map("hot" -> 0.25), salt = "er1")
+    val hotKept = down.filter(col("src") === "hot").count()
+    assert(hotKept > 20 && hotKept < 80, s"downsample rate off: $hotKept/200")
+    assert(down.select(max("epoch_copy")).head().getLong(0) == 0L)
+  }
+
+  test("materializeChunks: exact stream order, budget-full chunks, short tails") {
+    import graft.ops.Packing
+    // one shard, three docs in a pinned order: tokens a1..a5 | b1..b4 | c1..c3
+    val docs = Seq(
+      (1L, 1L, Seq("a1", "a2", "a3", "a4", "a5")),
+      (2L, 2L, Seq("b1", "b2", "b3", "b4")),
+      (3L, 3L, Seq("c1", "c2", "c3")))
+      .toDF("doc_id", "pos", "toks")
+      .withColumn("shard", lit(0))
+      .withColumn("n", size(col("toks")))
+    val packed = Packing.sequencePacking(docs, "doc_id", "n", "shard",
+      budget = 4L, orderCol = "pos")
+    val chunks = Packing.materializeChunks(packed, "toks", "shard", budget = 4L)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getSeq[String](3)))
+    // stream = a1..a5 b1..b4 c1..c3 cut at 4: the straddles land exactly
+    assert(chunks.toSeq == Seq(
+      (0L, 4L, Seq("a1", "a2", "a3", "a4")),
+      (1L, 4L, Seq("a5", "b1", "b2", "b3")),
+      (2L, 4L, Seq("b4", "c1", "c2", "c3"))))
+    // partition-invariance: the order comes from positions, not arrival
+    val again = Packing.materializeChunks(
+      Packing.sequencePacking(docs.repartition(5), "doc_id", "n", "shard",
+        budget = 4L, orderCol = "pos"),
+      "toks", "shard", budget = 4L)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getSeq[String](3)))
+    assert(again.toSeq == chunks.toSeq)
+  }
+
   test("recallAtK: identity = 1, misses = 0, short exact lists score fairly") {
     import graft.ops.Similarity
     val exact = Seq(
