@@ -47,6 +47,38 @@ object Packing {
       .drop("__last_tok")
   }
 
+  /** Chunk PROVENANCE — the data-lineage record a training-data release
+    * keeps alongside its packed sequences: which document contributed
+    * which token span of which chunk. One row per (chunk, contributing
+    * doc): `chunk_start` (the doc's first in-chunk token position) and
+    * `n_from_doc` (how many of its tokens land in this chunk) — pure
+    * integer arithmetic over [[sequencePacking]]'s offsets, so "which
+    * training sequence contains document X" (takedowns, contamination
+    * forensics) is an index lookup, not a re-tokenization. Zero-token
+    * docs contribute nothing. Map-side explode bounded by each doc's
+    * `n_chunks`; no shuffle. */
+  def chunkProvenance(
+      packed: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      shardCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    packed
+      .filter(col(tokenCol) > 0)
+      .select(col(shardCol).as("shard"), col(idCol), col("offset"),
+        col(tokenCol).cast("long").as("__n"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+      .withColumn("__cstart", col("chunk_id") * budget)
+      .withColumn("__sg", greatest(col("offset"), col("__cstart")))
+      .withColumn("__eg",
+        least(col("offset") + col("__n"), col("__cstart") + lit(budget)))
+      .select(col("shard"), col("chunk_id"), col(idCol),
+        (col("__sg") - col("__cstart")).as("chunk_start"),
+        (col("__eg") - col("__sg")).as("n_from_doc"))
+  }
+
   /** MATERIALIZE the packed training sequences — the last step of
     * "tokenize, shuffle, pack": each document's token array (any element
     * type) lands on its global stream positions (`offset + position`)

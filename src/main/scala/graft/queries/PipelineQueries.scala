@@ -1565,6 +1565,22 @@ object PipelineQueries {
         .orderBy("shard", "chunk_id")
     },
 
+    "q173_chunk_provenance" -> { (s, dir) =>
+      // data lineage of the q172 packing: which doc contributed which
+      // token span of which chunk — integer arithmetic over offsets,
+      // no re-tokenization
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val lens = docs.select(col("doc_id"),
+        when(col("text").isNull, lit(0)).otherwise(size(toks)).as("n_tok"))
+      val sharded = graft.ops.Sampling.withShuffleOrder(
+        lens, "doc_id", numShards = 8, salt = "graft-pack2")
+      val packed = graft.ops.Packing.sequencePacking(
+        sharded, "doc_id", "n_tok", "shard", budget = 64L, orderCol = "shuffle_pos")
+      graft.ops.Packing.chunkProvenance(packed, "doc_id", "n_tok", "shard", budget = 64L)
+        .orderBy("shard", "chunk_id", "doc_id")
+    },
+
     "q171_epoch_repeats" -> { (s, dir) =>
       // >1-epoch mixing weights: src0 appears 2.5x per epoch (two full
       // copies + a hash-gated 0.5 third), src1 downsampled to 0.25 —
@@ -2943,6 +2959,38 @@ object PipelineQueries {
         |  string_agg(tok, ' ' ORDER BY gpos) AS chunk_text
         |FROM tokpos GROUP BY shard, gpos // 64
         |ORDER BY shard, chunk_id""".stripMargin,
+
+    // chunk provenance: the q172 offset chain + per-chunk span clamps in
+    // pure integer arithmetic
+    "q173_chunk_provenance" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n
+        |  FROM documents
+        |), hx AS (
+        |  SELECT doc_id, n, md5(CAST(doc_id AS VARCHAR) || 'graft-pack2') AS hex
+        |  FROM toks
+        |), sp AS (
+        |  SELECT doc_id, n,
+        |    CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT)
+        |      ORDER BY hex, doc_id) AS BIGINT) AS shuffle_pos
+        |  FROM hx
+        |), o AS (
+        |  SELECT doc_id, shard, n,
+        |    CAST(SUM(n) OVER (PARTITION BY shard ORDER BY shuffle_pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS "offset"
+        |  FROM sp WHERE n > 0
+        |), spans AS (
+        |  SELECT shard, doc_id, "offset", n, u.c AS chunk_id, u.c * 64 AS cstart
+        |  FROM o, unnest(range("offset" // 64, ("offset" + n - 1) // 64 + 1)) AS u(c)
+        |)
+        |SELECT shard, chunk_id, doc_id,
+        |  GREATEST("offset", cstart) - cstart AS chunk_start,
+        |  LEAST("offset" + n, cstart + 64) - GREATEST("offset", cstart) AS n_from_doc
+        |FROM spans ORDER BY shard, chunk_id, doc_id""".stripMargin,
 
     // epoch repeats: copy explode + the same md5 unit-hash gate on the
     // fractional copy, every branch of the CASE factor replayed

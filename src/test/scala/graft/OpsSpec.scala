@@ -2071,6 +2071,30 @@ class OpsSpec extends SparkSpec {
     assert(again.toSeq == chunks.toSeq)
   }
 
+  test("chunkProvenance: spans tile each chunk exactly, zero-token docs absent") {
+    import graft.ops.Packing
+    val docs = Seq(
+      (1L, 1L, 5), (2L, 2L, 4), (3L, 3L, 0), (4L, 4L, 3)) // 0-token doc 3
+      .toDF("doc_id", "pos", "n")
+      .withColumn("shard", lit(0))
+    val packed = Packing.sequencePacking(docs, "doc_id", "n", "shard",
+      budget = 4L, orderCol = "pos")
+    val prov = Packing.chunkProvenance(packed, "doc_id", "n", "shard", budget = 4L)
+      .orderBy("chunk_id", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // stream: doc1[0,5) doc2[5,9) doc4[9,12); chunks of 4
+    assert(prov.toSeq == Seq(
+      (0L, 1L, 0L, 4L),            // chunk 0: doc1 tokens 0..3
+      (1L, 1L, 0L, 1L),            // chunk 1: doc1's 5th token
+      (1L, 2L, 1L, 3L),            //          doc2's first 3
+      (2L, 2L, 0L, 1L),            // chunk 2: doc2's last
+      (2L, 4L, 1L, 3L)))           //          doc4 whole
+    // every chunk's spans tile it: sums equal the chunk's token count
+    val perChunk = prov.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perChunk == Map(0L -> 4L, 1L -> 4L, 2L -> 4L))
+    assert(!prov.exists(_._2 == 3L))
+  }
+
   test("recallAtK: identity = 1, misses = 0, short exact lists score fairly") {
     import graft.ops.Similarity
     val exact = Seq(
