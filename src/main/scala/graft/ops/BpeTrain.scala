@@ -176,4 +176,34 @@ object BpeTrain {
       .groupBy(idCol)
       .agg(coalesce(sum("n_tok"), lit(0L)).as("n_bpe_tokens"))
   }
+
+  /** Tokenizer FERTILITY report — the standard tokenizer-quality metric
+    * (BPE tokens per whitespace word; 1.0 = every word is one token,
+    * higher = the vocabulary fragments this source's text): per source,
+    * exact integer token/word totals and their rounded ratio. A source
+    * whose fertility is far above the corpus mean is poorly served by
+    * the trained vocabulary (wrong language/script for the merges) —
+    * the signal that drives vocab-size and mixing decisions.
+    *
+    * Scale shape: [[tokensPerDoc]]'s distinct-word join + two exact
+    * integer sums per source; output bounded at |sources| rows. Sources
+    * with zero words report null fertility (nothing to judge). */
+  def fertility(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      merges: Seq[Merge]
+  ): DataFrame = {
+    val bpe = tokensPerDoc(df, idCol, textCol, merges)
+    val words = df.select(col(idCol), col(sourceCol).as("source"),
+      when(col(textCol).isNull, lit(0))
+        .otherwise(TextAnalysis.tokenCount(col(textCol))).as("__w"))
+    words.join(bpe, Seq(idCol))
+      .groupBy("source")
+      .agg(sum("__w").cast("long").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("fertility_r",
+        round(col("n_bpe_tokens") / col("n_words"), 6) + lit(0.0))
+  }
 }

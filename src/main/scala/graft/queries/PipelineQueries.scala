@@ -1565,6 +1565,15 @@ object PipelineQueries {
         .orderBy("shard", "chunk_id")
     },
 
+    "q174_bpe_fertility" -> { (s, dir) =>
+      // per-source tokenizer fertility under the trained merges: exact
+      // token/word totals, the vocab-fit signal for mixing decisions
+      val docs = t(s, dir, "documents")
+      val merges = BpeState.forDir(docs, dir, BpeNumMerges)
+      graft.ops.BpeTrain.fertility(docs, "doc_id", "text", "source", merges)
+        .orderBy("source")
+    },
+
     "q173_chunk_provenance" -> { (s, dir) =>
       // data lineage of the q172 packing: which doc contributed which
       // token span of which chunk — integer arithmetic over offsets,
@@ -3589,6 +3598,32 @@ object PipelineQueries {
          |SELECT sym AS token, CAST(sum(cnt) AS BIGINT) AS freq
          |FROM state_$BpeNumMerges, unnest(s) AS u(sym)
          |GROUP BY sym ORDER BY freq DESC, token LIMIT 40""".stripMargin),
+
+    // fertility: per-occurrence word stream joined to the replayed
+    // training state's symbol lengths, exact integer sums per source
+    "q174_bpe_fertility" ->
+      (bpeStatePrefix(BpeNumMerges) + s""",
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN text IS NULL OR len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |           ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END) AS word
+         |  FROM documents
+         |),
+         |tl AS (
+         |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS w, CAST(sum(len(st.s)) AS BIGINT) AS b
+         |  FROM dw JOIN state_$BpeNumMerges st USING (word)
+         |  GROUP BY dw.doc_id
+         |),
+         |agg AS (
+         |  SELECT d.source,
+         |    CAST(sum(coalesce(tl.w, 0)) AS BIGINT) AS n_words,
+         |    CAST(sum(coalesce(tl.b, 0)) AS BIGINT) AS n_bpe_tokens
+         |  FROM documents d LEFT JOIN tl USING (doc_id)
+         |  GROUP BY d.source
+         |)
+         |SELECT source, n_words, n_bpe_tokens,
+         |  round(n_bpe_tokens / n_words, 6) + 0.0 AS fertility_r
+         |FROM agg ORDER BY source""".stripMargin),
 
     // tokenize (replayed training state) -> q76 shard/shuffle -> q60
     // packing arithmetic, end to end in one SQL chain

@@ -135,4 +135,24 @@ class BpeSpec extends SparkSpec {
     assert(df.as[Seq[String]].head() ==
       Seq("h", "e", "ll", "o", " ", "w", "o", "r", "l", "d", "</w>"))
   }
+
+  test("fertility: per-source token/word ratios, empty source null") {
+    val docs = Seq(
+      (1L, "a", "low low low low"),       // repeated word: merges compress it
+      (2L, "a", "low low"),
+      (3L, "b", "zq xkv"),                // rare words: stay fragmented
+      (4L, "c", ""))                      // empty: 0 words
+      .toDF("doc_id", "source", "text")
+    val merges = graft.ops.BpeTrain.train(docs, "text", numMerges = 4)
+    val got = graft.ops.BpeTrain.fertility(docs, "doc_id", "text", "source", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("a")._1 == 6L) // 6 word occurrences
+    assert(got("b")._1 == 2L)
+    // the trained merges compress 'low' harder than the rare words
+    val fa = got("a")._3.get.asInstanceOf[Double]
+    val fb = got("b")._3.get.asInstanceOf[Double]
+    assert(fa < fb, s"expected repeated-word source to compress better: $fa vs $fb")
+    assert(got("c") == ((0L, 0L, None))) // nothing to judge -> null ratio
+  }
 }
