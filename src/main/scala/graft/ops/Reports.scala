@@ -91,4 +91,32 @@ object Reports {
       .select("source", "n_docs", "n_tokens", "n_chars", "n_exact_classes",
         "dup_rate_r", "mean_quality_r", "top_lang")
   }
+
+  /** CROSS-SOURCE duplication matrix — which sources copy each other
+    * verbatim (mirror sites, syndicated feeds, scraper echoes): one row
+    * per unordered source pair that shares at least one exact canonical
+    * class, with the shared-class count. The input to "drop the mirror,
+    * keep the origin" mixing decisions.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (fingerprint, source)
+    * rows first, so the per-fingerprint self-join is bounded by
+    * sources-per-class (≤ |sources|), never members-per-class — a
+    * million-copy class contributes its source pairs once. */
+  def crossSourceDupMatrix(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"
+  ): DataFrame = {
+    val ds = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"),
+        col(sourceCol).as("source"))
+      .distinct()
+    ds.select(col("__fp"), col("source").as("source_a"))
+      .join(ds.select(col("__fp"), col("source").as("source_b")), "__fp")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_classes"))
+  }
 }

@@ -1565,6 +1565,20 @@ object PipelineQueries {
         .orderBy("shard", "chunk_id")
     },
 
+    "q175_cross_source_dups" -> { (s, dir) =>
+      // mirror detection: source pairs sharing exact canonical classes,
+      // reduced to DISTINCT (fingerprint, source) first so a
+      // million-copy class contributes its pairs once. A planted mirror
+      // of the first 50 docs (re-sourced, re-keyed) guarantees the
+      // matrix is non-trivially exercised at every scale factor
+      val docs = t(s, dir, "documents")
+      val mirrored = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", concat(lit("mirror-"), col("source")))
+      graft.ops.Reports.crossSourceDupMatrix(docs.unionByName(mirrored))
+        .orderBy("source_a", "source_b")
+    },
+
     "q174_bpe_fertility" -> { (s, dir) =>
       // per-source tokenizer fertility under the trained merges: exact
       // token/word totals, the vocab-fit signal for mixing decisions
@@ -2968,6 +2982,24 @@ object PipelineQueries {
         |  string_agg(tok, ' ' ORDER BY gpos) AS chunk_text
         |FROM tokpos GROUP BY shard, gpos // 64
         |ORDER BY shard, chunk_id""".stripMargin,
+
+    // cross-source dup matrix: distinct (canonical md5, source) pairs
+    // self-joined per class, counted per unordered source pair
+    "q175_cross_source_dups" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'mirror-' || source, text
+        |  FROM documents WHERE doc_id < 50
+        |), ds AS (
+        |  SELECT DISTINCT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, source
+        |  FROM aug WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_classes
+        |FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // chunk provenance: the q172 offset chain + per-chunk span clamps in
     // pure integer arithmetic

@@ -2143,6 +2143,24 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"expected semi-join sliver:\n$plan")
   }
 
+  test("crossSourceDupMatrix: mirror pairs counted once per class") {
+    import graft.ops.Reports
+    val docs = Seq(
+      (1L, "web", "shared article text"),
+      (2L, "feed", "SHARED   article text"),  // canonical dup of 1
+      (3L, "feed", "shared article text"),    // another copy, same class
+      (4L, "blog", "shared article text"),    // third source, same class
+      (5L, "web", "unique web story"),
+      (6L, "feed", "unique feed story"))
+      .toDF("doc_id", "source", "text")
+    val m = Reports.crossSourceDupMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // one shared class across three sources -> three unordered pairs,
+    // each counted ONCE despite feed having two member docs
+    assert(m == Map(
+      ("blog", "feed") -> 1L, ("blog", "web") -> 1L, ("feed", "web") -> 1L))
+  }
+
   test("corpusDatasheet: exact volumes, dup burden, majority lang, determinism") {
     import graft.ops.Reports
     val docs = Seq(
