@@ -105,6 +105,58 @@ object Sketches {
           .otherwise(lit(0.0)))
   }
 
+  /** All-pairs KMV overlap MATRIX across one frame's groups — which
+    * sources share content, estimated (the sketched sibling of
+    * [[Reports.crossSourceDupMatrix]]'s exact classes, and the matrix
+    * form of [[kmvOverlap]]): one bottom-k sketch per group, then every
+    * unordered group pair merges its two k-arrays (bottom-k of a union
+    * of bottom-k sketches IS the union's bottom-k — the standard KMV
+    * merge) and reports estimated |A|, |B|, |A ∪ B|, |A ∩ B|, Jaccard.
+    * Exact whenever the respective distinct counts fall below k.
+    *
+    * Scale shape: the corpus reduces to ≤ k hashes per group ONCE; the
+    * pair stage runs on the |groups|-row sketch frame (|groups|²/2
+    * array merges of 2k longs — source/corpus cardinality, not data).
+    * Output: (source_a, source_b, est_a, est_b, est_union,
+    * est_intersection, est_jaccard_r). */
+  def kmvOverlapMatrix(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 256
+  ): DataFrame = {
+    require(k >= 3, "k must be >= 3 (estimator needs k-1 > 1)")
+    val hashed = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), hash60(col(valueCol)).as("__u"))
+      .distinct()
+    val kept = GroupTopK.topKPerGroup(
+      hashed.withColumn("__zero", lit(0.0)), Seq("__g"), "__u", "__zero", k)
+    val sketches = kept.groupBy("__g")
+      .agg(sort_array(collect_list(col("__u"))).as("__sk"))
+    def estOf(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble * TwoPow60) / element_at(sk, k).cast("double"))
+    val a = sketches.select(col("__g").as("source_a"), col("__sk").as("__ska"))
+    val b = sketches.select(col("__g").as("source_b"), col("__sk").as("__skb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("__sku",
+        slice(array_sort(array_distinct(concat(col("__ska"), col("__skb")))), 1, k))
+      .select(col("source_a"), col("source_b"),
+        (round(estOf(col("__ska")), 6) + lit(0.0)).as("est_a"),
+        (round(estOf(col("__skb")), 6) + lit(0.0)).as("est_b"),
+        (round(estOf(col("__sku")), 6) + lit(0.0)).as("est_union"),
+        estOf(col("__ska")).as("__ea"), estOf(col("__skb")).as("__eb"),
+        estOf(col("__sku")).as("__eu"))
+      .withColumn("__ei", greatest(col("__ea") + col("__eb") - col("__eu"), lit(0.0)))
+      .withColumn("est_intersection", round(col("__ei"), 6) + lit(0.0))
+      .withColumn("est_jaccard_r",
+        round(when(col("__eu") > 0.0, col("__ei") / col("__eu")).otherwise(lit(0.0)), 6)
+          + lit(0.0))
+      .select("source_a", "source_b", "est_a", "est_b", "est_union",
+        "est_intersection", "est_jaccard_r")
+  }
+
   /** Count-min sketch of token frequencies: `depth` independent md5 hash
     * rows of `width` counters each. Output: (row, cell, cnt) — at most
     * depth × width rows regardless of corpus size (the fixed-size state a

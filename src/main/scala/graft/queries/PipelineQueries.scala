@@ -1565,6 +1565,17 @@ object PipelineQueries {
         .orderBy("shard", "chunk_id")
     },
 
+    "q176_kmv_overlap_matrix" -> { (s, dir) =>
+      // all-pairs estimated content overlap between sources over word
+      // 5-gram shingles: per-source bottom-64 sketches, pairwise KMV
+      // merges — the |sources|^2 stage runs on k-row sketches, not data
+      val grams = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.expressions.WordGrams.wordGrams(col("text"), 3)).as("gram"))
+      graft.ops.Sketches.kmvOverlapMatrix(grams, "source", "gram", k = 64)
+        .orderBy("source_a", "source_b")
+    },
+
     "q175_cross_source_dups" -> { (s, dir) =>
       // mirror detection: source pairs sharing exact canonical classes,
       // reduced to DISTINCT (fingerprint, source) first so a
@@ -2982,6 +2993,46 @@ object PipelineQueries {
         |  string_agg(tok, ' ' ORDER BY gpos) AS chunk_text
         |FROM tokpos GROUP BY shard, gpos // 64
         |ORDER BY shard, chunk_id""".stripMargin,
+
+    // KMV overlap matrix: per-source bottom-64 of distinct 3-gram md5
+    // hashes, pairwise list merges, the (k-1)/u_k estimator per side
+    "q176_kmv_overlap_matrix" -> {
+      val est = (sk: String) =>
+        s"CASE WHEN len($sk) < 64 THEN CAST(len($sk) AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST($sk[64] AS DOUBLE) END"
+      s"""WITH base AS (
+         |  SELECT source,
+         |    CASE WHEN len(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS toks
+         |  FROM documents
+         |), tri AS (
+         |  SELECT source, unnest(list_transform(
+         |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+         |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS gram
+         |  FROM base WHERE len(toks) > 0
+         |), h AS (
+         |  SELECT DISTINCT source, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS u
+         |  FROM tri
+         |), rk AS (
+         |  SELECT source, u, row_number() OVER (PARTITION BY source ORDER BY u) AS rn FROM h
+         |), sk AS (
+         |  SELECT source, list(u ORDER BY u) AS s FROM rk WHERE rn <= 64 GROUP BY source
+         |), pr AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    a.s AS ska, b.s AS skb,
+         |    list_sort(list_distinct(a.s || b.s))[1:64] AS sku
+         |  FROM sk a JOIN sk b ON a.source < b.source
+         |), e AS (
+         |  SELECT source_a, source_b,
+         |    ${est("ska")} AS ea, ${est("skb")} AS eb, ${est("sku")} AS eu
+         |  FROM pr
+         |)
+         |SELECT source_a, source_b,
+         |  round(ea, 6) + 0.0 AS est_a, round(eb, 6) + 0.0 AS est_b,
+         |  round(eu, 6) + 0.0 AS est_union,
+         |  round(GREATEST(ea + eb - eu, 0.0), 6) + 0.0 AS est_intersection,
+         |  round(CASE WHEN eu > 0.0 THEN GREATEST(ea + eb - eu, 0.0) / eu ELSE 0.0 END, 6) + 0.0 AS est_jaccard_r
+         |FROM e ORDER BY source_a, source_b""".stripMargin
+    },
 
     // cross-source dup matrix: distinct (canonical md5, source) pairs
     // self-joined per class, counted per unordered source pair

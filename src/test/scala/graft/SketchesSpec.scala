@@ -86,6 +86,24 @@ class SketchesSpec extends SparkSpec {
     assert(again == m)
   }
 
+  test("kmvOverlapMatrix: identical groups 1.0, disjoint 0.0, exact below k") {
+    // three groups over value sets: a = b (identical), c disjoint
+    val rows = (0 until 40).flatMap(i => Seq(
+      ("a", s"v$i"), ("b", s"v$i"), ("c", s"w$i")))
+    val df = rows.toDF("g", "v")
+    val m = Sketches.kmvOverlapMatrix(df, "g", "v", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(4), r.getDouble(6)))).toMap
+    // below k everything is exact
+    assert(m(("a", "b")) == ((40.0, 40.0, 1.0)))
+    assert(m(("a", "c"))._2 == 80.0)
+    assert(m(("a", "c"))._3 == 0.0)
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // deterministic under repartitioning
+    val again = Sketches.kmvOverlapMatrix(df.repartition(7), "g", "v", k = 64).collect().toSet
+    assert(again == Sketches.kmvOverlapMatrix(df, "g", "v", k = 64).collect().toSet)
+  }
+
   test("sampledQuantiles keeps a null group like the exact paths do") {
     // a null group key survives groupBy; the join-back must be null-safe
     // or the whole group silently vanishes from the report
