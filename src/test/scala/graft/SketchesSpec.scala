@@ -91,7 +91,7 @@ class SketchesSpec extends SparkSpec {
     val rows = (0 until 40).flatMap(i => Seq(
       ("a", s"v$i"), ("b", s"v$i"), ("c", s"w$i")))
     val df = rows.toDF("g", "v")
-    val m = Sketches.kmvOverlapMatrix(df, "g", "v", k = 64)
+    val m = Sketches.kmvOverlapMatrix(df, "g", "v", k = 256)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         ((r.getDouble(2), r.getDouble(4), r.getDouble(6)))).toMap
     // below k everything is exact
@@ -100,8 +100,8 @@ class SketchesSpec extends SparkSpec {
     assert(m(("a", "c"))._3 == 0.0)
     assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
     // deterministic under repartitioning
-    val again = Sketches.kmvOverlapMatrix(df.repartition(7), "g", "v", k = 64).collect().toSet
-    assert(again == Sketches.kmvOverlapMatrix(df, "g", "v", k = 64).collect().toSet)
+    val again = Sketches.kmvOverlapMatrix(df.repartition(7), "g", "v", k = 256).collect().toSet
+    assert(again == Sketches.kmvOverlapMatrix(df, "g", "v", k = 256).collect().toSet)
   }
 
   test("sampledQuantiles keeps a null group like the exact paths do") {
