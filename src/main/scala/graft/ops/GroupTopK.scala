@@ -127,12 +127,24 @@ object GroupTopK {
   ): DataFrame = {
     require(k > 0, "k must be positive")
     val agg = udaf(new TopKAggregator(k), ExpressionEncoder[ScoredId]())
+    // The id travels through the heap as a long (the engine-wide
+    // numeric-unique-id contract). A NON-numeric id (a UUID string)
+    // casts to null in non-ANSI mode, and a null feeding the
+    // aggregator's primitive encoder would CORRUPT silently (every such
+    // id collapses to one value) — raise loudly instead, naming the
+    // offending value. Map such corpora through a dense surrogate id
+    // (monotonically_increasing_id / zipWithIndex) first.
+    val idLong = col(idCol).cast("long")
+    val checkedId = when(col(idCol).isNotNull && idLong.isNull,
+      raise_error(concat(
+        lit(s"GroupTopK id column '$idCol' must be numeric-castable; got: "),
+        col(idCol).cast("string")))).otherwise(idLong)
     // null/NaN scores are unrankable (engine-wide NaN ≡ null contract);
     // dropping them here also keeps the aggregator's primitive input
     // encoder from silently turning null into 0.0
     df.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
       .groupBy(groupCols.map(col): _*)
-      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("__topk"))
+      .agg(agg(col(scoreCol).cast("double"), checkedId).as("__topk"))
       .select((groupCols.map(col) :+ posexplode(col("__topk"))): _*)
       .select((groupCols.map(col) :+
         (col("pos") + 1).cast("long").as(rankCol) :+

@@ -1336,6 +1336,22 @@ class OpsSpec extends SparkSpec {
     assert(keptNull > 0, "null-source rows must participate in the mix")
   }
 
+  test("heap top-k refuses non-numeric ids loudly (no silent collapse)") {
+    import graft.ops.GroupTopK
+    val df = Seq(("g", "uuid-a", 1.0), ("g", "uuid-b", 2.0)).toDF("g", "id", "s")
+    val e = intercept[Exception] {
+      GroupTopK.topKPerGroup(df, Seq("g"), "id", "s", k = 2).collect()
+    }
+    assert(e.getMessage.contains("numeric-castable"),
+      s"expected the loud id-contract error, got: ${e.getMessage}")
+    // numeric STRING ids are fine (they cast)
+    val ok = GroupTopK.topKPerGroup(
+      Seq(("g", "7", 1.0), ("g", "9", 2.0)).toDF("g", "id", "s"),
+      Seq("g"), "id", "s", k = 1)
+      .select("id").head().getLong(0)
+    assert(ok == 9L)
+  }
+
   test("heap top-k aggregator matches the window formulation, windowless plan") {
     import graft.ops.GroupTopK
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
