@@ -38,6 +38,10 @@ object GraftFunctions {
       info(classOf[CosineSimilarity], "graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two array<double> columns."),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("graft_scale"),
+      info(classOf[ScaleArray], "graft_scale",
+        "graft_scale(v, s) - elementwise scale of an array<double> column by a double."),
+      (children: Seq[Expression]) => ScaleArray(children(0), children(1))),
     (FunctionIdentifier("graft_maxabs"),
       info(classOf[MaxAbs], "graft_maxabs",
         "graft_maxabs(v) - max absolute value of an array<double> column (int8 quantization scale)."),

@@ -116,9 +116,11 @@ object OrderedKeyedSum {
   * across runs, partitionings, exec strategies, and engines.
   *
   * Contract: keys unique within one array (the engine-wide unique-id
-  * contract); all vectors same length (throws otherwise — silent nulls
-  * would hide upstream corruption); null entries/fields → null result
-  * (defensive, same as [[OrderedKeyedSum]]). */
+  * contract); all vectors same length, all keys/vectors/elements
+  * non-null — ANY violation throws loudly (a silently-nulled group
+  * would drop a whole (label, bucket) partial from a centroid; one
+  * non-numeric id that cast to null must fail the job, the same
+  * convention as [[graft.ops.GroupTopK]]'s raise_error id guard). */
 case class OrderedKeyedVecSum(child: Expression)
     extends UnaryExpression with Serializable {
 
@@ -156,8 +158,10 @@ case class OrderedKeyedVecSum(child: Expression)
 object OrderedKeyedVecSum {
 
   /** Sort by key, copy the first vector, add the rest elementwise in key
-    * order. Returns an InternalRow (sum array, count) or null on corrupt
-    * input. */
+    * order. Returns an InternalRow (sum array, count); null only for an
+    * empty array. Corrupt input (null key/vector/element — e.g. a
+    * non-numeric id cast to null long) throws rather than dropping the
+    * group's partial silently. */
   def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = arr.numElements()
     if (n == 0) return null
@@ -165,9 +169,17 @@ object OrderedKeyedVecSum {
     val vecs = new Array[ArrayData](n)
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return null
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          "graft_ordered_keyed_vec_sum: null entry in keyed-vector array (corrupt upstream fold)")
       val st = arr.getStruct(i, 2)
-      if (st.isNullAt(0) || st.isNullAt(1)) return null
+      if (st.isNullAt(0))
+        throw new IllegalArgumentException(
+          "graft_ordered_keyed_vec_sum: null key — a non-numeric id cast to null long? " +
+            "Route through a surrogate id (Ids.withSurrogateId) first")
+      if (st.isNullAt(1))
+        throw new IllegalArgumentException(
+          "graft_ordered_keyed_vec_sum: null vector for key " + st.getLong(0))
       keys(i) = st.getLong(0)
       vecs(i) = st.getArray(1)
       i += 1
@@ -177,6 +189,7 @@ object OrderedKeyedVecSum {
       java.lang.Long.compare(keys(x.intValue()), keys(y.intValue())))
     val first = vecs(idx(0).intValue())
     val dim = first.numElements()
+    checkNoNullElements(first, keys(idx(0).intValue()))
     val s = first.toDoubleArray()
     var j = 1
     while (j < n) {
@@ -184,6 +197,7 @@ object OrderedKeyedVecSum {
       if (v.numElements() != dim)
         throw new IllegalArgumentException(
           s"vector length mismatch: ${v.numElements()} vs $dim")
+      checkNoNullElements(v, keys(idx(j).intValue()))
       var d = 0
       while (d < dim) { s(d) += v.getDouble(d); d += 1 }
       j += 1
@@ -191,6 +205,19 @@ object OrderedKeyedVecSum {
     org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(s),
       n.toLong)
+  }
+
+  /** The declared output has containsNull=false; reading a null element
+    * via getDouble would silently yield 0 — refuse instead. */
+  private def checkNoNullElements(v: ArrayData, key: Long): Unit = {
+    var d = 0
+    val dim = v.numElements()
+    while (d < dim) {
+      if (v.isNullAt(d))
+        throw new IllegalArgumentException(
+          s"graft_ordered_keyed_vec_sum: null vector element at index $d for key $key")
+      d += 1
+    }
   }
 
   /** Column API: deterministic keyed vector sum of (k: long,

@@ -156,6 +156,63 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd elementwise scale `arr · s` — `transform(arr, x => x * s)`
+  * without the per-element interpreted lambda (the classifier trainer's
+  * per-doc gradient vector `(p−y)·f` runs this nDocs × dim times per
+  * iteration; measured: the HOF transform dominated training wall-clock
+  * the moment the margin join was removed). Null elements and a null
+  * scalar yield a null result (mirrors null arithmetic through the HOF). */
+case class ScaleArray(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_scale requires (array<double>, double), got ${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_scale"
+  // null on null elements even from non-nullable children (see DotProduct)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val s = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      out(i) = x.getDouble(i) * s
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $out[$i] = $a.getDouble($i) * $b;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScaleArray =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two numeric-array columns (cast to
     * array<double> here, so float embeddings work directly). */
@@ -163,6 +220,12 @@ object VectorExpressions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** Codegen'd elementwise scale (see [[ScaleArray]]). */
+  def scale(a: Column, s: Column): Column =
+    ColumnBridge.column(ScaleArray(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(s.cast("double"))))
 
   /** One-pass codegen'd cosine similarity (see [[CosineSimilarity]]). */
   def cosine(a: Column, b: Column): Column =

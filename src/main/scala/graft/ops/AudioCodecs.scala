@@ -62,7 +62,9 @@ object AudioCodecs {
       if nFrames >= 0
     } yield {
       var sumSq = 0.0
-      val nSamples = (len / (bits / 8)).toInt
+      // Whole frames only: a truncated crawl can leave a partial trailing
+      // frame in the data chunk; its orphan samples are not part of any frame.
+      val nSamples = (nFrames * channels).toInt
       var i = 0
       while (i < nSamples) {
         val s =
@@ -105,7 +107,9 @@ object AudioCodecs {
       if (nFrames <= 0) None
       else {
         val energies = new Array[Long](65)
-        val nSamples = (len / (bits / 8)).toInt
+        // Whole frames only — counting a partial trailing frame's orphan
+        // samples would index window frame*65/nFrames == 65, out of bounds.
+        val nSamples = (nFrames * channels).toInt
         var i = 0
         while (i < nSamples) {
           val mag =

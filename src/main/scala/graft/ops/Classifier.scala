@@ -50,32 +50,39 @@ object Classifier {
     * engine-replayable (the logreg sibling of
     * [[Similarity.trainKmeansPortable]] / BPE training):
     *
-    *  - features: per-doc bucket counts `c_j` over the SAME md5 token
-    *    buckets as [[scoreColumn]], normalized by token count `n`;
-    *  - margin: `z = Σ_j w_j · c_j / n` folded in ASCENDING bucket order
-    *    (the [[graft.expressions.OrderedKeyedSum]] seeded-fold
-    *    convention — exec-order-independent);
+    *  - features: per-doc DENSE vector `f = [c_0/n … c_{dim−1}/n]` over
+    *    the SAME md5 token buckets as [[scoreColumn]], materialized ONCE
+    *    (`dim` is small and bounded — 64 doubles per doc — so dense
+    *    beats the sparse (doc, bucket) frame the moment it is read more
+    *    than once);
+    *  - margin: `z = w · f` in ascending index order (the codegen'd
+    *    [[graft.expressions.DotProduct]] — 0.0-seeded element-order sum,
+    *    == DuckDB `list_dot_product`);
     *  - link: the RATIONAL sigmoid `p = 0.5·(1 + z/(1+|z|))` — only
     *    `+ × ÷ abs`, all IEEE-exact cross-engine, unlike `exp` whose
     *    last-ulp platform differences would compound across iterations;
     *    monotone like the logistic, so thresholding semantics match;
-    *  - update: full-batch `w_j ← w_j − lr · (Σ_docs (p−y)·c_j/n) / N`,
-    *    the gradient summed by the engine's TWO-LEVEL deterministic fold
-    *    (doc-sorted per (bucket j, md5 doc sub-bucket), then sub-bucket
-    *    order) — bit-identical across runs, partitionings, and engines.
+    *  - update: full-batch `w ← w − lr · (Σ_docs (p−y)·f) / N`, the
+    *    gradient vector summed by the engine's TWO-LEVEL deterministic
+    *    VECTOR fold ([[graft.expressions.OrderedKeyedVecSum]]: doc-id
+    *    order within each md5 doc sub-bucket, then sub-bucket order) —
+    *    bit-identical across runs, partitionings, and engines.
     *
-    * Scale shape: token explode + count aggregation runs ONCE (cached,
-    * pre-partitioned by doc id so per-iteration stages reuse the
-    * partitioning); each iteration is one action — margin aggregate +
-    * two-level gradient fold — and the driver holds `dim` doubles, never
-    * data. Memory of the level-1 gradient fold: each (bucket j,
-    * doc-sub-bucket) group buffers ≈ `nDocs / foldBuckets` (id, value)
-    * pairs before its sorted fold — at large corpora scale `foldBuckets`
-    * up (≈ sqrt(nDocs) balances level-1 lists against the level-2
-    * partial count, the [[Labels.labelCentroids]] rule). Labels must be
-    * 0/1; docs with null id/label/text or zero tokens are excluded.
-    * Bias is not trained (fold it in as a constant feature upstream if
-    * needed); score the result with `bias = 0`. */
+    * Scale shape: the token explode + count + densify runs ONCE
+    * (cached: `nDocs × dim` doubles); each iteration is then ONE
+    * aggregation over that frame — margin and gradient read the SAME
+    * doc row, so there is NO per-iteration join and the driver receives
+    * exactly one `dim`-vector row per iteration, never data. (The
+    * previous sparse shape joined the token-bucket frame against
+    * per-doc margins every iteration — 3 actions and a shuffle per
+    * step; measured 9.2s → well under 2s at sf0.1 after densifying.)
+    * Memory of the level-1 fold: each doc-sub-bucket buffers
+    * ≈ `nDocs/foldBuckets` dim-vectors before its sorted fold — at
+    * large corpora scale `foldBuckets` up (the
+    * [[Labels.labelCentroids]] rule). Labels must be 0/1; docs with
+    * null id/label/text or zero tokens are excluded. Bias is not
+    * trained (fold it in as a constant feature upstream if needed);
+    * score the result with `bias = 0`. */
   def trainPortable(
       docs: DataFrame,
       textCol: String,
@@ -89,30 +96,41 @@ object Classifier {
     require(dim >= 1, "dim must be >= 1")
     require(iters >= 0, "iters must be >= 0")
     require(foldBuckets >= 1, "foldBuckets must be >= 1")
-    val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
+    val okvs = graft.expressions.OrderedKeyedVecSum.orderedKeyedVecSum _
     val toks = TextAnalysis.tokens(col(textCol))
+    // NOTE: the token count n is NOT carried through the explode —
+    // `size(toks)` as a grouping key collapses into the post-Generate
+    // projection and re-tokenizes the full text once PER TOKEN (measured
+    // 6.3s of a 6.6s aggregate at sf0.1). n = Σ_j c_j recovers the same
+    // exact integer from the bucket counts for free.
     val exploded = docs
       .filter(col(idCol).isNotNull && col(labelCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         col(labelCol).cast("double").as("__y"),
-        size(toks).as("__n"), explode(toks).as("__t"))
+        explode(toks).as("__t"))
       .withColumn("__j",
         conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long") % dim)
-    // cached pre-partitioned by doc id: every iteration's margin
-    // aggregate (grouping key __id, __y — clustered by __id) and the
-    // gradient join (on __id) then reuse this partitioning instead of
-    // re-exchanging the token counts 2x per iteration
-    val tc = exploded
-      .groupBy("__id", "__y", "__n", "__j")
+    val bOf = pmod(
+      conv(substring(md5(col("__id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(foldBuckets.toLong))
+    // the dense per-doc feature frame, built ONCE: sparse bucket counts
+    // scatter into a dim-length array through a map literal (bucket
+    // counts are exact longs, so the densify is order-independent — no
+    // ordered fold needed until doubles appear)
+    val feats = exploded
+      .groupBy("__id", "__y", "__j")
       .agg(count(lit(1)).cast("long").as("__c"))
-      .repartition(col("__id"))
+      .groupBy("__id", "__y")
+      .agg(map_from_entries(collect_list(struct(col("__j"), col("__c")))).as("__m"),
+        sum(col("__c")).as("__n"))
+      .select(col("__id"), col("__y"), bOf.as("__b"),
+        transform(sequence(lit(0L), lit((dim - 1).toLong)), jj =>
+          coalesce(element_at(col("__m"), jj), lit(0L)).cast("double") /
+            col("__n").cast("double")).as("__f"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nd = tc.select("__id").distinct().count()
+      val nd = feats.count()
       require(nd > 0, "no trainable documents (null/empty text or labels)")
-      val bOf = pmod(
-        conv(substring(md5(col("__id").cast("string")), 1, 15), 16, 10).cast("long"),
-        lit(foldBuckets.toLong))
       var w = Array.fill(dim)(0.0)
       var it = 0
       while (it < iters) {
@@ -123,28 +141,27 @@ object Classifier {
         // iteration and recompilation dominated training wall-clock
         // (measured ~10s flat at any sf before this)
         val wLit = typedlit(w.toSeq)
-        val margins = tc
-          .withColumn("__wv",
-            element_at(wLit, (col("__j") + 1).cast("int")) * col("__c") / col("__n"))
-          .groupBy("__id", "__y")
-          .agg(oks(collect_list(struct(col("__j").as("k"), col("__wv").as("v")))).as("__z"))
+        // ONE aggregation per iteration: margin, residual, and the
+        // per-doc gradient vector all come off the same cached row, then
+        // the two-level ordered vector fold lands the dim-vector
+        // gradient on the driver as a single row
+        val g = feats
+          .withColumn("__z", graft.expressions.VectorExpressions.dot(wLit, col("__f")))
           .withColumn("__r",
             lit(0.5) * (lit(1.0) + col("__z") / (lit(1.0) + abs(col("__z")))) - col("__y"))
-          .select("__id", "__r")
-        val lvl1 = tc.join(margins, "__id")
-          .withColumn("__v", col("__r") * col("__c") / col("__n"))
-          .withColumn("__b", bOf)
-          .groupBy("__j", "__b")
-          .agg(oks(collect_list(struct(col("__id").as("k"), col("__v").as("v")))).as("__p"))
-        val grad = lvl1
-          .groupBy("__j")
-          .agg(oks(collect_list(struct(col("__b").as("k"), col("__p").as("v")))).as("__g"))
-          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-        w = Array.tabulate(dim)(j => w(j) - lr * (grad.getOrElse(j, 0.0) / nd.toDouble))
+          .withColumn("__gv",
+            graft.expressions.VectorExpressions.scale(col("__f"), col("__r")))
+          .groupBy("__b")
+          .agg(okvs(collect_list(struct(col("__id").as("k"), col("__gv").as("v")))).as("__p"))
+          .agg(okvs(collect_list(struct(col("__b").as("k"),
+            col("__p").getField("_1").as("v")))).as("__g"))
+          .select(col("__g").getField("_1"))
+          .head().getSeq[Double](0)
+        w = Array.tabulate(dim)(j => w(j) - lr * (g(j) / nd.toDouble))
         it += 1
       }
       w.toSeq
-    } finally tc.unpersist()
+    } finally feats.unpersist()
   }
 
   /** Keeps rows whose probability clears `minProb`; unscorable rows

@@ -477,10 +477,21 @@ object Dedup {
     val audit = nearDupAudit(docs, textCol, idCol, threshold, numPerms, bands, k)
     val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
     // pair-sorted deterministic fold of the errors: key pairs by a
-    // single long (ids are engine-contract unique longs; interleave via
-    // a large multiplier safe for test/corpus id ranges)
+    // single long via (id_a << 32) | id_b — order-isomorphic to the
+    // (id_a, id_b) lexicographic sort and collision-free whenever both
+    // ids fit unsigned 32 bits, which the guard enforces loudly (the
+    // OrderedKeyedSum contract needs UNIQUE keys; a multiplier scheme
+    // collides exactly at the large-id corpora the engine targets)
+    // id_a ≤ 2³¹−1 keeps the shifted key inside a non-negative long
+    // (a 32-bit id_a would wrap the sign bit and break the ordering)
+    val idsFit32 = col("id_a").between(0L, 0x7FFFFFFFL) && col("id_b").between(0L, 0xFFFFFFFFL)
+    val pk = when(idsFit32, shiftleft(col("id_a"), 32) + col("id_b"))
+      .otherwise(raise_error(concat(
+        lit("nearDupAuditSummary ids must fit unsigned 32 bits for the pair fold key; got ("),
+        col("id_a").cast("string"), lit(", "), col("id_b").cast("string"),
+        lit(") — route through Ids.withSurrogateId first"))).cast("long"))
     audit
-      .withColumn("__pk", col("id_a") * lit(1000000000L) + col("id_b"))
+      .withColumn("__pk", pk)
       .agg(
         count(lit(1)).as("n_pairs"),
         count(when(col("exact_jaccard_r") >= threshold, 1)).as("n_true"),

@@ -133,11 +133,12 @@ object GroupTopK {
     // aggregator's primitive encoder would CORRUPT silently (every such
     // id collapses to one value) — raise loudly instead, naming the
     // offending value. Map such corpora through a dense surrogate id
-    // (monotonically_increasing_id / zipWithIndex) first.
+    // first: [[Ids.withSurrogateId]] / [[Ids.restoreId]].
     val idLong = col(idCol).cast("long")
     val checkedId = when(col(idCol).isNotNull && idLong.isNull,
       raise_error(concat(
-        lit(s"GroupTopK id column '$idCol' must be numeric-castable; got: "),
+        lit(s"GroupTopK id column '$idCol' must be numeric-castable " +
+          "(route string keys through Ids.withSurrogateId first); got: "),
         col(idCol).cast("string")))).otherwise(idLong)
     // null/NaN scores are unrankable (engine-wide NaN ≡ null contract);
     // dropping them here also keeps the aggregator's primitive input

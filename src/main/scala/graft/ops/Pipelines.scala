@@ -138,14 +138,26 @@ object Pipelines {
       nfcNormalize: Boolean = false,
       docLineDedup: Boolean = false
   ): CleanResult = {
+    // -1. non-null-id contract asserted UP FRONT: dropExactDups' keep
+    // rule (row_number === 1, keeps one null-id row per fingerprint) and
+    // the funnel's min-id flag (id === min(id), null on null id, counts
+    // none) would silently disagree on a corpus that violates the
+    // contract — refuse loudly instead, in both paths at once.
+    val docsChecked = docs.withColumn(idCol,
+      when(col(idCol).isNull,
+        raise_error(lit(s"cleanCorpus id column '$idCol' must be non-null — " +
+          "assign a surrogate id (Ids.withSurrogateId) first"))
+          .cast(docs.schema(docs.schema.fieldIndex(idCol)).dataType))
+        .otherwise(col(idCol)))
+
     // -0.5. optional Unicode NFC canonicalization FIRST: composed vs
     // decomposed renderings of the same text hash/shingle/window
     // differently, so un-normalized corpora leak duplicates past every
     // hash-based stage below. Map-side native expression, no shuffle;
     // default off for bit-compat with existing pipelines.
     val docs0 =
-      if (!nfcNormalize) docs
-      else docs.withColumn(textCol,
+      if (!nfcNormalize) docsChecked
+      else docsChecked.withColumn(textCol,
         graft.expressions.NfcNormalize.normalizeNfc(col(textCol)))
 
     // 0. optional web-text cleanup BEFORE dedup (markup variation would

@@ -774,23 +774,49 @@ object Similarity {
 
   /** Blocked exact nearest neighbor: per id in `blockCol` block, the top-1
     * neighbor among rows sharing the block (an IVF-style partition-local
-    * search — the scalable pattern when a coarse partitioner exists). */
+    * search — the scalable pattern when a coarse partitioner exists).
+    *
+    * Pairs per block are |block|², so a DEGENERATE partitioner (a
+    * majority-language cell, an all-empty-text block) would go quadratic
+    * silently — a per-block row ceiling raises loudly instead (route hot
+    * blocks through [[lshTopK]] or refine the blocking). The guard rides
+    * the probe side of the pair join as a projection, so a violating
+    * block kills the job BEFORE emitting its quadratic output, and the
+    * top-1 uses the [[GroupTopK]] heap (map-side partial, no full sort,
+    * no Window) — the engine-wide ANN convention. The reported `cosine`
+    * is rounded to 6 decimals, the tie-break granularity.
+    */
   def blockedNearestNeighbor(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      blockCol: String
+      blockCol: String,
+      maxBlockRows: Long = 65536
   ): DataFrame = {
-    val left = df.select(col(idCol).as("id"), col(vecCol).as("__va"), col(blockCol).as("__blk"))
+    require(maxBlockRows >= 2, "maxBlockRows must be >= 2")
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val counts = df.groupBy(col(blockCol).as("__blk")).agg(count(lit(1)).as("__bn"))
+    // guard attached to a column the join USES (id) — a free-standing
+    // guard column would be pruned away with the raise_error inside it
+    val left = df
+      .select(col(idCol).as("id"), col(vecCol).as("__va"), col(blockCol).as("__blk"))
+      .join(counts, Seq("__blk"))
+      .withColumn("id", when(col("__bn") > maxBlockRows,
+        raise_error(concat(
+          lit("blockedNearestNeighbor: block "), col("__blk").cast("string"),
+          lit(" has "), col("__bn").cast("string"),
+          lit(s" rows (> $maxBlockRows) — |block|² pairs; refine the blocking or " +
+            "route hot blocks through lshTopK"))).cast(idType))
+        .otherwise(col("id")))
+      .drop("__bn")
     val right = df.select(col(idCol).as("nn_id"), col(vecCol).as("__vb"), col(blockCol).as("__blk"))
     val pairs = left.join(right, Seq("__blk")).filter(col("id") =!= col("nn_id"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
-      .filter(!isnan(col("cosine"))) // zero-norm guard
-    val w = Window.partitionBy("id")
-      .orderBy(round(col("cosine"), 6).desc, col("nn_id").asc)
-    pairs
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("nn_id"), col("__blk").as(blockCol), col("cosine"))
+      .withColumn("__score", round(cosine(col("__va"), col("__vb")), 6))
+    // GroupTopK drops null/NaN scores (the zero-norm guard), heaps with
+    // k=1 per (id, block), ties toward the smaller nn_id — identical
+    // rows to the old round-6-desc window, minus the per-block sort
+    GroupTopK.topKPerGroup(pairs, Seq("id", "__blk"), "nn_id", "__score", k = 1)
+      .select(col("id"), col("nn_id"), col("__blk").as(blockCol),
+        col("__score").as("cosine"))
   }
 }

@@ -1565,6 +1565,27 @@ object PipelineQueries {
         .orderBy("shard", "chunk_id")
     },
 
+    "q177_surrogate_id_chain" -> { (s, dir) =>
+      // the string-key on-ramp for the numeric-id contract: UUID-style
+      // keys map to dense DETERMINISTIC surrogates (0-based rank in the
+      // sorted key order), exact dedup + the grouped top-k heap run on
+      // the longs, and the original keys join back — the surrogate never
+      // reaches the output, so the whole chain is oracle-replayable
+      // (min-surrogate keeper ≡ min-key keeper; heap tiebreak ≡ key asc)
+      val docs = t(s, dir, "documents")
+        .withColumn("uid", md5(concat(col("doc_id").cast("string"), lit("u"))))
+        .select("uid", "text", "source", "n_chars")
+      val sr = graft.ops.Ids.withSurrogateId(docs, "uid", "sid")
+      val deduped = Dedup.dropExactDups(
+        sr.df.select("sid", "uid", "text", "source", "n_chars"), "text", "sid")
+      val top = graft.ops.GroupTopK.topKPerGroup(
+        deduped, Seq("source"), "sid", "n_chars", k = 3)
+      graft.ops.Ids.restoreId(top, sr.mapping, "sid")
+        .select(col("source"), col("rank"), col("uid"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("source", "rank")
+    },
+
     "q176_kmv_overlap_matrix" -> { (s, dir) =>
       // all-pairs estimated content overlap between sources over word
       // 5-gram shingles: per-source bottom-64 sketches, pairwise KMV
@@ -2994,6 +3015,32 @@ object PipelineQueries {
         |FROM tokpos GROUP BY shard, gpos // 64
         |ORDER BY shard, chunk_id""".stripMargin,
 
+    // surrogate-id chain: the dense sorted-rank surrogate is internal,
+    // so the oracle works purely in key space — min-uid keeper per
+    // canonical class, top-3 per source by n_chars with uid-asc tiebreak
+    "q177_surrogate_id_chain" ->
+      """WITH u AS (
+        |  SELECT md5(CAST(doc_id AS VARCHAR) || 'u') AS uid, text, source, n_chars
+        |  FROM documents
+        |), keep AS (
+        |  SELECT uid, source, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      ORDER BY uid) AS rn
+        |  FROM u
+        |), dd AS (
+        |  SELECT uid, source, n_chars FROM keep WHERE rn = 1
+        |), tk AS (
+        |  SELECT source, uid, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, uid ASC) AS rank
+        |  FROM dd WHERE n_chars IS NOT NULL
+        |)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, uid, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM tk WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
+
     // KMV overlap matrix: per-source bottom-64 of distinct 3-gram md5
     // hashes, pairwise list merges, the (k-1)/u_k estimator per side
     "q176_kmv_overlap_matrix" -> {
@@ -3195,27 +3242,34 @@ object PipelineQueries {
     // the rational sigmoid residual, and the two-level doc-sorted
     // gradient fold — every step the engine's exact arithmetic order
     "q165_classifier_train" -> {
+      // mirrors the DENSE trainer: per-doc f[64] built once, each
+      // iteration z = list_dot_product(w, f) (0.0-seeded element-order
+      // sum == graft_dot), gradient g_j summed doc-id-then-sub-bucket
+      // ordered — the two-level OrderedKeyedVecSum fold per position
       val iters = 4
       val iterCtes = (1 to iters).map { t =>
-        s"""m_$t AS MATERIALIZED (
-           |  SELECT tc.doc_id, tc.y,
-           |    list_reduce(list_prepend(0.0, list(w.wv * tc.c / tc.n ORDER BY tc.j)),
-           |      (a, x) -> a + x) AS z
-           |  FROM tc JOIN w_${t - 1} w USING (j) GROUP BY tc.doc_id, tc.y
+        s"""wl_${t - 1} AS MATERIALIZED (
+           |  SELECT list(wv ORDER BY j) AS wl FROM w_${t - 1}
+           |), it_$t AS MATERIALIZED (
+           |  SELECT f.doc_id, f.b,
+           |    list_transform(f.f, x -> x *
+           |      (0.5 * (1.0 + list_dot_product(w.wl, f.f)
+           |        / (1.0 + abs(list_dot_product(w.wl, f.f)))) - f.y)) AS gv
+           |  FROM feats f CROSS JOIN wl_${t - 1} w
            |), l1_$t AS MATERIALIZED (
-           |  SELECT tc.j, tc.b,
-           |    list_reduce(list_prepend(0.0, list(
-           |      (0.5 * (1.0 + m.z / (1.0 + abs(m.z))) - m.y) * tc.c / tc.n
-           |      ORDER BY tc.doc_id)), (a, x) -> a + x) AS p
-           |  FROM tc JOIN m_$t m USING (doc_id) GROUP BY tc.j, tc.b
+           |  SELECT g.b, CAST(r.jj AS BIGINT) AS j,
+           |    list_reduce(list_prepend(0.0,
+           |      list(g.gv[CAST(r.jj AS INT) + 1] ORDER BY g.doc_id)),
+           |      (a, x) -> a + x) AS p
+           |  FROM it_$t g CROSS JOIN range(64) AS r(jj)
+           |  GROUP BY g.b, r.jj
            |), g_$t AS MATERIALIZED (
            |  SELECT j, list_reduce(list_prepend(0.0, list(p ORDER BY b)),
            |    (a, x) -> a + x) AS g
            |  FROM l1_$t GROUP BY j
            |), w_$t AS MATERIALIZED (
-           |  SELECT w.j,
-           |    w.wv - 0.5 * (coalesce(g.g, 0.0) / (SELECT nd FROM ndc)) AS wv
-           |  FROM w_${t - 1} w LEFT JOIN g_$t g USING (j)
+           |  SELECT w.j, w.wv - 0.5 * (g.g / (SELECT nd FROM ndc)) AS wv
+           |  FROM w_${t - 1} w JOIN g_$t g USING (j)
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH toks AS (
@@ -3230,8 +3284,18 @@ object PipelineQueries {
          |    CAST(count(*) AS BIGINT) AS c
          |  FROM toks, unnest(ts) AS u(t)
          |  GROUP BY doc_id, y, n, j, b
+         |), docs_d AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, y, b, n FROM tc
+         |), grid AS MATERIALIZED (
+         |  SELECT d.doc_id, d.y, d.b, CAST(r.jj AS BIGINT) AS j,
+         |    CAST(coalesce(tc.c, 0) AS DOUBLE) / CAST(d.n AS DOUBLE) AS f
+         |  FROM docs_d d CROSS JOIN range(64) AS r(jj)
+         |  LEFT JOIN tc ON tc.doc_id = d.doc_id AND tc.j = CAST(r.jj AS BIGINT)
+         |), feats AS MATERIALIZED (
+         |  SELECT doc_id, y, b, list(f ORDER BY j) AS f
+         |  FROM grid GROUP BY doc_id, y, b
          |), ndc AS MATERIALIZED (
-         |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM tc
+         |  SELECT CAST(count(*) AS DOUBLE) AS nd FROM feats
          |), w_0 AS MATERIALIZED (
          |  SELECT CAST(r.j AS BIGINT) AS j, 0.0 AS wv FROM range(64) AS r(j)
          |),

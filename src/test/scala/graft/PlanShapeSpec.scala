@@ -32,6 +32,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("blockedNearestNeighbor: window-free heap top-1, loud hot-block ceiling") {
+    val df = Similarity.blockedNearestNeighbor(emb, "vec_id", "embedding", "label")
+    assert(df.count() > 0, "blockedNearestNeighbor returned no rows")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"blockedNearestNeighbor must rank via the heap aggregate:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"blockedNearestNeighbor should contain the GroupTopK aggregate:\n$plan")
+    // a degenerate blocking (every row in one block) refuses loudly
+    // before emitting its |block|² pairs
+    val e = intercept[Exception] {
+      Similarity.blockedNearestNeighbor(
+        emb.withColumn("label", lit("hot")), "vec_id", "embedding", "label",
+        maxBlockRows = 4).collect()
+    }
+    assert(e.getMessage.contains("refine the blocking"),
+      s"expected the hot-block guard, got: ${e.getMessage}")
+  }
+
   test("hardNegativesLsh: no cartesian, window-free, heap-ranked") {
     val anchors = emb.filter(col("vec_id") < 3)
     val df = graft.ops.Labels.hardNegativesLsh(

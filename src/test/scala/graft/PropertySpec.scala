@@ -135,6 +135,39 @@ class PropertySpec extends SparkSpec {
         val junk = Array.fill(30 + rnd.nextInt(60))(rnd.nextInt(256).toByte)
         val magic = if (i % 3 == 0) "P6\n" else if (i % 3 == 1) "RIFF" else "BM"
         magic.getBytes("ISO-8859-1") ++ junk
+      } ++
+      // partial-frame WAVs: pass pcmLayout but the data chunk length is not a
+      // multiple of the frame size (truncated multi-channel crawls) — the
+      // orphan trailing samples must not index past the 65-window table
+      (1 to 12).map { i =>
+        val channels = 1 + (i % 4)       // 1..4 channels
+        val bits = if (i % 2 == 0) 8 else 16
+        val frameBytes = channels * (bits / 8)
+        val dataLen = frameBytes + (i % math.max(2, frameBytes)) // whole frame + orphan bytes
+        val out = new Array[Byte](44 + dataLen)
+        def putAscii(o: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, o)
+        def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+        def put32(o: Int, v: Long): Unit = { put16(o, (v & 0xFFFF).toInt); put16(o + 2, ((v >> 16) & 0xFFFF).toInt) }
+        putAscii(0, "RIFF"); put32(4, 36L + dataLen); putAscii(8, "WAVE")
+        putAscii(12, "fmt "); put32(16, 16L); put16(20, 1); put16(22, channels)
+        put32(24, 16000L); put32(28, 16000L * frameBytes); put16(32, frameBytes); put16(34, bits)
+        putAscii(36, "data"); put32(40, dataLen.toLong)
+        (0 until dataLen).foreach(j => out(44 + j) = (rnd.nextInt(256)).toByte)
+        out
+      } ++
+      // the exact reported repro: stereo 16-bit with one whole frame plus one
+      // whole orphan sample (data len 6 = frame 4 + sample 2)
+      Seq {
+        val out = new Array[Byte](44 + 6)
+        def putAscii(o: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, o)
+        def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+        def put32(o: Int, v: Long): Unit = { put16(o, (v & 0xFFFF).toInt); put16(o + 2, ((v >> 16) & 0xFFFF).toInt) }
+        putAscii(0, "RIFF"); put32(4, 42L); putAscii(8, "WAVE")
+        putAscii(12, "fmt "); put32(16, 16L); put16(20, 1); put16(22, 2)
+        put32(24, 16000L); put32(28, 64000L); put16(32, 4); put16(34, 16)
+        putAscii(36, "data"); put32(40, 6L)
+        Seq(1, 2, 3, 4, 5, 6).zipWithIndex.foreach { case (v, j) => out(44 + j) = v.toByte }
+        out
       }
     blobs.foreach { b =>
       // None/graceful on every malformed input, never an exception
