@@ -51,7 +51,9 @@ object Bench {
     val failed = results.filter(_._2 < 0.0).keys.toSeq.sorted
     val total = results.values.filter(_ >= 0.0).sum
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failures":$failJson,"sf":"$sfDir"}"""
+    // per-query values are the MIN of `iters` runs — recorded in the
+    // artifact so round-over-round diffs know they compare mins
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","iters_min_of":$iters,"queries":$qs,"failures":$failJson,"sf":"$sfDir"}"""
     // the durable artifact: stdout capture can truncate, a file cannot
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
@@ -98,7 +100,7 @@ object Bench {
     // whole, with a pointer to the full map.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries_n":${results.size},"failures":$failJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","iters_min_of":$iters,"queries_n":${results.size},"failures":$failJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} FAILED queries: ${failed.mkString(", ")}")

@@ -93,7 +93,8 @@ object Checkpoints {
       minNodes: Int = 32
   ): DataFrame = {
     val nodes = df.queryExecution.logical.collect { case n => n }.size
-    if (nodes >= minNodes) localCheckpoint(df, eager) else df
+    if (nodes >= minNodes) localCheckpoint(df, eager)
+    else trackCache(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Immediately unpersists the persisted/checkpointed RDD(s) backing

@@ -164,6 +164,65 @@ object Classifier {
     } finally feats.unpersist()
   }
 
+  /** Held-out evaluation of a trained gate — the missing third leg of
+    * train ([[trainPortable]]) → gate ([[filterByScore]]) → AUDIT, the
+    * same measure-don't-guess contract the near-dup family has in
+    * [[Dedup.nearDupAuditSummary]] and ANN in [[Similarity.recallAtK]].
+    *
+    * Scores every doc in the chosen deterministic held-out `split`
+    * ([[Sampling.withSplit]] unit-hash machinery — reproducible from the
+    * ids alone, no stored split column needed) and returns ONE row of
+    * threshold metrics from exact integer confusion counts:
+    * `n_eval, tp, fp, tn, fn, accuracy_r, precision_r, recall_r, f1_r`.
+    * Ratios are exact small rationals of the counts (round-6); an empty
+    * denominator (no predicted positives / no actual positives / empty
+    * split) yields null, never NaN. Unscorable docs (null/empty text)
+    * are EXCLUDED and counted nowhere — the gate drops them too
+    * ([[filterByScore]]), so evaluating them would charge the model for
+    * rows it never judges. Labels must be 0/1.
+    *
+    * Scale shape: one map-side projection (score + split assignment are
+    * both per-row expressions) and one global aggregate of six counts —
+    * no shuffle beyond the final single-row reduce. */
+  def evaluate(
+      docs: DataFrame,
+      textCol: String,
+      labelCol: String,
+      idCol: String,
+      weights: Seq[Double],
+      bias: Double = 0.0,
+      threshold: Double = 0.5,
+      split: String = "test",
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
+      salt: String = "graft"
+  ): DataFrame = {
+    require(fractions.exists(_._1 == split),
+      s"split '$split' not among ${fractions.map(_._1).mkString(", ")}")
+    val scored = Sampling.withSplit(
+      docs.filter(col(idCol).isNotNull && col(labelCol).isNotNull),
+      idCol, fractions, salt)
+      .filter(col("split") === split)
+      .withColumn("__p", scoreColumn(col(textCol), weights, bias))
+      .filter(col("__p").isNotNull)
+      .select(col(labelCol).cast("double").as("__y"),
+        (col("__p") >= lit(threshold)).as("__pos"))
+    val isPos = col("__pos")
+    val isY = col("__y") === 1.0
+    scored.agg(
+      count(lit(1)).as("n_eval"),
+      count(when(isPos && isY, 1)).as("tp"),
+      count(when(isPos && !isY, 1)).as("fp"),
+      count(when(!isPos && !isY, 1)).as("tn"),
+      count(when(!isPos && isY, 1)).as("fn"))
+      .select(col("n_eval"), col("tp"), col("fp"), col("tn"), col("fn"),
+        (round((col("tp") + col("tn")) / col("n_eval"), 6) + lit(0.0)).as("accuracy_r"),
+        (round(col("tp") / (col("tp") + col("fp")), 6) + lit(0.0)).as("precision_r"),
+        (round(col("tp") / (col("tp") + col("fn")), 6) + lit(0.0)).as("recall_r"),
+        (round(lit(2.0) * col("tp") /
+          (lit(2.0) * col("tp") + col("fp") + col("fn")), 6) + lit(0.0)).as("f1_r"))
+  }
+
   /** Keeps rows whose probability clears `minProb`; unscorable rows
     * (null/empty text) are dropped — a gate must not pass what it cannot
     * judge. */

@@ -1188,14 +1188,25 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val fwd = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, NOT persist: edges is referenced twice per
+    // propagation round, and with a plain persist the PAIRS subtree
+    // (bucket self-join + two signature join-backs, un-truncated since
+    // the upstream checkpoint went depth-conditional) stays in every
+    // round's LOGICAL plan — Catalyst re-analyzes it 2× per round and
+    // the flat planning overhead, not execution, was q73's round-8
+    // 1.46× regression. Lazy: the labels init below is a full pass.
+    val edges = graft.Checkpoints.localCheckpoint(
+      fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), eager = false)
     require(reliableEvery == 0 || spark.sparkContext.getCheckpointDir.isDefined,
       "reliableEvery > 0 needs spark.sparkContext.setCheckpointDir(...)")
+    // lazy: round 0's neigh/relaxed joins are full passes over labels
+    // inside the same counted-checkpoint job, so the init blocks (and
+    // edges' own lazy checkpoint upstream) materialize there instead of
+    // paying a separate upfront job each
     var labels = graft.Checkpoints.localCheckpoint(
       edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+        .withColumn("label", col("id")), eager = false)
     // whether `labels` is a local checkpoint we own (freeable when
     // superseded) vs a reliable file-backed one (no storage blocks)
     var labelsLocal = true
@@ -1257,7 +1268,7 @@ object Dedup {
           changed = 1L
       }
     }
-    edges.unpersist()
+    graft.Checkpoints.free(edges)
     org.slf4j.LoggerFactory.getLogger(getClass)
       .info(s"dupClusters converged in $iter rounds (maxIter $maxIter)")
     // a partial clustering (labels still moving when maxIter hit) would

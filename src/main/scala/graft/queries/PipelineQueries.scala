@@ -70,6 +70,25 @@ object PipelineQueries {
     * re-running 12 aggregation rounds per consumer. Merges are plain
     * collected values (no Spark state), so cache entries never interact
     * with the Checkpoints lifecycle. */
+  /** Weights of the q165 portable trainer, cached per sf dir so the
+    * held-out-eval query (q178) measures EVALUATION cost, not a second
+    * training run — the [[IvfState]]/[[BpeState]] pattern. The oracle
+    * needs no interpolation: it re-trains in SQL (the q165 CTEs). */
+  private[queries] object ClfState {
+    @volatile private var cache: Map[String, Seq[Double]] = Map.empty
+    def forDir(docs: DataFrame, dir: String): Seq[Double] =
+      synchronized {
+        cache.get(dir) match {
+          case Some(w) => w
+          case None =>
+            val w = graft.ops.Classifier.trainPortable(
+              docs, "text", "y", "doc_id", dim = 64, iters = 4, lr = 0.5)
+            cache += dir -> w
+            w
+        }
+      }
+  }
+
   private[queries] object BpeState {
     @volatile private var cache: Map[(String, Int), Seq[graft.ops.BpeTrain.Merge]] =
       Map.empty
@@ -194,6 +213,70 @@ object PipelineQueries {
     * deterministic integer arithmetic; the doubles are interpolated into
     * the oracle SQL via toString (round-trip exact), standing in for a
     * model exported by an offline trainer. */
+  /** GD iterations of the portable trainer (q165/q178). */
+  private val ClfIters = 4
+
+  /** The dense portable-trainer replay (q165/q178 oracles): per-doc
+    * f[64] built once, each iteration z = list_dot_product(w, f)
+    * (0.0-seeded element-order sum == graft_dot), gradient g_j summed
+    * doc-id-then-sub-bucket ordered — the two-level OrderedKeyedVecSum
+    * fold per position. Yields CTEs `toks` … `w_$ClfIters`. */
+  private def clfTrainCtes: String = {
+    val iterCtes = (1 to ClfIters).map { t =>
+      s"""wl_${t - 1} AS MATERIALIZED (
+         |  SELECT list(wv ORDER BY j) AS wl FROM w_${t - 1}
+         |), it_$t AS MATERIALIZED (
+         |  SELECT f.doc_id, f.b,
+         |    list_transform(f.f, x -> x *
+         |      (0.5 * (1.0 + list_dot_product(w.wl, f.f)
+         |        / (1.0 + abs(list_dot_product(w.wl, f.f)))) - f.y)) AS gv
+         |  FROM feats f CROSS JOIN wl_${t - 1} w
+         |), l1_$t AS MATERIALIZED (
+         |  SELECT g.b, CAST(r.jj AS BIGINT) AS j,
+         |    list_reduce(list_prepend(0.0,
+         |      list(g.gv[CAST(r.jj AS INT) + 1] ORDER BY g.doc_id)),
+         |      (a, x) -> a + x) AS p
+         |  FROM it_$t g CROSS JOIN range(64) AS r(jj)
+         |  GROUP BY g.b, r.jj
+         |), g_$t AS MATERIALIZED (
+         |  SELECT j, list_reduce(list_prepend(0.0, list(p ORDER BY b)),
+         |    (a, x) -> a + x) AS g
+         |  FROM l1_$t GROUP BY j
+         |), w_$t AS MATERIALIZED (
+         |  SELECT w.j, w.wv - 0.5 * (g.g / (SELECT nd FROM ndc)) AS wv
+         |  FROM w_${t - 1} w JOIN g_$t g USING (j)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+       |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+       |  FROM documents WHERE text IS NOT NULL
+       |), tc AS MATERIALIZED (
+       |  SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y, len(ts) AS n,
+       |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS BIGINT) AS j,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM toks, unnest(ts) AS u(t)
+       |  GROUP BY doc_id, y, n, j, b
+       |), docs_d AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, y, b, n FROM tc
+       |), grid AS MATERIALIZED (
+       |  SELECT d.doc_id, d.y, d.b, CAST(r.jj AS BIGINT) AS j,
+       |    CAST(coalesce(tc.c, 0) AS DOUBLE) / CAST(d.n AS DOUBLE) AS f
+       |  FROM docs_d d CROSS JOIN range(64) AS r(jj)
+       |  LEFT JOIN tc ON tc.doc_id = d.doc_id AND tc.j = CAST(r.jj AS BIGINT)
+       |), feats AS MATERIALIZED (
+       |  SELECT doc_id, y, b, list(f ORDER BY j) AS f
+       |  FROM grid GROUP BY doc_id, y, b
+       |), ndc AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS nd FROM feats
+       |), w_0 AS MATERIALIZED (
+       |  SELECT CAST(r.j AS BIGINT) AS j, 0.0 AS wv FROM range(64) AS r(j)
+       |),
+       |$iterCtes""".stripMargin
+  }
+
   private val clfWeights: Seq[Double] =
     (0 until 64).map(j => ((j * 37 + 11) % 101) / 101.0 - 0.5)
   private val clfBias: Double = -0.05
@@ -1678,6 +1761,19 @@ object PipelineQueries {
         .toDF("j", "w")
         .select(col("j"), (round(col("w"), 9) + lit(0.0)).as("w_r"))
         .orderBy("j")
+    },
+
+    "q178_classifier_eval" -> { (s, dir) =>
+      // held-out evaluation of the q165-trained gate (train -> gate ->
+      // AUDIT): deterministic unit-hash test split, exp-sigmoid scores
+      // at the 0.5 threshold, exact confusion counts -> rounded rational
+      // metrics; weights come from the per-dir cache so this measures
+      // evaluation, and the oracle re-trains from scratch in SQL
+      val docs = t(s, dir, "documents")
+        .withColumn("y", (col("doc_id") % 2).cast("double"))
+      val w = ClfState.forDir(docs, dir)
+      graft.ops.Classifier.evaluate(
+        docs, "text", "y", "doc_id", w, bias = 0.0, threshold = 0.5, split = "test")
     },
 
     "q163_audio_fingerprint" -> { (s, dir) =>
@@ -3241,67 +3337,42 @@ object PipelineQueries {
     // bucket counts once, then per iteration the j-ordered margin fold,
     // the rational sigmoid residual, and the two-level doc-sorted
     // gradient fold — every step the engine's exact arithmetic order
-    "q165_classifier_train" -> {
-      // mirrors the DENSE trainer: per-doc f[64] built once, each
-      // iteration z = list_dot_product(w, f) (0.0-seeded element-order
-      // sum == graft_dot), gradient g_j summed doc-id-then-sub-bucket
-      // ordered — the two-level OrderedKeyedVecSum fold per position
-      val iters = 4
-      val iterCtes = (1 to iters).map { t =>
-        s"""wl_${t - 1} AS MATERIALIZED (
-           |  SELECT list(wv ORDER BY j) AS wl FROM w_${t - 1}
-           |), it_$t AS MATERIALIZED (
-           |  SELECT f.doc_id, f.b,
-           |    list_transform(f.f, x -> x *
-           |      (0.5 * (1.0 + list_dot_product(w.wl, f.f)
-           |        / (1.0 + abs(list_dot_product(w.wl, f.f)))) - f.y)) AS gv
-           |  FROM feats f CROSS JOIN wl_${t - 1} w
-           |), l1_$t AS MATERIALIZED (
-           |  SELECT g.b, CAST(r.jj AS BIGINT) AS j,
-           |    list_reduce(list_prepend(0.0,
-           |      list(g.gv[CAST(r.jj AS INT) + 1] ORDER BY g.doc_id)),
-           |      (a, x) -> a + x) AS p
-           |  FROM it_$t g CROSS JOIN range(64) AS r(jj)
-           |  GROUP BY g.b, r.jj
-           |), g_$t AS MATERIALIZED (
-           |  SELECT j, list_reduce(list_prepend(0.0, list(p ORDER BY b)),
-           |    (a, x) -> a + x) AS g
-           |  FROM l1_$t GROUP BY j
-           |), w_$t AS MATERIALIZED (
-           |  SELECT w.j, w.wv - 0.5 * (g.g / (SELECT nd FROM ndc)) AS wv
-           |  FROM w_${t - 1} w JOIN g_$t g USING (j)
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
-         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
-         |  FROM documents WHERE text IS NOT NULL
-         |), tc AS MATERIALIZED (
-         |  SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y, len(ts) AS n,
-         |    CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS BIGINT) AS j,
-         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM toks, unnest(ts) AS u(t)
-         |  GROUP BY doc_id, y, n, j, b
-         |), docs_d AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id, y, b, n FROM tc
-         |), grid AS MATERIALIZED (
-         |  SELECT d.doc_id, d.y, d.b, CAST(r.jj AS BIGINT) AS j,
-         |    CAST(coalesce(tc.c, 0) AS DOUBLE) / CAST(d.n AS DOUBLE) AS f
-         |  FROM docs_d d CROSS JOIN range(64) AS r(jj)
-         |  LEFT JOIN tc ON tc.doc_id = d.doc_id AND tc.j = CAST(r.jj AS BIGINT)
-         |), feats AS MATERIALIZED (
-         |  SELECT doc_id, y, b, list(f ORDER BY j) AS f
-         |  FROM grid GROUP BY doc_id, y, b
-         |), ndc AS MATERIALIZED (
-         |  SELECT CAST(count(*) AS DOUBLE) AS nd FROM feats
-         |), w_0 AS MATERIALIZED (
-         |  SELECT CAST(r.j AS BIGINT) AS j, 0.0 AS wv FROM range(64) AS r(j)
-         |),
-         |$iterCtes
-         |SELECT j, round(wv, 9) + 0.0 AS w_r FROM w_$iters ORDER BY j""".stripMargin
-    },
+    "q165_classifier_train" ->
+      s"""WITH $clfTrainCtes
+         |SELECT j, round(wv, 9) + 0.0 AS w_r FROM w_$ClfIters ORDER BY j""".stripMargin,
+
+    // held-out gate evaluation: weights re-trained by the q165 CTEs,
+    // test split re-derived from the id unit hash, exp-sigmoid score at
+    // the 0.5 threshold (the q167 gate precedent), exact confusion
+    // counts -> rounded rational metrics
+    "q178_classifier_eval" ->
+      s"""WITH $clfTrainCtes,
+         |wl AS MATERIALIZED (
+         |  SELECT list(wv ORDER BY j) AS wl FROM w_$ClfIters
+         |), ev AS (
+         |  SELECT CAST(doc_id % 2 AS DOUBLE) AS y,
+         |    (1.0 / (1.0 + exp(-(0.0 +
+         |      list_reduce(list_prepend(0.0, list_transform(ts, tok ->
+         |        wl.wl[CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS INT) + 1])),
+         |        (a, x) -> a + x) / len(ts)))) >= 0.5) AS pos
+         |  FROM toks CROSS JOIN wl
+         |  WHERE len(ts) > 0
+         |    AND CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 >= 0.9375
+         |    AND CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 1.0
+         |), cm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(count(*) FILTER (WHERE pos AND y = 1.0) AS BIGINT) AS tp,
+         |    CAST(count(*) FILTER (WHERE pos AND y <> 1.0) AS BIGINT) AS fp,
+         |    CAST(count(*) FILTER (WHERE NOT pos AND y <> 1.0) AS BIGINT) AS tn,
+         |    CAST(count(*) FILTER (WHERE NOT pos AND y = 1.0) AS BIGINT) AS fn
+         |  FROM ev
+         |)
+         |SELECT n_eval, tp, fp, tn, fn,
+         |  round((tp + tn) / CAST(n_eval AS DOUBLE), 6) + 0.0 AS accuracy_r,
+         |  round(tp / CAST(tp + fp AS DOUBLE), 6) + 0.0 AS precision_r,
+         |  round(tp / CAST(tp + fn AS DOUBLE), 6) + 0.0 AS recall_r,
+         |  round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) + 0.0 AS f1_r
+         |FROM cm""".stripMargin,
 
     // audio energy-fingerprint dump: sample arithmetic, window energies,
     // and gradient-sign halves replayed exactly

@@ -188,6 +188,37 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  test("evaluate: perfect metrics on a separable corpus, confusion counts exact") {
+    import graft.ops.Classifier
+    // same planted separable corpus as the trainer spec; enough docs that
+    // the 1/16 test split is non-empty on both classes
+    val docs = ((0 until 200).map(i => (i.toLong, 1.0, "superb item fine")) ++
+      (200 until 400).map(i => (i.toLong, 0.0, "awful item fine")))
+      .toDF("doc_id", "y", "text")
+    val w = Classifier.trainPortable(docs, "text", "y", "doc_id",
+      dim = 64, iters = 4, lr = 2.0)
+    val row = Classifier.evaluate(docs, "text", "y", "doc_id", w).head()
+    val n = row.getAs[Long]("n_eval")
+    val (tp, fp, tn, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"),
+      row.getAs[Long]("tn"), row.getAs[Long]("fn"))
+    assert(n > 0 && tp > 0 && tn > 0, s"test split degenerate: $row")
+    assert(tp + fp + tn + fn == n)
+    // a separable corpus the trainer fit must evaluate perfectly
+    assert(fp == 0 && fn == 0, s"misclassifications on separable corpus: $row")
+    assert(row.getAs[Double]("accuracy_r") == 1.0)
+    assert(row.getAs[Double]("precision_r") == 1.0)
+    assert(row.getAs[Double]("recall_r") == 1.0)
+    assert(row.getAs[Double]("f1_r") == 1.0)
+    // the held-out split excludes training rows' majority: n is ~1/16 of 400
+    assert(n < 80, s"test split too large ($n of 400) — split machinery broken?")
+    // degenerate: no positives predicted/present -> null ratios, not NaN
+    val neg = Classifier.evaluate(
+      docs.filter(col("y") === 0.0), "text", "y", "doc_id", w)
+      .head()
+    assert(neg.isNullAt(neg.fieldIndex("recall_r")),
+      s"recall over a no-positive split must be null: $neg")
+  }
+
   test("prepareTrainingCorpus quality gates: perplexity and length z-score") {
     import graft.ops.Pipelines
     // token-disjoint docs so the near-dup stage can't collapse them
