@@ -524,6 +524,41 @@ object Dedup {
         .withColumnRenamed("afp_lo", "ahash_lo"),
       idCol, maxHamming)
 
+  /** INCREMENTAL audio ingest pairs: a new batch's energy fingerprints
+    * matched against a standing audio index — [[incrementalImageDups]]
+    * over (afp_hi, afp_lo): exact classes equi-join, near classes band
+    * CROSS-SIDE only, so a daily clip increment costs the increment.
+    * Output: (new_id, index_id, hamming) over class representatives. */
+  def incrementalAudioDups(
+      indexFps: DataFrame,
+      batchFps: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    def ren(df: DataFrame) = df
+      .withColumnRenamed("afp_hi", "ahash_hi")
+      .withColumnRenamed("afp_lo", "ahash_lo")
+    incrementalImageDups(ren(indexFps), ren(batchFps), idCol, maxHamming)
+  }
+
+  /** The admission half of audio ingest — [[incrementalImageDedup]] over
+    * energy fingerprints: batch rows whose fingerprint CLASS matches
+    * nothing in the index exactly or within `maxHamming`; undecodable
+    * clips (null fingerprints) are excluded. */
+  def incrementalAudioDedup(
+      indexFps: DataFrame,
+      batchFps: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    def ren(df: DataFrame) = df
+      .withColumnRenamed("afp_hi", "ahash_hi")
+      .withColumnRenamed("afp_lo", "ahash_lo")
+    incrementalImageDedup(ren(indexFps), ren(batchFps), idCol, maxHamming)
+      .withColumnRenamed("ahash_hi", "afp_hi")
+      .withColumnRenamed("ahash_lo", "afp_lo")
+  }
+
   /** Exact audio duplicate classes (fingerprint Hamming 0) with the
     * min-id keeper — [[imageDupGroups]] over energy fingerprints. */
   def audioDupGroups(fingerprints: DataFrame, idCol: String): DataFrame =

@@ -1776,6 +1776,23 @@ object PipelineQueries {
         docs, "text", "y", "doc_id", w, bias = 0.0, threshold = 0.5, split = "test")
     },
 
+    "q179_audio_ingest" -> { (s, dir) =>
+      // incremental audio ingest: a batch of new clips vetted against a
+      // standing fingerprint index — exact classes equi-join, near
+      // classes band CROSS-SIDE only (the q158/q162 daily-crawl shape
+      // over energy fingerprints; odd clips near-match their even index
+      // partners, later odd clips are genuinely new)
+      val docs = t(s, dir, "documents").select("doc_id")
+      val idxF = Multimodal.audioFingerprints(
+        pairedWavs(docs.filter(col("doc_id") < 200 && col("doc_id") % 2 === 0)),
+        "doc_id", "payload")
+      val batF = Multimodal.audioFingerprints(
+        pairedWavs(docs.filter(col("doc_id") < 300 && col("doc_id") % 2 === 1)),
+        "doc_id", "payload")
+      Dedup.incrementalAudioDups(idxF, batF, "doc_id", maxHamming = 3)
+        .orderBy("new_id", "index_id")
+    },
+
     "q163_audio_fingerprint" -> { (s, dir) =>
       // 64-bit integer-exact energy fingerprint of REAL decoded WAVs
       // (65 frame-windows, energy-gradient sign bits) — the 8-byte
@@ -2858,36 +2875,37 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
-  /** The paired-WAV energy-fingerprint CTE chain (q163/q164): replays
-    * [[pairedWavs]]' sample arithmetic, the frame→window assignment
-    * `w = i·65 / 2048`, integer window energies, and the gradient-sign
-    * half assembly — ending in `hh(doc_id, afp_hi, afp_lo)`. */
-  private val audioFpCtes: String =
-    """d AS (
-      |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE doc_id < 200
-      |), smp AS (
-      |  SELECT doc_id, (i * 65) // 2048 AS w,
-      |    CASE WHEN doc_id % 2 = 1 AND i >= 96 AND i < 128
-      |         THEN abs(((gid*7919 + i*31 + 997) % 4096) - 2048)
-      |         ELSE abs(((gid*7919 + i*31) % 4096) - 2048) END AS mag
-      |  FROM d, unnest(range(2048)) AS u(i)
-      |), en AS (
-      |  SELECT doc_id, w, CAST(sum(mag) AS BIGINT) AS e
-      |  FROM smp GROUP BY doc_id, w
-      |), grid AS (
-      |  SELECT d.doc_id, g.w FROM d, unnest(range(65)) AS g(w)
-      |), eg AS (
-      |  SELECT grid.doc_id, grid.w, coalesce(en.e, 0) AS e
-      |  FROM grid LEFT JOIN en ON en.doc_id = grid.doc_id AND en.w = grid.w
-      |), hh AS (
-      |  SELECT a.doc_id,
-      |    CAST(coalesce(sum(CASE WHEN a.w >= 32 AND b.e > a.e
-      |          THEN (CAST(1 AS BIGINT) << CAST(a.w - 32 AS INT)) END), 0) AS BIGINT) AS afp_hi,
-      |    CAST(coalesce(sum(CASE WHEN a.w < 32 AND b.e > a.e
-      |          THEN (CAST(1 AS BIGINT) << CAST(a.w AS INT)) END), 0) AS BIGINT) AS afp_lo
-      |  FROM eg a JOIN eg b ON b.doc_id = a.doc_id AND b.w = a.w + 1
-      |  GROUP BY a.doc_id
-      |)""".stripMargin
+  /** The paired-WAV energy-fingerprint CTE chain (q163/q164/q179):
+    * replays [[pairedWavs]]' sample arithmetic, the frame→window
+    * assignment `w = i·65 / 2048`, integer window energies, and the
+    * gradient-sign half assembly — ending in
+    * `hh$sfx(doc_id, afp_hi, afp_lo)` for the rows matching `filter`. */
+  private def audioFpCtes(filter: String = "doc_id < 200", sfx: String = ""): String =
+    s"""d$sfx AS (
+       |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE $filter
+       |), smp$sfx AS (
+       |  SELECT doc_id, (i * 65) // 2048 AS w,
+       |    CASE WHEN doc_id % 2 = 1 AND i >= 96 AND i < 128
+       |         THEN abs(((gid*7919 + i*31 + 997) % 4096) - 2048)
+       |         ELSE abs(((gid*7919 + i*31) % 4096) - 2048) END AS mag
+       |  FROM d$sfx, unnest(range(2048)) AS u(i)
+       |), en$sfx AS (
+       |  SELECT doc_id, w, CAST(sum(mag) AS BIGINT) AS e
+       |  FROM smp$sfx GROUP BY doc_id, w
+       |), grid$sfx AS (
+       |  SELECT d$sfx.doc_id, g.w FROM d$sfx, unnest(range(65)) AS g(w)
+       |), eg$sfx AS (
+       |  SELECT grid$sfx.doc_id, grid$sfx.w, coalesce(en$sfx.e, 0) AS e
+       |  FROM grid$sfx LEFT JOIN en$sfx ON en$sfx.doc_id = grid$sfx.doc_id AND en$sfx.w = grid$sfx.w
+       |), hh$sfx AS (
+       |  SELECT a.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN a.w >= 32 AND b.e > a.e
+       |          THEN (CAST(1 AS BIGINT) << CAST(a.w - 32 AS INT)) END), 0) AS BIGINT) AS afp_hi,
+       |    CAST(coalesce(sum(CASE WHEN a.w < 32 AND b.e > a.e
+       |          THEN (CAST(1 AS BIGINT) << CAST(a.w AS INT)) END), 0) AS BIGINT) AS afp_lo
+       |  FROM eg$sfx a JOIN eg$sfx b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+       |  GROUP BY a.doc_id
+       |)""".stripMargin
 
   /** q156/q157 shared derivation: per-dim Σx and Σx² through the same
     * two-level fold order the engine's vector aggregator uses. */
@@ -3374,16 +3392,55 @@ object PipelineQueries {
          |  round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) + 0.0 AS f1_r
          |FROM cm""".stripMargin,
 
+    // incremental audio ingest: exact fingerprint classes equi-join,
+    // near classes band cross-side, bit_count verify in 1..3 — the q158
+    // arithmetic over energy fingerprints, two suffixed CTE chains
+    "q179_audio_ingest" ->
+      (s"WITH ${audioFpCtes("doc_id < 200 AND doc_id % 2 = 0", "_i")},\n" +
+        s"${audioFpCtes("doc_id < 300 AND doc_id % 2 = 1", "_n")},\n" +
+        """ci AS (SELECT afp_hi, afp_lo, min(doc_id) AS index_id FROM hh_i GROUP BY afp_hi, afp_lo),
+          |cn AS (SELECT afp_hi, afp_lo, min(doc_id) AS new_id FROM hh_n GROUP BY afp_hi, afp_lo),
+          |ex AS (
+          |  SELECT cn.new_id, ci.index_id, 0 AS hamming
+          |  FROM cn JOIN ci ON cn.afp_hi = ci.afp_hi AND cn.afp_lo = ci.afp_lo
+          |),
+          |bi AS (
+          |  SELECT index_id, 0 AS band, (afp_hi >> 16) & 65535 AS bk FROM ci
+          |  UNION ALL SELECT index_id, 1, afp_hi & 65535 FROM ci
+          |  UNION ALL SELECT index_id, 2, (afp_lo >> 16) & 65535 FROM ci
+          |  UNION ALL SELECT index_id, 3, afp_lo & 65535 FROM ci
+          |),
+          |bn AS (
+          |  SELECT new_id, 0 AS band, (afp_hi >> 16) & 65535 AS bk FROM cn
+          |  UNION ALL SELECT new_id, 1, afp_hi & 65535 FROM cn
+          |  UNION ALL SELECT new_id, 2, (afp_lo >> 16) & 65535 FROM cn
+          |  UNION ALL SELECT new_id, 3, afp_lo & 65535 FROM cn
+          |),
+          |nearc AS (
+          |  SELECT DISTINCT bn.new_id, bi.index_id
+          |  FROM bn JOIN bi ON bn.band = bi.band AND bn.bk = bi.bk
+          |),
+          |near AS (
+          |  SELECT nearc.new_id, nearc.index_id,
+          |    CAST(bit_count(xor(cn.afp_hi, ci.afp_hi)) + bit_count(xor(cn.afp_lo, ci.afp_lo)) AS INT) AS hamming
+          |  FROM nearc
+          |  JOIN cn ON cn.new_id = nearc.new_id
+          |  JOIN ci ON ci.index_id = nearc.index_id
+          |  WHERE bit_count(xor(cn.afp_hi, ci.afp_hi)) + bit_count(xor(cn.afp_lo, ci.afp_lo)) BETWEEN 1 AND 3
+          |)
+          |SELECT * FROM ex UNION ALL SELECT * FROM near
+          |ORDER BY new_id, index_id""".stripMargin),
+
     // audio energy-fingerprint dump: sample arithmetic, window energies,
     // and gradient-sign halves replayed exactly
     "q163_audio_fingerprint" ->
-      (s"WITH $audioFpCtes\n" +
+      (s"WITH ${audioFpCtes()}\n" +
         """SELECT doc_id, afp_hi, afp_lo FROM hh ORDER BY doc_id""".stripMargin),
 
     // audio near-dup pairs: distinct fingerprint classes, four 16-bit
     // bands, bit_count verify — the q153 machinery over energy halves
     "q164_audio_near_dups" ->
-      (s"WITH $audioFpCtes,\n" +
+      (s"WITH ${audioFpCtes()},\n" +
         """rep AS (
           |  SELECT min(doc_id) AS doc_id, afp_hi AS hi, afp_lo AS lo
           |  FROM hh GROUP BY afp_hi, afp_lo

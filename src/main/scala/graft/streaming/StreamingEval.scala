@@ -368,6 +368,27 @@ object StreamingEval {
       graft.ops.Multimodal.imageHashes256(_, idCol, payloadCol),
       graft.ops.Dedup.incrementalImageDedup256(_, _, idCol, maxHamming, nBands))
 
+  /** Streaming AUDIO ingest against a persisted fingerprint index — the
+    * [[imageIngestStream]] loop over energy fingerprints: each
+    * micro-batch's WAV payloads are fingerprinted
+    * ([[graft.ops.Multimodal.audioFingerprints]], stateless decode),
+    * vetted against the persisted `(id, afp_hi, afp_lo)` index with the
+    * exact batch [[graft.ops.Dedup.incrementalAudioDedup]] operator, and
+    * admissions append — so a re-leveled or re-encoded copy of any
+    * earlier clip (index or prior batch) is refused at ingest. Same
+    * idempotence/replay contract as the image/text loops (class-level
+    * vetting; a replayed batch re-admits nothing). */
+  def audioIngestStream(
+      clips: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      maxHamming: Int = 3
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestWith(clips, indexPath,
+      graft.ops.Multimodal.audioFingerprints(_, idCol, payloadCol),
+      graft.ops.Dedup.incrementalAudioDedup(_, _, idCol, maxHamming))
+
   /** Streaming TEXT ingest against a persisted SIGNATURE index — the
     * daily-crawl near-dup loop as Structured Streaming: each micro-batch
     * is MinHash-signed once ([[graft.ops.Dedup.polySignatures]]), vetted

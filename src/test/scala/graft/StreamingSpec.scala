@@ -485,6 +485,62 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming audio ingest: cross-batch dedup, re-leveled copies refused") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{AudioCodecs, Dedup, Multimodal}
+    def wav(seed: Int, gain: Int = 1): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      // half headroom so a 2x re-level never clips -> identical fingerprint
+      AudioCodecs.encodeWavPcm16(16000, 1,
+        Array.fill(512)(((r2.nextInt(16000) - 8000) * gain).toShort))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-audio-ingest").toString
+    val indexPath = s"$dir/index"
+    import spark.implicits._
+    // standing index: clip A
+    Multimodal.audioFingerprints(
+        Seq((1L, wav(1))).toDF("doc_id", "payload"), "doc_id", "payload")
+      .write.parquet(indexPath)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = graft.streaming.StreamingEval.audioIngestStream(
+        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", indexPath)
+      .start()
+    try {
+      // batch 1: re-leveled copy of A (reject), fresh B (admit), junk (excluded)
+      input.addData((10L, wav(1, gain = 2)), (11L, wav(2)), (12L, "junk".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val after1 = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L, 11L), s"batch 1 admissions wrong: $after1")
+      // batch 2: copy of B (MUST reject against batch 1's admission), fresh C
+      input.addData((20L, wav(2)), (21L, wav(3)))
+      query.processAllAvailable()
+      val after2 = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 11L, 21L), s"batch 2 admissions wrong: $after2")
+      // differential: equals the sequential batch replay of
+      // incrementalAudioDedup over the same two batches
+      val idx0 = Multimodal.audioFingerprints(
+        Seq((1L, wav(1))).toDF("doc_id", "payload"), "doc_id", "payload")
+      val b1 = Multimodal.audioFingerprints(
+        Seq((10L, wav(1, gain = 2)), (11L, wav(2)), (12L, "junk".getBytes("UTF-8")))
+          .toDF("doc_id", "payload"), "doc_id", "payload")
+      val adm1 = Dedup.incrementalAudioDedup(idx0, b1, "doc_id")
+      val idx1 = idx0.unionByName(adm1)
+      val b2 = Multimodal.audioFingerprints(
+        Seq((20L, wav(2)), (21L, wav(3))).toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      val adm2 = Dedup.incrementalAudioDedup(idx1, b2, "doc_id")
+      val replay = idx1.unionByName(adm2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after2 == replay, s"streamed $after2 != batch replay $replay")
+      // replay idempotence at class level: re-running batch 2 against the
+      // final index admits nothing (the at-least-once foreachBatch story)
+      assert(Dedup.incrementalAudioDedup(
+        spark.read.parquet(indexPath), b2, "doc_id").count() == 0)
+    } finally query.stop()
+  }
+
   test("streaming text ingest: signature index grows, cross-batch near-dups reject") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Dedup
