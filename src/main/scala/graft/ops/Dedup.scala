@@ -559,6 +559,53 @@ object Dedup {
       .withColumnRenamed("ahash_lo", "afp_lo")
   }
 
+  /** VIDEO near-duplicate pairs via frame-set overlap: clips sharing a
+    * high Jaccard of DISTINCT per-frame 256-bit gradient-hash classes
+    * ([[Multimodal.videoFrameHashes]] output) — a re-muxed, re-ordered,
+    * or lightly trimmed copy keeps most frame classes; unrelated clips
+    * share none. The [[graft.ops.Reports.crossSourceDupMatrix]] shape on
+    * frame classes: distinct (clip, class) first so a looping clip
+    * counts each frame once, then the pair join runs CLASS-equi — the
+    * band key is the full 256-bit class, so bucket occupancy is the
+    * number of clips holding that exact frame.
+    *
+    * Boilerplate frame classes (black frames, title cards, test
+    * patterns) occurring in more than `maxClassClips` clips are DROPPED
+    * before pairing — the [[dropFrequentLines]] semantics: they carry no
+    * identity signal and are exactly the classes whose |clips|² pair
+    * fan-out would go quadratic. Output:
+    * `(id_a, id_b, n_shared, jaccard_r)` with `jaccard_r =
+    * round(shared / (|A| + |B| − shared), 6) ≥ minJaccard`. */
+  def videoNearDupPairs(
+      frameHashes: DataFrame,
+      idCol: String,
+      minJaccard: Double = 0.5,
+      maxClassClips: Long = 1000
+  ): DataFrame = {
+    require(minJaccard > 0.0, "minJaccard must be positive (0 would pair all clips)")
+    val classes = frameHashes
+      .select(col(idCol) +: DhashWordCols.map(col): _*)
+      .distinct()
+    val freqOk = classes.groupBy(DhashWordCols.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxClassClips)
+      .select(DhashWordCols.map(col): _*)
+    val kept = classes.join(freqOk, DhashWordCols, "left_semi")
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = kept.select(col(idCol).as("id_a") +: DhashWordCols.map(col): _*)
+    val b = kept.select(col(idCol).as("id_b") +: DhashWordCols.map(col): _*)
+    val shared = a.join(b, DhashWordCols).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("jaccard_r",
+        round(col("n_shared") /
+          (col("__na") + col("__nb") - col("n_shared")), 6) + lit(0.0))
+      .filter(col("jaccard_r") >= minJaccard)
+      .select("id_a", "id_b", "n_shared", "jaccard_r")
+  }
+
   /** Exact audio duplicate classes (fingerprint Hamming 0) with the
     * min-id keeper — [[imageDupGroups]] over energy fingerprints. */
   def audioDupGroups(fingerprints: DataFrame, idCol: String): DataFrame =

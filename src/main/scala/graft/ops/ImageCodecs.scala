@@ -33,8 +33,16 @@ object ImageCodecs {
   /** Binary PPM: `P6 <w> <h> <maxval>` as whitespace-separated ASCII
     * tokens (with `#` comments), ONE whitespace byte, then w*h*3 raw RGB
     * bytes. Only maxval 255 (the 1-byte-per-sample case) is supported. */
-  def decodePpm(bytes: Array[Byte]): Option[DecodedImage] = {
-    var pos = 2
+  def decodePpm(bytes: Array[Byte]): Option[DecodedImage] =
+    decodePpmAt(bytes, 0).map(_._1)
+
+  /** One P6 frame starting at `start` plus the offset just past its
+    * raster — the building block [[VideoCodecs.decodeClip]] walks a
+    * concatenated-PPM stream with. Never throws. */
+  private[ops] def decodePpmAt(bytes: Array[Byte], start: Int): Option[(DecodedImage, Int)] = {
+    if (bytes == null || start < 0 || start + 2 > bytes.length ||
+      bytes(start) != 'P' || bytes(start + 1) != '6') return None
+    var pos = start + 2
     def nextInt(): Option[Int] = {
       while (pos < bytes.length &&
         (Character.isWhitespace(bytes(pos).toChar) || bytes(pos) == '#')) {
@@ -60,8 +68,9 @@ object ImageCodecs {
       if w > 0 && h > 0 && maxv == 255 &&
         w.toLong * h <= MaxPixels &&
         bytes.length - data >= w.toLong * h * 3
-    } yield DecodedImage(w, h,
-      java.util.Arrays.copyOfRange(bytes, data, data + w * h * 3))
+    } yield (DecodedImage(w, h,
+      java.util.Arrays.copyOfRange(bytes, data, data + w * h * 3)),
+      data + w * h * 3)
   }
 
   /** 24-bit uncompressed BMP (BITMAPINFOHEADER or longer): BGR samples,

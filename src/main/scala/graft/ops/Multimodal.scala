@@ -206,6 +206,41 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Batched per-frame 256-bit gradient hashing of concatenated-PPM
+    * clips ([[VideoCodecs.decodeClip]] → [[ImageCodecs
+    * .gradientHashWords]] per frame): one row per DECODED frame,
+    * `(id, frame_idx, dh0..dh7)` — the frame-class table video dedup
+    * runs on ([[graft.ops.Dedup.videoNearDupPairs]]). Undecodable/null
+    * payloads contribute NO rows (a clip with zero parseable frames has
+    * no frame classes to vet; count ids upstream if absence must be
+    * loud). One narrow mapPartitions (flatMap per clip), no shuffle —
+    * frames never travel, 33 bytes per frame do. */
+  def videoFrameHashes(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String
+  ): DataFrame = {
+    val idField = df.schema(idCol)
+    val schema = StructType(
+      Seq(idField, StructField("frame_idx", IntegerType, nullable = false)) ++
+        (0 until 8).map(j => StructField(s"dh$j", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val decoded = if (bytes == null) None else VideoCodecs.decodeClip(bytes)
+        decoded.toSeq.flatMap { frames =>
+          frames.iterator.zipWithIndex.map { case (img, f) =>
+            Row.fromSeq(r.get(idIdx) +: f +:
+              ImageCodecs.gradientHashWords(img).toSeq)
+          }
+        }
+      }
+    }(encoder)
+  }
+
   /** Attach media metadata columns derivable without decoding (cheap,
     * codegen'd): payload size, leading magic bytes, a content digest. */
   def withMediaMeta(df: DataFrame, payloadCol: String): DataFrame =

@@ -1776,6 +1776,27 @@ object PipelineQueries {
         docs, "text", "y", "doc_id", w, bias = 0.0, threshold = 0.5, split = "test")
     },
 
+    "q180_video_frame_hashes" -> { (s, dir) =>
+      // per-frame 256-bit gradient hashes of REAL concatenated-PPM clip
+      // decodes — the 33-byte-per-frame artifact video dedup persists;
+      // oracle re-derives the synthetic clips' sampled pixels exactly
+      Multimodal.videoFrameHashes(
+        pairedClips(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 100)),
+        "doc_id", "payload")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    "q181_video_near_dups" -> { (s, dir) =>
+      // clip near-dup pairs by frame-set Jaccard: an even/odd pair
+      // shares 3 of its 4 distinct frame classes (jaccard 0.6); the
+      // pair join is class-equi with a boilerplate-frame frequency cap
+      val fh = Multimodal.videoFrameHashes(
+        pairedClips(t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 200)),
+        "doc_id", "payload")
+      Dedup.videoNearDupPairs(fh, "doc_id", minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     "q179_audio_ingest" -> { (s, dir) =>
       // incremental audio ingest: a batch of new clips vetted against a
       // standing fingerprint index — exact classes equi-join, near
@@ -2754,6 +2775,75 @@ object PipelineQueries {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Deterministic 4-frame concatenated-PPM clips: frame pixel byte =
+    * (gid·31 + f·97 + i) % 256 over 16×12 RGB; odd ids perturb frame 1's
+    * byte 6 by +128, so an even/odd pair shares frames 0, 2, 3 — the
+    * video analogue of [[pairedPpms]]/[[pairedWavs]]. */
+  private def pairedClips(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val gid = id / 2
+        val frames = (0 until 4).map { f =>
+          val w = 16
+          val h = 12
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < rgb.length) {
+            rgb(i) = ((gid * 31 + f * 97 + i) % 256).toByte
+            i += 1
+          }
+          if (id % 2 == 1 && f == 1)
+            rgb(6) = ((gid * 31 + f * 97 + 6 + 128) % 256).toByte
+          graft.ops.ImageCodecs.DecodedImage(w, h, rgb)
+        }
+        Row(id, graft.ops.VideoCodecs.encodeClip(frames))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** The paired-CLIP per-frame gradient-hash CTE chain (q180/q181):
+    * [[imageDhashCtes]] with a frame dimension — replays [[pairedClips]]'
+    * pixel formula per (doc, frame), the 16×17 sampling grid, and the
+    * bit assembly, ending in `hh$sfx(doc_id, frame_idx, dh0..dh7)`. */
+  private def videoDhashCtes(rel: String, sfx: String = ""): String = {
+    def byteAt(off: Int): String =
+      s"""(CASE WHEN doc_id % 2 = 1 AND f = 1 AND (((cy*12) // 16)*16 + ((cx*16) // 17))*3 + $off = 6
+         |          THEN (gid*31 + 97 + 6 + 128) % 256
+         |          ELSE (gid*31 + f*97 + (((cy*12) // 16)*16 + ((cx*16) // 17))*3 + $off) % 256 END)""".stripMargin
+    val words = (0 until 8).map(j =>
+      s"""    CAST(coalesce(sum(CASE WHEN idx // 32 = $j
+         |      THEN (CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) END), 0) AS BIGINT) AS dh$j""".stripMargin)
+      .mkString(",\n")
+    s"""d$sfx AS (
+       |  SELECT doc_id, doc_id // 2 AS gid FROM documents WHERE $rel
+       |), lums$sfx AS (
+       |  SELECT doc_id, f, cy, cx,
+       |    ${byteAt(0)}
+       |    + ${byteAt(1)}
+       |    + ${byteAt(2)} AS lum
+       |  FROM d$sfx, unnest(range(4)) AS rf(f), unnest(range(16)) AS r1(cy), unnest(range(17)) AS r2(cx)
+       |), bits$sfx AS (
+       |  SELECT a.doc_id, a.f, a.cy * 16 + a.cx AS idx
+       |  FROM lums$sfx a JOIN lums$sfx b
+       |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.cy = b.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 16 AND b.lum > a.lum
+       |), fr$sfx AS (
+       |  SELECT d$sfx.doc_id, rf.f FROM d$sfx, unnest(range(4)) AS rf(f)
+       |), hh$sfx AS (
+       |  SELECT fr$sfx.doc_id, CAST(fr$sfx.f AS INT) AS frame_idx,
+       |$words
+       |  FROM fr$sfx LEFT JOIN bits$sfx
+       |    ON bits$sfx.doc_id = fr$sfx.doc_id AND bits$sfx.f = fr$sfx.f
+       |  GROUP BY fr$sfx.doc_id, fr$sfx.f
+       |)""".stripMargin
+  }
+
   /** Portable-kmeans oracle machinery: DuckDB re-trains Lloyd's rounds —
     * hash-seeded init, argmax assignment (`2·v⋅c − |c|²` DESC, cid ASC),
     * two-level-fold centroid update, empty clusters keep their centroid.
@@ -3391,6 +3481,43 @@ object PipelineQueries {
          |  round(tp / CAST(tp + fn AS DOUBLE), 6) + 0.0 AS recall_r,
          |  round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) + 0.0 AS f1_r
          |FROM cm""".stripMargin,
+
+    // per-frame gradient-hash dump: the clip pixel/sampling/bit
+    // arithmetic replayed exactly, eight 32-bit words per frame
+    "q180_video_frame_hashes" ->
+      (s"WITH ${videoDhashCtes("doc_id < 100")}\n" +
+        """SELECT doc_id, frame_idx, dh0, dh1, dh2, dh3, dh4, dh5, dh6, dh7
+          |FROM hh ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // clip near-dups by frame-set Jaccard: distinct (clip, class),
+    // boilerplate-frequency cap, class-equi pair join, rounded rational
+    "q181_video_near_dups" -> {
+      val w = (0 until 8).map(j => s"dh$j")
+      val wList = w.mkString(", ")
+      val eq = w.map(c => s"a.$c = b.$c").mkString(" AND ")
+      s"""WITH ${videoDhashCtes("doc_id < 200")},
+         |classes AS (
+         |  SELECT DISTINCT doc_id, $wList FROM hh
+         |), freqok AS (
+         |  SELECT $wList FROM classes GROUP BY $wList HAVING count(*) <= 1000
+         |), kept AS (
+         |  SELECT classes.* FROM classes JOIN freqok USING ($wList)
+         |), sizes AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY doc_id
+         |), shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b ON $eq AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), jac AS (
+         |  SELECT id_a, id_b, n_shared,
+         |    round(n_shared / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) + 0.0 AS jaccard_r
+         |  FROM shared
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |)
+         |SELECT id_a, id_b, n_shared, jaccard_r FROM jac
+         |WHERE jaccard_r >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
 
     // incremental audio ingest: exact fingerprint classes equi-join,
     // near classes band cross-side, bit_count verify in 1..3 — the q158

@@ -1435,6 +1435,59 @@ class OpsSpec extends SparkSpec {
     assert(AudioCodecs.decodeWav(stereo).get.nFrames == 2L)
   }
 
+  test("video clip decode: round-trip, truncation tolerance, malformed") {
+    import graft.ops.{ImageCodecs, VideoCodecs}
+    def frame(seed: Int): ImageCodecs.DecodedImage = {
+      val rnd = new scala.util.Random(seed)
+      ImageCodecs.DecodedImage(4, 3, Array.fill(4 * 3 * 3)(rnd.nextInt(256).toByte))
+    }
+    val frames = (1 to 3).map(frame)
+    val clip = VideoCodecs.encodeClip(frames)
+    val back = VideoCodecs.decodeClip(clip).get
+    assert(back.size == 3)
+    back.zip(frames).foreach { case (a, b) =>
+      assert(a.width == b.width && a.height == b.height && a.rgb.toSeq == b.rgb.toSeq)
+    }
+    // truncated tail: whole frames before the cut survive (crawl corruption)
+    assert(VideoCodecs.decodeClip(clip.dropRight(5)).get.size == 2)
+    // trailing garbage after whole frames: same tolerance
+    assert(VideoCodecs.decodeClip(clip ++ "garbage".getBytes).get.size == 3)
+    // no whole frame at all -> None
+    assert(VideoCodecs.decodeClip("P6 not a real clip".getBytes) == None)
+    assert(VideoCodecs.decodeClip(Array.emptyByteArray) == None)
+  }
+
+  test("video near-dups: frame-set jaccard pairs planted, boilerplate capped") {
+    import graft.ops.{Dedup, ImageCodecs, Multimodal, VideoCodecs}
+    import spark.implicits._
+    def frame(seed: Int): ImageCodecs.DecodedImage = {
+      val rnd = new scala.util.Random(seed)
+      ImageCodecs.DecodedImage(16, 12, Array.fill(16 * 12 * 3)(rnd.nextInt(256).toByte))
+    }
+    // clip A = frames 1,2,3,4; clip B shares 3 of them (jaccard 3/5);
+    // clip C disjoint; every clip gets a common "black frame" (all-zero)
+    // that the frequency cap must drop before pairing
+    val black = ImageCodecs.DecodedImage(16, 12, new Array[Byte](16 * 12 * 3))
+    val clips = Seq(
+      (1L, VideoCodecs.encodeClip(Seq(frame(1), frame(2), frame(3), frame(4), black))),
+      (2L, VideoCodecs.encodeClip(Seq(frame(1), frame(2), frame(3), frame(9), black))),
+      (3L, VideoCodecs.encodeClip(Seq(frame(7), frame(8), black)))
+    ).toDF("doc_id", "payload")
+    val fh = Multimodal.videoFrameHashes(clips, "doc_id", "payload")
+    assert(fh.count() == 5 + 5 + 3)
+    // cap 2: the black frame (in all 3 clips) is dropped, so clip 3
+    // pairs with nothing and the 1-2 pair counts 3 shared of 4+4 classes
+    val pairs = Dedup.videoNearDupPairs(fh, "doc_id", minJaccard = 0.5, maxClassClips = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(pairs == Seq((1L, 2L, 3L, 0.6)), s"pairs wrong: $pairs")
+    // without the cap the black frame links everything to everything —
+    // clip 3 then shares a class with both, but stays under the 0.5 bar
+    val uncapped = Dedup.videoNearDupPairs(fh, "doc_id", minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"uncapped wrong: $uncapped")
+  }
+
   test("multimodal: real PPM/BMP decode with exact expected features") {
     import graft.ops.ImageCodecs
     // 2x2 test image: red, green / blue, white

@@ -174,6 +174,7 @@ class PropertySpec extends SparkSpec {
       ImageCodecs.decode(b)
       AudioCodecs.decodeWav(b)
       AudioCodecs.energyFingerprintHalves(b)
+      graft.ops.VideoCodecs.decodeClip(b)
       ImageCodecs.decode(b).foreach { img =>
         ImageCodecs.averageHashHalves(img)
         ImageCodecs.gradientHashWords(img)
