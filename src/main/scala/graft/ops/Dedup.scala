@@ -606,6 +606,85 @@ object Dedup {
       .select("id_a", "id_b", "n_shared", "jaccard_r")
   }
 
+  /** EXACT video duplicate groups: the clip signature is the md5 of the
+    * ordered `frame_idx:dh0..dh7` sequence (frame ORDER matters — a
+    * re-cut is a near-dup, [[videoNearDupPairs]]' job, not an exact
+    * dup), grouped with the min-id keeper — [[imageDupGroups]] for
+    * clips. One groupBy on a 32-char signature; frames never travel
+    * beyond their hash rows. Output: (clip_sig, keep_id, n_members ≥ 2). */
+  def videoDupGroups(frameHashes: DataFrame, idCol: String): DataFrame = {
+    val frameStr = concat_ws(":",
+      col("frame_idx").cast("string") +: DhashWordCols.map(c => col(c).cast("string")): _*)
+    val sig = frameHashes
+      .select(col(idCol), struct(col("frame_idx"), frameStr.as("fs")).as("__e"))
+      .groupBy(col(idCol))
+      .agg(md5(concat_ws("|",
+        transform(array_sort(collect_list(col("__e"))), e => e.getField("fs")))).as("clip_sig"))
+    sig
+      .groupBy("clip_sig")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+  }
+
+  /** INCREMENTAL video ingest pairs: a new batch's clips matched against
+    * a standing frame-class index by frame-set Jaccard — the
+    * [[incrementalImageDups]] daily-crawl shape on
+    * [[videoNearDupPairs]]' semantics. The class join runs CROSS-SIDE
+    * only (the index never pairs with itself); the boilerplate-frame
+    * frequency cap applies to the UNION of both sides' class occupancy,
+    * so a title card shared by index and batch is dropped everywhere.
+    * Output: (new_id, index_id, n_shared, jaccard_r ≥ minJaccard). */
+  def incrementalVideoDups(
+      indexFrames: DataFrame,
+      batchFrames: DataFrame,
+      idCol: String,
+      minJaccard: Double = 0.5,
+      maxClassClips: Long = 1000
+  ): DataFrame = {
+    require(minJaccard > 0.0, "minJaccard must be positive")
+    def classesOf(df: DataFrame, idOut: String) = df
+      .select(col(idCol).as(idOut) +: DhashWordCols.map(col): _*)
+      .distinct()
+    val ci = classesOf(indexFrames, "index_id")
+    val cn = classesOf(batchFrames, "new_id")
+    val freqOk = ci.select(DhashWordCols.map(col): _*)
+      .unionAll(cn.select(DhashWordCols.map(col): _*))
+      .groupBy(DhashWordCols.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxClassClips)
+      .select(DhashWordCols.map(col): _*)
+    val ki = ci.join(freqOk, DhashWordCols, "left_semi")
+    val kn = cn.join(freqOk, DhashWordCols, "left_semi")
+    val si = ki.groupBy(col("index_id")).agg(count(lit(1)).as("__ni"))
+    val sn = kn.groupBy(col("new_id")).agg(count(lit(1)).as("__nn"))
+    kn.join(ki, DhashWordCols)
+      .groupBy("new_id", "index_id").agg(count(lit(1)).as("n_shared"))
+      .join(sn, "new_id")
+      .join(si, "index_id")
+      .withColumn("jaccard_r",
+        round(col("n_shared") /
+          (col("__nn") + col("__ni") - col("n_shared")), 6) + lit(0.0))
+      .filter(col("jaccard_r") >= minJaccard)
+      .select("new_id", "index_id", "n_shared", "jaccard_r")
+  }
+
+  /** The admission half of video ingest: batch clips whose frame-set
+    * overlaps NO index clip at `minJaccard` — their frame-hash rows,
+    * ready to append to the index. Clips with zero decodable frames are
+    * absent from `batchFrames` and so cannot be admitted. */
+  def incrementalVideoDedup(
+      indexFrames: DataFrame,
+      batchFrames: DataFrame,
+      idCol: String,
+      minJaccard: Double = 0.5,
+      maxClassClips: Long = 1000
+  ): DataFrame = {
+    val hits = incrementalVideoDups(
+      indexFrames, batchFrames, idCol, minJaccard, maxClassClips)
+      .select(col("new_id")).distinct()
+    batchFrames.join(hits, batchFrames(idCol) === hits("new_id"), "left_anti")
+  }
+
   /** Exact audio duplicate classes (fingerprint Hamming 0) with the
     * min-id keeper — [[imageDupGroups]] over energy fingerprints. */
   def audioDupGroups(fingerprints: DataFrame, idCol: String): DataFrame =

@@ -1797,6 +1797,36 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q182_video_dup_groups" -> { (s, dir) =>
+      // exact clip dup groups: signature = md5 of the ORDERED frame-hash
+      // sequence (a re-cut is a near-dup, not an exact dup); planted
+      // re-keyed copies of the first 30 clips guarantee non-trivial
+      // groups at every scale factor (the q175 mirror trick)
+      val base = t(s, dir, "documents").select("doc_id").filter(col("doc_id") < 100)
+      val orig = pairedClips(base)
+      val copies = pairedClips(base.filter(col("doc_id") < 30))
+        .withColumn("doc_id", col("doc_id") + 1000L)
+      val fh = Multimodal.videoFrameHashes(
+        orig.unionByName(copies), "doc_id", "payload")
+      Dedup.videoDupGroups(fh, "doc_id").orderBy("keep_id")
+    },
+
+    "q183_video_ingest" -> { (s, dir) =>
+      // incremental video ingest: new clips vetted against a standing
+      // frame-class index by frame-set Jaccard, class join CROSS-SIDE
+      // only — odd clips overlap their even index partners at 0.6,
+      // later odd clips are genuinely new
+      val docs = t(s, dir, "documents").select("doc_id")
+      val idxF = Multimodal.videoFrameHashes(
+        pairedClips(docs.filter(col("doc_id") < 200 && col("doc_id") % 2 === 0)),
+        "doc_id", "payload")
+      val batF = Multimodal.videoFrameHashes(
+        pairedClips(docs.filter(col("doc_id") < 300 && col("doc_id") % 2 === 1)),
+        "doc_id", "payload")
+      Dedup.incrementalVideoDups(idxF, batF, "doc_id", minJaccard = 0.5)
+        .orderBy("new_id", "index_id")
+    },
+
     "q179_audio_ingest" -> { (s, dir) =>
       // incremental audio ingest: a batch of new clips vetted against a
       // standing fingerprint index — exact classes equi-join, near
@@ -3517,6 +3547,59 @@ object PipelineQueries {
          |)
          |SELECT id_a, id_b, n_shared, jaccard_r FROM jac
          |WHERE jaccard_r >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // exact clip dup groups: md5 of the frame-ordered hash string, the
+    // planted re-keyed copies re-derived by shifting hh's doc_id
+    "q182_video_dup_groups" -> {
+      val fs = "CAST(frame_idx AS VARCHAR)" +
+        (0 until 8).map(j => s" || ':' || CAST(dh$j AS VARCHAR)").mkString
+      s"""WITH ${videoDhashCtes("doc_id < 100")},
+         |aug AS (
+         |  SELECT doc_id, frame_idx, ${(0 until 8).map(j => s"dh$j").mkString(", ")} FROM hh
+         |  UNION ALL
+         |  SELECT doc_id + 1000, frame_idx, ${(0 until 8).map(j => s"dh$j").mkString(", ")}
+         |  FROM hh WHERE doc_id < 30
+         |), sig AS (
+         |  SELECT doc_id,
+         |    md5(string_agg($fs, '|' ORDER BY frame_idx)) AS clip_sig
+         |  FROM aug GROUP BY doc_id
+         |)
+         |SELECT clip_sig, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_members
+         |FROM sig GROUP BY clip_sig HAVING count(*) >= 2
+         |ORDER BY keep_id""".stripMargin
+    },
+
+    // incremental video ingest: distinct (clip, class) per side, union
+    // frequency cap, cross-side class join, rounded rational jaccard
+    "q183_video_ingest" -> {
+      val w = (0 until 8).map(j => s"dh$j")
+      val wList = w.mkString(", ")
+      s"""WITH ${videoDhashCtes("doc_id < 200 AND doc_id % 2 = 0", "_i")},
+         |${videoDhashCtes("doc_id < 300 AND doc_id % 2 = 1", "_n")},
+         |ci AS (SELECT DISTINCT doc_id AS index_id, $wList FROM hh_i),
+         |cn AS (SELECT DISTINCT doc_id AS new_id, $wList FROM hh_n),
+         |freqok AS (
+         |  SELECT $wList FROM (
+         |    SELECT $wList FROM ci UNION ALL SELECT $wList FROM cn
+         |  ) u GROUP BY $wList HAVING count(*) <= 1000
+         |), ki AS (SELECT ci.* FROM ci JOIN freqok USING ($wList)),
+         |kn AS (SELECT cn.* FROM cn JOIN freqok USING ($wList)),
+         |si AS (SELECT index_id, CAST(count(*) AS BIGINT) AS n FROM ki GROUP BY index_id),
+         |sn AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n FROM kn GROUP BY new_id),
+         |shared AS (
+         |  SELECT kn.new_id, ki.index_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kn JOIN ki USING ($wList)
+         |  GROUP BY kn.new_id, ki.index_id
+         |), jac AS (
+         |  SELECT shared.new_id, shared.index_id, shared.n_shared,
+         |    round(shared.n_shared / CAST(sn.n + si.n - shared.n_shared AS DOUBLE), 6) + 0.0 AS jaccard_r
+         |  FROM shared
+         |  JOIN sn ON sn.new_id = shared.new_id
+         |  JOIN si ON si.index_id = shared.index_id
+         |)
+         |SELECT new_id, index_id, n_shared, jaccard_r FROM jac
+         |WHERE jaccard_r >= 0.5 ORDER BY new_id, index_id""".stripMargin
     },
 
     // incremental audio ingest: exact fingerprint classes equi-join,

@@ -389,6 +389,27 @@ object StreamingEval {
       graft.ops.Multimodal.audioFingerprints(_, idCol, payloadCol),
       graft.ops.Dedup.incrementalAudioDedup(_, _, idCol, maxHamming))
 
+  /** Streaming VIDEO ingest against a persisted frame-class index: each
+    * micro-batch's clips decode to per-frame 256-bit hashes
+    * ([[graft.ops.Multimodal.videoFrameHashes]]), are vetted by
+    * frame-set Jaccard against the persisted `(id, frame_idx, dh0..dh7)`
+    * index with the exact batch
+    * [[graft.ops.Dedup.incrementalVideoDedup]] operator, and admitted
+    * clips' hash ROWS append — so a re-muxed or lightly-trimmed copy of
+    * any earlier clip is refused at ingest. Same idempotence contract as
+    * the other modalities (an admitted clip's classes are its own best
+    * matcher on replay). */
+  def videoIngestStream(
+      clips: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      indexPath: String,
+      minJaccard: Double = 0.5
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestWith(clips, indexPath,
+      graft.ops.Multimodal.videoFrameHashes(_, idCol, payloadCol),
+      graft.ops.Dedup.incrementalVideoDedup(_, _, idCol, minJaccard))
+
   /** Streaming TEXT ingest against a persisted SIGNATURE index — the
     * daily-crawl near-dup loop as Structured Streaming: each micro-batch
     * is MinHash-signed once ([[graft.ops.Dedup.polySignatures]]), vetted

@@ -437,6 +437,33 @@ object ScaleSmoke {
           codes, emb.filter(col("vec_id") < 5), cbs, k = 10)
           .agg(count(lit(1))).collect()
       }
+
+      // blocked exact NN: block count scales with the data so |block|
+      // stays ~40 — pairs grow linearly, the heap top-1 never sorts
+      time(s"blocked NN, ${n * 2000} vectors, ~40-row blocks") {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val embN = blowUpKeyed(emb, n, "vec_id")
+          .withColumn("blk", pmod(col("vec_id"), lit(n * 50L)))
+        graft.ops.Similarity.blockedNearestNeighbor(embN, "vec_id", "embedding", "blk")
+          .agg(count(lit(1))).collect()
+      }
+
+      // adversarial: ONE degenerate block (a broken coarse partitioner)
+      // must refuse loudly and fast — |block|² pairs never materialize
+      time(s"blocked NN hot-block guard (one ${n * 2000}-row block)") {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val embN = blowUpKeyed(emb, n, "vec_id").withColumn("blk", lit(0L))
+        try {
+          graft.ops.Similarity.blockedNearestNeighbor(
+            embN, "vec_id", "embedding", "blk", maxBlockRows = 1000)
+            .agg(count(lit(1))).collect()
+          println("  !! hot-block guard DID NOT fire")
+        } catch {
+          case e: Exception if String.valueOf(e.getMessage).contains("refine the blocking") ||
+            String.valueOf(String.valueOf(e.getCause)).contains("refine the blocking") =>
+            println("  refused as designed (hot-block ceiling)")
+        }
+      }
     }
     spark.stop()
   }

@@ -541,6 +541,64 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming video ingest: cross-batch frame-set dedup, trimmed copies refused") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Dedup, ImageCodecs, Multimodal, VideoCodecs}
+    def frame(seed: Int): ImageCodecs.DecodedImage = {
+      val r2 = new scala.util.Random(seed + 500)
+      ImageCodecs.DecodedImage(16, 12, Array.fill(16 * 12 * 3)(r2.nextInt(256).toByte))
+    }
+    // clip(s, n) = frames s..s+n-1: clip(0,4) vs clip(0,3) share 3 of 4
+    def clip(start: Int, n: Int): Array[Byte] =
+      VideoCodecs.encodeClip((start until start + n).map(frame))
+    val dir = java.nio.file.Files.createTempDirectory("graft-video-ingest").toString
+    val indexPath = s"$dir/index"
+    import spark.implicits._
+    // standing index: clip A = frames 0..3
+    Multimodal.videoFrameHashes(
+        Seq((1L, clip(0, 4))).toDF("doc_id", "payload"), "doc_id", "payload")
+      .write.parquet(indexPath)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = graft.streaming.StreamingEval.videoIngestStream(
+        input.toDF().toDF("doc_id", "payload"), "doc_id", "payload", indexPath)
+      .start()
+    try {
+      // batch 1: trimmed copy of A (3/4 frames, jaccard 0.75 -> reject),
+      // disjoint B = frames 10..13 (admit), junk (no frames, excluded)
+      input.addData((10L, clip(0, 3)), (11L, clip(10, 4)), (12L, "junk".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val after1 = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L, 11L), s"batch 1 admissions wrong: $after1")
+      // batch 2: near copy of B (MUST reject against batch 1's admission),
+      // fresh C = frames 20..23 (admit)
+      input.addData((20L, clip(10, 3)), (21L, clip(20, 4)))
+      query.processAllAvailable()
+      val after2 = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 11L, 21L), s"batch 2 admissions wrong: $after2")
+      // differential: equals the sequential batch replay
+      val idx0 = Multimodal.videoFrameHashes(
+        Seq((1L, clip(0, 4))).toDF("doc_id", "payload"), "doc_id", "payload")
+      val b1 = Multimodal.videoFrameHashes(
+        Seq((10L, clip(0, 3)), (11L, clip(10, 4)), (12L, "junk".getBytes("UTF-8")))
+          .toDF("doc_id", "payload"), "doc_id", "payload")
+      val adm1 = Dedup.incrementalVideoDedup(idx0, b1, "doc_id")
+      val idx1 = idx0.unionByName(adm1)
+      val b2 = Multimodal.videoFrameHashes(
+        Seq((20L, clip(10, 3)), (21L, clip(20, 4))).toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      val adm2 = Dedup.incrementalVideoDedup(idx1, b2, "doc_id")
+      val replay = idx1.unionByName(adm2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after2 == replay, s"streamed $after2 != batch replay $replay")
+      // replay idempotence: re-vetting batch 2 against the final index
+      // admits nothing (clip 21's own frames are now in the index)
+      assert(Dedup.incrementalVideoDedup(
+        spark.read.parquet(indexPath), b2, "doc_id").count() == 0)
+    } finally query.stop()
+  }
+
   test("streaming text ingest: signature index grows, cross-batch near-dups reject") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Dedup
