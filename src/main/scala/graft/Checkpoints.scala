@@ -93,8 +93,11 @@ object Checkpoints {
       minNodes: Int = 32
   ): DataFrame = {
     val nodes = df.queryExecution.logical.collect { case n => n }.size
-    if (nodes >= minNodes) localCheckpoint(df, eager)
-    else trackCache(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // shallow plans keep their plain exchange barrier: a lazy persist
+    // here was measured a NET LOSS (round 9 — +0.1-0.6s of block-store
+    // serialization on every signature query, zero benefit to the
+    // dupClusters round lifecycle the experiment targeted)
+    if (nodes >= minNodes) localCheckpoint(df, eager) else df
   }
 
   /** Immediately unpersists the persisted/checkpointed RDD(s) backing
