@@ -1239,11 +1239,14 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.8,
       ngram: Int = 3,
-      maxDocFreq: Option[Long] = None
+      maxDocFreq: Option[Long] = None,
+      benchIdCol: Option[String] = None
   ): DataFrame = {
-    def grams(df: DataFrame, idOut: String): DataFrame =
-      df.select(col(idCol).as(idOut),
+    def grams(df: DataFrame, idOut: String): DataFrame = {
+      val src = if (idOut == "bench_id") benchIdCol.getOrElse(idCol) else idCol
+      df.select(col(src).as(idOut),
         explode(wordGrams(col(textCol), ngram)).as("tok"))
+    }
     val (filtered, benchFiltered) = maxDocFreq match {
       case Some(cap) =>
         // two references (DF aggregate + join) -> materialization barrier,
@@ -1274,6 +1277,52 @@ object Dedup {
         col("n_common").cast("double") / col("bench_sz").cast("double"))
       .filter(col("containment") >= threshold)
       .select("corpus_id", "bench_id", "n_common", "containment")
+  }
+
+  /** MULTI-benchmark contamination report in ONE pass: `benches` carries
+    * every held-out set at once (`benchNameCol`, `idCol`, `textCol` —
+    * ids may repeat across benchmarks; an internal `name#id` composite
+    * key disambiguates), the gram join runs once over the union, and the
+    * result aggregates per benchmark — the release-audit table:
+    * `(bench, n_bench_docs, n_contaminated_docs, n_leaking_bench_docs,
+    * max_containment_r)`. A benchmark with zero leakage still gets its
+    * row (zeros — absence of evidence must be visible). Per-benchmark
+    * loops over [[contaminationPairs]] would re-tokenize the 100-TB
+    * corpus once per benchmark; this shape tokenizes it once. */
+  def contaminationReport(
+      corpus: DataFrame,
+      benches: DataFrame,
+      textCol: String,
+      idCol: String,
+      benchNameCol: String = "bench",
+      threshold: Double = 0.8,
+      ngram: Int = 3,
+      maxDocFreq: Option[Long] = None
+  ): DataFrame = {
+    // '#' in a benchmark name would corrupt the composite-key split
+    val safeName = when(col(benchNameCol).isNull || col(benchNameCol).contains("#"),
+      raise_error(concat(lit("contaminationReport: bench name must be non-null without '#': "),
+        col(benchNameCol)))).otherwise(col(benchNameCol).cast("string"))
+    val keyed = benches.withColumn("__bid",
+      concat(safeName, lit("#"), col(idCol).cast("string")))
+    val pairs = contaminationPairs(
+      corpus, keyed, textCol, idCol, threshold, ngram, maxDocFreq,
+      benchIdCol = Some("__bid"))
+      .withColumn("__bn", substring_index(col("bench_id"), "#", 1))
+    val totals = keyed
+      .groupBy(substring_index(col("__bid"), "#", 1).as("__bn"))
+      .agg(count(lit(1)).as("n_bench_docs"))
+    totals
+      .join(pairs.groupBy("__bn").agg(
+        countDistinct(col("corpus_id")).as("__nc"),
+        countDistinct(col("bench_id")).as("__nb"),
+        max(round(col("containment"), 6) + lit(0.0)).as("__mx")),
+        Seq("__bn"), "left")
+      .select(col("__bn").as(benchNameCol),
+        col("n_bench_docs"),
+        coalesce(col("__nc"), lit(0L)).as("n_contaminated_docs"),
+        coalesce(col("__nb"), lit(0L)).as("n_leaking_bench_docs"),
+        coalesce(col("__mx"), lit(0.0)).as("max_containment_r"))
   }
 
   /** Transitive duplicate clusters from near-dup PAIRS: connected

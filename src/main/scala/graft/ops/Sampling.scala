@@ -579,4 +579,65 @@ object Sampling {
       .withColumn("shuffle_pos", row_number().over(w).cast("long"))
       .drop("__hex")
   }
+
+  /** CURRICULUM epoch order: stage the corpus into `nStages` score
+    * quantile bands (stage 1 = lowest `scoreCol` — put "easy"/"clean"
+    * first by scoring accordingly, or negate the score for the reverse),
+    * then shuffle deterministically WITHIN each (stage, shard) cell the
+    * [[withShuffleOrder]] way. Reading stages ascending, shards
+    * ascending, `curriculum_pos` ascending within, yields the epoch
+    * order curriculum-training expects — pseudo-random inside a band,
+    * strictly banded across, and a pure function of ids + scores (a
+    * resumed job re-derives the exact order).
+    *
+    * Stage boundaries are the EXACT score percentiles rounded to 6
+    * decimals (the q93 cross-engine contract — quantile_cont matches at
+    * round-6); `stage = 1 + |{cuts < score}|`, so boundary ties land in
+    * the lower band in every engine. Rows with null/NaN score get null
+    * stage/shard/pos — unassigned, loud, never silently first or last.
+    *
+    * Scale shape: ONE exact-percentile aggregation (driver holds
+    * `nStages−1` doubles), then a map-side stage/shard projection and a
+    * per-(stage, shard) partition-local sort — `nStages × numShards`
+    * cells sized to the cluster keep every sort spillable-local; no
+    * global ordering anywhere. */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      nStages: Int,
+      numShards: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(nStages >= 2, "nStages must be >= 2")
+    require(numShards > 0, "numShards must be positive")
+    val score = col(scoreCol).cast("double")
+    val probs = (1 until nStages).map(i => i.toDouble / nStages)
+    val cutsRow = df
+      .filter(score.isNotNull && !isnan(score))
+      .agg(expr(s"percentile($scoreCol, array(${probs.mkString(", ")}))"))
+      .head()
+    val cuts: Seq[Double] =
+      if (cutsRow.isNullAt(0)) Seq.empty
+      else cutsRow.getSeq[Double](0).map(c =>
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val assigned = score.isNotNull && !isnan(score)
+    val stage =
+      if (cuts.isEmpty) when(assigned, lit(1)).otherwise(lit(null).cast("int"))
+      else when(assigned,
+        cuts.map(c => when(score > lit(c), 1).otherwise(0)).reduce(_ + _) + lit(1))
+        .otherwise(lit(null).cast("int"))
+    val hex = md5(concat(col(idCol).cast("string"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stage", "shard").orderBy(col("__hex").asc, col(idCol).asc)
+    df.withColumn("__hex", hex)
+      .withColumn("stage", stage)
+      .withColumn("shard",
+        when(col("stage").isNotNull,
+          pmod(conv(substring(col("__hex"), 1, 8), 16, 10).cast("long"),
+            lit(numShards.toLong)).cast("int")))
+      .withColumn("curriculum_pos",
+        when(col("stage").isNotNull, row_number().over(w).cast("long")))
+      .drop("__hex")
+  }
 }

@@ -1797,6 +1797,32 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q185_contamination_report" -> { (s, dir) =>
+      // multi-benchmark contamination audit in ONE corpus pass: two
+      // held-out slices as named benchmarks, per-benchmark leak counts
+      // and max containment; a clean benchmark still reports its zeros
+      val docs = t(s, dir, "documents")
+      val benches = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+        .withColumn("bench",
+          when(col("doc_id") < 450, lit("benchA")).otherwise(lit("benchB")))
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") < 400), benches, "text", "doc_id",
+        threshold = 0.5, ngram = 3, maxDocFreq = Some(100L))
+        .orderBy("bench")
+    },
+
+    "q184_curriculum_order" -> { (s, dir) =>
+      // curriculum epoch order: 4 exact-quantile score bands (round-6
+      // cross-engine boundary contract), deterministic md5 shuffle
+      // within each (stage, shard) cell — banded across, pseudo-random
+      // inside, a pure function of ids + scores
+      graft.ops.Sampling.curriculumOrder(
+        t(s, dir, "documents"), "doc_id", "n_chars",
+        nStages = 4, numShards = 8, salt = "cur")
+        .select("doc_id", "stage", "shard", "curriculum_pos")
+        .orderBy("doc_id")
+    },
+
     "q182_video_dup_groups" -> { (s, dir) =>
       // exact clip dup groups: signature = md5 of the ORDERED frame-hash
       // sequence (a re-cut is a near-dup, not an exact dup); planted
@@ -3548,6 +3574,86 @@ object PipelineQueries {
          |SELECT id_a, id_b, n_shared, jaccard_r FROM jac
          |WHERE jaccard_r >= 0.5 ORDER BY id_a, id_b""".stripMargin
     },
+
+    // multi-benchmark contamination report: the q58 gram machinery once
+    // over both benchmarks, aggregated per bench with zero-preserving
+    // totals
+    "q185_contamination_report" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
+        |  FROM base WHERE len(toks) > 0
+        |), d AS (
+        |  SELECT DISTINCT doc_id, tok FROM tri
+        |), c0 AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
+        |b0 AS (
+        |  SELECT (CASE WHEN doc_id < 450 THEN 'benchA' ELSE 'benchB' END)
+        |      || '#' || CAST(doc_id AS VARCHAR) AS bench_id, tok
+        |  FROM d WHERE doc_id >= 400 AND doc_id < 500
+        |),
+        |hot AS (SELECT tok FROM c0 GROUP BY tok HAVING COUNT(*) > 100),
+        |c AS (SELECT * FROM c0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |b AS (SELECT * FROM b0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
+        |common AS (
+        |  SELECT corpus_id, bench_id, COUNT(*) AS n_common
+        |  FROM c JOIN b USING (tok) GROUP BY corpus_id, bench_id
+        |), pairs AS (
+        |  SELECT corpus_id, bench_id, split_part(bench_id, '#', 1) AS bn,
+        |    CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) AS containment
+        |  FROM common JOIN sizes USING (bench_id)
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) >= 0.5
+        |), totals AS (
+        |  SELECT CASE WHEN doc_id < 450 THEN 'benchA' ELSE 'benchB' END AS bn,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bench_docs
+        |  FROM documents WHERE doc_id >= 400 AND doc_id < 500 GROUP BY 1
+        |), agg AS (
+        |  SELECT bn,
+        |    CAST(count(DISTINCT corpus_id) AS BIGINT) AS nc,
+        |    CAST(count(DISTINCT bench_id) AS BIGINT) AS nb,
+        |    max(round(containment, 6) + 0.0) AS mx
+        |  FROM pairs GROUP BY bn
+        |)
+        |SELECT totals.bn AS bench, totals.n_bench_docs,
+        |  coalesce(agg.nc, 0) AS n_contaminated_docs,
+        |  coalesce(agg.nb, 0) AS n_leaking_bench_docs,
+        |  coalesce(agg.mx, 0.0) AS max_containment_r
+        |FROM totals LEFT JOIN agg USING (bn)
+        |ORDER BY bench""".stripMargin,
+
+    // curriculum order: quantile_cont cuts at round-6, boundary ties to
+    // the lower band, md5-hex shuffle within each (stage, shard) cell
+    "q184_curriculum_order" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS sc FROM documents
+        |), c AS (
+        |  SELECT [round(quantile_cont(sc, 0.25), 6),
+        |          round(quantile_cont(sc, 0.5), 6),
+        |          round(quantile_cont(sc, 0.75), 6)] AS cuts
+        |  FROM s WHERE sc IS NOT NULL AND NOT isnan(sc)
+        |), st AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'cur') AS hex,
+        |    CASE WHEN sc IS NULL OR isnan(sc) THEN NULL ELSE
+        |      1 + (CASE WHEN sc > cuts[1] THEN 1 ELSE 0 END)
+        |        + (CASE WHEN sc > cuts[2] THEN 1 ELSE 0 END)
+        |        + (CASE WHEN sc > cuts[3] THEN 1 ELSE 0 END) END AS stage
+        |  FROM s CROSS JOIN c
+        |), sh AS (
+        |  SELECT doc_id, stage, hex,
+        |    CASE WHEN stage IS NULL THEN NULL
+        |         ELSE CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) END AS shard
+        |  FROM st
+        |)
+        |SELECT doc_id, stage, shard,
+        |  CASE WHEN stage IS NULL THEN NULL ELSE
+        |    CAST(row_number() OVER (PARTITION BY stage, shard ORDER BY hex, doc_id) AS BIGINT) END AS curriculum_pos
+        |FROM sh ORDER BY doc_id""".stripMargin,
 
     // exact clip dup groups: md5 of the frame-ordered hash string, the
     // planted re-keyed copies re-derived by shifting hh's doc_id

@@ -1039,6 +1039,35 @@ class OpsSpec extends SparkSpec {
       s"got ${partial.head}")
   }
 
+  test("contamination report: per-bench rows, zeros preserved, ids disambiguated") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "totally unrelated training text about distributed engines here")
+    ).toDF("doc_id", "text")
+    // benchA doc 100 leaks; benchB reuses id 100 for a DIFFERENT clean
+    // doc — the composite key must keep the two apart
+    val benches = Seq(
+      ("benchA", 100L, "beta gamma delta epsilon zeta"),
+      ("benchA", 101L, "lambda mu nu xi omicron pi rho"),
+      ("benchB", 100L, "sigma tau upsilon phi chi psi omega")
+    ).toDF("bench", "doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, benches, "text", "doc_id",
+        threshold = 0.8, ngram = 3)
+      .collect().map(r => (r.getAs[String]("bench"), r.getAs[Long]("n_bench_docs"),
+        r.getAs[Long]("n_contaminated_docs"), r.getAs[Long]("n_leaking_bench_docs"),
+        r.getAs[Double]("max_containment_r"))).sortBy(_._1)
+    assert(rep.toSeq == Seq(
+      ("benchA", 2L, 1L, 1L, 1.0),
+      ("benchB", 1L, 0L, 0L, 0.0)), s"got ${rep.toSeq}")
+    // a '#' in a benchmark name would corrupt the composite key — refuse
+    val e = intercept[Exception] {
+      Dedup.contaminationReport(corpus,
+        benches.withColumn("bench", concat(col("bench"), lit("#x"))),
+        "text", "doc_id").collect()
+    }
+    assert(e.getMessage.contains("without '#'"))
+  }
+
   test("range join plans an equi-join, never a nested-loop range predicate") {
     import graft.ops.Joins
     val intervals = spark.range(0, 200).select(col("id").as("iv_id"),
@@ -2445,5 +2474,38 @@ class OpsSpec extends SparkSpec {
     // positions are non-monotonic in id
     val anyShard = rows.filter(_._2 == rows.head._2).sortBy(_._3).map(_._1)
     assert(anyShard.zip(anyShard.tail).exists { case (x, y) => x > y })
+  }
+
+  test("curriculum order: quantile bands, within-band shuffle, nulls unassigned") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // scores 0..999 -> quartile cuts 249.75/499.5/749.25; one null score
+    val df = (0L until 1000L).map(i => (i, i.toDouble)) :+ (9999L, Double.NaN)
+    val o = Sampling.curriculumOrder(
+      df.toDF("id", "sc"), "id", "sc", nStages = 4, numShards = 4, salt = "c1")
+    val rows = o.collect().map(r => (r.getAs[Long]("id"),
+      Option(r.getAs[Integer]("stage")).map(_.toInt),
+      Option(r.getAs[java.lang.Long]("curriculum_pos")).map(_.toLong)))
+    // the NaN row is unassigned, loud
+    assert(rows.find(_._1 == 9999L).get._2.isEmpty)
+    assert(rows.find(_._1 == 9999L).get._3.isEmpty)
+    // bands are monotone in score: stage = quartile of the id itself
+    rows.filter(_._1 < 1000L).foreach { case (id, st, _) =>
+      val expect = 1 + (if (id > 249) 1 else 0) + (if (id > 499) 1 else 0) + (if (id > 749) 1 else 0)
+      assert(st.contains(expect), s"id $id stage $st != $expect")
+    }
+    // positions contiguous per (stage, shard)
+    o.filter(col("stage").isNotNull)
+      .groupBy("stage", "shard").agg(count(lit(1)).as("n"), max("curriculum_pos").as("m"))
+      .collect().foreach(r =>
+        assert(r.getAs[Long]("n") == r.getAs[Long]("m")))
+    // pure function of ids + scores: identical under repartition
+    val b = Sampling.curriculumOrder(
+      df.toDF("id", "sc").repartition(13), "id", "sc",
+      nStages = 4, numShards = 4, salt = "c1")
+      .collect().map(r => (r.getAs[Long]("id"),
+        Option(r.getAs[Integer]("stage")).map(_.toInt),
+        Option(r.getAs[java.lang.Long]("curriculum_pos")).map(_.toLong))).toSet
+    assert(rows.toSet == b)
   }
 }
