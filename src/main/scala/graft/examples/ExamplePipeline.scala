@@ -254,6 +254,64 @@ object ExamplePipeline {
     println(s"epoch: ${repeated.count()} doc-copies -> ${chunks.count()} chunks " +
       s"(${prov.count()} provenance spans)")
 
+    // 25. train the quality gate IN-ENGINE, measure it on the held-out
+    //     split, then read the multi-benchmark contamination audit —
+    //     the full release-gate story: train -> evaluate -> audit
+    val labeled = docs.withColumn("y", (col("doc_id") % 2).cast("double"))
+    val w = graft.ops.Classifier.trainPortable(
+      labeled, "text", "y", "doc_id", dim = 64, iters = 4, lr = 0.5)
+    val metrics = graft.ops.Classifier.evaluate(
+      labeled, "text", "y", "doc_id", w).head()
+    val acc: Double =
+      Option(metrics.getAs[java.lang.Double]("accuracy_r")).fold(-1.0)(_.doubleValue)
+    println(f"gate eval (test split, n=${metrics.getAs[Long]("n_eval")}): acc=$acc%.3f")
+    val benches = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      .withColumn("bench",
+        when(col("doc_id") < 450, lit("benchA")).otherwise(lit("benchB")))
+    println("multi-benchmark contamination report:")
+    graft.ops.Dedup.contaminationReport(
+      docs.filter(col("doc_id") < 400), benches, "text", "doc_id",
+      threshold = 0.5, maxDocFreq = Some(100L)).orderBy("bench").show()
+
+    // 26. curriculum epoch order: quality-staged bands, shuffled within
+    val cur = Sampling.curriculumOrder(
+      docs.withColumn("q", graft.ops.TextAnalysis.qualityScore(col("text"))),
+      "doc_id", "q", nStages = 4, numShards = 8, salt = "cur")
+    println(s"curriculum: " + cur.groupBy("stage").count().orderBy("stage")
+      .collect().map(r => s"stage ${r.get(0)}: ${r.getLong(1)}").mkString(", "))
+
+    // 27. string-keyed corpora ride the numeric-id machinery through the
+    //     surrogate on-ramp: dedup + grouped top-k over md5 keys
+    val uuidDocs = docs.withColumn("uid", md5(concat(col("doc_id"), lit("u"))))
+      .select("uid", "text", "source", "n_chars")
+    val sr = graft.ops.Ids.withSurrogateId(uuidDocs, "uid")
+    val topPerSource = graft.ops.Ids.restoreId(
+      graft.ops.GroupTopK.topKPerGroup(
+        graft.ops.Dedup.dropExactDups(sr.df, "text", "sid"),
+        Seq("source"), "sid", "n_chars", k = 2),
+      sr.mapping)
+    println(s"surrogate-id top-2 per source: ${topPerSource.count()} rows")
+
+    // 28. video dedup end-to-end: synthetic 4-frame clips, per-frame
+    //     256-bit hashes, frame-set near-dups + exact dup groups
+    val clips = docs.limit(200).select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val gid = id / 2
+        val frames = (0 until 4).map { f =>
+          val rgb = Array.tabulate(16 * 12 * 3)(i => ((gid * 31 + f * 97 + i) % 256).toByte)
+          if (id % 2 == 1 && f == 1) rgb(6) = ((gid * 31 + f * 97 + 134) % 256).toByte
+          graft.ops.ImageCodecs.DecodedImage(16, 12, rgb)
+        }
+        org.apache.spark.sql.Row(id, graft.ops.VideoCodecs.encodeClip(frames))
+      }
+    }(org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))))
+    val vfh = graft.ops.Multimodal.videoFrameHashes(clips, "doc_id", "payload")
+    val vPairs = graft.ops.Dedup.videoNearDupPairs(vfh, "doc_id", minJaccard = 0.5)
+    println(s"video near-dup pairs (frame-set jaccard >= 0.5): ${vPairs.count()}")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)
