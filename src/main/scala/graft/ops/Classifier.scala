@@ -223,6 +223,58 @@ object Classifier {
           (lit(2.0) * col("tp") + col("fp") + col("fn")), 6) + lit(0.0)).as("f1_r"))
   }
 
+  /** Calibration table for a trained gate — does predicted probability
+    * mean what it says? Rows bin by `floor(p·nBins)` (p = 1.0 clamps
+    * into the last bin) and each bin reports `n`, `n_pos`,
+    * `mean_p_r` (the bin's mean predicted probability — summed through
+    * the engine's two-level doc-sorted fold so the double is
+    * bit-reproducible), and `frac_pos_r` (the empirical rate from exact
+    * integer counts). A well-calibrated gate has `mean_p_r ≈
+    * frac_pos_r` per bin; systematic gaps say the threshold chosen from
+    * p is lying about volume. Unscorable docs are excluded (the
+    * [[evaluate]] contract); labels must be 0/1.
+    *
+    * Scale shape: one map-side score+bin projection, then the bounded
+    * two-level fold — level-1 groups are (bin, md5 doc sub-bucket), so
+    * no collect_list ever holds more than ≈ nDocs/foldBuckets entries. */
+  def calibration(
+      docs: DataFrame,
+      textCol: String,
+      labelCol: String,
+      idCol: String,
+      weights: Seq[Double],
+      bias: Double = 0.0,
+      nBins: Int = 10,
+      foldBuckets: Int = 64
+  ): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    require(foldBuckets >= 1, "foldBuckets must be >= 1")
+    val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
+    val rows = docs
+      .filter(col(idCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(labelCol).cast("double").as("__y"),
+        scoreColumn(col(textCol), weights, bias).as("__p"))
+      .filter(col("__p").isNotNull)
+      .withColumn("__bin",
+        least(floor(col("__p") * nBins).cast("int"), lit(nBins - 1)))
+      .withColumn("__b", pmod(
+        conv(substring(md5(col("__id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(foldBuckets.toLong)))
+    rows
+      .groupBy("__bin", "__b")
+      .agg(oks(collect_list(struct(col("__id").as("k"), col("__p").as("v")))).as("__s"),
+        count(lit(1)).as("__n"),
+        count(when(col("__y") === 1.0, 1)).as("__np"))
+      .groupBy("__bin")
+      .agg(oks(collect_list(struct(col("__b").as("k"), col("__s").as("v")))).as("__ps"),
+        sum(col("__n")).as("n"),
+        sum(col("__np")).as("n_pos"))
+      .select(col("__bin").as("bin"), col("n"), col("n_pos"),
+        (round(col("__ps") / col("n"), 6) + lit(0.0)).as("mean_p_r"),
+        (round(col("n_pos") / col("n"), 6) + lit(0.0)).as("frac_pos_r"))
+  }
+
   /** Keeps rows whose probability clears `minProb`; unscorable rows
     * (null/empty text) are dropped — a gate must not pass what it cannot
     * judge. */

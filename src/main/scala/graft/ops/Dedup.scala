@@ -459,6 +459,86 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard", "exact_jaccard_r", "abs_err_r")
   }
 
+  /** Planted-twin RECALL probe for the near-dup detector — the other
+    * half of measure-don't-guess: [[nearDupAuditSummary]] reports the
+    * PRECISION of reported pairs; this plants known near-duplicates and
+    * reports how many the detector finds. A deterministic md5-bucket
+    * sample of the corpus (`1/probeModulus` of docs) gets a synthetic
+    * twin — the original minus every token whose md5 bucket ≡ 0 (mod
+    * `dropEveryK`), a content-keyed (order-free, engine-replayable)
+    * ~1/k-token perturbation — keyed `id + idOffset`. The detector runs
+    * over corpus ∪ twins; the probe then scores each planted pair with
+    * its EXACT char-shingle Jaccard (computed map-side — both texts live
+    * in one row) and reports ONE row:
+    * `n_planted, n_above` (exact Jaccard clears the threshold — the
+    * pairs a perfect detector must find), `n_recovered` (planted pairs
+    * the detector reported), `n_recovered_above`,
+    * `recall_r = n_recovered_above / n_above` (banding+estimator recall
+    * on the pairs that are truly there), and
+    * `detection_rate_r = n_recovered / n_planted`.
+    *
+    * Scale shape: twins are a 1/probeModulus sliver; the detector's cost
+    * is its normal corpus run plus that sliver; the exact-Jaccard step
+    * is per-probe map-side, never a join. Ids must stay below
+    * `idOffset` — violated ids raise loudly. */
+  def nearDupRecallProbe(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      probeModulus: Int = 20,
+      dropEveryK: Int = 7,
+      idOffset: Long = 1000000L,
+      threshold: Double = 0.5,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      k: Int = 5
+  ): DataFrame = {
+    require(probeModulus >= 1, "probeModulus must be >= 1")
+    require(dropEveryK >= 2, "dropEveryK must be >= 2 (k=1 would drop every token)")
+    val guardedId = when(col(idCol).cast("long") >= idOffset || col(idCol).cast("long") < 0L,
+      raise_error(concat(lit(s"nearDupRecallProbe: ids must be in [0, $idOffset); got "),
+        col(idCol).cast("string")))).otherwise(col(idCol))
+    val base = docs.select(guardedId.as(idCol), col(textCol))
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("probe"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(probeModulus.toLong))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val keptToks = filter(toks, t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dropEveryK.toLong)) =!= 0)
+    val probes = base
+      .filter(col(textCol).isNotNull && bucket === 0)
+      .select(col(idCol), col(textCol), concat_ws(" ", keptToks).as("__twin"))
+    val twins = probes.select((col(idCol) + lit(idOffset)).as(idCol), col("__twin").as(textCol))
+    val pairs = polyMinhashNearDupPairs(
+      base.unionByName(twins), textCol, idCol, threshold, numPerms, bands, k)
+      .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+    def sh(c: Column): Column = {
+      val canon = TextAnalysis.canonicalize(c)
+      when(length(canon) < k, array(canon))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), length(canon) - lit(k) + 1),
+          i => canon.substr(i, lit(k)))))
+    }
+    val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+    val planted = probes
+      .select(col(idCol).cast("long").as("id_a"),
+        (col(idCol) + lit(idOffset)).cast("long").as("id_b"),
+        sh(col(textCol)).as("__sa"), sh(col("__twin")).as("__sb"))
+      .withColumn("__exact",
+        inter / (size(col("__sa")) + size(col("__sb")) - inter).cast("double"))
+      .join(pairs, Seq("id_a", "id_b"), "left")
+    planted.agg(
+      count(lit(1)).as("n_planted"),
+      count(when(col("__exact") >= threshold, 1)).as("n_above"),
+      count(when(col("__hit"), 1)).as("n_recovered"),
+      count(when(col("__hit") && col("__exact") >= threshold, 1)).as("n_recovered_above"))
+      .select(col("n_planted"), col("n_above"), col("n_recovered"),
+        col("n_recovered_above"),
+        (round(col("n_recovered_above") / col("n_above"), 6) + lit(0.0)).as("recall_r"),
+        (round(col("n_recovered") / col("n_planted"), 6) + lit(0.0)).as("detection_rate_r"))
+  }
+
   /** One-row summary of [[nearDupAudit]] — the numbers a pipeline
     * actually acts on before trusting a sweep at its threshold:
     * `n_pairs`, `n_true` (exact Jaccard also clears the threshold),

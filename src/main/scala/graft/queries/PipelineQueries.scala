@@ -1797,6 +1797,30 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q186_classifier_calibration" -> { (s, dir) =>
+      // calibration table of the q165-trained gate: per predicted-
+      // probability decile, the deterministic-fold mean prediction vs
+      // the exact empirical rate — mean_p != frac_pos per bin is the
+      // "threshold lies about volume" audit
+      val docs = t(s, dir, "documents")
+        .withColumn("y", (col("doc_id") % 2).cast("double"))
+      val w = ClfState.forDir(docs, dir)
+      graft.ops.Classifier.calibration(
+        docs, "text", "y", "doc_id", w, bias = 0.0, nBins = 10)
+        .orderBy("bin")
+    },
+
+    "q187_near_dup_recall" -> { (s, dir) =>
+      // planted-twin recall probe: the precision audit's other half —
+      // a 1/20 md5 sample gets a content-keyed ~1/7-token-drop twin,
+      // the detector runs over corpus+twins, and one row reports how
+      // many truly-above-threshold planted pairs it recovered
+      Dedup.nearDupRecallProbe(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "text", "doc_id", probeModulus = 20, dropEveryK = 7,
+        threshold = 0.5)
+    },
+
     "q185_contamination_report" -> { (s, dir) =>
       // multi-benchmark contamination audit in ONE corpus pass: two
       // held-out slices as named benchmarks, per-benchmark leak counts
@@ -3573,6 +3597,91 @@ object PipelineQueries {
          |)
          |SELECT id_a, id_b, n_shared, jaccard_r FROM jac
          |WHERE jaccard_r >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // calibration: re-trained weights, exp-sigmoid scores, decile bins,
+    // two-level ordered fold of p per bin, exact positive counts
+    "q186_classifier_calibration" ->
+      s"""WITH $clfTrainCtes,
+         |wl AS MATERIALIZED (
+         |  SELECT list(wv ORDER BY j) AS wl FROM w_$ClfIters
+         |), sc AS (
+         |  SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y,
+         |    1.0 / (1.0 + exp(-(0.0 +
+         |      list_reduce(list_prepend(0.0, list_transform(ts, tok ->
+         |        wl.wl[CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS INT) + 1])),
+         |        (a, x) -> a + x) / len(ts)))) AS p
+         |  FROM toks CROSS JOIN wl WHERE len(ts) > 0
+         |), binned AS (
+         |  SELECT doc_id, y, p,
+         |    LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b
+         |  FROM sc
+         |), l1 AS (
+         |  SELECT bin, b,
+         |    list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)), (a, x) -> a + x) AS s,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (WHERE y = 1.0) AS BIGINT) AS np
+         |  FROM binned GROUP BY bin, b
+         |), l2 AS (
+         |  SELECT bin,
+         |    list_reduce(list_prepend(0.0, list(s ORDER BY b)), (a, x) -> a + x) AS ps,
+         |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS n_pos
+         |  FROM l1 GROUP BY bin
+         |)
+         |SELECT bin, n, n_pos,
+         |  round(ps / n, 6) + 0.0 AS mean_p_r,
+         |  round(n_pos / CAST(n AS DOUBLE), 6) + 0.0 AS frac_pos_r
+         |FROM l2 ORDER BY bin""".stripMargin,
+
+    // planted-twin recall probe: twin construction, detector replay over
+    // corpus+twins (the q67 sig/pair machinery on the augmented
+    // relation), exact shingle jaccard per planted pair, one-row counts
+    "q187_near_dup_recall" -> {
+      val toksSql =
+        """CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+          |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END""".stripMargin
+      def shSql(x: String) =
+        s"""(CASE WHEN len($x) < 5 THEN [$x]
+           |     ELSE list_distinct(list_transform(range(0, len($x) - 4),
+           |            i -> substr($x, CAST(i + 1 AS INT), 5))) END)""".stripMargin
+      s"""WITH bd AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+         |), pr AS (
+         |  SELECT doc_id, text,
+         |    array_to_string(list_filter($toksSql,
+         |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 7 <> 0), ' ') AS twin
+         |  FROM bd
+         |  WHERE text IS NOT NULL
+         |    AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'probe'), 1, 8)) AS BIGINT) % 20 = 0
+         |), aug AS (
+         |  SELECT doc_id, text FROM bd
+         |  UNION ALL SELECT doc_id + 1000000, twin FROM pr
+         |), ${polyShingleSigCte("aug")}, ${polyPairsCte(0.5)},
+         |pl0 AS (
+         |  SELECT doc_id,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ca,
+         |    trim(lower(regexp_replace(twin, '\\s+', ' ', 'g'))) AS cb
+         |  FROM pr
+         |), pl AS (
+         |  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+         |    ${shSql("ca")} AS sa, ${shSql("cb")} AS sb
+         |  FROM pl0
+         |), rec AS (
+         |  SELECT pl.id_a, pl.id_b,
+         |    CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+         |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) AS exact_j,
+         |    (p.id_a IS NOT NULL) AS hit
+         |  FROM pl LEFT JOIN pairs0 p USING (id_a, id_b)
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_planted,
+         |  CAST(count(*) FILTER (WHERE exact_j >= 0.5) AS BIGINT) AS n_above,
+         |  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_recovered,
+         |  CAST(count(*) FILTER (WHERE hit AND exact_j >= 0.5) AS BIGINT) AS n_recovered_above,
+         |  round(count(*) FILTER (WHERE hit AND exact_j >= 0.5)
+         |    / CAST(count(*) FILTER (WHERE exact_j >= 0.5) AS DOUBLE), 6) + 0.0 AS recall_r,
+         |  round(count(*) FILTER (WHERE hit) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS detection_rate_r
+         |FROM rec""".stripMargin
     },
 
     // multi-benchmark contamination report: the q58 gram machinery once

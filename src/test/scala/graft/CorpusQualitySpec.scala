@@ -219,6 +219,50 @@ class CorpusQualitySpec extends SparkSpec {
       s"recall over a no-positive split must be null: $neg")
   }
 
+  test("calibration: bins partition the corpus, mean_p inside bin range, separable extremes") {
+    import graft.ops.Classifier
+    val docs = ((0 until 200).map(i => (i.toLong, 1.0, "superb item fine")) ++
+      (200 until 400).map(i => (i.toLong, 0.0, "awful item fine")))
+      .toDF("doc_id", "y", "text")
+    val w = Classifier.trainPortable(docs, "text", "y", "doc_id",
+      dim = 64, iters = 4, lr = 2.0)
+    val rows = Classifier.calibration(docs, "text", "y", "doc_id", w)
+      .collect().map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("mean_p_r"), r.getAs[Double]("frac_pos_r")))
+    assert(rows.map(_._2).sum == 400L, s"bins must partition the corpus: ${rows.toSeq}")
+    rows.foreach { case (bin, _, _, meanP, _) =>
+      assert(meanP >= bin / 10.0 - 1e-6 && meanP < (bin + 1) / 10.0 + 1e-6,
+        s"mean_p $meanP outside bin $bin")
+    }
+    // a separable fit puts class-1 docs in high bins at frac_pos 1.0 and
+    // class-0 docs in low bins at 0.0 — no mixed bin
+    rows.foreach { case (bin, _, _, _, fp) =>
+      assert(fp == 0.0 || fp == 1.0, s"mixed bin on separable corpus: bin $bin frac $fp")
+      if (bin >= 5) assert(fp == 1.0) else assert(fp == 0.0)
+    }
+  }
+
+  test("nearDupRecallProbe: exact copies recovered fully; big ids refused") {
+    import graft.ops.Dedup
+    // dropEveryK large -> twins keep ~all tokens -> near-exact copies the
+    // detector must find; 60 long token-disjoint docs, 1/2 probed
+    val docs = (0L until 60L).map(i =>
+      (i, (0 until 30).map(t => s"tok${i}x$t").mkString(" "))).toDF("doc_id", "text")
+    val row = Dedup.nearDupRecallProbe(docs, "text", "doc_id",
+      probeModulus = 2, dropEveryK = 1000, threshold = 0.5).head()
+    assert(row.getAs[Long]("n_planted") > 5, s"probe sample degenerate: $row")
+    assert(row.getAs[Long]("n_above") == row.getAs[Long]("n_planted"))
+    assert(row.getAs[Double]("recall_r") == 1.0,
+      s"near-exact twins must all be recovered: $row")
+    // ids at/above the twin offset would collide — refuse loudly
+    val e = intercept[Exception] {
+      Dedup.nearDupRecallProbe(
+        docs.withColumn("doc_id", col("doc_id") + 2000000L),
+        "text", "doc_id").head()
+    }
+    assert(e.getMessage.contains("ids must be in"))
+  }
+
   test("prepareTrainingCorpus quality gates: perplexity and length z-score") {
     import graft.ops.Pipelines
     // token-disjoint docs so the near-dup stage can't collapse them
