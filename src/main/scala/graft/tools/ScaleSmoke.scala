@@ -416,6 +416,40 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // video dedup: decode 4-frame clips once, per-frame 256-bit hashes
+      // (33 bytes/frame travel), frame-set jaccard pairs class-equi
+      time(s"video frame hashes + near-dup pairs ($nDocs clips)") {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val clips = dN.select("doc_id").mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val gid = id / 2
+            val frames = (0 until 4).map { f =>
+              val rgb = Array.tabulate(16 * 12 * 3)(i => ((gid * 31 + f * 97 + i) % 256).toByte)
+              if (id % 2 == 1 && f == 1) rgb(6) = ((gid * 31 + f * 97 + 134) % 256).toByte
+              graft.ops.ImageCodecs.DecodedImage(16, 12, rgb)
+            }
+            Row(id, graft.ops.VideoCodecs.encodeClip(frames))
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+        val fh = graft.ops.Multimodal.videoFrameHashes(clips, "doc_id", "payload")
+        graft.ops.Dedup.videoNearDupPairs(fh, "doc_id", minJaccard = 0.5)
+          .agg(count(lit(1))).collect()
+      }
+
+      // curriculum order: one exact-percentile aggregation + per-cell
+      // local sorts — no global ordering at any scale
+      time(s"curriculum order, 4 stages x 64 shards ($nDocs docs)") {
+        graft.ops.Sampling.curriculumOrder(
+          dN.withColumn("q", graft.ops.TextAnalysis.qualityScore(col("text"))),
+          "doc_id", "q", nStages = 4, numShards = 64, salt = "cs")
+          .agg(count(col("curriculum_pos"))).collect()
+      }
+
       // portable classifier training: token counts aggregate ONCE, then 4
       // bounded fold-iterations — cost tracks the token explode, driver
       // holds 64 doubles
