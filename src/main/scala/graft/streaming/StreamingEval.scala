@@ -196,6 +196,48 @@ object StreamingEval {
       user_id: Long, session_start_us: Long, session_end_us: Long,
       n_events: Long, sum_value: Double)
 
+  // ------------------------------------------------- streaming sequence packing
+
+  case class PackInput(shard: Long, doc_id: Long, n_tok: Long, ord: Long)
+  case class PackOut(
+      shard: Long, doc_id: Long, n_tok: Long, offset: Long,
+      chunk_first: Long, chunk_last: Long, n_chunks: Long)
+
+  /** STREAMING sequence packing — continuous epoch construction: as docs
+    * arrive (already shuffled/sharded upstream), each shard's running
+    * token offset lives in `flatMapGroupsWithState` state, so every doc
+    * gets the same exclusive prefix offset and chunk span
+    * ([[graft.ops.Packing.sequencePacking]] arithmetic: `chunk_first =
+    * offset div budget`, straddles span multiple chunks) that a batch
+    * pack of the full arrival order would assign — bit-equal to the
+    * batch operator over the concatenated batches (StreamingSpec-pinned).
+    * Within one micro-batch a shard's rows order by (ord, doc_id);
+    * across batches arrival order IS the epoch order, exactly how a
+    * live ingest feeds a training run. State per shard is ONE long —
+    * bounded by shard count, not stream length. */
+  def packingStream(
+      docs: org.apache.spark.sql.Dataset[PackInput],
+      budget: Long
+  ): org.apache.spark.sql.Dataset[PackOut] = {
+    require(budget > 0, "token budget must be positive")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, rows: Iterator[PackInput], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r.ord, r.doc_id)).map { r =>
+            val o = off
+            off += r.n_tok
+            val last = o + math.max(r.n_tok, 1L) - 1L
+            PackOut(shard, r.doc_id, r.n_tok, o, o / budget, last / budget,
+              last / budget - o / budget + 1L)
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   // ------------------------------------------------- latest-wins upsert view
 
   case class LatestState(versionUs: Long, eventId: Long, value: Double)

@@ -485,6 +485,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sequence packing equals the batch pack of the arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingEval.{PackInput, PackOut}
+    import spark.implicits._
+    val input = MemoryStream[PackInput]
+    val q = graft.streaming.StreamingEval.packingStream(input.toDS(), budget = 64L)
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1 then batch 2: two shards, ragged docs incl. a zero-token
+      // doc and a 100-token straddler
+      val b1 = Seq(PackInput(0L, 1L, 30L, 1L), PackInput(0L, 2L, 40L, 2L),
+        PackInput(1L, 3L, 100L, 1L), PackInput(1L, 4L, 0L, 2L))
+      val b2 = Seq(PackInput(0L, 5L, 70L, 1L), PackInput(1L, 6L, 29L, 1L))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pack_stream").as[PackOut].collect()
+        .map(p => (p.shard, p.doc_id) -> ((p.offset, p.chunk_first, p.chunk_last, p.n_chunks)))
+        .toMap
+      // batch replay: arrival order = (batch, ord, doc_id)
+      val all = (b1.map(r => (r.shard, r.doc_id, r.n_tok, 1L * 1000 + r.ord)) ++
+        b2.map(r => (r.shard, r.doc_id, r.n_tok, 2L * 1000 + r.ord)))
+        .toDF("shard", "doc_id", "n_tok", "gord")
+      val batch = graft.ops.Packing.sequencePacking(
+        all, "doc_id", "n_tok", "shard", budget = 64L, orderCol = "gord")
+        .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id")) ->
+          ((r.getAs[Long]("offset"), r.getAs[Long]("chunk_first"),
+            r.getAs[Long]("chunk_last"), r.getAs[Long]("n_chunks"))))
+        .toMap
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      // the cross-batch offset really carried: doc 5 starts at 70 (30+40)
+      assert(streamed((0L, 5L))._1 == 70L)
+      assert(streamed((1L, 6L))._1 == 100L)
+    } finally q.stop()
+  }
+
   test("streaming audio ingest: cross-batch dedup, re-leveled copies refused") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.{AudioCodecs, Dedup, Multimodal}
