@@ -613,14 +613,49 @@ object Sampling {
     require(numShards > 0, "numShards must be positive")
     val score = col(scoreCol).cast("double")
     val probs = (1 until nStages).map(i => i.toDouble / nStages)
-    val cutsRow = df
+    // Exact percentiles WITHOUT `percentile()`'s single buffer of every
+    // value: aggregate to (distinct score, count) — distributed — then
+    // cumulative-count the distinct frame (the one narrow window runs
+    // over |distinct scores| rows, the Ranks trade) and look up the two
+    // order statistics each cut interpolates between. The interpolation
+    // is Spark's own percentile formula (pos = (n−1)·p, lower +
+    // frac·(upper−lower)) == DuckDB quantile_cont, so the round-6
+    // cross-engine boundary contract is unchanged.
+    val counts = df
       .filter(score.isNotNull && !isnan(score))
-      .agg(expr(s"percentile($scoreCol, array(${probs.mkString(", ")}))"))
-      .head()
+      .groupBy(score.as("__s")).agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+    val cum = counts
+      .withColumn("__hi", sum(col("__c")).over(wCum))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val n: Long = df.filter(score.isNotNull && !isnan(score)).count()
     val cuts: Seq[Double] =
-      if (cutsRow.isNullAt(0)) Seq.empty
-      else cutsRow.getSeq[Double](0).map(c =>
-        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      if (n == 0) Seq.empty
+      else {
+        val wanted: Seq[Long] = probs.flatMap { p =>
+          val pos = (n - 1) * p
+          val lower = math.floor(pos).toLong
+          Seq(lower, math.min(lower + 1, n - 1))
+        }.distinct
+        // one bounded lookup: the ≤ 2(nStages−1) rows whose [lo, hi)
+        // count range covers a wanted order-statistic index
+        val cond = wanted.map(i => col("__lo") <= i && col("__hi") > i).reduce(_ || _)
+        val stats: Map[Long, Double] = cum.filter(cond)
+          .select(col("__s"), col("__lo"), col("__hi"))
+          .collect()
+          .flatMap { r =>
+            val (s, lo, hi) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+            wanted.filter(i => i >= lo && i < hi).map(_ -> s)
+          }.toMap
+        probs.map { p =>
+          val pos = (n - 1) * p
+          val lower = math.floor(pos).toLong
+          val lv = stats(lower)
+          val uv = stats(math.min(lower + 1, n - 1))
+          val c = lv + (pos - lower) * (uv - lv)
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
     val assigned = score.isNotNull && !isnan(score)
     val stage =
       if (cuts.isEmpty) when(assigned, lit(1)).otherwise(lit(null).cast("int"))
