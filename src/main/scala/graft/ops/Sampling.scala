@@ -621,16 +621,24 @@ object Sampling {
     // is Spark's own percentile formula (pos = (n−1)·p, lower +
     // frac·(upper−lower)) == DuckDB quantile_cont, so the round-6
     // cross-engine boundary contract is unchanged.
+    // cached: n and the order-statistic lookup both read the distinct
+    // frame, which costs one corpus scan to build — don't pay it twice.
+    // Released before returning: the output plan only carries the cut
+    // LITERALS, never this frame.
     val counts = df
       .filter(score.isNotNull && !isnan(score))
       .groupBy(score.as("__s")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
     val cum = counts
       .withColumn("__hi", sum(col("__c")).over(wCum))
       .withColumn("__lo", col("__hi") - col("__c"))
-    val n: Long = df.filter(score.isNotNull && !isnan(score)).count()
+    val n: Long = try {
+      val r = counts.agg(sum(col("__c"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    } catch { case e: Throwable => counts.unpersist(); throw e }
     val cuts: Seq[Double] =
-      if (n == 0) Seq.empty
+      if (n == 0) { counts.unpersist(); Seq.empty }
       else {
         val wanted: Seq[Long] = probs.flatMap { p =>
           val pos = (n - 1) * p
@@ -656,6 +664,7 @@ object Sampling {
           BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
       }
+    if (n > 0) counts.unpersist(blocking = false)
     val assigned = score.isNotNull && !isnan(score)
     val stage =
       if (cuts.isEmpty) when(assigned, lit(1)).otherwise(lit(null).cast("int"))

