@@ -152,4 +152,123 @@ object GroupTopK {
         col("col.id").as(idCol) :+
         col("col.score").as(scoreCol)): _*)
   }
+
+  // ------------------------------------------------------- string keys
+
+  /** One scored candidate keyed by a STRING (an n-gram, a URL, a domain —
+    * the heavy-hitter payloads that have no numeric id). */
+  final case class ScoredKey(score: Double, key: String)
+
+  /** Buffer keys are UTF-8 byte arrays so the tie-break comparator is
+    * binary (= code-point) order — the order Spark's `UTF8String`, the
+    * engine SQL `ORDER BY`, and every external oracle agree on.
+    * `String.compareTo` (UTF-16 code units) would diverge above the BMP. */
+  final case class TopKStrBuf(scores: Array[Double], keys: Array[Array[Byte]], var n: Int)
+
+  /** Unsigned lexicographic byte compare: a < b. */
+  private def bytesLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** "a is better than b": higher score, then binary-smaller key. */
+  private def betterK(aScore: Double, aKey: Array[Byte], bScore: Double, bKey: Array[Byte]): Boolean =
+    aScore > bScore || (aScore == bScore && bytesLess(aKey, bKey))
+
+  private class TopKStrAggregator(k: Int)
+      extends Aggregator[ScoredKey, TopKStrBuf, Seq[ScoredKey]]
+      with Serializable {
+
+    override def zero: TopKStrBuf =
+      TopKStrBuf(new Array[Double](k), new Array[Array[Byte]](k), 0)
+
+    private def insert(b: TopKStrBuf, s: Double, key: Array[Byte]): Unit = {
+      val sc = b.scores
+      val kk = b.keys
+      if (b.n < k) {
+        var i = b.n
+        sc(i) = s; kk(i) = key
+        b.n += 1
+        var cont = i > 0
+        while (cont) {
+          val p = (i - 1) >> 1
+          if (betterK(sc(p), kk(p), sc(i), kk(i))) {
+            val ts = sc(p); sc(p) = sc(i); sc(i) = ts
+            val tk = kk(p); kk(p) = kk(i); kk(i) = tk
+            i = p
+            cont = i > 0
+          } else cont = false
+        }
+      } else if (betterK(s, key, sc(0), kk(0))) {
+        sc(0) = s; kk(0) = key
+        var i = 0
+        var cont = true
+        while (cont) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var w = i
+          if (l < b.n && betterK(sc(w), kk(w), sc(l), kk(l))) w = l
+          if (r < b.n && betterK(sc(w), kk(w), sc(r), kk(r))) w = r
+          if (w == i) cont = false
+          else {
+            val ts = sc(i); sc(i) = sc(w); sc(w) = ts
+            val tk = kk(i); kk(i) = kk(w); kk(w) = tk
+            i = w
+          }
+        }
+      }
+    }
+
+    override def reduce(b: TopKStrBuf, x: ScoredKey): TopKStrBuf = {
+      insert(b, x.score, x.key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      b
+    }
+
+    override def merge(a: TopKStrBuf, b: TopKStrBuf): TopKStrBuf = {
+      var i = 0
+      while (i < b.n) { insert(a, b.scores(i), b.keys(i)); i += 1 }
+      a
+    }
+
+    override def finish(b: TopKStrBuf): Seq[ScoredKey] =
+      (0 until b.n).map(i => (b.scores(i), b.keys(i)))
+        .sortWith((x, y) => betterK(x._1, x._2, y._1, y._2))
+        .map(t => ScoredKey(t._1, new String(t._2, java.nio.charset.StandardCharsets.UTF_8)))
+
+    override def bufferEncoder: Encoder[TopKStrBuf] = ExpressionEncoder[TopKStrBuf]()
+    override def outputEncoder: Encoder[Seq[ScoredKey]] =
+      ExpressionEncoder[Seq[ScoredKey]]()
+  }
+
+  /** [[topKPerGroup]] for STRING-keyed candidates (heavy hitters: top
+    * n-grams, top URLs/domains per group) — same size-k min-heap with
+    * map-side partial aggregation, ties toward the binary-smaller key.
+    * Null keys and null/NaN scores are unrankable and dropped (the
+    * engine-wide NaN ≡ null contract). */
+  def topKPerGroupString(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      scoreCol: String,
+      k: Int,
+      rankCol: String = "rank"
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val agg = udaf(new TopKStrAggregator(k), ExpressionEncoder[ScoredKey]())
+    df.filter(col(keyCol).isNotNull && col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col(scoreCol).cast("double"), col(keyCol).cast("string")).as("__topk"))
+      .select((groupCols.map(col) :+ posexplode(col("__topk"))): _*)
+      .select((groupCols.map(col) :+
+        (col("pos") + 1).cast("long").as(rankCol) :+
+        col("col.key").as(keyCol) :+
+        col("col.score").as(scoreCol)): _*)
+  }
 }

@@ -162,4 +162,43 @@ object Retrieval {
         col("chunk_idx"),
         col(textCol).substr(col("chunk_idx") * stride + 1, lit(chunkSize)).as("chunk"))
   }
+
+  /** Exact per-group n-gram heavy hitters: the `k` most frequent
+    * whitespace-token n-grams per `groupCol` value (count descending,
+    * ties toward the binary-smaller n-gram). Output: `groupCol`, `rank`
+    * (1-based), `ngram`, `cnt`.
+    *
+    * Shape at 100 TB: the n-gram explode is map-side (bounded by token
+    * count, no shuffle); the (group, ngram) count combines map-side
+    * before its one required shuffle; the top-k is the
+    * [[GroupTopK.topKPerGroupString]] heap — map-side partial again, so
+    * the second exchange carries ≤ k·|groups| rows per partition, never
+    * the full n-gram tail. No Window, no global sort.
+    */
+  def topNgrams(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      n: Int,
+      k: Int
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams =
+      if (n == 1) toks
+      else {
+        // positions 1 .. size-(n-1); empty when the doc has < n tokens
+        val upper = size(toks) - (n - 1)
+        transform(
+          when(upper >= 1, sequence(lit(1), upper)).otherwise(array().cast("array<int>")),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+      }
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(grams).as("ngram"))
+      .groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(GroupTopK.topKPerGroupString(_, Seq(groupCol), "ngram", "cnt", k))
+      .select(col(groupCol), col("rank"), col("ngram"), col("cnt").cast("long"))
+  }
 }

@@ -684,4 +684,5 @@ object Sampling {
         when(col("stage").isNotNull, row_number().over(w).cast("long")))
       .drop("__hex")
   }
+
 }

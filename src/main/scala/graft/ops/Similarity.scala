@@ -819,4 +819,29 @@ object Similarity {
       .select(col("id"), col("nn_id"), col("__blk").as(blockCol),
         col("__score").as("cosine"))
   }
+
+  /** Johnson–Lindenstrauss random projection: `dim`-vector → `outDim`
+    * components, each `(Σ_j ±v_j) / sqrt(outDim)` against the engine's
+    * seeded ±1 sign matrix ([[hyperplanes]] — the same family the LSH
+    * bucketer uses, so index layouts stay reproducible across operators).
+    *
+    * Per component the fold is a SEQUENTIAL `+/-` chain over the array
+    * elements — IEEE-exact, mirrorable term-for-term in engine SQL (the
+    * q45/q56 hyperplane-interpolation precedent), whole-stage-codegen'd,
+    * no per-row RNG. Shrinking 64→16 dims cuts every downstream exact
+    * rescore 4× while JL keeps pairwise cosines approximately intact —
+    * the standard pre-filter in front of a 100 TB brute/IVF rescore
+    * (audit the loss with [[recallAtK]], q189).
+    */
+  def randomProject(vec: Column, dim: Int, outDim: Int, seed: Long): Column = {
+    require(outDim >= 1 && dim >= 1, "dim and outDim must be >= 1")
+    val signs = hyperplanes(dim, outDim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    val vd = vec.cast("array<double>")
+    array(signs.map { row =>
+      row.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (s, i)) =>
+        if (s > 0) acc + element_at(vd, i + 1) else acc - element_at(vd, i + 1)
+      } / lit(scale)
+    }: _*)
+  }
 }

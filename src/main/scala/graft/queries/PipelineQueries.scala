@@ -430,6 +430,20 @@ object PipelineQueries {
     (sums, keys)
   }
 
+  /** JL-projection SQL generator (q188, q189): one `(0.0 ± v[i] …) /
+    * sqrt(outDim)` chain per output component, signs from the engine's
+    * seeded matrix — the hyperplaneKeySql precedent keeping magnitudes. */
+  private def rpChainsSql(dim: Int, outDim: Int, seed: Long): Seq[String] = {
+    val signs = graft.ops.Similarity.hyperplanes(dim, outDim, seed)
+    val scale = java.lang.Double.toString(math.sqrt(outDim.toDouble))
+    signs.map { row =>
+      val terms = row.zipWithIndex.map { case (p, i) =>
+        (if (p > 0) " + " else " - ") + s"v[${i + 1}]"
+      }.mkString
+      s"((0.0$terms) / $scale)"
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------ classical relational ops
@@ -1808,6 +1822,41 @@ object PipelineQueries {
       graft.ops.Classifier.calibration(
         docs, "text", "y", "doc_id", w, bias = 0.0, nBins = 10)
         .orderBy("bin")
+    },
+
+    "q188_random_projection" -> { (s, dir) =>
+      // JL random projection 64→16: each component is an IEEE-exact
+      // sequential ±chain against the engine's seeded sign matrix, so
+      // the oracle interpolates the same chains term-for-term (the q45
+      // hyperplane precedent, with the magnitude kept instead of the
+      // sign bit)
+      val rp = graft.ops.Similarity.randomProject(col("embedding"), 64, 16, seed = 4242L)
+      t(s, dir, "embeddings")
+        .select(col("vec_id") +: (0 until 16).map(i =>
+          roundz(element_at(rp, i + 1), 6).as(s"rp_${i + 1}")): _*)
+        .orderBy("vec_id")
+    },
+
+    "q189_rp_recall" -> { (s, dir) =>
+      // recall@10 of brute-force search in the 16-dim JL space vs the
+      // exact 64-dim ranking — the measured answer to "how much ANN
+      // quality does the 4× projection buy away?" (recallAtK, the q170
+      // audit machinery, on the projected index)
+      val emb = t(s, dir, "embeddings")
+      val rp = emb.select(col("vec_id"),
+        graft.ops.Similarity.randomProject(col("embedding"), 64, 16, seed = 4242L)
+          .as("embedding"))
+      val approx = Similarity.bruteForceTopKAgg(rp, rp.filter(col("vec_id") < 20), k = 10)
+      val exact = Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 20), k = 10)
+      Similarity.recallAtK(approx, exact, k = 10).orderBy("query_id")
+    },
+
+    "q190_top_ngrams" -> { (s, dir) =>
+      // exact per-language bigram heavy hitters: map-side n-gram
+      // explode, one count shuffle, then the STRING-keyed GroupTopK
+      // heap (binary-order tie-break) — no Window, no full sort
+      graft.ops.Retrieval.topNgrams(t(s, dir, "documents"), "text", "lang", n = 2, k = 5)
+        .orderBy("lang", "rank")
     },
 
     "q187_near_dup_recall" -> { (s, dir) =>
@@ -3633,6 +3682,76 @@ object PipelineQueries {
          |  round(ps / n, 6) + 0.0 AS mean_p_r,
          |  round(n_pos / CAST(n AS DOUBLE), 6) + 0.0 AS frac_pos_r
          |FROM l2 ORDER BY bin""".stripMargin,
+
+    // JL projection: the ±chains interpolate term-for-term
+    "q188_random_projection" -> {
+      val chains = rpChainsSql(64, 16, 4242L)
+      val cols = chains.zipWithIndex.map { case (c, i) =>
+        s"  round($c, 6) + 0.0 AS rp_${i + 1}"
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id,
+         |$cols
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
+
+    // recall@10 of the 16-dim JL index vs the exact 64-dim ranking: the
+    // q170 audit chain with the projected lists as the approx side
+    "q189_rp_recall" -> {
+      val rpList = rpChainsSql(64, 16, 4242L).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, v, $rpList AS rp FROM e),
+         |q AS (SELECT * FROM p WHERE vec_id < 20),
+         |ark AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.rp, c.rp) / (sqrt(list_dot_product(q.rp, q.rp)) * sqrt(list_dot_product(c.rp, c.rp))) DESC, c.vec_id) AS rnk
+         |  FROM p c JOIN q ON c.vec_id <> q.vec_id
+         |  WHERE NOT isnan(list_dot_product(q.rp, c.rp) / (sqrt(list_dot_product(q.rp, q.rp)) * sqrt(list_dot_product(c.rp, c.rp))))
+         |), approx AS (SELECT query_id, cid FROM ark WHERE rnk <= 10),
+         |erk AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rnk
+         |  FROM e c JOIN e q ON c.vec_id <> q.vec_id AND q.vec_id < 20
+         |  WHERE NOT isnan(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |), exact AS (SELECT query_id, cid FROM erk WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.query_id, count(*) AS h
+         |  FROM approx a JOIN exact x ON x.query_id = a.query_id AND x.cid = a.cid
+         |  GROUP BY a.query_id
+         |), den AS (
+         |  SELECT query_id, count(*) AS n FROM exact GROUP BY query_id
+         |)
+         |SELECT den.query_id, coalesce(hits.h, 0) AS n_hits,
+         |  round(coalesce(hits.h, 0) / den.n, 6) + 0.0 AS recall_r
+         |FROM den LEFT JOIN hits USING (query_id)
+         |ORDER BY den.query_id""".stripMargin
+    },
+
+    // per-language bigram heavy hitters: same tokenizer CASE, positional
+    // bigram build via list_transform over range, count, rank ≤ k with
+    // the engine's (cnt DESC, ngram binary ASC) tie order
+    "q190_top_ngrams" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents WHERE text IS NOT NULL
+         |), g AS (
+         |  SELECT lang,
+         |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS ngram
+         |  FROM d
+         |), c AS (
+         |  SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY lang, ngram
+         |), r AS (
+         |  SELECT lang, ngram, cnt,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram ASC) AS rnk
+         |  FROM c
+         |)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rank, ngram, cnt
+         |FROM r WHERE rnk <= 5
+         |ORDER BY lang, rank""".stripMargin,
 
     // planted-twin recall probe: twin construction, detector replay over
     // corpus+twins (the q67 sig/pair machinery on the augmented

@@ -1416,6 +1416,55 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("string-keyed heap top-k: window parity, binary tie order, no Window node") {
+    import graft.ops.GroupTopK
+    val df = Seq(
+      ("en", "b c", 5.0), ("en", "a b", 5.0), ("en", "c d", 9.0),
+      ("en", "z z", 1.0), ("de", "x y", 2.0), ("de", "x z", 2.0)
+    ).toDF("g", "key", "s")
+    val viaAgg = GroupTopK.topKPerGroupString(df, Seq("g"), "key", "s", k = 2)
+    val got = viaAgg.orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    // en: 9.0 "c d", then the 5.0 tie breaks toward "a b"; de: "x y" < "x z"
+    assert(got == Seq(
+      ("de", 1L, "x y", 2.0), ("de", 2L, "x z", 2.0),
+      ("en", 1L, "c d", 9.0), ("en", 2L, "a b", 5.0)))
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"heap top-k must not plan a window:\n$plan")
+
+    // tie order is BINARY (UTF-8 byte / code-point) — not UTF-16 code
+    // units: U+FFFD sorts BELOW the supplementary U+1F600, though its
+    // UTF-16 unit (0xFFFD) is larger than the surrogate (0xD83D)
+    val uni = Seq((1, "😀", 1.0), (1, "�", 1.0)).toDF("g", "key", "s")
+    val first = GroupTopK.topKPerGroupString(uni, Seq("g"), "key", "s", k = 1)
+      .collect().head.getAs[String]("key")
+    assert(first == "�")
+
+    // null keys and null/NaN scores are unrankable and dropped
+    val messy = Seq((1, Option("a"), Option(1.0)), (1, None: Option[String], Option(9.0)),
+      (1, Option("b"), Some(Double.NaN)), (1, Option("c"), None: Option[Double]))
+      .toDF("g", "key", "s")
+    val kept = GroupTopK.topKPerGroupString(messy, Seq("g"), "key", "s", k = 5)
+      .collect().map(_.getAs[String]("key")).toSet
+    assert(kept == Set("a"))
+  }
+
+  test("randomProject: bit-exact vs the driver-side fold, zero vector projects to zeros") {
+    import graft.ops.Similarity
+    val vec = Array.tabulate(8)(i => (i + 1) * 0.5f)
+    val df = Seq((1L, vec.toSeq), (2L, Seq.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = df.orderBy("vec_id")
+      .select(Similarity.randomProject(col("embedding"), 8, 4, seed = 7L).as("rp"))
+      .collect().map(_.getSeq[Double](0).toList)
+    val signs = Similarity.hyperplanes(8, 4, 7L)
+    val want = signs.map(row => row.zipWithIndex.foldLeft(0.0) {
+      case (acc, (s, i)) => if (s > 0) acc + vec(i).toDouble else acc - vec(i).toDouble
+    } / math.sqrt(4.0))
+    assert(out(0) == want) // same sequential fold -> bit-identical
+    assert(out(1) == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("sequence packing: exclusive offsets, straddling docs, shard isolation") {
     import graft.ops.Packing
     val docs = Seq(

@@ -21,6 +21,29 @@ class RetrievalSpec extends SparkSpec {
     assert(v.toSeq == Seq(("a", 2L, 3L), ("b", 2L, 2L), ("c", 2L, 4L)))
   }
 
+  test("topNgrams: per-group bigram counts, k cut, count-then-binary tie order") {
+    val docs = Seq(
+      (1L, "en", "a b a b c"),   // bigrams: "a b"x2, "b a", "b c"
+      (2L, "en", "a b"),         // "a b"
+      (3L, "en", "x"),           // too short: no bigrams
+      (4L, "de", "u v u v"),     // "u v"x2, "v u"
+      (5L, "de", "")             // empty: no tokens
+    ).toDF("doc_id", "lang", "text")
+    val got = Retrieval.topNgrams(docs, "text", "lang", n = 2, k = 2)
+      .orderBy("lang", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("de", 1L, "u v", 2L), ("de", 2L, "v u", 1L),
+      ("en", 1L, "a b", 3L), ("en", 2L, "b a", 1L))) // "b a" < "b c" on the tie
+  }
+
+  test("topNgrams: n=1 degenerates to per-group token counts") {
+    val docs = Seq((1L, "en", "t t s"), (2L, "en", "s")).toDF("doc_id", "lang", "text")
+    val got = Retrieval.topNgrams(docs, "text", "lang", n = 1, k = 1)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(("en", "s", 2L))) // s ties t at 2, binary-smaller wins
+  }
+
   test("bm25Search scores match the hand-computed formula and rank by score") {
     val docs = Seq(
       (10L, "apple banana apple"), // tf(apple)=2, dl=3
