@@ -532,6 +532,30 @@ object Similarity {
     require(centroidSeq.nonEmpty, "need at least one centroid")
     val assigned = assignCells(corpus, corpusVec, centroidSeq, "list_id")
       .select(col(corpusId), col(corpusVec), col("list_id"))
+    ivfTopKPreassigned(assigned, queries, k, centroidSeq, nProbe,
+      corpusId, corpusVec, queryId, queryVec)
+  }
+
+  /** [[ivfTopKWithCentroids]] over a corpus whose `list_id` cell
+    * assignment is ALREADY materialized — the serving-path variant: a
+    * persisted index ([[saveIvfIndex]]) is read back with its
+    * assignments, so per-query-batch work is probe-cell selection plus
+    * exact scoring inside the probed cells only, never a corpus-wide
+    * re-assignment. With the index parquet partitioned by `list_id`,
+    * the probe join prunes unprobed cells at the scan. */
+  def ivfTopKPreassigned(
+      assigned: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroidSeq: Seq[(Int, Seq[Double], Double)],
+      nProbe: Int = 8,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding"
+  ): DataFrame = {
+    require(centroidSeq.nonEmpty, "need at least one centroid")
+    val corpus = assigned
 
     // centroid table is tiny: broadcast to rank probe cells per query by
     // squared euclidean distance (|q|^2 constant per query -> rank by
@@ -570,6 +594,44 @@ object Similarity {
         col(corpusId).cast(corpus.schema(corpusId).dataType).as(corpusId),
         col("cosine"), col("nn_rank").cast("int").as("nn_rank"))
   }
+
+  /** Persist an IVF index as a serving artifact: the corpus with its
+    * cell assignment under `path`/corpus — PARTITIONED BY `list_id`, so
+    * a query batch's probe join reads only the probed cells' files —
+    * and the centroid table under `path`/centroids. Built once, queried
+    * many times ([[ivfTopKPreassigned]], [[graft.streaming.StreamingEval
+    * .annQueryStream]]); rebuilding is re-running this after retraining. */
+  def saveIvfIndex(
+      corpus: DataFrame,
+      centroidSeq: Seq[(Int, Seq[Double], Double)],
+      path: String,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding"
+  ): Unit = {
+    require(centroidSeq.nonEmpty, "need at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    assignCells(corpus, corpusVec, centroidSeq, "list_id")
+      .select(col(corpusId), col(corpusVec), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/corpus")
+    centroidSeq.toDF("list_id", "centroid", "c2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Read back a [[saveIvfIndex]] centroid table (tiny: one row per
+    * cell) in `list_id` order — the literal quantizer the serving path
+    * broadcasts per query batch. */
+  def loadIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): Seq[(Int, Seq[Double], Double)] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id")
+      .collect()
+      .map(r => (r.getAs[Int]("list_id"),
+        r.getSeq[Double](r.fieldIndex("centroid")),
+        r.getAs[Double]("c2")))
+      .toSeq
 
   /** Product-quantization codebooks (FAISS-style PQ): the vector splits
     * into `m` contiguous subspaces and each subspace gets its own

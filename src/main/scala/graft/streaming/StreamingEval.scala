@@ -482,6 +482,40 @@ object StreamingEval {
         sigs.join(hits, sigs(idCol) === hits("new_id"), "left_anti")
       })
 
+  /** Streaming ANN SERVING: a stream of query vectors answered against a
+    * persisted IVF index ([[graft.ops.Similarity.saveIvfIndex]] — built
+    * once, queried forever). Each micro-batch loads the tiny centroid
+    * table (broadcast quantizer), probes its `nProbe` nearest cells, and
+    * runs exact cosine top-k INSIDE the probed cells only
+    * ([[graft.ops.Similarity.ivfTopKPreassigned]]); the index parquet is
+    * partitioned by `list_id`, so the probe join reads only the probed
+    * cells' files. Results `(query_id, vec_id, cosine, nn_rank)` append
+    * to `outPath` — serving output, at-least-once on replay (dedup
+    * downstream on (query_id, nn_rank) if exactly-once matters; unlike
+    * the ingest loops there is no index mutation to keep idempotent).
+    *
+    * Query ids must not collide with corpus ids (the corpus-side
+    * self-exclusion guard is id equality, the engine-wide convention). */
+  def annQueryStream(
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      indexPath: String,
+      outPath: String,
+      k: Int,
+      nProbe: Int = 8
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val cents = graft.ops.Similarity.loadIvfCentroids(spark, indexPath)
+      val assigned = spark.read.parquet(s"$indexPath/corpus")
+      graft.ops.Similarity.ivfTopKPreassigned(
+          assigned, batch, k, cents, nProbe,
+          queryId = queryId, queryVec = queryVec)
+        .write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** Shared foreachBatch ingest core: hash the batch, vet against the
     * persisted index, append admissions. */
   private def ingestWith(

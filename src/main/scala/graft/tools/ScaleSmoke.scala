@@ -157,6 +157,26 @@ object ScaleSmoke {
         res.agg(count(lit(1))).collect()
       }
 
+      // n-gram heavy hitters: map-side bigram explode, ONE count
+      // shuffle (map-side combine), string-heap top-k — the second
+      // exchange carries k rows per (partition, lang), never the tail
+      time(s"top bigrams per lang ($nDocs docs)") {
+        graft.ops.Retrieval.topNgrams(dN, "text", "lang", n = 2, k = 5)
+          .agg(count(lit(1))).collect()
+      }
+
+      // JL projection + brute top-k in the 16-dim space: projection is
+      // map-side codegen; scoring cost drops 4x vs the 64-dim exact scan
+      time(s"random-project 64->16 + top-10, ${n * 5000} vectors") {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val embN = blowUpKeyed(emb, n, "vec_id")
+        val rp = embN.select(col("vec_id"),
+          graft.ops.Similarity.randomProject(col("embedding"), 64, 16, 4242L)
+            .as("embedding"))
+        graft.ops.Similarity.bruteForceTopKAgg(rp, rp.filter(col("vec_id") < 20), k = 10)
+          .agg(count(lit(1))).collect()
+      }
+
       // classifier gate: pure map-side codegen fold — must scale linearly
       // with zero shuffle
       time(s"classifier gate ($nDocs docs)") {

@@ -950,4 +950,39 @@ class StreamingSpec extends SparkSpec {
       assert(m("alpha") == 3L && m("delta") == 1L && m("absent") == 0L)
     } finally query.stop()
   }
+
+  test("streaming ANN serving: micro-batch answers equal the batch IVF answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(corpus, "embedding", nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-serve").toString
+    Similarity.saveIvfIndex(corpus, cents, s"$dir/index")
+
+    // three query vectors with ids OUTSIDE the corpus id space
+    val qs = (0 until 3).map(i => (1000L + i, Seq.fill(4)(rnd.nextFloat())))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = graft.streaming.StreamingEval.annQueryStream(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        s"$dir/index", s"$dir/results", k = 3, nProbe = 2)
+      .start()
+    try {
+      input.addData(qs(0), qs(1)) // batch 1
+      query.processAllAvailable()
+      input.addData(qs(2))        // batch 2 against the same standing index
+      query.processAllAvailable()
+      val streamed = spark.read.parquet(s"$dir/results")
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("nn_rank"))).toSet
+      val batch = Similarity.ivfTopKWithCentroids(
+          corpus, qs.toDF("vec_id", "embedding"), k = 3, cents, nProbe = 2)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("nn_rank"))).toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      assert(streamed.nonEmpty && streamed.map(_._1) == Set(1000L, 1001L, 1002L))
+    } finally query.stop()
+  }
 }
