@@ -312,6 +312,19 @@ object ExamplePipeline {
     val vPairs = graft.ops.Dedup.videoNearDupPairs(vfh, "doc_id", minJaccard = 0.5)
     println(s"video near-dup pairs (frame-set jaccard >= 0.5): ${vPairs.count()}")
 
+    // 29. ANN serving artifact: build the IVF index ONCE (partitioned by
+    //     cell), then answer a query batch against the persisted index —
+    //     the build-once/query-forever path annQueryStream loops on
+    val emb2 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val servingDir = java.nio.file.Files.createTempDirectory("graft-ivf-serve").toString
+    val cents2 = graft.ops.Similarity.trainIvfCentroids(emb2, "embedding", nLists = 16)
+    graft.ops.Similarity.saveIvfIndex(emb2, cents2, servingDir)
+    val served = graft.ops.Similarity.ivfTopKPreassigned(
+      spark.read.parquet(s"$servingDir/corpus"),
+      emb2.filter(col("vec_id") < 5), k = 5,
+      graft.ops.Similarity.loadIvfCentroids(spark, servingDir), nProbe = 4)
+    println(s"ivf serving: ${served.count()} answers from the persisted index")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)

@@ -119,4 +119,28 @@ object Reports {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared_classes"))
   }
+
+  /** Key-skew diagnostic: the `k` heaviest values of `keyCol` with their
+    * row counts and share of the total — the first thing to look at
+    * before a 100 TB join/groupBy on that key melts one reducer (feed
+    * the offenders to [[graft.ops.Salting]] or a quota cap). Output:
+    * `rank`, `key` (stringified), `cnt`, `share_r`.
+    *
+    * Shape: one count aggregation (map-side combine) + the
+    * [[GroupTopK.topKPerGroupString]] heap over the counted frame — the
+    * heavy-hitter exchange carries k rows per partition, never the key
+    * tail; the total rides the same counted frame as a broadcast one-row
+    * join. Null keys count toward the total but are not rankable (no
+    * meaningful join key) — their mass shows up as share < 1. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__tot"))
+    GroupTopK.topKPerGroupString(
+        counts.withColumn("__g", lit(1)), Seq("__g"), "key", "cnt", k)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("key"), col("cnt").cast("long").as("cnt"),
+        (round(col("cnt") / col("__tot"), 6) + lit(0.0)).as("share_r"))
+  }
 }

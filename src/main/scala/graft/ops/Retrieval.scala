@@ -166,7 +166,14 @@ object Retrieval {
   /** Exact per-group n-gram heavy hitters: the `k` most frequent
     * whitespace-token n-grams per `groupCol` value (count descending,
     * ties toward the binary-smaller n-gram). Output: `groupCol`, `rank`
-    * (1-based), `ngram`, `cnt`.
+    * (1-based), `ngram`, `cnt`. N-grams come from the native one-pass
+    * [[graft.expressions.WordGrams]] (case-preserving, with
+    * multiplicity), sharing the engine-wide short-document convention:
+    * a non-empty document with fewer than `n` tokens yields ONE short
+    * gram (all its tokens) rather than nothing. A HOF formulation here
+    * would re-run the tokenizer per gram — the captured split inside a
+    * `transform` lambda re-evaluates per element (measured 4× on this
+    * operator alone).
     *
     * Shape at 100 TB: the n-gram explode is map-side (bounded by token
     * count, no shuffle); the (group, ngram) count combines map-side
@@ -183,19 +190,10 @@ object Retrieval {
       k: Int
   ): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val grams =
-      if (n == 1) toks
-      else {
-        // positions 1 .. size-(n-1); empty when the doc has < n tokens
-        val upper = size(toks) - (n - 1)
-        transform(
-          when(upper >= 1, sequence(lit(1), upper)).otherwise(array().cast("array<int>")),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
-      }
     docs
       .filter(col(textCol).isNotNull)
-      .select(col(groupCol), explode(grams).as("ngram"))
+      .select(col(groupCol),
+        explode(graft.expressions.WordGrams.wordGramsMulti(col(textCol), n)).as("ngram"))
       .groupBy(col(groupCol), col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .transform(GroupTopK.topKPerGroupString(_, Seq(groupCol), "ngram", "cnt", k))

@@ -618,6 +618,25 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Index MAINTENANCE: assign new vectors against the persisted
+    * quantizer and append them to the index corpus — the write side of
+    * the serving loop ([[annQueryStream]] sees them on its next batch's
+    * read). The quantizer itself is immutable; when drift warrants
+    * retraining, rebuild with [[saveIvfIndex]]. Cost is the increment:
+    * one literal-centroid argmax over the NEW vectors, no touch of the
+    * standing index. */
+  def appendToIvfIndex(
+      newVecs: DataFrame,
+      path: String,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding"
+  ): Unit = {
+    val cents = loadIvfCentroids(newVecs.sparkSession, path)
+    assignCells(newVecs, corpusVec, cents, "list_id")
+      .select(col(corpusId), col(corpusVec), col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/corpus")
+  }
+
   /** Read back a [[saveIvfIndex]] centroid table (tiny: one row per
     * cell) in `list_id` order — the literal quantizer the serving path
     * broadcasts per query batch. */

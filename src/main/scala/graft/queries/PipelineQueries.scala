@@ -61,6 +61,26 @@ object PipelineQueries {
       synchronized { lastKey.flatMap(cache.get) }
   }
 
+  /** Persisted-IVF serving artifacts keyed by sf dir (q191): built once
+    * per dir from the [[IvfState]] quantizer, then every serving query
+    * reads the SAME on-disk index — the build-once/query-forever
+    * contract under test. */
+  private[queries] object ServeState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(
+        emb: DataFrame, cents: Seq[(Int, Seq[Double], Double)], dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-ivf-serve").toString
+            Similarity.saveIvfIndex(emb, cents, p)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Merge rounds the BPE queries train/replay (q133/q134/q135 share one
     * training run per sf dir; the oracle re-trains in DuckDB). */
   private val BpeNumMerges = 12
@@ -1859,6 +1879,29 @@ object PipelineQueries {
         .orderBy("lang", "rank")
     },
 
+    "q191_ivf_served" -> { (s, dir) =>
+      // the q54 search answered from the PERSISTED index: build once per
+      // dir (ServeState), read the preassigned corpus back (partition-
+      // pruned by probed cell), same quantizer — shares q54's oracle
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      val path = ServeState.forDir(emb, cents, dir)
+      Similarity.ivfTopKPreassigned(
+          s.read.parquet(s"$path/corpus"), emb.filter(col("vec_id") < 5),
+          k = 10, Similarity.loadIvfCentroids(s, path), nProbe = 4)
+        .select(col("query_id"), col("vec_id"),
+          roundz(col("cosine"), 6).as("cosine_r"), col("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    },
+
+    "q192_skew_report" -> { (s, dir) =>
+      // heavy-key diagnostic before a big join/groupBy: top-20 suppliers
+      // by lineitem rows with their share — one count shuffle + the
+      // string heap, the tail never crosses the exchange
+      graft.ops.Reports.skewReport(t(s, dir, "lineitem"), "l_suppkey", k = 20)
+        .orderBy("rank")
+    },
+
     "q187_near_dup_recall" -> { (s, dir) =>
       // planted-twin recall probe: the precision audit's other half —
       // a 1/20 md5 sample gets a content-keyed ~1/7-token-drop twin,
@@ -2568,47 +2611,53 @@ object PipelineQueries {
            |SELECT vec_id, list_id, sample_rank FROM rk
            |WHERE sample_rank <= 10
            |ORDER BY list_id, sample_rank""".stripMargin,
-      "q54_ivf_topk" ->
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |cent AS (
-           |  SELECT * FROM (VALUES
-           |$rows
-           |  ) t(list_id, c, c2)
-           |), cells AS (
-           |  SELECT e.vec_id, cent.list_id,
-           |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
-           |  FROM e, cent
-           |), assigned AS (
-           |  SELECT vec_id, list_id FROM (
-           |    SELECT vec_id, list_id,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
-           |    FROM cells) WHERE rn = 1
-           |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-           |probes AS (
-           |  SELECT query_id, list_id FROM (
-           |    SELECT q.query_id, cent.list_id,
-           |      row_number() OVER (PARTITION BY q.query_id
-           |        ORDER BY 2.0 * list_dot_product(q.qv, cent.c) - cent.c2 DESC, cent.list_id) AS rn
-           |    FROM q, cent) WHERE rn <= 4
-           |), scored AS (
-           |  SELECT p.query_id, a.vec_id,
-           |    list_dot_product(q.qv, e.v)
-           |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
-           |  FROM probes p
-           |  JOIN assigned a USING (list_id)
-           |  JOIN e ON e.vec_id = a.vec_id
-           |  JOIN q ON q.query_id = p.query_id
-           |  WHERE a.vec_id <> p.query_id
-           |), rk AS (
-           |  SELECT query_id, vec_id, cosine,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
-           |  FROM scored WHERE NOT isnan(cosine)
-           |)
-           |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
-           |FROM rk WHERE nn_rank <= 10
-           |ORDER BY query_id, nn_rank""".stripMargin
+      "q54_ivf_topk" -> q54IvfSql(rows),
+      // serving-path parity: the persisted-index replay (q191) answers
+      // the SAME question from the SAME quantizer, so it shares the
+      // oracle verbatim
+      "q191_ivf_served" -> q54IvfSql(rows)
       )
     }.toMap
+
+  private def q54IvfSql(rows: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (
+       |  SELECT * FROM (VALUES
+       |$rows
+       |  ) t(list_id, c, c2)
+       |), cells AS (
+       |  SELECT e.vec_id, cent.list_id,
+       |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
+       |  FROM e, cent
+       |), assigned AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
+       |    FROM cells) WHERE rn = 1
+       |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT q.query_id, cent.list_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY 2.0 * list_dot_product(q.qv, cent.c) - cent.c2 DESC, cent.list_id) AS rn
+       |    FROM q, cent) WHERE rn <= 4
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    list_dot_product(q.qv, e.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+       |  FROM probes p
+       |  JOIN assigned a USING (list_id)
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id
+       |), rk AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
+       |  FROM scored WHERE NOT isnan(cosine)
+       |)
+       |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
+       |FROM rk WHERE nn_rank <= 10
+       |ORDER BY query_id, nn_rank""".stripMargin
 
   /** Static oracles plus the trained-quantizer q54/q111 oracles and the
     * trained-PQ q149/q150 oracles (present once the corresponding query
@@ -3730,8 +3779,9 @@ object PipelineQueries {
     },
 
     // per-language bigram heavy hitters: same tokenizer CASE, positional
-    // bigram build via list_transform over range, count, rank ≤ k with
-    // the engine's (cnt DESC, ngram binary ASC) tie order
+    // bigram build via list_transform over range (a 1-token doc yields
+    // its one short gram, the engine-wide WordGrams convention), count,
+    // rank ≤ k with the engine's (cnt DESC, ngram binary ASC) tie order
     "q190_top_ngrams" ->
       s"""WITH d AS (
          |  SELECT lang,
@@ -3740,7 +3790,8 @@ object PipelineQueries {
          |  FROM documents WHERE text IS NOT NULL
          |), g AS (
          |  SELECT lang,
-         |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS ngram
+         |    unnest(CASE WHEN len(ts) = 1 THEN [ts[1]]
+         |           ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) END) AS ngram
          |  FROM d
          |), c AS (
          |  SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY lang, ngram
@@ -3752,6 +3803,24 @@ object PipelineQueries {
          |SELECT lang, CAST(rnk AS BIGINT) AS rank, ngram, cnt
          |FROM r WHERE rnk <= 5
          |ORDER BY lang, rank""".stripMargin,
+
+    // heavy-key skew report: count, total, rank with the engine's
+    // (cnt DESC, key binary ASC) tie order — keys compare as STRINGS
+    "q192_skew_report" ->
+      s"""WITH c AS (
+         |  SELECT CAST(l_suppkey AS VARCHAR) AS key,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem GROUP BY 1
+         |), t AS (SELECT sum(cnt) AS tot FROM c),
+         |r AS (
+         |  SELECT key, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+         |  FROM c
+         |)
+         |SELECT CAST(rnk AS BIGINT) AS rank, key, cnt,
+         |  round(cnt / t.tot, 6) + 0.0 AS share_r
+         |FROM r, t WHERE rnk <= 20
+         |ORDER BY rank""".stripMargin,
 
     // planted-twin recall probe: twin construction, detector replay over
     // corpus+twins (the q67 sig/pair machinery on the augmented

@@ -1449,6 +1449,17 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set("a"))
   }
 
+  test("skewReport: heavy keys ranked with shares; null keys weigh the total only") {
+    import graft.ops.Reports
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c") ++
+      Seq(null.asInstanceOf[String], null.asInstanceOf[String])).toDF("k")
+    val got = Reports.skewReport(df, "k", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // totals include the 2 null rows (12), but null is not rankable
+    assert(got == Seq((1L, "a", 6L, 0.5), (2L, "b", 3L, 0.25)))
+  }
+
   test("randomProject: bit-exact vs the driver-side fold, zero vector projects to zeros") {
     import graft.ops.Similarity
     val vec = Array.tabulate(8)(i => (i + 1) * 0.5f)

@@ -25,7 +25,7 @@ class RetrievalSpec extends SparkSpec {
     val docs = Seq(
       (1L, "en", "a b a b c"),   // bigrams: "a b"x2, "b a", "b c"
       (2L, "en", "a b"),         // "a b"
-      (3L, "en", "x"),           // too short: no bigrams
+      (3L, "en", "x"),           // short doc: ONE short gram "x" (WordGrams convention)
       (4L, "de", "u v u v"),     // "u v"x2, "v u"
       (5L, "de", "")             // empty: no tokens
     ).toDF("doc_id", "lang", "text")
@@ -35,6 +35,12 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq(
       ("de", 1L, "u v", 2L), ("de", 2L, "v u", 1L),
       ("en", 1L, "a b", 3L), ("en", 2L, "b a", 1L))) // "b a" < "b c" on the tie
+
+    // the short-doc gram is present in the tail; the empty doc yields none
+    val tail = Retrieval.topNgrams(docs, "text", "lang", n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(tail.contains(("en", "x")))
+    assert(!tail.exists(_._1 == null))
   }
 
   test("topNgrams: n=1 degenerates to per-group token counts") {

@@ -983,6 +983,18 @@ class StreamingSpec extends SparkSpec {
           r.getAs[Double]("cosine"), r.getAs[Int]("nn_rank"))).toSet
       assert(streamed == batch, s"streamed $streamed != batch $batch")
       assert(streamed.nonEmpty && streamed.map(_._1) == Set(1000L, 1001L, 1002L))
+
+      // index maintenance: append a new vector (a clone of query 1002's),
+      // and the NEXT serving batch must surface it at rank 1
+      Similarity.appendToIvfIndex(
+        Seq((500L, qs(2)._2)).toDF("vec_id", "embedding"), s"$dir/index")
+      input.addData((1003L, qs(2)._2))
+      query.processAllAvailable()
+      val hit = spark.read.parquet(s"$dir/results")
+        .filter(col("query_id") === 1003L && col("nn_rank") === 1)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      assert(hit.length == 1 && hit(0)._1 == 500L && math.abs(hit(0)._2 - 1.0) < 1e-9,
+        s"appended vector not served: ${hit.toSeq}")
     } finally query.stop()
   }
 }
