@@ -199,4 +199,76 @@ object Retrieval {
       .transform(GroupTopK.topKPerGroupString(_, Seq(groupCol), "ngram", "cnt", k))
       .select(col(groupCol), col("rank"), col("ngram"), col("cnt").cast("long"))
   }
+
+  /** EXACT per-group frequent n-grams (true count ≥ `minCount`) with a
+    * sketch-bounded shuffle — the formulation for when the distinct
+    * n-gram tail is too big to count exactly ([[topNgrams]]'s one count
+    * shuffle carries every distinct n-gram; at 100 TB that tail IS the
+    * corpus):
+    *
+    *  1. one pass builds a per-group count-min sketch — fixed ≤
+    *     |groups|·depth·width state, map-side combined; cells hash with
+    *     native xxhash64, NOT the served-sketch md5 ([[Sketches
+    *     .cmsSketch]]): the sketch is internal and the answer is exact
+    *     whatever the hash, so portability buys nothing here;
+    *  2. a second pass probes every occurrence against the BROADCAST
+    *     sketch (`depth` map-side broadcast joins, no shuffle) and
+    *     drops occurrences whose estimate is already below `minCount`;
+    *  3. only survivors reach the exact count, and a final true-count
+    *     filter removes the sketch's false positives.
+    *
+    * CM estimates NEVER undercount, so step 2 cannot drop a truly
+    * frequent n-gram — the result is provably EXACT (and oracled against
+    * the plain exact SQL), while the one real shuffle carries only
+    * n-grams the sketch could not rule out. Size `width` ≈
+    * 10 · occurrences-per-group / minCount so collision noise sits well
+    * under the threshold; an undersized sketch still answers exactly,
+    * just with a fatter survivor shuffle. Output: groupCol, `ngram`,
+    * `cnt` (unranked — feed [[GroupTopK.topKPerGroupString]] for top-k).
+    */
+  def frequentNgrams(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      n: Int,
+      minCount: Long,
+      depth: Int = 4,
+      width: Int = 131072
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minCount >= 1, "minCount must be >= 1")
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    // the sketch is INTERNAL — its cells never appear in the result (the
+    // answer is exact regardless of the hash), so the cell hash is the
+    // fast native xxhash64, not the md5 the served-sketch ops use for
+    // engine portability
+    def cell(row: Column, ngram: Column): Column =
+      pmod(xxhash64(row, ngram), lit(width.toLong))
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        explode(graft.expressions.WordGrams.wordGramsMulti(col(textCol), n)).as("ngram"))
+    val sketch = graft.Checkpoints.trackCache(
+      grams
+        .select(col(groupCol),
+          explode(array((0 until depth).map(lit): _*)).as("row"), col("ngram"))
+        .groupBy(col(groupCol), col("row"),
+          cell(col("row"), col("ngram")).as("cell"))
+        .agg(count(lit(1)).as("__cms"))
+        .persist())
+    val probed = (0 until depth).foldLeft(grams) { (acc, d) =>
+      val sk = sketch.filter(col("row") === d)
+        .select(col(groupCol).as(s"__g$d"), col("cell").as(s"__c$d"),
+          col("__cms").as(s"__e$d"))
+      acc.join(broadcast(sk),
+          col(groupCol) <=> col(s"__g$d") &&
+            cell(lit(d), col("ngram")) === col(s"__c$d"))
+        .drop(s"__g$d", s"__c$d")
+    }
+    probed
+      .filter(least((0 until depth).map(d => col(s"__e$d")): _*) >= minCount)
+      .groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }

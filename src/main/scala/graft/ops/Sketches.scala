@@ -184,7 +184,7 @@ object Sketches {
 
   /** The cell a (row, token) pair lands in: md5 of "row:token" keeps the
     * depth hash functions independent while staying engine-portable. */
-  private def cmsCell(row: Column, token: Column, width: Int): Column =
+  private[ops] def cmsCell(row: Column, token: Column, width: Int): Column =
     pmod(conv(substring(md5(concat(row.cast("string"), lit(":"), token)), 1, 15), 16, 10)
       .cast("long"), lit(width.toLong))
 

@@ -1902,6 +1902,17 @@ object PipelineQueries {
         .orderBy("rank")
     },
 
+    "q193_frequent_ngrams" -> { (s, dir) =>
+      // sketch-prefiltered EXACT frequent bigrams: the CMS can't
+      // undercount, so the map-side estimate filter drops only n-grams
+      // that provably miss minCount — the one real shuffle carries the
+      // survivors, and the oracle is the PLAIN exact SQL
+      graft.ops.Retrieval.frequentNgrams(
+        t(s, dir, "documents"), "text", "lang", n = 2, minCount = 20,
+        depth = 2, width = 65536)
+        .orderBy("lang", "ngram")
+    },
+
     "q187_near_dup_recall" -> { (s, dir) =>
       // planted-twin recall probe: the precision audit's other half —
       // a 1/20 md5 sample gets a content-keyed ~1/7-token-drop twin,
@@ -3803,6 +3814,25 @@ object PipelineQueries {
          |SELECT lang, CAST(rnk AS BIGINT) AS rank, ngram, cnt
          |FROM r WHERE rnk <= 5
          |ORDER BY lang, rank""".stripMargin,
+
+    // sketch-prefiltered frequent bigrams: the engine result is provably
+    // the exact thresholded count, so the oracle needs NO sketch replay
+    "q193_frequent_ngrams" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents WHERE text IS NOT NULL
+         |), g AS (
+         |  SELECT lang,
+         |    unnest(CASE WHEN len(ts) = 1 THEN [ts[1]]
+         |           ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) END) AS ngram
+         |  FROM d
+         |), c AS (
+         |  SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY lang, ngram
+         |)
+         |SELECT lang, ngram, cnt FROM c WHERE cnt >= 20
+         |ORDER BY lang, ngram""".stripMargin,
 
     // heavy-key skew report: count, total, rank with the engine's
     // (cnt DESC, key binary ASC) tie order — keys compare as STRINGS

@@ -43,6 +43,24 @@ class RetrievalSpec extends SparkSpec {
     assert(!tail.exists(_._1 == null))
   }
 
+  test("frequentNgrams: exact thresholded counts, even with a degenerate sketch width") {
+    val docs = Seq(
+      (1L, "en", "a b a b a b"),   // "a b"x3, "b a"x2
+      (2L, "en", "a b c d"),       // "a b", "b c", "c d"
+      (3L, "de", "a b a b"),       // "a b"x2, "b a"
+      (4L, null.asInstanceOf[String], "z z z z")  // null group: "z z"x3
+    ).toDF("doc_id", "lang", "text")
+    def run(width: Int) = Retrieval.frequentNgrams(
+        docs, "text", "lang", n = 2, minCount = 2, depth = 2, width = width)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = Set(("en", "a b", 4L), ("en", "b a", 2L), ("de", "a b", 2L),
+      (null, "z z", 3L))
+    assert(run(128) == want)
+    // an undersized sketch (every gram collides) must still be EXACT —
+    // it only loses the prefiltering, never the answer
+    assert(run(2) == want)
+  }
+
   test("topNgrams: n=1 degenerates to per-group token counts") {
     val docs = Seq((1L, "en", "t t s"), (2L, "en", "s")).toDF("doc_id", "lang", "text")
     val got = Retrieval.topNgrams(docs, "text", "lang", n = 1, k = 1)
