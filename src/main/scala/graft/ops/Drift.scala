@@ -66,4 +66,52 @@ object Drift {
           lit(0.0),
           (acc, x) => acc + x.getField("c")).as("psi"))
       .select(col("psi"), col("n_bins"))
+
+  /** TOKEN-level drift between two corpus snapshots: the `k` tokens
+    * whose smoothed frequency shift contributes most to the PSI —
+    * the vocabulary answer to "what exactly changed in this crawl?"
+    * (a new boilerplate phrase, a language shift, an encoding bug all
+    * surface as named tokens, where the numeric [[binContributions]]
+    * only flags THAT something moved). Same add-one-smoothed PSI
+    * contribution per token, V = |joint vocabulary|; ranked by
+    * |contrib| (ties toward the binary-smaller token). Output: `rank`,
+    * `token`, `n_ref`, `n_cur`, `contrib`.
+    *
+    * Scale shape: one token-count aggregation per side (map-side
+    * combined), a vocab-bounded full outer join, the 3-scalar totals
+    * row broadcast back, and the [[GroupTopK.topKPerGroupString]] heap
+    * for the cut — the exchange after scoring carries k rows per
+    * partition, never the vocabulary tail. Winners join back for their
+    * payload (broadcast sliver). */
+  def tokenDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      textCol: String,
+      k: Int = 50
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def counts(df: DataFrame, out: String) = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(
+        graft.expressions.WordGrams.wordGramsMulti(col(textCol), 1)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(out))
+    val joint = counts(ref, "n_ref")
+      .join(counts(cur, "n_cur"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joint.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"),
+      count(lit(1)).as("__v"))
+    val scored = joint.crossJoin(broadcast(totals))
+      .withColumn("__p_ref", (col("n_ref") + 1).cast("double") / (col("__tr") + col("__v")))
+      .withColumn("__p_cur", (col("n_cur") + 1).cast("double") / (col("__tc") + col("__v")))
+      .withColumn("contrib",
+        (col("__p_cur") - col("__p_ref")) * log(col("__p_cur") / col("__p_ref")))
+    val winners = GroupTopK.topKPerGroupString(
+        scored.withColumn("__g", lit(1)).withColumn("__score", abs(col("contrib"))),
+        Seq("__g"), "token", "__score", k)
+      .select(col("rank"), col("token"))
+    scored.join(broadcast(winners), Seq("token"))
+      .select(col("rank"), col("token"), col("n_ref"), col("n_cur"), col("contrib"))
+  }
 }

@@ -128,4 +128,42 @@ object Outliers {
           least(greatest(v.cast("double"), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
+
+  /** EMBEDDING-space outlier detection: per vector, the squared distance
+    * to its nearest IVF centroid, z-scored within the assigned cell —
+    * the curation gate for broken embeddings and out-of-distribution
+    * junk that no text heuristic sees (a corrupt encoder output sits far
+    * from every centroid; a cell's genuine members cluster tightly).
+    *
+    * One literal-centroid argmax yields the cell AND its `2·v⋅c − |c|²`
+    * maximum in the same expression, so `dist² = |v|² − max` costs no
+    * second centroid pass and NO shuffle; the distance is then quantized
+    * to integer MICRO-units (`dist_u = round(dist²·1e6)`, the engine's
+    * round-6 granularity) so the per-cell moments are exact integral
+    * sums and the z-scores are bit-reproducible across engines — the
+    * [[withGroupZscore]] contract (double sums would be
+    * arrival-order-dependent). Adds `list_id`, `dist_u`, `zCol` (null
+    * for degenerate cells). Scale: map-side assignment + one
+    * |cells|-row stats broadcast, nothing else.
+    */
+  def embeddingOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidSeq: Seq[(Int, Seq[Double], Double)],
+      zCol: String = "zscore"
+  ): DataFrame = {
+    require(centroidSeq.nonEmpty, "need at least one centroid")
+    val vd = col(vecCol).cast("array<double>")
+    val cells = array(centroidSeq.map { case (i, c, c2) =>
+      struct((lit(2.0) * Similarity.dot(vd, typedlit(c)) - lit(c2)).as("neg"),
+        lit(-i).as("nlist"))
+    }: _*)
+    val best = array_max(cells)
+    val assigned = df.select(col(idCol),
+      (-best.getField("nlist")).cast("int").as("list_id"),
+      round((Similarity.dot(vd, vd) - best.getField("neg")) * lit(1e6))
+        .cast("long").as("dist_u"))
+    withGroupZscore(assigned, Seq("list_id"), "dist_u", zCol)
+  }
 }

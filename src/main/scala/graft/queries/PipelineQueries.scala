@@ -1902,6 +1902,34 @@ object PipelineQueries {
         .orderBy("rank")
     },
 
+    "q195_token_drift" -> { (s, dir) =>
+      // vocabulary drift between two crawl snapshots: the 50 tokens
+      // moving the smoothed PSI most — counts per side, vocab-bounded
+      // join, string-heap cut; names WHAT changed, where q96 only
+      // flags THAT the length distribution moved
+      val d = t(s, dir, "documents")
+      graft.ops.Drift.tokenDrift(
+        d.filter(col("source") === "src0"), d.filter(col("source") === "src1"),
+        "text", k = 50)
+        .select(col("rank"), col("token"), col("n_ref"), col("n_cur"),
+          roundz(col("contrib"), 9).as("contrib_r"))
+        .orderBy("rank")
+    },
+
+    "q194_embedding_outliers" -> { (s, dir) =>
+      // embedding-space curation gate: dist² to the assigned IVF
+      // centroid (one literal argmax, zero shuffle), quantized to
+      // micro-units so the per-cell z-score moments are exact integral
+      // sums — bit-reproducible, oracle re-derives cells AND z
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      graft.ops.Outliers.embeddingOutliers(emb, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("list_id"), col("dist_u"),
+          roundz(col("zscore"), 6).as("z_r"),
+          (abs(col("zscore")) > 2.0).as("is_outlier"))
+        .orderBy("vec_id")
+    },
+
     "q193_frequent_ngrams" -> { (s, dir) =>
       // sketch-prefiltered EXACT frequent bigrams: the CMS can't
       // undercount, so the map-side estimate filter drops only n-grams
@@ -2626,7 +2654,42 @@ object PipelineQueries {
       // serving-path parity: the persisted-index replay (q191) answers
       // the SAME question from the SAME quantizer, so it shares the
       // oracle verbatim
-      "q191_ivf_served" -> q54IvfSql(rows)
+      "q191_ivf_served" -> q54IvfSql(rows),
+      // embedding-space outliers: same literal-centroid cells, dist² in
+      // integer micro-units, exact-moment z per cell (the q85 contract)
+      "q194_embedding_outliers" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (
+           |  SELECT * FROM (VALUES
+           |$rows
+           |  ) t(list_id, c, c2)
+           |), cells AS (
+           |  SELECT e.vec_id, cent.list_id,
+           |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
+           |  FROM e, cent
+           |), best AS (
+           |  SELECT vec_id, list_id, neg FROM (
+           |    SELECT vec_id, list_id, neg,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
+           |    FROM cells) WHERE rn = 1
+           |), d AS (
+           |  SELECT b.vec_id, b.list_id,
+           |    CAST(round((list_dot_product(e.v, e.v) - b.neg) * 1e6) AS BIGINT) AS dist_u
+           |  FROM best b JOIN e USING (vec_id)
+           |), st AS (
+           |  SELECT list_id, count(*) AS n, sum(dist_u) AS sx,
+           |    sum(dist_u * dist_u) AS sxx
+           |  FROM d GROUP BY list_id
+           |), z AS (
+           |  SELECT d.vec_id, d.list_id, d.dist_u,
+           |    CAST(sx AS DOUBLE) / n AS mean,
+           |    CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS var
+           |  FROM d JOIN st USING (list_id)
+           |)
+           |SELECT vec_id, list_id, dist_u,
+           |  round(CASE WHEN var > 0 THEN (CAST(dist_u AS DOUBLE) - mean) / sqrt(var) END, 6) + 0.0 AS z_r,
+           |  CASE WHEN var > 0 THEN abs((CAST(dist_u AS DOUBLE) - mean) / sqrt(var)) > 2.0 END AS is_outlier
+           |FROM z ORDER BY vec_id""".stripMargin
       )
     }.toMap
 
@@ -3814,6 +3877,45 @@ object PipelineQueries {
          |SELECT lang, CAST(rnk AS BIGINT) AS rank, ngram, cnt
          |FROM r WHERE rnk <= 5
          |ORDER BY lang, rank""".stripMargin,
+
+    // token drift: per-token smoothed PSI contributions (the q96
+    // formula at token grain), ranked |contrib| DESC / token binary ASC
+    "q195_token_drift" ->
+      s"""WITH d0 AS (
+         |  SELECT CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents WHERE text IS NOT NULL AND source = 'src0'
+         |), d1 AS (
+         |  SELECT CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents WHERE text IS NOT NULL AND source = 'src1'
+         |), r AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n_ref
+         |  FROM (SELECT unnest(ts) AS token FROM d0) GROUP BY token
+         |), c AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n_cur
+         |  FROM (SELECT unnest(ts) AS token FROM d1) GROUP BY token
+         |), j AS (
+         |  SELECT coalesce(r.token, c.token) AS token,
+         |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+         |  FROM r FULL OUTER JOIN c ON r.token = c.token
+         |), t AS (
+         |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc,
+         |    count(*) AS v FROM j
+         |), sc AS (
+         |  SELECT token, n_ref, n_cur,
+         |    (CAST(n_cur + 1 AS DOUBLE) / (tc + v) - CAST(n_ref + 1 AS DOUBLE) / (tr + v))
+         |      * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + v)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + v))) AS contrib
+         |  FROM j CROSS JOIN t
+         |), rk AS (
+         |  SELECT token, n_ref, n_cur, contrib,
+         |    row_number() OVER (ORDER BY abs(contrib) DESC, token ASC) AS rnk
+         |  FROM sc
+         |)
+         |SELECT CAST(rnk AS BIGINT) AS rank, token, n_ref, n_cur,
+         |  round(contrib, 9) + 0.0 AS contrib_r
+         |FROM rk WHERE rnk <= 50
+         |ORDER BY rank""".stripMargin,
 
     // sketch-prefiltered frequent bigrams: the engine result is provably
     // the exact thresholded count, so the oracle needs NO sketch replay

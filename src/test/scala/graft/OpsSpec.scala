@@ -1460,6 +1460,40 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 6L, 0.5), (2L, "b", 3L, 0.25)))
   }
 
+  test("tokenDrift: shifted tokens rank first, stable token contributes zero") {
+    import graft.ops.Drift
+    val ref = Seq((1L, "a a a b c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "a b b b c")).toDF("doc_id", "text")
+    val got = Drift.tokenDrift(ref, cur, "text", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"), r.getAs[Double]("contrib")))
+    // v=3, totals 5/5: a moves .5->.25, b .25->.5 (equal |contrib|, tie
+    // breaks to "a"); c is stable -> contrib 0, ranked last
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(got(0)._3 == 3L && got(0)._4 == 1L)
+    assertNear(got(0)._5, 0.25 * math.log(2.0), 1e-12)
+    assertNear(got(1)._5, 0.25 * math.log(2.0), 1e-12)
+    assertNear(got(2)._5, 0.0, 1e-15)
+    // PSI contributions are non-negative by construction
+    assert(got.forall(_._5 >= 0.0))
+  }
+
+  test("embeddingOutliers: planted far vector flags, cluster members do not") {
+    import graft.ops.Outliers
+    val cents = Seq((0, Seq(1.0, 0.0), 1.0))
+    val emb = (Seq.fill(5)(Seq(1.0f, 0.0f)) :+ Seq(-1.0f, 0.0f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Outliers.embeddingOutliers(emb, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Int]("list_id"), r.getAs[Long]("dist_u"), r.getAs[Double]("zscore")))
+    assert(got.forall(_._2 == 0))
+    val (far, near) = got.partition(_._1 == 5L)
+    assert(far.head._3 == 4000000L && far.head._4 > 2.0)       // |(-1,0)-(1,0)|² = 4
+    assert(near.forall(g => g._3 == 0L && math.abs(g._4) < 1.0))
+  }
+
   test("randomProject: bit-exact vs the driver-side fold, zero vector projects to zeros") {
     import graft.ops.Similarity
     val vec = Array.tabulate(8)(i => (i + 1) * 0.5f)
