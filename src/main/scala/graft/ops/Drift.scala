@@ -83,20 +83,37 @@ object Drift {
     * for the cut — the exchange after scoring carries k rows per
     * partition, never the vocabulary tail. Winners join back for their
     * payload (broadcast sliver). */
+  /** Corpus token counts `(token, <out>)` — the build side of
+    * [[tokenDrift]] / [[tokenDriftFromCounts]]; persist the reference
+    * snapshot's counts once and every later drift check costs only the
+    * current side. */
+  def tokenCounts(df: DataFrame, textCol: String, out: String = "cnt"): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(
+        graft.expressions.WordGrams.wordGramsMulti(col(textCol), 1)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(out))
+
   def tokenDrift(
       ref: DataFrame,
       cur: DataFrame,
       textCol: String,
       k: Int = 50
+  ): DataFrame =
+    tokenDriftFromCounts(
+      tokenCounts(ref, textCol, "n_ref"), tokenCounts(cur, textCol, "n_cur"), k)
+
+  /** [[tokenDrift]] over pre-aggregated counts `(token, n_ref)` /
+    * `(token, n_cur)` — the serving shape: the reference counts persist
+    * once ([[tokenCounts]]), each later check re-counts only the
+    * current side (a micro-batch, a daily partition). */
+  def tokenDriftFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
+      k: Int = 50
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    def counts(df: DataFrame, out: String) = df
-      .filter(col(textCol).isNotNull)
-      .select(explode(
-        graft.expressions.WordGrams.wordGramsMulti(col(textCol), 1)).as("token"))
-      .groupBy("token").agg(count(lit(1)).as(out))
-    val joint = counts(ref, "n_ref")
-      .join(counts(cur, "n_cur"), Seq("token"), "full_outer")
+    val joint = refCounts.select(col("token"), col("n_ref"))
+      .join(curCounts.select(col("token"), col("n_cur")), Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

@@ -516,6 +516,33 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming VOCABULARY-DRIFT monitor: each micro-batch's token
+    * distribution is scored against a PERSISTED reference vocabulary
+    * ([[graft.ops.Drift.tokenCounts]] written once from the blessed
+    * snapshot), and the batch's top-k PSI-moving tokens append to
+    * `outPath` with their `batch_id` — the observability loop that
+    * names a crawler regression (new boilerplate phrase, encoding bug)
+    * within one micro-batch of it appearing. Per batch the cost is one
+    * count aggregation of the BATCH plus a reference-vocab-bounded
+    * join; the reference is never recounted. */
+  def driftMonitorStream(
+      docs: DataFrame,
+      textCol: String,
+      refCountsPath: String,
+      outPath: String,
+      k: Int = 50
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val ref = spark.read.parquet(refCountsPath)
+        .select(col("token"), col("cnt").as("n_ref"))
+      graft.ops.Drift.tokenDriftFromCounts(
+          ref, graft.ops.Drift.tokenCounts(batch, textCol, "n_cur"), k)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** Shared foreachBatch ingest core: hash the batch, vet against the
     * persisted index, append admissions. */
   private def ingestWith(

@@ -997,4 +997,38 @@ class StreamingSpec extends SparkSpec {
         s"appended vector not served: ${hit.toSeq}")
     } finally query.stop()
   }
+
+  test("streaming drift monitor: per-batch top tokens equal the batch tokenDrift") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Drift
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-mon").toString
+    val ref = Seq((1L, "a a a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    Drift.tokenCounts(ref, "text").write.parquet(s"$dir/ref")
+
+    val b1 = Seq((10L, "a b b b c"))
+    val b2 = Seq((11L, "z z z a"))
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.driftMonitorStream(
+        input.toDF().toDF("doc_id", "text"), "text", s"$dir/ref", s"$dir/out", k = 3)
+      .start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      def rowsOf(bid: Long) = out.filter(col("batch_id") === bid)
+        .select("rank", "token", "n_ref", "n_cur", "contrib").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      def batchOf(data: Seq[(Long, String)]) = Drift.tokenDrift(
+          ref, data.toDF("doc_id", "text"), "text", k = 3)
+        .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"),
+          r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"), r.getAs[Double]("contrib"))).toSet
+      assert(rowsOf(0L) == batchOf(b1), "batch 1 drift mismatch")
+      assert(rowsOf(1L) == batchOf(b2), "batch 2 drift mismatch")
+      // the novel token dominates batch 2's drift
+      assert(rowsOf(1L).exists(t => t._2 == "z" && t._1 == 1L))
+    } finally query.stop()
+  }
 }
