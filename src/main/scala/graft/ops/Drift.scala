@@ -112,11 +112,15 @@ object Drift {
       k: Int = 50
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val joint = refCounts.select(col("token"), col("n_ref"))
-      .join(curCounts.select(col("token"), col("n_cur")), Seq("token"), "full_outer")
-      .select(col("token"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // the joined vocab feeds the totals, the heap, AND the winner
+    // join-back — cache it so the count aggregations run once
+    val joint = graft.Checkpoints.trackCache(
+      refCounts.select(col("token"), col("n_ref"))
+        .join(curCounts.select(col("token"), col("n_cur")), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        .persist())
     val totals = joint.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"),
       count(lit(1)).as("__v"))
     val scored = joint.crossJoin(broadcast(totals))

@@ -133,9 +133,12 @@ object Reports {
     * join. Null keys count toward the total but are not rankable (no
     * meaningful join key) — their mass shows up as share < 1. */
   def skewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
-    val counts = df
+    // the counted frame feeds BOTH the heap and the total — cache it so
+    // the corpus-wide count shuffle runs once, not once per consumer
+    val counts = graft.Checkpoints.trackCache(df
       .groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
+      .persist())
     val total = counts.agg(sum("cnt").as("__tot"))
     GroupTopK.topKPerGroupString(
         counts.withColumn("__g", lit(1)), Seq("__g"), "key", "cnt", k)
