@@ -236,4 +236,85 @@ object TextAnalysis {
       .withColumn("repeated_token_fraction", repeatedTokenFraction(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** EXACT n-gram novelty against a reference corpus: per document, the
+    * fraction of its DISTINCT lowercased n-grams that appear nowhere in
+    * `ref` — the memorization/derivative-content measure (a crawl slice
+    * that restates the reference scores near 0; genuinely new text near
+    * 1). Output: idCol, `n_grams`, `n_novel`, `novelty_r`; documents
+    * with no tokens produce no row (they have no grams to judge).
+    *
+    * Cost shape: the reference gram set is distinct-aggregated once and
+    * the doc grams anti-join against it — at reference scales where that
+    * distinct tail is itself the problem, use [[novelGramFractionBloom]]
+    * (map-side probe, never a gram shuffle; its estimate only ever
+    * UNDERCOUNTS novelty, by the Bloom false-positive rate). */
+  def novelGramFraction(
+      docs: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val wg = graft.expressions.WordGrams.wordGrams(col(textCol), n)
+    val dg = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), explode(wg).as("__g"))
+    val refG = ref
+      .filter(col(textCol).isNotNull)
+      .select(explode(wg).as("__g"))
+      .distinct()
+    val totals = dg.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val novel = dg.join(refG, Seq("__g"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (round(coalesce(col("n_novel"), lit(0L)) / col("n_grams"), 6) + lit(0.0))
+          .as("novelty_r"))
+  }
+
+  /** [[novelGramFraction]] at reference scales where the distinct gram
+    * tail cannot shuffle: the reference grams fold into ONE Bloom sketch
+    * (a distributed aggregate, bounded bytes), and every document scores
+    * MAP-SIDE — `n_novel` counts grams the sketch has never seen, via a
+    * codegen'd HOF probe, no explode, no join, no shuffle of the corpus.
+    * False positives make a truly-novel gram look known, so the estimate
+    * only ever UNDERCOUNTS novelty (by ≈ `fpp`); there are no false
+    * negatives. Same output schema as the exact operator. */
+  def novelGramFractionBloom(
+      docs: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      expectedGrams: Long = 1L << 20,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    require(expectedGrams > 0, "expectedGrams must be positive")
+    val wg = graft.expressions.WordGrams.wordGrams(col(textCol), n)
+    val numBits = math.max(64L, math.ceil(
+      -expectedGrams.toDouble * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
+    val bloom = ref
+      .filter(col(textCol).isNotNull)
+      .select(explode(wg).as("__g"))
+      .agg(org.apache.spark.sql.graft.BloomBridge
+        .bloomAgg(xxhash64(col("__g")), expectedGrams, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val grams = wg
+    val nGrams = size(grams)
+    val nNovel =
+      if (bloom == null) nGrams.cast("long") // empty reference: everything novel
+      else size(filter(grams, g => !org.apache.spark.sql.graft.BloomBridge
+        .mightContain(bloom, xxhash64(g)))).cast("long")
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), nGrams.cast("long").as("n_grams"), nNovel.as("n_novel"))
+      .filter(col("n_grams") > 0)
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        (round(col("n_novel") / col("n_grams"), 6) + lit(0.0)).as("novelty_r"))
+  }
 }

@@ -1902,6 +1902,18 @@ object PipelineQueries {
         .orderBy("rank")
     },
 
+    "q196_novel_grams" -> { (s, dir) =>
+      // exact n-gram novelty of the src1 slice against the src0
+      // reference: distinct trigrams per doc, anti-join the reference
+      // gram set, per-doc fraction — the memorization/derivative-content
+      // measure (Bloom twin scores map-side at reference scales)
+      val d = t(s, dir, "documents")
+      graft.ops.TextAnalysis.novelGramFraction(
+        d.filter(col("source") === "src1"), d.filter(col("source") === "src0"),
+        "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    },
+
     "q195_token_drift" -> { (s, dir) =>
       // vocabulary drift between two crawl snapshots: the 50 tokens
       // moving the smoothed PSI most — counts per side, vocab-bounded
@@ -3877,6 +3889,32 @@ object PipelineQueries {
          |SELECT lang, CAST(rnk AS BIGINT) AS rank, ngram, cnt
          |FROM r WHERE rnk <= 5
          |ORDER BY lang, rank""".stripMargin,
+
+    // n-gram novelty: the q78 trigram CTE shape, doc-distinct grams
+    // anti-joined against the reference gram set
+    "q196_novel_grams" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), tri AS (
+        |  SELECT doc_id, source, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS g
+        |  FROM base WHERE len(toks) > 0
+        |), dgr AS (
+        |  SELECT DISTINCT doc_id, g FROM tri WHERE source = 'src1' AND doc_id IS NOT NULL
+        |), rg AS (SELECT DISTINCT g FROM tri WHERE source = 'src0'),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM dgr GROUP BY doc_id),
+        |nov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM dgr ANTI JOIN rg USING (g) GROUP BY doc_id
+        |)
+        |SELECT tot.doc_id, n_grams, coalesce(n_novel, 0) AS n_novel,
+        |  round(coalesce(n_novel, 0) / n_grams, 6) + 0.0 AS novelty_r
+        |FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
 
     // token drift: per-token smoothed PSI contributions (the q96
     // formula at token grain), ranked |contrib| DESC / token binary ASC

@@ -1460,6 +1460,36 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 6L, 0.5), (2L, "b", 3L, 0.25)))
   }
 
+  test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
+    import graft.ops.TextAnalysis
+    val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),        // all trigrams known -> 0
+      (2L, "a totally different sentence here"), // nothing shared -> 1
+      (3L, "the quick brown fox flies away"),    // mixed
+      (4L, "hi")                                 // short doc: one short gram, novel
+    ).toDF("doc_id", "text")
+    val exact = TextAnalysis.novelGramFraction(docs, ref, "text", "doc_id", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"), r.getAs[Double]("novelty_r"))).toMap
+    assert(exact(1L) == ((3L, 0L, 0.0)))
+    assert(exact(2L)._1 == 3L && exact(2L)._3 == 1.0)
+    // doc 3: trigrams = {the quick brown, quick brown fox, brown fox flies,
+    // fox flies away}; first two known -> 2/4
+    assert(exact(3L) == ((4L, 2L, 0.5)))
+    assert(exact(4L) == ((1L, 1L, 1.0)))
+
+    val bloom = TextAnalysis.novelGramFractionBloom(docs, ref, "text", "doc_id", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toMap
+    assert(bloom.keySet == exact.keySet)
+    // Bloom false positives can only make a novel gram look known
+    bloom.foreach { case (id, (ng, nn)) =>
+      assert(ng == exact(id)._1)
+      assert(nn <= exact(id)._2, s"doc $id bloom overcounted novelty")
+    }
+  }
+
   test("tokenDrift: shifted tokens rank first, stable token contributes zero") {
     import graft.ops.Drift
     val ref = Seq((1L, "a a a b c")).toDF("doc_id", "text")
