@@ -1902,6 +1902,21 @@ object PipelineQueries {
         .orderBy("rank")
     },
 
+    "q197_snapshot_diff" -> { (s, dir) =>
+      // release-to-release diff: the cur snapshot drops ids < 200, adds
+      // 800–999, and rewrites every 7th doc's text — the diff names
+      // exactly those keys; both sides reduce to (key, md5 sig) before
+      // the one key-grain full-outer join
+      val d = t(s, dir, "documents")
+      val prev = d.filter(col("doc_id") < 800)
+      val cur = d.filter(col("doc_id") >= 200 && col("doc_id") < 1000)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.ops.Snapshot.snapshotDiff(prev, cur, Seq("doc_id"), Seq("text", "n_chars"))
+        .orderBy("doc_id")
+    },
+
     "q196_novel_grams" -> { (s, dir) =>
       // exact n-gram novelty of the src1 slice against the src0
       // reference: distinct trigrams per doc, anti-join the reference
@@ -3889,6 +3904,35 @@ object PipelineQueries {
          |SELECT lang, CAST(rnk AS BIGINT) AS rank, ngram, cnt
          |FROM r WHERE rnk <= 5
          |ORDER BY lang, rank""".stripMargin,
+
+    // snapshot diff: per-side md5 value signatures (chr(1) joiner,
+    // chr(0) null sentinel — the engine's exact convention), one
+    // full-outer join, null-change rows filtered
+    "q197_snapshot_diff" ->
+      """WITH sigp AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS o
+        |  FROM documents WHERE doc_id < 800
+        |), cur0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    n_chars
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 1000
+        |), sigc AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS nw
+        |  FROM cur0
+        |), diff AS (
+        |  SELECT coalesce(sigp.doc_id, sigc.doc_id) AS doc_id,
+        |    CASE WHEN sigp.doc_id IS NULL THEN 'added'
+        |         WHEN sigc.doc_id IS NULL THEN 'removed'
+        |         WHEN o <> nw THEN 'changed' END AS change
+        |  FROM sigp FULL OUTER JOIN sigc ON sigp.doc_id = sigc.doc_id
+        |)
+        |SELECT doc_id, change FROM diff WHERE change IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // n-gram novelty: the q78 trigram CTE shape, doc-distinct grams
     // anti-joined against the reference gram set

@@ -1460,6 +1460,18 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 6L, 0.5), (2L, "b", 3L, 0.25)))
   }
 
+  test("snapshotDiff: added/removed/changed classification, null-aware values") {
+    import graft.ops.Snapshot
+    val prev = Seq((1L, Option("a")), (2L, Option("b")),
+      (3L, None: Option[String]), (4L, Option("d"))).toDF("k", "v")
+    val cur = Seq((1L, Option("a")), (2L, Option("c")),
+      (3L, Option("x")), (5L, Option("e"))).toDF("k", "v")
+    val got = Snapshot.snapshotDiff(prev, cur, Seq("k"), Seq("v"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change")).toMap
+    // 1 unchanged (absent), 2 changed, 3 null->x changed, 4 removed, 5 added
+    assert(got == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
