@@ -89,4 +89,55 @@ object Salting {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** [[saltedJoin]] that replicates the right side ONLY under the keys
+    * that are actually hot: one count pass over the left keys finds
+    * every key with ≥ `hotThreshold` rows, both sides split on that
+    * (broadcast) hot set, the hot sliver joins salted and the long tail
+    * joins plain — so the replication cost is `buckets × |hot keys'
+    * right rows|` instead of `buckets × |right|` (q101's full-replica
+    * formulation pays 16× on every right row to protect against a
+    * handful of keys). Results are identical to the plain join
+    * row-for-row — the split is a partition of the key space (hot keys
+    * come from left counts, so a cold left key cannot meet a hot right
+    * row), and the oracle for the q198 row is the UNSALTED join.
+    *
+    * `maxHotKeys` bounds the broadcast hot set loudly — a threshold
+    * that makes most keys "hot" is not skew, it is a plain join (or
+    * [[saltedJoin]] if it truly all melts). Null-keyed rows never match
+    * in an equi-join; they ride the cold path and behave exactly as the
+    * plain join would. */
+  def adaptiveSaltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
+      hotThreshold: Long,
+      joinType: String = "inner",
+      maxHotKeys: Int = 10000
+  ): DataFrame = {
+    require(hotThreshold >= 2, "hotThreshold must be >= 2")
+    require(maxHotKeys >= 1, "maxHotKeys must be >= 1")
+    val hotFlag = graft.Checkpoints.trackCache(left
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotThreshold)
+      .select(keys.map(col): _*)
+      .limit(maxHotKeys + 1)
+      .withColumn("__hot", lit(true))
+      .persist())
+    require(hotFlag.count() <= maxHotKeys,
+      s"adaptiveSaltedJoin found > $maxHotKeys keys at >= $hotThreshold rows — " +
+        "that is not a skew sliver; raise hotThreshold, raise maxHotKeys, or " +
+        "use saltedJoin/a plain join deliberately")
+    def split(df: DataFrame) = {
+      val marked = df.join(broadcast(hotFlag), keys, "left")
+      (marked.filter(col("__hot") === true).drop("__hot"),
+        marked.filter(col("__hot").isNull).drop("__hot"))
+    }
+    val (lHot, lCold) = split(left)
+    val (rHot, rCold) = split(right)
+    saltedJoin(lHot, rHot, keys, buckets, joinType)
+      .unionByName(lCold.join(rCold, keys, joinType))
+  }
 }

@@ -891,6 +891,21 @@ object PipelineQueries {
         .orderBy("o_custkey")
     },
 
+    "q198_adaptive_salted_join" -> { (s, dir) =>
+      // skew salting for only the DETECTED hot keys (orders with 7
+      // lineitems); the tail joins plain — must still equal the plain
+      // join row-for-row, so the oracle is q101's unsalted SQL
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val r = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      graft.ops.Salting.adaptiveSaltedJoin(l, r, Seq("l_orderkey"),
+          buckets = 4, hotThreshold = 7, maxHotKeys = 1 << 17)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("qty"))
+        .select(col("o_custkey"), col("n_lines"), roundz(col("qty"), 6).as("qty_r"))
+        .orderBy("o_custkey")
+    },
+
     "q102_incremental_diff" -> { (s, dir) =>
       // incremental ingest: docs in the src1 snapshot whose canonical
       // content never appeared in src0 (anti-join on the md5 fingerprint)
@@ -5244,6 +5259,14 @@ object PipelineQueries {
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q101_salted_join" ->
+      """SELECT o_custkey, count(*) AS n_lines,
+        |  round(sum(l_quantity), 6) + 0.0 AS qty_r
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    // adaptive salting is RESULT-transparent: the oracle is the same
+    // unsalted join — only the physical replication differs
+    "q198_adaptive_salted_join" ->
       """SELECT o_custkey, count(*) AS n_lines,
         |  round(sum(l_quantity), 6) + 0.0 AS qty_r
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -1460,6 +1460,29 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 6L, 0.5), (2L, "b", 3L, 0.25)))
   }
 
+  test("adaptiveSaltedJoin: plain-join parity across join types; hot ceiling refuses") {
+    import graft.ops.Salting
+    val left = ((1 to 20).map(_ => (Option(1L), "h")) ++ Seq(
+      (Option(2L), "c1"), (Option(2L), "c2"), (Option(3L), "d"),
+      (Option(9L), "u"), (None: Option[Long], "n"))).toDF("k", "lv")
+    val right = Seq((Option(1L), "R1a"), (Option(1L), "R1b"), (Option(2L), "R2"),
+      (Option(7L), "R7"), (None: Option[Long], "RN")).toDF("k", "rv")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val a = Salting.adaptiveSaltedJoin(left, right, Seq("k"),
+          buckets = 3, hotThreshold = 5, joinType = jt)
+        .collect().map(_.toString).sorted.toSeq
+      val p = left.join(right, Seq("k"), jt)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == p, s"join type $jt diverged from the plain join")
+    }
+    // two keys clear a threshold of 2; a ceiling of 1 must refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      Salting.adaptiveSaltedJoin(left, right, Seq("k"),
+        buckets = 3, hotThreshold = 2, maxHotKeys = 1).collect()
+    }
+    assert(err.getMessage.contains("not a skew sliver"))
+  }
+
   test("snapshotDiff: added/removed/changed classification, null-aware values") {
     import graft.ops.Snapshot
     val prev = Seq((1L, Option("a")), (2L, Option("b")),
