@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Classification evaluation metrics over (label, prediction) frames —
@@ -48,5 +48,78 @@ object Metrics {
         when(col("precision") + col("recall") > 0,
           lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall"))))
       .drop("__predicted")
+  }
+
+  /** Retention cohorts over an event log: users cohort by the time
+    * bucket of their FIRST event; for each (cohort, offset) cell, how
+    * many of the cohort's users were active `offset` buckets later and
+    * the retention ratio — the product-health table every event
+    * pipeline ships. Bucket math is pure integer division on the
+    * microsecond column (exact, engine-mirrorable); activity is exact
+    * `countDistinct(user)`.
+    *
+    * Scale shape: distinct (user, bucket) first (one shuffle, map-side
+    * combined), the per-user min-bucket aggregate is |users|-row, its
+    * join back rides the same user key, and the final cell aggregate is
+    * |cohorts × offsets|-row. Null users/timestamps are excluded (no
+    * identity to retain). */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      usCol: Column,
+      bucketUs: Long
+  ): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    // exact integer floor-division: subtract the remainder first — a
+    // double division would wobble at bucket boundaries past 2^53
+    val bucket = ((usCol - pmod(usCol, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    // ub feeds the cohort aggregate AND the activity join; active feeds
+    // its own base slice — persist both so neither subtree runs twice
+    val ub = graft.Checkpoints.trackCache(events
+      .filter(col(userCol).isNotNull && usCol.isNotNull)
+      .select(col(userCol).as("__u"), bucket.as("__b"))
+      .distinct()
+      .persist())
+    val cohorts = ub.groupBy(col("__u")).agg(min(col("__b")).as("cohort"))
+    val active = graft.Checkpoints.trackCache(ub.join(cohorts, Seq("__u"))
+      .groupBy(col("cohort"), (col("__b") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("__u")).as("n_active"))
+      .persist())
+    val base = active.filter(col("offset") === 0)
+      .select(col("cohort"), col("n_active").as("n_cohort"))
+    active.join(base, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+        (round(col("n_active") / col("n_cohort"), 6) + lit(0.0)).as("retention_r"))
+  }
+
+  /** First-order event-transition matrix: for each user's event stream
+    * (ordered by `orderCol`, ties by `idCol`), count consecutive
+    * (from_type → to_type) pairs and the transition probability out of
+    * each `from_type` — the behavioral fingerprint that catches a
+    * broken client (impossible transitions) or a bot (degenerate ones).
+    *
+    * Scale shape: one window pass partitioned by user (per-user streams
+    * are short; the partition key is the natural shard), then a
+    * |types²|-bounded count aggregate and a |types|-row total join. */
+  def eventTransitions(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      orderCol: Column,
+      idCol: String
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(orderCol.asc, col(idCol).asc)
+    val pairs = events
+      .filter(col(userCol).isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val cached = graft.Checkpoints.trackCache(pairs.persist())
+    val totals = cached.groupBy("from_type").agg(sum("n").as("__tot"))
+    cached.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (round(col("n") / col("__tot"), 6) + lit(0.0)).as("p_r"))
   }
 }

@@ -1917,6 +1917,29 @@ object PipelineQueries {
         .orderBy("rank")
     },
 
+    "q199_retention_cohorts" -> { (s, dir) =>
+      // weekly retention cohorts over the event log: first-bucket
+      // cohorting, exact distinct-user activity per (cohort, offset) —
+      // all integer bucket math, engine-mirrorable
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      graft.ops.Metrics.retentionCohorts(ev, "user_id", col("us"),
+          bucketUs = 604800000000L)
+        .orderBy("cohort", "offset")
+    },
+
+    "q200_event_transitions" -> { (s, dir) =>
+      // first-order behavioral transition matrix: consecutive
+      // event-type pairs per user (us, event_id order), counts and
+      // out-probabilities — the broken-client/bot fingerprint
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      graft.ops.Metrics.eventTransitions(ev, "user_id", "event_type",
+          col("us"), "event_id")
+        .orderBy("from_type", "to_type")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names
@@ -3919,6 +3942,43 @@ object PipelineQueries {
          |SELECT lang, CAST(rnk AS BIGINT) AS rank, ngram, cnt
          |FROM r WHERE rnk <= 5
          |ORDER BY lang, rank""".stripMargin,
+
+    // weekly retention: integer bucket math at micros (the q82/q92
+    // epoch convention), exact distinct-user counts
+    "q199_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS b
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), ub AS (SELECT DISTINCT user_id, b FROM e),
+        |ch AS (SELECT user_id, min(b) AS cohort FROM ub GROUP BY user_id),
+        |act AS (
+        |  SELECT cohort, b - cohort AS "offset",
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM ub JOIN ch USING (user_id) GROUP BY 1, 2
+        |), base AS (SELECT cohort, n_active AS n_cohort FROM act WHERE "offset" = 0)
+        |SELECT act.cohort, act."offset", n_active, n_cohort,
+        |  round(n_active / n_cohort, 6) + 0.0 AS retention_r
+        |FROM act JOIN base USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
+
+    // transition matrix: lead() per user with the engine's (us, id)
+    // order, exact counts, out-probability per from_type
+    "q200_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), nx AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM e
+        |), c AS (
+        |  SELECT event_type AS from_type, nxt AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, round(n / t.tot, 6) + 0.0 AS p_r
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // snapshot diff: per-side md5 value signatures (chr(1) joiner,
     // chr(0) null sentinel — the engine's exact convention), one

@@ -1460,6 +1460,35 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 6L, 0.5), (2L, "b", 3L, 0.25)))
   }
 
+  test("retentionCohorts: first-bucket cohorting, per-offset distinct activity") {
+    import graft.ops.Metrics
+    val W = 100L
+    val ev = Seq(
+      (1L, 10L), (1L, 110L), (1L, 210L), (1L, 15L), // u1: buckets 0,1,2 (dup in 0)
+      (2L, 20L),                                    // u2: bucket 0 only
+      (3L, 130L), (3L, 230L)                        // u3: cohort 1, buckets 1,2
+    ).toDF("user_id", "us")
+    val got = Metrics.retentionCohorts(ev, "user_id", col("us"), W)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5), (0L, 2L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0), (1L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("eventTransitions: consecutive pairs per user, out-probabilities") {
+    import graft.ops.Metrics
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (2L, 4L, 10L, "a"), (2L, 5L, 20L, "a")
+    ).toDF("user_id", "event_id", "us", "event_type")
+    val got = Metrics.eventTransitions(ev, "user_id", "event_type", col("us"), "event_id")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
   test("adaptiveSaltedJoin: plain-join parity across join types; hot ceiling refuses") {
     import graft.ops.Salting
     val left = ((1 to 20).map(_ => (Option(1L), "h")) ++ Seq(
