@@ -325,6 +325,42 @@ object ExamplePipeline {
       graft.ops.Similarity.loadIvfCentroids(spark, servingDir), nProbe = 4)
     println(s"ivf serving: ${served.count()} answers from the persisted index")
 
+    // 30. corpus observability: where would a big join melt (skew), what
+    //     changed between crawl snapshots (token drift), how derivative
+    //     is the new slice (n-gram novelty), and the exact frequent
+    //     bigrams the sketch screen lets through
+    val src0 = docs.filter(col("source") === "src0")
+    val src1 = docs.filter(col("source") === "src1")
+    println("skew: " + graft.ops.Reports.skewReport(docs, "source", k = 3)
+      .collect().map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(", "))
+    println("top drift tokens: " + graft.ops.Drift.tokenDrift(src0, src1, "text", k = 3)
+      .orderBy("rank").collect().map(_.getString(1)).mkString(", "))
+    val nov = graft.ops.TextAnalysis.novelGramFraction(src1, src0, "text", "doc_id")
+    println(f"mean novelty of src1 vs src0: ${nov.agg(avg("novelty_r")).head().getDouble(0)}%.3f")
+    println(s"frequent bigrams (cnt >= 5): " + graft.ops.Retrieval.frequentNgrams(
+      docs, "text", "lang", n = 2, minCount = 5).count() + " rows")
+
+    // 31. event-log health: weekly retention, behavioral transitions,
+    //     and the release diff of the latest-state snapshot
+    val evHealth = graft.io.Tables.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+    val ret = graft.ops.Metrics.retentionCohorts(
+      evHealth, "user_id", col("us"), bucketUs = 604800000000L)
+    println(s"retention cells: ${ret.count()}")
+    println("transitions: " + graft.ops.Metrics.eventTransitions(
+        evHealth, "user_id", "event_type", col("us"), "event_id")
+      .orderBy(desc("n")).limit(3).collect()
+      .map(r => s"${r.getString(0)}->${r.getString(1)}").mkString(", "))
+    val cutUs = evHealth.agg(percentile(col("us"), lit(0.5))).head().getDouble(0).toLong
+    val snapPrev = Snapshot.latestByKey(
+      evHealth.filter(col("us") < cutUs), Seq("user_id"), col("us"), "event_id")
+    val snapCur = Snapshot.latestByKey(evHealth, Seq("user_id"), col("us"), "event_id")
+    println("snapshot diff: " + graft.ops.Snapshot.snapshotDiff(
+        snapPrev, snapCur, Seq("user_id"), Seq("event_type", "value"))
+      .groupBy("change").count().orderBy("change").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)
