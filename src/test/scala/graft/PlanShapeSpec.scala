@@ -326,4 +326,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("md5"),
       s"the shuffle key should be the md5 of the window:\n$plan")
   }
+
+  test("string-heap heavy hitters (topNgrams / skewReport) plan Window-free") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dfs = Seq(
+      "topNgrams" -> graft.ops.Retrieval.topNgrams(docs, "text", "lang", n = 2, k = 3),
+      "skewReport" -> graft.ops.Reports.skewReport(docs, "source", k = 3))
+    dfs.foreach { case (name, df) =>
+      assert(df.count() > 0, s"$name returned no rows")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name must cut via the string heap, not a window:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name should contain the string-heap aggregate:\n$plan")
+    }
+  }
+
+  test("frequentNgrams probes broadcast sketches; the only sort-shuffles are aggregates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.Retrieval.frequentNgrams(
+      docs, "text", "lang", n = 2, minCount = 3, depth = 2, width = 64)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the occurrence screen must probe a BROADCAST sketch:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no shuffle join may touch the occurrence stream:\n$plan")
+  }
+
+  test("persisted-IVF serving scan is dynamically partition-pruned by probed cell") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nLists = 4)
+    Similarity.saveIvfIndex(emb, cents, dir)
+    val served = Similarity.ivfTopKPreassigned(
+      spark.read.parquet(s"$dir/corpus"), emb.filter(col("vec_id") < 2),
+      k = 3, cents, nProbe = 2)
+    assert(served.count() > 0)
+    val formatted = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("dynamicpruning"),
+      s"the serving corpus scan should carry a dynamic partition filter:\n$formatted")
+  }
 }
