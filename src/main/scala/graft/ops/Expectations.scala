@@ -41,4 +41,25 @@ object Expectations {
         col("__c.v").as("n_violations"),
         (col("__c.v").cast("double") / col("__n")).as("violation_rate"))
   }
+
+  /** SCHEMA drift between two snapshots: one row per column that was
+    * `added`, `removed`, or `type_changed` (by Catalyst SQL type
+    * string) — the first alarm when an upstream producer changes its
+    * writer. Pure metadata (no data scan; column order is ignored),
+    * materialized as a tidy frame so it reports/persists uniformly with
+    * [[report]] and [[graft.ops.Snapshot.snapshotDiff]]. */
+  def schemaDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = prev.sparkSession
+    import spark.implicits._
+    val p = prev.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val c = cur.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rows =
+      (c.keySet -- p.keySet).toSeq.sorted
+        .map(n => (n, "added", Option.empty[String], Option(c(n)))) ++
+        (p.keySet -- c.keySet).toSeq.sorted
+          .map(n => (n, "removed", Option(p(n)), Option.empty[String])) ++
+        (p.keySet & c.keySet).filter(n => p(n) != c(n)).toSeq.sorted
+          .map(n => (n, "type_changed", Option(p(n)), Option(c(n))))
+    rows.toDF("column", "change", "prev_type", "cur_type")
+  }
 }

@@ -157,6 +157,21 @@ object ScaleSmoke {
         res.agg(count(lit(1))).collect()
       }
 
+      // adaptive skew salting: ~1% of left rows collapse onto ONE key;
+      // only that key's right rows replicate (buckets x 1 row), the
+      // tail joins plain — the full-replica formulation would pay
+      // buckets x |right|
+      time(s"adaptive salted join, one hot key (${rows} left rows)") {
+        val l = blowUp(li, n).select(
+          when(pmod(col("l_orderkey"), lit(100)) === 0, lit(0L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_quantity"))
+        val r = l.select("k").distinct().withColumn("payload", col("k") * 2)
+        graft.ops.Salting.adaptiveSaltedJoin(l, r, Seq("k"),
+            buckets = 16, hotThreshold = 5000L * n, maxHotKeys = 100)
+          .agg(count(lit(1))).collect()
+      }
+
       // n-gram heavy hitters: map-side bigram explode, ONE count
       // shuffle (map-side combine), string-heap top-k — the second
       // exchange carries k rows per (partition, lang), never the tail

@@ -366,4 +366,17 @@ class CorpusQualitySpec extends SparkSpec {
       .collect().head
     assert(dotted.getString(0) == "x.is.positive" && dotted.getLong(2) == 2L)
   }
+
+  test("schemaDiff: added/removed/type_changed columns, order-insensitive") {
+    val prev = Seq((1L, "a", 2.0)).toDF("id", "name", "score")
+    val cur = Seq(("b", 2, 3L, true)).toDF("name", "score", "id", "extra")
+    val got = Expectations.schemaDiff(prev, cur)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("extra", "added", None, Some("BOOLEAN")),
+      ("score", "type_changed", Some("DOUBLE"), Some("INT"))))
+    // identical schemas in different column order: no drift
+    assert(Expectations.schemaDiff(prev, prev.select("score", "id", "name")).count() == 0)
+  }
 }
