@@ -393,4 +393,110 @@ class PropertySpec extends SparkSpec {
       assert(!res.exists(_._1 == 2L))
     }
   }
+
+  test("property: string-heap top-k equals the window formulation on random data") {
+    import graft.ops.GroupTopK
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("en", "de", "fr")
+        key <- Gen.oneOf("aa", "ab", "b", "ba", "zz", "\u00e9", "x y")
+        s <- Gen.choose(0, 5).map(_ * 1.5)
+      } yield (g, key, s))
+    } yield rows
+    samples(gen, 6).foreach { data =>
+      // pre-aggregate so (g, key) is unique, like a counted frame
+      val df = data.toDF("g", "key", "s").groupBy("g", "key").agg(max("s").as("s"))
+      val k = 2
+      val viaHeap = GroupTopK.topKPerGroupString(df, Seq("g"), "key", "s", k)
+        .select("g", "rank", "key", "s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("s").desc, col("key").asc)
+      val viaWindow = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("g", "rank", "key", "s").collect()
+        .map(r => (r.getString(0), r.getInt(1).toLong, r.getString(2), r.getDouble(3))).toSet
+      assert(viaHeap == viaWindow)
+    }
+  }
+
+  test("property: frequentNgrams equals the exact thresholded count at any width") {
+    import graft.ops.Retrieval
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("en", "de")
+        nw <- Gen.choose(0, 8)
+        ws <- Gen.listOfN(nw, Gen.oneOf("a", "b", "c", "d"))
+      } yield (g, ws.mkString(" ")))
+    } yield rows.zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+    samples(gen, 5).foreach { data =>
+      val df = data.toDF("doc_id", "lang", "text")
+      val exact = Retrieval.topNgrams(df, "text", "lang", n = 2, k = 1000)
+        .filter(col("cnt") >= 2)
+        .select("lang", "ngram", "cnt").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      for (width <- Seq(2, 64)) {
+        val got = Retrieval.frequentNgrams(df, "text", "lang", n = 2,
+            minCount = 2, depth = 2, width = width)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        assert(got == exact, s"width $width diverged")
+      }
+    }
+  }
+
+  test("property: adaptiveSaltedJoin equals the plain join on random skewed data") {
+    import graft.ops.Salting
+    val gen = for {
+      nl <- Gen.choose(1, 50)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.frequency(5 -> Gen.const(1L), 3 -> Gen.choose(2L, 6L))
+        v <- Gen.choose(0, 100)
+      } yield (k, v))
+      nr <- Gen.choose(0, 10)
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.choose(1L, 8L)
+        p <- Gen.choose(0, 9)
+      } yield (k, p))
+    } yield (left, right)
+    samples(gen, 5).foreach { case (l, r) =>
+      val left = l.toDF("k", "lv")
+      val right = r.toDF("k", "rv")
+      val a = Salting.adaptiveSaltedJoin(left, right, Seq("k"),
+          buckets = 3, hotThreshold = 4)
+        .collect().map(_.toString).sorted.toSeq
+      val p2 = left.join(right, Seq("k"), "inner")
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == p2)
+    }
+  }
+
+  test("property: snapshotDiff classification matches a brute-force reference") {
+    import graft.ops.Snapshot
+    val rowGen = for {
+      n <- Gen.choose(0, 15)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 10L)
+        v <- Gen.option(Gen.oneOf("x", "y", "z"))
+      } yield (k, v))
+    } yield rows.groupBy(_._1).map(_._2.head).toList // unique keys
+    val gen = Gen.zip(rowGen, rowGen)
+    samples(gen, 6).foreach { case (p, c) =>
+      val prev = p.toDF("k", "v")
+      val cur = c.toDF("k", "v")
+      val got = Snapshot.snapshotDiff(prev, cur, Seq("k"), Seq("v"))
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change")).toMap
+      val pm = p.toMap; val cm = c.toMap
+      val want = ((pm.keySet ++ cm.keySet).flatMap { k =>
+        (pm.get(k), cm.get(k)) match {
+          case (None, Some(_)) => Some(k -> "added")
+          case (Some(_), None) => Some(k -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(k -> "changed")
+          case _ => None
+        }
+      }).toMap
+      assert(got == want, s"prev=$pm cur=$cm")
+    }
+  }
 }
