@@ -155,4 +155,75 @@ object Joins {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Blocked fuzzy (edit-distance) join — the record-linkage staple: all
+    * cross-side pairs inside the caller's exact blocking keys whose texts
+    * are within Levenshtein distance `maxDist`. Completeness is BY
+    * CONTRACT within blocks (pairs split across block keys are never
+    * candidates — pick keys the true matches share: language, nation,
+    * zip prefix, length-stable attributes).
+    *
+    * Scale shape: an ordinary shuffled equi-join on the block keys — no
+    * cartesian. Two pre-filters keep the verify step off most candidate
+    * pairs: a length-difference prune (`|len(a)-len(b)| <= maxDist` is a
+    * necessary condition) and the banded threshold Levenshtein
+    * (`levenshtein(a, b, maxDist)` is O(len·maxDist) and bails early),
+    * so cost per candidate is bounded. A hot block — the degenerate
+    * blocking key every linkage job eventually meets — is |block_l|×
+    * |block_r| quadratic, so blocks are counted first and any block
+    * bigger than `maxBlockRows` on either side fails LOUDLY with the
+    * offending key (the [[rangeJoin]] raise_error convention) instead of
+    * silently going quadratic.
+    *
+    * Output: blockCols, `id_a`, `id_b`, `text_a`, `text_b`, `dist`. */
+  def editDistanceJoin(
+      left: DataFrame,
+      right: DataFrame,
+      blockCols: Seq[String],
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      maxBlockRows: Long = 100000L
+  ): DataFrame = {
+    require(blockCols.nonEmpty, "editDistanceJoin needs at least one blocking key")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    def side(df: DataFrame, suffix: String): DataFrame = {
+      val base = df
+        .filter(blockCols.map(col(_).isNotNull).reduce(_ && _) && col(textCol).isNotNull)
+        .select(blockCols.map(col) ++ Seq(
+          col(idCol).as(s"id_$suffix"), col(textCol).as(s"text_$suffix")): _*)
+      // block-grain counts are map-side combined; the guard rides the
+      // join as a validated count column so it cannot be optimized away
+      val counts = base.groupBy(blockCols.map(col): _*)
+        .agg(count(lit(1)).as(s"__n_$suffix"))
+      val guarded = counts.withColumn(s"__n_$suffix",
+        when(col(s"__n_$suffix") > maxBlockRows,
+          raise_error(concat(
+            lit(s"editDistanceJoin: block "),
+            concat_ws(",", blockCols.map(c => col(c).cast("string")): _*),
+            lit(s" has more than $maxBlockRows rows on side '$suffix'; "),
+            lit("refine the blocking keys or raise maxBlockRows"))).cast("long"))
+          .otherwise(col(s"__n_$suffix")))
+      base.join(guarded, blockCols)
+    }
+    val lev = levenshtein(col("text_a"), col("text_b"), maxDist)
+    side(left, "a").join(side(right, "b"), blockCols)
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
+      .withColumn("dist", lev)
+      .filter(col("dist") >= 0)
+      .drop("__n_a", "__n_b")
+  }
+
+  /** Self variant of [[editDistanceJoin]]: each unordered pair once
+    * (`id_a < id_b`), ids must be numeric-comparable. */
+  def editDistanceSelfJoin(
+      df: DataFrame,
+      blockCols: Seq[String],
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      maxBlockRows: Long = 100000L
+  ): DataFrame =
+    editDistanceJoin(df, df, blockCols, idCol, textCol, maxDist, maxBlockRows)
+      .filter(col("id_a") < col("id_b"))
 }

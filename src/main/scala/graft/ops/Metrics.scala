@@ -122,4 +122,47 @@ object Metrics {
       .select(col("from_type"), col("to_type"), col("n"),
         (round(col("n") / col("__tot"), 6) + lit(0.0)).as("p_r"))
   }
+
+  /** Per-type rolling time-series aggregate: events bucket to
+    * `bucketUs`-wide cells, and each (type, bucket) row carries its own
+    * count / value-sum plus the rolling sums over the trailing
+    * `windowBuckets` buckets — a RANGE frame over the bucket ordinal, so
+    * gaps in the series count as empty buckets (time-correct), not as
+    * "previous rows" (the silent off-by-gaps bug of a ROWS frame).
+    *
+    * `valueCents` must be an INTEGER column (quantize doubles to cents /
+    * micro-units first — the engine's cross-engine convention): rolling
+    * sums of integers are exact in any accumulation order, where a
+    * rolling double sum would be frame-order-dependent across engines.
+    * `avg_n_dense_r` divides by the FULL window width — a dense-series
+    * moving average where missing buckets mean zero traffic, which is
+    * what a rate monitor wants.
+    *
+    * Scale shape: one count shuffle to bucket grain (map-side combined),
+    * then a window over |types| short per-type series. */
+  def rollingBucketAgg(
+      events: DataFrame,
+      typeCol: String,
+      usCol: Column,
+      valueCents: Column,
+      bucketUs: Long,
+      windowBuckets: Int
+  ): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(windowBuckets >= 1, "windowBuckets must be >= 1")
+    val bucket = ((usCol - pmod(usCol, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    val perBucket = events
+      .filter(usCol.isNotNull)
+      .groupBy(col(typeCol).as("bucket_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("v_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_type").orderBy(col("bucket").asc)
+      .rangeBetween(-(windowBuckets - 1L), 0L)
+    perBucket.select(
+      col("bucket_type"), col("bucket"), col("n"), col("v_cents"),
+      sum(col("n")).over(w).as("roll_n"),
+      sum(col("v_cents")).over(w).as("roll_cents"),
+      (round(sum(col("n")).over(w) / lit(windowBuckets.toDouble), 6) + lit(0.0))
+        .as("avg_n_dense_r"))
+  }
 }

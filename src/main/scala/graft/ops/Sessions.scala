@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization and ordered-funnel analytics over event logs —
+  * the session/conversion layer every product event pipeline needs on top
+  * of the raw stream (the reference has no event model; this extends the
+  * engine's event-analytics family alongside [[Metrics.retentionCohorts]]
+  * and [[Metrics.eventTransitions]]).
+  *
+  * All arithmetic is integer microsecond math on the normalized `ts`
+  * contract ([[graft.io.Tables]]), so every output is exact and
+  * engine-mirrorable. Scale shape: one window pass partitioned by user
+  * (per-user streams are short; user is the natural shard key), then
+  * session-grain aggregates that ride the same (user) partitioning.
+  */
+object Sessions {
+
+  /** Assign a per-user session ordinal: an event starts a NEW session when
+    * it is the user's first event or when the gap since the user's
+    * previous event (ordered by `usCol`, ties by `idCol`) strictly
+    * exceeds `gapUs`. Adds `session_seq` (1-based long) to the input
+    * columns. Null users are dropped — a session needs an identity.
+    *
+    * One window pass, two frame-local functions (lag + running sum) over
+    * the SAME window spec, so Catalyst plans a single sort per user
+    * partition — no second shuffle.
+    */
+  def sessionize(
+      events: DataFrame,
+      userCol: String,
+      usCol: Column,
+      idCol: String,
+      gapUs: Long
+  ): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(usCol.asc, col(idCol).asc)
+    val prev = lag(usCol, 1).over(w)
+    val newSession = when(prev.isNull || usCol - prev > gapUs, 1L).otherwise(0L)
+    events
+      .filter(col(userCol).isNotNull && usCol.isNotNull)
+      .withColumn("session_seq",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** One row per (user, session): event count, start/end/duration in
+    * microseconds, and the number of distinct event types touched. The
+    * session grain rides the sessionize window's (user) partitioning —
+    * the groupBy shuffles on a key the data is already clustered by. */
+  def sessionStats(
+      events: DataFrame,
+      userCol: String,
+      usCol: Column,
+      idCol: String,
+      typeCol: String,
+      gapUs: Long
+  ): DataFrame =
+    sessionize(events, userCol, usCol, idCol, gapUs)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(usCol).as("start_us"),
+        max(usCol).as("end_us"),
+        (max(usCol) - min(usCol)).as("duration_us"),
+        countDistinct(col(typeCol)).as("n_types"))
+
+  /** Ordered-step funnel: for each user, step `i` converts at the
+    * earliest event of type `steps(i)` at-or-after the user's step-`i-1`
+    * conversion time (micro timestamps make cross-type ties vanishingly
+    * rare; `>=` keeps the contract total). Returns one row per step:
+    * `step_idx`, `step_type`, `n_users`, `conv_from_first_r`,
+    * `conv_from_prev_r`.
+    *
+    * Scale shape: the step-0 aggregate is one groupBy over the matching
+    * slice; each later step joins a |users|-row frame back to the
+    * events slice on the user key and re-aggregates — |steps| bounded
+    * passes, no window over the raw stream. Each per-step user frame is
+    * persisted because it feeds BOTH the next step's join and its own
+    * count row (the shared-subtree rule). The final ratio assembly is a
+    * |steps|-row frame — window functions there are driver-trivial. */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: Column,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct types")
+    val ev = graft.Checkpoints.trackCache(events
+      .filter(col(userCol).isNotNull && usCol.isNotNull && col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"), usCol.as("__us"))
+      .persist())
+    // stepFrames(i): (user, t_i) — users converted through step i
+    val stepFrames = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prevOpt, (step, _)) =>
+        val slice = ev.filter(col("__t") === step)
+        val converted = prevOpt match {
+          case None =>
+            slice.groupBy(col("__u")).agg(min(col("__us")).as("__ti"))
+          case Some(prev) =>
+            slice.join(prev.select(col("__u"), col("__ti").as("__tprev")), Seq("__u"))
+              .filter(col("__us") >= col("__tprev"))
+              .groupBy(col("__u")).agg(min(col("__us")).as("__ti"))
+        }
+        Some(graft.Checkpoints.trackCache(converted.persist()))
+    }.flatten
+    val counts = stepFrames.zip(steps).zipWithIndex.map { case ((f, step), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step_idx"), lit(step).as("step_type"), col("n_users"))
+    }.reduce(_.union(_))
+    val w = Window.orderBy(col("step_idx").asc)
+    counts
+      .withColumn("__first", first(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", coalesce(lag(col("n_users"), 1).over(w), col("n_users")))
+      .select(col("step_idx"), col("step_type"), col("n_users"),
+        when(col("__first") > 0, round(col("n_users") / col("__first"), 6) + lit(0.0))
+          .as("conv_from_first_r"),
+        when(col("__prev") > 0, round(col("n_users") / col("__prev"), 6) + lit(0.0))
+          .as("conv_from_prev_r"))
+  }
+
+  /** Per-user conversion latency from the first `fromType` event to the
+    * first `toType` event at-or-after it, summarized as one row of exact
+    * order statistics: n converted users, min/max, and interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`) of the
+    * latency in microseconds, rounded to 6dp.
+    *
+    * Scale shape: two |users|-row aggregates joined on the user key,
+    * then one global exact-percentile aggregate — swap to
+    * `percentile_approx` at the 100 TB corpus like [[graft.StatsAgg]]. */
+  def conversionLatency(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: Column,
+      fromType: String,
+      toType: String,
+      pcts: Seq[Double] = Seq(0.5, 0.9, 0.99)
+  ): DataFrame = {
+    val ev = events.filter(col(userCol).isNotNull && usCol.isNotNull)
+    val from = ev.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("__u")).agg(min(usCol).as("__t0"))
+    val to = ev.filter(col(typeCol) === toType)
+      .select(col(userCol).as("__u"), usCol.as("__us"))
+      .join(from, Seq("__u"))
+      .filter(col("__us") >= col("__t0"))
+      .groupBy(col("__u")).agg(min(col("__us") - col("__t0")).as("__lat"))
+    val pctCols = pcts.zipWithIndex.map { case (p, i) =>
+      (round(percentile(col("__lat"), lit(p)), 6) + lit(0.0))
+        .as(s"p${(p * 100).round}_us_r")
+    }
+    val aggCols = Seq(
+      count(lit(1)).as("n_converted"),
+      min(col("__lat")).as("min_us"),
+      max(col("__lat")).as("max_us")) ++ pctCols
+    to.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Events-per-user magnitude histogram: users bucketed by the exact
+    * base-2 magnitude of their event count (`length(bin(n)) - 1` —
+    * integer-exact floor(log2), no FP wobble at power-of-2 boundaries).
+    * One |users|-row aggregate, then a ≤64-row bucket aggregate — the
+    * power-law diagnostic that sizes skew guards before a per-user join.
+    */
+  def activityHistogram(events: DataFrame, userCol: String): DataFrame =
+    events.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol)).agg(count(lit(1)).as("__n"))
+      .groupBy((length(bin(col("__n"))) - 1).cast("long").as("log2_bucket"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("__n")).as("min_events"),
+        max(col("__n")).as("max_events"),
+        sum(col("__n")).as("sum_events"))
+}

@@ -1940,6 +1940,71 @@ object PipelineQueries {
         .orderBy("from_type", "to_type")
     },
 
+    "q201_sessions" -> { (s, dir) =>
+      // 30-minute-gap sessionization: one window pass per user (lag +
+      // running sum over the SAME window spec = one sort), session-grain
+      // stats ride the user partitioning — all integer micro math
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      graft.ops.Sessions.sessionStats(ev, "user_id", col("us"), "event_id",
+          "event_type", gapUs = 1800000000L)
+        .orderBy("user_id", "session_seq")
+    },
+
+    "q202_funnel" -> { (s, dir) =>
+      // ordered conversion funnel signup→view→click→purchase: per-step
+      // conditional-min chain over |users|-row frames (each persisted —
+      // it feeds the next step AND its own count), ratio assembly on a
+      // |steps|-row frame
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      graft.ops.Sessions.funnel(ev, "user_id", "event_type", col("us"),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx")
+    },
+
+    "q203_fuzzy_join" -> { (s, dir) =>
+      // record linkage: customer names within edit distance 1, blocked
+      // on nation — equi-join on the block key (no cartesian), length
+      // prune + banded threshold levenshtein, loud hot-block ceiling
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_custkey"), col("c_name"))
+      graft.ops.Joins.editDistanceSelfJoin(c, Seq("nationkey"), "c_custkey",
+          "c_name", maxDist = 1)
+        .select(col("nationkey"), col("id_a"), col("id_b"), col("dist"))
+        .orderBy("nationkey", "id_a", "id_b")
+    },
+
+    "q204_rolling_rates" -> { (s, dir) =>
+      // trailing-3h per-type rates: RANGE frame over the hour ordinal
+      // (gaps count as empty buckets), value pre-quantized to integer
+      // cents so the rolling sums are exact in any accumulation order
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000").as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Metrics.rollingBucketAgg(ev, "event_type", col("us"),
+          col("cents"), bucketUs = 3600000000L, windowBuckets = 3)
+        .orderBy("bucket_type", "bucket")
+    },
+
+    "q205_conversion_latency" -> { (s, dir) =>
+      // signup→first-purchase latency distribution: two |users|-row
+      // aggregates joined on the user key, one exact-percentile row
+      // (Spark percentile ≡ DuckDB quantile_cont)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      graft.ops.Sessions.conversionLatency(ev, "user_id", "event_type",
+        col("us"), "signup", "purchase")
+    },
+
+    "q206_activity_histogram" -> { (s, dir) =>
+      // events-per-user power-law histogram: exact floor(log2) via
+      // length(bin(n))-1 — no FP wobble at power-of-2 boundaries
+      graft.ops.Sessions.activityHistogram(t(s, dir, "events"), "user_id")
+        .orderBy("log2_bucket")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names
