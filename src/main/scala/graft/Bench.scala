@@ -18,7 +18,13 @@ object Bench {
     // zero plan changes (±10% run-to-run stability is the target).
     val iters = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_ITERS").trim.toInt)
       .toOption.getOrElse(3).max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only targeted runs: SPARK_GRAFT_BENCH_ONLY=q203_fuzzy_join,q54_ivf
+    // (the driver never sets it, so driver artifacts stay full-registry)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to iters).iterator.map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -98,8 +104,11 @@ object Bench {
     // gitignored) so any future round can diff every query; (2) end
     // stdout with a SHORT summary line that always fits the tail capture
     // whole, with a pointer to the full map.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    // a filtered dev run must never clobber the committed full-registry
+    // artifact future rounds diff against
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","iters_min_of":$iters,"queries_n":${results.size},"failures":$failJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {

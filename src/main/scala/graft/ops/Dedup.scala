@@ -495,9 +495,17 @@ object Dedup {
   ): DataFrame = {
     require(probeModulus >= 1, "probeModulus must be >= 1")
     require(dropEveryK >= 2, "dropEveryK must be >= 2 (k=1 would drop every token)")
-    val guardedId = when(col(idCol).cast("long") >= idOffset || col(idCol).cast("long") < 0L,
-      raise_error(concat(lit(s"nearDupRecallProbe: ids must be in [0, $idOffset); got "),
-        col(idCol).cast("string")))).otherwise(col(idCol))
+    // the isNull arm catches non-numeric ids (cast -> null would make both
+    // range comparisons null and silently fall through to otherwise) as
+    // well as genuinely null ids — both must refuse loudly, not emit
+    // null twin ids downstream
+    val guardedId = when(
+      col(idCol).cast("long").isNull ||
+        col(idCol).cast("long") >= idOffset || col(idCol).cast("long") < 0L,
+      raise_error(concat(
+        lit(s"nearDupRecallProbe: ids must be numeric in [0, $idOffset); got "),
+        coalesce(col(idCol).cast("string"), lit("null")),
+        lit(" — route string keys through Ids.withSurrogateId first")))).otherwise(col(idCol))
     val base = docs.select(guardedId.as(idCol), col(textCol))
     val bucket = pmod(
       conv(substring(md5(concat(col(idCol).cast("string"), lit("probe"))), 1, 8), 16, 10)

@@ -156,24 +156,68 @@ object Joins {
       .drop("__bucket")
   }
 
+  /** All variants of `text` reachable by deleting up to `maxDist`
+    * characters (the text itself included), distinct. The symmetric-
+    * deletion candidate key set: two strings within Levenshtein distance
+    * d ALWAYS share such a variant — walk the optimal alignment and
+    * delete from each side the positions an edit touches (a substitution
+    * deletes one char from both sides, an insertion/deletion deletes one
+    * char from one side), at most d deletions per side. Variant count is
+    * C(n,0)+..+C(n,maxDist): n+1 keys at d=1, ~n²/2 at d=2 — which is
+    * why the public joins pin maxDist <= 2 and a text-length ceiling. */
+  private[graft] def deletionVariants(text: Column, maxDist: Int): Column = {
+    val n = length(text)
+    val emptyArr = array().cast("array<string>")
+    val d0 = array(text)
+    val d1 =
+      if (maxDist < 1) emptyArr
+      else when(n >= 1, transform(sequence(lit(1), n), i =>
+        concat(text.substr(lit(1), i - 1), text.substr(i + 1, n - i))))
+        .otherwise(emptyArr)
+    val d2 =
+      if (maxDist < 2) emptyArr
+      else when(n >= 2, flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, n), j =>
+          concat(
+            text.substr(lit(1), i - 1),
+            text.substr(i + 1, j - i - 1),
+            text.substr(j + 1, n - j))))))
+        .otherwise(emptyArr)
+    array_distinct(concat(d0, d1, d2))
+  }
+
   /** Blocked fuzzy (edit-distance) join — the record-linkage staple: all
     * cross-side pairs inside the caller's exact blocking keys whose texts
-    * are within Levenshtein distance `maxDist`. Completeness is BY
-    * CONTRACT within blocks (pairs split across block keys are never
-    * candidates — pick keys the true matches share: language, nation,
-    * zip prefix, length-stable attributes).
+    * are within Levenshtein distance `maxDist` (0, 1, or 2 — the linkage
+    * range). Completeness is BY CONTRACT within blocks (pairs split
+    * across block keys are never candidates — pick keys the true matches
+    * share: language, nation, zip prefix, length-stable attributes).
     *
-    * Scale shape: an ordinary shuffled equi-join on the block keys — no
-    * cartesian. Two pre-filters keep the verify step off most candidate
-    * pairs: a length-difference prune (`|len(a)-len(b)| <= maxDist` is a
-    * necessary condition) and the banded threshold Levenshtein
-    * (`levenshtein(a, b, maxDist)` is O(len·maxDist) and bails early),
-    * so cost per candidate is bounded. A hot block — the degenerate
-    * blocking key every linkage job eventually meets — is |block_l|×
-    * |block_r| quadratic, so blocks are counted first and any block
-    * bigger than `maxBlockRows` on either side fails LOUDLY with the
-    * offending key (the [[rangeJoin]] raise_error convention) instead of
-    * silently going quadratic.
+    * Candidate generation is the symmetric-deletion index
+    * ([[deletionVariants]], the SymSpell/FastSS family): each DISTINCT
+    * (block, text) emits its ≤-maxDist deletion variants, and candidates
+    * come from an ordinary shuffled equi-join on (block, variant) — so
+    * candidate count scales with the number of genuinely similar texts,
+    * not |block|². (Pigeonhole segment banding was rejected here: on
+    * shared-prefix corpora — `Customer#000…` ids, URL sets — every
+    * string in a block shares its first segment and banding degenerates
+    * to the full cross product; deletion keys stay selective because
+    * they retain the characters that differ.) Verification — length
+    * prune + banded `levenshtein(a, b, maxDist)`, O(len·maxDist) with
+    * early bail — runs ONCE per distinct text pair; ids expand back by
+    * two equi-joins on the (block, text) key, so a thousand copies of
+    * one name cost one verify, never 10^6 of them.
+    *
+    * Guards, both riding columns the join consumes (a free-standing
+    * guard column would be column-pruned, raise_error included — the
+    * [[Similarity.blockedNearestNeighbor]] convention): a block with
+    * more than `maxBlockTexts` DISTINCT texts on either side raises
+    * loudly with the offending key (a degenerate blocking key's exact-
+    * dup explosion is bounded by the id expansion, but its candidate
+    * index is still worth refusing), and a text longer than `maxTextLen`
+    * raises rather than materialize megabyte variant arrays — this
+    * method is built for SHORT strings (names, titles, codes); for long
+    * documents use [[Dedup]]'s MinHash family.
     *
     * Output: blockCols, `id_a`, `id_b`, `text_a`, `text_b`, `dist`. */
   def editDistanceJoin(
@@ -183,47 +227,77 @@ object Joins {
       idCol: String,
       textCol: String,
       maxDist: Int,
-      maxBlockRows: Long = 100000L
+      maxBlockTexts: Long = 65536L,
+      maxTextLen: Int = 1024
   ): DataFrame = {
     require(blockCols.nonEmpty, "editDistanceJoin needs at least one blocking key")
-    require(maxDist >= 0, "maxDist must be >= 0")
-    def side(df: DataFrame, suffix: String): DataFrame = {
-      val base = df
-        .filter(blockCols.map(col(_).isNotNull).reduce(_ && _) && col(textCol).isNotNull)
-        .select(blockCols.map(col) ++ Seq(
-          col(idCol).as(s"id_$suffix"), col(textCol).as(s"text_$suffix")): _*)
-      // block-grain counts are map-side combined; the guard rides the
-      // join as a validated count column so it cannot be optimized away
-      val counts = base.groupBy(blockCols.map(col): _*)
-        .agg(count(lit(1)).as(s"__n_$suffix"))
-      val guarded = counts.withColumn(s"__n_$suffix",
-        when(col(s"__n_$suffix") > maxBlockRows,
-          raise_error(concat(
-            lit(s"editDistanceJoin: block "),
+    require(maxDist >= 0 && maxDist <= 2,
+      "maxDist must be 0, 1, or 2 (the deletion-index contract)")
+    require(maxDist <= 1 || maxTextLen <= 128,
+      "maxDist=2 builds ~len²/2 variants per text; set maxTextLen <= 128")
+    require(maxBlockTexts >= 1, "maxBlockTexts must be >= 1")
+    val bcols = blockCols.map(col)
+    def nonNull(df: DataFrame): DataFrame =
+      df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _) && col(textCol).isNotNull)
+
+    // DISTINCT (block, text) grain per side, guards wrapped around the
+    // text column — it feeds the variant index, the verify, and the id
+    // join-back, so Catalyst cannot prune the raise_error away
+    def texts(df: DataFrame, suffix: String): DataFrame = {
+      val tc = s"text_$suffix"
+      val distinctTexts = nonNull(df).select(bcols :+ col(textCol).as(tc): _*).distinct()
+      val counts = distinctTexts.groupBy(bcols: _*).agg(count(lit(1)).as("__tn"))
+      distinctTexts.join(counts, blockCols)
+        .withColumn(tc,
+          when(col("__tn") > maxBlockTexts, raise_error(concat(
+            lit("editDistanceJoin: block "),
             concat_ws(",", blockCols.map(c => col(c).cast("string")): _*),
-            lit(s" has more than $maxBlockRows rows on side '$suffix'; "),
-            lit("refine the blocking keys or raise maxBlockRows"))).cast("long"))
-          .otherwise(col(s"__n_$suffix")))
-      base.join(guarded, blockCols)
+            lit(s" has more than $maxBlockTexts distinct texts on side '$suffix'; "),
+            lit("refine the blocking keys or raise maxBlockTexts"))).cast("string"))
+          .when(length(col(tc)) > maxTextLen, raise_error(concat(
+            lit(s"editDistanceJoin: text of length "), length(col(tc)).cast("string"),
+            lit(s" exceeds maxTextLen=$maxTextLen on side '$suffix'; the deletion "),
+            lit("index is for short linkage strings — normalize upstream or raise maxTextLen")))
+            .cast("string"))
+          .otherwise(col(tc)))
+        .drop("__tn")
     }
-    val lev = levenshtein(col("text_a"), col("text_b"), maxDist)
-    side(left, "a").join(side(right, "b"), blockCols)
+
+    val ka = texts(left, "a").withColumn("__v",
+      explode(deletionVariants(col("text_a"), maxDist)))
+    val kb = texts(right, "b").withColumn("__v",
+      explode(deletionVariants(col("text_b"), maxDist)))
+    val verified = ka.join(kb, blockCols :+ "__v")
+      .select(bcols ++ Seq(col("text_a"), col("text_b")): _*)
+      .distinct()
       .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
-      .withColumn("dist", lev)
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), maxDist))
       .filter(col("dist") >= 0)
-      .drop("__n_a", "__n_b")
+
+    def ids(df: DataFrame, suffix: String): DataFrame =
+      nonNull(df).select(bcols ++ Seq(
+        col(idCol).as(s"id_$suffix"), col(textCol).as(s"text_$suffix")): _*)
+    verified
+      .join(ids(left, "a"), blockCols :+ "text_a")
+      .join(ids(right, "b"), blockCols :+ "text_b")
+      .select(bcols ++ Seq(
+        col("id_a"), col("id_b"), col("text_a"), col("text_b"), col("dist")): _*)
   }
 
   /** Self variant of [[editDistanceJoin]]: each unordered pair once
-    * (`id_a < id_b`), ids must be numeric-comparable. */
+    * (`id_a < id_b`), ids must be numeric-comparable. Distinct-text
+    * candidate pairs verify in both orders (the price of exact id-pair
+    * dedup through the equal-text case); the id filter keeps each
+    * unordered row pair exactly once. */
   def editDistanceSelfJoin(
       df: DataFrame,
       blockCols: Seq[String],
       idCol: String,
       textCol: String,
       maxDist: Int,
-      maxBlockRows: Long = 100000L
+      maxBlockTexts: Long = 65536L,
+      maxTextLen: Int = 1024
   ): DataFrame =
-    editDistanceJoin(df, df, blockCols, idCol, textCol, maxDist, maxBlockRows)
+    editDistanceJoin(df, df, blockCols, idCol, textCol, maxDist, maxBlockTexts, maxTextLen)
       .filter(col("id_a") < col("id_b"))
 }

@@ -70,9 +70,11 @@ object Metrics {
       bucketUs: Long
   ): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
-    // exact integer floor-division: subtract the remainder first — a
-    // double division would wobble at bucket boundaries past 2^53
-    val bucket = ((usCol - pmod(usCol, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    // exact integer floor-division at ANY magnitude: subtract the pmod
+    // remainder (so truncation ≡ floor even for negative epochs), then
+    // integral `div` — a double division would be exact only below 2^53
+    val bucket = call_function("div",
+      (usCol.cast("long") - pmod(usCol.cast("long"), lit(bucketUs))), lit(bucketUs))
     // ub feeds the cohort aggregate AND the activity join; active feeds
     // its own base slice — persist both so neither subtree runs twice
     val ub = graft.Checkpoints.trackCache(events
@@ -150,7 +152,9 @@ object Metrics {
   ): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     require(windowBuckets >= 1, "windowBuckets must be >= 1")
-    val bucket = ((usCol - pmod(usCol, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    // same exact integral bucket math as retentionCohorts
+    val bucket = call_function("div",
+      (usCol.cast("long") - pmod(usCol.cast("long"), lit(bucketUs))), lit(bucketUs))
     val perBucket = events
       .filter(usCol.isNotNull)
       .groupBy(col(typeCol).as("bucket_type"), bucket.as("bucket"))

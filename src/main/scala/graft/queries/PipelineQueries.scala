@@ -504,18 +504,13 @@ object PipelineQueries {
       // the DuckDB oracle is exact. ts arrives as long nanoseconds (the
       // sessions set spark.sql.legacy.parquet.nanosAsLong for the NANOS
       // parquet type); `div` keeps the truncation integral like epoch_us.
+      // The gap rule is OWNED by Sessions.sessionize (q201 shares it) —
+      // this query is the event-grain replay summarized to session grain.
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
-      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val flagged = ev
-        .withColumn("prev_us", lag("us", 1).over(wOrd))
-        .withColumn("new_session",
-          when(col("prev_us").isNull || col("us") - col("prev_us") > lit(1800000000L), 1)
-            .otherwise(0))
-      val sess = flagged.withColumn("session_id",
-        sum("new_session").over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      sess.groupBy("user_id", "session_id")
+      graft.ops.Sessions.sessionize(ev, "user_id", col("us"), "event_id",
+          gapUs = 1800000000L)
+        .groupBy(col("user_id"), col("session_seq").as("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min("event_id").as("first_event"), max("event_id").as("last_event"),
           (max("us") - min("us")).as("duration_us"))
@@ -1972,7 +1967,8 @@ object PipelineQueries {
         .select(col("c_nationkey").as("nationkey"), col("c_custkey"), col("c_name"))
       graft.ops.Joins.editDistanceSelfJoin(c, Seq("nationkey"), "c_custkey",
           "c_name", maxDist = 1)
-        .select(col("nationkey"), col("id_a"), col("id_b"), col("dist"))
+        .select(col("nationkey"), col("id_a"), col("id_b"),
+          col("dist").cast("long").as("dist"))
         .orderBy("nationkey", "id_a", "id_b")
     },
 
@@ -4044,6 +4040,132 @@ object PipelineQueries {
         |SELECT from_type, to_type, n, round(n / t.tot, 6) + 0.0 AS p_r
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // 30-minute sessionization to session grain: the q33 lag+running-sum
+    // window replay plus per-session bounds and distinct-type counts —
+    // all integer microsecond math
+    "q201_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS duration_us,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // ordered funnel: per-step conditional-min MATERIALIZED CTEs (each
+    // step's earliest qualifying event at-or-after the previous step's
+    // conversion time), ratio assembly on the 4-row frame
+    "q202_funnel" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('signup', 'view', 'click', 'purchase')
+        |), s0 AS MATERIALIZED (
+        |  SELECT u, min(us) AS ti FROM ev WHERE t = 'signup' GROUP BY u
+        |), s1 AS MATERIALIZED (
+        |  SELECT ev.u, min(us) AS ti FROM ev JOIN s0 ON ev.u = s0.u
+        |  WHERE t = 'view' AND us >= s0.ti GROUP BY ev.u
+        |), s2 AS MATERIALIZED (
+        |  SELECT ev.u, min(us) AS ti FROM ev JOIN s1 ON ev.u = s1.u
+        |  WHERE t = 'click' AND us >= s1.ti GROUP BY ev.u
+        |), s3 AS MATERIALIZED (
+        |  SELECT ev.u, min(us) AS ti FROM ev JOIN s2 ON ev.u = s2.u
+        |  WHERE t = 'purchase' AND us >= s2.ti GROUP BY ev.u
+        |), counts AS (
+        |  SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step_type,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM s0
+        |  UNION ALL SELECT 1, 'view', count(*) FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |)
+        |SELECT step_idx, step_type, n_users,
+        |  CASE WHEN first_value(n_users) OVER w > 0
+        |    THEN round(n_users / first_value(n_users) OVER w, 6) + 0.0 END
+        |    AS conv_from_first_r,
+        |  CASE WHEN coalesce(lag(n_users) OVER w, n_users) > 0
+        |    THEN round(n_users / coalesce(lag(n_users) OVER w, n_users), 6) + 0.0 END
+        |    AS conv_from_prev_r
+        |FROM counts WINDOW w AS (ORDER BY step_idx)
+        |ORDER BY step_idx""".stripMargin,
+
+    // fuzzy join: DuckDB levenshtein within nation blocks — the plain
+    // quadratic formulation IS the oracle; the engine answers it with
+    // the symmetric-deletion candidate index
+    "q203_fuzzy_join" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nationkey, c_custkey, c_name FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_name IS NOT NULL
+        |)
+        |SELECT a.nationkey AS nationkey, a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b
+        |  ON a.nationkey = b.nationkey AND a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY nationkey, id_a, id_b""".stripMargin,
+
+    // trailing-3h per-type rates: RANGE frame over the hour ordinal so
+    // gap hours count as empty buckets; integer-cents sums are exact in
+    // any accumulation order
+    "q204_rolling_rates" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL
+        |), pb AS (
+        |  SELECT event_type AS bucket_type, us // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n, sum(cents) AS v_cents
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT bucket_type, bucket, n, CAST(v_cents AS BIGINT) AS v_cents,
+        |  CAST(sum(n) OVER w AS BIGINT) AS roll_n,
+        |  CAST(sum(v_cents) OVER w AS BIGINT) AS roll_cents,
+        |  round(sum(n) OVER w / 3.0, 6) + 0.0 AS avg_n_dense_r
+        |FROM pb WINDOW w AS (PARTITION BY bucket_type ORDER BY bucket
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket_type, bucket""".stripMargin,
+
+    // signup→purchase latency: two |users|-row conditional-min frames,
+    // one exact-percentile row (quantile_cont ≡ Spark percentile)
+    "q205_conversion_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (SELECT u, min(us) AS t0 FROM ev WHERE t = 'signup' GROUP BY u),
+        |l AS (
+        |  SELECT ev.u, min(us - t0) AS lat FROM ev JOIN f ON ev.u = f.u
+        |  WHERE t = 'purchase' AND us >= t0 GROUP BY ev.u
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  min(lat) AS min_us, max(lat) AS max_us,
+        |  round(quantile_cont(lat, 0.5), 6) + 0.0 AS p50_us_r,
+        |  round(quantile_cont(lat, 0.9), 6) + 0.0 AS p90_us_r,
+        |  round(quantile_cont(lat, 0.99), 6) + 0.0 AS p99_us_r
+        |FROM l""".stripMargin,
+
+    // events-per-user magnitude histogram: length(bin(n)) - 1 is the
+    // engine's exact floor(log2) — no FP wobble at power-of-2 boundaries
+    "q206_activity_histogram" ->
+      """WITH n AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  min(n) AS min_events, max(n) AS max_events,
+        |  CAST(sum(n) AS BIGINT) AS sum_events
+        |FROM n GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
 
     // snapshot diff: per-side md5 value signatures (chr(1) joiner,
     // chr(0) null sentinel — the engine's exact convention), one

@@ -327,6 +327,119 @@ object StreamingEval {
       }
   }
 
+  // --------------------------- stateful session stats + funnel progress
+
+  case class TypedEvent(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SessionStatsState(
+      startUs: Long, lastUs: Long, nEvents: Long, types: Seq[String])
+  case class SessionStatsOut(
+      user_id: Long, start_us: Long, end_us: Long, duration_us: Long,
+      n_events: Long, n_types: Long)
+
+  /** Streaming analogue of [[graft.ops.Sessions.sessionStats]]: one
+    * stats row per CLOSED session — closed by a same-user event arriving
+    * beyond the gap, or by the event-time watermark passing
+    * last-event-time + gap (EventTimeTimeout, so an idle stream stays
+    * quiescent — the [[sessionize]] convention). State per user is O(1)
+    * counters plus the OPEN session's distinct event-type list, bounded
+    * by the event-type vocabulary. Ties inside a batch sort by
+    * (event time, event_id), the batch operator's exact order.
+    * Spec-pinned differential: closed sessions ≡ the batch operator's
+    * rows on a replayed, watermark-flushed log. */
+  def sessionStatsStream(
+      events: org.apache.spark.sql.Dataset[TypedEvent],
+      gapUs: Long = 1800L * 1000000L,
+      watermarkDelay: String = "1 hour"
+  ): org.apache.spark.sql.Dataset[SessionStatsOut] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def close(u: Long, s: SessionStatsState) = SessionStatsOut(
+      u, s.startUs, s.lastUs, s.lastUs - s.startUs, s.nEvents, s.types.size.toLong)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionStatsState, SessionStatsOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[SessionStatsState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(userId, s))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var current = state.getOption
+            val closed = Seq.newBuilder[SessionStatsOut]
+            sorted.foreach { e =>
+              val eUs = us(e.ts)
+              current match {
+                case Some(s) if eUs - s.lastUs <= gapUs =>
+                  current = Some(s.copy(lastUs = eUs, nEvents = s.nEvents + 1,
+                    types = if (s.types.contains(e.event_type)) s.types
+                            else s.types :+ e.event_type))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  current = Some(SessionStatsState(eUs, eUs, 1L, Seq(e.event_type)))
+                case None =>
+                  current = Some(SessionStatsState(eUs, eUs, 1L, Seq(e.event_type)))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L) // ms
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  case class FunnelState(nextStep: Int, tPrev: Long)
+  case class FunnelOut(user_id: Long, step_idx: Long, t_conv_us: Long)
+
+  /** Streaming funnel progress — the per-user ordered-step state machine
+    * behind [[graft.ops.Sessions.funnel]]: emits (user, step_idx,
+    * conversion time) EXACTLY ONCE when a user first reaches each step
+    * (event type == steps(nextStep) at-or-after the previous step's
+    * conversion time, `>=` like the batch contract), so counting
+    * distinct users per emitted step_idx reproduces the batch funnel's
+    * `n_users` column with no dedup pass. State per user is two scalars.
+    *
+    * CONTRACT: events must arrive per-user in event-time order ACROSS
+    * batches (within a batch they are sorted here) — the conditional-min
+    * chain is order-sensitive, and an out-of-order earlier event can
+    * retroactively enable conversions an incremental pass already
+    * rejected. Replay logs through a time-ordered source, or accept
+    * drift bounded by the source's disorder. */
+  def funnelStream(
+      events: org.apache.spark.sql.Dataset[TypedEvent],
+      steps: Seq[String]
+  ): org.apache.spark.sql.Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnelStream needs at least one step")
+    require(steps.distinct.size == steps.size, "funnelStream steps must be distinct")
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val advanced = Seq.newBuilder[FunnelOut]
+          sorted.foreach { e =>
+            if (s.nextStep < steps.length && e.event_type == steps(s.nextStep)) {
+              val eUs = us(e.ts)
+              if (s.nextStep == 0 || eUs >= s.tPrev) {
+                advanced += FunnelOut(userId, s.nextStep.toLong, eUs)
+                s = FunnelState(s.nextStep + 1, eUs)
+              }
+            }
+          }
+          state.update(s)
+          advanced.result().iterator
+      }
+  }
+
   /** Streaming benchmark decontamination: drops every document whose
     * text probes positive against a [[graft.ops.Dedup.spanBloomSketch]]
     * of the benchmark's verbatim span windows. The probe is one

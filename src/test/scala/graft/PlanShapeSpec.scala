@@ -367,4 +367,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(formatted.contains("dynamicpruning"),
       s"the serving corpus scan should carry a dynamic partition filter:\n$formatted")
   }
+
+  test("editDistanceJoin guards survive optimization; candidates join, not cross") {
+    import spark.implicits._
+    val df = Seq(("b", 1L, "abc"), ("b", 2L, "abd"), ("c", 3L, "xyz"))
+      .toDF("blk", "id", "text")
+    val out = graft.ops.Joins.editDistanceSelfJoin(df, Seq("blk"), "id", "text", 1)
+    // the hot-block / text-length raise_error rides the consumed text
+    // column, so the optimizer must NOT be able to prune it away
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("raise_error"),
+      s"the loud ceiling was column-pruned out of the plan:\n$optimized")
+    // candidate generation is the deletion-variant equi-join — no
+    // cartesian / nested-loop product anywhere in the physical plan
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must not plan a cross product:\n$physical")
+  }
 }

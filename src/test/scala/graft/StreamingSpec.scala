@@ -1031,4 +1031,79 @@ class StreamingSpec extends SparkSpec {
       assert(rowsOf(1L).exists(t => t._2 == "z" && t._1 == 1L))
     } finally query.stop()
   }
+
+  private def typedEvents(): Seq[StreamingEval.TypedEvent] =
+    graft.io.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+      .as[StreamingEval.TypedEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+
+  test("streaming session stats match batch sessionStats on a flushed replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = typedEvents()
+    val gap = 1800L * 1000000L
+    val input = MemoryStream[StreamingEval.TypedEvent]
+    val query = StreamingEval.sessionStatsStream(input.toDS(), gapUs = gap)
+      .writeStream.format("memory").queryName("sess_stats_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(400).foreach { chunk =>
+        input.addData(chunk)
+        query.processAllAvailable()
+      }
+      // two far-future dummy batches: the watermark updates at the END of
+      // a batch and event-time timeouts fire in the NEXT one, so the first
+      // push advances the watermark and the second flushes every open
+      // real-user session
+      val far = rows.map(_.ts.getTime).max + 100L * 3600L * 1000L
+      input.addData(StreamingEval.TypedEvent(-1L, 0L, new Timestamp(far), "x"))
+      query.processAllAvailable()
+      input.addData(StreamingEval.TypedEvent(-2L, 0L, new Timestamp(far + 1000L), "x"))
+      query.processAllAvailable()
+      val streamed = spark.table("sess_stats_stream")
+        .as[StreamingEval.SessionStatsOut].collect()
+        .filter(_.user_id >= 0L)
+        .map(o => (o.user_id, o.start_us, o.end_us, o.duration_us, o.n_events, o.n_types))
+        .sorted.toSeq
+      val batch = graft.ops.Sessions.sessionStats(
+          graft.io.Tables.table(spark, "/root/testdata/sf0.001", "events")
+            .select(col("user_id"), col("event_type"),
+              expr("ts div 1000").as("us"), col("event_id")),
+          "user_id", col("us"), "event_id", "event_type", gap)
+        .select("user_id", "start_us", "end_us", "duration_us", "n_events", "n_types")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally query.stop()
+  }
+
+  test("streaming funnel step counts match batch funnel on an ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = typedEvents()
+    val steps = Seq("signup", "view", "click", "purchase")
+    val input = MemoryStream[StreamingEval.TypedEvent]
+    val query = StreamingEval.funnelStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      rows.grouped(400).foreach { chunk =>
+        input.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("funnel_stream")
+        .as[StreamingEval.FunnelOut].collect().toSeq
+      // exactly-once per (user, step): the state machine never re-emits
+      assert(streamed.map(o => (o.user_id, o.step_idx)).distinct.size == streamed.size)
+      val streamCounts = streamed.groupBy(_.step_idx)
+        .map { case (k, v) => k -> v.size.toLong }
+      val batch = graft.ops.Sessions.funnel(
+          graft.io.Tables.table(spark, "/root/testdata/sf0.001", "events")
+            .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us")),
+          "user_id", "event_type", col("us"), steps)
+        .select("step_idx", "n_users").as[(Long, Long)].collect().toMap
+      assert(streamCounts.nonEmpty)
+      assert(streamCounts == batch.filter(_._2 > 0L),
+        s"stream=$streamCounts batch=$batch")
+    } finally query.stop()
+  }
 }
