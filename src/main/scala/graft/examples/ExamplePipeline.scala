@@ -361,6 +361,32 @@ object ExamplePipeline {
       .groupBy("change").count().orderBy("change").collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
 
+    // 32. product analytics on the same event log: gap sessions, the
+    //     ordered conversion funnel, signup→purchase latency, the
+    //     per-user activity power-law, and fuzzy record linkage on
+    //     customer names (nation-blocked deletion-index join)
+    val sess = graft.ops.Sessions.sessionStats(
+      evHealth, "user_id", col("us"), "event_id", "event_type",
+      gapUs = 1800000000L)
+    println(f"sessions: ${sess.count()} (mean events/session " +
+      f"${sess.agg(avg("n_events")).head().getDouble(0)}%.2f)")
+    println("funnel: " + graft.ops.Sessions.funnel(
+        evHealth, "user_id", "event_type", col("us"),
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+      .map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(", "))
+    val lat = graft.ops.Sessions.conversionLatency(
+      evHealth, "user_id", "event_type", col("us"), "signup", "purchase")
+    println(s"signup→purchase: ${lat.head().getAs[Long]("n_converted")} converted, " +
+      s"p50 ${lat.head().getAs[Double]("p50_us_r").toLong} us")
+    println("activity log2-buckets: " + graft.ops.Sessions
+      .activityHistogram(evHealth, "user_id").count())
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_nationkey").as("nationkey"), col("c_custkey"), col("c_name"))
+    println("fuzzy name pairs (lev<=1, nation-blocked): " +
+      graft.ops.Joins.editDistanceSelfJoin(
+        cust, Seq("nationkey"), "c_custkey", "c_name", maxDist = 1).count())
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)

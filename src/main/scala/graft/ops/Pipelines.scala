@@ -143,12 +143,17 @@ object Pipelines {
     // the funnel's min-id flag (id === min(id), null on null id, counts
     // none) would silently disagree on a corpus that violates the
     // contract — refuse loudly instead, in both paths at once.
-    val docsChecked = docs.withColumn(idCol,
-      when(col(idCol).isNull,
-        raise_error(lit(s"cleanCorpus id column '$idCol' must be non-null — " +
-          "assign a surrogate id (Ids.withSurrogateId) first"))
-          .cast(docs.schema(docs.schema.fieldIndex(idCol)).dataType))
-        .otherwise(col(idCol)))
+    // coalesce evaluates the id ONCE (a when(isNull, …).otherwise re-reads
+    // it) and a schema-level non-nullable column skips the check entirely
+    // — the Ids.withSurrogateId on-ramp produces exactly that
+    val idField = docs.schema(docs.schema.fieldIndex(idCol))
+    val docsChecked =
+      if (!idField.nullable) docs
+      else docs.withColumn(idCol,
+        coalesce(col(idCol),
+          raise_error(lit(s"cleanCorpus id column '$idCol' must be non-null — " +
+            "assign a surrogate id (Ids.withSurrogateId) first"))
+            .cast(idField.dataType)))
 
     // -0.5. optional Unicode NFC canonicalization FIRST: composed vs
     // decomposed renderings of the same text hash/shingle/window

@@ -1,0 +1,3617 @@
+package graft.queries
+
+/** The static (data-independent) DuckDB oracle SQL for
+  * [[PipelineQueries]] — split from the query builders so diffs and
+  * copy/review passes touch SQL text and Spark plans separately. Pure
+  * constants: every entry mirrors its query's arithmetic op-for-op;
+  * trained-quantizer oracles (IVF/PQ/BPE state) stay in
+  * [[PipelineQueries]] because they interpolate runtime-trained
+  * literals. `lazy` because the interpolated helper constants live in
+  * the object this trait is mixed into and initialize after it. */
+private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
+
+  protected lazy val staticOracleSql: Map[String, String] = Map(
+    // bottom-64 uniform sample (md5 unit hash, ties to smaller id) then
+    // quantile_cont == Spark exact percentile (q93-pinned parity)
+    "q136_sampled_quantiles" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-sq'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), r AS (
+        |  SELECT lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY uh, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90
+        |FROM r WHERE rn <= 64 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // exclusive running-total admission in (uh, id) order; HUGEINT sum
+    // cast back to BIGINT to match the engine's long
+    "q137_token_budget" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-tb'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+        |), r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY uh, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+        |    row_number() OVER (PARTITION BY source ORDER BY uh, doc_id) AS budget_rank
+        |  FROM h
+        |)
+        |SELECT doc_id, source, n_chars, tokens_before, budget_rank
+        |FROM r WHERE tokens_before < 3000
+        |ORDER BY source, budget_rank""".stripMargin,
+
+    // interpolated trigram LM: ML ratios from three n-gram streams,
+    // λ-blend in the engine's operand order, ln, sorted distinct-trigram
+    // fold (prepend-0.0 == aggregate's lit(0.0) seed)
+    "q148_trigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, ts[i+1] AS w1, ts[i+2] AS w2, ts[i+3] AS w3
+        |  FROM toks, unnest(range(len(ts)-2)) AS u(i) WHERE len(ts) >= 3
+        |), dtc AS (
+        |  SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tc
+        |  FROM tri GROUP BY doc_id, w1, w2, w3
+        |), c3 AS (
+        |  SELECT w1, w2, w3, CAST(sum(tc) AS BIGINT) AS c3 FROM dtc GROUP BY w1, w2, w3
+        |), x3 AS (
+        |  SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS x3 FROM c3 GROUP BY w1, w2
+        |), bi AS (
+        |  SELECT ts[i+1] AS wa, ts[i+2] AS wb
+        |  FROM toks, unnest(range(len(ts)-1)) AS u(i) WHERE len(ts) >= 2
+        |), c2 AS (
+        |  SELECT wa, wb, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY wa, wb
+        |), x2 AS (
+        |  SELECT wa, CAST(sum(c2) AS BIGINT) AS x2 FROM c2 GROUP BY wa
+        |), uni AS (
+        |  SELECT unnest(ts) AS w FROM toks
+        |), c1 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w
+        |), n1 AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM c1
+        |), sc AS (
+        |  SELECT dtc.doc_id, dtc.tc,
+        |    concat_ws(' ', dtc.w1, dtc.w2, dtc.w3) AS g,
+        |    0.7 * COALESCE(CAST(c3.c3 AS DOUBLE) / x3.x3, 0.0)
+        |      + 0.2 * COALESCE(CAST(c2.c2 AS DOUBLE) / x2.x2, 0.0)
+        |      + 0.1 * (CAST(c1.c1 AS DOUBLE) / (SELECT n1 FROM n1)) AS phat
+        |  FROM dtc
+        |  JOIN c1 ON c1.w = dtc.w3
+        |  LEFT JOIN c3 ON c3.w1 = dtc.w1 AND c3.w2 = dtc.w2 AND c3.w3 = dtc.w3
+        |  LEFT JOIN x3 ON x3.w1 = dtc.w1 AND x3.w2 = dtc.w2
+        |  LEFT JOIN c2 ON c2.wa = dtc.w2 AND c2.wb = dtc.w3
+        |  LEFT JOIN x2 ON x2.wa = dtc.w2
+        |), ag AS (
+        |  SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_trigrams,
+        |    list_reduce(list_prepend(0.0, list(tc * ln(phat) ORDER BY g)), (a, b) -> a + b) AS lp
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, ag.n_trigrams,
+        |  round(ag.lp / ag.n_trigrams, 6) + 0.0 AS avg_logp_r,
+        |  round(exp(-(ag.lp / ag.n_trigrams)), 6) + 0.0 AS perp_r
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // average-hash replay: cell luminance from the synthetic pixel
+    // formula, division-free mean comparison, bit shifts assemble halves
+    "q152_image_ahash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        |), cells AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id*31 + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3) % 256)
+        |    + ((doc_id*31 + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3 + 1) % 256)
+        |    + ((doc_id*31 + (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3 + 2) % 256) AS lum
+        |  FROM d, unnest(range(64)) AS u(i)
+        |), t AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS tot FROM cells GROUP BY doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CAST(sum(CASE WHEN i >= 32 AND c.lum * 64 > t.tot
+        |        THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN i < 32 AND c.lum * 64 > t.tot
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM cells c JOIN t USING (doc_id)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // near-dup audit: the q67 pair chain + exact list_intersect Jaccard
+    // over the same canonical shingle lists the signatures hash
+    "q168_near_dup_audit" -> {
+      s"""WITH ${polyShingleSigCte("(SELECT doc_id, text FROM documents WHERE doc_id < 1000)")},
+         |${polyPairsCte(0.5)}, sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(canon) < 5 THEN [canon]
+         |         ELSE list_distinct(list_transform(range(0, len(canon) - 4),
+         |                i -> substr(canon, CAST(i + 1 AS INT), 5))) END AS ss
+         |  FROM c0
+         |), ex AS (
+         |  SELECT p.id_a, p.id_b, p.est_jaccard,
+         |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+         |      / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE) AS exact_j
+         |  FROM pairs0 p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b
+         |)
+         |SELECT id_a, id_b, est_jaccard,
+         |  round(exact_j, 6) + 0.0 AS exact_jaccard_r,
+         |  round(abs(est_jaccard - exact_j), 6) + 0.0 AS abs_err_r
+         |FROM ex ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // packed chunks: q146's shard/shuffle/prefix-sum conventions (salt
+    // 'graft-pack2', whitespace tokens, budget 64) + per-chunk
+    // string_agg in global-position order
+    "q172_packed_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id, len(ts) AS n, ts FROM toks
+        |), hx AS (
+        |  SELECT doc_id, n, ts, md5(CAST(doc_id AS VARCHAR) || 'graft-pack2') AS hex
+        |  FROM lens
+        |), sp AS (
+        |  SELECT doc_id, n, ts,
+        |    CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT)
+        |      ORDER BY hex, doc_id) AS BIGINT) AS shuffle_pos
+        |  FROM hx
+        |), o AS (
+        |  SELECT doc_id, shard, ts,
+        |    CAST(SUM(n) OVER (PARTITION BY shard ORDER BY shuffle_pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS "offset"
+        |  FROM sp
+        |), tokpos AS (
+        |  SELECT shard, "offset" + u.i AS gpos, ts[CAST(u.i + 1 AS INT)] AS tok
+        |  FROM o, unnest(range(len(ts))) AS u(i)
+        |)
+        |SELECT shard, gpos // 64 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  string_agg(tok, ' ' ORDER BY gpos) AS chunk_text
+        |FROM tokpos GROUP BY shard, gpos // 64
+        |ORDER BY shard, chunk_id""".stripMargin,
+
+    // surrogate-id chain: the dense sorted-rank surrogate is internal,
+    // so the oracle works purely in key space — min-uid keeper per
+    // canonical class, top-3 per source by n_chars with uid-asc tiebreak
+    "q177_surrogate_id_chain" ->
+      """WITH u AS (
+        |  SELECT md5(CAST(doc_id AS VARCHAR) || 'u') AS uid, text, source, n_chars
+        |  FROM documents
+        |), keep AS (
+        |  SELECT uid, source, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      ORDER BY uid) AS rn
+        |  FROM u
+        |), dd AS (
+        |  SELECT uid, source, n_chars FROM keep WHERE rn = 1
+        |), tk AS (
+        |  SELECT source, uid, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, uid ASC) AS rank
+        |  FROM dd WHERE n_chars IS NOT NULL
+        |)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, uid, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM tk WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
+
+    // KMV overlap matrix: per-source bottom-64 of distinct 3-gram md5
+    // hashes, pairwise list merges, the (k-1)/u_k estimator per side
+    "q176_kmv_overlap_matrix" -> {
+      val est = (sk: String) =>
+        s"CASE WHEN len($sk) < 64 THEN CAST(len($sk) AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST($sk[64] AS DOUBLE) END"
+      s"""WITH base AS (
+         |  SELECT source,
+         |    CASE WHEN len(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS toks
+         |  FROM documents
+         |), tri AS (
+         |  SELECT source, unnest(list_transform(
+         |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+         |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS gram
+         |  FROM base WHERE len(toks) > 0
+         |), h AS (
+         |  SELECT DISTINCT source, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS u
+         |  FROM tri
+         |), rk AS (
+         |  SELECT source, u, row_number() OVER (PARTITION BY source ORDER BY u) AS rn FROM h
+         |), sk AS (
+         |  SELECT source, list(u ORDER BY u) AS s FROM rk WHERE rn <= 64 GROUP BY source
+         |), pr AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    a.s AS ska, b.s AS skb,
+         |    list_sort(list_distinct(a.s || b.s))[1:64] AS sku
+         |  FROM sk a JOIN sk b ON a.source < b.source
+         |), e AS (
+         |  SELECT source_a, source_b,
+         |    ${est("ska")} AS ea, ${est("skb")} AS eb, ${est("sku")} AS eu
+         |  FROM pr
+         |)
+         |SELECT source_a, source_b,
+         |  round(ea, 6) + 0.0 AS est_a, round(eb, 6) + 0.0 AS est_b,
+         |  round(eu, 6) + 0.0 AS est_union,
+         |  round(GREATEST(ea + eb - eu, 0.0), 6) + 0.0 AS est_intersection,
+         |  round(CASE WHEN eu > 0.0 THEN GREATEST(ea + eb - eu, 0.0) / eu ELSE 0.0 END, 6) + 0.0 AS est_jaccard_r
+         |FROM e ORDER BY source_a, source_b""".stripMargin
+    },
+
+    // cross-source dup matrix: distinct (canonical md5, source) pairs
+    // self-joined per class, counted per unordered source pair
+    "q175_cross_source_dups" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'mirror-' || source, text
+        |  FROM documents WHERE doc_id < 50
+        |), ds AS (
+        |  SELECT DISTINCT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, source
+        |  FROM aug WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_classes
+        |FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // chunk provenance: the q172 offset chain + per-chunk span clamps in
+    // pure integer arithmetic
+    "q173_chunk_provenance" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n
+        |  FROM documents
+        |), hx AS (
+        |  SELECT doc_id, n, md5(CAST(doc_id AS VARCHAR) || 'graft-pack2') AS hex
+        |  FROM toks
+        |), sp AS (
+        |  SELECT doc_id, n,
+        |    CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT)
+        |      ORDER BY hex, doc_id) AS BIGINT) AS shuffle_pos
+        |  FROM hx
+        |), o AS (
+        |  SELECT doc_id, shard, n,
+        |    CAST(SUM(n) OVER (PARTITION BY shard ORDER BY shuffle_pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS "offset"
+        |  FROM sp WHERE n > 0
+        |), spans AS (
+        |  SELECT shard, doc_id, "offset", n, u.c AS chunk_id, u.c * 64 AS cstart
+        |  FROM o, unnest(range("offset" // 64, ("offset" + n - 1) // 64 + 1)) AS u(c)
+        |)
+        |SELECT shard, chunk_id, doc_id,
+        |  GREATEST("offset", cstart) - cstart AS chunk_start,
+        |  LEAST("offset" + n, cstart + 64) - GREATEST("offset", cstart) AS n_from_doc
+        |FROM spans ORDER BY shard, chunk_id, doc_id""".stripMargin,
+
+    // epoch repeats: copy explode + the same md5 unit-hash gate on the
+    // fractional copy, every branch of the CASE factor replayed
+    "q171_epoch_repeats" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, n_chars, i AS epoch_copy,
+        |    CASE WHEN source = 'src0' THEN 2.5
+        |         WHEN source = 'src1' THEN 0.25 ELSE 1.0 END AS f
+        |  FROM documents, unnest(range(3)) AS u(i)
+        |)
+        |SELECT doc_id, source, n_chars, epoch_copy FROM c
+        |WHERE epoch_copy < floor(f) OR (epoch_copy = floor(f)
+        |  AND CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch_copy AS VARCHAR) || 'graft-er'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < f - floor(f))
+        |ORDER BY doc_id, epoch_copy""".stripMargin,
+
+    // audit summary: q168's chain reduced to the one-row verdict; MAE
+    // folds errors in pair-key order (id_a*1e9 + id_b)
+    "q169_near_dup_audit_summary" -> {
+      s"""WITH ${polyShingleSigCte("(SELECT doc_id, text FROM documents WHERE doc_id < 1000)")},
+         |${polyPairsCte(0.5)}, sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(canon) < 5 THEN [canon]
+         |         ELSE list_distinct(list_transform(range(0, len(canon) - 4),
+         |                i -> substr(canon, CAST(i + 1 AS INT), 5))) END AS ss
+         |  FROM c0
+         |), ex AS (
+         |  SELECT p.id_a, p.id_b, p.est_jaccard,
+         |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+         |      / CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS DOUBLE) AS exact_j
+         |  FROM pairs0 p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b
+         |), exr AS (
+         |  SELECT id_a * 1000000000 + id_b AS pk,
+         |    round(exact_j, 6) + 0.0 AS exact_jaccard_r,
+         |    round(abs(est_jaccard - exact_j), 6) + 0.0 AS abs_err_r
+         |  FROM ex
+         |)
+         |SELECT count(*) AS n_pairs,
+         |  count(CASE WHEN exact_jaccard_r >= 0.5 THEN 1 END) AS n_true,
+         |  round(count(CASE WHEN exact_jaccard_r >= 0.5 THEN 1 END) / count(*), 6) + 0.0 AS precision_r,
+         |  round(list_reduce(list_prepend(0.0, list(abs_err_r ORDER BY pk)), (a, x) -> a + x)
+         |    / count(*), 9) + 0.0 AS mae_r,
+         |  max(abs_err_r) AS max_err_r
+         |FROM exr""".stripMargin
+    },
+
+    // per-source datasheet: volume integers, distinct canonical classes,
+    // the two-level quality fold, majority lang (count desc, lang desc)
+    "q166_corpus_datasheet" -> {
+      def stopHits(words: Seq[String]) =
+        s"len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+      val en = stopHits(Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"))
+      val es = stopHits(Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"))
+      val fr = stopHits(Seq("le", "la", "les", "de", "et", "des", "un", "une", "du", "est"))
+      val de = stopHits(Seq("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "im"))
+      s"""WITH base AS (
+         |  SELECT source, doc_id, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), ${qualityCte("base", "source")}, vol AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(text)) AS BIGINT) AS n_chars
+         |  FROM base GROUP BY source
+         |), cls AS (
+         |  SELECT source,
+         |    count(DISTINCT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_exact_classes
+         |  FROM base GROUP BY source
+         |), q1 AS (
+         |  SELECT s.source,
+         |    CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b,
+         |    list_reduce(list_prepend(0.0, list(s.qscore ORDER BY s.doc_id)), (a, x) -> a + x) AS p,
+         |    count(*) AS n
+         |  FROM scored s GROUP BY s.source, b
+         |), qm AS (
+         |  SELECT source,
+         |    round(list_reduce(list_prepend(0.0, list(p ORDER BY b)), (a, x) -> a + x)
+         |      / CAST(sum(n) AS BIGINT), 9) + 0.0 AS mean_quality_r
+         |  FROM q1 GROUP BY source
+         |), lid AS (
+         |  SELECT source, doc_id,
+         |    $en AS c_en, $es AS c_es, $fr AS c_fr, $de AS c_de
+         |  FROM base
+         |), lv AS (
+         |  SELECT source, CASE
+         |    WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) AND c_en > 0 THEN 'en'
+         |    WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) AND c_es > 0 THEN 'es'
+         |    WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) AND c_fr > 0 THEN 'fr'
+         |    WHEN c_de = GREATEST(c_en, c_es, c_fr, c_de) AND c_de > 0 THEN 'de'
+         |    ELSE 'und' END AS lang
+         |  FROM lid
+         |), lc AS (
+         |  SELECT source, lang, count(*) AS c FROM lv GROUP BY source, lang
+         |), lt AS (
+         |  SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
+         |    FROM lc
+         |  ) WHERE rn = 1
+         |)
+         |SELECT vol.source, vol.n_docs, vol.n_tokens, vol.n_chars, cls.n_exact_classes,
+         |  round(1.0 - cls.n_exact_classes / vol.n_docs, 6) + 0.0 AS dup_rate_r,
+         |  qm.mean_quality_r, lt.top_lang
+         |FROM vol JOIN cls USING (source) JOIN qm USING (source) JOIN lt USING (source)
+         |ORDER BY vol.source""".stripMargin
+    },
+
+    // full 4-iteration portable-logreg RE-TRAINING in DuckDB: token
+    // bucket counts once, then per iteration the j-ordered margin fold,
+    // the rational sigmoid residual, and the two-level doc-sorted
+    // gradient fold — every step the engine's exact arithmetic order
+    "q165_classifier_train" ->
+      s"""WITH $clfTrainCtes
+         |SELECT j, round(wv, 9) + 0.0 AS w_r FROM w_$ClfIters ORDER BY j""".stripMargin,
+
+    // held-out gate evaluation: weights re-trained by the q165 CTEs,
+    // test split re-derived from the id unit hash, exp-sigmoid score at
+    // the 0.5 threshold (the q167 gate precedent), exact confusion
+    // counts -> rounded rational metrics
+    "q178_classifier_eval" ->
+      s"""WITH $clfTrainCtes,
+         |wl AS MATERIALIZED (
+         |  SELECT list(wv ORDER BY j) AS wl FROM w_$ClfIters
+         |), ev AS (
+         |  SELECT CAST(doc_id % 2 AS DOUBLE) AS y,
+         |    (1.0 / (1.0 + exp(-(0.0 +
+         |      list_reduce(list_prepend(0.0, list_transform(ts, tok ->
+         |        wl.wl[CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS INT) + 1])),
+         |        (a, x) -> a + x) / len(ts)))) >= 0.5) AS pos
+         |  FROM toks CROSS JOIN wl
+         |  WHERE len(ts) > 0
+         |    AND CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 >= 0.9375
+         |    AND CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 1.0
+         |), cm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(count(*) FILTER (WHERE pos AND y = 1.0) AS BIGINT) AS tp,
+         |    CAST(count(*) FILTER (WHERE pos AND y <> 1.0) AS BIGINT) AS fp,
+         |    CAST(count(*) FILTER (WHERE NOT pos AND y <> 1.0) AS BIGINT) AS tn,
+         |    CAST(count(*) FILTER (WHERE NOT pos AND y = 1.0) AS BIGINT) AS fn
+         |  FROM ev
+         |)
+         |SELECT n_eval, tp, fp, tn, fn,
+         |  round((tp + tn) / CAST(n_eval AS DOUBLE), 6) + 0.0 AS accuracy_r,
+         |  round(tp / CAST(tp + fp AS DOUBLE), 6) + 0.0 AS precision_r,
+         |  round(tp / CAST(tp + fn AS DOUBLE), 6) + 0.0 AS recall_r,
+         |  round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) + 0.0 AS f1_r
+         |FROM cm""".stripMargin,
+
+    // per-frame gradient-hash dump: the clip pixel/sampling/bit
+    // arithmetic replayed exactly, eight 32-bit words per frame
+    "q180_video_frame_hashes" ->
+      (s"WITH ${videoDhashCtes("doc_id < 100")}\n" +
+        """SELECT doc_id, frame_idx, dh0, dh1, dh2, dh3, dh4, dh5, dh6, dh7
+          |FROM hh ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // clip near-dups by frame-set Jaccard: distinct (clip, class),
+    // boilerplate-frequency cap, class-equi pair join, rounded rational
+    "q181_video_near_dups" -> {
+      val w = (0 until 8).map(j => s"dh$j")
+      val wList = w.mkString(", ")
+      val eq = w.map(c => s"a.$c = b.$c").mkString(" AND ")
+      s"""WITH ${videoDhashCtes("doc_id < 200")},
+         |classes AS (
+         |  SELECT DISTINCT doc_id, $wList FROM hh
+         |), freqok AS (
+         |  SELECT $wList FROM classes GROUP BY $wList HAVING count(*) <= 1000
+         |), kept AS (
+         |  SELECT classes.* FROM classes JOIN freqok USING ($wList)
+         |), sizes AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY doc_id
+         |), shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b ON $eq AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), jac AS (
+         |  SELECT id_a, id_b, n_shared,
+         |    round(n_shared / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) + 0.0 AS jaccard_r
+         |  FROM shared
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |)
+         |SELECT id_a, id_b, n_shared, jaccard_r FROM jac
+         |WHERE jaccard_r >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // calibration: re-trained weights, exp-sigmoid scores, decile bins,
+    // two-level ordered fold of p per bin, exact positive counts
+    "q186_classifier_calibration" ->
+      s"""WITH $clfTrainCtes,
+         |wl AS MATERIALIZED (
+         |  SELECT list(wv ORDER BY j) AS wl FROM w_$ClfIters
+         |), sc AS (
+         |  SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y,
+         |    1.0 / (1.0 + exp(-(0.0 +
+         |      list_reduce(list_prepend(0.0, list_transform(ts, tok ->
+         |        wl.wl[CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS INT) + 1])),
+         |        (a, x) -> a + x) / len(ts)))) AS p
+         |  FROM toks CROSS JOIN wl WHERE len(ts) > 0
+         |), binned AS (
+         |  SELECT doc_id, y, p,
+         |    LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b
+         |  FROM sc
+         |), l1 AS (
+         |  SELECT bin, b,
+         |    list_reduce(list_prepend(0.0, list(p ORDER BY doc_id)), (a, x) -> a + x) AS s,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (WHERE y = 1.0) AS BIGINT) AS np
+         |  FROM binned GROUP BY bin, b
+         |), l2 AS (
+         |  SELECT bin,
+         |    list_reduce(list_prepend(0.0, list(s ORDER BY b)), (a, x) -> a + x) AS ps,
+         |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS n_pos
+         |  FROM l1 GROUP BY bin
+         |)
+         |SELECT bin, n, n_pos,
+         |  round(ps / n, 6) + 0.0 AS mean_p_r,
+         |  round(n_pos / CAST(n AS DOUBLE), 6) + 0.0 AS frac_pos_r
+         |FROM l2 ORDER BY bin""".stripMargin,
+
+    // JL projection: the ±chains interpolate term-for-term
+    "q188_random_projection" -> {
+      val chains = rpChainsSql(64, 16, 4242L)
+      val cols = chains.zipWithIndex.map { case (c, i) =>
+        s"  round($c, 6) + 0.0 AS rp_${i + 1}"
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id,
+         |$cols
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
+
+    // recall@10 of the 16-dim JL index vs the exact 64-dim ranking: the
+    // q170 audit chain with the projected lists as the approx side
+    "q189_rp_recall" -> {
+      val rpList = rpChainsSql(64, 16, 4242L).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, v, $rpList AS rp FROM e),
+         |q AS (SELECT * FROM p WHERE vec_id < 20),
+         |ark AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.rp, c.rp) / (sqrt(list_dot_product(q.rp, q.rp)) * sqrt(list_dot_product(c.rp, c.rp))) DESC, c.vec_id) AS rnk
+         |  FROM p c JOIN q ON c.vec_id <> q.vec_id
+         |  WHERE NOT isnan(list_dot_product(q.rp, c.rp) / (sqrt(list_dot_product(q.rp, q.rp)) * sqrt(list_dot_product(c.rp, c.rp))))
+         |), approx AS (SELECT query_id, cid FROM ark WHERE rnk <= 10),
+         |erk AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rnk
+         |  FROM e c JOIN e q ON c.vec_id <> q.vec_id AND q.vec_id < 20
+         |  WHERE NOT isnan(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |), exact AS (SELECT query_id, cid FROM erk WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.query_id, count(*) AS h
+         |  FROM approx a JOIN exact x ON x.query_id = a.query_id AND x.cid = a.cid
+         |  GROUP BY a.query_id
+         |), den AS (
+         |  SELECT query_id, count(*) AS n FROM exact GROUP BY query_id
+         |)
+         |SELECT den.query_id, coalesce(hits.h, 0) AS n_hits,
+         |  round(coalesce(hits.h, 0) / den.n, 6) + 0.0 AS recall_r
+         |FROM den LEFT JOIN hits USING (query_id)
+         |ORDER BY den.query_id""".stripMargin
+    },
+
+    // per-language bigram heavy hitters: same tokenizer CASE, positional
+    // bigram build via list_transform over range (a 1-token doc yields
+    // its one short gram, the engine-wide WordGrams convention), count,
+    // rank ≤ k with the engine's (cnt DESC, ngram binary ASC) tie order
+    "q190_top_ngrams" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents WHERE text IS NOT NULL
+         |), g AS (
+         |  SELECT lang,
+         |    unnest(CASE WHEN len(ts) = 1 THEN [ts[1]]
+         |           ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) END) AS ngram
+         |  FROM d
+         |), c AS (
+         |  SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY lang, ngram
+         |), r AS (
+         |  SELECT lang, ngram, cnt,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram ASC) AS rnk
+         |  FROM c
+         |)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rank, ngram, cnt
+         |FROM r WHERE rnk <= 5
+         |ORDER BY lang, rank""".stripMargin,
+
+    // weekly retention: integer bucket math at micros (the q82/q92
+    // epoch convention), exact distinct-user counts
+    "q199_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS b
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), ub AS (SELECT DISTINCT user_id, b FROM e),
+        |ch AS (SELECT user_id, min(b) AS cohort FROM ub GROUP BY user_id),
+        |act AS (
+        |  SELECT cohort, b - cohort AS "offset",
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM ub JOIN ch USING (user_id) GROUP BY 1, 2
+        |), base AS (SELECT cohort, n_active AS n_cohort FROM act WHERE "offset" = 0)
+        |SELECT act.cohort, act."offset", n_active, n_cohort,
+        |  round(n_active / n_cohort, 6) + 0.0 AS retention_r
+        |FROM act JOIN base USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
+
+    // transition matrix: lead() per user with the engine's (us, id)
+    // order, exact counts, out-probability per from_type
+    "q200_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), nx AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM e
+        |), c AS (
+        |  SELECT event_type AS from_type, nxt AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, round(n / t.tot, 6) + 0.0 AS p_r
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // 30-minute sessionization to session grain: the q33 lag+running-sum
+    // window replay plus per-session bounds and distinct-type counts —
+    // all integer microsecond math
+    "q201_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS duration_us,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // ordered funnel: per-step conditional-min MATERIALIZED CTEs (each
+    // step's earliest qualifying event at-or-after the previous step's
+    // conversion time), ratio assembly on the 4-row frame
+    "q202_funnel" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('signup', 'view', 'click', 'purchase')
+        |), s0 AS MATERIALIZED (
+        |  SELECT u, min(us) AS ti FROM ev WHERE t = 'signup' GROUP BY u
+        |), s1 AS MATERIALIZED (
+        |  SELECT ev.u, min(us) AS ti FROM ev JOIN s0 ON ev.u = s0.u
+        |  WHERE t = 'view' AND us >= s0.ti GROUP BY ev.u
+        |), s2 AS MATERIALIZED (
+        |  SELECT ev.u, min(us) AS ti FROM ev JOIN s1 ON ev.u = s1.u
+        |  WHERE t = 'click' AND us >= s1.ti GROUP BY ev.u
+        |), s3 AS MATERIALIZED (
+        |  SELECT ev.u, min(us) AS ti FROM ev JOIN s2 ON ev.u = s2.u
+        |  WHERE t = 'purchase' AND us >= s2.ti GROUP BY ev.u
+        |), counts AS (
+        |  SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step_type,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM s0
+        |  UNION ALL SELECT 1, 'view', count(*) FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |)
+        |SELECT step_idx, step_type, n_users,
+        |  CASE WHEN first_value(n_users) OVER w > 0
+        |    THEN round(n_users / first_value(n_users) OVER w, 6) + 0.0 END
+        |    AS conv_from_first_r,
+        |  CASE WHEN coalesce(lag(n_users) OVER w, n_users) > 0
+        |    THEN round(n_users / coalesce(lag(n_users) OVER w, n_users), 6) + 0.0 END
+        |    AS conv_from_prev_r
+        |FROM counts WINDOW w AS (ORDER BY step_idx)
+        |ORDER BY step_idx""".stripMargin,
+
+    // fuzzy join: DuckDB levenshtein within nation blocks — the plain
+    // quadratic formulation IS the oracle; the engine answers it with
+    // the symmetric-deletion candidate index
+    "q203_fuzzy_join" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nationkey, c_custkey, c_name FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_name IS NOT NULL
+        |)
+        |SELECT a.nationkey AS nationkey, a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b
+        |  ON a.nationkey = b.nationkey AND a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY nationkey, id_a, id_b""".stripMargin,
+
+    // trailing-3h per-type rates: RANGE frame over the hour ordinal so
+    // gap hours count as empty buckets; integer-cents sums are exact in
+    // any accumulation order
+    "q204_rolling_rates" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL
+        |), pb AS (
+        |  SELECT event_type AS bucket_type, us // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n, sum(cents) AS v_cents
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT bucket_type, bucket, n, CAST(v_cents AS BIGINT) AS v_cents,
+        |  CAST(sum(n) OVER w AS BIGINT) AS roll_n,
+        |  CAST(sum(v_cents) OVER w AS BIGINT) AS roll_cents,
+        |  round(sum(n) OVER w / 3.0, 6) + 0.0 AS avg_n_dense_r
+        |FROM pb WINDOW w AS (PARTITION BY bucket_type ORDER BY bucket
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket_type, bucket""".stripMargin,
+
+    // signup→purchase latency: two |users|-row conditional-min frames,
+    // one exact-percentile row (quantile_cont ≡ Spark percentile)
+    "q205_conversion_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (SELECT u, min(us) AS t0 FROM ev WHERE t = 'signup' GROUP BY u),
+        |l AS (
+        |  SELECT ev.u, min(us - t0) AS lat FROM ev JOIN f ON ev.u = f.u
+        |  WHERE t = 'purchase' AND us >= t0 GROUP BY ev.u
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  min(lat) AS min_us, max(lat) AS max_us,
+        |  round(quantile_cont(lat, 0.5), 6) + 0.0 AS p50_us_r,
+        |  round(quantile_cont(lat, 0.9), 6) + 0.0 AS p90_us_r,
+        |  round(quantile_cont(lat, 0.99), 6) + 0.0 AS p99_us_r
+        |FROM l""".stripMargin,
+
+    // events-per-user magnitude histogram: length(bin(n)) - 1 is the
+    // engine's exact floor(log2) — no FP wobble at power-of-2 boundaries
+    "q206_activity_histogram" ->
+      """WITH n AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  min(n) AS min_events, max(n) AS max_events,
+        |  CAST(sum(n) AS BIGINT) AS sum_events
+        |FROM n GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
+
+    // snapshot diff: per-side md5 value signatures (chr(1) joiner,
+    // chr(0) null sentinel — the engine's exact convention), one
+    // full-outer join, null-change rows filtered
+    "q197_snapshot_diff" ->
+      """WITH sigp AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS o
+        |  FROM documents WHERE doc_id < 800
+        |), cur0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    n_chars
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 1000
+        |), sigc AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(text AS VARCHAR), chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS nw
+        |  FROM cur0
+        |), diff AS (
+        |  SELECT coalesce(sigp.doc_id, sigc.doc_id) AS doc_id,
+        |    CASE WHEN sigp.doc_id IS NULL THEN 'added'
+        |         WHEN sigc.doc_id IS NULL THEN 'removed'
+        |         WHEN o <> nw THEN 'changed' END AS change
+        |  FROM sigp FULL OUTER JOIN sigc ON sigp.doc_id = sigc.doc_id
+        |)
+        |SELECT doc_id, change FROM diff WHERE change IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // n-gram novelty: the q78 trigram CTE shape, doc-distinct grams
+    // anti-joined against the reference gram set
+    "q196_novel_grams" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), tri AS (
+        |  SELECT doc_id, source, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS g
+        |  FROM base WHERE len(toks) > 0
+        |), dgr AS (
+        |  SELECT DISTINCT doc_id, g FROM tri WHERE source = 'src1' AND doc_id IS NOT NULL
+        |), rg AS (SELECT DISTINCT g FROM tri WHERE source = 'src0'),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM dgr GROUP BY doc_id),
+        |nov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM dgr ANTI JOIN rg USING (g) GROUP BY doc_id
+        |)
+        |SELECT tot.doc_id, n_grams, coalesce(n_novel, 0) AS n_novel,
+        |  round(coalesce(n_novel, 0) / n_grams, 6) + 0.0 AS novelty_r
+        |FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    // token drift: per-token smoothed PSI contributions (the q96
+    // formula at token grain), ranked |contrib| DESC / token binary ASC
+    "q195_token_drift" ->
+      s"""WITH d0 AS (
+         |  SELECT CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents WHERE text IS NOT NULL AND source = 'src0'
+         |), d1 AS (
+         |  SELECT CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents WHERE text IS NOT NULL AND source = 'src1'
+         |), r AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n_ref
+         |  FROM (SELECT unnest(ts) AS token FROM d0) GROUP BY token
+         |), c AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n_cur
+         |  FROM (SELECT unnest(ts) AS token FROM d1) GROUP BY token
+         |), j AS (
+         |  SELECT coalesce(r.token, c.token) AS token,
+         |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+         |  FROM r FULL OUTER JOIN c ON r.token = c.token
+         |), t AS (
+         |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc,
+         |    count(*) AS v FROM j
+         |), sc AS (
+         |  SELECT token, n_ref, n_cur,
+         |    (CAST(n_cur + 1 AS DOUBLE) / (tc + v) - CAST(n_ref + 1 AS DOUBLE) / (tr + v))
+         |      * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + v)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + v))) AS contrib
+         |  FROM j CROSS JOIN t
+         |), rk AS (
+         |  SELECT token, n_ref, n_cur, contrib,
+         |    row_number() OVER (ORDER BY abs(contrib) DESC, token ASC) AS rnk
+         |  FROM sc
+         |)
+         |SELECT CAST(rnk AS BIGINT) AS rank, token, n_ref, n_cur,
+         |  round(contrib, 9) + 0.0 AS contrib_r
+         |FROM rk WHERE rnk <= 50
+         |ORDER BY rank""".stripMargin,
+
+    // sketch-prefiltered frequent bigrams: the engine result is provably
+    // the exact thresholded count, so the oracle needs NO sketch replay
+    "q193_frequent_ngrams" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents WHERE text IS NOT NULL
+         |), g AS (
+         |  SELECT lang,
+         |    unnest(CASE WHEN len(ts) = 1 THEN [ts[1]]
+         |           ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) END) AS ngram
+         |  FROM d
+         |), c AS (
+         |  SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY lang, ngram
+         |)
+         |SELECT lang, ngram, cnt FROM c WHERE cnt >= 20
+         |ORDER BY lang, ngram""".stripMargin,
+
+    // heavy-key skew report: count, total, rank with the engine's
+    // (cnt DESC, key binary ASC) tie order — keys compare as STRINGS
+    "q192_skew_report" ->
+      s"""WITH c AS (
+         |  SELECT CAST(l_suppkey AS VARCHAR) AS key,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem GROUP BY 1
+         |), t AS (SELECT sum(cnt) AS tot FROM c),
+         |r AS (
+         |  SELECT key, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+         |  FROM c
+         |)
+         |SELECT CAST(rnk AS BIGINT) AS rank, key, cnt,
+         |  round(cnt / t.tot, 6) + 0.0 AS share_r
+         |FROM r, t WHERE rnk <= 20
+         |ORDER BY rank""".stripMargin,
+
+    // planted-twin recall probe: twin construction, detector replay over
+    // corpus+twins (the q67 sig/pair machinery on the augmented
+    // relation), exact shingle jaccard per planted pair, one-row counts
+    "q187_near_dup_recall" -> {
+      val toksSql =
+        """CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+          |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END""".stripMargin
+      def shSql(x: String) =
+        s"""(CASE WHEN len($x) < 5 THEN [$x]
+           |     ELSE list_distinct(list_transform(range(0, len($x) - 4),
+           |            i -> substr($x, CAST(i + 1 AS INT), 5))) END)""".stripMargin
+      s"""WITH bd AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+         |), pr AS (
+         |  SELECT doc_id, text,
+         |    array_to_string(list_filter($toksSql,
+         |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 7 <> 0), ' ') AS twin
+         |  FROM bd
+         |  WHERE text IS NOT NULL
+         |    AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'probe'), 1, 8)) AS BIGINT) % 20 = 0
+         |), aug AS (
+         |  SELECT doc_id, text FROM bd
+         |  UNION ALL SELECT doc_id + 1000000, twin FROM pr
+         |), ${polyShingleSigCte("aug")}, ${polyPairsCte(0.5)},
+         |pl0 AS (
+         |  SELECT doc_id,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ca,
+         |    trim(lower(regexp_replace(twin, '\\s+', ' ', 'g'))) AS cb
+         |  FROM pr
+         |), pl AS (
+         |  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+         |    ${shSql("ca")} AS sa, ${shSql("cb")} AS sb
+         |  FROM pl0
+         |), rec AS (
+         |  SELECT pl.id_a, pl.id_b,
+         |    CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+         |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) AS exact_j,
+         |    (p.id_a IS NOT NULL) AS hit
+         |  FROM pl LEFT JOIN pairs0 p USING (id_a, id_b)
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_planted,
+         |  CAST(count(*) FILTER (WHERE exact_j >= 0.5) AS BIGINT) AS n_above,
+         |  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_recovered,
+         |  CAST(count(*) FILTER (WHERE hit AND exact_j >= 0.5) AS BIGINT) AS n_recovered_above,
+         |  round(count(*) FILTER (WHERE hit AND exact_j >= 0.5)
+         |    / CAST(count(*) FILTER (WHERE exact_j >= 0.5) AS DOUBLE), 6) + 0.0 AS recall_r,
+         |  round(count(*) FILTER (WHERE hit) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS detection_rate_r
+         |FROM rec""".stripMargin
+    },
+
+    // multi-benchmark contamination report: the q58 gram machinery once
+    // over both benchmarks, aggregated per bench with zero-preserving
+    // totals
+    "q185_contamination_report" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
+        |  FROM base WHERE len(toks) > 0
+        |), d AS (
+        |  SELECT DISTINCT doc_id, tok FROM tri
+        |), c0 AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
+        |b0 AS (
+        |  SELECT (CASE WHEN doc_id < 450 THEN 'benchA' ELSE 'benchB' END)
+        |      || '#' || CAST(doc_id AS VARCHAR) AS bench_id, tok
+        |  FROM d WHERE doc_id >= 400 AND doc_id < 500
+        |),
+        |hot AS (SELECT tok FROM c0 GROUP BY tok HAVING COUNT(*) > 100),
+        |c AS (SELECT * FROM c0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |b AS (SELECT * FROM b0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
+        |common AS (
+        |  SELECT corpus_id, bench_id, COUNT(*) AS n_common
+        |  FROM c JOIN b USING (tok) GROUP BY corpus_id, bench_id
+        |), pairs AS (
+        |  SELECT corpus_id, bench_id, split_part(bench_id, '#', 1) AS bn,
+        |    CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) AS containment
+        |  FROM common JOIN sizes USING (bench_id)
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) >= 0.5
+        |), totals AS (
+        |  SELECT CASE WHEN doc_id < 450 THEN 'benchA' ELSE 'benchB' END AS bn,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bench_docs
+        |  FROM documents WHERE doc_id >= 400 AND doc_id < 500 GROUP BY 1
+        |), agg AS (
+        |  SELECT bn,
+        |    CAST(count(DISTINCT corpus_id) AS BIGINT) AS nc,
+        |    CAST(count(DISTINCT bench_id) AS BIGINT) AS nb,
+        |    max(round(containment, 6) + 0.0) AS mx
+        |  FROM pairs GROUP BY bn
+        |)
+        |SELECT totals.bn AS bench, totals.n_bench_docs,
+        |  coalesce(agg.nc, 0) AS n_contaminated_docs,
+        |  coalesce(agg.nb, 0) AS n_leaking_bench_docs,
+        |  coalesce(agg.mx, 0.0) AS max_containment_r
+        |FROM totals LEFT JOIN agg USING (bn)
+        |ORDER BY bench""".stripMargin,
+
+    // curriculum order: quantile_cont cuts at round-6, boundary ties to
+    // the lower band, md5-hex shuffle within each (stage, shard) cell
+    "q184_curriculum_order" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS sc FROM documents
+        |), c AS (
+        |  SELECT [round(quantile_cont(sc, 0.25), 6),
+        |          round(quantile_cont(sc, 0.5), 6),
+        |          round(quantile_cont(sc, 0.75), 6)] AS cuts
+        |  FROM s WHERE sc IS NOT NULL AND NOT isnan(sc)
+        |), st AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'cur') AS hex,
+        |    CASE WHEN sc IS NULL OR isnan(sc) THEN NULL ELSE
+        |      1 + (CASE WHEN sc > cuts[1] THEN 1 ELSE 0 END)
+        |        + (CASE WHEN sc > cuts[2] THEN 1 ELSE 0 END)
+        |        + (CASE WHEN sc > cuts[3] THEN 1 ELSE 0 END) END AS stage
+        |  FROM s CROSS JOIN c
+        |), sh AS (
+        |  SELECT doc_id, stage, hex,
+        |    CASE WHEN stage IS NULL THEN NULL
+        |         ELSE CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) END AS shard
+        |  FROM st
+        |)
+        |SELECT doc_id, stage, shard,
+        |  CASE WHEN stage IS NULL THEN NULL ELSE
+        |    CAST(row_number() OVER (PARTITION BY stage, shard ORDER BY hex, doc_id) AS BIGINT) END AS curriculum_pos
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // exact clip dup groups: md5 of the frame-ordered hash string, the
+    // planted re-keyed copies re-derived by shifting hh's doc_id
+    "q182_video_dup_groups" -> {
+      val fs = "CAST(frame_idx AS VARCHAR)" +
+        (0 until 8).map(j => s" || ':' || CAST(dh$j AS VARCHAR)").mkString
+      s"""WITH ${videoDhashCtes("doc_id < 100")},
+         |aug AS (
+         |  SELECT doc_id, frame_idx, ${(0 until 8).map(j => s"dh$j").mkString(", ")} FROM hh
+         |  UNION ALL
+         |  SELECT doc_id + 1000, frame_idx, ${(0 until 8).map(j => s"dh$j").mkString(", ")}
+         |  FROM hh WHERE doc_id < 30
+         |), sig AS (
+         |  SELECT doc_id,
+         |    md5(string_agg($fs, '|' ORDER BY frame_idx)) AS clip_sig
+         |  FROM aug GROUP BY doc_id
+         |)
+         |SELECT clip_sig, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_members
+         |FROM sig GROUP BY clip_sig HAVING count(*) >= 2
+         |ORDER BY keep_id""".stripMargin
+    },
+
+    // incremental video ingest: distinct (clip, class) per side, union
+    // frequency cap, cross-side class join, rounded rational jaccard
+    "q183_video_ingest" -> {
+      val w = (0 until 8).map(j => s"dh$j")
+      val wList = w.mkString(", ")
+      s"""WITH ${videoDhashCtes("doc_id < 200 AND doc_id % 2 = 0", "_i")},
+         |${videoDhashCtes("doc_id < 300 AND doc_id % 2 = 1", "_n")},
+         |ci AS (SELECT DISTINCT doc_id AS index_id, $wList FROM hh_i),
+         |cn AS (SELECT DISTINCT doc_id AS new_id, $wList FROM hh_n),
+         |freqok AS (
+         |  SELECT $wList FROM (
+         |    SELECT $wList FROM ci UNION ALL SELECT $wList FROM cn
+         |  ) u GROUP BY $wList HAVING count(*) <= 1000
+         |), ki AS (SELECT ci.* FROM ci JOIN freqok USING ($wList)),
+         |kn AS (SELECT cn.* FROM cn JOIN freqok USING ($wList)),
+         |si AS (SELECT index_id, CAST(count(*) AS BIGINT) AS n FROM ki GROUP BY index_id),
+         |sn AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n FROM kn GROUP BY new_id),
+         |shared AS (
+         |  SELECT kn.new_id, ki.index_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kn JOIN ki USING ($wList)
+         |  GROUP BY kn.new_id, ki.index_id
+         |), jac AS (
+         |  SELECT shared.new_id, shared.index_id, shared.n_shared,
+         |    round(shared.n_shared / CAST(sn.n + si.n - shared.n_shared AS DOUBLE), 6) + 0.0 AS jaccard_r
+         |  FROM shared
+         |  JOIN sn ON sn.new_id = shared.new_id
+         |  JOIN si ON si.index_id = shared.index_id
+         |)
+         |SELECT new_id, index_id, n_shared, jaccard_r FROM jac
+         |WHERE jaccard_r >= 0.5 ORDER BY new_id, index_id""".stripMargin
+    },
+
+    // incremental audio ingest: exact fingerprint classes equi-join,
+    // near classes band cross-side, bit_count verify in 1..3 — the q158
+    // arithmetic over energy fingerprints, two suffixed CTE chains
+    "q179_audio_ingest" ->
+      (s"WITH ${audioFpCtes("doc_id < 200 AND doc_id % 2 = 0", "_i")},\n" +
+        s"${audioFpCtes("doc_id < 300 AND doc_id % 2 = 1", "_n")},\n" +
+        """ci AS (SELECT afp_hi, afp_lo, min(doc_id) AS index_id FROM hh_i GROUP BY afp_hi, afp_lo),
+          |cn AS (SELECT afp_hi, afp_lo, min(doc_id) AS new_id FROM hh_n GROUP BY afp_hi, afp_lo),
+          |ex AS (
+          |  SELECT cn.new_id, ci.index_id, 0 AS hamming
+          |  FROM cn JOIN ci ON cn.afp_hi = ci.afp_hi AND cn.afp_lo = ci.afp_lo
+          |),
+          |bi AS (
+          |  SELECT index_id, 0 AS band, (afp_hi >> 16) & 65535 AS bk FROM ci
+          |  UNION ALL SELECT index_id, 1, afp_hi & 65535 FROM ci
+          |  UNION ALL SELECT index_id, 2, (afp_lo >> 16) & 65535 FROM ci
+          |  UNION ALL SELECT index_id, 3, afp_lo & 65535 FROM ci
+          |),
+          |bn AS (
+          |  SELECT new_id, 0 AS band, (afp_hi >> 16) & 65535 AS bk FROM cn
+          |  UNION ALL SELECT new_id, 1, afp_hi & 65535 FROM cn
+          |  UNION ALL SELECT new_id, 2, (afp_lo >> 16) & 65535 FROM cn
+          |  UNION ALL SELECT new_id, 3, afp_lo & 65535 FROM cn
+          |),
+          |nearc AS (
+          |  SELECT DISTINCT bn.new_id, bi.index_id
+          |  FROM bn JOIN bi ON bn.band = bi.band AND bn.bk = bi.bk
+          |),
+          |near AS (
+          |  SELECT nearc.new_id, nearc.index_id,
+          |    CAST(bit_count(xor(cn.afp_hi, ci.afp_hi)) + bit_count(xor(cn.afp_lo, ci.afp_lo)) AS INT) AS hamming
+          |  FROM nearc
+          |  JOIN cn ON cn.new_id = nearc.new_id
+          |  JOIN ci ON ci.index_id = nearc.index_id
+          |  WHERE bit_count(xor(cn.afp_hi, ci.afp_hi)) + bit_count(xor(cn.afp_lo, ci.afp_lo)) BETWEEN 1 AND 3
+          |)
+          |SELECT * FROM ex UNION ALL SELECT * FROM near
+          |ORDER BY new_id, index_id""".stripMargin),
+
+    // audio energy-fingerprint dump: sample arithmetic, window energies,
+    // and gradient-sign halves replayed exactly
+    "q163_audio_fingerprint" ->
+      (s"WITH ${audioFpCtes()}\n" +
+        """SELECT doc_id, afp_hi, afp_lo FROM hh ORDER BY doc_id""".stripMargin),
+
+    // audio near-dup pairs: distinct fingerprint classes, four 16-bit
+    // bands, bit_count verify — the q153 machinery over energy halves
+    "q164_audio_near_dups" ->
+      (s"WITH ${audioFpCtes()},\n" +
+        """rep AS (
+          |  SELECT min(doc_id) AS doc_id, afp_hi AS hi, afp_lo AS lo
+          |  FROM hh GROUP BY afp_hi, afp_lo
+          |), bands AS (
+          |  SELECT doc_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM rep
+          |  UNION ALL SELECT doc_id, 1, hi & 65535 FROM rep
+          |  UNION ALL SELECT doc_id, 2, (lo >> 16) & 65535 FROM rep
+          |  UNION ALL SELECT doc_id, 3, lo & 65535 FROM rep
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+          |)
+          |SELECT id_a, id_b,
+          |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+          |FROM cand
+          |JOIN rep ha ON ha.doc_id = id_a
+          |JOIN rep hb ON hb.doc_id = id_b
+          |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
+
+    // 256-bit gradient hash dump: the dHash sampling/bit arithmetic
+    // replayed exactly, eight 32-bit words per doc
+    "q160_image_dhash256" ->
+      (s"WITH ${imageDhashCtes("doc_id < 200", "")}\n" +
+        """SELECT doc_id, dh0, dh1, dh2, dh3, dh4, dh5, dh6, dh7
+          |FROM hh ORDER BY doc_id""".stripMargin),
+
+    // 256-bit near-dup pairs: distinct classes by all eight words, band
+    // key = the WORD ITSELF (nBands=8 -> 32-bit keys), bit_count verify
+    // over the eight xors, exact recall at Hamming <= 7
+    "q161_image_near_dups256" ->
+      (s"WITH ${imageDhashCtes("doc_id < 200", "")},\n" +
+        """rep AS (
+          |  SELECT min(doc_id) AS doc_id, dh0, dh1, dh2, dh3, dh4, dh5, dh6, dh7
+          |  FROM hh GROUP BY dh0, dh1, dh2, dh3, dh4, dh5, dh6, dh7
+          |), bands AS (
+          |  SELECT doc_id, 0 AS band, dh0 AS bk FROM rep
+          |  UNION ALL SELECT doc_id, 1, dh1 FROM rep
+          |  UNION ALL SELECT doc_id, 2, dh2 FROM rep
+          |  UNION ALL SELECT doc_id, 3, dh3 FROM rep
+          |  UNION ALL SELECT doc_id, 4, dh4 FROM rep
+          |  UNION ALL SELECT doc_id, 5, dh5 FROM rep
+          |  UNION ALL SELECT doc_id, 6, dh6 FROM rep
+          |  UNION ALL SELECT doc_id, 7, dh7 FROM rep
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+          |)
+          |SELECT id_a, id_b,
+          |  CAST(bit_count(xor(ha.dh0, hb.dh0)) + bit_count(xor(ha.dh1, hb.dh1))
+          |     + bit_count(xor(ha.dh2, hb.dh2)) + bit_count(xor(ha.dh3, hb.dh3))
+          |     + bit_count(xor(ha.dh4, hb.dh4)) + bit_count(xor(ha.dh5, hb.dh5))
+          |     + bit_count(xor(ha.dh6, hb.dh6)) + bit_count(xor(ha.dh7, hb.dh7)) AS INT) AS hamming
+          |FROM cand
+          |JOIN rep ha ON ha.doc_id = id_a
+          |JOIN rep hb ON hb.doc_id = id_b
+          |WHERE bit_count(xor(ha.dh0, hb.dh0)) + bit_count(xor(ha.dh1, hb.dh1))
+          |    + bit_count(xor(ha.dh2, hb.dh2)) + bit_count(xor(ha.dh3, hb.dh3))
+          |    + bit_count(xor(ha.dh4, hb.dh4)) + bit_count(xor(ha.dh5, hb.dh5))
+          |    + bit_count(xor(ha.dh6, hb.dh6)) + bit_count(xor(ha.dh7, hb.dh7)) <= 7
+          |ORDER BY id_a, id_b""".stripMargin),
+
+    // 256-bit incremental ingest: exact classes equi-join all 8 words,
+    // near classes band cross-side (band key = the word), hamming 1..7
+    "q162_image_ingest256" -> {
+      val w = (0 until 8).map(j => s"dh$j")
+      val wList = w.mkString(", ")
+      def classes(sfx: String, idOut: String) =
+        s"SELECT $wList, min(doc_id) AS $idOut FROM hh$sfx GROUP BY $wList"
+      def bandsOf(src: String, idOut: String) =
+        (0 until 8).map(j => s"SELECT $idOut, $j AS band, dh$j AS bk FROM $src")
+          .mkString("\n  UNION ALL ")
+      val eqAll = w.map(c => s"cn.$c = ci.$c").mkString(" AND ")
+      val ham = w.map(c => s"bit_count(xor(cn.$c, ci.$c))").mkString(" + ")
+      s"""WITH ${imageDhashCtes("doc_id < 200 AND doc_id % 2 = 0", "_i")},
+         |${imageDhashCtes("doc_id < 300 AND doc_id % 2 = 1", "_n")},
+         |ci AS (${classes("_i", "index_id")}),
+         |cn AS (${classes("_n", "new_id")}),
+         |ex AS (
+         |  SELECT cn.new_id, ci.index_id, 0 AS hamming
+         |  FROM cn JOIN ci ON $eqAll
+         |),
+         |bi AS (
+         |  ${bandsOf("ci", "index_id")}
+         |),
+         |bn AS (
+         |  ${bandsOf("cn", "new_id")}
+         |),
+         |nearc AS (
+         |  SELECT DISTINCT bn.new_id, bi.index_id
+         |  FROM bn JOIN bi ON bn.band = bi.band AND bn.bk = bi.bk
+         |),
+         |near AS (
+         |  SELECT nearc.new_id, nearc.index_id, CAST($ham AS INT) AS hamming
+         |  FROM nearc
+         |  JOIN cn ON cn.new_id = nearc.new_id
+         |  JOIN ci ON ci.index_id = nearc.index_id
+         |  WHERE $ham BETWEEN 1 AND 7
+         |)
+         |SELECT * FROM ex UNION ALL SELECT * FROM near
+         |ORDER BY new_id, index_id""".stripMargin
+    },
+
+    // planted even/odd image pairs: the perturbed byte rides the CASE,
+    // then banded 16-bit keys and bit_count(xor) verify — identical
+    // candidate + verify arithmetic to the engine
+    "q153_image_near_dups" ->
+      (s"WITH ${imageAhashCtes("doc_id < 200", "")},\n" +
+        """rep AS (
+          |  SELECT min(doc_id) AS doc_id, hi, lo FROM hh GROUP BY hi, lo
+          |), bands AS (
+          |  SELECT doc_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM rep
+          |  UNION ALL SELECT doc_id, 1, hi & 65535 FROM rep
+          |  UNION ALL SELECT doc_id, 2, (lo >> 16) & 65535 FROM rep
+          |  UNION ALL SELECT doc_id, 3, lo & 65535 FROM rep
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+          |)
+          |SELECT id_a, id_b,
+          |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+          |FROM cand
+          |JOIN rep ha ON ha.doc_id = id_a
+          |JOIN rep hb ON hb.doc_id = id_b
+          |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
+
+
+    // incremental image ingest: exact classes equi-join, near classes
+    // band cross-side, bit_count verify in 1..3 — same arithmetic, two
+    // suffixed CTE chains
+    "q158_image_ingest" ->
+      (s"WITH ${imageAhashCtes("doc_id < 200 AND doc_id % 2 = 0", "_i")},\n" +
+        s"${imageAhashCtes("doc_id < 300 AND doc_id % 2 = 1", "_n")},\n" +
+        """ci AS (SELECT hi, lo, min(doc_id) AS index_id FROM hh_i GROUP BY hi, lo),
+          |cn AS (SELECT hi, lo, min(doc_id) AS new_id FROM hh_n GROUP BY hi, lo),
+          |ex AS (
+          |  SELECT cn.new_id, ci.index_id, 0 AS hamming
+          |  FROM cn JOIN ci ON cn.hi = ci.hi AND cn.lo = ci.lo
+          |),
+          |bi AS (
+          |  SELECT index_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM ci
+          |  UNION ALL SELECT index_id, 1, hi & 65535 FROM ci
+          |  UNION ALL SELECT index_id, 2, (lo >> 16) & 65535 FROM ci
+          |  UNION ALL SELECT index_id, 3, lo & 65535 FROM ci
+          |),
+          |bn AS (
+          |  SELECT new_id, 0 AS band, (hi >> 16) & 65535 AS bk FROM cn
+          |  UNION ALL SELECT new_id, 1, hi & 65535 FROM cn
+          |  UNION ALL SELECT new_id, 2, (lo >> 16) & 65535 FROM cn
+          |  UNION ALL SELECT new_id, 3, lo & 65535 FROM cn
+          |),
+          |nearc AS (
+          |  SELECT DISTINCT bn.new_id, bi.index_id FROM bn JOIN bi USING (band, bk)
+          |),
+          |nr AS (
+          |  SELECT n.new_id, n.index_id,
+          |    CAST(bit_count(xor(cn.hi, ci.hi)) + bit_count(xor(cn.lo, ci.lo)) AS INT) AS hamming
+          |  FROM nearc n
+          |  JOIN cn ON cn.new_id = n.new_id
+          |  JOIN ci ON ci.index_id = n.index_id
+          |)
+          |SELECT new_id, index_id, hamming FROM ex
+          |UNION ALL
+          |SELECT new_id, index_id, hamming FROM nr WHERE hamming BETWEEN 1 AND 3
+          |ORDER BY new_id, index_id""".stripMargin),
+
+    // per-dim moment folds in the engine's exact order: unseeded level-1
+    // list_reduce (the vector aggregator's v0+v1+...), prepend-seeded
+    // level-2 over bucket partials, x·x per element before any fold
+    "q156_dim_stats" ->
+      (dimStatsCte +
+        """SELECT dim, round(mean, 9) + 0.0 AS mean_r,
+          |  round(GREATEST(m2 - mean * mean, 0.0), 9) + 0.0 AS var_r,
+          |  round(sqrt(GREATEST(m2 - mean * mean, 0.0)), 9) + 0.0 AS std_r
+          |FROM m ORDER BY dim""".stripMargin),
+
+    "q157_standardized" ->
+      (dimStatsCte +
+        """, st AS (
+          |  SELECT dim, mean, sqrt(GREATEST(m2 - mean * mean, 0.0)) AS std FROM m
+          |), z AS (
+          |  SELECT e.vec_id, st.dim,
+          |    CASE WHEN st.std = 0.0 THEN 0.0
+          |         ELSE (e.v[st.dim + 1] - st.mean) / st.std END AS zv
+          |  FROM e JOIN st ON st.dim < 3
+          |)
+          |SELECT vec_id,
+          |  round(max(CASE WHEN dim = 0 THEN zv END), 6) + 0.0 AS z0,
+          |  round(max(CASE WHEN dim = 1 THEN zv END), 6) + 0.0 AS z1,
+          |  round(max(CASE WHEN dim = 2 THEN zv END), 6) + 0.0 AS z2
+          |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
+    // exact-hash image classes: same cell/threshold replay as q153, then
+    // a plain group-by with the min-id keeper
+    "q155_image_dup_groups" ->
+      (s"WITH ${imageAhashCtes("doc_id < 200", "")}\n" +
+        """SELECT hi AS ahash_hi, lo AS ahash_lo,
+          |  min(doc_id) AS keep_id, count(*) AS n_members
+          |FROM hh GROUP BY hi, lo HAVING count(*) >= 2
+          |ORDER BY keep_id""".stripMargin),
+
+
+    // token-denominated temperature budgets: exact integer totals, the
+    // q64 sorted-source sqrt fold, then the q137 admission window with a
+    // per-source budget; the filter compares the RAW budget double
+    "q154_token_budget_mix" ->
+      """WITH cl AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+        |), tt AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS t FROM cl GROUP BY source
+        |), zz AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(sqrt(CAST(t AS DOUBLE)) ORDER BY source)),
+        |    (a, b) -> a + b) AS z
+        |  FROM tt
+        |), bud AS (
+        |  SELECT tt.source, 60000.0 * (sqrt(CAST(t AS DOUBLE)) / z) AS b FROM tt, zz
+        |), h AS (
+        |  SELECT cl.*,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-tbm'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM cl
+        |), r AS (
+        |  SELECT h.doc_id, h.source, h.n_chars, bud.b,
+        |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY h.source ORDER BY uh, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+        |    row_number() OVER (PARTITION BY h.source ORDER BY uh, doc_id) AS budget_rank
+        |  FROM h JOIN bud ON bud.source = h.source
+        |)
+        |SELECT doc_id, source, n_chars, round(b, 6) + 0.0 AS budget_r, tokens_before, budget_rank
+        |FROM r WHERE tokens_before < b
+        |ORDER BY source, budget_rank""".stripMargin,
+
+    // group-hashed split: the q36 cut arithmetic over md5(source||salt)
+    "q147_group_split" ->
+      """WITH sp AS (
+        |  SELECT source,
+        |    CASE WHEN uh < 0.75 THEN 'train'
+        |         WHEN uh < 0.875 THEN 'val'
+        |         WHEN uh < 1.0 THEN 'test'
+        |         ELSE NULL END AS split
+        |  FROM (
+        |    SELECT source,
+        |      CAST(CAST(('0x' || substr(md5(source || 'graft-gs'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |    FROM documents)
+        |)
+        |SELECT source, split, count(*) AS n
+        |FROM sp GROUP BY source, split
+        |ORDER BY source, split""".stripMargin,
+
+    // the q79 quality blend + the q136 sampled-quantile machinery, per
+    // source (quantile_cont == exact percentile, q93/q113 parity)
+    "q145_source_quality" ->
+      (s"WITH ${qualityCte("documents WHERE text IS NOT NULL", "source")},\n" +
+        """h AS (
+          |  SELECT source, doc_id, qscore,
+          |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-sq2'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+          |  FROM scored WHERE qscore IS NOT NULL
+          |), r AS (
+          |  SELECT source, qscore, row_number() OVER (PARTITION BY source ORDER BY uh, doc_id) AS rn
+          |  FROM h
+          |)
+          |SELECT source,
+          |  quantile_cont(qscore, 0.25) AS q25,
+          |  quantile_cont(qscore, 0.5) AS q50,
+          |  quantile_cont(qscore, 0.9) AS q90
+          |FROM r WHERE rn <= 16 GROUP BY source ORDER BY source""".stripMargin),
+
+    // DuckDB re-trains the portable kmeans end to end (4 Lloyd rounds)
+    "q143_kmeans_train" ->
+      (kmPrefix(KmClusters, KmIters, KmSalt) + s"""
+         |SELECT cid AS cluster, i AS dim, round(c[i+1], 9) + 0.0 AS c_r
+         |FROM cent_$KmIters, unnest(range(len(c))) AS u(i)
+         |ORDER BY cluster, dim""".stripMargin),
+
+    "q144_kmeans_sizes" ->
+      (kmPrefix(KmClusters, KmIters, KmSalt) + s""",
+         |asg_f AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY 2 * list_dot_product(e.v, c.c) - c.c2 DESC, c.cid) AS rnk
+         |    FROM e CROSS JOIN cent_$KmIters c
+         |  ) WHERE rnk = 1
+         |)
+         |SELECT cid AS cluster, count(*) AS n
+         |FROM asg_f GROUP BY cid ORDER BY cluster""".stripMargin),
+
+    // cross-side-only band join: batch buckets vs index buckets, never
+    // index-index; agreement arithmetic identical to the q67 pair oracle
+    "q141_incremental_near_dups" ->
+      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000 AND doc_id % 4 <> 0", "_i")},
+         |${polyShingleSigCte("documents WHERE doc_id < 1000 AND doc_id % 4 = 0", "_n")},
+         |bk_i AS (
+         |${polyBandSelectsFor("_i")}
+         |), bk_n AS (
+         |${polyBandSelectsFor("_n")}
+         |), cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+         |  FROM bk_n n JOIN bk_i i ON n.band = i.band AND n.band_key = i.band_key
+         |)
+         |SELECT new_id, index_id, CAST(($polyAgreeSql) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM cand
+         |JOIN sig_n sa ON sa.doc_id = new_id
+         |JOIN sig_i sb ON sb.doc_id = index_id
+         |WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.5
+         |ORDER BY new_id, index_id""".stripMargin,
+
+    "q142_incremental_dedup" ->
+      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000 AND doc_id % 4 <> 0", "_i")},
+         |${polyShingleSigCte("documents WHERE doc_id < 1000 AND doc_id % 4 = 0", "_n")},
+         |bk_i AS (
+         |${polyBandSelectsFor("_i")}
+         |), bk_n AS (
+         |${polyBandSelectsFor("_n")}
+         |), cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+         |  FROM bk_n n JOIN bk_i i ON n.band = i.band AND n.band_key = i.band_key
+         |), hit AS (
+         |  SELECT DISTINCT new_id
+         |  FROM cand
+         |  JOIN sig_n sa ON sa.doc_id = new_id
+         |  JOIN sig_i sb ON sb.doc_id = index_id
+         |  WHERE CAST(($polyAgreeSql) AS DOUBLE) / 16.0 >= 0.5
+         |)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id < 1000 AND d.doc_id % 4 = 0
+         |  AND d.doc_id NOT IN (SELECT new_id FROM hit)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // two-level deterministic centroid fold: per (label, dim, md5-bucket)
+    // list_reduce in id order, then in bucket order — the engine's exact
+    // summation order, so means agree bit-for-bit before the round
+    "q138_label_centroids" ->
+      (labelCentroidCte +
+        """SELECT label, dim, round(m, 9) + 0.0 AS mean_r
+          |FROM c ORDER BY label, dim""".stripMargin),
+
+    "q139_label_noise" ->
+      (labelCentroidCte +
+        """, cent AS (
+          |  SELECT label, list(m ORDER BY dim) AS cv FROM c GROUP BY label
+          |), scored AS (
+          |  SELECT e.label, e.vec_id,
+          |    round(list_dot_product(e.v, cent.cv) /
+          |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) + 0.0 AS cr
+          |  FROM e JOIN cent ON e.label = cent.label
+          |), rk AS (
+          |  SELECT label, vec_id, cr,
+          |    row_number() OVER (PARTITION BY label ORDER BY cr ASC, vec_id) AS noise_rank
+          |  FROM scored WHERE NOT isnan(cr)
+          |)
+          |SELECT label, vec_id, cr AS cos_centroid_r, noise_rank
+          |FROM rk WHERE noise_rank <= 5
+          |ORDER BY label, noise_rank""".stripMargin),
+
+    "q140_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), a AS (
+        |  SELECT vec_id AS anchor_id, label AS al, v AS av FROM e WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+        |    round(list_dot_product(av, e.v) /
+        |      (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0.0 AS cr
+        |  FROM a JOIN e ON e.label <> a.al
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cr DESC, neg_id) AS neg_rank
+        |  FROM sc WHERE NOT isnan(cr)
+        |)
+        |SELECT anchor_id, neg_id, neg_label, cr AS cos_r, neg_rank
+        |FROM rk WHERE neg_rank <= 5
+        |ORDER BY anchor_id, neg_rank""".stripMargin,
+
+    // LSH hard negatives: the q45 hyperplane-key interpolation, any-table
+    // bucket match restricted to different-label pairs, exact cosine +
+    // the engine's (cr DESC, neg_id) tie order over candidates only
+    "q159_hard_negatives_lsh" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 4, t => 7919L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, label, v,
+         |$sums
+         |  FROM e
+         |), kk AS (
+         |  SELECT vec_id, label, v,
+         |$keys
+         |  FROM s
+         |), a AS (SELECT * FROM kk WHERE vec_id < 50),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS neg_id
+         |  FROM kk c JOIN a ON c.label <> a.label
+         |    AND (c.k_0 = a.k_0 OR c.k_1 = a.k_1 OR c.k_2 = a.k_2 OR c.k_3 = a.k_3)
+         |), sc AS (
+         |  SELECT cand.anchor_id, cand.neg_id, c.label AS neg_label,
+         |    round(list_dot_product(a.v, c.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) + 0.0 AS cr
+         |  FROM cand
+         |  JOIN e c ON c.vec_id = cand.neg_id
+         |  JOIN e a ON a.vec_id = cand.anchor_id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cr DESC, neg_id) AS neg_rank
+         |  FROM sc WHERE NOT isnan(cr)
+         |)
+         |SELECT anchor_id, neg_id, neg_label, cr AS cos_r, neg_rank
+         |FROM rk WHERE neg_rank <= 5
+         |ORDER BY anchor_id, neg_rank""".stripMargin
+    },
+
+    "q132_bpe_pair_counts" ->
+      ("WITH " + bpeW0Sql + "\n" +
+        """SELECT s[i+1] AS left_sym, s[i+2] AS right_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+          |FROM state_0, unnest(range(len(s)-1)) AS u(i)
+          |GROUP BY 1, 2
+          |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 30""".stripMargin),
+
+    // full 12-round BPE re-training in DuckDB: the merge table must be
+    // IDENTICAL to the engine's (same greedy semantics, same tie-break)
+    "q133_bpe_train" ->
+      (bpeStatePrefix(BpeNumMerges) + "\n" +
+        (1 to BpeNumMerges).map(r =>
+          s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, CAST(c AS BIGINT) AS pair_count FROM best_$r")
+          .mkString(" UNION ALL ") + " ORDER BY merge_rank"),
+
+    // token frequencies after 12 merges == symbol frequencies of the
+    // training state (encode-in-rank-order ≡ training-state-after-k,
+    // both greedy): weight each distinct word's symbols by its count
+    "q134_bpe_token_freq" ->
+      (bpeStatePrefix(BpeNumMerges) + s"""
+         |SELECT sym AS token, CAST(sum(cnt) AS BIGINT) AS freq
+         |FROM state_$BpeNumMerges, unnest(s) AS u(sym)
+         |GROUP BY sym ORDER BY freq DESC, token LIMIT 40""".stripMargin),
+
+    // fertility: per-occurrence word stream joined to the replayed
+    // training state's symbol lengths, exact integer sums per source
+    "q174_bpe_fertility" ->
+      (bpeStatePrefix(BpeNumMerges) + s""",
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN text IS NULL OR len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |           ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END) AS word
+         |  FROM documents
+         |),
+         |tl AS (
+         |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS w, CAST(sum(len(st.s)) AS BIGINT) AS b
+         |  FROM dw JOIN state_$BpeNumMerges st USING (word)
+         |  GROUP BY dw.doc_id
+         |),
+         |agg AS (
+         |  SELECT d.source,
+         |    CAST(sum(coalesce(tl.w, 0)) AS BIGINT) AS n_words,
+         |    CAST(sum(coalesce(tl.b, 0)) AS BIGINT) AS n_bpe_tokens
+         |  FROM documents d LEFT JOIN tl USING (doc_id)
+         |  GROUP BY d.source
+         |)
+         |SELECT source, n_words, n_bpe_tokens,
+         |  round(n_bpe_tokens / n_words, 6) + 0.0 AS fertility_r
+         |FROM agg ORDER BY source""".stripMargin),
+
+    // tokenize (replayed training state) -> q76 shard/shuffle -> q60
+    // packing arithmetic, end to end in one SQL chain
+    "q146_bpe_packing" ->
+      (bpeStatePrefix(BpeNumMerges) + s""",
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN text IS NULL OR len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |           ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END) AS word
+         |  FROM documents
+         |),
+         |tl AS (
+         |  SELECT dw.doc_id, CAST(sum(len(st.s)) AS BIGINT) AS n
+         |  FROM dw JOIN state_$BpeNumMerges st USING (word)
+         |  GROUP BY dw.doc_id
+         |),
+         |lens AS (
+         |  SELECT d.doc_id, coalesce(tl.n, 0) AS n_bpe_tokens
+         |  FROM documents d LEFT JOIN tl USING (doc_id)
+         |),
+         |hx AS (
+         |  SELECT doc_id, n_bpe_tokens, md5(CAST(doc_id AS VARCHAR) || 'graft-pack') AS hex
+         |  FROM lens
+         |),
+         |sp AS (
+         |  SELECT doc_id, n_bpe_tokens,
+         |    CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+         |    CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT)
+         |      ORDER BY hex, doc_id) AS BIGINT) AS shuffle_pos
+         |  FROM hx
+         |),
+         |o AS (
+         |  SELECT doc_id, shard, shuffle_pos, n_bpe_tokens,
+         |    CAST(SUM(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY shuffle_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe_tokens AS BIGINT) AS "offset"
+         |  FROM sp
+         |)
+         |SELECT doc_id, shard, shuffle_pos, n_bpe_tokens, "offset",
+         |  "offset" // 512 AS chunk_first,
+         |  ("offset" + GREATEST(n_bpe_tokens, 1) - 1) // 512 AS chunk_last,
+         |  ("offset" + GREATEST(n_bpe_tokens, 1) - 1) // 512 - "offset" // 512 + 1 AS n_chunks
+         |FROM o ORDER BY shard, shuffle_pos""".stripMargin),
+
+    "q135_bpe_tokens_per_doc" ->
+      (bpeStatePrefix(BpeNumMerges) + s""",
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN text IS NULL OR len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |           ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END) AS word
+         |  FROM documents
+         |),
+         |tl AS (
+         |  SELECT dw.doc_id, CAST(sum(len(st.s)) AS BIGINT) AS n
+         |  FROM dw JOIN state_$BpeNumMerges st USING (word)
+         |  GROUP BY dw.doc_id
+         |)
+         |SELECT d.doc_id, coalesce(tl.n, 0) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN tl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    "q30_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  round(SUM(l_extendedprice), 2) + 0.0 AS sum_base_r,
+        |  round(SUM(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS sum_disc_r,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q31_join_revenue" ->
+      """SELECT n_name, round(SUM(o_totalprice), 2) + 0.0 AS revenue_r, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q32_window_running" ->
+      """SELECT event_id, user_id, value,
+        |  round(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0 AS run_sum_r
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q33_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  -- DuckDB windowed SUM over integers yields HUGEINT (float64 in the
+        |  -- driver's frame); CAST pins it to int64 to match Spark's output.
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event,
+        |  max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q34_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events
+        |), c AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.us,
+        |    p.event_id AS asof_event_id, p.us AS asof_us, p.value AS asof_value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.us DESC, p.event_id DESC) AS rn
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.us <= c.us
+        |)
+        |SELECT event_id, user_id, us, asof_event_id, asof_us, asof_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q35_range_join" ->
+      """WITH bands AS (
+        |  SELECT n_nationkey, n_name,
+        |    CAST(n_nationkey AS DOUBLE) * 20000.0 AS lo,
+        |    CAST(n_nationkey AS DOUBLE) * 20000.0 + 40000.0 AS hi
+        |  FROM nation
+        |), o AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders)
+        |SELECT o_orderkey, price, n_nationkey, n_name
+        |FROM o JOIN bands ON price >= lo AND price < hi
+        |ORDER BY o_orderkey, n_nationkey""".stripMargin,
+
+    "q68_rollup" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q70_set_ops" ->
+      """SELECT k, has_orders FROM (
+        |  SELECT k, 1 AS has_orders FROM (
+        |    SELECT c_custkey AS k FROM customer
+        |    INTERSECT
+        |    SELECT o_custkey AS k FROM orders
+        |  )
+        |  UNION ALL
+        |  SELECT k, 0 AS has_orders FROM (
+        |    SELECT c_custkey AS k FROM customer
+        |    EXCEPT
+        |    SELECT o_custkey AS k FROM orders
+        |  )
+        |) ORDER BY k""".stripMargin,
+
+    "q72_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  round(SUM(o_totalprice), 2) + 0.0 AS sum_price_r,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q69_lead_lag" ->
+      """SELECT event_id, user_id,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q80_pivot" ->
+      """SELECT source,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'de'), 6) + 0.0 AS avg_de,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'en'), 6) + 0.0 AS avg_en,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'es'), 6) + 0.0 AS avg_es,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'fr'), 6) + 0.0 AS avg_fr,
+        |  round(avg(n_chars) FILTER (WHERE lang = 'zh'), 6) + 0.0 AS avg_zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q81_ntile_rank" ->
+      """SELECT doc_id, lang,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 9) + 0.0 AS pct_rank_r,
+        |  round(cume_dist() OVER w, 9) + 0.0 AS cume_r
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // dense hourly grid per event type (integer-div bucketing of epoch
+    // nanos), empty buckets joined in as zeros, running sum forward-filled
+    // with LAST_VALUE IGNORE NULLS over the same frame the engine uses
+    "q82_resample_fill" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+        |         count(*) AS n, sum(value) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(bucket) AS lo, max(bucket) AS hi FROM b
+        |), grid AS (
+        |  SELECT t.event_type, g.bucket
+        |  FROM (SELECT DISTINCT event_type FROM b) t,
+        |       (SELECT unnest(range(lo, hi + 1)) AS bucket FROM bounds) g
+        |), joined AS (
+        |  SELECT g.event_type, g.bucket, b.n, b.sv
+        |  FROM grid g LEFT JOIN b USING (event_type, bucket)
+        |)
+        |SELECT event_type, bucket,
+        |  coalesce(n, 0) AS n_events,
+        |  round(last_value(sv IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS filled_sum_r
+        |FROM joined ORDER BY event_type, bucket""".stripMargin,
+
+    "q83_vocabulary" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(ts) AS term FROM toks
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2
+        |), v AS (
+        |  SELECT term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS term_freq
+        |  FROM tf GROUP BY term
+        |)
+        |SELECT term, doc_freq, term_freq FROM v
+        |ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin,
+
+    // BM25 constants are interpolated from the SAME Scala doubles the
+    // operator uses (Double.toString round-trips exactly), so the two
+    // sides cannot drift; the contribution fold is term-sorted on both.
+    "q84_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), dl AS (
+         |  SELECT doc_id, len(ts) AS dl, ts FROM toks
+         |), posting AS (
+         |  SELECT doc_id, dl, unnest(ts) AS term FROM dl
+         |), tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM posting GROUP BY 1, 2, 3
+         |), consts AS (
+         |  SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+         |), q(qid, term) AS (
+         |  VALUES (1, 'query'), (1, 'hash'), (1, 'join'),
+         |         (2, 'window'), (2, 'agg'), (2, 'fast'),
+         |         (3, 'customer'), (3, 'order'), (3, 'value'), (3, 'part')
+         |), m AS (
+         |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf
+         |  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+         |), dfq AS (
+         |  SELECT term, count(*) AS df FROM m GROUP BY term
+         |), contrib AS (
+         |  SELECT m.doc_id, m.term,
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |      ((tf * ${1.2 + 1.0}) / (tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * dl / avgdl))) AS c
+         |  FROM m JOIN dfq USING (term) CROSS JOIN consts
+         |), sc AS (
+         |  SELECT qid, doc_id,
+         |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
+         |  FROM contrib JOIN q USING (term) GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT qid, rank, doc_id, round(score, 6) + 0.0 AS score_r
+         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // z-scores from EXACT integer moments — both engines derive
+    // mean/variance from the same exact sums, so the doubles agree bitwise
+    "q85_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT lang, count(n_chars) AS n, sum(n_chars) AS sx,
+        |         sum(CAST(n_chars AS BIGINT) * n_chars) AS sxx
+        |  FROM documents GROUP BY lang
+        |), z AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    CAST(sx AS DOUBLE) / n AS mean,
+        |    CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS var
+        |  FROM documents d JOIN st USING (lang)
+        |)
+        |SELECT doc_id, lang, n_chars,
+        |  round(CASE WHEN var > 0 THEN (CAST(n_chars AS DOUBLE) - mean) / sqrt(var) END, 9) + 0.0 AS z_r,
+        |  CASE WHEN var > 0 THEN abs((CAST(n_chars AS DOUBLE) - mean) / sqrt(var)) > 2.0 END AS is_outlier
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q86_chunking" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(text) <= 200 THEN 1
+        |         ELSE CAST(ceil(CAST(len(text) - 200 AS DOUBLE) / 150.0) AS BIGINT) + 1 END AS nc
+        |  FROM documents WHERE text IS NOT NULL
+        |), e AS (
+        |  SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM n
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  substr(text, chunk_idx * 150 + 1, 200) AS chunk,
+        |  len(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_len
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // MLE bigram model from the corpus itself; doc score = Σ over DISTINCT
+    // bigrams of (in-doc count × ln p), folded in bigram-sorted order —
+    // identical-value addition commutes exactly, so this equals the
+    // position-order sum while staying engine-reproducible
+    "q87_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, unnest([ts[i] || ' ' || ts[i + 1] FOR i IN range(1, len(ts))]) AS bigram
+        |  FROM toks WHERE len(ts) >= 2
+        |), bc AS (
+        |  SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1, count(*) AS bc
+        |  FROM bi GROUP BY 1, 2, 3
+        |), bg AS (
+        |  SELECT w1, bigram, CAST(sum(bc) AS BIGINT) AS c2 FROM bc GROUP BY 1, 2
+        |), h AS (
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1
+        |), pr AS (
+        |  SELECT bigram, c2 / c1 AS p FROM bg JOIN h USING (w1)
+        |), sc AS (
+        |  SELECT doc_id, CAST(sum(bc) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(0.0, list(bc * ln(p) ORDER BY bigram)), (a, b) -> a + b) AS lp
+        |  FROM bc JOIN pr USING (bigram) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, n_bigrams,
+        |  round(lp / n_bigrams, 6) + 0.0 AS avg_logp_r,
+        |  round(exp(-(lp / n_bigrams)), 6) + 0.0 AS ppl_r
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q88_latest_snapshot" ->
+      """WITH rk AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, ts_us, value
+        |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q89_expectations" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_quantity,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_discount,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+        |  FROM lineitem
+        |)
+        |SELECT * FROM (
+        |  SELECT 'quantity_range' AS check_name, n AS n_rows, v_quantity AS n_violations,
+        |         round(CAST(v_quantity AS DOUBLE) / n, 9) + 0.0 AS violation_rate_r FROM t
+        |  UNION ALL
+        |  SELECT 'price_positive', n, v_price, round(CAST(v_price AS DOUBLE) / n, 9) + 0.0 FROM t
+        |  UNION ALL
+        |  SELECT 'discount_cap', n, v_discount, round(CAST(v_discount AS DOUBLE) / n, 9) + 0.0 FROM t
+        |  UNION ALL
+        |  SELECT 'returnflag_domain', n, v_flag, round(CAST(v_flag AS DOUBLE) / n, 9) + 0.0 FROM t
+        |  UNION ALL
+        |  SELECT 'shipdate_not_null', n, v_ship, round(CAST(v_ship AS DOUBLE) / n, 9) + 0.0 FROM t
+        |) ORDER BY check_name""".stripMargin,
+
+    "q90_classifier_gate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id,
+         |    ($clfBias)::DOUBLE + CASE WHEN len(ts) > 0 THEN
+         |      list_reduce(list_prepend(0.0, list_transform(ts, t ->
+         |        $clfWeightsSql[CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS INT) + 1])),
+         |        (a, b) -> a + b) / len(ts)
+         |    END AS margin
+         |  FROM toks
+         |)
+         |SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-margin)), 9) + 0.0 AS prob_r,
+         |  (1.0 / (1.0 + exp(-margin)) >= 0.5) AS accept
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q91_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q92_rolling_mean" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(bucket) AS lo, max(bucket) AS hi FROM b
+        |), grid AS (
+        |  SELECT t.event_type, g.bucket
+        |  FROM (SELECT DISTINCT event_type FROM b) t,
+        |       (SELECT unnest(range(lo, hi + 1)) AS bucket FROM bounds) g
+        |), joined AS (
+        |  SELECT g.event_type, g.bucket, coalesce(b.n, 0) AS n_events
+        |  FROM grid g LEFT JOIN b USING (event_type, bucket)
+        |)
+        |SELECT event_type, bucket, n_events,
+        |  round(avg(n_events) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 9) + 0.0 AS roll_r
+        |FROM joined ORDER BY event_type, bucket""".stripMargin,
+
+    "q93_percentiles" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT lang,
+        |  round(qs[1], 6) + 0.0 AS p25,
+        |  round(qs[2], 6) + 0.0 AS p50,
+        |  round(qs[3], 6) + 0.0 AS p75,
+        |  round(qs[4], 6) + 0.0 AS p90
+        |FROM q ORDER BY lang""".stripMargin,
+
+    "q94_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q95_histogram" ->
+      """SELECT lang, n_chars // 100 AS bin, count(*) AS n_docs,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+    "q96_drift_psi" ->
+      """WITH r AS (
+        |  SELECT n_chars // 100 AS bin, count(*) AS n_ref
+        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT n_chars // 100 AS bin, count(*) AS n_cur
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(r.bin, c.bin) AS bin,
+        |         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM r FULL OUTER JOIN c ON r.bin = c.bin
+        |), t AS (
+        |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc,
+        |         count(*) AS b FROM j
+        |)
+        |SELECT bin, n_ref, n_cur,
+        |  round(CAST(n_ref + 1 AS DOUBLE) / (tr + b), 9) + 0.0 AS p_ref_r,
+        |  round(CAST(n_cur + 1 AS DOUBLE) / (tc + b), 9) + 0.0 AS p_cur_r,
+        |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + b) - CAST(n_ref + 1 AS DOUBLE) / (tr + b))
+        |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + b)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + b))), 9) + 0.0 AS contrib_r
+        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // corpus signatures = per-position min over the per-doc signatures
+    // (s1..s16 from the SAME interpolated polyPerms the engine uses)
+    "q97_corpus_overlap" -> {
+      def sigCte(tag: String, src: String) =
+        s"""t$tag AS (
+           |  SELECT CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+           |         ELSE list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS ts
+           |  FROM documents WHERE source = '$src'
+           |), h$tag AS (
+           |  SELECT list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs FROM t$tag
+           |), g$tag AS (
+           |  SELECT
+           |$polySigList
+           |  FROM h$tag
+           |), m$tag AS (SELECT ${(1 to 16).map(j => s"min(s$j) AS s$j").mkString(", ")} FROM g$tag)""".stripMargin
+      s"""WITH ${sigCte("a", "src0")},
+         |${sigCte("b", "src1")},
+         |ag AS (
+         |  SELECT (${(1 to 16).map(j => s"CASE WHEN ma.s$j = mb.s$j THEN 1 ELSE 0 END").mkString(" + ")}) AS agreement
+         |  FROM ma CROSS JOIN mb
+         |)
+         |SELECT CAST(agreement AS BIGINT) AS agreement,
+         |  CAST(agreement AS DOUBLE) / 16 AS jaccard_est
+         |FROM ag""".stripMargin
+    },
+
+    "q98_funnel_conversion" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+        |), c AS (
+        |  SELECT * FROM e WHERE event_type = 'click'
+        |), conv AS (
+        |  SELECT c.event_id, c.us,
+        |    EXISTS (SELECT 1 FROM e p
+        |            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |              AND p.us >= c.us AND p.us - c.us <= 3600000000) AS converted
+        |  FROM c
+        |)
+        |SELECT us // 86400000000 AS day, count(*) AS n_clicks,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+        |  round(CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9) + 0.0 AS rate_r
+        |FROM conv GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q99_json_extract" ->
+      """WITH x AS (
+        |  SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events
+        |)
+        |SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(CAST(sum(k) AS DOUBLE) / count(k), 9) + 0.0 AS avg_k_r
+        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q100_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(sum(l_quantity), 6) + 0.0 AS sum_qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q101_salted_join" ->
+      """SELECT o_custkey, count(*) AS n_lines,
+        |  round(sum(l_quantity), 6) + 0.0 AS qty_r
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    // adaptive salting is RESULT-transparent: the oracle is the same
+    // unsalted join — only the physical replication differs
+    "q198_adaptive_salted_join" ->
+      """SELECT o_custkey, count(*) AS n_lines,
+        |  round(sum(l_quantity), 6) + 0.0 AS qty_r
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    "q102_incremental_diff" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, n_chars, source,
+        |    md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_chars FROM fp c
+        |WHERE source = 'src1'
+        |  AND NOT EXISTS (SELECT 1 FROM fp p WHERE p.source = 'src0' AND p.f = c.f)
+        |ORDER BY doc_id""".stripMargin,
+
+    // stage counts off the same CTE chain as q71; no lang allowlist, so
+    // output == afterQuality
+    "q103_funnel_portable" -> {
+      s"""WITH canon0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ccanon
+         |  FROM documents
+         |), exact AS (
+         |  SELECT * FROM canon0
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM canon0 GROUP BY md5(ccanon))
+         |), ${polyShingleSigCte("exact")}, ${polyPairsCte(0.9)}, losers AS (
+         |  SELECT DISTINCT id_b FROM pairs0
+         |), surv AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |), ${qualityCte("surv", "lang, source, n_chars")}
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_input,
+         |  (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM surv) AS n_near,
+         |  (SELECT count(*) FROM scored WHERE qscore >= 30.0) AS n_quality,
+         |  (SELECT count(*) FROM scored WHERE qscore >= 30.0) AS n_output""".stripMargin
+    },
+
+    // q71's chain -> join text back -> q46/q48/q49/q36-style enrichment,
+    // with the default salt 'graft' and dyadic cuts 0.875/0.9375/1.0
+    "q104_prepare_portable" -> {
+      s"""WITH canon0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ccanon
+         |  FROM documents
+         |), exact AS (
+         |  SELECT * FROM canon0
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM canon0 GROUP BY md5(ccanon))
+         |), ${polyShingleSigCte("exact")}, ${polyPairsCte(0.9)}, losers AS (
+         |  SELECT DISTINCT id_b FROM pairs0
+         |), surv AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |), ${qualityCte("surv", "lang, source, n_chars")}, final0 AS (
+         |  SELECT s.doc_id, s.lang, s.source, s.n_chars, v.text
+         |  FROM scored s JOIN surv v USING (doc_id)
+         |  WHERE s.qscore >= 30.0
+         |), hits AS (
+         |  SELECT *,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('el','la','de','que','y','en','los','se','del','las'))) AS c_es,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('le','la','les','de','et','des','un','une','du','est'))) AS c_fr,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('der','die','das','und','von','zu','den','mit','ist','im'))) AS c_de
+         |  FROM final0
+         |), enr AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tokens,
+         |    CASE
+         |      WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) AND c_en > 0 THEN 'en'
+         |      WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) AND c_es > 0 THEN 'es'
+         |      WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) AND c_fr > 0 THEN 'fr'
+         |      WHEN c_de = GREATEST(c_en, c_es, c_fr, c_de) AND c_de > 0 THEN 'de'
+         |      ELSE 'und' END AS lang_id,
+         |    md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+         |  FROM hits
+         |)
+         |SELECT doc_id, lang, source, n_chars, n_tokens, lang_id, fingerprint,
+         |  CASE WHEN uh < 0.875 THEN 'train'
+         |       WHEN uh < 0.9375 THEN 'val'
+         |       WHEN uh < 1.0 THEN 'test'
+         |       ELSE NULL END AS split
+         |FROM enr ORDER BY doc_id""".stripMargin
+    },
+
+    // q104's chain + the q90 classifier margin as a gate after the
+    // quality stage (between decontamination and enrichment)
+    "q167_prepare_clf_gate" -> {
+      s"""WITH canon0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ccanon
+         |  FROM documents
+         |), exact AS (
+         |  SELECT * FROM canon0
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM canon0 GROUP BY md5(ccanon))
+         |), ${polyShingleSigCte("exact")}, ${polyPairsCte(0.9)}, losers AS (
+         |  SELECT DISTINCT id_b FROM pairs0
+         |), surv AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |), ${qualityCte("surv", "lang, source, n_chars")}, final0 AS (
+         |  SELECT s.doc_id, s.lang, s.source, s.n_chars, v.text
+         |  FROM scored s JOIN surv v USING (doc_id)
+         |  WHERE s.qscore >= 30.0
+         |), clf AS (
+         |  SELECT *,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM final0
+         |), clfg AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM clf
+         |  WHERE len(ts) > 0 AND 1.0 / (1.0 + exp(-(
+         |    ($clfBias)::DOUBLE +
+         |    list_reduce(list_prepend(0.0, list_transform(ts, t ->
+         |      $clfWeightsSql[CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS INT) + 1])),
+         |      (a, b) -> a + b) / len(ts)))) >= 0.45
+         |), hits AS (
+         |  SELECT *,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('el','la','de','que','y','en','los','se','del','las'))) AS c_es,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('le','la','les','de','et','des','un','une','du','est'))) AS c_fr,
+         |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'), x -> x IN ('der','die','das','und','von','zu','den','mit','ist','im'))) AS c_de
+         |  FROM clfg
+         |), enr AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tokens,
+         |    CASE
+         |      WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) AND c_en > 0 THEN 'en'
+         |      WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) AND c_es > 0 THEN 'es'
+         |      WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) AND c_fr > 0 THEN 'fr'
+         |      WHEN c_de = GREATEST(c_en, c_es, c_fr, c_de) AND c_de > 0 THEN 'de'
+         |      ELSE 'und' END AS lang_id,
+         |    md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+         |  FROM hits
+         |)
+         |SELECT doc_id, lang, source, n_chars, n_tokens, lang_id, fingerprint,
+         |  CASE WHEN uh < 0.875 THEN 'train'
+         |       WHEN uh < 0.9375 THEN 'val'
+         |       WHEN uh < 1.0 THEN 'test'
+         |       ELSE NULL END AS split
+         |FROM enr ORDER BY doc_id""".stripMargin
+    },
+
+    "q105_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), rk AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS sample_rank
+        |  FROM u
+        |)
+        |SELECT doc_id, source, n_chars, sample_rank FROM rk
+        |WHERE sample_rank <= 20 ORDER BY source, sample_rank""".stripMargin,
+
+    "q106_dedup_keep_best" -> {
+      s"""WITH ${qualityCte("documents", "lang, source, n_chars")}, f AS (
+         |  SELECT s.doc_id, s.lang, s.source, s.n_chars, s.qscore,
+         |    md5(trim(lower(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM scored s JOIN documents d USING (doc_id)
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp
+         |    ORDER BY qscore DESC, doc_id DESC) AS rn
+         |  FROM f
+         |)
+         |SELECT doc_id, lang, source, n_chars, round(qscore, 6) + 0.0 AS q_r
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "q107_knn_eval" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv FROM e WHERE vec_id < 100),
+        |pairs AS (
+        |  SELECT qid, true_label, e.vec_id AS nn_id, e.label AS pred_label,
+        |    round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_r
+        |  FROM q, e WHERE e.vec_id <> qid
+        |), top1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, nn_id) AS rn
+        |    FROM pairs WHERE NOT isnan(cos_r)
+        |  ) WHERE rn = 1
+        |), cm AS (
+        |  SELECT true_label, pred_label, count(*) AS n FROM top1 GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT true_label AS clazz, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1
+        |), cs AS (
+        |  SELECT pred_label AS clazz, CAST(sum(n) AS BIGINT) AS predicted FROM cm GROUP BY 1
+        |), dg AS (
+        |  SELECT true_label AS clazz, n AS tp FROM cm WHERE true_label = pred_label
+        |), j AS (
+        |  SELECT coalesce(rs.clazz, cs.clazz) AS clazz,
+        |    coalesce(support, 0) AS support, coalesce(predicted, 0) AS predicted
+        |  FROM rs FULL OUTER JOIN cs ON rs.clazz = cs.clazz
+        |), j2 AS (
+        |  SELECT j.clazz, support, CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+        |    CASE WHEN predicted > 0 THEN CAST(coalesce(tp, 0) AS DOUBLE) / predicted END AS p,
+        |    CASE WHEN support > 0 THEN CAST(coalesce(tp, 0) AS DOUBLE) / support END AS r
+        |  FROM j LEFT JOIN dg ON j.clazz = dg.clazz
+        |)
+        |SELECT clazz, support, tp,
+        |  round(p, 9) + 0.0 AS precision_r,
+        |  round(r, 9) + 0.0 AS recall_r,
+        |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END, 9) + 0.0 AS f1_r
+        |FROM j2 ORDER BY clazz""".stripMargin,
+
+    "q61_group_topk" ->
+      """WITH j AS (
+        |  SELECT n_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |), rk AS (
+        |  SELECT n_name, o_orderkey, price,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY price DESC, o_orderkey) AS rank
+        |  FROM j
+        |)
+        |SELECT n_name, rank, o_orderkey, price
+        |FROM rk WHERE rank <= 5 ORDER BY n_name, rank""".stripMargin,
+
+    "q36_hash_split" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r2'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM documents
+        |)
+        |SELECT doc_id, source,
+        |  CASE WHEN uh < 0.75 THEN 'train'
+        |       WHEN uh < 0.875 THEN 'val'
+        |       WHEN uh < 1.0 THEN 'test'
+        |       ELSE NULL END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q37_quantize_embed" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |    ELSE list_transform(embedding, x ->
+        |      CAST(GREATEST(-127.0, LEAST(127.0,
+        |        sign(CAST(x AS DOUBLE) / scale * 127.0) *
+        |        floor(abs(CAST(x AS DOUBLE) / scale * 127.0) + 0.5))) AS INTEGER))
+        |    END AS codes
+        |  FROM q
+        |)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  round(list_sum(list_transform(codes, cd -> CAST(cd AS DOUBLE) * scale / 127.0)), 6) + 0.0 AS dequant_sum_r
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q38_quantized_topk" ->
+      """WITH c0 AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |), cod AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0.0)
+        |    ELSE list_transform(embedding, x ->
+        |      GREATEST(-127.0, LEAST(127.0,
+        |        sign(CAST(x AS DOUBLE) / scale * 127.0) *
+        |        floor(abs(CAST(x AS DOUBLE) / scale * 127.0) + 0.5))))
+        |    END AS codes
+        |  FROM c0
+        |), qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, codes AS qc FROM cod WHERE vec_id < 5
+        |), cand AS (
+        |  SELECT query_id, c.vec_id, c.embedding AS cv, qs.qv,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_dot_product(qs.qc, c.codes) DESC, c.vec_id) AS arank
+        |  FROM cod c, qs WHERE c.vec_id <> query_id
+        |), scored AS (
+        |  SELECT query_id, vec_id,
+        |    list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cosine
+        |  FROM cand WHERE arank <= 30
+        |), rk AS (
+        |  -- zero-norm corpus vectors: Spark drops the NaN cosine rows
+        |  -- before ranking; DuckDB's x/0 is NULL — filter to mirror
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
+        |  FROM scored WHERE cosine IS NOT NULL
+        |)
+        |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
+        |FROM rk WHERE nn_rank <= 10 ORDER BY query_id, nn_rank""".stripMargin,
+
+    "q40_dedup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |  FROM documents
+        |)
+        |SELECT doc_id, fingerprint,
+        |  COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q58_contamination" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), tri AS (
+        |  -- empty docs emit NO grams (mirrors the engine's size guard)
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
+        |  FROM base WHERE len(toks) > 0
+        |), d AS (
+        |  SELECT DISTINCT doc_id, tok FROM tri
+        |), c0 AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
+        |b0 AS (SELECT doc_id AS bench_id, tok FROM d WHERE doc_id >= 400),
+        |-- mirror of maxDocFreq=100: drop ONLY over-cap corpus grams from
+        |-- both sides (bench grams absent from the corpus stay in the
+        |-- denominator)
+        |hot AS (SELECT tok FROM c0 GROUP BY tok HAVING COUNT(*) > 100),
+        |c AS (SELECT * FROM c0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |b AS (SELECT * FROM b0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
+        |common AS (
+        |  SELECT corpus_id, bench_id, COUNT(*) AS n_common
+        |  FROM c JOIN b USING (tok) GROUP BY corpus_id, bench_id
+        |)
+        |SELECT corpus_id, bench_id, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) AS containment
+        |FROM common JOIN sizes USING (bench_id)
+        |WHERE CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) >= 0.5
+        |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q42_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 2000
+        |), d0 AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM toks
+        |), keep AS (
+        |  -- mirror of maxDocFreq=400: drop tokens present in >400 docs
+        |  SELECT tok FROM d0 GROUP BY tok HAVING COUNT(*) <= 400
+        |), d AS (
+        |  SELECT d0.* FROM d0 JOIN keep USING (tok)
+        |), sizes AS (
+        |  -- sizes AFTER the DF filter, matching the Spark operator
+        |  SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM d a JOIN d b ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT id_a, id_b, n_common,
+        |    CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |)
+        |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_token_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN [] ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) * 1.0 / CAST(len(toks) AS DOUBLE) AS avg_word_len,
+        |  len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
+        |    x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS en_stopword_hits
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q46b_bpeish_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[\w]+|[^\w\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q47b_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(lines) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END, 9) + 0.0 AS dup_line_frac_r,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END, 9) + 0.0 AS rep_tok_frac_r
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q48_lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+        |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), x -> x IN ('el','la','de','que','y','en','los','se','del','las'))) AS c_es,
+        |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), x -> x IN ('le','la','les','de','et','des','un','une','du','est'))) AS c_fr,
+        |    len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), x -> x IN ('der','die','das','und','von','zu','den','mit','ist','im'))) AS c_de
+        |  FROM documents
+        |)
+        |SELECT doc_id, CASE
+        |  WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) AND c_en > 0 THEN 'en'
+        |  WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) AND c_es > 0 THEN 'es'
+        |  WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) AND c_fr > 0 THEN 'fr'
+        |  WHEN c_de = GREATEST(c_en, c_es, c_fr, c_de) AND c_de > 0 THEN 'de'
+        |  ELSE 'und' END AS lang_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q49_fingerprint" ->
+      """SELECT doc_id, md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every arithmetic step of polyMinhashBands mirrored: md5-prefix token
+    // hashes, (a*h+b) mod p permutations with the SAME polyPerms constants
+    // (interpolated below), min over the token set, 4-slice band keys
+    "q62_poly_minhash" ->
+      s"""WITH $polySigCte
+         |SELECT doc_id, band, band_key FROM (
+         |$polyBandSelects
+         |)
+         |ORDER BY doc_id, band""".stripMargin,
+
+    // pair-level poly minhash over char 5-shingles: sig + band CTEs, then
+    // the bucketed candidate self-join and the position-agreement Jaccard
+    // estimate (an exact n/16 rational in both engines)
+    "q67_poly_near_dup" ->
+      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000")}, ${polyPairsCte(0.5)}
+         |SELECT id_a, id_b, est_jaccard FROM pairs0
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the full cleaning chain mirrored step-for-step: strip script/style +
+    // tags, decode entities (ampersand LAST), drop boilerplate lines,
+    // redact email -> phone -> IP, collapse whitespace; pii counts run on
+    // the decoded pre-boilerplate text exactly like TextCleaning.clean
+    "q63_text_cleaning" ->
+      """WITH raw AS (
+        |  -- concat_ws, not '||': Spark's concat_ws SKIPS null columns, so
+        |  -- a null text row keeps the literal lines instead of nulling out
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      '<div>Call 555-123-4567 or mail bob@example.com</div><script>var x=1;</script>',
+        |      text,
+        |      'Copyright 2024 All rights reserved',
+        |      'range 2020-2024 ping 10.0.0.1 &amp;lt;tag&gt; done') AS h
+        |  FROM documents
+        |), detag AS (
+        |  SELECT doc_id, h, regexp_replace(regexp_replace(h,
+        |    '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |    '<[^>]*>', ' ', 'g') AS s
+        |  FROM raw
+        |), dec AS (
+        |  SELECT doc_id, h, replace(replace(replace(replace(replace(replace(replace(s,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&apos;', chr(39)), '&amp;', '&') AS s
+        |  FROM detag
+        |), boiler AS (
+        |  SELECT doc_id, h, s,
+        |    array_to_string(list_filter(string_split(s, chr(10)), l ->
+        |      len(regexp_replace(l, '^\s+|\s+$', '', 'g')) > 0 AND NOT regexp_matches(
+        |        regexp_replace(l, '^\s+|\s+$', '', 'g'),
+        |        '(?i)(cookie|copyright|all rights reserved|terms of (use|service)|privacy policy|subscribe|sign in|log in|newsletter|click here)')),
+        |      chr(10)) AS kept
+        |  FROM dec
+        |), red AS (
+        |  -- redaction order email -> IP -> phone (mirrors redactPii)
+        |  SELECT doc_id, h, s,
+        |    regexp_replace(regexp_replace(regexp_replace(kept,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+?\d(?:[()\-. ]{0,2}\d){8,15}', '<PHONE>', 'g') AS r,
+        |    regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS se
+        |  FROM boiler
+        |), red2 AS (
+        |  SELECT *, regexp_replace(se,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS si
+        |  FROM red
+        |)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(r, '\s+', ' ', 'g'), '^ | $', '', 'g')) AS clean_digest,
+        |  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(si, '\+?\d(?:[()\-. ]{0,2}\d){8,15}')) AS n_phones,
+        |  len(regexp_extract_all(se, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  round(CASE WHEN len(string_split(h, chr(10))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(string_split(h, chr(10)), l ->
+        |      len(regexp_replace(l, '^\s+|\s+$', '', 'g')) = 0 OR regexp_matches(
+        |        regexp_replace(l, '^\s+|\s+$', '', 'g'),
+        |        '(?i)(cookie|copyright|all rights reserved|terms of (use|service)|privacy policy|subscribe|sign in|log in|newsletter|click here)'))) AS DOUBLE)
+        |      / CAST(len(string_split(h, chr(10))) AS DOUBLE) END, 9) + 0.0 AS boiler_frac_r
+        |FROM red2 ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules measure-for-measure: q46's token CTE (trim-both +
+    // \s+ split, empty -> []), literal-\n line split, non-overlapping
+    // symbol scan, presence (not count) of the 8 required stop words;
+    // x/0 -> NULL on both engines, CASE/when treat a NULL contains as 0,
+    // and NULL AND FALSE = FALSE in both 3VLs, so g_pass is total
+    "q110_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN [] ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN [] ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS lowtoks,
+        |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS g_words,
+        |    CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) * 1.0 / CAST(len(toks) AS DOUBLE) AS awl,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symr,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•‣▪]'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS bf,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS ef,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS af,
+        |    (CASE WHEN list_contains(lowtoks, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(lowtoks, 'with') THEN 1 ELSE 0 END) AS hits
+        |  FROM d
+        |)
+        |SELECT doc_id, g_words,
+        |  round(awl, 6) + 0.0 AS awl_r,
+        |  round(symr, 6) + 0.0 AS symbol_r,
+        |  round(bf, 6) + 0.0 AS bullet_r,
+        |  round(ef, 6) + 0.0 AS ellipsis_r,
+        |  round(af, 6) + 0.0 AS alpha_r,
+        |  hits AS g_stopword_hits,
+        |  coalesce(g_words BETWEEN 50 AND 100000
+        |    AND awl BETWEEN 3.0 AND 10.0
+        |    AND symr <= 0.1
+        |    AND coalesce(bf <= 0.9, true)
+        |    AND coalesce(ef <= 0.3, true)
+        |    AND af >= 0.8
+        |    AND hits >= 2, false) AS g_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // PageRank: 5 chained iteration CTEs, each the engine's exact
+    // arithmetic — teleport (1-d)/N + d * the TWO-LEVEL contribution
+    // fold (src-sorted fold per (dst, md5 sub-bucket), then bucket-sorted
+    // fold of the partials — the hub-safe order the engine uses)
+    "q117_pagerank" -> {
+      def iterCte(cur: String, prev: String): String =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |    (1.0 - 0.85) / CAST(nn.n AS DOUBLE) + 0.85 * COALESCE(s.acc, 0.0) AS rank
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT dst AS node,
+           |      list_reduce(list_prepend(0.0, list(p ORDER BY b)), (a, x) -> a + x) AS acc
+           |    FROM (
+           |      SELECT e.dst, e.b,
+           |        list_reduce(list_prepend(0.0, list(r.rank * e.w / e.outw ORDER BY e.src)), (a, x) -> a + x) AS p
+           |      FROM e JOIN $prev r ON e.src = r.node
+           |      GROUP BY e.dst, e.b) s1
+           |    GROUP BY dst) s ON s.node = nodes.node
+           |)""".stripMargin
+      val iters = (1 to 5).map(i => iterCte(s"r$i", s"r${i - 1}")).mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2
+         |), od AS (SELECT src, SUM(w) AS outw FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, e0.w, od.outw,
+         |  CAST(('0x' || substr(md5(CAST(e0.src AS VARCHAR)), 1, 4)) AS BIGINT) % 1024 AS b
+         |  FROM e0 JOIN od USING (src)),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst FROM e0),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank FROM nodes, nn),
+         |$iters
+         |SELECT node, round(rank, 9) + 0.0 AS rank_r FROM r5 ORDER BY node""".stripMargin
+    },
+
+    // DSIR: md5-bucketed bigram counts, add-alpha log-likelihood ratios
+    // (ln == Math.log bit-exact, the q105 pair), per-doc bucket-sorted
+    // fold of count x llr, top 50 by raw score then the rounded display
+    // order. alpha*buckets is interpolated from the engine's own double
+    // product so both sides smooth with the identical constant.
+    "q118_dsir" -> {
+      val aB = (0.01 * 4096).toString
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS toks
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) = 0 THEN []
+         |         WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) END AS gs
+         |  FROM tok
+         |), gb AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+         |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+         |), tc AS (SELECT b, count(*) AS ct FROM gb WHERE doc_id >= 400 GROUP BY b),
+         |rc AS (SELECT b, count(*) AS cr FROM gb WHERE doc_id < 400 GROUP BY b),
+         |tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS nt,
+         |               (SELECT COALESCE(SUM(cr), 0) FROM rc) AS nr),
+         |w AS (
+         |  SELECT COALESCE(tc.b, rc.b) AS b,
+         |    ln((CAST(COALESCE(tc.ct, 0) AS DOUBLE) + CAST(0.01 AS DOUBLE))
+         |       / (CAST(nt AS DOUBLE) + CAST($aB AS DOUBLE)))
+         |    - ln((CAST(COALESCE(rc.cr, 0) AS DOUBLE) + CAST(0.01 AS DOUBLE))
+         |       / (CAST(nr AS DOUBLE) + CAST($aB AS DOUBLE))) AS llr
+         |  FROM tc FULL JOIN rc ON tc.b = rc.b CROSS JOIN tot
+         |), dbc AS (
+         |  SELECT doc_id, b, count(*) AS cnt FROM gb WHERE doc_id < 400 GROUP BY doc_id, b
+         |), sc AS (
+         |  SELECT dbc.doc_id,
+         |    list_reduce(list_prepend(0.0, list(CAST(dbc.cnt AS DOUBLE) * COALESCE(w.llr, 0.0) ORDER BY dbc.b)), (a, x) -> a + x) AS s
+         |  FROM dbc LEFT JOIN w ON dbc.b = w.b
+         |  GROUP BY dbc.doc_id
+         |), top AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 50)
+         |SELECT doc_id, round(s, 6) + 0.0 AS dsir_score_r FROM top
+         |ORDER BY dsir_score_r DESC, doc_id""".stripMargin
+    },
+
+    // 13-gram collision decontamination: lowercased whitespace tokens
+    // (the q58 idiom), 13-token windows with the WordGrams short-doc
+    // convention (sub-13 docs contribute their whole token string), any
+    // shared window with the bench tail -> dropped. q120 (the Bloom
+    // pre-filtered path) is bit-identical and reuses this oracle.
+    "q119_span_decontaminate" -> spanDecontaminateOracle,
+
+    // KMV bottom-k distinct sketch: k smallest distinct 60-bit md5 hashes
+    // per source; exact count below k, (k-1)/u_k estimator above. The
+    // 63*2^60 numerator is exact in a double on both engines, so the
+    // division is the only rounding step and it is IEEE-identical.
+    "q121_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS u
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT source, u, row_number() OVER (PARTITION BY source ORDER BY u) AS rn FROM h
+        |), a AS (
+        |  SELECT source, max(u) AS uk, count(*) AS m FROM r WHERE rn <= 64 GROUP BY source
+        |)
+        |SELECT source,
+        |  CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(uk AS DOUBLE) END AS est_distinct
+        |FROM a ORDER BY source""".stripMargin,
+
+    // KMV overlap: per-side and merged bottom-64 sketches; intersection by
+    // inclusion-exclusion clamped at 0; every estimate replays the q121
+    // estimator arithmetic
+    "q125_kmv_overlap" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS u
+        |  FROM documents WHERE doc_id < 400 AND text IS NOT NULL
+        |), hb AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS u
+        |  FROM documents WHERE doc_id >= 300 AND text IS NOT NULL
+        |), hu AS (
+        |  SELECT u FROM ha UNION SELECT u FROM hb
+        |), ea AS (
+        |  SELECT max(u) AS uk, count(*) AS m
+        |  FROM (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM ha) WHERE rn <= 64
+        |), eb AS (
+        |  SELECT max(u) AS uk, count(*) AS m
+        |  FROM (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM hb) WHERE rn <= 64
+        |), eu AS (
+        |  SELECT max(u) AS uk, count(*) AS m
+        |  FROM (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM hu) WHERE rn <= 64
+        |), est AS (
+        |  SELECT
+        |    (SELECT CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(uk AS DOUBLE) END FROM ea) AS est_a,
+        |    (SELECT CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(uk AS DOUBLE) END FROM eb) AS est_b,
+        |    (SELECT CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(uk AS DOUBLE) END FROM eu) AS est_union
+        |)
+        |SELECT est_a, est_b, est_union,
+        |  GREATEST(est_a + est_b - est_union, 0.0) AS est_intersection,
+        |  CASE WHEN est_union > 0.0
+        |       THEN GREATEST(est_a + est_b - est_union, 0.0) / est_union
+        |       ELSE 0.0 END AS est_jaccard
+        |FROM est""".stripMargin,
+
+    // NFC canonicalization: plant e+COMBINING ACUTE (chr(769) = U+0301),
+    // nfc_normalize must recompose to the same code-point counts and
+    // changed flags the native expression produces
+    "q128_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t FROM documents
+        |)
+        |SELECT doc_id, len(t) AS n_decomposed, len(nfc_normalize(t)) AS n_nfc,
+        |  nfc_normalize(t) != t AS changed
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // split leakage: the q67 pair pipeline joined onto the q36 split
+    // labels, keeping only cross-split pairs (IS DISTINCT FROM matches
+    // the engine's null-safe inequality)
+    "q127_split_leakage" ->
+      s"""WITH ${polyShingleSigCte("documents WHERE doc_id < 1000")}, ${polyPairsCte(0.5)},
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN uh < 0.75 THEN 'train'
+         |         WHEN uh < 0.875 THEN 'val'
+         |         WHEN uh < 1.0 THEN 'test'
+         |         ELSE NULL END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r2'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+         |    FROM documents WHERE doc_id < 1000)
+         |)
+         |SELECT id_a, sa.split AS split_a, id_b, sb.split AS split_b, est_jaccard
+         |FROM pairs0
+         |JOIN sp sa ON sa.doc_id = id_a
+         |JOIN sp sb ON sb.doc_id = id_b
+         |WHERE sa.split IS DISTINCT FROM sb.split
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // z-order: same quantization (double ratio, floor, clamp) and the same
+    // 16 interleave terms — bit j of dim d lands at position k*2 + d
+    "q131_zorder_key" -> {
+      val terms = (0 until 8).flatMap { k =>
+        Seq(s"(((q0 >> $k) & 1) << ${k * 2})", s"(((q1 >> $k) & 1) << ${k * 2 + 1})")
+      }.mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT CAST(min(l_partkey) AS DOUBLE) AS mn0, CAST(max(l_partkey) AS DOUBLE) AS mx0,
+         |         CAST(min(l_suppkey) AS DOUBLE) AS mn1, CAST(max(l_suppkey) AS DOUBLE) AS mx1
+         |  FROM lineitem
+         |), q AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN l_partkey IS NULL OR mx0 = mn0 THEN 0
+         |         ELSE LEAST(255, GREATEST(0, CAST(floor((CAST(l_partkey AS DOUBLE) - mn0) / (mx0 - mn0) * 256) AS BIGINT))) END AS q0,
+         |    CASE WHEN l_suppkey IS NULL OR mx1 = mn1 THEN 0
+         |         ELSE LEAST(255, GREATEST(0, CAST(floor((CAST(l_suppkey AS DOUBLE) - mn1) / (mx1 - mn1) * 256) AS BIGINT))) END AS q1
+         |  FROM lineitem, s
+         |)
+         |SELECT l_orderkey, l_linenumber, $terms AS zorder_key
+         |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    // within-doc line dedup: indexed list_filter keeps a line iff blank or
+    // unseen in the prefix (1-based lambda index; coalesce guards the
+    // list_position absent-value convention across DuckDB versions)
+    "q130_doc_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10), 'Nav | Menu', text, 'Nav | Menu', '', text, 'Footer') AS lined
+        |  FROM documents
+        |), split_ AS (
+        |  SELECT doc_id, string_split(lined, chr(10)) AS lines FROM planted
+        |), dl AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_filter(lines, (l, i) -> l = '' OR coalesce(list_position(lines[1:i-1], l), 0) = 0),
+        |    chr(10)) AS dedup_text
+        |  FROM split_
+        |)
+        |SELECT doc_id, dedup_text, len(string_split(dedup_text, chr(10))) AS n_lines_after
+        |FROM dl ORDER BY doc_id""".stripMargin,
+
+    // grouped bootstrap: q126's resampling with lang in every GROUP BY;
+    // the weight arithmetic is identical because draws key on doc_id only
+    "q129_grouped_bootstrap" ->
+      """WITH rws AS (
+        |  SELECT lang, doc_id AS id, n_chars AS x FROM documents WHERE n_chars IS NOT NULL
+        |), u AS (
+        |  SELECT lang, x, b,
+        |    CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM rws, (SELECT unnest(range(0, 200)) AS b)
+        |), w AS (
+        |  SELECT lang, b, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999909967049427 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM u
+        |), pr AS (
+        |  SELECT lang, b, CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+        |  FROM w GROUP BY lang, b HAVING sum(w) > 0
+        |), ci AS (
+        |  SELECT lang, quantile_cont(m, 0.025) AS ci_low, quantile_cont(m, 0.975) AS ci_high,
+        |         count(*) AS replicas
+        |  FROM pr GROUP BY lang
+        |), base AS (
+        |  SELECT lang, CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM rws GROUP BY lang
+        |)
+        |SELECT base.lang, mean, ci_low, ci_high, replicas
+        |FROM base JOIN ci USING (lang) ORDER BY lang""".stripMargin,
+
+    // Poisson bootstrap: per-(row, replica) Poisson(1) weights via the
+    // inverse CDF over md5 unit draws (the literal thresholds mirror
+    // Bootstrap.PoissonCdf); replica sums are exact integers, the CI is
+    // quantile_cont == Spark exact percentile (q93-verified)
+    "q126_bootstrap_ci" ->
+      """WITH rws AS (
+        |  SELECT doc_id AS id, n_chars AS x FROM documents WHERE n_chars IS NOT NULL
+        |), u AS (
+        |  SELECT x, b,
+        |    CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM rws, (SELECT unnest(range(0, 200)) AS b)
+        |), w AS (
+        |  SELECT b, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999909967049427 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM u
+        |), pr AS (
+        |  SELECT b, CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+        |  FROM w GROUP BY b HAVING sum(w) > 0
+        |)
+        |SELECT
+        |  (SELECT CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM rws) AS mean,
+        |  quantile_cont(m, 0.025) AS ci_low,
+        |  quantile_cont(m, 0.975) AS ci_high,
+        |  count(*) AS replicas
+        |FROM pr""".stripMargin,
+
+    // count-min sketch: depth-4 x width-512 grid, cell = md5("row:token")
+    // 60-bit prefix mod width; estimate = min counter across rows, missing
+    // cells read 0. Token multiset via the q84/q87 split idiom.
+    "q122_cms_counts" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), tok AS (
+        |  SELECT unnest(ts) AS t FROM toks
+        |), cells AS (
+        |  SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, 15)) AS BIGINT) % 512 AS cell,
+        |         count(*) AS cnt
+        |  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS r) GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT unnest(['the', 'and', 'of', 'to', 'data', 'supplier', 'quality',
+        |                 'zzz_absent_token', 'qqq_never_seen']) AS token
+        |), pc AS (
+        |  SELECT token, r,
+        |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 512 AS cell
+        |  FROM probes, (SELECT unnest([0, 1, 2, 3]) AS r)
+        |)
+        |SELECT token, min(coalesce(cnt, 0)) AS est_count
+        |FROM pc LEFT JOIN cells USING (r, cell)
+        |GROUP BY token ORDER BY token""".stripMargin,
+
+    // exact-substring self-dedup, detection half: positioned lowercased
+    // 13-token windows (short docs = whole token string at pos 0), every
+    // occurrence of a >1-count window except the (doc_id, pos)-smallest
+    "q123_repeated_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, pw.pos AS pos, pw.win AS win FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(0, GREATEST(len(toks) - 13, 0) + 1),
+        |      i -> {'pos': i, 'win': array_to_string(toks[i + 1 : i + 13], ' ')})) AS pw
+        |    FROM base WHERE len(toks) > 0)
+        |), rep AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(*) > 1
+        |), ranked AS (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM w WHERE win IN (SELECT win FROM rep)
+        |)
+        |SELECT doc_id, pos FROM ranked WHERE rn > 1 ORDER BY doc_id, pos""".stripMargin,
+
+    // removal half: cut [pos, pos+13) token ranges of each removal from
+    // its doc (1-based lambda index in DuckDB vs 0-based in Spark);
+    // untouched docs keep original text, trimmed docs come back
+    // whitespace-normalized from case-preserved tokens
+    "q124_self_dedup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS rtoks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, pw.pos AS pos, pw.win AS win FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(0, GREATEST(len(toks) - 13, 0) + 1),
+        |      i -> {'pos': i, 'win': array_to_string(toks[i + 1 : i + 13], ' ')})) AS pw
+        |    FROM base WHERE len(toks) > 0)
+        |), rep AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(*) > 1
+        |), ranked AS (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM w WHERE win IN (SELECT win FROM rep)
+        |), cuts AS (
+        |  SELECT doc_id, list_sort(list(pos)) AS cs FROM ranked WHERE rn > 1 GROUP BY doc_id
+        |), out AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c.cs IS NULL THEN b.text
+        |         -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+        |         -- array_join: a fully-trimmed doc must survive as ''
+        |         ELSE coalesce(array_to_string(list_filter(b.rtoks,
+        |           (x, i) -> NOT len(list_filter(c.cs, p -> p <= i - 1 AND i - 1 < p + 13)) > 0), ' '), '')
+        |    END AS text
+        |  FROM base b LEFT JOIN cuts c USING (doc_id)
+        |)
+        |SELECT doc_id, text, len(text) AS n_chars_after FROM out ORDER BY doc_id""".stripMargin,
+    "q120_span_bloom_decontaminate" -> spanDecontaminateOracle,
+
+    // char entropy: same sorted-fold determinism contract as q84/q87 —
+    // terms (c/n)·ln(c/n)/ln(2) summed left-to-right over the SORTED
+    // distinct chars from 0.0; ln == Math.log bit-exact (the q105 pair)
+    "q116_char_entropy" ->
+      """WITH ent AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN NULL
+        |         WHEN len(text) = 0 THEN 0.0
+        |         ELSE -list_reduce(list_prepend(0.0,
+        |           list_transform(list_sort(list_distinct(string_split(text, ''))),
+        |             c -> (CAST(len(text) - len(replace(text, c, '')) AS DOUBLE) / CAST(len(text) AS DOUBLE))
+        |                  * ln(CAST(len(text) - len(replace(text, c, '')) AS DOUBLE) / CAST(len(text) AS DOUBLE)) / ln(2))),
+        |           (a, b) -> a + b)
+        |    END AS entropy
+        |  FROM documents
+        |)
+        |SELECT doc_id, round(entropy, 6) + 0.0 AS entropy_r, entropy < 3.0 AS is_low
+        |FROM ent ORDER BY doc_id""".stripMargin,
+
+    // winsorize: quantile_cont == Spark exact percentile (q93-verified);
+    // GREATEST/LEAST over non-null bounds, null value -> null clip
+    "q113_winsorize" ->
+      """WITH b AS (
+        |  SELECT lang, quantile_cont(n_chars, [0.1, 0.9]) AS qs
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  round(CASE WHEN d.n_chars IS NOT NULL
+        |    THEN LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), qs[1]), qs[2]) END, 6) + 0.0 AS clipped_r
+        |FROM documents d JOIN b USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // exactly-n sample: the engine's heap ranks -unitHash with ties
+    // toward the smaller id == ORDER BY hash, id ascending
+    "q114_uniform_sample_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'gx'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), rk AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (ORDER BY uh, doc_id) AS sample_rank
+        |  FROM u
+        |)
+        |SELECT doc_id, source, sample_rank FROM rk
+        |WHERE sample_rank <= 200 ORDER BY sample_rank""".stripMargin,
+
+    // sorted-source fold with IEEE-exact sqrt (alpha = 0.5), op order
+    // target * (w/z) / n mirrored exactly; row keep = q36's md5 unit hash
+    "q64_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        |), zz AS (
+        |  SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source), (a, b) -> a + b) AS z
+        |  FROM counts
+        |), acc AS (
+        |  SELECT source, LEAST(1.0, 300.0 * (sqrt(CAST(n AS DOUBLE)) / z) / CAST(n AS DOUBLE)) AS a
+        |  FROM counts, zz
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN acc USING (source)
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft-r4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < a
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // corpus-frequency line dedup: per-doc-distinct line counts (> 50 docs
+    // = frequent), exact match removal, blank lines exempt, order kept.
+    // concat_ws skips NULLs in both engines, so null text keeps the
+    // planted literals; the filtered list re-joins with chr(10) before
+    // the digest/line-count exactly like the engine's concat_ws
+    "q74_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10), 'Home | About | Contact', text, '',
+        |              'Subscribe to our newsletter!') AS lt
+        |  FROM documents
+        |), freq AS (
+        |  SELECT line FROM (
+        |    SELECT doc_id, unnest(list_distinct(string_split(lt, chr(10)))) AS line
+        |    FROM planted
+        |  ) WHERE len(regexp_replace(line, '^\s+|\s+$', '', 'g')) > 0
+        |  GROUP BY line HAVING COUNT(*) > 50
+        |), fl AS (
+        |  SELECT coalesce(list(line), []) AS fls FROM freq
+        |), rebuilt AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(string_split(lt, chr(10)),
+        |      l -> NOT list_contains(fls, l)), chr(10)) AS dedup
+        |  FROM planted, fl
+        |)
+        |SELECT doc_id, md5(dedup) AS dedup_digest,
+        |  len(string_split(dedup, chr(10))) AS n_lines_kept
+        |FROM rebuilt ORDER BY doc_id""".stripMargin,
+
+    // per-source quota cap: lowest md5 unit hash wins, ties toward the
+    // smaller id — ROW_NUMBER mirrors the heap aggregate's comparator
+    "q75_quota_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY uh, doc_id) AS quota_rank
+        |  FROM u
+        |)
+        |SELECT doc_id, source, lang, quota_rank
+        |FROM r WHERE quota_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    // deterministic shuffle order: shard = md5-prefix mod 8 (value is a
+    // non-negative 32-bit int, so % == pmod), position = rank within the
+    // shard by full hex then id
+    "q76_shuffle_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'graft-r4') AS hex
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, hex,
+        |    CAST(CAST(('0x' || substr(hex, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM h
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS BIGINT) AS shuffle_pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the hyperplane-LSH near-dup pipeline is fully oracle-checkable: the
+    // +-1 planes come from a seeded driver-side PRNG, so the generator
+    // interpolates the EXACT constants as +-v[i] term chains (element
+    // order = the native HyperplaneBits accumulation order; x*+-1.0 and
+    // sequential +/- are IEEE-exact), then mirrors the any-table bucket
+    // match and the exact-cosine verify
+    "q56_embedding_near_dup" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 3, t => 104729L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+         |  FROM k a JOIN k c ON a.vec_id < c.vec_id
+         |    AND (a.k_0 = c.k_0 OR a.k_1 = c.k_1 OR a.k_2 = c.k_2)
+         |), scored AS (
+         |  SELECT id_a, id_b,
+         |    list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cosine
+         |  FROM pairs
+         |)
+         |SELECT id_a, id_b, round(cosine, 6) + 0.0 AS cosine_r
+         |FROM scored WHERE NOT isnan(cosine) AND cosine >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q56's keyed-pair chain split corpus/bench on vec_id: any-table
+    // band match -> exact cosine >= 0.3 -> corpus anti-join
+    "q115_semantic_decontaminate" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 3, t => 104729L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), cont AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM k a JOIN k c ON a.vec_id < 400 AND c.vec_id >= 400
+         |    AND (a.k_0 = c.k_0 OR a.k_1 = c.k_1 OR a.k_2 = c.k_2)
+         |  WHERE NOT isnan(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |    AND list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3
+         |)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id < 400 AND vec_id NOT IN (SELECT vec_id FROM cont)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // SemDeDup: q56's pair chain -> bidirectional edges -> transitive
+    // closure (recursive CTE, like q73) -> drop every node whose minimum
+    // reachable id is smaller than itself; survivors keep their payload
+    "q77_semantic_dedup" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 3, t => 104729L * (t + 1))
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), prs AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM k a JOIN k c ON a.vec_id < c.vec_id
+         |    AND (a.k_0 = c.k_0 OR a.k_1 = c.k_1 OR a.k_2 = c.k_2)
+         |  WHERE NOT isnan(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |    AND list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.2
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+         |), losers AS (
+         |  SELECT src AS vec_id FROM reach GROUP BY src HAVING MIN(dst) < src
+         |)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // q77's pair + closure chain, keeper re-ranked by the derived quality
+    // (q DESC, id ASC — the engine's GroupTopK tie contract); clusters
+    // name themselves via LEAST(src, MIN(dst)) like q73
+    "q109_semantic_keep_best" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 3, t => 104729L * (t + 1))
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), prs AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM k a JOIN k c ON a.vec_id < c.vec_id
+         |    AND (a.k_0 = c.k_0 OR a.k_1 = c.k_1 OR a.k_2 = c.k_2)
+         |  WHERE NOT isnan(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |    AND list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.2
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+         |), clusters AS (
+         |  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), keepers AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY CAST(vec_id % 7 AS DOUBLE) DESC, vec_id) AS rn
+         |    FROM clusters) WHERE rn = 1
+         |), losers AS (
+         |  SELECT vec_id FROM clusters
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM keepers)
+         |)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // decontamination: q58's containment chain as a predicate — training
+    // corpus minus every doc_id that appears as a contaminated corpus_id
+    "q78_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
+        |  FROM base WHERE len(toks) > 0
+        |), d AS (
+        |  SELECT DISTINCT doc_id, tok FROM tri
+        |), c0 AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
+        |b0 AS (SELECT doc_id AS bench_id, tok FROM d WHERE doc_id >= 400),
+        |hot AS (SELECT tok FROM c0 GROUP BY tok HAVING COUNT(*) > 100),
+        |c AS (SELECT * FROM c0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |b AS (SELECT * FROM b0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
+        |common AS (
+        |  SELECT corpus_id, bench_id, COUNT(*) AS n_common
+        |  FROM c JOIN b USING (tok) GROUP BY corpus_id, bench_id
+        |), cont AS (
+        |  SELECT DISTINCT corpus_id
+        |  FROM common JOIN sizes USING (bench_id)
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) >= 0.5
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT corpus_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the Bloom pre-filter is exact-equivalent (no false negatives), so
+    // the oracle is simply q78's containment SQL WITHOUT the
+    // doc-frequency cap — the Bloom path's uncapped semantics
+    "q112_bloom_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
+        |  FROM base WHERE len(toks) > 0
+        |), d AS (
+        |  SELECT DISTINCT doc_id, tok FROM tri
+        |), c AS (SELECT doc_id AS corpus_id, tok FROM d WHERE doc_id < 400),
+        |b AS (SELECT doc_id AS bench_id, tok FROM d WHERE doc_id >= 400),
+        |sizes AS (SELECT bench_id, COUNT(*) AS bench_sz FROM b GROUP BY bench_id),
+        |common AS (
+        |  SELECT corpus_id, bench_id, COUNT(*) AS n_common
+        |  FROM c JOIN b USING (tok) GROUP BY corpus_id, bench_id
+        |), cont AS (
+        |  SELECT DISTINCT corpus_id
+        |  FROM common JOIN sizes USING (bench_id)
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(bench_sz AS DOUBLE) >= 0.5
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id < 400 AND doc_id NOT IN (SELECT corpus_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
+
+    // soft quality gate: the shared qualityCte blend, acceptance
+    // clamp(qscore/100, .05, .95) against q36's md5 unit hash; null text
+    // drops explicitly in both engines
+    "q79_quality_sample" ->
+      s"""WITH ${qualityCte("documents WHERE text IS NOT NULL", "source, n_chars")}
+         |SELECT doc_id, source, n_chars FROM scored
+         |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-r4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
+         |      < LEAST(GREATEST(qscore / 100.0, 0.05), 0.95)
+         |ORDER BY doc_id""".stripMargin,
+
+    // ANN recall audit: the q45 LSH chain and the exact ranking, reduced
+    // to per-query hit counts over the exact denominator
+    "q170_ann_recall" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 4, t => 7919L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), kk AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), q AS (SELECT * FROM kk WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid, q.v AS qv, c.v AS cv
+         |  FROM kk c JOIN q ON c.vec_id <> q.vec_id
+         |    AND (c.k_0 = q.k_0 OR c.k_1 = q.k_1 OR c.k_2 = q.k_2 OR c.k_3 = q.k_3)
+         |), ark AS (
+         |  SELECT query_id, cid,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC, cid) AS rnk
+         |  FROM cand
+         |  WHERE NOT isnan(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+         |), approx AS (SELECT query_id, cid FROM ark WHERE rnk <= 10),
+         |erk AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rnk
+         |  FROM e c JOIN e q ON c.vec_id <> q.vec_id AND q.vec_id < 20
+         |  WHERE NOT isnan(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |), exact AS (SELECT query_id, cid FROM erk WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.query_id, count(*) AS h
+         |  FROM approx a JOIN exact x ON x.query_id = a.query_id AND x.cid = a.cid
+         |  GROUP BY a.query_id
+         |), den AS (
+         |  SELECT query_id, count(*) AS n FROM exact GROUP BY query_id
+         |)
+         |SELECT den.query_id, coalesce(hits.h, 0) AS n_hits,
+         |  round(coalesce(hits.h, 0) / den.n, 6) + 0.0 AS recall_r
+         |FROM den LEFT JOIN hits USING (query_id)
+         |ORDER BY den.query_id""".stripMargin
+    },
+
+    // LSH ANN top-k: hyperplane keys (12 bits x 4 tables, interpolated
+    // constants), any-table candidate match excluding self, exact cosine
+    // rank with the engine's (cosine DESC, vec_id) tie order
+    "q45_lsh_topk" -> {
+      val (sums, keys) = hyperplaneKeySql(64, 8, 4, t => 7919L * (t + 1))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |$sums
+         |  FROM e
+         |), k AS (
+         |  SELECT vec_id, v,
+         |$keys
+         |  FROM s
+         |), q AS (SELECT * FROM k WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid, q.v AS qv, c.v AS cv
+         |  FROM k c JOIN q ON c.vec_id <> q.vec_id
+         |    AND (c.k_0 = q.k_0 OR c.k_1 = q.k_1 OR c.k_2 = q.k_2 OR c.k_3 = q.k_3)
+         |), scored AS (
+         |  SELECT query_id, cid AS vec_id,
+         |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+         |  FROM cand
+         |), rk AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
+         |  FROM scored WHERE NOT isnan(cosine)
+         |)
+         |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
+         |FROM rk WHERE nn_rank <= 10
+         |ORDER BY query_id, nn_rank""".stripMargin
+    },
+
+    // the full cleaning pipeline mirrored end-to-end: exact dedup (keep
+    // min id per canonical md5), poly-minhash near-dup losers at est
+    // Jaccard >= 0.9, then the qualityScore blend term-for-term (all
+    // components already proven green in q46/q46b/q48-style oracles)
+    "q71_clean_pipeline" -> {
+      s"""WITH canon0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ccanon
+         |  FROM documents
+         |), exact AS (
+         |  SELECT * FROM canon0
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM canon0 GROUP BY md5(ccanon))
+         |), ${polyShingleSigCte("exact")}, ${polyPairsCte(0.9)}, losers AS (
+         |  SELECT DISTINCT id_b FROM pairs0
+         |), surv AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |), ${qualityCte("surv", "lang, source, n_chars")}
+         |SELECT doc_id, lang, source, n_chars FROM scored
+         |WHERE qscore >= 30.0 ORDER BY doc_id""".stripMargin
+    },
+
+    // the pairs -> connected-components chain: the shared poly pair CTEs
+    // at threshold 0.9, then transitive closure by recursive CTE; cluster
+    // id = min reachable id — mirrors the engine's min-label propagation
+    // fixpoint. (LEAST(src, MIN(dst)) is belt-and-braces only: edges are
+    // bidirectional, so every node reaches itself via a 2-cycle and
+    // MIN(dst) already includes src.)
+    "q73_dup_clusters" ->
+      s"""WITH RECURSIVE ${polyShingleSigCte("documents WHERE doc_id < 1000")}, ${polyPairsCte(0.9)}, edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs0
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs0
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src
+         |ORDER BY doc_id""".stripMargin,
+
+    // md5-hex vote bits: bit i lives in hex digit i//4 at weight 2^(i%4);
+    // per-bit +-1 vote sums, sign -> 4 x 16-bit band keys
+    "q65_poly_simhash" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents WHERE doc_id < 1000
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS t FROM base WHERE len(toks) > 0
+        |), votes AS (
+        |  SELECT doc_id, b.i AS bit,
+        |    SUM(CASE WHEN (CAST(('0x' || substr(md5(t), CAST(b.i // 4 AS INT) + 1, 1)) AS INT)
+        |      // (CASE WHEN b.i % 4 = 0 THEN 1 WHEN b.i % 4 = 1 THEN 2 WHEN b.i % 4 = 2 THEN 4 ELSE 8 END)) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS vote
+        |  FROM tok, range(64) AS b(i)
+        |  GROUP BY doc_id, b.i
+        |), bands AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 AND bit < 16 THEN (1 << CAST(bit AS INT)) ELSE 0 END) AS INTEGER) AS band0,
+        |    CAST(SUM(CASE WHEN vote > 0 AND bit >= 16 AND bit < 32 THEN (1 << CAST(bit - 16 AS INT)) ELSE 0 END) AS INTEGER) AS band1,
+        |    CAST(SUM(CASE WHEN vote > 0 AND bit >= 32 AND bit < 48 THEN (1 << CAST(bit - 32 AS INT)) ELSE 0 END) AS INTEGER) AS band2,
+        |    CAST(SUM(CASE WHEN vote > 0 AND bit >= 48 THEN (1 << CAST(bit - 48 AS INT)) ELSE 0 END) AS INTEGER) AS band3
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(band0, 0) AS band0, COALESCE(band1, 0) AS band1,
+        |  COALESCE(band2, 0) AS band2, COALESCE(band3, 0) AS band3
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+        |LEFT JOIN bands USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q44_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)
+        |SELECT query_id, vec_id,
+        |  round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) + 0.0 AS cosine_r
+        |FROM e, q WHERE vec_id <> query_id
+        |ORDER BY query_id, vec_id""".stripMargin,
+
+    "q50_blocked_nn" ->
+      """WITH sub AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+        |), pairs AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nn_id, a.label,
+        |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |  FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY round(cosine, 6) DESC, nn_id) AS rn
+        |  FROM pairs
+        |)
+        |SELECT id, nn_id, label, round(cosine, 6) + 0.0 AS cosine_r
+        |FROM rk WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // nearest-neighbor resample mirrored as pure integer arithmetic:
+    // output pixel (x, y, c) copies source flat index ((y*2)*w + x*2)*3+c,
+    // source pixel byte = (doc_id*31 + flat) % 256; dims/checksum re-derive
+    // exactly (w in 4..8, h in 3..6 -> constant ranges + bound filters)
+    "q108_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    4 + doc_id % 5 AS w,
+        |    CAST((4 + doc_id % 5) // 2 AS INT) AS out_w,
+        |    CAST((3 + doc_id % 4) // 2 AS INT) AS out_h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, out_w, out_h,
+        |    SUM((doc_id * 31 + ((y.i * 2) * w + x.i * 2) * 3 + c.i) % 256) AS ps
+        |  FROM dims, range(4) x(i), range(3) y(i), range(3) c(i)
+        |  WHERE x.i < out_w AND y.i < out_h
+        |  GROUP BY doc_id, out_w, out_h
+        |)
+        |SELECT doc_id, out_w, out_h, CAST(ps AS BIGINT) AS pixel_sum
+        |FROM px ORDER BY doc_id""".stripMargin,
+
+    "q52_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_digest,
+        |  ascii(substring(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q55_scalable_rank" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS score,
+        |  RANK() OVER (ORDER BY CAST(o_totalprice AS DOUBLE) DESC) AS ranking
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q60_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  -- exclusive prefix sum; CAST: DuckDB windowed SUM yields HUGEINT
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS "offset"
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tokens, "offset",
+        |  "offset" // 512 AS chunk_first,
+        |  ("offset" + GREATEST(n_tokens, 1) - 1) // 512 AS chunk_last,
+        |  ("offset" + GREATEST(n_tokens, 1) - 1) // 512 - "offset" // 512 + 1 AS n_chunks
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // the payload is the utf-8 text bytes (pure ASCII in the testdata, so
+    // byte i == char i) and no image magic matches -> the stub decoder's
+    // pseudo-features: f0 = float32 sum over bytes at positions ≡ 0 mod 8
+    // of byte/255.0f. Float accumulation is emulated exactly: two floats
+    // sum exactly in double, so CAST(a + b AS REAL) per step == Java float
+    // addition; the final round-then-narrow mirrors round(float, 4)+0.0.
+    "q53_multimodal_decode" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |), f AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS REAL)
+        |    ELSE list_reduce(
+        |      list_transform(range(0, (n + 7) // 8),
+        |        k -> CAST(ascii(substr(text, CAST(1 + 8 * k AS INT), 1)) AS REAL) / CAST(255.0 AS REAL)),
+        |      (a, b) -> CAST(a + b AS REAL)) END AS f0f
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(CAST(round(CAST(f0f AS DOUBLE), 4) AS REAL) AS DOUBLE) + 0.0 AS f0
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the WAV payload is PCM16 mono @16k built from the utf-8 text bytes,
+    // so every metadata field derives from octet_length arithmetic
+    "q59_wav_meta" ->
+      """SELECT doc_id,
+        |  16000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_frames,
+        |  CAST((octet_length(encode(text)) // 2) * 1000000 // 16000 AS BIGINT) AS duration_us
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q51_event_windows" ->
+      """SELECT event_type,
+        |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,
+        |  COUNT(*) AS n_events, round(SUM(value), 2) + 0.0 AS sum_value_r
+        |FROM events GROUP BY event_type, hour_bucket
+        |ORDER BY event_type, hour_bucket""".stripMargin
+  )
+}

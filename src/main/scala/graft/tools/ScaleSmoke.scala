@@ -519,6 +519,35 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // fuzzy join: blocks multiply with the data (a growing corpus adds
+      // shards/nations, not unbounded same-key rows) while per-block name
+      // sets repeat — deletion-index candidates stay per-block-bounded,
+      // so growth is ~linear; the round-9 in-block cross product grew
+      // |block|² on exactly this shape
+      time(s"editDistance self-join, ${n * 15000} names, ${n * 25} blocks") {
+        val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+          .select(col("c_nationkey"), col("c_custkey"), col("c_name"))
+        val custN = blowUpKeyed(cust, n, "c_custkey")
+          .withColumn("c_nationkey",
+            col("c_nationkey") * n + pmod(col("c_custkey"), lit(n.toLong)))
+        graft.ops.Joins.editDistanceSelfJoin(
+            custN, Seq("c_nationkey"), "c_custkey", "c_name", maxDist = 1)
+          .agg(count(lit(1))).collect()
+      }
+
+      // sessionization: users scale with the data, per-user streams stay
+      // short — one window pass per user partition, then session-grain
+      // aggregates on the same key: linear end to end
+      time(s"sessionStats, ${n * 100000} events, ${n}x users") {
+        val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.1", "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"))
+        val evN = blowUpKeyed(ev, n, "user_id")
+        graft.ops.Sessions.sessionStats(evN, "user_id", col("us"), "event_id",
+            "event_type", gapUs = 1800000000L)
+          .agg(count(lit(1))).collect()
+      }
+
       // adversarial: ONE degenerate block (a broken coarse partitioner)
       // must refuse loudly and fast — |block|² pairs never materialize
       time(s"blocked NN hot-block guard (one ${n * 2000}-row block)") {

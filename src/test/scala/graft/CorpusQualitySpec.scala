@@ -260,7 +260,16 @@ class CorpusQualitySpec extends SparkSpec {
         docs.withColumn("doc_id", col("doc_id") + 2000000L),
         "text", "doc_id").head()
     }
-    assert(e.getMessage.contains("ids must be in"))
+    assert(e.getMessage.contains("ids must be numeric in"))
+    // a NON-NUMERIC id casts to null, which must hit the same loud
+    // refusal (not flow on as a null twin id)
+    val e2 = intercept[Exception] {
+      Dedup.nearDupRecallProbe(
+        docs.withColumn("doc_id", concat(lit("k"), col("doc_id"))),
+        "text", "doc_id").head()
+    }
+    assert(e2.getMessage.contains("ids must be numeric in") &&
+      e2.getMessage.contains("withSurrogateId"))
   }
 
   test("prepareTrainingCorpus quality gates: perplexity and length z-score") {
