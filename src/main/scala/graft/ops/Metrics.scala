@@ -169,4 +169,64 @@ object Metrics {
       (round(sum(col("n")).over(w) / lit(windowBuckets.toDouble), 6) + lit(0.0))
         .as("avg_n_dense_r"))
   }
+
+  /** Rolling anomaly detector over a bucketed event series — the
+    * burst/outage monitor on top of [[rollingBucketAgg]]'s bucket grain:
+    * each (type, bucket) cell is z-scored against the TRAILING
+    * `baselineBuckets` buckets (RANGE frame ending at 1 PRECEDING, so
+    * the candidate bucket never contaminates its own baseline and gap
+    * buckets shrink the baseline rather than shifting it). A cell is
+    * anomalous when at least `minBaseline` baseline buckets exist and
+    * either |n − mean| > k·σ (positive baseline variance) or the
+    * baseline is CONSTANT and n departs from it at all (σ = 0 makes any
+    * departure infinitely many σs; z_r stays null there).
+    *
+    * Cross-engine determinism (the q85 contract): the baseline moments
+    * are EXACT integer sums (Σn, Σn², count — order-independent); mean,
+    * population σ, and z then derive in double by the SAME IEEE op
+    * sequence the oracle writes term-for-term (divisions and sqrt are
+    * exact-rounded, so the bits — and the boundary comparison — agree),
+    * with `z_r` rounded to 6dp for display.
+    *
+    * Scale shape: one count shuffle to bucket grain (map-side combined),
+    * then a bounded RANGE window over each type's short bucket series. */
+  def rollingAnomalies(
+      events: DataFrame,
+      typeCol: String,
+      usCol: Column,
+      bucketUs: Long,
+      baselineBuckets: Int,
+      k: Double,
+      minBaseline: Int = 3
+  ): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(baselineBuckets >= minBaseline && minBaseline >= 2,
+      "need baselineBuckets >= minBaseline >= 2")
+    require(k > 0, "k must be positive")
+    val bucket = call_function("div",
+      (usCol.cast("long") - pmod(usCol.cast("long"), lit(bucketUs))), lit(bucketUs))
+    val perBucket = events
+      .filter(usCol.isNotNull)
+      .groupBy(col(typeCol).as("bucket_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_type").orderBy(col("bucket").asc)
+      .rangeBetween(-baselineBuckets.toLong, -1L)
+    val m = count(lit(1)).over(w)
+    val s1 = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    val mean = s1.cast("double") / m.cast("double")
+    val variance = s2.cast("double") / m.cast("double") - mean * mean
+    val z = (col("n").cast("double") - mean) / sqrt(variance)
+    perBucket.select(
+        col("bucket_type"), col("bucket"), col("n"),
+        m.as("base_n"),
+        when(m >= minBaseline, round(mean, 6) + lit(0.0)).as("mean_r"),
+        when(m >= minBaseline && variance > 0, round(z, 6) + lit(0.0)).as("z_r"),
+        (m >= minBaseline &&
+          ((variance > 0 &&
+            abs(col("n").cast("double") - mean) > lit(k) * sqrt(variance)) ||
+           (variance === 0.0 && col("n").cast("double") =!= mean)))
+          .as("is_anomaly"))
+  }
 }

@@ -175,4 +175,73 @@ object Sessions {
         min(col("__n")).as("min_events"),
         max(col("__n")).as("max_events"),
         sum(col("__n")).as("sum_events"))
+
+  /** Repeated-session signatures — the bot/replay fingerprint: every
+    * session reduces to the md5 of its event-type sequence in
+    * (time, id) order (U+0001 joiner, the engine's signature
+    * convention), then signatures repeating across >= `minSessions`
+    * sessions and >= `minLen` events are reported with how many
+    * sessions and distinct users share them. A human clicks in varied
+    * orders; a bot replays one script from a thousand accounts — that
+    * is exactly a long fingerprint with huge `n_sessions` spread over
+    * many users.
+    *
+    * Scale shape: the sessionize window pass, then ONE aggregate to
+    * session grain (the deterministic in-group order comes from
+    * `array_sort(collect_list(struct(us, id, type)))` — session event
+    * counts are human-scale, the engine-wide bounded-fold convention),
+    * then a |signatures|-grain count. Only 16-byte hashes and counts
+    * cross the final exchange, never event payloads. */
+  def sessionFingerprints(
+      events: DataFrame,
+      userCol: String,
+      usCol: Column,
+      idCol: String,
+      typeCol: String,
+      gapUs: Long,
+      minSessions: Long = 2L,
+      minLen: Int = 2
+  ): DataFrame = {
+    val sess = sessionize(events, userCol, usCol, idCol, gapUs)
+      .groupBy(col(userCol).as("__u"), col("session_seq"))
+      .agg(
+        md5(concat_ws("\u0001",
+          transform(
+            array_sort(collect_list(struct(usCol.as("us"), col(idCol).as("id"),
+              col(typeCol).as("t")))),
+            e => e.getField("t")))).as("fingerprint"),
+        count(lit(1)).as("__len"))
+      .filter(col("__len") >= minLen)
+    sess
+      .groupBy(col("fingerprint"), col("__len").as("seq_len"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("__u")).as("n_users"))
+      .filter(col("n_sessions") >= minSessions)
+  }
+
+  /** Inter-event gap histogram: per-user consecutive-event gaps bucketed
+    * by exact base-2 magnitude (`length(bin(gap)) - 1`; zero gaps —
+    * same-microsecond events — land in bucket -1). The burst/idle
+    * cadence profile that picks the sessionization gap and the
+    * watermark delay from data instead of folklore. One window pass per
+    * user, then a ≤64-row aggregate. */
+  def interEventGaps(
+      events: DataFrame,
+      userCol: String,
+      usCol: Column,
+      idCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(usCol.asc, col(idCol).asc)
+    events
+      .filter(col(userCol).isNotNull && usCol.isNotNull)
+      .select((usCol - lag(usCol, 1).over(w)).as("__gap"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(when(col("__gap") > 0, length(bin(col("__gap"))) - 1)
+        .otherwise(-1).cast("long").as("log2_gap_us"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"))
+  }
 }

@@ -753,6 +753,84 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |  CAST(sum(n) AS BIGINT) AS sum_events
         |FROM n GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
 
+    // rolling anomaly monitor: exact integer baseline moments (count /
+    // Σn / Σn² over the trailing RANGE frame, candidate excluded), then
+    // mean / population variance / z in the SAME IEEE double op order
+    // the Spark side uses — divisions and sqrt are exact-rounded, so
+    // the bits and the k·σ boundary comparison agree engine-to-engine
+    "q207_rolling_anomalies" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL
+        |), pb AS (
+        |  SELECT event_type AS bucket_type, us // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2
+        |), wd AS (
+        |  SELECT bucket_type, bucket, n,
+        |    CAST(count(*) OVER w AS BIGINT) AS m,
+        |    CAST(sum(n) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS s2
+        |  FROM pb WINDOW w AS (PARTITION BY bucket_type ORDER BY bucket
+        |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |), wv AS (
+        |  SELECT bucket_type, bucket, n, m,
+        |    s1 / CAST(m AS DOUBLE) AS mu,
+        |    s2 / CAST(m AS DOUBLE)
+        |      - (s1 / CAST(m AS DOUBLE)) * (s1 / CAST(m AS DOUBLE)) AS v
+        |  FROM wd
+        |)
+        |SELECT bucket_type, bucket, n, m AS base_n,
+        |  CASE WHEN m >= 3 THEN round(mu, 6) + 0.0 END AS mean_r,
+        |  CASE WHEN m >= 3 AND v > 0 THEN round((n - mu) / sqrt(v), 6) + 0.0 END AS z_r,
+        |  (m >= 3 AND ((v > 0 AND abs(n - mu) > 3.0 * sqrt(v))
+        |    OR (v = 0 AND n <> mu))) AS is_anomaly
+        |FROM wv ORDER BY bucket_type, bucket""".stripMargin,
+
+    // session fingerprints: md5 of the (us, event_id)-ordered type
+    // sequence with the chr(1) joiner (the engine's signature
+    // convention), session grain from the q201 window replay
+    "q208_session_fingerprints" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |), fp AS (
+        |  SELECT user_id, session_seq,
+        |    md5(string_agg(event_type, chr(1) ORDER BY us, event_id)) AS fingerprint,
+        |    CAST(count(*) AS BIGINT) AS seq_len
+        |  FROM sess GROUP BY user_id, session_seq
+        |  HAVING count(*) >= 2
+        |)
+        |SELECT fingerprint, seq_len, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM fp GROUP BY fingerprint, seq_len
+        |HAVING count(*) >= 2
+        |ORDER BY n_sessions DESC, fingerprint""".stripMargin,
+
+    // inter-event gap histogram: exact log2 magnitude buckets
+    // (length(bin(gap)) - 1; zero gaps -> bucket -1)
+    "q209_gap_histogram" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), g AS (
+        |  SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM ev
+        |)
+        |SELECT CAST(CASE WHEN gap > 0 THEN length(bin(gap)) - 1 ELSE -1 END AS BIGINT)
+        |    AS log2_gap_us,
+        |  CAST(count(*) AS BIGINT) AS n_gaps,
+        |  min(gap) AS min_gap_us, max(gap) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY log2_gap_us""".stripMargin,
+
     // snapshot diff: per-side md5 value signatures (chr(1) joiner,
     // chr(0) null sentinel — the engine's exact convention), one
     // full-outer join, null-change rows filtered

@@ -2001,6 +2001,40 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("log2_bucket")
     },
 
+    "q207_rolling_anomalies" -> { (s, dir) =>
+      // burst/outage monitor: hourly per-type counts z-scored against
+      // the TRAILING-24h baseline (candidate bucket excluded) — exact
+      // integer moments, term-identical IEEE double chain both engines
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000").as("us"))
+      graft.ops.Metrics.rollingAnomalies(ev, "event_type", col("us"),
+          bucketUs = 3600000000L, baselineBuckets = 24, k = 3.0)
+        .orderBy("bucket_type", "bucket")
+    },
+
+    "q208_session_fingerprints" -> { (s, dir) =>
+      // bot/replay signatures: md5 of each session's event-type sequence
+      // ((us, event_id) order, U+0001 joiner), repeated >= 2 sessions at
+      // length >= 2 — only 16-byte hashes cross the final exchange
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      graft.ops.Sessions.sessionFingerprints(ev, "user_id", col("us"),
+          "event_id", "event_type", gapUs = 1800000000L,
+          minSessions = 2L, minLen = 2)
+        .orderBy(desc("n_sessions"), col("fingerprint"))
+    },
+
+    "q209_gap_histogram" -> { (s, dir) =>
+      // inter-event cadence profile: per-user consecutive gaps, exact
+      // log2 buckets (same-microsecond gaps land in bucket -1) — the
+      // data-driven way to pick gapUs and watermark delays
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+      graft.ops.Sessions.interEventGaps(ev, "user_id", col("us"), "event_id")
+        .orderBy("log2_gap_us")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -113,6 +113,69 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(2) === ((4L, 1L, 8L, 1L, 8L, 0.333333)))
   }
 
+  test("rollingAnomalies: trailing baseline excludes the candidate, flags spikes") {
+    // buckets 0..4 alternate 8/12 (var 3.84, sigma~1.96); bucket 5 = 30
+    // deviates 20.4 > 3 sigma. bucketUs=10.
+    val counts = Seq(0L -> 8, 1L -> 12, 2L -> 8, 3L -> 12, 4L -> 8, 5L -> 30)
+    val df = counts.flatMap { case (b, n) => (1 to n).map(_ => ("X", b * 10L + 1L)) }
+      .toDF("t", "us")
+    val out = Metrics.rollingAnomalies(df, "t", col("us"), bucketUs = 10L,
+        baselineBuckets = 24, k = 3.0)
+      .select("bucket", "n", "base_n", "mean_r", "z_r", "is_anomaly")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(2) === 0L && !out(0L).getBoolean(5))  // no baseline
+    assert(out(2L).getLong(2) === 2L && !out(2L).getBoolean(5))  // < minBaseline
+    val spike = out(5L)
+    assert(spike.getLong(2) === 5L)
+    assertNear(spike.getDouble(3), 9.6)
+    assertNear(spike.getDouble(4), 10.410331)   // (30-9.6)/sqrt(3.84) to 6dp
+    assert(spike.getBoolean(5))
+    // bucket 3's own baseline is {8,12,8}: mean 9.333333, n=12 inside 3 sigma
+    assert(!out(3L).getBoolean(5))
+  }
+
+  test("rollingAnomalies: constant baseline flags any departure, z stays null") {
+    val counts = Seq(0L -> 10, 1L -> 10, 2L -> 10, 3L -> 10, 4L -> 100)
+    val df = counts.flatMap { case (b, n) => (1 to n).map(_ => ("X", b * 10L)) }
+      .toDF("t", "us")
+    val out = Metrics.rollingAnomalies(df, "t", col("us"), bucketUs = 10L,
+        baselineBuckets = 24, k = 3.0)
+      .select("bucket", "z_r", "is_anomaly")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(4L).isNullAt(1) && out(4L).getBoolean(2))
+    assert(!out(3L).getBoolean(2))  // 10 == constant baseline: not anomalous
+  }
+
+  test("sessionFingerprints: repeated type sequences across sessions and users") {
+    // u1 plays [A,B] twice (gap-separated), u2 once, u4 plays [B,A] once
+    // (different fingerprint, below minSessions), u3 a 1-event session
+    // (below minLen)
+    val df = ev(
+      (1L, 0L, "A", 1L), (1L, 1L, "B", 2L),
+      (1L, 1000L, "A", 3L), (1L, 1001L, "B", 4L),
+      (2L, 0L, "A", 5L), (2L, 1L, "B", 6L),
+      (3L, 0L, "C", 7L),
+      (4L, 0L, "B", 8L), (4L, 1L, "A", 9L))
+    val out = Sessions.sessionFingerprints(df, "u", col("us"), "id", "t",
+        gapUs = 100L, minSessions = 2L, minLen = 2)
+      .select("seq_len", "n_sessions", "n_users")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 3L, 2L)))
+  }
+
+  test("interEventGaps: exact log2 buckets, zero gaps in bucket -1") {
+    // u1 at us 0,0,1,3,11 -> gaps 0,1,2,8 -> buckets -1,0,1,3; u2 alone
+    val df = ev(
+      (1L, 0L, "a", 1L), (1L, 0L, "a", 2L), (1L, 1L, "a", 3L),
+      (1L, 3L, "a", 4L), (1L, 11L, "a", 5L),
+      (2L, 7L, "a", 6L))
+    val out = Sessions.interEventGaps(df, "u", col("us"), "id")
+      .select("log2_gap_us", "n_gaps", "min_gap_us", "max_gap_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (-1L, 1L, 0L, 0L), (0L, 1L, 1L, 1L), (1L, 1L, 2L, 2L), (3L, 1L, 8L, 8L)))
+  }
+
   test("bucket math is exact past 2^53 (integral div, not double division)") {
     val big = (1L << 60) + 5L
     val bucketUs = 7L
