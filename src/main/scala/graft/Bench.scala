@@ -22,6 +22,7 @@ object Bench {
     // (the driver never sets it, so driver artifacts stay full-registry)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // SPARK_GRAFT_BENCH_ONLY="" means unset, not bench-nothing
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -109,7 +110,10 @@ object Bench {
     if (only.isEmpty)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","iters_min_of":$iters,"queries_n":${results.size},"failures":$failJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    // a filtered run didn't rewrite BENCH_FULL.json, so don't point a
+    // parser at the stale full-registry artifact: advertise null instead
+    val fullRef = if (only.isEmpty) "\"BENCH_FULL.json\"" else "null"
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","iters_min_of":$iters,"queries_n":${results.size},"failures":$failJson,"full":$fullRef,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} FAILED queries: ${failed.mkString(", ")}")

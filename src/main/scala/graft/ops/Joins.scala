@@ -217,7 +217,10 @@ object Joins {
     * index is still worth refusing), and a text longer than `maxTextLen`
     * raises rather than materialize megabyte variant arrays — this
     * method is built for SHORT strings (names, titles, codes); for long
-    * documents use [[Dedup]]'s MinHash family.
+    * documents use [[Dedup]]'s MinHash family. `maxTextLen` defaults by
+    * `maxDist` (1024 at d<=1, 128 at d=2 — d=2 builds ~len²/2 variants
+    * per text), so every supported `maxDist` is valid with defaults;
+    * the require is the backstop for explicit over-rides.
     *
     * Output: blockCols, `id_a`, `id_b`, `text_a`, `text_b`, `dist`. */
   def editDistanceJoin(
@@ -228,12 +231,16 @@ object Joins {
       textCol: String,
       maxDist: Int,
       maxBlockTexts: Long = 65536L,
-      maxTextLen: Int = 1024
+      maxTextLen: Int = -1
   ): DataFrame = {
+    // -1 = auto: scale the variant-array ceiling with maxDist so the
+    // DEFAULT call is valid for every supported distance (a fixed 1024
+    // default made maxDist=2 throw out of the box)
+    val lenCeil = if (maxTextLen >= 0) maxTextLen else if (maxDist <= 1) 1024 else 128
     require(blockCols.nonEmpty, "editDistanceJoin needs at least one blocking key")
     require(maxDist >= 0 && maxDist <= 2,
       "maxDist must be 0, 1, or 2 (the deletion-index contract)")
-    require(maxDist <= 1 || maxTextLen <= 128,
+    require(maxDist <= 1 || lenCeil <= 128,
       "maxDist=2 builds ~len²/2 variants per text; set maxTextLen <= 128")
     require(maxBlockTexts >= 1, "maxBlockTexts must be >= 1")
     val bcols = blockCols.map(col)
@@ -254,9 +261,9 @@ object Joins {
             concat_ws(",", blockCols.map(c => col(c).cast("string")): _*),
             lit(s" has more than $maxBlockTexts distinct texts on side '$suffix'; "),
             lit("refine the blocking keys or raise maxBlockTexts"))).cast("string"))
-          .when(length(col(tc)) > maxTextLen, raise_error(concat(
+          .when(length(col(tc)) > lenCeil, raise_error(concat(
             lit(s"editDistanceJoin: text of length "), length(col(tc)).cast("string"),
-            lit(s" exceeds maxTextLen=$maxTextLen on side '$suffix'; the deletion "),
+            lit(s" exceeds maxTextLen=$lenCeil on side '$suffix'; the deletion "),
             lit("index is for short linkage strings — normalize upstream or raise maxTextLen")))
             .cast("string"))
           .otherwise(col(tc)))
@@ -296,7 +303,7 @@ object Joins {
       textCol: String,
       maxDist: Int,
       maxBlockTexts: Long = 65536L,
-      maxTextLen: Int = 1024
+      maxTextLen: Int = -1
   ): DataFrame =
     editDistanceJoin(df, df, blockCols, idCol, textCol, maxDist, maxBlockTexts, maxTextLen)
       .filter(col("id_a") < col("id_b"))

@@ -144,16 +144,17 @@ object Pipelines {
     // none) would silently disagree on a corpus that violates the
     // contract — refuse loudly instead, in both paths at once.
     // coalesce evaluates the id ONCE (a when(isNull, …).otherwise re-reads
-    // it) and a schema-level non-nullable column skips the check entirely
-    // — the Ids.withSurrogateId on-ramp produces exactly that
+    // it) and is applied UNCONDITIONALLY: when the schema marks the column
+    // non-nullable (the Ids.withSurrogateId on-ramp), Catalyst's
+    // NullPropagation folds coalesce(col, _) to col, so the fast path is
+    // automatic — a Scala-side nullability short-circuit would trust the
+    // exact same metadata while reading as if it added a check
     val idField = docs.schema(docs.schema.fieldIndex(idCol))
-    val docsChecked =
-      if (!idField.nullable) docs
-      else docs.withColumn(idCol,
-        coalesce(col(idCol),
-          raise_error(lit(s"cleanCorpus id column '$idCol' must be non-null — " +
-            "assign a surrogate id (Ids.withSurrogateId) first"))
-            .cast(idField.dataType)))
+    val docsChecked = docs.withColumn(idCol,
+      coalesce(col(idCol),
+        raise_error(lit(s"cleanCorpus id column '$idCol' must be non-null — " +
+          "assign a surrogate id (Ids.withSurrogateId) first"))
+          .cast(idField.dataType)))
 
     // -0.5. optional Unicode NFC canonicalization FIRST: composed vs
     // decomposed renderings of the same text hash/shingle/window

@@ -179,7 +179,10 @@ object Sessions {
   /** Repeated-session signatures — the bot/replay fingerprint: every
     * session reduces to the md5 of its event-type sequence in
     * (time, id) order (U+0001 joiner, the engine's signature
-    * convention), then signatures repeating across >= `minSessions`
+    * convention; null types are coalesced to a U+0000 sentinel INSIDE
+    * the struct, because concat_ws silently skips nulls and would
+    * otherwise collapse sequences that differ only in where a null
+    * sits), then signatures repeating across >= `minSessions`
     * sessions and >= `minLen` events are reported with how many
     * sessions and distinct users share them. A human clicks in varied
     * orders; a bot replays one script from a thousand accounts — that
@@ -208,7 +211,7 @@ object Sessions {
         md5(concat_ws("\u0001",
           transform(
             array_sort(collect_list(struct(usCol.as("us"), col(idCol).as("id"),
-              col(typeCol).as("t")))),
+              coalesce(col(typeCol), lit("\u0000")).as("t")))),
             e => e.getField("t")))).as("fingerprint"),
         count(lit(1)).as("__len"))
       .filter(col("__len") >= minLen)

@@ -803,7 +803,7 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |  FROM flagged
         |), fp AS (
         |  SELECT user_id, session_seq,
-        |    md5(string_agg(event_type, chr(1) ORDER BY us, event_id)) AS fingerprint,
+        |    md5(string_agg(coalesce(event_type, chr(0)), chr(1) ORDER BY us, event_id)) AS fingerprint,
         |    CAST(count(*) AS BIGINT) AS seq_len
         |  FROM sess GROUP BY user_id, session_seq
         |  HAVING count(*) >= 2

@@ -409,34 +409,60 @@ object StreamingEval {
     * chain is order-sensitive, and an out-of-order earlier event can
     * retroactively enable conversions an incremental pass already
     * rejected. Replay logs through a time-ordered source, or accept
-    * drift bounded by the source's disorder. */
+    * drift bounded by the source's disorder.
+    *
+    * STATE LIFETIME: by default state is two scalars per EVER-SEEN user
+    * and lives forever — fine for bounded replays, unbounded on a
+    * long-lived production stream. Pass `idleTtlUs` to switch to an
+    * event-time TTL (EventTimeTimeout; the input gains a
+    * `watermarkDelay` watermark on `ts`): a user idle past the horizon
+    * — completed-the-last-step and abandoned alike — has state dropped
+    * silently once the watermark passes last-seen + TTL. The drift this
+    * buys is explicit: a dropped user who re-appears re-enters at step
+    * 0 and re-emits, so size the TTL to the funnel's real conversion
+    * horizon (and note events later than the watermark were outside the
+    * in-order contract already). */
   def funnelStream(
       events: org.apache.spark.sql.Dataset[TypedEvent],
-      steps: Seq[String]
+      steps: Seq[String],
+      idleTtlUs: Option[Long] = None,
+      watermarkDelay: String = "1 hour"
   ): org.apache.spark.sql.Dataset[FunnelOut] = {
     require(steps.nonEmpty, "funnelStream needs at least one step")
     require(steps.distinct.size == steps.size, "funnelStream steps must be distinct")
+    require(idleTtlUs.forall(_ > 0L), "idleTtlUs must be positive when set")
     import events.sparkSession.implicits._
     def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    events
+    val src = if (idleTtlUs.isDefined) events.withWatermark("ts", watermarkDelay) else events
+    val timeoutConf =
+      if (idleTtlUs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (userId: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          val advanced = Seq.newBuilder[FunnelOut]
-          sorted.foreach { e =>
-            if (s.nextStep < steps.length && e.event_type == steps(s.nextStep)) {
-              val eUs = us(e.ts)
-              if (s.nextStep == 0 || eUs >= s.tPrev) {
-                advanced += FunnelOut(userId, s.nextStep.toLong, eUs)
-                s = FunnelState(s.nextStep + 1, eUs)
+          if (state.hasTimedOut) {
+            state.remove() // idle past the TTL horizon: emit nothing, free the two scalars
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val advanced = Seq.newBuilder[FunnelOut]
+            sorted.foreach { e =>
+              if (s.nextStep < steps.length && e.event_type == steps(s.nextStep)) {
+                val eUs = us(e.ts)
+                if (s.nextStep == 0 || eUs >= s.tPrev) {
+                  advanced += FunnelOut(userId, s.nextStep.toLong, eUs)
+                  s = FunnelState(s.nextStep + 1, eUs)
+                }
               }
             }
+            state.update(s)
+            for (ttl <- idleTtlUs; last <- sorted.lastOption)
+              state.setTimeoutTimestamp((us(last.ts) + ttl) / 1000L) // ms
+            advanced.result().iterator
           }
-          state.update(s)
-          advanced.result().iterator
       }
   }
 

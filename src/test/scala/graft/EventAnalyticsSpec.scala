@@ -163,6 +163,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === Seq((2L, 3L, 2L)))
   }
 
+  test("sessionFingerprints: null types fingerprint by POSITION, not dropped") {
+    // [A,null] vs [null,A] must be DIFFERENT signatures — concat_ws
+    // skips nulls, so without the U+0000 sentinel inside the struct
+    // both would collapse to md5("A") and the four sessions below would
+    // merge into one n_sessions=4 row
+    val df = Seq(
+      (1L, 0L, "A", 1L), (1L, 1L, null.asInstanceOf[String], 2L),
+      (1L, 1000L, "A", 3L), (1L, 1001L, null.asInstanceOf[String], 4L),
+      (2L, 0L, null.asInstanceOf[String], 5L), (2L, 1L, "A", 6L),
+      (2L, 1000L, null.asInstanceOf[String], 7L), (2L, 1001L, "A", 8L)
+    ).toDF("u", "us", "t", "id")
+    val out = Sessions.sessionFingerprints(df, "u", col("us"), "id", "t",
+        gapUs = 100L, minSessions = 2L, minLen = 2)
+      .select("seq_len", "n_sessions", "n_users")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 2L, 1L), (2L, 2L, 1L))) // two DISTINCT signatures
+  }
+
   test("interEventGaps: exact log2 buckets, zero gaps in bucket -1") {
     // u1 at us 0,0,1,3,11 -> gaps 0,1,2,8 -> buckets -1,0,1,3; u2 alone
     val df = ev(
@@ -252,6 +270,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
   }
 
+  test("editDistanceJoin defaults are valid for every supported maxDist") {
+    // maxDist=2 with NO explicit maxTextLen must run (auto ceiling 128);
+    // an explicit over-ceiling override still hits the require backstop
+    val df = Seq(("b", 1L, "abc"), ("b", 2L, "a")).toDF("blk", "id", "text")
+    val got = Joins.editDistanceSelfJoin(df, Seq("blk"), "id", "text", 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 2)))
+    val e = intercept[IllegalArgumentException] {
+      Joins.editDistanceSelfJoin(df, Seq("blk"), "id", "text", 2, maxTextLen = 1024)
+    }
+    assert(e.getMessage.contains("maxTextLen <= 128"))
+  }
+
   test("editDistanceJoin drops null block keys and null texts") {
     val df = Seq((Option("b"), 1L, Option("aa")), (Option.empty[String], 2L, Option("aa")),
       (Option("b"), 3L, Option.empty[String]), (Option("b"), 4L, Option("aa")))
@@ -287,8 +318,9 @@ class EventAnalyticsSpec extends SparkSpec {
       Joins.editDistanceSelfJoin(df, Seq("blk"), "id", "text", 3)
     }
     intercept[IllegalArgumentException] {
-      // default maxTextLen=1024 is too generous for the quadratic index
-      Joins.editDistanceSelfJoin(df, Seq("blk"), "id", "text", 2)
+      // an EXPLICIT over-128 ceiling is too generous for the quadratic
+      // index (the default auto-scales to 128 at d=2 and is fine)
+      Joins.editDistanceSelfJoin(df, Seq("blk"), "id", "text", 2, maxTextLen = 129)
     }
   }
 

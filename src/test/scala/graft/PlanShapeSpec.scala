@@ -385,4 +385,30 @@ class PlanShapeSpec extends SparkSpec {
       !physical.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join must not plan a cross product:\n$physical")
   }
+
+  test("cleanCorpus null-id guard folds away on a non-nullable id") {
+    // the guard is UNCONDITIONAL in code; Catalyst's NullPropagation is
+    // what removes coalesce(id, raise_error) when the id's metadata says
+    // non-nullable — pin that the free fast path actually materializes
+    // behind the Ids.withSurrogateId on-ramp, and that a nullable
+    // (parquet) id keeps the loud guard in the optimized plan. Parquet
+    // sources, not literal frames: ConvertToLocalRelation eagerly
+    // evaluates projections over LocalRelation and would swallow the
+    // guard on BOTH paths.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val guardedPlan = graft.ops.Pipelines.cleanCorpus(
+      docs, nearDupThreshold = 2.0, minQuality = 0.0).df
+      .queryExecution.optimizedPlan.toString
+    assert(guardedPlan.contains("must be non-null"),
+      s"nullable id must keep the loud guard:\n$guardedPlan")
+    val onRamp = graft.ops.Ids.withSurrogateId(docs, "doc_id").df
+      .select(col("sid").as("doc_id"), col("text"))
+    assert(!onRamp.schema("doc_id").nullable, "withSurrogateId sid must be non-nullable")
+    val fastPlan = graft.ops.Pipelines.cleanCorpus(
+      onRamp, nearDupThreshold = 2.0, minQuality = 0.0).df
+      .queryExecution.optimizedPlan.toString
+    assert(!fastPlan.contains("must be non-null"),
+      s"non-nullable id should fold the guard out:\n$fastPlan")
+  }
 }

@@ -1106,4 +1106,40 @@ class StreamingSpec extends SparkSpec {
         s"stream=$streamCounts batch=$batch")
     } finally query.stop()
   }
+
+  test("funnelStream idle TTL drops state past the horizon (and not before)") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("s1", "s2")
+    def ev(u: Long, id: Long, ms: Long, t: String) =
+      StreamingEval.TypedEvent(u, id, new Timestamp(ms), t)
+    val input = MemoryStream[StreamingEval.TypedEvent]
+    val query = StreamingEval.funnelStream(input.toDS(), steps,
+        idleTtlUs = Some(1000000L), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_ttl_stream")
+      .outputMode("update").start()
+    try {
+      def outRows() = spark.table("funnel_ttl_stream")
+        .as[StreamingEval.FunnelOut].collect().toSeq
+          .map(o => (o.user_id, o.step_idx))
+      // user 100 completes both steps; the extra s1 must NOT re-emit
+      // while state is alive
+      input.addData(ev(100L, 1L, 1000L, "s1"), ev(100L, 2L, 1001L, "s2"),
+        ev(100L, 3L, 1002L, "s1"))
+      query.processAllAvailable()
+      assert(outRows().sorted == Seq((100L, 0L), (100L, 1L)))
+      // two dummy batches: first advances the watermark far past
+      // last-seen + TTL (watermark updates at END of batch), second
+      // fires the event-time timeout that frees user 100's state
+      input.addData(ev(-1L, 4L, 100000L, "x"))
+      query.processAllAvailable()
+      input.addData(ev(-2L, 5L, 101000L, "x"))
+      query.processAllAvailable()
+      // fresh s1 after the drop re-enters at step 0 — the documented
+      // TTL drift, and the observable proof the state was removed
+      input.addData(ev(100L, 6L, 200000L, "s1"))
+      query.processAllAvailable()
+      assert(outRows().filter(_._1 == 100L).sorted ==
+        Seq((100L, 0L), (100L, 0L), (100L, 1L)))
+    } finally query.stop()
+  }
 }
