@@ -3685,6 +3685,39 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |  CAST((octet_length(encode(text)) // 2) * 1000000 // 16000 AS BIGINT) AS duration_us
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // SCD2 history: lag-flag -> running-sum version -> run-grain
+    // aggregate -> lead() valid_to; IS DISTINCT FROM mirrors the
+    // engine's null-safe <=> change test
+    "q210_scd2_history" ->
+      """WITH obs AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS v,
+        |    epoch_us(o_orderdate) AS ts, o_orderkey AS tie
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |), flagged AS (
+        |  SELECT k, v, ts, tie,
+        |    CASE WHEN lag(tie) OVER (PARTITION BY k ORDER BY ts, tie) IS NULL
+        |           OR v IS DISTINCT FROM lag(v) OVER (PARTITION BY k ORDER BY ts, tie)
+        |         THEN 1 ELSE 0 END AS f
+        |  FROM obs
+        |), vers AS (
+        |  SELECT k, v, ts,
+        |    sum(f) OVER (PARTITION BY k ORDER BY ts, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM flagged
+        |), runs AS (
+        |  SELECT k, v, version, min(ts) AS valid_from,
+        |    count(*) AS n_obs
+        |  FROM vers GROUP BY k, v, version
+        |)
+        |SELECT k AS o_custkey, v AS o_orderpriority,
+        |  CAST(version AS BIGINT) AS version, valid_from,
+        |  CAST(n_obs AS BIGINT) AS n_obs,
+        |  lead(valid_from) OVER (PARTITION BY k ORDER BY version) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY k ORDER BY version) IS NULL AS is_current
+        |FROM runs
+        |ORDER BY o_custkey, version""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

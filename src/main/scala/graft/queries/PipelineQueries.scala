@@ -2035,6 +2035,21 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("log2_gap_us")
     },
 
+    "q210_scd2_history" -> { (s, dir) =>
+      // SCD Type-2 dimension history: each customer's order stream
+      // collapses to half-open validity intervals over the tracked
+      // o_orderpriority attribute — a new version opens whenever the
+      // priority changes between consecutive orders ((date, orderkey)
+      // order); one window pass per key + a run-grain lead()
+      val o = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("obs_us"),
+        col("o_orderkey"))
+      graft.ops.Snapshot.scd2History(o, Seq("o_custkey"),
+          Seq("o_orderpriority"), col("obs_us"), "o_orderkey")
+        .orderBy("o_custkey", "version")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -1524,6 +1524,42 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"))
   }
 
+  test("scd2History: runs, half-open intervals, null-safe change, invariance") {
+    import graft.ops.Snapshot
+    // key 1: a a b a  -> 3 versions; key 2: null x null -> 3 versions
+    // (null-safe change test opens a version on BOTH null transitions);
+    // key 3: single all-null first observation still opens version 1
+    val obs = Seq(
+      (1L, Option("a"), 10L, 100L), (1L, Option("a"), 20L, 101L),
+      (1L, Option("b"), 30L, 102L), (1L, Option("a"), 40L, 103L),
+      (2L, None: Option[String], 10L, 200L), (2L, Option("x"), 20L, 201L),
+      (2L, None: Option[String], 30L, 202L),
+      (3L, None: Option[String], 5L, 300L),
+      (-1L, Option("z"), 0L, 400L) // null-key / null-ts rows dropped below
+    ).toDF("k", "v", "ts", "tie")
+      .withColumn("k", when(col("k") === -1L, lit(null)).otherwise(col("k")))
+    val got = Snapshot.scd2History(obs, Seq("k"), Seq("v"), col("ts"), "tie")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version")) ->
+        ((Option(r.getAs[String]("v")), r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("n_obs"), r.getAs[Boolean]("is_current")))).toMap
+    assert(got.size == 7) // 3 + 3 + 1; null key dropped
+    assert(got((1L, 1L)) == ((Option("a"), 10L, Some(30L), 2L, false)))
+    assert(got((1L, 2L)) == ((Option("b"), 30L, Some(40L), 1L, false)))
+    assert(got((1L, 3L)) == ((Option("a"), 40L, None, 1L, true)))
+    assert(got((2L, 1L)) == ((None, 10L, Some(20L), 1L, false)))
+    assert(got((2L, 2L)) == ((Option("x"), 20L, Some(30L), 1L, false)))
+    assert(got((2L, 3L)) == ((None, 30L, None, 1L, true)))
+    assert(got((3L, 1L)) == ((None, 5L, None, 1L, true)))
+    // partition-invariance: same history from a different physical layout
+    val got2 = Snapshot.scd2History(obs.repartition(7), Seq("k"), Seq("v"),
+        col("ts"), "tie")
+      .collect().map(_.toString).sorted.toSeq
+    val got1 = Snapshot.scd2History(obs, Seq("k"), Seq("v"), col("ts"), "tie")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got1 == got2)
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
