@@ -85,7 +85,9 @@ object Snapshot {
     * One output row per (key, version) run: the run's values,
     * `version` (1-based), `valid_from` (first ts of the run),
     * `valid_to` (the NEXT run's valid_from — half-open [from, to)
-    * intervals; null on the current run), `n_obs`, and `is_current`.
+    * intervals; null on the current run), `last_obs` (last ts observed
+    * inside the run — the incremental high-water mark [[scd2Apply]]
+    * checks arrivals against), `n_obs`, and `is_current`.
     * The standard lakehouse dimension-history build from a CDC tail or
     * repeated snapshot loads.
     *
@@ -120,10 +122,90 @@ object Snapshot {
       .withColumn("version",
         sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy((keyCols ++ valueCols).map(col) :+ col("version"): _*)
-      .agg(min(ts).as("valid_from"), count(lit(1)).as("n_obs"))
+      .agg(min(ts).as("valid_from"), max(ts).as("last_obs"),
+        count(lit(1)).as("n_obs"))
     val wRun = Window.partitionBy(keyCols.map(col): _*).orderBy(col("version").asc)
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
       .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Incremental [[scd2History]] MAINTENANCE: merge a batch of NEW
+    * observations into an existing history frame (a previous
+    * `scd2History`/`scd2Apply` output) so the result equals a full
+    * rebuild over (old ∪ new) observations — while CLOSED versions pass
+    * through untouched. Only each touched key's OPEN run re-enters the
+    * window machinery: the current run is replayed as one synthetic
+    * run-weight observation (ts = its `valid_from`, weight = its
+    * `n_obs`, null tie so it orders first) unioned with the key's new
+    * observations, then the exact [[scd2History]] lag-flag / running-sum
+    * / run-grain plan runs over that sliver. Cost is the increment:
+    * |open runs| + |new obs| rows cross the one window pass; the closed
+    * history is a pass-through union branch, never shuffled.
+    *
+    * Late data refuses loudly: a new observation timestamped AT OR
+    * BEFORE its key's current-run `last_obs` cannot be merged
+    * append-only (an earlier one may split a closed interval; an
+    * equal-ts one would need the original observation's tie value to
+    * order against, which the run-compacted history no longer holds) —
+    * the raise_error rides the CONSUMED timestamp column, so the guard
+    * survives the optimizer; rebuild from the full log instead. The
+    * strictly-greater contract is what makes this EXACTLY equal to a
+    * full [[scd2History]] rebuild over (old ∪ new).
+    */
+  def scd2Apply(
+      history: DataFrame,
+      newObs: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      ts: Column,
+      tieCol: String
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Apply needs at least one key column")
+    require(valueCols.nonEmpty, "scd2Apply needs at least one value column")
+    val closed = history.filter(!col("is_current"))
+    val open = history.filter(col("is_current"))
+
+    // guard: per-key append-only contract, checked on the CONSUMED ts
+    val hwm = open.select(keyCols.map(col) :+ col("last_obs").as("__hwm")
+      :+ (col("version") - lit(1L)).as("__base"): _*)
+    val checkedTs = when(col("__hwm").isNotNull && ts <= col("__hwm"),
+      raise_error(concat(lit("scd2Apply: observation at ts="), ts.cast("string"),
+        lit(" does not strictly follow its key's current-run last_obs="),
+        col("__hwm").cast("string"),
+        lit(" — late data cannot merge append-only; rebuild with scd2History"))))
+      .otherwise(ts)
+    val tieType = newObs.schema(tieCol).dataType
+    val fresh = newObs
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) && ts.isNotNull)
+      .join(hwm, keyCols, "left")
+      .select(keyCols.map(col) ++ valueCols.map(col)
+        :+ checkedTs.as("__ts") :+ col(tieCol).as("__tie")
+        :+ lit(1L).as("__w") :+ ts.as("__last")
+        :+ coalesce(col("__base"), lit(0L)).as("__base"): _*)
+
+    // the open run as one synthetic weight-n_obs observation (null tie
+    // orders first; carries its own base so lone keys replay exactly)
+    val synth = open.select(keyCols.map(col) ++ valueCols.map(col)
+      :+ col("valid_from").as("__ts") :+ lit(null).cast(tieType).as("__tie")
+      :+ col("n_obs").as("__w") :+ col("last_obs").as("__last")
+      :+ (col("version") - lit(1L)).as("__base"): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tie").asc_nulls_first)
+    val valueChanged = valueCols.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val flag = when(row_number().over(w) === 1 || valueChanged, 1L).otherwise(0L)
+    val tail = synth.unionByName(fresh)
+      .withColumn("version", col("__base") +
+        sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keyCols ++ valueCols).map(col) :+ col("version"): _*)
+      .agg(min(col("__ts")).as("valid_from"), max(col("__last")).as("last_obs"),
+        sum(col("__w")).as("n_obs"))
+    val wRun = Window.partitionBy(keyCols.map(col): _*).orderBy(col("version").asc)
+    val recomputed = tail
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("is_current", col("valid_to").isNull)
+    closed.unionByName(recomputed.select(closed.columns.map(col): _*))
   }
 }

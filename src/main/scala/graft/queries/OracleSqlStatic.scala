@@ -3706,17 +3706,79 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
         |  FROM flagged
         |), runs AS (
-        |  SELECT k, v, version, min(ts) AS valid_from,
+        |  SELECT k, v, version, min(ts) AS valid_from, max(ts) AS last_obs,
         |    count(*) AS n_obs
         |  FROM vers GROUP BY k, v, version
         |)
         |SELECT k AS o_custkey, v AS o_orderpriority,
-        |  CAST(version AS BIGINT) AS version, valid_from,
+        |  CAST(version AS BIGINT) AS version, valid_from, last_obs,
         |  CAST(n_obs AS BIGINT) AS n_obs,
         |  lead(valid_from) OVER (PARTITION BY k ORDER BY version) AS valid_to,
         |  lead(valid_from) OVER (PARTITION BY k ORDER BY version) IS NULL AS is_current
         |FROM runs
         |ORDER BY o_custkey, version""".stripMargin,
+
+    // incremental SCD2: the engine merges pre-1997 history with the
+    // 1997+ tail via scd2Apply; the oracle is the FULL REBUILD over all
+    // observations — the differential contract that makes the
+    // increment trustworthy
+    "q211_scd2_incremental" ->
+      """WITH obs AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS v,
+        |    epoch_us(o_orderdate) AS ts, o_orderkey AS tie
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |), flagged AS (
+        |  SELECT k, v, ts, tie,
+        |    CASE WHEN lag(tie) OVER (PARTITION BY k ORDER BY ts, tie) IS NULL
+        |           OR v IS DISTINCT FROM lag(v) OVER (PARTITION BY k ORDER BY ts, tie)
+        |         THEN 1 ELSE 0 END AS f
+        |  FROM obs
+        |), vers AS (
+        |  SELECT k, v, ts,
+        |    sum(f) OVER (PARTITION BY k ORDER BY ts, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM flagged
+        |), runs AS (
+        |  SELECT k, v, version, min(ts) AS valid_from, max(ts) AS last_obs,
+        |    count(*) AS n_obs
+        |  FROM vers GROUP BY k, v, version
+        |)
+        |SELECT k AS o_custkey, v AS o_orderpriority,
+        |  CAST(version AS BIGINT) AS version, valid_from, last_obs,
+        |  CAST(n_obs AS BIGINT) AS n_obs,
+        |  lead(valid_from) OVER (PARTITION BY k ORDER BY version) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY k ORDER BY version) IS NULL AS is_current
+        |FROM runs
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    // k-anonymity audit: class occupancy -> one-row verdict
+    "q212_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_band,
+        |    count(*) AS class_n
+        |  FROM customer GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(sum(class_n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(class_n) AS BIGINT) AS k_actual,
+        |  CAST(sum(CASE WHEN class_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below_k,
+        |  CAST(coalesce(sum(CASE WHEN class_n < 5 THEN class_n END), 0) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(sum(CASE WHEN class_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |  round(CAST(coalesce(sum(CASE WHEN class_n < 5 THEN class_n END), 0) AS DOUBLE)
+        |    / sum(class_n), 6) + 0.0 AS at_risk_frac_r
+        |FROM cls""".stripMargin,
+
+    // k-anonymity suppression: HAVING >= k class keys, joined back
+    "q213_k_suppression" ->
+      """WITH keep AS (
+        |  SELECT c_nationkey, c_mktsegment
+        |  FROM customer GROUP BY 1, 2 HAVING count(*) >= 8
+        |)
+        |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+        |FROM customer c JOIN keep USING (c_nationkey, c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q51_event_windows" ->
       """SELECT event_type,

@@ -2050,6 +2050,48 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("o_custkey", "version")
     },
 
+    "q211_scd2_incremental" -> { (s, dir) =>
+      // incremental SCD2 maintenance: the pre-1997 history is built
+      // once, then the 1997+ order tail merges via scd2Apply — closed
+      // versions pass through untouched, only open runs + the new
+      // observations re-enter the window. Oracle = the FULL rebuild
+      // over all observations (the differential that proves the
+      // increment exact).
+      val o = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("obs_us"),
+        col("o_orderkey"))
+      val splitUs = 852076800000000L // 1997-01-01T00:00:00Z in epoch micros
+      val hist = graft.ops.Snapshot.scd2History(
+        o.filter(col("obs_us") < splitUs),
+        Seq("o_custkey"), Seq("o_orderpriority"), col("obs_us"), "o_orderkey")
+      graft.ops.Snapshot.scd2Apply(hist,
+          o.filter(col("obs_us") >= splitUs),
+          Seq("o_custkey"), Seq("o_orderpriority"), col("obs_us"), "o_orderkey")
+        .orderBy("o_custkey", "version")
+    },
+
+    "q212_k_anonymity" -> { (s, dir) =>
+      // privacy audit: is the customer frame k-anonymous on the
+      // (nation, segment, balance-band) quasi-identifier tuple? One
+      // class aggregate + one |classes|-row verdict; the band is exact
+      // integer arithmetic (cents, shifted non-negative before div)
+      val c = t(s, dir, "customer").withColumn("bal_band",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"))
+      graft.ops.Privacy.kAnonymityAudit(c,
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)
+    },
+
+    "q213_k_suppression" -> { (s, dir) =>
+      // privacy enforcement: drop every row whose quasi-identifier
+      // class has fewer than 8 members — the output is 8-anonymous by
+      // construction; |classes|-row build side, one key-grain join
+      graft.ops.Privacy.suppressBelowK(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 8L)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -1558,6 +1558,73 @@ class OpsSpec extends SparkSpec {
     val got1 = Snapshot.scd2History(obs, Seq("k"), Seq("v"), col("ts"), "tie")
       .collect().map(_.toString).sorted.toSeq
     assert(got1 == got2)
+    // last_obs = last ts observed inside the run (the scd2Apply high-water mark)
+    val lo = Snapshot.scd2History(obs, Seq("k"), Seq("v"), col("ts"), "tie")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version")) ->
+        r.getAs[Long]("last_obs")).toMap
+    assert(lo((1L, 1L)) == 20L && lo((1L, 3L)) == 40L && lo((3L, 1L)) == 5L)
+  }
+
+  test("scd2Apply: increment equals full rebuild; closed rows untouched; late data refuses") {
+    import graft.ops.Snapshot
+    // keys: 1 = extended run + new version; 2 = value flip back; 3 = only
+    // in old (pass-through); 4 = only in new (fresh-key path)
+    val all = Seq(
+      (1L, Option("a"), 10L, 100L), (1L, Option("a"), 20L, 101L),
+      (1L, Option("a"), 30L, 102L), (1L, Option("b"), 40L, 103L),
+      (2L, Option("x"), 10L, 200L), (2L, None: Option[String], 25L, 201L),
+      (2L, Option("x"), 35L, 202L),
+      (3L, Option("z"), 15L, 300L),
+      (4L, Option("q"), 50L, 400L), (4L, Option("r"), 60L, 401L)
+    ).toDF("k", "v", "ts", "tie")
+    for (split <- Seq(5L, 22L, 28L, 45L, 100L)) {
+      val hist = Snapshot.scd2History(all.filter(col("ts") < split),
+        Seq("k"), Seq("v"), col("ts"), "tie")
+      val inc = Snapshot.scd2Apply(hist, all.filter(col("ts") >= split),
+          Seq("k"), Seq("v"), col("ts"), "tie")
+        .collect().map(_.toString).sorted.toSeq
+      val full = Snapshot.scd2History(all, Seq("k"), Seq("v"), col("ts"), "tie")
+        .collect().map(_.toString).sorted.toSeq
+      assert(inc == full, s"increment diverged from full rebuild at split=$split")
+    }
+    // late data (ts <= the key's current-run last_obs) refuses loudly
+    val hist = Snapshot.scd2History(all.filter(col("ts") < 45L),
+      Seq("k"), Seq("v"), col("ts"), "tie")
+    val late = Seq((1L, Option("c"), 40L, 999L)).toDF("k", "v", "ts", "tie")
+    val err = intercept[Exception] {
+      Snapshot.scd2Apply(hist, late, Seq("k"), Seq("v"), col("ts"), "tie").collect()
+    }
+    assert(err.getMessage.contains("scd2Apply"), s"unexpected: ${err.getMessage}")
+  }
+
+  test("kAnonymity: audit numbers, null tuple is a class, suppression is k-anonymous") {
+    import graft.ops.Privacy
+    // classes: (a,1)x3, (a,2)x2, (b,1)x1 singleton, (null,1)x2, (null,null)x1
+    val df = Seq(
+      (1L, Option("a"), Option(1)), (2L, Option("a"), Option(1)), (3L, Option("a"), Option(1)),
+      (4L, Option("a"), Option(2)), (5L, Option("a"), Option(2)),
+      (6L, Option("b"), Option(1)),
+      (7L, None: Option[String], Option(1)), (8L, None: Option[String], Option(1)),
+      (9L, None: Option[String], None: Option[Int])
+    ).toDF("id", "q1", "q2")
+    val audit = Privacy.kAnonymityAudit(df, Seq("q1", "q2"), k = 2L).collect().head
+    assert(audit.getAs[Long]("n_rows") == 9L)
+    assert(audit.getAs[Long]("n_classes") == 5L)
+    assert(audit.getAs[Long]("k_actual") == 1L)
+    assert(audit.getAs[Long]("n_classes_below_k") == 2L) // (b,1), (null,null)
+    assert(audit.getAs[Long]("n_rows_at_risk") == 2L)
+    assert(audit.getAs[Long]("n_singletons") == 2L)
+    assert(math.abs(audit.getAs[Double]("at_risk_frac_r") - 2.0 / 9.0) < 1e-6)
+    val kept = Privacy.suppressBelowK(df, Seq("q1", "q2"), k = 2L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L)) // null-QI class of 2 kept
+    // the suppressed frame is k-anonymous by construction
+    val re = Privacy.kAnonymityAudit(
+      Privacy.suppressBelowK(df, Seq("q1", "q2"), k = 2L), Seq("q1", "q2"), 2L)
+      .collect().head
+    assert(re.getAs[Long]("k_actual") >= 2L)
+    // k=1 is the identity
+    assert(Privacy.suppressBelowK(df, Seq("q1", "q2"), 1L).count() == 9L)
   }
 
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
