@@ -387,6 +387,29 @@ object ExamplePipeline {
       graft.ops.Joins.editDistanceSelfJoin(
         cust, Seq("nationkey"), "c_custkey", "c_name", maxDist = 1).count())
 
+    // 33. governance: SCD2 dimension history from the order stream
+    //     (bootstrap + incremental apply), then a k-anonymity audit and
+    //     suppression gate on the customer quasi-identifiers — the
+    //     release-review stages a corpus ships through
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderkey"))
+    val splitUs = 852076800000000L // 1997-01-01
+    val scdHist = Snapshot.scd2History(ord.filter(col("us") < splitUs),
+      Seq("o_custkey"), Seq("o_orderpriority"), col("us"), "o_orderkey")
+    val scdFull = Snapshot.scd2Apply(scdHist, ord.filter(col("us") >= splitUs),
+      Seq("o_custkey"), Seq("o_orderpriority"), col("us"), "o_orderkey")
+    println(s"scd2: ${scdFull.count()} validity intervals " +
+      s"(${scdFull.filter(col("is_current")).count()} current)")
+    val fullCust = spark.read.parquet(s"$dir/customer.parquet")
+    val audit = graft.ops.Privacy.kAnonymityAudit(
+      fullCust, Seq("c_nationkey", "c_mktsegment"), k = 2L).head()
+    println(s"k-anonymity: k_actual=${audit.getAs[Long]("k_actual")}, " +
+      s"${audit.getAs[Long]("n_rows_at_risk")} rows at risk of ${audit.getAs[Long]("n_rows")}")
+    println("after suppression: " + graft.ops.Privacy.suppressBelowK(
+      fullCust, Seq("c_nationkey", "c_mktsegment"), k = 2L).count() + " rows")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)

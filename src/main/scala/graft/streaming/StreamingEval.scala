@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -708,4 +708,61 @@ object StreamingEval {
       admitted.write.mode("append").parquet(indexPath)
       ()
     }
+
+  /** Streaming SCD2 MAINTENANCE: a CDC/observation stream keeps a
+    * persisted [[graft.ops.Snapshot.scd2History]] frame current. Each
+    * micro-batch loads the latest history snapshot and merges the batch
+    * via [[graft.ops.Snapshot.scd2Apply]] — so per batch only
+    * |open runs| + |batch| rows cross the one window pass, never the
+    * accumulated history (closed versions are a pass-through branch).
+    * The first batch bootstraps the history from scratch.
+    *
+    * Snapshots are versioned (`historyPath/v<batchId>`, zero-padded)
+    * rather than overwritten in place: the merge READS the previous
+    * snapshot lazily, so an in-place overwrite would clobber its own
+    * input mid-job; versioning also makes batch replay idempotent (a
+    * re-run rewrites the same deterministic content into the same
+    * directory) and leaves an audit trail of the dimension's evolution.
+    * Readers take [[loadScd2History]] (the highest version).
+    *
+    * Contract: per-key event-time-ordered arrival across batches with
+    * strictly increasing `ts` per key — [[graft.ops.Snapshot.scd2Apply]]
+    * refuses violations loudly rather than corrupting intervals. */
+  def scd2Stream(
+      obs: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      historyPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    obs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val next = loadScd2History(spark, historyPath) match {
+        case Some(h) => graft.ops.Snapshot.scd2Apply(
+          h, batch, keyCols, valueCols, col(tsCol), tieCol)
+        case None => graft.ops.Snapshot.scd2History(
+          batch, keyCols, valueCols, col(tsCol), tieCol)
+      }
+      next.write.mode("overwrite").parquet(f"$historyPath/v$batchId%09d")
+      ()
+    }
+
+  /** The latest [[scd2Stream]] history snapshot (highest `v<N>`
+    * directory), if one exists yet. Zero-padded names make the
+    * lexicographic max the numeric max. */
+  def loadScd2History(
+      spark: SparkSession,
+      historyPath: String
+  ): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(historyPath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val vs = fs.listStatus(path).map(_.getPath.getName)
+        .filter(_.matches("v\\d+"))
+      if (vs.isEmpty) None
+      else Some(spark.read.parquet(s"$historyPath/${vs.max}"))
+    }
+  }
 }

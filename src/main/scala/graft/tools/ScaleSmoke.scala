@@ -548,6 +548,34 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // SCD2: keys scale with the data, per-key streams stay short — one
+      // window pass per key partition then a run-grain lead(); the apply
+      // side re-windows only |open runs| + |new obs| rows
+      time(s"scd2 history + incremental apply, ${n * 150000} obs, ${n}x keys") {
+        val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+          .select(col("o_custkey"), col("o_orderpriority"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+            col("o_orderkey"))
+        val ordN = blowUpKeyed(ord, n, "o_custkey")
+        val splitUs = 852076800000000L // 1997-01-01
+        val hist = graft.ops.Snapshot.scd2History(
+          ordN.filter(col("us") < splitUs),
+          Seq("o_custkey"), Seq("o_orderpriority"), col("us"), "o_orderkey")
+        graft.ops.Snapshot.scd2Apply(hist, ordN.filter(col("us") >= splitUs),
+            Seq("o_custkey"), Seq("o_orderpriority"), col("us"), "o_orderkey")
+          .agg(count(lit(1))).collect()
+      }
+
+      // k-anonymity suppression: one class aggregate (map-side combined)
+      // + one key-grain join — scan-bound, classes scale with keys
+      time(s"k-anonymity suppression, ${n * 15000} rows") {
+        val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        val custN = blowUpKeyed(cust, n, "c_custkey")
+        graft.ops.Privacy.suppressBelowK(custN,
+            Seq("c_nationkey", "c_mktsegment"), k = 8L)
+          .agg(count(lit(1))).collect()
+      }
+
       // adversarial: ONE degenerate block (a broken coarse partitioner)
       // must refuse loudly and fast — |block|² pairs never materialize
       time(s"blocked NN hot-block guard (one ${n * 2000}-row block)") {

@@ -1142,4 +1142,38 @@ class StreamingSpec extends SparkSpec {
         Seq((100L, 0L), (100L, 0L), (100L, 1L)))
     } finally query.stop()
   }
+
+  test("streaming SCD2 maintenance equals batch history over the replayed stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Snapshot
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val historyPath = s"$dir/history"
+    // (key, value, ts, tie): keys 1 and 2 evolve across batches, key 3
+    // appears only in batch 2, key 1 is silent in batch 3
+    val batches = Seq(
+      Seq((1L, "a", 10L, 100L), (1L, "a", 20L, 101L), (2L, "x", 15L, 200L)),
+      Seq((1L, "b", 30L, 102L), (2L, "x", 25L, 201L), (3L, "q", 22L, 300L)),
+      Seq((2L, "y", 35L, 202L), (3L, "q", 40L, 301L))
+    )
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val query = graft.streaming.StreamingEval.scd2Stream(
+        input.toDF().toDF("k", "v", "ts", "tie"),
+        Seq("k"), Seq("v"), "ts", "tie", historyPath)
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      val streamed = graft.streaming.StreamingEval
+        .loadScd2History(spark, historyPath).get
+        .collect().map(_.toString).sorted.toSeq
+      val full = Snapshot.scd2History(
+          batches.flatten.toDF("k", "v", "ts", "tie"),
+          Seq("k"), Seq("v"), col("ts"), "tie")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == full, s"streamed history diverged:\n$streamed\nvs\n$full")
+      // versioned audit trail: one snapshot per micro-batch
+      val vs = new java.io.File(historyPath).list().filter(_.startsWith("v")).sorted
+      assert(vs.length == 3, s"expected 3 versioned snapshots, got ${vs.toSeq}")
+    } finally query.stop()
+  }
 }
