@@ -307,4 +307,114 @@ object Joins {
   ): DataFrame =
     editDistanceJoin(df, df, blockCols, idCol, textCol, maxDist, maxBlockTexts, maxTextLen)
       .filter(col("id_a") < col("id_b"))
+
+  /** One scored comparison field of [[recordLinkage]]. `weight` is the
+    * field's share of the match score; `kind` picks the similarity:
+    * [[LinkFieldKind.Exact]] (1 iff non-null equal),
+    * [[LinkFieldKind.Edit]] (1 − levenshtein ⁄ max length; two empty
+    * strings count as equal), or [[LinkFieldKind.Numeric]] (1 − |a−b| ⁄
+    * scale, floored at 0). A null on either side contributes 0 — absence
+    * of evidence, never a crash. `leftCol` also names the emitted
+    * `sim_<leftCol>` column, so use distinct left columns per field. */
+  final case class LinkField(
+      leftCol: String,
+      rightCol: String,
+      weight: Double,
+      kind: LinkFieldKind)
+
+  sealed trait LinkFieldKind
+  object LinkFieldKind {
+    case object Exact extends LinkFieldKind
+    case object Edit extends LinkFieldKind
+    final case class Numeric(scale: Double) extends LinkFieldKind
+  }
+
+  /** Record linkage (entity resolution): match rows of `left` to rows of
+    * `right` by a weighted multi-field similarity score — the
+    * Fellegi–Sunter shape with deterministic field agreements.
+    *
+    * Candidate generation NEVER materializes the in-block cross
+    * product: candidates come from [[editDistanceJoin]]'s deletion
+    * index on the `anchor` field (the short, discriminative string a
+    * linkage keys on — name, title, code), so the pair count scales
+    * with true near-matches. All `fields` are then scored on that
+    * candidate sliver only, joined back by id at id grain. An entity
+    * pair whose anchors differ by more than `anchorMaxDist` edits is
+    * unreachable BY DESIGN — pick the anchor accordingly (standard
+    * blocking practice, stated rather than hidden).
+    *
+    * Score = Σ weightᵢ·simᵢ ⁄ Σ weightᵢ, rounded to 6 decimals
+    * (`match_score_r`); pairs below `minScore` drop. Output: blockCols,
+    * `id_a`, `id_b`, `anchor_dist`, one `sim_<leftCol>` per field, and
+    * `match_score_r`. Ids must be unique per side (they key the
+    * field join-back). */
+  def recordLinkage(
+      left: DataFrame,
+      right: DataFrame,
+      blockCols: Seq[String],
+      leftId: String,
+      rightId: String,
+      anchorLeft: String,
+      anchorRight: String,
+      anchorMaxDist: Int,
+      fields: Seq[LinkField],
+      minScore: Double,
+      maxBlockTexts: Long = 65536L
+  ): DataFrame = {
+    require(fields.nonEmpty, "recordLinkage needs at least one scored field")
+    require(fields.map(_.leftCol).distinct.size == fields.size,
+      "field leftCols must be distinct (they name the sim_* outputs)")
+    val wsum = fields.map(_.weight).sum
+    require(wsum > 0, "field weights must sum to a positive value")
+    fields.foreach {
+      case LinkField(_, _, w, _) if w < 0 =>
+        throw new IllegalArgumentException("field weights must be >= 0")
+      case LinkField(_, _, _, LinkFieldKind.Numeric(s)) if !(s > 0) =>
+        throw new IllegalArgumentException("Numeric field scale must be > 0")
+      case _ => ()
+    }
+    val bcols = blockCols.map(col)
+    def side(df: DataFrame, idc: String, anchor: String): DataFrame =
+      df.select(bcols :+ col(idc).as("__id") :+ col(anchor).as("__anchor"): _*)
+    val cands = editDistanceJoin(
+        side(left, leftId, anchorLeft), side(right, rightId, anchorRight),
+        blockCols, "__id", "__anchor", anchorMaxDist, maxBlockTexts)
+      .select(bcols ++ Seq(col("id_a"), col("id_b"),
+        col("dist").as("anchor_dist")): _*)
+
+    val lf = left.select(col(leftId).as("id_a") +:
+      fields.zipWithIndex.map { case (f, i) => col(f.leftCol).as(s"__l_$i") }: _*)
+    val rf = right.select(col(rightId).as("id_b") +:
+      fields.zipWithIndex.map { case (f, i) => col(f.rightCol).as(s"__r_$i") }: _*)
+
+    def sim(f: LinkField, i: Int): Column = {
+      val l = col(s"__l_$i")
+      val r = col(s"__r_$i")
+      val bothSet = l.isNotNull && r.isNotNull
+      f.kind match {
+        case LinkFieldKind.Exact =>
+          when(bothSet && l === r, lit(1.0)).otherwise(lit(0.0))
+        case LinkFieldKind.Edit =>
+          val maxLen = greatest(length(l), length(r)).cast("double")
+          when(bothSet && maxLen === 0.0, lit(1.0))
+            .when(bothSet,
+              lit(1.0) - levenshtein(l, r).cast("double") / maxLen)
+            .otherwise(lit(0.0))
+        case LinkFieldKind.Numeric(scale) =>
+          when(bothSet,
+            greatest(lit(0.0), lit(1.0) - abs(l.cast("double") - r.cast("double")) / lit(scale)))
+            .otherwise(lit(0.0))
+      }
+    }
+    val sims = fields.zipWithIndex.map { case (f, i) => sim(f, i).as(s"sim_${f.leftCol}") }
+    val score = fields.zipWithIndex.map { case (f, i) =>
+      lit(f.weight) * col(s"sim_${f.leftCol}")
+    }.reduceLeft(_ + _) / lit(wsum)
+    cands
+      .join(lf, "id_a")
+      .join(rf, "id_b")
+      .select((bcols ++ Seq(col("id_a"), col("id_b"), col("anchor_dist"))) ++ sims: _*)
+      .withColumn("match_score_r", round(score, 6) + lit(0.0))
+      .filter(col("match_score_r") >= minScore)
+  }
 }

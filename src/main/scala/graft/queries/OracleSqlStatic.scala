@@ -3780,6 +3780,53 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |FROM customer c JOIN keep USING (c_nationkey, c_mktsegment)
         |ORDER BY c_custkey""".stripMargin,
 
+    // record linkage: the oracle regenerates the clone registry and
+    // replays candidates as the in-block lev<=1 cross check (the
+    // engine's deletion index finds the same pairs), then the exact
+    // weighted scoring chain
+    "q214_record_linkage" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_custkey + 1000000 AS rid,
+        |    CASE WHEN c_custkey % 3 = 0
+        |         THEN substring(c_name, 1, length(c_name) - 1) || 'X'
+        |         ELSE c_name END AS r_name,
+        |    c_acctbal + (c_custkey % 7) * CAST(0.01 AS DOUBLE) AS r_acctbal,
+        |    c_mktsegment AS r_segment
+        |  FROM customer
+        |), cand AS (
+        |  SELECT l.c_nationkey, l.c_custkey AS id_a, r.rid AS id_b,
+        |    levenshtein(l.c_name, r.r_name) AS anchor_dist,
+        |    l.c_name AS name_a, r.r_name AS name_b,
+        |    l.c_acctbal AS bal_a, r.r_acctbal AS bal_b,
+        |    l.c_mktsegment AS seg_a, r.r_segment AS seg_b
+        |  FROM customer l JOIN r ON l.c_nationkey = r.c_nationkey
+        |  WHERE abs(length(l.c_name) - length(r.r_name)) <= 1
+        |    AND levenshtein(l.c_name, r.r_name) <= 1
+        |), scored AS (
+        |  SELECT c_nationkey, id_a, id_b, anchor_dist,
+        |    CASE WHEN greatest(length(name_a), length(name_b)) = 0
+        |         THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) - CAST(anchor_dist AS DOUBLE)
+        |           / CAST(greatest(length(name_a), length(name_b)) AS DOUBLE)
+        |    END AS sim_name,
+        |    greatest(CAST(0.0 AS DOUBLE),
+        |      CAST(1.0 AS DOUBLE) - abs(bal_a - bal_b) / CAST(100.0 AS DOUBLE)) AS sim_bal,
+        |    CASE WHEN seg_a = seg_b THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS sim_seg
+        |  FROM cand
+        |), final AS (
+        |  SELECT c_nationkey, id_a, id_b, anchor_dist,
+        |    round(sim_name, 6) + 0.0 AS sim_name_r,
+        |    round(sim_bal, 6) + 0.0 AS sim_bal_r,
+        |    round(sim_seg, 6) + 0.0 AS sim_seg_r,
+        |    round((CAST(0.5 AS DOUBLE) * sim_name + CAST(0.3 AS DOUBLE) * sim_bal
+        |      + CAST(0.2 AS DOUBLE) * sim_seg) / CAST(1.0 AS DOUBLE), 6) + 0.0
+        |      AS match_score_r
+        |  FROM scored
+        |)
+        |SELECT * FROM final WHERE match_score_r >= CAST(0.9 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

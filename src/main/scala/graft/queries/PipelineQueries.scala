@@ -2092,6 +2092,39 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("c_custkey")
     },
 
+    "q214_record_linkage" -> { (s, dir) =>
+      // entity resolution: link customers to a perturbed clone registry
+      // (every 3rd name's last char flipped, balances drifted by cents)
+      // — candidates from the nation-blocked deletion index on the name
+      // anchor, then weighted Edit/Numeric/Exact field scoring on the
+      // candidate sliver only
+      import graft.ops.Joins
+      import graft.ops.Joins.{LinkField, LinkFieldKind}
+      val c = t(s, dir, "customer")
+      val clone = c.select(
+        col("c_nationkey"),
+        (col("c_custkey") + lit(1000000L)).as("rid"),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+          .otherwise(col("c_name")).as("r_name"),
+        (col("c_acctbal") + pmod(col("c_custkey"), lit(7)).cast("double") * lit(0.01))
+          .as("r_acctbal"),
+        col("c_mktsegment").as("r_segment"))
+      Joins.recordLinkage(c, clone, Seq("c_nationkey"), "c_custkey", "rid",
+          "c_name", "r_name", anchorMaxDist = 1,
+          fields = Seq(
+            LinkField("c_name", "r_name", 0.5, LinkFieldKind.Edit),
+            LinkField("c_acctbal", "r_acctbal", 0.3, LinkFieldKind.Numeric(100.0)),
+            LinkField("c_mktsegment", "r_segment", 0.2, LinkFieldKind.Exact)),
+          minScore = 0.9)
+        .select(col("c_nationkey"), col("id_a"), col("id_b"), col("anchor_dist"),
+          (round(col("sim_c_name"), 6) + lit(0.0)).as("sim_name_r"),
+          (round(col("sim_c_acctbal"), 6) + lit(0.0)).as("sim_bal_r"),
+          (round(col("sim_c_mktsegment"), 6) + lit(0.0)).as("sim_seg_r"),
+          col("match_score_r"))
+        .orderBy("id_a", "id_b")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

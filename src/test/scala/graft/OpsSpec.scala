@@ -1627,6 +1627,57 @@ class OpsSpec extends SparkSpec {
     assert(Privacy.suppressBelowK(df, Seq("q1", "q2"), 1L).count() == 9L)
   }
 
+  test("recordLinkage: weighted field sims, null evidence, anchor reach, minScore") {
+    import graft.ops.Joins
+    import graft.ops.Joins.{LinkField, LinkFieldKind}
+    val left = Seq(
+      (1L, 1, "alice", Option("gold"), Option(100.0)),
+      (2L, 1, "bobby", Option("iron"), Option(50.0)),
+      (3L, 2, "carol", None: Option[String], Option(10.0))
+    ).toDF("lid", "blk", "name", "tier", "bal")
+    val right = Seq(
+      (11L, 1, "alyse", Option("gold"), Option(110.0)), // name lev 2: unreachable at d=1
+      (12L, 1, "bobbe", Option("iron"), Option(50.0)),  // lev 1 from bobby
+      (13L, 2, "carol", Option("gold"), Option(15.0)),  // exact name, null left tier
+      (14L, 2, "caryl", Option("gold"), None: Option[Double]) // lev 1, null right bal
+    ).toDF("rid", "blk", "name", "tier", "bal")
+    val fields = Seq(
+      LinkField("name", "name", 0.5, LinkFieldKind.Edit),
+      LinkField("tier", "tier", 0.2, LinkFieldKind.Exact),
+      LinkField("bal", "bal", 0.3, LinkFieldKind.Numeric(100.0)))
+    val got = Joins.recordLinkage(left, right, Seq("blk"), "lid", "rid",
+        "name", "name", anchorMaxDist = 1, fields, minScore = 0.0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Double]("sim_name"), r.getAs[Double]("sim_tier"),
+          r.getAs[Double]("sim_bal"), r.getAs[Double]("match_score_r")))).toMap
+    // alice–alyce is lev-2: not a candidate at anchorMaxDist=1
+    assert(!got.contains((1L, 11L)))
+    // bobby–bobbe: name 1-1/5=0.8, tier exact, bal equal
+    val b = got((2L, 12L))
+    assert(b._1 == 0.8 && b._2 == 1.0 && b._3 == 1.0)
+    assert(math.abs(b._4 - (0.5 * 0.8 + 0.2 + 0.3)) < 1e-9)
+    // carol–carol: exact name; null LEFT tier contributes 0 evidence
+    val c13 = got((3L, 13L))
+    assert(c13._1 == 1.0 && c13._2 == 0.0 && math.abs(c13._3 - 0.95) < 1e-9)
+    // carol–caryl: null RIGHT bal contributes 0
+    val c14 = got((3L, 14L))
+    assert(c14._1 == 0.8 && c14._3 == 0.0)
+    // minScore drops the weak pair (carol–caryl scores 0.4)
+    val strict = Joins.recordLinkage(left, right, Seq("blk"), "lid", "rid",
+      "name", "name", 1, fields, minScore = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((2L, 12L), (3L, 13L)))
+    // invalid configs refuse
+    intercept[IllegalArgumentException] {
+      Joins.recordLinkage(left, right, Seq("blk"), "lid", "rid", "name", "name", 1,
+        Seq(LinkField("name", "name", -1.0, LinkFieldKind.Edit)), 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Joins.recordLinkage(left, right, Seq("blk"), "lid", "rid", "name", "name", 1,
+        Seq(LinkField("bal", "bal", 1.0, LinkFieldKind.Numeric(0.0))), 0.0)
+    }
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
