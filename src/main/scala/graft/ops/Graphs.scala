@@ -112,4 +112,91 @@ object Graphs {
     }
     ranks
   }
+
+  /** Canonical undirected simple-graph edge set: direction and
+    * multiplicity dropped (`a < b` per row), self-loops and null
+    * endpoints removed. The shared on-ramp of [[triangleCounts]] /
+    * [[clusteringCoefficient]]. */
+  private def simpleEdges(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges
+      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .distinct()
+
+  /** Per-node triangle participation over the UNDIRECTED simple graph
+    * (parallel edges, direction, and self-loops ignored): `(node,
+    * n_triangles)` for every node of at least one edge — the
+    * link-farm/bot-ring density signal ([[clusteringCoefficient]]
+    * normalizes it).
+    *
+    * Algorithm: the degree-ordered edge iterator — every edge orients
+    * from its LOWER-degree endpoint to the higher (ties toward the
+    * smaller node id), wedges come from the self-join of oriented
+    * edges on the pivot, and a wedge is a triangle iff its closing
+    * edge exists (semi-ish inner join back to the oriented edge set).
+    * Orientation is the scale lever: any graph's oriented out-degree
+    * is O(√|E|) — a celebrity hub with 10⁸ followers pivots almost no
+    * wedges because its edges all point INTO it — so wedge volume is
+    * bounded by Σ outdeg² = O(|E|^1.5), the best known for exact
+    * counting, with every step an equi-join (no windows, no driver
+    * state). Each triangle is found exactly once (its wedge pivots at
+    * the unique degree-minimal vertex), then credited to all three
+    * corners by an explode + one count aggregate. */
+  def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame =
+    triangleCore(edges, src, dst)._2.select("node", "n_triangles")
+
+  /** Shared machinery of [[triangleCounts]] / [[clusteringCoefficient]]:
+    * returns (degree frame, per-node counts WITH degree). The simple
+    * edge set and the degree frame are cached — each is consumed by
+    * several branches, and the upstream edge derivation may be an
+    * arbitrarily expensive join tree that must compute ONCE. */
+  private def triangleCore(
+      edges: DataFrame, src: String, dst: String): (DataFrame, DataFrame) = {
+    val simple = graft.Checkpoints.trackCache(simpleEdges(edges, src, dst))
+    val deg = graft.Checkpoints.trackCache(
+      simple.select(col("a").as("node")).unionAll(simple.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("deg")))
+    // orient low-degree -> high-degree; (deg, id) is a total order
+    val withDeg = simple
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = graft.Checkpoints.trackCache(withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("u"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("b")).otherwise(col("a")).as("v")))
+    // wedges (v, w) pivoted at u, one per unordered out-pair
+    val e1 = oriented.select(col("u"), col("v"))
+    val e2 = oriented.select(col("u"), col("v").as("w"))
+    val wedges = e1.join(e2, "u").filter(col("v") < col("w"))
+    // the closing edge is oriented too, but its direction depends on
+    // the degree order of v and w — check both
+    val closing = oriented.select(
+        least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
+      .distinct()
+    val tris = wedges.join(closing,
+      least(col("v"), col("w")) === col("x") &&
+        greatest(col("v"), col("w")) === col("y"))
+      .select("u", "v", "w")
+    val counts = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .join(deg, Seq("node"), "right")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    (deg, counts)
+  }
+
+  /** Local clustering coefficient per node: `2·T(v) / (deg(v)·(deg(v)−1))`
+    * over the undirected simple graph — 1.0 inside a clique (the
+    * link-farm signature), near 0 on organic link structure;
+    * degree-1 and isolated-in-frame nodes report null (undefined 0/0).
+    * Output: `(node, deg, n_triangles, clustering_r)` (6-decimal). */
+  def clusteringCoefficient(edges: DataFrame, src: String, dst: String): DataFrame =
+    triangleCore(edges, src, dst)._2
+      .select(col("node"), col("deg"), col("n_triangles"),
+        (round(when(col("deg") >= 2,
+          lit(2.0) * col("n_triangles") / (col("deg") * (col("deg") - lit(1L)))),
+          6) + lit(0.0)).as("clustering_r"))
 }

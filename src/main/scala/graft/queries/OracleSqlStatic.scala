@@ -3827,6 +3827,45 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |SELECT * FROM final WHERE match_score_r >= CAST(0.9 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // triangle density: brute canonical-edge triple join (u<v<w, each
+    // triangle once) over the same integer-thresholded trade graph
+    "q215_triangle_density" ->
+      """WITH tr AS (
+        |  SELECT c.c_nationkey AS n1, s.s_nationkey AS n2, count(*) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT sum(cnt) AS t FROM tr),
+        |ed0 AS (SELECT n1, n2 FROM tr, tot WHERE cnt * 12500 > t * 21),
+        |simple AS (
+        |  SELECT DISTINCT least(n1, n2) AS a, greatest(n1, n2) AS b
+        |  FROM ed0 WHERE n1 IS NOT NULL AND n2 IS NOT NULL AND n1 <> n2
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM simple UNION ALL SELECT b FROM simple)
+        |  GROUP BY 1
+        |), tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM simple e1
+        |  JOIN simple e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN simple e3 ON e3.a = e1.b AND e3.b = e2.b
+        |), pernode AS (
+        |  SELECT node, count(*) AS n_triangles FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri)
+        |  GROUP BY 1
+        |)
+        |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  round(CASE WHEN d.deg >= 2 THEN
+        |    CAST(2.0 AS DOUBLE) * coalesce(p.n_triangles, 0) / (d.deg * (d.deg - 1))
+        |  END, 6) + 0.0 AS clustering_r
+        |FROM deg d LEFT JOIN pernode p USING (node)
+        |ORDER BY node""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

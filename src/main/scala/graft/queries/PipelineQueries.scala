@@ -2125,6 +2125,29 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("id_a", "id_b")
     },
 
+    "q215_triangle_density" -> { (s, dir) =>
+      // link-farm/bot-ring signal: per-node triangle participation and
+      // local clustering coefficient over the above-average-volume
+      // nation trade graph (sparsified with a PURE-INTEGER threshold:
+      // cnt * 12500 > total * 21 == cnt > 1.05 * total/625) — the
+      // degree-ordered edge iterator bounds wedge volume at |E|^1.5
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val tr = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("c_nationkey").as("n1"), col("s_nationkey").as("n2"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = tr.agg(sum(col("cnt")).as("t"))
+      val edges = tr.crossJoin(broadcast(total))
+        .filter(col("cnt") * lit(12500L) > col("t") * lit(21L))
+        .select("n1", "n2")
+      graft.ops.Graphs.clusteringCoefficient(edges, "n1", "n2")
+        .orderBy("node")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -1678,6 +1678,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts/clusteringCoefficient: planted graph, invariances, brute differential") {
+    import graft.ops.Graphs
+    // triangle 1-2-3, square 4-5-6-7 (no diagonal), pendant 8 off node 1;
+    // noise: a parallel edge, a reversed duplicate, a self-loop, a null
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L),
+      (1L, 8L),
+      (2L, 1L), (1L, 2L), (3L, 3L)
+    ).toDF("s", "d")
+      .unionByName(Seq((Option.empty[Long], Option(9L))).toDF("s", "d"))
+    val got = Graphs.clusteringCoefficient(edges, "s", "d")
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_triangles"),
+          Option(r.getAs[Any]("clustering_r"))))).toMap
+    assert(got(1L)._1 == 3L) // parallel + reversed dups collapse to one edge
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L && got(3L)._2 == 1L)
+    assert(got(4L)._2 == 0L && got(5L)._2 == 0L) // squares have no triangles
+    assert(got(8L) == ((1L, 0L, None))) // degree-1: undefined coefficient
+    assert(got(2L)._3.contains(1.0)) // node 2: deg 2, its one pair closes
+    assert(math.abs(got(1L)._3.get.asInstanceOf[Double] - 0.333333) < 1e-9)
+    assert(!got.contains(9L)) // null-endpoint edge dropped entirely
+    // brute-force differential on a deterministic pseudo-random graph
+    val rnd = (0 until 300).map { i =>
+      val a = (i * 7919) % 24; val b = (i * 104729 + 13) % 24
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    val rdf = rnd.toDF("s", "d")
+    val canon = rnd.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val eset = canon.toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+    val brute = (for {
+      u <- nodes; v <- nodes if u < v; w <- nodes if v < w
+      if eset((u, v)) && eset((v, w)) && eset((u, w))
+    } yield Seq(u, v, w)).flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fast = Graphs.triangleCounts(rdf, "s", "d")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(nodes.forall(n => fast(n) == brute.getOrElse(n, 0L)),
+      s"triangle counts diverged from brute force: $fast vs $brute")
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")

@@ -65,6 +65,29 @@ class PlanShapeSpec extends SparkSpec {
       s"hardNegativesLsh should contain the GroupTopK aggregate:\n$plan")
   }
 
+  test("recordLinkage and triangleCounts plans: equi-joins only, no cartesian") {
+    import spark.implicits._
+    import graft.ops.Joins.{LinkField, LinkFieldKind}
+    val left = Seq((1L, 1, "alice", 10.0), (2L, 1, "bobby", 20.0))
+      .toDF("lid", "blk", "name", "bal")
+    val right = Seq((11L, 1, "alicf", 11.0), (12L, 1, "bobbe", 20.0))
+      .toDF("rid", "blk", "name", "bal")
+    val linked = graft.ops.Joins.recordLinkage(left, right, Seq("blk"),
+      "lid", "rid", "name", "name", 1,
+      Seq(LinkField("name", "name", 0.7, LinkFieldKind.Edit),
+        LinkField("bal", "bal", 0.3, LinkFieldKind.Numeric(10.0))), 0.0)
+    assert(linked.count() > 0, "recordLinkage matched nothing")
+    val lplan = linked.queryExecution.executedPlan.toString
+    assert(!lplan.contains("CartesianProduct"),
+      s"recordLinkage must candidate-generate via the deletion index, not a cartesian:\n$lplan")
+    val tri = graft.ops.Graphs.clusteringCoefficient(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d"), "s", "d")
+    assert(tri.count() == 4)
+    val tplan = tri.queryExecution.executedPlan.toString
+    assert(!tplan.contains("CartesianProduct") && !tplan.contains("Window"),
+      s"triangle machinery must be equi-joins + aggregates only:\n$tplan")
+  }
+
   test("gopher gate and cluster-balanced sampling keep their scale shapes") {
     import graft.ops.{QualityRules, Sampling}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
