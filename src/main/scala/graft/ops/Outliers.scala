@@ -129,6 +129,68 @@ object Outliers {
       .drop("__lo", "__hi")
   }
 
+  /** Cross-source QUANTILE NORMALIZATION: map each group's value
+    * distribution onto the POOLED distribution, so per-source scores
+    * become comparable before a global threshold or mix. (The
+    * quality-score calibration step: a classifier's scores on a forum
+    * crawl and on an encyclopedia are not on the same scale; after
+    * quantile-mapping, "top 20%" means top 20% within every source.)
+    *
+    * Per row: its within-group quantile `r = (rank−1)/(n−1)` (exact
+    * integer arithmetic; a 1-row group maps to r = 0, ties share a
+    * rank), then linear interpolation into the pooled exact-percentile
+    * GRID of `grid+1` points — so the map is a broadcast array lookup,
+    * never a pairwise join against the pooled set. Grid resolution
+    * bounds the error at one pooled inter-percentile gap; raise `grid`
+    * for finer tails. Under `graft.stats.approx=true` the grid itself
+    * comes from the `approx_percentile` sketch (the [[winsorize]]
+    * switch) — the 100 TB path, since the exact grid sorts the pooled
+    * column. Null and NaN values pass through with a null `outCol`.
+    *
+    * Scale shape: one window pass per group partition (rank + count —
+    * same spec, one sort), one pooled percentile aggregate broadcast
+    * back, map-side interpolation. Adds `outCol` (6-decimal). */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String = "qnorm_r",
+      grid: Int = 1000
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize needs group keys")
+    require(grid >= 1, "grid must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val raw = col(valueCol)
+    val v = when(!isnan(raw.cast("double")), raw.cast("double"))
+    val approx = df.sparkSession.conf.get("graft.stats.approx", "false").toBoolean
+    val ps = (0 to grid).map(_.toDouble / grid)
+    val gridAgg =
+      if (approx) percentile_approx(v, typedlit(ps), lit(10000)).cast("array<double>")
+      else percentile(v, typedlit(ps))
+    val pooled = df.agg(gridAgg.as("__qgrid"))
+    // rank among NON-NULL values only: nulls sort first under asc, so a
+    // non-null row's raw rank() includes the group's null rows — subtract
+    // the null count (rank counts rows through ties, so the first value
+    // after j nulls ranks j+1)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(v.asc_nulls_first)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    val nNull = count(when(v.isNull, lit(1))).over(wg)
+    val n = count(v).over(wg)
+    val r = when(n === 1L, lit(0.0))
+      .otherwise((rank().over(w) - nNull - lit(1L)).cast("double")
+        / (n - lit(1L)).cast("double"))
+    val idx = r * lit(grid.toDouble)
+    val lo = floor(idx).cast("int")
+    val frac = idx - lo.cast("double")
+    val atLo = element_at(col("__qgrid"), lo + 1)
+    val atHi = element_at(col("__qgrid"), least(lo + 2, lit(grid + 1)))
+    df.crossJoin(broadcast(pooled))
+      .withColumn(outCol,
+        when(v.isNotNull,
+          round(atLo + frac * (atHi - atLo), 6) + lit(0.0)))
+      .drop("__qgrid")
+  }
+
   /** EMBEDDING-space outlier detection: per vector, the squared distance
     * to its nearest IVF centroid, z-scored within the assigned cell —
     * the curation gate for broken embeddings and out-of-distribution

@@ -146,4 +146,45 @@ object Reports {
       .select(col("rank"), col("key"), col("cnt").cast("long").as("cnt"),
         (round(col("cnt") / col("__tot"), 6) + lit(0.0)).as("share_r"))
   }
+
+  /** Join pre-flight: the EXACT inner-join output cardinality of
+    * `left ⋈ right` on `keyCols`, computed at KEY GRAIN — both sides
+    * reduce to (key, n) first, so the report costs two aggregates and a
+    * |keys|-row join instead of the join it sizes up. The "explain
+    * before you run it" tool for 100 TB joins: est_rows is exact
+    * (Σ n_l·n_r over common keys), `max_key_rows` names the worst
+    * single-key blowup (the salting trigger — compare against
+    * [[skewReport]] to see WHICH key), and `top_frac_r` is that key's
+    * share of the whole output. One row: `est_rows`, `n_keys_left`,
+    * `n_keys_right`, `n_keys_common`, `max_key_rows`, `top_frac_r`
+    * (null when the join is empty). Null keys are excluded, matching
+    * inner-join equality semantics. */
+  def joinSizeEstimate(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "joinSizeEstimate needs join keys")
+    def sideCounts(df: DataFrame, n: String) = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(n))
+    // each side's count frame feeds the product join AND its own key
+    // count — cache so each input scans once
+    val l = graft.Checkpoints.trackCache(sideCounts(left, "nl"))
+    val r = graft.Checkpoints.trackCache(sideCounts(right, "nr"))
+    val joined = l.join(r, keyCols)
+      .select((col("nl") * col("nr")).as("prod"))
+      .agg(coalesce(sum(col("prod")), lit(0L)).as("est_rows"),
+        coalesce(max(col("prod")), lit(0L)).as("max_key_rows"),
+        count(lit(1)).as("n_keys_common"))
+    joined
+      .crossJoin(broadcast(l.agg(count(lit(1)).as("n_keys_left"))))
+      .crossJoin(broadcast(r.agg(count(lit(1)).as("n_keys_right"))))
+      .select(col("est_rows"), col("n_keys_left"), col("n_keys_right"),
+        col("n_keys_common"), col("max_key_rows"),
+        (round(when(col("est_rows") > 0,
+          col("max_key_rows").cast("double") / col("est_rows")), 6) + lit(0.0))
+          .as("top_frac_r"))
+  }
 }

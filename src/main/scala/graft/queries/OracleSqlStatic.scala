@@ -3866,6 +3866,61 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |FROM deg d LEFT JOIN pernode p USING (node)
         |ORDER BY node""".stripMargin,
 
+    // join pre-flight: Σ nl·nr over common keys == exact inner-join size
+    "q216_join_size_estimate" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS k, count(*) AS nl FROM customer
+        |  WHERE c_custkey IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT o_custkey AS k, count(*) AS nr FROM orders
+        |  WHERE o_custkey IS NOT NULL GROUP BY 1
+        |), j AS (SELECT nl * nr AS prod FROM l JOIN r USING (k))
+        |SELECT CAST(coalesce(sum(prod), 0) AS BIGINT) AS est_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_keys_left,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_keys_right,
+        |  CAST(count(*) AS BIGINT) AS n_keys_common,
+        |  CAST(coalesce(max(prod), 0) AS BIGINT) AS max_key_rows,
+        |  round(CASE WHEN coalesce(sum(prod), 0) > 0 THEN
+        |    CAST(coalesce(max(prod), 0) AS DOUBLE) / CAST(sum(prod) AS DOUBLE)
+        |  END, 6) + 0.0 AS top_frac_r
+        |FROM j""".stripMargin,
+
+    // quantile normalization: within-lang (rank-1)/(n-1) into the pooled
+    // 101-point quantile_cont grid, linear interpolation — the exact
+    // engine chain
+    "q217_quantile_normalize" -> {
+      // CAST each grid fraction to DOUBLE: a bare decimal literal types
+      // as DECIMAL and quantile_cont would interpolate at the exact
+      // rational position instead of the engine's double position
+      val ps = (0 to 100).map(i => s"CAST(${i.toDouble / 100} AS DOUBLE)").mkString(", ")
+      s"""WITH vals AS (
+         |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS v, n_chars
+         |  FROM documents
+         |), g AS (
+         |  SELECT quantile_cont(v, [$ps]) AS grid FROM vals WHERE v IS NOT NULL
+         |), rk AS (
+         |  SELECT doc_id, lang, n_chars, v,
+         |    CASE WHEN count(v) OVER (PARTITION BY lang) = 1 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE CAST(rank() OVER (PARTITION BY lang ORDER BY v) - 1 AS DOUBLE)
+         |           / CAST(count(v) OVER (PARTITION BY lang) - 1 AS DOUBLE)
+         |    END AS r
+         |  FROM vals WHERE v IS NOT NULL
+         |), interp AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    grid[CAST(floor(r * CAST(100.0 AS DOUBLE)) AS INT) + 1]
+         |      + (r * CAST(100.0 AS DOUBLE) - floor(r * CAST(100.0 AS DOUBLE)))
+         |      * (grid[least(CAST(floor(r * CAST(100.0 AS DOUBLE)) AS INT) + 2, 101)]
+         |         - grid[CAST(floor(r * CAST(100.0 AS DOUBLE)) AS INT) + 1]) AS q
+         |  FROM rk, g
+         |)
+         |SELECT doc_id, lang, n_chars, round(q, 6) + 0.0 AS qnorm_r
+         |FROM interp
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars, NULL AS qnorm_r
+         |FROM vals WHERE v IS NULL
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

@@ -2148,6 +2148,27 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("node")
     },
 
+    "q216_join_size_estimate" -> { (s, dir) =>
+      // join pre-flight: exact inner-join output cardinality of
+      // customer x orders on custkey at KEY grain — two aggregates and
+      // a |keys|-row join size up the join without running it
+      graft.ops.Reports.joinSizeEstimate(
+        t(s, dir, "customer").select(col("c_custkey").as("k")),
+        t(s, dir, "orders").select(col("o_custkey").as("k")),
+        Seq("k"))
+    },
+
+    "q217_quantile_normalize" -> { (s, dir) =>
+      // cross-source score calibration: per-language document lengths
+      // quantile-mapped onto the pooled length distribution (101-point
+      // exact-percentile grid, broadcast lookup + interpolation) — after
+      // the map, a global threshold means the same thing in every lang
+      graft.ops.Outliers.quantileNormalize(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          Seq("lang"), "n_chars", grid = 100)
+        .orderBy("doc_id")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -1719,6 +1719,56 @@ class OpsSpec extends SparkSpec {
       s"triangle counts diverged from brute force: $fast vs $brute")
   }
 
+  test("joinSizeEstimate: exact product arithmetic, null keys out, empty join") {
+    import graft.ops.Reports
+    val left = Seq(Option(1L), Option(1L), Option(1L), Option(2L), Option(3L), None)
+      .toDF("k")
+    val right = Seq(Option(1L), Option(1L), Option(2L), Option(4L), None).toDF("k")
+    val r = Reports.joinSizeEstimate(left, right, Seq("k")).collect().head
+    // key 1: 3x2=6; key 2: 1x1=1 -> est 7; common keys {1,2}
+    assert(r.getAs[Long]("est_rows") == 7L)
+    assert(r.getAs[Long]("n_keys_left") == 3L && r.getAs[Long]("n_keys_right") == 3L)
+    assert(r.getAs[Long]("n_keys_common") == 2L)
+    assert(r.getAs[Long]("max_key_rows") == 6L)
+    assert(math.abs(r.getAs[Double]("top_frac_r") - 6.0 / 7.0) < 1e-6)
+    // the estimate IS the true inner-join size
+    assert(left.join(right, Seq("k")).count() == 7L)
+    // disjoint keys: zero rows, null top fraction
+    val z = Reports.joinSizeEstimate(
+      Seq(1L).toDF("k"), Seq(2L).toDF("k"), Seq("k")).collect().head
+    assert(z.getAs[Long]("est_rows") == 0L && z.isNullAt(z.fieldIndex("top_frac_r")))
+  }
+
+  test("quantileNormalize: pooled grid map, ties, nulls, single-row group") {
+    import graft.ops.Outliers
+    // group a: 1,2,3,4,5 (pooled with b: 101..105); group b much larger scale
+    val df = Seq(
+      ("a", Option(1.0)), ("a", Option(2.0)), ("a", Option(3.0)),
+      ("a", Option(4.0)), ("a", Option(5.0)),
+      ("b", Option(101.0)), ("b", Option(102.0)), ("b", Option(103.0)),
+      ("b", Option(104.0)), ("b", Option(105.0)),
+      ("a", None: Option[Double]),
+      ("c", Option(42.0)) // single-row group maps to r=0
+    ).toDF("g", "v")
+    val got = Outliers.quantileNormalize(df, Seq("g"), "v", grid = 100)
+      .collect().map(r => (r.getAs[String]("g"), Option(r.getAs[Any]("v"))) ->
+        Option(r.getAs[Any]("qnorm_r")).map(_.asInstanceOf[Double])).toMap
+    // null value passes through unmapped
+    assert(got(("a", None)).isEmpty)
+    // the min of each group maps to the pooled minimum (r=0 -> grid[0])
+    val pooledMin = got(("a", Some(1.0))).get
+    assert(pooledMin == got(("b", Some(101.0))).get && pooledMin == 1.0)
+    // the max of each group maps to the pooled maximum (r=1 -> grid[end])
+    assert(got(("a", Some(5.0))).get == got(("b", Some(105.0))).get)
+    assert(got(("a", Some(5.0))).get == 105.0)
+    // after normalization the two groups are on ONE scale: medians agree
+    assert(got(("a", Some(3.0))).get == got(("b", Some(103.0))).get)
+    // single-row group maps to r=0 == pooled min
+    assert(got(("c", Some(42.0))).get == 1.0)
+    // monotone within each group
+    assert(got(("a", Some(2.0))).get < got(("a", Some(4.0))).get)
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
