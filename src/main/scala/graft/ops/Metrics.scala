@@ -229,4 +229,66 @@ object Metrics {
            (variance === 0.0 && col("n").cast("double") =!= mean)))
           .as("is_anomaly"))
   }
+
+  /** CUSUM changepoint detection over per-series bucket counts — the
+    * monitor that catches a SUSTAINED small shift ([[rollingAnomalies]]
+    * catches single-bucket bursts; a 10% drift that never trips a 3σ
+    * bucket test accumulates here within a few buckets). Counts must be
+    * integral (the [[graft.ops.Outliers.withGroupZscore]] exactness
+    * contract): per-series mean/σ come from exact integer moments, the
+    * slack is `kSigma·σ` and the alarm threshold `hSigma·σ` (the
+    * classic 0.5σ/4σ tuning by default).
+    *
+    * The recurrence `s⁺ᵢ = max(0, s⁺ᵢ₋₁ + (xᵢ − μ − k))` is computed by
+    * the PREFIX identity `s⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)` with `P` the
+    * running sum of deviations — so both CUSUM sides are plain window
+    * arithmetic (running sum + running min/max over the same per-series
+    * sort), no fold state, exactly engine-mirrorable, and one window
+    * pass per series partition at any scale. Output per (series,
+    * bucket): `n`, `s_pos_r`, `s_neg_r`, `alarm_up`, `alarm_down`.
+    * Constant series (σ = 0) never alarm (null s columns). */
+  def cusumChangepoints(
+      events: DataFrame,
+      typeCol: String,
+      usCol: Column,
+      bucketUs: Long,
+      kSigma: Double = 0.5,
+      hSigma: Double = 4.0
+  ): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(kSigma >= 0 && hSigma > 0, "need kSigma >= 0 and hSigma > 0")
+    val bucket = call_function("div",
+      (usCol.cast("long") - pmod(usCol.cast("long"), lit(bucketUs))), lit(bucketUs))
+    val perBucket = events
+      .filter(usCol.isNotNull)
+      .groupBy(col(typeCol).as("series"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // exact integer moments per series, broadcast back (q85 contract)
+    val stats = perBucket.groupBy("series").agg(
+      sum(col("n")).as("__s1"), sum(col("n") * col("n")).as("__s2"),
+      count(lit(1)).as("__m"))
+    val mean = col("__s1").cast("double") / col("__m").cast("double")
+    val variance = col("__s2").cast("double") / col("__m").cast("double") - mean * mean
+    val sigma = sqrt(variance)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("series").orderBy(col("bucket").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dUp = col("n").cast("double") - mean - lit(kSigma) * sigma
+    val dDn = mean - lit(kSigma) * sigma - col("n").cast("double")
+    // two withColumn layers: Spark forbids nesting a window function
+    // inside another; both layers share the SAME spec, so the physical
+    // plan still sorts each series partition once
+    val sPos = col("__pu") - least(lit(0.0), col("__mu"))
+    val sNeg = col("__pd") - least(lit(0.0), col("__md"))
+    perBucket.join(broadcast(stats), "series")
+      .withColumn("__pu", sum(dUp).over(w))
+      .withColumn("__pd", sum(dDn).over(w))
+      .withColumn("__mu", min(col("__pu")).over(w))
+      .withColumn("__md", min(col("__pd")).over(w))
+      .select(col("series"), col("bucket"), col("n"),
+        when(variance > 0, round(sPos, 6) + lit(0.0)).as("s_pos_r"),
+        when(variance > 0, round(sNeg, 6) + lit(0.0)).as("s_neg_r"),
+        (variance > 0 && sPos > lit(hSigma) * sigma).as("alarm_up"),
+        (variance > 0 && sNeg > lit(hSigma) * sigma).as("alarm_down"))
+  }
 }

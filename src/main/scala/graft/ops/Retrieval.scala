@@ -271,4 +271,49 @@ object Retrieval {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.) — the standard hybrid-
+    * retrieval combiner: given per-system rankings `(query, doc,
+    * system, rank)` (e.g. [[bm25Search]] keyword lists and an ANN
+    * list from [[graft.ops.Similarity]]), each document scores
+    * `Σ_systems 1/(k + rank)` and the fused top-`topK` per query comes
+    * out re-ranked. Rank-based fusion needs NO score calibration
+    * between systems — exactly why it is the hybrid default; `k = 60`
+    * is the published constant.
+    *
+    * Determinism: per (query, doc) the reciprocal terms fold in
+    * system-name order (the engine's sorted-fold convention — a
+    * shuffle-order `sum(double)` would be arrival-dependent), and the
+    * fused ranking breaks score ties toward the smaller doc id through
+    * the [[GroupTopK]] heap (map-side partials, window-free). A doc
+    * listed twice by one system contributes its best (smallest) rank
+    * once. Scale: one (query, doc)-grain aggregate + the heap —
+    * shuffle carries candidate lists, never corpora. */
+  def rrfFuse(
+      rankings: DataFrame,
+      queryCol: String,
+      docCol: String,
+      systemCol: String,
+      rankCol: String,
+      k: Int = 60,
+      topK: Int = 10
+  ): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    require(topK >= 1, "topK must be >= 1")
+    val best = rankings
+      .filter(col(queryCol).isNotNull && col(docCol).isNotNull &&
+        col(systemCol).isNotNull && col(rankCol).isNotNull)
+      .groupBy(col(queryCol), col(docCol), col(systemCol))
+      .agg(min(col(rankCol)).cast("double").as("__rank"))
+    val scored = best
+      .groupBy(col(queryCol), col(docCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(systemCol).as("s"),
+          (lit(1.0) / (lit(k.toDouble) + col("__rank"))).as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("__rrf"))
+    GroupTopK.topKPerGroup(scored, Seq(queryCol), docCol, "__rrf", topK,
+        rankCol = "fused_rank")
+      .select(col(queryCol), col(docCol),
+        (round(col("__rrf"), 6) + lit(0.0)).as("rrf_score_r"), col("fused_rank"))
+  }
 }

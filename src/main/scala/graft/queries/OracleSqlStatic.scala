@@ -3921,6 +3921,88 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |ORDER BY doc_id""".stripMargin
     },
 
+    // RRF: per-system best rank, system-ordered reciprocal fold, fused
+    // rank by score desc / doc asc — the GroupTopK tie rule
+    "q218_rrf_fusion" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents WHERE text IS NOT NULL
+        |), a AS (
+        |  SELECT lang, doc_id, 'len' AS system, rank FROM (
+        |    SELECT lang, doc_id,
+        |      row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rank
+        |    FROM d) WHERE rank <= 20
+        |), b AS (
+        |  SELECT lang, doc_id, 'md5' AS system, rank FROM (
+        |    SELECT lang, doc_id,
+        |      row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rank
+        |    FROM d) WHERE rank <= 20
+        |), u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |best AS (
+        |  SELECT lang, doc_id, system,
+        |    CAST(min(rank) AS DOUBLE) AS r
+        |  FROM u GROUP BY 1, 2, 3
+        |), scored AS (
+        |  SELECT lang, doc_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) ORDER BY system)),
+        |      (x, y) -> x + y) AS rrf
+        |  FROM best GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT lang, doc_id, rrf,
+        |    row_number() OVER (PARTITION BY lang ORDER BY rrf DESC, doc_id) AS fused_rank
+        |  FROM scored
+        |)
+        |SELECT lang, doc_id, round(rrf, 6) + 0.0 AS rrf_score_r,
+        |  CAST(fused_rank AS BIGINT) AS fused_rank
+        |FROM ranked WHERE fused_rank <= 10
+        |ORDER BY lang, fused_rank""".stripMargin,
+
+    // CUSUM via the prefix identity: running sum of deviations minus its
+    // running min, exact integer moments for mean/sigma
+    "q219_cusum_changepoints" ->
+      """WITH pb AS (
+        |  SELECT event_type AS series, epoch_us(ts) // 3600000000 AS bucket,
+        |    count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), st AS (
+        |  SELECT series, sum(n) AS s1, sum(n * n) AS s2, count(*) AS m
+        |  FROM pb GROUP BY 1
+        |), j AS (
+        |  SELECT pb.series, pb.bucket, pb.n,
+        |    CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) AS var
+        |  FROM pb JOIN st USING (series)
+        |), p AS (
+        |  SELECT series, bucket, n, var,
+        |    sum(CAST(n AS DOUBLE) - mean - CAST(0.5 AS DOUBLE) * sqrt(var))
+        |      OVER w AS pu,
+        |    sum(mean - CAST(0.5 AS DOUBLE) * sqrt(var) - CAST(n AS DOUBLE))
+        |      OVER w AS pd,
+        |    sqrt(var) AS sigma
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY series ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), m2 AS (
+        |  SELECT series, bucket, n, var, sigma, pu, pd,
+        |    min(pu) OVER w AS mu, min(pd) OVER w AS md
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY series ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT series, bucket, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN var > 0 THEN round(pu - least(CAST(0.0 AS DOUBLE), mu), 6) + 0.0 END
+        |    AS s_pos_r,
+        |  CASE WHEN var > 0 THEN round(pd - least(CAST(0.0 AS DOUBLE), md), 6) + 0.0 END
+        |    AS s_neg_r,
+        |  (var > 0 AND pu - least(CAST(0.0 AS DOUBLE), mu)
+        |    > CAST(4.0 AS DOUBLE) * sigma) AS alarm_up,
+        |  (var > 0 AND pd - least(CAST(0.0 AS DOUBLE), md)
+        |    > CAST(4.0 AS DOUBLE) * sigma) AS alarm_down
+        |FROM m2
+        |ORDER BY series, bucket""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

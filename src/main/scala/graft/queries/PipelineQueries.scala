@@ -2169,6 +2169,38 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("doc_id")
     },
 
+    "q218_rrf_fusion" -> { (s, dir) =>
+      // hybrid-retrieval fusion: two per-lang top-20 rankings (length
+      // order vs md5 order — stand-ins for keyword and vector systems)
+      // fused by reciprocal rank, k=60; terms fold in system-name order,
+      // fused ties break toward the smaller doc id through the heap
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "lang", "n_chars", "text")
+      val byLen = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("len").as("system"), col("rank"))
+      val byHash = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")).asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("md5").as("system"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(byLen.unionByName(byHash),
+          "lang", "doc_id", "system", "rank", k = 60, topK = 10)
+        .orderBy("lang", "fused_rank")
+    },
+
+    "q219_cusum_changepoints" -> { (s, dir) =>
+      // sustained-shift monitor: CUSUM over hourly per-type counts via
+      // the prefix identity (running sum - running min) — plain window
+      // arithmetic, one sort per series; 0.5 sigma slack, 4 sigma alarm
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000").as("us"))
+      graft.ops.Metrics.cusumChangepoints(ev, "event_type", col("us"),
+          bucketUs = 3600000000L)
+        .orderBy("series", "bucket")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

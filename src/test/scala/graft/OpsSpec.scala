@@ -1769,6 +1769,64 @@ class OpsSpec extends SparkSpec {
     assert(got(("a", Some(2.0))).get < got(("a", Some(4.0))).get)
   }
 
+  test("rrfFuse: reciprocal terms, best-rank dedup, tie toward smaller doc") {
+    import graft.ops.Retrieval
+    val rankings = Seq(
+      // query q1: system A ranks docs 1,2,3; system B ranks 3,2,9
+      ("q1", 1L, "A", 1), ("q1", 2L, "A", 2), ("q1", 3L, "A", 3),
+      ("q1", 3L, "B", 1), ("q1", 2L, "B", 2), ("q1", 9L, "B", 3),
+      // doc 9 double-listed by B: best (smallest) rank wins once
+      ("q1", 9L, "B", 7),
+      // query q2: one system only
+      ("q2", 5L, "A", 1)
+    ).toDF("q", "doc", "sys", "rank")
+    val got = Retrieval.rrfFuse(rankings, "q", "doc", "sys", "rank", k = 60, topK = 10)
+      .collect().map(r => (r.getAs[String]("q"), r.getAs[Long]("doc")) ->
+        ((r.getAs[Double]("rrf_score_r"), r.getAs[Long]("fused_rank")))).toMap
+    def t(r: Int) = 1.0 / (60.0 + r)
+    assert(math.abs(got(("q1", 2L))._1 - math.rint((t(2) + t(2)) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got(("q1", 3L))._1 - math.rint((t(3) + t(1)) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got(("q1", 9L))._1 - math.rint(t(3) * 1e6) / 1e6) < 1e-9)
+    // 1/(60+r) is convex in r, so the split ranks {1,3} of doc 3 beat
+    // doc 2's {2,2}: 1/61 + 1/63 > 2/62
+    assert(got(("q1", 3L))._2 < got(("q1", 2L))._2)
+    assert(got(("q1", 9L))._2 == 4L) // worst: one rank-3 hit
+    assert(got(("q2", 5L))._2 == 1L)
+  }
+
+  test("cusumChangepoints: prefix identity equals the recurrence; sustained shift alarms") {
+    import graft.ops.Metrics
+    // series "s": 20 quiet hourly buckets at ~10, then 10 buckets at 14
+    // — a shift rollingAnomalies' 3-sigma bucket test would sleep through
+    val h = 3600000000L
+    val rows = ((0 until 20).flatMap(i => Seq.fill(10 + (i % 2))(("s", i))) ++
+      (20 until 30).flatMap(i => Seq.fill(14)(("s", i))) ++
+      (0 until 6).map(i => ("flat", i))) // constant series: never alarms
+    val ev = rows.map { case (ty, b) => (ty, b.toLong * h + 5L) }
+      .toDF("event_type", "us")
+    val got = Metrics.cusumChangepoints(ev, "event_type", col("us"), h)
+      .collect().map(r => (r.getAs[String]("series"), r.getAs[Long]("bucket")) ->
+        ((Option(r.getAs[Any]("s_pos_r")).map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("alarm_up"), r.getAs[Boolean]("alarm_down")))).toMap
+    // scala recurrence replay for the shifted series
+    val xs = (0 until 20).map(i => 10.0 + (i % 2)) ++ Seq.fill(10)(14.0)
+    val n = xs.size
+    val mean = xs.sum / n
+    val sigma = math.sqrt(xs.map(x => x * x).sum / n - mean * mean)
+    var s = 0.0
+    val expected = xs.map { x => s = math.max(0.0, s + (x - mean - 0.5 * sigma)); s }
+    (0 until n).foreach { i =>
+      val gotS = got(("s", i.toLong))._1.get
+      assert(math.abs(gotS - expected(i)) < 1e-4,
+        s"bucket $i: prefix-identity CUSUM $gotS != recurrence ${expected(i)}")
+    }
+    // the sustained shift alarms before its 10 buckets are out
+    assert((20 until 30).exists(i => got(("s", i.toLong))._2), "shift never alarmed")
+    assert((0 until 20).forall(i => !got(("s", i.toLong))._2), "quiet period alarmed")
+    // constant series: sigma 0, null scores, no alarms
+    assert(got(("flat", 3L))._1.isEmpty && !got(("flat", 3L))._2 && !got(("flat", 3L))._3)
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
