@@ -685,4 +685,68 @@ object Sampling {
       .drop("__hex")
   }
 
+  /** Horvitz–Thompson estimation: unbiased FULL-CORPUS totals from a
+    * weighted sample — the "measure the 100 TB corpus from the 1% you
+    * can afford to scan" tool, and the inverse of this module's
+    * samplers (every deterministic-acceptance sampler here IS Poisson
+    * sampling with a known per-row inclusion probability).
+    * Per `groupCols` group:
+    *
+    *  - `n_sample` — rows actually in hand;
+    *  - `est_rows_r` = Σ 1/pᵢ — estimated population row count;
+    *  - `est_sum_r` = Σ vᵢ/pᵢ — estimated population total of `valueCol`;
+    *  - `se_sum_r` = √(Σ (1−pᵢ)/pᵢ² · vᵢ²) — the exact HT standard
+    *    error under independent (Poisson) inclusion.
+    *
+    * A probability outside (0, 1] raises loudly THROUGH the consumed
+    * term (garbage weights silently produce garbage estimates
+    * otherwise). Every double accumulates through the two-level
+    * id-sorted fold (md5 sub-bucket, then bucket order — the
+    * [[graft.ops.Reports.corpusDatasheet]] shape), so estimates are
+    * bit-reproducible across partitionings and engines. Null values
+    * contribute 0 to the value terms but still count toward
+    * `est_rows_r`. */
+  def htEstimate(
+      sample: DataFrame,
+      idCol: String,
+      probCol: String,
+      valueCol: String,
+      groupCols: Seq[String],
+      foldBuckets: Int = 64
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "htEstimate needs group keys (pass a literal for global)")
+    require(foldBuckets >= 1, "foldBuckets must be >= 1")
+    val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
+    val p = col(probCol).cast("double")
+    val checkedP = when(p.isNull || p <= 0.0 || p > 1.0,
+      raise_error(concat(lit("htEstimate: inclusion probability "),
+        p.cast("string"), lit(" outside (0, 1] for id "),
+        col(idCol).cast("string"),
+        lit(" — the estimator is only defined for known positive probabilities"))))
+      .otherwise(p)
+    val v = coalesce(col(valueCol).cast("double"), lit(0.0))
+    val bucket = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(foldBuckets.toLong))
+    val terms = sample
+      .filter(col(idCol).isNotNull)
+      .select(groupCols.map(col)
+        :+ col(idCol).cast("long").as("__id") :+ bucket.as("__b")
+        :+ (lit(1.0) / checkedP).as("__tn")
+        :+ (v / checkedP).as("__ts")
+        :+ ((lit(1.0) - checkedP) / (checkedP * checkedP) * v * v).as("__tv"): _*)
+    def fold(c: String) =
+      oks(collect_list(struct(col("__id").as("k"), col(c).as("v"))))
+    val lvl1 = terms.groupBy(groupCols.map(col) :+ col("__b"): _*)
+      .agg(fold("__tn").as("__pn"), fold("__ts").as("__ps"), fold("__tv").as("__pv"),
+        count(lit(1)).as("__n"))
+    def fold2(c: String) =
+      oks(collect_list(struct(col("__b").as("k"), col(c).as("v"))))
+    lvl1.groupBy(groupCols.map(col): _*)
+      .agg(sum("__n").as("n_sample"),
+        fold2("__pn").as("__en"), fold2("__ps").as("__es"), fold2("__pv").as("__ev"))
+      .select(groupCols.map(col) :+ col("n_sample")
+        :+ (round(col("__en"), 6) + lit(0.0)).as("est_rows_r")
+        :+ (round(col("__es"), 6) + lit(0.0)).as("est_sum_r")
+        :+ (round(sqrt(col("__ev")), 6) + lit(0.0)).as("se_sum_r"): _*)
+  }
 }

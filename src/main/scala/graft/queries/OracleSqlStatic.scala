@@ -4003,6 +4003,43 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |FROM m2
         |ORDER BY series, bucket""".stripMargin,
 
+    // HT estimator: sample regenerated from the md5 unit hash, then the
+    // two-level id-sorted fold (md5 sub-bucket -> bucket order) replayed
+    "q220_ht_estimate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (CAST(1.0 AS DOUBLE) + CAST(doc_id % 5 AS DOUBLE)) / CAST(10.0 AS DOUBLE) AS p,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ht'), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS uh
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), sm AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b,
+        |    CAST(1.0 AS DOUBLE) / p AS tn,
+        |    coalesce(CAST(n_chars AS DOUBLE), CAST(0.0 AS DOUBLE)) / p AS ts,
+        |    (CAST(1.0 AS DOUBLE) - p) / (p * p)
+        |      * coalesce(CAST(n_chars AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |      * coalesce(CAST(n_chars AS DOUBLE), CAST(0.0 AS DOUBLE)) AS tv
+        |  FROM d WHERE uh < p
+        |), l1 AS (
+        |  SELECT source, b, count(*) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(tn ORDER BY doc_id)),
+        |      (x, y) -> x + y) AS pn,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ts ORDER BY doc_id)),
+        |      (x, y) -> x + y) AS ps,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(tv ORDER BY doc_id)),
+        |      (x, y) -> x + y) AS pv
+        |  FROM sm GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_sample,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pn ORDER BY b)),
+        |    (x, y) -> x + y), 6) + 0.0 AS est_rows_r,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ps ORDER BY b)),
+        |    (x, y) -> x + y), 6) + 0.0 AS est_sum_r,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pv ORDER BY b)),
+        |    (x, y) -> x + y)), 6) + 0.0 AS se_sum_r
+        |FROM l1 GROUP BY source ORDER BY source""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

@@ -2201,6 +2201,20 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("series", "bucket")
     },
 
+    "q220_ht_estimate" -> { (s, dir) =>
+      // Horvitz–Thompson: estimate per-source corpus totals from a
+      // Poisson sample with KNOWN per-doc inclusion probabilities
+      // (p = (1 + doc_id % 5)/10, admitted by unit hash) — the exact
+      // inverse of the engine's deterministic-acceptance samplers
+      val d = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val p = (lit(1.0) + pmod(col("doc_id"), lit(5)).cast("double")) / lit(10.0)
+      val sampled = d.withColumn("p", p)
+        .filter(graft.ops.Sampling.unitHash(col("doc_id"), "ht") < col("p"))
+      graft.ops.Sampling.htEstimate(sampled, "doc_id", "p", "n_chars",
+          Seq("source"))
+        .orderBy("source")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -1827,6 +1827,37 @@ class OpsSpec extends SparkSpec {
     assert(got(("flat", 3L))._1.isEmpty && !got(("flat", 3L))._2 && !got(("flat", 3L))._3)
   }
 
+  test("htEstimate: unbiased arithmetic, null values, bad probability refuses") {
+    import graft.ops.Sampling
+    // known probs: full inclusion p=1 rows estimate exactly themselves
+    val full = Seq((1L, 1.0, 10.0, "g"), (2L, 1.0, 20.0, "g"), (3L, 1.0, 30.0, "g"))
+      .toDF("id", "p", "v", "g")
+    val ex = Sampling.htEstimate(full, "id", "p", "v", Seq("g")).collect().head
+    assert(ex.getAs[Long]("n_sample") == 3L)
+    assert(ex.getAs[Double]("est_rows_r") == 3.0)
+    assert(ex.getAs[Double]("est_sum_r") == 60.0)
+    assert(ex.getAs[Double]("se_sum_r") == 0.0) // p=1: zero variance
+    // half-inclusion: each survivor stands for two rows
+    val half = Seq((1L, 0.5, 10.0, "g"), (2L, 0.5, 30.0, "g"))
+      .toDF("id", "p", "v", "g")
+    val h = Sampling.htEstimate(half, "id", "p", "v", Seq("g")).collect().head
+    assert(h.getAs[Double]("est_rows_r") == 4.0)
+    assert(h.getAs[Double]("est_sum_r") == 80.0)
+    // se = sqrt(sum (1-p)/p^2 v^2) = sqrt(2*(100+900)) = sqrt(2000)
+    assert(math.abs(h.getAs[Double]("se_sum_r") - math.sqrt(2000.0)) < 1e-4)
+    // null value contributes 0 to the total but still counts as a row
+    val withNull = Seq((1L, 0.5, Option(10.0), "g"), (2L, 0.5, None: Option[Double], "g"))
+      .toDF("id", "p", "v", "g")
+    val n = Sampling.htEstimate(withNull, "id", "p", "v", Seq("g")).collect().head
+    assert(n.getAs[Double]("est_rows_r") == 4.0 && n.getAs[Double]("est_sum_r") == 20.0)
+    // a probability outside (0,1] refuses loudly
+    val bad = Seq((1L, 0.0, 1.0, "g")).toDF("id", "p", "v", "g")
+    val err = intercept[Exception] {
+      Sampling.htEstimate(bad, "id", "p", "v", Seq("g")).collect()
+    }
+    assert(err.getMessage.contains("htEstimate"), s"unexpected: ${err.getMessage}")
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
