@@ -410,6 +410,43 @@ object ExamplePipeline {
     println("after suppression: " + graft.ops.Privacy.suppressBelowK(
       fullCust, Seq("c_nationkey", "c_mktsegment"), k = 2L).count() + " rows")
 
+    // 34. monitoring + estimation: CUSUM drift watch on the event log,
+    //     hybrid-retrieval fusion, a join pre-flight, cross-lang score
+    //     normalization, and HT corpus estimates from a known-prob sample
+    val evm = graft.io.Tables.table(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 1000").as("us"))
+    val cu = graft.ops.Metrics.cusumChangepoints(evm, "event_type", col("us"),
+      bucketUs = 3600000000L)
+    println(s"cusum: ${cu.count()} series-buckets, " +
+      s"${cu.filter(col("alarm_up") || col("alarm_down")).count()} alarms")
+    val prior = docs.filter(col("text").isNotNull)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("n_chars").asc, col("doc_id").asc)))
+      .filter(col("rank") <= 10)
+    val fused = graft.ops.Retrieval.rrfFuse(
+      prior.select(col("lang"), col("doc_id"), lit("len").as("system"), col("rank"))
+        .unionByName(prior.select(col("lang"), col("doc_id"),
+          lit("alt").as("system"), (lit(11) - col("rank")).as("rank"))),
+      "lang", "doc_id", "system", "rank", topK = 3)
+    println(s"rrf fused top-3 per lang: ${fused.count()} rows")
+    println("join preflight customer x orders: " +
+      graft.ops.Reports.joinSizeEstimate(
+        spark.read.parquet(s"$dir/customer.parquet").select(col("c_custkey").as("k")),
+        spark.read.parquet(s"$dir/orders.parquet").select(col("o_custkey").as("k")),
+        Seq("k")).head())
+    val qn = graft.ops.Outliers.quantileNormalize(
+      docs.select("doc_id", "lang", "n_chars"), Seq("lang"), "n_chars", grid = 100)
+    println(s"quantile-normalized: ${qn.filter(col("qnorm_r").isNotNull).count()} docs")
+    val pr = (lit(1.0) + pmod(col("doc_id"), lit(5)).cast("double")) / lit(10.0)
+    val ht = graft.ops.Sampling.htEstimate(
+      docs.select("doc_id", "source", "n_chars").withColumn("p", pr)
+        .filter(graft.ops.Sampling.unitHash(col("doc_id"), "ht") < col("p")),
+      "doc_id", "p", "n_chars", Seq("source"))
+    val totals = ht.agg(sum("n_sample"), sum("est_rows_r")).head()
+    println(f"ht: ${totals.getLong(0)} sampled docs estimate " +
+      f"${totals.getDouble(1)}%.0f corpus docs (true ${docs.count()})")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)

@@ -253,23 +253,41 @@ object Metrics {
       usCol: Column,
       bucketUs: Long,
       kSigma: Double = 0.5,
-      hSigma: Double = 4.0
+      hSigma: Double = 4.0,
+      frozenStats: Option[Map[String, (Double, Double)]] = None
   ): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     require(kSigma >= 0 && hSigma > 0, "need kSigma >= 0 and hSigma > 0")
+    val spark = events.sparkSession
+    import spark.implicits._
     val bucket = call_function("div",
       (usCol.cast("long") - pmod(usCol.cast("long"), lit(bucketUs))), lit(bucketUs))
     val perBucket = events
       .filter(usCol.isNotNull)
       .groupBy(col(typeCol).as("series"), bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
-    // exact integer moments per series, broadcast back (q85 contract)
-    val stats = perBucket.groupBy("series").agg(
-      sum(col("n")).as("__s1"), sum(col("n") * col("n")).as("__s2"),
-      count(lit(1)).as("__m"))
-    val mean = col("__s1").cast("double") / col("__m").cast("double")
-    val variance = col("__s2").cast("double") / col("__m").cast("double") - mean * mean
-    val sigma = sqrt(variance)
+    // self-derived: exact integer moments per series (q85 contract);
+    // frozen: caller-supplied (mean, sigma) reference baseline — the
+    // streaming monitor's contract, where the live series must not
+    // define its own normality
+    // (stats frame, mean, sigma, active-gate): the gate stays on the
+    // DIRECT variance expression in the self-derived case — gating on
+    // sigma² after a sqrt would turn a tiny cancellation-negative
+    // variance into NaN > 0 = true
+    val (stats, mean, sigma, gate) = frozenStats match {
+      case Some(m) =>
+        val f = m.toSeq.map { case (s, (mu, sd)) => (s, mu, sd) }
+          .toDF("series", "__fmu", "__fsd")
+        (f, col("__fmu"), col("__fsd"), col("__fsd") > 0.0)
+      case None =>
+        val agg = perBucket.groupBy("series").agg(
+          sum(col("n")).as("__s1"), sum(col("n") * col("n")).as("__s2"),
+          count(lit(1)).as("__m"))
+        val mu = col("__s1").cast("double") / col("__m").cast("double")
+        val variance =
+          col("__s2").cast("double") / col("__m").cast("double") - mu * mu
+        (agg, mu, sqrt(variance), variance > 0.0)
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("series").orderBy(col("bucket").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -286,9 +304,9 @@ object Metrics {
       .withColumn("__mu", min(col("__pu")).over(w))
       .withColumn("__md", min(col("__pd")).over(w))
       .select(col("series"), col("bucket"), col("n"),
-        when(variance > 0, round(sPos, 6) + lit(0.0)).as("s_pos_r"),
-        when(variance > 0, round(sNeg, 6) + lit(0.0)).as("s_neg_r"),
-        (variance > 0 && sPos > lit(hSigma) * sigma).as("alarm_up"),
-        (variance > 0 && sNeg > lit(hSigma) * sigma).as("alarm_down"))
+        when(gate, round(sPos, 6) + lit(0.0)).as("s_pos_r"),
+        when(gate, round(sNeg, 6) + lit(0.0)).as("s_neg_r"),
+        (gate && sPos > lit(hSigma) * sigma).as("alarm_up"),
+        (gate && sNeg > lit(hSigma) * sigma).as("alarm_down"))
   }
 }

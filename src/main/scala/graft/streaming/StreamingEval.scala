@@ -748,6 +748,91 @@ object StreamingEval {
       ()
     }
 
+  /** Per-series CUSUM state: the prefix-identity accumulators (running
+    * deviation sums and their minima — NOT the max(0, ·) recurrence, so
+    * the streamed values are BIT-IDENTICAL to the batch window
+    * formulation), plus the open bucket's partial count. */
+  case class CusumState(
+      pu: Double, minPu: Double, pd: Double, minPd: Double,
+      openBucket: Long, openCount: Long)
+
+  case class CusumEvent(series: String, us: Long)
+
+  case class CusumOut(
+      series: String, bucket: Long, n: Long,
+      s_pos_r: Double, s_neg_r: Double,
+      alarm_up: Boolean, alarm_down: Boolean)
+
+  /** Streaming CUSUM drift monitor: the unbounded-stream face of
+    * [[graft.ops.Metrics.cusumChangepoints]] with FROZEN per-series
+    * baselines (mean, sigma) — a live stream must not define its own
+    * normality, so the baseline comes from a blessed reference window
+    * (the frozen-[[graft.model.Stats]] scoring convention). Series
+    * absent from the baseline are ignored; sigma ≤ 0 series never
+    * alarm and are dropped too.
+    *
+    * Each series keeps the PREFIX-IDENTITY accumulators (running sums
+    * of deviations + their running minima — four doubles and the open
+    * bucket's count), so emitted scores are bit-identical to the batch
+    * window formulation over the same finalized buckets. A bucket
+    * finalizes when a LATER bucket's first event arrives (per-series
+    * event-time-ordered arrival is the contract, as in
+    * [[funnelStream]]); empty buckets are skipped, exactly like the
+    * batch grain. Flush the trailing open bucket with a far-future
+    * sentinel event and filter it downstream (the StreamingSpec
+    * convention). Output mode: append. */
+  def cusumMonitorStream(
+      events: org.apache.spark.sql.Dataset[CusumEvent],
+      bucketUs: Long,
+      frozen: Map[String, (Double, Double)],
+      kSigma: Double = 0.5,
+      hSigma: Double = 4.0
+  ): org.apache.spark.sql.Dataset[CusumOut] = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(kSigma >= 0 && hSigma > 0, "need kSigma >= 0 and hSigma > 0")
+    import events.sparkSession.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          frozen.get(series).filter(_._2 > 0.0) match {
+            case None => Iterator.empty
+            case Some((mean, sigma)) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+              var st = state.getOption.getOrElse(
+                CusumState(0.0, Double.MaxValue, 0.0, Double.MaxValue, Long.MinValue, 0L))
+              def finalize(st0: CusumState): CusumState = {
+                val n = st0.openCount
+                val dUp = n.toDouble - mean - kSigma * sigma
+                val dDn = mean - kSigma * sigma - n.toDouble
+                val pu = st0.pu + dUp
+                val pd = st0.pd + dDn
+                val minPu = math.min(st0.minPu, pu)
+                val minPd = math.min(st0.minPd, pd)
+                val sPos = pu - math.min(0.0, minPu)
+                val sNeg = pd - math.min(0.0, minPd)
+                out += CusumOut(series, st0.openBucket, n,
+                  round6(sPos), round6(sNeg),
+                  sPos > hSigma * sigma, sNeg > hSigma * sigma)
+                CusumState(pu, minPu, pd, minPd, st0.openBucket, 0L)
+              }
+              rows.foreach { e =>
+                val b = (e.us - java.lang.Math.floorMod(e.us, bucketUs)) / bucketUs
+                if (b == st.openBucket) st = st.copy(openCount = st.openCount + 1)
+                else {
+                  if (st.openBucket != Long.MinValue) st = finalize(st)
+                  st = st.copy(openBucket = b, openCount = 1L)
+                }
+              }
+              state.update(st)
+              out.iterator
+          }
+      }
+  }
+
   /** The latest [[scd2Stream]] history snapshot (highest `v<N>`
     * directory), if one exists yet. Zero-padded names make the
     * lexicographic max the numeric max. */

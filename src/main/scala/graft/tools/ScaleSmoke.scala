@@ -576,6 +576,55 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // CUSUM: per-series window arithmetic (running sum + running min
+      // over one sort) — series scale with the data, buckets stay fixed
+      time(s"cusum changepoints, ${n * 100000} events, ${n}x series") {
+        val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.1", "events")
+          .select(col("event_type"), col("user_id"), expr("ts div 1000").as("us"))
+        val evN = blowUpKeyed(ev, n, "user_id")
+          .withColumn("event_type", concat(col("event_type"),
+            pmod(col("user_id"), lit(n.toLong)).cast("string")))
+        graft.ops.Metrics.cusumChangepoints(evN, "event_type", col("us"),
+            bucketUs = 3600000000L)
+          .agg(count(lit(1))).collect()
+      }
+
+      // join pre-flight: two key-grain aggregates size the join the
+      // engine never runs — cost tracks the scans, not the product
+      time(s"join size estimate (${rows} x ${rows} rows)") {
+        val l = bids.select(col("l_orderkey").as("k"))
+        graft.ops.Reports.joinSizeEstimate(l, l, Seq("k"))
+          .collect()
+      }
+
+      // quantile normalization: per-group window + one pooled grid
+      // broadcast — scan-bound, grid size fixed
+      time(s"quantile normalize ($nDocs docs, per-lang)") {
+        graft.ops.Outliers.quantileNormalize(
+            dN.select("doc_id", "lang", "n_chars"), Seq("lang"), "n_chars",
+            grid = 100)
+          .agg(count(col("qnorm_r"))).collect()
+      }
+
+      // HT estimation: map-side terms + the two-level fold — one scan
+      time(s"ht estimate ($nDocs docs)") {
+        val pr = (lit(1.0) + pmod(col("doc_id"), lit(5)).cast("double")) / lit(10.0)
+        graft.ops.Sampling.htEstimate(
+            dN.select("doc_id", "source", "n_chars").withColumn("p", pr)
+              .filter(graft.ops.Sampling.unitHash(col("doc_id"), "ht") < col("p")),
+            "doc_id", "p", "n_chars", Seq("source"))
+          .agg(count(lit(1))).collect()
+      }
+
+      // triangle counting: nodes/edges scale with data; the oriented
+      // wedge join is bounded by sum outdeg^2, every step an equi-join
+      time(s"triangle counts (${n * 25000} edges, ${n * 2500} nodes)") {
+        val g = bids.select((col("l_orderkey") % (n * 2500L)).as("s"),
+          ((col("l_orderkey") * 31 + 7) % (n * 2500L)).as("d"))
+        graft.ops.Graphs.triangleCounts(g, "s", "d")
+          .agg(sum(col("n_triangles"))).collect()
+      }
+
       // adversarial: ONE degenerate block (a broken coarse partitioner)
       // must refuse loudly and fast — |block|² pairs never materialize
       time(s"blocked NN hot-block guard (one ${n * 2000}-row block)") {

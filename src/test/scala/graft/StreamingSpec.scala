@@ -1143,6 +1143,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CUSUM monitor is bit-identical to the frozen-stats batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingEval.CusumEvent
+    import spark.implicits._
+    val h = 3600000000L
+    // series a: quiet then shifted; series b: flat-ish; series c: absent
+    // from the baseline (monitor must ignore it)
+    val mkEvents = (0 until 24).flatMap { b =>
+      val na = if (b < 16) 10 + (b % 3) else 15
+      val nb = 5
+      Seq.fill(na)(("a", b.toLong * h + 7L)) ++
+        Seq.fill(nb)(("b", b.toLong * h + 7L)) ++
+        Seq(("c", b.toLong * h + 7L))
+    }
+    val frozen = Map("a" -> (11.0, 1.5), "b" -> (5.0, 0.8))
+    val input = MemoryStream[CusumEvent]
+    val query = graft.streaming.StreamingEval.cusumMonitorStream(
+        input.toDS(), h, frozen)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      // replay in 3 chunks (event-time order per series), then flush the
+      // trailing open bucket with a far-future sentinel per series
+      mkEvents.grouped(mkEvents.size / 3 + 1).foreach { chunk =>
+        input.addData(chunk.map { case (s, us) => CusumEvent(s, us) }: _*)
+        query.processAllAvailable()
+      }
+      input.addData(CusumEvent("a", 9999L * h), CusumEvent("b", 9999L * h))
+      query.processAllAvailable()
+      val streamed = spark.table("cusum_out")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.ops.Metrics.cusumChangepoints(
+          mkEvents.toDF("event_type", "us"), "event_type", col("us"), h,
+          frozenStats = Some(frozen))
+        .select("series", "bucket", "n", "s_pos_r", "s_neg_r",
+          "alarm_up", "alarm_down")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        s"stream diverged from frozen-stats batch:\n${streamed.take(3)}…\nvs\n${batch.take(3)}…")
+      // the shifted tail of series a actually alarms
+      assert(spark.table("cusum_out")
+        .filter(col("series") === "a" && col("alarm_up")).count() > 0)
+    } finally query.stop()
+  }
+
   test("streaming SCD2 maintenance equals batch history over the replayed stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Snapshot
