@@ -62,4 +62,42 @@ object Expectations {
           .map(n => (n, "type_changed", Option(p(n)), Option(c(n))))
     rows.toDF("column", "change", "prev_type", "cur_type")
   }
+
+  /** Benford's-law audit of a positive amount column — the classic
+    * fabricated-numbers detector (organic magnitudes spread across
+    * orders of magnitude follow `P(d) = log₁₀(1 + 1/d)`; invented or
+    * template-generated figures don't). One row per leading digit
+    * 1–9: observed count, observed fraction, the Benford expectation,
+    * and the signed deviation.
+    *
+    * The leading digit is extracted EXACTLY: the value quantizes to
+    * integer cents (`round(x·100)` — the engine's micro-unit
+    * convention, so 0.01 ≤ x is auditable), and the first character
+    * of the BIGINT's decimal string is the digit — no `log10`
+    * boundary wobble at powers of ten, identical in any engine.
+    * Null, NaN, and sub-cent values are excluded (reported via the
+    * count). ONE scan with map-side combine, a 9-row result. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cents = round(v * lit(100.0), 0).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = df
+      .filter(v.isNotNull && !isnan(v) && cents >= 1L)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__tot"))
+    val expected = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = expected.toDF("digit", "__p")
+    exp.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (round(coalesce(col("n"), lit(0L)).cast("double") / col("__tot"), 6)
+          + lit(0.0)).as("obs_frac_r"),
+        (round(col("__p"), 6) + lit(0.0)).as("benford_p_r"),
+        (round(coalesce(col("n"), lit(0L)).cast("double") / col("__tot")
+          - col("__p"), 6) + lit(0.0)).as("dev_r"))
+  }
 }

@@ -193,6 +193,31 @@ object Graphs {
     * link-farm signature), near 0 on organic link structure;
     * degree-1 and isolated-in-frame nodes report null (undefined 0/0).
     * Output: `(node, deg, n_triangles, clustering_r)` (6-decimal). */
+  /** Edge reciprocity per node over the DIRECTED simple graph (distinct
+    * src→dst pairs, self-loops and null endpoints dropped): the fraction
+    * of a node's out-edges that are answered by the reverse edge —
+    * organic follow graphs reciprocate heavily, purchased-follower and
+    * spam-injection patterns don't (and a ring of bots reciprocates
+    * perfectly, which is exactly why it pairs with
+    * [[clusteringCoefficient]] rather than replacing it). Output:
+    * `(node, out_deg, n_recip, reciprocity_r)`. One distinct-edge
+    * shuffle + a self-semi-join on the reversed key. */
+  def reciprocity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val simple = graft.Checkpoints.trackCache(edges
+      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
+      .select(col(src).as("u"), col(dst).as("v"))
+      .distinct())
+    val rev = simple.select(col("v").as("u"), col("u").as("v"))
+    val recip = simple.join(rev, Seq("u", "v"), "left_semi")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("n_recip"))
+    simple.groupBy(col("u").as("node")).agg(count(lit(1)).as("out_deg"))
+      .join(recip, Seq("node"), "left")
+      .select(col("node"), col("out_deg"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        (round(coalesce(col("n_recip"), lit(0L)).cast("double") / col("out_deg"), 6)
+          + lit(0.0)).as("reciprocity_r"))
+  }
+
   def clusteringCoefficient(edges: DataFrame, src: String, dst: String): DataFrame =
     triangleCore(edges, src, dst)._2
       .select(col("node"), col("deg"), col("n_triangles"),

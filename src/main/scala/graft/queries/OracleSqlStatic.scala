@@ -4040,6 +4040,56 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |    (x, y) -> x + y)), 6) + 0.0 AS se_sum_r
         |FROM l1 GROUP BY source ORDER BY source""".stripMargin,
 
+    // Benford audit: exact integer-cents leading digit, interpolated
+    // log10(1+1/d) expectations
+    "q221_benford_audit" -> {
+      val ps = (1 to 9).map(d =>
+        s"    ($d, CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE))").mkString(",\n")
+      s"""WITH c AS (
+         |  SELECT CAST(round(o_totalprice * CAST(100.0 AS DOUBLE), 0) AS BIGINT) AS cents
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+         |), d AS (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    count(*) AS n
+         |  FROM c WHERE cents >= 1 GROUP BY 1
+         |), tot AS (SELECT sum(n) AS t FROM d),
+         |e AS (SELECT * FROM (VALUES
+         |$ps
+         |) v(digit, p))
+         |SELECT e.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+         |  round(CAST(coalesce(d.n, 0) AS DOUBLE) / t, 6) + 0.0 AS obs_frac_r,
+         |  round(p, 6) + 0.0 AS benford_p_r,
+         |  round(CAST(coalesce(d.n, 0) AS DOUBLE) / t - p, 6) + 0.0 AS dev_r
+         |FROM e LEFT JOIN d USING (digit), tot
+         |ORDER BY digit""".stripMargin
+    },
+
+    // reciprocity over the directed thresholded trade graph
+    "q222_reciprocity" ->
+      """WITH tr AS (
+        |  SELECT c.c_nationkey AS n1, s.s_nationkey AS n2, count(*) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT sum(cnt) AS t FROM tr),
+        |ed0 AS (SELECT n1, n2 FROM tr, tot WHERE cnt * 12500 > t * 21),
+        |simple AS (
+        |  SELECT DISTINCT n1 AS u, n2 AS v
+        |  FROM ed0 WHERE n1 IS NOT NULL AND n2 IS NOT NULL AND n1 <> n2
+        |), resp AS (
+        |  SELECT s.u, count(*) AS n_recip
+        |  FROM simple s JOIN simple r ON r.u = s.v AND r.v = s.u
+        |  GROUP BY 1
+        |), outd AS (SELECT u, count(*) AS out_deg FROM simple GROUP BY 1)
+        |SELECT outd.u AS node, CAST(out_deg AS BIGINT) AS out_deg,
+        |  CAST(coalesce(n_recip, 0) AS BIGINT) AS n_recip,
+        |  round(CAST(coalesce(n_recip, 0) AS DOUBLE) / out_deg, 6) + 0.0
+        |    AS reciprocity_r
+        |FROM outd LEFT JOIN resp ON resp.u = outd.u
+        |ORDER BY node""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

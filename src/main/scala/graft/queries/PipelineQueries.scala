@@ -2215,6 +2215,33 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("source")
     },
 
+    "q221_benford_audit" -> { (s, dir) =>
+      // fabricated-numbers detector: leading-digit distribution of
+      // order totals vs Benford's law — digit extracted exactly from
+      // the integer-cents decimal string, no log10 boundary wobble
+      graft.ops.Expectations.benfordAudit(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")
+    },
+
+    "q222_reciprocity" -> { (s, dir) =>
+      // bot-ring complement to q215: per-nation fraction of directed
+      // above-average trade edges answered by the reverse edge
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val tr = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("c_nationkey").as("n1"), col("s_nationkey").as("n2"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = tr.agg(sum(col("cnt")).as("t"))
+      val edges = tr.crossJoin(broadcast(total))
+        .filter(col("cnt") * lit(12500L) > col("t") * lit(21L))
+        .select("n1", "n2")
+      graft.ops.Graphs.reciprocity(edges, "n1", "n2").orderBy("node")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -1858,6 +1858,39 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("htEstimate"), s"unexpected: ${err.getMessage}")
   }
 
+  test("benfordAudit: exact digit extraction, all-nine rows, junk excluded") {
+    import graft.ops.Expectations
+    // planted digits: 1 x4, 2 x3, 9 x1; plus sub-cent, null, NaN junk
+    val df = Seq(Option(1.23), Option(12.0), Option(0.10), Option(199.0),
+      Option(2.0), Option(0.25), Option(25000.0),
+      Option(9.99),
+      Option(0.001), None, Option(Double.NaN)).toDF("v")
+    val got = Expectations.benfordAudit(df, "v")
+      .collect().map(r => r.getAs[Int]("digit") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("obs_frac_r")))).toMap
+    assert(got.size == 9) // all nine digits present even at count 0
+    assert(got(1)._1 == 4L && got(2)._1 == 3L && got(9)._1 == 1L)
+    assert(got(3)._1 == 0L && got(7)._1 == 0L)
+    assert(math.abs(got(1)._2 - 0.5) < 1e-9) // 4 of 8 auditable rows
+    // leading digit at a power-of-ten boundary: 0.10 -> cents 10 -> digit 1
+    // (the log10 formulation wobbles exactly here; string slicing cannot)
+  }
+
+  test("reciprocity: answered edges counted, one-way rings score zero") {
+    import graft.ops.Graphs
+    // 1<->2 mutual; 3->4->5->3 one-way ring; 2->3 unanswered; dup + self noise
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L), (1L, 2L), (6L, 6L)).toDF("s", "d")
+    val got = Graphs.reciprocity(edges, "s", "d")
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("out_deg"), r.getAs[Long]("n_recip"),
+          r.getAs[Double]("reciprocity_r")))).toMap
+    assert(got(1L) == ((1L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5))) // 2->1 answered, 2->3 not
+    assert(got(3L) == ((1L, 0L, 0.0)) && got(4L) == ((1L, 0L, 0.0)))
+    assert(!got.contains(6L)) // self-loop-only node has no simple edges
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
