@@ -499,4 +499,55 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"prev=$pm cur=$cm")
     }
   }
+
+  test("property: SCD2 history matches a brute-force run-length reference; apply == rebuild") {
+    import graft.ops.Snapshot
+    val obsGen = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 6L)
+        v <- Gen.option(Gen.oneOf("x", "y", "z"))
+        ts <- Gen.choose(0L, 12L)
+      } yield (k, v, ts))
+    } yield rows.zipWithIndex.map { case ((k, v, ts), i) =>
+      (k, v, ts, i.toLong) // unique tie
+    }
+    samples(obsGen, 6).foreach { obs =>
+      val df = obs.toDF("k", "v", "ts", "tie")
+      val got = Snapshot.scd2History(df, Seq("k"), Seq("v"), col("ts"), "tie")
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version")) ->
+          ((Option(r.getAs[String]("v")), r.getAs[Long]("valid_from"),
+            Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+            r.getAs[Long]("last_obs"), r.getAs[Long]("n_obs"),
+            r.getAs[Boolean]("is_current")))).toMap
+      // brute force: sort each key's stream, split into value runs
+      val want = obs.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+        val runs = sorted.foldLeft(Vector.empty[Vector[(Long, Option[String], Long)]]) {
+          (acc, r) =>
+            val cell = (r._1, r._2, r._3)
+            if (acc.nonEmpty && acc.last.head._2 == r._2) acc.init :+ (acc.last :+ cell)
+            else acc :+ Vector(cell)
+        }
+        runs.zipWithIndex.map { case (run, i) =>
+          val from = run.map(_._3).min
+          val to = if (i + 1 < runs.size) Some(runs(i + 1).map(_._3).min) else None
+          (k, (i + 1).toLong) ->
+            ((run.head._2, from, to, run.map(_._3).max, run.size.toLong, to.isEmpty))
+        }
+      }.toMap
+      assert(got == want, s"history diverged for obs=$obs")
+      // increment == rebuild at an arbitrary split (late data excluded by
+      // construction: split on ts, ties cannot straddle the boundary)
+      val split = 6L
+      val hist = Snapshot.scd2History(df.filter(col("ts") < split),
+        Seq("k"), Seq("v"), col("ts"), "tie")
+      val inc = Snapshot.scd2Apply(hist, df.filter(col("ts") >= split),
+          Seq("k"), Seq("v"), col("ts"), "tie")
+        .collect().map(_.toString).sorted.toSeq
+      val full = Snapshot.scd2History(df, Seq("k"), Seq("v"), col("ts"), "tie")
+        .collect().map(_.toString).sorted.toSeq
+      assert(inc == full, s"apply diverged from rebuild for obs=$obs")
+    }
+  }
 }
