@@ -230,6 +230,72 @@ object Metrics {
           .as("is_anomaly"))
   }
 
+  /** Multi-touch conversion attribution: credit each conversion event
+    * to the touch events (views, clicks, campaign hits) that preceded
+    * it within `lookbackUs`, under the classic models — `"first"` /
+    * `"last"` (full credit to the earliest/latest touch, ties toward
+    * the larger event id like every temporal op here) or `"linear"`
+    * (each touch type gets its share of touches in the window). Output
+    * per touch type: `n_conversions` touched and `credit_r` (exact
+    * integer counts under first/last; under linear a conv-id-ordered
+    * deterministic fold of `n_type/n_total` shares).
+    *
+    * Scale shape: conversions and touches shuffle once on the user
+    * key; the per-user interval join is bounded by each user's own
+    * event volume (salt hot users upstream like any keyed join); the
+    * credit aggregate is |conversions × types| grain, and the final
+    * frame is |types| rows. Unattributed conversions (no touch in
+    * window) simply earn nobody credit — count them via
+    * [[graft.ops.Sessions.conversionLatency]]. */
+  def attribution(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: Column,
+      idCol: String,
+      conversionType: String,
+      touchTypes: Seq[String],
+      model: String,
+      lookbackUs: Long
+  ): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs touch types")
+    require(Set("first", "last", "linear")(model),
+      s"unknown attribution model '$model' (first | last | linear)")
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    val base = events.filter(col(userCol).isNotNull && usCol.isNotNull)
+    val convs = base.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), usCol.cast("long").as("__cus"),
+        col(idCol).as("__cid"))
+    val touches = base.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), usCol.cast("long").as("__tus"),
+        col(idCol).as("__tid"), col(typeCol).as("touch_type"))
+    val paired = convs.join(touches, Seq("__u"))
+      .filter(col("__tus") <= col("__cus") &&
+        col("__tus") > col("__cus") - lit(lookbackUs))
+    model match {
+      case "first" | "last" =>
+        val pick = struct(col("__tus"), col("__tid"), col("touch_type"))
+        val winner = paired.groupBy("__cid")
+          .agg((if (model == "first") min(pick) else max(pick)).as("__w"))
+          .select(col("__w.touch_type").as("touch_type"))
+        winner.groupBy("touch_type")
+          .agg(count(lit(1)).as("n_conversions"),
+            (count(lit(1)).cast("double") + lit(0.0)).as("credit_r"))
+      case _ => // linear
+        val perConv = paired.groupBy(col("__cid"), col("touch_type"))
+          .agg(count(lit(1)).as("__nt"))
+        val totals = perConv.groupBy("__cid").agg(sum(col("__nt")).as("__n"))
+        val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
+        perConv.join(totals, "__cid")
+          .select(col("touch_type"), col("__cid").cast("long").as("__k"),
+            (col("__nt").cast("double") / col("__n").cast("double")).as("__share"))
+          .groupBy("touch_type")
+          .agg(count(lit(1)).as("n_conversions"),
+            (round(oks(collect_list(struct(col("__k").as("k"),
+              col("__share").as("v")))), 6) + lit(0.0)).as("credit_r"))
+    }
+  }
+
   /** CUSUM changepoint detection over per-series bucket counts — the
     * monitor that catches a SUSTAINED small shift ([[rollingAnomalies]]
     * catches single-bucket bursts; a 10% drift that never trips a 3σ

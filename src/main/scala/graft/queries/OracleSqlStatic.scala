@@ -4090,6 +4090,31 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |FROM outd LEFT JOIN resp ON resp.u = outd.u
         |ORDER BY node""".stripMargin,
 
+    // linear multi-touch attribution: per-user interval join, per-(conv,
+    // type) counts over per-conv totals, conv-id-ordered share fold
+    "q223_attribution" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), c AS (
+        |  SELECT user_id, us AS cus, event_id AS cid
+        |  FROM base WHERE event_type = 'purchase'
+        |), tch AS (
+        |  SELECT user_id, us AS tus, event_id AS tid, event_type AS touch_type
+        |  FROM base WHERE event_type IN ('view', 'click')
+        |), p AS (
+        |  SELECT cid, touch_type FROM c JOIN tch USING (user_id)
+        |  WHERE tus <= cus AND tus > cus - 86400000000
+        |), pc AS (
+        |  SELECT cid, touch_type, count(*) AS nt FROM p GROUP BY 1, 2
+        |), tot AS (SELECT cid, sum(nt) AS n FROM pc GROUP BY 1)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY cid)),
+        |    (x, y) -> x + y), 6) + 0.0 AS credit_r
+        |FROM pc JOIN tot USING (cid)
+        |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

@@ -2242,6 +2242,20 @@ object PipelineQueries extends OracleSqlStatic {
       graft.ops.Graphs.reciprocity(edges, "n1", "n2").orderBy("node")
     },
 
+    "q223_attribution" -> { (s, dir) =>
+      // multi-touch attribution: linear credit of purchases across the
+      // view/click touches in the trailing 24h — per-user interval
+      // join, conv-id-ordered share fold
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      graft.ops.Metrics.attribution(ev, "user_id", "event_type", col("us"),
+          "event_id", conversionType = "purchase",
+          touchTypes = Seq("view", "click"), model = "linear",
+          lookbackUs = 86400000000L)
+        .orderBy("touch_type")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

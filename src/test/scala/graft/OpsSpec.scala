@@ -1891,6 +1891,37 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(6L)) // self-loop-only node has no simple edges
   }
 
+  test("attribution: first/last/linear credit, lookback window, credit conservation") {
+    import graft.ops.Metrics
+    // user 1: view@10, click@20, purchase@30 (both in window);
+    //         view@95, purchase@100 with lookback 50 excludes nothing here
+    // user 2: click@1, purchase@100 — click outside the 50-wide window
+    val ev = Seq(
+      (1L, "view", 10L, 101L), (1L, "click", 20L, 102L), (1L, "purchase", 30L, 103L),
+      (1L, "view", 95L, 104L), (1L, "purchase", 100L, 105L),
+      (2L, "click", 1L, 201L), (2L, "purchase", 100L, 202L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    def run(model: String) = Metrics.attribution(ev, "user_id", "event_type",
+        col("us"), "event_id", "purchase", Seq("view", "click"), model, 50L)
+      .collect().map(r => r.getAs[String]("touch_type") ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Double]("credit_r")))).toMap
+    // conv 103 touches: view@10, click@20; conv 105: view@95 only;
+    // conv 202: none (click@1 is 99us stale)
+    val lin = run("linear")
+    assert(lin("view") == ((2L, 0.5 + 1.0)))
+    assert(lin("click") == ((1L, 0.5)))
+    // linear credit is conserved: one unit per attributed conversion
+    assert(math.abs(lin.values.map(_._2).sum - 2.0) < 1e-9)
+    val first = run("first")
+    assert(first("view") == ((2L, 2.0)) && !first.contains("click"))
+    val last = run("last")
+    assert(last("click") == ((1L, 1.0)) && last("view") == ((1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Metrics.attribution(ev, "user_id", "event_type", col("us"), "event_id",
+        "purchase", Seq("view"), "shapley", 50L)
+    }
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
