@@ -2125,4 +2125,55 @@ object Dedup {
         when(col("__cuts").isNull, col(textCol)).otherwise(rebuilt))
       .drop("__cuts")
   }
+
+  /** Horizon (TTL) dedup: within each `keyCols` identity, keep a row iff
+    * it falls at least `horizonUs` after the PREVIOUS KEPT row — the
+    * re-crawl/re-ingest policy "the same content seen again within N
+    * hours is a repeat; after N hours it counts as a fresh version".
+    * This is GREEDY anchor selection (each kept row opens a suppression
+    * window), which no fixed window frame expresses: whether row i
+    * survives depends on which earlier rows survived. Exactly-at-
+    * boundary rows (`ts == last_kept + horizonUs`) are KEPT; equal-`ts`
+    * rows order by the unique `tieCol`, so the earliest tie anchors and
+    * its same-instant copies suppress.
+    *
+    * Scale shape: ONE shuffle (`repartition` on the key) + an in-stage
+    * `sortWithinPartitions(key, ts, tie)` + a streaming per-partition
+    * scan holding two scalars of state (current key, last kept ts) —
+    * no per-group buffering, so a million-copy hot key costs its scan,
+    * never memory. Null keys/timestamps are dropped (no identity / no
+    * position — the temporal-op convention). */
+  def horizonDedup(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      horizonUs: Long
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "horizonDedup needs key columns")
+    require(horizonUs > 0, "horizonUs must be positive")
+    val clean = df.filter(
+      keyCols.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+    val schema = clean.schema
+    require(schema(tsCol).dataType == org.apache.spark.sql.types.LongType,
+      s"horizonDedup needs a LONG microsecond column, got ${schema(tsCol).dataType}" +
+        " — normalize upstream (graft.io.Tables / ts div 1000)")
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val sorted = clean
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(
+        (keyCols.map(col(_).asc) :+ col(tsCol).asc :+ col(tieCol).asc): _*)
+    sorted.mapPartitions { rows =>
+      var curKey: Seq[Any] = null
+      var lastKept = Long.MinValue
+      rows.filter { r =>
+        val k = keyIdx.map(r.get)
+        val ts = r.getLong(tsIdx)
+        if (k != curKey) { curKey = k; lastKept = ts; true }
+        else if (ts - lastKept >= horizonUs) { lastKept = ts; true }
+        else false
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -4115,6 +4115,37 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |FROM pc JOIN tot USING (cid)
         |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
+    // horizon dedup: greedy anchors as a FIXED 8-round chained-CTE
+    // replay (a_{i+1} = each key's earliest row at or past a_i + H);
+    // the 720h event span divided by the 120h horizon bounds true
+    // anchors at 7, so 8 rounds are provably sufficient — if the data
+    // ever outgrew them the union would lack rows and the hash compare
+    // would catch it
+    "q224_horizon_dedup" -> {
+      val h = 432000000000L
+      val rounds = (2 to 8).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT b.u, b.t, b.us, b.id FROM base b
+           |  JOIN a${i - 1} p ON b.u = p.u AND b.t = p.t AND b.us >= p.us + $h
+           |  QUALIFY row_number() OVER (PARTITION BY b.u, b.t ORDER BY b.us, b.id) = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8).map(i => s"SELECT * FROM a$i").mkString("\n  UNION ALL ")
+      s"""WITH base AS (
+         |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us, event_id AS id
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |), a1 AS MATERIALIZED (
+         |  SELECT u, t, us, id FROM base
+         |  QUALIFY row_number() OVER (PARTITION BY u, t ORDER BY us, id) = 1
+         |),
+         |$rounds,
+         |sel AS (
+         |  $unions
+         |)
+         |SELECT u AS user_id, t AS event_type, us, id AS event_id
+         |FROM sel ORDER BY user_id, event_type, us""".stripMargin
+    },
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

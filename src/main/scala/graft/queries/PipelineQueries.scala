@@ -2256,6 +2256,20 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("touch_type")
     },
 
+    "q224_horizon_dedup" -> { (s, dir) =>
+      // re-crawl TTL policy: a (user, type) event repeated within 120h
+      // is a duplicate; past the horizon it is a fresh version — greedy
+      // anchors, one shuffle + streaming scan. The events table spans
+      // 720h, so at most 7 anchors exist per key and the oracle's fixed
+      // 8-round chained-CTE replay is provably sufficient.
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("event_id"))
+      graft.ops.Dedup.horizonDedup(ev, Seq("user_id", "event_type"),
+          "us", "event_id", horizonUs = 432000000000L)
+        .orderBy("user_id", "event_type", "us")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -1922,6 +1922,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("horizonDedup: greedy anchors, boundary kept, ties, brute-force replay") {
+    import graft.ops.Dedup
+    // key A: 0 (keep), 5 (drop), 10 (keep, == boundary), 14 (drop),
+    //        20 (keep: 10+10), 29 (drop), 31 (keep)
+    // key B ties at ts 0: smallest tie anchors, the twin suppresses
+    val df = Seq(
+      ("A", 0L, 1L), ("A", 5L, 2L), ("A", 10L, 3L), ("A", 14L, 4L),
+      ("A", 20L, 5L), ("A", 29L, 6L), ("A", 31L, 7L),
+      ("B", 0L, 11L), ("B", 0L, 10L), ("B", 100L, 12L)
+    ).toDF("k", "ts", "id")
+    val kept = Dedup.horizonDedup(df, Seq("k"), "ts", "id", horizonUs = 10L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L, 7L, 10L, 12L))
+    // partition invariance
+    val kept2 = Dedup.horizonDedup(df.repartition(7), Seq("k"), "ts", "id", 10L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == kept2)
+    // brute-force greedy replay on a pseudo-random stream
+    val rnd = (0 until 200).map(i =>
+      (s"k${i % 5}", ((i * 7919) % 500).toLong, i.toLong))
+    val got = Dedup.horizonDedup(rnd.toDF("k", "ts", "id"),
+        Seq("k"), "ts", "id", 37L)
+      .select("id").as[Long].collect().toSet
+    val want = rnd.groupBy(_._1).flatMap { case (_, rows) =>
+      var last = Long.MinValue
+      rows.sortBy(r => (r._2, r._3)).flatMap { r =>
+        if (last == Long.MinValue || r._2 - last >= 37L) { last = r._2; Some(r._3) }
+        else None
+      }
+    }.toSet
+    assert(got == want)
+    // non-long ts refuses with the normalization hint
+    val err = intercept[IllegalArgumentException] {
+      Dedup.horizonDedup(Seq(("A", 1, 1L)).toDF("k", "ts", "id"),
+        Seq("k"), "ts", "id", 10L)
+    }
+    assert(err.getMessage.contains("LONG"))
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
