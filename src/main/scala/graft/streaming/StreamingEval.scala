@@ -833,6 +833,88 @@ object StreamingEval {
       }
   }
 
+  /** Per-series rolling-anomaly state: the trailing finalized buckets
+    * still inside any future baseline RANGE (bucket-value pruned, so
+    * series gaps behave exactly like the batch RANGE frame), plus the
+    * open bucket's partial count. */
+  case class RollingAnomalyState(
+      trail: List[(Long, Long)], openBucket: Long, openCount: Long)
+
+  case class RollingAnomalyOut(
+      bucket_type: String, bucket: Long, n: Long, base_n: Long,
+      mean_r: Option[Double], z_r: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming face of [[graft.ops.Metrics.rollingAnomalies]]: each
+    * series carries its trailing `baselineBuckets` finalized counts and
+    * scores every newly-finalized bucket against that window — EXACT
+    * integer moments, then the identical IEEE double chain, so emitted
+    * rows are bit-identical to the batch operator over the same
+    * buckets (StreamingSpec pins it). The trailing buffer prunes by
+    * BUCKET VALUE, not row count, so gaps in a series shrink the
+    * baseline exactly as the batch RANGE frame does.
+    *
+    * Contract: per-series event-time-ordered arrival (a bucket
+    * finalizes when a later bucket's first event arrives — flush the
+    * tail with a far-future sentinel, [[cusumMonitorStream]]'s
+    * convention). State per series: ≤ `baselineBuckets` (bucket, n)
+    * pairs + two scalars. Output mode: append. */
+  def rollingAnomalyStream(
+      events: org.apache.spark.sql.Dataset[CusumEvent],
+      bucketUs: Long,
+      baselineBuckets: Int,
+      k: Double,
+      minBaseline: Int = 3
+  ): org.apache.spark.sql.Dataset[RollingAnomalyOut] = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(baselineBuckets >= minBaseline && minBaseline >= 2,
+      "need baselineBuckets >= minBaseline >= 2")
+    require(k > 0, "k must be positive")
+    import events.sparkSession.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[RollingAnomalyState, RollingAnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[CusumEvent],
+         state: GroupState[RollingAnomalyState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[RollingAnomalyOut]
+          var st = state.getOption.getOrElse(
+            RollingAnomalyState(Nil, Long.MinValue, 0L))
+          def finalizeOpen(st0: RollingAnomalyState): RollingAnomalyState = {
+            val b = st0.openBucket
+            val n = st0.openCount
+            // the batch RANGE frame: buckets in [b - baselineBuckets, b - 1]
+            val base = st0.trail.filter(_._1 >= b - baselineBuckets)
+            val m = base.size.toLong
+            val s1 = base.map(_._2).sum
+            val s2 = base.map(x => x._2 * x._2).sum
+            val mean = s1.toDouble / m.toDouble
+            val variance = s2.toDouble / m.toDouble - mean * mean
+            val z = (n.toDouble - mean) / math.sqrt(variance)
+            out += RollingAnomalyOut(series, b, n, m,
+              if (m >= minBaseline) Some(round6(mean)) else None,
+              if (m >= minBaseline && variance > 0) Some(round6(z)) else None,
+              m >= minBaseline &&
+                ((variance > 0 && math.abs(n.toDouble - mean) >
+                  k * math.sqrt(variance)) ||
+                 (variance == 0.0 && n.toDouble != mean)))
+            st0.copy(trail = ((b, n) :: st0.trail)
+              .filter(_._1 > b - baselineBuckets), openCount = 0L)
+          }
+          rows.foreach { e =>
+            val b = (e.us - java.lang.Math.floorMod(e.us, bucketUs)) / bucketUs
+            if (b == st.openBucket) st = st.copy(openCount = st.openCount + 1)
+            else {
+              if (st.openBucket != Long.MinValue) st = finalizeOpen(st)
+              st = st.copy(openBucket = b, openCount = 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** The latest [[scd2Stream]] history snapshot (highest `v<N>`
     * directory), if one exists yet. Zero-padded names make the
     * lexicographic max the numeric max. */

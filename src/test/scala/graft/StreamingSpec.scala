@@ -1188,6 +1188,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming rolling-anomaly monitor is bit-identical to the batch RANGE frame") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingEval.CusumEvent
+    import spark.implicits._
+    val h = 3600000000L
+    // series a: steady with one burst bucket and one GAP (bucket 9
+    // absent — the RANGE frame must shrink, not slide); series b: short
+    val mkEvents = ((0 until 14).filter(_ != 9).flatMap { b =>
+      val n = if (b == 11) 40 else 8 + (b % 3)
+      Seq.fill(n)(("a", b.toLong * h + 3L))
+    } ++ (0 until 4).flatMap(b => Seq.fill(6)(("b", b.toLong * h + 3L))))
+    val input = MemoryStream[CusumEvent]
+    val query = graft.streaming.StreamingEval.rollingAnomalyStream(
+        input.toDS(), h, baselineBuckets = 5, k = 3.0)
+      .writeStream.format("memory").queryName("ranom_out")
+      .outputMode("append").start()
+    try {
+      mkEvents.grouped(mkEvents.size / 3 + 1).foreach { chunk =>
+        input.addData(chunk.map { case (s, us) => CusumEvent(s, us) }: _*)
+        query.processAllAvailable()
+      }
+      input.addData(CusumEvent("a", 9999L * h), CusumEvent("b", 9999L * h))
+      query.processAllAvailable()
+      val streamed = spark.table("ranom_out")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.ops.Metrics.rollingAnomalies(
+          mkEvents.toDF("event_type", "us"), "event_type", col("us"), h,
+          baselineBuckets = 5, k = 3.0)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        s"stream diverged from batch RANGE frame:\n${streamed.take(3)}…\nvs\n${batch.take(3)}…")
+      // the planted burst is flagged
+      assert(spark.table("ranom_out")
+        .filter(col("bucket_type") === "a" && col("is_anomaly")).count() >= 1)
+    } finally query.stop()
+  }
+
   test("streaming SCD2 maintenance equals batch history over the replayed stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Snapshot
