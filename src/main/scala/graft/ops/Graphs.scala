@@ -193,6 +193,56 @@ object Graphs {
     * link-farm signature), near 0 on organic link structure;
     * degree-1 and isolated-in-frame nodes report null (undefined 0/0).
     * Output: `(node, deg, n_triangles, clustering_r)` (6-decimal). */
+  /** k-core decomposition (fixed k): the maximal subgraph in which
+    * every node keeps at least `k` neighbors — iterative peeling of
+    * sub-k-degree nodes until the fixpoint. The cohesion signal that
+    * separates an organically-linked community from injected spam: a
+    * bot ring's mutual-link core survives high k, organic periphery
+    * doesn't. Output: `(node, core_deg)` for surviving nodes (degree
+    * measured INSIDE the core).
+    *
+    * Each round is two key-grain aggregates + an edge semi-filter; the
+    * surviving edge set shrinks monotonically and is locally
+    * checkpointed per round (plan growth, not data, is the iterative-
+    * loop hazard — the [[graft.ops.Dedup.dupClusters]] lesson). The
+    * loop stops at the fixpoint; `maxIter` is a loud backstop (an
+    * adversarial path graph peels one node per round, so the bound is
+    * data-dependent — refusing beats silently returning a non-core). */
+  def kCore(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      k: Int,
+      maxIter: Int = 100
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    var cur = simpleEdges(edges, src, dst).localCheckpoint(true)
+    var prevEdges = cur.count()
+    var it = 0
+    var converged = prevEdges == 0L
+    while (!converged && it < maxIter) {
+      val deg = cur.select(col("a").as("node")).unionAll(cur.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      cur = cur
+        .join(keep.select(col("node").as("a")), "a")
+        .join(keep.select(col("node").as("b")), "b")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n = cur.count()
+      converged = n == prevEdges
+      prevEdges = n
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIter rounds — raise maxIter " +
+          "(adversarial chains peel one node per round)")
+    cur.select(col("a").as("node")).unionAll(cur.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Edge reciprocity per node over the DIRECTED simple graph (distinct
     * src→dst pairs, self-loops and null endpoints dropped): the fraction
     * of a node's out-edges that are answered by the reverse edge —

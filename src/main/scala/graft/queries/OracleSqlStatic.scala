@@ -4146,6 +4146,41 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |FROM sel ORDER BY user_id, event_type, us""".stripMargin
     },
 
+    // k-core: fixed 26-round peel replay (25 nodes bound the peel depth)
+    "q225_k_core" -> {
+      val k = 13
+      val rounds = (1 to 26).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node FROM (
+           |    SELECT node, count(*) AS deg FROM (
+           |      SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+           |    GROUP BY 1) WHERE deg >= $k
+           |),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN d$i x ON e.a = x.node
+           |  JOIN d$i y ON e.b = y.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (
+         |  SELECT c.c_nationkey AS n1, s.s_nationkey AS n2, count(*) AS cnt
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2
+         |), tot AS (SELECT sum(cnt) AS t FROM tr),
+         |ed0 AS (SELECT n1, n2 FROM tr, tot WHERE cnt * 12500 > t * 21),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(n1, n2) AS a, greatest(n1, n2) AS b
+         |  FROM ed0 WHERE n1 IS NOT NULL AND n2 IS NOT NULL AND n1 <> n2
+         |),
+         |$rounds
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT a AS node FROM e26 UNION ALL SELECT b FROM e26)
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

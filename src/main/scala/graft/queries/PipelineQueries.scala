@@ -2270,6 +2270,28 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("user_id", "event_type", "us")
     },
 
+    "q225_k_core" -> { (s, dir) =>
+      // community cohesion: the 13-core of the thresholded trade graph
+      // (iterative sub-k peel to the fixpoint; a bot ring's mutual core
+      // survives, organic periphery peels). Oracle: a fixed 26-round
+      // chained-CTE replay — 25 nodes bound the peel at 25 rounds, so
+      // 26 are provably sufficient.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val tr = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("c_nationkey").as("n1"), col("s_nationkey").as("n2"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = tr.agg(sum(col("cnt")).as("t"))
+      val edges = tr.crossJoin(broadcast(total))
+        .filter(col("cnt") * lit(12500L) > col("t") * lit(21L))
+        .select("n1", "n2")
+      graft.ops.Graphs.kCore(edges, "n1", "n2", k = 13).orderBy("node")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

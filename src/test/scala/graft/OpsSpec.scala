@@ -1961,6 +1961,27 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("LONG"))
   }
 
+  test("kCore: cascading peel, clique survives, chain peels to nothing") {
+    import graft.ops.Graphs
+    // K4 clique {1,2,3,4} + a tail 4-5-6 hanging off it; k=3:
+    // 6 peels (deg 1) -> 5 peels (deg 1) -> 4 keeps deg 3 in the clique
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val core3 = Graphs.kCore(edges, "s", "d", k = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a pure chain has no 2-core: cascading peel empties it
+    val chain = (1L to 8L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("s", "d")
+    assert(Graphs.kCore(chain, "s", "d", k = 2).count() == 0L)
+    // the cascade needs one round per chain node: maxIter backstop raises
+    val err = intercept[IllegalStateException] {
+      Graphs.kCore(chain, "s", "d", k = 2, maxIter = 2)
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // k=1 on a simple graph is the identity (every endpoint has deg >= 1)
+    assert(Graphs.kCore(edges, "s", "d", k = 1).count() == 6L)
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
