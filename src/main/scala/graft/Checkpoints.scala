@@ -69,12 +69,38 @@ object Checkpoints {
     * first job instead of paying a separate upfront scan. Lazy
     * checkpoints must not be first consumed by a partial evaluation
     * (e.g. `limit`) — the truncated lineage only covers computed
-    * partitions. */
-  def localCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    * partitions.
+    *
+    * `resetStats` (REQUIRED inside iterative loops that re-checkpoint
+    * their own output each round): a checkpoint truncates the LINEAGE
+    * but not the STATISTICS — the returned `LogicalRDD` carries
+    * `originStats` from the pre-checkpoint plan, so when round N's plan
+    * (a few joins over round N−1's checkpoint) is itself checkpointed,
+    * sizeInBytes COMPOUNDS multiplicatively: the BigInt's bit length
+    * roughly triples per round, and from ~round 18 the PLANNER (stats
+    * visitJoin's `children.map(size).product`) drowns in
+    * million-bit Toom-Cook multiplies — the driver stalls with
+    * exponentially growing round times while executors sit idle
+    * (observed on q226's ~20-round label propagation at sf0.1; any
+    * ≳18-round loop reproduces it). `resetStats = true` rebuilds the
+    * frame as a FRESH leaf over the same persisted blocks
+    * (`createDataFrame(out.rdd, schema)` — public API), dropping
+    * originStats and originConstraints: each round then re-plans
+    * against `defaultSizeInBytes` (constant bit length) and AQE's
+    * runtime sizes still drive the actual join strategy. Costs one
+    * extra row-codec map per consumer pass — linear, vs the
+    * exponential planner death it prevents. Leave it false for one-shot
+    * checkpoints, where originStats legitimately feed broadcast
+    * decisions. */
+  def localCheckpoint(
+      df: DataFrame,
+      eager: Boolean = true,
+      resetStats: Boolean = false
+  ): DataFrame = {
     val out = df.localCheckpoint(eager)
     val ids = persistedRootIds(out)
     synchronized { tracked ++= ids }
-    out
+    if (resetStats) df.sparkSession.createDataFrame(out.rdd, out.schema) else out
   }
 
   /** [[localCheckpoint]] only when the frame's logical plan is deep

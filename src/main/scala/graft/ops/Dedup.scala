@@ -1539,9 +1539,18 @@ object Dedup {
           it.map { case (id, nl, ol) => if (nl != ol) acc.add(1L); (id, nl) }
         }.toDF("id", "label")
         val takeReliable = reliableEvery > 0 && (iter + 1) % reliableEvery == 0
+        // resetStats: a checkpoint truncates lineage but carries
+        // originStats, and re-checkpointing a plan built on the previous
+        // round's checkpoint COMPOUNDS sizeInBytes multiplicatively —
+        // by ~round 18 the planner stalls in million-bit BigInt
+        // multiplies (exponential round times, executors idle). Each
+        // round must restart from a fresh stats leaf.
         val next =
-          if (takeReliable) counted.checkpoint(true)
-          else graft.Checkpoints.localCheckpoint(counted)
+          if (takeReliable) {
+            val ck = counted.checkpoint(true)
+            spark.createDataFrame(ck.rdd, ck.schema)
+          }
+          else graft.Checkpoints.localCheckpoint(counted, resetStats = true)
         // `next` is fully materialized: the superseded round's local
         // blocks are dead — free them now instead of letting one block
         // set per round pile up for the session

@@ -188,11 +188,6 @@ object Graphs {
     (deg, counts)
   }
 
-  /** Local clustering coefficient per node: `2·T(v) / (deg(v)·(deg(v)−1))`
-    * over the undirected simple graph — 1.0 inside a clique (the
-    * link-farm signature), near 0 on organic link structure;
-    * degree-1 and isolated-in-frame nodes report null (undefined 0/0).
-    * Output: `(node, deg, n_triangles, clustering_r)` (6-decimal). */
   /** k-core decomposition (fixed k): the maximal subgraph in which
     * every node keeps at least `k` neighbors — iterative peeling of
     * sub-k-degree nodes until the fixpoint. The cohesion signal that
@@ -217,7 +212,14 @@ object Graphs {
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxIter >= 1, "maxIter must be >= 1")
-    var cur = simpleEdges(edges, src, dst).localCheckpoint(true)
+    // resetStats on every round's checkpoint: re-checkpointing a plan
+    // built on the previous round's checkpoint compounds originStats
+    // multiplicatively and stalls the planner in huge BigInt multiplies
+    // past ~18 rounds (the dupClusters lesson) — an adversarial chain
+    // peels one node per round and walks straight into it. Superseded
+    // rounds free their blocks immediately (two rounds live at most).
+    var cur = graft.Checkpoints.localCheckpoint(
+      simpleEdges(edges, src, dst), resetStats = true)
     var prevEdges = cur.count()
     var it = 0
     var converged = prevEdges == 0L
@@ -225,12 +227,15 @@ object Graphs {
       val deg = cur.select(col("a").as("node")).unionAll(cur.select(col("b")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("node")
-      cur = cur
-        .join(keep.select(col("node").as("a")), "a")
-        .join(keep.select(col("node").as("b")), "b")
-        .select("a", "b")
-        .localCheckpoint(true)
-      val n = cur.count()
+      val next = graft.Checkpoints.localCheckpoint(
+        cur
+          .join(keep.select(col("node").as("a")), "a")
+          .join(keep.select(col("node").as("b")), "b")
+          .select("a", "b"),
+        resetStats = true)
+      val n = next.count()
+      graft.Checkpoints.free(cur)
+      cur = next
       converged = n == prevEdges
       prevEdges = n
       it += 1
@@ -241,6 +246,48 @@ object Graphs {
           "(adversarial chains peel one node per round)")
     cur.select(col("a").as("node")).unionAll(cur.select(col("b")))
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Connected components over an UNDIRECTED edge list (direction,
+    * multiplicity, and self-loops ignored): `(node, component)` for
+    * every node of at least one edge, where `component` is the MINIMUM
+    * node id in the node's component — a canonical, engine-replayable
+    * label (the [[graft.ops.Dedup.dupClusters]] contract, generalized
+    * from near-dup pair graphs to any edge list: crawl-host link
+    * islands, entity-resolution blocks, co-citation clusters).
+    *
+    * Delegates to the dupClusters label-propagation machinery — min-
+    * label edge relaxation + pointer jumping, one Spark job per round,
+    * per-round localCheckpoint lineage truncation, superseded rounds
+    * freed as they are replaced, optional reliable-checkpoint rewind
+    * (`reliableEvery`), and the LOUD `maxIter` backstop (a partial
+    * propagation would silently split one real component; refusing
+    * beats wrong labels — raise `maxIter` for thread-shaped graphs,
+    * whose worst case is the eccentricity of a component's minimum
+    * node, halved by the jump on fresh labels).
+    *
+    * Ids must be long-castable (the engine-wide numeric-id contract);
+    * a string/UUID id refuses loudly through the consumed endpoint
+    * with the [[graft.ops.Ids.withSurrogateId]] pointer. Null
+    * endpoints are dropped (unlinkable, the graph-family convention). */
+  def connectedComponents(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      maxIter: Int = 64,
+      reliableEvery: Int = 0
+  ): DataFrame = {
+    def checked(c: String): Column =
+      when(col(c).cast("long").isNull, raise_error(concat(
+        lit(s"connectedComponents: endpoint '$c' value "), col(c).cast("string"),
+        lit(" is not long-castable — route string ids through "),
+        lit("Ids.withSurrogateId first"))).cast("long"))
+        .otherwise(col(c).cast("long"))
+    val pairs = edges
+      .filter(col(src).isNotNull && col(dst).isNotNull)
+      .select(checked(src).as("id_a"), checked(dst).as("id_b"))
+    Dedup.dupClusters(pairs, "id_a", "id_b", maxIter, reliableEvery)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
   }
 
   /** Edge reciprocity per node over the DIRECTED simple graph (distinct
@@ -268,6 +315,11 @@ object Graphs {
           + lit(0.0)).as("reciprocity_r"))
   }
 
+  /** Local clustering coefficient per node: `2·T(v) / (deg(v)·(deg(v)−1))`
+    * over the undirected simple graph — 1.0 inside a clique (the
+    * link-farm signature), near 0 on organic link structure;
+    * degree-1 and isolated-in-frame nodes report null (undefined 0/0).
+    * Output: `(node, deg, n_triangles, clustering_r)` (6-decimal). */
   def clusteringCoefficient(edges: DataFrame, src: String, dst: String): DataFrame =
     triangleCore(edges, src, dst)._2
       .select(col("node"), col("deg"), col("n_triangles"),

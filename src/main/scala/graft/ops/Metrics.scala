@@ -233,20 +233,35 @@ object Metrics {
   /** Multi-touch conversion attribution: credit each conversion event
     * to the touch events (views, clicks, campaign hits) that preceded
     * it within `lookbackUs`, under the classic models — `"first"` /
-    * `"last"` (full credit to the earliest/latest touch, ties toward
-    * the larger event id like every temporal op here) or `"linear"`
-    * (each touch type gets its share of touches in the window). Output
-    * per touch type: `n_conversions` touched and `credit_r` (exact
-    * integer counts under first/last; under linear a conv-id-ordered
-    * deterministic fold of `n_type/n_total` shares).
+    * `"last"` (full credit to the earliest/latest touch: min/max over
+    * the (ts, id) struct, so an equal-timestamp tie resolves toward
+    * the SMALLER event id for `"first"` and the larger for `"last"` —
+    * the struct order IS the temporal order extended by id) or
+    * `"linear"` (each touch type gets its share of touches in the
+    * window). Output per touch type: `n_conversions` touched and
+    * `credit_r` (exact integer counts under first/last; under linear a
+    * conv-id-ordered deterministic fold of `n_type/n_total` shares).
     *
     * Scale shape: conversions and touches shuffle once on the user
     * key; the per-user interval join is bounded by each user's own
-    * event volume (salt hot users upstream like any keyed join); the
-    * credit aggregate is |conversions × types| grain, and the final
-    * frame is |types| rows. Unattributed conversions (no touch in
-    * window) simply earn nobody credit — count them via
-    * [[graft.ops.Sessions.conversionLatency]]. */
+    * conversions × touches. That product has a LOUD ceiling
+    * (`maxUserPairs`, riding the consumed conversion-timestamp column
+    * so Catalyst cannot prune the raise_error away — the
+    * [[graft.ops.Joins.editDistanceJoin]] convention): a bot account
+    * with 10⁶ touches and 10³ conversions is exactly the row this
+    * operator exists to analyze, and without the guard it would emit
+    * 10⁹ pairs before the credit aggregate — filter or pre-aggregate
+    * such users upstream, or raise the ceiling deliberately. The
+    * pre-flight itself is two key-grain counts + one broadcast-sized
+    * join on the already-shuffled user key. The credit aggregate is
+    * |conversions × types| grain, and the final frame is |types| rows.
+    * Unattributed conversions (no touch in window) simply earn nobody
+    * credit — count them via [[graft.ops.Sessions.conversionLatency]].
+    *
+    * The linear model's deterministic fold keys by the conversion id
+    * CAST TO LONG; a string/UUID id refuses loudly with the
+    * [[graft.ops.Ids.withSurrogateId]] pointer (the [[GroupTopK]]
+    * convention) rather than folding null keys. */
   def attribution(
       events: DataFrame,
       userCol: String,
@@ -256,12 +271,14 @@ object Metrics {
       conversionType: String,
       touchTypes: Seq[String],
       model: String,
-      lookbackUs: Long
+      lookbackUs: Long,
+      maxUserPairs: Long = 10000000L
   ): DataFrame = {
     require(touchTypes.nonEmpty, "attribution needs touch types")
     require(Set("first", "last", "linear")(model),
       s"unknown attribution model '$model' (first | last | linear)")
     require(lookbackUs > 0, "lookbackUs must be positive")
+    require(maxUserPairs >= 1, "maxUserPairs must be >= 1")
     val base = events.filter(col(userCol).isNotNull && usCol.isNotNull)
     val convs = base.filter(col(typeCol) === conversionType)
       .select(col(userCol).as("__u"), usCol.cast("long").as("__cus"),
@@ -269,7 +286,24 @@ object Metrics {
     val touches = base.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("__u"), usCol.cast("long").as("__tus"),
         col(idCol).as("__tid"), col(typeCol).as("touch_type"))
-    val paired = convs.join(touches, Seq("__u"))
+    // hot-user pre-flight: per-user conv×touch pair count, refused
+    // loudly THROUGH the consumed conversion timestamp (a free-standing
+    // guard column would be column-pruned, raise_error included)
+    val pairCounts = convs.groupBy("__u").agg(count(lit(1)).as("__nc"))
+      .join(touches.groupBy("__u").agg(count(lit(1)).as("__nt")), Seq("__u"))
+      .select(col("__u"), (col("__nc") * col("__nt")).as("__np"))
+    val guarded = convs.join(pairCounts, Seq("__u"), "left")
+      .withColumn("__cus",
+        when(col("__np") > maxUserPairs, raise_error(concat(
+          lit("attribution: user "), col("__u").cast("string"),
+          lit(" pairs "), col("__np").cast("string"),
+          lit(s" conversions×touches (> maxUserPairs=$maxUserPairs) — the "),
+          lit("per-user interval join would go quadratic; filter or "),
+          lit("pre-aggregate the hot user upstream, or raise maxUserPairs")))
+          .cast("long"))
+        .otherwise(col("__cus")))
+      .drop("__np")
+    val paired = guarded.join(touches, Seq("__u"))
       .filter(col("__tus") <= col("__cus") &&
         col("__tus") > col("__cus") - lit(lookbackUs))
     model match {
@@ -286,8 +320,17 @@ object Metrics {
           .agg(count(lit(1)).as("__nt"))
         val totals = perConv.groupBy("__cid").agg(sum(col("__nt")).as("__n"))
         val oks = graft.expressions.OrderedKeyedSum.orderedKeyedSum _
+        // the fold keys by the conversion id cast to long; a string/UUID
+        // id silently casts to null — refuse through the consumed key
+        val foldKey = when(col("__cid").cast("long").isNull, raise_error(concat(
+          lit("attribution: conversion id "),
+          coalesce(col("__cid").cast("string"), lit("null")),
+          lit(" is not long-castable — the linear credit fold keys by a "),
+          lit("numeric id; route string keys through Ids.withSurrogateId first")))
+          .cast("long"))
+          .otherwise(col("__cid").cast("long"))
         perConv.join(totals, "__cid")
-          .select(col("touch_type"), col("__cid").cast("long").as("__k"),
+          .select(col("touch_type"), foldKey.as("__k"),
             (col("__nt").cast("double") / col("__n").cast("double")).as("__share"))
           .groupBy("touch_type")
           .agg(count(lit(1)).as("n_conversions"),

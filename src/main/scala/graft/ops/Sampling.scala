@@ -700,11 +700,15 @@ object Sampling {
     *
     * A probability outside (0, 1] raises loudly THROUGH the consumed
     * term (garbage weights silently produce garbage estimates
-    * otherwise). Every double accumulates through the two-level
-    * id-sorted fold (md5 sub-bucket, then bucket order — the
-    * [[graft.ops.Reports.corpusDatasheet]] shape), so estimates are
-    * bit-reproducible across partitionings and engines. Null values
-    * contribute 0 to the value terms but still count toward
+    * otherwise), and so does a non-long-castable id — the fold keys by
+    * `cast(id as long)`, and a string/UUID id would otherwise cast to
+    * null and surface only as a generic null-key error deep in the
+    * fold; route string keys through [[graft.ops.Ids.withSurrogateId]]
+    * first (the [[GroupTopK]] convention). Every double accumulates
+    * through the two-level id-sorted fold (md5 sub-bucket, then bucket
+    * order — the [[graft.ops.Reports.corpusDatasheet]] shape), so
+    * estimates are bit-reproducible across partitionings and engines.
+    * Null values contribute 0 to the value terms but still count toward
     * `est_rows_r`. */
   def htEstimate(
       sample: DataFrame,
@@ -727,10 +731,19 @@ object Sampling {
     val v = coalesce(col(valueCol).cast("double"), lit(0.0))
     val bucket = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long"), lit(foldBuckets.toLong))
+    // the fold key must be a real long: a string/UUID id casts to null
+    // and would only surface as the fold's generic null-key error —
+    // refuse here, through the consumed key, with the on-ramp pointer
+    val checkedId = when(col(idCol).cast("long").isNull, raise_error(concat(
+      lit("htEstimate: id "), col(idCol).cast("string"),
+      lit(" is not long-castable — the deterministic fold keys by a "),
+      lit("numeric id; route string keys through Ids.withSurrogateId first")))
+      .cast("long"))
+      .otherwise(col(idCol).cast("long"))
     val terms = sample
       .filter(col(idCol).isNotNull)
       .select(groupCols.map(col)
-        :+ col(idCol).cast("long").as("__id") :+ bucket.as("__b")
+        :+ checkedId.as("__id") :+ bucket.as("__b")
         :+ (lit(1.0) / checkedP).as("__tn")
         :+ (v / checkedP).as("__ts")
         :+ ((lit(1.0) - checkedP) / (checkedP * checkedP) * v * v).as("__tv"): _*)

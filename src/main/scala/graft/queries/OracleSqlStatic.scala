@@ -4181,6 +4181,44 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |GROUP BY node ORDER BY node""".stripMargin
     },
 
+    // connected components over the q203 fuzzy-match pair graph: fixed
+    // 40-round min-label flood replay (label_i(v) = min(label_{i-1}(v),
+    // min over neighbors) — the engine's relax step without the jump).
+    // Measured rounds-to-fixpoint: 3 (sf0.001), 8 (sf0.01), 32 (sf0.1),
+    // so 40 carry margin; if the data ever outgrew them the labels
+    // would differ and the hash compare would catch it (the q224
+    // bounded-replay argument).
+    "q226_connected_components" -> {
+      val rounds = (1 to 40).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT l.node, least(l.label, coalesce(m.ml, l.label)) AS label
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT e.u AS node, min(p.label) AS ml
+           |    FROM e JOIN l${i - 1} p ON p.node = e.v
+           |    GROUP BY e.u
+           |  ) m ON m.node = l.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS (
+         |  SELECT c_nationkey AS nationkey, c_custkey, c_name FROM customer
+         |  WHERE c_nationkey IS NOT NULL AND c_name IS NOT NULL
+         |), pairs AS MATERIALIZED (
+         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM c a JOIN c b
+         |    ON a.nationkey = b.nationkey AND a.c_custkey < b.c_custkey
+         |  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+         |    AND levenshtein(a.c_name, b.c_name) <= 1
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT id_a AS u, id_b AS v FROM pairs
+         |    UNION ALL SELECT id_b, id_a FROM pairs)
+         |), l0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS node, u AS label FROM e
+         |),
+         |$rounds
+         |SELECT node, label AS component FROM l40 ORDER BY node""".stripMargin
+    },
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

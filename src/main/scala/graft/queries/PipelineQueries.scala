@@ -2292,6 +2292,20 @@ object PipelineQueries extends OracleSqlStatic {
       graft.ops.Graphs.kCore(edges, "n1", "n2", k = 13).orderBy("node")
     },
 
+    "q226_connected_components" -> { (s, dir) =>
+      // entity-resolution closure: fuzzy-name matches (edit distance 1,
+      // nation-blocked — the q203 pair set) CHAIN into entity groups;
+      // connected components names each group by its minimum custkey.
+      // Min-label propagation + pointer jumping, localCheckpoint per
+      // round, loud maxIter backstop.
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_custkey"), col("c_name"))
+      val pairs = graft.ops.Joins.editDistanceSelfJoin(c, Seq("nationkey"),
+        "c_custkey", "c_name", maxDist = 1)
+      graft.ops.Graphs.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("node")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -320,7 +320,12 @@ object StreamingEval {
             }
             current.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L) // ms
+              // clamped past the watermark: a timeout at or below it is an
+              // IllegalArgumentException that kills the query (reachable
+              // when gap < watermarkDelay — the funnelStream clamp)
+              state.setTimeoutTimestamp(math.max(
+                (s.lastUs + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
             closed.result().iterator
           }
@@ -386,7 +391,12 @@ object StreamingEval {
             }
             current.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L) // ms
+              // clamped past the watermark: a timeout at or below it is an
+              // IllegalArgumentException that kills the query (reachable
+              // when gap < watermarkDelay — the funnelStream clamp)
+              state.setTimeoutTimestamp(math.max(
+                (s.lastUs + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
             closed.result().iterator
           }
@@ -459,8 +469,17 @@ object StreamingEval {
               }
             }
             state.update(s)
-            for (ttl <- idleTtlUs; last <- sorted.lastOption)
-              state.setTimeoutTimestamp((us(last.ts) + ttl) / 1000L) // ms
+            for (ttl <- idleTtlUs; last <- sorted.lastOption) {
+              // Spark refuses a timeout at or below the current watermark
+              // (IllegalArgumentException kills the query) — reachable
+              // when the TTL is small relative to watermarkDelay or a
+              // slightly-late batch arrives inside the watermark. Clamp
+              // to watermark + 1ms: the state then times out at the next
+              // watermark advance, the earliest Spark allows.
+              val wantedMs = (us(last.ts) + ttl) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(wantedMs, state.getCurrentWatermarkMs() + 1L))
+            }
             advanced.result().iterator
           }
       }
@@ -720,9 +739,14 @@ object StreamingEval {
     * Snapshots are versioned (`historyPath/v<batchId>`, zero-padded)
     * rather than overwritten in place: the merge READS the previous
     * snapshot lazily, so an in-place overwrite would clobber its own
-    * input mid-job; versioning also makes batch replay idempotent (a
-    * re-run rewrites the same deterministic content into the same
-    * directory) and leaves an audit trail of the dimension's evolution.
+    * input mid-job, and versioning leaves an audit trail of the
+    * dimension's evolution. Replay safety: foreachBatch is
+    * at-least-once, so batch N's merge reads the highest version
+    * STRICTLY BELOW N — never vN itself. A retry of batch N therefore
+    * re-reads the same predecessor snapshot and deterministically
+    * rewrites vN (a completed first attempt would otherwise feed the
+    * retry its own output and crash-loop on the append-only guard; a
+    * torn partial vN would silently become the authoritative history).
     * Readers take [[loadScd2History]] (the highest version).
     *
     * Contract: per-key event-time-ordered arrival across batches with
@@ -738,7 +762,9 @@ object StreamingEval {
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     obs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val next = loadScd2History(spark, historyPath) match {
+      // strictly-below-batchId: a replayed batch must merge onto its
+      // PREDECESSOR snapshot, not onto its own first attempt's output
+      val next = loadScd2History(spark, historyPath, beforeVersion = Some(batchId)) match {
         case Some(h) => graft.ops.Snapshot.scd2Apply(
           h, batch, keyCols, valueCols, col(tsCol), tieCol)
         case None => graft.ops.Snapshot.scd2History(
@@ -747,6 +773,58 @@ object StreamingEval {
       next.write.mode("overwrite").parquet(f"$historyPath/v$batchId%09d")
       ()
     }
+
+  /** Per-(user, type) horizon-dedup state: whether an anchor exists yet
+    * and the last KEPT timestamp — the exact two scalars the batch
+    * operator's per-partition scan holds. */
+  case class HorizonState(hasAnchor: Boolean, lastKeptUs: Long)
+
+  /** Streaming twin of [[graft.ops.Dedup.horizonDedup]] on the
+    * (user_id, event_type) key: admit an event iff it falls at least
+    * `horizonUs` after the previous ADMITTED event of its key — the
+    * re-crawl TTL policy applied at ingest time, which is where it
+    * naturally lives (admit-or-drop before the row ever lands). Exactly
+    * the batch operator's greedy scan, with the two scalars of
+    * per-partition state promoted to keyed [[GroupState]]; admissions
+    * are therefore bit-identical to a sequential batch replay of the
+    * same log (StreamingSpec-pinned differential).
+    *
+    * CONTRACT: per-key event-time-ordered arrival across batches
+    * (within a batch, rows sort by (ts, id) here) — greedy anchor
+    * selection is order-sensitive, the [[funnelStream]] contract. An
+    * exactly-at-boundary event (`ts == last_kept + horizonUs`) is
+    * admitted; equal-timestamp copies order by `event_id`, so the
+    * smallest id anchors and its same-instant copies drop. State is
+    * two scalars per ever-seen key (a boolean and a long) and lives
+    * forever — the policy itself is unbounded-horizon by design (a key
+    * silent for a year must STILL be compared to its last admission,
+    * so no TTL is sound here; the state is 9 bytes/key). Output mode:
+    * append. */
+  def horizonDedupStream(
+      events: org.apache.spark.sql.Dataset[TypedEvent],
+      horizonUs: Long
+  ): org.apache.spark.sql.Dataset[TypedEvent] = {
+    require(horizonUs > 0, "horizonUs must be positive")
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[HorizonState, TypedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String), rows: Iterator[TypedEvent], state: GroupState[HorizonState]) =>
+          var s = state.getOption.getOrElse(HorizonState(false, Long.MinValue))
+          val admitted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).filter { e =>
+            val eUs = us(e.ts)
+            // first-ever event anchors; later ones need the full horizon
+            // (the subtraction never overflows once an anchor exists)
+            if (!s.hasAnchor || eUs - s.lastKeptUs >= horizonUs) {
+              s = HorizonState(true, eUs); true
+            } else false
+          }
+          state.update(s)
+          admitted.iterator
+      }
+  }
 
   /** Per-series CUSUM state: the prefix-identity accumulators (running
     * deviation sums and their minima — NOT the max(0, ·) recurrence, so
@@ -917,10 +995,13 @@ object StreamingEval {
 
   /** The latest [[scd2Stream]] history snapshot (highest `v<N>`
     * directory), if one exists yet. Zero-padded names make the
-    * lexicographic max the numeric max. */
+    * lexicographic max the numeric max. `beforeVersion` restricts to
+    * versions NUMERICALLY below the bound — [[scd2Stream]]'s replay
+    * guard, where batch N must never read its own vN output. */
   def loadScd2History(
       spark: SparkSession,
-      historyPath: String
+      historyPath: String,
+      beforeVersion: Option[Long] = None
   ): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(historyPath)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -928,6 +1009,7 @@ object StreamingEval {
     else {
       val vs = fs.listStatus(path).map(_.getPath.getName)
         .filter(_.matches("v\\d+"))
+        .filter(n => beforeVersion.forall(b => n.drop(1).toLong < b))
       if (vs.isEmpty) None
       else Some(spark.read.parquet(s"$historyPath/${vs.max}"))
     }

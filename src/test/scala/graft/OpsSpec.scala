@@ -1922,6 +1922,93 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("attribution: equal-ts ties — first takes the smaller id, last the larger") {
+    import graft.ops.Metrics
+    // two touches at the SAME timestamp: the (ts, id) struct order
+    // resolves the tie — min picks the smaller id, max the larger
+    val ev = Seq(
+      (1L, "click", 10L, 1L), (1L, "view", 10L, 2L), (1L, "purchase", 20L, 9L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    def run(model: String) = Metrics.attribution(ev, "user_id", "event_type",
+        col("us"), "event_id", "purchase", Seq("view", "click"), model, 50L)
+      .collect().map(_.getAs[String]("touch_type")).toSeq
+    assert(run("first") == Seq("click"), "first must break the ts tie toward id 1")
+    assert(run("last") == Seq("view"), "last must break the ts tie toward id 2")
+  }
+
+  test("attribution: hot-user pair ceiling refuses loudly, guard survives the optimizer") {
+    import graft.ops.Metrics
+    // one bot-grade user: 4 conversions x 3 touches = 12 pairs
+    val rows = (1 to 4).map(i => (1L, "purchase", 100L + i, 100L + i)) ++
+      (1 to 3).map(i => (1L, "view", i.toLong, i.toLong))
+    val df = rows.toDF("user_id", "event_type", "us", "event_id")
+    def run(ceiling: Long) = Metrics.attribution(df, "user_id", "event_type",
+      col("us"), "event_id", "purchase", Seq("view"), "linear", 1000L,
+      maxUserPairs = ceiling)
+    val err = intercept[Exception] { run(10L).collect() }
+    assert(err.getMessage.contains("maxUserPairs"), s"unexpected: ${err.getMessage}")
+    // the ceiling rides the consumed conversion timestamp — the
+    // optimizer must not be able to column-prune the raise_error away
+    val optimized = run(10L).queryExecution.optimizedPlan.toString
+    assert(optimized.contains("raise_error"),
+      s"hot-user guard was pruned out of the plan:\n$optimized")
+    // exactly at the ceiling: passes, and the answer is the usual one
+    val ok = run(12L).collect().map(r =>
+      r.getAs[String]("touch_type") -> r.getAs[Double]("credit_r")).toMap
+    assert(ok == Map("view" -> 4.0))
+  }
+
+  test("attribution linear / htEstimate refuse md5-string ids with the surrogate pointer") {
+    import graft.ops.{Metrics, Sampling}
+    val ev = Seq(
+      (1L, "view", 10L, "9f86d081884c7d65"), (1L, "purchase", 20L, "60303ae22b998861")
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val err = intercept[Exception] {
+      Metrics.attribution(ev, "user_id", "event_type", col("us"), "event_id",
+        "purchase", Seq("view"), "linear", 50L).collect()
+    }
+    assert(err.getMessage.contains("withSurrogateId"), s"unexpected: ${err.getMessage}")
+    // first/last never cast the id — string ids are legal there
+    val first = Metrics.attribution(ev, "user_id", "event_type", col("us"),
+      "event_id", "purchase", Seq("view"), "first", 50L).collect()
+    assert(first.length == 1 && first.head.getAs[Long]("n_conversions") == 1L)
+    val s = Seq(("fcde2b2edba56bf4", 0.5, 10.0, "g")).toDF("id", "p", "v", "g")
+    val err2 = intercept[Exception] {
+      Sampling.htEstimate(s, "id", "p", "v", Seq("g")).collect()
+    }
+    assert(err2.getMessage.contains("withSurrogateId"), s"unexpected: ${err2.getMessage}")
+  }
+
+  test("connectedComponents: union-find differential, min-id labels, string ids refuse") {
+    import graft.ops.Graphs
+    // pseudo-random sparse graph on 60 nodes (several components)
+    val rnd = (0 until 90).map { i =>
+      ((i * 7919 % 60).toLong, (i * 104729 % 60).toLong)
+    }.filter(p => p._1 != p._2)
+    val got = Graphs.connectedComponents(rnd.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    // union-find truth with the min element as each tree's root, so
+    // find(n) IS the component's minimum node id
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    rnd.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = rnd.flatMap(p => Seq(p._1, p._2)).distinct.map(n => n -> find(n)).toMap
+    assert(got == want)
+    assert(got.values.toSet.subsetOf(got.keySet), "labels must be member node ids")
+    // string ids refuse with the on-ramp pointer
+    val err = intercept[Exception] {
+      Graphs.connectedComponents(
+        Seq(("deadbeef", "cafebabe")).toDF("s", "d"), "s", "d").collect()
+    }
+    assert(err.getMessage.contains("withSurrogateId"), s"unexpected: ${err.getMessage}")
+  }
+
   test("horizonDedup: greedy anchors, boundary kept, ties, brute-force replay") {
     import graft.ops.Dedup
     // key A: 0 (keep), 5 (drop), 10 (keep, == boundary), 14 (drop),

@@ -1143,6 +1143,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming horizon dedup admits exactly the batch greedy anchors") {
+    implicit val sqlCtx = spark.sqlContext
+    // the q224 policy on the replayed sf0.001 log: admissions must be
+    // BIT-identical to the batch operator's greedy scan — including the
+    // gap-bearing keys where an admission reopens past the horizon
+    val rows = typedEvents()
+    val horizon = 432000000000L // 120h over a 720h log: real re-admissions
+    val input = MemoryStream[StreamingEval.TypedEvent]
+    val query = StreamingEval.horizonDedupStream(input.toDS(), horizon)
+      .writeStream.format("memory").queryName("horizon_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(250).foreach { chunk =>
+        input.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("horizon_stream")
+        .as[StreamingEval.TypedEvent].collect()
+        .map(e => (e.user_id, e.event_type, e.ts.getTime, e.event_id))
+        .sorted.toSeq
+      val batch = graft.ops.Dedup.horizonDedup(
+          graft.io.Tables.table(spark, "/root/testdata/sf0.001", "events")
+            .select(col("user_id"), col("event_type"),
+              expr("ts div 1000").as("us"), col("event_id")),
+          Seq("user_id", "event_type"), "us", "event_id", horizon)
+        .select(col("user_id"), col("event_type"),
+          (col("us") / 1000L).cast("long").as("ms"), col("event_id"))
+        .as[(Long, String, Long, Long)].collect().sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+      // at least one key re-admitted past the horizon (a gap-bearing
+      // key), or the differential proves nothing about the greedy state
+      val multi = streamed.groupBy(r => (r._1, r._2)).values.count(_.size > 1)
+      assert(multi > 0, "replay had no past-horizon re-admission")
+    } finally query.stop()
+  }
+
   test("streaming CUSUM monitor is bit-identical to the frozen-stats batch op") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingEval.CusumEvent
@@ -1256,6 +1292,32 @@ class StreamingSpec extends SparkSpec {
       // versioned audit trail: one snapshot per micro-batch
       val vs = new java.io.File(historyPath).list().filter(_.startsWith("v")).sorted
       assert(vs.length == 3, s"expected 3 versioned snapshots, got ${vs.toSeq}")
+
+      // REPLAY SAFETY (foreachBatch is at-least-once): a retry of batch 2
+      // must read the highest version STRICTLY BELOW 2 — its predecessor
+      // v1, never its own completed v2 output. Simulate the retry: merge
+      // batch 2 onto loadScd2History(beforeVersion = 2) and pin that the
+      // rewrite reproduces v2 exactly. Merging onto v2 itself would
+      // re-apply the batch onto its own output and crash-loop on the
+      // append-only guard.
+      val pred = graft.streaming.StreamingEval
+        .loadScd2History(spark, historyPath, beforeVersion = Some(2L)).get
+      val replayed = Snapshot.scd2Apply(pred,
+          batches(2).toDF("k", "v", "ts", "tie"), Seq("k"), Seq("v"),
+          col("ts"), "tie")
+        .collect().map(_.toString).sorted.toSeq
+      assert(replayed == streamed, "batch-2 retry did not rewrite v2 deterministically")
+      // and beforeVersion really filters numerically, not lexicographically
+      val v0 = graft.streaming.StreamingEval
+        .loadScd2History(spark, historyPath, beforeVersion = Some(1L)).get
+        .collect().map(_.toString).sorted.toSeq
+      val v0want = Snapshot.scd2History(batches(0).toDF("k", "v", "ts", "tie"),
+          Seq("k"), Seq("v"), col("ts"), "tie")
+        .collect().map(_.toString).sorted.toSeq
+      assert(v0 == v0want, "beforeVersion=1 must load exactly the v0 bootstrap")
+      assert(graft.streaming.StreamingEval
+        .loadScd2History(spark, historyPath, beforeVersion = Some(0L)).isEmpty,
+        "beforeVersion=0 must find nothing (batch 0 bootstraps from scratch)")
     } finally query.stop()
   }
 }
