@@ -214,11 +214,16 @@ object Checkpoints {
     * returned by `localCheckpoint(true)` this is exactly the checkpointed
     * internal RDD (the deserializer wrappers above it are unpersisted).
     * Depth-bounded: a checkpoint sits within a few wrappers of the top,
-    * and stopping early keeps this from ever walking a full lineage. */
+    * and stopping early keeps this from ever walking a full lineage.
+    * The bound covers the `resetStats` wrapping too — createDataFrame
+    * over the checkpoint's row RDD stacks a scan-projection + catalyst
+    * converter + deserializer on TOP of the checkpoint's own wrappers
+    * (~5 extra levels), and free() on the wrapped frame must still
+    * reach the blocks (LifecycleSpec pins exactly-one-survivor). */
   private def persistedRoots(df: DataFrame): Seq[RDD[_]] = {
     def walk(rdd: RDD[_], depth: Int): Seq[RDD[_]] =
       if (rdd.getStorageLevel != StorageLevel.NONE) Seq(rdd)
-      else if (depth >= 6) Seq.empty
+      else if (depth >= 14) Seq.empty
       else rdd.dependencies.flatMap(d => walk(d.rdd, depth + 1))
     walk(df.rdd, 0).distinct
   }

@@ -1304,6 +1304,109 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Exact all-pairs Jaccard self-join with PREFIX FILTERING — the
+    * LOSSLESS scalable twin of [[jaccardPairs]]: same output contract
+    * (every unordered pair of documents whose distinct-token-set Jaccard
+    * clears `threshold`), but candidates come from each document's
+    * PREFIX — its `|A| − ⌈t·|A|⌉ + 1` globally-RAREST tokens (ascending
+    * (corpus frequency, token) order) — instead of from every token.
+    * [[jaccardPairs]]' `maxDocFreq` cap bounds hot-token fan-out by
+    * TRADING RECALL (pairs linked only through ubiquitous tokens are
+    * missed); the prefix filter buys the same bound with ZERO loss:
+    * if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so the globally-smallest
+    * shared token sits within the last `|A∩B|−1`-from-the-end positions
+    * of A's sorted order — inside A's prefix, and symmetrically inside
+    * B's (the prefix-filtering principle of Bayardo et al. 2007 /
+    * Xiao et al. 2008's PPJoin, re-derived for the per-set Jaccard
+    * bound). Ubiquitous tokens land at the END of the sorted order and
+    * never generate candidates unless a document is so short they fall
+    * inside its prefix.
+    *
+    * Scale shape: one tokenize pass (cached — it feeds the frequency
+    * aggregate and the per-doc arrays), one frequency join, the prefix
+    * equi-join on the token key (bounded by prefix-token co-occurrence,
+    * i.e. by near-matches plus rare-token collisions), a size filter
+    * (`t·max(|A|,|B|) ≤ min` — a qualifying pair's sizes are within
+    * t of each other) BEFORE the distinct, and an exact
+    * `array_intersect` verify on just the candidate sliver. A prefix
+    * token shared by more than `maxPrefixFreq` documents refuses
+    * loudly through the consumed token column (the [[Joins
+    * .editDistanceJoin]] convention) — on zipf text that means a
+    * corpus of near-identical short documents, where the candidate set
+    * is genuinely quadratic and worth refusing.
+    *
+    * The threshold filter runs on the RAW exact jaccard; `jaccard_r`
+    * is the 6-decimal display rounding. Output: `id_a`, `id_b`
+    * (unordered, `id_a < id_b`), `n_common`, `jaccard_r`. */
+  def prefixJaccardJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      ngram: Int = 1,
+      maxPrefixFreq: Long = 65536L
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(ngram >= 1, "ngram must be >= 1")
+    require(maxPrefixFreq >= 1, "maxPrefixFreq must be >= 1")
+    // one exchange barrier: the tokenize+explode subtree feeds the
+    // frequency aggregate AND the per-doc array rebuild (the
+    // jaccardPairs hazard — without it Catalyst re-tokenizes per branch)
+    val toks = graft.Checkpoints.trackCache(df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), explode(wordGrams(col(textCol), ngram)).as("tok"))
+      .repartition(col("__id"))
+      .persist())
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__f"))
+    // per doc: tokens in ascending (corpus frequency, token) order —
+    // the global canonical order both prefixes derive from
+    val docs = graft.Checkpoints.trackCache(toks.join(freq, "tok")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__f"), col("tok")))).as("__sorted"),
+        count(lit(1)).as("sz"))
+      .persist())
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1L)
+      .cast("int")
+    val pre = docs.select(col("__id"), col("sz"),
+      explode(transform(slice(col("__sorted"), lit(1), prefixLen),
+        x => x.getField("tok"))).as("tok"))
+    // hot-prefix ceiling, riding the consumed join key
+    val preCounts = pre.groupBy("tok").agg(count(lit(1)).as("__pf"))
+    val guarded = pre.join(preCounts, "tok")
+      .withColumn("tok",
+        when(col("__pf") > maxPrefixFreq, raise_error(concat(
+          lit("prefixJaccardJoin: prefix token '"), col("tok"),
+          lit(s"' occurs in more than $maxPrefixFreq documents — the corpus "),
+          lit("is near-duplicate-saturated at this threshold; raise the "),
+          lit("threshold, the ngram size, or maxPrefixFreq")))
+          .cast("string"))
+        .otherwise(col("tok")))
+      .drop("__pf")
+    val a = guarded.select(col("__id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+    val b = guarded.select(col("__id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+    val cands = a.join(b, "tok")
+      .filter(col("id_a") < col("id_b"))
+      // size filter: J ≥ t forces t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|)
+      .filter(lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double")
+        <= least(col("sz_a"), col("sz_b")).cast("double"))
+      .select("id_a", "id_b")
+      .distinct()
+    val full = docs.select(col("__id"),
+      transform(col("__sorted"), x => x.getField("tok")).as("__toks"), col("sz"))
+    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast("long")
+    cands
+      .join(full.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+        col("sz").as("sz_a")), "id_a")
+      .join(full.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("n_common", inter)
+      .withColumn("__j", col("n_common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (round(col("__j"), 6) + lit(0.0)).as("jaccard_r"))
+  }
+
   /** Benchmark-contamination check: which `bench` documents leak into
     * `corpus`? A cross-corpus inverted-index join (same shape as
     * [[jaccardPairs]], but between two different tables) scoring

@@ -61,6 +61,47 @@ object Graphs {
       iterations: Int = 5,
       damping: Double = 0.85,
       foldBuckets: Int = 1024
+  ): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, weightCol, iterations, damping,
+      foldBuckets, seeds = None)
+
+  /** Personalized (seeded-teleport) PageRank — the TrustRank shape
+    * (Gyöngyi et al. 2004): teleport mass goes ONLY to the `seeds` (a
+    * blessed whitelist of domains/pages), so rank measures authority
+    * REACHABLE FROM the seeds and decays geometrically with link
+    * distance — the standard counter to link farms, which can inflate
+    * global PageRank with self-referential mass but cannot manufacture
+    * proximity to a curated seed set. Same recurrence as [[pageRank]]
+    * with `teleport(v) = (1−d)/|S|·1{v∈S}` and the initial mass
+    * `1/|S|` on the seeds; same two-level deterministic in-flow fold,
+    * same dangling-mass simplification, same per-round eager
+    * checkpoint. Nodes unreachable from every seed settle at exactly
+    * 0.0. Seeds ride the numeric-id contract. Output: (node, rank). */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[Long],
+      weightCol: Option[String] = None,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      foldBuckets: Int = 1024
+  ): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed node")
+    require(seeds.distinct.size == seeds.size, "seed nodes must be distinct")
+    pageRankCore(edges, srcCol, dstCol, weightCol, iterations, damping,
+      foldBuckets, seeds = Some(seeds))
+  }
+
+  private def pageRankCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: Option[String],
+      iterations: Int,
+      damping: Double,
+      foldBuckets: Int,
+      seeds: Option[Seq[Long]]
   ): DataFrame = {
     require(iterations > 0, "need at least one iteration")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
@@ -87,9 +128,19 @@ object Graphs {
         .union(normEdges.select(col("dst").as("node")))
         .distinct())
     val n = nodes.count()
-    val teleport = (1.0 - damping) / n.toDouble
+    // global: uniform teleport + uniform init; seeded: all teleport and
+    // all initial mass on the seed set (nodes off the seed set start —
+    // and, if unreachable, stay — at exactly 0.0)
+    val (teleport, init) = seeds match {
+      case None =>
+        (lit((1.0 - damping) / n.toDouble), lit(1.0 / n.toDouble))
+      case Some(s) =>
+        val isSeed = col("node").cast("long").isin(s: _*)
+        (when(isSeed, lit((1.0 - damping) / s.size.toDouble)).otherwise(lit(0.0)),
+          when(isSeed, lit(1.0 / s.size.toDouble)).otherwise(lit(0.0)))
+    }
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n.toDouble))
+    var ranks = nodes.withColumn("rank", init)
     for (_ <- 1 to iterations) {
       val contribs = normEdges
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -107,7 +158,7 @@ object Graphs {
       ranks = nodes
         .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) + lit(damping) * coalesce(col("acc"), lit(0.0)))
+          (teleport + lit(damping) * coalesce(col("acc"), lit(0.0)))
             .as("rank"))
     }
     ranks

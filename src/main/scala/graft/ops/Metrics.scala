@@ -230,6 +230,69 @@ object Metrics {
           .as("is_anomaly"))
   }
 
+  /** Seasonal-baseline anomaly detection: each (type, bucket) cell is
+    * z-scored against the OTHER cells sharing its PHASE — `phase =
+    * bucket mod period` (hourly buckets with period 24 = hour-of-day;
+    * period 168 = hour-of-week) — so "Monday 9am is judged against
+    * other Monday 9ams", the seasonality-aware complement of
+    * [[rollingAnomalies]]' trailing window (which a daily traffic
+    * cycle would constantly trip). The candidate cell NEVER
+    * contaminates its own baseline: the profile is LEAVE-ONE-OUT,
+    * computed exactly from the per-(type, phase) integer moments
+    * (m, Σn, Σn²) by subtracting the cell's own contribution —
+    * `mean = (Σn − n)/(m−1)`, `var = (Σn² − n²)/(m−1) − mean²` —
+    * so one aggregate serves every cell and the semantics match the
+    * rollingAnomalies exclusion contract. Cells flag when at least
+    * `minBaseline` OTHER cells share the phase and either |n − mean| >
+    * k·σ (positive variance) or the baseline is constant and n departs
+    * from it at all (the q207 σ = 0 rule; z_r stays null there).
+    *
+    * Determinism: integer moments; mean/σ/z derive in double by the
+    * SAME IEEE op sequence the oracle writes (the q85/q207 contract);
+    * the variance gate stays on the direct expression (never
+    * sqrt-then-square — the cancellation-NaN trap). Scale shape: one
+    * count shuffle to cell grain (map-side combined), a |types ×
+    * period|-row profile aggregate, and a broadcast-sized join back. */
+  def seasonalAnomalies(
+      events: DataFrame,
+      typeCol: String,
+      usCol: Column,
+      bucketUs: Long,
+      period: Int,
+      k: Double,
+      minBaseline: Int = 3
+  ): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(period >= 2, "period must be >= 2 buckets")
+    require(k > 0, "k must be positive")
+    require(minBaseline >= 2, "minBaseline must be >= 2")
+    val bucket = call_function("div",
+      (usCol.cast("long") - pmod(usCol.cast("long"), lit(bucketUs))), lit(bucketUs))
+    val cells = events
+      .filter(usCol.isNotNull)
+      .groupBy(col(typeCol).as("series"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+    val profile = cells.groupBy("series", "phase").agg(
+      count(lit(1)).as("__m"), sum(col("n")).as("__s1"),
+      sum(col("n") * col("n")).as("__s2"))
+    val m1 = (col("__m") - lit(1L)).cast("double")
+    val mean = (col("__s1") - col("n")).cast("double") / m1
+    val variance = (col("__s2") - col("n") * col("n")).cast("double") / m1 - mean * mean
+    val z = (col("n").cast("double") - mean) / sqrt(variance)
+    val enough = col("__m") - lit(1L) >= minBaseline
+    cells.join(broadcast(profile), Seq("series", "phase"))
+      .select(col("series"), col("bucket"), col("phase"), col("n"),
+        (col("__m") - lit(1L)).as("base_n"),
+        when(enough, round(mean, 6) + lit(0.0)).as("mean_r"),
+        when(enough && variance > 0, round(z, 6) + lit(0.0)).as("z_r"),
+        (enough &&
+          ((variance > 0 &&
+            abs(col("n").cast("double") - mean) > lit(k) * sqrt(variance)) ||
+           (variance === 0.0 && col("n").cast("double") =!= mean)))
+          .as("is_anomaly"))
+  }
+
   /** Multi-touch conversion attribution: credit each conversion event
     * to the touch events (views, clicks, campaign hits) that preceded
     * it within `lookbackUs`, under the classic models — `"first"` /

@@ -187,4 +187,61 @@ object Reports {
           col("max_key_rows").cast("double") / col("est_rows")), 6) + lit(0.0))
           .as("top_frac_r"))
   }
+
+  /** One-row-per-column profile of `df` over `cols`: row count, null
+    * count, exact distinct count, and the 6-decimal null rate — the
+    * per-snapshot half of [[columnProfileDiff]]. All counts are exact
+    * integers (a schema-drift gate must not fire on sketch error).
+    *
+    * Scale shape: ONE pass — a single aggregate computes every
+    * column's counts; the exact distincts make Spark expand the input
+    * |cols|-fold before the aggregate (the documented price of
+    * exactness — at 100 TB profile a column subset, or the row count
+    * of the expand is |cols| × |rows| with two long columns each).
+    * The |cols|-row reshape is an explode over a one-row frame. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    require(cols.forall(df.columns.contains),
+      s"columns not in frame: ${cols.filterNot(df.columns.contains).mkString(", ")}")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val packed = one.select(explode(array(cols.map { c =>
+      struct(lit(c).as("column"), col("__rows").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"))
+    }: _*)).as("p"))
+    packed.select(col("p.column").as("column"), col("p.n_rows").as("n_rows"),
+      col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"),
+      (round(when(col("p.n_rows") > 0,
+        col("p.n_null").cast("double") / col("p.n_rows").cast("double"))
+        .otherwise(lit(0.0)), 6) + lit(0.0)).as("null_rate_r"))
+  }
+
+  /** Release-to-release COLUMN-PROFILE drift: [[columnProfile]] of both
+    * snapshots joined per column, with deltas — the schema-health gate
+    * a dimension pipeline runs before publishing ("did the null rate of
+    * `email` triple? did `country` collapse to one distinct value?").
+    * Complements [[graft.ops.Snapshot]]'s ROW-level diff (q197): that
+    * names which keys changed, this names which COLUMNS drifted.
+    * Output per column: both sides' counts, `d_rows`, `d_distinct`,
+    * and `d_null_rate_r` (cur − prev, exact integer deltas plus the
+    * rounded rate delta). */
+  def columnProfileDiff(prev: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
+    val p = columnProfile(prev, cols).select(
+      col("column"), col("n_rows").as("rows_prev"), col("n_null").as("null_prev"),
+      col("n_distinct").as("dist_prev"), col("null_rate_r").as("null_rate_prev_r"))
+    val c = columnProfile(cur, cols).select(
+      col("column"), col("n_rows").as("rows_cur"), col("n_null").as("null_cur"),
+      col("n_distinct").as("dist_cur"), col("null_rate_r").as("null_rate_cur_r"))
+    p.join(c, "column")
+      .select(col("column"), col("rows_prev"), col("rows_cur"),
+        (col("rows_cur") - col("rows_prev")).as("d_rows"),
+        col("dist_prev"), col("dist_cur"),
+        (col("dist_cur") - col("dist_prev")).as("d_distinct"),
+        col("null_rate_prev_r"), col("null_rate_cur_r"),
+        (round(col("null_rate_cur_r") - col("null_rate_prev_r"), 6) + lit(0.0))
+          .as("d_null_rate_r"))
+  }
 }

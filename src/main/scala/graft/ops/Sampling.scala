@@ -685,6 +685,56 @@ object Sampling {
       .drop("__hex")
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly `k` rows per group —
+    * the Efraimidis–Spirakis A-ES scheme (2006) on the engine's
+    * deterministic unit hash: each row draws `u = unitHash(id, salt)`
+    * and ranks by the key `ln(u) ⁄ w` (monotone-equivalent to the
+    * classic `u^(1/w)`; the log form avoids `pow`, which is NOT
+    * correctly rounded cross-engine — `ln` and the exact division
+    * are, the q84 precedent). Taking the k LARGEST keys per group
+    * draws a weights-proportional sample without replacement: the
+    * probability row i outranks row j is wᵢ/(wᵢ+wⱼ), independently
+    * per pair — the property replacement-free quota samplers lose.
+    * Deterministic end to end: same ids + weights + salt ⇒ the same
+    * sample on any partitioning, engine, or run (the [[withSplit]]
+    * contract extended to weighted draws).
+    *
+    * Weights must be positive — null/zero/negative refuses loudly
+    * THROUGH the consumed weight term (the [[htEstimate]] probability
+    * guard); ids ride the numeric-id contract via [[GroupTopK]] (its
+    * loud cast guard points to [[Ids.withSurrogateId]]).
+    *
+    * Scale shape: one map-side key computation + the size-k heap with
+    * map-side partial aggregation — no window, no full sort, one
+    * shuffle at group grain. Output: (groupCols, rank, idCol,
+    * es_key_r) — rank 1 is the strongest draw. */
+  def weightedSampleNoReplacement(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      groupCols: Seq[String],
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(groupCols.nonEmpty,
+      "weightedSampleNoReplacement needs group keys (pass a literal for global)")
+    val w = col(weightCol).cast("double")
+    val checkedW = when(w.isNull || w <= 0.0 || isnan(w),
+      raise_error(concat(
+        lit("weightedSampleNoReplacement: weight "),
+        coalesce(w.cast("string"), lit("null")),
+        lit(" is not positive for id "), col(idCol).cast("string"),
+        lit(" — A-ES keys are only defined for positive weights"))))
+      .otherwise(w)
+    val key = log(unitHash(col(idCol), salt)) / checkedW
+    val keyed = df.filter(col(idCol).isNotNull)
+      .withColumn("__es_key", key)
+    GroupTopK.topKPerGroup(keyed, groupCols, idCol, "__es_key", k)
+      .select(groupCols.map(col) :+ col("rank") :+ col(idCol) :+
+        (round(col("__es_key"), 6) + lit(0.0)).as("es_key_r"): _*)
+  }
+
   /** Horvitz–Thompson estimation: unbiased FULL-CORPUS totals from a
     * weighted sample — the "measure the 100 TB corpus from the 1% you
     * can afford to scan" tool, and the inverse of this module's

@@ -317,4 +317,55 @@ object TextAnalysis {
       .select(col(idCol), col("n_grams"), col("n_novel"),
         (round(col("n_novel") / col("n_grams"), 6) + lit(0.0)).as("novelty_r"))
   }
+
+  /** Per-document TF-IDF keyword extraction: the `k` highest-scoring
+    * tokens of each document under `score = tf · ln(N ⁄ df)` (raw term
+    * frequency × classic idf; a corpus-ubiquitous token has df = N,
+    * idf = 0, and can never out-rank a discriminative one) — the
+    * corpus-tagging primitive behind topic labeling, dedup
+    * explanations ("these two docs share their top keywords"), and
+    * retrieval debugging. Tokens are the engine's canonical lowercase
+    * whitespace tokens ([[tokens]]); `tf` counts repeats (unlike the
+    * DISTINCT set semantics of the Jaccard family — repetition is
+    * signal here), `df` counts documents containing the token at
+    * least once, `N` counts documents with at least one token.
+    *
+    * Determinism: tf/df/N are exact integer counts; `ln` is the
+    * engine-agreeing `Math.log` (the q84 BM25 precedent); ranking is
+    * the [[GroupTopK.topKPerGroupString]] heap — score DESC, ties
+    * toward the BINARY-smaller token, exactly SQL's `ORDER BY score
+    * DESC, token`. `tfidf_r` is the 6-decimal display rounding; the
+    * heap ranks the raw double.
+    *
+    * Scale shape: one tokenize pass (cached — it feeds tf, df, and N),
+    * a |vocab|-grain df aggregate broadcast back onto the (doc, token)
+    * grain, and the size-k heap with map-side partial aggregation —
+    * no window, no full sort. Output: (idCol, rank, token, tf,
+    * tfidf_r). */
+  def tfidfKeywords(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = graft.Checkpoints.trackCache(docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), explode(tokens(lower(col(textCol)))).as("token"))
+      .repartition(col("__id"))
+      .persist())
+    val tf = toks.groupBy(col("__id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val n = toks.select(countDistinct(col("__id")).as("__n"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        col("tf").cast("double") *
+          log(col("__n").cast("double") / col("__df").cast("double")))
+    GroupTopK.topKPerGroupString(scored, Seq("__id"), "token", "__score", k)
+      .join(tf, Seq("__id", "token"))
+      .select(col("__id").as(idCol), col("rank"), col("token"), col("tf"),
+        (round(col("__score"), 6) + lit(0.0)).as("tfidf_r"))
+  }
 }

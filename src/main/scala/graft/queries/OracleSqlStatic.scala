@@ -4219,6 +4219,191 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |SELECT node, label AS component FROM l40 ORDER BY node""".stripMargin
     },
 
+    // exact all-pairs shingle Jaccard: the oracle brute-forces the full
+    // inverted index (no prefix filter needed — the filter is lossless,
+    // so outputs must match exactly); 3-gram build per the engine-wide
+    // WordGrams convention (a short doc yields its one short gram)
+    "q227_prefix_jaccard" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND len(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, GREATEST(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS tok
+        |  FROM t0 WHERE len(toks) > 0
+        |), d AS (
+        |  SELECT DISTINCT doc_id, tok FROM g
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |    CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jac
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |)
+        |SELECT id_a, id_b, n_common, round(jac, 6) + 0.0 AS jaccard_r
+        |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // personalized (seeded-teleport) PageRank: the q117 replay with
+    // teleport and initial mass restricted to seeds {0, 5, 10}
+    "q228_personalized_pagerank" -> {
+      def iterCte(cur: String, prev: String): String =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |    (CASE WHEN nodes.node IN (0, 5, 10)
+           |      THEN (1.0 - 0.85) / 3.0 ELSE 0.0 END)
+           |      + 0.85 * COALESCE(s.acc, 0.0) AS rank
+           |  FROM nodes
+           |  LEFT JOIN (
+           |    SELECT dst AS node,
+           |      list_reduce(list_prepend(0.0, list(p ORDER BY b)), (a, x) -> a + x) AS acc
+           |    FROM (
+           |      SELECT e.dst, e.b,
+           |        list_reduce(list_prepend(0.0, list(r.rank * e.w / e.outw ORDER BY e.src)), (a, x) -> a + x) AS p
+           |      FROM e JOIN $prev r ON e.src = r.node
+           |      GROUP BY e.dst, e.b) s1
+           |    GROUP BY dst) s ON s.node = nodes.node
+           |)""".stripMargin
+      val iters = (1 to 5).map(i => iterCte(s"r$i", s"r${i - 1}")).mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2
+         |), od AS (SELECT src, SUM(w) AS outw FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, e0.w, od.outw,
+         |  CAST(('0x' || substr(md5(CAST(e0.src AS VARCHAR)), 1, 4)) AS BIGINT) % 1024 AS b
+         |  FROM e0 JOIN od USING (src)),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst FROM e0),
+         |r0 AS (SELECT node,
+         |  CASE WHEN node IN (0, 5, 10) THEN 1.0 / 3.0 ELSE 0.0 END AS rank
+         |  FROM nodes),
+         |$iters
+         |SELECT node, round(rank, 9) + 0.0 AS rank_r FROM r5 ORDER BY node""".stripMargin
+    },
+
+    // per-doc TF-IDF top-3: tf x ln(N/df), ties toward the binary-
+    // smaller token (the engine heap's contract == ORDER BY score
+    // DESC, token)
+    "q229_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS token
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND len(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+        |), tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+        |), nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(nn.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score
+        |  FROM tf JOIN dfq USING (token), nn
+        |), rk AS (
+        |  SELECT doc_id, token, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf,
+        |  round(score, 6) + 0.0 AS tfidf_r
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // seasonal anomalies: leave-one-out phase-profile z-scores, exact
+    // integer moments, the q85/q207 IEEE op-sequence contract
+    "q230_seasonal_anomalies" ->
+      """WITH e AS (
+        |  SELECT event_type AS series, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL
+        |), cells AS (
+        |  SELECT series, us // 3600000000 AS bucket, COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT series, bucket, bucket % 24 AS phase, n FROM cells
+        |), prof AS (
+        |  SELECT series, phase, COUNT(*) AS m, SUM(n) AS s1, SUM(n * n) AS s2
+        |  FROM c2 GROUP BY 1, 2
+        |), z AS (
+        |  SELECT series, bucket, phase, n, m,
+        |    CAST(s1 - n AS DOUBLE) / CAST(m - 1 AS DOUBLE) AS mean,
+        |    CAST(s2 - n * n AS DOUBLE) / CAST(m - 1 AS DOUBLE)
+        |      - (CAST(s1 - n AS DOUBLE) / CAST(m - 1 AS DOUBLE))
+        |        * (CAST(s1 - n AS DOUBLE) / CAST(m - 1 AS DOUBLE)) AS var
+        |  FROM c2 JOIN prof USING (series, phase)
+        |)
+        |SELECT series, bucket, phase, CAST(n AS BIGINT) AS n,
+        |  CAST(m - 1 AS BIGINT) AS base_n,
+        |  CASE WHEN m - 1 >= 3 THEN round(mean, 6) + 0.0 END AS mean_r,
+        |  CASE WHEN m - 1 >= 3 AND var > 0
+        |    THEN round((CAST(n AS DOUBLE) - mean) / sqrt(var), 6) + 0.0 END AS z_r,
+        |  (m - 1 >= 3 AND
+        |    ((var > 0 AND abs(CAST(n AS DOUBLE) - mean) > 3.0 * sqrt(var)) OR
+        |     (var = 0.0 AND CAST(n AS DOUBLE) <> mean))) AS is_anomaly
+        |FROM z ORDER BY series, bucket""".stripMargin,
+
+    // column-profile drift between the q197 snapshot pair (cur also
+    // nulls every 5th lang): exact counts per column, both sides
+    "q231_profile_diff" -> {
+      val prevSql = "SELECT * FROM documents WHERE doc_id < 800"
+      val curSql =
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+          |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+          |  source, n_chars
+          |FROM documents WHERE doc_id >= 200 AND doc_id < 1000""".stripMargin
+      def side(name: String, src: String): String =
+        Seq("text", "lang", "source", "n_chars").map { c =>
+          s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+             |  COUNT(*) FILTER (WHERE $c IS NULL) AS n_null,
+             |  COUNT(DISTINCT $c) AS n_distinct
+             |FROM $name""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH prev AS ($prevSql), cur AS ($curSql),
+         |pp AS (
+         |${side("prev", prevSql)}
+         |), cc AS (
+         |${side("cur", curSql)}
+         |)
+         |SELECT pp."column",
+         |  CAST(pp.n_rows AS BIGINT) AS rows_prev, CAST(cc.n_rows AS BIGINT) AS rows_cur,
+         |  CAST(cc.n_rows - pp.n_rows AS BIGINT) AS d_rows,
+         |  CAST(pp.n_distinct AS BIGINT) AS dist_prev, CAST(cc.n_distinct AS BIGINT) AS dist_cur,
+         |  CAST(cc.n_distinct - pp.n_distinct AS BIGINT) AS d_distinct,
+         |  round(CAST(pp.n_null AS DOUBLE) / pp.n_rows, 6) + 0.0 AS null_rate_prev_r,
+         |  round(CAST(cc.n_null AS DOUBLE) / cc.n_rows, 6) + 0.0 AS null_rate_cur_r,
+         |  round((round(CAST(cc.n_null AS DOUBLE) / cc.n_rows, 6) + 0.0)
+         |    - (round(CAST(pp.n_null AS DOUBLE) / pp.n_rows, 6) + 0.0), 6) + 0.0 AS d_null_rate_r
+         |FROM pp JOIN cc USING ("column") ORDER BY pp."column"""".stripMargin
+    },
+
+    // A-ES weighted draw: ln(unitHash)/w keys, top-5 per lang by key
+    // desc with smaller-id ties (the GroupTopK heap contract)
+    "q232_weighted_sample_norep" ->
+      """WITH u AS (
+        |  SELECT lang, doc_id,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'es'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS uh,
+        |    CAST(n_chars + 1 AS DOUBLE) AS w
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), keyed AS (
+        |  SELECT lang, doc_id, ln(uh) / w AS k FROM u
+        |), rk AS (
+        |  SELECT lang, doc_id, k,
+        |    row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rank
+        |  FROM keyed
+        |)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  round(k, 6) + 0.0 AS es_key_r
+        |FROM rk WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

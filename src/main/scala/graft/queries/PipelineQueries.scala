@@ -2306,6 +2306,86 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("node")
     },
 
+    "q227_prefix_jaccard" -> { (s, dir) =>
+      // lossless scalable twin of q42: exact all-pairs shingle-set
+      // Jaccard via prefix filtering — candidates only from each doc's
+      // rarest |A|-ceil(t|A|)+1 shingles, zero recall loss (q42's
+      // maxDocFreq cap trades recall for the same bound). 3-gram
+      // shingles (the contamination-family convention): this corpus is
+      // template-generated, so unigram sets are near-saturated while
+      // shingle matches isolate the true near-dups sharply
+      graft.ops.Dedup.prefixJaccardJoin(
+        t(s, dir, "documents"), "text", "doc_id", threshold = 0.5, ngram = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    "q228_personalized_pagerank" -> { (s, dir) =>
+      // TrustRank-shape seeded authority: teleport mass only on nations
+      // {0, 5, 10} — rank measures proximity to the blessed seed set
+      // (a link farm can inflate global PageRank, not seed proximity)
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      graft.ops.Graphs.personalizedPageRank(edges, "src", "dst",
+          seeds = Seq(0L, 5L, 10L), iterations = 5)
+        .select(col("node"), roundz(col("rank"), 9).as("rank_r"))
+        .orderBy("node")
+    },
+
+    "q229_tfidf_keywords" -> { (s, dir) =>
+      // per-doc top-3 TF-IDF keywords: tf x ln(N/df), heap-ranked
+      // (score desc, binary-smaller token ties) — corpus tagging
+      graft.ops.TextAnalysis.tfidfKeywords(
+        t(s, dir, "documents"), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+
+    "q230_seasonal_anomalies" -> { (s, dir) =>
+      // hour-of-day-aware burst detection: each (type, hour) cell
+      // z-scored against the OTHER cells of its phase (leave-one-out
+      // exact moments) — the monitor a daily traffic cycle doesn't trip
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000").as("us"))
+      graft.ops.Metrics.seasonalAnomalies(ev, "event_type", col("us"),
+          bucketUs = 3600000000L, period = 24, k = 3.0)
+        .orderBy("series", "bucket")
+    },
+
+    "q231_profile_diff" -> { (s, dir) =>
+      // release-to-release column drift: the q197 snapshot split, plus
+      // every 5th cur doc loses its lang — the null-rate drift the
+      // profile gate must name; row-level diff (q197) names the KEYS,
+      // this names the COLUMNS
+      val d = t(s, dir, "documents")
+      val prev = d.filter(col("doc_id") < 800)
+      val cur = d.filter(col("doc_id") >= 200 && col("doc_id") < 1000)
+        .withColumn("lang",
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(null).cast("string"))
+            .otherwise(col("lang")))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.ops.Reports.columnProfileDiff(prev, cur,
+          Seq("text", "lang", "source", "n_chars"))
+        .orderBy("column")
+    },
+
+    "q232_weighted_sample_norep" -> { (s, dir) =>
+      // Efraimidis–Spirakis weighted draw without replacement: 5 docs
+      // per lang, probability proportional to length, deterministic
+      // (ln(unitHash)/w keys, heap top-k — no pow, no window)
+      val d = t(s, dir, "documents")
+        .withColumn("w", col("n_chars") + lit(1L))
+      graft.ops.Sampling.weightedSampleNoReplacement(d, "doc_id", "w",
+          Seq("lang"), k = 5, salt = "es")
+        .orderBy("lang", "rank")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

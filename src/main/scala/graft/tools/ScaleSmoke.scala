@@ -625,6 +625,172 @@ object ScaleSmoke {
           .agg(sum(col("n_triangles"))).collect()
       }
 
+      // prefix-filtered exact Jaccard: candidates only from each doc's
+      // rarest shingles — scales with true near-dups, not corpus size
+      time(s"prefix jaccard join ($nDocs docs, 3-gram shingles)") {
+        graft.ops.Dedup.prefixJaccardJoin(dN, "text", "doc_id",
+            threshold = 0.5, ngram = 3)
+          .agg(count(lit(1))).collect()
+      }
+
+      // TF-IDF keywords: one tokenize pass + a broadcast df join + the
+      // size-k string heap — no window, no full sort
+      time(s"tfidf keywords top-3 ($nDocs docs)") {
+        graft.ops.TextAnalysis.tfidfKeywords(dN, "text", "doc_id", k = 3)
+          .agg(count(lit(1))).collect()
+      }
+
+      // personalized PageRank: same per-round equi-join shape as the
+      // global variant; seeds only change two literals
+      time(s"personalized pagerank (${rows} edges, ~${n * 2500} nodes)") {
+        val g = bids.select((col("l_orderkey") % (n * 2500L)).as("s"),
+          ((col("l_orderkey") * 31 + 7) % (n * 2500L)).as("d"))
+        graft.ops.Graphs.personalizedPageRank(g, "s", "d",
+            seeds = Seq(0L, 1L, 2L), iterations = 5)
+          .agg(count(lit(1))).collect()
+      }
+
+      // seasonal anomalies: one cell-grain count shuffle + a
+      // |types x period| profile broadcast back — scan-bound
+      time(s"seasonal anomalies, ${n * 100000} events, ${n}x series") {
+        val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.1", "events")
+          .select(col("event_type"), col("user_id"), expr("ts div 1000").as("us"))
+        val evN = blowUpKeyed(ev, n, "user_id")
+          .withColumn("event_type", concat(col("event_type"),
+            pmod(col("user_id"), lit(n.toLong)).cast("string")))
+        graft.ops.Metrics.seasonalAnomalies(evN, "event_type", col("us"),
+            bucketUs = 3600000000L, period = 24, k = 3.0)
+          .agg(count(lit(1))).collect()
+      }
+
+      // column profile: ONE aggregate over the expand — the documented
+      // |cols|-fold price of exact distincts
+      time(s"column profile diff, 4 cols ($nDocs docs/side)") {
+        graft.ops.Reports.columnProfileDiff(dN, dN,
+            Seq("text", "lang", "source", "n_chars"))
+          .agg(count(lit(1))).collect()
+      }
+
+      // A-ES weighted draw: map-side keys + the size-k heap
+      time(s"weighted sample w/o replacement ($nDocs docs, 5/lang)") {
+        graft.ops.Sampling.weightedSampleNoReplacement(
+            dN.withColumn("w", col("n_chars") + lit(1L)),
+            "doc_id", "w", Seq("lang"), k = 5, salt = "es")
+          .agg(count(lit(1))).collect()
+      }
+
+      // record linkage: candidates from the deletion index scale with
+      // true fuzzy matches, field sims run on the candidate sliver only
+      time(s"record linkage (${n * 15000} x ${n * 15000} customers)") {
+        val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+          .select(col("c_nationkey").as("nationkey"), col("c_custkey"),
+            col("c_name"), col("c_acctbal"))
+        val custN = blowUpKeyed(cust, n, "c_custkey")
+        graft.ops.Joins.recordLinkage(custN, custN, Seq("nationkey"),
+            leftId = "c_custkey", rightId = "c_custkey",
+            anchorLeft = "c_name", anchorRight = "c_name", anchorMaxDist = 1,
+            fields = Seq(
+              graft.ops.Joins.LinkField("c_name", "c_name", 0.7,
+                graft.ops.Joins.LinkFieldKind.Edit),
+              graft.ops.Joins.LinkField("c_acctbal", "c_acctbal", 0.3,
+                graft.ops.Joins.LinkFieldKind.Numeric(1000.0))),
+            minScore = 0.9)
+          .agg(count(lit(1))).collect()
+      }
+
+      // horizon dedup: one key shuffle + a streaming per-partition scan
+      // holding two scalars — a hot key costs its scan, never memory
+      time(s"horizon dedup (${n * 100000} events, ${n}x keys)") {
+        val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.1", "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"), col("event_id"))
+        val evN = blowUpKeyed(ev, n, "user_id")
+        graft.ops.Dedup.horizonDedup(evN, Seq("user_id", "event_type"),
+            "us", "event_id", horizonUs = 432000000000L)
+          .agg(count(lit(1))).collect()
+      }
+
+      // attribution: per-user conv x touch pairs bounded by each user's
+      // own volume; the pre-flight ceiling keeps a bot from going
+      // quadratic (adversarial row below)
+      time(s"attribution linear (${n * 100000} events, ${n}x users)") {
+        val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.1", "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"), col("event_id"))
+        val evN = blowUpKeyed(ev, n, "user_id")
+          .withColumn("event_id", col("event_id") * n + pmod(col("user_id"), lit(n.toLong)))
+        graft.ops.Metrics.attribution(evN, "user_id", "event_type", col("us"),
+            "event_id", "purchase", Seq("view", "click"), "linear",
+            lookbackUs = 86400000000L)
+          .agg(count(lit(1))).collect()
+      }
+
+      // k-core: per-round cost tracks the shrinking edge set; the blob
+      // graph converges in a handful of rounds at any scale
+      time(s"k-core k=8 (${n * 25000} edges, ${n * 2500} nodes)") {
+        val g = bids.select((col("l_orderkey") % (n * 2500L)).as("s"),
+          ((col("l_orderkey") * 31 + 7) % (n * 2500L)).as("d"))
+        graft.ops.Graphs.kCore(g, "s", "d", k = 8)
+          .agg(count(lit(1))).collect()
+      }
+
+      // connected components: label propagation + pointer jump; round
+      // count tracks component ECCENTRICITY (not node count), so the
+      // scale graph is 50-node ring segments — ${n * 50} components of
+      // bounded diameter at every factor; per-round cost tracks edges
+      time(s"connected components (${n * 2500} nodes in ${n * 50} rings)") {
+        val s = col("l_orderkey") % (n * 2500L)
+        val segBase = s - pmod(s, lit(50L))
+        val g = bids.select(s.as("s"),
+          (segBase + pmod(pmod(s, lit(50L)) + 1, lit(50L))).as("d"))
+        graft.ops.Graphs.connectedComponents(g, "s", "d")
+          .agg(count(lit(1))).collect()
+      }
+
+      // adversarial: a 60-node PATH is the label-propagation worst case
+      // (eccentricity-bound rounds, ~30 with the pointer jump) — the row
+      // that would hang for hours if per-round planner state compounded
+      // (the originStats blowup); bounded time IS the pass criterion
+      time(s"connected components adversarial 60-node path (~30 rounds)") {
+        val path = spark.range(59).select(col("id").as("s"), (col("id") + 1).as("d"))
+        graft.ops.Graphs.connectedComponents(path, "s", "d", maxIter = 80)
+          .agg(count(lit(1))).collect()
+      }
+
+      // adversarial: a chain peels ONE node per k-core round — the loud
+      // maxIter backstop must refuse in BOUNDED time, not grind on
+      time(s"k-core maxIter refusal on a 200-node chain") {
+        val chain = spark.range(199).select(col("id").as("s"), (col("id") + 1).as("d"))
+        try {
+          graft.ops.Graphs.kCore(chain, "s", "d", k = 2, maxIter = 20)
+            .agg(count(lit(1))).collect()
+          println("  !! kCore maxIter backstop DID NOT fire")
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("did not converge") =>
+            println("  refused as designed (maxIter backstop)")
+        }
+      }
+
+      // adversarial: ONE bot user with 1000 convs x 2000 touches = 2M
+      // pairs must refuse at the pre-flight, before the interval join
+      time(s"attribution hot-user refusal (one 2M-pair user)") {
+        val bot = spark.range(3000).select(
+          lit(7L).as("user_id"),
+          when(col("id") < 1000, lit("purchase")).otherwise(lit("view")).as("event_type"),
+          (col("id") * 1000L).as("us"), col("id").as("event_id"))
+        try {
+          graft.ops.Metrics.attribution(bot, "user_id", "event_type", col("us"),
+              "event_id", "purchase", Seq("view"), "linear",
+              lookbackUs = 86400000000L, maxUserPairs = 1000000L)
+            .agg(count(lit(1))).collect()
+          println("  !! attribution hot-user ceiling DID NOT fire")
+        } catch {
+          case e: Exception if String.valueOf(e.getMessage).contains("maxUserPairs") ||
+            String.valueOf(String.valueOf(e.getCause)).contains("maxUserPairs") =>
+            println("  refused as designed (hot-user pair ceiling)")
+        }
+      }
+
       // adversarial: ONE degenerate block (a broken coarse partitioner)
       // must refuse loudly and fast — |block|² pairs never materialize
       time(s"blocked NN hot-block guard (one ${n * 2000}-row block)") {

@@ -2069,6 +2069,164 @@ class OpsSpec extends SparkSpec {
     assert(Graphs.kCore(edges, "s", "d", k = 1).count() == 6L)
   }
 
+  test("prefixJaccardJoin: lossless vs the full inverted index; hot-prefix ceiling") {
+    import graft.ops.Dedup
+    // mixed corpus: one near-dup pair, one exact pair, distinct tails
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // J(1,2) = 4/6
+      (3L, "one two three four"),
+      (4L, "one two three four"),            // exact dup of 3
+      (5L, "completely different words here"),
+      (6L, "alpha omega psi chi phi")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSet
+    val prefix = pairs(Dedup.prefixJaccardJoin(docs, "text", "doc_id", 0.5))
+    // ground truth: the brute inverted index without any cap — the
+    // prefix filter must lose NOTHING
+    val brute = pairs(Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+      .withColumnRenamed("jaccard", "__j"))
+    assert(prefix == brute && prefix.contains((1L, 2L, 4L)) && prefix.contains((3L, 4L, 4L)))
+    // threshold 1.0: only the exact pair
+    assert(pairs(Dedup.prefixJaccardJoin(docs, "text", "doc_id", 1.0)) ==
+      Set((3L, 4L, 4L)))
+    // near-dup-saturated corpus at a low threshold: every prefix token
+    // is hot — the ceiling must refuse loudly
+    val saturated = (1L to 40L).map(i => (i, "same exact text everywhere"))
+      .toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      Dedup.prefixJaccardJoin(saturated, "text", "doc_id", 0.5,
+        maxPrefixFreq = 8L).collect()
+    }
+    assert(err.getMessage.contains("maxPrefixFreq"), s"unexpected: ${err.getMessage}")
+  }
+
+  test("personalizedPageRank: seed-only teleport, unreachable nodes at exact zero") {
+    import graft.ops.Graphs
+    // two disjoint chains: 1->2->3 (seeded at 1) and 10->11 (unseeded)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val got = Graphs.personalizedPageRank(edges, "s", "d", seeds = Seq(1L),
+        iterations = 3, damping = 0.85)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    // the unseeded component never receives mass — EXACT zeros
+    assert(got(10L) == 0.0 && got(11L) == 0.0)
+    // seed keeps the teleport term; downstream decays geometrically
+    assert(math.abs(got(1L) - 0.15) < 1e-12)
+    assert(got(1L) > got(2L) * 0.9 || got(2L) > 0.0) // 2 earns d * rank(1)
+    assert(got(2L) > got(3L) && got(3L) > 0.0)
+    // global pageRank on the same graph gives the unseeded chain mass
+    val global = Graphs.pageRank(edges, "s", "d", iterations = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(global(11L) > 0.0)
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(edges, "s", "d", seeds = Seq.empty)
+    }
+  }
+
+  test("tfidfKeywords: discriminative tokens beat ubiquitous ones; binary tie order") {
+    import graft.ops.TextAnalysis
+    // 'shared' is in every doc (idf = 0, never ranks above a real
+    // keyword); 'rare' repeats in doc 1 (tf boost); doc 3 ties two
+    // singleton tokens -> binary-smaller first
+    val docs = Seq(
+      (1L, "shared rare rare other"),
+      (2L, "shared boring words"),
+      (3L, "shared zeta alpha")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[String]("token"), r.getAs[Long]("tf"))))
+      .toMap
+    assert(got((1L, 1L)) == (("rare", 2L)))
+    // ubiquitous 'shared' scores 0 — it may appear at the tail but
+    // never above a discriminative token
+    assert(got((1L, 2L))._1 == "other")
+    assert(got((3L, 1L)) == (("alpha", 1L)) && got((3L, 2L)) == (("zeta", 1L)))
+  }
+
+  test("seasonalAnomalies: daily cycle is normal, off-phase burst flags, leave-one-out") {
+    import graft.ops.Metrics
+    // 8 days of an hourly series with a strong daily cycle (phase 0 is
+    // ALWAYS 50 events, other phases 5) + one burst day where phase 3
+    // jumps. A trailing-window monitor would flag every phase-0 cell;
+    // the seasonal profile must flag ONLY the burst.
+    val events = (0 until 24 * 8).flatMap { h =>
+      val phase = h % 24
+      val n = if (phase == 0) 50 else if (phase == 3 && h / 24 == 5) 40 else 5
+      (0 until n).map(i => ("s", h.toLong * 3600000000L + i))
+    }.toDF("t", "us")
+    val got = Metrics.seasonalAnomalies(events, "t", col("us"),
+        bucketUs = 3600000000L, period = 24, k = 3.0)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Boolean]("is_anomaly"), r.getAs[Long]("base_n")))).toMap
+    val flagged = got.filter(_._2._1).keys.toSet
+    assert(flagged == Set(5L * 24 + 3), s"flagged: $flagged")
+    // phase-0 cells: constant-50 leave-one-out baseline, never flagged
+    assert((0 until 8).forall(d => !got(d.toLong * 24)._1))
+    // every cell judged against the 7 OTHER cells of its phase
+    assert(got(0L)._2 == 7L)
+  }
+
+  test("columnProfileDiff: exact null/distinct deltas per column") {
+    import graft.ops.Reports
+    val prev = Seq((1L, Option("a"), "x"), (2L, Option("b"), "x"), (3L, Option("a"), "y"))
+      .toDF("id", "v", "g")
+    val cur = Seq((1L, Option("a"), "x"), (2L, None: Option[String], "x"),
+      (3L, None: Option[String], "z"), (4L, Option("c"), "z"))
+      .toDF("id", "v", "g")
+    val got = Reports.columnProfileDiff(prev, cur, Seq("v", "g"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val v = got("v")
+    assert(v.getAs[Long]("rows_prev") == 3L && v.getAs[Long]("rows_cur") == 4L)
+    assert(v.getAs[Long]("d_rows") == 1L)
+    assert(v.getAs[Long]("dist_prev") == 2L && v.getAs[Long]("dist_cur") == 2L)
+    assert(v.getAs[Double]("null_rate_prev_r") == 0.0)
+    assert(v.getAs[Double]("null_rate_cur_r") == 0.5)
+    assert(v.getAs[Double]("d_null_rate_r") == 0.5)
+    val g = got("g")
+    assert(g.getAs[Long]("d_distinct") == 0L) // {x,y} -> {x,z}: both 2 distinct
+    intercept[IllegalArgumentException] {
+      Reports.columnProfileDiff(prev, cur, Seq("missing"))
+    }
+  }
+
+  test("weightedSampleNoReplacement: brute-force key replay, determinism, bad weight") {
+    import graft.ops.Sampling
+    val rows = (1L to 60L).map(i => (i, (i % 7 + 1).toDouble, s"g${i % 2}"))
+    val df = rows.toDF("id", "w", "g")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSampleNoReplacement(d, "id", "w", Seq("g"), k = 5, salt = "t")
+        .select("g", "rank", "id").as[(String, Long, Long)].collect().toSet
+    val got = run(df)
+    // brute-force A-ES replay: md5-prefix unit hash, ln(u)/w, top-5 per
+    // group by key desc (ties toward smaller id — none expected here)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def unit(id: Long): Double = {
+      val hex = md.digest(s"${id}t".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val want = rows.groupBy(_._3).flatMap { case (g, rs) =>
+      rs.map(r => (r._1, math.log(unit(r._1)) / r._2))
+        .sortBy { case (id, k) => (-k, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (g, (i + 1).toLong, id) }
+    }.toSet
+    assert(got == want)
+    // partition invariance
+    assert(run(df.repartition(13)) == got)
+    // exactly k per group
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+    // non-positive weight refuses loudly
+    val err = intercept[Exception] {
+      Sampling.weightedSampleNoReplacement(
+        Seq((1L, 0.0, "g")).toDF("id", "w", "g"), "id", "w", Seq("g"), 1).collect()
+    }
+    assert(err.getMessage.contains("not positive"), s"unexpected: ${err.getMessage}")
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
