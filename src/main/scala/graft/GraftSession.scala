@@ -35,4 +35,13 @@ object GraftSession {
       // the driver may never GC mid-session (Checkpoints.freeAll is the
       // primary cleanup path)
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // file-split floor: the default 4 MB openCostInBytes caps a small
+      // single-file scan at 1-3 splits (maxSplitBytes = max(openCost,
+      // bytes/parallelism)), so any heavy PER-ROW work fused into the
+      // scan stage (salt explodes, md5 shuffles, n-gram probes) rides
+      // ONE core and its wall time tracks single-core speed — the
+      // r11-bench queries that inflated 3-5x on a contended box while
+      // wide queries amortized. 64 KB lets a 10 MB file split ~32 ways;
+      // on a real multi-file cluster dataset this floor never binds.
+      .config("spark.sql.files.openCostInBytes", "65536")
 }

@@ -447,6 +447,44 @@ object ExamplePipeline {
     println(f"ht: ${totals.getLong(0)} sampled docs estimate " +
       f"${totals.getDouble(1)}%.0f corpus docs (true ${docs.count()})")
 
+    // 35. entity resolution end-to-end: fuzzy matches (deletion-index
+    //     join) chain into entities (star-contraction components) and
+    //     each entity keeps its best record — the master-data step that
+    //     turns near-duplicate customers into one canonical row
+    val erCust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_nationkey").as("nationkey"), col("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+    val erPairs = graft.ops.Joins.editDistanceSelfJoin(erCust, Seq("nationkey"),
+      "c_custkey", "c_name", maxDist = 1)
+    val keepers = graft.ops.Joins.entityKeepers(erCust, erPairs,
+      "c_custkey", "c_acctbal")
+    println(s"entity resolution: ${keepers.count()} records -> " +
+      s"${keepers.select("component").distinct().count()} entities, " +
+      s"${keepers.filter(col("node") === col("keeper_id")).count()} keepers")
+
+    // 36. curation analytics on the cleaned corpus: robust (median/MAD)
+    //     length outliers per language, TF-IDF topic keywords, top
+    //     behavioral motifs, and a weighted no-replacement sample for
+    //     human review — each judged/sampled deterministically
+    val rz = graft.ops.Outliers.withGroupRobustZscore(
+      docs.select("doc_id", "lang", "n_chars"), Seq("lang"), "n_chars")
+    println(s"robust outliers (|z|>3.5): " +
+      rz.filter(abs(col("robust_z_r")) > 3.5).count())
+    println("tfidf keywords (top-3/doc): " +
+      graft.ops.TextAnalysis.tfidfKeywords(docs, "text", "doc_id", k = 3).count())
+    val paths = graft.ops.Sessions.eventPaths(
+      graft.io.Tables.table(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id")),
+      "user_id", "event_type", col("us"), "event_id", depth = 3, k = 5)
+    println("top event motifs: " + paths.collect()
+      .map(r => s"${r.getAs[String]("path")} x${r.getAs[Long]("n")}").mkString("; "))
+    val review = graft.ops.Sampling.weightedSampleNoReplacement(
+      docs.withColumn("w", col("n_chars") + lit(1L)),
+      "doc_id", "w", Seq("lang"), k = 3, salt = "review")
+    println(s"review sample (3/lang, length-weighted, no replacement): " +
+      review.count() + " docs")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)

@@ -1526,26 +1526,23 @@ object Dedup {
     * provenance tracking or picking a keeper by quality instead of id.)
     *
     * Per round, each node takes (1) the minimum label among itself and
-    * its neighbors (edge relaxation), then (2) the previous round's label
-    * OF that minimum (pointer jump — labels are node ids, so a label is
-    * itself an address into the label table). The jump fires whenever the
-    * adopted label is itself stale — the all-self-labels start and every
-    * post-merge reflood — doubling the distance covered per round there
-    * (a 200-node path with fresh labels converges in ~11 rounds, not
-    * 199; spec-pinned). Phases where the frontier adopts an already-FINAL
-    * label advance one hop per round (the jump is a no-op on a root), so
-    * the worst-case round count is the eccentricity of a component's
-    * minimum node, not log(diameter) — hence the generous default
-    * `maxIter`: rounds are cheap (the label frame is two longs per paired
-    * doc, one job each), and near-dup cluster graphs are near-cliques
-    * that converge in 2-4 regardless. A measured point for the
-    * adversarial shape: the sf0.001 semantic-dedup graph at cosine ≥ 0.2
-    * (345 nodes in thin threads) needs 21 rounds. Truly thread-shaped
-    * graphs at huge scale want an edge-rewriting algorithm
-    * (large-star/small-star), which buys its O(log²) bound by reshuffling
-    * the O(E) edge frame every round — the wrong trade for this
-    * operator's blob-shaped inputs, where the static (persisted) edge
-    * frame is the point.
+    * its neighbors (edge relaxation), then (2) TWO POINTER DOUBLINGS
+    * through the round's own table (labels are node ids, so looking a
+    * node's fresh label up in the same table composes the walk with
+    * itself — each doubling squares the compressed distance, the
+    * Shiloach–Vishkin trick). Per-round reach is therefore ~4 post-
+    * relax hops and COMPOUNDS round over round, so even a pure chain —
+    * the worst shape for label flooding — converges in ~log₄(ecc) + c
+    * rounds (measured: q226's fuzzy-name chain graph at sf0.1 took 32
+    * rounds when the jump went through the PREVIOUS round's stale
+    * table, a handful with the doubling; the 10k-node-path ScaleSmoke
+    * row dropped accordingly). Blob-shaped near-dup graphs still
+    * converge in 2-4 rounds. The bound stays data-dependent (hence the
+    * loud `maxIter` backstop), and rounds stay cheap: the label frame
+    * is two longs per paired doc, the edge frame is static (persisted)
+    * — an edge-rewriting algorithm (large-star/small-star) would buy
+    * its O(log²) guarantee by reshuffling O(E) every round, the wrong
+    * trade when the doubling already collapses thread shapes.
     *
     * One Spark job per round: the convergence check rides the round's own
     * materialization (a `LongAccumulator` incremented while the new label
@@ -1629,14 +1626,30 @@ object Dedup {
           .select(col("id"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("rl"),
             col("label").as("old"))
-        // pointer jump through the PREVIOUS labels (already checkpointed —
-        // a cheap scan, not a recompute): rl is a node id, so label(rl)
-        // shortcuts the chain rl has already walked
-        val jumped = relaxed
-          .join(labels.select(col("id").as("rl"), col("label").as("jl")), Seq("rl"), "left")
-          .select(col("id"),
-            least(col("rl"), coalesce(col("jl"), col("rl"))).as("label"),
-            col("old"))
+        // pointer DOUBLING through the CURRENT round's tables (Shiloach–
+        // Vishkin style): a label is a node id, so looking a node's
+        // label up in the same table composes the walk with itself —
+        // each doubling squares the compressed distance, so per-round
+        // reach is ~4 post-relax hops and COMPOUNDS across rounds
+        // (thread-shaped components converge in ~log₄(ecc) + c rounds).
+        // The earlier jump went through the PREVIOUS round's labels,
+        // which is a no-op once the frontier adopts already-final
+        // labels — a pure chain crawled ONE hop per round (q226's
+        // fuzzy-name chains at sf0.1 measured 32 rounds; this form
+        // takes a handful). Each doubling is one self-equi-join of an
+        // id→label frame; labels only ever decrease toward the
+        // component min, so any composition preserves the invariant.
+        def jumpOnce(t: DataFrame): DataFrame = {
+          // renamed lookup columns keep the self-join unambiguous
+          val lookup = t.select(col("id").as("__lk_id"), col("l2").as("__lk_l"))
+          t.join(lookup, col("l2") === col("__lk_id"), "left")
+            .select(col("id"),
+              least(col("l2"), coalesce(col("__lk_l"), col("l2"))).as("l2"),
+              col("old"))
+        }
+        val base = relaxed.select(col("id"), col("rl").as("l2"), col("old"))
+        val jumped = jumpOnce(jumpOnce(base))
+          .select(col("id"), col("l2").as("label"), col("old"))
         val acc = spark.sparkContext.longAccumulator(s"graft.dupClusters.changed.$iter")
         val counted = jumped.as[(Long, Long, Long)].mapPartitions { it =>
           it.map { case (id, nl, ol) => if (nl != ol) acc.add(1L); (id, nl) }

@@ -303,42 +303,122 @@ object Graphs {
     * multiplicity, and self-loops ignored): `(node, component)` for
     * every node of at least one edge, where `component` is the MINIMUM
     * node id in the node's component — a canonical, engine-replayable
-    * label (the [[graft.ops.Dedup.dupClusters]] contract, generalized
-    * from near-dup pair graphs to any edge list: crawl-host link
-    * islands, entity-resolution blocks, co-citation clusters).
+    * label.
     *
-    * Delegates to the dupClusters label-propagation machinery — min-
-    * label edge relaxation + pointer jumping, one Spark job per round,
-    * per-round localCheckpoint lineage truncation, superseded rounds
-    * freed as they are replaced, optional reliable-checkpoint rewind
-    * (`reliableEvery`), and the LOUD `maxIter` backstop (a partial
-    * propagation would silently split one real component; refusing
-    * beats wrong labels — raise `maxIter` for thread-shaped graphs,
-    * whose worst case is the eccentricity of a component's minimum
-    * node, halved by the jump on fresh labels).
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR edge contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — per round, every node re-points its strictly-larger
+    * neighbors (large-star), then its strictly-smaller ones
+    * (small-star), at the minimum of its closed neighborhood; the edge
+    * set monotonically contracts to min-rooted STARS in O(log²) rounds
+    * REGARDLESS of shape. Chosen over min-label flooding (the
+    * [[graft.ops.Dedup.dupClusters]] machinery) because flooding is
+    * eccentricity-bound on thread-shaped graphs — a reflood frontier
+    * adopting already-final labels advances ONE graph hop per round,
+    * and pointer doubling only compresses label chains, not graph
+    * distance (measured on q226's fuzzy-name chains at sf0.1: 26
+    * rounds flooding, 7 star rounds; a web-scale graph's eccentricity
+    * runs to hundreds). Each star pass is two key-grain aggregates +
+    * an edge join — every step an equi-join over the (shrinking) edge
+    * frame, localCheckpointed per round with stats reset (the
+    * compounding-originStats planner hazard) and superseded rounds
+    * freed.
+    *
+    * Convergence is detected EXACTLY: each changed round strictly
+    * decreases Σ(a + b) over the distinct edge set (every re-pointed
+    * edge replaces an endpoint by a strictly smaller one, and merges
+    * only remove terms), so an unchanged exact DECIMAL(38,0) sum —
+    * never a hash — IS the fixpoint. The loud `maxIter` backstop
+    * remains (a partial contraction would silently split components;
+    * refusing beats wrong labels).
     *
     * Ids must be long-castable (the engine-wide numeric-id contract);
     * a string/UUID id refuses loudly through the consumed endpoint
     * with the [[graft.ops.Ids.withSurrogateId]] pointer. Null
-    * endpoints are dropped (unlinkable, the graph-family convention). */
+    * endpoints are dropped (unlinkable, the graph-family convention);
+    * self-loop-only nodes are their own singleton component. */
+  /** Test seam: invoked at the start of each [[connectedComponents]]
+    * star round with the round number — specs pin the O(log²) round
+    * bound on adversarial shapes. No-op in production. */
+  private[graft] var ccRoundProbe: Int => Unit = _ => ()
+
   def connectedComponents(
       edges: DataFrame,
       src: String,
       dst: String,
-      maxIter: Int = 64,
-      reliableEvery: Int = 0
+      maxIter: Int = 64
   ): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
     def checked(c: String): Column =
       when(col(c).cast("long").isNull, raise_error(concat(
         lit(s"connectedComponents: endpoint '$c' value "), col(c).cast("string"),
         lit(" is not long-castable — route string ids through "),
         lit("Ids.withSurrogateId first"))).cast("long"))
         .otherwise(col(c).cast("long"))
-    val pairs = edges
+    // one pass over the (possibly expensive) upstream: nodes, the
+    // canonical edge set, and the final mapping join all read blocks
+    val raw = graft.Checkpoints.localCheckpoint(edges
       .filter(col(src).isNotNull && col(dst).isNotNull)
-      .select(checked(src).as("id_a"), checked(dst).as("id_b"))
-    Dedup.dupClusters(pairs, "id_a", "id_b", maxIter, reliableEvery)
-      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+      .select(checked(src).as("a"), checked(dst).as("b")), resetStats = true)
+    // every node ever seen (incl. self-loop-only): the output domain
+    val nodes = raw.select(col("a").as("node")).unionAll(raw.select(col("b")))
+      .distinct()
+    var cur = graft.Checkpoints.localCheckpoint(
+      raw.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct(), resetStats = true)
+    import org.apache.spark.sql.types.DecimalType
+    def potential(e: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = e.agg(
+        coalesce(sum((col("a") + col("b")).cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)).as("s"),
+        count(lit(1)).as("n")).head()
+      (r.getDecimal(0), r.getLong(1))
+    }
+    var pot = potential(cur)
+    var it = 0
+    var converged = pot._2 == 0L
+    while (!converged && it < maxIter) {
+      ccRoundProbe(it)
+      // LARGE-STAR: neighborhoods from both directions; every strictly-
+      // larger neighbor v of u re-points at m = min(N(u) ∪ {u})
+      val bidir = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
+      val mins = bidir.groupBy("u")
+        .agg(least(min(col("v")), min(col("u"))).as("m")) // min(u) = u (key)
+      val ls = bidir.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("a"), col("v").as("b")) // m <= u < v: no self-edges
+        .distinct()
+      // SMALL-STAR: edges now all point smaller<-larger; each node x
+      // re-points its smaller neighbors (and itself) at their minimum
+      val mins2 = ls.groupBy(col("b").as("x")).agg(min(col("a")).as("mn"))
+      val perEdge = ls.join(mins2, col("b") === col("x"))
+        .filter(col("a") =!= col("mn"))
+        .select(col("mn").as("a"), col("a").as("b")) // (mn, y): mn < y
+      val perNode = mins2.select(col("mn").as("a"), col("x").as("b")) // (mn, x)
+      val next = graft.Checkpoints.localCheckpoint(
+        perEdge.unionAll(perNode).distinct(), resetStats = true)
+      val nextPot = potential(next)
+      graft.Checkpoints.free(cur)
+      cur = next
+      // strict-decrease potential: an unchanged exact sum IS the
+      // fixpoint (compareTo — BigDecimal.equals is scale-sensitive)
+      converged = nextPot._1.compareTo(pot._1) == 0 && nextPot._2 == pot._2
+      pot = nextPot
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds — " +
+          "raise maxIter (the bound is O(log² n); this graph is adversarial)")
+    // fixpoint edges are min-rooted stars: b -> a maps members, centers
+    // and edge-less (self-loop-only) nodes map to themselves
+    nodes
+      .join(cur.select(col("b").as("node"), col("a").as("__c")), Seq("node"), "left")
+      .groupBy("node")
+      .agg(min(col("__c")).as("__c"))
+      .select(col("node"), coalesce(col("__c"), col("node")).as("component"))
   }
 
   /** Edge reciprocity per node over the DIRECTED simple graph (distinct

@@ -308,6 +308,52 @@ object Joins {
     editDistanceJoin(df, df, blockCols, idCol, textCol, maxDist, maxBlockTexts, maxTextLen)
       .filter(col("id_a") < col("id_b"))
 
+  /** Entity canonicalization — the last mile of the resolution
+    * pipeline (match pairs via [[editDistanceSelfJoin]] /
+    * [[recordLinkage]] → close them into entities via
+    * [[Graphs.connectedComponents]] → THIS picks each entity's
+    * canonical record): every record of `records` is assigned its
+    * `component` (the entity label — min member id) and the entity's
+    * `keeper_id`, the member with the HIGHEST `scoreCol` (data
+    * quality, recency, completeness — the caller's notion of "best"),
+    * ties toward the smaller id (the [[GroupTopK]] contract, so the
+    * choice is deterministic and engine-replayable). Records matched
+    * by no pair are their own singleton entity and their own keeper —
+    * the output is a TOTAL assignment over `records`.
+    *
+    * Scale shape: label propagation on the pair graph (pairs only —
+    * singletons never enter the loop), one |matched|-grain score join,
+    * a per-entity size-1 heap, and a union with the singleton
+    * pass-through. Null scores are unrankable: a component whose every
+    * member score is null keeps its MIN-id member (the label itself)
+    * as keeper rather than dropping the entity. */
+  def entityKeepers(
+      records: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairA: String = "id_a",
+      pairB: String = "id_b",
+      maxIter: Int = 64
+  ): DataFrame = {
+    val comps = graft.Checkpoints.trackCache(
+      Graphs.connectedComponents(pairs, pairA, pairB).persist())
+    val ids = records.select(col(idCol).cast("long").as("node"),
+      col(scoreCol).cast("double").as("__s"))
+    val members = comps.join(ids, "node")
+    val best = GroupTopK.topKPerGroup(members, Seq("component"), "node", "__s", 1)
+      .select(col("component"), col("node").as("keeper_id"))
+    val matched = comps
+      .join(best, Seq("component"), "left")
+      // all-null-score component: fall back to the canonical min-id label
+      .select(col("node"), col("component"),
+        coalesce(col("keeper_id"), col("component")).as("keeper_id"))
+    val singletons = ids
+      .join(comps.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"), col("node").as("keeper_id"))
+    matched.unionByName(singletons)
+  }
+
   /** One scored comparison field of [[recordLinkage]]. `weight` is the
     * field's share of the match score; `kind` picks the similarity:
     * [[LinkFieldKind.Exact]] (1 iff non-null equal),

@@ -252,7 +252,14 @@ object Metrics {
     * the variance gate stays on the direct expression (never
     * sqrt-then-square — the cancellation-NaN trap). Scale shape: one
     * count shuffle to cell grain (map-side combined), a |types ×
-    * period|-row profile aggregate, and a broadcast-sized join back. */
+    * period|-row profile aggregate, and a broadcast-sized join back.
+    *
+    * `frozenProfiles` ((series, phase) → (mean, sigma)) switches to a
+    * caller-blessed reference baseline — the
+    * [[graft.streaming.StreamingEval.seasonalMonitorStream]] contract
+    * (a live stream must not define its own normality, the
+    * [[cusumChangepoints]] frozen-stats convention): no leave-one-out,
+    * `base_n` null, unprofiled or σ ≤ 0 cells dropped. */
   def seasonalAnomalies(
       events: DataFrame,
       typeCol: String,
@@ -260,12 +267,15 @@ object Metrics {
       bucketUs: Long,
       period: Int,
       k: Double,
-      minBaseline: Int = 3
+      minBaseline: Int = 3,
+      frozenProfiles: Option[Map[(String, Long), (Double, Double)]] = None
   ): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     require(period >= 2, "period must be >= 2 buckets")
     require(k > 0, "k must be positive")
     require(minBaseline >= 2, "minBaseline must be >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
     val bucket = call_function("div",
       (usCol.cast("long") - pmod(usCol.cast("long"), lit(bucketUs))), lit(bucketUs))
     val cells = events
@@ -273,24 +283,42 @@ object Metrics {
       .groupBy(col(typeCol).as("series"), bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
-    val profile = cells.groupBy("series", "phase").agg(
-      count(lit(1)).as("__m"), sum(col("n")).as("__s1"),
-      sum(col("n") * col("n")).as("__s2"))
-    val m1 = (col("__m") - lit(1L)).cast("double")
-    val mean = (col("__s1") - col("n")).cast("double") / m1
-    val variance = (col("__s2") - col("n") * col("n")).cast("double") / m1 - mean * mean
-    val z = (col("n").cast("double") - mean) / sqrt(variance)
-    val enough = col("__m") - lit(1L) >= minBaseline
-    cells.join(broadcast(profile), Seq("series", "phase"))
-      .select(col("series"), col("bucket"), col("phase"), col("n"),
-        (col("__m") - lit(1L)).as("base_n"),
-        when(enough, round(mean, 6) + lit(0.0)).as("mean_r"),
-        when(enough && variance > 0, round(z, 6) + lit(0.0)).as("z_r"),
-        (enough &&
-          ((variance > 0 &&
-            abs(col("n").cast("double") - mean) > lit(k) * sqrt(variance)) ||
-           (variance === 0.0 && col("n").cast("double") =!= mean)))
-          .as("is_anomaly"))
+    frozenProfiles match {
+      case Some(m) =>
+        // blessed reference profiles (the streaming-monitor contract —
+        // a live stream must not define its own normality): cells whose
+        // (series, phase) has no profile, or whose sigma <= 0, drop
+        val f = m.toSeq.map { case ((s, p), (mu, sd)) => (s, p, mu, sd) }
+          .toDF("series", "phase", "__fmu", "__fsd")
+        val z = (col("n").cast("double") - col("__fmu")) / col("__fsd")
+        cells.join(broadcast(f), Seq("series", "phase"))
+          .filter(col("__fsd") > 0.0)
+          .select(col("series"), col("bucket"), col("phase"), col("n"),
+            lit(null).cast("long").as("base_n"),
+            (round(col("__fmu"), 6) + lit(0.0)).as("mean_r"),
+            (round(z, 6) + lit(0.0)).as("z_r"),
+            (abs(col("n").cast("double") - col("__fmu")) > lit(k) * col("__fsd"))
+              .as("is_anomaly"))
+      case None =>
+        val profile = cells.groupBy("series", "phase").agg(
+          count(lit(1)).as("__m"), sum(col("n")).as("__s1"),
+          sum(col("n") * col("n")).as("__s2"))
+        val m1 = (col("__m") - lit(1L)).cast("double")
+        val mean = (col("__s1") - col("n")).cast("double") / m1
+        val variance = (col("__s2") - col("n") * col("n")).cast("double") / m1 - mean * mean
+        val z = (col("n").cast("double") - mean) / sqrt(variance)
+        val enough = col("__m") - lit(1L) >= minBaseline
+        cells.join(broadcast(profile), Seq("series", "phase"))
+          .select(col("series"), col("bucket"), col("phase"), col("n"),
+            (col("__m") - lit(1L)).as("base_n"),
+            when(enough, round(mean, 6) + lit(0.0)).as("mean_r"),
+            when(enough && variance > 0, round(z, 6) + lit(0.0)).as("z_r"),
+            (enough &&
+              ((variance > 0 &&
+                abs(col("n").cast("double") - mean) > lit(k) * sqrt(variance)) ||
+               (variance === 0.0 && col("n").cast("double") =!= mean)))
+              .as("is_anomaly"))
+    }
   }
 
   /** Multi-touch conversion attribution: credit each conversion event

@@ -129,6 +129,55 @@ object Outliers {
       .drop("__lo", "__hi")
   }
 
+  /** Robust (median/MAD) z-scores per group — the outlier detector that
+    * survives its own outliers: [[withGroupZscore]]'s mean/σ are
+    * dragged by the very tail rows being hunted (one 10⁹-char document
+    * inflates σ until nothing else flags), while the median and the
+    * median-absolute-deviation have a 50% breakdown point. `robust_z =
+    * 0.6744897501960817 · (x − median) ⁄ MAD` (the Φ⁻¹(0.75)
+    * consistency constant, so thresholds carry over from the normal
+    * z-scale; |z| > 3.5 is the classic Iglewicz–Hoaglin cut).
+    *
+    * Determinism: medians are EXACT percentiles (Spark `percentile` ≡
+    * DuckDB `quantile_cont` at the same interpolation, the q93
+    * contract) under `graft.stats.approx=false`, and the z arithmetic
+    * is the same IEEE sequence both engines write. A zero MAD (over
+    * half the group identical) leaves `robust_z_r` null — undefined,
+    * the σ = 0 convention. NaN ≡ null as everywhere.
+    *
+    * Scale shape: two percentile aggregates (median, then MAD over the
+    * deviations) + two broadcast joins back — the exact path sorts
+    * each group once per aggregate; flip `graft.stats.approx=true` for
+    * the sketched 100 TB variant (the [[winsorize]] switch). */
+  def withGroupRobustZscore(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      zCol: String = "robust_z_r"
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "withGroupRobustZscore needs group keys")
+    val raw = col(valueCol)
+    val v = when(!isnan(raw.cast("double")), raw.cast("double"))
+    val approx = df.sparkSession.conf.get("graft.stats.approx", "false").toBoolean
+    def med(c: Column): Column =
+      if (approx) percentile_approx(c, lit(0.5), lit(10000)).cast("double")
+      else percentile(c, lit(0.5))
+    val medians = df.groupBy(groupCols.map(col): _*).agg(med(v).as("__med"))
+    val withMed = df.join(broadcast(medians), groupCols, "left")
+    val mads = withMed
+      .groupBy(groupCols.map(col): _*)
+      .agg(med(abs(v - col("__med"))).as("__mad"))
+    withMed.join(broadcast(mads), groupCols, "left")
+      .withColumn(zCol,
+        when(v.isNotNull && col("__mad") > 0.0,
+          round(lit(0.6744897501960817) * (v - col("__med")) / col("__mad"), 6)
+            + lit(0.0)))
+      .withColumn("__med", round(col("__med"), 6) + lit(0.0))
+      .withColumn("__mad", round(col("__mad"), 6) + lit(0.0))
+      .withColumnRenamed("__med", "median_r")
+      .withColumnRenamed("__mad", "mad_r")
+  }
+
   /** Cross-source QUANTILE NORMALIZATION: map each group's value
     * distribution onto the POOLED distribution, so per-source scores
     * become comparable before a global threshold or mix. (The

@@ -247,4 +247,46 @@ object Sessions {
         min(col("__gap")).as("min_gap_us"),
         max(col("__gap")).as("max_gap_us"))
   }
+
+  /** Behavioral motif mining: the top-k most frequent `depth`-step event
+    * sequences across all users — the discovery complement of
+    * [[funnel]] (funnel counts a KNOWN path; this surfaces the paths
+    * worth funneling, and a bot's mechanical loop dominates this table
+    * long before any single-step statistic moves). Each user's stream
+    * orders by (`orderCol`, `idCol`); a path is `depth` CONSECUTIVE
+    * events joined with " > " (windows of the stream, not subsequences
+    * — gaps break a motif). Paths shorter than `depth` (stream tails)
+    * are excluded.
+    *
+    * Scale shape: one window pass per user partition (depth−1 `lead`s
+    * over the same sort), a path-grain count (map-side combined), and
+    * the size-k string heap — no second sort, no driver state. Ties
+    * rank toward the binary-smaller path (the [[GroupTopK]] contract).
+    * Output: (path, n, rank). */
+  def eventPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      orderCol: Column,
+      idCol: String,
+      depth: Int = 3,
+      k: Int = 25
+  ): DataFrame = {
+    require(depth >= 2, "a path needs at least 2 steps")
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(orderCol.asc, col(idCol).asc)
+    val steps = col(typeCol) +: (1 until depth).map(i => lead(col(typeCol), i).over(w))
+    val counted = events
+      .filter(col(userCol).isNotNull)
+      .select(steps.zipWithIndex.map { case (c, i) => c.as(s"__s$i") }: _*)
+      .filter((0 until depth).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .groupBy(concat_ws(" > ", (0 until depth).map(i => col(s"__s$i")): _*).as("path"))
+      .agg(count(lit(1)).as("n"))
+    GroupTopK.topKPerGroupString(
+        counted.withColumn("__g", lit(0))
+          .withColumn("__n_d", col("n").cast("double")),
+        Seq("__g"), "path", "__n_d", k)
+      .select(col("path"), col("__n_d").cast("long").as("n"), col("rank"))
+  }
 }

@@ -10,6 +10,41 @@ package graft.queries
   * the object this trait is mixed into and initialize after it. */
 private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
+  /** Shared CTE chain of q226/q235: the q203 fuzzy-match pair set,
+    * undirected edges, and a fixed `rounds`-round min-label flood
+    * (measured fixpoints 3/8/32 at the three sfs — a shortfall would
+    * hash-mismatch, the q224 bounded-replay argument). Ends with
+    * `l<rounds>` = (node, label). */
+  private def ccFloodCtes(rounds: Int): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.label, coalesce(m.ml, l.label)) AS label
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT e.u AS node, min(p.label) AS ml
+         |    FROM e JOIN l${i - 1} p ON p.node = e.v
+         |    GROUP BY e.u
+         |  ) m ON m.node = l.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""c AS (
+       |  SELECT c_nationkey AS nationkey, c_custkey, c_name FROM customer
+       |  WHERE c_nationkey IS NOT NULL AND c_name IS NOT NULL
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+       |  FROM c a JOIN c b
+       |    ON a.nationkey = b.nationkey AND a.c_custkey < b.c_custkey
+       |  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+       |    AND levenshtein(a.c_name, b.c_name) <= 1
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT id_a AS u, id_b AS v FROM pairs
+       |    UNION ALL SELECT id_b, id_a FROM pairs)
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS node, u AS label FROM e
+       |),
+       |$iter""".stripMargin
+  }
+
   protected lazy val staticOracleSql: Map[String, String] = Map(
     // bottom-64 uniform sample (md5 unit hash, ties to smaller id) then
     // quantile_cont == Spark exact percentile (q93-pinned parity)
@@ -4183,41 +4218,78 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
     // connected components over the q203 fuzzy-match pair graph: fixed
     // 40-round min-label flood replay (label_i(v) = min(label_{i-1}(v),
-    // min over neighbors) — the engine's relax step without the jump).
-    // Measured rounds-to-fixpoint: 3 (sf0.001), 8 (sf0.01), 32 (sf0.1),
-    // so 40 carry margin; if the data ever outgrew them the labels
-    // would differ and the hash compare would catch it (the q224
-    // bounded-replay argument).
-    "q226_connected_components" -> {
-      val rounds = (1 to 40).map { i =>
-        s"""l$i AS MATERIALIZED (
-           |  SELECT l.node, least(l.label, coalesce(m.ml, l.label)) AS label
-           |  FROM l${i - 1} l LEFT JOIN (
-           |    SELECT e.u AS node, min(p.label) AS ml
-           |    FROM e JOIN l${i - 1} p ON p.node = e.v
-           |    GROUP BY e.u
-           |  ) m ON m.node = l.node
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH c AS (
-         |  SELECT c_nationkey AS nationkey, c_custkey, c_name FROM customer
-         |  WHERE c_nationkey IS NOT NULL AND c_name IS NOT NULL
-         |), pairs AS MATERIALIZED (
-         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-         |  FROM c a JOIN c b
-         |    ON a.nationkey = b.nationkey AND a.c_custkey < b.c_custkey
-         |  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
-         |    AND levenshtein(a.c_name, b.c_name) <= 1
-         |), e AS MATERIALIZED (
-         |  SELECT DISTINCT u, v FROM (
-         |    SELECT id_a AS u, id_b AS v FROM pairs
-         |    UNION ALL SELECT id_b, id_a FROM pairs)
-         |), l0 AS MATERIALIZED (
-         |  SELECT DISTINCT u AS node, u AS label FROM e
-         |),
-         |$rounds
-         |SELECT node, label AS component FROM l40 ORDER BY node""".stripMargin
-    },
+    // min over neighbors) — the engine's relax step without the jump);
+    // the shared ccFloodCtes chain, also the q235 base
+    "q226_connected_components" ->
+      s"""WITH ${ccFloodCtes(40)}
+         |SELECT node, label AS component FROM l40 ORDER BY node""".stripMargin,
+
+    // entity canonicalization: components (the q226 chain) + per-entity
+    // argmax(acctbal, ties to smaller id) + singleton pass-through
+    "q235_entity_keepers" ->
+      s"""WITH ${ccFloodCtes(40)},
+         |comp AS (SELECT node, label AS component FROM l40),
+         |scored AS (
+         |  SELECT comp.node, comp.component, cu.c_acctbal
+         |  FROM comp JOIN customer cu ON cu.c_custkey = comp.node
+         |), best AS (
+         |  SELECT component, node AS keeper_id FROM scored
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY component ORDER BY c_acctbal DESC, node) = 1
+         |), matched AS (
+         |  SELECT s.node, s.component, b.keeper_id
+         |  FROM scored s JOIN best b USING (component)
+         |), singles AS (
+         |  SELECT c_custkey AS node, c_custkey AS component, c_custkey AS keeper_id
+         |  FROM customer
+         |  WHERE c_custkey NOT IN (SELECT node FROM comp)
+         |)
+         |SELECT node, component, keeper_id FROM matched
+         |UNION ALL SELECT node, component, keeper_id FROM singles
+         |ORDER BY node""".stripMargin,
+
+    // robust (median/MAD) z: exact quantile_cont == Spark percentile
+    // (q93), z from the RAW med/mad, 6-decimal display rounding after
+    "q233_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        |  FROM documents GROUP BY lang
+        |), dev AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, m.med
+        |  FROM documents d JOIN med m USING (lang)
+        |), mad AS (
+        |  SELECT lang,
+        |    quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5) AS mad
+        |  FROM dev GROUP BY lang
+        |)
+        |SELECT dev.doc_id, dev.lang, dev.n_chars,
+        |  CASE WHEN dev.n_chars IS NOT NULL AND mad.mad > 0.0
+        |    THEN round(0.6744897501960817 * (CAST(dev.n_chars AS DOUBLE) - dev.med) / mad.mad, 6) + 0.0
+        |    END AS robust_z_r,
+        |  round(dev.med, 6) + 0.0 AS median_r,
+        |  round(mad.mad, 6) + 0.0 AS mad_r
+        |FROM dev JOIN mad USING (lang) ORDER BY dev.doc_id""".stripMargin,
+
+    // top-25 3-step event motifs: two leads over the per-user sort,
+    // path count, (n DESC, path binary ASC) rank — the heap contract
+    "q234_event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), s AS (
+        |  SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), p AS (
+        |  SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path, COUNT(*) AS n
+        |  FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1
+        |), rk AS (
+        |  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank
+        |  FROM p
+        |)
+        |SELECT path, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 25 ORDER BY rank""".stripMargin,
 
     // exact all-pairs shingle Jaccard: the oracle brute-forces the full
     // inverted index (no prefix filter needed — the filter is lossless,

@@ -2386,6 +2386,38 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("lang", "rank")
     },
 
+    "q233_robust_outliers" -> { (s, dir) =>
+      // median/MAD robust z per lang: the outlier detector the outliers
+      // themselves can't drag (50% breakdown vs the q85 mean/sigma)
+      graft.ops.Outliers.withGroupRobustZscore(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "n_chars")
+        .orderBy("doc_id")
+    },
+
+    "q234_event_paths" -> { (s, dir) =>
+      // behavioral motif mining: top-25 3-step event sequences — the
+      // discovery complement of the q202 funnel (and the table a bot's
+      // mechanical loop dominates first)
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("event_id"))
+      graft.ops.Sessions.eventPaths(ev, "user_id", "event_type", col("us"),
+          "event_id", depth = 3, k = 25)
+        .orderBy("rank")
+    },
+
+    "q235_entity_keepers" -> { (s, dir) =>
+      // the ER last mile: q203 fuzzy matches -> q226 components -> each
+      // entity keeps its highest-acctbal record (ties to smaller id);
+      // unmatched customers are their own singleton keepers
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"),
+        col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val pairs = graft.ops.Joins.editDistanceSelfJoin(c, Seq("nationkey"),
+        "c_custkey", "c_name", maxDist = 1)
+      graft.ops.Joins.entityKeepers(c, pairs, "c_custkey", "c_acctbal")
+        .orderBy("node")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -826,6 +826,75 @@ object StreamingEval {
       }
   }
 
+  /** Per-series seasonal-monitor state: the open bucket and its partial
+    * count — a bucket finalizes when a later bucket's first event
+    * arrives (per-series event-time-ordered arrival, the
+    * [[cusumMonitorStream]] contract). */
+  case class SeasonalState(openBucket: Long, openCount: Long)
+
+  case class SeasonalOut(
+      series: String, bucket: Long, phase: Long, n: Long,
+      mean_r: Double, z_r: Double, is_anomaly: Boolean)
+
+  /** Streaming twin of [[graft.ops.Metrics.seasonalAnomalies]] with
+    * FROZEN per-(series, phase) profiles — the hour-of-day-aware burst
+    * monitor on a live stream: each finalized (series, bucket) cell is
+    * z-scored against the blessed profile of `bucket mod period`
+    * (profiles come from a reference window of history; a live stream
+    * must not define its own normality — the [[cusumMonitorStream]]
+    * convention, and exactly the batch op's `frozenProfiles` mode, so
+    * emissions are BIT-identical to the batch replay over the same
+    * finalized buckets: StreamingSpec-pinned). Cells whose phase has no
+    * profile (or σ ≤ 0) are skipped. State per series is two longs;
+    * flush the trailing open bucket with a far-future sentinel event
+    * and filter it downstream (the StreamingSpec convention). Output
+    * mode: append. */
+  def seasonalMonitorStream(
+      events: org.apache.spark.sql.Dataset[CusumEvent],
+      bucketUs: Long,
+      period: Int,
+      frozen: Map[(String, Long), (Double, Double)],
+      k: Double
+  ): org.apache.spark.sql.Dataset[SeasonalOut] = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(period >= 2, "period must be >= 2 buckets")
+    require(k > 0, "k must be positive")
+    import events.sparkSession.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[SeasonalState, SeasonalOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[CusumEvent], state: GroupState[SeasonalState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SeasonalOut]
+          var st = state.getOption.getOrElse(SeasonalState(Long.MinValue, 0L))
+          def finalizeOpen(s: SeasonalState): Unit = {
+            val phase = java.lang.Math.floorMod(s.openBucket, period.toLong)
+            frozen.get((series, phase)).filter(_._2 > 0.0).foreach {
+              case (mu, sd) =>
+                val n = s.openCount
+                val z = (n.toDouble - mu) / sd
+                out += SeasonalOut(series, s.openBucket, phase, n,
+                  round6(mu), round6(z),
+                  math.abs(n.toDouble - mu) > k * sd)
+            }
+          }
+          // within-batch sort: cross-batch order is the contract, but a
+          // batch's own rows carry no ordering guarantee worth relying on
+          rows.toSeq.sortBy(_.us).foreach { e =>
+            val b = (e.us - java.lang.Math.floorMod(e.us, bucketUs)) / bucketUs
+            if (b == st.openBucket) st = st.copy(openCount = st.openCount + 1)
+            else {
+              if (st.openBucket != Long.MinValue) finalizeOpen(st)
+              st = SeasonalState(b, 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-series CUSUM state: the prefix-identity accumulators (running
     * deviation sums and their minima — NOT the max(0, ·) recurrence, so
     * the streamed values are BIT-IDENTICAL to the batch window

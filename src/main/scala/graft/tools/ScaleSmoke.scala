@@ -679,6 +679,38 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // robust z: two exact percentile aggregates + broadcast joins;
+      // flip graft.stats.approx for the sketched path at 100 TB
+      time(s"robust median/MAD z ($nDocs docs, per-lang)") {
+        graft.ops.Outliers.withGroupRobustZscore(
+            dN.select("doc_id", "lang", "n_chars"), Seq("lang"), "n_chars")
+          .agg(count(col("robust_z_r"))).collect()
+      }
+
+      // event paths: one window pass per user + the string heap
+      time(s"event paths depth-3 top-25 (${n * 100000} events)") {
+        val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.1", "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"), col("event_id"))
+        val evN = blowUpKeyed(ev, n, "user_id")
+        graft.ops.Sessions.eventPaths(evN, "user_id", "event_type",
+            col("us"), "event_id", depth = 3, k = 25)
+          .agg(count(lit(1))).collect()
+      }
+
+      // entity canonicalization: star-contraction components over the
+      // fuzzy matches + a size-1 heap per entity + singleton union
+      time(s"entity keepers (${n * 15000} customers)") {
+        val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+          .select(col("c_nationkey").as("nationkey"), col("c_custkey"),
+            col("c_name"), col("c_acctbal"))
+        val custN = blowUpKeyed(cust, n, "c_custkey")
+        val prs = graft.ops.Joins.editDistanceSelfJoin(custN, Seq("nationkey"),
+          "c_custkey", "c_name", maxDist = 1)
+        graft.ops.Joins.entityKeepers(custN, prs, "c_custkey", "c_acctbal")
+          .agg(count(lit(1))).collect()
+      }
+
       // record linkage: candidates from the deletion index scale with
       // true fuzzy matches, field sims run on the candidate sliver only
       time(s"record linkage (${n * 15000} x ${n * 15000} customers)") {
@@ -734,10 +766,10 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
-      // connected components: label propagation + pointer jump; round
-      // count tracks component ECCENTRICITY (not node count), so the
-      // scale graph is 50-node ring segments — ${n * 50} components of
-      // bounded diameter at every factor; per-round cost tracks edges
+      // connected components: alternating star contraction — O(log²)
+      // rounds regardless of shape; per-round cost tracks the
+      // (shrinking) edge frame. Ring segments keep many components
+      // alive at every factor
       time(s"connected components (${n * 2500} nodes in ${n * 50} rings)") {
         val s = col("l_orderkey") % (n * 2500L)
         val segBase = s - pmod(s, lit(50L))
@@ -747,13 +779,15 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
-      // adversarial: a 60-node PATH is the label-propagation worst case
-      // (eccentricity-bound rounds, ~30 with the pointer jump) — the row
-      // that would hang for hours if per-round planner state compounded
-      // (the originStats blowup); bounded time IS the pass criterion
-      time(s"connected components adversarial 60-node path (~30 rounds)") {
-        val path = spark.range(59).select(col("id").as("s"), (col("id") + 1).as("d"))
-        graft.ops.Graphs.connectedComponents(path, "s", "d", maxIter = 80)
+      // adversarial: a LONG PATH is the shape that defeats min-label
+      // flooding (eccentricity-bound rounds — the old formulation
+      // crawled one hop per round and hung on the compounding-
+      // originStats planner stall besides); star contraction must
+      // finish it in ~log² rounds, scale factor notwithstanding
+      time(s"connected components adversarial ${n * 60}-node path") {
+        val path = spark.range(n * 60L - 1)
+          .select(col("id").as("s"), (col("id") + 1).as("d"))
+        graft.ops.Graphs.connectedComponents(path, "s", "d")
           .agg(count(lit(1))).collect()
       }
 

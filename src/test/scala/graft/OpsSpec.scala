@@ -2227,6 +2227,73 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("not positive"), s"unexpected: ${err.getMessage}")
   }
 
+  test("withGroupRobustZscore: flags what mean/sigma misses; zero MAD stays null") {
+    import graft.ops.Outliers
+    // 1..9 plus one 1000: the classic z is diluted by the outlier's own
+    // pull on sigma (z ~ 2.85 < 3.5) while the robust z is ~268
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(v => ("g", v)).toDF("g", "v")
+    val got = Outliers.withGroupRobustZscore(df, Seq("g"), "v")
+      .collect().map(r => r.getAs[Double]("v") ->
+        ((r.getAs[Double]("median_r"), r.getAs[Double]("mad_r"),
+          Option(r.getAs[java.lang.Double]("robust_z_r"))))).toMap
+    assert(got(1000.0)._1 == 5.5 && got(1000.0)._2 == 2.5)
+    // 0.6744897501960817 * 994.5 / 2.5
+    assert(math.abs(got(1000.0)._3.get - 0.6744897501960817 * 994.5 / 2.5) < 1e-4)
+    assert(got(5.0)._3.get < 1.0 && got(9.0)._3.get < 1.0)
+    // over half the group identical: MAD = 0, z undefined (null)
+    val flat = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 9.0)).toDF("g", "v")
+    val fz = Outliers.withGroupRobustZscore(flat, Seq("g"), "v")
+      .filter(col("v") === 9.0).collect().head
+    assert(fz.getAs[Double]("mad_r") == 0.0)
+    assert(fz.isNullAt(fz.fieldIndex("robust_z_r")))
+  }
+
+  test("eventPaths: consecutive windows only, tail exclusion, binary tie order") {
+    import graft.ops.Sessions
+    // user 1: a b a b a -> paths (a b a) x2? windows: aba, bab, aba = aba:2, bab:1
+    // user 2: a b a     -> aba:1 ; user 3: x y (too short for depth 3)
+    val ev = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "a", 3L, 3L),
+      (1L, "b", 4L, 4L), (1L, "a", 5L, 5L),
+      (2L, "a", 1L, 6L), (2L, "b", 2L, 7L), (2L, "a", 3L, 8L),
+      (3L, "x", 1L, 9L), (3L, "y", 2L, 10L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = Sessions.eventPaths(ev, "user_id", "event_type", col("us"),
+        "event_id", depth = 3, k = 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("path"),
+        r.getAs[Long]("n"))).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a > b > a", 3L), (2L, "b > a > b", 1L)))
+    // depth 2: pairs, binary tie order between equal-count paths
+    val got2 = Sessions.eventPaths(ev, "user_id", "event_type", col("us"),
+        "event_id", depth = 2, k = 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("path"))).toSeq
+      .sortBy(_._1)
+    assert(got2.head._2 == "a > b") // 3 occurrences beats b > a's 3? ties -> binary
+    assert(got2.map(_._2).contains("x > y"))
+  }
+
+  test("entityKeepers: best-score keeper, singleton pass-through, null-score fallback") {
+    import graft.ops.Joins
+    // component {1,2,3} chained; component {7,8}; singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val recs = Seq((1L, 10.0), (2L, 99.0), (3L, 50.0),
+      (7L, 1.0), (8L, 1.0), (9L, 42.0)).toDF("id", "score")
+    val got = Joins.entityKeepers(recs, pairs, "id", "score")
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("keeper_id")))).toMap
+    assert(got.size == 6)
+    assert(got(1L) == ((1L, 2L)) && got(2L) == ((1L, 2L)) && got(3L) == ((1L, 2L)))
+    assert(got(7L) == ((7L, 7L)) && got(8L) == ((7L, 7L))) // tie -> smaller id
+    assert(got(9L) == ((9L, 9L))) // unmatched: own singleton keeper
+    // all-null-score component falls back to the min-id label
+    val nullScores = Seq((1L, None: Option[Double]), (2L, None: Option[Double]),
+      (3L, Some(5.0))).toDF("id", "score")
+    val nb = Joins.entityKeepers(nullScores, Seq((1L, 2L)).toDF("id_a", "id_b"),
+        "id", "score")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("keeper_id")).toMap
+    assert(nb(1L) == 1L && nb(2L) == 1L && nb(3L) == 3L)
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")

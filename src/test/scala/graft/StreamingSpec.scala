@@ -1224,6 +1224,60 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming seasonal monitor is bit-identical to the frozen-profile batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingEval.CusumEvent
+    import spark.implicits._
+    val h = 3600000000L
+    // series a: strong phase-0 daily peak (profiled), one burst at
+    // day 2 phase 3; series b: profiled only at phase 0 (other phases
+    // must be skipped); series c: unprofiled entirely
+    val mkEvents = (0 until 24 * 3).flatMap { b =>
+      val phase = b % 24
+      val na = if (phase == 0) 50 else if (phase == 3 && b / 24 == 2) 40 else 5
+      Seq.fill(na)(("a", b.toLong * h + 7L)) ++
+        Seq.fill(3)(("b", b.toLong * h + 7L)) ++
+        Seq(("c", b.toLong * h + 7L))
+    }
+    val frozen: Map[(String, Long), (Double, Double)] =
+      (0L until 24L).map(p => ("a", p) ->
+        ((if (p == 0L) 50.0 else 5.0, if (p == 0L) 2.0 else 1.5))).toMap ++
+        Map(("b", 0L) -> ((3.0, 0.5)), ("b", 1L) -> ((3.0, 0.0))) // sigma 0: skip
+    val input = MemoryStream[CusumEvent]
+    val query = graft.streaming.StreamingEval.seasonalMonitorStream(
+        input.toDS(), h, period = 24, frozen, k = 3.0)
+      .writeStream.format("memory").queryName("seasonal_out")
+      .outputMode("append").start()
+    try {
+      mkEvents.grouped(mkEvents.size / 3 + 1).foreach { chunk =>
+        input.addData(chunk.map { case (s, us) => CusumEvent(s, us) }: _*)
+        query.processAllAvailable()
+      }
+      // far-future sentinels flush the trailing open buckets
+      input.addData(CusumEvent("a", 9999L * h), CusumEvent("b", 9999L * h))
+      query.processAllAvailable()
+      val streamed = spark.table("seasonal_out")
+        .filter(col("bucket") < 9000L)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.ops.Metrics.seasonalAnomalies(
+          mkEvents.toDF("event_type", "us"), "event_type", col("us"), h,
+          period = 24, k = 3.0, frozenProfiles = Some(frozen))
+        .select("series", "bucket", "phase", "n", "mean_r", "z_r", "is_anomaly")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        s"stream diverged from frozen-profile batch:\n${streamed.take(3)}…\nvs\n${batch.take(3)}…")
+      // the off-phase burst flags; the daily peak does not
+      val flagged = spark.table("seasonal_out").filter(col("is_anomaly"))
+        .select("series", "bucket").as[(String, Long)].collect().toSet
+      assert(flagged.contains(("a", 2L * 24 + 3)))
+      assert(!flagged.exists { case (s, b) => s == "a" && b % 24 == 0 })
+      // unprofiled series c and b's sigma-0/unprofiled phases are absent
+      assert(spark.table("seasonal_out").filter(col("series") === "c").isEmpty)
+      assert(spark.table("seasonal_out")
+        .filter(col("series") === "b" && col("phase") =!= 0L).isEmpty)
+    } finally query.stop()
+  }
+
   test("streaming rolling-anomaly monitor is bit-identical to the batch RANGE frame") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingEval.CusumEvent
