@@ -321,6 +321,128 @@ object Metrics {
     }
   }
 
+  /** Recency-decayed activity score per user: events weight by
+    * `2^(−k)` half-lives where `k = (T_ref − t) div halfLifeUs` and
+    * `T_ref` is the log's latest event time — the "engaged this week
+    * beats engaged last month" ranking signal. The weights are EXACT
+    * DYADIC INTEGERS: `decay_score = Σ n_k · 2^(horizon−1−k)` over the
+    * per-(user, half-life-bucket) counts (a long — bounded for any
+    * real per-user volume at the default horizon), and the display
+    * `score_r = decay_score ⁄ 2^(horizon−1) = Σ n_k·2^(−k)` is an
+    * exact dyadic division — NO transcendentals anywhere (a true
+    * `exp(−λΔt)` is not bit-reproducible cross-engine: `exp` is
+    * correctly rounded in neither direction by contract; bucketed
+    * dyadic decay is, and at half-life grain the difference is
+    * quantization the ranking never feels). Events older than
+    * `horizon` half-lives carry weight 0 and drop — users with no
+    * event inside the horizon produce no row (dead accounts fall out
+    * of the ranking rather than padding it).
+    *
+    * Scale shape: one global max (broadcast), one count shuffle to
+    * (user, bucket) grain — map-side combined — and a |users|-grain
+    * sum. Output: (userCol, n_events_window, decay_score, score_r). */
+  def decayActivity(
+      events: DataFrame,
+      userCol: String,
+      usCol: Column,
+      halfLifeUs: Long,
+      horizon: Int = 30
+  ): DataFrame = {
+    require(halfLifeUs > 0, "halfLifeUs must be positive")
+    require(horizon >= 1 && horizon <= 62, "horizon must be in [1, 62]")
+    val base = events
+      .filter(col(userCol).isNotNull && usCol.isNotNull)
+      .select(col(userCol).as("__u"), usCol.cast("long").as("__us"))
+    val tRef = base.agg(max(col("__us")).as("__T"))
+    val k = call_function("div", col("__T") - col("__us"), lit(halfLifeUs))
+    val weighted = base.crossJoin(broadcast(tRef))
+      .withColumn("__k", k)
+      .filter(col("__k") < horizon)
+      .groupBy(col("__u"), col("__k"))
+      .agg(count(lit(1)).as("__nk"))
+      .withColumn("__w",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${horizon - 1} - __k AS INT))"))
+    weighted.groupBy(col("__u").as(userCol))
+      .agg(
+        sum(col("__nk")).as("n_events_window"),
+        sum(col("__nk") * col("__w")).as("decay_score"))
+      .withColumn("score_r",
+        round(col("decay_score").cast("double") /
+          lit(math.pow(2.0, (horizon - 1).toDouble)), 6) + lit(0.0))
+  }
+
+  /** Theil–Sen robust trend per series: the median of all pairwise
+    * slopes between a series' bucket counts, plus the matching median
+    * intercept — "is this source drifting?" answered by an estimator
+    * with a 29% breakdown point, where an OLS slope is dragged by the
+    * same bursts [[rollingAnomalies]] exists to catch (the
+    * [[graft.ops.Outliers.withGroupRobustZscore]] philosophy applied
+    * to trends). Output per series: `n_buckets`, `n_pairs`,
+    * `slope_r` (median of `(n_j − n_i)/(bucket_j − bucket_i)` over all
+    * i < j, in counts per bucket) and `intercept_r` (median of
+    * `n_i − slope·bucket_i`).
+    *
+    * Determinism: slopes are single IEEE divisions of exact integer
+    * differences; medians are exact percentiles (the q93 contract);
+    * the intercept uses the RAW median slope in the same op order the
+    * oracle writes.
+    *
+    * Scale shape: the cell grain is one count shuffle; the pairwise
+    * self-join is |buckets|² PER SERIES — bounded time, not memory,
+    * but it is a real quadratic, so a series with more than
+    * `maxBuckets` buckets refuses loudly THROUGH the consumed bucket
+    * column (the house ceiling pattern; at the default 2000 that is
+    * ~2M slope rows per series — trend estimation wants a bounded
+    * window anyway: bucket coarser or pre-filter the range). */
+  def theilSenTrend(
+      events: DataFrame,
+      typeCol: String,
+      usCol: Column,
+      bucketUs: Long,
+      maxBuckets: Long = 2000L
+  ): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(maxBuckets >= 2, "maxBuckets must be >= 2")
+    val bucket = call_function("div",
+      (usCol.cast("long") - pmod(usCol.cast("long"), lit(bucketUs))), lit(bucketUs))
+    val cells = events
+      .filter(usCol.isNotNull)
+      .groupBy(col(typeCol).as("series"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val sizes = cells.groupBy("series").agg(count(lit(1)).as("__nb"))
+    val guarded = graft.Checkpoints.trackCache(cells.join(sizes, "series")
+      .withColumn("bucket",
+        when(col("__nb") > maxBuckets, raise_error(concat(
+          lit("theilSenTrend: series "), col("series"),
+          lit(" has "), col("__nb").cast("string"),
+          lit(s" buckets (> maxBuckets=$maxBuckets) — the pairwise slope "),
+          lit("set is |buckets|²; bucket coarser, pre-filter the range, "),
+          lit("or raise maxBuckets deliberately"))).cast("long"))
+        .otherwise(col("bucket")))
+      .persist())
+    val a = guarded.select(col("series"), col("bucket").as("__b1"),
+      col("n").as("__n1"), col("__nb"))
+    val b = guarded.select(col("series"), col("bucket").as("__b2"), col("n").as("__n2"))
+    val slopes = a.join(b, "series")
+      .filter(col("__b2") > col("__b1"))
+      .select(col("series"), col("__nb"),
+        ((col("__n2") - col("__n1")).cast("double") /
+          (col("__b2") - col("__b1")).cast("double")).as("__s"))
+    val m = slopes.groupBy("series").agg(
+      min(col("__nb")).as("n_buckets"),
+      count(lit(1)).as("n_pairs"),
+      percentile(col("__s"), lit(0.5)).as("__m"))
+    guarded.join(m, "series")
+      .groupBy(col("series"))
+      .agg(
+        min(col("n_buckets")).as("n_buckets"),
+        min(col("n_pairs")).as("n_pairs"),
+        (round(min(col("__m")), 6) + lit(0.0)).as("slope_r"),
+        (round(percentile(
+          col("n").cast("double") - col("__m") * col("bucket").cast("double"),
+          lit(0.5)), 6) + lit(0.0)).as("intercept_r"))
+  }
+
   /** Multi-touch conversion attribution: credit each conversion event
     * to the touch events (views, clicks, campaign hits) that preceded
     * it within `lookbackUs`, under the classic models — `"first"` /

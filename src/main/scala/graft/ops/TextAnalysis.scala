@@ -318,6 +318,65 @@ object TextAnalysis {
         (round(col("n_novel") / col("n_grams"), 6) + lit(0.0)).as("novelty_r"))
   }
 
+  /** Corpus collocation mining: the top-k ADJACENT token pairs by
+    * pointwise mutual information — `pmi = ln c_xy + ln N − ln c_x −
+    * ln c_y` over corpus token counts (the ln-decomposed form never
+    * overflows, at any corpus size, where the `c_xy·N/(c_x·c_y)`
+    * product would) — the standard multi-word-expression detector
+    * ("new york", "machine learning"): a pair that co-occurs far more
+    * than its parts' frequencies predict. `minCount` floors the pair
+    * count (PMI famously explodes on hapax pairs — two singletons
+    * co-occurring once score the corpus maximum; 5 is the classic
+    * floor). Bigrams are POSITIONAL (adjacent tokens, order kept),
+    * counted with repetition.
+    *
+    * Determinism: integer counts; `ln` agrees cross-engine (the q84
+    * precedent); ranking by raw PMI through the string heap, ties
+    * toward the binary-smaller bigram. Scale shape: one tokenize pass
+    * (cached — it feeds unigram and bigram counts plus N), two count
+    * aggregates, two broadcast joins of |vocab|-grain frames, the
+    * size-k heap. Output: (bigram, n_pair, pmi_r, rank). */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minCount: Long = 5L,
+      k: Int = 25
+  ): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val toks = graft.Checkpoints.trackCache(docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), tokens(lower(col(textCol))).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .repartition(col("__id"))
+      .persist())
+    val uni = toks.select(explode(col("__ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val nTotal = toks.select(sum(size(col("__ts"))).as("__n"))
+    val pairs = toks
+      .select(explode(zip_with(
+        slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+        slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+        (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+      .groupBy(col("p.x").as("__x"), col("p.y").as("__y"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val scored = pairs
+      .join(broadcast(uni.select(col("tok").as("__x"), col("__c").as("__cx"))), "__x")
+      .join(broadcast(uni.select(col("tok").as("__y"), col("__c").as("__cy"))), "__y")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("__pmi",
+        log(col("n_pair").cast("double")) + log(col("__n").cast("double"))
+          - log(col("__cx").cast("double")) - log(col("__cy").cast("double")))
+      .withColumn("bigram", concat_ws(" ", col("__x"), col("__y")))
+    GroupTopK.topKPerGroupString(
+        scored.withColumn("__g", lit(0)), Seq("__g"), "bigram", "__pmi", k)
+      .join(scored.select(col("bigram"), col("n_pair")), "bigram")
+      .select(col("bigram"), col("n_pair"),
+        (round(col("__pmi"), 6) + lit(0.0)).as("pmi_r"), col("rank"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the `k` highest-scoring
     * tokens of each document under `score = tf · ln(N ⁄ df)` (raw term
     * frequency × classic idf; a corpus-ubiquitous token has df = N,

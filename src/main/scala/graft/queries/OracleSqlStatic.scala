@@ -4476,6 +4476,137 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |  round(k, 6) + 0.0 AS es_key_r
         |FROM rk WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
+    // Theil–Sen: median pairwise slope + median intercept, exact
+    // quantile_cont == Spark percentile, same IEEE op order
+    "q236_theil_sen" ->
+      """WITH e AS (
+        |  SELECT event_type AS series, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL
+        |), cells AS (
+        |  SELECT series, us // 3600000000 AS bucket, COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.series,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.bucket - a.bucket AS DOUBLE) AS s
+        |  FROM cells a JOIN cells b
+        |    ON a.series = b.series AND b.bucket > a.bucket
+        |), m AS (
+        |  SELECT series, COUNT(*) AS n_pairs, quantile_cont(s, 0.5) AS m
+        |  FROM p GROUP BY series
+        |), nb AS (
+        |  SELECT series, COUNT(*) AS n_buckets FROM cells GROUP BY series
+        |)
+        |SELECT m.series, CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(m.n_pairs AS BIGINT) AS n_pairs,
+        |  round(m.m, 6) + 0.0 AS slope_r,
+        |  round(quantile_cont(
+        |    CAST(c.n AS DOUBLE) - m.m * CAST(c.bucket AS DOUBLE), 0.5), 6) + 0.0
+        |    AS intercept_r
+        |FROM cells c JOIN m ON m.series = c.series JOIN nb ON nb.series = c.series
+        |GROUP BY m.series, nb.n_buckets, m.n_pairs, m.m
+        |ORDER BY m.series""".stripMargin,
+
+    // PMI collocations: positional adjacent pairs with repetition,
+    // ln-decomposed score, (pmi DESC, bigram binary ASC) rank
+    "q237_collocations" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |), dd AS (
+        |  SELECT ts FROM d WHERE len(ts) > 0
+        |), uni AS (
+        |  SELECT unnest(ts) AS tok FROM dd
+        |), uc AS (
+        |  SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok
+        |), nn AS (SELECT COUNT(*) AS n FROM uni),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |    i -> {'x': ts[i], 'y': ts[i + 1]})) AS p
+        |  FROM dd WHERE len(ts) >= 2
+        |), bc AS (
+        |  SELECT p.x AS x, p.y AS y, COUNT(*) AS n_pair
+        |  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), s AS (
+        |  SELECT x || ' ' || y AS bigram, n_pair,
+        |    ln(CAST(n_pair AS DOUBLE)) + ln(CAST(nn.n AS DOUBLE))
+        |      - ln(CAST(ux.c AS DOUBLE)) - ln(CAST(uy.c AS DOUBLE)) AS pmi
+        |  FROM bc JOIN uc ux ON ux.tok = bc.x JOIN uc uy ON uy.tok = bc.y, nn
+        |), rk AS (
+        |  SELECT bigram, n_pair, pmi,
+        |    row_number() OVER (ORDER BY pmi DESC, bigram) AS rank
+        |  FROM s
+        |)
+        |SELECT bigram, CAST(n_pair AS BIGINT) AS n_pair,
+        |  round(pmi, 6) + 0.0 AS pmi_r, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    // interval union per supplier: gaps-and-islands via the running max
+    // of earlier ends (ROWS .. 1 PRECEDING) over the DISTINCT (s, e)
+    // grain — dedup makes the per-key sort TOTAL, so the flag CTE and
+    // the running-sum CTE agree on row identity (with duplicates, a
+    // tied (1,0) flag pair can swap between the two window sorts and
+    // bridge a real gap); n_intervals counts the raw grain
+    "q238_interval_coverage" ->
+      """WITH raw AS (
+        |  SELECT l_suppkey, epoch_us(l_shipdate) AS s,
+        |    epoch_us(l_shipdate) + 604800000000 AS e
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+        |), rc AS (
+        |  SELECT l_suppkey, COUNT(*) AS n_intervals FROM raw GROUP BY 1
+        |), iv AS (
+        |  SELECT DISTINCT l_suppkey, s, e FROM raw
+        |), f AS (
+        |  SELECT l_suppkey, s, e,
+        |    CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv
+        |  WINDOW wp AS (PARTITION BY l_suppkey ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), g AS (
+        |  SELECT l_suppkey, s, e,
+        |    SUM(nw) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM f
+        |), isla AS (
+        |  SELECT l_suppkey, isl, min(s) AS i_s, max(e) AS i_e
+        |  FROM g GROUP BY 1, 2
+        |), wg AS (
+        |  SELECT l_suppkey, isl, i_s, i_e,
+        |    i_s - lag(i_e) OVER (PARTITION BY l_suppkey ORDER BY isl) AS gap
+        |  FROM isla
+        |)
+        |SELECT wg.l_suppkey,
+        |  CAST(MIN(rc.n_intervals) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us,
+        |  CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_us,
+        |  round(CASE WHEN MAX(i_e) > MIN(i_s)
+        |    THEN CAST(SUM(i_e - i_s) AS DOUBLE) / CAST(MAX(i_e) - MIN(i_s) AS DOUBLE)
+        |    END, 6) + 0.0 AS coverage_r,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        |FROM wg JOIN rc ON rc.l_suppkey = wg.l_suppkey
+        |GROUP BY wg.l_suppkey ORDER BY wg.l_suppkey""".stripMargin,
+
+    // dyadic decay: exact integer 2^(29-k) day weights, horizon 30
+    "q239_decay_activity" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), t AS (SELECT max(us) AS T FROM e),
+        |k AS (
+        |  SELECT user_id, (T - us) // 86400000000 AS k FROM e, t
+        |), w AS (
+        |  SELECT user_id, k, COUNT(*) AS nk FROM k WHERE k < 30 GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |  CAST(SUM(nk) AS BIGINT) AS n_events_window,
+        |  CAST(SUM(nk * (CAST(1 AS BIGINT) << CAST(29 - k AS INTEGER))) AS BIGINT)
+        |    AS decay_score,
+        |  round(CAST(SUM(nk * (CAST(1 AS BIGINT) << CAST(29 - k AS INTEGER))) AS DOUBLE)
+        |    / 536870912.0, 6) + 0.0 AS score_r
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

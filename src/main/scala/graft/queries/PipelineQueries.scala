@@ -2418,6 +2418,49 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("node")
     },
 
+    "q236_theil_sen" -> { (s, dir) =>
+      // robust per-type trend: median pairwise slope over hourly
+      // buckets — the drift answer a burst can't drag (q233's
+      // philosophy applied to trends)
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000").as("us"))
+      graft.ops.Metrics.theilSenTrend(ev, "event_type", col("us"),
+          bucketUs = 3600000000L)
+        .orderBy("series")
+    },
+
+    "q237_collocations" -> { (s, dir) =>
+      // corpus collocations: top-25 adjacent pairs by PMI (ln-decomposed,
+      // overflow-free), pair count floored at 5 — the multi-word
+      // expression detector
+      graft.ops.TextAnalysis.collocations(
+        t(s, dir, "documents"), "text", "doc_id", minCount = 5L, k = 25)
+        .orderBy("rank")
+    },
+
+    "q238_interval_coverage" -> { (s, dir) =>
+      // SLA-style coverage: each lineitem opens a 7-day shipping window;
+      // per supplier, the union of windows (islands), covered time,
+      // coverage ratio, and the largest hole — one window pass per key
+      val iv = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(604800000000L))
+      graft.ops.Joins.intervalCoverage(iv, Seq("l_suppkey"), "s_us", "e_us")
+        .orderBy("l_suppkey")
+    },
+
+    "q239_decay_activity" -> { (s, dir) =>
+      // recency-decayed engagement: exact dyadic half-life weights
+      // (2^-k per elapsed day), no transcendentals — the deterministic
+      // twin of exp-decay scoring; 30-day horizon drops dead accounts
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      graft.ops.Metrics.decayActivity(ev, "user_id", col("us"),
+          halfLifeUs = 86400000000L, horizon = 30)
+        .orderBy("user_id")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

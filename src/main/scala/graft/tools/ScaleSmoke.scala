@@ -711,6 +711,46 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // Theil-Sen: the pairwise-slope set is |buckets|² per series but
+      // buckets stay FIXED as data scales — cost tracks the cell scan
+      time(s"theil-sen trend (${n * 100000} events, ${n}x series)") {
+        val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.1", "events")
+          .select(col("event_type"), col("user_id"), expr("ts div 1000").as("us"))
+        val evN = blowUpKeyed(ev, n, "user_id")
+          .withColumn("event_type", concat(col("event_type"),
+            pmod(col("user_id"), lit(n.toLong)).cast("string")))
+        graft.ops.Metrics.theilSenTrend(evN, "event_type", col("us"),
+            bucketUs = 3600000000L)
+          .agg(count(lit(1))).collect()
+      }
+
+      // PMI collocations: one tokenize pass + two vocab-grain joins +
+      // the string heap — scan-bound
+      time(s"pmi collocations ($nDocs docs)") {
+        graft.ops.TextAnalysis.collocations(dN, "text", "doc_id",
+            minCount = 5L, k = 25)
+          .agg(count(lit(1))).collect()
+      }
+
+      // interval coverage: distinct-grain window pass per key
+      time(s"interval coverage (${rows} intervals, ${n}x keys)") {
+        val iv = blowUpKeyed(li.select(col("l_suppkey").as("k"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("s")), n, "k")
+          .withColumn("e", col("s") + lit(604800000000L))
+        graft.ops.Joins.intervalCoverage(iv, Seq("k"), "s", "e")
+          .agg(count(lit(1))).collect()
+      }
+
+      // decay activity: one count shuffle to (user, day) grain
+      time(s"decay activity (${n * 100000} events, ${n}x users)") {
+        val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.1", "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"))
+        val evN = blowUpKeyed(ev, n, "user_id")
+        graft.ops.Metrics.decayActivity(evN, "user_id", col("us"),
+            halfLifeUs = 86400000000L, horizon = 30)
+          .agg(count(lit(1))).collect()
+      }
+
       // record linkage: candidates from the deletion index scale with
       // true fuzzy matches, field sims run on the candidate sliver only
       time(s"record linkage (${n * 15000} x ${n * 15000} customers)") {

@@ -2294,6 +2294,110 @@ class OpsSpec extends SparkSpec {
     assert(nb(1L) == 1L && nb(2L) == 1L && nb(3L) == 3L)
   }
 
+  test("theilSenTrend: burst-robust slope, exact tiny-series values, bucket ceiling") {
+    import graft.ops.Metrics
+    // series "up": counts 1,2,3,4,5 per bucket (slope exactly 1) with
+    // ONE 100-count burst at bucket 2 — the median slope must stay 1
+    // where an OLS fit would be dragged far above it
+    val up = (0 until 5).flatMap { b =>
+      val n = if (b == 2) 100 else b + 1
+      (0 until n).map(i => ("up", b.toLong * 10L + (i % 7)))
+    }
+    // series "flat": constant 4/bucket -> slope exactly 0, intercept 4
+    val flat = (0 until 6).flatMap(b => (0 until 4).map(i => ("flat", b.toLong * 10L + i % 3)))
+    val got = Metrics.theilSenTrend((up ++ flat).toDF("t", "us"), "t", col("us"),
+        bucketUs = 10L)
+      .collect().map(r => r.getAs[String]("series") ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("n_pairs"),
+          r.getAs[Double]("slope_r"), r.getAs[Double]("intercept_r")))).toMap
+    assert(got("flat") == ((6L, 15L, 0.0, 4.0)))
+    assert(got("up")._3 == 1.0, s"burst dragged the slope: ${got("up")}")
+    // a series wider than the ceiling refuses loudly
+    val wide = (0 until 50).map(b => ("w", b.toLong * 10L))
+    val err = intercept[Exception] {
+      Metrics.theilSenTrend(wide.toDF("t", "us"), "t", col("us"), 10L,
+        maxBuckets = 10L).collect()
+    }
+    assert(err.getMessage.contains("maxBuckets"), s"unexpected: ${err.getMessage}")
+  }
+
+  test("collocations: PMI surfaces the planted pair, hapax floor, exact ln math") {
+    import graft.ops.TextAnalysis
+    // "new york" always adjacent (6x); "the" is everywhere (PMI ~ 0
+    // with anything); "rare gem" co-occurs once (hapax: floored out)
+    val docs = (1 to 6).map(i => (i.toLong, "the city of new york the"))
+      .:+((7L, "rare gem the the the")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", "doc_id",
+        minCount = 2L, k = 5)
+      .collect().map(r => r.getAs[String]("bigram") ->
+        ((r.getAs[Long]("n_pair"), r.getAs[Double]("pmi_r"), r.getAs[Long]("rank"))))
+      .toMap
+    assert(got.contains("new york") && got("new york")._1 == 6L)
+    // "city of" / "new york" / "of new" share identical counts -> equal
+    // PMI; the tie breaks in binary order (city < new < of), so the
+    // planted pair sits at rank 2 among the PMI-maximal trio
+    assert(got("new york")._3 == 2L, s"tie order: $got")
+    assert(got("city of")._3 == 1L && got("of new")._3 == 3L)
+    assert(got("city of")._2 == got("new york")._2)
+    // exact ln arithmetic: N=41 tokens (6x6 + 5), c_new=c_york=6, c_pair=6
+    val n = 41.0
+    val want = math.log(6.0) + math.log(n) - math.log(6.0) - math.log(6.0)
+    assert(math.abs(got("new york")._2 - BigDecimal(want).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(!got.keys.exists(_ == "rare gem"), "hapax pair must be floored out")
+  }
+
+  test("intervalCoverage: islands, gaps, duplicate intervals, bad interval refuses") {
+    import graft.ops.Joins
+    // key A: [0,10] ∪ [5,20] merge; [30,40] separate; duplicate [30,40]
+    // must NOT bridge the gap (the two-pass tie-swap regression) and
+    // still counts in n_intervals; [40,45] touches (start == prev end:
+    // NOT a gap — start > maxEnd opens islands, equality merges)
+    val iv = Seq(
+      ("A", 0L, 10L), ("A", 5L, 20L), ("A", 30L, 40L), ("A", 30L, 40L),
+      ("A", 40L, 45L),
+      ("B", 0L, 5L)
+    ).toDF("k", "s", "e")
+    val got = Joins.intervalCoverage(iv, Seq("k"), "s", "e")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_intervals") == 5L)
+    assert(a.getAs[Long]("n_islands") == 2L)
+    assert(a.getAs[Long]("covered_us") == 20L + 15L) // [0,20] + [30,45]
+    assert(a.getAs[Long]("span_us") == 45L)
+    assert(a.getAs[Long]("max_gap_us") == 10L) // 30 - 20
+    val b = got("B")
+    assert(b.getAs[Long]("n_islands") == 1L && b.isNullAt(b.fieldIndex("max_gap_us")))
+    // end < start refuses loudly
+    val err = intercept[Exception] {
+      Joins.intervalCoverage(Seq(("A", 10L, 5L)).toDF("k", "s", "e"),
+        Seq("k"), "s", "e").collect()
+    }
+    assert(err.getMessage.contains("precedes start"), s"unexpected: ${err.getMessage}")
+  }
+
+  test("decayActivity: exact dyadic weights, horizon cutoff, dead users drop") {
+    import graft.ops.Metrics
+    // T_ref = 100 days (us grain: 1 day = 10 units here); user 1 has
+    // 2 events today (k=0), 1 yesterday (k=1); user 2 only at k=2;
+    // user 3 beyond the horizon (k=4 with horizon 4) -> no row
+    val ev = Seq(
+      (1L, 1000L), (1L, 1001L), (1L, 995L),
+      (2L, 980L),
+      (3L, 960L)
+    ).toDF("user_id", "us")
+    val got = Metrics.decayActivity(ev, "user_id", col("us"),
+        halfLifeUs = 10L, horizon = 4)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events_window"), r.getAs[Long]("decay_score"),
+          r.getAs[Double]("score_r")))).toMap
+    // weights: 2^(4-1-k): k=0 -> 8, k=1 -> 4, k=2 -> 2, k=3 -> 1
+    // T = 1001; user 1: us 1001(k=0), 1000(k=0), 995(k=0? (1001-995)/10=0)
+    assert(got(1L) == ((3L, 24L, 3.0))) // 3 events at k=0: 3*8; /8 = 3.0
+    assert(got(2L) == ((1L, 2L, 0.25))) // k = (1001-980)/10 = 2 -> w 2; 2/8
+    assert(!got.contains(3L)) // k = (1001-960)/10 = 4 >= horizon: dropped
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
