@@ -321,6 +321,130 @@ object Metrics {
     }
   }
 
+  /** Two-proportion A/B test over UNIT-grain rows (one row per user /
+    * document / request with its `variantCol` and boolean
+    * `convertedCol`): per arm `n`/`conversions`/rate, the absolute and
+    * relative lift of the binary-LARGER variant over the smaller (B
+    * over A — a fixed, deterministic orientation), and the pooled
+    * two-proportion z statistic
+    * `z = (p_b − p_a) / √(p̂(1−p̂)(1/n_a + 1/n_b))` — the launch-review
+    * number. Exactly TWO variants are the contract; anything else
+    * refuses loudly THROUGH the consumed variant field (a silently
+    * dropped third arm would fabricate a verdict). All inputs to the
+    * z are exact integer counts; the formula is one IEEE sequence the
+    * oracle mirrors term-for-term. `z_r` is null when the pooled
+    * variance is 0 (all-converted or none-converted overall);
+    * `rel_lift_r` is null when arm A never converts. Null variants
+    * drop; a null converted counts as false (no evidence of
+    * conversion — the flag must be assigned upstream).
+    *
+    * Scale shape: one 2-row aggregate (map-side combined) + driver-free
+    * struct min/max packing. */
+  def abProportionTest(
+      units: DataFrame,
+      variantCol: String,
+      convertedCol: String
+  ): DataFrame = {
+    val perArm = units
+      .filter(col(variantCol).isNotNull)
+      .groupBy(col(variantCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n"),
+        count(when(col(convertedCol) === true, 1)).as("__k"))
+    val packed = perArm.agg(
+      count(lit(1)).as("__nv"),
+      min(struct(col("__v"), col("__n"), col("__k"))).as("__a"),
+      max(struct(col("__v"), col("__n"), col("__k"))).as("__b"))
+    val guardA = when(col("__nv") =!= 2, raise_error(concat(
+      lit("abProportionTest: expected exactly 2 variants, got "),
+      col("__nv").cast("string"),
+      lit(" — a silently dropped arm fabricates a verdict; filter upstream"))))
+      .otherwise(col("__a.__v"))
+    val na = col("__a.__n").cast("double")
+    val nb = col("__b.__n").cast("double")
+    val ka = col("__a.__k").cast("double")
+    val kb = col("__b.__k").cast("double")
+    val crA = ka / na
+    val crB = kb / nb
+    val p = (ka + kb) / (na + nb)
+    val se2 = p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)
+    packed.select(
+      guardA.as("variant_a"), col("__b.__v").as("variant_b"),
+      col("__a.__n").as("n_a"), col("__a.__k").as("conv_a"),
+      col("__b.__n").as("n_b"), col("__b.__k").as("conv_b"),
+      (round(crA, 6) + lit(0.0)).as("cr_a_r"),
+      (round(crB, 6) + lit(0.0)).as("cr_b_r"),
+      (round(crB - crA, 6) + lit(0.0)).as("abs_lift_r"),
+      when(crA > 0, round((crB - crA) / crA, 6) + lit(0.0)).as("rel_lift_r"),
+      when(se2 > 0, round((crB - crA) / sqrt(se2), 6) + lit(0.0)).as("z_r"))
+  }
+
+  /** Traffic-concentration report: the Gini coefficient of per-user
+    * event counts plus the single-heaviest-user share — "does 1% of
+    * accounts generate 90% of the load?" (the bot-farm / scraper-fleet
+    * smell, and the skew forecast for every per-user join downstream).
+    * `gini = Σⱼ (n + 1 − 2j)·cⱼ ⁄ (n·Σc)` with j the DESCENDING
+    * (count, id) position — exact integer arithmetic end to end (the
+    * ascending-sort textbook form, re-indexed so the scalable
+    * descending rank serves it directly).
+    *
+    * Scale shape: one |users|-grain count, then the [[graft.ops.Ids
+    * .surrogateMapping]] rank pattern over a combined `(count, id)`
+    * LONG sort key — range partitions + per-partition zipWithIndex
+    * offsets, NEVER a single-partition global window (and never a
+    * double-typed rank: the combined key exceeds 2⁵³ long before the
+    * counts stop fitting it) — and one final aggregate. The combined
+    * key needs `count < 2³¹` per user and `id` in `[0, 2³¹)`;
+    * out-of-range ids refuse loudly with the
+    * [[graft.ops.Ids.withSurrogateId]] pointer (the numeric-id
+    * contract). */
+  def activityConcentration(events: DataFrame, userCol: String): DataFrame = {
+    val spark = events.sparkSession
+    val counts = events.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol).as("__u")).agg(count(lit(1)).as("__c"))
+    val uid = col("__u").cast("long")
+    val checked = when(uid.isNull || uid < 0L || uid >= (1L << 31) ||
+        col("__c") >= (1L << 31),
+      raise_error(concat(
+        lit("activityConcentration: user id "), col("__u").cast("string"),
+        lit(" (count "), col("__c").cast("string"),
+        lit(") outside the combined-key range [0, 2^31) — route string/large "),
+        lit("ids through Ids.withSurrogateId first"))).cast("long"))
+      .otherwise(uid)
+    val keyed = counts.select(
+      (col("__c") * lit(1L << 31) + checked).as("__key"), col("__c"))
+    // global DESCENDING position j via range partitions + per-partition
+    // zipWithIndex (exact: range partitions are globally ordered) — the
+    // surrogateMapping shape, long keys end to end
+    val parts = math.max(1, keyed.rdd.getNumPartitions)
+    val rankedRdd = keyed
+      .repartitionByRange(parts, col("__key").desc)
+      .sortWithinPartitions(col("__key").desc)
+      .rdd
+      .zipWithIndex()
+      .map { case (r: org.apache.spark.sql.Row, i: Long) =>
+        org.apache.spark.sql.Row(r.getLong(1), i + 1L) }
+    val ranked = spark.createDataFrame(rankedRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__c",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__j",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    import org.apache.spark.sql.types.DecimalType
+    val totals = ranked.agg(
+      count(lit(1)).as("n_users"), sum(col("__c")).as("n_events"),
+      max(col("__c")).as("__mx"))
+    ranked.crossJoin(broadcast(totals))
+      .groupBy(col("n_users"), col("n_events"), col("__mx"))
+      .agg(sum(((col("n_users") + lit(1L) - lit(2L) * col("__j")) * col("__c"))
+        .cast(DecimalType(38, 0))).as("__num"))
+      .select(col("n_users"), col("n_events"),
+        (round(col("__num").cast("double") /
+          (col("n_users").cast("double") * col("n_events").cast("double")), 6)
+          + lit(0.0)).as("gini_r"),
+        (round(col("__mx").cast("double") / col("n_events").cast("double"), 6)
+          + lit(0.0)).as("top_user_frac_r"))
+  }
+
   /** Recency-decayed activity score per user: events weight by
     * `2^(−k)` half-lives where `k = (T_ref − t) div halfLifeUs` and
     * `T_ref` is the log's latest event time — the "engaged this week

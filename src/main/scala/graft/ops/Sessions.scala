@@ -80,21 +80,25 @@ object Sessions {
     * persisted because it feeds BOTH the next step's join and its own
     * count row (the shared-subtree rule). The final ratio assembly is a
     * |steps|-row frame — window functions there are driver-trivial. */
-  def funnel(
+  /** The funnel's conditional-min chain: frame i holds (user `__u`,
+    * `__ti`) — each user's FIRST reach time of step i at-or-after their
+    * step-(i−1) reach. Shared by [[funnel]] (counts) and
+    * [[funnelStepLatency]] (step-to-step timing). Frames are cached —
+    * each feeds the next AND its own consumer. */
+  private def firstReachFrames(
       events: DataFrame,
       userCol: String,
       typeCol: String,
       usCol: Column,
       steps: Seq[String]
-  ): DataFrame = {
+  ): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct types")
     val ev = graft.Checkpoints.trackCache(events
       .filter(col(userCol).isNotNull && usCol.isNotNull && col(typeCol).isin(steps: _*))
       .select(col(userCol).as("__u"), col(typeCol).as("__t"), usCol.as("__us"))
       .persist())
-    // stepFrames(i): (user, t_i) — users converted through step i
-    val stepFrames = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+    steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prevOpt, (step, _)) =>
         val slice = ev.filter(col("__t") === step)
         val converted = prevOpt match {
@@ -107,6 +111,16 @@ object Sessions {
         }
         Some(graft.Checkpoints.trackCache(converted.persist()))
     }.flatten
+  }
+
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: Column,
+      steps: Seq[String]
+  ): DataFrame = {
+    val stepFrames = firstReachFrames(events, userCol, typeCol, usCol, steps)
     val counts = stepFrames.zip(steps).zipWithIndex.map { case ((f, step), i) =>
       f.agg(count(lit(1)).as("n_users"))
         .select(lit(i.toLong).as("step_idx"), lit(step).as("step_type"), col("n_users"))
@@ -121,6 +135,51 @@ object Sessions {
           .as("conv_from_first_r"),
         when(col("__prev") > 0, round(col("n_users") / col("__prev"), 6) + lit(0.0))
           .as("conv_from_prev_r"))
+  }
+
+  /** Step-to-step funnel TIMING: for each consecutive pair of funnel
+    * steps, how long converting users took — `n_users` who reached the
+    * later step plus exact order statistics (min/max and interpolated
+    * percentiles, the [[conversionLatency]] contract) of `t_{i+1} −
+    * t_i` over each user's first-reach chain. The table that turns
+    * "40% drop between click and purchase" into "and the survivors
+    * took a median 6 minutes" — where the wait, not the drop, is the
+    * product problem. Reach times come from the same conditional-min
+    * chain as [[funnel]], so the user sets agree with the funnel's
+    * counts by construction; deltas are exact integer microseconds,
+    * never negative (step i+1's reach is at-or-after step i's).
+    *
+    * Scale shape: the chain's |steps| keyed aggregates + one
+    * user-keyed join and one percentile aggregate per step PAIR —
+    * every frame at user grain. Output: (step_idx of the destination,
+    * from_type, to_type, n_users, min_us, max_us, p50_us_r, ...). */
+  def funnelStepLatency(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: Column,
+      steps: Seq[String],
+      pcts: Seq[Double] = Seq(0.5, 0.9)
+  ): DataFrame = {
+    require(steps.size >= 2, "funnelStepLatency needs at least two steps")
+    val frames = firstReachFrames(events, userCol, typeCol, usCol, steps)
+    frames.sliding(2).zipWithIndex.map { case (pair, i) =>
+      val (prev, next) = (pair.head, pair(1))
+      val deltas = next.select(col("__u"), col("__ti"))
+        .join(prev.select(col("__u"), col("__ti").as("__tprev")), Seq("__u"))
+        .select((col("__ti") - col("__tprev")).as("__d"))
+      val pctCols = pcts.map { p =>
+        (round(percentile(col("__d"), lit(p)), 6) + lit(0.0))
+          .as(s"p${(p * 100).round}_us_r")
+      }
+      val aggs = Seq(count(lit(1)).as("n_users"),
+        min(col("__d")).as("min_us"), max(col("__d")).as("max_us")) ++ pctCols
+      deltas.agg(aggs.head, aggs.tail: _*)
+        .select(Seq(lit(i + 1L).as("step_idx"),
+          lit(steps(i)).as("from_type"), lit(steps(i + 1)).as("to_type")) ++
+          (Seq(col("n_users"), col("min_us"), col("max_us")) ++
+            pcts.map(p => col(s"p${(p * 100).round}_us_r"))): _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** Per-user conversion latency from the first `fromType` event to the

@@ -4607,6 +4607,98 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |    / 536870912.0, 6) + 0.0 AS score_r
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // two-proportion A/B: md5 unit-hash assignment, bool_or conversion,
+    // pooled z mirrored term-for-term
+    "q240_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id, bool_or(event_type = 'purchase') AS conv,
+        |    CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.5
+        |      THEN 'A' ELSE 'B' END AS v
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), arm AS (
+        |  SELECT v, COUNT(*) AS n, COUNT(*) FILTER (WHERE conv) AS k
+        |  FROM u GROUP BY v
+        |), a AS (SELECT * FROM arm WHERE v = 'A'),
+        |b AS (SELECT * FROM arm WHERE v = 'B'),
+        |c AS (
+        |  SELECT a.n AS na, a.k AS ka, b.n AS nb, b.k AS kb,
+        |    CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE) AS cra,
+        |    CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE) AS crb,
+        |    (CAST(a.k AS DOUBLE) + CAST(b.k AS DOUBLE))
+        |      / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)) AS p
+        |  FROM a, b
+        |)
+        |SELECT 'A' AS variant_a, 'B' AS variant_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS conv_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS conv_b,
+        |  round(cra, 6) + 0.0 AS cr_a_r,
+        |  round(crb, 6) + 0.0 AS cr_b_r,
+        |  round(crb - cra, 6) + 0.0 AS abs_lift_r,
+        |  CASE WHEN cra > 0 THEN round((crb - cra) / cra, 6) + 0.0 END AS rel_lift_r,
+        |  CASE WHEN p * (1.0 - p) * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)) > 0
+        |    THEN round((crb - cra) /
+        |      sqrt(p * (1.0 - p) * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6) + 0.0
+        |    END AS z_r
+        |FROM c""".stripMargin,
+
+    // funnel step timing: the q202 conditional-min chain, per-pair
+    // deltas, exact quantile_cont percentiles
+    "q241_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), s0 AS (
+        |  SELECT u, min(us) AS ti FROM e WHERE t = 'signup' GROUP BY u
+        |), s1 AS (
+        |  SELECT e.u, min(e.us) AS ti FROM e JOIN s0 ON e.u = s0.u AND e.us >= s0.ti
+        |  WHERE e.t = 'view' GROUP BY e.u
+        |), s2 AS (
+        |  SELECT e.u, min(e.us) AS ti FROM e JOIN s1 ON e.u = s1.u AND e.us >= s1.ti
+        |  WHERE e.t = 'click' GROUP BY e.u
+        |), s3 AS (
+        |  SELECT e.u, min(e.us) AS ti FROM e JOIN s2 ON e.u = s2.u AND e.us >= s2.ti
+        |  WHERE e.t = 'purchase' GROUP BY e.u
+        |), d1 AS (SELECT s1.ti - s0.ti AS d FROM s1 JOIN s0 USING (u)),
+        |d2 AS (SELECT s2.ti - s1.ti AS d FROM s2 JOIN s1 USING (u)),
+        |d3 AS (SELECT s3.ti - s2.ti AS d FROM s3 JOIN s2 USING (u))
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS from_type, 'view' AS to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MIN(d) AS BIGINT) AS min_us, CAST(MAX(d) AS BIGINT) AS max_us,
+        |  round(quantile_cont(d, 0.5), 6) + 0.0 AS p50_us_r,
+        |  round(quantile_cont(d, 0.9), 6) + 0.0 AS p90_us_r
+        |FROM d1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'view', 'click', CAST(COUNT(*) AS BIGINT),
+        |  CAST(MIN(d) AS BIGINT), CAST(MAX(d) AS BIGINT),
+        |  round(quantile_cont(d, 0.5), 6) + 0.0,
+        |  round(quantile_cont(d, 0.9), 6) + 0.0
+        |FROM d2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'click', 'purchase', CAST(COUNT(*) AS BIGINT),
+        |  CAST(MIN(d) AS BIGINT), CAST(MAX(d) AS BIGINT),
+        |  round(quantile_cont(d, 0.5), 6) + 0.0,
+        |  round(quantile_cont(d, 0.9), 6) + 0.0
+        |FROM d3
+        |ORDER BY step_idx""".stripMargin,
+
+    // Gini concentration: descending (count, id) position j, exact
+    // integer numerator sum((n + 1 - 2j) * c)
+    "q242_activity_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS c FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id
+        |), r AS (
+        |  SELECT user_id, c,
+        |    row_number() OVER (ORDER BY c DESC, user_id DESC) AS j
+        |  FROM c
+        |), t AS (SELECT COUNT(*) AS n, SUM(c) AS sc, MAX(c) AS mx FROM c)
+        |SELECT CAST(t.n AS BIGINT) AS n_users, CAST(t.sc AS BIGINT) AS n_events,
+        |  round(CAST(SUM((t.n + 1 - 2 * j) * c) AS DOUBLE)
+        |    / (CAST(t.n AS DOUBLE) * CAST(t.sc AS DOUBLE)), 6) + 0.0 AS gini_r,
+        |  round(CAST(t.mx AS DOUBLE) / CAST(t.sc AS DOUBLE), 6) + 0.0
+        |    AS top_user_frac_r
+        |FROM r, t GROUP BY t.n, t.sc, t.mx""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

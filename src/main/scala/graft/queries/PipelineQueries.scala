@@ -2461,6 +2461,38 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("user_id")
     },
 
+    "q240_ab_test" -> { (s, dir) =>
+      // launch review: hash-bucketed assignment (exactly how real A/B
+      // units are assigned), per-user conversion flag, pooled
+      // two-proportion z — all integer counts into one IEEE sequence
+      val users = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("event_type") === "purchase").as("converted"))
+        .withColumn("variant",
+          when(graft.ops.Sampling.unitHash(col("user_id"), "ab") < 0.5, "A")
+            .otherwise("B"))
+      graft.ops.Metrics.abProportionTest(users, "variant", "converted")
+    },
+
+    "q241_funnel_latency" -> { (s, dir) =>
+      // step-to-step funnel timing: the wait between consecutive
+      // first-reach times — where the funnel's time, not its drop, is
+      // the product problem
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      graft.ops.Sessions.funnelStepLatency(ev, "user_id", "event_type",
+          col("us"), Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx")
+    },
+
+    "q242_activity_gini" -> { (s, dir) =>
+      // traffic concentration: Gini over per-user event counts + the
+      // heaviest user's share — the bot-farm smell and the skew
+      // forecast for per-user joins; scalable rank, no global window
+      graft.ops.Metrics.activityConcentration(t(s, dir, "events"), "user_id")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -751,6 +751,23 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // A/B + funnel latency + gini: user-grain aggregates end to end
+      time(s"ab test + funnel latency + gini (${n * 100000} events)") {
+        val ev = graft.io.Tables.table(spark, "/root/testdata/sf0.1", "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+        val evN = blowUpKeyed(ev, n, "user_id")
+        val units = evN.groupBy(col("user_id"))
+          .agg(max(col("event_type") === "purchase").as("conv"))
+          .withColumn("v",
+            when(graft.ops.Sampling.unitHash(col("user_id"), "ab") < 0.5, "A")
+              .otherwise("B"))
+        graft.ops.Metrics.abProportionTest(units, "v", "conv").collect()
+        graft.ops.Sessions.funnelStepLatency(evN, "user_id", "event_type",
+          col("us"), Seq("signup", "view", "click", "purchase"))
+          .agg(count(lit(1))).collect()
+        graft.ops.Metrics.activityConcentration(evN, "user_id").collect()
+      }
+
       // record linkage: candidates from the deletion index scale with
       // true fuzzy matches, field sims run on the candidate sliver only
       time(s"record linkage (${n * 15000} x ${n * 15000} customers)") {

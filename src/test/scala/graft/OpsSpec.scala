@@ -2398,6 +2398,80 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(3L)) // k = (1001-960)/10 = 4 >= horizon: dropped
   }
 
+  test("abProportionTest: exact counts and z, arm-count refusal, degenerate nulls") {
+    import graft.ops.Metrics
+    val units = (Seq.fill(2)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(3)(("B", true)) ++ Seq.fill(1)(("B", false)))
+      .zipWithIndex.map { case ((v, c), i) => (i.toLong, v, c) }
+      .toDF("id", "variant", "converted")
+    val r = Metrics.abProportionTest(units, "variant", "converted").collect().head
+    assert(r.getAs[String]("variant_a") == "A" && r.getAs[String]("variant_b") == "B")
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("conv_a") == 2L)
+    assert(r.getAs[Long]("n_b") == 4L && r.getAs[Long]("conv_b") == 3L)
+    assert(r.getAs[Double]("cr_a_r") == 0.5 && r.getAs[Double]("cr_b_r") == 0.75)
+    assert(r.getAs[Double]("abs_lift_r") == 0.25 && r.getAs[Double]("rel_lift_r") == 0.5)
+    // z = 0.25 / sqrt(0.625*0.375*(0.25+0.25))
+    val z = 0.25 / math.sqrt(0.625 * 0.375 * 0.5)
+    assert(math.abs(r.getAs[Double]("z_r") - z) < 1e-6)
+    // three arms refuse loudly
+    val err = intercept[Exception] {
+      Metrics.abProportionTest(
+        units.withColumn("variant",
+          when(col("id") === 0L, lit("C")).otherwise(col("variant"))),
+        "variant", "converted").collect()
+    }
+    assert(err.getMessage.contains("exactly 2 variants"), s"unexpected: ${err.getMessage}")
+    // everyone converted: pooled variance 0 -> z null
+    val allConv = Metrics.abProportionTest(
+      units.withColumn("converted", lit(true)), "variant", "converted")
+      .collect().head
+    assert(allConv.isNullAt(allConv.fieldIndex("z_r")))
+  }
+
+  test("funnelStepLatency: per-pair deltas agree with the funnel chain") {
+    import graft.ops.Sessions
+    // user 1 completes s->v->c (10 then 30 us); user 2 stops at v (30)
+    val ev = Seq(
+      (1L, "s", 0L), (1L, "v", 10L), (1L, "c", 40L),
+      (2L, "s", 0L), (2L, "v", 30L),
+      (3L, "v", 5L) // never signed up: not in the funnel at all
+    ).toDF("user_id", "event_type", "us")
+    val got = Sessions.funnelStepLatency(ev, "user_id", "event_type", col("us"),
+        Seq("s", "v", "c"), pcts = Seq(0.5))
+      .collect().map(r => r.getAs[Long]("step_idx") ->
+        ((r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+          r.getAs[Long]("n_users"), r.getAs[Long]("min_us"),
+          r.getAs[Long]("max_us"), r.getAs[Double]("p50_us_r")))).toMap
+    assert(got(1L) == (("s", "v", 2L, 10L, 30L, 20.0)))
+    assert(got(2L) == (("v", "c", 1L, 30L, 30L, 30.0)))
+    // the pair counts equal the funnel's step counts
+    val funnelCounts = Sessions.funnel(ev, "user_id", "event_type", col("us"),
+        Seq("s", "v", "c"))
+      .select("step_idx", "n_users").as[(Long, Long)].collect().toMap
+    assert(funnelCounts(1L) == got(1L)._3 && funnelCounts(2L) == got(2L)._3)
+  }
+
+  test("activityConcentration: exact Gini, equal counts score zero, id guard") {
+    import graft.ops.Metrics
+    // counts (6, 2): population Gini = 0.25; heaviest share 0.75
+    val ev = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L)).map(u => (u, "e"))
+      .toDF("user_id", "event_type")
+    val r = Metrics.activityConcentration(ev, "user_id").collect().head
+    assert(r.getAs[Long]("n_users") == 2L && r.getAs[Long]("n_events") == 8L)
+    assert(r.getAs[Double]("gini_r") == 0.25)
+    assert(r.getAs[Double]("top_user_frac_r") == 0.75)
+    // perfectly equal counts: Gini exactly 0
+    val eq = (1L to 4L).flatMap(u => Seq.fill(3)((u, "e"))).toDF("user_id", "event_type")
+    assert(Metrics.activityConcentration(eq, "user_id")
+      .collect().head.getAs[Double]("gini_r") == 0.0)
+    // out-of-range id refuses with the surrogate pointer
+    val err = intercept[Exception] {
+      Metrics.activityConcentration(
+        Seq((1L << 40, "e")).toDF("user_id", "event_type"), "user_id").collect()
+    }
+    assert(err.getMessage.contains("withSurrogateId"), s"unexpected: ${err.getMessage}")
+  }
+
   test("novelGramFraction: exact fractions; Bloom twin never overcounts novelty") {
     import graft.ops.TextAnalysis
     val ref = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")

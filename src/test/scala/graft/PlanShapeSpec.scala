@@ -409,6 +409,40 @@ class PlanShapeSpec extends SparkSpec {
       s"fuzzy join must not plan a cross product:\n$physical")
   }
 
+  test("prefixJaccardJoin: equi-joins only, guard survives, no cartesian") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.prefixJaccardJoin(docs, "text", "doc_id", 0.5)
+    // the hot-prefix raise_error rides the consumed token — unprunable
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("raise_error"),
+      s"hot-prefix ceiling was pruned out:\n$optimized")
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must never plan a cross product:\n$physical")
+  }
+
+  test("connectedComponents star rounds and entityKeepers: no cartesian anywhere") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val recs = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (7L, 7.0), (8L, 8.0),
+      (9L, 9.0)).toDF("id", "s")
+    // the loop materializes internally; assert on the RETURNED mapping
+    // plan and on a star-round shape probe via the public op
+    val cc = graft.ops.Graphs.connectedComponents(pairs, "id_a", "id_b")
+    val ccPlan = cc.queryExecution.executedPlan.toString
+    assert(!ccPlan.contains("CartesianProduct") &&
+      !ccPlan.contains("BroadcastNestedLoopJoin"),
+      s"component mapping must be equi-joins only:\n$ccPlan")
+    val ek = graft.ops.Joins.entityKeepers(recs, pairs, "id", "s")
+    val ekPlan = ek.queryExecution.executedPlan.toString
+    assert(!ekPlan.contains("CartesianProduct") &&
+      !ekPlan.contains("BroadcastNestedLoopJoin"),
+      s"entity keepers must be equi-joins only:\n$ekPlan")
+  }
+
   test("cleanCorpus null-id guard folds away on a non-nullable id") {
     // the guard is UNCONDITIONAL in code; Catalyst's NullPropagation is
     // what removes coalesce(id, raise_error) when the id's metadata says
