@@ -1322,18 +1322,26 @@ object Dedup {
     * never generate candidates unless a document is so short they fall
     * inside its prefix.
     *
-    * Scale shape: one tokenize pass (cached — it feeds the frequency
-    * aggregate and the per-doc arrays), one frequency join, the prefix
-    * equi-join on the token key (bounded by prefix-token co-occurrence,
-    * i.e. by near-matches plus rare-token collisions), a size filter
-    * (`t·max(|A|,|B|) ≤ min` — a qualifying pair's sizes are within
-    * t of each other) BEFORE the distinct, and an exact
-    * `array_intersect` verify on just the candidate sliver. A prefix
-    * token shared by more than `maxPrefixFreq` documents refuses
-    * loudly through the consumed token column (the [[Joins
+    * Scale shape — FLAT ROWS END TO END, no per-doc arrays: one
+    * tokenize pass (cached — it feeds the frequency aggregate, the
+    * prefix ranking, and the verify), one frequency join, a
+    * per-doc-partition window that ranks each doc's tokens in the
+    * global (frequency, token) order (row_number over |doc| short
+    * partitions — a collect_list-of-structs formulation was measured
+    * OOMing aggregation buffers at 100k × 400-shingle docs; a window
+    * holds one row at a time), the prefix equi-join on the token key
+    * (bounded by prefix-token co-occurrence, i.e. by near-matches
+    * plus rare-token collisions), a size filter (`t·max(|A|,|B|) ≤
+    * min` — a qualifying pair's sizes are within t of each other)
+    * BEFORE the distinct, and a JOIN-BASED exact verify on just the
+    * candidate sliver: candidate × A-token rows inner-joined to B's
+    * (id, token) set count the intersection exactly — again no
+    * arrays, so a long document costs rows, never task memory. A
+    * prefix token shared by more than `maxPrefixFreq` documents
+    * refuses loudly through the consumed token column (the [[Joins
     * .editDistanceJoin]] convention) — on zipf text that means a
-    * corpus of near-identical short documents, where the candidate set
-    * is genuinely quadratic and worth refusing.
+    * corpus of near-identical short documents, where the candidate
+    * set is genuinely quadratic and worth refusing.
     *
     * The threshold filter runs on the RAW exact jaccard; `jaccard_r`
     * is the 6-decimal display rounding. Output: `id_a`, `id_b`
@@ -1350,26 +1358,27 @@ object Dedup {
     require(ngram >= 1, "ngram must be >= 1")
     require(maxPrefixFreq >= 1, "maxPrefixFreq must be >= 1")
     // one exchange barrier: the tokenize+explode subtree feeds the
-    // frequency aggregate AND the per-doc array rebuild (the
-    // jaccardPairs hazard — without it Catalyst re-tokenizes per branch)
+    // frequency aggregate, the ranking window, AND both verify sides
+    // (the jaccardPairs hazard — without it Catalyst re-tokenizes per
+    // branch)
     val toks = graft.Checkpoints.trackCache(df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("__id"), explode(wordGrams(col(textCol), ngram)).as("tok"))
       .repartition(col("__id"))
       .persist())
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("__f"))
-    // per doc: tokens in ascending (corpus frequency, token) order —
-    // the global canonical order both prefixes derive from
-    val docs = graft.Checkpoints.trackCache(toks.join(freq, "tok")
-      .groupBy("__id")
-      .agg(array_sort(collect_list(struct(col("__f"), col("tok")))).as("__sorted"),
-        count(lit(1)).as("sz"))
-      .persist())
+    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("sz"))
+    // rank each doc's tokens in the global (frequency, token) order —
+    // the canonical order both prefixes derive from; flat rows, one
+    // window pass over short per-doc partitions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__f").asc, col("tok").asc)
+    val ranked = toks.join(freq, "tok")
+      .withColumn("__rn", row_number().over(w))
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1L)
-      .cast("int")
-    val pre = docs.select(col("__id"), col("sz"),
-      explode(transform(slice(col("__sorted"), lit(1), prefixLen),
-        x => x.getField("tok"))).as("tok"))
+    val pre = ranked.join(sizes, "__id")
+      .filter(col("__rn") <= prefixLen)
+      .select(col("__id"), col("sz"), col("tok"), col("__rn"), col("__f"))
     // hot-prefix ceiling, riding the consumed join key
     val preCounts = pre.groupBy("tok").agg(count(lit(1)).as("__pf"))
     val guarded = pre.join(preCounts, "tok")
@@ -1382,24 +1391,45 @@ object Dedup {
           .cast("string"))
         .otherwise(col("tok")))
       .drop("__pf")
-    val a = guarded.select(col("__id").as("id_a"), col("sz").as("sz_a"), col("tok"))
-    val b = guarded.select(col("__id").as("id_b"), col("sz").as("sz_b"), col("tok"))
-    val cands = a.join(b, "tok")
+    val aSide = guarded.select(col("__id").as("id_a"), col("sz").as("sz_a"),
+      col("tok"), col("__rn").as("__rna"), col("__f"))
+    val bSide = guarded.select(col("__id").as("id_b"), col("sz").as("sz_b"),
+      col("tok"), col("__rn").as("__rnb"))
+    // PPJoin position filter: let w be the pair's FIRST shared token in
+    // the global (frequency, token) order. No shared token precedes w
+    // in EITHER doc (a globally-earlier shared token would sit before w
+    // in both sorted docs and hence inside both prefixes — contradicting
+    // w's minimality), so the overlap is bounded by 1 + min(|A|−i,
+    // |B|−j) at w's positions, and the pair must still reach the
+    // equivalent overlap threshold t·(|A|+|B|)/(1+t) (J ≥ t ⇔ c ≥
+    // that). Only w's bound is valid — a LATER shared token's positions
+    // bound nothing (earlier shared tokens exist). A small epsilon
+    // keeps FP boundary pairs: the filter may only ever keep extra
+    // candidates, never drop a true pair; the verify is exact.
+    val cands = graft.Checkpoints.trackCache(aSide.join(bSide, "tok")
       .filter(col("id_a") < col("id_b"))
       // size filter: J ≥ t forces t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|)
       .filter(lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double")
         <= least(col("sz_a"), col("sz_b")).cast("double"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct(col("__f"), col("tok"), col("__rna"), col("__rnb"))).as("__w"),
+        min(col("sz_a")).as("__sa"), min(col("sz_b")).as("__sb"))
+      .withColumn("__ub", lit(1L) + least(
+        col("__sa") - col("__w.__rna"), col("__sb") - col("__w.__rnb")))
+      .filter(col("__ub").cast("double") * lit(1.0 + threshold)
+        >= lit(threshold) * (col("__sa") + col("__sb")).cast("double") - lit(1e-6))
       .select("id_a", "id_b")
-      .distinct()
-    val full = docs.select(col("__id"),
-      transform(col("__sorted"), x => x.getField("tok")).as("__toks"), col("sz"))
-    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast("long")
-    cands
-      .join(full.select(col("__id").as("id_a"), col("__toks").as("__ta"),
-        col("sz").as("sz_a")), "id_a")
-      .join(full.select(col("__id").as("id_b"), col("__toks").as("__tb"),
-        col("sz").as("sz_b")), "id_b")
-      .withColumn("n_common", inter)
+      .persist())
+    // join-based exact intersection: (pair × A-token) rows that also
+    // exist in B's token set — flat rows, no arrays
+    val common = cands
+      .join(toks.select(col("__id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("__id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("__j", col("n_common").cast("double") /
         (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("__j") >= threshold)

@@ -625,10 +625,20 @@ object ScaleSmoke {
           .agg(sum(col("n_triangles"))).collect()
       }
 
-      // prefix-filtered exact Jaccard: candidates only from each doc's
-      // rarest shingles — scales with true near-dups, not corpus size
-      time(s"prefix jaccard join ($nDocs docs, 3-gram shingles)") {
-        graft.ops.Dedup.prefixJaccardJoin(dN, "text", "doc_id",
+      // prefix-filtered exact Jaccard: candidates scale with TRUE
+      // near-dups — so the blowup must not create them artificially: a
+      // plain xN replication makes every doc 19 exact twins (~N² true
+      // pairs per template — the first x20 attempt spilled the disk
+      // full), and INTERLEAVING a replica token loosens 3-gram matching
+      // to effective bigrams (saturated again). PREFIXING every token
+      // with the replica id keeps each replica's similarity structure
+      // byte-identical to the base corpus and cross-replica similarity
+      // at zero — matches scale exactly xN.
+      time(s"prefix jaccard join ($nDocs docs, 3-gram shingles, replica-salted)") {
+        val rep = concat(lit("r"), pmod(col("doc_id"), lit(n.toLong)).cast("string"))
+        val salted = dN.withColumn("text",
+          regexp_replace(col("text"), lit("(\\S+)"), concat(rep, lit("_$1"))))
+        graft.ops.Dedup.prefixJaccardJoin(salted, "text", "doc_id",
             threshold = 0.5, ngram = 3)
           .agg(count(lit(1))).collect()
       }
