@@ -321,6 +321,66 @@ object Metrics {
     }
   }
 
+  /** Held-out next-event prediction accuracy of the first-order Markov
+    * model — the governance check on [[eventTransitions]]: train the
+    * argmax transition table on transitions STARTING before `splitUs`,
+    * evaluate top-1 accuracy on those starting at-or-after — "how
+    * predictable is this event stream?" (a bot's mechanical loop
+    * scores near 1.0; organic behavior doesn't, and a sudden accuracy
+    * jump is a farm coming online). Ties in the argmax resolve toward
+    * the binary-smaller destination type (deterministic, the engine
+    * convention). Output one row: `n_train`, `n_eval`, `n_covered`
+    * (eval transitions whose from-type the model has seen),
+    * `accuracy_r` (over all eval transitions — unseen from-types count
+    * as misses) and `accuracy_covered_r`.
+    *
+    * Scale shape: one window pass per user (the transition pairs),
+    * a |types²|-bounded count aggregate, the |types|-row argmax, and a
+    * broadcast join onto the eval pairs. */
+  def nextEventAccuracy(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: Column,
+      idCol: String,
+      splitUs: Long
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(usCol.asc, col(idCol).asc)
+    val pairs = graft.Checkpoints.trackCache(events
+      .filter(col(userCol).isNotNull && usCol.isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(typeCol).as("__from"), col("__next").as("__to"),
+        usCol.cast("long").as("__us"))
+      .persist())
+    val train = pairs.filter(col("__us") < splitUs)
+      .groupBy("__from", "__to").agg(count(lit(1)).as("__n"))
+    // argmax with binary-smaller-destination ties: max over the
+    // (count, inverted-order marker) struct is fragile for strings —
+    // use min(struct(-count, to)) instead: smallest negative count =
+    // largest count, then smallest destination
+    val model = train
+      .groupBy("__from")
+      .agg(min(struct((-col("__n")).as("nc"), col("__to").as("t"))).as("__best"))
+      .select(col("__from"), col("__best.t").as("__pred"))
+    val eval = pairs.filter(col("__us") >= splitUs)
+    eval.join(broadcast(model), Seq("__from"), "left")
+      .agg(
+        count(lit(1)).as("n_eval"),
+        count(col("__pred")).as("n_covered"),
+        count(when(col("__pred") === col("__to"), 1)).as("__hits"))
+      .crossJoin(broadcast(
+        pairs.filter(col("__us") < splitUs).agg(count(lit(1)).as("n_train"))))
+      .select(col("n_train"), col("n_eval"), col("n_covered"),
+        (round(when(col("n_eval") > 0,
+          col("__hits").cast("double") / col("n_eval").cast("double"))
+          .otherwise(lit(null)), 6) + lit(0.0)).as("accuracy_r"),
+        (round(when(col("n_covered") > 0,
+          col("__hits").cast("double") / col("n_covered").cast("double"))
+          .otherwise(lit(null)), 6) + lit(0.0)).as("accuracy_covered_r"))
+  }
+
   /** Two-proportion A/B test over UNIT-grain rows (one row per user /
     * document / request with its `variantCol` and boolean
     * `convertedCol`): per arm `n`/`conversions`/rate, the absolute and

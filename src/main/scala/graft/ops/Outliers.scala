@@ -178,6 +178,59 @@ object Outliers {
       .withColumnRenamed("__mad", "mad_r")
   }
 
+  /** Weighted lower quantile per group: the smallest value whose
+    * cumulative weight reaches `p` of the group's total — "half the
+    * corpus BYTES live in documents shorter than X" (weight = bytes)
+    * where the unweighted median answers a question about document
+    * COUNTS nobody asked. The LOWER quantile (no interpolation) keeps
+    * the result an actual data value and the cross-engine contract
+    * trivial: exact integer cumulative weights, one boundary compare.
+    * Ties in the value column are safe by construction — the running
+    * weight uses a RANGE frame on the value, so every row of an equal
+    * value sees the same cumulative weight. Null/NaN values and
+    * non-positive weights are refused loudly through the consumed
+    * weight (a zero-weight row cannot move the quantile but a negative
+    * one silently corrupts it).
+    *
+    * Scale shape: one window pass per group partition (running sum +
+    * the same-spec total), then a min aggregate per group. Output:
+    * (groupCols, w_total, wq<p> value column). */
+  def weightedQuantile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      p: Double,
+      outCol: String = "wq_value"
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "weightedQuantile needs group keys")
+    require(p > 0.0 && p <= 1.0, "p must be in (0, 1]")
+    val w = col(weightCol).cast("long")
+    val checkedW = when(w.isNull || w <= 0L, raise_error(concat(
+      lit("weightedQuantile: weight "),
+      coalesce(w.cast("string"), lit("null")),
+      lit(" is not a positive integer for value "), col(valueCol).cast("string"),
+      lit(" — quantize fractional weights upstream (the integer-moment contract)")))
+      .cast("long"))
+      .otherwise(w)
+    val base = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(groupCols.map(col) :+ col(valueCol).as("__v") :+ checkedW.as("__w"): _*)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc)
+    val cum = sum(col("__w")).over(
+      wOrd.rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    val tot = sum(col("__w")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*))
+    base
+      .withColumn("__cum", cum)
+      .withColumn("__tot", tot)
+      .filter(col("__cum").cast("double") >= lit(p) * col("__tot").cast("double"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("__tot")).as("w_total"), min(col("__v")).as(outCol))
+  }
+
   /** Cross-source QUANTILE NORMALIZATION: map each group's value
     * distribution onto the POOLED distribution, so per-source scores
     * become comparable before a global threshold or mix. (The

@@ -735,6 +735,64 @@ object Sampling {
         (round(col("__es_key"), 6) + lit(0.0)).as("es_key_r"): _*)
   }
 
+  /** Neyman (optimal stratified) sample allocation: given a labeling /
+    * review budget of `totalBudget` rows, how many should each stratum
+    * get? Proportional allocation wastes budget on large HOMOGENEOUS
+    * strata; Neyman allocates `n_h ∝ N_h·σ_h` (stratum size × stratum
+    * spread), which minimizes the variance of the stratified estimate —
+    * the standard answer for "we can afford to hand-label 10k docs
+    * across 20 sources". Output per stratum: `n_rows`, `mean_r`,
+    * `sigma_r` (population σ from EXACT integer moments, the q85
+    * widening contract), `share_r = N_h·σ_h ⁄ Σ N·σ`, and `alloc_r =
+    * budget · share` (fractional by design — apportionment to integers
+    * is the caller's policy; a constant stratum earns share 0).
+    *
+    * Determinism: moments are exact; Σ N·σ folds in STRATUM-SORTED
+    * order (the q84 HOF fold — strata are few; a plain sum of doubles
+    * would be shuffle-order-dependent). Scale shape: one stats
+    * aggregate to stratum grain (map-side combined) + a broadcast of
+    * the |strata|-row frame. */
+  def neymanAllocation(
+      df: DataFrame,
+      strataCols: Seq[String],
+      valueCol: String,
+      totalBudget: Long
+  ): DataFrame = {
+    require(strataCols.nonEmpty, "neymanAllocation needs strata keys")
+    require(totalBudget >= 1, "totalBudget must be >= 1")
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    val raw = col(valueCol)
+    val v = when(!isnan(raw.cast("double")), raw)
+    val vw = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => v.cast(DecimalType(38, 0))
+      case _ => v.cast("double")
+    }
+    val stats = df
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(v).as("n_rows"),
+        sum(vw).as("__s1"), sum(vw * vw).as("__s2"))
+    val mean = col("__s1").cast("double") / col("n_rows").cast("double")
+    val variance = col("__s2").cast("double") / col("n_rows").cast("double") - mean * mean
+    val sigma = when(variance > 0, sqrt(variance)).otherwise(lit(0.0))
+    val weighted = stats
+      .withColumn("__w", col("n_rows").cast("double") * sigma)
+      .withColumn("__key", concat_ws("", strataCols.map(col(_).cast("string")): _*))
+    // stratum-sorted deterministic fold of Σ N·σ (strata are few)
+    val total = weighted.agg(
+      aggregate(array_sort(collect_list(struct(col("__key"), col("__w").as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("__tw"))
+    weighted.crossJoin(broadcast(total))
+      .select(strataCols.map(col) ++ Seq(
+        col("n_rows"),
+        (round(mean, 6) + lit(0.0)).as("mean_r"),
+        (round(sigma, 6) + lit(0.0)).as("sigma_r"),
+        (round(when(col("__tw") > 0, col("__w") / col("__tw")).otherwise(lit(0.0)), 6)
+          + lit(0.0)).as("share_r"),
+        (round(when(col("__tw") > 0,
+          lit(totalBudget.toDouble) * (col("__w") / col("__tw"))).otherwise(lit(0.0)), 6)
+          + lit(0.0)).as("alloc_r")): _*)
+  }
+
   /** Horvitz–Thompson estimation: unbiased FULL-CORPUS totals from a
     * weighted sample — the "measure the 100 TB corpus from the 1% you
     * can afford to scan" tool, and the inverse of this module's

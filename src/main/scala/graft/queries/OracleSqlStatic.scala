@@ -4699,6 +4699,85 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |    AS top_user_frac_r
         |FROM r, t GROUP BY t.n, t.sc, t.mx""".stripMargin,
 
+    // Neyman allocation: exact stratum moments, source-sorted Σ N·σ fold
+    "q243_neyman_allocation" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(n_chars) AS n_rows,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
+        |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS s2
+        |  FROM documents GROUP BY source
+        |), m AS (
+        |  SELECT source, n_rows,
+        |    CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE)) AS var
+        |  FROM s
+        |), wgt AS (
+        |  SELECT source, n_rows, mean,
+        |    CASE WHEN var > 0 THEN sqrt(var) ELSE 0.0 END AS sigma,
+        |    CAST(n_rows AS DOUBLE) * (CASE WHEN var > 0 THEN sqrt(var) ELSE 0.0 END) AS w
+        |  FROM m
+        |), t AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(w ORDER BY source)), (a, x) -> a + x) AS tw
+        |  FROM wgt
+        |)
+        |SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+        |  round(mean, 6) + 0.0 AS mean_r,
+        |  round(sigma, 6) + 0.0 AS sigma_r,
+        |  round(CASE WHEN tw > 0 THEN w / tw ELSE 0.0 END, 6) + 0.0 AS share_r,
+        |  round(CASE WHEN tw > 0 THEN 1000.0 * (w / tw) ELSE 0.0 END, 6) + 0.0
+        |    AS alloc_r
+        |FROM wgt, t ORDER BY source""".stripMargin,
+
+    // weighted lower quantile: RANGE-frame cumulative weights, exact
+    // integer boundary compare
+    "q244_weighted_median" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars AS v, n_chars AS w
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), c AS (
+        |  SELECT lang, v,
+        |    SUM(w) OVER (PARTITION BY lang ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY lang) AS tot
+        |  FROM b
+        |)
+        |SELECT lang, CAST(MIN(tot) AS BIGINT) AS w_total, MIN(v) AS wq_value
+        |FROM c WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Markov held-out top-1: midpoint split, argmax with (n DESC, to
+    // ASC) ties, unseen from-types count as misses
+    "q245_next_event_accuracy" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), sp AS (SELECT (min(us) + max(us)) // 2 AS s FROM e),
+        |p AS (
+        |  SELECT event_type AS f,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t,
+        |    us
+        |  FROM e
+        |), pp AS (SELECT f, t, us FROM p WHERE t IS NOT NULL),
+        |tr AS (
+        |  SELECT f, t, COUNT(*) AS n FROM pp, sp WHERE us < s GROUP BY f, t
+        |), md AS (
+        |  SELECT f, t AS pred FROM tr
+        |  QUALIFY row_number() OVER (PARTITION BY f ORDER BY n DESC, t) = 1
+        |), ev AS (SELECT pp.f, pp.t FROM pp, sp WHERE us >= s),
+        |j AS (SELECT ev.f, ev.t, md.pred FROM ev LEFT JOIN md USING (f)),
+        |tc AS (SELECT COUNT(*) AS n_train FROM pp, sp WHERE us < s)
+        |SELECT CAST(tc.n_train AS BIGINT) AS n_train,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(COUNT(pred) AS BIGINT) AS n_covered,
+        |  round(CAST(COUNT(*) FILTER (WHERE pred = t) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS accuracy_r,
+        |  round(CAST(COUNT(*) FILTER (WHERE pred = t) AS DOUBLE)
+        |    / CAST(COUNT(pred) AS DOUBLE), 6) + 0.0 AS accuracy_covered_r
+        |FROM j, tc GROUP BY tc.n_train""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

@@ -2493,6 +2493,36 @@ object PipelineQueries extends OracleSqlStatic {
       graft.ops.Metrics.activityConcentration(t(s, dir, "events"), "user_id")
     },
 
+    "q243_neyman_allocation" -> { (s, dir) =>
+      // review-budget allocation: 1000 labels across sources, n_h ∝
+      // N_h·σ_h — variance-optimal stratified sampling, exact moments
+      graft.ops.Sampling.neymanAllocation(
+        t(s, dir, "documents"), Seq("source"), "n_chars", totalBudget = 1000L)
+        .orderBy("source")
+    },
+
+    "q244_weighted_median" -> { (s, dir) =>
+      // byte-weighted median length per lang: "half this language's
+      // BYTES live in docs shorter than X" — the unweighted median
+      // answers a doc-count question nobody asked
+      graft.ops.Outliers.weightedQuantile(
+        t(s, dir, "documents").filter(col("n_chars") > 0),
+        Seq("lang"), "n_chars", "n_chars", p = 0.5)
+        .orderBy("lang")
+    },
+
+    "q245_next_event_accuracy" -> { (s, dir) =>
+      // Markov predictability: train argmax transitions on the first
+      // half of the log (midpoint split), evaluate top-1 on the second
+      // — a bot farm's arrival shows as an accuracy jump
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("event_id"))
+      val mm = ev.agg(min(col("us")), max(col("us"))).head()
+      val split = (mm.getLong(0) + mm.getLong(1)) / 2
+      graft.ops.Metrics.nextEventAccuracy(ev, "user_id", "event_type",
+        col("us"), "event_id", split)
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names
