@@ -299,6 +299,11 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Test seam: invoked at the start of each [[connectedComponents]]
+    * star round with the round number — specs pin the O(log²) round
+    * bound on adversarial shapes. No-op in production. */
+  private[graft] var ccRoundProbe: Int => Unit = _ => ()
+
   /** Connected components over an UNDIRECTED edge list (direction,
     * multiplicity, and self-loops ignored): `(node, component)` for
     * every node of at least one edge, where `component` is the MINIMUM
@@ -337,11 +342,6 @@ object Graphs {
     * with the [[graft.ops.Ids.withSurrogateId]] pointer. Null
     * endpoints are dropped (unlinkable, the graph-family convention);
     * self-loop-only nodes are their own singleton component. */
-  /** Test seam: invoked at the start of each [[connectedComponents]]
-    * star round with the round number — specs pin the O(log²) round
-    * bound on adversarial shapes. No-op in production. */
-  private[graft] var ccRoundProbe: Int => Unit = _ => ()
-
   def connectedComponents(
       edges: DataFrame,
       src: String,

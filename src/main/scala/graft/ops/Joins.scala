@@ -416,8 +416,14 @@ object Joins {
       maxIter: Int = 64
   ): DataFrame = {
     val comps = graft.Checkpoints.trackCache(
-      Graphs.connectedComponents(pairs, pairA, pairB).persist())
-    val ids = records.select(col(idCol).cast("long").as("node"),
+      Graphs.connectedComponents(pairs, pairA, pairB, maxIter).persist())
+    val checkedId =
+      when(col(idCol).cast("long").isNull, raise_error(concat(
+        lit(s"entityKeepers: id '$idCol' value "), col(idCol).cast("string"),
+        lit(" is not long-castable — route string ids through "),
+        lit("Ids.withSurrogateId first"))).cast("long"))
+        .otherwise(col(idCol).cast("long"))
+    val ids = records.select(checkedId.as("node"),
       col(scoreCol).cast("double").as("__s"))
     val members = comps.join(ids, "node")
     val best = GroupTopK.topKPerGroup(members, Seq("component"), "node", "__s", 1)

@@ -189,23 +189,32 @@ object Reports {
   }
 
   /** One-row-per-column profile of `df` over `cols`: row count, null
-    * count, exact distinct count, and the 6-decimal null rate — the
-    * per-snapshot half of [[columnProfileDiff]]. All counts are exact
-    * integers (a schema-drift gate must not fire on sketch error).
+    * count, distinct count, and the 6-decimal null rate — the
+    * per-snapshot half of [[columnProfileDiff]]. By default all counts
+    * are exact integers (a schema-drift gate must not fire on sketch
+    * error); session conf `graft.stats.approx=true` (the engine-wide
+    * [[graft.StatsAgg]] switch) swaps the distincts for
+    * `approx_count_distinct` HLL sketches (~2% relative error,
+    * identical LONG schema).
     *
     * Scale shape: ONE pass — a single aggregate computes every
-    * column's counts; the exact distincts make Spark expand the input
-    * |cols|-fold before the aggregate (the documented price of
-    * exactness — at 100 TB profile a column subset, or the row count
-    * of the expand is |cols| × |rows| with two long columns each).
+    * column's counts. On the exact path the distincts make Spark
+    * expand the input |cols|-fold before the aggregate (the documented
+    * price of exactness — at 100 TB flip `graft.stats.approx` or
+    * profile a column subset; the expand is |cols| × |rows| with two
+    * long columns each). The approx path is a plain single-pass
+    * hash aggregate — no Expand, constant sketch state per column.
     * The |cols|-row reshape is an explode over a one-row frame. */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     require(cols.forall(df.columns.contains),
       s"columns not in frame: ${cols.filterNot(df.columns.contains).mkString(", ")}")
+    val approx = df.sparkSession.conf.get("graft.stats.approx", "false").toBoolean
+    def dist(c: String): Column =
+      if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       Seq(count(when(col(c).isNull, 1)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"))
+        dist(c).as(s"__dist_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val packed = one.select(explode(array(cols.map { c =>

@@ -162,6 +162,13 @@ object Sessions {
       pcts: Seq[Double] = Seq(0.5, 0.9)
   ): DataFrame = {
     require(steps.size >= 2, "funnelStepLatency needs at least two steps")
+    require(pcts.forall(p => p > 0.0 && p <= 1.0),
+      s"funnelStepLatency: pcts must lie in (0, 1], got ${pcts.mkString(", ")}")
+    // column names encode round(p*100) — two pcts sharing a rounded label
+    // (0.95 vs 0.954) would collide into a duplicate column
+    require(pcts.map(p => (p * 100).round).distinct.size == pcts.size,
+      "funnelStepLatency: pcts " + pcts.mkString(", ") + " collide after " +
+        "rounding to integer percent labels — space them at least 1% apart")
     val frames = firstReachFrames(events, userCol, typeCol, usCol, steps)
     frames.sliding(2).zipWithIndex.map { case (pair, i) =>
       val (prev, next) = (pair.head, pair(1))

@@ -2192,6 +2192,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("columnProfile: graft.stats.approx drops the Expand, keeps schema + closeness") {
+    import graft.ops.Reports
+    val df = (1L to 5000L).map(i => (i, s"v${i % 977}", if (i % 10 == 0) null else s"g${i % 3}"))
+      .toDF("id", "v", "g")
+    val exact = Reports.columnProfile(df, Seq("id", "v", "g"))
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact countDistinct path is the |cols|-fold Expand by design")
+    spark.conf.set("graft.stats.approx", "true")
+    try {
+      val approx = Reports.columnProfile(df, Seq("id", "v", "g"))
+      // identical schema: a drift gate must not care which path ran
+      assert(approx.schema == exact.schema)
+      assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+        "approx path must be a plain single-pass aggregate (no Expand)")
+      val e = exact.collect().map(r => r.getAs[String]("column") -> r).toMap
+      val a = approx.collect().map(r => r.getAs[String]("column") -> r).toMap
+      for (c <- Seq("id", "v", "g")) {
+        // rows/nulls/rate are exact on both paths
+        assert(a(c).getAs[Long]("n_rows") == e(c).getAs[Long]("n_rows"))
+        assert(a(c).getAs[Long]("n_null") == e(c).getAs[Long]("n_null"))
+        assert(a(c).getAs[Double]("null_rate_r") == e(c).getAs[Double]("null_rate_r"))
+        val (ad, ed) = (a(c).getAs[Long]("n_distinct").toDouble,
+          e(c).getAs[Long]("n_distinct").toDouble)
+        assert(math.abs(ad - ed) / ed <= 0.10, s"$c: approx $ad vs exact $ed")
+      }
+    } finally spark.conf.unset("graft.stats.approx")
+  }
+
   test("weightedSampleNoReplacement: brute-force key replay, determinism, bad weight") {
     import graft.ops.Sampling
     val rows = (1L to 60L).map(i => (i, (i % 7 + 1).toDouble, s"g${i % 2}"))
@@ -2292,6 +2320,13 @@ class OpsSpec extends SparkSpec {
         "id", "score")
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("keeper_id")).toMap
     assert(nb(1L) == 1L && nb(2L) == 1L && nb(3L) == 3L)
+    // non-long-castable record id refuses loudly (no silent null-node row)
+    val badIds = Seq(("doc-a", 1.0), ("doc-b", 2.0)).toDF("id", "score")
+    val ex = intercept[Exception] {
+      Joins.entityKeepers(badIds, Seq((1L, 2L)).toDF("id_a", "id_b"),
+        "id", "score").collect()
+    }
+    assert(ex.getMessage.contains("withSurrogateId"), ex.getMessage)
   }
 
   test("theilSenTrend: burst-robust slope, exact tiny-series values, bucket ceiling") {
@@ -2449,6 +2484,15 @@ class OpsSpec extends SparkSpec {
         Seq("s", "v", "c"))
       .select("step_idx", "n_users").as[(Long, Long)].collect().toMap
     assert(funnelCounts(1L) == got(1L)._3 && funnelCounts(2L) == got(2L)._3)
+    // pct validation: out-of-range and label-colliding pcts refuse loudly
+    intercept[IllegalArgumentException] {
+      Sessions.funnelStepLatency(ev, "user_id", "event_type", col("us"),
+        Seq("s", "v"), pcts = Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sessions.funnelStepLatency(ev, "user_id", "event_type", col("us"),
+        Seq("s", "v"), pcts = Seq(0.95, 0.954))
+    }
   }
 
   test("activityConcentration: exact Gini, equal counts score zero, id guard") {
