@@ -84,14 +84,16 @@ object Checkpoints {
     * (observed on q226's ~20-round label propagation at sf0.1; any
     * ≳18-round loop reproduces it). `resetStats = true` rebuilds the
     * frame as a FRESH leaf over the same persisted blocks
-    * (`createDataFrame(out.rdd, schema)` — public API), dropping
-    * originStats and originConstraints: each round then re-plans
-    * against `defaultSizeInBytes` (constant bit length) and AQE's
-    * runtime sizes still drive the actual join strategy. Costs one
-    * extra row-codec map per consumer pass — linear, vs the
-    * exponential planner death it prevents. Leave it false for one-shot
-    * checkpoints, where originStats legitimately feed broadcast
-    * decisions. */
+    * ([[org.apache.spark.sql.graft.LogicalRDDBridge.withoutOriginStats]]
+    * — the checkpoint's own `LogicalRDD` re-wrapped minus its origin
+    * statistics/constraints): each round then re-plans against
+    * `defaultSizeInBytes` (constant bit length) and AQE's runtime
+    * sizes still drive the actual join strategy. The read path is
+    * identical to a plain checkpoint — the earlier public-API rebuild
+    * (`createDataFrame(out.rdd, schema)`) paid two row codecs per
+    * consumer pass, a measured 1.3× on q73's loop. Leave it false for
+    * one-shot checkpoints, where originStats legitimately feed
+    * broadcast decisions. */
   def localCheckpoint(
       df: DataFrame,
       eager: Boolean = true,
@@ -100,7 +102,8 @@ object Checkpoints {
     val out = df.localCheckpoint(eager)
     val ids = persistedRootIds(out)
     synchronized { tracked ++= ids }
-    if (resetStats) df.sparkSession.createDataFrame(out.rdd, out.schema) else out
+    if (resetStats) org.apache.spark.sql.graft.LogicalRDDBridge.withoutOriginStats(out)
+    else out
   }
 
   /** [[localCheckpoint]] only when the frame's logical plan is deep

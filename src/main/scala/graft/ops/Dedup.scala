@@ -1556,22 +1556,27 @@ object Dedup {
     * provenance tracking or picking a keeper by quality instead of id.)
     *
     * Per round, each node takes (1) the minimum label among itself and
-    * its neighbors (edge relaxation), then (2) TWO POINTER DOUBLINGS
-    * through the round's own table (labels are node ids, so looking a
-    * node's fresh label up in the same table composes the walk with
-    * itself — each doubling squares the compressed distance, the
-    * Shiloach–Vishkin trick). Per-round reach is therefore ~4 post-
-    * relax hops and COMPOUNDS round over round, so even a pure chain —
-    * the worst shape for label flooding — converges in ~log₄(ecc) + c
-    * rounds (measured: q226's fuzzy-name chain graph at sf0.1 took 32
-    * rounds when the jump went through the PREVIOUS round's stale
-    * table, a handful with the doubling; the 10k-node-path ScaleSmoke
-    * row dropped accordingly). Blob-shaped near-dup graphs still
-    * converge in 2-4 rounds. The bound stays data-dependent (hence the
-    * loud `maxIter` backstop), and rounds stay cheap: the label frame
-    * is two longs per paired doc, the edge frame is static (persisted)
-    * — an edge-rewriting algorithm (large-star/small-star) would buy
-    * its O(log²) guarantee by reshuffling O(E) every round, the wrong
+    * its neighbors (edge relaxation — this is what gets checkpointed
+    * and change-counted), then (2) a POINTER DOUBLING through the
+    * round's own checkpointed table, applied lazily as the next
+    * round's input (labels are node ids, so looking a node's fresh
+    * label up in the same table composes the walk with itself —
+    * squaring the compressed distance, the Shiloach–Vishkin trick).
+    * Per-round reach ~doubles and COMPOUNDS round over round, so even
+    * a pure chain — the worst shape for label flooding — converges in
+    * ~log₂(ecc) + c rounds (measured: q226's fuzzy-name chain graph at
+    * sf0.1 took 32 rounds when the jump went through the PREVIOUS
+    * round's stale table, a handful with the doubling; the
+    * 10k-node-path ScaleSmoke row dropped accordingly). The doubling
+    * join reads the CHECKPOINTED leaf, never the un-materialized relax
+    * output — joining the live relax plan against itself recomputed
+    * the |E|-grain relaxation once per join side (the r12 shape,
+    * measured 1.4× on q73). Blob-shaped near-dup graphs still converge
+    * in 2-4 rounds. The bound stays data-dependent (hence the loud
+    * `maxIter` backstop), and rounds stay cheap: the label frame is
+    * two longs per paired doc, the edge frame is static (persisted) —
+    * an edge-rewriting algorithm (large-star/small-star) would buy its
+    * O(log²) guarantee by reshuffling O(E) every round, the wrong
     * trade when the doubling already collapses thread shapes.
     *
     * One Spark job per round: the convergence check rides the round's own
@@ -1642,6 +1647,32 @@ object Dedup {
     // the rewind target when a later round fails
     var reliable: Option[(DataFrame, Int)] = None
     var rewinds = 0
+    // `labels` is the (possibly jump-composed, LAZY) frame the next round
+    // relaxes over; `bare` is the bare checkpointed leaf behind it — the
+    // frame whose blocks get freed when superseded and whose fixpoint is
+    // returned (at convergence the jump is an identity, so returning the
+    // bare leaf keeps the downstream plan a shallow scan)
+    var bare = labels
+    // pointer DOUBLING through the round's own CHECKPOINTED table
+    // (Shiloach–Vishkin style): a label is a node id, so looking a
+    // node's fresh label up in the same table composes the walk with
+    // itself — per-round reach ~doubles and COMPOUNDS across rounds
+    // (thread-shaped components converge in ~log₂(ecc) + c rounds,
+    // spec-pinned: 200-path ≤ 12, ScaleSmoke 10k-path ≤ 20). The jump
+    // stays LAZY on top of the checkpoint: materializing it would cost
+    // a second checkpoint per round, and joining it against the
+    // UN-materialized relax output (the r12 shape) recomputed the
+    // |E|-grain relaxation once per join side — measured 1.4× on q73.
+    // Lazily, each consumer pass re-runs only a |V|-grain equi-join
+    // over the checkpointed blocks. Labels only ever decrease toward
+    // the component min, so any composition preserves the invariant.
+    def jumpOnce(t: DataFrame): DataFrame = {
+      // renamed lookup columns keep the self-join unambiguous
+      val lookup = t.select(col("id").as("__lk_id"), col("label").as("__lk_l"))
+      t.join(lookup, col("label") === col("__lk_id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__lk_l"), col("label"))).as("label"))
+    }
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -1656,34 +1687,16 @@ object Dedup {
           .select(col("id"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("rl"),
             col("label").as("old"))
-        // pointer DOUBLING through the CURRENT round's tables (Shiloach–
-        // Vishkin style): a label is a node id, so looking a node's
-        // label up in the same table composes the walk with itself —
-        // each doubling squares the compressed distance, so per-round
-        // reach is ~4 post-relax hops and COMPOUNDS across rounds
-        // (thread-shaped components converge in ~log₄(ecc) + c rounds).
-        // The earlier jump went through the PREVIOUS round's labels,
-        // which is a no-op once the frontier adopts already-final
-        // labels — a pure chain crawled ONE hop per round (q226's
-        // fuzzy-name chains at sf0.1 measured 32 rounds; this form
-        // takes a handful). Each doubling is one self-equi-join of an
-        // id→label frame; labels only ever decrease toward the
-        // component min, so any composition preserves the invariant.
-        def jumpOnce(t: DataFrame): DataFrame = {
-          // renamed lookup columns keep the self-join unambiguous
-          val lookup = t.select(col("id").as("__lk_id"), col("l2").as("__lk_l"))
-          t.join(lookup, col("l2") === col("__lk_id"), "left")
-            .select(col("id"),
-              least(col("l2"), coalesce(col("__lk_l"), col("l2"))).as("l2"),
-              col("old"))
-        }
-        val base = relaxed.select(col("id"), col("rl").as("l2"), col("old"))
-        val jumped = jumpOnce(jumpOnce(base))
-          .select(col("id"), col("l2").as("label"), col("old"))
+        // convergence rides the RELAX change count alone: at the relax
+        // fixpoint every edge has equal labels on both ends, so labels
+        // are constant per component and any pointer jump is an
+        // identity — counting post-jump changes (the r12 shape) detects
+        // the same fixpoint one join deeper.
         val acc = spark.sparkContext.longAccumulator(s"graft.dupClusters.changed.$iter")
-        val counted = jumped.as[(Long, Long, Long)].mapPartitions { it =>
-          it.map { case (id, nl, ol) => if (nl != ol) acc.add(1L); (id, nl) }
-        }.toDF("id", "label")
+        val counted = relaxed.select(col("id"), col("rl"), col("old"))
+          .as[(Long, Long, Long)].mapPartitions { it =>
+            it.map { case (id, nl, ol) => if (nl != ol) acc.add(1L); (id, nl) }
+          }.toDF("id", "label")
         val takeReliable = reliableEvery > 0 && (iter + 1) % reliableEvery == 0
         // resetStats: a checkpoint truncates lineage but carries
         // originStats, and re-checkpointing a plan built on the previous
@@ -1700,8 +1713,9 @@ object Dedup {
         // `next` is fully materialized: the superseded round's local
         // blocks are dead — free them now instead of letting one block
         // set per round pile up for the session
-        if (labelsLocal) graft.Checkpoints.free(labels)
-        labels = next
+        if (labelsLocal) graft.Checkpoints.free(bare)
+        bare = next
+        labels = jumpOnce(next)
         labelsLocal = !takeReliable
         if (takeReliable) reliable = Some((next, iter + 1))
         changed = acc.value
@@ -1716,6 +1730,7 @@ object Dedup {
             s"dupClusters round $iter failed (${e.getMessage}); rewinding to " +
               s"reliable round ${reliable.get._2} (rewind $rewinds/3)")
           labels = reliable.get._1
+          bare = reliable.get._1
           labelsLocal = false
           iter = reliable.get._2
           changed = 1L
@@ -1738,7 +1753,7 @@ object Dedup {
     // superseded round was freed as it was replaced, and the final
     // round's blocks are released by the host's `Checkpoints.freeAll`
     // barrier once the caller is done
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    bare.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Lines that occur in more than `maxDocFreq` distinct documents —
