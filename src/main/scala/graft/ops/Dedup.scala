@@ -2266,6 +2266,64 @@ object Dedup {
       .select(col("__id").as(idCol), col("pos"))
   }
 
+  /** MAXIMAL repeated spans — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", ExactSubstr)
+    * reporting artifact: the per-document interval UNION of
+    * [[repeatedSpanRemovals]]' window removals. A maximal repeated
+    * substring of L ≥ `span` tokens contains exactly L − span + 1
+    * windows, every one of them verbatim-duplicated, so merging
+    * overlapping-or-adjacent removal windows reconstructs the maximal
+    * span EXACTLY, with no suffix array: `span_end − span_start` is
+    * the true repeated-region length, and no token outside a
+    * repeated-≥-span substring is ever covered. Semantics are the
+    * self-dedup family's verbatim (lowercased-match) keep-first —
+    * the span listing and [[selfDedupSpans]]' cuts cover the SAME
+    * tokens by construction.
+    *
+    * Scale shape: [[repeatedSpanRemovals]] (one md5-keyed window
+    * aggregate, no pair join — a boilerplate-saturated corpus makes
+    * the aggregate's groups hot but never quadratic) plus one
+    * per-document gaps-and-islands pass. The islands windows ride a
+    * UNIQUE sort key (`pos` — one window per (doc, pos)) and
+    * equal-length intervals, so the previous window's end IS the
+    * running max end and one `lag` suffices (the q238 island rule:
+    * total order, never flag-then-sum over ties).
+    *
+    * Output: `idCol`, `span_start` (0-based token index),
+    * `span_end` (exclusive), `n_windows` (removal windows merged
+    * into the span). Documents with nothing repeated emit no row. */
+  def repeatedSpans(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int = 13
+  ): DataFrame = {
+    val red = repeatedSpanRemovals(corpus, textCol, idCol, span)
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+    val ord = Window.partitionBy(idCol).orderBy("pos")
+    val marked = red
+      .withColumn("__pe", lag(col("pos") + span, 1).over(ord))
+      .withColumn("__brk",
+        when(col("__pe").isNull || col("pos") > col("__pe"), 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // clamp to the true token count: a sub-span document's whole-doc
+    // window (the wordGrams short-document convention) ends at the
+    // document, not at pos + span
+    val nt = corpus
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), size(
+        graft.expressions.WordGrams.wordGramsMulti(col(textCol), 1))
+        .cast("long").as("__nt"))
+    marked.groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + span).as("__rawEnd"),
+        count(lit(1)).as("n_windows"))
+      .join(nt, Seq(idCol))
+      .select(col(idCol), col("span_start"),
+        least(col("__rawEnd"), col("__nt")).as("span_end"), col("n_windows"))
+  }
+
   /** Exact-substring self-dedup: cut every [[repeatedSpanRemovals]] span
     * out of its document, keeping the canonical occurrence. A document's
     * rebuilt text is its (case-preserved) tokens outside the union of its

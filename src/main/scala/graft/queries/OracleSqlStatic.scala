@@ -4778,6 +4778,48 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |    / CAST(COUNT(pred) AS DOUBLE), 6) + 0.0 AS accuracy_covered_r
         |FROM j, tc GROUP BY tc.n_train""".stripMargin,
 
+    // maximal repeated spans: q123's removal windows merged per doc
+    // (equal-length intervals over unique pos: one lag is the running
+    // max end), span_end clamped to the doc's token count for the
+    // sub-span whole-doc windows
+    "q246_repeated_span_islands" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN []
+        |         ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, pw.pos AS pos, pw.win AS win FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(0, GREATEST(len(toks) - 13, 0) + 1),
+        |      i -> {'pos': i, 'win': array_to_string(toks[i + 1 : i + 13], ' ')})) AS pw
+        |    FROM base WHERE len(toks) > 0)
+        |), rep AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(*) > 1
+        |), ranked AS (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM w WHERE win IN (SELECT win FROM rep)
+        |), red AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM ranked WHERE rn > 1
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos <= lag(pos + 13) OVER (PARTITION BY doc_id ORDER BY pos)
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM red
+        |), g AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m
+        |), sp AS (
+        |  SELECT doc_id, grp, CAST(min(pos) AS BIGINT) AS span_start,
+        |    CAST(max(pos) + 13 AS BIGINT) AS rawend,
+        |    CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM g GROUP BY doc_id, grp
+        |), nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntk FROM base)
+        |SELECT sp.doc_id, span_start, LEAST(rawend, ntk) AS span_end, n_windows
+        |FROM sp JOIN nt USING (doc_id)
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     "q51_event_windows" ->
       """SELECT event_type,
         |  CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,

@@ -2523,6 +2523,18 @@ object PipelineQueries extends OracleSqlStatic {
         col("us"), "event_id", split)
     },
 
+    "q246_repeated_span_islands" -> { (s, dir) =>
+      // ExactSubstr reporting artifact: MAXIMAL repeated-span intervals
+      // per doc — the interval union of q123's window removals (a
+      // repeated region of L >= 13 tokens merges its L-12 windows into
+      // one island whose length is the true repeated length); one
+      // md5-keyed window aggregate, no pair join, islands over a
+      // unique-pos total order
+      graft.ops.Dedup.repeatedSpans(
+        t(s, dir, "documents"), "text", "doc_id", span = 13)
+        .orderBy("doc_id", "span_start")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

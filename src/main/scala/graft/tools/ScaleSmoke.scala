@@ -233,6 +233,14 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // maximal-span islands: the removal set above + one per-doc
+      // gaps-and-islands window — removal rows scale with n, island
+      // partitions stay one doc wide, so the merge adds linear work
+      time(s"repeated-span islands ($nDocs docs, interval union)") {
+        graft.ops.Dedup.repeatedSpans(dN, "text", "doc_id", span = 13)
+          .agg(count(lit(1))).collect()
+      }
+
       // KMV sketch: replicas add NO new distinct hashes — cost tracks the
       // scan + map-side distinct, state stays k rows per group
       time(s"kmv distinct per source ($nDocs docs, k=256)") {
