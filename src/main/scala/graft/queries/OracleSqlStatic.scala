@@ -4224,6 +4224,13 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
       s"""WITH ${ccFloodCtes(40)}
          |SELECT node, label AS component FROM l40 ORDER BY node""".stripMargin,
 
+    // incremental CC: the Spark side splits the pair graph 2/3 + 1/3 and
+    // merges the increment through ccApply; increment ≡ full rebuild, so
+    // the oracle is the same full-graph flood as q226
+    "q247_cc_incremental" ->
+      s"""WITH ${ccFloodCtes(40)}
+         |SELECT node, label AS component FROM l40 ORDER BY node""".stripMargin,
+
     // entity canonicalization: components (the q226 chain) + per-entity
     // argmax(acctbal, ties to smaller id) + singleton pass-through
     "q235_entity_keepers" ->

@@ -2535,6 +2535,25 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("doc_id", "span_start")
     },
 
+    "q247_cc_incremental" -> { (s, dir) =>
+      // incremental entity resolution: build components from 2/3 of the
+      // q226 fuzzy-match pair graph, then ccApply the remaining third —
+      // the history is scanned (broadcast semi + relabel), never
+      // re-contracted; the oracle is the FULL-graph flood (increment ≡
+      // rebuild is the operator's contract)
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_custkey"), col("c_name"))
+      val pairs = graft.Checkpoints.trackCache(
+        graft.ops.Joins.editDistanceSelfJoin(c, Seq("nationkey"),
+          "c_custkey", "c_name", maxDist = 1).persist())
+      val hist = pairs.filter(pmod(col("id_a"), lit(3)) =!= 0)
+      val inc = pairs.filter(pmod(col("id_a"), lit(3)) === 0)
+      graft.ops.Graphs.ccApply(
+        graft.ops.Graphs.connectedComponents(hist, "id_a", "id_b"),
+        inc, "id_a", "id_b")
+        .orderBy("node")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

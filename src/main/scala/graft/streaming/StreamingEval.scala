@@ -774,6 +774,35 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming incremental connected components: each micro-batch of
+    * edges merges into the persisted component mapping via
+    * [[graft.ops.Graphs.ccApply]] (the first batch builds it with a
+    * full [[graft.ops.Graphs.connectedComponents]]), written as
+    * versioned parquet under `historyPath/v<batchId>` — the
+    * [[scd2Stream]] layout, with the same strictly-below-batchId
+    * replay rule: a replayed batch merges onto its PREDECESSOR
+    * snapshot, never onto its own first attempt's torn output.
+    * Readers take [[loadScd2History]] (the highest version). Each
+    * batch costs the increment: the history is scanned once behind a
+    * broadcast semi/relabel, and the star contraction runs on the
+    * batch-sized contracted graph only. */
+  def ccStream(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      historyPath: String,
+      maxIter: Int = 64
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val next = loadScd2History(spark, historyPath, beforeVersion = Some(batchId)) match {
+        case Some(h) => graft.ops.Graphs.ccApply(h, batch, src, dst, maxIter)
+        case None => graft.ops.Graphs.connectedComponents(batch, src, dst, maxIter)
+      }
+      next.write.mode("overwrite").parquet(f"$historyPath/v$batchId%09d")
+      ()
+    }
+
   /** Per-(user, type) horizon-dedup state: whether an anchor exists yet
     * and the last KEPT timestamp — the exact two scalars the batch
     * operator's per-partition scan holds. */

@@ -854,6 +854,24 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // incremental CC: a FIXED 500-edge increment onto the ring
+      // mapping above — the history scales with n but is only scanned
+      // (broadcast semi + relabel); the star contraction runs on the
+      // increment-sized contracted graph, so this row should stay
+      // near-flat while the full rebuild above grows
+      time(s"ccApply 500-edge increment onto ${n * 2500}-node history") {
+        val s = col("l_orderkey") % (n * 2500L)
+        val segBase = s - pmod(s, lit(50L))
+        val g = bids.select(s.as("s"),
+          (segBase + pmod(pmod(s, lit(50L)) + 1, lit(50L))).as("d"))
+        val hist = graft.ops.Graphs.connectedComponents(g, "s", "d")
+        // bridge consecutive rings: 500 genuinely-merging edges
+        val inc = spark.range(500)
+          .select((col("id") * 50L).as("s"), (col("id") * 50L + 50L).as("d"))
+        graft.ops.Graphs.ccApply(hist, inc, "s", "d")
+          .agg(count(lit(1))).collect()
+      }
+
       // adversarial: a LONG PATH is the shape that defeats min-label
       // flooding (eccentricity-bound rounds — the old formulation
       // crawled one hop per round and hung on the compounding-

@@ -2009,6 +2009,41 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("withSurrogateId"), s"unexpected: ${err.getMessage}")
   }
 
+  test("ccApply: increment equals full rebuild at multiple split points") {
+    import graft.ops.Graphs
+    // the CC differential's pseudo-random graph, plus a tail of edges
+    // that introduce brand-new nodes (ids >= 100) and chain-merge them
+    val rnd = (0 until 90).map { i =>
+      ((i * 7919 % 60).toLong, (i * 104729 % 60).toLong)
+    }.filter(p => p._1 != p._2)
+    val edges = rnd ++ Seq((100L, 101L), (101L, 3L), (102L, 102L), (0L, 1L))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    val full = asMap(Graphs.connectedComponents(edges.toDF("s", "d"), "s", "d"))
+    for (split <- Seq(20, 45, 80, edges.size - 4)) {
+      val hist = Graphs.connectedComponents(
+        edges.take(split).toDF("s", "d"), "s", "d")
+      val got = asMap(Graphs.ccApply(hist, edges.drop(split).toDF("s", "d"), "s", "d"))
+      assert(got == full, s"split $split diverged: " +
+        s"missing=${full.toSet -- got.toSet}, extra=${got.toSet -- full.toSet}")
+    }
+    // chained increments: apply the tail one batch at a time
+    val h0 = Graphs.connectedComponents(edges.take(60).toDF("s", "d"), "s", "d")
+    val h1 = Graphs.ccApply(h0, edges.slice(60, 75).toDF("s", "d"), "s", "d")
+    val h2 = Graphs.ccApply(h1, edges.drop(75).toDF("s", "d"), "s", "d")
+    assert(asMap(h2) == full)
+    // empty increment is the identity
+    import spark.implicits._
+    val same = Graphs.ccApply(h0,
+      Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d")
+    assert(asMap(same) == asMap(h0))
+    // string ids in the increment refuse with the on-ramp pointer
+    val err = intercept[Exception] {
+      Graphs.ccApply(h0, Seq(("x", "y")).toDF("s", "d"), "s", "d").collect()
+    }
+    assert(err.getMessage.contains("withSurrogateId"), s"unexpected: ${err.getMessage}")
+  }
+
   test("horizonDedup: greedy anchors, boundary kept, ties, brute-force replay") {
     import graft.ops.Dedup
     // key A: 0 (keep), 5 (drop), 10 (keep, == boundary), 14 (drop),

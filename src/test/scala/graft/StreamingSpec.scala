@@ -1315,6 +1315,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming incremental CC equals a full batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Graphs
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccs").toString
+    val historyPath = s"$dir/cc"
+    // batch 1 seeds two components; batch 2 merges them through a new
+    // node; batch 3 adds an intra-component edge and a fresh pair
+    val batches = Seq(
+      Seq((1L, 2L), (5L, 6L), (6L, 7L)),
+      Seq((9L, 2L), (9L, 5L)),
+      Seq((6L, 5L), (20L, 21L))
+    )
+    val input = MemoryStream[(Long, Long)]
+    val query = graft.streaming.StreamingEval.ccStream(
+        input.toDF().toDF("s", "d"), "s", "d", historyPath)
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+      val streamed = asMap(graft.streaming.StreamingEval
+        .loadScd2History(spark, historyPath).get)
+      val full = asMap(Graphs.connectedComponents(
+        batches.flatten.toDF("s", "d"), "s", "d"))
+      assert(streamed == full, s"streamed CC diverged:\n$streamed\nvs\n$full")
+      // one versioned snapshot per micro-batch; a batch-2 replay reads
+      // strictly below its own version (the scd2Stream replay rule)
+      val vs = new java.io.File(historyPath).list().filter(_.startsWith("v")).sorted
+      assert(vs.length == 3, s"expected 3 versioned snapshots, got ${vs.toSeq}")
+      val pred = graft.streaming.StreamingEval
+        .loadScd2History(spark, historyPath, beforeVersion = Some(2L)).get
+      val replayed = asMap(Graphs.ccApply(pred, batches(2).toDF("s", "d"), "s", "d"))
+      assert(replayed == asMap(spark.read.parquet(s"$historyPath/${vs.max}")))
+    } finally query.stop()
+  }
+
   test("streaming SCD2 maintenance equals batch history over the replayed stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Snapshot
