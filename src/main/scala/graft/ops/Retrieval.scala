@@ -111,6 +111,27 @@ object Retrieval {
     // after the tf aggregate, so count(*) IS the doc frequency
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("__df"))
 
+    scorePostings(postings, docFreq, consts, qTerms,
+      idCol, queryIdCol, k1, b, topK)
+  }
+
+  /** Shared BM25 scoring tail — the single formula both the ad-hoc
+    * [[bm25Search]] and the persisted-index [[bm25SearchPreindexed]]
+    * path run, so the two can never drift: identical idf/tf math and
+    * the same term-sorted contribution fold (IEEE-reproducible).
+    * `postings` must carry `(idCol, __dl, term, __tf)`, `docFreq`
+    * `(term, __df)`, `consts` one row `(__n, __avgdl)`. */
+  private def scorePostings(
+      postings: DataFrame,
+      docFreq: DataFrame,
+      consts: DataFrame,
+      qTerms: DataFrame,
+      idCol: String,
+      queryIdCol: String,
+      k1: Double,
+      b: Double,
+      topK: Int
+  ): DataFrame = {
     val k1p1 = k1 + 1.0
     val oneMinusB = 1.0 - b
     val contrib = postings
@@ -131,6 +152,112 @@ object Retrieval {
         (acc, x) => acc + x.getField("c")).as("score"))
 
     GroupTopK.topKPerGroup(scored, Seq(queryIdCol), idCol, "score", topK)
+  }
+
+  /** Persist a BM25 SERVING INDEX — the lexical analogue of
+    * [[graft.ops.Similarity.saveIvfIndex]]'s build-once/query-forever
+    * treatment, for the corpus a query loop would otherwise re-tokenize
+    * and re-aggregate per call ([[bm25Search]] recomputes postings from
+    * raw text every time). Layout under `path`:
+    *  - `postings/`: `(term, __docid, __dl, __tf)` PARTITIONED BY
+    *    `term_bucket` (= `pmod(xxhash64(term), numBuckets)`) — a query
+    *    batch prunes its read to its own vocabulary's buckets;
+    *  - `terms/`: `(term, __df)` per term, same bucketing — document
+    *    frequency precomputed at build time, aggregated from the
+    *    WRITTEN postings (one corpus pass total);
+    *  - `stats/`: one row `(__n, __avgdl, num_buckets, id_col)`.
+    * Rebuilding after corpus drift is re-running this. */
+  def saveBm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numBuckets: Int = 64
+  ): Unit = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val spark = docs.sparkSession
+    val withLen = docs.select(
+      col(idCol).as("__docid"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    withLen
+      .select(col("__docid"), col("__dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("__docid"), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(numBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
+    // df from the written postings: (doc, term) is unique there, and
+    // reading back beats re-running the corpus explode
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("term_bucket"), col("term"))
+      .agg(count(lit(1)).as("__df"))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/terms")
+    withLen
+      .agg(count(lit(1)).as("__n"), avg(col("__dl").cast("double")).as("__avgdl"))
+      .withColumn("num_buckets", lit(numBuckets))
+      .withColumn("id_col", lit(idCol))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a PERSISTED [[saveBm25Index]] — scores are
+    * bit-identical to [[bm25Search]] over the same corpus (the shared
+    * [[scorePostings]] tail, spec-pinned). Per call the index is read
+    * PRUNED: the query batch's distinct terms hash to at most
+    * `numBuckets` partition values, the `term_bucket` IN-filter prunes
+    * the postings/terms scans to those partitions' files, and the
+    * broadcast term join keeps only matching postings — the corpus is
+    * never re-tokenized and never fully scanned. The driver collects
+    * only the bucket-id sliver (bounded by `numBuckets`). */
+  def bm25SearchPreindexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    val nb = stats.getAs[Int]("num_buckets")
+    val idCol = stats.getAs[String]("id_col")
+    val consts = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        stats.getAs[Long]("__n"), stats.getAs[Double]("__avgdl"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__avgdl",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+    val qTerms = graft.Checkpoints.trackCache(queries.select(
+        col(queryIdCol),
+        explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
+      .persist())
+    // the bucket sliver: <= numBuckets longs on the driver, the partition
+    // prune for both index reads
+    val buckets = qTerms
+      .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (buckets.isEmpty) {
+      // no query terms: empty result with the contract schema
+      return GroupTopK.topKPerGroup(
+        qTerms.select(col(queryIdCol), lit(0L).as("__docid"), lit(0.0).as("score"))
+          .filter(lit(false))
+          .withColumnRenamed("__docid", idCol),
+        Seq(queryIdCol), idCol, "score", topK)
+    }
+    val termSet = broadcast(qTerms.select("term").distinct())
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(termSet, Seq("term"))
+      .select(col("__docid").as(idCol), col("__dl"), col("term"), col("__tf"))
+    val docFreq = spark.read.parquet(s"$indexPath/terms")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(termSet, Seq("term"))
+      .select(col("term"), col("__df"))
+    scorePostings(postings, docFreq, consts, qTerms,
+      idCol, queryIdCol, k1, b, topK)
   }
 
   /** Fixed-window chunking with overlap: slice `textCol` into

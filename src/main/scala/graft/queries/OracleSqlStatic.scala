@@ -45,6 +45,48 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |$iter""".stripMargin
   }
 
+  /** q84's BM25 derivation — shared verbatim by the persisted-index
+    * replay q248 (same scores by construction). */
+  private lazy val bm25OracleSql: String =
+    s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), dl AS (
+         |  SELECT doc_id, len(ts) AS dl, ts FROM toks
+         |), posting AS (
+         |  SELECT doc_id, dl, unnest(ts) AS term FROM dl
+         |), tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM posting GROUP BY 1, 2, 3
+         |), consts AS (
+         |  SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+         |), q(qid, term) AS (
+         |  VALUES (1, 'query'), (1, 'hash'), (1, 'join'),
+         |         (2, 'window'), (2, 'agg'), (2, 'fast'),
+         |         (3, 'customer'), (3, 'order'), (3, 'value'), (3, 'part')
+         |), m AS (
+         |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf
+         |  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+         |), dfq AS (
+         |  SELECT term, count(*) AS df FROM m GROUP BY term
+         |), contrib AS (
+         |  SELECT m.doc_id, m.term,
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |      ((tf * ${1.2 + 1.0}) / (tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * dl / avgdl))) AS c
+         |  FROM m JOIN dfq USING (term) CROSS JOIN consts
+         |), sc AS (
+         |  SELECT qid, doc_id,
+         |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
+         |  FROM contrib JOIN q USING (term) GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT qid, rank, doc_id, round(score, 6) + 0.0 AS score_r
+         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   protected lazy val staticOracleSql: Map[String, String] = Map(
     // bottom-64 uniform sample (md5 unit hash, ties to smaller id) then
     // quantile_cont == Spark exact percentile (q93-pinned parity)
@@ -1916,45 +1958,11 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // BM25 constants are interpolated from the SAME Scala doubles the
     // operator uses (Double.toString round-trips exactly), so the two
     // sides cannot drift; the contribution fold is term-sorted on both.
-    "q84_bm25" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
-         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
-         |  FROM documents
-         |), dl AS (
-         |  SELECT doc_id, len(ts) AS dl, ts FROM toks
-         |), posting AS (
-         |  SELECT doc_id, dl, unnest(ts) AS term FROM dl
-         |), tf AS (
-         |  SELECT doc_id, dl, term, count(*) AS tf FROM posting GROUP BY 1, 2, 3
-         |), consts AS (
-         |  SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
-         |), q(qid, term) AS (
-         |  VALUES (1, 'query'), (1, 'hash'), (1, 'join'),
-         |         (2, 'window'), (2, 'agg'), (2, 'fast'),
-         |         (3, 'customer'), (3, 'order'), (3, 'value'), (3, 'part')
-         |), m AS (
-         |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf
-         |  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
-         |), dfq AS (
-         |  SELECT term, count(*) AS df FROM m GROUP BY term
-         |), contrib AS (
-         |  SELECT m.doc_id, m.term,
-         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
-         |      ((tf * ${1.2 + 1.0}) / (tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * dl / avgdl))) AS c
-         |  FROM m JOIN dfq USING (term) CROSS JOIN consts
-         |), sc AS (
-         |  SELECT qid, doc_id,
-         |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
-         |  FROM contrib JOIN q USING (term) GROUP BY 1, 2
-         |), rk AS (
-         |  SELECT qid, doc_id, score,
-         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
-         |  FROM sc
-         |)
-         |SELECT qid, rank, doc_id, round(score, 6) + 0.0 AS score_r
-         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q84_bm25" -> bm25OracleSql,
+
+    // persisted-index BM25 (q248) serves the SAME scores as the ad-hoc
+    // search — one oracle, two engine paths (the drift-proof contract)
+    "q248_bm25_preindexed" -> bm25OracleSql,
 
     // z-scores from EXACT integer moments — both engines derive
     // mean/variance from the same exact sums, so the doubles agree bitwise

@@ -81,6 +81,25 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Persisted-BM25 serving artifact keyed by sf dir (q248): built once
+    * per dir with [[graft.ops.Retrieval.saveBm25Index]], then every
+    * serving query reads the SAME on-disk postings — the lexical twin
+    * of [[ServeState]]'s build-once/query-forever contract. */
+  private[queries] object Bm25ServeState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(docs: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-bm25-serve").toString
+            graft.ops.Retrieval.saveBm25Index(docs, "doc_id", "text", p, numBuckets = 32)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Merge rounds the BPE queries train/replay (q133/q134/q135 share one
     * training run per sf dir; the oracle re-trains in DuckDB). */
   private[queries] val BpeNumMerges = 12
@@ -2552,6 +2571,21 @@ object PipelineQueries extends OracleSqlStatic {
         graft.ops.Graphs.connectedComponents(hist, "id_a", "id_b"),
         inc, "id_a", "id_b")
         .orderBy("node")
+    },
+
+    "q248_bm25_preindexed" -> { (s, dir) =>
+      // lexical serving from the PERSISTED postings index (built once
+      // per sf dir, bucket-pruned reads, shared scoring tail): replays
+      // q84's oracle exactly — the corpus is never re-tokenized
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val idx = Bm25ServeState.forDir(t(s, dir, "documents"), dir)
+      graft.ops.Retrieval.bm25SearchPreindexed(
+        s, idx, qs, "qid", "qtext", topK = 10)
+        .select(col("qid"), col("rank"), col("doc_id"), roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
     },
 
     "q197_snapshot_diff" -> { (s, dir) =>

@@ -674,6 +674,33 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming LEXICAL SERVING: a stream of text queries answered
+    * against a persisted BM25 index
+    * ([[graft.ops.Retrieval.saveBm25Index]] — built once, queried
+    * forever), the lexical twin of [[annQueryStream]]. Each micro-batch
+    * prunes the postings/terms reads to its own vocabulary's
+    * `term_bucket` partitions and scores through the same shared tail
+    * as the ad-hoc search (bit-identical results, spec-pinned).
+    * Results `(query_id, doc_id, score, rank)` append to `outPath` —
+    * at-least-once on replay, no index mutation to keep idempotent. */
+  def bm25QueryStream(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      indexPath: String,
+      outPath: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      graft.ops.Retrieval.bm25SearchPreindexed(
+          spark, indexPath, batch, queryIdCol, queryTextCol, k1, b, topK)
+        .write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** Streaming VOCABULARY-DRIFT monitor: each micro-batch's token
     * distribution is scored against a PERSISTED reference vocabulary
     * ([[graft.ops.Drift.tokenCounts]] written once from the blessed

@@ -118,6 +118,30 @@ class RetrievalSpec extends SparkSpec {
     assert(a == bres)
   }
 
+  test("bm25SearchPreindexed: bit-identical to ad-hoc search, pruned index read") {
+    val docs = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} tail"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "w1 w2"), (2L, "w3 tail"), (3L, "nothing matches")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Retrieval.saveBm25Index(docs, "doc_id", "text", dir, numBuckets = 16)
+    val pre = Retrieval.bm25SearchPreindexed(
+      spark, dir, qs, "qid", "qtext", topK = 4)
+    val adhoc = Retrieval.bm25Search(docs, "doc_id", "text", qs, "qid", "qtext", topK = 4)
+    // bit-identical: the shared scoring tail folds terms in the same order
+    assert(pre.collect().map(_.toSeq).toSet == adhoc.collect().map(_.toSeq).toSet)
+    assert(pre.columns.toSeq == adhoc.columns.toSeq)
+    // the postings scan is PARTITION-PRUNED to the query vocabulary's
+    // buckets: the executed plan's parquet scan must carry a term_bucket
+    // partition filter, not read the whole index
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("term_bucket"),
+      s"expected a term_bucket partition prune in:\n$plan")
+    // a query batch with NO tokens returns an empty frame, same schema
+    val empty = Retrieval.bm25SearchPreindexed(
+      spark, dir, Seq((9L, "   ")).toDF("qid", "qtext"), "qid", "qtext", topK = 4)
+    assert(empty.count() == 0 && empty.columns.toSeq == adhoc.columns.toSeq)
+  }
+
   test("chunkText windows with overlap; short, empty, and null text edge cases") {
     val docs = Seq(
       (1L, "abcdefghij"),   // len 10: chunks "abcde", "defgh", "ghij" (size 5, overlap 2, stride 3)

@@ -998,6 +998,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming BM25 serving equals ad-hoc search per query batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Retrieval
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-srv").toString
+    val corpus = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} tail"))
+      .toDF("doc_id", "text")
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", s"$dir/index", numBuckets = 16)
+    val qs = Seq((1000L, "w1 w2"), (1001L, "w3 tail"), (1002L, "w4"))
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.bm25QueryStream(
+        input.toDF().toDF("qid", "qtext"), "qid", "qtext",
+        s"$dir/index", s"$dir/results", topK = 4)
+      .start()
+    try {
+      input.addData(qs(0), qs(1)) // batch 1
+      query.processAllAvailable()
+      input.addData(qs(2))        // batch 2 against the same standing index
+      query.processAllAvailable()
+      val streamed = spark.read.parquet(s"$dir/results")
+        .collect().map(_.toSeq).toSet
+      val batch = Retrieval.bm25Search(corpus, "doc_id", "text",
+          qs.toDF("qid", "qtext"), "qid", "qtext", topK = 4)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming drift monitor: per-batch top tokens equal the batch tokenDrift") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Drift
