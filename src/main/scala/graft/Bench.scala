@@ -23,27 +23,49 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // SPARK_GRAFT_BENCH_ONLY="" means unset, not bench-nothing
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-query TASK counts ride the artifact next to seconds: a
+    // round-over-round time delta with unchanged tasks is weather, a
+    // task-count jump is a plan-shape change (the r11 single-split
+    // inflation hunt was 8-vs-68 tasks — invisible in the timings).
+    // Listener events are async, so each boundary drains the bus first
+    // (ListenerBridge — deterministic counts, no sleeps).
+    val taskCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskCounter.incrementAndGet(); ()
+      }
+    })
+    val sc = spark.sparkContext
+    val measured = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to iters).iterator.map { _ =>
+      val runs = (1 to iters).iterator.map { _ =>
+        org.apache.spark.graft.ListenerBridge.waitUntilEmpty(sc)
+        taskCounter.set(0L)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val secs = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.ListenerBridge.waitUntilEmpty(sc)
+          (secs, taskCounter.get())
         } catch { case e: Throwable =>
           // a crashing query must not masquerade as a fast success
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
+          (-1.0, 0L)
         } finally {
           // the iteration's result is materialized: drop its checkpoint
           // blocks so a 100+-query session doesn't accumulate them
           // (round 5: bm25 degraded 0.98s -> 9.78s from exactly this)
           Checkpoints.freeAll(spark)
         }
-      }.takeWhile(_ >= 0.0).toSeq // don't re-run a failing query
-      name -> (if (times.size < iters) -1.0 else times.min)
+      }.takeWhile(_._1 >= 0.0).toSeq // don't re-run a failing query
+      // tasks reported AT the min-time iteration, so the two numbers
+      // describe the same run
+      name -> (if (runs.size < iters) (-1.0, 0L) else runs.minBy(_._1))
     }.toMap
+    val results = measured.map { case (k, v) => k -> v._1 }
+    val taskCounts = measured.map { case (k, v) => k -> v._2 }
     // 4-decimal values keep the one-line stdout contract short enough to
     // survive the driver's tail-capture (round 4's full-precision line
     // truncated mid-stream and parsed as null)
@@ -58,9 +80,13 @@ object Bench {
     val failed = results.filter(_._2 < 0.0).keys.toSeq.sorted
     val total = results.values.filter(_ >= 0.0).sum
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ts = taskCounts.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // per-query values are the MIN of `iters` runs — recorded in the
-    // artifact so round-over-round diffs know they compare mins
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","iters_min_of":$iters,"queries":$qs,"failures":$failJson,"sf":"$sfDir"}"""
+    // artifact so round-over-round diffs know they compare mins; "tasks"
+    // is the task count of that same min run
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","iters_min_of":$iters,"queries":$qs,"tasks":$ts,"failures":$failJson,"sf":"$sfDir"}"""
     // the durable artifact: stdout capture can truncate, a file cannot
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
@@ -73,10 +99,22 @@ object Bench {
         val prevTxt = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)), "UTF-8")
         // tolerate driver artifacts where the queries map sits inside an
-        // escaped JSON string field (\"q01_linear\":0.64)
+        // escaped JSON string field (\"q01_linear\":0.64). Parse each map
+        // REGION-scoped: "queries" and "tasks" share key names, so a
+        // whole-file scan would let the later map clobber the earlier.
         val entry = """"(q\w+)\\?"\s*:\s*(-?[0-9.]+)""".r
-        val prev = entry.findAllMatchIn(prevTxt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        def mapRegion(label: String): Map[String, Double] = {
+          val i = prevTxt.indexOf(label)
+          if (i < 0) Map.empty
+          else {
+            val end = prevTxt.indexOf('}', i)
+            val region = if (end < 0) prevTxt.substring(i) else prevTxt.substring(i, end + 1)
+            entry.findAllMatchIn(region)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+        val prev = mapRegion("queries")
+        val prevTasks = mapRegion("tasks")
         val common = results.keySet.intersect(prev.keySet).toSeq.sorted
           .filter(k => results(k) > 0 && prev(k) > 0)
         if (common.nonEmpty) {
@@ -85,12 +123,35 @@ object Bench {
           System.err.println(
             f"[bench-diff] common subset (${common.size} queries): " +
               f"$curSum%.1fs now vs $prevSum%.1fs prev (${curSum / prevSum}%.2fx)")
+          // a regression WITH a task-count move is a plan-shape change; an
+          // unchanged task count says the delta is weather
+          def taskNote(k: String): String =
+            (prevTasks.get(k), taskCounts.get(k)) match {
+              case (Some(p), Some(c)) if p > 0 && c != p.toLong =>
+                f" [tasks ${p.toLong} -> $c: plan-shape change]"
+              case (Some(p), Some(c)) if p > 0 && c == p.toLong =>
+                " [tasks unchanged: weather]"
+              case _ => ""
+            }
           common.map(k => (k, results(k) / prev(k)))
             .filter(t => t._2 >= 1.3 || t._2 <= 0.7)
             .sortBy(-_._2)
             .foreach { case (k, r) =>
               System.err.println(
-                f"[bench-diff]   $k: ${prev(k)}%.2fs -> ${results(k)}%.2fs ($r%.2fx)")
+                f"[bench-diff]   $k: ${prev(k)}%.2fs -> ${results(k)}%.2fs ($r%.2fx)" +
+                  taskNote(k))
+            }
+          // task-count moves worth knowing about even when the timing
+          // stayed inside the noise band (a fused stage, a lost prune)
+          common
+            .filter(k => prevTasks.get(k).exists(p =>
+              p > 0 && taskCounts.get(k).exists(c =>
+                c != p.toLong && (c > p * 1.5 || c < p / 1.5) &&
+                  results(k) / prev(k) < 1.3 && results(k) / prev(k) > 0.7)))
+            .foreach { k =>
+              System.err.println(
+                f"[bench-diff]   $k: tasks ${prevTasks(k).toLong} -> " +
+                  f"${taskCounts(k)} at flat time (${results(k) / prev(k)}%.2fx)")
             }
         }
       } catch { case e: Throwable =>
