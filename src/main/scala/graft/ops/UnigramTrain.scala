@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.expressions.{UnigramExpressions, WordGrams}
+
+/** Distributed UNIGRAM-LM tokenizer training (SentencePiece's unigram
+  * model, Kudo 2018) — the other mainstream subword-vocabulary family
+  * next to [[BpeTrain]], built with the same discipline:
+  *
+  *  - training never touches the corpus after ONE tokenizing pass — the
+  *    EM loop runs on the distinct-WORD histogram (weights = corpus
+  *    frequencies), exactly the [[BpeTrain.train]] shape;
+  *  - the candidate vocabulary is every substring of length ≤
+  *    `maxPieceLen` weighted by word frequency (counted WITH positional
+  *    multiplicity), capped at the `vocabSize` most frequent (ties
+  *    toward the binary-smaller piece) with ALL single characters kept
+  *    regardless — the coverage guarantee the DP needs;
+  *  - each hard-EM round is ONE aggregation job over the histogram: the
+  *    native [[graft.expressions.UnigramViterbi]] segments every
+  *    distinct word under the current scores, the piece counts combine
+  *    map-side, and the (vocab-bounded) count table comes back to the
+  *    driver to become the next round's scores — the
+  *    [[Classifier.trainPortable]] one-job-per-iteration contract;
+  *  - pieces the Viterbi never used drop from the vocabulary (hard-EM
+  *    pruning); coverage survives because any previously-optimal path
+  *    only used surviving pieces.
+  *
+  * Determinism contract (what makes the recipe DuckDB-replayable, the
+  * q165/q133 bounded-replay precedent): scores are `ln(count) −
+  * ln(total)` of exact integers (`ln` agrees cross-engine; `exp`/`pow`
+  * never enter), each DP cell is one addition of identically-derived
+  * doubles, and every argmax tie-break is pinned (DP: smallest piece
+  * length; vocabulary cap: count DESC then piece ASC). The oracle
+  * re-trains from scratch in SQL — forward DP and backtrack unrolled
+  * to `maxWordLen` MATERIALIZED stages — and must land on the
+  * identical final vocabulary and counts. */
+object UnigramTrain {
+
+  /** One vocabulary piece with its final hard-EM count. */
+  final case class Piece(piece: String, count: Long)
+
+  /** Words longer than `maxWordLen` refuse loudly: the oracle's DP
+    * unroll (and any bounded replay) is `maxWordLen` stages deep, and a
+    * silent truncation would diverge. Rides the consumed word column. */
+  private def checkedHistogram(df: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
+    BpeTrain.wordHistogram(df, textCol)
+      .withColumn("word",
+        when(length(col("word")) > maxWordLen, raise_error(concat(
+          lit("unigramTrain: word '"), col("word"),
+          lit(s"' exceeds maxWordLen = $maxWordLen — raise it (the oracle "),
+          lit("replay unrolls the DP to this bound)"))))
+          .otherwise(col("word")))
+
+  /** The capped candidate vocabulary: (piece, count) — every substring
+    * of length ≤ `maxPieceLen` of every histogram word, weighted by the
+    * word's corpus frequency and counted once per OCCURRENCE position;
+    * the `vocabSize` most frequent survive (count DESC, piece ASC), and
+    * single characters always survive (DP coverage). */
+  def candidateVocab(
+      df: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      vocabSize: Int = 64,
+      maxWordLen: Int = 16
+  ): DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val hist = checkedHistogram(df, textCol, maxWordLen)
+    // all substrings with positional multiplicity: flatten of per-start
+    // per-length slices — interpreted HOFs, but over the (bounded)
+    // distinct-word histogram, never the corpus
+    val subs = flatten(transform(
+      sequence(lit(1), length(col("word"))),
+      i => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
+        l => substring(col("word"), i, l))))
+    val counts = hist
+      .select(col("cnt"), explode(subs).as("piece"))
+      .groupBy("piece")
+      .agg(sum(col("cnt")).as("c"))
+    val ranked = counts.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("piece").asc)))
+    ranked
+      .filter(col("__rn") <= vocabSize || length(col("piece")) === 1)
+      .select(col("piece"), col("c"))
+  }
+
+  /** Train the unigram vocabulary: `iters` hard-EM rounds over the
+    * candidate vocabulary. Returns the surviving pieces with their
+    * final Viterbi counts, ordered (count DESC, piece ASC). */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      vocabSize: Int = 64,
+      iters: Int = 2,
+      maxWordLen: Int = 16
+  ): Seq[Piece] = {
+    require(iters >= 1, "iters must be >= 1")
+    val hist = graft.Checkpoints.localCheckpoint(
+      checkedHistogram(df, textCol, maxWordLen), eager = false)
+    // vocab-bounded driver state (the BpeTrain merge-list / kmeans
+    // centroid convention): |vocab| <= vocabSize + |alphabet|
+    var vocab: Seq[(String, Long)] =
+      candidateVocab(df, textCol, maxPieceLen, vocabSize, maxWordLen)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var r = 0
+    while (r < iters) {
+      val total = vocab.map(_._2).sum
+      val scores = vocab.map { case (p, c) =>
+        p -> (math.log(c.toDouble) - math.log(total.toDouble))
+      }
+      vocab = hist
+        .select(col("cnt"),
+          explode(UnigramExpressions.unigramViterbi(col("word"), scores, maxPieceLen))
+            .as("piece"))
+        .groupBy("piece")
+        .agg(sum(col("cnt")).as("c"))
+        .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toSeq
+      r += 1
+    }
+    graft.Checkpoints.free(hist)
+    vocab.sortBy { case (p, c) => (-c, p) }.map { case (p, c) => Piece(p, c) }
+  }
+
+  /** The trained vocabulary as a frame: (vocab_rank, piece, cnt). */
+  def vocabTable(spark: SparkSession, pieces: Seq[Piece]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vocab_rank", LongType, nullable = false),
+      StructField("piece", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pieces.zipWithIndex.map { case (p, i) => Row((i + 1).toLong, p.piece, p.count) }, 1),
+      schema)
+  }
+
+  /** Distinct-word encodings under a trained vocabulary: (word, cnt,
+    * tokens) — one native Viterbi pass per distinct word, the
+    * [[BpeTrain.encodeWords]] word-cache shape. Out-of-corpus
+    * characters fall back to single OOV pieces (encode is total). */
+  def encodeWords(df: DataFrame, textCol: String, pieces: Seq[Piece],
+      maxPieceLen: Int = 4): DataFrame = {
+    val total = pieces.map(_.count).sum
+    val scores = pieces.map(p =>
+      p.piece -> (math.log(p.count.toDouble) - math.log(total.toDouble)))
+    BpeTrain.wordHistogram(df, textCol)
+      .withColumn("tokens",
+        UnigramExpressions.unigramViterbi(col("word"), scores, maxPieceLen))
+  }
+
+  /** Tokenizer FERTILITY under the trained unigram vocabulary (tokens
+    * per whitespace word, the [[BpeTrain.fertility]] metric) — the
+    * comparison row that says which vocabulary family serves a source
+    * better. Same output shape: (source, n_words, n_tokens,
+    * fertility_r). */
+  def fertility(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      pieces: Seq[Piece],
+      maxPieceLen: Int = 4
+  ): DataFrame = {
+    val wordLens = encodeWords(df, textCol, pieces, maxPieceLen)
+      .select(col("word"), size(col("tokens")).as("n_tok"))
+    val docWords = df
+      .select(col(idCol), col(sourceCol).as("source"),
+        explode_outer(WordGrams.wordGramsMulti(coalesce(col(textCol), lit("")), 1))
+          .as("word"))
+    docWords
+      .join(wordLens, Seq("word"), "left")
+      .groupBy("source")
+      .agg(count(col("word")).cast("long").as("n_words"),
+        coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+      .withColumn("fertility_r",
+        round(col("n_tokens") / col("n_words"), 6) + lit(0.0))
+  }
+}
