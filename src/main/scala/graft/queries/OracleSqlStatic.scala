@@ -45,6 +45,101 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |$iter""".stripMargin
   }
 
+  /** Full unigram-LM re-train in SQL (q249): candidate vocabulary →
+    * `iters` hard-EM rounds, each one Viterbi forward DP + backtrack
+    * unrolled to `maxWordLen` MATERIALIZED stages — the q133-BPE
+    * "oracle re-trains from scratch" discipline. Mirrors
+    * [[graft.ops.UnigramTrain.train]] cell for cell: ln-decomposed
+    * scores over exact integer counts, one addition per DP cell in the
+    * same operand order, argmax ties by `ORDER BY cand DESC, pl ASC`
+    * (the native expression's strict-`>` over ascending l). Unreached
+    * positions simply have no DP row — on corpus words every position
+    * on the previous round's path stays reachable, and the engine's
+    * OOV fallback can never enter a corpus word's optimal path (its
+    * deterministic penalty loses to any real segmentation). */
+  private def unigramRoundCtes(r: Int, maxWordLen: Int): String = {
+    val fwd = (1 to maxWordLen).map { p =>
+      s"""b${r}_$p AS MATERIALIZED (
+         |  SELECT word, pos, best, bl FROM (
+         |    SELECT a.word, $p AS pos, a.best + sc.s AS best, sc.pl AS bl,
+         |      row_number() OVER (PARTITION BY a.word
+         |        ORDER BY a.best + sc.s DESC, sc.pl ASC) AS rn
+         |    FROM acc${r}_${p - 1} a JOIN sc$r sc
+         |      ON a.pos = $p - sc.pl
+         |      AND substr(a.word, a.pos + 1, sc.pl) = sc.piece
+         |  ) WHERE rn = 1
+         |), acc${r}_$p AS MATERIALIZED (
+         |  SELECT * FROM acc${r}_${p - 1} UNION ALL SELECT * FROM b${r}_$p
+         |)""".stripMargin
+    }.mkString(",\n")
+    val back = (1 to maxWordLen).map { j =>
+      s"""k${r}_$j AS MATERIALIZED (
+         |  SELECT t.word, t.pos - b.bl AS pos,
+         |    substr(t.word, t.pos - b.bl + 1, b.bl) AS piece
+         |  FROM k${r}_${j - 1} t JOIN acc${r}_$maxWordLen b
+         |    ON b.word = t.word AND b.pos = t.pos
+         |  WHERE t.pos > 0
+         |)""".stripMargin
+    }.mkString(",\n")
+    val allK = (1 to maxWordLen)
+      .map(j => s"SELECT word, piece FROM k${r}_$j").mkString(" UNION ALL ")
+    s"""t$r AS MATERIALIZED (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM v${r - 1}),
+       |sc$r AS MATERIALIZED (
+       |  SELECT piece, CAST(len(piece) AS INT) AS pl,
+       |    ln(CAST(c AS DOUBLE)) - ln(tot) AS s
+       |  FROM v${r - 1}, t$r
+       |),
+       |acc${r}_0 AS MATERIALIZED (
+       |  SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS best, 0 AS bl FROM hist
+       |),
+       |$fwd,
+       |k${r}_0 AS MATERIALIZED (SELECT word, CAST(len(word) AS INT) AS pos FROM hist),
+       |$back,
+       |v$r AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM ($allK) p JOIN hist USING (word)
+       |  GROUP BY piece
+       |)""".stripMargin
+  }
+
+  /** The WITH-body (no leading WITH, no final SELECT) of the unigram
+    * re-train: hist -> candidates -> capped v0 -> `iters` EM rounds. */
+  private def unigramCtes(
+      maxPieceLen: Int, vocabSize: Int, iters: Int, maxWordLen: Int): String = {
+    val tok = """CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+                |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END""".stripMargin
+    val rounds = (1 to iters).map(unigramRoundCtes(_, maxWordLen)).mkString(",\n")
+    s"""hist AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest($tok) AS word
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) GROUP BY word
+       |), s1 AS (
+       |  SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i FROM hist
+       |), s2 AS (
+       |  SELECT word, cnt, i,
+       |    unnest(range(1, least($maxPieceLen, len(word) - i + 1) + 1)) AS l
+       |  FROM s1
+       |), cand AS MATERIALIZED (
+       |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM s2 GROUP BY 1
+       |), v0 AS MATERIALIZED (
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rn
+       |    FROM cand)
+       |  WHERE rn <= $vocabSize OR len(piece) = 1
+       |),
+       |$rounds""".stripMargin
+  }
+
+  private def unigramTrainSql(
+      maxPieceLen: Int, vocabSize: Int, iters: Int, maxWordLen: Int): String =
+    s"""WITH ${unigramCtes(maxPieceLen, vocabSize, iters, maxWordLen)}
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, piece ASC) AS BIGINT) AS vocab_rank,
+       |  piece, c AS cnt
+       |FROM v$iters ORDER BY vocab_rank""".stripMargin
+
   /** q84's BM25 derivation — shared verbatim by the persisted-index
     * replay q248 (same scores by construction). */
   private lazy val bm25OracleSql: String =
@@ -1963,6 +2058,54 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // persisted-index BM25 (q248) serves the SAME scores as the ad-hoc
     // search — one oracle, two engine paths (the drift-proof contract)
     "q248_bm25_preindexed" -> bm25OracleSql,
+
+    // unigram-LM tokenizer: the oracle RE-TRAINS from scratch — same
+    // candidate cap, 2 hard-EM rounds of Viterbi DP (forward + backtrack
+    // unrolled to 12 positions), identical ln-decomposed scores and
+    // argmax tie order; must land on the identical vocabulary and counts
+    "q249_unigram_train" -> unigramTrainSql(
+      maxPieceLen = 4, vocabSize = 64, iters = 2, maxWordLen = 12),
+
+    // fertility head-to-head: BOTH tokenizers re-trained from scratch in
+    // one SQL chain (BPE merge replay + unigram EM replay + one encode
+    // DP under the final vocab), then per-source tokens-per-word
+    "q250_unigram_fertility" -> (
+      bpeStatePrefix(BpeNumMerges) + ",\n" +
+      unigramCtes(maxPieceLen = 4, vocabSize = 64, iters = 2, maxWordLen = 12) + ",\n" +
+      unigramRoundCtes(3, 12) + s""",
+         |wtok AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM (${(1 to 12).map(j => s"SELECT word, piece FROM k3_$j").mkString(" UNION ALL ")})
+         |  GROUP BY word
+         |),
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN text IS NULL OR len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |           ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END) AS word
+         |  FROM documents
+         |),
+         |utl AS (
+         |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS w,
+         |    CAST(sum(wt.n_tok) AS BIGINT) AS u
+         |  FROM dw JOIN wtok wt USING (word) GROUP BY dw.doc_id
+         |),
+         |btl AS (
+         |  SELECT dw.doc_id, CAST(sum(len(st.s)) AS BIGINT) AS b
+         |  FROM dw JOIN state_$BpeNumMerges st USING (word) GROUP BY dw.doc_id
+         |),
+         |agg AS (
+         |  SELECT d.source,
+         |    CAST(sum(coalesce(utl.w, 0)) AS BIGINT) AS n_words,
+         |    CAST(sum(coalesce(utl.u, 0)) AS BIGINT) AS n_uni_tokens,
+         |    CAST(sum(coalesce(btl.b, 0)) AS BIGINT) AS n_bpe_tokens
+         |  FROM documents d LEFT JOIN utl USING (doc_id) LEFT JOIN btl USING (doc_id)
+         |  GROUP BY d.source
+         |)
+         |SELECT source, n_words, n_uni_tokens, n_bpe_tokens,
+         |  round(n_uni_tokens / n_words, 6) + 0.0 AS uni_fertility_r,
+         |  round(n_bpe_tokens / n_words, 6) + 0.0 AS bpe_fertility_r,
+         |  round(round(n_bpe_tokens / n_words, 6) - round(n_uni_tokens / n_words, 6), 6) + 0.0 AS uni_advantage_r
+         |FROM agg ORDER BY source""".stripMargin),
 
     // z-scores from EXACT integer moments — both engines derive
     // mean/variance from the same exact sums, so the doubles agree bitwise

@@ -100,6 +100,24 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Trained unigram-LM vocabulary keyed by sf dir (q249/q250 share one
+    * training run; the oracle re-trains in DuckDB). Same plain-value
+    * cache contract as [[BpeState]]. */
+  private[queries] object UnigramState {
+    @volatile private var cache: Map[String, Seq[graft.ops.UnigramTrain.Piece]] = Map.empty
+    def forDir(docs: DataFrame, dir: String): Seq[graft.ops.UnigramTrain.Piece] =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = graft.ops.UnigramTrain.train(docs, "text",
+              maxPieceLen = 4, vocabSize = 64, iters = 2, maxWordLen = 12)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Merge rounds the BPE queries train/replay (q133/q134/q135 share one
     * training run per sf dir; the oracle re-trains in DuckDB). */
   private[queries] val BpeNumMerges = 12
@@ -2586,6 +2604,36 @@ object PipelineQueries extends OracleSqlStatic {
         s, idx, qs, "qid", "qtext", topK = 10)
         .select(col("qid"), col("rank"), col("doc_id"), roundz(col("score"), 6).as("score_r"))
         .orderBy("qid", "rank")
+    },
+
+    "q249_unigram_train" -> { (s, dir) =>
+      // SentencePiece-style unigram vocabulary: candidate substrings ->
+      // 2 hard-EM Viterbi rounds on the distinct-word histogram; the
+      // oracle re-trains the identical recipe in SQL (DP unrolled)
+      graft.ops.UnigramTrain.vocabTable(
+        s, UnigramState.forDir(t(s, dir, "documents"), dir))
+        .orderBy("vocab_rank")
+    },
+
+    "q250_unigram_fertility" -> { (s, dir) =>
+      // fertility comparison row vs BPE (the vocabulary-family decision
+      // metric): tokens-per-word per source under BOTH trained
+      // tokenizers, one row per source with the delta
+      val docs = t(s, dir, "documents")
+      val uni = graft.ops.UnigramTrain.fertility(
+        docs, "doc_id", "text", "source", UnigramState.forDir(docs, dir))
+        .select(col("source"), col("n_words"),
+          col("n_tokens").as("n_uni_tokens"), col("fertility_r").as("uni_fertility_r"))
+      val bpe = graft.ops.BpeTrain.fertility(
+        docs, "doc_id", "text", "source", BpeState.forDir(docs, dir, BpeNumMerges))
+        .select(col("source"), col("n_bpe_tokens"),
+          col("fertility_r").as("bpe_fertility_r"))
+      uni.join(bpe, Seq("source"))
+        .select(col("source"), col("n_words"), col("n_uni_tokens"),
+          col("n_bpe_tokens"), col("uni_fertility_r"), col("bpe_fertility_r"),
+          (round(col("bpe_fertility_r") - col("uni_fertility_r"), 6) + lit(0.0))
+            .as("uni_advantage_r"))
+        .orderBy("source")
     },
 
     "q197_snapshot_diff" -> { (s, dir) =>
