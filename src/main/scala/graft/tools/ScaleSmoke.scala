@@ -241,6 +241,15 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
       }
 
+      // unigram-LM training: the EM loop never touches the corpus after
+      // the histogram pass, and replicas add NO new distinct words — the
+      // per-round Viterbi job is histogram-bounded, so cost tracks the
+      // one corpus scan
+      time(s"unigram-LM train ($nDocs docs, 2 EM rounds)") {
+        graft.ops.UnigramTrain.train(dN, "text",
+          maxPieceLen = 4, vocabSize = 64, iters = 2)
+      }
+
       // KMV sketch: replicas add NO new distinct hashes — cost tracks the
       // scan + map-side distinct, state stays k rows per group
       time(s"kmv distinct per source ($nDocs docs, k=256)") {
@@ -859,17 +868,24 @@ object ScaleSmoke {
       // (broadcast semi + relabel); the star contraction runs on the
       // increment-sized contracted graph, so this row should stay
       // near-flat while the full rebuild above grows
-      time(s"ccApply 500-edge increment onto ${n * 2500}-node history") {
+      {
+        // history built (and materialized) OUTSIDE the timed region — the
+        // row measures the increment cost alone, which must stay
+        // near-flat while the full rebuild above grows with n
         val s = col("l_orderkey") % (n * 2500L)
         val segBase = s - pmod(s, lit(50L))
         val g = bids.select(s.as("s"),
           (segBase + pmod(pmod(s, lit(50L)) + 1, lit(50L))).as("d"))
-        val hist = graft.ops.Graphs.connectedComponents(g, "s", "d")
+        val hist = graft.Checkpoints.localCheckpoint(
+          graft.ops.Graphs.connectedComponents(g, "s", "d"))
         // bridge consecutive rings: 500 genuinely-merging edges
         val inc = spark.range(500)
           .select((col("id") * 50L).as("s"), (col("id") * 50L + 50L).as("d"))
-        graft.ops.Graphs.ccApply(hist, inc, "s", "d")
-          .agg(count(lit(1))).collect()
+        time(s"ccApply 500-edge increment onto ${n * 2500}-node history") {
+          graft.ops.Graphs.ccApply(hist, inc, "s", "d")
+            .agg(count(lit(1))).collect()
+        }
+        graft.Checkpoints.free(hist)
       }
 
       // adversarial: a LONG PATH is the shape that defeats min-label
