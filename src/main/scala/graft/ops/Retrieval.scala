@@ -165,8 +165,12 @@ object Retrieval {
     *  - `terms/`: `(term, __df)` per term, same bucketing — document
     *    frequency precomputed at build time, aggregated from the
     *    WRITTEN postings (one corpus pass total);
-    *  - `stats/`: one row `(__n, __avgdl, num_buckets, id_col)`.
-    * Rebuilding after corpus drift is re-running this. */
+    *  - `stats/`: one row `(__n, __ndl, __sumdl, num_buckets, id_col)`
+    *    — exact integers, so [[appendToBm25Index]] updates them
+    *    without float drift and the derived avgdl stays bitwise equal
+    *    to the ad-hoc path's `avg`.
+    * Rebuilding after corpus drift is re-running this;
+    * [[appendToBm25Index]] is the incremental write side. */
   def saveBm25Index(
       docs: DataFrame,
       idCol: String,
@@ -192,11 +196,80 @@ object Retrieval {
       .groupBy(col("term_bucket"), col("term"))
       .agg(count(lit(1)).as("__df"))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/terms")
+    // stats as EXACT integers (doc count, non-null dl count and sum):
+    // avgdl derives at query time as sum/count — bitwise equal to the
+    // ad-hoc `avg` (integer-valued doubles sum exactly below 2^53), and
+    // an APPEND can update the stats without float drift
     withLen
-      .agg(count(lit(1)).as("__n"), avg(col("__dl").cast("double")).as("__avgdl"))
+      .agg(count(lit(1)).as("__n"),
+        count(col("__dl")).as("__ndl"),
+        coalesce(sum(col("__dl").cast("long")), lit(0L)).as("__sumdl"))
       .withColumn("num_buckets", lit(numBuckets))
       .withColumn("id_col", lit(idCol))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Index MAINTENANCE: tokenize ONLY the new documents, append their
+    * postings under the stored bucketing, and refresh the (index-read,
+    * never corpus-read) per-term document frequencies and the exact
+    * integer stats — the [[graft.ops.Similarity.appendToIvfIndex]]
+    * write side of the serving loop; the next
+    * [[bm25SearchPreindexed]]/[[graft.streaming.StreamingEval
+    * .bm25QueryStream]] batch sees the merged corpus. Caller contract:
+    * a document id must be appended at most once (duplicate postings
+    * would double-count document frequency — rebuild with
+    * [[saveBm25Index]] to re-ingest). */
+  def appendToBm25Index(
+      newDocs: DataFrame,
+      textCol: String,
+      indexPath: String
+  ): Unit = {
+    val spark = newDocs.sparkSession
+    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    val nb = stats.getAs[Int]("num_buckets")
+    val idCol = stats.getAs[String]("id_col")
+    val withLen = newDocs.select(
+      col(idCol).as("__docid"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    withLen
+      .select(col("__docid"), col("__dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("__docid"), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nb.toLong)))
+      .write.mode("append").partitionBy("term_bucket").parquet(s"$indexPath/postings")
+    // df rebuild from the WRITTEN postings (index-bounded, no corpus
+    // re-scan); a straight overwrite would delete the partitions the
+    // reader is mid-scan on, so stage then swap via a temp subdir read
+    val refreshed = spark.read.parquet(s"$indexPath/postings")
+      .groupBy(col("term_bucket"), col("term"))
+      .agg(count(lit(1)).as("__df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    refreshed.count()
+    refreshed.write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$indexPath/terms")
+    refreshed.unpersist()
+    val inc = withLen.agg(count(lit(1)).as("n2"),
+      count(col("__dl")).as("ndl2"),
+      coalesce(sum(col("__dl").cast("long")), lit(0L)).as("sumdl2")).head()
+    val merged = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        stats.getAs[Long]("__n") + inc.getAs[Long]("n2"),
+        stats.getAs[Long]("__ndl") + inc.getAs[Long]("ndl2"),
+        stats.getAs[Long]("__sumdl") + inc.getAs[Long]("sumdl2"),
+        nb, idCol)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__ndl",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__sumdl",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_buckets",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("id_col",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
   /** BM25 top-k against a PERSISTED [[saveBm25Index]] — scores are
@@ -222,9 +295,16 @@ object Retrieval {
     val stats = spark.read.parquet(s"$indexPath/stats").head()
     val nb = stats.getAs[Int]("num_buckets")
     val idCol = stats.getAs[String]("id_col")
+    // avgdl = exact-integer sum / non-null count — bitwise what the
+    // ad-hoc path's `avg(dl)` computes (exact int-valued double sum)
+    val ndl = stats.getAs[Long]("__ndl")
+    val avgdl: java.lang.Double =
+      if (ndl == 0L) null
+      else java.lang.Double.valueOf(
+        stats.getAs[Long]("__sumdl").toDouble / ndl.toDouble)
     val consts = spark.createDataFrame(
       java.util.Collections.singletonList(org.apache.spark.sql.Row(
-        stats.getAs[Long]("__n"), stats.getAs[Double]("__avgdl"))),
+        stats.getAs[Long]("__n"), avgdl)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__n",
           org.apache.spark.sql.types.LongType, nullable = false),

@@ -443,6 +443,34 @@ class PlanShapeSpec extends SparkSpec {
       s"entity keepers must be equi-joins only:\n$ekPlan")
   }
 
+  test("ccApply: history is scanned behind broadcast joins, never cross-joined") {
+    import spark.implicits._
+    val hist = graft.ops.Graphs.connectedComponents(
+      Seq((1L, 2L), (5L, 6L)).toDF("a", "b"), "a", "b")
+    val out = graft.ops.Graphs.ccApply(
+      hist, Seq((2L, 5L), (9L, 1L)).toDF("a", "b"), "a", "b")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ccApply must be equi-joins only:\n$plan")
+    // the increment-side joins against the history must BROADCAST (the
+    // no-history-shuffle contract): at least the touched-rows semi and
+    // the relabel join plan as broadcast hash joins
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast semi/relabel joins over the history scan:\n$plan")
+  }
+
+  test("repeatedSpans: no cartesian; windows aggregate on the md5 key") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.repeatedSpans(docs, "text", "doc_id", span = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span islands must never plan a cross product:\n$plan")
+  }
+
   test("cleanCorpus null-id guard folds away on a non-nullable id") {
     // the guard is UNCONDITIONAL in code; Catalyst's NullPropagation is
     // what removes coalesce(id, raise_error) when the id's metadata says

@@ -140,6 +140,17 @@ class RetrievalSpec extends SparkSpec {
     val empty = Retrieval.bm25SearchPreindexed(
       spark, dir, Seq((9L, "   ")).toDF("qid", "qtext"), "qid", "qtext", topK = 4)
     assert(empty.count() == 0 && empty.columns.toSeq == adhoc.columns.toSeq)
+    // MAINTENANCE: append a second corpus slice — the preindexed search
+    // must then equal the ad-hoc search over the UNION, bit for bit
+    // (df, N, and avgdl all shift with the append)
+    val more = (41L to 60L).map(i => (i, s"w${i % 7} w${i % 11} tail extra"))
+      .toDF("doc_id", "text")
+    Retrieval.appendToBm25Index(more, "text", dir)
+    val pre2 = Retrieval.bm25SearchPreindexed(
+      spark, dir, qs, "qid", "qtext", topK = 4)
+    val adhoc2 = Retrieval.bm25Search(docs.unionByName(more), "doc_id", "text",
+      qs, "qid", "qtext", topK = 4)
+    assert(pre2.collect().map(_.toSeq).toSet == adhoc2.collect().map(_.toSeq).toSet)
   }
 
   test("chunkText windows with overlap; short, empty, and null text edge cases") {
