@@ -2340,18 +2340,82 @@ object Dedup {
       textCol: String,
       idCol: String,
       span: Int = 13
+  ): DataFrame =
+    applySpanCuts(corpus, textCol, idCol, span,
+      repeatedSpanRemovals(corpus, textCol, idCol, span))
+
+  /** Shared cut application: rewrite each document's `textCol` to its
+    * case-preserved tokens outside the union of `[pos, pos + span)`
+    * removal ranges (`cuts`: rows of `(idCol, pos)`), space-joined;
+    * untouched documents keep their original bytes. */
+  private def applySpanCuts(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int,
+      cuts: DataFrame
   ): DataFrame = {
-    val cuts = repeatedSpanRemovals(corpus, textCol, idCol, span)
+    val grouped = cuts
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("pos"))).as("__cuts"))
     val rawToks = graft.expressions.WordGrams.wordGramsMulti(col(textCol), 1)
     val rebuilt = array_join(
       filter(rawToks, (_, i) =>
         !exists(col("__cuts"), p => p <= i && i < p + lit(span))), " ")
-    corpus.join(cuts, Seq(idCol), "left")
+    corpus.join(grouped, Seq(idCol), "left")
       .withColumn(textCol,
         when(col("__cuts").isNull, col(textCol)).otherwise(rebuilt))
       .drop("__cuts")
+  }
+
+  /** One micro-batch of STREAMING exact-substring self-dedup: cut every
+    * window occurrence whose content is already in the standing
+    * fingerprint `index` (seen in ANY earlier batch — its canonical
+    * copy lives upstream) or is a non-first occurrence WITHIN this
+    * batch, then rebuild the batch's documents. Returns the cleaned
+    * batch plus the batch's first-seen window fingerprints — the rows
+    * the caller appends to the index so later batches cut against
+    * them. With batches arriving in increasing-id order the
+    * composition over batches equals one [[selfDedupSpans]] over the
+    * union (StreamingSpec-pinned; the keep-first owner is the global
+    * (id, pos) minimum either way).
+    *
+    * Scale shape: one window pass over the BATCH; the standing index
+    * is touched by two hash-key joins at the batch's window grain
+    * (semi to find hits, anti to find first-seens) — never scanned
+    * into memory, never shuffled beyond the 16-byte keys. */
+  def selfDedupAgainstIndex(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int,
+      index: Option[DataFrame]
+  ): (DataFrame, DataFrame) = {
+    val w = graft.Checkpoints.trackCache(
+      positionedWindows(batch, textCol, idCol, span)
+        .select(col("__id"), col("pos"), md5(col("__w")).as("__h"))
+        .persist())
+    val owners = w.groupBy("__h")
+      .agg(min(struct(col("__id"), col("pos"))).as("__owner"))
+    val withOwner = w.join(owners, Seq("__h"))
+    val (removals, newFps) = index match {
+      case Some(ix) =>
+        val known = ix.select(col("h").as("__h"))
+        val hit = withOwner.join(known, Seq("__h"), "left_semi")
+          .select(col("__id"), col("pos"))
+        val fresh = withOwner.join(known, Seq("__h"), "left_anti")
+        val freshDups = fresh
+          .filter(struct(col("__id"), col("pos")) =!= col("__owner"))
+          .select(col("__id"), col("pos"))
+        (hit.unionByName(freshDups),
+          fresh.select(col("__h").as("h")).distinct())
+      case None =>
+        (withOwner.filter(struct(col("__id"), col("pos")) =!= col("__owner"))
+          .select(col("__id"), col("pos")),
+          w.select(col("__h").as("h")).distinct())
+    }
+    (applySpanCuts(batch, textCol, idCol, span,
+      removals.select(col("__id").as(idCol), col("pos"))), newFps)
   }
 
   /** Horizon (TTL) dedup: within each `keyCols` identity, keep a row iff

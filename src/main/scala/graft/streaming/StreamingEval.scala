@@ -674,6 +674,54 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming exact-substring SELF-DEDUP at ingest: each micro-batch's
+    * documents are cut against the standing window-fingerprint index
+    * (spans already seen anywhere upstream, plus within-batch repeats)
+    * via [[graft.ops.Dedup.selfDedupAgainstIndex]], the cleaned batch
+    * appends to `outPath`, and the batch's first-seen fingerprints
+    * append to `indexPath` — so boilerplate is cut the moment its
+    * second copy ARRIVES, before it ever lands in the corpus. With
+    * batches in increasing-id order the composed output equals one
+    * batch [[graft.ops.Dedup.selfDedupSpans]] over the union
+    * (StreamingSpec differential). Index grows one 16-byte row per
+    * distinct window ever seen; the per-batch cost is the batch's own
+    * window pass plus two hash joins against the index.
+    *
+    * Both sinks are VERSIONED per batch (`v<batchId>` subdirs,
+    * overwrite) and each batch reads only index versions STRICTLY
+    * BELOW its own id — the [[scd2Stream]] replay rule: a retried
+    * batch must not find its own first attempt's fingerprints (it
+    * would cut every window of its own documents). Readers union the
+    * subdirs (`spark.read.option("recursiveFileLookup", "true")
+    * .parquet(outPath)`). */
+  def spanDedupStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      outPath: String,
+      span: Int = 13
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val standing =
+        if (!fs.exists(root)) None
+        else {
+          val vs = fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.matches("v\\d+"))
+            .filter(_.drop(1).toLong < batchId)
+          if (vs.isEmpty) None
+          else Some(spark.read.parquet(vs.map(v => s"$indexPath/$v"): _*))
+        }
+      val (cleaned, newFps) = graft.ops.Dedup.selfDedupAgainstIndex(
+        batch, textCol, idCol, span, standing)
+      cleaned.write.mode("overwrite").parquet(f"$outPath/v$batchId%09d")
+      newFps.write.mode("overwrite").parquet(f"$indexPath/v$batchId%09d")
+      ()
+    }
+
   /** Streaming LEXICAL SERVING: a stream of text queries answered
     * against a persisted BM25 index
     * ([[graft.ops.Retrieval.saveBm25Index]] — built once, queried

@@ -1344,6 +1344,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming span dedup equals one batch selfDedupSpans over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-ing").toString
+    val boiler = (1 to 13).map(i => s"w$i").mkString(" ")
+    // batch 1 owns the boilerplate; batch 2 repeats it across AND within
+    // a doc; batch 3 repeats it again and brings fresh text
+    val batches = Seq(
+      Seq((1L, s"intro $boiler outro"), (2L, "clean text one")),
+      Seq((3L, s"lead $boiler tail"), (4L, s"$boiler mid $boiler")),
+      Seq((5L, s"end $boiler"), (6L, "still clean"))
+    )
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.spanDedupStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        s"$dir/index", s"$dir/out", span = 13)
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      val streamed = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/out")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      val full = Dedup.selfDedupSpans(
+          batches.flatten.toDF("doc_id", "text"), "text", "doc_id", span = 13)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(streamed == full, s"streamed $streamed\nvs batch $full")
+      // the owner batch kept its copy; every later arrival lost it
+      assert(streamed(1L) == s"intro $boiler outro")
+      assert(streamed(3L) == "lead tail" && streamed(5L) == "end")
+      // REPLAY SAFETY: re-running batch 2 against index versions < 2
+      // reproduces its committed output (never cuts against its own fps)
+      val standing = Some(spark.read.parquet(s"$dir/index/v000000000",
+        s"$dir/index/v000000001"))
+      val (replayed, _) = Dedup.selfDedupAgainstIndex(
+        batches(2).toDF("doc_id", "text"), "text", "doc_id", 13, standing)
+      val rep = replayed.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(rep == Map(5L -> "end", 6L -> "still clean"))
+    } finally query.stop()
+  }
+
   test("streaming incremental CC equals a full batch rebuild") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Graphs
