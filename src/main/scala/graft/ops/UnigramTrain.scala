@@ -153,6 +153,28 @@ object UnigramTrain {
         UnigramExpressions.unigramViterbi(col("word"), scores, maxPieceLen))
   }
 
+  /** Per-document unigram token counts — the sequence-length profile a
+    * packing/sharding stage consumes, the [[BpeTrain.tokensPerDoc]]
+    * sibling: explode each document's words, join the distinct-word
+    * Viterbi LENGTHS (one int per word, never the piece arrays), sum.
+    * Documents with no tokens report 0. */
+  def tokensPerDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pieces: Seq[Piece],
+      maxPieceLen: Int = 4
+  ): DataFrame = {
+    val wordLens = encodeWords(df, textCol, pieces, maxPieceLen)
+      .select(col("word"), size(col("tokens")).as("__nt"))
+    df.select(col(idCol),
+        explode_outer(WordGrams.wordGramsMulti(coalesce(col(textCol), lit("")), 1))
+          .as("word"))
+      .join(wordLens, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(coalesce(sum("__nt"), lit(0L)).as("n_unigram_tokens"))
+  }
+
   /** Tokenizer FERTILITY under the trained unigram vocabulary (tokens
     * per whitespace word, the [[BpeTrain.fertility]] metric) — the
     * comparison row that says which vocabulary family serves a source

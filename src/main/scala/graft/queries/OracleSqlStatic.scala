@@ -2066,6 +2066,31 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     "q249_unigram_train" -> unigramTrainSql(
       maxPieceLen = 4, vocabSize = 64, iters = 2, maxWordLen = 12),
 
+    // per-doc unigram token counts: re-train + one encode DP, then the
+    // distinct-word lengths join back at doc grain (0 for empty docs)
+    "q251_unigram_tokens_per_doc" -> (
+      "WITH " +
+      unigramCtes(maxPieceLen = 4, vocabSize = 64, iters = 2, maxWordLen = 12) + ",\n" +
+      unigramRoundCtes(3, 12) + s""",
+         |wtok AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM (${(1 to 12).map(j => s"SELECT word, piece FROM k3_$j").mkString(" UNION ALL ")})
+         |  GROUP BY word
+         |),
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN text IS NULL OR len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |           ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END) AS word
+         |  FROM documents
+         |),
+         |tl AS (
+         |  SELECT dw.doc_id, CAST(sum(wt.n_tok) AS BIGINT) AS n
+         |  FROM dw JOIN wtok wt USING (word) GROUP BY dw.doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(tl.n, 0) AS BIGINT) AS n_unigram_tokens
+         |FROM documents d LEFT JOIN tl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
+
     // fertility head-to-head: BOTH tokenizers re-trained from scratch in
     // one SQL chain (BPE merge replay + unigram EM replay + one encode
     // DP under the final vocab), then per-source tokens-per-word

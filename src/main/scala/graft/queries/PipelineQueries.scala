@@ -2636,6 +2636,16 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("source")
     },
 
+    "q251_unigram_tokens_per_doc" -> { (s, dir) =>
+      // sequence-length profile under the trained unigram vocab (the
+      // q135 BPE sibling): distinct-word Viterbi lengths joined back at
+      // doc grain; oracle re-trains + re-encodes in SQL
+      val docs = t(s, dir, "documents")
+      graft.ops.UnigramTrain.tokensPerDoc(
+        docs, "doc_id", "text", UnigramState.forDir(docs, dir))
+        .orderBy("doc_id")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names
