@@ -414,9 +414,26 @@ object Joins {
       pairA: String = "id_a",
       pairB: String = "id_b",
       maxIter: Int = 64
+  ): DataFrame =
+    entityKeepersFromComponents(records,
+      graft.Checkpoints.trackCache(
+        Graphs.connectedComponents(pairs, pairA, pairB, maxIter).persist()),
+      idCol, scoreCol)
+
+  /** [[entityKeepers]] with the component mapping supplied — the
+    * MAINTENANCE entry point: feed it [[Graphs.ccApply]]'s output (a
+    * standing mapping merged with a new pair batch) and the keepers
+    * recompute without re-contracting the graph, completing the
+    * incremental entity-resolution loop ([[Graphs.ccStream]] maintains
+    * the mapping; this names the survivors). `components` must be a
+    * `(node, component)` frame (a [[Graphs.connectedComponents]] /
+    * [[Graphs.ccApply]] output, persisted or fresh). */
+  def entityKeepersFromComponents(
+      records: DataFrame,
+      comps: DataFrame,
+      idCol: String,
+      scoreCol: String
   ): DataFrame = {
-    val comps = graft.Checkpoints.trackCache(
-      Graphs.connectedComponents(pairs, pairA, pairB, maxIter).persist())
     val checkedId =
       when(col(idCol).cast("long").isNull, raise_error(concat(
         lit(s"entityKeepers: id '$idCol' value "), col(idCol).cast("string"),

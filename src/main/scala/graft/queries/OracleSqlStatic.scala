@@ -182,6 +182,30 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |SELECT qid, rank, doc_id, round(score, 6) + 0.0 AS score_r
          |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** q235's full entity-canonicalization derivation — shared verbatim
+    * by the incremental-loop replay q252 (increment == rebuild). */
+  private lazy val entityKeepersOracleSql: String =
+    s"""WITH ${ccFloodCtes(40)},
+         |comp AS (SELECT node, label AS component FROM l40),
+         |scored AS (
+         |  SELECT comp.node, comp.component, cu.c_acctbal
+         |  FROM comp JOIN customer cu ON cu.c_custkey = comp.node
+         |), best AS (
+         |  SELECT component, node AS keeper_id FROM scored
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY component ORDER BY c_acctbal DESC, node) = 1
+         |), matched AS (
+         |  SELECT s.node, s.component, b.keeper_id
+         |  FROM scored s JOIN best b USING (component)
+         |), singles AS (
+         |  SELECT c_custkey AS node, c_custkey AS component, c_custkey AS keeper_id
+         |  FROM customer
+         |  WHERE c_custkey NOT IN (SELECT node FROM comp)
+         |)
+         |SELECT node, component, keeper_id FROM matched
+         |UNION ALL SELECT node, component, keeper_id FROM singles
+         |ORDER BY node""".stripMargin
+
   protected lazy val staticOracleSql: Map[String, String] = Map(
     // bottom-64 uniform sample (md5 unit hash, ties to smaller id) then
     // quantile_cont == Spark exact percentile (q93-pinned parity)
@@ -4409,27 +4433,11 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
     // entity canonicalization: components (the q226 chain) + per-entity
     // argmax(acctbal, ties to smaller id) + singleton pass-through
-    "q235_entity_keepers" ->
-      s"""WITH ${ccFloodCtes(40)},
-         |comp AS (SELECT node, label AS component FROM l40),
-         |scored AS (
-         |  SELECT comp.node, comp.component, cu.c_acctbal
-         |  FROM comp JOIN customer cu ON cu.c_custkey = comp.node
-         |), best AS (
-         |  SELECT component, node AS keeper_id FROM scored
-         |  QUALIFY row_number() OVER (
-         |    PARTITION BY component ORDER BY c_acctbal DESC, node) = 1
-         |), matched AS (
-         |  SELECT s.node, s.component, b.keeper_id
-         |  FROM scored s JOIN best b USING (component)
-         |), singles AS (
-         |  SELECT c_custkey AS node, c_custkey AS component, c_custkey AS keeper_id
-         |  FROM customer
-         |  WHERE c_custkey NOT IN (SELECT node FROM comp)
-         |)
-         |SELECT node, component, keeper_id FROM matched
-         |UNION ALL SELECT node, component, keeper_id FROM singles
-         |ORDER BY node""".stripMargin,
+    "q235_entity_keepers" -> entityKeepersOracleSql,
+
+    // the incremental loop (ccApply + entityKeepersFromComponents) must
+    // land on the SAME total assignment as the from-scratch derivation
+    "q252_entity_keepers_incremental" -> entityKeepersOracleSql,
 
     // robust (median/MAD) z: exact quantile_cont == Spark percentile
     // (q93), z from the RAW med/mad, 6-decimal display rounding after

@@ -2646,6 +2646,29 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("doc_id")
     },
 
+    "q252_entity_keepers_incremental" -> { (s, dir) =>
+      // the FULL incremental entity-resolution loop: standing components
+      // from 2/3 of the fuzzy pair graph, ccApply merges the last third,
+      // entityKeepersFromComponents names the survivors — no
+      // re-contraction of the standing graph; the oracle is q235's full
+      // derivation (increment ≡ rebuild end to end)
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_custkey"), col("c_name"))
+      val pairs = graft.Checkpoints.trackCache(
+        graft.ops.Joins.editDistanceSelfJoin(c, Seq("nationkey"),
+          "c_custkey", "c_name", maxDist = 1).persist())
+      val hist = pairs.filter(pmod(col("id_a"), lit(3)) =!= 0)
+      val inc = pairs.filter(pmod(col("id_a"), lit(3)) === 0)
+      val comps = graft.Checkpoints.trackCache(
+        graft.ops.Graphs.ccApply(
+          graft.ops.Graphs.connectedComponents(hist, "id_a", "id_b"),
+          inc, "id_a", "id_b").persist())
+      graft.ops.Joins.entityKeepersFromComponents(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        comps, "c_custkey", "c_acctbal")
+        .orderBy("node")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names
