@@ -179,23 +179,26 @@ object Retrieval {
       numBuckets: Int = 64
   ): Unit = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
-    val spark = docs.sparkSession
     val withLen = docs.select(
       col(idCol).as("__docid"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
-    withLen
+    // postings persisted for the build's two consumers (the write and the
+    // df aggregate) — one corpus pass, and no read-back of a possibly
+    // file-less write (partitionBy over an empty corpus writes nothing)
+    val postings = withLen
       .select(col("__docid"), col("__dl"), explode(col("__toks")).as("term"))
       .groupBy(col("__docid"), col("__dl"), col("term"))
       .agg(count(lit(1)).as("__tf"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(numBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
-    // df from the written postings: (doc, term) is unique there, and
-    // reading back beats re-running the corpus explode
-    spark.read.parquet(s"$path/postings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
+    // (doc, term) is unique after the tf aggregate, so count(*) IS df
+    postings
       .groupBy(col("term_bucket"), col("term"))
       .agg(count(lit(1)).as("__df"))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/terms")
+    postings.unpersist()
     // stats as EXACT integers (doc count, non-null dl count and sum):
     // avgdl derives at query time as sum/count — bitwise equal to the
     // ad-hoc `avg` (integer-valued doubles sum exactly below 2^53), and
@@ -238,20 +241,23 @@ object Retrieval {
       .agg(count(lit(1)).as("__tf"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nb.toLong)))
       .write.mode("append").partitionBy("term_bucket").parquet(s"$indexPath/postings")
-    // df rebuild from the WRITTEN postings (index-bounded, no corpus
-    // re-scan); a straight overwrite would delete the partitions the
-    // reader is mid-scan on, so stage then swap via a temp subdir read
-    val refreshed = spark.read.parquet(s"$indexPath/postings")
-      .groupBy(col("term_bucket"), col("term"))
-      .agg(count(lit(1)).as("__df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    refreshed.count()
-    refreshed.write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$indexPath/terms")
-    refreshed.unpersist()
     val inc = withLen.agg(count(lit(1)).as("n2"),
       count(col("__dl")).as("ndl2"),
       coalesce(sum(col("__dl").cast("long")), lit(0L)).as("sumdl2")).head()
+    // df rebuild from the WRITTEN postings (index-bounded, no corpus
+    // re-scan) — skipped while the merged corpus has zero TOKENS (doc
+    // counts don't imply postings; only a token does, and with none no
+    // postings file exists to infer a schema from)
+    if (stats.getAs[Long]("__sumdl") + inc.getAs[Long]("sumdl2") > 0L) {
+      val refreshed = spark.read.parquet(s"$indexPath/postings")
+        .groupBy(col("term_bucket"), col("term"))
+        .agg(count(lit(1)).as("__df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      refreshed.count()
+      refreshed.write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$indexPath/terms")
+      refreshed.unpersist()
+    }
     val merged = spark.createDataFrame(
       java.util.Collections.singletonList(org.apache.spark.sql.Row(
         stats.getAs[Long]("__n") + inc.getAs[Long]("n2"),
@@ -315,10 +321,14 @@ object Retrieval {
         explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
       .persist())
     // the bucket sliver: <= numBuckets longs on the driver, the partition
-    // prune for both index reads
-    val buckets = qTerms
-      .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("__b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // prune for both index reads. An index over a TOKEN-LESS corpus has
+    // no postings files at all (partitionBy writes none) — short-circuit
+    // on the stats row rather than asking parquet to infer a schema.
+    val buckets =
+      if (stats.getAs[Long]("__sumdl") == 0L) Seq.empty[Long]
+      else qTerms
+        .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("__b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
     if (buckets.isEmpty) {
       // no query terms: empty result with the contract schema
       return GroupTopK.topKPerGroup(

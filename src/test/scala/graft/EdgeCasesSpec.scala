@@ -254,4 +254,35 @@ class EdgeCasesSpec extends SparkSpec {
     assert(row.getAs[Double]("score_f") == 4.0) // last registration wins
     assert(row.getAs[Double]("final_score") == 2.5) // both criteria still summed
   }
+
+  test("round-13 operators survive empty and degenerate inputs") {
+    import graft.ops.{Dedup, Graphs, Retrieval, UnigramTrain}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // repeated spans / islands: empty corpus and all-null text yield nothing
+    assert(Dedup.repeatedSpans(emptyDocs, "text", "doc_id", span = 3).count() == 0)
+    val nullText = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(nullText, "text", "doc_id", span = 3).count() == 0)
+    // selfDedupAgainstIndex: empty batch round-trips (no windows, no fps)
+    val (cleanedE, fpsE) = Dedup.selfDedupAgainstIndex(
+      emptyDocs, "text", "doc_id", 3, None)
+    assert(cleanedE.count() == 0 && fpsE.count() == 0)
+    // ccApply onto an EMPTY history: degenerates to plain CC of the batch
+    val emptyComps = Seq.empty[(Long, Long)].toDF("node", "component")
+    val viaApply = Graphs.ccApply(emptyComps,
+        Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaApply == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    // unigram training on an empty / all-empty-text corpus returns an
+    // empty vocabulary without dividing by a zero total
+    assert(UnigramTrain.train(emptyDocs, "text").isEmpty)
+    assert(UnigramTrain.train(
+      Seq((1L, "   ")).toDF("doc_id", "text"), "text").isEmpty)
+    // BM25 index over an empty corpus: build succeeds, queries come back
+    // empty instead of dividing by the zero avgdl
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-empty").toString
+    Retrieval.saveBm25Index(emptyDocs, "doc_id", "text", dir, numBuckets = 4)
+    val res = Retrieval.bm25SearchPreindexed(
+      spark, dir, Seq((1L, "anything")).toDF("qid", "qtext"), "qid", "qtext")
+    assert(res.count() == 0)
+  }
 }
