@@ -175,6 +175,56 @@ object UnigramTrain {
       .agg(coalesce(sum("__nt"), lit(0L)).as("n_unigram_tokens"))
   }
 
+  /** Per-document mean piece log-probability under the trained unigram
+    * LM — the fluency/quality FILTERING signal the tokenizer family
+    * feeds (a document whose best segmentation still needs many
+    * low-probability pieces is noise: wrong language, mojibake,
+    * binary spill). Output: `(idCol, n_pieces, sum_lnp_r, avg_lnp_r)`;
+    * documents with no tokens report 0 pieces and null scores.
+    *
+    * Determinism (oracle-replayable): a word's ln-prob folds its
+    * pieces in SEGMENTATION order (the token array the native Viterbi
+    * returns ≡ SQL `ORDER BY pos`), and the document folds its words
+    * in POSITION order (the q84 sorted-fold convention) — every
+    * addend is the same ln-derived double on both engines.
+    *
+    * Scale shape: the [[tokensPerDoc]] word-cache join with two doubles
+    * per distinct word; the per-document fold buffers one document's
+    * word list (document-grain, like every rebuild in the engine). */
+  def docLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pieces: Seq[Piece],
+      maxPieceLen: Int = 4
+  ): DataFrame = {
+    val total = pieces.map(_.count).sum
+    val scoreMap = map(pieces.flatMap(p => Seq(
+      lit(p.piece),
+      lit(math.log(p.count.toDouble) - math.log(total.toDouble)))): _*)
+    val wordStats = encodeWords(df, textCol, pieces, maxPieceLen)
+      .select(col("word"), size(col("tokens")).as("__nt"),
+        aggregate(transform(col("tokens"), t =>
+          coalesce(element_at(scoreMap, t),
+            lit(graft.expressions.UnigramExpressions.OovPenalty))),
+          lit(0.0), (acc, x) => acc + x).as("__lnp"))
+    val docWords = df.select(col(idCol),
+      posexplode_outer(WordGrams.wordGramsMulti(coalesce(col(textCol), lit("")), 1))
+        .as(Seq("__pos", "word")))
+    docWords
+      .join(wordStats, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(coalesce(sum(col("__nt")), lit(0L)).as("n_pieces"),
+        aggregate(array_sort(collect_list(struct(col("__pos"), col("__lnp").as("l")))),
+          lit(0.0), (acc, x) => acc + x.getField("l")).as("__sum"))
+      .select(col(idCol), col("n_pieces"),
+        when(col("n_pieces") > 0, round(col("__sum"), 6) + lit(0.0))
+          .as("sum_lnp_r"),
+        when(col("n_pieces") > 0,
+          round(col("__sum") / col("n_pieces").cast("double"), 6) + lit(0.0))
+          .as("avg_lnp_r"))
+  }
+
   /** Tokenizer FERTILITY under the trained unigram vocabulary (tokens
     * per whitespace word, the [[BpeTrain.fertility]] metric) — the
     * comparison row that says which vocabulary family serves a source

@@ -2115,6 +2115,44 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |FROM documents d LEFT JOIN tl USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin),
 
+    // per-doc unigram LM score: word lnp folds pieces ORDER BY pos (the
+    // segmentation order the engine's token array carries), doc folds
+    // word lnps ORDER BY token position — both 0.0-seeded like the
+    // engine's aggregate() folds
+    "q253_unigram_doc_logprob" -> (
+      "WITH " +
+      unigramCtes(maxPieceLen = 4, vocabSize = 64, iters = 2, maxWordLen = 12) + ",\n" +
+      unigramRoundCtes(3, 12) + s""",
+         |wl AS MATERIALIZED (
+         |  SELECT k.word, CAST(count(*) AS BIGINT) AS n_tok,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(sc3.s ORDER BY k.pos)), (a, b) -> a + b) AS lnp
+         |  FROM (${(1 to 12).map(j => s"SELECT word, pos, piece FROM k3_$j").mkString(" UNION ALL ")}) k
+         |  JOIN sc3 ON sc3.piece = k.piece
+         |  GROUP BY k.word
+         |),
+         |dt AS (
+         |  SELECT doc_id,
+         |    CASE WHEN text IS NULL OR len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |),
+         |dwp AS (
+         |  SELECT doc_id, unnest(ts) AS word, unnest(range(1, len(ts) + 1)) AS pos
+         |  FROM dt
+         |),
+         |tl AS (
+         |  SELECT dwp.doc_id, CAST(sum(wl.n_tok) AS BIGINT) AS np,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(wl.lnp ORDER BY dwp.pos)), (a, b) -> a + b) AS s
+         |  FROM dwp JOIN wl USING (word) GROUP BY dwp.doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(tl.np, 0) AS BIGINT) AS n_pieces,
+         |  CASE WHEN coalesce(tl.np, 0) > 0 THEN round(tl.s, 6) + 0.0 END AS sum_lnp_r,
+         |  CASE WHEN coalesce(tl.np, 0) > 0 THEN round(tl.s / tl.np, 6) + 0.0 END AS avg_lnp_r
+         |FROM documents d LEFT JOIN tl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
+
     // fertility head-to-head: BOTH tokenizers re-trained from scratch in
     // one SQL chain (BPE merge replay + unigram EM replay + one encode
     // DP under the final vocab), then per-source tokens-per-word

@@ -2669,6 +2669,17 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("node")
     },
 
+    "q253_unigram_doc_logprob" -> { (s, dir) =>
+      // per-doc mean piece ln-prob under the trained unigram LM — the
+      // fluency gate the tokenizer family feeds; word folds in
+      // segmentation order, doc folds in position order (q84 sorted-fold
+      // convention), oracle re-trains + re-derives both folds
+      val docs = t(s, dir, "documents")
+      graft.ops.UnigramTrain.docLogProb(
+        docs, "doc_id", "text", UnigramState.forDir(docs, dir))
+        .orderBy("doc_id")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names

@@ -126,6 +126,31 @@ class UnigramSpec extends SparkSpec {
     assert(uniF < bpeF, s"unigram $uniF must beat BPE $bpeF on the planted corpus")
   }
 
+  test("docLogProb: hand-checked fold, empty docs null out, repeats fold in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab ab"), (2L, "a b"), (3L, ""), (4L, "ab a")
+    ).toDF("doc_id", "text")
+    // hand-built vocabulary: counts 2,1,1 -> total 4
+    val pieces = Seq(UnigramTrain.Piece("ab", 2L),
+      UnigramTrain.Piece("a", 1L), UnigramTrain.Piece("b", 1L))
+    val lnAb = math.log(2.0) - math.log(4.0)
+    val lnA = math.log(1.0) - math.log(4.0)
+    val got = byKey(UnigramTrain.docLogProb(docs, "doc_id", "text", pieces, 2), "doc_id")
+    // doc 1: two 'ab' words, each one piece (ab beats a+b: -0.69 > -2.77)
+    assert(got(1L).getAs[Long]("n_pieces") == 2L)
+    assertNear(got(1L).getAs[Double]("sum_lnp_r"),
+      BigDecimal(lnAb + lnAb).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, 1e-9)
+    // doc 2: 'a' + 'b' single-char pieces
+    assert(got(2L).getAs[Long]("n_pieces") == 2L)
+    // doc 3: empty -> zero pieces, null scores
+    assert(got(3L).getAs[Long]("n_pieces") == 0L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("avg_lnp_r")))
+    // doc 4: 'ab' + 'a' = 2 pieces, avg = (lnAb + lnA) / 2
+    assertNear(got(4L).getAs[Double]("avg_lnp_r"),
+      BigDecimal((lnAb + lnA) / 2.0).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, 1e-6)
+  }
+
   test("train: word over maxWordLen refuses loudly; codegen path stays compiled") {
     val docs = Seq(Tuple1("short " + "x" * 30)).toDF("text")
     val err = intercept[Exception] {
