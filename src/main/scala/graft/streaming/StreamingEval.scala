@@ -722,6 +722,63 @@ object StreamingEval {
       ()
     }
 
+  /** OFFLINE maintenance for [[spanDedupStream]]'s fingerprint index:
+    * fold every version STRICTLY BELOW `upToBatchId` into one distinct
+    * set written as the highest folded version — readers of any batch ≥
+    * `upToBatchId` see the identical fingerprint set through one file
+    * listing instead of thousands. Run it with the stream STOPPED and
+    * only for batch ids at-or-below the stream's committed checkpoint:
+    * replays of batches older than the compaction horizon are no longer
+    * possible afterwards (their strictly-below read would see fps they
+    * must not).
+    *
+    * Crash safety: the distinct union stages OUTSIDE the version
+    * namespace (`compact_staging` — invisible to readers); a `_TARGET`
+    * marker written INTO the staged dir (after the stage commits)
+    * records the target name and the full superseded-version list, and
+    * from that point the stage is authoritative — the commit sequence
+    * (delete superseded versions, rename staging to the target) is
+    * idempotent, so a crash anywhere is recovered by the next call's
+    * preamble replaying it; a stage WITHOUT a marker is an incomplete
+    * write and is discarded (the source versions are all still
+    * present). The marker file rides the rename and is ignored by
+    * parquet readers (underscore prefix, like `_SUCCESS`). */
+  def compactSpanIndex(
+      spark: SparkSession,
+      indexPath: String,
+      upToBatchId: Long
+  ): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val staging = new org.apache.hadoop.fs.Path(indexPath, "compact_staging")
+    val marker = new org.apache.hadoop.fs.Path(staging, "_TARGET")
+    def commit(): Unit = {
+      val lines = new String(org.apache.hadoop.io.IOUtils
+        .readFullyToByteArray(fs.open(marker)), "UTF-8").split("\n").map(_.trim)
+      val target = lines.head
+      lines.tail.filter(_.nonEmpty).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(indexPath, v), true)
+      }
+      fs.rename(staging, new org.apache.hadoop.fs.Path(indexPath, target))
+      ()
+    }
+    // crash recovery before any new work
+    if (fs.exists(marker)) commit()
+    else if (fs.exists(staging)) fs.delete(staging, true)
+    val vs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .filter(_.drop(1).toLong < upToBatchId)
+      .sorted
+    if (vs.length <= 1) return
+    spark.read.parquet(vs.map(v => s"$indexPath/$v"): _*)
+      .distinct()
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(marker, true)
+    out.write((vs.last +: vs).mkString("\n").getBytes("UTF-8")); out.close()
+    commit()
+  }
+
   /** Streaming LEXICAL SERVING: a stream of text queries answered
     * against a persisted BM25 index
     * ([[graft.ops.Retrieval.saveBm25Index]] — built once, queried

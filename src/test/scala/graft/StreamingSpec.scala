@@ -1383,6 +1383,32 @@ class StreamingSpec extends SparkSpec {
       val rep = replayed.collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
       assert(rep == Map(5L -> "end", 6L -> "still clean"))
+
+      // COMPACTION: folding versions < 3 into one preserves the exact
+      // fingerprint set behind a single version dir
+      def fpSet() = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/index").select("h").collect().map(_.getString(0)).toSet
+      val before = fpSet()
+      graft.streaming.StreamingEval.compactSpanIndex(spark, s"$dir/index", 3L)
+      val dirs = new java.io.File(s"$dir/index").list().filter(_.startsWith("v")).sorted
+      assert(dirs.toSeq == Seq("v000000002"), dirs.toSeq.toString)
+      assert(fpSet() == before)
+      // crash recovery: simulate dying AFTER the marker commit — stage
+      // holds the authoritative set, versions half-gone; the next call's
+      // preamble must finish the rename
+      val fsRoot = new java.io.File(s"$dir/index")
+      val staged = new java.io.File(fsRoot, "compact_staging")
+      assert(new java.io.File(fsRoot, "v000000002").renameTo(staged))
+      // the rename carried the prior marker's checksum sidecar: clear
+      // both before planting the simulated marker (a real crash leaves a
+      // marker whose fs.create-written checksum matches)
+      new java.io.File(staged, "_TARGET").delete()
+      new java.io.File(staged, "._TARGET.crc").delete()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(staged.toString, "_TARGET"), "v000000002\n")
+      graft.streaming.StreamingEval.compactSpanIndex(spark, s"$dir/index", 3L)
+      assert(new java.io.File(fsRoot, "v000000002").exists && !staged.exists)
+      assert(fpSet() == before)
     } finally query.stop()
   }
 
