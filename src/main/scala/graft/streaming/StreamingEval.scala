@@ -1228,6 +1228,33 @@ object StreamingEval {
     * lexicographic max the numeric max. `beforeVersion` restricts to
     * versions NUMERICALLY below the bound — [[scd2Stream]]'s replay
     * guard, where batch N must never read its own vN output. */
+  /** Retention for the SNAPSHOT-versioned layouts ([[scd2Stream]],
+    * [[ccStream]]), where every `v<batchId>` dir is a COMPLETE state
+    * and older versions exist only for replay: delete versions
+    * strictly below `belowId`, always keeping the newest one (the
+    * state itself). Run with the stream stopped and `belowId` at or
+    * below its committed checkpoint — replays older than the horizon
+    * become impossible, exactly the [[compactSpanIndex]] contract.
+    * (The span index is NOT snapshot-versioned — its versions are
+    * disjoint increments; compact it, never prune it.) Returns the
+    * number of versions deleted. */
+  def pruneVersions(
+      spark: SparkSession,
+      path: String,
+      belowId: Long
+  ): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val vs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).sorted
+    if (vs.isEmpty) return 0
+    val newest = vs.last
+    val doomed = vs.filter(v => v != newest && v.drop(1).toLong < belowId)
+    doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(path, v), true))
+    doomed.length
+  }
+
   def loadScd2History(
       spark: SparkSession,
       historyPath: String,

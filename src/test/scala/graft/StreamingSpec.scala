@@ -1446,6 +1446,14 @@ class StreamingSpec extends SparkSpec {
         .loadScd2History(spark, historyPath, beforeVersion = Some(2L)).get
       val replayed = asMap(Graphs.ccApply(pred, batches(2).toDF("s", "d"), "s", "d"))
       assert(replayed == asMap(spark.read.parquet(s"$historyPath/${vs.max}")))
+      // retention: pruning below the checkpoint keeps the newest snapshot
+      // (the state) and the standing mapping is unchanged
+      val n = graft.streaming.StreamingEval.pruneVersions(spark, historyPath, 3L)
+      assert(n == 2, s"expected 2 pruned versions, got $n")
+      val left = new java.io.File(historyPath).list().filter(_.startsWith("v")).sorted
+      assert(left.toSeq == Seq("v000000002"))
+      assert(asMap(graft.streaming.StreamingEval
+        .loadScd2History(spark, historyPath).get) == full)
     } finally query.stop()
   }
 
