@@ -39,10 +39,14 @@ object ExamplePipeline {
       shuffleShards = Some(8),
       maxPerplexity = Some(1e6), // bigram-LM gate (loose here: tiny corpus)
       maxLengthZ = Some(4.0),    // per-language token-count outlier gate
-      // Gopher rule bundle riding the quality stage (lenient word floor:
-      // the synthetic docs are short) and Bloom-path decontamination
-      // against the held-out tail, all in the same lazy plan
-      gopherRules = Some(QualityRules.GopherConfig(minWords = 5)),
+      // Gopher rule bundle riding the quality stage, tuned for the
+      // SYNTHETIC template corpus: the paper's English-stop-word rule
+      // and 3.0 avg-word-len floor reject template text wholesale
+      // (every doc flunked and the rest of this demo ran on zero rows
+      // until round 13 noticed), so those two gates relax here while
+      // the symbol/bullet/alpha rules stay at paper defaults
+      gopherRules = Some(QualityRules.GopherConfig(
+        minWords = 5, minStopwordHits = 0, minAvgWordLen = 2.0)),
       benchDecontaminate = Some((docs.filter(col("doc_id") >= 400), 0.5)))
     val stats = prepared.stats()
     println(s"funnel: in=${stats.input} exact=${stats.afterExactDedup} " +
@@ -484,6 +488,52 @@ object ExamplePipeline {
       "doc_id", "w", Seq("lang"), k = 3, salt = "review")
     println(s"review sample (3/lang, length-weighted, no replacement): " +
       review.count() + " docs")
+
+    // 30. span accounting: the MAXIMAL repeated regions behind step 13's
+    //     cuts (the ExactSubstr report a curation review reads)
+    val islands = graft.ops.Dedup.repeatedSpans(docs, "text", "doc_id")
+    println(s"repeated-span islands: ${islands.count()} " +
+      s"(longest ${islands.agg(max(col("span_end") - col("span_start"))).first().get(0)} tokens)")
+
+    // 31. entity maintenance the incremental way: standing components
+    //     from the first half of a fuzzy pair graph, merge the second
+    //     half without re-contracting, name survivors from the merged map
+    val custs = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_nationkey").as("nationkey"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+    val fuzz = graft.Checkpoints.trackCache(graft.ops.Joins.editDistanceSelfJoin(
+      custs.select("nationkey", "c_custkey", "c_name"),
+      Seq("nationkey"), "c_custkey", "c_name", maxDist = 1).persist())
+    val standing = graft.ops.Graphs.connectedComponents(
+      fuzz.filter(col("id_a") % 2 === 0), "id_a", "id_b")
+    val mergedMap = graft.Checkpoints.trackCache(graft.ops.Graphs.ccApply(
+      standing, fuzz.filter(col("id_a") % 2 =!= 0), "id_a", "id_b").persist())
+    val incKeepers = graft.ops.Joins.entityKeepersFromComponents(
+      custs.select("c_custkey", "c_acctbal"), mergedMap, "c_custkey", "c_acctbal")
+    println(s"incremental entity resolution: ${incKeepers.count()} assignments, " +
+      s"${incKeepers.select("keeper_id").distinct().count()} keepers")
+
+    // 32. tokenizer bake-off: unigram-LM vs the step-16 BPE on fertility,
+    //     plus the unigram LM as a per-doc fluency gate
+    val uniVocab = graft.ops.UnigramTrain.train(docs, "text",
+      maxPieceLen = 4, vocabSize = 64, iters = 2)
+    val uf = graft.ops.UnigramTrain.fertility(
+      docs, "doc_id", "text", "source", uniVocab)
+      .agg(avg("fertility_r")).first().getDouble(0)
+    val bf = graft.ops.BpeTrain.fertility(docs, "doc_id", "text", "source", merges)
+      .agg(avg("fertility_r")).first().getDouble(0)
+    println(f"fertility: unigram $uf%.3f vs bpe $bf%.3f tokens/word")
+    val fluency = graft.ops.UnigramTrain.docLogProb(docs, "doc_id", "text", uniVocab)
+    println(s"fluency gate: ${fluency.filter(col("avg_lnp_r") < -8.0).count()} " +
+      "docs below -8 avg ln-prob")
+
+    // 33. lexical serving artifact: build the BM25 postings index ONCE
+    //     (term-bucket partitioned), answer queries from it forever
+    val bm25Dir = java.nio.file.Files.createTempDirectory("graft-ex-bm25").toString
+    graft.ops.Retrieval.saveBm25Index(prepared.df, "doc_id", "text", bm25Dir)
+    graft.ops.Retrieval.bm25SearchPreindexed(
+        spark, bm25Dir, queries, "qid", "qtext", topK = 3)
+      .orderBy("qid", "rank").show()
 
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
