@@ -140,6 +140,59 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |  piece, c AS cnt
        |FROM v$iters ORDER BY vocab_rank""".stripMargin
 
+  /** The five-heuristic-judge vote table q254/q255 aggregate: shared
+    * CTE prefix mirroring the engine's vote construction exactly
+    * (tokenizer CASE, integer distinct-ratio test, q136 md5 unit-hash
+    * coin). */
+  private val judgeVoteCtes: String =
+    """d AS (
+      |  SELECT doc_id, n_chars, lang,
+      |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+      |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |), v AS MATERIALIZED (
+      |  SELECT doc_id, 'len' AS judge,
+      |    CASE WHEN n_chars >= 300 THEN 'hi' ELSE 'lo' END AS label FROM d
+      |  UNION ALL SELECT doc_id, 'tok',
+      |    CASE WHEN len(ts) >= 50 THEN 'hi' ELSE 'lo' END FROM d
+      |  UNION ALL SELECT doc_id, 'dtr',
+      |    CASE WHEN len(ts) > 0 AND 2 * len(list_distinct(ts)) >= len(ts)
+      |         THEN 'hi' ELSE 'lo' END FROM d
+      |  UNION ALL SELECT doc_id, 'lang',
+      |    CASE WHEN lang = 'en' THEN 'hi' ELSE 'lo' END FROM d
+      |  UNION ALL SELECT doc_id, 'fuzz',
+      |    CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-judge'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 >= 0.5
+      |         THEN 'hi' ELSE 'lo' END FROM d
+      |), mc AS (
+      |  SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2
+      |), maj AS (
+      |  SELECT doc_id, label AS mlab FROM mc
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) = 1
+      |), rel AS MATERIALIZED (
+      |  SELECT judge,
+      |    CAST(sum(CASE WHEN v.label = maj.mlab THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*) AS r
+      |  FROM v JOIN maj USING (doc_id) GROUP BY judge
+      |), wv AS (
+      |  SELECT v.doc_id, v.label,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(rel.r ORDER BY v.judge)), (a, b) -> a + b) AS w
+      |  FROM v JOIN rel USING (judge) GROUP BY v.doc_id, v.label
+      |), wt AS (
+      |  SELECT v.doc_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(rel.r ORDER BY v.judge)), (a, b) -> a + b) AS tw,
+      |    CAST(count(*) AS BIGINT) AS n_judges
+      |  FROM v JOIN rel USING (judge) GROUP BY v.doc_id
+      |), win AS MATERIALIZED (
+      |  SELECT doc_id, label AS consensus, w FROM wv
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, label ASC) = 1
+      |), ag AS (
+      |  SELECT v.doc_id,
+      |    CAST(sum(CASE WHEN v.label = win.consensus THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      |  FROM v JOIN win USING (doc_id) GROUP BY v.doc_id
+      |)""".stripMargin
+
   /** q84's BM25 derivation — shared verbatim by the persisted-index
     * replay q248 (same scores by construction). */
   private lazy val bm25OracleSql: String =
@@ -2152,6 +2205,27 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |  CASE WHEN coalesce(tl.np, 0) > 0 THEN round(tl.s / tl.np, 6) + 0.0 END AS avg_lnp_r
          |FROM documents d LEFT JOIN tl USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin),
+
+    // ensemble-judge consensus: raw majority -> agreement-weighted vote
+    // (judge-ordered weight folds, ties binary-smaller)
+    "q254_judge_consensus" ->
+      s"""WITH $judgeVoteCtes
+         |SELECT win.doc_id, consensus, n_judges, n_agree,
+         |  round(CAST(n_agree AS DOUBLE) / n_judges, 6) + 0.0 AS support_r,
+         |  round(win.w / wt.tw, 6) + 0.0 AS weighted_support_r,
+         |  n_agree = n_judges AS unanimous
+         |FROM win JOIN wt USING (doc_id) JOIN ag USING (doc_id)
+         |ORDER BY win.doc_id""".stripMargin,
+
+    // labeler report card vs the weighted consensus
+    "q255_judge_reliability" ->
+      s"""WITH $judgeVoteCtes
+         |SELECT v.judge, CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CASE WHEN v.label = win.consensus THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  round(CAST(sum(CASE WHEN v.label = win.consensus THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) + 0.0 AS agree_rate_r
+         |FROM v JOIN win USING (doc_id)
+         |GROUP BY v.judge ORDER BY v.judge""".stripMargin,
 
     // fertility head-to-head: BOTH tokenizers re-trained from scratch in
     // one SQL chain (BPE merge replay + unigram EM replay + one encode

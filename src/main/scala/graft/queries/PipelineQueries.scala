@@ -2680,6 +2680,54 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("doc_id")
     },
 
+    "q254_judge_consensus" -> { (s, dir) =>
+      // LLM-as-judge ensemble vetting: five deterministic heuristic
+      // judges (length, token count, distinct-token ratio, language,
+      // and a DELIBERATELY unreliable md5-coin judge) vote hi/lo per
+      // doc; agreement weighting discounts the coin — raw-majority
+      // round, exact-integer reliabilities, judge-ordered weight folds
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def judge(name: String, label: Column) =
+        d.select(col("doc_id"), lit(name).as("judge"), label.as("label"))
+      val nTok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val nDist = size(graft.expressions.WordGrams.distinctTokens(col("text")))
+      val uh = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("graft-judge"))), 1, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      val votes = judge("len", when(col("n_chars") >= 300, "hi").otherwise("lo"))
+        .unionByName(judge("tok", when(nTok >= 50, "hi").otherwise("lo")))
+        .unionByName(judge("dtr",
+          when(nTok > 0 && lit(2) * nDist >= nTok, "hi").otherwise("lo")))
+        .unionByName(judge("lang", when(col("lang") === "en", "hi").otherwise("lo")))
+        .unionByName(judge("fuzz", when(uh >= 0.5, "hi").otherwise("lo")))
+      graft.ops.Judges.judgeConsensus(votes, "doc_id", "judge", "label")
+        .orderBy("doc_id")
+    },
+
+    "q255_judge_reliability" -> { (s, dir) =>
+      // the labeler report card over the same five-judge panel: items
+      // seen + agreement rate vs the weighted consensus — the md5-coin
+      // judge surfaces at ~0.5 while the correlated heuristics score high
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def judge(name: String, label: Column) =
+        d.select(col("doc_id"), lit(name).as("judge"), label.as("label"))
+      val nTok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val nDist = size(graft.expressions.WordGrams.distinctTokens(col("text")))
+      val uh = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("graft-judge"))), 1, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      val votes = judge("len", when(col("n_chars") >= 300, "hi").otherwise("lo"))
+        .unionByName(judge("tok", when(nTok >= 50, "hi").otherwise("lo")))
+        .unionByName(judge("dtr",
+          when(nTok > 0 && lit(2) * nDist >= nTok, "hi").otherwise("lo")))
+        .unionByName(judge("lang", when(col("lang") === "en", "hi").otherwise("lo")))
+        .unionByName(judge("fuzz", when(uh >= 0.5, "hi").otherwise("lo")))
+      graft.ops.Judges.judgeReliability(votes, "doc_id", "judge", "label")
+        .orderBy("judge")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names
