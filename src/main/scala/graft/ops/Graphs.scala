@@ -445,16 +445,22 @@ object Graphs {
     * graph only, and the final relabel is one broadcast left join
     * over the history scan. The increment (its endpoints, touched
     * entities, and label map) must be broadcast-small — the operator's
-    * contract; an increment comparable to the graph itself should just
-    * rebuild. Output: the full updated `(node, component)` mapping
-    * (history nodes plus the increment's new nodes). */
+    * contract, ENFORCED loudly: an increment whose distinct endpoint
+    * set exceeds `maxIncrementNodes` refuses with a "rebuild with
+    * [[connectedComponents]] instead" message before any broadcast is
+    * attempted (one scalar count of the checkpointed increment — never
+    * a generic broadcast OOM mid-job). Output: the full updated
+    * `(node, component)` mapping (history nodes plus the increment's
+    * new nodes). */
   def ccApply(
       components: DataFrame,
       newEdges: DataFrame,
       src: String,
       dst: String,
-      maxIter: Int = 64
+      maxIter: Int = 64,
+      maxIncrementNodes: Long = 5000000L
   ): DataFrame = {
+    require(maxIncrementNodes >= 1, "maxIncrementNodes must be >= 1")
     def checked(c: String): Column =
       when(col(c).cast("long").isNull, raise_error(concat(
         lit(s"ccApply: endpoint '$c' value "), col(c).cast("string"),
@@ -471,6 +477,19 @@ object Graphs {
       .select(checked(src).as("u"), checked(dst).as("v")), resetStats = true)
     val eNodes = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .distinct()
+    // the "increment must be broadcast-small" contract, enforced LOUDLY
+    // before either broadcast (eNodes below, labelMap at the relabel) —
+    // the engine's uniform refusal convention (maxHotKeys, maxUserPairs,
+    // maxPrefixFreq): a generic broadcast OOM hours in is not an error
+    // message. One scalar count over the checkpointed increment.
+    val nIncNodes = eNodes.count()
+    if (nIncNodes > maxIncrementNodes)
+      throw new IllegalArgumentException(
+        s"ccApply: the edge increment touches $nIncNodes distinct endpoints " +
+          s"> maxIncrementNodes=$maxIncrementNodes — an increment comparable " +
+          "to the graph itself should rebuild with connectedComponents " +
+          "instead (or raise maxIncrementNodes if the endpoint set is " +
+          "genuinely broadcast-small)")
     // touched history rows: a broadcast semi — the history is scanned
     // once, its shuffle-free read being the entire point of the
     // incremental path

@@ -1228,6 +1228,23 @@ object StreamingEval {
     * lexicographic max the numeric max. `beforeVersion` restricts to
     * versions NUMERICALLY below the bound — [[scd2Stream]]'s replay
     * guard, where batch N must never read its own vN output. */
+  def loadScd2History(
+      spark: SparkSession,
+      historyPath: String,
+      beforeVersion: Option[Long] = None
+  ): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(historyPath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val vs = fs.listStatus(path).map(_.getPath.getName)
+        .filter(_.matches("v\\d+"))
+        .filter(n => beforeVersion.forall(b => n.drop(1).toLong < b))
+      if (vs.isEmpty) None
+      else Some(spark.read.parquet(s"$historyPath/${vs.max}"))
+    }
+  }
+
   /** Retention for the SNAPSHOT-versioned layouts ([[scd2Stream]],
     * [[ccStream]]), where every `v<batchId>` dir is a COMPLETE state
     * and older versions exist only for replay: delete versions
@@ -1253,22 +1270,5 @@ object StreamingEval {
     val doomed = vs.filter(v => v != newest && v.drop(1).toLong < belowId)
     doomed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(path, v), true))
     doomed.length
-  }
-
-  def loadScd2History(
-      spark: SparkSession,
-      historyPath: String,
-      beforeVersion: Option[Long] = None
-  ): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(historyPath)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) None
-    else {
-      val vs = fs.listStatus(path).map(_.getPath.getName)
-        .filter(_.matches("v\\d+"))
-        .filter(n => beforeVersion.forall(b => n.drop(1).toLong < b))
-      if (vs.isEmpty) None
-      else Some(spark.read.parquet(s"$historyPath/${vs.max}"))
-    }
   }
 }

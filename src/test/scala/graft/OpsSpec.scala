@@ -2042,6 +2042,20 @@ class OpsSpec extends SparkSpec {
       Graphs.ccApply(h0, Seq(("x", "y")).toDF("s", "d"), "s", "d").collect()
     }
     assert(err.getMessage.contains("withSurrogateId"), s"unexpected: ${err.getMessage}")
+    // adversarial whole-graph "increment": the broadcast-small contract
+    // refuses LOUDLY before any broadcast, pointing at the rebuild path
+    val big = intercept[IllegalArgumentException] {
+      Graphs.ccApply(h0, edges.toDF("s", "d"), "s", "d",
+        maxIncrementNodes = 10L)
+    }
+    assert(big.getMessage.contains("rebuild with connectedComponents"),
+      s"unexpected: ${big.getMessage}")
+    assert(big.getMessage.contains("maxIncrementNodes=10"))
+    // exactly-at-the-ceiling passes (the bound is inclusive)
+    val hist40 = Graphs.connectedComponents(edges.take(40).toDF("s", "d"), "s", "d")
+    val atCeil = Graphs.ccApply(hist40, edges.drop(40).toDF("s", "d"), "s", "d",
+      maxIncrementNodes = edges.drop(40).flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+    assert(asMap(atCeil) == full)
   }
 
   test("horizonDedup: greedy anchors, boundary kept, ties, brute-force replay") {
