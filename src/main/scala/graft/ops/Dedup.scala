@@ -2229,6 +2229,14 @@ object Dedup {
       posexplode(graft.expressions.WordGrams.wordGramsMultiLower(col(textCol), span))
         .as(Seq("pos", "__w")))
 
+  /** The distinct md5 window fingerprints a document set contributes to
+    * a [[selfDedupAgainstIndex]] index — the takedown key set
+    * [[graft.streaming.StreamingEval.removeFromSpanIndex]] anti-joins. */
+  private[graft] def windowHashes(
+      df: DataFrame, textCol: String, idCol: String, span: Int): DataFrame =
+    positionedWindows(df, textCol, idCol, span)
+      .select(md5(col("__w")).as("h")).distinct()
+
   /** Every non-first occurrence of a verbatim repeated `span`-token
     * window across (or within) documents — the removal set of
     * exact-substring self-deduplication, the within-corpus complement of

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Crash-safe staged commits for PERSISTED SERVING INDEXES (the BM25
+  * postings tree, the IVF corpus) — the generalization of
+  * [[graft.streaming.StreamingEval.compactSpanIndex]]'s authoritative-
+  * marker pattern to multi-table index roots.
+  *
+  * A maintenance operation (append / compact / takedown) writes every
+  * table it will publish under `<root>/op_staging/<table>`, then writes
+  * a `_COMMIT` marker naming one action per table, then calls
+  * [[commit]]. From the moment the marker exists the stage is
+  * AUTHORITATIVE: every action is idempotent (a rename whose source is
+  * gone already happened; a file move skips files already moved), so a
+  * crash anywhere is recovered by replaying the marker — which
+  * [[recover]] does as the preamble of every maintenance entry point. A
+  * stage WITHOUT a marker is an incomplete write and is discarded (the
+  * live tables are untouched until the marker lands, so discarding
+  * loses nothing).
+  *
+  * Actions:
+  *  - `swap <table>`: replace the live table wholesale (delete live dir,
+  *    rename staged dir in) — for tables rewritten at their own grain
+  *    (terms, stats, a compacted postings tree);
+  *  - `merge <table>`: move the staged files INTO the live table,
+  *    mirroring partition subdirectories — for append-shaped tables
+  *    (postings, doclens), where the increment's files simply join the
+  *    live file-set. Spark part-file names carry a per-job UUID, so
+  *    staged files can never collide with live ones.
+  *
+  * Concurrency contract: ONE maintenance operation at a time per index
+  * root (stop the writer before compacting, etc. — the
+  * [[graft.streaming.StreamingEval.compactSpanIndex]] rule). Readers of
+  * a mid-commit index may see a torn view; serving reads and
+  * maintenance are expected to be fenced by the caller. */
+object IndexCommit {
+
+  val StagingName = "op_staging"
+  private val MarkerName = "_COMMIT"
+
+  def fsFor(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def stagingDir(root: String): String = s"$root/$StagingName"
+
+  /** Preamble for every maintenance op and for readers that want a
+    * consistent view after an unclean shutdown: replay a marked stage,
+    * discard an unmarked one. Returns true iff a pending commit was
+    * replayed. */
+  def recover(spark: SparkSession, root: String): Boolean = {
+    val fs = fsFor(spark, root)
+    val staging = new Path(root, StagingName)
+    if (!fs.exists(staging)) return false
+    val marker = new Path(staging, MarkerName)
+    if (!fs.exists(marker)) {
+      fs.delete(staging, true) // incomplete stage: live tables untouched
+      false
+    } else {
+      replay(fs, new Path(root))
+      true
+    }
+  }
+
+  /** Write the authoritative marker (one "verb table" line per action,
+    * applied in order) and run the commit. Call once every staged table
+    * is fully written. */
+  def commit(fs: FileSystem, root: Path, actions: Seq[(String, String)]): Unit = {
+    writeMarker(fs, root, actions)
+    replay(fs, root)
+  }
+
+  /** The marker write alone — the commit's point of no return, split out
+    * so crash-recovery specs can stop the world exactly here (and at
+    * hand-made partial-replay states after it) and assert [[recover]]
+    * converges. Production code calls [[commit]]. */
+  private[graft] def writeMarker(
+      fs: FileSystem, root: Path, actions: Seq[(String, String)]): Unit = {
+    require(actions.nonEmpty, "commit needs at least one action")
+    require(actions.forall(a => a._1 == "swap" || a._1 == "merge"),
+      s"unknown verbs in ${actions.map(_._1).distinct}")
+    val marker = new Path(new Path(root, StagingName), MarkerName)
+    val out = fs.create(marker, true)
+    out.write(actions.map(a => s"${a._1} ${a._2}").mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The idempotent commit sequence the marker describes. Private: the
+    * public faces are [[commit]] (first run) and [[recover]] (replay). */
+  private def replay(fs: FileSystem, root: Path): Unit = {
+    val staging = new Path(root, StagingName)
+    val marker = new Path(staging, MarkerName)
+    val lines = new String(org.apache.hadoop.io.IOUtils
+      .readFullyToByteArray(fs.open(marker)), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+    lines.foreach { line =>
+      val Array(verb, name) = line.split(" ", 2)
+      val src = new Path(staging, name)
+      val dst = new Path(root, name)
+      verb match {
+        case "swap" =>
+          if (fs.exists(src)) { // source gone => this swap already ran
+            if (fs.exists(dst)) fs.delete(dst, true)
+            fs.rename(src, dst)
+            ()
+          }
+        case "merge" =>
+          if (fs.exists(src)) {
+            moveTree(fs, src, dst)
+            fs.delete(src, true)
+            ()
+          }
+        case other =>
+          throw new IllegalStateException(s"corrupt _COMMIT marker verb '$other'")
+      }
+    }
+    fs.delete(staging, true)
+    ()
+  }
+
+  /** Move every DATA file under `src` into the mirrored location under
+    * `dst`, creating directories as needed. Bookkeeping files
+    * (`_SUCCESS`, checksums) stay behind and die with the staging dir —
+    * the live table keeps its own. Idempotent: files already moved are
+    * no longer listed. */
+  private def moveTree(fs: FileSystem, src: Path, dst: Path): Unit = {
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) moveTree(fs, st.getPath, new Path(dst, n))
+      else if (!n.startsWith("_") && !n.startsWith(".")) {
+        fs.rename(st.getPath, new Path(dst, n))
+        ()
+      }
+    }
+  }
+}

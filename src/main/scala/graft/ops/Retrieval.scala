@@ -165,12 +165,20 @@ object Retrieval {
     *  - `terms/`: `(term, __df)` per term, same bucketing — document
     *    frequency precomputed at build time, aggregated from the
     *    WRITTEN postings (one corpus pass total);
-    *  - `stats/`: one row `(__n, __ndl, __sumdl, num_buckets, id_col)`
-    *    — exact integers, so [[appendToBm25Index]] updates them
-    *    without float drift and the derived avgdl stays bitwise equal
-    *    to the ad-hoc path's `avg`.
+    *  - `doclens/`: `(__docid, __dl)` per ingested document — the
+    *    DOC-GRAIN ledger that makes [[removeFromBm25Index]] exact even
+    *    for token-less documents (which have no postings but still
+    *    count in `__n`/`__ndl`);
+    *  - `stats/`: one row `(__n, __ndl, __sumdl, num_buckets, id_col,
+    *    id_type)` — exact integers, so [[appendToBm25Index]] and
+    *    [[removeFromBm25Index]] update them without float drift and
+    *    the derived avgdl stays bitwise equal to the ad-hoc path's
+    *    `avg`; `id_type` pins the id column's Spark SQL type so even
+    *    an EMPTY result frame carries the contract schema.
     * Rebuilding after corpus drift is re-running this;
-    * [[appendToBm25Index]] is the incremental write side. */
+    * [[appendToBm25Index]] is the incremental write side,
+    * [[compactBm25Index]] folds append-accumulated small files, and
+    * [[removeFromBm25Index]] is the takedown side. */
   def saveBm25Index(
       docs: DataFrame,
       idCol: String,
@@ -179,6 +187,12 @@ object Retrieval {
       numBuckets: Int = 64
   ): Unit = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
+    val spark = docs.sparkSession
+    // a fresh save OWNS the root: a stale maintenance stage from a
+    // previous index at the same path must not replay into this one
+    IndexCommit.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(IndexCommit.stagingDir(path)), true)
+    val idType = docs.select(col(idCol)).schema.head.dataType.sql
     val withLen = docs.select(
       col(idCol).as("__docid"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
@@ -199,71 +213,40 @@ object Retrieval {
       .agg(count(lit(1)).as("__df"))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/terms")
     postings.unpersist()
+    // the doc-grain ledger, persisted for ITS two consumers (the doclens
+    // write and the stats aggregate) so the corpus tokenizes exactly
+    // once more, not twice
+    val lens = withLen.select(col("__docid"), col("__dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lens.write.mode("overwrite").parquet(s"$path/doclens")
     // stats as EXACT integers (doc count, non-null dl count and sum):
     // avgdl derives at query time as sum/count — bitwise equal to the
     // ad-hoc `avg` (integer-valued doubles sum exactly below 2^53), and
-    // an APPEND can update the stats without float drift
-    withLen
+    // an APPEND/REMOVE can update the stats without float drift
+    lens
       .agg(count(lit(1)).as("__n"),
         count(col("__dl")).as("__ndl"),
         coalesce(sum(col("__dl").cast("long")), lit(0L)).as("__sumdl"))
       .withColumn("num_buckets", lit(numBuckets))
       .withColumn("id_col", lit(idCol))
+      .withColumn("id_type", lit(idType))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    lens.unpersist()
+    ()
   }
 
-  /** Index MAINTENANCE: tokenize ONLY the new documents, append their
-    * postings under the stored bucketing, and refresh the (index-read,
-    * never corpus-read) per-term document frequencies and the exact
-    * integer stats — the [[graft.ops.Similarity.appendToIvfIndex]]
-    * write side of the serving loop; the next
-    * [[bm25SearchPreindexed]]/[[graft.streaming.StreamingEval
-    * .bm25QueryStream]] batch sees the merged corpus. Caller contract:
-    * a document id must be appended at most once (duplicate postings
-    * would double-count document frequency — rebuild with
-    * [[saveBm25Index]] to re-ingest). */
-  def appendToBm25Index(
-      newDocs: DataFrame,
-      textCol: String,
-      indexPath: String
+  /** One exact-integer stats row, written to `dir` — the shared writer
+    * for the save/append/remove maintenance paths (identical schema,
+    * identical exactness contract). */
+  private def writeStatsRow(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      n: Long, ndl: Long, sumdl: Long,
+      numBuckets: Int, idCol: String, idType: String
   ): Unit = {
-    val spark = newDocs.sparkSession
-    val stats = spark.read.parquet(s"$indexPath/stats").head()
-    val nb = stats.getAs[Int]("num_buckets")
-    val idCol = stats.getAs[String]("id_col")
-    val withLen = newDocs.select(
-      col(idCol).as("__docid"),
-      TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .withColumn("__dl", size(col("__toks")))
-    withLen
-      .select(col("__docid"), col("__dl"), explode(col("__toks")).as("term"))
-      .groupBy(col("__docid"), col("__dl"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
-      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nb.toLong)))
-      .write.mode("append").partitionBy("term_bucket").parquet(s"$indexPath/postings")
-    val inc = withLen.agg(count(lit(1)).as("n2"),
-      count(col("__dl")).as("ndl2"),
-      coalesce(sum(col("__dl").cast("long")), lit(0L)).as("sumdl2")).head()
-    // df rebuild from the WRITTEN postings (index-bounded, no corpus
-    // re-scan) — skipped while the merged corpus has zero TOKENS (doc
-    // counts don't imply postings; only a token does, and with none no
-    // postings file exists to infer a schema from)
-    if (stats.getAs[Long]("__sumdl") + inc.getAs[Long]("sumdl2") > 0L) {
-      val refreshed = spark.read.parquet(s"$indexPath/postings")
-        .groupBy(col("term_bucket"), col("term"))
-        .agg(count(lit(1)).as("__df"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      refreshed.count()
-      refreshed.write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(s"$indexPath/terms")
-      refreshed.unpersist()
-    }
-    val merged = spark.createDataFrame(
-      java.util.Collections.singletonList(org.apache.spark.sql.Row(
-        stats.getAs[Long]("__n") + inc.getAs[Long]("n2"),
-        stats.getAs[Long]("__ndl") + inc.getAs[Long]("ndl2"),
-        stats.getAs[Long]("__sumdl") + inc.getAs[Long]("sumdl2"),
-        nb, idCol)),
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(n, ndl, sumdl, numBuckets, idCol, idType)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__n",
           org.apache.spark.sql.types.LongType, nullable = false),
@@ -274,8 +257,236 @@ object Retrieval {
         org.apache.spark.sql.types.StructField("num_buckets",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("id_col",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("id_type",
           org.apache.spark.sql.types.StringType, nullable = false))))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Replay a pending [[appendToBm25Index]]/[[compactBm25Index]]/
+    * [[removeFromBm25Index]] commit left by a crash (authoritative
+    * `_COMMIT` marker — the [[IndexCommit]] contract), or discard an
+    * incomplete stage. Returns true iff a pending commit was completed
+    * — in that case the interrupted operation FINISHED and must not be
+    * retried; false means it never reached its commit point and is safe
+    * to re-run. Every maintenance entry point calls this as its
+    * preamble; call it explicitly after an unclean shutdown before
+    * serving reads. */
+  def recoverBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String
+  ): Boolean = IndexCommit.recover(spark, indexPath)
+
+  /** Index MAINTENANCE: tokenize ONLY the new documents, append their
+    * postings under the stored bucketing, merge their per-term document
+    * frequencies into the VOCAB-GRAIN terms table, and roll the exact
+    * integer stats — the increment costs the increment: nothing here
+    * re-reads the standing postings tree (the terms merge touches the
+    * terms table, which lives at vocabulary grain, ≪ postings). The
+    * next [[bm25SearchPreindexed]]/[[graft.streaming.StreamingEval
+    * .bm25QueryStream]] batch sees the merged corpus.
+    *
+    * Crash safety: the increment is evaluated ONCE (persisted — a
+    * non-deterministic input frame cannot diverge between its
+    * consumers), every output stages under the index's `op_staging`
+    * dir, and the postings-append + terms-swap + stats-swap publish as
+    * one marker-fenced [[IndexCommit]] commit: a crash before the
+    * marker leaves the live index untouched (re-run the append); a
+    * crash after it is completed by the next maintenance call's
+    * preamble or an explicit [[recoverBm25Index]].
+    *
+    * Caller contract: a document id must be appended at most once
+    * (duplicate postings would double-count document frequency —
+    * rebuild with [[saveBm25Index]] to re-ingest). */
+  def appendToBm25Index(
+      newDocs: DataFrame,
+      textCol: String,
+      indexPath: String
+  ): Unit = {
+    val spark = newDocs.sparkSession
+    val actions = stageBm25Append(newDocs, textCol, indexPath)
+    IndexCommit.commit(IndexCommit.fsFor(spark, indexPath),
+      new org.apache.hadoop.fs.Path(indexPath), actions)
+  }
+
+  /** [[appendToBm25Index]]'s staging half: recover any pending commit,
+    * then write the increment's postings/doclens, the merged terms, and
+    * the rolled stats under `op_staging` WITHOUT publishing. Returns the
+    * action list the commit needs. Package-private so crash-recovery
+    * specs can stop the world between stage and commit. */
+  private[graft] def stageBm25Append(
+      newDocs: DataFrame,
+      textCol: String,
+      indexPath: String
+  ): Seq[(String, String)] = {
+    val spark = newDocs.sparkSession
+    IndexCommit.recover(spark, indexPath)
+    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    val nb = stats.getAs[Int]("num_buckets")
+    val idCol = stats.getAs[String]("id_col")
+    val staging = IndexCommit.stagingDir(indexPath)
+    // ONE evaluation of the (possibly expensive or non-deterministic)
+    // increment: everything below derives from this persisted frame
+    val withLen = newDocs.select(
+      col(idCol).as("__docid"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val incPost = withLen
+      .select(col("__docid"), col("__dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("__docid"), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("term_bucket",
+        pmod(xxhash64(col("term")), lit(nb.toLong)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incPost.write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$staging/postings")
+    withLen.select(col("__docid"), col("__dl"))
+      .write.mode("overwrite").parquet(s"$staging/doclens")
+    val inc = withLen.agg(count(lit(1)).as("n2"),
+      count(col("__dl")).as("ndl2"),
+      coalesce(sum(col("__dl").cast("long")), lit(0L)).as("sumdl2")).head()
+    val oldSumdl = stats.getAs[Long]("__sumdl")
+    val incSumdl = inc.getAs[Long]("sumdl2")
+    var actions = Seq("merge" -> "postings", "merge" -> "doclens")
+    // terms merge — O(increment ∪ vocabulary), never O(postings): the
+    // increment's own df full-outer-joins the standing terms table.
+    // Skipped when the increment carries zero tokens (df unchanged);
+    // built from the increment alone when the standing corpus had none
+    // (a token-less index has no terms files to read a schema from)
+    if (incSumdl > 0L) {
+      val incDf = incPost.groupBy(col("term_bucket"), col("term"))
+        .agg(count(lit(1)).as("__df2"))
+      val mergedTerms =
+        if (oldSumdl == 0L)
+          incDf.select(col("term_bucket"), col("term"), col("__df2").as("__df"))
+        else spark.read.parquet(s"$indexPath/terms")
+          .withColumnRenamed("term_bucket", "__tb1")
+          .join(incDf.withColumnRenamed("term_bucket", "__tb2"),
+            Seq("term"), "full_outer")
+          .select(
+            coalesce(col("__tb1").cast("int"), col("__tb2")).as("term_bucket"),
+            col("term"),
+            (coalesce(col("__df"), lit(0L)) + coalesce(col("__df2"), lit(0L)))
+              .as("__df"))
+      mergedTerms.write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$staging/terms")
+      actions :+= (("swap", "terms"))
+    }
+    writeStatsRow(spark, s"$staging/stats",
+      stats.getAs[Long]("__n") + inc.getAs[Long]("n2"),
+      stats.getAs[Long]("__ndl") + inc.getAs[Long]("ndl2"),
+      oldSumdl + incSumdl,
+      nb, idCol, stats.getAs[String]("id_type"))
+    actions :+= (("swap", "stats"))
+    incPost.unpersist()
+    withLen.unpersist()
+    actions
+  }
+
+  /** OFFLINE maintenance: fold the small file-sets accumulated by
+    * [[appendToBm25Index]] (one per append batch, forever) back into
+    * ~one file per `term_bucket` — identical rows, bit-identical search
+    * results (spec-pinned), one file listing per bucket instead of
+    * thousands. Marker-fenced like every maintenance op: a crash
+    * mid-compaction either leaves the live tree untouched or is
+    * completed by the next call's preamble. Run with writers stopped
+    * (the [[IndexCommit]] single-writer contract). */
+  def compactBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String
+  ): Unit = {
+    IndexCommit.recover(spark, indexPath)
+    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    if (stats.getAs[Long]("__sumdl") == 0L && stats.getAs[Long]("__n") == 0L)
+      return // empty index: nothing accumulated
+    val staging = IndexCommit.stagingDir(indexPath)
+    var actions = Seq.empty[(String, String)]
+    if (stats.getAs[Long]("__sumdl") > 0L) {
+      // repartition by the partition column: each bucket's rows land in
+      // exactly one task, so the rewrite emits one file per bucket
+      // (size the bucket count for the corpus — the file IS the bucket)
+      spark.read.parquet(s"$indexPath/postings")
+        .repartition(col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$staging/postings")
+      spark.read.parquet(s"$indexPath/terms")
+        .repartition(col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$staging/terms")
+      actions ++= Seq("swap" -> "postings", "swap" -> "terms")
+    }
+    // doclens: plain read->write — the scan bin-packs small files into
+    // maxPartitionBytes-sized input splits, so the output lands at
+    // healthy file sizes without a shuffle
+    spark.read.parquet(s"$indexPath/doclens")
+      .write.mode("overwrite").parquet(s"$staging/doclens")
+    actions :+= (("swap", "doclens"))
+    IndexCommit.commit(IndexCommit.fsFor(spark, indexPath),
+      new org.apache.hadoop.fs.Path(indexPath), actions)
+  }
+
+  /** TAKEDOWN (right-to-be-forgotten): remove documents from the
+    * persisted index by id, updating document frequency and the exact
+    * integer stats precisely — post-delete searches are bit-identical
+    * to an index rebuilt without the documents (oracle-pinned). `ids`
+    * is a one-column frame of document ids (broadcast — a takedown
+    * batch is small); ids never ingested are ignored. The doc-grain
+    * `doclens` ledger makes the stats exact even for token-less
+    * documents; df updates by SUBTRACTING the removed documents'
+    * per-term counts from the vocab-grain terms table (terms whose df
+    * reaches zero drop). Cost: two scans of the postings tree (the
+    * kept-rows rewrite — which also compacts — and the removed-df
+    * aggregate); an offline maintenance op, marker-fenced like the
+    * rest. */
+  def removeFromBm25Index(
+      ids: DataFrame,
+      indexPath: String
+  ): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame of document ids, got ${ids.columns.toSeq}")
+    val spark = ids.sparkSession
+    IndexCommit.recover(spark, indexPath)
+    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    val lens = spark.read.parquet(s"$indexPath/doclens")
+    val rmIds = broadcast(
+      ids.select(col(ids.columns.head)
+        .cast(lens.schema("__docid").dataType).as("__docid")).distinct())
+    val rm = lens.join(rmIds, Seq("__docid"), "left_semi")
+      .agg(count(lit(1)).as("rn"), count(col("__dl")).as("rndl"),
+        coalesce(sum(col("__dl").cast("long")), lit(0L)).as("rsumdl")).head()
+    if (rm.getAs[Long]("rn") == 0L) return // nothing of these ids ingested
+    val staging = IndexCommit.stagingDir(indexPath)
+    lens.join(rmIds, Seq("__docid"), "left_anti")
+      .write.mode("overwrite").parquet(s"$staging/doclens")
+    var actions = Seq[(String, String)]("swap" -> "doclens")
+    if (stats.getAs[Long]("__sumdl") > 0L) {
+      val posts = spark.read.parquet(s"$indexPath/postings")
+      posts.join(rmIds, Seq("__docid"), "left_anti")
+        .repartition(col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$staging/postings")
+      // (doc, term) unique in postings => count(*) IS the removed df
+      val removedDf = posts.join(rmIds, Seq("__docid"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("__rdf"))
+      spark.read.parquet(s"$indexPath/terms")
+        .join(removedDf, Seq("term"), "left")
+        .select(col("term_bucket").cast("int").as("term_bucket"), col("term"),
+          (col("__df") - coalesce(col("__rdf"), lit(0L))).as("__df"))
+        .filter(col("__df") > 0L)
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$staging/terms")
+      actions ++= Seq("swap" -> "postings", "swap" -> "terms")
+    }
+    writeStatsRow(spark, s"$staging/stats",
+      stats.getAs[Long]("__n") - rm.getAs[Long]("rn"),
+      stats.getAs[Long]("__ndl") - rm.getAs[Long]("rndl"),
+      stats.getAs[Long]("__sumdl") - rm.getAs[Long]("rsumdl"),
+      stats.getAs[Int]("num_buckets"), stats.getAs[String]("id_col"),
+      stats.getAs[String]("id_type"))
+    actions :+= (("swap", "stats"))
+    IndexCommit.commit(IndexCommit.fsFor(spark, indexPath),
+      new org.apache.hadoop.fs.Path(indexPath), actions)
   }
 
   /** BM25 top-k against a PERSISTED [[saveBm25Index]] — scores are
@@ -301,6 +512,18 @@ object Retrieval {
     val stats = spark.read.parquet(s"$indexPath/stats").head()
     val nb = stats.getAs[Int]("num_buckets")
     val idCol = stats.getAs[String]("id_col")
+    // the GroupTopK heap serves ids AS LONG (the engine-wide numeric-id
+    // contract), so a non-numeric id type could only fail row-by-row
+    // deep inside the aggregate — and an EMPTY query batch would not
+    // fail at all, silently diverging from its non-empty siblings.
+    // Refuse up front instead, identically for empty and non-empty
+    // batches, off the id_type the stats row pins.
+    val idType = org.apache.spark.sql.types.DataType
+      .fromDDL(stats.getAs[String]("id_type"))
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"bm25SearchPreindexed serves ids as LONG; this index's id column " +
+        s"'$idCol' is ${idType.sql} — route string ids through " +
+        "Ids.withSurrogateId before saveBm25Index")
     // avgdl = exact-integer sum / non-null count — bitwise what the
     // ad-hoc path's `avg(dl)` computes (exact int-valued double sum)
     val ndl = stats.getAs[Long]("__ndl")
@@ -330,7 +553,10 @@ object Retrieval {
         .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("__b"))
         .distinct().collect().map(_.getLong(0)).toSeq
     if (buckets.isEmpty) {
-      // no query terms: empty result with the contract schema
+      // no query terms (or a token-less index): empty result with the
+      // contract schema — LONG id, exactly what the non-empty path's
+      // GroupTopK heap emits (the up-front id_type check above already
+      // refused index types the heap could not serve)
       return GroupTopK.topKPerGroup(
         qTerms.select(col(queryIdCol), lit(0L).as("__docid"), lit(0.0).as("score"))
           .filter(lit(false))

@@ -611,6 +611,10 @@ object Similarity {
     require(centroidSeq.nonEmpty, "need at least one centroid")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a fresh save owns the root — a stale maintenance stage from a
+    // previous index at this path must not replay into the new one
+    IndexCommit.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(IndexCommit.stagingDir(path)), true)
     assignCells(corpus, corpusVec, centroidSeq, "list_id")
       .select(col(corpusId), col(corpusVec), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/corpus")
@@ -624,17 +628,79 @@ object Similarity {
     * read). The quantizer itself is immutable; when drift warrants
     * retraining, rebuild with [[saveIvfIndex]]. Cost is the increment:
     * one literal-centroid argmax over the NEW vectors, no touch of the
-    * standing index. */
+    * standing index. Crash-safe: the increment stages under
+    * `op_staging` and publishes through one marker-fenced
+    * [[IndexCommit]] commit — a crash before the marker leaves the
+    * index untouched (re-run); after it, the next maintenance call's
+    * preamble (or [[recoverIvfIndex]]) completes the append. */
   def appendToIvfIndex(
       newVecs: DataFrame,
       path: String,
       corpusId: String = "vec_id",
       corpusVec: String = "embedding"
   ): Unit = {
-    val cents = loadIvfCentroids(newVecs.sparkSession, path)
+    val spark = newVecs.sparkSession
+    IndexCommit.recover(spark, path)
+    val cents = loadIvfCentroids(spark, path)
     assignCells(newVecs, corpusVec, cents, "list_id")
       .select(col(corpusId), col(corpusVec), col("list_id"))
-      .write.mode("append").partitionBy("list_id").parquet(s"$path/corpus")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"${IndexCommit.stagingDir(path)}/corpus")
+    IndexCommit.commit(IndexCommit.fsFor(spark, path),
+      new org.apache.hadoop.fs.Path(path), Seq("merge" -> "corpus"))
+  }
+
+  /** Replay a pending IVF maintenance commit after a crash, or discard
+    * an incomplete stage — the [[graft.ops.Retrieval.recoverBm25Index]]
+    * twin. True iff a pending commit was completed (the interrupted op
+    * FINISHED; don't retry it). */
+  def recoverIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): Boolean = IndexCommit.recover(spark, path)
+
+  /** OFFLINE maintenance: fold the per-append small file-sets of the
+    * index corpus back into ~one file per `list_id` — identical rows,
+    * bit-identical search results (spec-pinned), one listing per cell
+    * instead of one per append batch. Marker-fenced; run with writers
+    * stopped. */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): Unit = {
+    IndexCommit.recover(spark, path)
+    spark.read.parquet(s"$path/corpus")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"${IndexCommit.stagingDir(path)}/corpus")
+    IndexCommit.commit(IndexCommit.fsFor(spark, path),
+      new org.apache.hadoop.fs.Path(path), Seq("swap" -> "corpus"))
+  }
+
+  /** TAKEDOWN: remove vectors from the persisted index corpus by id —
+    * post-delete searches equal an index rebuilt without them (cell
+    * assignment is per-vector, so dropping rows IS the rebuild; the
+    * quantizer is immutable and keeps serving). `ids` is a one-column
+    * frame (broadcast); unknown ids are ignored. The anti-join rewrite
+    * also compacts. Marker-fenced; run with writers stopped. */
+  def removeFromIvfIndex(
+      ids: DataFrame,
+      path: String,
+      corpusId: String = "vec_id"
+  ): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame of vector ids, got ${ids.columns.toSeq}")
+    val spark = ids.sparkSession
+    IndexCommit.recover(spark, path)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val rmIds = broadcast(ids.select(col(ids.columns.head)
+      .cast(corpus.schema(corpusId).dataType).as(corpusId)).distinct())
+    corpus.join(rmIds, Seq(corpusId), "left_anti")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"${IndexCommit.stagingDir(path)}/corpus")
+    IndexCommit.commit(IndexCommit.fsFor(spark, path),
+      new org.apache.hadoop.fs.Path(path), Seq("swap" -> "corpus"))
   }
 
   /** Read back a [[saveIvfIndex]] centroid table (tiny: one row per

@@ -195,12 +195,17 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
   /** q84's BM25 derivation — shared verbatim by the persisted-index
     * replay q248 (same scores by construction). */
-  private lazy val bm25OracleSql: String =
+  private lazy val bm25OracleSql: String = bm25OracleSqlFor("")
+
+  /** The q84 BM25 derivation over an optionally FILTERED corpus — the
+    * takedown oracle (q256) injects the survivor predicate and thereby
+    * pins post-delete search ≡ rebuild-without-the-docs. */
+  private def bm25OracleSqlFor(corpusWhere: String): String =
     s"""WITH toks AS (
          |  SELECT doc_id,
          |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
          |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
-         |  FROM documents
+         |  FROM documents$corpusWhere
          |), dl AS (
          |  SELECT doc_id, len(ts) AS dl, ts FROM toks
          |), posting AS (
@@ -2135,6 +2140,7 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // persisted-index BM25 (q248) serves the SAME scores as the ad-hoc
     // search — one oracle, two engine paths (the drift-proof contract)
     "q248_bm25_preindexed" -> bm25OracleSql,
+    "q256_bm25_takedown" -> bm25OracleSqlFor(" WHERE doc_id % 7 <> 3"),
 
     // unigram-LM tokenizer: the oracle RE-TRAINS from scratch — same
     // candidate cap, 2 hard-EM rounds of Viterbi DP (forward + backtrack

@@ -100,6 +100,52 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Post-TAKEDOWN BM25 index keyed by sf dir (q256): a fresh index
+    * over `documents` with every `doc_id % 7 == 3` document REMOVED via
+    * [[graft.ops.Retrieval.removeFromBm25Index]] — the oracle rebuilds
+    * from the filtered corpus, so the query proves post-delete search ≡
+    * rebuild-without-the-docs. Separate from [[Bm25ServeState]]: a
+    * takedown MUTATES its index, and q248's must stay pristine. */
+  private[queries] object Bm25TakedownState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(docs: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-bm25-rm").toString
+            graft.ops.Retrieval.saveBm25Index(docs, "doc_id", "text", p, numBuckets = 32)
+            graft.ops.Retrieval.removeFromBm25Index(
+              docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), p)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
+  /** Post-TAKEDOWN IVF index keyed by sf dir (q257): q191's serving
+    * artifact rebuilt fresh, then every `vec_id % 5 == 2` vector REMOVED
+    * via [[graft.ops.Similarity.removeFromIvfIndex]]; the oracle assigns
+    * cells over the filtered corpus with the same interpolated quantizer
+    * (cell assignment is per-vector, so dropping rows IS the rebuild). */
+  private[queries] object IvfTakedownState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(
+        emb: DataFrame, cents: Seq[(Int, Seq[Double], Double)], dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-ivf-rm").toString
+            Similarity.saveIvfIndex(emb, cents, p)
+            Similarity.removeFromIvfIndex(
+              emb.filter(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"), p)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Trained unigram-LM vocabulary keyed by sf dir (q249/q250 share one
     * training run; the oracle re-trains in DuckDB). Same plain-value
     * cache contract as [[BpeState]]. */
@@ -2728,6 +2774,40 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("judge")
     },
 
+    "q256_bm25_takedown" -> { (s, dir) =>
+      // right-to-be-forgotten on the lexical serving index: every
+      // doc_id % 7 == 3 document deleted from the persisted postings
+      // (exact df subtraction via the doclens ledger, staged
+      // marker-fenced commit); the oracle rebuilds BM25 from the
+      // FILTERED corpus — post-delete search ≡ rebuild, bit for bit
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val idx = Bm25TakedownState.forDir(t(s, dir, "documents"), dir)
+      graft.ops.Retrieval.bm25SearchPreindexed(
+        s, idx, qs, "qid", "qtext", topK = 10)
+        .select(col("qid"), col("rank"), col("doc_id"), roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
+    },
+
+    "q257_ivf_takedown" -> { (s, dir) =>
+      // right-to-be-forgotten on the ANN serving index: every
+      // vec_id % 5 == 2 vector deleted from the persisted cell-
+      // partitioned corpus (anti-join rewrite, staged commit); the
+      // quantizer keeps serving; oracle = q54's derivation over the
+      // filtered corpus (per-vector cell assignment, so drop ≡ rebuild)
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      val path = IvfTakedownState.forDir(emb, cents, dir)
+      Similarity.ivfTopKPreassigned(
+          s.read.parquet(s"$path/corpus"), emb.filter(col("vec_id") < 5),
+          k = 10, Similarity.loadIvfCentroids(s, path), nProbe = 4)
+        .select(col("query_id"), col("vec_id"),
+          roundz(col("cosine"), 6).as("cosine_r"), col("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    },
+
     "q197_snapshot_diff" -> { (s, dir) =>
       // release-to-release diff: the cur snapshot drops ids < 200, adds
       // 800–999, and rewrites every 7th doc's text — the diff names
@@ -3508,6 +3588,10 @@ object PipelineQueries extends OracleSqlStatic {
       // the SAME question from the SAME quantizer, so it shares the
       // oracle verbatim
       "q191_ivf_served" -> q54IvfSql(rows),
+      // takedown parity: the post-delete index serves exactly what a
+      // rebuild over the SURVIVOR corpus serves (cell assignment is
+      // per-vector) — the oracle filters the corpus, same quantizer
+      "q257_ivf_takedown" -> q54IvfSql(rows, " WHERE e.vec_id % 5 <> 2"),
       // embedding-space outliers: same literal-centroid cells, dist² in
       // integer micro-units, exact-moment z per cell (the q85 contract)
       "q194_embedding_outliers" ->
@@ -3546,7 +3630,7 @@ object PipelineQueries extends OracleSqlStatic {
       )
     }.toMap
 
-  private[queries] def q54IvfSql(rows: String): String =
+  private[queries] def q54IvfSql(rows: String, corpusWhere: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (
        |  SELECT * FROM (VALUES
@@ -3555,7 +3639,7 @@ object PipelineQueries extends OracleSqlStatic {
        |), cells AS (
        |  SELECT e.vec_id, cent.list_id,
        |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
-       |  FROM e, cent
+       |  FROM e, cent$corpusWhere
        |), assigned AS (
        |  SELECT vec_id, list_id FROM (
        |    SELECT vec_id, list_id,

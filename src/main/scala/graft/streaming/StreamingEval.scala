@@ -747,6 +747,47 @@ object StreamingEval {
       spark: SparkSession,
       indexPath: String,
       upToBatchId: Long
+  ): Unit =
+    foldSpanVersions(spark, indexPath, upToBatchId, minVersions = 2, identity)
+
+  /** TAKEDOWN from [[spanDedupStream]]'s fingerprint index: fold every
+    * version strictly below `upToBatchId` into one version (the
+    * [[compactSpanIndex]] staged-marker machinery) EXCLUDING the window
+    * fingerprints derivable from `removedDocs` — once a document's text
+    * must be forgotten, fingerprints computed from it must go too. Run
+    * with the stream stopped and `upToBatchId` past its committed
+    * checkpoint, so every standing version folds.
+    *
+    * Over-deletion is the SAFE direction here: a removed hash that was
+    * also reachable from retained content merely stops suppressing
+    * future repeats of that content (a dedup-quality cost), while an
+    * under-deletion would retain forgotten material — so ALL of the
+    * removed documents' window hashes go, shared or not. */
+  def removeFromSpanIndex(
+      spark: SparkSession,
+      indexPath: String,
+      upToBatchId: Long,
+      removedDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      span: Int = 13
+  ): Unit = {
+    val rmH = graft.ops.Dedup.windowHashes(removedDocs, textCol, idCol, span)
+    foldSpanVersions(spark, indexPath, upToBatchId, minVersions = 1,
+      _.join(broadcast(rmH), Seq("h"), "left_anti"))
+  }
+
+  /** The shared fold: crash-recover any pending staged compaction, then
+    * union-distinct the versions strictly below `upToBatchId`, apply
+    * `transform`, and publish as the highest folded version through the
+    * authoritative `_TARGET` marker (idempotent commit replay — see
+    * [[compactSpanIndex]]'s scaladoc for the full contract). */
+  private def foldSpanVersions(
+      spark: SparkSession,
+      indexPath: String,
+      upToBatchId: Long,
+      minVersions: Int,
+      transform: DataFrame => DataFrame
   ): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -770,9 +811,8 @@ object StreamingEval {
       .filter(_.matches("v\\d+"))
       .filter(_.drop(1).toLong < upToBatchId)
       .sorted
-    if (vs.length <= 1) return
-    spark.read.parquet(vs.map(v => s"$indexPath/$v"): _*)
-      .distinct()
+    if (vs.length < minVersions) return
+    transform(spark.read.parquet(vs.map(v => s"$indexPath/$v"): _*).distinct())
       .write.mode("overwrite").parquet(staging.toString)
     val out = fs.create(marker, true)
     out.write((vs.last +: vs).mkString("\n").getBytes("UTF-8")); out.close()

@@ -888,6 +888,32 @@ object ScaleSmoke {
         graft.Checkpoints.free(hist)
       }
 
+      // BM25 append: a FIXED 2000-doc increment onto a standing index
+      // that scales with n — the append's terms merge reads the
+      // VOCAB-grain terms table (shared template vocabulary: near-flat
+      // in n), never the postings tree, so this row must stay
+      // near-flat while the index build above it grows
+      {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-smoke-bm25").toString
+        val base = spark.range(n * 20000L).select(col("id").as("doc_id"),
+          concat(lit("term"), pmod(col("id"), lit(997L)),
+            lit(" shared corpus filler text block "),
+            pmod(col("id") * 31L, lit(997L))).as("text"))
+        time(s"saveBm25Index over ${n * 20000} docs (standing index)") {
+          graft.ops.Retrieval.saveBm25Index(base, "doc_id", "text", dir,
+            numBuckets = 32)
+        }
+        val inc = spark.range(n * 20000L, n * 20000L + 2000L)
+          .select(col("id").as("doc_id"),
+            concat(lit("term"), pmod(col("id"), lit(997L)),
+              lit(" fresh increment text "),
+              pmod(col("id") * 17L, lit(997L))).as("text"))
+        time(s"appendToBm25Index 2000-doc increment onto ${n * 20000}-doc index") {
+          graft.ops.Retrieval.appendToBm25Index(inc, "text", dir)
+        }
+      }
+
       // adversarial: a LONG PATH is the shape that defeats min-label
       // flooding (eccentricity-bound rounds — the old formulation
       // crawled one hop per round and hung on the compounding-

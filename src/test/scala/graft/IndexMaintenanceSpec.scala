@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IndexCommit, Retrieval, Similarity}
+
+/** Persisted-index MAINTENANCE: the append / compact / takedown loop for
+  * the BM25 and IVF serving indexes, and the crash-safe staged commits
+  * ([[graft.ops.IndexCommit]]) behind all of it. The load-bearing pins:
+  *  - save+append ≡ save-once at the TABLE level (postings, terms,
+  *    doclens, stats) — the O(increment) df merge may not drift;
+  *  - compaction is content-identical and search-bit-identical;
+  *  - takedown ≡ rebuild-without-the-docs, bit for bit, including the
+  *    delete-then-append interleave and token-less documents;
+  *  - a crash at ANY point of a staged commit either discards cleanly
+  *    (no marker) or replays to the committed state (marker present),
+  *    from adversarial mid-replay states included. */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+  import scala.jdk.CollectionConverters._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val docs1 = Seq(
+    (1L, "spark shuffles data between stages"),
+    (2L, "broadcast joins avoid the shuffle"),
+    (3L, "shuffle partitions size the reducers"),
+    (4L, ""), // token-less doc: counts in stats, no postings
+    (5L, "catalyst prunes columns and partitions")
+  )
+  private val docs2 = Seq(
+    (6L, "adaptive execution resizes shuffle partitions"),
+    (7L, "data skew salts the hot keys"),
+    (8L, "   "), // token-less increment doc
+    (9L, "broadcast the small dimension tables")
+  )
+  private val docs3 = Seq(
+    (10L, "columnar scans batch the data"),
+    (11L, "partitions prune before the scan")
+  )
+  private val queries = Seq(
+    (1L, "shuffle partitions"), (2L, "broadcast data"), (3L, "nothing here"))
+
+  private def searchRows(dir: String) =
+    Retrieval.bm25SearchPreindexed(
+        spark, dir, queries.toDF("qid", "qtext"), "qid", "qtext", topK = 5)
+      .collect().map(_.toSeq).toSet
+
+  private def tableRows(dir: String, name: String): Set[Seq[Any]] = {
+    val p = new java.io.File(s"$dir/$name")
+    if (!p.exists()) return Set.empty
+    val df = spark.read.parquet(s"$dir/$name")
+    // normalize the partition column's int/long read-back so physically
+    // different but equal layouts compare equal
+    val norm = if (df.columns.contains("term_bucket"))
+      df.withColumn("term_bucket", col("term_bucket").cast("long")) else df
+    val cols = norm.columns.sorted.map(col).toSeq
+    norm.select(cols: _*).collect().map(_.toSeq).toSet
+  }
+
+  private def allTables(dir: String): Map[String, Set[Seq[Any]]] =
+    Seq("postings", "terms", "doclens", "stats")
+      .map(n => n -> tableRows(dir, n)).toMap
+
+  private def dataFiles(dir: String): Seq[java.nio.file.Path] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!root.toFile.exists) return Seq.empty
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .asScala.filter(p => p.toString.endsWith(".parquet")).toVector
+    finally s.close()
+  }
+
+  test("bm25 append merges df at term grain: save+append tables equal save-once") {
+    val once = tmp("bm25-once")
+    val inc = tmp("bm25-inc")
+    Retrieval.saveBm25Index((docs1 ++ docs2).toDF("doc_id", "text"),
+      "doc_id", "text", once, numBuckets = 8)
+    Retrieval.saveBm25Index(docs1.toDF("doc_id", "text"),
+      "doc_id", "text", inc, numBuckets = 8)
+    Retrieval.appendToBm25Index(docs2.toDF("doc_id", "text"), "text", inc)
+    val (a, b) = (allTables(once), allTables(inc))
+    for (t <- Seq("postings", "terms", "doclens", "stats"))
+      assert(a(t) == b(t), s"$t diverged:\nonce=${a(t)}\nappend=${b(t)}")
+    assert(searchRows(once) == searchRows(inc))
+    // no pending staging left behind
+    assert(!new java.io.File(s"$inc/${IndexCommit.StagingName}").exists())
+  }
+
+  test("bm25 append onto an initially token-less index; token-less increment") {
+    val dir = tmp("bm25-empty-base")
+    Retrieval.saveBm25Index(Seq((100L, ""), (101L, "  ")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, numBuckets = 4)
+    // token-less increment: stats/doclens roll, postings/terms untouched
+    Retrieval.appendToBm25Index(Seq((102L, "")).toDF("doc_id", "text"), "text", dir)
+    val s0 = spark.read.parquet(s"$dir/stats").head()
+    assert(s0.getAs[Long]("__n") == 3L && s0.getAs[Long]("__sumdl") == 0L)
+    // first REAL tokens arrive via append: terms build from the increment
+    Retrieval.appendToBm25Index(docs1.toDF("doc_id", "text"), "text", dir)
+    val once = tmp("bm25-empty-once")
+    Retrieval.saveBm25Index(
+      (Seq((100L, ""), (101L, "  "), (102L, "")) ++ docs1).toDF("doc_id", "text"),
+      "doc_id", "text", once, numBuckets = 4)
+    val (a, b) = (allTables(once), allTables(dir))
+    for (t <- Seq("postings", "terms", "doclens", "stats"))
+      assert(a(t) == b(t), s"$t diverged after token-less base append")
+    assert(searchRows(once) == searchRows(dir))
+  }
+
+  test("bm25 staged commit: unmarked stage discards; marker replays; mid-replay states converge") {
+    def freshBase(): String = {
+      val d = tmp("bm25-crash")
+      Retrieval.saveBm25Index(docs1.toDF("doc_id", "text"), "doc_id", "text", d, numBuckets = 8)
+      d
+    }
+    val want = tmp("bm25-crash-want")
+    Retrieval.saveBm25Index((docs1 ++ docs2).toDF("doc_id", "text"),
+      "doc_id", "text", want, numBuckets = 8)
+    val fs = IndexCommit.fsFor(spark, want)
+
+    // (a) crash BEFORE the marker: stage discarded, live index untouched,
+    // the append can simply re-run
+    val a = freshBase()
+    val before = allTables(a)
+    Retrieval.stageBm25Append(docs2.toDF("doc_id", "text"), "text", a)
+    assert(new java.io.File(s"$a/${IndexCommit.StagingName}").exists())
+    assert(!Retrieval.recoverBm25Index(spark, a), "no marker => nothing to replay")
+    assert(allTables(a) == before, "live index must be untouched")
+    Retrieval.appendToBm25Index(docs2.toDF("doc_id", "text"), "text", a)
+    assert(allTables(a) == allTables(want))
+
+    // (b) crash right AFTER the marker, before any replay step
+    val b = freshBase()
+    val actsB = Retrieval.stageBm25Append(docs2.toDF("doc_id", "text"), "text", b)
+    IndexCommit.writeMarker(fs, new org.apache.hadoop.fs.Path(b), actsB)
+    assert(Retrieval.recoverBm25Index(spark, b), "marker => replay")
+    assert(allTables(b) == allTables(want))
+    assert(searchRows(b) == searchRows(want))
+
+    // (c) adversarial mid-replay crashes: after the marker, (1) some
+    // staged postings files already moved, (2) the live terms dir
+    // already deleted but the staged rename not yet done
+    val c = freshBase()
+    val actsC = Retrieval.stageBm25Append(docs2.toDF("doc_id", "text"), "text", c)
+    IndexCommit.writeMarker(fs, new org.apache.hadoop.fs.Path(c), actsC)
+    val staged = dataFiles(s"$c/${IndexCommit.StagingName}/postings")
+    assert(staged.nonEmpty)
+    // hand-move ONE staged postings file to its live home (what a crash
+    // mid-merge leaves behind)
+    val one = staged.head
+    val rel = java.nio.file.Paths.get(s"$c/${IndexCommit.StagingName}/postings")
+      .relativize(one)
+    val dst = java.nio.file.Paths.get(s"$c/postings").resolve(rel)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(one, dst)
+    // and simulate the swap's delete-then-rename torn in half
+    fs.delete(new org.apache.hadoop.fs.Path(s"$c/terms"), true)
+    assert(Retrieval.recoverBm25Index(spark, c), "marker => replay")
+    assert(allTables(c) == allTables(want), "mid-replay crash must converge")
+    // recovery is idempotent: a second call is a no-op
+    assert(!Retrieval.recoverBm25Index(spark, c))
+    assert(allTables(c) == allTables(want))
+  }
+
+  test("bm25 compaction: content-identical, search-bit-identical, fewer files") {
+    val dir = tmp("bm25-compact")
+    Retrieval.saveBm25Index(docs1.toDF("doc_id", "text"), "doc_id", "text", dir, numBuckets = 4)
+    Retrieval.appendToBm25Index(docs2.toDF("doc_id", "text"), "text", dir)
+    Retrieval.appendToBm25Index(docs3.toDF("doc_id", "text"), "text", dir)
+    val before = allTables(dir)
+    val search = searchRows(dir)
+    val filesBefore = dataFiles(s"$dir/postings").size
+    Retrieval.compactBm25Index(spark, dir)
+    assert(allTables(dir) == before, "compaction must not change content")
+    assert(searchRows(dir) == search, "compaction must not change results")
+    val filesAfter = dataFiles(s"$dir/postings").size
+    assert(filesAfter < filesBefore,
+      s"expected fewer postings files, got $filesBefore -> $filesAfter")
+    // crash-sim on the swap: stage a copy of the live postings + marker,
+    // then recover — converges to the same content
+    val stagingPost = s"$dir/${IndexCommit.StagingName}/postings"
+    spark.read.parquet(s"$dir/postings")
+      .withColumn("term_bucket", col("term_bucket").cast("int"))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(stagingPost)
+    IndexCommit.writeMarker(IndexCommit.fsFor(spark, dir),
+      new org.apache.hadoop.fs.Path(dir), Seq("swap" -> "postings"))
+    assert(Retrieval.recoverBm25Index(spark, dir))
+    assert(allTables(dir) == before && searchRows(dir) == search)
+  }
+
+  test("bm25 takedown equals rebuild-without-the-docs; delete-then-append interleave") {
+    val dir = tmp("bm25-rm")
+    Retrieval.saveBm25Index((docs1 ++ docs2).toDF("doc_id", "text"),
+      "doc_id", "text", dir, numBuckets = 8)
+    // remove docs 2 and 9 (shared vocab with survivors) and the
+    // token-less 4 (stats-only) and an unknown id (ignored)
+    Retrieval.removeFromBm25Index(Seq(2L, 9L, 4L, 999L).toDF("doc_id"), dir)
+    val want = tmp("bm25-rm-want")
+    Retrieval.saveBm25Index(
+      (docs1 ++ docs2).filterNot(d => Set(2L, 9L, 4L).contains(d._1))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", want, numBuckets = 8)
+    val (a, b) = (allTables(want), allTables(dir))
+    for (t <- Seq("postings", "terms", "doclens", "stats"))
+      assert(a(t) == b(t), s"$t diverged after takedown:\nwant=${a(t)}\ngot=${b(t)}")
+    assert(searchRows(dir) == searchRows(want))
+    // delete-then-append interleave: still equals the from-scratch build
+    Retrieval.appendToBm25Index(docs3.toDF("doc_id", "text"), "text", dir)
+    Retrieval.removeFromBm25Index(Seq(1L).toDF("doc_id"), dir)
+    val want2 = tmp("bm25-rm-want2")
+    Retrieval.saveBm25Index(
+      ((docs1 ++ docs2).filterNot(d => Set(1L, 2L, 9L, 4L).contains(d._1)) ++ docs3)
+        .toDF("doc_id", "text"),
+      "doc_id", "text", want2, numBuckets = 8)
+    val (a2, b2) = (allTables(want2), allTables(dir))
+    for (t <- Seq("postings", "terms", "doclens", "stats"))
+      assert(a2(t) == b2(t), s"$t diverged after delete-then-append")
+    assert(searchRows(dir) == searchRows(want2))
+    // removing ids never ingested is a no-op
+    Retrieval.removeFromBm25Index(Seq(777L).toDF("doc_id"), dir)
+    assert(allTables(dir) == b2)
+  }
+
+  test("bm25 id typing: int ids serve as long (empty or not); string ids refuse up front") {
+    // INT-typed ids: the heap serves longs; the EMPTY batch must match
+    val dir = tmp("bm25-intid")
+    Retrieval.saveBm25Index(
+      Seq((1, "alpha beta"), (2, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, numBuckets = 4)
+    val res = Retrieval.bm25SearchPreindexed(spark, dir,
+      Seq((1L, "beta")).toDF("qid", "qtext"), "qid", "qtext", topK = 3)
+    assert(res.schema("doc_id").dataType == org.apache.spark.sql.types.LongType)
+    val empty = Retrieval.bm25SearchPreindexed(spark, dir,
+      Seq((1L, "   ")).toDF("qid", "qtext"), "qid", "qtext", topK = 3)
+    assert(empty.count() == 0)
+    assert(empty.schema("doc_id").dataType == res.schema("doc_id").dataType &&
+      empty.columns.toSeq == res.columns.toSeq,
+      s"empty/non-empty schema diverged: ${empty.schema} vs ${res.schema}")
+    // STRING-typed ids: refused identically for empty AND non-empty
+    // batches (the heap could only fail row-by-row, and an empty batch
+    // not at all — the silent divergence the up-front check closes)
+    val sdir = tmp("bm25-strid")
+    Retrieval.saveBm25Index(
+      Seq(("a", "alpha beta"), ("b", "beta gamma")).toDF("name", "text"),
+      "name", "text", sdir, numBuckets = 4)
+    for (qtext <- Seq("beta", "   ")) {
+      val err = intercept[IllegalArgumentException] {
+        Retrieval.bm25SearchPreindexed(spark, sdir,
+          Seq((1L, qtext)).toDF("qid", "qtext"), "qid", "qtext", topK = 3)
+      }
+      assert(err.getMessage.contains("withSurrogateId"), s"got: ${err.getMessage}")
+    }
+    // the index TABLES keep the original type — string-id takedown works
+    // (maintenance never rides the heap)
+    Retrieval.removeFromBm25Index(Seq("a").toDF("name"), sdir)
+    val left = spark.read.parquet(s"$sdir/doclens")
+      .collect().map(_.getString(0)).toSet
+    assert(left == Set("b"))
+    val st = spark.read.parquet(s"$sdir/stats").head()
+    assert(st.getAs[Long]("__n") == 1L && st.getAs[Long]("__sumdl") == 2L)
+  }
+
+  test("ivf append/compact/takedown: bit-identical serving vs rebuild") {
+    val rnd = new scala.util.Random(7)
+    val emb1 = (0 until 30).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat())))
+    val emb2 = (30 until 45).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat())))
+    val qs = (100 until 103).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat())))
+    val cents = Similarity.trainIvfCentroids(
+      emb1.toDF("vec_id", "embedding"), "embedding", nLists = 4)
+    def serve(path: String) = Similarity.ivfTopKPreassigned(
+        spark.read.parquet(s"$path/corpus"), qs.toDF("vec_id", "embedding"),
+        k = 5, Similarity.loadIvfCentroids(spark, path), nProbe = 3)
+      .collect().map(_.toSeq).toSet
+
+    val dir = tmp("ivf-maint")
+    Similarity.saveIvfIndex(emb1.toDF("vec_id", "embedding"), cents, dir)
+    Similarity.appendToIvfIndex(emb2.toDF("vec_id", "embedding"), dir)
+    val once = tmp("ivf-once")
+    Similarity.saveIvfIndex((emb1 ++ emb2).toDF("vec_id", "embedding"), cents, once)
+    assert(serve(dir) == serve(once), "append drifted from save-once")
+
+    val filesBefore = dataFiles(s"$dir/corpus").size
+    val contentBefore = spark.read.parquet(s"$dir/corpus")
+      .withColumn("list_id", col("list_id").cast("long"))
+      .collect().map(_.toSeq).toSet
+    Similarity.compactIvfIndex(spark, dir)
+    val contentAfter = spark.read.parquet(s"$dir/corpus")
+      .withColumn("list_id", col("list_id").cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(contentAfter == contentBefore, "compaction changed the corpus")
+    assert(serve(dir) == serve(once))
+    assert(dataFiles(s"$dir/corpus").size < filesBefore)
+
+    // takedown: remove a slice; serving equals an index rebuilt without it
+    val doomed = (emb1 ++ emb2).map(_._1).filter(_ % 5 == 2)
+    Similarity.removeFromIvfIndex(doomed.toDF("vec_id"), dir)
+    val wantRm = tmp("ivf-rm-want")
+    Similarity.saveIvfIndex(
+      (emb1 ++ emb2).filterNot(e => doomed.contains(e._1)).toDF("vec_id", "embedding"),
+      cents, wantRm)
+    assert(serve(dir) == serve(wantRm), "takedown drifted from rebuild")
+
+    // crash-sim: a marked swap replays idempotently
+    val live = spark.read.parquet(s"$dir/corpus")
+      .withColumn("list_id", col("list_id").cast("int"))
+    live.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/${IndexCommit.StagingName}/corpus")
+    IndexCommit.writeMarker(IndexCommit.fsFor(spark, dir),
+      new org.apache.hadoop.fs.Path(dir), Seq("swap" -> "corpus"))
+    assert(Similarity.recoverIvfIndex(spark, dir))
+    assert(serve(dir) == serve(wantRm))
+  }
+
+  test("span-index takedown: removed doc's fingerprints fold out, rest keeps deduping") {
+    import graft.ops.Dedup
+    val span = 3
+    val d1 = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("id", "text")
+    val d2 = Seq((3L, "the quick brown fox went home early today")).toDF("id", "text")
+    val dir = tmp("span-rm")
+    // two streaming-shaped versions of the fingerprint index
+    val (_, f1) = Dedup.selfDedupAgainstIndex(d1, "text", "id", span, None)
+    f1.write.parquet(s"$dir/v000000000")
+    val (_, f2) = Dedup.selfDedupAgainstIndex(d2, "text", "id", span,
+      Some(spark.read.parquet(s"$dir/v000000000")))
+    f2.write.parquet(s"$dir/v000000001")
+    val union = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      .select("h").distinct().collect().map(_.getString(0)).toSet
+    // take down doc 1: its window hashes fold out of the index
+    graft.streaming.StreamingEval.removeFromSpanIndex(
+      spark, dir, upToBatchId = 2L,
+      Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text"),
+      "text", "id", span)
+    val folded = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      .select("h").collect().map(_.getString(0)).toSet
+    val rmH = Dedup.windowHashes(
+      Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text"),
+      "text", "id", span).collect().map(_.getString(0)).toSet
+    assert(folded == union -- rmH, "fold must equal union minus removed hashes")
+    assert(folded.nonEmpty, "other docs' fingerprints must survive")
+    // a re-ingest of the forgotten text is NOT suppressed anymore...
+    val (cleanBack, _) = Dedup.selfDedupAgainstIndex(
+      Seq((9L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text"),
+      "text", "id", span, Some(spark.read.option("recursiveFileLookup", "true").parquet(dir)))
+    assert(cleanBack.collect().head.getString(1) ==
+      "the quick brown fox jumps over the lazy dog")
+    // ...while standing content (doc 2's) still dedups against the index
+    val (cutBack, _) = Dedup.selfDedupAgainstIndex(
+      Seq((10L, "pack my box with five dozen liquor jugs")).toDF("id", "text"),
+      "text", "id", span, Some(spark.read.option("recursiveFileLookup", "true").parquet(dir)))
+    assert(cutBack.collect().head.getString(1) == "",
+      "standing fingerprints must still suppress")
+  }
+}
