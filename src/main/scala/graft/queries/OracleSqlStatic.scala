@@ -144,7 +144,10 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     * CTE prefix mirroring the engine's vote construction exactly
     * (tokenizer CASE, integer distinct-ratio test, q136 md5 unit-hash
     * coin). */
-  private val judgeVoteCtes: String =
+  /** The five-judge vote panel over `documents` — shared by the
+    * agreement-weighted q254/q255, the Dawid–Skene q258, and the
+    * gold-anchored q259. */
+  private val judgePanelCtes: String =
     """d AS (
       |  SELECT doc_id, n_chars, lang,
       |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
@@ -163,7 +166,10 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
       |  UNION ALL SELECT doc_id, 'fuzz',
       |    CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-judge'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 >= 0.5
       |         THEN 'hi' ELSE 'lo' END FROM d
-      |), mc AS (
+      |)""".stripMargin
+
+  private val judgeVoteCtes: String = judgePanelCtes +
+    """, mc AS (
       |  SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2
       |), maj AS (
       |  SELECT doc_id, label AS mlab FROM mc
@@ -192,6 +198,92 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
       |    CAST(sum(CASE WHEN v.label = win.consensus THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
       |  FROM v JOIN win USING (doc_id) GROUP BY v.doc_id
       |)""".stripMargin
+
+  /** One Dawid–Skene scoring round in SQL, mirroring
+    * [[graft.ops.Judges]]'s `dsScorePass` arithmetic exactly: Laplace-1-
+    * smoothed exact-integer ratios, ln domain, judge-ordered folds,
+    * argmax ties toward the binary-smaller label. `prev` names the
+    * current-labeling CTE `(doc_id, t)`; emits `den$r`/`num$r`/`pri$r`/
+    * `sc$r`/`cur$r` with `cur$r` carrying `(doc_id, t, post)`. */
+  private def dsRoundCtes(r: Int, prev: String): String =
+    s"""den$r AS MATERIALIZED (
+       |  SELECT v.judge, c.t, CAST(count(*) AS BIGINT) AS d
+       |  FROM v JOIN $prev c USING (doc_id) GROUP BY 1, 2
+       |), num$r AS MATERIALIZED (
+       |  SELECT v.judge, c.t, v.label AS o, CAST(count(*) AS BIGINT) AS n
+       |  FROM v JOIN $prev c USING (doc_id) GROUP BY 1, 2, 3
+       |), pri$r AS MATERIALIZED (
+       |  SELECT lab.label AS t,
+       |    CAST(coalesce(pc.n, 0) + 1 AS DOUBLE) /
+       |      ((SELECT count(*) FROM $prev) + (SELECT count(*) FROM lab)) AS pi
+       |  FROM lab LEFT JOIN (
+       |    SELECT t, CAST(count(*) AS BIGINT) AS n FROM $prev GROUP BY t) pc
+       |    ON pc.t = lab.label
+       |), sc$r AS MATERIALIZED (
+       |  SELECT q.doc_id, q.t,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(q.lnc ORDER BY q.judge)), (a, b) -> a + b) AS s
+       |  FROM (
+       |    SELECT v.doc_id, v.judge, lab.label AS t,
+       |      ln(CAST(coalesce(num.n, 0) + 1 AS DOUBLE) /
+       |         (coalesce(den.d, 0) + (SELECT count(*) FROM lab))) AS lnc
+       |    FROM v CROSS JOIN lab
+       |    LEFT JOIN num$r num
+       |      ON num.judge = v.judge AND num.t = lab.label AND num.o = v.label
+       |    LEFT JOIN den$r den ON den.judge = v.judge AND den.t = lab.label
+       |  ) q GROUP BY q.doc_id, q.t
+       |), cur$r AS MATERIALIZED (
+       |  SELECT doc_id, t, post FROM (
+       |    SELECT sc.doc_id, sc.t, ln(pri.pi) + sc.s AS post
+       |    FROM sc$r sc JOIN pri$r pri ON pri.t = sc.t)
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY post DESC, t ASC) = 1
+       |)""".stripMargin
+
+  /** The shared DS/gold output tail over a final `(doc_id, t, post)`. */
+  private def dsOutputSql(fin: String): String =
+    s"""SELECT f.doc_id, f.t AS consensus,
+       |  CAST(count(*) AS BIGINT) AS n_judges,
+       |  CAST(sum(CASE WHEN v.label = f.t THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  round(CAST(sum(CASE WHEN v.label = f.t THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) + 0.0 AS support_r,
+       |  round(f.post, 6) + 0.0 AS logpost_r
+       |FROM v JOIN $fin f USING (doc_id)
+       |GROUP BY f.doc_id, f.t, f.post
+       |ORDER BY f.doc_id""".stripMargin
+
+  /** Full unrolled hard-EM Dawid–Skene (q258): majority init, `iters`
+    * re-estimation rounds — the oracle re-runs the whole EM, so the
+    * hash compare pins every smoothed ratio and fold. */
+  private def dawidSkeneSql(iters: Int): String = {
+    val rounds = (1 to iters).map(r =>
+      dsRoundCtes(r, if (r == 1) "cur0" else s"cur${r - 1}")).mkString(",\n")
+    s"""WITH $judgePanelCtes,
+       |lab AS MATERIALIZED (SELECT DISTINCT label FROM v),
+       |cur0 AS MATERIALIZED (
+       |  SELECT doc_id, label AS t FROM (
+       |    SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n
+       |    FROM v GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) = 1
+       |),
+       |$rounds
+       |${dsOutputSql(s"cur$iters")}""".stripMargin
+  }
+
+  /** Gold-anchored consensus (q259): confusions and prior from the gold
+    * items only, one scoring pass over every voted item. */
+  private lazy val goldJudgesSql: String =
+    s"""WITH $judgePanelCtes,
+       |cur0 AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 'hi' ELSE 'lo' END AS t
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 11 = 0
+       |),
+       |lab AS MATERIALIZED (
+       |  SELECT DISTINCT label FROM (
+       |    SELECT label FROM v UNION ALL SELECT t FROM cur0)
+       |),
+       |${dsRoundCtes(1, "cur0")}
+       |${dsOutputSql("cur1")}""".stripMargin
 
   /** q84's BM25 derivation — shared verbatim by the persisted-index
     * replay q248 (same scores by construction). */
@@ -2222,6 +2314,16 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |  n_agree = n_judges AS unanimous
          |FROM win JOIN wt USING (doc_id) JOIN ag USING (doc_id)
          |ORDER BY win.doc_id""".stripMargin,
+
+    // full hard-EM Dawid-Skene over the same panel: the oracle unrolls
+    // both re-estimation rounds (smoothed priors + per-judge confusion
+    // matrices, ln-domain judge-ordered folds) and must land on the
+    // identical consensus AND posterior
+    "q258_dawid_skene" -> dawidSkeneSql(2),
+
+    // gold-anchored consensus: confusions from the doc_id % 11 gold
+    // slice only, one scoring pass over every voted item
+    "q259_gold_judges" -> goldJudgesSql,
 
     // labeler report card vs the weighted consensus
     "q255_judge_reliability" ->

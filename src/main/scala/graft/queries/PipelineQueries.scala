@@ -2774,6 +2774,59 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("judge")
     },
 
+    "q258_dawid_skene" -> { (s, dir) =>
+      // full hard-EM Dawid-Skene over q254's five-judge panel: per-judge
+      // PER-LABEL confusion matrices + class priors, two bounded
+      // re-estimation rounds; the oracle re-runs the whole EM unrolled
+      // (the q249 bounded-replay discipline) — consensus AND ln-posterior
+      // must hash-match
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def judge(name: String, label: Column) =
+        d.select(col("doc_id"), lit(name).as("judge"), label.as("label"))
+      val nTok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val nDist = size(graft.expressions.WordGrams.distinctTokens(col("text")))
+      val uh = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("graft-judge"))), 1, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      val votes = judge("len", when(col("n_chars") >= 300, "hi").otherwise("lo"))
+        .unionByName(judge("tok", when(nTok >= 50, "hi").otherwise("lo")))
+        .unionByName(judge("dtr",
+          when(nTok > 0 && lit(2) * nDist >= nTok, "hi").otherwise("lo")))
+        .unionByName(judge("lang", when(col("lang") === "en", "hi").otherwise("lo")))
+        .unionByName(judge("fuzz", when(uh >= 0.5, "hi").otherwise("lo")))
+      graft.ops.Judges.dawidSkene(votes, "doc_id", "judge", "label", iters = 2)
+        .orderBy("doc_id")
+    },
+
+    "q259_gold_judges" -> { (s, dir) =>
+      // gold-anchored consensus: per-judge confusions estimated ONLY from
+      // the doc_id % 11 gold slice (synthetic gold = the length rule),
+      // then one scoring pass over every voted item — the trusted-subset
+      // fix for correlated-majority basins EM cannot escape
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def judge(name: String, label: Column) =
+        d.select(col("doc_id"), lit(name).as("judge"), label.as("label"))
+      val nTok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val nDist = size(graft.expressions.WordGrams.distinctTokens(col("text")))
+      val uh = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("graft-judge"))), 1, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      val votes = judge("len", when(col("n_chars") >= 300, "hi").otherwise("lo"))
+        .unionByName(judge("tok", when(nTok >= 50, "hi").otherwise("lo")))
+        .unionByName(judge("dtr",
+          when(nTok > 0 && lit(2) * nDist >= nTok, "hi").otherwise("lo")))
+        .unionByName(judge("lang", when(col("lang") === "en", "hi").otherwise("lo")))
+        .unionByName(judge("fuzz", when(uh >= 0.5, "hi").otherwise("lo")))
+      val gold = d.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"),
+          when(col("n_chars") >= 300, "hi").otherwise("lo").as("gold"))
+      graft.ops.Judges.goldAnchoredConsensus(
+        votes, gold, "doc_id", "judge", "label", "gold")
+        .orderBy("doc_id")
+    },
+
     "q256_bm25_takedown" -> { (s, dir) =>
       // right-to-be-forgotten on the lexical serving index: every
       // doc_id % 7 == 3 document deleted from the persisted postings

@@ -71,4 +71,110 @@ class JudgesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  // ------------------------------------------------ Dawid–Skene (hard EM)
+
+  /** 30 items, truth: 1–24 "g", 25–30 "b". Judge A is a rare-class
+    * specialist, wrong on g-items 1–13 (votes "b"); B is perfect; D and
+    * E rubber-stamp "g" everywhere. The raw majority is the TRUTH (the
+    * 2–2 ties on 25–30 break toward the binary-smaller "b"), but the
+    * SCALAR agreement weighting scores A at 17/30 ≈ 0.567 vs the
+    * rubber-stampers' 0.8 each, so the weighted revote flips every
+    * b-item to "g" — the failure per-label confusion fixes: DS sees A
+    * is perfect ON CLASS b and the stampers are 1/8 there. */
+  private val rareClassVotes = (1L to 30L).flatMap { i =>
+    val truth = if (i <= 24) "g" else "b"
+    Seq(
+      (i, "A", if (i <= 13) "b" else truth),
+      (i, "B", truth),
+      (i, "D", "g"),
+      (i, "E", "g"))
+  }.toDF("item", "judge", "label")
+
+  test("dawidSkene: per-label confusion defends the rare class where scalar weighting flips it") {
+    val truth = (1L to 30L).map(i => i -> (if (i <= 24) "g" else "b")).toMap
+    val ds = byKey(Judges.dawidSkene(rareClassVotes, "item", "judge", "label"), "item")
+    (1L to 30L).foreach { i =>
+      assert(ds(i).getAs[String]("consensus") == truth(i),
+        s"DS item $i: got ${ds(i).getAs[String]("consensus")}, want ${truth(i)}")
+    }
+    // ...and the documented judgeConsensus failure mode: the scalar
+    // weighted revote hands the b-items to the rubber-stampers
+    val jc = byKey(Judges.judgeConsensus(rareClassVotes, "item", "judge", "label"), "item")
+    (25L to 30L).foreach { i =>
+      assert(jc(i).getAs[String]("consensus") == "g",
+        "scalar weighting was expected to flip the rare class — " +
+          "if this starts passing, the planted corpus no longer " +
+          "separates the two aggregators")
+    }
+    // support columns ride the final consensus
+    assert(ds(25L).getAs[Long]("n_judges") == 4L &&
+      ds(25L).getAs[Long]("n_agree") == 2L &&
+      ds(25L).getAs[Double]("support_r") == 0.5)
+    assert(!ds(1L).getAs[Double]("logpost_r").isNaN)
+  }
+
+  test("dawidSkene: partition-invariant, bounded iters, validation") {
+    val a = Judges.dawidSkene(rareClassVotes, "item", "judge", "label")
+      .collect().map(_.toSeq).toSet
+    val b = Judges.dawidSkene(rareClassVotes.repartition(13), "item", "judge", "label")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // one more round changes nothing on this corpus (the fixpoint holds)
+    val c = Judges.dawidSkene(rareClassVotes, "item", "judge", "label", iters = 3)
+      .collect().map(_.toSeq).toSet
+    assert(c == a)
+    intercept[IllegalArgumentException] {
+      Judges.dawidSkene(rareClassVotes, "item", "judge", "label", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Judges.dawidSkene(rareClassVotes, "item", "judge", "label", alpha = 0)
+    }
+    val dup = Seq((1L, "a", "x"), (1L, "a", "y")).toDF("item", "judge", "label")
+    val err = intercept[Exception] {
+      Judges.dawidSkene(dup, "item", "judge", "label").collect()
+    }
+    assert(err.getMessage.contains("voted more than once"))
+  }
+
+  /** Truth: 1–20 "g", 21–30 "b". A and B are perfect; C, D, E
+    * rubber-stamp "g" — a fully-correlated wrong MAJORITY on every
+    * b-item, the basin no unsupervised method escapes (the raw
+    * majority, the weighted vote, and EM-from-majority all say "g"
+    * there). Four gold labels expose the stampers' b-class confusion
+    * and the gold-anchored scoring recovers every b-item, gold or
+    * not. */
+  private val correlatedVotes = (1L to 30L).flatMap { i =>
+    val truth = if (i <= 20) "g" else "b"
+    Seq((i, "A", truth), (i, "B", truth),
+      (i, "C", "g"), (i, "D", "g"), (i, "E", "g"))
+  }.toDF("item", "judge", "label")
+
+  test("goldAnchoredConsensus: gold exposes a fully-correlated wrong majority EM cannot escape") {
+    val truth = (1L to 30L).map(i => i -> (if (i <= 20) "g" else "b")).toMap
+    // the basin, documented: plain DS stays with the correlated majority
+    val ds = byKey(Judges.dawidSkene(correlatedVotes, "item", "judge", "label"), "item")
+    (21L to 30L).foreach { i =>
+      assert(ds(i).getAs[String]("consensus") == "g",
+        "EM-from-majority was expected to stay in the correlated basin — " +
+          "if this starts passing, the planted corpus no longer shows " +
+          "why gold anchoring exists")
+    }
+    // four gold items (two per class) anchor the confusions
+    val gold = Seq((1L, "g"), (2L, "g"), (21L, "b"), (22L, "b"))
+      .toDF("item", "gold")
+    val ga = byKey(Judges.goldAnchoredConsensus(
+      correlatedVotes, gold, "item", "judge", "label", "gold"), "item")
+    (1L to 30L).foreach { i =>
+      assert(ga(i).getAs[String]("consensus") == truth(i),
+        s"gold-anchored item $i: got ${ga(i).getAs[String]("consensus")}")
+    }
+    // duplicate gold refuses loudly
+    val dupGold = Seq((1L, "g"), (1L, "b")).toDF("item", "gold")
+    val err = intercept[Exception] {
+      Judges.goldAnchoredConsensus(
+        correlatedVotes, dupGold, "item", "judge", "label", "gold").collect()
+    }
+    assert(err.getMessage.contains("more than one gold label"), err.getMessage)
+  }
 }
