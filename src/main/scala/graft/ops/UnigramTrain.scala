@@ -77,16 +77,32 @@ object UnigramTrain {
       i => transform(
         sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
         l => substring(col("word"), i, l))))
-    val counts = hist
+    val counts = graft.Checkpoints.trackCache(hist
       .select(col("cnt"), explode(subs).as("piece"))
       .groupBy("piece")
       .agg(sum(col("cnt")).as("c"))
-    val ranked = counts.withColumn("__rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("c").desc, col("piece").asc)))
-    ranked
-      .filter(col("__rn") <= vocabSize || length(col("piece")) === 1)
+      .persist())
+    // two-level top-K for the vocabSize cap: an unpartitioned
+    // row_number over EVERY candidate substring is a single-task global
+    // sort — the hot-spot shape the engine avoids everywhere. Level 1:
+    // a per-partition in-stage sort + take (anything outside its
+    // partition's top vocabSize cannot be in the global top vocabSize);
+    // level 2: the exact rank over the ≤ |partitions|·vocabSize
+    // survivors. The pinned (count DESC, piece ASC) tie order holds at
+    // both levels, and counts compare as exact LONGS throughout.
+    val survivors = counts
+      .sortWithinPartitions(col("c").desc, col("piece").asc)
+      .mapPartitions(_.take(vocabSize))(
+        org.apache.spark.sql.Encoders.row(counts.schema))
+    val top = survivors
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("piece").asc)))
+      .filter(col("__rn") <= vocabSize)
       .select(col("piece"), col("c"))
+    // single characters always survive (DP coverage); a char already in
+    // the top-K dedupes on its identical (piece, c) row
+    top.unionByName(counts.filter(length(col("piece")) === 1)).distinct()
   }
 
   /** Train the unigram vocabulary: `iters` hard-EM rounds over the
@@ -151,6 +167,57 @@ object UnigramTrain {
     BpeTrain.wordHistogram(df, textCol)
       .withColumn("tokens",
         UnigramExpressions.unigramViterbi(col("word"), scores, maxPieceLen))
+  }
+
+  /** Per-document PIECE-ID streams under a trained vocabulary — the
+    * tokenize step of "tokenize, shuffle, pack" with REAL subword
+    * output: each document's words segment through the word-cache
+    * Viterbi (one native pass per DISTINCT word) and the piece strings
+    * map to their vocab ids (1-based rank in the pinned (count DESC,
+    * piece ASC) order — derivable by the oracle from the re-trained
+    * vocabulary); OOV fallback pieces map to id 0. Output: `(idCol,
+    * n_pieces, piece_ids)` with the ids concatenated in word order ×
+    * segmentation order; token-less documents carry an empty array.
+    * Feed `piece_ids`/`n_pieces` straight into
+    * [[graft.ops.Packing.sequencePacking]] /
+    * [[graft.ops.Packing.materializeChunks]] — the lineage chain then
+    * rides real subword ids, not whitespace proxies.
+    *
+    * Scale shape: the per-word id arrays travel through one word-cache
+    * join; each document's stream assembles in ONE aggregation
+    * (word-position-sorted flatten — document-grain buffering, the
+    * engine-wide rebuild convention). */
+  def encodeDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pieces: Seq[Piece],
+      maxPieceLen: Int = 4
+  ): DataFrame = {
+    // vocab ids: 1-based rank in the Piece order train() pins
+    val idMap = map(pieces.zipWithIndex.flatMap { case (p, i) =>
+      Seq(lit(p.piece), lit((i + 1).toLong))
+    }: _*)
+    val wordIds = encodeWords(df, textCol, pieces, maxPieceLen)
+      .select(col("word"),
+        transform(col("tokens"),
+          t => coalesce(element_at(idMap, t), lit(0L))).as("__ids"))
+    val docWords = df.select(col(idCol),
+      posexplode_outer(WordGrams.wordGramsMulti(coalesce(col(textCol), lit("")), 1))
+        .as(Seq("__pos", "word")))
+    docWords
+      .join(wordIds, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ids").as("ids")))),
+        x => x.getField("ids"))).as("piece_ids"))
+      .select(col(idCol),
+        coalesce(col("piece_ids"),
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))).as("piece_ids"))
+      // size over the COALESCED array: legacy mode sizes null as -1
+      .select(col(idCol), size(col("piece_ids")).cast("long").as("n_pieces"),
+        col("piece_ids"))
   }
 
   /** Per-document unigram token counts — the sequence-length profile a

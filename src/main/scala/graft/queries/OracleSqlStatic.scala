@@ -140,12 +140,61 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |  piece, c AS cnt
        |FROM v$iters ORDER BY vocab_rank""".stripMargin
 
-  /** The five-heuristic-judge vote table q254/q255 aggregate: shared
-    * CTE prefix mirroring the engine's vote construction exactly
-    * (tokenizer CASE, integer distinct-ratio test, q136 md5 unit-hash
-    * coin). */
-  /** The five-judge vote panel over `documents` — shared by the
-    * agreement-weighted q254/q255, the Dawid–Skene q258, and the
+  /** The WITH-body for the unigram ENCODE→PACK chain (q260/q261):
+    * re-train the tokenizer (2 EM rounds), re-encode every distinct
+    * word (round-3 DP), rank the final vocabulary into piece ids, and
+    * lay every document's id stream into `doc_id % 4` shards with
+    * exclusive prefix-sum offsets (budget 128) — the engine's
+    * `encodeDocs` → `sequencePacking` chain replayed end to end. */
+  private lazy val unigramPackCtes: String = {
+    val maxWordLen = 12
+    val allK = (1 to maxWordLen)
+      .map(j => s"SELECT word, pos, piece FROM k3_$j").mkString(" UNION ALL ")
+    unigramCtes(maxPieceLen = 4, vocabSize = 64, iters = 2, maxWordLen) + ",\n" +
+      unigramRoundCtes(3, maxWordLen) + s""",
+         |vr AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(row_number() OVER (ORDER BY c DESC, piece ASC) AS BIGINT) AS pid
+         |  FROM v2
+         |), wseg AS MATERIALIZED (
+         |  $allK
+         |), wp AS MATERIALIZED (
+         |  SELECT w.word, coalesce(vr.pid, 0) AS pid,
+         |    CAST(row_number() OVER (PARTITION BY w.word ORDER BY w.pos) - 1
+         |      AS BIGINT) AS widx
+         |  FROM wseg w LEFT JOIN vr ON vr.piece = w.piece
+         |), wlen AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM wseg GROUP BY word
+         |), dt AS (
+         |  SELECT doc_id,
+         |    CASE WHEN text IS NULL OR len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), dwp AS (
+         |  SELECT doc_id, unnest(ts) AS word,
+         |    unnest(range(1, len(ts) + 1)) AS wpos
+         |  FROM dt
+         |), dw AS MATERIALIZED (
+         |  SELECT dwp.doc_id, dwp.wpos, dwp.word, wlen.n,
+         |    CAST(sum(wlen.n) OVER (PARTITION BY dwp.doc_id ORDER BY dwp.wpos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - wlen.n
+         |      AS BIGINT) AS woff
+         |  FROM dwp JOIN wlen USING (word)
+         |), dlen AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS np FROM dw GROUP BY doc_id
+         |), pk AS MATERIALIZED (
+         |  SELECT doc_id, doc_id % 4 AS shard, np,
+         |    CAST(sum(np) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - np
+         |      AS BIGINT) AS "offset"
+         |  FROM dlen
+         |)""".stripMargin
+  }
+
+  /** The five-judge vote panel over `documents` (tokenizer CASE,
+    * integer distinct-ratio test, q136 md5 unit-hash coin) — the CTE
+    * prefix mirroring the engine's vote construction exactly, shared by
+    * the agreement-weighted q254/q255, the Dawid–Skene q258, and the
     * gold-anchored q259. */
   private val judgePanelCtes: String =
     """d AS (
@@ -168,6 +217,8 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
       |         THEN 'hi' ELSE 'lo' END FROM d
       |)""".stripMargin
 
+  /** The panel plus the agreement-weighted consensus derivation (raw
+    * majority, scalar reliabilities, weight folds) — q254/q255's CTEs. */
   private val judgeVoteCtes: String = judgePanelCtes +
     """, mc AS (
       |  SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2
@@ -2314,6 +2365,41 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |  n_agree = n_judges AS unanimous
          |FROM win JOIN wt USING (doc_id) JOIN ag USING (doc_id)
          |ORDER BY win.doc_id""".stripMargin,
+
+    // unigram ENCODE->PACK end to end: re-train + re-encode in SQL,
+    // piece ids from the ranked final vocabulary, stream positions and
+    // chunk cuts in exact integer math, per-chunk id streams in global
+    // order — the packed sequences ride REAL subword ids
+    "q260_unigram_pack" -> (
+      s"""WITH $unigramPackCtes,
+         |stream AS MATERIALIZED (
+         |  SELECT pk.shard, pk."offset" + dw.woff + wp.widx AS gpos, wp.pid
+         |  FROM pk JOIN dw USING (doc_id) JOIN wp ON wp.word = dw.word
+         |)
+         |SELECT shard, gpos // 128 AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY gpos) AS chunk_ids
+         |FROM stream GROUP BY shard, gpos // 128
+         |ORDER BY shard, chunk_id""".stripMargin),
+
+    // lineage of the q260 packing over the SAME subword streams: which
+    // doc contributed which id span of which chunk (integer arithmetic
+    // over the pack offsets)
+    "q261_unigram_provenance" -> (
+      s"""WITH $unigramPackCtes,
+         |pr AS (
+         |  SELECT pk.shard, u.c AS chunk_id, pk.doc_id,
+         |    greatest(pk."offset", u.c * 128) - u.c * 128 AS chunk_start,
+         |    least(pk."offset" + pk.np, u.c * 128 + 128)
+         |      - greatest(pk."offset", u.c * 128) AS n_from_doc
+         |  FROM pk, unnest(range(pk."offset" // 128,
+         |    (pk."offset" + pk.np - 1) // 128 + 1)) AS u(c)
+         |  WHERE pk.np > 0
+         |)
+         |SELECT shard, chunk_id, doc_id,
+         |  CAST(chunk_start AS BIGINT) AS chunk_start,
+         |  CAST(n_from_doc AS BIGINT) AS n_from_doc
+         |FROM pr ORDER BY shard, chunk_id, doc_id""".stripMargin),
 
     // full hard-EM Dawid-Skene over the same panel: the oracle unrolls
     // both re-estimation rounds (smoothed priors + per-judge confusion

@@ -2774,6 +2774,40 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("judge")
     },
 
+    "q260_unigram_pack" -> { (s, dir) =>
+      // the tokenizer->packing integration over REAL subword output:
+      // trained-vocab piece ids per doc (word-cache Viterbi, ids = the
+      // pinned vocab rank), doc_id % 4 shards, 128-id budget, exact
+      // global stream order; the oracle re-trains + re-encodes + re-
+      // packs the identical chain in SQL
+      val docs = t(s, dir, "documents")
+      val enc = graft.ops.UnigramTrain.encodeDocs(
+        docs, "doc_id", "text", UnigramState.forDir(docs, dir))
+        .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+      val packed = graft.ops.Packing.sequencePacking(
+        enc, "doc_id", "n_pieces", "shard", budget = 128L, orderCol = "doc_id")
+      graft.ops.Packing.materializeChunks(packed, "piece_ids", "shard", budget = 128L)
+        .withColumn("chunk_ids",
+          concat_ws(" ", transform(col("tokens"), _.cast("string"))))
+        .select("shard", "chunk_id", "n_tokens", "chunk_ids")
+        .orderBy("shard", "chunk_id")
+    },
+
+    "q261_unigram_provenance" -> { (s, dir) =>
+      // lineage over the q260 subword packing: which document
+      // contributed which piece-id span of which training chunk — the
+      // takedown/contamination index now speaks real tokenizer output,
+      // not whitespace proxies
+      val docs = t(s, dir, "documents")
+      val enc = graft.ops.UnigramTrain.encodeDocs(
+        docs, "doc_id", "text", UnigramState.forDir(docs, dir))
+        .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+      val packed = graft.ops.Packing.sequencePacking(
+        enc, "doc_id", "n_pieces", "shard", budget = 128L, orderCol = "doc_id")
+      graft.ops.Packing.chunkProvenance(packed, "doc_id", "n_pieces", "shard", budget = 128L)
+        .orderBy("shard", "chunk_id", "doc_id")
+    },
+
     "q258_dawid_skene" -> { (s, dir) =>
       // full hard-EM Dawid-Skene over q254's five-judge panel: per-judge
       // PER-LABEL confusion matrices + class priors, two bounded

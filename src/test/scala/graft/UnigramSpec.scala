@@ -173,4 +173,60 @@ class UnigramSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("candidateVocab: two-level top-K equals the brute rank; partition-invariant") {
+    val rnd = new scala.util.Random(31L)
+    val docs = (0 until 200).map { _ =>
+      Tuple1((0 until (1 + rnd.nextInt(5)))
+        .map(_ => (0 until (1 + rnd.nextInt(6)))
+          .map(_ => "abcd"(rnd.nextInt(4))).mkString).mkString(" "))
+    }.toDF("text")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = asSet(UnigramTrain.candidateVocab(docs, "text",
+      maxPieceLen = 3, vocabSize = 10))
+    // brute reference: exact long rank (count DESC, piece ASC) + singles
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.collect().foreach { r =>
+      r.getString(0).split("\\s+").filter(_.nonEmpty).foreach { w =>
+        for (i <- 0 until w.length; l <- 1 to math.min(3, w.length - i))
+          counts(w.substring(i, i + l)) = counts.getOrElse(w.substring(i, i + l), 0L) + 1L
+      }
+    }
+    val ranked = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+    val want = (ranked.take(10) ++ ranked.filter(_._1.length == 1)).toSet
+    assert(got == want, s"missing=${want -- got}, extra=${got -- want}")
+    // the per-partition pre-cut must not depend on the physical layout
+    val got13 = asSet(UnigramTrain.candidateVocab(docs.repartition(13), "text",
+      maxPieceLen = 3, vocabSize = 10))
+    assert(got13 == want)
+  }
+
+  test("encodeDocs: word-order piece-id streams, vocab-rank ids, empty docs") {
+    // vocab trained on a corpus where 'ab' dominates: ranks are pinned
+    // by (count DESC, piece ASC)
+    val train = Seq.fill(6)(Tuple1("abab ab")).toDF("text")
+    val pieces = UnigramTrain.train(train, "text",
+      maxPieceLen = 2, vocabSize = 4, iters = 2, maxWordLen = 8)
+    val rank = pieces.zipWithIndex.map { case (p, i) => p.piece -> (i + 1L) }.toMap
+    val docs = Seq(
+      (1L, "ab abab"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = byKey(UnigramTrain.encodeDocs(docs, "doc_id", "text", pieces,
+      maxPieceLen = 2), "doc_id")
+    // doc 1: 'ab' -> [ab]; 'abab' -> [ab, ab] — concatenated in word order
+    assert(got(1L).getSeq[Long](2) == Seq(rank("ab"), rank("ab"), rank("ab")))
+    assert(got(1L).getAs[Long]("n_pieces") == 3L)
+    // token-less docs carry empty arrays, not nulls
+    assert(got(2L).getAs[Long]("n_pieces") == 0L && got(2L).getSeq[Long](2).isEmpty)
+    assert(got(3L).getAs[Long]("n_pieces") == 0L && got(3L).getSeq[Long](2).isEmpty)
+    // OOV text (chars the vocab never saw) encodes as id 0 per fallback piece
+    val oov = byKey(UnigramTrain.encodeDocs(
+      Seq((9L, "zz")).toDF("doc_id", "text"), "doc_id", "text", pieces,
+      maxPieceLen = 2), "doc_id")
+    assert(oov(9L).getSeq[Long](2).forall(_ == 0L) &&
+      oov(9L).getAs[Long]("n_pieces") > 0L)
+  }
 }
