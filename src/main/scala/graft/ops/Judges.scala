@@ -257,6 +257,152 @@ object Judges {
     dsOutput(votes, fin, itemCol)
   }
 
+  /** PREFERENCE-PAIR construction — the RLHF/DPO data-prep step after
+    * judging: per item (prompt), the best-scored candidate (response)
+    * becomes `chosen` and the worst-scored becomes `rejected`, emitted
+    * only when the score gap clears `margin` (a pair the judges barely
+    * separated teaches noise). Ties break toward the binary-smaller
+    * candidate on BOTH ends (`min(struct(±score, cand))` — the
+    * engine-wide argmax pin), and an item whose best and worst collapse
+    * to the same candidate (single candidate, or all scores equal)
+    * emits nothing: a self-pair is never trainable. A candidate scored
+    * twice for one item refuses loudly (the [[cleanVotes]] contract —
+    * silent last-wins would be arrival-order-dependent).
+    *
+    * Output: `(itemCol, chosen, rejected, chosen_score, rejected_score,
+    * n_candidates)`.
+    *
+    * Scale shape: one hash aggregation at item grain (both argmaxes and
+    * the candidate count ride the same agg) plus a map-side margin
+    * filter — no windows, no joins, no driver state. */
+  def preferencePairs(
+      df: DataFrame,
+      itemCol: String,
+      candidateCol: String,
+      scoreCol: String,
+      margin: Double = 0.0
+  ): DataFrame = {
+    require(margin >= 0.0, "margin must be >= 0")
+    val scored = df
+      .filter(col(itemCol).isNotNull && col(candidateCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(candidateCol).as("__c"))
+      .agg(count(lit(1)).as("__n"), min(col(scoreCol)).as("__s"))
+      .select(col("__i"), col("__c"),
+        when(col("__n") > 1, raise_error(concat(
+          lit("preferencePairs: candidate '"), col("__c").cast("string"),
+          lit("' scored more than once on item '"), col("__i").cast("string"),
+          lit("' — aggregate judge scores upstream (a silent last-wins "),
+          lit("would be arrival-order-dependent)")))).otherwise(col("__s")).as("__s"))
+    scored
+      .groupBy("__i")
+      .agg(
+        min(struct((-col("__s")).as("s"), col("__c").as("c"))).as("__best"),
+        min(struct(col("__s").as("s"), col("__c").as("c"))).as("__worst"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("__i").as(itemCol),
+        col("__best.c").as("chosen"), col("__worst.c").as("rejected"),
+        (-col("__best.s")).as("chosen_score"), col("__worst.s").as("rejected_score"),
+        col("n_candidates"))
+      .filter(col("chosen") =!= col("rejected") &&
+        col("chosen_score") - col("rejected_score") >= lit(margin))
+  }
+
+  /** BRADLEY–TERRY strength fit over pairwise outcomes — the ranking
+    * model behind chatbot-arena-style evaluation: each row is one
+    * comparison (`winnerCol` beat `loserCol`), and `iters` bounded
+    * minorization-maximization rounds fit a positive strength per
+    * player such that P(i beats j) ≈ pᵢ/(pᵢ+pⱼ) (Bradley & Terry 1952;
+    * MM update p'ᵢ = Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ), Hunter 2004). Every observed
+    * matchup is smoothed with `alpha` phantom wins EACH WAY (exact
+    * integers), so an undefeated or winless player still gets a finite,
+    * nonzero strength. A comparison where winner equals loser refuses
+    * loudly through the consumed winner column.
+    *
+    * Determinism contract (oracle-replayable, the q165/q249 bounded-
+    * replay discipline): win and match counts are exact integers; each
+    * round's denominator folds a player's opponents in OPPONENT-ID
+    * order (the q84 sorted-fold convention); the MM update is scale-
+    * invariant, so instead of a global-sum normalization (an ordered
+    * fold over ALL players) the reported strength divides by the
+    * binary-smallest player's strength — one broadcast scalar, and the
+    * oracle unrolls the identical rounds in SQL.
+    *
+    * Output: `(player, n_matches, n_wins, strength_r)` — raw
+    * (unsmoothed) match/win counts, strength normalized to the
+    * binary-smallest player = 1.0, rounded 6dp.
+    *
+    * Scale shape: matchups aggregate once to (i, j) grain; per round,
+    * one join of the matchup frame against the player-grain strengths
+    * (twice, once per side) and one hash aggregation with an
+    * opponent-list fold per player (opponent-count-bounded buffers —
+    * the per-group rebuild convention); strengths re-checkpoint each
+    * round (the engine's fixpoint convention). No driver state beyond
+    * the round counter. */
+  def bradleyTerry(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 4,
+      alpha: Long = 1L
+  ): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(alpha >= 1, "alpha must be >= 1 (an unsmoothed undefeated " +
+      "player diverges and a winless one pins to zero)")
+    val matches = df
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+      .select(
+        when(col(winnerCol) === col(loserCol), raise_error(concat(
+          lit("bradleyTerry: player '"), col(winnerCol).cast("string"),
+          lit("' beat itself — a self-comparison carries no signal; "),
+          lit("drop it upstream")))).otherwise(col(winnerCol)).as("__w"),
+        col(loserCol).as("__l"))
+    // both directions of every matchup, aggregated to (i, j) grain ONCE:
+    // raw wins/matches stay exact integers; smoothing adds alpha phantom
+    // wins each way per OBSERVED matchup
+    val edges = graft.Checkpoints.trackCache(matches
+      .select(col("__w").as("__i"), col("__l").as("__j"), lit(1L).as("__win"))
+      .unionByName(
+        matches.select(col("__l").as("__i"), col("__w").as("__j"), lit(0L).as("__win")))
+      .groupBy("__i", "__j")
+      .agg(sum(col("__win")).as("__rw"), count(lit(1)).as("__rn"))
+      .select(col("__i"), col("__j"), col("__rw"), col("__rn"),
+        (col("__rw") + lit(alpha)).as("__wins"),
+        (col("__rn") + lit(2L * alpha)).as("__n"))
+      .persist())
+    val totals = edges.groupBy("__i")
+      .agg(sum(col("__wins")).as("__W"),
+        sum(col("__rw")).as("n_wins"), sum(col("__rn")).as("n_matches"))
+    var strengths = graft.Checkpoints.localCheckpoint(
+      edges.select(col("__i")).distinct().withColumn("__p", lit(1.0)),
+      resetStats = true)
+    for (_ <- 1 to iters) {
+      val withP = edges
+        .join(strengths.select(col("__i"), col("__p").as("__pi")), Seq("__i"))
+        .join(strengths.select(col("__i").as("__j"), col("__p").as("__pj")), Seq("__j"))
+      val next = graft.Checkpoints.localCheckpoint(
+        withP.groupBy("__i")
+          .agg(aggregate(
+            array_sort(collect_list(struct(col("__j").as("j"),
+              (col("__n").cast("double") / (col("__pi") + col("__pj"))).as("d")))),
+            lit(0.0), (acc, x) => acc + x.getField("d")).as("__den"))
+          .join(totals.select(col("__i"), col("__W")), Seq("__i"))
+          .select(col("__i"), (col("__W").cast("double") / col("__den")).as("__p")),
+        resetStats = true)
+      graft.Checkpoints.free(strengths)
+      strengths = next
+    }
+    // scale-invariance pin: report relative to the binary-smallest
+    // player (one broadcast scalar — never an ordered global sum)
+    val ref = strengths
+      .agg(min(struct(col("__i").as("i"), col("__p").as("p"))).as("__r"))
+      .select(col("__r.p").as("__pref"))
+    strengths.crossJoin(broadcast(ref))
+      .join(totals.select(col("__i"), col("n_wins"), col("n_matches")), Seq("__i"))
+      .select(col("__i").as("player"), col("n_matches"), col("n_wins"),
+        (round(col("__p") / col("__pref"), 6) + lit(0.0)).as("strength_r"))
+  }
+
   /** GOLD-ANCHORED consensus: when a small trusted label set exists,
     * estimate each judge's per-label confusion (and the class prior)
     * from the GOLD items only — no EM, one scoring pass over all items

@@ -169,6 +169,85 @@ object UnigramTrain {
         UnigramExpressions.unigramViterbi(col("word"), scores, maxPieceLen))
   }
 
+  /** A loaded tokenizer ARTIFACT: the pinned-order vocabulary plus the
+    * `maxPieceLen` the artifact's Viterbi was trained with (an encode
+    * under a different bound could segment differently — the bound is
+    * part of the tokenizer, so it travels with it). */
+  final case class Tokenizer(pieces: Seq[Piece], maxPieceLen: Int)
+
+  /** Persist a trained tokenizer as a SERVING ARTIFACT — the
+    * [[graft.ops.Retrieval.saveBm25Index]] /
+    * [[graft.ops.Similarity.saveIvfIndex]] treatment for the vocabulary:
+    * train once, then every encode job (batch backfill, streaming
+    * ingest, another cluster entirely) loads the identical frozen
+    * tokenizer instead of re-running the EM. Layout under `path`:
+    *  - `vocab/`: `(vocab_rank, piece, cnt)` — the [[vocabTable]]
+    *    frame, rank = the pinned (count DESC, piece ASC) train order,
+    *    so piece ids are part of the artifact, not re-derived;
+    *  - `stats/`: one row `(vocab_size, total_cnt, max_piece_len)` —
+    *    exact integers, written LAST: the stats row is the commit
+    *    marker, and [[loadTokenizer]] refuses a vocab/stats mismatch
+    *    (a torn or clobbered artifact must fail loudly, not encode
+    *    with half a vocabulary).
+    * The artifact is tiny (vocab-bounded) — a fresh save overwrites in
+    * place; there is no append/maintenance side (a vocabulary never
+    * changes incrementally: retrain and re-save). */
+  def saveTokenizer(
+      spark: SparkSession,
+      pieces: Seq[Piece],
+      path: String,
+      maxPieceLen: Int = 4
+  ): Unit = {
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    vocabTable(spark, pieces)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    val statsSchema = StructType(Seq(
+      StructField("vocab_size", LongType, nullable = false),
+      StructField("total_cnt", LongType, nullable = false),
+      StructField("max_piece_len", IntegerType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        Row(pieces.size.toLong, pieces.map(_.count).sum, maxPieceLen)),
+      statsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a [[saveTokenizer]] artifact. The vocabulary collects to the
+    * driver in rank order — vocab-bounded by construction (the same
+    * driver-state contract as [[train]] itself). Refuses loudly when
+    * the vocab row count disagrees with the stats row (torn write,
+    * concurrent clobber, wrong path) — an encode under half a
+    * vocabulary would silently segment differently. */
+  def loadTokenizer(spark: SparkSession, path: String): Tokenizer = {
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val expected = stats.getAs[Long]("vocab_size")
+    val rows = spark.read.parquet(s"$path/vocab")
+      .orderBy(col("vocab_rank"))
+      .collect()
+    require(rows.length.toLong == expected,
+      s"loadTokenizer: artifact at '$path' is torn — stats row pins " +
+        s"$expected pieces but vocab/ holds ${rows.length}; re-save with " +
+        "saveTokenizer")
+    Tokenizer(
+      rows.map(r => Piece(r.getAs[String]("piece"), r.getAs[Long]("cnt"))).toSeq,
+      stats.getAs[Int]("max_piece_len"))
+  }
+
+  /** [[encodeDocs]] under a PERSISTED tokenizer — the serving-side
+    * encode: load the frozen artifact, segment with its own
+    * `maxPieceLen`. Bit-identical to the in-memory path by
+    * construction (same pieces, same pinned ids, same bound). */
+  def encodeDocsPreindexed(
+      spark: SparkSession,
+      tokenizerPath: String,
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val tk = loadTokenizer(spark, tokenizerPath)
+    encodeDocs(df, idCol, textCol, tk.pieces, tk.maxPieceLen)
+  }
+
   /** Per-document PIECE-ID streams under a trained vocabulary — the
     * tokenize step of "tokenize, shuffle, pack" with REAL subword
     * output: each document's words segment through the word-cache

@@ -336,6 +336,54 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |${dsRoundCtes(1, "cur0")}
        |${dsOutputSql("cur1")}""".stripMargin
 
+  /** One Bradley–Terry MM round in SQL, mirroring
+    * [[graft.ops.Judges.bradleyTerry]]'s arithmetic exactly: smoothed
+    * integer matchup counts, opponent-id-ordered denominator folds,
+    * each strength one double division. */
+  private def btRoundCte(r: Int): String =
+    s"""p$r AS MATERIALIZED (
+       |  SELECT e.i,
+       |    CAST(w.W AS DOUBLE) / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(e.n AS DOUBLE) / (pi.p + pj.p) ORDER BY e.j)),
+       |      (a, b) -> a + b) AS p
+       |  FROM e JOIN p${r - 1} pi ON pi.i = e.i JOIN p${r - 1} pj ON pj.i = e.j
+       |    JOIN w ON w.i = e.i
+       |  GROUP BY e.i, w.W
+       |)""".stripMargin
+
+  /** Full unrolled Bradley–Terry fit (q264): adjacent-doc length duels
+    * between sources, `iters` MM rounds, strength normalized to the
+    * binary-smallest player — the oracle re-runs the whole fit. */
+  private def bradleyTerrySql(iters: Int): String = {
+    val rounds = (1 to iters).map(btRoundCte).mkString(",\n")
+    s"""WITH m AS (
+       |  SELECT CASE WHEN d1.n_chars > d2.n_chars THEN d1.source ELSE d2.source END AS winner,
+       |         CASE WHEN d1.n_chars > d2.n_chars THEN d2.source ELSE d1.source END AS loser
+       |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+       |  WHERE d1.doc_id IS NOT NULL AND d2.doc_id IS NOT NULL
+       |    AND d1.source IS NOT NULL AND d2.source IS NOT NULL
+       |    AND d1.n_chars IS NOT NULL AND d2.n_chars IS NOT NULL
+       |    AND d1.source <> d2.source AND d1.n_chars <> d2.n_chars
+       |), dr AS (
+       |  SELECT winner AS i, loser AS j, 1 AS win FROM m
+       |  UNION ALL SELECT loser, winner, 0 FROM m
+       |), e AS MATERIALIZED (
+       |  SELECT i, j, CAST(sum(win) AS BIGINT) AS rw, CAST(count(*) AS BIGINT) AS rn,
+       |    CAST(sum(win) + 1 AS BIGINT) AS wins, CAST(count(*) + 2 AS BIGINT) AS n
+       |  FROM dr GROUP BY i, j
+       |), w AS MATERIALIZED (
+       |  SELECT i, CAST(sum(wins) AS BIGINT) AS W,
+       |    CAST(sum(rw) AS BIGINT) AS n_wins, CAST(sum(rn) AS BIGINT) AS n_matches
+       |  FROM e GROUP BY i
+       |), p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM w),
+       |$rounds,
+       |ref AS (SELECT p FROM p$iters ORDER BY i LIMIT 1)
+       |SELECT p$iters.i AS player, w.n_matches, w.n_wins,
+       |  round(p$iters.p / (SELECT p FROM ref), 6) + 0.0 AS strength_r
+       |FROM p$iters JOIN w ON w.i = p$iters.i
+       |ORDER BY player""".stripMargin
+  }
+
   /** q84's BM25 derivation — shared verbatim by the persisted-index
     * replay q248 (same scores by construction). */
   private lazy val bm25OracleSql: String = bm25OracleSqlFor("")
@@ -2401,11 +2449,56 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |  CAST(n_from_doc AS BIGINT) AS n_from_doc
          |FROM pr ORDER BY shard, chunk_id, doc_id""".stripMargin),
 
+    // serving-side encode through the persisted tokenizer artifact:
+    // identical to the in-memory encode chain, so the oracle re-trains
+    // + re-encodes (the q260 CTEs) and emits each document's id stream
+    // in word-position x segmentation order
+    "q262_tokenizer_artifact" -> (
+      s"""WITH $unigramPackCtes,
+         |ds AS (
+         |  SELECT dw.doc_id, dw.woff + wp.widx AS p, wp.pid
+         |  FROM dw JOIN wp ON wp.word = dw.word
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+         |    string_agg(CAST(pid AS VARCHAR), ' ' ORDER BY p) AS ids_str
+         |  FROM ds GROUP BY doc_id
+         |), ids AS (SELECT DISTINCT doc_id FROM documents)
+         |SELECT ids.doc_id, CAST(coalesce(agg.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  agg.ids_str
+         |FROM ids LEFT JOIN agg USING (doc_id)
+         |ORDER BY ids.doc_id""".stripMargin),
+
     // full hard-EM Dawid-Skene over the same panel: the oracle unrolls
     // both re-estimation rounds (smoothed priors + per-judge confusion
     // matrices, ln-domain judge-ordered folds) and must land on the
     // identical consensus AND posterior
     "q258_dawid_skene" -> dawidSkeneSql(2),
+
+    // RLHF preference-pair construction: best-vs-worst candidate per
+    // doc_id % 37 prompt bucket, margin-gated, ties toward the
+    // binary-smaller candidate on both ends
+    "q263_pref_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id % 37 AS item, doc_id AS cand, CAST(n_chars AS DOUBLE) AS score
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), best AS (
+        |  SELECT item, cand AS chosen, score AS chosen_score FROM b
+        |  QUALIFY row_number() OVER (PARTITION BY item ORDER BY score DESC, cand ASC) = 1
+        |), worst AS (
+        |  SELECT item, cand AS rejected, score AS rejected_score FROM b
+        |  QUALIFY row_number() OVER (PARTITION BY item ORDER BY score ASC, cand ASC) = 1
+        |), nc AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS n_candidates FROM b GROUP BY item
+        |)
+        |SELECT best.item, chosen, rejected, chosen_score, rejected_score, n_candidates
+        |FROM best JOIN worst USING (item) JOIN nc USING (item)
+        |WHERE chosen <> rejected AND chosen_score - rejected_score >= 50.0
+        |ORDER BY best.item""".stripMargin,
+
+    // Bradley-Terry strength fit over adjacent-doc length duels between
+    // sources: the oracle unrolls all four MM rounds (opponent-ordered
+    // denominator folds, binary-smallest-player normalization)
+    "q264_bradley_terry" -> bradleyTerrySql(4),
 
     // gold-anchored consensus: confusions from the doc_id % 11 gold
     // slice only, one scoring pass over every voted item

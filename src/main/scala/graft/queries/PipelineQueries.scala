@@ -164,6 +164,27 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Persisted tokenizer ARTIFACT keyed by sf dir (q262): the
+    * [[UnigramState]] vocabulary frozen to disk with
+    * [[graft.ops.UnigramTrain.saveTokenizer]] once per dir; the serving
+    * query encodes through the artifact — build-once/encode-forever,
+    * the tokenizer's [[Bm25ServeState]] twin. */
+  private[queries] object TokenizerServeState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(docs: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-tokenizer").toString
+            graft.ops.UnigramTrain.saveTokenizer(
+              docs.sparkSession, UnigramState.forDir(docs, dir), p, maxPieceLen = 4)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Merge rounds the BPE queries train/replay (q133/q134/q135 share one
     * training run per sf dir; the oracle re-trains in DuckDB). */
   private[queries] val BpeNumMerges = 12
@@ -2806,6 +2827,58 @@ object PipelineQueries extends OracleSqlStatic {
         enc, "doc_id", "n_pieces", "shard", budget = 128L, orderCol = "doc_id")
       graft.ops.Packing.chunkProvenance(packed, "doc_id", "n_pieces", "shard", budget = 128L)
         .orderBy("shard", "chunk_id", "doc_id")
+    },
+
+    "q263_pref_pairs" -> { (s, dir) =>
+      // RLHF/DPO preference-pair construction: doc_id % 37 prompt
+      // buckets as items, the bucket's docs as candidate responses,
+      // n_chars as the judge score — best-vs-worst pairs survive only
+      // when the gap clears the 50-point margin; one item-grain agg
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      graft.ops.Judges.preferencePairs(
+        d.select(pmod(col("doc_id"), lit(37L)).as("item"),
+          col("doc_id").as("cand"), col("n_chars").cast("double").as("score")),
+        "item", "cand", "score", margin = 50.0)
+        .orderBy("item")
+    },
+
+    "q264_bradley_terry" -> { (s, dir) =>
+      // chatbot-arena-style source ranking: adjacent-doc length duels
+      // (doc i vs doc i+1 of different sources) as pairwise outcomes,
+      // four bounded Bradley-Terry MM rounds with alpha=1 smoothing;
+      // the oracle re-runs the whole fit unrolled
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val nxt = d.select((col("doc_id") - 1L).as("doc_id"),
+        col("source").as("s2"), col("n_chars").as("c2"))
+      val duels = d.join(nxt, Seq("doc_id"))
+        .filter(col("source") =!= col("s2") && col("n_chars") =!= col("c2"))
+        .select(
+          when(col("n_chars") > col("c2"), col("source"))
+            .otherwise(col("s2")).as("winner"),
+          when(col("n_chars") > col("c2"), col("s2"))
+            .otherwise(col("source")).as("loser"))
+      graft.ops.Judges.bradleyTerry(duels, "winner", "loser", iters = 4, alpha = 1L)
+        .orderBy("player")
+    },
+
+    "q262_tokenizer_artifact" -> { (s, dir) =>
+      // serving-side encode through the PERSISTED tokenizer artifact:
+      // the vocabulary trains once, freezes to disk (pinned piece ids
+      // travel WITH the artifact), and this query encodes every doc by
+      // loading it back — bit-identical to the in-memory chain; the
+      // oracle re-trains + re-encodes and must match id for id
+      val docs = t(s, dir, "documents")
+      val path = TokenizerServeState.forDir(docs, dir)
+      graft.ops.UnigramTrain.encodeDocsPreindexed(s, path, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_pieces"),
+          when(col("n_pieces") > 0,
+            concat_ws(" ", transform(col("piece_ids"), _.cast("string"))))
+            .as("ids_str"))
+        .orderBy("doc_id")
     },
 
     "q258_dawid_skene" -> { (s, dir) =>

@@ -846,6 +846,35 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming TOKENIZE at ingest: each micro-batch of documents
+    * encodes to piece-id streams under a PERSISTED tokenizer artifact
+    * ([[graft.ops.UnigramTrain.saveTokenizer]] — trained once, frozen),
+    * appending `(idCol, n_pieces, piece_ids)` to `outPath` — the
+    * tokenize step of "tokenize, shuffle, pack" running as documents
+    * ARRIVE, with ids guaranteed stable across batches because they are
+    * part of the artifact, never re-derived. The artifact is
+    * vocab-bounded, so the per-batch load is one tiny parquet read
+    * (and a torn artifact refuses loudly through
+    * [[graft.ops.UnigramTrain.loadTokenizer]]'s count check rather
+    * than encoding with half a vocabulary). At-least-once on replay —
+    * dedup downstream on `idCol` if exactly-once matters; like the
+    * serving query streams there is no index mutation to keep
+    * idempotent. */
+  def tokenizeStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenizerPath: String,
+      outPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      graft.ops.UnigramTrain.encodeDocsPreindexed(
+          spark, tokenizerPath, batch, idCol, textCol)
+        .write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** Streaming VOCABULARY-DRIFT monitor: each micro-batch's token
     * distribution is scored against a PERSISTED reference vocabulary
     * ([[graft.ops.Drift.tokenCounts]] written once from the blessed

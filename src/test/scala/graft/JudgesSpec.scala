@@ -177,4 +177,107 @@ class JudgesSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("more than one gold label"), err.getMessage)
   }
+
+  test("preferencePairs: best-vs-worst per item, margin gate, pinned ties") {
+    val scored = Seq(
+      // item 1: clear spread — (10, 50, 90) -> chosen 93, rejected 91
+      (1L, 91L, 10.0), (1L, 92L, 50.0), (1L, 93L, 90.0),
+      // item 2: gap 30 < margin 40 -> dropped
+      (2L, 94L, 10.0), (2L, 95L, 40.0),
+      // item 3: single candidate -> self-pair, dropped
+      (3L, 96L, 70.0),
+      // item 4: all equal -> best and worst collapse to 97, dropped
+      (4L, 97L, 5.0), (4L, 98L, 5.0),
+      // item 5: best-score tie between 90 and 91 -> binary-smaller 90
+      (5L, 90L, 80.0), (5L, 91L, 80.0), (5L, 99L, 0.0)
+    ).toDF("item", "cand", "score")
+    val got = byKey(Judges.preferencePairs(
+      scored, "item", "cand", "score", margin = 40.0), "item")
+    assert(got.keySet == Set(1L, 5L))
+    assert(got(1L).getAs[Long]("chosen") == 93L &&
+      got(1L).getAs[Long]("rejected") == 91L)
+    assert(got(1L).getAs[Double]("chosen_score") == 90.0 &&
+      got(1L).getAs[Double]("rejected_score") == 10.0)
+    assert(got(1L).getAs[Long]("n_candidates") == 3L)
+    assert(got(5L).getAs[Long]("chosen") == 90L &&
+      got(5L).getAs[Long]("rejected") == 99L)
+    // a candidate scored twice on one item refuses loudly
+    val dup = Seq((1L, 7L, 1.0), (1L, 7L, 2.0)).toDF("item", "cand", "score")
+    val err = intercept[Exception] {
+      Judges.preferencePairs(dup, "item", "cand", "score").collect()
+    }
+    assert(err.getMessage.contains("scored more than once"), err.getMessage)
+  }
+
+  test("bradleyTerry: planted dominance ordering and exact in-memory MM replay") {
+    // A beats B 8/2, B beats C 8/2, A beats C 9/1 — strengths must
+    // order A > B > C
+    val duels = (
+      Seq.fill(8)(("A", "B")) ++ Seq.fill(2)(("B", "A")) ++
+      Seq.fill(8)(("B", "C")) ++ Seq.fill(2)(("C", "B")) ++
+      Seq.fill(9)(("A", "C")) ++ Seq.fill(1)(("C", "A"))
+    ).toDF("winner", "loser")
+    val got = byKey(Judges.bradleyTerry(duels, "winner", "loser",
+      iters = 4, alpha = 1L), "player")
+    val sA = got("A").getAs[Double]("strength_r")
+    val sB = got("B").getAs[Double]("strength_r")
+    val sC = got("C").getAs[Double]("strength_r")
+    assert(sA > sB && sB > sC, s"expected A > B > C, got $sA / $sB / $sC")
+    assert(sA == 1.0, "strengths are normalized to the binary-smallest player")
+    assert(got("A").getAs[Long]("n_wins") == 17L &&
+      got("A").getAs[Long]("n_matches") == 20L)
+    // exact replay: the same MM rounds in memory, same fold order
+    // (opponent-id ascending), same smoothing — strengths must match
+    // the engine's doubles at the 6dp rounding exactly
+    val players = Seq("A", "B", "C")
+    val raw = Map(("A", "B") -> 8L, ("B", "A") -> 2L, ("B", "C") -> 8L,
+      ("C", "B") -> 2L, ("A", "C") -> 9L, ("C", "A") -> 1L)
+    val n = raw.keys.map { case (i, j) =>
+      (i, j) -> (raw(i -> j) + raw(j -> i) + 2L)
+    }.toMap
+    val wins = raw.map { case ((i, j), w) => (i, j) -> (w + 1L) }
+    val bigW = players.map(i =>
+      i -> players.filter(_ != i).map(j => wins(i -> j)).sum).toMap
+    var p = players.map(_ -> 1.0).toMap
+    for (_ <- 1 to 4) {
+      p = players.map { i =>
+        val den = players.filter(_ != i).sorted
+          .foldLeft(0.0)((acc, j) => acc + n(i -> j).toDouble / (p(i) + p(j)))
+        i -> bigW(i).toDouble / den
+      }.toMap
+    }
+    players.foreach { i =>
+      val expect = BigDecimal(p(i) / p("A"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(i).getAs[Double]("strength_r") == expect,
+        s"player $i: engine ${got(i).getAs[Double]("strength_r")} vs replay $expect")
+    }
+  }
+
+  test("bradleyTerry: partition-invariant, smoothing bounds extremes, self-duel refuses") {
+    val duels = (
+      Seq.fill(5)(("A", "B")) ++ Seq.fill(3)(("B", "C")) ++
+      Seq.fill(2)(("C", "A")) ++ Seq.fill(4)(("A", "C"))
+    ).toDF("winner", "loser")
+    val one = Judges.bradleyTerry(duels.coalesce(1), "winner", "loser")
+      .collect().map(_.toSeq).toSet
+    val many = Judges.bradleyTerry(duels.repartition(13), "winner", "loser")
+      .collect().map(_.toSeq).toSet
+    assert(one == many, "strengths must not depend on partitioning")
+    // an undefeated player stays finite and a winless one stays nonzero
+    val sweep = Seq.fill(6)(("X", "Y")).toDF("winner", "loser")
+    val s = byKey(Judges.bradleyTerry(sweep, "winner", "loser"), "player")
+    assert(s("X").getAs[Double]("strength_r") > 0.0 &&
+      !s("X").getAs[Double]("strength_r").isInfinite)
+    assert(s("Y").getAs[Double]("strength_r") > 0.0)
+    val err = intercept[Exception] {
+      Judges.bradleyTerry(Seq(("A", "A")).toDF("winner", "loser"),
+        "winner", "loser").collect()
+    }
+    assert(err.getMessage.contains("beat itself"), err.getMessage)
+    val bad = intercept[IllegalArgumentException] {
+      Judges.bradleyTerry(duels, "winner", "loser", alpha = 0L)
+    }
+    assert(bad.getMessage.contains("alpha"), bad.getMessage)
+  }
 }

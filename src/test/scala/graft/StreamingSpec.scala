@@ -1027,6 +1027,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming tokenize equals the batch encode under the same frozen artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-stream").toString
+    val train = Seq.fill(6)(Tuple1("abab ab ba")).toDF("text")
+    val pieces = graft.ops.UnigramTrain.train(train, "text",
+      maxPieceLen = 2, vocabSize = 4, iters = 2, maxWordLen = 8)
+    graft.ops.UnigramTrain.saveTokenizer(spark, pieces, s"$dir/tokenizer",
+      maxPieceLen = 2)
+    val docs = Seq((1L, "ab abab"), (2L, "ba zz"), (3L, ""), (4L, "abba ab"))
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.tokenizeStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$dir/tokenizer", s"$dir/encoded")
+      .start()
+    try {
+      input.addData(docs(0), docs(1)) // batch 1
+      query.processAllAvailable()
+      input.addData(docs(2), docs(3)) // batch 2 under the same artifact
+      query.processAllAvailable()
+      val streamed = spark.read.parquet(s"$dir/encoded")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.ops.UnigramTrain.encodeDocs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", pieces, maxPieceLen = 2)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming drift monitor: per-batch top tokens equal the batch tokenDrift") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Drift

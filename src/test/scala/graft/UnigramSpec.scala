@@ -229,4 +229,53 @@ class UnigramSpec extends SparkSpec {
     assert(oov(9L).getSeq[Long](2).forall(_ == 0L) &&
       oov(9L).getAs[Long]("n_pieces") > 0L)
   }
+
+  test("tokenizer artifact: save/load round-trips pieces, order, and the bound") {
+    val train = Seq.fill(6)(Tuple1("abab ab ba")).toDF("text")
+    val pieces = UnigramTrain.train(train, "text",
+      maxPieceLen = 2, vocabSize = 4, iters = 2, maxWordLen = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-tok-art").toString
+    UnigramTrain.saveTokenizer(spark, pieces, path, maxPieceLen = 2)
+    val tk = UnigramTrain.loadTokenizer(spark, path)
+    assert(tk.pieces == pieces, "pieces and their pinned order must survive disk")
+    assert(tk.maxPieceLen == 2, "the Viterbi bound travels with the artifact")
+  }
+
+  test("encodeDocsPreindexed: bit-identical to the in-memory encode chain") {
+    val train = Seq.fill(6)(Tuple1("abab ab")).toDF("text")
+    val pieces = UnigramTrain.train(train, "text",
+      maxPieceLen = 2, vocabSize = 4, iters = 2, maxWordLen = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-tok-pre").toString
+    UnigramTrain.saveTokenizer(spark, pieces, path, maxPieceLen = 2)
+    val docs = Seq((1L, "ab abab"), (2L, ""), (3L, "zz ab")).toDF("doc_id", "text")
+    val inline = byKey(UnigramTrain.encodeDocs(docs, "doc_id", "text", pieces,
+      maxPieceLen = 2), "doc_id")
+    val served = byKey(UnigramTrain.encodeDocsPreindexed(
+      spark, path, docs, "doc_id", "text"), "doc_id")
+    for (k <- Seq(1L, 2L, 3L)) {
+      assert(served(k).getSeq[Long](2) == inline(k).getSeq[Long](2))
+      assert(served(k).getAs[Long]("n_pieces") == inline(k).getAs[Long]("n_pieces"))
+    }
+  }
+
+  test("loadTokenizer: a torn artifact (vocab/stats mismatch) refuses loudly") {
+    val train = Seq.fill(4)(Tuple1("ab ba")).toDF("text")
+    val pieces = UnigramTrain.train(train, "text",
+      maxPieceLen = 2, vocabSize = 4, iters = 1, maxWordLen = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-tok-torn").toString
+    UnigramTrain.saveTokenizer(spark, pieces, path, maxPieceLen = 2)
+    // simulate a torn write: clobber vocab/ with a strict subset while
+    // the stats row still pins the full count
+    spark.read.parquet(s"$path/vocab").limit(1)
+      .write.mode("overwrite").parquet(s"$path/vocab2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vocab"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/vocab2"),
+      new org.apache.hadoop.fs.Path(s"$path/vocab"))
+    val e = intercept[IllegalArgumentException] {
+      UnigramTrain.loadTokenizer(spark, path)
+    }
+    assert(e.getMessage.contains("torn"), s"message names the tear: ${e.getMessage}")
+  }
 }
