@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loss-driven DOMAIN-MIXTURE optimization — the step between "we can
+  * mix sources at fixed proportions" ([[Sampling.temperatureMix]],
+  * [[Sampling.quotaSample]]) and "the proportions themselves come from
+  * measurement": given a reference model's and a proxy model's held-out
+  * loss per domain, upweight the domains where the proxy still has the
+  * most to learn (the DoReMi signal, Xie et al. 2023 — excess loss =
+  * max(proxy − ref, 0)) and resample the corpus to the optimized
+  * mixture.
+  *
+  * The update is the LINEARIZED multiplicative-weights round,
+  * `raw_d = 1 + η·excess_d`, not the exponential one: ×, +, ÷ are
+  * IEEE-exact and replay bit-identically in any engine, while `exp`
+  * never enters the engine's deterministic vocabulary (the
+  * [[Classifier.trainPortable]] rational-sigmoid precedent; for the
+  * small η regime where MW is run the two updates agree to first
+  * order). Weights normalize over a sorted-domain fold and then smooth
+  * toward uniform: `w_d = (1−c)·raw_d/Σ + c/K` — DoReMi's uniform
+  * mixing that keeps every domain sampled.
+  *
+  * Scale shape: losses live at DOMAIN grain (dozens–thousands of rows)
+  * and fold on the driver under the [[Sampling.MixMaxSources]] loud
+  * ceiling — the [[Sampling.temperatureMix]] contract; the corpus-side
+  * resample is one broadcast acceptance table and a map-side filter,
+  * no shuffle of the corpus. */
+object Mixture {
+
+  /** Optimized mixture weights from per-domain (reference, proxy)
+    * losses: one row per domain in, `(domain, excess_r, weight_r)` out
+    * (domain string-cast, 6dp rounding applied IN Spark so the rounding
+    * semantics match every other `_r` column). Weights sum to 1 before
+    * rounding. A duplicated domain or a null loss refuses loudly — a
+    * silent last-wins (or a silently-dropped domain) would change every
+    * other domain's weight. */
+  def domainReweight(
+      losses: DataFrame,
+      domainCol: String,
+      refLossCol: String,
+      proxyLossCol: String,
+      eta: Double = 1.0,
+      smoothing: Double = 0.0
+  ): DataFrame = {
+    require(eta > 0.0, "eta must be positive")
+    require(smoothing >= 0.0 && smoothing < 1.0, "smoothing must be in [0, 1)")
+    val spark = losses.sparkSession
+    val rows = losses
+      .select(col(domainCol).cast("string").as("__d"),
+        col(refLossCol).cast("double").as("__ref"),
+        col(proxyLossCol).cast("double").as("__proxy"))
+      .limit(Sampling.MixMaxSources + 1)
+      .collect()
+    require(rows.length <= Sampling.MixMaxSources,
+      s"domainReweight saw > ${Sampling.MixMaxSources} domains — this is " +
+        "a per-domain mixing op at source/domain grain, not a per-key " +
+        "one; aggregate losses to coarser domains first")
+    require(rows.nonEmpty, "domainReweight: losses frame is empty")
+    val parsed = rows.toSeq.map { r =>
+      val d = Option(r.getString(0))
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"domainReweight: domain '${d.orNull}' has a null reference/proxy " +
+          "loss — measure or drop the domain upstream")
+      (d, r.getDouble(1), r.getDouble(2))
+    }.sortBy(_._1)
+    parsed.groupBy(_._1).foreach { case (d, g) =>
+      require(g.length == 1,
+        s"domainReweight: domain '${d.orNull}' appears more than once — " +
+          "one loss row per domain (a silent last-wins would move every " +
+          "other domain's weight)")
+    }
+    val k = parsed.length
+    val raw = parsed.map { case (d, ref, proxy) =>
+      val excess = math.max(proxy - ref, 0.0)
+      (d, excess, 1.0 + eta * excess)
+    }
+    // sorted-domain fold: the oracle mirrors this exact summation order
+    val z = raw.foldLeft(0.0)(_ + _._3)
+    val schema = StructType(Seq(
+      StructField("domain", StringType, nullable = true),
+      StructField("__excess", DoubleType, nullable = false),
+      StructField("__weight", DoubleType, nullable = false)))
+    val out = raw.map { case (d, excess, r) =>
+      Row(d.orNull, excess, (1.0 - smoothing) * (r / z) + smoothing / k)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), schema)
+      .select(col("domain"),
+        (round(col("__excess"), 6) + lit(0.0)).as("excess_r"),
+        (round(col("__weight"), 6) + lit(0.0)).as("weight_r"))
+  }
+
+  /** Resample `df` so each domain contributes in proportion to its
+    * weight from a [[domainReweight]] frame: keep a row iff
+    * `unitHash(id, salt) < min(1, targetRows · w_d / n_d)` — the
+    * [[Sampling.temperatureMix]] acceptance contract, deterministic and
+    * engine-reproducible. Domains present in the corpus but absent from
+    * the weights frame drop entirely (weight 0 — refusing instead would
+    * make routine "weights trained on last week's domain list" runs
+    * impossible; the drop is the documented semantics). A domain listed
+    * twice in the weights refuses loudly. */
+  def resampleToMixture(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: DataFrame,
+      targetRows: Long,
+      domainCol: String = "domain",
+      weightCol: String = "weight_r",
+      salt: String = ""
+  ): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    val wRows = weights
+      .select(col(domainCol).cast("string").as("__d"),
+        col(weightCol).cast("double").as("__w"))
+      .limit(Sampling.MixMaxSources + 1)
+      .collect()
+    require(wRows.length <= Sampling.MixMaxSources,
+      s"resampleToMixture saw > ${Sampling.MixMaxSources} weight rows — " +
+        "aggregate to coarser domains first")
+    val w = wRows.toSeq
+      .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+    w.groupBy(_._1).foreach { case (d, g) =>
+      require(g.length == 1,
+        s"resampleToMixture: domain '${d.orNull}' has more than one " +
+          "weight row — dedupe the weights frame upstream")
+    }
+    val counts = df
+      .groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("n"))
+      .limit(Sampling.MixMaxSources + 1)
+      .collect()
+    require(counts.length <= Sampling.MixMaxSources,
+      s"resampleToMixture saw > ${Sampling.MixMaxSources} distinct " +
+        s"domains in '$sourceCol' — cap domains with quotaSample first")
+    val nBySrc = counts.map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    // op order is part of the contract: target * w / n, then the 1.0 cap
+    val accept = w.flatMap { case (d, wt) =>
+      nBySrc.get(d).map(n =>
+        (d, math.min(1.0, targetRows.toDouble * wt / n.toDouble)))
+    }.sortBy(_._1)
+    val u = Sampling.unitHash(col(idCol), salt)
+    Sampling.applyAcceptance(df, sourceCol, u, accept,
+      useJoin = accept.length > Sampling.TemperatureMixCaseBound)
+  }
+}

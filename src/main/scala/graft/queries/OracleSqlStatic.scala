@@ -336,6 +336,33 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |${dsRoundCtes(1, "cur0")}
        |${dsOutputSql("cur1")}""".stripMargin
 
+  /** The shared q265/q266 mixture CTE prefix: per-source cycle-parity-split
+    * losses (exact integer sums, one division each), excess = max(proxy
+    * − ref, 0), the linearized MW raw weight 1 + 2·excess, and the
+    * sorted-domain normalization fold — [[graft.ops.Mixture
+    * .domainReweight]]'s driver arithmetic replayed term for term. */
+  private lazy val domainReweightCtes: String =
+    """WITH l AS (
+      |  SELECT source AS domain,
+      |    CAST(sum(CASE WHEN (doc_id // 20) % 2 = 0 THEN n_chars ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(CASE WHEN (doc_id // 20) % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS ref_loss,
+      |    CAST(sum(CASE WHEN (doc_id // 20) % 2 = 1 THEN n_chars ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(CASE WHEN (doc_id // 20) % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS proxy_loss
+      |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY source
+      |), x AS MATERIALIZED (
+      |  SELECT domain,
+      |    greatest(proxy_loss - ref_loss, CAST(0.0 AS DOUBLE)) AS excess,
+      |    CAST(1.0 AS DOUBLE)
+      |      + CAST(2.0 AS DOUBLE) * greatest(proxy_loss - ref_loss, CAST(0.0 AS DOUBLE)) AS raw
+      |  FROM l
+      |), zz AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(raw ORDER BY domain NULLS FIRST)), (a, b) -> a + b) AS z,
+      |    CAST(count(*) AS BIGINT) AS k
+      |  FROM x
+      |)""".stripMargin
+
   /** One Bradley–Terry MM round in SQL, mirroring
     * [[graft.ops.Judges.bradleyTerry]]'s arithmetic exactly: smoothed
     * integer matchup counts, opponent-id-ordered denominator folds,
@@ -2499,6 +2526,39 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // sources: the oracle unrolls all four MM rounds (opponent-ordered
     // denominator folds, binary-smallest-player normalization)
     "q264_bradley_terry" -> bradleyTerrySql(4),
+
+    // DoReMi-style domain reweighting: excess loss per source, one
+    // linearized MW round, sorted-domain normalization fold, uniform
+    // smoothing — every double replayed
+    "q265_domain_reweight" -> (domainReweightCtes +
+      s"""
+         |SELECT domain, round(excess, 6) + 0.0 AS excess_r,
+         |  round(CAST(0.75 AS DOUBLE) * (raw / z) + CAST(0.25 AS DOUBLE) / k, 6)
+         |    + 0.0 AS weight_r
+         |FROM x, zz ORDER BY domain NULLS FIRST""".stripMargin),
+
+    // the optimized mixture applied: q265 weights -> per-source
+    // acceptance cuts -> deterministic md5 resample toward 200 rows
+    "q266_mixture_resample" -> (domainReweightCtes +
+      s""", w AS (
+         |  SELECT domain,
+         |    round(CAST(0.75 AS DOUBLE) * (raw / z) + CAST(0.25 AS DOUBLE) / k, 6)
+         |      + 0.0 AS wt
+         |  FROM x, zz
+         |), cnt AS (
+         |  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+         |  GROUP BY source
+         |), acc AS (
+         |  SELECT domain,
+         |    least(CAST(1.0 AS DOUBLE), CAST(200.0 AS DOUBLE) * wt / CAST(n AS DOUBLE)) AS a
+         |  FROM w JOIN cnt USING (domain)
+         |)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN acc ON d.source = acc.domain
+         |WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL
+         |  AND CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft-r14'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < a
+         |ORDER BY d.doc_id""".stripMargin),
 
     // gold-anchored consensus: confusions from the doc_id % 11 gold
     // slice only, one scoring pass over every voted item

@@ -2829,6 +2829,54 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("shard", "chunk_id", "doc_id")
     },
 
+    "q265_domain_reweight" -> { (s, dir) =>
+      // DoReMi-style mixture optimization: per-source losses derived
+      // from the corpus itself (avg n_chars of even doc_id//20 cycles
+      // = the reference run, odd cycles = the proxy run — sources
+      // repeat every 20 ids, so a plain id parity would leave every
+      // source one-sided; exact integer
+      // sums, one division each), one linearized MW round with
+      // uniform smoothing; the oracle replays the sorted-domain fold
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val losses = d.groupBy(col("source").as("domain")).agg(
+        (sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 0, col("n_chars"))
+          .otherwise(lit(0L))).cast("double") /
+          sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 0, 1L).otherwise(0L))
+            .cast("double")).as("ref_loss"),
+        (sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 1, col("n_chars"))
+          .otherwise(lit(0L))).cast("double") /
+          sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 1, 1L).otherwise(0L))
+            .cast("double")).as("proxy_loss"))
+      graft.ops.Mixture.domainReweight(losses, "domain", "ref_loss", "proxy_loss",
+        eta = 2.0, smoothing = 0.25)
+        .orderBy("domain")
+    },
+
+    "q266_mixture_resample" -> { (s, dir) =>
+      // the optimized mixture APPLIED: q265's weights drive a
+      // deterministic md5-acceptance resample toward a 200-row budget
+      // — the broadcast-table/map-side-filter shape, corpus never
+      // shuffles; the oracle re-derives weights, counts, and cuts
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val losses = d.groupBy(col("source").as("domain")).agg(
+        (sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 0, col("n_chars"))
+          .otherwise(lit(0L))).cast("double") /
+          sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 0, 1L).otherwise(0L))
+            .cast("double")).as("ref_loss"),
+        (sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 1, col("n_chars"))
+          .otherwise(lit(0L))).cast("double") /
+          sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 1, 1L).otherwise(0L))
+            .cast("double")).as("proxy_loss"))
+      val w = graft.ops.Mixture.domainReweight(losses, "domain",
+        "ref_loss", "proxy_loss", eta = 2.0, smoothing = 0.25)
+      graft.ops.Mixture.resampleToMixture(d, "doc_id", "source", w,
+        targetRows = 200L, salt = "graft-r14")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     "q263_pref_pairs" -> { (s, dir) =>
       // RLHF/DPO preference-pair construction: doc_id % 37 prompt
       // buckets as items, the bucket's docs as candidate responses,

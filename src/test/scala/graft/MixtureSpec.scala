@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Mixture, Sampling}
+
+/** Loss-driven domain-mixture optimization (DoReMi-style linearized
+  * multiplicative weights) and the acceptance-cut resample. */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domainReweight: hand-computed weights, smoothing floor, sum to 1") {
+    // excess: a -> 0.5, b -> 0 (proxy better than ref clips), c -> 1.5
+    val losses = Seq(
+      ("a", 2.0, 2.5), ("b", 3.0, 2.0), ("c", 1.0, 2.5)
+    ).toDF("domain", "ref_loss", "proxy_loss")
+    val got = byKey(Mixture.domainReweight(
+      losses, "domain", "ref_loss", "proxy_loss", eta = 2.0, smoothing = 0.1),
+      "domain")
+    // raw: 1+2*0.5=2, 1, 1+2*1.5=4; z=7 (sorted-domain fold)
+    def expect(raw: Double) =
+      BigDecimal(0.9 * (raw / 7.0) + 0.1 / 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a").getAs[Double]("weight_r") == expect(2.0))
+    assert(got("b").getAs[Double]("weight_r") == expect(1.0))
+    assert(got("c").getAs[Double]("weight_r") == expect(4.0))
+    assert(got("a").getAs[Double]("excess_r") == 0.5)
+    assert(got("b").getAs[Double]("excess_r") == 0.0)
+    // uniform smoothing keeps every domain above c/K
+    assert(got.values.forall(_.getAs[Double]("weight_r") > 0.1 / 3 - 1e-9))
+    val total = got.values.map(_.getAs[Double]("weight_r")).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"weights sum to ~1, got $total")
+  }
+
+  test("domainReweight: duplicate domain, null loss, bad params refuse loudly") {
+    val dup = Seq(("a", 1.0, 2.0), ("a", 1.0, 3.0)).toDF("domain", "ref_loss", "proxy_loss")
+    val e1 = intercept[IllegalArgumentException] {
+      Mixture.domainReweight(dup, "domain", "ref_loss", "proxy_loss")
+    }
+    assert(e1.getMessage.contains("more than once"), e1.getMessage)
+    val nul = Seq(("a", Some(1.0), None: Option[Double]))
+      .toDF("domain", "ref_loss", "proxy_loss")
+    val e2 = intercept[IllegalArgumentException] {
+      Mixture.domainReweight(nul, "domain", "ref_loss", "proxy_loss")
+    }
+    assert(e2.getMessage.contains("null reference/proxy"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      Mixture.domainReweight(dup.limit(1), "domain", "ref_loss", "proxy_loss",
+        smoothing = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.domainReweight(dup.limit(1), "domain", "ref_loss", "proxy_loss",
+        eta = 0.0)
+    }
+  }
+
+  test("resampleToMixture: acceptance-cut differential, invariance, missing domain drops") {
+    val docs = (1L to 600L)
+      .map(i => (i, if (i <= 300) "big" else if (i <= 500) "mid" else "small"))
+      .toDF("id", "src")
+    val weights = Seq(("big", 0.2), ("mid", 0.3)).toDF("domain", "weight_r")
+    val got = Mixture.resampleToMixture(docs, "id", "src", weights,
+      targetRows = 100L, salt = "s14")
+    // differential: explicit per-row unit-hash cut with the same
+    // acceptance arithmetic (target * w / n, capped at 1)
+    val aBig = math.min(1.0, 100.0 * 0.2 / 300.0)
+    val aMid = math.min(1.0, 100.0 * 0.3 / 200.0)
+    val expected = docs
+      .withColumn("u", Sampling.unitHash(col("id"), "s14"))
+      .filter(
+        (col("src") === "big" && col("u") < lit(aBig)) ||
+        (col("src") === "mid" && col("u") < lit(aMid)))
+      .select("id", "src").collect().map(_.toSeq).toSet
+    assert(got.select("id", "src").collect().map(_.toSeq).toSet == expected)
+    // the weightless domain vanished entirely
+    assert(got.filter(col("src") === "small").count() == 0L)
+    assert(expected.nonEmpty)
+    // partitioning never moves a cut
+    val re = Mixture.resampleToMixture(docs.repartition(17), "id", "src",
+      weights, targetRows = 100L, salt = "s14")
+      .select("id", "src").collect().map(_.toSeq).toSet
+    assert(re == expected)
+    // duplicate weight row refuses loudly
+    val dupW = Seq(("big", 0.2), ("big", 0.4)).toDF("domain", "weight_r")
+    val err = intercept[IllegalArgumentException] {
+      Mixture.resampleToMixture(docs, "id", "src", dupW, targetRows = 10L)
+    }
+    assert(err.getMessage.contains("more than one"), err.getMessage)
+  }
+
+  test("resampleToMixture composes with domainReweight toward the budget") {
+    // three sources, proxy lags ref most on 'c' -> c keeps the largest
+    // share of its rows relative to its size
+    val docs = (1L to 900L)
+      .map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val losses = Seq(
+      ("s0", 2.0, 2.0), ("s1", 2.0, 2.4), ("s2", 2.0, 3.2)
+    ).toDF("domain", "ref_loss", "proxy_loss")
+    val w = Mixture.domainReweight(losses, "domain", "ref_loss", "proxy_loss",
+      eta = 1.0, smoothing = 0.0)
+    val kept = Mixture.resampleToMixture(docs, "id", "src", w,
+        targetRows = 300L, salt = "mix")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all sources are 300 rows, so kept counts must order with weights
+    assert(kept("s2") > kept("s1") && kept("s1") > kept("s0"),
+      s"expected s2 > s1 > s0, got $kept")
+  }
+}
