@@ -902,6 +902,113 @@ object StreamingEval {
       ()
     }
 
+  /** TAKEDOWN from a FLAT ingest index — the persisted signature/hash
+    * frames the [[textIngestStream]] / [[imageIngestStream]] /
+    * [[imageIngestStream256]] / [[audioIngestStream]] /
+    * [[videoIngestStream]] loops vet against (plain parquet dirs grown
+    * by per-batch appends): rewrite the index without `removedIds`'
+    * rows and publish as a crash-safe staged swap. Once a document's
+    * content must be forgotten, its minhash signature / perceptual
+    * hash must go too (they are content-derived), and as a side effect
+    * the rewrite FOLDS every append-accumulated small file-set into
+    * one — this is also the flat indexes' compaction point (the
+    * [[compactSpanIndex]] sibling for unversioned layouts).
+    *
+    * Crash safety: the filtered copy writes under the hidden
+    * `_tk_staging` dir (readers of the live index never see it), and
+    * the `_COMMIT` marker naming the doomed live files is the point of
+    * no return — [[recoverIngestIndex]] replays a marked stage and
+    * discards an unmarked one, and both entry points run it as their
+    * preamble. Idempotent replay: deleting an already-deleted file and
+    * moving an already-moved one are no-ops.
+    *
+    * Concurrency contract: run with the ingest stream STOPPED (the
+    * [[compactSpanIndex]] rule — one writer per index root). */
+  def removeFromIngestIndex(
+      spark: SparkSession,
+      indexPath: String,
+      removedIds: DataFrame,
+      idCol: String
+  ): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    recoverIngestIndex(spark, indexPath)
+    stageIngestTakedown(spark, indexPath, removedIds, idCol)
+    ingestCommit(fs, root)
+  }
+
+  /** Replay a pending [[removeFromIngestIndex]] commit left by a crash
+    * (marked stage = authoritative), or discard an incomplete stage.
+    * Returns true iff a pending commit was completed — the interrupted
+    * takedown FINISHED and must not be retried. Call after an unclean
+    * shutdown before restarting the ingest stream. */
+  def recoverIngestIndex(spark: SparkSession, indexPath: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(root, "_tk_staging")
+    if (!fs.exists(staging)) return false
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_COMMIT"))) {
+      ingestCommit(fs, root); true
+    } else {
+      fs.delete(staging, true); false
+    }
+  }
+
+  /** The stage-then-mark half of [[removeFromIngestIndex]], split out so
+    * crash-recovery specs can stop the world exactly at the marker (the
+    * [[graft.ops.IndexCommit.writeMarker]] convention). */
+  private[graft] def stageIngestTakedown(
+      spark: SparkSession,
+      indexPath: String,
+      removedIds: DataFrame,
+      idCol: String
+  ): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(root, "_tk_staging")
+    // the doomed file list is FROZEN at stage time: files the commit
+    // must delete are exactly the live data files the filtered copy
+    // was derived from
+    val live = fs.listStatus(root)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    spark.read.parquet(indexPath)
+      .join(broadcast(removedIds.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(staging, "data").toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, "_COMMIT"), true)
+    out.write(live.mkString("\n").getBytes("UTF-8")); out.close()
+  }
+
+  /** The idempotent commit the `_COMMIT` marker describes: delete the
+    * doomed live files, move the staged data files up, drop the
+    * staging dir. */
+  private def ingestCommit(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path
+  ): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(root, "_tk_staging")
+    val marker = new org.apache.hadoop.fs.Path(staging, "_COMMIT")
+    val doomed = new String(org.apache.hadoop.io.IOUtils
+      .readFullyToByteArray(fs.open(marker)), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+    doomed.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+    val data = new org.apache.hadoop.fs.Path(staging, "data")
+    if (fs.exists(data)) fs.listStatus(data).foreach { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && !n.startsWith("_") && !n.startsWith(".")) {
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n))
+        ()
+      }
+    }
+    fs.delete(staging, true)
+    ()
+  }
+
   /** Shared foreachBatch ingest core: hash the batch, vet against the
     * persisted index, append admissions. */
   private def ingestWith(

@@ -353,4 +353,71 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(cutBack.collect().head.getString(1) == "",
       "standing fingerprints must still suppress")
   }
+
+  test("flat ingest-index takedown: remove equals rebuild, compacts files, ingest keeps vetting") {
+    import graft.ops.Dedup
+    val corpus1 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val corpus2 = Seq((3L, "red orange yellow green blue indigo")).toDF("doc_id", "text")
+    val dir = tmp("ingest-rm")
+    // two append batches, the ingestWith layout (flat parquet dir)
+    Dedup.polySignatures(corpus1, "text", "doc_id", 8, 3)
+      .write.mode("append").parquet(dir)
+    Dedup.polySignatures(corpus2, "text", "doc_id", 8, 3)
+      .write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir)
+    assert(before.count() == 3L)
+    val filesBefore = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    // take down doc 2: index equals a rebuild from the filtered corpus
+    graft.streaming.StreamingEval.removeFromIngestIndex(
+      spark, dir, Seq(Tuple1(2L)).toDF("doc_id"), "doc_id")
+    val after = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val rebuilt = Dedup.polySignatures(
+        corpus1.filter(col("doc_id") =!= 2L).unionByName(corpus2),
+        "text", "doc_id", 8, 3)
+      .collect().map(_.toSeq).toSet
+    assert(after == rebuilt, "takedown must equal rebuild-without-the-doc")
+    // the rewrite is also the compaction point: one file-set remains
+    val filesAfter = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(filesAfter <= filesBefore, s"$filesBefore -> $filesAfter files")
+    // the ingest loop keeps vetting against the standing rows: doc 1's
+    // twin is rejected, the forgotten doc 2's twin is admitted again
+    val probes = Seq((11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "one two three four five six seven")).toDF("doc_id", "text")
+    val sigs = Dedup.polySignatures(probes, "text", "doc_id", 8, 3)
+    val hits = Dedup.incrementalNearDupPairsFromSigs(
+        spark.read.parquet(dir), sigs, "doc_id", 0.5, 8, 4)
+      .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hits == Set(11L), s"expected only the standing twin to hit, got $hits")
+  }
+
+  test("flat ingest-index takedown: unmarked stage discards, marked stage replays") {
+    import graft.ops.Dedup
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val dir = tmp("ingest-crash")
+    Dedup.polySignatures(corpus, "text", "doc_id", 8, 3)
+      .write.mode("append").parquet(dir)
+    val untouched = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // crash BEFORE the marker: stage exists, no _COMMIT -> discarded
+    graft.streaming.StreamingEval.stageIngestTakedown(
+      spark, dir, Seq(Tuple1(1L)).toDF("doc_id"), "doc_id")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_tk_staging/_COMMIT"), false)
+    assert(!graft.streaming.StreamingEval.recoverIngestIndex(spark, dir))
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == untouched,
+      "an unmarked stage must discard with the live index untouched")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tk_staging")))
+    // crash AFTER the marker: recover must finish the takedown
+    graft.streaming.StreamingEval.stageIngestTakedown(
+      spark, dir, Seq(Tuple1(1L)).toDF("doc_id"), "doc_id")
+    assert(graft.streaming.StreamingEval.recoverIngestIndex(spark, dir))
+    val after = spark.read.parquet(dir)
+    assert(after.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L),
+      "a marked stage is authoritative: replay completes the takedown")
+    // recovery is idempotent: nothing pending afterwards
+    assert(!graft.streaming.StreamingEval.recoverIngestIndex(spark, dir))
+  }
 }
