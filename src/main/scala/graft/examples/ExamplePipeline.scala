@@ -535,6 +535,54 @@ object ExamplePipeline {
         spark, bm25Dir, queries, "qid", "qtext", topK = 3)
       .orderBy("qid", "rank").show()
 
+    // 34. tokenizer serving artifact: freeze step 32's vocabulary to
+    //     disk, encode through the frozen artifact (what every later
+    //     backfill/ingest job loads instead of retraining)
+    val tokDir = java.nio.file.Files.createTempDirectory("graft-ex-tok").toString
+    graft.ops.UnigramTrain.saveTokenizer(spark, uniVocab, tokDir)
+    val tokenized = graft.ops.UnigramTrain.encodeDocsPreindexed(
+      spark, tokDir, docs, "doc_id", "text")
+    println(s"tokenizer artifact: ${tokenized.agg(sum(col("n_pieces"))).first().get(0)} " +
+      "pieces encoded through the frozen vocab")
+
+    // 35. judge panel -> preference pairs -> Bradley-Terry: score docs
+    //     with a heuristic judge, build margin-gated chosen/rejected
+    //     pairs per prompt bucket, and rank sources from adjacent-doc
+    //     duels — the RLHF-side data prep
+    val prefs = graft.ops.Judges.preferencePairs(
+      docs.filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(pmod(col("doc_id"), lit(37L)).as("item"),
+          col("doc_id").as("cand"), col("n_chars").cast("double").as("score")),
+      "item", "cand", "score", margin = 50.0)
+    println(s"preference pairs: ${prefs.count()} margin-cleared pairs")
+    val d0 = docs.filter(col("doc_id").isNotNull && col("source").isNotNull &&
+      col("n_chars").isNotNull).select(col("doc_id"), col("source"), col("n_chars"))
+    val nx = d0.select((col("doc_id") - 1L).as("doc_id"),
+      col("source").as("s2"), col("n_chars").as("c2"))
+    val duels = d0.join(nx, Seq("doc_id"))
+      .filter(col("source") =!= col("s2") && col("n_chars") =!= col("c2"))
+      .select(when(col("n_chars") > col("c2"), col("source")).otherwise(col("s2")).as("winner"),
+        when(col("n_chars") > col("c2"), col("s2")).otherwise(col("source")).as("loser"))
+    graft.ops.Judges.bradleyTerry(duels, "winner", "loser")
+      .orderBy(desc("strength_r")).show(5)
+
+    // 36. loss-driven mixture: excess-loss weights per source, then the
+    //     deterministic acceptance resample toward a row budget
+    val losses = d0.groupBy(col("source").as("domain")).agg(
+      (sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 0,
+        col("n_chars")).otherwise(lit(0L))).cast("double") /
+        sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 0, 1L)
+          .otherwise(0L)).cast("double")).as("ref_loss"),
+      (sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 1,
+        col("n_chars")).otherwise(lit(0L))).cast("double") /
+        sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 1, 1L)
+          .otherwise(0L)).cast("double")).as("proxy_loss"))
+    val mixW = graft.ops.Mixture.domainReweight(
+      losses, "domain", "ref_loss", "proxy_loss", eta = 2.0, smoothing = 0.25)
+    val mixed = graft.ops.Mixture.resampleToMixture(
+      d0, "doc_id", "source", mixW, targetRows = 200L, salt = "ex")
+    println(s"mixture resample: ${mixed.count()} rows toward the 200-row budget")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)

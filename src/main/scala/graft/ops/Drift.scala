@@ -67,6 +67,49 @@ object Drift {
           (acc, x) => acc + x.getField("c")).as("psi"))
       .select(col("psi"), col("n_bins"))
 
+  /** EMBEDDING-space drift between two corpus snapshots: both sides
+    * assign to a FROZEN quantizer's cells (the IVF centroid table, via
+    * [[Similarity.assignCell]]'s literal-centroid argmax — zero
+    * shuffle, the serving index's own assignment), and the add-one-
+    * smoothed PSI runs over the cell histograms — the embedding answer
+    * to "did the corpus move?" that a token monitor cannot see (a new
+    * content cluster with familiar vocabulary, an embedding-model
+    * regression). Per-cell table: `(cell, n_ref, n_cur, p_ref, p_cur,
+    * contrib)`; freeze the quantizer at the blessed snapshot and every
+    * later check is two scans + a cell-grain (≤ nLists rows) join.
+    * Numeric determinism rides [[binContributions]]'s exact-integer
+    * counts and single divisions. */
+  def embeddingDriftCells(
+      ref: DataFrame,
+      cur: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double], Double)]
+  ): DataFrame = {
+    def cells(df: DataFrame) = df
+      .filter(col(vecCol).isNotNull)
+      .select(Similarity.assignCell(col(vecCol), centroids).as("__cell"))
+    binContributions(cells(ref), cells(cur), "__cell", 1L)
+      .withColumnRenamed("bin", "cell")
+  }
+
+  /** The scalar embedding-drift PSI (one row: `psi`, `n_cells`) —
+    * [[embeddingDriftCells]] folded in cell order (the [[psi]]
+    * reproducibility contract). */
+  def embeddingDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double], Double)]
+  ): DataFrame =
+    embeddingDriftCells(ref, cur, vecCol, centroids)
+      .agg(
+        count(lit(1)).as("n_cells"),
+        aggregate(
+          array_sort(collect_list(struct(col("cell"), col("contrib").as("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("psi"))
+      .select(col("psi"), col("n_cells"))
+
   /** TOKEN-level drift between two corpus snapshots: the `k` tokens
     * whose smoothed frequency shift contributes most to the PSI —
     * the vocabulary answer to "what exactly changed in this crawl?"

@@ -2829,6 +2829,22 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("shard", "chunk_id", "doc_id")
     },
 
+    "q267_embedding_drift" -> { (s, dir) =>
+      // embedding-space drift: even/odd vec_id halves as the two corpus
+      // snapshots, cells from the FROZEN q54 quantizer (literal-centroid
+      // argmax, zero shuffle), add-one-smoothed PSI per cell — the
+      // monitor that sees a content-cluster shift token drift cannot
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      graft.ops.Drift.embeddingDriftCells(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding", cents)
+        .select(col("cell"), col("n_ref"), col("n_cur"),
+          roundz(col("contrib"), 9).as("contrib_r"))
+        .orderBy("cell")
+    },
+
     "q265_domain_reweight" -> { (s, dir) =>
       // DoReMi-style mixture optimization: per-source losses derived
       // from the corpus itself (avg n_chars of even doc_id//20 cycles
@@ -3791,6 +3807,45 @@ object PipelineQueries extends OracleSqlStatic {
            |SELECT vec_id, list_id, sample_rank FROM rk
            |WHERE sample_rank <= 10
            |ORDER BY list_id, sample_rank""".stripMargin,
+      // embedding-space drift: same literal-centroid cells, even/odd
+      // halves, add-one-smoothed PSI contributions per cell (the q96
+      // arithmetic over cell histograms)
+      "q267_embedding_drift" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (
+           |  SELECT * FROM (VALUES
+           |$rows
+           |  ) t(list_id, c, c2)
+           |), cells AS (
+           |  SELECT e.vec_id, cent.list_id,
+           |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
+           |  FROM e, cent
+           |), assigned AS (
+           |  SELECT vec_id, list_id FROM (
+           |    SELECT vec_id, list_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
+           |    FROM cells) WHERE rn = 1
+           |), hr AS (
+           |  SELECT list_id AS cell, CAST(count(*) AS BIGINT) AS n_ref
+           |  FROM assigned WHERE vec_id % 2 = 0 GROUP BY list_id
+           |), hc AS (
+           |  SELECT list_id AS cell, CAST(count(*) AS BIGINT) AS n_cur
+           |  FROM assigned WHERE vec_id % 2 = 1 GROUP BY list_id
+           |), j AS (
+           |  SELECT coalesce(hr.cell, hc.cell) AS cell,
+           |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+           |  FROM hr FULL JOIN hc ON hr.cell = hc.cell
+           |), tt AS (
+           |  SELECT sum(n_ref) AS tr, sum(n_cur) AS tc,
+           |    CAST(count(*) AS BIGINT) AS b
+           |  FROM j
+           |)
+           |SELECT cell, n_ref, n_cur,
+           |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + b)
+           |         - CAST(n_ref + 1 AS DOUBLE) / (tr + b))
+           |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + b))
+           |        / (CAST(n_ref + 1 AS DOUBLE) / (tr + b))), 9) + 0.0 AS contrib_r
+           |FROM j, tt ORDER BY cell""".stripMargin,
       "q54_ivf_topk" -> q54IvfSql(rows),
       // serving-path parity: the persisted-index replay (q191) answers
       // the SAME question from the SAME quantizer, so it shares the

@@ -250,6 +250,69 @@ object ScaleSmoke {
           maxPieceLen = 4, vocabSize = 64, iters = 2)
       }
 
+      // tokenizer ARTIFACT serving: train once on the base docs, freeze
+      // to disk, encode the blown-up corpus through the frozen artifact
+      // — encode cost tracks the corpus scan (word-cache join), never
+      // the training, and the artifact read is vocab-bounded
+      {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-smoke-tok").toString
+        val pieces = graft.ops.UnigramTrain.train(docs, "text",
+          maxPieceLen = 4, vocabSize = 64, iters = 1)
+        graft.ops.UnigramTrain.saveTokenizer(spark, pieces, dir)
+        time(s"encodeDocsPreindexed ($nDocs docs, frozen artifact)") {
+          graft.ops.UnigramTrain.encodeDocsPreindexed(
+              spark, dir, dN, "doc_id", "text")
+            .agg(sum(col("n_pieces"))).collect()
+        }
+      }
+
+      // Bradley-Terry: duels aggregate ONCE to matchup grain (players²
+      // bounded at 64² here), every MM round then runs on the matchup
+      // table — n× more duels move only the one aggregate, never the
+      // per-round cost
+      time(s"bradleyTerry ${n * 600000L} duels, 64 players, 4 MM rounds") {
+        val duels = spark.range(n * 600000L).select(
+            concat(lit("p"), pmod(col("id"), lit(64L))).as("winner"),
+            concat(lit("p"), pmod(col("id") * 31L + 7L, lit(64L))).as("loser"))
+          .filter(col("winner") =!= col("loser"))
+        graft.ops.Judges.bradleyTerry(duels, "winner", "loser", iters = 4)
+          .agg(count(lit(1))).collect()
+      }
+
+      // mixture resample: weights live at domain grain (1000 domains ->
+      // the broadcast-join acceptance path); the corpus-side cost is ONE
+      // map-side filter — near-flat per row
+      time(s"domainReweight + resampleToMixture over ${rows} rows, 1000 domains") {
+        val corpus = spark.range(n * 600000L).select(col("id"),
+          pmod(col("id"), lit(1000L)).cast("string").as("dom"))
+        val losses = spark.range(1000L).select(
+          col("id").cast("string").as("domain"),
+          lit(2.0).as("ref_loss"),
+          (lit(2.0) + pmod(col("id"), lit(5L)).cast("double") / lit(10.0))
+            .as("proxy_loss"))
+        val w = graft.ops.Mixture.domainReweight(
+          losses, "domain", "ref_loss", "proxy_loss")
+        graft.ops.Mixture.resampleToMixture(
+            corpus, "id", "dom", w, targetRows = 100000L)
+          .agg(count(lit(1))).collect()
+      }
+
+      // flat ingest-index takedown: the staged rewrite IS the compaction
+      // — one filtered scan+write of the signature index (index-bounded
+      // by design); the removal set joins broadcast-small
+      {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-smoke-ingest").toString
+        graft.ops.Dedup.polySignatures(dN, "text", "doc_id", 16, 5)
+          .write.mode("append").parquet(dir)
+        time(s"removeFromIngestIndex 500 ids from a $nDocs-row index") {
+          graft.streaming.StreamingEval.removeFromIngestIndex(
+            spark, dir,
+            spark.range(500L).select((col("id") * 20L).as("doc_id")), "doc_id")
+        }
+      }
+
       // KMV sketch: replicas add NO new distinct hashes — cost tracks the
       // scan + map-side distinct, state stays k rows per group
       time(s"kmv distinct per source ($nDocs docs, k=256)") {

@@ -353,6 +353,31 @@ class CorpusQualitySpec extends SparkSpec {
     assert(psi > 0.25, s"disjoint shift should read as drift, got $psi")
   }
 
+  test("embedding drift: zero on identical halves, sees a planted cluster shift") {
+    import graft.ops.Drift
+    // two frozen unit-ish centroids on the axes; vectors near one or the other
+    val cents = Seq(
+      (0, Seq(1.0, 0.0), 1.0),
+      (1, Seq(0.0, 1.0), 1.0))
+    def vecs(nA: Int, nB: Int) =
+      ((1 to nA).map(i => (i.toLong, Seq(0.9, 0.1 * (i % 3)))) ++
+       (1 to nB).map(i => (100L + i, Seq(0.1 * (i % 3), 0.9))))
+        .toDF("vec_id", "embedding")
+    val ref = vecs(8, 2)
+    val same = Drift.embeddingDrift(ref, ref, "embedding", cents).head()
+    assert(same.getDouble(0) == 0.0 && same.getLong(1) == 2L,
+      "identical snapshots must read exactly zero")
+    // the current snapshot's mass moved to the other cluster
+    val cur = vecs(2, 8)
+    val cells = Drift.embeddingDriftCells(ref, cur, "embedding", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cells(0L) == ((8L, 2L)) && cells(1L) == ((2L, 8L)),
+      s"cell histograms must follow the assignment, got $cells")
+    val psi = Drift.embeddingDrift(ref, cur, "embedding", cents)
+      .head().getDouble(0)
+    assert(psi > 0.2, s"a cluster shift must read as drift, got $psi")
+  }
+
   test("Expectations.report counts violations; null predicate is a violation") {
     val df = Seq(
       (1L, 10.0, "A"),
