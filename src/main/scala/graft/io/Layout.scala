@@ -65,6 +65,101 @@ object Layout {
       .parquet(path)
   }
 
+  /** Deterministic shard of a row id: 32-bit md5 prefix mod `numShards`
+    * — stable across runs, partitionings, and engines (the
+    * [[graft.ops.Sampling.unitHash]] hash family). A null id refuses
+    * loudly through the consumed column: a silent null shard would
+    * land rows in Hive's default partition and break the manifest
+    * accounting. */
+  private def shardHash(id: Column, salt: String): Column = {
+    val h = conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+    when(id.isNull, raise_error(lit(
+      "writeShardsWithManifest: null id — shard routing and the manifest " +
+        "checksum need a total id; fill or drop null ids upstream")))
+      .otherwise(h)
+  }
+
+  /** The manifest derivation shared by the writer and the verifier:
+    * per shard, the EXACT row count and an order-independent integer
+    * checksum (sum of each id's 32-bit md5 prefix — longs, no float
+    * drift, partition-order-invariant). Constant columns carry the
+    * routing recipe so the manifest is self-describing. */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    df.select(shardHash(col(idCol), salt).as("__h"))
+      .select(pmod(col("__h"), lit(numShards.toLong)).as("shard"), col("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("id_checksum"))
+      .withColumn("id_col", lit(idCol))
+      .withColumn("num_shards", lit(numShards))
+      .withColumn("salt", lit(salt))
+  }
+
+  /** Sharded TRAINING-DATA export with a verifiable manifest — the
+    * delivery format a trainer consumes: rows route to
+    * `data/shard=<k>/` by the deterministic id hash (WebDataset-style
+    * fixed shard count, Hive layout so a reader prunes to its own
+    * shards), and `manifest/` records each shard's exact row count and
+    * integer id checksum. The manifest writes LAST — it is the
+    * delivery's commit marker: a reader that [[verifyShards]]-checks
+    * against it cannot silently train on a torn or clobbered export.
+    * Same-id rows always land in the same shard, so downstream
+    * shard-local dedup/lookup stays shard-local. */
+  def writeShardsWithManifest(
+      df: DataFrame,
+      idCol: String,
+      path: String,
+      numShards: Int,
+      filesPerShard: Int = 1,
+      salt: String = ""
+  ): Unit = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val routed = df.withColumn("shard",
+      pmod(shardHash(col(idCol), salt), lit(numShards.toLong)))
+    writePartitioned(routed, s"$path/data", Seq("shard"), filesPerShard)
+    shardManifest(df, idCol, numShards, salt)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+  }
+
+  /** Verify a [[writeShardsWithManifest]] export: recompute each
+    * shard's count and checksum from the DATA actually on disk (using
+    * the manifest's own self-described recipe) and compare — the
+    * receiving side's integrity gate. Output per shard (manifest ∪
+    * data, full outer): `(shard, manifest_rows, actual_rows,
+    * manifest_checksum, actual_checksum, ok)`; a shard missing from
+    * either side reports `ok = false` with nulls on the absent side. */
+  def verifyShards(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): DataFrame = {
+    val manifest = spark.read.parquet(s"$path/manifest")
+    val meta = manifest.select("id_col", "salt").head()
+    val idCol = meta.getAs[String]("id_col")
+    val salt = meta.getAs[String]("salt")
+    // group by the ON-DISK shard directory (not a re-derivation from the
+    // id): a file landed in the wrong shard dir must surface as a
+    // count/checksum mismatch, not silently re-route itself
+    val actual = spark.read.parquet(s"$path/data")
+      .select(col("shard").cast("long").as("shard"),
+        shardHash(col(idCol), salt).as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("actual_rows"), sum(col("__h")).as("actual_checksum"))
+    manifest
+      .select(col("shard"), col("n_rows").as("manifest_rows"),
+        col("id_checksum").as("manifest_checksum"))
+      .join(actual, Seq("shard"), "full")
+      .select(col("shard"), col("manifest_rows"), col("actual_rows"),
+        col("manifest_checksum"), col("actual_checksum"),
+        (col("manifest_rows") <=> col("actual_rows") &&
+          col("manifest_checksum") <=> col("actual_checksum")).as("ok"))
+  }
+
   /** Z-order (Morton) key over numeric columns: each value quantizes to
     * `bits` buckets between its column's global min/max (one aggregate,
     * broadcast back — never a driver collect), then the bucket bits

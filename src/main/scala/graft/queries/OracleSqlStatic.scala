@@ -2527,6 +2527,17 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // denominator folds, binary-smallest-player normalization)
     "q264_bradley_terry" -> bradleyTerrySql(4),
 
+    // sharded-export manifest: md5-prefix shard routing, exact counts,
+    // order-independent integer id checksums
+    "q268_shard_manifest" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'm14'), 1, 8)) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |)
+        |SELECT h % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) AS BIGINT) AS id_checksum
+        |FROM h GROUP BY h % 8 ORDER BY shard""".stripMargin,
+
     // DoReMi-style domain reweighting: excess loss per source, one
     // linearized MW round, sorted-domain normalization fold, uniform
     // smoothing — every double replayed

@@ -2829,6 +2829,17 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("shard", "chunk_id", "doc_id")
     },
 
+    "q268_shard_manifest" -> { (s, dir) =>
+      // sharded training-data export: deterministic md5 shard routing +
+      // the delivery manifest (exact per-shard counts and integer id
+      // checksums — order-independent long sums); the oracle re-derives
+      // the whole manifest from the corpus
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      graft.io.Layout.shardManifest(d, "doc_id", numShards = 8, salt = "m14")
+        .select("shard", "n_rows", "id_checksum")
+        .orderBy("shard")
+    },
+
     "q267_embedding_drift" -> { (s, dir) =>
       // embedding-space drift: even/odd vec_id halves as the two corpus
       // snapshots, cells from the FROZEN q54 quantizer (literal-centroid

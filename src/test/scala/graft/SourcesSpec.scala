@@ -141,4 +141,46 @@ class SourcesSpec extends SparkSpec {
         "row-hash bucketing should fan out")
     assert(spark.read.parquet(out).count() == docs.count())
   }
+
+  test("sharded export: manifest verifies clean, flags a tampered shard, nulls refuse") {
+    import spark.implicits._
+    import graft.io.Layout
+    val rows = (1L to 200L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Layout.writeShardsWithManifest(rows, "id", out, numShards = 4, salt = "x")
+    // round-trip: every row survives, shards partition the id space
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() == 200L)
+    assert(back.select("shard").distinct().count() == 4L)
+    // clean export verifies ok on every shard
+    val clean = Layout.verifyShards(spark, out).collect()
+    assert(clean.length == 4 && clean.forall(_.getAs[Boolean]("ok")))
+    // manifest equals the pure derivation
+    val m = spark.read.parquet(s"$out/manifest")
+      .select("shard", "n_rows", "id_checksum").collect().map(_.toSeq).toSet
+    val derived = Layout.shardManifest(rows, "id", 4, "x")
+      .select("shard", "n_rows", "id_checksum").collect().map(_.toSeq).toSet
+    assert(m == derived)
+    // tamper: drop one shard's rows on disk -> exactly that shard flags
+    val victim = back.filter(col("shard") === 2).limit(1)
+      .select("id").collect().head.getLong(0)
+    val kept = back.filter(!(col("shard") === 2 && col("id") === victim))
+      .select("id", "payload", "shard")
+    kept.write.mode("overwrite").parquet(s"$out/data2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/data"), true)
+    // rewrite in hive layout so the verifier sees the same shape
+    Layout.writePartitioned(spark.read.parquet(s"$out/data2"),
+      s"$out/data", Seq("shard"))
+    val flagged = Layout.verifyShards(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("ok")).toMap
+    assert(!flagged(2L), "the tampered shard must flag")
+    assert(Seq(0L, 1L, 3L).forall(flagged(_)), "untouched shards stay ok")
+    // null ids refuse loudly
+    val err = intercept[Exception] {
+      Layout.shardManifest(
+        Seq((Some(1L), "a"), (None, "b")).toDF("id", "payload"), "id", 4).collect()
+    }
+    assert(err.getMessage.contains("null id"), err.getMessage)
+  }
 }
