@@ -2829,6 +2829,27 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("shard", "chunk_id", "doc_id")
     },
 
+    "q269_rag_chunks" -> { (s, dir) =>
+      // the RAG ingestion chain end to end: fixed-window chunking (the
+      // q86 slicer), a surrogate chunk id, BM25 retrieval AT CHUNK
+      // GRAIN, and integer provenance back to (doc_id, chunk_idx) —
+      // retrieval that points into the document, not just at it
+      val chunks = graft.ops.Retrieval.chunkText(
+          t(s, dir, "documents"), "doc_id", "text", chunkSize = 200, overlap = 50)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25Search(chunks, "cid", "chunk", qs, "qid", "qtext",
+          topK = 5)
+        .select(col("qid"), col("rank"),
+          expr("cid div 1000").as("doc_id"),
+          pmod(col("cid"), lit(1000L)).as("chunk_idx"),
+          roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
+    },
+
     "q268_shard_manifest" -> { (s, dir) =>
       // sharded training-data export: deterministic md5 shard routing +
       // the delivery manifest (exact per-shard counts and integer id
