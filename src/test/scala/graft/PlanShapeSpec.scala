@@ -496,4 +496,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!fastPlan.contains("must be non-null"),
       s"non-nullable id should fold the guard out:\n$fastPlan")
   }
+
+  test("preferencePairs and shardManifest plan as single hash aggregates, window-free") {
+    import spark.implicits._
+    val scored = (1L to 300L).map(i => (i % 30, i, (i % 7).toDouble))
+      .toDF("item", "cand", "score")
+    val prefs = graft.ops.Judges.preferencePairs(scored, "item", "cand", "score", 1.0)
+    val pPlan = prefs.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("Window"),
+      s"preferencePairs must argmax in the aggregate, not a window:\n$pPlan")
+    assert(!pPlan.contains("CartesianProduct") &&
+      !pPlan.contains("BroadcastNestedLoopJoin"), pPlan)
+    val manifest = graft.io.Layout.shardManifest(
+      (1L to 100L).map(i => (i, s"p$i")).toDF("id", "payload"), "id", 4)
+    val mPlan = manifest.queryExecution.executedPlan.toString
+    assert(!mPlan.contains("Window") && !mPlan.contains("Sort"),
+      s"shardManifest is one hash aggregate:\n$mPlan")
+  }
+
+  test("embeddingDriftCells: literal-centroid cells, broadcast totals, no window") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(1.0, 0.0), 1.0), (1, Seq(0.0, 1.0), 1.0))
+    val a = (1L to 50L).map(i => (i, Seq(0.9, 0.1))).toDF("vec_id", "embedding")
+    val b = (1L to 50L).map(i => (i, Seq(0.1, 0.9))).toDF("vec_id", "embedding")
+    val cells = graft.ops.Drift.embeddingDriftCells(a, b, "embedding", cents)
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"drift must not window:\n$plan")
+    // the only nested-loop is the broadcast of the 1-row totals frame
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(cells.count() == 2L)
+  }
+
+  test("resampleToMixture corpus side is one map-side filter over the scan") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val w = Seq(("s0", 0.4), ("s1", 0.3), ("s2", 0.3)).toDF("domain", "weight_r")
+    val out = graft.ops.Mixture.resampleToMixture(docs, "id", "src", w, 100L)
+    val plan = out.queryExecution.executedPlan.toString
+    // <=64 domains -> the literal CASE chain: no join, no exchange, no
+    // window — the corpus path is scan + filter
+    assert(!plan.contains("Exchange"),
+      s"small-domain resample must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
 }
