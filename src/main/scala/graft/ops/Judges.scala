@@ -81,9 +81,64 @@ object Judges {
       .groupBy("__j")
       .agg((sum(when(col("__l") === col("__maj"), 1L).otherwise(0L))
         .cast("double") / count(lit(1)).cast("double")).as("__rel"))
-    // weighted vote: judge-ordered weight folds per (item, label) and per
-    // item; argmax ties to the binary-smaller label
-    val weighted = votes.join(broadcast(rel), Seq("__j"))
+    consensusTail(votes, rel, itemCol)
+  }
+
+  /** Per-judge EXACT agreement counters vs the per-item raw majority:
+    * `(judgeCol, n_judged, n_agree)`. Because majorities are ITEM-LOCAL,
+    * counters from disjoint corpus slices merge by plain integer
+    * addition into exactly the counters of the union — the property the
+    * streaming maintenance loop
+    * ([[graft.streaming.StreamingEval.judgeStream]]) rides. The
+    * reliability [[judgeConsensus]] uses is one division away:
+    * `n_agree / n_judged`. */
+  def judgeCounters(
+      df: DataFrame,
+      itemCol: String,
+      judgeCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val votes = cleanVotes(df, itemCol, judgeCol, labelCol, "judgeCounters")
+    val maj = rawMajority(votes).withColumnRenamed("__t", "__maj")
+    votes.join(maj, Seq("__i"))
+      .groupBy("__j")
+      .agg(count(lit(1)).as("n_judged"),
+        sum(when(col("__l") === col("__maj"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("__j").as(judgeCol), col("n_judged"), col("n_agree"))
+  }
+
+  /** [[judgeConsensus]] with the reliabilities supplied from OUTSIDE —
+    * a [[judgeCounters]] frame accumulated over any corpus (the
+    * serving shape: calibrate judges once/incrementally, score every
+    * later batch against the standing track record). Reliability =
+    * `n_agree / n_judged`, the exact division [[judgeConsensus]]
+    * computes internally, so with counters FROM the same votes this is
+    * bit-identical to [[judgeConsensus]] (spec-pinned). A judge with
+    * no counter row votes at weight 0 — counted in `n_judges`, unable
+    * to move the weighted argmax until it earns a track record. */
+  def consensusWithCounters(
+      df: DataFrame,
+      counters: DataFrame,
+      itemCol: String,
+      judgeCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val votes = cleanVotes(df, itemCol, judgeCol, labelCol, "consensusWithCounters")
+    val rel = counters.select(col(judgeCol).as("__j"),
+      (col("n_agree").cast("double") / col("n_judged").cast("double")).as("__rel"))
+    consensusTail(votes, rel, itemCol)
+  }
+
+  /** The shared weighted-vote tail: judge-ordered weight folds per
+    * (item, label) and per item, argmax ties to the binary-smaller
+    * label. `rel` is `(__j, __rel)`; judges absent from it weigh 0. */
+  private def consensusTail(
+      votes: DataFrame,
+      rel: DataFrame,
+      itemCol: String
+  ): DataFrame = {
+    val weighted = votes.join(broadcast(rel), Seq("__j"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0.0)))
     val perLabel = weighted.groupBy("__i", "__l")
       .agg(aggregate(
         array_sort(collect_list(struct(col("__j").as("j"), col("__rel").as("r")))),

@@ -846,6 +846,56 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming LLM-as-judge consensus with CUMULATIVE labeler
+    * calibration: each micro-batch of `(item, judge, label)` votes is
+    * scored by [[graft.ops.Judges.consensusWithCounters]] against the
+    * judges' STANDING track record (exact agreement counters
+    * accumulated over every batch so far — mergeable by plain integer
+    * addition because raw majorities are item-local, so the standing
+    * counters equal one batch [[graft.ops.Judges.judgeCounters]] over
+    * the union, exactly), the batch's consensus rows append to
+    * `outPath`, and the merged counters write as the next snapshot.
+    * A judge's long-run reliability follows it into every new batch —
+    * the md5-coin judge stays discounted on items it has never seen.
+    *
+    * Counters are versioned (`statePath/v<batchId>`, the [[scd2Stream]]
+    * layout and strictly-below-batchId replay rule: a retried batch
+    * merges onto its PREDECESSOR snapshot, never its own first
+    * attempt's output, so agreement never double-counts). Readers take
+    * [[loadScd2History]]; [[pruneVersions]] applies for retention.
+    *
+    * Contract: an item's FULL panel arrives within one micro-batch
+    * (group votes upstream — an item split across batches would get
+    * two partial consensus rows; the output is append-only serving
+    * data, dedup downstream on `itemCol` if exactly-once matters). */
+  def judgeStream(
+      votes: DataFrame,
+      itemCol: String,
+      judgeCol: String,
+      labelCol: String,
+      statePath: String,
+      outPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    votes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val bc = graft.ops.Judges.judgeCounters(batch, itemCol, judgeCol, labelCol)
+      val merged = loadScd2History(spark, statePath, beforeVersion = Some(batchId)) match {
+        case Some(h) => h.select(col(judgeCol), col("n_judged"), col("n_agree"))
+          .unionByName(bc)
+          .groupBy(judgeCol)
+          .agg(sum(col("n_judged")).as("n_judged"), sum(col("n_agree")).as("n_agree"))
+        case None => bc
+      }
+      merged.write.mode("overwrite").parquet(f"$statePath/v$batchId%09d")
+      // score against the JUST-MERGED counters (read back: the write
+      // above is the one evaluation of the merge plan)
+      val counters = spark.read.parquet(f"$statePath/v$batchId%09d")
+      graft.ops.Judges.consensusWithCounters(
+          batch, counters, itemCol, judgeCol, labelCol)
+        .write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** Streaming TOKENIZE at ingest: each micro-batch of documents
     * encodes to piece-id streams under a PERSISTED tokenizer artifact
     * ([[graft.ops.UnigramTrain.saveTokenizer]] — trained once, frozen),

@@ -178,6 +178,33 @@ class JudgesSpec extends SparkSpec {
     assert(err.getMessage.contains("more than one gold label"), err.getMessage)
   }
 
+  test("consensusWithCounters: bit-identical to judgeConsensus from its own counters") {
+    val counters = Judges.judgeCounters(votes, "item", "judge", "label")
+    val got = Judges.consensusWithCounters(
+        votes, counters, "item", "judge", "label")
+      .collect().map(_.toSeq).toSet
+    val ref = Judges.judgeConsensus(votes, "item", "judge", "label")
+      .collect().map(_.toSeq).toSet
+    assert(got == ref, "external counters from the same votes must replay exactly")
+    // counters merge by addition: split + re-sum equals the union's counters
+    val half1 = votes.filter(col("item") <= 3L)
+    val half2 = votes.filter(col("item") > 3L)
+    val merged = Judges.judgeCounters(half1, "item", "judge", "label")
+      .unionByName(Judges.judgeCounters(half2, "item", "judge", "label"))
+      .groupBy("judge")
+      .agg(sum("n_judged").as("n_judged"), sum("n_agree").as("n_agree"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == counters.collect().map(_.toSeq).toSet,
+      "item-local majorities make counters additive across slices")
+    // a judge with no track record weighs 0 but still counts in n_judges
+    val known = counters.filter(col("judge") =!= "d")
+    val res = byKey(Judges.consensusWithCounters(
+      votes, known, "item", "judge", "label"), "item")
+    assert(res(1L).getAs[Long]("n_judges") == 4L,
+      "the weightless judge still counts as present")
+    assert(res(1L).getAs[String]("consensus") == "good")
+  }
+
   test("preferencePairs: best-vs-worst per item, margin gate, pinned ties") {
     val scored = Seq(
       // item 1: clear spread — (10, 50, 90) -> chosen 93, rejected 91

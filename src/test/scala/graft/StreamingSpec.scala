@@ -1027,6 +1027,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming judge consensus: standing calibration equals the union's counters") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Judges
+    val dir = java.nio.file.Files.createTempDirectory("graft-judge-stream").toString
+    // three judges: a,b always 'g'; c flips on even items (unreliable)
+    def panel(items: Seq[Long]) = items.flatMap(i => Seq(
+      (i, "a", "g"), (i, "b", "g"),
+      (i, "c", if (i % 2 == 0) "x" else "g")))
+    val b1 = panel(1L to 6L)
+    val b2 = panel(7L to 10L)
+    val input = MemoryStream[(Long, String, String)]
+    val query = graft.streaming.StreamingEval.judgeStream(
+        input.toDF().toDF("item", "judge", "label"),
+        "item", "judge", "label", s"$dir/state", s"$dir/out")
+      .start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      // standing counters after batch 2 equal one batch judgeCounters
+      // over the union (item-local majorities make them additive)
+      val standing = graft.streaming.StreamingEval
+        .loadScd2History(spark, s"$dir/state").get
+        .collect().map(_.toSeq).toSet
+      val union = Judges.judgeCounters(
+          (b1 ++ b2).toDF("item", "judge", "label"), "item", "judge", "label")
+        .collect().map(_.toSeq).toSet
+      assert(standing == union, s"$standing != $union")
+      // batch-2 consensus rows were scored with the union's calibration:
+      // they equal consensusWithCounters over batch 2 with those counters
+      val out = spark.read.parquet(s"$dir/out")
+        .filter(col("item") > 6L).collect().map(_.toSeq).toSet
+      val expect = Judges.consensusWithCounters(
+          b2.toDF("item", "judge", "label"),
+          Judges.judgeCounters((b1 ++ b2).toDF("item", "judge", "label"),
+            "item", "judge", "label"),
+          "item", "judge", "label")
+        .collect().map(_.toSeq).toSet
+      assert(out == expect, s"$out != $expect")
+      assert(out.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming tokenize equals the batch encode under the same frozen artifact") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
