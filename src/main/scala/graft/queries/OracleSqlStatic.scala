@@ -217,6 +217,17 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
       |         THEN 'hi' ELSE 'lo' END FROM d
       |)""".stripMargin
 
+  /** The q254 agreement-weighted consensus statement — shared verbatim
+    * by the serving-path replay q270 (same weights by construction). */
+  private lazy val judgeConsensusSql: String =
+    s"""WITH $judgeVoteCtes
+       |SELECT win.doc_id, consensus, n_judges, n_agree,
+       |  round(CAST(n_agree AS DOUBLE) / n_judges, 6) + 0.0 AS support_r,
+       |  round(win.w / wt.tw, 6) + 0.0 AS weighted_support_r,
+       |  n_agree = n_judges AS unanimous
+       |FROM win JOIN wt USING (doc_id) JOIN ag USING (doc_id)
+       |ORDER BY win.doc_id""".stripMargin
+
   /** The panel plus the agreement-weighted consensus derivation (raw
     * majority, scalar reliabilities, weight folds) — q254/q255's CTEs. */
   private val judgeVoteCtes: String = judgePanelCtes +
@@ -2432,14 +2443,12 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
     // ensemble-judge consensus: raw majority -> agreement-weighted vote
     // (judge-ordered weight folds, ties binary-smaller)
-    "q254_judge_consensus" ->
-      s"""WITH $judgeVoteCtes
-         |SELECT win.doc_id, consensus, n_judges, n_agree,
-         |  round(CAST(n_agree AS DOUBLE) / n_judges, 6) + 0.0 AS support_r,
-         |  round(win.w / wt.tw, 6) + 0.0 AS weighted_support_r,
-         |  n_agree = n_judges AS unanimous
-         |FROM win JOIN wt USING (doc_id) JOIN ag USING (doc_id)
-         |ORDER BY win.doc_id""".stripMargin,
+    "q254_judge_consensus" -> judgeConsensusSql,
+
+    // serving-path parity: consensus from the STANDING counters
+    // (judgeCounters -> consensusWithCounters) answers the same panel
+    // with the same weights, so it shares q254's oracle verbatim
+    "q270_judge_served" -> judgeConsensusSql,
 
     // unigram ENCODE->PACK end to end: re-train + re-encode in SQL,
     // piece ids from the ranked final vocabulary, stream positions and

@@ -2829,6 +2829,32 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("shard", "chunk_id", "doc_id")
     },
 
+    "q270_judge_served" -> { (s, dir) =>
+      // serving-path parity for the judge family: the q254 panel scored
+      // through the STANDING-counter path (judgeCounters ->
+      // consensusWithCounters) — the streaming loop's arithmetic on a
+      // deterministic panel; shares q254's oracle verbatim
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def judge(name: String, label: Column) =
+        d.select(col("doc_id"), lit(name).as("judge"), label.as("label"))
+      val nTok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val nDist = size(graft.expressions.WordGrams.distinctTokens(col("text")))
+      val uh = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("graft-judge"))), 1, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      val votes = judge("len", when(col("n_chars") >= 300, "hi").otherwise("lo"))
+        .unionByName(judge("tok", when(nTok >= 50, "hi").otherwise("lo")))
+        .unionByName(judge("dtr",
+          when(nTok > 0 && lit(2) * nDist >= nTok, "hi").otherwise("lo")))
+        .unionByName(judge("lang", when(col("lang") === "en", "hi").otherwise("lo")))
+        .unionByName(judge("fuzz", when(uh >= 0.5, "hi").otherwise("lo")))
+      val counters = graft.ops.Judges.judgeCounters(votes, "doc_id", "judge", "label")
+      graft.ops.Judges.consensusWithCounters(
+          votes, counters, "doc_id", "judge", "label")
+        .orderBy("doc_id")
+    },
+
     "q269_rag_chunks" -> { (s, dir) =>
       // the RAG ingestion chain end to end: fixed-window chunking (the
       // q86 slicer), a surrogate chunk id, BM25 retrieval AT CHUNK
