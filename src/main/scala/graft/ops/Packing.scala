@@ -109,4 +109,67 @@ object Packing {
         transform(array_sort(collect_list(struct(col("__gpos"), col("__tok")))),
           x => x.getField("__tok")).as("tokens"))
   }
+
+  /** DOCUMENT-INTACT packing — the SFT/instruction-tuning sibling of
+    * [[sequencePacking]]: examples must never split across training
+    * sequences, so instead of concat-then-chunk, documents bin by
+    * NEXT-FIT in id order within their shard (a doc that would
+    * overflow the open bin closes it and starts the next; a single
+    * doc longer than `budget` gets a bin of its own — the caller's
+    * truncation policy applies downstream). The assignment is a pure
+    * function of (shard, id order, token counts): deterministic,
+    * replayable, and partition-invariant.
+    *
+    * Output: `(shardCol, idCol, nTokCol, bin)` — bin is 0-based per
+    * shard. Null ids/shards/token counts refuse loudly (a silent null
+    * would shift every later bin in the shard).
+    *
+    * Scale shape: next-fit is a SEQUENTIAL recurrence, so each shard
+    * packs in one pass on one task (`repartition(shard)` +
+    * in-partition sort — shards are the parallelism unit, the same
+    * contract as [[sequencePacking]]'s per-shard prefix sums); size
+    * shards so one shard's doc LIST fits a task, which any real
+    * sharding already guarantees. The per-row state is two longs. */
+  def packDocsIntact(
+      df: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      shardCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val proj = df.select(
+      when(col(shardCol).isNull || col(idCol).isNull || col(nTokCol).isNull,
+        raise_error(lit("packDocsIntact: null shard/id/token count — a " +
+          "silent null would shift every later bin in the shard; fill or " +
+          "drop upstream"))).otherwise(col(shardCol)).as(shardCol),
+      col(idCol), col(nTokCol).cast("long").as(nTokCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      proj.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "bin", org.apache.spark.sql.types.LongType, nullable = false))
+    proj
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(idCol))
+      .mapPartitions { rows =>
+        // a partition holds whole shards (hash-routed); shards arrive
+        // contiguously after the sort, so two longs of running state
+        // per shard suffice
+        var cur: Any = null
+        var started = false
+        var bin = 0L
+        var fill = 0L
+        rows.map { r =>
+          val sh = r.get(0)
+          val n = r.getLong(2)
+          if (!started || sh != cur) {
+            started = true; cur = sh; bin = 0L; fill = n
+          } else if (fill + n <= budget) {
+            fill += n
+          } else {
+            bin += 1L; fill = n
+          }
+          org.apache.spark.sql.Row(sh, r.get(1), n, bin)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

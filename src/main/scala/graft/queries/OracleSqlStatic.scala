@@ -2536,6 +2536,25 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // denominator folds, binary-smallest-player normalization)
     "q264_bradley_terry" -> bradleyTerrySql(4),
 
+    // document-intact next-fit packing: the sequential recurrence
+    // replayed as a recursive CTE (working table = one open bin per
+    // shard per step)
+    "q271_pack_intact" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id % 4 AS shard, doc_id, CAST(n_chars AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), nf(shard, rn, doc_id, n, bin, fill) AS (
+        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.shard, s.rn, s.doc_id, s.n,
+        |    CASE WHEN nf.fill + s.n <= 2000 THEN nf.bin ELSE nf.bin + 1 END,
+        |    CASE WHEN nf.fill + s.n <= 2000 THEN nf.fill + s.n ELSE s.n END
+        |  FROM nf JOIN s ON s.shard = nf.shard AND s.rn = nf.rn + 1
+        |)
+        |SELECT shard, doc_id, n AS n_chars, bin
+        |FROM nf ORDER BY shard, doc_id""".stripMargin,
+
     // RAG chunk retrieval: the q86 chunker -> surrogate chunk ids ->
     // the q84 BM25 chain at chunk grain -> integer provenance back to
     // (doc_id, chunk_idx)

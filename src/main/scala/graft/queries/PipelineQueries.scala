@@ -2829,6 +2829,20 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("shard", "chunk_id", "doc_id")
     },
 
+    "q271_pack_intact" -> { (s, dir) =>
+      // document-intact packing (the SFT discipline: examples never
+      // split): next-fit bins in id order within doc_id % 4 shards,
+      // 2000-char budget; the oracle replays the sequential recurrence
+      // as a recursive CTE
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(pmod(col("doc_id"), lit(4L)).as("shard"),
+          col("doc_id"), col("n_chars"))
+      graft.ops.Packing.packDocsIntact(d, "doc_id", "n_chars", "shard",
+          budget = 2000L)
+        .orderBy("shard", "doc_id")
+    },
+
     "q270_judge_served" -> { (s, dir) =>
       // serving-path parity for the judge family: the q254 panel scored
       // through the STANDING-counter path (judgeCounters ->

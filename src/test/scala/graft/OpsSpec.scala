@@ -2645,6 +2645,56 @@ class OpsSpec extends SparkSpec {
     assert(out(1) == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("packDocsIntact: next-fit bins, oversize singleton, brute differential, invariance") {
+    import graft.ops.Packing
+    val docs = Seq(
+      // shard a, budget 100: 60|30 -> bin 0; 50 overflows -> bin 1;
+      // 40 fits bin 1 (90); 150 oversize -> bin 2 alone; 10 -> bin 3
+      (1L, "a", 60L), (2L, "a", 30L), (3L, "a", 50L), (4L, "a", 40L),
+      (5L, "a", 150L), (6L, "a", 10L),
+      // shard b starts fresh
+      (7L, "b", 100L), (8L, "b", 1L)
+    ).toDF("doc_id", "shard", "n_tokens")
+    val got = Packing.packDocsIntact(docs, "doc_id", "n_tokens", "shard", 100L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L,
+      6L -> 3L, 7L -> 0L, 8L -> 1L), s"got $got")
+    // brute differential on a random corpus + partition invariance
+    val rnd = new scala.util.Random(7L)
+    val rand = (1L to 400L).map(i => (i, s"s${i % 5}", rnd.nextInt(90).toLong + 1L))
+    val randDf = rand.toDF("doc_id", "shard", "n_tokens")
+    def brute(budget: Long): Map[Long, Long] =
+      rand.groupBy(_._2).flatMap { case (_, ds) =>
+        var bin = 0L; var fill = -1L
+        ds.sortBy(_._1).map { case (id, _, n) =>
+          if (fill < 0) { fill = n }
+          else if (fill + n <= budget) { fill += n }
+          else { bin += 1; fill = n }
+          id -> bin
+        }
+      }
+    val expect = brute(200L)
+    val one = Packing.packDocsIntact(randDf.coalesce(1), "doc_id", "n_tokens",
+        "shard", 200L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"))).toMap
+    val many = Packing.packDocsIntact(randDf.repartition(13), "doc_id", "n_tokens",
+        "shard", 200L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"))).toMap
+    assert(one == expect && many == expect, "next-fit must replay the fold exactly")
+    // bins respect the budget except oversize singletons
+    val sizes = Packing.packDocsIntact(randDf, "doc_id", "n_tokens", "shard", 200L)
+      .groupBy("shard", "bin").agg(sum("n_tokens").as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    assert(sizes.forall(_ <= 200L), "all random docs fit the budget here")
+    // nulls refuse loudly
+    val err = intercept[Exception] {
+      Packing.packDocsIntact(
+        Seq((Some(1L), "a", 5L), (None, "a", 5L)).toDF("doc_id", "shard", "n_tokens"),
+        "doc_id", "n_tokens", "shard", 10L).collect()
+    }
+    assert(err.getMessage.contains("null shard/id"), err.getMessage)
+  }
+
   test("sequence packing: exclusive offsets, straddling docs, shard isolation") {
     import graft.ops.Packing
     val docs = Seq(
