@@ -371,8 +371,13 @@ object Judges {
     * MM update p'ᵢ = Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ), Hunter 2004). Every observed
     * matchup is smoothed with `alpha` phantom wins EACH WAY (exact
     * integers), so an undefeated or winless player still gets a finite,
-    * nonzero strength. A comparison where winner equals loser refuses
-    * loudly through the consumed winner column.
+    * nonzero strength. An optional `draws` frame (same two columns; a
+    * tie between the named players) scores half a win each way — counts
+    * run in half-win integer units, which without draws is an exact ×2
+    * exponent shift, so the no-draw strengths are bit-identical to
+    * whole-win arithmetic (the q264 oracle replays in whole wins). A
+    * comparison where winner equals loser refuses loudly through the
+    * consumed winner column.
     *
     * Determinism contract (oracle-replayable, the q165/q249 bounded-
     * replay discipline): win and match counts are exact integers; each
@@ -383,9 +388,9 @@ object Judges {
     * binary-smallest player's strength — one broadcast scalar, and the
     * oracle unrolls the identical rounds in SQL.
     *
-    * Output: `(player, n_matches, n_wins, strength_r)` — raw
-    * (unsmoothed) match/win counts, strength normalized to the
-    * binary-smallest player = 1.0, rounded 6dp.
+    * Output: `(player, n_matches, n_wins, n_draws, strength_r)` — raw
+    * (unsmoothed) match/decisive-win/draw counts, strength normalized
+    * to the binary-smallest player = 1.0, rounded 6dp.
     *
     * Scale shape: matchups aggregate once to (i, j) grain; per round,
     * one join of the matchup frame against the player-grain strengths
@@ -399,35 +404,55 @@ object Judges {
       winnerCol: String,
       loserCol: String,
       iters: Int = 4,
-      alpha: Long = 1L
+      alpha: Long = 1L,
+      draws: Option[DataFrame] = None
   ): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(alpha >= 1, "alpha must be >= 1 (an unsmoothed undefeated " +
       "player diverges and a winless one pins to zero)")
-    val matches = df
+    def cleaned(in: DataFrame, what: String): DataFrame = in
       .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
       .select(
         when(col(winnerCol) === col(loserCol), raise_error(concat(
-          lit("bradleyTerry: player '"), col(winnerCol).cast("string"),
-          lit("' beat itself — a self-comparison carries no signal; "),
+          lit(s"bradleyTerry: player '"), col(winnerCol).cast("string"),
+          lit(s"' $what itself — a self-comparison carries no signal; "),
           lit("drop it upstream")))).otherwise(col(winnerCol)).as("__w"),
         col(loserCol).as("__l"))
+    val matches = cleaned(df, "beat")
+    // counts in HALF-WIN units so a DRAW stays an exact integer (1 unit
+    // each way vs 2 for a decisive win; the MM update is jointly scale-
+    // invariant in W and n, and doubling is an exact exponent shift, so
+    // without draws the strengths are bit-identical to whole-win units
+    // — the q264 oracle replays in whole wins and stays hash-green).
+    // Directed rows carry (units, decisive-win flag, draw flag).
+    val decisive = matches
+      .select(col("__w").as("__i"), col("__l").as("__j"),
+        lit(2L).as("__u"), lit(1L).as("__dw"), lit(0L).as("__dr"))
+      .unionByName(matches.select(col("__l").as("__i"), col("__w").as("__j"),
+        lit(0L).as("__u"), lit(0L).as("__dw"), lit(0L).as("__dr")))
+    val drawn = draws.map { d =>
+      val dd = cleaned(d, "drew with")
+      dd.select(col("__w").as("__i"), col("__l").as("__j"),
+          lit(1L).as("__u"), lit(0L).as("__dw"), lit(1L).as("__dr"))
+        .unionByName(dd.select(col("__l").as("__i"), col("__w").as("__j"),
+          lit(1L).as("__u"), lit(0L).as("__dw"), lit(1L).as("__dr")))
+    }
     // both directions of every matchup, aggregated to (i, j) grain ONCE:
-    // raw wins/matches stay exact integers; smoothing adds alpha phantom
-    // wins each way per OBSERVED matchup
-    val edges = graft.Checkpoints.trackCache(matches
-      .select(col("__w").as("__i"), col("__l").as("__j"), lit(1L).as("__win"))
-      .unionByName(
-        matches.select(col("__l").as("__i"), col("__w").as("__j"), lit(0L).as("__win")))
+    // units/wins/draws stay exact integers; smoothing adds alpha phantom
+    // wins each way per OBSERVED matchup (2·alpha units)
+    val edges = graft.Checkpoints.trackCache(
+      drawn.foldLeft(decisive)(_ unionByName _)
       .groupBy("__i", "__j")
-      .agg(sum(col("__win")).as("__rw"), count(lit(1)).as("__rn"))
-      .select(col("__i"), col("__j"), col("__rw"), col("__rn"),
-        (col("__rw") + lit(alpha)).as("__wins"),
-        (col("__rn") + lit(2L * alpha)).as("__n"))
+      .agg(sum(col("__u")).as("__ru"), count(lit(1)).as("__rc"),
+        sum(col("__dw")).as("__rdw"), sum(col("__dr")).as("__rdr"))
+      .select(col("__i"), col("__j"), col("__rdw"), col("__rdr"), col("__rc"),
+        (col("__ru") + lit(2L * alpha)).as("__wins"),
+        (lit(2L) * col("__rc") + lit(4L * alpha)).as("__n"))
       .persist())
     val totals = edges.groupBy("__i")
       .agg(sum(col("__wins")).as("__W"),
-        sum(col("__rw")).as("n_wins"), sum(col("__rn")).as("n_matches"))
+        sum(col("__rdw")).as("n_wins"), sum(col("__rdr")).as("n_draws"),
+        sum(col("__rc")).as("n_matches"))
     var strengths = graft.Checkpoints.localCheckpoint(
       edges.select(col("__i")).distinct().withColumn("__p", lit(1.0)),
       resetStats = true)
@@ -453,8 +478,10 @@ object Judges {
       .agg(min(struct(col("__i").as("i"), col("__p").as("p"))).as("__r"))
       .select(col("__r.p").as("__pref"))
     strengths.crossJoin(broadcast(ref))
-      .join(totals.select(col("__i"), col("n_wins"), col("n_matches")), Seq("__i"))
+      .join(totals.select(col("__i"), col("n_wins"), col("n_draws"),
+        col("n_matches")), Seq("__i"))
       .select(col("__i").as("player"), col("n_matches"), col("n_wins"),
+        col("n_draws"),
         (round(col("__p") / col("__pref"), 6) + lit(0.0)).as("strength_r"))
   }
 

@@ -417,6 +417,7 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |$rounds,
        |ref AS (SELECT p FROM p$iters ORDER BY i LIMIT 1)
        |SELECT p$iters.i AS player, w.n_matches, w.n_wins,
+       |  CAST(0 AS BIGINT) AS n_draws,
        |  round(p$iters.p / (SELECT p FROM ref), 6) + 0.0 AS strength_r
        |FROM p$iters JOIN w ON w.i = p$iters.i
        |ORDER BY player""".stripMargin

@@ -878,7 +878,11 @@ object StreamingEval {
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     votes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val bc = graft.ops.Judges.judgeCounters(batch, itemCol, judgeCol, labelCol)
+      // the batch feeds TWO consumers (counters, consensus) — persist so
+      // both read one evaluation (micro-batches are offset-pinned, but
+      // the cache removes even the re-read)
+      val b = graft.Checkpoints.trackCache(batch.persist())
+      val bc = graft.ops.Judges.judgeCounters(b, itemCol, judgeCol, labelCol)
       val merged = loadScd2History(spark, statePath, beforeVersion = Some(batchId)) match {
         case Some(h) => h.select(col(judgeCol), col("n_judged"), col("n_agree"))
           .unionByName(bc)
@@ -891,8 +895,9 @@ object StreamingEval {
       // above is the one evaluation of the merge plan)
       val counters = spark.read.parquet(f"$statePath/v$batchId%09d")
       graft.ops.Judges.consensusWithCounters(
-          batch, counters, itemCol, judgeCol, labelCol)
+          b, counters, itemCol, judgeCol, labelCol)
         .write.mode("append").parquet(outPath)
+      graft.Checkpoints.free(b)
       ()
     }
 

@@ -281,6 +281,43 @@ class JudgesSpec extends SparkSpec {
     }
   }
 
+  test("bradleyTerry draws: half-wins pull strengths together, counts stay exact") {
+    val decisive = (Seq.fill(8)(("A", "B")) ++ Seq.fill(2)(("B", "A")))
+      .toDF("winner", "loser")
+    val noDraws = byKey(Judges.bradleyTerry(decisive, "winner", "loser"), "player")
+    // ten draws on top of the same decisive record: B gains ground
+    val draws = Seq.fill(10)(("A", "B")).toDF("winner", "loser")
+    val withDraws = byKey(Judges.bradleyTerry(decisive, "winner", "loser",
+      draws = Some(draws)), "player")
+    assert(withDraws("B").getAs[Double]("strength_r") >
+      noDraws("B").getAs[Double]("strength_r"),
+      "draws against a stronger player must raise the weaker one")
+    assert(withDraws("A").getAs[Long]("n_draws") == 10L &&
+      withDraws("A").getAs[Long]("n_wins") == 8L &&
+      withDraws("A").getAs[Long]("n_matches") == 20L)
+    // an all-draw pair lands dead even
+    val even = byKey(Judges.bradleyTerry(
+      Seq(("X", "Y")).toDF("winner", "loser"), "winner", "loser",
+      draws = Some(Seq.fill(6)(("X", "Y")).toDF("winner", "loser"))), "player")
+    // one decisive X win + 6 draws: X ahead but near even; draws-only is
+    // degenerate (no decisive rows needed though): verify a pure-draw
+    // matchup through a third player pair
+    assert(even("X").getAs[Double]("strength_r") >
+      even("Y").getAs[Double]("strength_r"))
+    val pure = byKey(Judges.bradleyTerry(
+      Seq(("P", "Q")).toDF("winner", "loser"), "winner", "loser",
+      draws = Some(Seq.fill(50)(("R", "S")).toDF("winner", "loser"))), "player")
+    assert(pure("R").getAs[Double]("strength_r") ==
+      pure("S").getAs[Double]("strength_r"),
+      "a pure-draw matchup must land exactly even")
+    // self-draw refuses loudly
+    val err = intercept[Exception] {
+      Judges.bradleyTerry(decisive, "winner", "loser",
+        draws = Some(Seq(("A", "A")).toDF("winner", "loser"))).collect()
+    }
+    assert(err.getMessage.contains("drew with itself"), err.getMessage)
+  }
+
   test("bradleyTerry: partition-invariant, smoothing bounds extremes, self-duel refuses") {
     val duels = (
       Seq.fill(5)(("A", "B")) ++ Seq.fill(3)(("B", "C")) ++
