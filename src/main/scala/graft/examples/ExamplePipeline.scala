@@ -583,6 +583,16 @@ object ExamplePipeline {
       d0, "doc_id", "source", mixW, targetRows = 200L, salt = "ex")
     println(s"mixture resample: ${mixed.count()} rows toward the 200-row budget")
 
+    // 37. document-intact packing: SFT-style examples bin whole by
+    //     next-fit within their shard — no example ever splits across
+    //     training sequences
+    val intact = graft.ops.Packing.packDocsIntact(
+      d0.select(pmod(col("doc_id"), lit(4L)).as("shard"),
+        col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", "shard", budget = 2000L)
+    println(s"intact packing: ${intact.select("shard", "bin").distinct().count()} " +
+      s"bins over ${intact.count()} docs (2000-char budget)")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)

@@ -101,7 +101,13 @@ object Mixture {
     * the weights frame drop entirely (weight 0 — refusing instead would
     * make routine "weights trained on last week's domain list" runs
     * impossible; the drop is the documented semantics). A domain listed
-    * twice in the weights refuses loudly. */
+    * twice in the weights refuses loudly.
+    *
+    * `df` is evaluated twice (the per-domain counts, then the filter —
+    * the [[Sampling.temperatureMix]] shape): pass a deterministic frame
+    * (a table, not a fresh `sample`/`limit`), or persist it first, so
+    * the acceptance cuts are computed against the same rows they
+    * filter. */
   def resampleToMixture(
       df: DataFrame,
       idCol: String,

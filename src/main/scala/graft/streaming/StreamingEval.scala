@@ -989,6 +989,12 @@ object StreamingEval {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
     recoverIngestIndex(spark, indexPath)
+    // an index with no data files (never appended, or fully emptied by a
+    // previous takedown whose staged write produced none) has nothing to
+    // rewrite — and asking parquet to infer its schema would throw
+    val hasData = fs.listStatus(root).exists(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    if (!hasData) return
     stageIngestTakedown(spark, indexPath, removedIds, idCol)
     ingestCommit(fs, root)
   }
