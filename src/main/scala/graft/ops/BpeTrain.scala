@@ -137,6 +137,37 @@ object BpeTrain {
       schema)
   }
 
+  /** Persist a trained BPE merge list as a SERVING ARTIFACT — the
+    * [[graft.ops.UnigramTrain.saveTokenizer]] treatment for the merge
+    * family: train once, freeze, and every later encode job loads the
+    * identical ordered merges instead of re-running the pair-count
+    * rounds. Layout: `merges/` = the [[mergeTable]] frame; `stats/` =
+    * one row `(n_merges)` written LAST as the commit marker —
+    * [[loadBpe]] refuses a merges/stats mismatch (an encode under half
+    * a merge list segments differently). */
+  def saveBpe(spark: SparkSession, merges: Seq[Merge], path: String): Unit = {
+    mergeTable(spark, merges)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(merges.size.toLong)), 1),
+      StructType(Seq(StructField("n_merges", LongType, nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a [[saveBpe]] artifact in rank order — merge-list-bounded
+    * driver state, the [[train]] contract. Refuses loudly on a torn
+    * merges/stats pair. */
+  def loadBpe(spark: SparkSession, path: String): Seq[Merge] = {
+    val expected = spark.read.parquet(s"$path/stats").head().getAs[Long]("n_merges")
+    val rows = spark.read.parquet(s"$path/merges")
+      .orderBy(col("merge_rank")).collect()
+    require(rows.length.toLong == expected,
+      s"loadBpe: artifact at '$path' is torn — stats row pins $expected " +
+        s"merges but merges/ holds ${rows.length}; re-save with saveBpe")
+    rows.map(r => Merge(r.getAs[Int]("merge_rank"), r.getAs[String]("left_sym"),
+      r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+  }
+
   /** Distinct-word encodings under a learned merge list:
     * (word, cnt, tokens) — the word-cache frame corpus encodes join
     * against. One native encode pass per distinct word. */

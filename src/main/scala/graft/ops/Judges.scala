@@ -406,10 +406,27 @@ object Judges {
       iters: Int = 4,
       alpha: Long = 1L,
       draws: Option[DataFrame] = None
+  ): DataFrame =
+    bradleyTerryFromCounts(
+      matchupCounts(df, winnerCol, loserCol, draws), iters, alpha)
+
+  /** Directed MATCHUP counts at (player, opponent) grain — the
+    * accumulable state behind [[bradleyTerry]], the
+    * [[judgeCounters]] treatment for pairwise outcomes: all exact
+    * integers, so counts from disjoint match slices merge by plain
+    * addition (sum every count column grouped by (player, opponent))
+    * into exactly the union's counts — daily arena results roll into a
+    * standing table and [[bradleyTerryFromCounts]] re-fits from it,
+    * never re-reading old matches. Output per direction: `(player,
+    * opponent, win_units, n_comparisons, n_wins, n_draws)` —
+    * `win_units` in half-wins (2 per decisive win, 1 per draw),
+    * `n_comparisons` the row's matchup count including draws. */
+  def matchupCounts(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      draws: Option[DataFrame] = None
   ): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    require(alpha >= 1, "alpha must be >= 1 (an unsmoothed undefeated " +
-      "player diverges and a winless one pins to zero)")
     def cleaned(in: DataFrame, what: String): DataFrame = in
       .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
       .select(
@@ -437,17 +454,35 @@ object Judges {
         .unionByName(dd.select(col("__l").as("__i"), col("__w").as("__j"),
           lit(1L).as("__u"), lit(0L).as("__dw"), lit(1L).as("__dr")))
     }
-    // both directions of every matchup, aggregated to (i, j) grain ONCE:
-    // units/wins/draws stay exact integers; smoothing adds alpha phantom
-    // wins each way per OBSERVED matchup (2·alpha units)
-    val edges = graft.Checkpoints.trackCache(
-      drawn.foldLeft(decisive)(_ unionByName _)
+    drawn.foldLeft(decisive)(_ unionByName _)
       .groupBy("__i", "__j")
-      .agg(sum(col("__u")).as("__ru"), count(lit(1)).as("__rc"),
-        sum(col("__dw")).as("__rdw"), sum(col("__dr")).as("__rdr"))
-      .select(col("__i"), col("__j"), col("__rdw"), col("__rdr"), col("__rc"),
-        (col("__ru") + lit(2L * alpha)).as("__wins"),
-        (lit(2L) * col("__rc") + lit(4L * alpha)).as("__n"))
+      .agg(sum(col("__u")).as("win_units"), count(lit(1)).as("n_comparisons"),
+        sum(col("__dw")).as("n_wins"), sum(col("__dr")).as("n_draws"))
+      .select(col("__i").as("player"), col("__j").as("opponent"),
+        col("win_units"), col("n_comparisons"), col("n_wins"), col("n_draws"))
+  }
+
+  /** [[bradleyTerry]] from ACCUMULATED [[matchupCounts]] — the serving/
+    * maintenance entry point: merge standing counts with an increment
+    * (integer addition at (player, opponent) grain), re-fit from the
+    * players²-bounded table; with counts FROM the same matches this is
+    * bit-identical to [[bradleyTerry]] (it IS its tail). */
+  def bradleyTerryFromCounts(
+      counts: DataFrame,
+      iters: Int = 4,
+      alpha: Long = 1L
+  ): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(alpha >= 1, "alpha must be >= 1 (an unsmoothed undefeated " +
+      "player diverges and a winless one pins to zero)")
+    // smoothing adds alpha phantom wins each way per OBSERVED matchup
+    // (2·alpha half-win units)
+    val edges = graft.Checkpoints.trackCache(counts
+      .select(col("player").as("__i"), col("opponent").as("__j"),
+        col("n_wins").as("__rdw"), col("n_draws").as("__rdr"),
+        col("n_comparisons").as("__rc"),
+        (col("win_units") + lit(2L * alpha)).as("__wins"),
+        (lit(2L) * col("n_comparisons") + lit(4L * alpha)).as("__n"))
       .persist())
     val totals = edges.groupBy("__i")
       .agg(sum(col("__wins")).as("__W"),

@@ -155,4 +155,29 @@ class BpeSpec extends SparkSpec {
     assert(fa < fb, s"expected repeated-word source to compress better: $fa vs $fb")
     assert(got("c") == ((0L, 0L, None))) // nothing to judge -> null ratio
   }
+
+  test("bpe artifact: save/load round-trips the ordered merges; torn pair refuses") {
+    val docs = Seq.fill(5)(Tuple1("abab abba baba")).toDF("text")
+    val merges = BpeTrain.train(docs, "text", numMerges = 6)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-art").toString
+    BpeTrain.saveBpe(spark, merges, path)
+    val back = BpeTrain.loadBpe(spark, path)
+    assert(back == merges, "ordered merges must survive disk exactly")
+    // encodes through the loaded artifact are bit-identical
+    val probe = Seq(Tuple1("ababba")).toDF("text")
+    val a = BpeTrain.encodeWords(probe, "text", merges)
+      .collect().map(_.toSeq).toSet
+    val b = BpeTrain.encodeWords(probe, "text", back)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // torn artifact: clobber merges/ with a subset, stats still pins all
+    spark.read.parquet(s"$path/merges").limit(2)
+      .write.mode("overwrite").parquet(s"$path/m2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/merges"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/m2"),
+      new org.apache.hadoop.fs.Path(s"$path/merges"))
+    val e = intercept[IllegalArgumentException](BpeTrain.loadBpe(spark, path))
+    assert(e.getMessage.contains("torn"), e.getMessage)
+  }
 }

@@ -281,6 +281,27 @@ class JudgesSpec extends SparkSpec {
     }
   }
 
+  test("matchupCounts are additive: standing + increment re-fit equals the full fit") {
+    val season1 = (Seq.fill(6)(("A", "B")) ++ Seq.fill(4)(("B", "C")) ++
+      Seq.fill(2)(("C", "A"))).toDF("winner", "loser")
+    val season2 = (Seq.fill(3)(("B", "A")) ++ Seq.fill(5)(("A", "C")))
+      .toDF("winner", "loser")
+    val standing = Judges.matchupCounts(season1, "winner", "loser")
+    val inc = Judges.matchupCounts(season2, "winner", "loser")
+    val merged = standing.unionByName(inc)
+      .groupBy("player", "opponent")
+      .agg(sum("win_units").as("win_units"),
+        sum("n_comparisons").as("n_comparisons"),
+        sum("n_wins").as("n_wins"), sum("n_draws").as("n_draws"))
+    val incremental = Judges.bradleyTerryFromCounts(merged)
+      .collect().map(_.toSeq).toSet
+    val full = Judges.bradleyTerry(
+        season1.unionByName(season2), "winner", "loser")
+      .collect().map(_.toSeq).toSet
+    assert(incremental == full,
+      "merged standing+increment counts must re-fit to the full fit exactly")
+  }
+
   test("bradleyTerry draws: half-wins pull strengths together, counts stay exact") {
     val decisive = (Seq.fill(8)(("A", "B")) ++ Seq.fill(2)(("B", "A")))
       .toDF("winner", "loser")
