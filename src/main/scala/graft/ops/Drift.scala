@@ -35,7 +35,16 @@ object Drift {
       .filter(col(valueCol).isNotNull)
       .groupBy(expr(s"$valueCol div $binWidth").as("bin"))
       .agg(count(lit(1)).as(out))
-    val joined = bins(ref, "n_ref").join(bins(cur, "n_cur"), Seq("bin"), "full")
+    driftFromCounts(bins(ref, "n_ref"), bins(cur, "n_cur"))
+  }
+
+  /** The [[binContributions]] arithmetic over PRE-AGGREGATED histograms
+    * `(bin, n_ref)` / `(bin, n_cur)` — the serving shape: persist the
+    * blessed snapshot's histogram once, and every later drift check
+    * costs only the current side's count pass (the
+    * [[tokenDriftFromCounts]] convention for numeric/cell bins). */
+  def driftFromCounts(refCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val joined = refCounts.join(curCounts, Seq("bin"), "full")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
@@ -79,18 +88,31 @@ object Drift {
     * later check is two scans + a cell-grain (≤ nLists rows) join.
     * Numeric determinism rides [[binContributions]]'s exact-integer
     * counts and single divisions. */
+  /** Per-cell counts of a corpus under a frozen quantizer — the build
+    * side of [[embeddingDriftCells]] and the persisted reference of
+    * [[graft.streaming.StreamingEval.embeddingDriftStream]]. `bin` is
+    * the cell id as a long (the [[binContributions]] bin convention). */
+  def cellCounts(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double], Double)],
+      out: String = "cnt"
+  ): DataFrame = df
+    .filter(col(vecCol).isNotNull)
+    .groupBy(Similarity.assignCell(col(vecCol), centroids)
+      .cast("long").as("bin"))
+    .agg(count(lit(1)).as(out))
+
   def embeddingDriftCells(
       ref: DataFrame,
       cur: DataFrame,
       vecCol: String,
       centroids: Seq[(Int, Seq[Double], Double)]
-  ): DataFrame = {
-    def cells(df: DataFrame) = df
-      .filter(col(vecCol).isNotNull)
-      .select(Similarity.assignCell(col(vecCol), centroids).as("__cell"))
-    binContributions(cells(ref), cells(cur), "__cell", 1L)
+  ): DataFrame =
+    driftFromCounts(
+      cellCounts(ref, vecCol, centroids, "n_ref"),
+      cellCounts(cur, vecCol, centroids, "n_cur"))
       .withColumnRenamed("bin", "cell")
-  }
 
   /** The scalar embedding-drift PSI (one row: `psi`, `n_cells`) —
     * [[embeddingDriftCells]] folded in cell order (the [[psi]]

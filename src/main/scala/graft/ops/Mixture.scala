@@ -152,4 +152,65 @@ object Mixture {
     Sampling.applyAcceptance(df, sourceCol, u, accept,
       useJoin = accept.length > Sampling.TemperatureMixCaseBound)
   }
+
+  /** [[resampleToMixture]] against a TOKEN budget — mixing recipes
+    * budget tokens, not rows (the [[Sampling.tokenBudgetMix]] rationale
+    * applied to optimized weights): per domain, acceptance =
+    * `min(1, targetTokens · w_d / tokens_d)` where `tokens_d` is the
+    * domain's EXACT integer token total over `tokenCol`, so the kept
+    * rows carry ≈ `targetTokens · w_d` tokens in expectation. Same
+    * determinism, drop-missing-domain, and two-evaluation contracts as
+    * [[resampleToMixture]]; rows with a null token count refuse loudly
+    * (a silent zero would inflate the domain's acceptance). */
+  def resampleToMixtureTokens(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: DataFrame,
+      targetTokens: Long,
+      tokenCol: String,
+      domainCol: String = "domain",
+      weightCol: String = "weight_r",
+      salt: String = ""
+  ): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    val wRows = weights
+      .select(col(domainCol).cast("string").as("__d"),
+        col(weightCol).cast("double").as("__w"))
+      .limit(Sampling.MixMaxSources + 1)
+      .collect()
+    require(wRows.length <= Sampling.MixMaxSources,
+      s"resampleToMixtureTokens saw > ${Sampling.MixMaxSources} weight " +
+        "rows — aggregate to coarser domains first")
+    val w = wRows.toSeq
+      .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+    w.groupBy(_._1).foreach { case (d, g) =>
+      require(g.length == 1,
+        s"resampleToMixtureTokens: domain '${d.orNull}' has more than one " +
+          "weight row — dedupe the weights frame upstream")
+    }
+    val guarded = df.withColumn("__graft_tok",
+      when(col(tokenCol).isNull, raise_error(lit(
+        "resampleToMixtureTokens: null token count — a silent zero would " +
+          "inflate the domain's acceptance; fill or drop upstream")))
+        .otherwise(col(tokenCol).cast("long")))
+    val counts = guarded
+      .groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(sum(col("__graft_tok")).as("toks"))
+      .limit(Sampling.MixMaxSources + 1)
+      .collect()
+    require(counts.length <= Sampling.MixMaxSources,
+      s"resampleToMixtureTokens saw > ${Sampling.MixMaxSources} distinct " +
+        s"domains in '$sourceCol' — cap domains with quotaSample first")
+    val tokBySrc = counts.map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    // op order is part of the contract: target * w / tokens, then the cap
+    val accept = w.flatMap { case (d, wt) =>
+      tokBySrc.get(d).filter(_ > 0L).map(t =>
+        (d, math.min(1.0, targetTokens.toDouble * wt / t.toDouble)))
+    }.sortBy(_._1)
+    val u = Sampling.unitHash(col(idCol), salt)
+    Sampling.applyAcceptance(guarded, sourceCol, u, accept,
+        useJoin = accept.length > Sampling.TemperatureMixCaseBound)
+      .drop("__graft_tok")
+  }
 }

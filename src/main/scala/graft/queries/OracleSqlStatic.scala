@@ -2632,6 +2632,30 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |    + 0.0 AS weight_r
          |FROM x, zz ORDER BY domain NULLS FIRST""".stripMargin),
 
+    // the optimized mixture against a TOKEN budget: q265 weights ->
+    // exact per-domain token totals -> keep-rate min(1, target*w/toks)
+    "q272_mixture_tokens" -> (domainReweightCtes +
+      s""", w AS (
+         |  SELECT domain,
+         |    round(CAST(0.75 AS DOUBLE) * (raw / z) + CAST(0.25 AS DOUBLE) / k, 6)
+         |      + 0.0 AS wt
+         |  FROM x, zz
+         |), cnt AS (
+         |  SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS toks
+         |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+         |  GROUP BY source
+         |), acc AS (
+         |  SELECT domain,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      CAST(100000.0 AS DOUBLE) * wt / CAST(toks AS DOUBLE)) AS a
+         |  FROM w JOIN cnt USING (domain) WHERE toks > 0
+         |)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN acc ON d.source = acc.domain
+         |WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL
+         |  AND CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft-r14'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < a
+         |ORDER BY d.doc_id""".stripMargin),
+
     // the optimized mixture applied: q265 weights -> per-source
     // acceptance cuts -> deterministic md5 resample toward 200 rows
     "q266_mixture_resample" -> (domainReweightCtes +

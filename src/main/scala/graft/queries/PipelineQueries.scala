@@ -2941,6 +2941,29 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("domain")
     },
 
+    "q272_mixture_tokens" -> { (s, dir) =>
+      // the optimized mixture against a TOKEN budget: q265's weights,
+      // per-domain exact token totals (n_chars as the count), keep-rate
+      // min(1, target * w / tokens) — kept rows carry ~target*w tokens
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val losses = d.groupBy(col("source").as("domain")).agg(
+        (sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 0,
+          col("n_chars")).otherwise(lit(0L))).cast("double") /
+          sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 0, 1L)
+            .otherwise(0L)).cast("double")).as("ref_loss"),
+        (sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 1,
+          col("n_chars")).otherwise(lit(0L))).cast("double") /
+          sum(when(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2)) === 1, 1L)
+            .otherwise(0L)).cast("double")).as("proxy_loss"))
+      val w = graft.ops.Mixture.domainReweight(losses, "domain",
+        "ref_loss", "proxy_loss", eta = 2.0, smoothing = 0.25)
+      graft.ops.Mixture.resampleToMixtureTokens(d, "doc_id", "source", w,
+        targetTokens = 100000L, tokenCol = "n_chars", salt = "graft-r14")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     "q266_mixture_resample" -> { (s, dir) =>
       // the optimized mixture APPLIED: q265's weights drive a
       // deterministic md5-acceptance resample toward a 200-row budget

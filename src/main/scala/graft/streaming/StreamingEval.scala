@@ -1070,6 +1070,37 @@ object StreamingEval {
     ()
   }
 
+  /** Streaming EMBEDDING-DRIFT monitor — the [[driftMonitorStream]]
+    * sibling in embedding space: each micro-batch of vectors assigns to
+    * the FROZEN quantizer's cells (centroids loaded from a persisted
+    * IVF index, [[graft.ops.Similarity.saveIvfIndex]]), and its
+    * add-one-smoothed PSI contributions against a PERSISTED reference
+    * cell histogram ([[graft.ops.Drift.cellCounts]] written once from
+    * the blessed snapshot) append to `outPath` with the `batch_id` —
+    * the observability loop that names an embedding-model regression or
+    * a content-cluster shift within one micro-batch. Per batch the cost
+    * is one cell-count aggregation of the BATCH plus a ≤nLists-row
+    * join; the reference is never recounted. */
+  def embeddingDriftStream(
+      vecs: DataFrame,
+      vecCol: String,
+      ivfIndexPath: String,
+      refCountsPath: String,
+      outPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val cents = graft.ops.Similarity.loadIvfCentroids(spark, ivfIndexPath)
+      val ref = spark.read.parquet(refCountsPath)
+        .select(col("bin"), col("cnt").as("n_ref"))
+      graft.ops.Drift.driftFromCounts(ref,
+          graft.ops.Drift.cellCounts(batch, vecCol, cents, "n_cur"))
+        .withColumnRenamed("bin", "cell")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** Shared foreachBatch ingest core: hash the batch, vet against the
     * persisted index, append admissions. */
   private def ingestWith(

@@ -88,6 +88,40 @@ class MixtureSpec extends SparkSpec {
     assert(err.getMessage.contains("more than one"), err.getMessage)
   }
 
+  test("resampleToMixtureTokens: token-weighted cuts, null tokens refuse") {
+    // 'long' docs carry 10x the tokens of 'short' docs
+    val docs = (1L to 400L)
+      .map(i => (i, if (i <= 200) "long" else "short",
+        if (i <= 200) 100L else 10L))
+      .toDF("id", "src", "n_tok")
+    val weights = Seq(("long", 0.5), ("short", 0.5)).toDF("domain", "weight_r")
+    val got = Mixture.resampleToMixtureTokens(docs, "id", "src", weights,
+      targetTokens = 4000L, tokenCol = "n_tok", salt = "t")
+    // acceptance mirrors the explicit arithmetic: target*w/tokens capped
+    val aLong = math.min(1.0, 4000.0 * 0.5 / 20000.0)   // 0.1
+    val aShort = math.min(1.0, 4000.0 * 0.5 / 2000.0)   // 1.0
+    val expected = docs
+      .withColumn("u", Sampling.unitHash(col("id"), "t"))
+      .filter((col("src") === "long" && col("u") < lit(aLong)) ||
+        (col("src") === "short" && col("u") < lit(aShort)))
+      .select("id", "src", "n_tok").collect().map(_.toSeq).toSet
+    assert(got.select("id", "src", "n_tok").collect().map(_.toSeq).toSet == expected)
+    // equal weights + token budget: both domains land near 2000 tokens
+    val kept = got.groupBy("src").agg(sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("short") == 2000L, "uncapped domain keeps everything")
+    assert(kept("long") > 1000L && kept("long") < 3000L,
+      s"sampled domain lands near its token share, got ${kept("long")}")
+    // null token counts refuse loudly
+    val err = intercept[Exception] {
+      Mixture.resampleToMixtureTokens(
+        Seq((1L, "a", Some(5L)), (2L, "a", None: Option[Long]))
+          .toDF("id", "src", "n_tok"),
+        "id", "src", weights, 100L, "n_tok").collect()
+    }
+    assert(err.getMessage.contains("null token count"), err.getMessage)
+  }
+
   test("resampleToMixture composes with domainReweight toward the budget") {
     // three sources, proxy lags ref most on 'c' -> c keeps the largest
     // share of its rows relative to its size

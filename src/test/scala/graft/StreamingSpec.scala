@@ -1027,6 +1027,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming embedding drift: per-batch cells equal the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.{Drift, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-drift").toString
+    // frozen quantizer: train tiny centroids and persist the IVF index
+    val ref = ((1L to 30L).map(i => (i, Seq(0.9, 0.1))) ++
+      (31L to 40L).map(i => (i, Seq(0.1, 0.9)))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainKmeansPortable(ref, "vec_id", "embedding",
+      k = 2, iters = 2)
+    Similarity.saveIvfIndex(ref, cents, s"$dir/index")
+    Drift.cellCounts(ref, "embedding", cents)
+      .write.parquet(s"$dir/refcounts")
+    val b1 = (101L to 120L).map(i => (i, Seq(0.1, 0.9)))
+    val b2 = (121L to 140L).map(i => (i, Seq(0.9, 0.1)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val query = graft.streaming.StreamingEval.embeddingDriftStream(
+        input.toDF().toDF("vec_id", "embedding"), "embedding",
+        s"$dir/index", s"$dir/refcounts", s"$dir/out")
+      .start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      for ((batch, id) <- Seq(b1 -> 0L, b2 -> 1L)) {
+        val streamed = out.filter(col("batch_id") === id)
+          .drop("batch_id").collect().map(_.toSeq).toSet
+        val expect = Drift.embeddingDriftCells(
+            ref, batch.toDF("vec_id", "embedding"), "embedding", cents)
+          .collect().map(_.toSeq).toSet
+        assert(streamed == expect, s"batch $id: $streamed != $expect")
+        assert(streamed.nonEmpty)
+      }
+    } finally query.stop()
+  }
+
   test("streaming judge consensus: standing calibration equals the union's counters") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
