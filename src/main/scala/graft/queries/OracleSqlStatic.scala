@@ -217,6 +217,31 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
       |         THEN 'hi' ELSE 'lo' END FROM d
       |)""".stripMargin
 
+  /** The q96 numeric-bin PSI statement — shared verbatim by the
+    * persisted-reference serving replay q273 (identical smoothed
+    * arithmetic by construction). */
+  private lazy val driftPsiSql: String =
+    """WITH r AS (
+        |  SELECT n_chars // 100 AS bin, count(*) AS n_ref
+        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT n_chars // 100 AS bin, count(*) AS n_cur
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(r.bin, c.bin) AS bin,
+        |         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM r FULL OUTER JOIN c ON r.bin = c.bin
+        |), t AS (
+        |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc,
+        |         count(*) AS b FROM j
+        |)
+        |SELECT bin, n_ref, n_cur,
+        |  round(CAST(n_ref + 1 AS DOUBLE) / (tr + b), 9) + 0.0 AS p_ref_r,
+        |  round(CAST(n_cur + 1 AS DOUBLE) / (tc + b), 9) + 0.0 AS p_cur_r,
+        |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + b) - CAST(n_ref + 1 AS DOUBLE) / (tr + b))
+        |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + b)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + b))), 9) + 0.0 AS contrib_r
+        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin
+
   /** The q254 agreement-weighted consensus statement — shared verbatim
     * by the serving-path replay q270 (same weights by construction). */
   private lazy val judgeConsensusSql: String =
@@ -2904,27 +2929,14 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |  min(n_chars) AS lo, max(n_chars) AS hi
         |FROM documents GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
-    "q96_drift_psi" ->
-      """WITH r AS (
-        |  SELECT n_chars // 100 AS bin, count(*) AS n_ref
-        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL GROUP BY 1
-        |), c AS (
-        |  SELECT n_chars // 100 AS bin, count(*) AS n_cur
-        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL GROUP BY 1
-        |), j AS (
-        |  SELECT coalesce(r.bin, c.bin) AS bin,
-        |         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
-        |  FROM r FULL OUTER JOIN c ON r.bin = c.bin
-        |), t AS (
-        |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc,
-        |         count(*) AS b FROM j
-        |)
-        |SELECT bin, n_ref, n_cur,
-        |  round(CAST(n_ref + 1 AS DOUBLE) / (tr + b), 9) + 0.0 AS p_ref_r,
-        |  round(CAST(n_cur + 1 AS DOUBLE) / (tc + b), 9) + 0.0 AS p_cur_r,
-        |  round((CAST(n_cur + 1 AS DOUBLE) / (tc + b) - CAST(n_ref + 1 AS DOUBLE) / (tr + b))
-        |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + b)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + b))), 9) + 0.0 AS contrib_r
-        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin,
+    "q96_drift_psi" -> driftPsiSql,
+
+    // drift SERVING parity: the persisted-reference-histogram path
+    // (cellCounts persisted once + driftFromCounts) computes the same
+    // smoothed contributions, so it shares q96's oracle verbatim
+    "q273_drift_served" -> driftPsiSql,
+
+
 
     // corpus signatures = per-position min over the per-doc signatures
     // (s1..s16 from the SAME interpolated polyPerms the engine uses)

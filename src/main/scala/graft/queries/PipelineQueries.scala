@@ -185,6 +185,28 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Persisted REFERENCE drift histogram keyed by sf dir (q273): the
+    * src0 bin counts written once, so every later drift check reads
+    * the blessed histogram instead of recounting the reference — the
+    * [[graft.ops.Drift.driftFromCounts]] serving contract under test. */
+  private[queries] object DriftRefState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(docs: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-drift-ref").toString
+            docs.filter(col("source") === "src0" && col("n_chars").isNotNull)
+              .groupBy(expr("n_chars div 100").as("bin"))
+              .agg(count(lit(1)).as("cnt"))
+              .write.mode("overwrite").parquet(p)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Merge rounds the BPE queries train/replay (q133/q134/q135 share one
     * training run per sf dir; the oracle re-trains in DuckDB). */
   private[queries] val BpeNumMerges = 12
@@ -2939,6 +2961,24 @@ object PipelineQueries extends OracleSqlStatic {
       graft.ops.Mixture.domainReweight(losses, "domain", "ref_loss", "proxy_loss",
         eta = 2.0, smoothing = 0.25)
         .orderBy("domain")
+    },
+
+    "q273_drift_served" -> { (s, dir) =>
+      // drift SERVING parity: the reference histogram persists once
+      // (DriftRefState) and the check recounts only the current side —
+      // identical smoothed arithmetic, so it shares q96's oracle
+      val d = t(s, dir, "documents")
+      val ref = s.read.parquet(DriftRefState.forDir(d, dir))
+        .select(col("bin"), col("cnt").as("n_ref"))
+      val cur = d.filter(col("source") === "src1" && col("n_chars").isNotNull)
+        .groupBy(expr("n_chars div 100").as("bin"))
+        .agg(count(lit(1)).as("n_cur"))
+      graft.ops.Drift.driftFromCounts(ref, cur)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          roundz(col("p_ref"), 9).as("p_ref_r"),
+          roundz(col("p_cur"), 9).as("p_cur_r"),
+          roundz(col("contrib"), 9).as("contrib_r"))
+        .orderBy("bin")
     },
 
     "q272_mixture_tokens" -> { (s, dir) =>
