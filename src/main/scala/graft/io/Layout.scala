@@ -123,8 +123,85 @@ object Layout {
     val routed = df.withColumn("shard",
       pmod(shardHash(col(idCol), salt), lit(numShards.toLong)))
     writePartitioned(routed, s"$path/data", Seq("shard"), filesPerShard)
-    shardManifest(df, idCol, numShards, salt)
+    // the manifest derives from a READ-BACK of the bytes just written,
+    // not a second evaluation of `df`: a non-deterministic input frame
+    // (a sample, a fresh uuid column) would otherwise produce a manifest
+    // describing different rows than were delivered — and verifyShards
+    // would then flag a perfectly good export, or bless a torn one that
+    // happens to re-derive the same counts. Reading back costs one extra
+    // scan of the export, and makes writer and manifest agree by
+    // construction for ANY input.
+    manifestFromShardData(
+      df.sparkSession.read.parquet(s"$path/data"), idCol, numShards, salt)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+  }
+
+  /** The manifest recomputed from an already-routed frame carrying its
+    * on-disk `shard` column — the derivation [[writeShardsWithManifest]]
+    * and [[appendShardsWithManifest]] use on read-back (grouping by the
+    * directory the row actually landed in, like [[verifyShards]]). */
+  private def manifestFromShardData(
+      data: DataFrame,
+      idCol: String,
+      numShards: Int,
+      salt: String
+  ): DataFrame =
+    data.select(col("shard").cast("long").as("shard"),
+        shardHash(col(idCol), salt).as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("id_checksum"))
+      .withColumn("id_col", lit(idCol))
+      .withColumn("num_shards", lit(numShards))
+      .withColumn("salt", lit(salt))
+
+  /** Append a corpus slice to an existing [[writeShardsWithManifest]]
+    * delivery — the maintenance side of the export: a monthly crawl
+    * slice joins last month's shards without rewriting 100 TB. The
+    * routing recipe (id column, shard count, salt) is read from the
+    * live manifest, so the same id keeps landing in the same shard
+    * forever; the increment's files stage under the
+    * [[graft.ops.IndexCommit]] root and publish atomically — `merge`
+    * the new data files into their shard directories, `swap` in the
+    * updated manifest — so a reader always sees a manifest that either
+    * excludes the increment entirely or describes it fully, and a crash
+    * anywhere replays from the marker ([[graft.ops.IndexCommit.recover]]
+    * runs as the preamble here, as in every maintenance entry point).
+    *
+    * Cost is O(increment): the increment routes and writes once, its
+    * manifest rows derive from a read-back of the STAGED files only,
+    * and the merged manifest is the old manifest plus the increment's
+    * per-shard counts — counts and checksums are sums, so the merge is
+    * a numShards-bounded group-by, never a rescan of the live data.
+    * Spec-pinned: save+append ≡ save-once over the union (same shards,
+    * same manifest numbers), and [[verifyShards]] passes after replay
+    * from any crash point. One maintenance op at a time per export root
+    * (the IndexCommit concurrency contract). */
+  def appendShardsWithManifest(
+      df: DataFrame,
+      path: String,
+      filesPerShard: Int = 1
+  ): Unit = {
+    val spark = df.sparkSession
+    graft.ops.IndexCommit.recover(spark, path)
+    val manifest = spark.read.parquet(s"$path/manifest")
+    val meta = manifest.select("id_col", "num_shards", "salt").head()
+    val idCol = meta.getAs[String]("id_col")
+    val numShards = meta.getAs[Int]("num_shards")
+    val salt = meta.getAs[String]("salt")
+    val staging = graft.ops.IndexCommit.stagingDir(path)
+    val routed = df.withColumn("shard",
+      pmod(shardHash(col(idCol), salt), lit(numShards.toLong)))
+    writePartitioned(routed, s"$staging/data", Seq("shard"), filesPerShard)
+    val incManifest = manifestFromShardData(
+      spark.read.parquet(s"$staging/data"), idCol, numShards, salt)
+    manifest.unionByName(incManifest)
+      .groupBy("shard", "id_col", "num_shards", "salt")
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("id_checksum")).as("id_checksum"))
+      .select(manifest.columns.map(col).toSeq: _*)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+    val fs = graft.ops.IndexCommit.fsFor(spark, path)
+    graft.ops.IndexCommit.commit(fs, new org.apache.hadoop.fs.Path(path),
+      Seq("merge" -> "data", "swap" -> "manifest"))
   }
 
   /** Verify a [[writeShardsWithManifest]] export: recompute each

@@ -83,15 +83,124 @@ object BpeTrain {
   /** Train `numMerges` BPE merges on the corpus. Returns the merge list
     * in rank order (possibly shorter if the histogram runs out of pairs).
     *
-    * Driver loop by design: BPE is inherently sequential in the merge
-    * rank (each round's counts depend on the previous merge), so the
-    * right distributed shape is numMerges small aggregation jobs over the
-    * bounded histogram — NOT an attempt to parallelize across rounds. */
-  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    * BATCHED rounds, exact greedy semantics: one merge per Spark job
+    * ladder is the wrong asymptote at a production vocabulary (32k
+    * merges = 32k sequential jobs of pure scheduling), so each round
+    * commits a PREFIX of the ranked top-`maxBatch` candidate list that
+    * provably matches what sequential greedy training would pick
+    * (spec-pinned ≡ [[trainSequential]] on interacting corpora):
+    *
+    *  - candidates are taken strictly in rank order (count DESC, then
+    *    left/right ASC) and the prefix STOPS at the first rejection —
+    *    never skips — so everything ranked above an accepted merge is
+    *    itself in the batch;
+    *  - a candidate sharing a symbol with any earlier batch member is
+    *    rejected: merging `(a,b)` only rewrites occurrences touching
+    *    `a` or `b`, so a symbol-disjoint pair's count is exactly
+    *    unchanged by the earlier merges — its rank claim still holds;
+    *  - a candidate whose count does not STRICTLY exceed the largest
+    *    possible count of any pair CREATED by earlier batch members is
+    *    rejected: a new pair `(x, a||b)` inherits occurrences of the
+    *    old pair `(x, a)` and `(a||b, y)` of `(b, y)`, so
+    *    `max(maxRight(a), maxLeft(b))` over the CURRENT pair table
+    *    bounds every pair a merge can create — if the candidate clears
+    *    that bound, no new pair can outrank it (ties reject: a new
+    *    pair at equal count could win the binary-order tie-break).
+    *
+    * Per round the cost is one pair-count aggregation over the
+    * histogram (persisted, consumed by the top-`maxBatch` fetch and
+    * two symbol-grain max lookups bounded to the candidates' symbols)
+    * and one chained rewrite projection — merges/job stays flat as the
+    * vocabulary grows instead of 1 (ScaleSmoke-pinned). Batch members
+    * are symbol-disjoint, so the chained greedy passes commute and
+    * equal the sequential rewrites. */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxBatch: Int = 64
+  ): Seq[Merge] = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val base = wordHistogram(df, textCol)
       .withColumn("syms", BpeExpressions.bpeSymbols(col("word")))
     // first action below is the full-pass pairs aggregation → lazy blocks
+    var anchor = graft.Checkpoints.localCheckpoint(base, eager = false)
+    var state = anchor
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var sinceCheckpoint = 0
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val pairs = pairCounts(state, "syms", "cnt").persist()
+      val want = math.min(maxBatch, numMerges - merges.size)
+      val top = pairs
+        .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
+        .limit(want)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) {
+        exhausted = true
+        pairs.unpersist(blocking = false)
+      } else {
+        // symbol-grain maxes over the candidates' symbols only: the
+        // tightest count any merge-created pair can reach
+        val lefts = top.map(_._2).distinct // maxLeft(b): pairs (b, y)
+        val rights = top.map(_._1).distinct // maxRight(a): pairs (x, a)
+        val maxLeft = pairs.filter(col("left_sym").isin(lefts.toSeq: _*))
+          .groupBy("left_sym").agg(max("pair_count").as("m"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val maxRight = pairs.filter(col("right_sym").isin(rights.toSeq: _*))
+          .groupBy("right_sym").agg(max("pair_count").as("m"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        pairs.unpersist(blocking = false)
+        val used = scala.collection.mutable.Set.empty[String]
+        var newPairBound = Long.MinValue
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var open = true
+        for (cand <- top if open) {
+          val (a, b, c) = cand
+          if (batch.nonEmpty && (used(a) || used(b) || c <= newPairBound)) {
+            open = false // prefix rule: stop, never skip
+          } else {
+            batch += cand
+            used += a; used += b
+            newPairBound = math.max(newPairBound,
+              math.max(maxRight.getOrElse(a, 0L), maxLeft.getOrElse(b, 0L)))
+          }
+        }
+        batch.foreach { case (a, b, c) =>
+          merges += Merge(merges.size + 1, a, b, c)
+        }
+        // one projection, greedy passes chained in rank order (disjoint
+        // symbols ⇒ identical to applying them in separate passes)
+        state = state.withColumn("syms",
+          batch.foldLeft(col("syms")) { case (acc, (a, b, _)) =>
+            BpeExpressions.bpeMergeStep(acc, a, b)
+          })
+        sinceCheckpoint += batch.size
+        if (sinceCheckpoint >= CheckpointEvery && merges.size < numMerges) {
+          val next = graft.Checkpoints.localCheckpoint(state, eager = true)
+          graft.Checkpoints.free(anchor)
+          anchor = next
+          state = next
+          sinceCheckpoint = 0
+        }
+      }
+    }
+    graft.Checkpoints.free(anchor)
+    merges.toSeq
+  }
+
+  /** The historical one-merge-per-round loop — kept as the semantics
+    * REFERENCE the batched [[train]] is spec-pinned against (and the
+    * honest fallback if a corpus somehow defeats the batch prefix
+    * rule: `maxBatch = 1` in [[train]] is this, minus one extra
+    * aggregation per round). */
+  private[graft] def trainSequential(
+      df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val base = wordHistogram(df, textCol)
+      .withColumn("syms", BpeExpressions.bpeSymbols(col("word")))
     var anchor = graft.Checkpoints.localCheckpoint(base, eager = false)
     var state = anchor
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]

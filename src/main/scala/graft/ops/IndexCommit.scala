@@ -81,9 +81,25 @@ object IndexCommit {
     require(actions.forall(a => a._1 == "swap" || a._1 == "merge"),
       s"unknown verbs in ${actions.map(_._1).distinct}")
     val marker = new Path(new Path(root, StagingName), MarkerName)
-    val out = fs.create(marker, true)
-    out.write(actions.map(a => s"${a._1} ${a._2}").mkString("\n").getBytes("UTF-8"))
-    out.close()
+    atomicWrite(fs, marker,
+      actions.map(a => s"${a._1} ${a._2}").mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Publish a marker file ATOMICALLY: write the bytes to `<name>.tmp`
+    * and rename into place. A marker is AUTHORITATIVE the instant it
+    * exists, so it must appear fully written or not at all — a crash
+    * mid-`create` would otherwise leave a truncated marker that recovery
+    * replays as a partial (and therefore wrong) action list. Rename is
+    * atomic on HDFS and local filesystems; the orphaned `.tmp` from a
+    * pre-rename crash dies with its staging dir. */
+  private[graft] def atomicWrite(
+      fs: FileSystem, marker: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(marker.getParent, marker.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(bytes); out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new IllegalStateException(s"could not publish marker $marker")
   }
 
   /** The idempotent commit sequence the marker describes. Private: the

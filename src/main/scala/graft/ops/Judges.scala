@@ -124,8 +124,14 @@ object Judges {
       labelCol: String
   ): DataFrame = {
     val votes = cleanVotes(df, itemCol, judgeCol, labelCol, "consensusWithCounters")
+    // n_judged = 0 (an externally accumulated counter row with no scored
+    // votes yet) must degrade to the documented weight-0 behavior, not
+    // 0/0 = NaN — NaN slips past the coalesce(__rel, 0.0) null guard and
+    // poisons every fold and argmax the judge touches.
     val rel = counters.select(col(judgeCol).as("__j"),
-      (col("n_agree").cast("double") / col("n_judged").cast("double")).as("__rel"))
+      when(col("n_judged") > 0,
+        col("n_agree").cast("double") / col("n_judged").cast("double"))
+        .otherwise(lit(0.0)).as("__rel"))
     consensusTail(votes, rel, itemCol)
   }
 
@@ -278,8 +284,11 @@ object Judges {
     * `consensus`, `n_judges`, `n_agree`, `support_r`, `logpost_r`.
     *
     * Scale shape: per round, prior and confusion are judge-alphabet-
-    * grain aggregates broadcast back; the one data-grain job is the
-    * (votes × |labels|) scoring aggregate with map-side partials. The
+    * grain aggregates broadcast back — |judges|·|labels|² cells, counted
+    * against `maxConfusionCells` ONCE up front with a loud refusal (a
+    * crowd-label corpus with 10⁵ workers must pool judges or use
+    * [[judgeConsensus]], not OOM the driver); the one data-grain job is
+    * the (votes × |labels|) scoring aggregate with map-side partials. The
     * current labeling re-checkpoints each round (the engine's fixpoint
     * convention). Driver state: two scalars (|labels|, |items|) — the
     * alphabet itself never collects. */
@@ -289,7 +298,8 @@ object Judges {
       judgeCol: String,
       labelCol: String,
       iters: Int = 2,
-      alpha: Long = 1L
+      alpha: Long = 1L,
+      maxConfusionCells: Long = 1L << 20
   ): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(alpha >= 1, "alpha must be >= 1 (unsmoothed zero cells have no ln)")
@@ -297,6 +307,7 @@ object Judges {
     val labels = graft.Checkpoints.trackCache(
       votes.select(col("__l")).distinct().persist())
     val nLabels = labels.count()
+    guardConfusionCells(votes, nLabels, maxConfusionCells, "dawidSkene")
     if (nLabels == 0L) return dsOutput(votes, rawMajority(votes)
       .withColumn("__post", lit(0.0)), itemCol)
     var cur = graft.Checkpoints.localCheckpoint(rawMajority(votes),
@@ -310,6 +321,106 @@ object Judges {
       fin = next
     }
     dsOutput(votes, fin, itemCol)
+  }
+
+  /** SOFT Dawid–Skene — [[dawidSkene]]'s full per-(item, label)
+    * posterior row instead of the hard argmax, for downstream loss
+    * weighting (train on every label in proportion to belief, or
+    * down-weight items the panel is genuinely split on). Runs the same
+    * bounded hard-EM: `iters - 1` labeling updates fix the final
+    * round's prior and confusion estimates, then ONE scoring pass emits
+    * every candidate label's posterior.
+    *
+    * Determinism contract: the per-cell terms are the exact
+    * Laplace-smoothed rationals of [[dawidSkene]], but combined in the
+    * LINEAR domain — a judge-id-ordered multiplicative fold (the q84
+    * sorted-fold convention with × for +), never `exp(Σ ln)`, which
+    * no two engines round alike. Each label's raw mass divides by the
+    * hard winner's mass first (values land in (0, 1], conditioning the
+    * sum), then normalizes by the label-ordered sum of those ratios —
+    * posteriors sum to 1 per item (6dp), and `is_consensus` marks the
+    * [[dawidSkene]] winner row by construction (same estimates, same
+    * ln-domain argmax).
+    *
+    * Panel-size contract: linear products of ~n_judges cell terms
+    * underflow for panels of hundreds of extreme-confusion judges
+    * (the hard path folds in ln and does not); this operator targets
+    * the LLM-judge-panel scale `maxConfusionCells` already enforces.
+    *
+    * Output: `(itemCol, label, posterior_r, is_consensus)` — one row
+    * per voted item × alphabet label.
+    *
+    * Scale shape: [[dawidSkene]]'s per-round jobs, plus one extra
+    * (votes × |labels|) product-fold aggregate and two item-grain
+    * joins for the normalization — no new driver state. */
+  def dawidSkenePosteriors(
+      df: DataFrame,
+      itemCol: String,
+      judgeCol: String,
+      labelCol: String,
+      iters: Int = 2,
+      alpha: Long = 1L,
+      maxConfusionCells: Long = 1L << 20
+  ): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(alpha >= 1, "alpha must be >= 1 (unsmoothed zero cells have no ln)")
+    val votes = cleanVotes(df, itemCol, judgeCol, labelCol, "dawidSkenePosteriors")
+    val labels = graft.Checkpoints.trackCache(
+      votes.select(col("__l")).distinct().persist())
+    val nLabels = labels.count()
+    if (nLabels == 0L) // no votes at all: empty output, right schema
+      return votes.select(col("__i").as(itemCol), col("__l").as("label"),
+        lit(0.0).as("posterior_r"), lit(true).as("is_consensus"))
+    guardConfusionCells(votes, nLabels, maxConfusionCells, "dawidSkenePosteriors")
+    var cur = graft.Checkpoints.localCheckpoint(rawMajority(votes),
+      resetStats = true)
+    for (_ <- 1 until iters) {
+      val next = graft.Checkpoints.localCheckpoint(
+        dsScorePass(votes, cur, labels, nLabels, alpha).select("__i", "__t"),
+        resetStats = true)
+      graft.Checkpoints.free(cur)
+      cur = next
+    }
+    // the final round, twice over the same estimates: the ln-domain
+    // argmax (≡ dawidSkene's winner) and the linear-domain mass table
+    val win = dsScorePass(votes, cur, labels, nLabels, alpha)
+      .select(col("__i"), col("__t").as("__win"))
+    val nEst = cur.count()
+    val prior = labels
+      .join(cur.groupBy(col("__t")).agg(count(lit(1)).as("__pc")),
+        labels("__l") === col("__t"), "left")
+      .select(labels("__l").as("__t"),
+        ((coalesce(col("__pc"), lit(0L)) + lit(alpha)).cast("double") /
+          lit((nEst + alpha * nLabels).toDouble)).as("__pi"))
+    val jt = votes.join(cur, Seq("__i"))
+    val denom = jt.groupBy("__j", "__t").agg(count(lit(1)).as("__d"))
+    val numer = jt.groupBy("__j", "__t", "__l").agg(count(lit(1)).as("__c"))
+    val cand = votes.crossJoin(broadcast(labels.select(col("__l").as("__t"))))
+    val cell = (coalesce(col("__c"), lit(0L)) + lit(alpha)).cast("double") /
+      (coalesce(col("__d"), lit(0L)) + lit(alpha * nLabels)).cast("double")
+    val mass = cand
+      .join(broadcast(numer), Seq("__j", "__t", "__l"), "left")
+      .join(broadcast(denom), Seq("__j", "__t"), "left")
+      .select(col("__i"), col("__t"), col("__j"), cell.as("__r"))
+      .groupBy("__i", "__t")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__j").as("j"), col("__r").as("r")))),
+        lit(1.0), (acc, x) => acc * x.getField("r")).as("__prod"))
+      .join(broadcast(prior), Seq("__t"))
+      .select(col("__i"), col("__t"), (col("__pi") * col("__prod")).as("__p"))
+      .join(win, Seq("__i"))
+    val ref = mass.filter(col("__t") === col("__win"))
+      .select(col("__i"), col("__p").as("__pwin"))
+    val ratios = mass.join(ref, Seq("__i"))
+      .withColumn("__q", col("__p") / col("__pwin"))
+    val z = ratios.groupBy("__i")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__t").as("t"), col("__q").as("q")))),
+        lit(0.0), (acc, x) => acc + x.getField("q")).as("__z"))
+    ratios.join(z, Seq("__i"))
+      .select(col("__i").as(itemCol), col("__t").as("label"),
+        (round(col("__q") / col("__z"), 6) + lit(0.0)).as("posterior_r"),
+        (col("__t") === col("__win")).as("is_consensus"))
   }
 
   /** PREFERENCE-PAIR construction — the RLHF/DPO data-prep step after
@@ -537,7 +648,8 @@ object Judges {
       judgeCol: String,
       labelCol: String,
       goldLabelCol: String,
-      alpha: Long = 1L
+      alpha: Long = 1L,
+      maxConfusionCells: Long = 1L << 20
   ): DataFrame = {
     require(alpha >= 1, "alpha must be >= 1")
     val votes = cleanVotes(df, itemCol, judgeCol, labelCol, "goldAnchoredConsensus")
@@ -557,8 +669,36 @@ object Judges {
     val nLabels = labels.count()
     if (nLabels == 0L) return dsOutput(votes, rawMajority(votes)
       .withColumn("__post", lit(0.0)), itemCol)
+    guardConfusionCells(votes, nLabels, maxConfusionCells, "goldAnchoredConsensus")
     // estimation set: gold items only (their label is the gold label)
     val cur = graft.Checkpoints.localCheckpoint(g, resetStats = true)
     dsOutput(votes, dsScorePass(votes, cur, labels, nLabels, alpha), itemCol)
+  }
+
+  /** The confusion-broadcast ceiling shared by [[dawidSkene]] and
+    * [[goldAnchoredConsensus]]: both broadcast (judge, true, observed)-
+    * grain confusion tables — |judges|·|labels|² cells. Fine for
+    * LLM-judge panels (dozens of judges), silently OOM-prone for
+    * crowd-label corpora (10⁵ workers × a wide alphabet), so the
+    * degenerate shape refuses LOUDLY before any broadcast, like every
+    * comparable contract (`MixMaxSources`, `maxHotKeys`,
+    * `maxIncrementNodes`). One scalar action (distinct-judge count). */
+  private def guardConfusionCells(
+      votes: DataFrame,
+      nLabels: Long,
+      maxConfusionCells: Long,
+      op: String
+  ): Unit = {
+    require(maxConfusionCells >= 1, "maxConfusionCells must be >= 1")
+    val nJudges = votes.select(col("__j")).distinct().count()
+    val cells = nJudges * nLabels * nLabels
+    if (cells > maxConfusionCells)
+      throw new IllegalArgumentException(
+        s"$op: $nJudges judges x $nLabels labels^2 = $cells confusion cells " +
+          s"exceeds maxConfusionCells=$maxConfusionCells — the per-judge " +
+          "confusion tables are broadcast each round and would not fit. " +
+          "Aggregate judges upstream (pool workers into cohorts) or use " +
+          "judgeConsensus (scalar reliability, judge-grain only); raise " +
+          "maxConfusionCells only if the driver can hold the table")
   }
 }

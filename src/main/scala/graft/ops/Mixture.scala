@@ -36,17 +36,32 @@ object Mixture {
     * semantics match every other `_r` column). Weights sum to 1 before
     * rounding. A duplicated domain or a null loss refuses loudly — a
     * silent last-wins (or a silently-dropped domain) would change every
-    * other domain's weight. */
+    * other domain's weight.
+    *
+    * `iters` runs the multiplicative-weights update as DoReMi's
+    * published LOOP rather than a single step (the q258/q264
+    * bounded-replay discipline): each round multiplies the standing
+    * weight by the linearized factor `1 + η·excess_d`, renormalizes
+    * over the sorted-domain fold, and mixes toward uniform
+    * (`(1−c)·w + c/K` — DoReMi applies the uniform mixing every step,
+    * not once at the end). More rounds sharpen the allocation toward
+    * the high-excess domains — a 1-round fit systematically
+    * over-weights the low-excess tail relative to where the MW
+    * iteration is headed (spec-pinned). `iters = 1` is bit-identical
+    * to the historical single-step output. Everything stays ×, +, ÷
+    * on driver-held domain-grain scalars; `exp` never enters. */
   def domainReweight(
       losses: DataFrame,
       domainCol: String,
       refLossCol: String,
       proxyLossCol: String,
       eta: Double = 1.0,
-      smoothing: Double = 0.0
+      smoothing: Double = 0.0,
+      iters: Int = 1
   ): DataFrame = {
     require(eta > 0.0, "eta must be positive")
     require(smoothing >= 0.0 && smoothing < 1.0, "smoothing must be in [0, 1)")
+    require(iters >= 1, "iters must be >= 1")
     val spark = losses.sparkSession
     val rows = losses
       .select(col(domainCol).cast("string").as("__d"),
@@ -73,19 +88,29 @@ object Mixture {
           "other domain's weight)")
     }
     val k = parsed.length
-    val raw = parsed.map { case (d, ref, proxy) =>
-      val excess = math.max(proxy - ref, 0.0)
-      (d, excess, 1.0 + eta * excess)
+    val excesses = parsed.map { case (d, ref, proxy) =>
+      (d, math.max(proxy - ref, 0.0))
     }
-    // sorted-domain fold: the oracle mirrors this exact summation order
-    val z = raw.foldLeft(0.0)(_ + _._3)
+    // MW loop on driver-held domain scalars, weights starting at 1.0
+    // (scale washes out in the first renormalization, and round 1 then
+    // reproduces the historical single-step doubles exactly). Per round:
+    // multiply, renormalize over the sorted-domain fold (the oracle
+    // mirrors this exact summation order), mix toward uniform.
+    var w = excesses.map { case (d, excess) => (d, excess, 1.0) }
+    for (_ <- 1 to iters) {
+      val raw = w.map { case (d, excess, wd) =>
+        (d, excess, wd * (1.0 + eta * excess))
+      }
+      val z = raw.foldLeft(0.0)(_ + _._3)
+      w = raw.map { case (d, excess, r) =>
+        (d, excess, (1.0 - smoothing) * (r / z) + smoothing / k)
+      }
+    }
     val schema = StructType(Seq(
       StructField("domain", StringType, nullable = true),
       StructField("__excess", DoubleType, nullable = false),
       StructField("__weight", DoubleType, nullable = false)))
-    val out = raw.map { case (d, excess, r) =>
-      Row(d.orNull, excess, (1.0 - smoothing) * (r / z) + smoothing / k)
-    }
+    val out = w.map { case (d, excess, wd) => Row(d.orNull, excess, wd) }
     spark.createDataFrame(
         spark.sparkContext.parallelize(out, 1), schema)
       .select(col("domain"),

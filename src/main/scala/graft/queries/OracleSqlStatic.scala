@@ -452,6 +452,63 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     * replay q248 (same scores by construction). */
   private lazy val bm25OracleSql: String = bm25OracleSqlFor("")
 
+  /** The q269 chunk-grain BM25 RAG statement — shared verbatim by the
+    * persisted chunk-index serving replay q274 (the q248 pattern at
+    * chunk grain: same chunker, same postings arithmetic, same
+    * provenance mapping, so the served scores are the ad-hoc scores by
+    * construction). */
+  private lazy val ragChunksSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(text) <= 200 THEN 1
+       |         ELSE CAST(ceil(CAST(len(text) - 200 AS DOUBLE) / 150.0) AS BIGINT) + 1 END AS nc
+       |  FROM documents WHERE text IS NOT NULL
+       |), ech AS (
+       |  SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM n
+       |), ch AS (
+       |  SELECT doc_id * 1000 + chunk_idx AS cid,
+       |    substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200) AS chunk
+       |  FROM ech
+       |), toks AS (
+       |  SELECT cid,
+       |    CASE WHEN len(regexp_replace(chunk, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+       |         ELSE string_split_regex(regexp_replace(chunk, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+       |  FROM ch
+       |), dl AS (
+       |  SELECT cid, len(ts) AS dl, ts FROM toks
+       |), posting AS (
+       |  SELECT cid, dl, unnest(ts) AS term FROM dl
+       |), tf AS (
+       |  SELECT cid, dl, term, count(*) AS tf FROM posting GROUP BY 1, 2, 3
+       |), consts AS (
+       |  SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+       |), q(qid, term) AS (
+       |  VALUES (1, 'query'), (1, 'hash'), (1, 'join'),
+       |         (2, 'window'), (2, 'agg'), (2, 'fast'),
+       |         (3, 'customer'), (3, 'order'), (3, 'value'), (3, 'part')
+       |), m AS (
+       |  SELECT tf.cid, tf.dl, tf.term, tf.tf
+       |  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+       |), dfq AS (
+       |  SELECT term, count(*) AS df FROM m GROUP BY term
+       |), contrib AS (
+       |  SELECT m.cid, m.term,
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |      ((tf * ${1.2 + 1.0}) / (tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * dl / avgdl))) AS c
+       |  FROM m JOIN dfq USING (term) CROSS JOIN consts
+       |), sc AS (
+       |  SELECT qid, cid,
+       |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
+       |  FROM contrib JOIN q USING (term) GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT qid, cid, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+       |  FROM sc
+       |)
+       |SELECT qid, rank, cid // 1000 AS doc_id, cid % 1000 AS chunk_idx,
+       |  round(score, 6) + 0.0 AS score_r
+       |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** The q84 BM25 derivation over an optionally FILTERED corpus — the
     * takedown oracle (q256) injects the survivor predicate and thereby
     * pins post-delete search ≡ rebuild-without-the-docs. */
@@ -2584,57 +2641,13 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // RAG chunk retrieval: the q86 chunker -> surrogate chunk ids ->
     // the q84 BM25 chain at chunk grain -> integer provenance back to
     // (doc_id, chunk_idx)
-    "q269_rag_chunks" ->
-      s"""WITH n AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN len(text) <= 200 THEN 1
-         |         ELSE CAST(ceil(CAST(len(text) - 200 AS DOUBLE) / 150.0) AS BIGINT) + 1 END AS nc
-         |  FROM documents WHERE text IS NOT NULL
-         |), ech AS (
-         |  SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM n
-         |), ch AS (
-         |  SELECT doc_id * 1000 + chunk_idx AS cid,
-         |    substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200) AS chunk
-         |  FROM ech
-         |), toks AS (
-         |  SELECT cid,
-         |    CASE WHEN len(regexp_replace(chunk, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
-         |         ELSE string_split_regex(regexp_replace(chunk, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
-         |  FROM ch
-         |), dl AS (
-         |  SELECT cid, len(ts) AS dl, ts FROM toks
-         |), posting AS (
-         |  SELECT cid, dl, unnest(ts) AS term FROM dl
-         |), tf AS (
-         |  SELECT cid, dl, term, count(*) AS tf FROM posting GROUP BY 1, 2, 3
-         |), consts AS (
-         |  SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
-         |), q(qid, term) AS (
-         |  VALUES (1, 'query'), (1, 'hash'), (1, 'join'),
-         |         (2, 'window'), (2, 'agg'), (2, 'fast'),
-         |         (3, 'customer'), (3, 'order'), (3, 'value'), (3, 'part')
-         |), m AS (
-         |  SELECT tf.cid, tf.dl, tf.term, tf.tf
-         |  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
-         |), dfq AS (
-         |  SELECT term, count(*) AS df FROM m GROUP BY term
-         |), contrib AS (
-         |  SELECT m.cid, m.term,
-         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
-         |      ((tf * ${1.2 + 1.0}) / (tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * dl / avgdl))) AS c
-         |  FROM m JOIN dfq USING (term) CROSS JOIN consts
-         |), sc AS (
-         |  SELECT qid, cid,
-         |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
-         |  FROM contrib JOIN q USING (term) GROUP BY 1, 2
-         |), rk AS (
-         |  SELECT qid, cid, score,
-         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
-         |  FROM sc
-         |)
-         |SELECT qid, rank, cid // 1000 AS doc_id, cid % 1000 AS chunk_idx,
-         |  round(score, 6) + 0.0 AS score_r
-         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q269_rag_chunks" -> ragChunksSql,
+
+    // chunk-grain retrieval SERVING: the same search answered from the
+    // PERSISTED chunk index (built once per sf dir), so it shares
+    // q269's oracle verbatim — the q248 serve-forever discipline at
+    // chunk grain
+    "q274_rag_chunks_served" -> ragChunksSql,
 
     // sharded-export manifest: md5-prefix shard routing, exact counts,
     // order-independent integer id checksums

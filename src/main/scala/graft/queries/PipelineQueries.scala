@@ -100,6 +100,27 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Persisted CHUNK-GRAIN BM25 index keyed by sf dir (q274): the q269
+    * chunk frame (q86 chunker + surrogate `cid` carrying integer
+    * provenance back to (doc_id, chunk_idx)) saved once with
+    * [[graft.ops.Retrieval.saveBm25Index]] — RAG retrieval with the
+    * q248 build-once/serve-forever discipline, pointing INTO the
+    * document instead of at it. */
+  private[queries] object Bm25ChunkServeState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(chunks: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-bm25-chunk").toString
+            graft.ops.Retrieval.saveBm25Index(chunks, "cid", "chunk", p, numBuckets = 32)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Post-TAKEDOWN BM25 index keyed by sf dir (q256): a fresh index
     * over `documents` with every `doc_id % 7 == 3` document REMOVED via
     * [[graft.ops.Retrieval.removeFromBm25Index]] — the oracle rebuilds
@@ -2905,6 +2926,28 @@ object PipelineQueries extends OracleSqlStatic {
         (3L, "customer order value part"))).toDF("qid", "qtext")
       graft.ops.Retrieval.bm25Search(chunks, "cid", "chunk", qs, "qid", "qtext",
           topK = 5)
+        .select(col("qid"), col("rank"),
+          expr("cid div 1000").as("doc_id"),
+          pmod(col("cid"), lit(1000L)).as("chunk_idx"),
+          roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
+    },
+
+    "q274_rag_chunks_served" -> { (s, dir) =>
+      // q269 answered from the PERSISTED chunk-grain index: build once
+      // per sf dir, serve via the bucket-pruned preindexed search, map
+      // the surrogate cid back to (doc_id, chunk_idx) — shares q269's
+      // oracle verbatim (same chunker, same postings arithmetic)
+      val chunks = graft.ops.Retrieval.chunkText(
+          t(s, dir, "documents"), "doc_id", "text", chunkSize = 200, overlap = 50)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+      val idx = Bm25ChunkServeState.forDir(chunks, dir)
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25SearchPreindexed(
+          s, idx, qs, "qid", "qtext", topK = 5)
         .select(col("qid"), col("rank"),
           expr("cid div 1000").as("doc_id"),
           pmod(col("cid"), lit(1000L)).as("chunk_idx"),

@@ -814,8 +814,8 @@ object StreamingEval {
     if (vs.length < minVersions) return
     transform(spark.read.parquet(vs.map(v => s"$indexPath/$v"): _*).distinct())
       .write.mode("overwrite").parquet(staging.toString)
-    val out = fs.create(marker, true)
-    out.write((vs.last +: vs).mkString("\n").getBytes("UTF-8")); out.close()
+    graft.ops.IndexCommit.atomicWrite(fs, marker,
+      (vs.last +: vs).mkString("\n").getBytes("UTF-8"))
     commit()
   }
 
@@ -880,8 +880,12 @@ object StreamingEval {
       val spark = batch.sparkSession
       // the batch feeds TWO consumers (counters, consensus) — persist so
       // both read one evaluation (micro-batches are offset-pinned, but
-      // the cache removes even the re-read)
-      val b = graft.Checkpoints.trackCache(batch.persist())
+      // the cache removes even the re-read). Plain persist/unpersist, NOT
+      // Checkpoints.trackCache: that registry drains only at freeAll, a
+      // barrier a long-running stream never reaches, so its strong
+      // per-batch references would grow driver memory for the stream's
+      // lifetime. unpersist() below clears the CacheManager entry too.
+      val b = batch.persist()
       val bc = graft.ops.Judges.judgeCounters(b, itemCol, judgeCol, labelCol)
       val merged = loadScd2History(spark, statePath, beforeVersion = Some(batchId)) match {
         case Some(h) => h.select(col(judgeCol), col("n_judged"), col("n_agree"))
@@ -897,7 +901,7 @@ object StreamingEval {
       graft.ops.Judges.consensusWithCounters(
           b, counters, itemCol, judgeCol, labelCol)
         .write.mode("append").parquet(outPath)
-      graft.Checkpoints.free(b)
+      b.unpersist(blocking = false)
       ()
     }
 
@@ -1040,8 +1044,9 @@ object StreamingEval {
         Seq(idCol), "left_anti")
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "data").toString)
-    val out = fs.create(new org.apache.hadoop.fs.Path(staging, "_COMMIT"), true)
-    out.write(live.mkString("\n").getBytes("UTF-8")); out.close()
+    graft.ops.IndexCommit.atomicWrite(fs,
+      new org.apache.hadoop.fs.Path(staging, "_COMMIT"),
+      live.mkString("\n").getBytes("UTF-8"))
   }
 
   /** The idempotent commit the `_COMMIT` marker describes: delete the

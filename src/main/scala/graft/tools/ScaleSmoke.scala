@@ -333,6 +333,17 @@ object ScaleSmoke {
         graft.ops.BpeTrain.train(dN, "text", 12)
       }
 
+      // BPE vocab-growth asymptote: batched rounds must keep merges/sec
+      // roughly flat as numMerges grows (one aggregation ladder commits
+      // a whole symbol-disjoint batch, not one merge)
+      for (nm <- Seq(24, 96)) {
+        val t0 = System.nanoTime()
+        val got = graft.ops.BpeTrain.train(dN, "text", nm)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"bpe train $nm merges ($nDocs docs): $dt%.1fs = " +
+          f"${got.size / dt}%.1f merges/sec (learned ${got.size})")
+      }
+
       // sampled quantiles under a degenerate group: 90% of rows share one
       // key, state stays k rows per group (the exact-percentile blowup
       // this operator exists to avoid)

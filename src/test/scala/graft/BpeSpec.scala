@@ -180,4 +180,43 @@ class BpeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](BpeTrain.loadBpe(spark, path))
     assert(e.getMessage.contains("torn"), e.getMessage)
   }
+
+  test("batched train ≡ sequential train on interacting and disjoint corpora") {
+    // adversarial corpora: chained runs where a merge creates a NEW pair
+    // that must win the very next rank (the batch prefix rule must stop
+    // rather than commit the stale runner-up), self-pairs, ties broken
+    // by binary order, and a flat corpus where everything is disjoint
+    // and the batch can legally be large
+    val corpora = Seq(
+      toyDocs,
+      Seq("abababab ababab abab", "ab ba ab ba"), // (a,b) -> dominant (ab,ab)
+      Seq("aaaa aaa aa a", "aaaaaa aaaaa"), // self-pair chains
+      Seq("xy xz yx zy", "qr st uv wx"), // many disjoint count-1 ties
+      Seq("the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs"))
+    for (docs <- corpora; n <- Seq(4, 10)) {
+      val df = docs.map(Tuple1(_)).toDF("text")
+      val seqM = BpeTrain.trainSequential(df, "text", n)
+      for (batch <- Seq(2, 8, 64)) {
+        val batM = BpeTrain.train(df, "text", n, maxBatch = batch)
+        assert(batM == seqM,
+          s"maxBatch=$batch diverged on ${docs.head.take(20)}...: " +
+            s"batched=$batM sequential=$seqM")
+      }
+    }
+  }
+
+  test("batched train commits multiple merges per round on a disjoint corpus") {
+    // interior pairs with strictly descending counts and disjoint symbols
+    // (doubled inside each word so they outrank every </w> pair): the
+    // prefix rule must accept all three in ONE round — the merges/job
+    // ratio the 32k-vocab asymptote depends on — and still match the
+    // sequential reference exactly
+    val docs = (Seq.fill(5)("ababi") ++ Seq.fill(4)("cdcdj") ++
+      Seq.fill(3)("efefk")).map(Tuple1(_)).toDF("text")
+    val m = BpeTrain.train(docs, "text", numMerges = 4, maxBatch = 64)
+    assert(m.take(3).map(x => (x.left, x.right, x.pairCount)) ==
+      Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)))
+    assert(m == BpeTrain.trainSequential(docs, "text", 4))
+  }
 }
