@@ -329,6 +329,23 @@ object ExamplePipeline {
       graft.ops.Similarity.loadIvfCentroids(spark, servingDir), nProbe = 4)
     println(s"ivf serving: ${served.count()} answers from the persisted index")
 
+    // 29b. RAG retrieval serving at CHUNK grain: chunk the corpus with
+    //      integer provenance (cid = doc_id*1000 + chunk_idx), persist a
+    //      chunk-grain BM25 index ONCE, then serve queries from it and
+    //      map hits back INTO the document — the build-once/serve-forever
+    //      discipline for retrieval that points at a passage, not a doc
+    val chunkIdxDir = java.nio.file.Files.createTempDirectory("graft-chunk-serve").toString
+    val ragChunks = Retrieval.chunkText(docs, "doc_id", "text",
+        chunkSize = 200, overlap = 50)
+      .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+    Retrieval.saveBm25Index(ragChunks, "cid", "chunk", chunkIdxDir, numBuckets = 32)
+    val ragHits = Retrieval.bm25SearchPreindexed(spark, chunkIdxDir,
+        queries, "qid", "qtext", topK = 3)
+      .select(col("qid"), col("rank"),
+        expr("cid div 1000").as("doc_id"), pmod(col("cid"), lit(1000L)).as("chunk_idx"))
+    println(s"chunk-grain rag serving: ${ragHits.count()} passage hits " +
+      "with (doc_id, chunk_idx) provenance")
+
     // 30. corpus observability: where would a big join melt (skew), what
     //     changed between crawl snapshots (token drift), how derivative
     //     is the new slice (n-gram novelty), and the exact frequent

@@ -356,6 +356,59 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |${dsOutputSql(s"cur$iters")}""".stripMargin
   }
 
+  /** Soft Dawid–Skene (q276): the q258 EM re-run pins the final round's
+    * estimates and hard winner, then the per-(item, label) LINEAR mass —
+    * the same Laplace-smoothed cell rationals folded multiplicatively in
+    * judge order (initial 1.0), times the prior — divides by the hard
+    * winner's mass and normalizes over the label-ordered ratio sum,
+    * mirroring [[graft.ops.Judges.dawidSkenePosteriors]] double for
+    * double (`exp` never enters either engine). */
+  private def dsPosteriorsSql(iters: Int): String = {
+    val rounds = (1 to iters).map(r =>
+      dsRoundCtes(r, if (r == 1) "cur0" else s"cur${r - 1}")).mkString(",\n")
+    s"""WITH $judgePanelCtes,
+       |lab AS MATERIALIZED (SELECT DISTINCT label FROM v),
+       |cur0 AS MATERIALIZED (
+       |  SELECT doc_id, label AS t FROM (
+       |    SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n
+       |    FROM v GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) = 1
+       |),
+       |$rounds,
+       |mass AS MATERIALIZED (
+       |  SELECT q.doc_id, q.t,
+       |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+       |      list(q.r ORDER BY q.judge)), (a, b) -> a * b) AS prod
+       |  FROM (
+       |    SELECT v.doc_id, v.judge, lab.label AS t,
+       |      CAST(coalesce(num.n, 0) + 1 AS DOUBLE) /
+       |        (coalesce(den.d, 0) + (SELECT count(*) FROM lab)) AS r
+       |    FROM v CROSS JOIN lab
+       |    LEFT JOIN num$iters num
+       |      ON num.judge = v.judge AND num.t = lab.label AND num.o = v.label
+       |    LEFT JOIN den$iters den ON den.judge = v.judge AND den.t = lab.label
+       |  ) q GROUP BY q.doc_id, q.t
+       |), pm AS MATERIALIZED (
+       |  SELECT m.doc_id, m.t, pri.pi * m.prod AS p
+       |  FROM mass m JOIN pri$iters pri ON pri.t = m.t
+       |), pw AS MATERIALIZED (
+       |  SELECT pm.doc_id, pm.p AS pwin
+       |  FROM pm JOIN cur$iters w ON w.doc_id = pm.doc_id AND w.t = pm.t
+       |), rt AS MATERIALIZED (
+       |  SELECT pm.doc_id, pm.t, pm.p / pw.pwin AS q
+       |  FROM pm JOIN pw USING (doc_id)
+       |), zn AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(q ORDER BY t)), (a, b) -> a + b) AS z
+       |  FROM rt GROUP BY doc_id
+       |)
+       |SELECT rt.doc_id, rt.t AS label,
+       |  round(rt.q / zn.z, 6) + 0.0 AS posterior_r,
+       |  rt.t = w.t AS is_consensus
+       |FROM rt JOIN zn USING (doc_id) JOIN cur$iters w USING (doc_id)
+       |ORDER BY rt.doc_id, rt.t""".stripMargin
+  }
+
   /** Gold-anchored consensus (q259): confusions and prior from the gold
     * items only, one scoring pass over every voted item. */
   private lazy val goldJudgesSql: String =
@@ -2654,6 +2707,49 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     "q268_shard_manifest" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'm14'), 1, 8)) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |)
+        |SELECT h % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) AS BIGINT) AS id_checksum
+        |FROM h GROUP BY h % 8 ORDER BY shard""".stripMargin,
+
+    // iterated DoReMi: q265's losses through TWO MW rounds, each
+    // renormalizing over the sorted-domain fold and mixing toward
+    // uniform — round 1 is exactly q265's weight, round 2 multiplies it
+    // by the same linearized factor and repeats the fold
+    "q275_reweight_iterated" -> (domainReweightCtes +
+      s"""
+         |, w1 AS MATERIALIZED (
+         |  SELECT domain, excess,
+         |    CAST(0.75 AS DOUBLE) * (raw / z) + CAST(0.25 AS DOUBLE) / k AS w
+         |  FROM x, zz
+         |), r2 AS MATERIALIZED (
+         |  SELECT domain, excess,
+         |    w * (CAST(1.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) * excess) AS raw
+         |  FROM w1
+         |), z2 AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(raw ORDER BY domain NULLS FIRST)), (a, b) -> a + b) AS z,
+         |    CAST(count(*) AS BIGINT) AS k
+         |  FROM r2
+         |)
+         |SELECT domain, round(excess, 6) + 0.0 AS excess_r,
+         |  round(CAST(0.75 AS DOUBLE) * (raw / z) + CAST(0.25 AS DOUBLE) / k, 6)
+         |    + 0.0 AS weight_r
+         |FROM r2, z2 ORDER BY domain NULLS FIRST""".stripMargin),
+
+    // soft Dawid-Skene: the full EM re-run (q258's rounds), then the
+    // final round's per-(item, label) LINEAR mass (judge-ordered
+    // multiplicative folds of the same smoothed rationals), normalized
+    // by the hard winner's mass and the label-ordered ratio sum
+    "q276_ds_posteriors" -> dsPosteriorsSql(2),
+
+    // incremental shard export: write-once(2/3) + append(1/3) must
+    // publish the manifest of the UNION — the oracle derives it from
+    // the whole corpus directly
+    "q277_shard_append" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'm15'), 1, 8)) AS BIGINT) AS h
         |  FROM documents WHERE doc_id IS NOT NULL
         |)
         |SELECT h % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,

@@ -121,6 +121,30 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Incremental shard EXPORT keyed by sf dir (q277): two thirds of the
+    * corpus delivered via [[graft.io.Layout.writeShardsWithManifest]],
+    * the last third appended through the marker-fenced
+    * [[graft.io.Layout.appendShardsWithManifest]] — the served manifest
+    * must equal a write-once export of the union. */
+  private[queries] object ShardAppendState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(docs: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-shard-app").toString
+            graft.io.Layout.writeShardsWithManifest(
+              docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+              "doc_id", p, numShards = 8, salt = "m15")
+            graft.io.Layout.appendShardsWithManifest(
+              docs.filter(pmod(col("doc_id"), lit(3)) === 0), p)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Post-TAKEDOWN BM25 index keyed by sf dir (q256): a fresh index
     * over `documents` with every `doc_id % 7 == 3` document REMOVED via
     * [[graft.ops.Retrieval.removeFromBm25Index]] — the oracle rebuilds
@@ -2953,6 +2977,63 @@ object PipelineQueries extends OracleSqlStatic {
           pmod(col("cid"), lit(1000L)).as("chunk_idx"),
           roundz(col("score"), 6).as("score_r"))
         .orderBy("qid", "rank")
+    },
+
+    "q275_reweight_iterated" -> { (s, dir) =>
+      // DoReMi's published LOOP instead of one MW step: q265's losses
+      // through TWO linearized multiplicative-weights rounds, each
+      // renormalizing over the sorted-domain fold and mixing toward
+      // uniform — the oracle unrolls both rounds term for term
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val cyc = pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(2))
+      val losses = d.groupBy(col("source").as("domain")).agg(
+        (sum(when(cyc === 0, col("n_chars")).otherwise(lit(0L))).cast("double") /
+          sum(when(cyc === 0, 1L).otherwise(0L)).cast("double")).as("ref_loss"),
+        (sum(when(cyc === 1, col("n_chars")).otherwise(lit(0L))).cast("double") /
+          sum(when(cyc === 1, 1L).otherwise(0L)).cast("double")).as("proxy_loss"))
+      graft.ops.Mixture.domainReweight(losses, "domain", "ref_loss", "proxy_loss",
+        eta = 2.0, smoothing = 0.25, iters = 2)
+        .orderBy("domain")
+    },
+
+    "q276_ds_posteriors" -> { (s, dir) =>
+      // soft Dawid-Skene over q258's five-judge panel: the final EM
+      // round's FULL per-(item, label) posterior (linear-domain ordered
+      // products, normalized by the hard winner's mass — no exp), with
+      // the hard consensus marked; posteriors sum to 1 per item and the
+      // oracle re-runs the whole EM plus the product folds
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def judge(name: String, label: Column) =
+        d.select(col("doc_id"), lit(name).as("judge"), label.as("label"))
+      val nTok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val nDist = size(graft.expressions.WordGrams.distinctTokens(col("text")))
+      val uh = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("graft-judge"))), 1, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      val votes = judge("len", when(col("n_chars") >= 300, "hi").otherwise("lo"))
+        .unionByName(judge("tok", when(nTok >= 50, "hi").otherwise("lo")))
+        .unionByName(judge("dtr",
+          when(nTok > 0 && lit(2) * nDist >= nTok, "hi").otherwise("lo")))
+        .unionByName(judge("lang", when(col("lang") === "en", "hi").otherwise("lo")))
+        .unionByName(judge("fuzz", when(uh >= 0.5, "hi").otherwise("lo")))
+      graft.ops.Judges.dawidSkenePosteriors(votes, "doc_id", "judge", "label",
+          iters = 2)
+        .orderBy("doc_id", "label")
+    },
+
+    "q277_shard_append" -> { (s, dir) =>
+      // incremental delivery: two thirds of the corpus exported with
+      // writeShardsWithManifest, the last third APPENDED through the
+      // marker-fenced appendShardsWithManifest — the published manifest
+      // must equal the oracle's derivation over the UNION (append ≡
+      // write-once, counts and checksums additive-exact)
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val p = ShardAppendState.forDir(d, dir)
+      s.read.parquet(s"$p/manifest")
+        .select(col("shard"), col("n_rows"), col("id_checksum"))
+        .orderBy("shard")
     },
 
     "q268_shard_manifest" -> { (s, dir) =>

@@ -223,6 +223,48 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(allTables(dir) == b2)
   }
 
+  test("chunk-grain index: doc takedown removes ALL its chunks; append a doc's chunks; serve ≡ rebuild") {
+    // the q269/q274 RAG shape: documents chunked to (cid = doc_id*1000 +
+    // chunk_idx, chunk), indexed at CHUNK grain — a document takedown
+    // must forget every chunk of the doc (the provenance join makes the
+    // cid set exact), and appending a new document adds all its chunks
+    def chunksOf(docs: Seq[(Long, String)]): DataFrame =
+      Retrieval.chunkText(docs.toDF("doc_id", "text"), "doc_id", "text",
+          chunkSize = 12, overlap = 4)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+    val longDocs = Seq(
+      (1L, "spark shuffles data between stages and resizes partitions"),
+      (2L, "broadcast joins avoid the shuffle on small dimension tables"),
+      (3L, "catalyst prunes columns and partitions before the scan"))
+    val dir = tmp("bm25-chunk")
+    Retrieval.saveBm25Index(chunksOf(longDocs), "cid", "chunk", dir, numBuckets = 8)
+    def serve(d: String) = Retrieval.bm25SearchPreindexed(
+        spark, d, Seq((1L, "shuffle partitions"), (2L, "broadcast tables"))
+          .toDF("qid", "qtext"), "qid", "qtext", topK = 5)
+      .collect().map(_.toSeq).toSet
+    // takedown doc 2: its cid set comes from the chunk frame itself
+    // (provenance), so every chunk goes — no orphan postings
+    val doomed = chunksOf(longDocs.filter(_._1 == 2L)).select("cid")
+    Retrieval.removeFromBm25Index(doomed, dir)
+    val want = tmp("bm25-chunk-want")
+    Retrieval.saveBm25Index(chunksOf(longDocs.filterNot(_._1 == 2L)),
+      "cid", "chunk", want, numBuckets = 8)
+    for (t <- Seq("postings", "terms", "doclens", "stats"))
+      assert(tableRows(dir, t) == tableRows(want, t), s"$t diverged after doc takedown")
+    assert(serve(dir) == serve(want))
+    assert(!serve(dir).exists(r => r(2).asInstanceOf[Long] / 1000L == 2L),
+      "no chunk of the removed doc may serve")
+    // append a new doc: all its chunks join the index
+    val doc4 = Seq((4L, "adaptive execution salts the skewed shuffle keys"))
+    Retrieval.appendToBm25Index(chunksOf(doc4), "chunk", dir)
+    val want2 = tmp("bm25-chunk-want2")
+    Retrieval.saveBm25Index(chunksOf(longDocs.filterNot(_._1 == 2L) ++ doc4),
+      "cid", "chunk", want2, numBuckets = 8)
+    for (t <- Seq("postings", "terms", "doclens", "stats"))
+      assert(tableRows(dir, t) == tableRows(want2, t), s"$t diverged after doc append")
+    assert(serve(dir) == serve(want2))
+  }
+
   test("bm25 id typing: int ids serve as long (empty or not); string ids refuse up front") {
     // INT-typed ids: the heap serves longs; the EMPTY batch must match
     val dir = tmp("bm25-intid")

@@ -365,4 +365,55 @@ class JudgesSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("alpha"), bad.getMessage)
   }
+
+  test("dawidSkenePosteriors: sum to 1 per item, argmax row ≡ hard output") {
+    val post = Judges.dawidSkenePosteriors(rareClassVotes, "item", "judge", "label")
+      .collect()
+    val hard = byKey(Judges.dawidSkene(rareClassVotes, "item", "judge", "label"), "item")
+    val byItem = post.groupBy(_.getAs[Long]("item"))
+    assert(byItem.keySet == (1L to 30L).toSet)
+    byItem.foreach { case (item, rows) =>
+      // one row per alphabet label, posteriors sum to 1 at 6dp
+      assert(rows.map(_.getAs[String]("label")).sorted.toSeq == Seq("b", "g"))
+      val s = rows.map(_.getAs[Double]("posterior_r")).sum
+      assert(math.abs(s - 1.0) <= 2e-6, s"item $item posteriors sum to $s")
+      // exactly the hard winner's row is marked, and it carries the max
+      val marked = rows.filter(_.getAs[Boolean]("is_consensus"))
+      assert(marked.length == 1)
+      assert(marked.head.getAs[String]("label") ==
+        hard(item).getAs[String]("consensus"))
+      assert(marked.head.getAs[Double]("posterior_r") ==
+        rows.map(_.getAs[Double]("posterior_r")).max)
+    }
+    // partition invariance (the ordered folds are partition-free)
+    val again = Judges.dawidSkenePosteriors(
+      rareClassVotes.repartition(13), "item", "judge", "label")
+      .collect().map(_.toSeq).toSet
+    assert(again == post.map(_.toSeq).toSet)
+  }
+
+  test("maxConfusionCells: a wide judge set refuses loudly, a panel passes") {
+    // 600 judges x 2 labels^2 = 2400 cells > 1000 → loud refusal BEFORE
+    // any broadcast; the same corpus passes with the ceiling raised
+    val wide = (1 to 600).flatMap(j =>
+      Seq((1L, s"j$j", "good"), (2L, s"j$j", "bad"))).toDF("item", "judge", "label")
+    val e = intercept[IllegalArgumentException] {
+      Judges.dawidSkene(wide, "item", "judge", "label", maxConfusionCells = 1000L)
+    }
+    assert(e.getMessage.contains("confusion cells") &&
+      e.getMessage.contains("judgeConsensus"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Judges.goldAnchoredConsensus(wide, Seq((1L, "good")).toDF("item", "gold"),
+        "item", "judge", "label", "gold", maxConfusionCells = 1000L)
+    }
+    assert(e2.getMessage.contains("confusion cells"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Judges.dawidSkenePosteriors(wide, "item", "judge", "label",
+        maxConfusionCells = 1000L)
+    }
+    assert(e3.getMessage.contains("confusion cells"), e3.getMessage)
+    // panel-sized passes under the same explicit ceiling
+    assert(Judges.dawidSkene(rareClassVotes, "item", "judge", "label",
+      maxConfusionCells = 1000L).count() == 30L)
+  }
 }

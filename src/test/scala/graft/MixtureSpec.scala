@@ -32,6 +32,48 @@ class MixtureSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-5, s"weights sum to ~1, got $total")
   }
 
+  test("domainReweight iterated: iters=1 ≡ single step; 2 rounds correct the over-weighted tail") {
+    val losses = Seq(
+      ("a", 2.0, 2.5), ("b", 3.0, 2.0), ("c", 1.0, 2.5)
+    ).toDF("domain", "ref_loss", "proxy_loss")
+    // iters = 1 is BIT-identical to the historical single-step output
+    val one = Mixture.domainReweight(
+      losses, "domain", "ref_loss", "proxy_loss", eta = 2.0, smoothing = 0.1)
+      .collect().map(_.toSeq).toSet
+    val oneExplicit = Mixture.domainReweight(
+      losses, "domain", "ref_loss", "proxy_loss", eta = 2.0, smoothing = 0.1,
+      iters = 1).collect().map(_.toSeq).toSet
+    assert(one == oneExplicit)
+    // two rounds: the MW replay in plain Scala — per round multiply by
+    // (1 + η·excess), renormalize over the sorted-domain fold, mix
+    // toward uniform — must match double for double
+    val excess = Map("a" -> 0.5, "b" -> 0.0, "c" -> 1.5)
+    var w = Seq("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    for (_ <- 1 to 2) {
+      val raw = w.map { case (d, wd) => d -> wd * (1.0 + 2.0 * excess(d)) }
+      val z = raw.foldLeft(0.0)(_ + _._2)
+      w = raw.map { case (d, r) => d -> (0.9 * (r / z) + 0.1 / 3) }
+    }
+    val two = byKey(Mixture.domainReweight(
+      losses, "domain", "ref_loss", "proxy_loss", eta = 2.0, smoothing = 0.1,
+      iters = 2), "domain")
+    w.foreach { case (d, wd) =>
+      val exp = BigDecimal(wd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(two(d).getAs[Double]("weight_r") == exp, s"domain $d")
+    }
+    // the fix the loop exists for: one round systematically over-weights
+    // the low-excess tail relative to where the MW iteration is headed —
+    // round 2 moves mass from b (excess 0) toward c (excess 1.5)
+    val oneMap = one.map(r => r.head.asInstanceOf[String] ->
+      r(2).asInstanceOf[Double]).toMap
+    assert(two("b").getAs[Double]("weight_r") < oneMap("b"),
+      "2-round fit must shrink the zero-excess domain a 1-round fit over-weights")
+    assert(two("c").getAs[Double]("weight_r") > oneMap("c"))
+    intercept[IllegalArgumentException] {
+      Mixture.domainReweight(losses, "domain", "ref_loss", "proxy_loss", iters = 0)
+    }
+  }
+
   test("domainReweight: duplicate domain, null loss, bad params refuse loudly") {
     val dup = Seq(("a", 1.0, 2.0), ("a", 1.0, 3.0)).toDF("domain", "ref_loss", "proxy_loss")
     val e1 = intercept[IllegalArgumentException] {

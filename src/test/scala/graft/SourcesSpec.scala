@@ -183,4 +183,66 @@ class SourcesSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("null id"), err.getMessage)
   }
+
+  test("shard append: save+append ≡ save-once, marker replay converges, unmarked stage discards") {
+    import spark.implicits._
+    import graft.io.Layout
+    import graft.ops.IndexCommit
+    import org.apache.hadoop.fs.Path
+    val all = (1L to 300L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+    val first = all.filter(col("id") <= 200L)
+    val inc = all.filter(col("id") > 200L)
+    // append path
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-app").toString
+    Layout.writeShardsWithManifest(first, "id", out, numShards = 4, salt = "x")
+    Layout.appendShardsWithManifest(inc, out)
+    // write-once reference over the union
+    val ref = java.nio.file.Files.createTempDirectory("graft-shard-ref").toString
+    Layout.writeShardsWithManifest(all, "id", ref, numShards = 4, salt = "x")
+    def manifest(p: String) = spark.read.parquet(s"$p/manifest")
+      .select("shard", "n_rows", "id_checksum").collect().map(_.toSeq).toSet
+    assert(manifest(out) == manifest(ref),
+      "append must publish the manifest of the union")
+    assert(spark.read.parquet(s"$out/data").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 300L))
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+    // same-id rows keep landing in the same shard across the append
+    val shardOf = spark.read.parquet(s"$out/data")
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refShard = spark.read.parquet(s"$ref/data")
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shardOf == refShard)
+    // crash AFTER the marker: hand-stage a second increment exactly as
+    // append does (the md5 routing recipe is part of the manifest
+    // contract), write the marker, "crash", recover — the export must
+    // converge to the post-append state
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val inc2 = (301L to 340L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+    val staging = IndexCommit.stagingDir(out)
+    val h = conv(substring(md5(concat(col("id").cast("string"), lit("x"))), 1, 8),
+      16, 10).cast("long")
+    Layout.writePartitioned(inc2.withColumn("shard", pmod(h, lit(4L))),
+      s"$staging/data", Seq("shard"))
+    Layout.shardManifest((1L to 340L).map(i => (i, s"p-$i")).toDF("id", "payload"),
+        "id", 4, "x")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/manifest")
+    IndexCommit.writeMarker(fs, new Path(out),
+      Seq("merge" -> "data", "swap" -> "manifest"))
+    assert(IndexCommit.recover(spark, out), "marked stage must replay")
+    assert(spark.read.parquet(s"$out/data").count() == 340L)
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+    assert(!fs.exists(new Path(staging)))
+    // crash BEFORE the marker (a torn atomicWrite leaves only .tmp):
+    // the unmarked stage is an incomplete write and must be discarded
+    fs.mkdirs(new Path(s"$staging/data"))
+    val tmp = fs.create(new Path(s"$staging/_COMMIT.tmp"), true)
+    tmp.write("merge data".getBytes("UTF-8")); tmp.close()
+    assert(!IndexCommit.recover(spark, out), "unmarked stage must discard")
+    assert(!fs.exists(new Path(staging)))
+    assert(spark.read.parquet(s"$out/data").count() == 340L,
+      "live tables untouched by a discarded stage")
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+  }
 }

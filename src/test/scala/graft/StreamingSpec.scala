@@ -687,6 +687,61 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("flat ingest-index compaction: append-heavy stream, then one file-set, bit-identical vetting") {
+    // the BM25/IVF/span compaction pin for the FLAT indexes:
+    // removeFromIngestIndex doubles as the compaction point (even with
+    // nothing to remove), so a long append-heavy ingest stream must
+    // fold to a bounded file listing and serve bit-identically after
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    def doc(i: Int) = ('a' to 'l').map(c => s"w$i$c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-compact").toString
+    val indexPath = s"$dir/index"
+    import spark.implicits._
+    Dedup.polySignatures(Seq((0L, doc(0))).toDF("doc_id", "text"), "text", "doc_id")
+      .write.parquet(indexPath)
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.textIngestStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", indexPath)
+      .start()
+    try {
+      // 8 micro-batches of fresh docs: each admission appends a file-set
+      (1 to 8).foreach { i =>
+        input.addData((i.toLong, doc(i)))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def rows(p: String) = spark.read.parquet(p)
+      .collect().map(_.toSeq).toSet
+    val filesBefore = files(indexPath)
+    val rowsBefore = rows(indexPath)
+    assert(rowsBefore.map(_.head) == (0L to 8L).map(x => x: Any).toSet)
+    assert(filesBefore >= 9, s"append-heavy stream should litter files, saw $filesBefore")
+    // compaction = takedown with nothing to remove (stream stopped — the
+    // one-writer contract)
+    graft.streaming.StreamingEval.removeFromIngestIndex(
+      spark, indexPath, Seq.empty[Long].toDF("doc_id"), "doc_id")
+    assert(rows(indexPath) == rowsBefore, "compaction must not change content")
+    assert(files(indexPath) < filesBefore,
+      s"compaction must bound the listing: $filesBefore -> ${files(indexPath)}")
+    // the compacted index keeps vetting bit-identically: a restarted
+    // stream rejects a copy of an old admission, admits a fresh doc
+    val input2 = MemoryStream[(Long, String)]
+    val query2 = graft.streaming.StreamingEval.textIngestStream(
+        input2.toDF().toDF("doc_id", "text"), "text", "doc_id", indexPath)
+      .start()
+    try {
+      input2.addData((100L, doc(3)), (101L, doc(99)))
+      query2.processAllAvailable()
+      val after = spark.read.parquet(indexPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(after == (0L to 8L).toSet + 101L,
+        s"compacted index must keep rejecting dups: $after")
+    } finally query2.stop()
+  }
+
   test("streaming audio fingerprinting matches batch (stateless decode)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.AudioCodecs
