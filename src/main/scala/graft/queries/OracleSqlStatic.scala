@@ -566,6 +566,14 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     * takedown oracle (q256) injects the survivor predicate and thereby
     * pins post-delete search ≡ rebuild-without-the-docs. */
   private def bm25OracleSqlFor(corpusWhere: String): String =
+    s"""${bm25RunCtes(corpusWhere)}
+       |SELECT qid, rank, doc_id, round(score, 6) + 0.0 AS score_r
+       |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** The q84 CTE chain alone (`WITH toks ... rk`) — reused by the
+    * ranking-evaluation oracle (q278), which appends its own qrels and
+    * metric CTEs over the `rk` run. */
+  private def bm25RunCtes(corpusWhere: String): String =
     s"""WITH toks AS (
          |  SELECT doc_id,
          |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
@@ -601,9 +609,7 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |  SELECT qid, doc_id, score,
          |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
          |  FROM sc
-         |)
-         |SELECT qid, rank, doc_id, round(score, 6) + 0.0 AS score_r
-         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+         |)""".stripMargin
 
   /** q235's full entity-canonicalization derivation — shared verbatim
     * by the incremental-loop replay q252 (increment == rebuild). */
@@ -2712,6 +2718,50 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |SELECT h % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(h) AS BIGINT) AS id_checksum
         |FROM h GROUP BY h % 8 ORDER BY shard""".stripMargin,
+
+    // graded ranking evaluation of the q84 BM25 run against derived
+    // qrels (docs containing each query's head term, grade 1 + id%3):
+    // MRR / P@10 / recall@10 / nDCG@10 per query, every discount
+    // spelled ln(x)/ln(2) so both engines run the same libm calls and
+    // every sum is a rank- or ideal-ordered fold
+    "q278_ranking_eval" -> (bm25RunCtes("") +
+      s""", topk AS (
+         |  SELECT qid, doc_id, rank AS r FROM rk WHERE rank <= 10
+         |), g AS MATERIALIZED (
+         |  SELECT q2.qid, d.doc_id, 1 + d.doc_id % 3 AS g
+         |  FROM documents d
+         |  CROSS JOIN (VALUES (1, 'query'), (2, 'window'), (3, 'customer')) q2(qid, term)
+         |  WHERE contains(d.text, q2.term)
+         |), ideal AS (
+         |  SELECT qid, count(*) AS n_judged,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(g AS DOUBLE) /
+         |        (ln(CAST(rn + 1 AS DOUBLE)) / CAST(${math.log(2.0)} AS DOUBLE))
+         |        ORDER BY rn)), (a, b) -> a + b) AS idcg
+         |  FROM (SELECT qid, g, row_number()
+         |          OVER (PARTITION BY qid ORDER BY g DESC, doc_id ASC) AS rn FROM g)
+         |  GROUP BY qid
+         |), met AS (
+         |  SELECT t.qid, count(*) AS n_retrieved,
+         |    CAST(sum(CASE WHEN g.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |    min(CASE WHEN g.g IS NOT NULL THEN t.r END) AS first_hit,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(coalesce(g.g, 0) AS DOUBLE) /
+         |        (ln(CAST(t.r + 1 AS DOUBLE)) / CAST(${math.log(2.0)} AS DOUBLE))
+         |        ORDER BY t.r)), (a, b) -> a + b) AS dcg
+         |  FROM topk t LEFT JOIN g ON g.qid = t.qid AND g.doc_id = t.doc_id
+         |  GROUP BY t.qid
+         |)
+         |SELECT i.qid, i.n_judged,
+         |  coalesce(m.n_retrieved, 0) AS n_retrieved,
+         |  coalesce(m.n_hits, 0) AS n_hits,
+         |  coalesce(round(1.0 / m.first_hit, 6) + 0.0, 0.0) AS mrr_r,
+         |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+         |    + 0.0 AS precision_r,
+         |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / i.n_judged, 6) + 0.0 AS recall_r,
+         |  round(coalesce(m.dcg, 0.0) / i.idcg, 6) + 0.0 AS ndcg_r
+         |FROM ideal i LEFT JOIN met m USING (qid)
+         |ORDER BY i.qid""".stripMargin),
 
     // iterated DoReMi: q265's losses through TWO MW rounds, each
     // renormalizing over the sorted-domain fold and mixing toward

@@ -2979,6 +2979,30 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("qid", "rank")
     },
 
+    "q278_ranking_eval" -> { (s, dir) =>
+      // graded ranking evaluation of the q84 BM25 run: qrels derive
+      // from the corpus (docs containing the query's head term, grade
+      // 1 + doc_id % 3), then MRR / P@10 / recall@10 / nDCG@10 per
+      // query — rank-ordered DCG folds, best-first ideal folds, the
+      // discount spelled ln(x)/ln(2) in both engines
+      val d = t(s, dir, "documents")
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val run = graft.ops.Retrieval.bm25Search(
+        d, "doc_id", "text", qs, "qid", "qtext", topK = 10)
+      val heads = s.createDataFrame(Seq(
+        (1L, "query"), (2L, "window"), (3L, "customer"))).toDF("qid", "term")
+      val qrels = d.crossJoin(broadcast(heads))
+        .filter(col("text").contains(col("term")))
+        .select(col("qid"), col("doc_id"),
+          (lit(1L) + pmod(col("doc_id"), lit(3))).as("rel"))
+      graft.ops.RankEval.rankingMetrics(
+          run, qrels, "qid", "doc_id", "rank", "rel", k = 10)
+        .orderBy("qid")
+    },
+
     "q275_reweight_iterated" -> { (s, dir) =>
       // DoReMi's published LOOP instead of one MW step: q265's losses
       // through TWO linearized multiplicative-weights rounds, each

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.RankEval
+
+/** Graded ranking-quality evaluation (MRR / P@k / recall@k / nDCG@k). */
+class RankEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // run: q1 misses at rank 1, hits at 2 and 3; q2 retrieves only
+  // non-relevant; q4 is retrieved but never judged
+  private val run = Seq(
+    (1L, 50L, 1), (1L, 10L, 2), (1L, 20L, 3),
+    (2L, 60L, 1), (2L, 61L, 2),
+    (4L, 70L, 1)
+  ).toDF("qid", "doc", "rank")
+
+  // qrels: q1 has grades 3/1 retrieved + grade 2 never retrieved + a
+  // zero judgment (ignored); q2 judged all-zero (no positives); q3
+  // judged positive but never answered
+  private val qrels = Seq(
+    (1L, 10L, 3), (1L, 20L, 1), (1L, 90L, 2), (1L, 50L, 0),
+    (2L, 60L, 0),
+    (3L, 80L, 2)
+  ).toDF("qid", "doc", "rel")
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+
+  test("rankingMetrics: hand-computed MRR/P/recall/nDCG, null and zero conventions") {
+    val got = byKey(RankEval.rankingMetrics(
+      run, qrels, "qid", "doc", "rank", "rel", k = 3), "qid")
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    val q1 = got(1L)
+    assert(q1.getAs[Long]("n_judged") == 3L)
+    assert(q1.getAs[Long]("n_retrieved") == 3L && q1.getAs[Long]("n_hits") == 2L)
+    assert(q1.getAs[Double]("mrr_r") == 0.5) // first hit at rank 2
+    assert(q1.getAs[Double]("precision_r") == 0.666667) // 2 of k=3
+    assert(q1.getAs[Double]("recall_r") == 0.666667) // 2 of 3 judged
+    val dcg = 3.0 / log2(3.0) + 1.0 / log2(4.0) // hits at ranks 2, 3
+    val idcg = 3.0 / log2(2.0) + 2.0 / log2(3.0) + 1.0 / log2(4.0)
+    val wantNdcg = BigDecimal(dcg / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q1.getAs[Double]("ndcg_r") == wantNdcg, s"ndcg ${q1.getAs[Double]("ndcg_r")}")
+    // q2: judged but zero positives -> nothing to find, null rate metrics
+    val q2 = got(2L)
+    assert(q2.getAs[Long]("n_judged") == 0L && q2.getAs[Long]("n_retrieved") == 2L)
+    assert(q2.isNullAt(q2.fieldIndex("mrr_r")) &&
+      q2.isNullAt(q2.fieldIndex("recall_r")) && q2.isNullAt(q2.fieldIndex("ndcg_r")))
+    assert(q2.getAs[Double]("precision_r") == 0.0)
+    // q3: judged, never answered -> zeros
+    val q3 = got(3L)
+    assert(q3.getAs[Long]("n_judged") == 1L && q3.getAs[Long]("n_retrieved") == 0L)
+    assert(q3.getAs[Double]("mrr_r") == 0.0 && q3.getAs[Double]("recall_r") == 0.0 &&
+      q3.getAs[Double]("ndcg_r") == 0.0)
+    // q4: retrieved, never judged -> null rate metrics, counts carried
+    val q4 = got(4L)
+    assert(q4.getAs[Long]("n_judged") == 0L && q4.getAs[Long]("n_retrieved") == 1L)
+    assert(q4.isNullAt(q4.fieldIndex("ndcg_r")))
+  }
+
+  test("rankingMetrics: cutoff k drops deep hits; perfect run scores 1.0; dup judgment refuses") {
+    // k = 1: only the rank-1 miss of q1 counts
+    val k1 = byKey(RankEval.rankingMetrics(
+      run, qrels, "qid", "doc", "rank", "rel", k = 1), "qid")(1L)
+    assert(k1.getAs[Long]("n_hits") == 0L && k1.getAs[Double]("mrr_r") == 0.0 &&
+      k1.getAs[Double]("ndcg_r") == 0.0)
+    // a run that returns the judged docs best-first is a 1.0 across the board
+    val perfect = Seq((1L, 10L, 1), (1L, 90L, 2), (1L, 20L, 3)).toDF("qid", "doc", "rank")
+    val p = byKey(RankEval.rankingMetrics(
+      perfect, qrels, "qid", "doc", "rank", "rel", k = 3), "qid")(1L)
+    assert(p.getAs[Double]("mrr_r") == 1.0 && p.getAs[Double]("recall_r") == 1.0 &&
+      p.getAs[Double]("ndcg_r") == 1.0 && p.getAs[Double]("precision_r") == 1.0)
+    // duplicate (query, doc) judgment refuses loudly
+    val dup = qrels.unionByName(Seq((1L, 10L, 2)).toDF("qid", "doc", "rel"))
+    val e = intercept[Exception] {
+      RankEval.rankingMetrics(run, dup, "qid", "doc", "rank", "rel", k = 3).collect()
+    }
+    assert(e.getMessage.contains("judged more than once"), e.getMessage)
+  }
+
+  test("rankingSummary: macro-average over judged queries only; partition invariance") {
+    val s = RankEval.rankingSummary(run, qrels, "qid", "doc", "rank", "rel", k = 3)
+      .head()
+    // judged queries with positives: q1 and q3 (q2/q4 have none)
+    assert(s.getAs[Long]("n_queries") == 2L)
+    val per = byKey(RankEval.rankingMetrics(
+      run, qrels, "qid", "doc", "rank", "rel", k = 3), "qid")
+    def avg(c: String) = BigDecimal(
+      (per(1L).getAs[Double](c) + per(3L).getAs[Double](c)) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s.getAs[Double]("mrr_r") == avg("mrr_r"))
+    assert(s.getAs[Double]("ndcg_r") == avg("ndcg_r"))
+    val a = RankEval.rankingMetrics(run, qrels, "qid", "doc", "rank", "rel", 3)
+      .collect().map(_.toSeq).toSet
+    val b = RankEval.rankingMetrics(run.repartition(7), qrels.repartition(5),
+      "qid", "doc", "rank", "rel", 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
