@@ -172,4 +172,62 @@ object Packing {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** LENGTH-BUCKETED batch assignment — the inference/eval-side packing
+    * discipline next to the training-side packers: a batch pads every
+    * sequence to its longest member, so batching ARRIVAL order wastes
+    * compute on padding while batching LENGTH order puts like-sized
+    * sequences together (the "sorted batching" every serving stack
+    * runs). Docs sort by (length DESC, id ASC — deterministic ties)
+    * within their shard and consecutive runs of `batchSize` form a
+    * batch: `batch_idx = (row_number − 1) div batchSize`.
+    *
+    * Scale shape: one per-shard window (shards are the parallelism
+    * unit, the [[sequencePacking]] contract — a global sort would
+    * funnel the corpus through one partition); everything else is
+    * map-side integer arithmetic. Null shard/id/length refuses loudly —
+    * a silent null would shift every later batch in the shard. */
+  def lengthBucketedBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      shardCol: String,
+      batchSize: Int
+  ): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val guarded = df.select(
+      when(col(shardCol).isNull || col(idCol).isNull || col(lenCol).isNull,
+        raise_error(lit("lengthBucketedBatches: null shard/id/length — a " +
+          "silent null would shift every later batch in the shard; fill " +
+          "or drop upstream"))).otherwise(col(shardCol)).as(shardCol),
+      col(idCol), col(lenCol).cast("long").as(lenCol))
+    val w = Window.partitionBy(shardCol)
+      .orderBy(col(lenCol).desc, col(idCol).asc)
+    guarded
+      .withColumn("__rn0", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch_idx", expr(s"__rn0 div ${batchSize.toLong}"))
+      .drop("__rn0")
+  }
+
+  /** Per-batch PADDING report over a [[lengthBucketedBatches]] (or any
+    * batch-assigned) frame: exact integer doc counts, max and summed
+    * lengths, and the padding fraction `(n·max − Σlen) / (n·max)` — the
+    * share of the batch's compute spent on pad tokens (one double
+    * division off exact integers, 6dp). Sorted batching drives this
+    * toward 0; compare against an arrival-order assignment to size the
+    * win. Output: `(shardCol, batchCol, n_docs, max_len, sum_len,
+    * pad_frac_r)` — one hash aggregation at batch grain. */
+  def paddingReport(
+      df: DataFrame,
+      lenCol: String,
+      shardCol: String,
+      batchCol: String = "batch_idx"
+  ): DataFrame =
+    df.groupBy(col(shardCol), col(batchCol))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(lenCol).cast("long")).as("max_len"),
+        sum(col(lenCol).cast("long")).as("sum_len"))
+      .withColumn("pad_frac_r",
+        round((col("n_docs") * col("max_len") - col("sum_len")).cast("double") /
+          (col("n_docs") * col("max_len")).cast("double"), 6) + lit(0.0))
 }

@@ -2719,6 +2719,26 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |  CAST(sum(h) AS BIGINT) AS id_checksum
         |FROM h GROUP BY h % 8 ORDER BY shard""".stripMargin,
 
+    // sorted batching for inference: per-shard (len DESC, id) order,
+    // 32-doc batches, padding fraction off exact integers
+    "q279_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, doc_id % 8 AS shard
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), a AS (
+        |  SELECT shard, doc_id, n_chars,
+        |    (row_number() OVER (PARTITION BY shard ORDER BY n_chars DESC, doc_id ASC)
+        |      - 1) // 32 AS batch_idx
+        |  FROM d
+        |)
+        |SELECT shard, batch_idx, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_chars) AS BIGINT) AS max_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        |  round(CAST(count(*) * max(n_chars) - sum(n_chars) AS DOUBLE) /
+        |    CAST(count(*) * max(n_chars) AS DOUBLE), 6) + 0.0 AS pad_frac_r
+        |FROM a GROUP BY shard, batch_idx
+        |ORDER BY shard, batch_idx""".stripMargin,
+
     // graded ranking evaluation of the q84 BM25 run against derived
     // qrels (docs containing each query's head term, grade 1 + id%3):
     // MRR / P@10 / recall@10 / nDCG@10 per query, every discount

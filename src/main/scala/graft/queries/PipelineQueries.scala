@@ -2979,6 +2979,20 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("qid", "rank")
     },
 
+    "q279_length_batches" -> { (s, dir) =>
+      // inference-side sorted batching: docs length-bucketed within
+      // their shard (len DESC, id ASC ties), consecutive 32s form a
+      // batch, and the padding report prices each batch's pad share —
+      // exact integer counts/lengths, one division
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      val assigned = graft.ops.Packing.lengthBucketedBatches(
+        d, "doc_id", "n_chars", "shard", batchSize = 32)
+      graft.ops.Packing.paddingReport(assigned, "n_chars", "shard")
+        .orderBy("shard", "batch_idx")
+    },
+
     "q278_ranking_eval" -> { (s, dir) =>
       // graded ranking evaluation of the q84 BM25 run: qrels derive
       // from the corpus (docs containing the query's head term, grade

@@ -2695,6 +2695,48 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("null shard/id"), err.getMessage)
   }
 
+  test("lengthBucketedBatches: sorted batches, padding report, null refusal, invariance") {
+    import graft.ops.Packing
+    val docs = Seq(
+      (1L, "a", 8L), (2L, "a", 10L), (3L, "a", 8L), (4L, "a", 3L), (5L, "a", 1L),
+      (6L, "b", 7L)
+    ).toDF("doc_id", "shard", "n_chars")
+    val assigned = Packing.lengthBucketedBatches(docs, "doc_id", "n_chars",
+      "shard", batchSize = 2)
+    val got = assigned.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_idx")).toMap
+    // shard a sorts (10,#2), (8,#1), (8,#3), (3,#4), (1,#5) — len DESC,
+    // id ASC ties — so batches are {2,1}, {3,4}, {5}
+    assert(got == Map(2L -> 0L, 1L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 0L))
+    val rep = Packing.paddingReport(assigned, "n_chars", "shard").collect()
+      .map(r => (r.getAs[String]("shard"), r.getAs[Long]("batch_idx")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("max_len"),
+          r.getAs[Long]("sum_len"), r.getAs[Double]("pad_frac_r")))).toMap
+    assert(rep(("a", 0L)) == ((2L, 10L, 18L, 0.1))) // (20-18)/20
+    assert(rep(("a", 1L)) == ((2L, 8L, 11L, 0.3125)))
+    assert(rep(("a", 2L)) == ((1L, 1L, 1L, 0.0)))
+    assert(rep(("b", 0L)) == ((1L, 7L, 7L, 0.0)))
+    // sorted batching wastes no more padding than arrival-order batching
+    val arrival = docs.withColumn("batch_idx",
+      expr("(doc_id - 1) div 2")) // ids arrive in order here
+    def waste(df: org.apache.spark.sql.DataFrame) =
+      Packing.paddingReport(df, "n_chars", "shard").collect()
+        .map(r => r.getAs[Long]("n_docs") * r.getAs[Long]("max_len") -
+          r.getAs[Long]("sum_len")).sum
+    assert(waste(assigned) <= waste(arrival))
+    // nulls refuse loudly; invariance under partitioning
+    val err = intercept[Exception] {
+      Packing.lengthBucketedBatches(
+        Seq((Some(1L), "a", 5L), (None, "a", 5L)).toDF("doc_id", "shard", "n_chars"),
+        "doc_id", "n_chars", "shard", 2).collect()
+    }
+    assert(err.getMessage.contains("null shard/id/length"), err.getMessage)
+    val a = assigned.collect().map(_.toSeq).toSet
+    val b = Packing.lengthBucketedBatches(docs.repartition(7), "doc_id",
+      "n_chars", "shard", 2).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("sequence packing: exclusive offsets, straddling docs, shard isolation") {
     import graft.ops.Packing
     val docs = Seq(
