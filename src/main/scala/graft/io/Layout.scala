@@ -175,14 +175,32 @@ object Layout {
     * Spec-pinned: save+append ≡ save-once over the union (same shards,
     * same manifest numbers), and [[verifyShards]] passes after replay
     * from any crash point. One maintenance op at a time per export root
-    * (the IndexCommit concurrency contract). */
+    * (the IndexCommit concurrency contract).
+    *
+    * `batchTag` makes the append EXACTLY-ONCE for streaming callers
+    * ([[graft.streaming.StreamingEval.exportStream]]): the tag commits
+    * atomically WITH the data (one row merged into the `batches/`
+    * table by the same marker replay), so a retried micro-batch sees
+    * its tag and no-ops instead of double-counting the delivery. */
   def appendShardsWithManifest(
       df: DataFrame,
       path: String,
-      filesPerShard: Int = 1
+      filesPerShard: Int = 1,
+      batchTag: Option[Long] = None
   ): Unit = {
     val spark = df.sparkSession
     graft.ops.IndexCommit.recover(spark, path)
+    val fs = graft.ops.IndexCommit.fsFor(spark, path)
+    // exactly-once fencing for streaming callers: a tag that already
+    // committed (its row rode the atomic marker replay into `batches/`)
+    // makes the whole append a no-op — a foreachBatch RETRY after a
+    // crash must not double-count the delivery
+    val alreadyCommitted = batchTag.exists { tag =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/batches")) &&
+        spark.read.parquet(s"$path/batches")
+          .filter(col("batch_tag") === tag).limit(1).count() > 0
+    }
+    if (alreadyCommitted) return
     val manifest = spark.read.parquet(s"$path/manifest")
     val meta = manifest.select("id_col", "num_shards", "salt").head()
     val idCol = meta.getAs[String]("id_col")
@@ -199,9 +217,19 @@ object Layout {
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("id_checksum")).as("id_checksum"))
       .select(manifest.columns.map(col).toSeq: _*)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
-    val fs = graft.ops.IndexCommit.fsFor(spark, path)
+    val actions = scala.collection.mutable.ArrayBuffer(
+      "merge" -> "data", "swap" -> "manifest")
+    batchTag.foreach { tag =>
+      spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row(tag)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_tag",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/batches")
+      actions += ("merge" -> "batches")
+    }
     graft.ops.IndexCommit.commit(fs, new org.apache.hadoop.fs.Path(path),
-      Seq("merge" -> "data", "swap" -> "manifest"))
+      actions.toSeq)
   }
 
   /** Verify a [[writeShardsWithManifest]] export: recompute each

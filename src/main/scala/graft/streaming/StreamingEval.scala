@@ -1106,6 +1106,29 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming SHARD DELIVERY — documents flow continuously into a
+    * standing [[graft.io.Layout.writeShardsWithManifest]] export: each
+    * micro-batch appends through the marker-fenced
+    * [[graft.io.Layout.appendShardsWithManifest]] with the BATCH ID as
+    * the exactly-once tag (the tag's row merges into the `batches/`
+    * table by the same atomic marker replay as the data, so a replayed
+    * batch after a crash sees its tag and no-ops — the delivery's
+    * manifest never double-counts). The export root must exist (seed it
+    * with one write-once call — the routing recipe lives in its
+    * manifest); readers [[graft.io.Layout.verifyShards]]-check as ever.
+    * One writer per export root (the IndexCommit contract — don't run
+    * compactions mid-stream). */
+  def exportStream(
+      docs: DataFrame,
+      exportPath: String,
+      filesPerShard: Int = 1
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.io.Layout.appendShardsWithManifest(
+        batch, exportPath, filesPerShard, batchTag = Some(batchId))
+      ()
+    }
+
   /** Shared foreachBatch ingest core: hash the batch, vet against the
     * persisted index, append admissions. */
   private def ingestWith(

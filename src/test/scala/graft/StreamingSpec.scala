@@ -742,6 +742,47 @@ class StreamingSpec extends SparkSpec {
     } finally query2.stop()
   }
 
+  test("streaming shard export: batches roll into the delivery exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.io.Layout
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-export-stream").toString
+    // seed the standing export (the routing recipe lives in its manifest)
+    Layout.writeShardsWithManifest(
+      (1L to 50L).map(i => (i, s"p-$i")).toDF("id", "payload"),
+      "id", out, numShards = 4, salt = "s")
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.exportStream(
+        input.toDF().toDF("id", "payload"), out)
+      .start()
+    try {
+      input.addData((51L to 70L).map(i => (i, s"p-$i")): _*)
+      query.processAllAvailable()
+      input.addData((71L to 90L).map(i => (i, s"p-$i")): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // streamed delivery ≡ write-once over the union
+    val ref = java.nio.file.Files.createTempDirectory("graft-export-ref").toString
+    Layout.writeShardsWithManifest(
+      (1L to 90L).map(i => (i, s"p-$i")).toDF("id", "payload"),
+      "id", ref, numShards = 4, salt = "s")
+    def manifest(p: String) = spark.read.parquet(s"$p/manifest")
+      .select("shard", "n_rows", "id_checksum").collect().map(_.toSeq).toSet
+    assert(manifest(out) == manifest(ref))
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+    // a replayed micro-batch (same tag) no-ops — the crash-retry shape
+    Layout.appendShardsWithManifest(
+      (71L to 90L).map(i => (i, s"p-$i")).toDF("id", "payload"),
+      out, batchTag = Some(1L))
+    assert(manifest(out) == manifest(ref), "a retried batch must not double-count")
+    // a NEW tag appends normally
+    Layout.appendShardsWithManifest(
+      (91L to 95L).map(i => (i, s"p-$i")).toDF("id", "payload"),
+      out, batchTag = Some(2L))
+    assert(spark.read.parquet(s"$out/data").count() == 95L)
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+  }
+
   test("streaming audio fingerprinting matches batch (stateless decode)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.AudioCodecs
