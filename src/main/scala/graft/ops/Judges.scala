@@ -381,10 +381,12 @@ object Judges {
       graft.Checkpoints.free(cur)
       cur = next
     }
-    // the final round, twice over the same estimates: the ln-domain
-    // argmax (≡ dawidSkene's winner) and the linear-domain mass table
-    val win = dsScorePass(votes, cur, labels, nLabels, alpha)
-      .select(col("__i"), col("__t").as("__win"))
+    // the final round over the same estimates: the ln-domain score (≡
+    // dawidSkene's — same sorted fold, same cells) and the linear-domain
+    // mass ride ONE votes×labels aggregation (two folds over one
+    // collected buffer — the expensive data-grain job runs once, not
+    // twice), then the winner argmaxes the ln side exactly as
+    // dsScorePass does
     val nEst = cur.count()
     val prior = labels
       .join(cur.groupBy(col("__t")).agg(count(lit(1)).as("__pc")),
@@ -398,17 +400,30 @@ object Judges {
     val cand = votes.crossJoin(broadcast(labels.select(col("__l").as("__t"))))
     val cell = (coalesce(col("__c"), lit(0L)) + lit(alpha)).cast("double") /
       (coalesce(col("__d"), lit(0L)) + lit(alpha * nLabels)).cast("double")
-    val mass = cand
+    val lnc = log(cell)
+    val scored = graft.Checkpoints.trackCache(cand
       .join(broadcast(numer), Seq("__j", "__t", "__l"), "left")
       .join(broadcast(denom), Seq("__j", "__t"), "left")
-      .select(col("__i"), col("__t"), col("__j"), cell.as("__r"))
+      .select(col("__i"), col("__t"), col("__j"),
+        lnc.as("__lnc"), cell.as("__r"))
       .groupBy("__i", "__t")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("__j").as("j"), col("__r").as("r")))),
-        lit(1.0), (acc, x) => acc * x.getField("r")).as("__prod"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("__j").as("j"), col("__lnc").as("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("__s"),
+        aggregate(
+          array_sort(collect_list(struct(col("__j").as("j"), col("__r").as("r")))),
+          lit(1.0), (acc, x) => acc * x.getField("r")).as("__prod"))
       .join(broadcast(prior), Seq("__t"))
-      .select(col("__i"), col("__t"), (col("__pi") * col("__prod")).as("__p"))
-      .join(win, Seq("__i"))
+      .select(col("__i"), col("__t"),
+        (log(col("__pi")) + col("__s")).as("__post"),
+        (col("__pi") * col("__prod")).as("__p"))
+      .persist())
+    val win = scored
+      .groupBy("__i")
+      .agg(min(struct((-col("__post")).as("p"), col("__t").as("t"))).as("__m"))
+      .select(col("__i"), col("__m.t").as("__win"))
+    val mass = scored.select("__i", "__t", "__p").join(win, Seq("__i"))
     val ref = mass.filter(col("__t") === col("__win"))
       .select(col("__i"), col("__p").as("__pwin"))
     val ratios = mass.join(ref, Seq("__i"))
