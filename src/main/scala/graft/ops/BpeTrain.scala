@@ -110,16 +110,39 @@ object BpeTrain {
     * Per round the cost is one pair-count aggregation over the
     * histogram (persisted, consumed by the top-`maxBatch` fetch and
     * two symbol-grain max lookups bounded to the candidates' symbols)
-    * and one chained rewrite projection — merges/job stays flat as the
-    * vocabulary grows instead of 1 (ScaleSmoke-pinned). Batch members
-    * are symbol-disjoint, so the chained greedy passes commute and
-    * equal the sequential rewrites. */
+    * and one chained rewrite projection applying the batch in rank
+    * order — exactly the sequential rewrites.
+    *
+    * Exact batches are CORPUS-DEPENDENT: merge cascades bound them —
+    * after `(e, r)` wins, the brand-new `(er, </w>)` may legitimately
+    * outrank every standing candidate, so the prefix rule must stop
+    * (measured ~1.7 merges/round on natural English text, 3+ on
+    * structured corpora). `exactGreedy = false` is the documented
+    * escape for production-scale vocabularies: the scan SKIPS
+    * conflicting candidates instead of stopping and drops the
+    * new-pair bound, committing up to `maxBatch` merges per round —
+    * rounds ≈ merges/maxBatch, still fully deterministic (a pure
+    * function of the ranked table; spec-pinned partition-invariant),
+    * but the merge RANKING is no longer greedy-faithful, so it is
+    * opt-in and every DuckDB-oracle query stays on the exact path. */
   def train(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      maxBatch: Int = 64
-  ): Seq[Merge] = {
+      maxBatch: Int = 64,
+      exactGreedy: Boolean = true
+  ): Seq[Merge] = trainCounted(df, textCol, numMerges, maxBatch, exactGreedy)._1
+
+  /** [[train]] plus the number of aggregation ROUNDS it took — the
+    * merges-per-job diagnostic ScaleSmoke reports (the whole point of
+    * batching is rounds ≪ merges). */
+  private[graft] def trainCounted(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxBatch: Int = 64,
+      exactGreedy: Boolean = true
+  ): (Seq[Merge], Int) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(maxBatch >= 1, "maxBatch must be >= 1")
     val base = wordHistogram(df, textCol)
@@ -130,7 +153,9 @@ object BpeTrain {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var sinceCheckpoint = 0
     var exhausted = false
+    var rounds = 0
     while (merges.size < numMerges && !exhausted) {
+      rounds += 1
       val pairs = pairCounts(state, "syms", "cnt").persist()
       val want = math.min(maxBatch, numMerges - merges.size)
       val top = pairs
@@ -153,19 +178,37 @@ object BpeTrain {
           .groupBy("right_sym").agg(max("pair_count").as("m"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         pairs.unpersist(blocking = false)
-        val used = scala.collection.mutable.Set.empty[String]
+        // merging (a, b) changes ONLY pairs (x, a) — the a is consumed
+        // when followed by b — and (b, y): a candidate (c, d) is
+        // affected by an earlier batch member iff d equals its LEFT
+        // symbol or c equals its RIGHT symbol; merely sharing a right
+        // symbol (e.g. two `(·, </w>)` pairs) never interacts, which is
+        // what makes natural-text batches large
+        val lefts2 = scala.collection.mutable.Set.empty[String]
+        val rights2 = scala.collection.mutable.Set.empty[String]
         var newPairBound = Long.MinValue
         val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var open = true
         for (cand <- top if open) {
           val (a, b, c) = cand
-          if (batch.nonEmpty && (used(a) || used(b) || c <= newPairBound)) {
-            open = false // prefix rule: stop, never skip
+          val rejected = batch.nonEmpty && (lefts2(b) || rights2(a) ||
+            (exactGreedy && c <= newPairBound))
+          if (rejected) {
+            // exact mode: the prefix STOPS (never skips) — everything
+            // ranked above an accepted merge must itself be in the
+            // batch for the rank claim to hold. Approximate mode keeps
+            // scanning: a non-conflicting candidate further down still
+            // applies cleanly, only the greedy RANK fidelity is given
+            // up (and the new-pair bound with it).
+            if (exactGreedy) open = false
           } else {
             batch += cand
-            used += a; used += b
-            newPairBound = math.max(newPairBound,
-              math.max(maxRight.getOrElse(a, 0L), maxLeft.getOrElse(b, 0L)))
+            lefts2 += a; rights2 += b
+            // a new pair (x, a||b) inherits occurrences of BOTH (x, a)
+            // and the merge itself, so min(count, adjacent max) is the
+            // tight bound
+            newPairBound = math.max(newPairBound, math.min(c,
+              math.max(maxRight.getOrElse(a, 0L), maxLeft.getOrElse(b, 0L))))
           }
         }
         batch.foreach { case (a, b, c) =>
@@ -188,7 +231,7 @@ object BpeTrain {
       }
     }
     graft.Checkpoints.free(anchor)
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** The historical one-merge-per-round loop — kept as the semantics

@@ -338,10 +338,11 @@ object ScaleSmoke {
       // a whole symbol-disjoint batch, not one merge)
       for (nm <- Seq(24, 96)) {
         val t0 = System.nanoTime()
-        val got = graft.ops.BpeTrain.train(dN, "text", nm)
+        val (got, rounds) = graft.ops.BpeTrain.trainCounted(dN, "text", nm)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"bpe train $nm merges ($nDocs docs): $dt%.1fs = " +
-          f"${got.size / dt}%.1f merges/sec (learned ${got.size})")
+          f"${got.size / dt}%.1f merges/sec, ${got.size} merges in $rounds " +
+          f"rounds (${got.size.toDouble / rounds}%.1f merges/round)")
       }
 
       // sampled quantiles under a degenerate group: 90% of rows share one

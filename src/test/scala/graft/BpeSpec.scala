@@ -206,6 +206,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("approximate batched mode: deterministic, full batches, exact on disjoint corpora") {
+    // on a corpus where exact batching is legal the approx mode agrees
+    val disjoint = (Seq.fill(5)("ababi") ++ Seq.fill(4)("cdcdj") ++
+      Seq.fill(3)("efefk")).map(Tuple1(_)).toDF("text")
+    assert(BpeTrain.train(disjoint, "text", 3, exactGreedy = false) ==
+      BpeTrain.trainSequential(disjoint, "text", 3))
+    // on cascade-heavy text it commits big batches: far fewer rounds
+    // than merges, deterministic under repartitioning
+    val docs = (toyDocs ++ toyDocs.map(_.toUpperCase)).map(Tuple1(_)).toDF("text")
+    val (m1, r1) = BpeTrain.trainCounted(docs, "text", 24,
+      maxBatch = 8, exactGreedy = false)
+    assert(m1.size == 24)
+    assert(r1 <= 5, s"approx mode should need ~merges/maxBatch rounds, took $r1")
+    val (m2, r2) = BpeTrain.trainCounted(docs.repartition(11), "text", 24,
+      maxBatch = 8, exactGreedy = false)
+    assert(m1 == m2 && r1 == r2, "approx mode must stay deterministic")
+    // the learned merges still produce a working encoder (every word
+    // encodes, token streams reassemble the symbols)
+    val enc = BpeTrain.encodeWords(docs, "text", m1)
+    assert(enc.filter(size(col("tokens")) === 0).count() == 0)
+  }
+
   test("batched train commits multiple merges per round on a disjoint corpus") {
     // interior pairs with strictly descending counts and disjoint symbols
     // (doubled inside each word so they outrank every </w> pair): the
