@@ -253,4 +253,48 @@ object Reports {
         (round(col("null_rate_cur_r") - col("null_rate_prev_r"), 6) + lit(0.0))
           .as("d_null_rate_r"))
   }
+
+  /** RIGHT-TO-BE-FORGOTTEN audit — the governance closer for the
+    * takedown family: given the ids a deletion request named, scan
+    * every PERSISTED artifact that should have forgotten them (index
+    * tables, shard exports, packed chunks, ingest indexes — any
+    * parquet path + id column the caller lists) and report exactly how
+    * many rows still reference each id's data. A clean audit is the
+    * evidence a compliance process files; a dirty one names the
+    * artifact that missed its takedown.
+    *
+    * `artifacts` is `(name, parquetPath, idColumn)` per artifact; a
+    * missing path refuses loudly (auditing a path that does not exist
+    * is a misconfiguration, not a clean result — the artifact the
+    * request covers must be LISTED and scanned).
+    *
+    * Output: one row per artifact — `(artifact, n_matches, clean)`.
+    *
+    * Scale shape: per artifact, one scan filtered by a broadcast
+    * semi-join against the (request-sized) id set, aggregated to a
+    * single count — the scan reads only the id column (parquet
+    * column pruning), and artifacts audit independently. */
+  def takedownAudit(
+      spark: org.apache.spark.sql.SparkSession,
+      removedIds: DataFrame,
+      idCol: String,
+      artifacts: Seq[(String, String, String)]
+  ): DataFrame = {
+    require(artifacts.nonEmpty, "takedownAudit needs at least one artifact")
+    val ids = broadcast(removedIds.select(col(idCol).as("__rm")).distinct())
+    val rows = artifacts.map { case (name, path, aidCol) =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(new org.apache.hadoop.fs.Path(path)),
+        s"takedownAudit: artifact '$name' path does not exist: $path — " +
+          "audit what the deletion request covers, or fix the listing")
+      spark.read.parquet(path)
+        .select(col(aidCol).as("__rm"))
+        .join(ids, Seq("__rm"), "left_semi")
+        .agg(count(lit(1)).as("n_matches"))
+        .select(lit(name).as("artifact"), col("n_matches"),
+          (col("n_matches") === 0L).as("clean"))
+    }
+    rows.reduce(_ unionByName _)
+  }
 }

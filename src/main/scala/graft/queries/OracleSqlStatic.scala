@@ -505,6 +505,50 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     * replay q248 (same scores by construction). */
   private lazy val bm25OracleSql: String = bm25OracleSqlFor("")
 
+  /** The q278 qrels + per-query metric CTE chain over the q84 run —
+    * shared by the per-query statement (q278) and the macro-average
+    * (q280). */
+  private lazy val rankingEvalCtes: String = bm25RunCtes("") +
+    s""", topk AS (
+       |  SELECT qid, doc_id, rank AS r FROM rk WHERE rank <= 10
+       |), g AS MATERIALIZED (
+       |  SELECT q2.qid, d.doc_id, 1 + d.doc_id % 3 AS g
+       |  FROM documents d
+       |  CROSS JOIN (VALUES (1, 'query'), (2, 'window'), (3, 'customer')) q2(qid, term)
+       |  WHERE contains(d.text, q2.term)
+       |), ideal AS (
+       |  SELECT qid, count(*) AS n_judged,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(g AS DOUBLE) /
+       |        (ln(CAST(rn + 1 AS DOUBLE)) / CAST(${math.log(2.0)} AS DOUBLE))
+       |        ORDER BY rn)), (a, b) -> a + b) AS idcg
+       |  FROM (SELECT qid, g, row_number()
+       |          OVER (PARTITION BY qid ORDER BY g DESC, doc_id ASC) AS rn FROM g)
+       |  GROUP BY qid
+       |), met AS (
+       |  SELECT t.qid, count(*) AS n_retrieved,
+       |    CAST(sum(CASE WHEN g.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |    min(CASE WHEN g.g IS NOT NULL THEN t.r END) AS first_hit,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(coalesce(g.g, 0) AS DOUBLE) /
+       |        (ln(CAST(t.r + 1 AS DOUBLE)) / CAST(${math.log(2.0)} AS DOUBLE))
+       |        ORDER BY t.r)), (a, b) -> a + b) AS dcg
+       |  FROM topk t LEFT JOIN g ON g.qid = t.qid AND g.doc_id = t.doc_id
+       |  GROUP BY t.qid
+       |)""".stripMargin
+
+  /** q278's per-query SELECT (no ORDER BY — q280 wraps it as a CTE). */
+  private lazy val rankingEvalPerQuery: String =
+    """SELECT i.qid, i.n_judged,
+      |  coalesce(m.n_retrieved, 0) AS n_retrieved,
+      |  coalesce(m.n_hits, 0) AS n_hits,
+      |  coalesce(round(1.0 / m.first_hit, 6) + 0.0, 0.0) AS mrr_r,
+      |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+      |    + 0.0 AS precision_r,
+      |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / i.n_judged, 6) + 0.0 AS recall_r,
+      |  round(coalesce(m.dcg, 0.0) / i.idcg, 6) + 0.0 AS ndcg_r
+      |FROM ideal i LEFT JOIN met m USING (qid)""".stripMargin
+
   /** The q269 chunk-grain BM25 RAG statement — shared verbatim by the
     * persisted chunk-index serving replay q274 (the q248 pattern at
     * chunk grain: same chunker, same postings arithmetic, same
@@ -2744,44 +2788,30 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // MRR / P@10 / recall@10 / nDCG@10 per query, every discount
     // spelled ln(x)/ln(2) so both engines run the same libm calls and
     // every sum is a rank- or ideal-ordered fold
-    "q278_ranking_eval" -> (bm25RunCtes("") +
-      s""", topk AS (
-         |  SELECT qid, doc_id, rank AS r FROM rk WHERE rank <= 10
-         |), g AS MATERIALIZED (
-         |  SELECT q2.qid, d.doc_id, 1 + d.doc_id % 3 AS g
-         |  FROM documents d
-         |  CROSS JOIN (VALUES (1, 'query'), (2, 'window'), (3, 'customer')) q2(qid, term)
-         |  WHERE contains(d.text, q2.term)
-         |), ideal AS (
-         |  SELECT qid, count(*) AS n_judged,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(CAST(g AS DOUBLE) /
-         |        (ln(CAST(rn + 1 AS DOUBLE)) / CAST(${math.log(2.0)} AS DOUBLE))
-         |        ORDER BY rn)), (a, b) -> a + b) AS idcg
-         |  FROM (SELECT qid, g, row_number()
-         |          OVER (PARTITION BY qid ORDER BY g DESC, doc_id ASC) AS rn FROM g)
-         |  GROUP BY qid
-         |), met AS (
-         |  SELECT t.qid, count(*) AS n_retrieved,
-         |    CAST(sum(CASE WHEN g.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |    min(CASE WHEN g.g IS NOT NULL THEN t.r END) AS first_hit,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(CAST(coalesce(g.g, 0) AS DOUBLE) /
-         |        (ln(CAST(t.r + 1 AS DOUBLE)) / CAST(${math.log(2.0)} AS DOUBLE))
-         |        ORDER BY t.r)), (a, b) -> a + b) AS dcg
-         |  FROM topk t LEFT JOIN g ON g.qid = t.qid AND g.doc_id = t.doc_id
-         |  GROUP BY t.qid
+    "q278_ranking_eval" -> (rankingEvalCtes + rankingEvalPerQuery +
+      "\nORDER BY i.qid"),
+
+    // the one-row TREC macro-average over q278's per-query metrics:
+    // judged queries only, query-ordered folds over the ROUNDED
+    // per-query values (the operator's contract)
+    "q280_ranking_summary" -> (rankingEvalCtes +
+      s""", pq AS MATERIALIZED (
+         |$rankingEvalPerQuery
          |)
-         |SELECT i.qid, i.n_judged,
-         |  coalesce(m.n_retrieved, 0) AS n_retrieved,
-         |  coalesce(m.n_hits, 0) AS n_hits,
-         |  coalesce(round(1.0 / m.first_hit, 6) + 0.0, 0.0) AS mrr_r,
-         |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(mrr_r ORDER BY qid)), (a, b) -> a + b) / count(*), 6)
+         |    + 0.0 AS mrr_r,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(precision_r ORDER BY qid)), (a, b) -> a + b) / count(*), 6)
          |    + 0.0 AS precision_r,
-         |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / i.n_judged, 6) + 0.0 AS recall_r,
-         |  round(coalesce(m.dcg, 0.0) / i.idcg, 6) + 0.0 AS ndcg_r
-         |FROM ideal i LEFT JOIN met m USING (qid)
-         |ORDER BY i.qid""".stripMargin),
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(recall_r ORDER BY qid)), (a, b) -> a + b) / count(*), 6)
+         |    + 0.0 AS recall_r,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(ndcg_r ORDER BY qid)), (a, b) -> a + b) / count(*), 6)
+         |    + 0.0 AS ndcg_r
+         |FROM pq WHERE n_judged > 0""".stripMargin),
 
     // iterated DoReMi: q265's losses through TWO MW rounds, each
     // renormalizing over the sorted-domain fold and mixing toward

@@ -2979,6 +2979,27 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("qid", "rank")
     },
 
+    "q280_ranking_summary" -> { (s, dir) =>
+      // the one-row TREC macro-average over q278's per-query metrics —
+      // the headline number a retrieval change ships with; judged
+      // queries only, query-ordered folds
+      val d = t(s, dir, "documents")
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val run = graft.ops.Retrieval.bm25Search(
+        d, "doc_id", "text", qs, "qid", "qtext", topK = 10)
+      val heads = s.createDataFrame(Seq(
+        (1L, "query"), (2L, "window"), (3L, "customer"))).toDF("qid", "term")
+      val qrels = d.crossJoin(broadcast(heads))
+        .filter(col("text").contains(col("term")))
+        .select(col("qid"), col("doc_id"),
+          (lit(1L) + pmod(col("doc_id"), lit(3))).as("rel"))
+      graft.ops.RankEval.rankingSummary(
+        run, qrels, "qid", "doc_id", "rank", "rel", k = 10)
+    },
+
     "q279_length_batches" -> { (s, dir) =>
       // inference-side sorted batching: docs length-bucketed within
       // their shard (len DESC, id ASC ties), consecutive 32s form a

@@ -2695,6 +2695,39 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("null shard/id"), err.getMessage)
   }
 
+  test("takedownAudit: flags the artifact that missed its takedown, missing path refuses") {
+    import graft.ops.{Reports, Retrieval}
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "broadcast joins avoid the shuffle"),
+      (3L, "catalyst prunes columns and partitions")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-audit-idx").toString
+    Retrieval.saveBm25Index(docs, "doc_id", "text", idx, numBuckets = 4)
+    val exp = java.nio.file.Files.createTempDirectory("graft-audit-exp").toString
+    graft.io.Layout.writeShardsWithManifest(docs, "doc_id", exp, numShards = 2)
+    // the deletion request: doc 2 — honored by the index, MISSED by the export
+    val rm = Seq(2L).toDF("doc_id")
+    Retrieval.removeFromBm25Index(rm, idx)
+    val audit = Reports.takedownAudit(spark, rm, "doc_id", Seq(
+      ("bm25_doclens", s"$idx/doclens", "__docid"),
+      ("bm25_postings", s"$idx/postings", "__docid"),
+      ("shard_export", s"$exp/data", "doc_id")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Boolean]("clean")))).toMap
+    assert(audit("bm25_doclens") == ((0L, true)))
+    assert(audit("bm25_postings") == ((0L, true)))
+    assert(audit("shard_export")._1 > 0L && !audit("shard_export")._2,
+      s"the export still holds doc 2: $audit")
+    // a listed artifact whose path is gone is a misconfiguration, not a
+    // clean audit
+    val e = intercept[IllegalArgumentException] {
+      Reports.takedownAudit(spark, rm, "doc_id",
+        Seq(("ghost", s"$exp/nope", "doc_id"))).collect()
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+  }
+
   test("lengthBucketedBatches: sorted batches, padding report, null refusal, invariance") {
     import graft.ops.Packing
     val docs = Seq(
