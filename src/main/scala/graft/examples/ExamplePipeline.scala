@@ -610,6 +610,39 @@ object ExamplePipeline {
     println(s"intact packing: ${intact.select("shard", "bin").distinct().count()} " +
       s"bins over ${intact.count()} docs (2000-char budget)")
 
+    // 38. delivery maintenance: export two thirds of the corpus with a
+    //     verifiable manifest, APPEND the rest through the marker-fenced
+    //     O(increment) path, then prove both the integrity (verifyShards)
+    //     and the forgetting story (takedownAudit after a takedown)
+    val exportDir = java.nio.file.Files.createTempDirectory("graft-ex-export").toString
+    graft.io.Layout.writeShardsWithManifest(
+      d0.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", exportDir, numShards = 4)
+    graft.io.Layout.appendShardsWithManifest(
+      d0.filter(pmod(col("doc_id"), lit(3)) === 0), exportDir)
+    val shardsOk = graft.io.Layout.verifyShards(spark, exportDir)
+      .filter(!col("ok")).count() == 0
+    println(s"incremental export: append committed, verifyShards clean=$shardsOk")
+    graft.ops.Retrieval.removeFromBm25Index(
+      d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id"), bm25Dir)
+    val rtbfAudit = graft.ops.Reports.takedownAudit(spark,
+      d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id"), "doc_id",
+      Seq(("bm25_doclens", s"$bm25Dir/doclens", "__docid"),
+        ("shard_export", s"$exportDir/data", "doc_id")))
+    println("takedown audit: " + rtbfAudit.collect()
+      .map(r => s"${r.getString(0)}=${r.getAs[Long]("n_matches")}").mkString(", ") +
+      " (the export keeps the docs by design — the audit NAMES that)")
+
+    // 39. retrieval eval: score the step-33 lexical serving against
+    //     derived qrels — the offline gate a retrieval change ships with
+    val evalQrels = d0.filter(col("text").contains("query"))
+      .select(lit(1L).as("qid"), col("doc_id"), lit(1L).as("rel"))
+    val evalRun = graft.ops.Retrieval.bm25SearchPreindexed(spark, bm25Dir,
+      Seq((1L, "query hash join")).toDF("qid", "qtext"), "qid", "qtext", topK = 10)
+    val summary = graft.ops.RankEval.rankingSummary(
+      evalRun, evalQrels, "qid", "doc_id", "rank", "rel", k = 10).head()
+    println(f"retrieval eval: nDCG@10=${summary.getAs[Double]("ndcg_r")}%.4f " +
+      f"recall@10=${summary.getAs[Double]("recall_r")}%.4f")
+
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work
     graft.Checkpoints.freeAll(spark)
