@@ -120,6 +120,7 @@ object Layout {
       salt: String = ""
   ): Unit = {
     require(numShards >= 1, "numShards must be >= 1")
+    graft.ops.IndexCommit.clearTags(df.sparkSession, path)
     val routed = df.withColumn("shard",
       pmod(shardHash(col(idCol), salt), lit(numShards.toLong)))
     writePartitioned(routed, s"$path/data", Seq("shard"), filesPerShard)
@@ -195,12 +196,8 @@ object Layout {
     // committed (its row rode the atomic marker replay into `batches/`)
     // makes the whole append a no-op — a foreachBatch RETRY after a
     // crash must not double-count the delivery
-    val alreadyCommitted = batchTag.exists { tag =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/batches")) &&
-        spark.read.parquet(s"$path/batches")
-          .filter(col("batch_tag") === tag).limit(1).count() > 0
-    }
-    if (alreadyCommitted) return
+    if (batchTag.exists(graft.ops.IndexCommit.tagCommitted(spark, path, _)))
+      return
     val manifest = spark.read.parquet(s"$path/manifest")
     val meta = manifest.select("id_col", "num_shards", "salt").head()
     val idCol = meta.getAs[String]("id_col")
@@ -217,19 +214,9 @@ object Layout {
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("id_checksum")).as("id_checksum"))
       .select(manifest.columns.map(col).toSeq: _*)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
-    val actions = scala.collection.mutable.ArrayBuffer(
-      "merge" -> "data", "swap" -> "manifest")
-    batchTag.foreach { tag =>
-      spark.createDataFrame(
-        java.util.Collections.singletonList(org.apache.spark.sql.Row(tag)),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("batch_tag",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/batches")
-      actions += ("merge" -> "batches")
-    }
-    graft.ops.IndexCommit.commit(fs, new org.apache.hadoop.fs.Path(path),
-      actions.toSeq)
+    val actions = Seq("merge" -> "data", "swap" -> "manifest") ++
+      batchTag.map(graft.ops.IndexCommit.stageTag(spark, path, _))
+    graft.ops.IndexCommit.commit(fs, new org.apache.hadoop.fs.Path(path), actions)
   }
 
   /** Verify a [[writeShardsWithManifest]] export: recompute each

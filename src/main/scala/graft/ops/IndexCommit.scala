@@ -85,6 +85,41 @@ object IndexCommit {
       actions.map(a => s"${a._1} ${a._2}").mkString("\n").getBytes("UTF-8"))
   }
 
+  /** Exactly-once fencing for STREAMING appenders: has `tag` already
+    * committed into this root's `batches/` table? A tag's row rides the
+    * same atomic marker replay as the data it fences ([[stageTag]]), so
+    * a crash-retried micro-batch that finds its tag knows the whole
+    * append landed — and one that doesn't knows none of it did. */
+  def tagCommitted(spark: SparkSession, root: String, tag: Long): Boolean = {
+    val fs = fsFor(spark, root)
+    fs.exists(new Path(s"$root/batches")) &&
+      spark.read.parquet(s"$root/batches")
+        .filter(org.apache.spark.sql.functions.col("batch_tag") === tag)
+        .limit(1).count() > 0
+  }
+
+  /** Stage `tag`'s one-row `batches/` increment under the root's staging
+    * dir; returns the commit action to append to the operation's list. */
+  def stageTag(spark: SparkSession, root: String, tag: Long): (String, String) = {
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(tag)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_tag",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${stagingDir(root)}/batches")
+    "merge" -> "batches"
+  }
+
+  /** A FRESH artifact save owns its root: drop any tag history a
+    * previous index/export at the same path accumulated — a restarted
+    * stream against a rebuilt artifact must not skip batches because an
+    * OLD incarnation saw their tags. */
+  def clearTags(spark: SparkSession, root: String): Unit = {
+    fsFor(spark, root).delete(new Path(s"$root/batches"), true)
+    ()
+  }
+
   /** Publish a marker file ATOMICALLY: write the bytes to `<name>.tmp`
     * and rename into place. A marker is AUTHORITATIVE the instant it
     * exists, so it must appear fully written or not at all — a crash

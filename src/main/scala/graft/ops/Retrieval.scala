@@ -189,9 +189,12 @@ object Retrieval {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     val spark = docs.sparkSession
     // a fresh save OWNS the root: a stale maintenance stage from a
-    // previous index at the same path must not replay into this one
+    // previous index at the same path must not replay into this one,
+    // and an old incarnation's batch-tag history must not make a
+    // restarted stream skip batches
     IndexCommit.fsFor(spark, path)
       .delete(new org.apache.hadoop.fs.Path(IndexCommit.stagingDir(path)), true)
+    IndexCommit.clearTags(spark, path)
     val idType = docs.select(col(idCol)).schema.head.dataType.sql
     val withLen = docs.select(
       col(idCol).as("__docid"),
@@ -301,10 +304,16 @@ object Retrieval {
   def appendToBm25Index(
       newDocs: DataFrame,
       textCol: String,
-      indexPath: String
+      indexPath: String,
+      batchTag: Option[Long] = None
   ): Unit = {
     val spark = newDocs.sparkSession
-    val actions = stageBm25Append(newDocs, textCol, indexPath)
+    IndexCommit.recover(spark, indexPath)
+    // exactly-once fencing for streaming appenders (the tag's row rides
+    // the same atomic marker replay as the postings increment)
+    if (batchTag.exists(IndexCommit.tagCommitted(spark, indexPath, _))) return
+    val actions = stageBm25Append(newDocs, textCol, indexPath) ++
+      batchTag.map(IndexCommit.stageTag(spark, indexPath, _))
     IndexCommit.commit(IndexCommit.fsFor(spark, indexPath),
       new org.apache.hadoop.fs.Path(indexPath), actions)
   }

@@ -612,9 +612,12 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a fresh save owns the root — a stale maintenance stage from a
-    // previous index at this path must not replay into the new one
+    // previous index at this path must not replay into the new one,
+    // and an old incarnation's batch-tag history must not make a
+    // restarted stream skip batches
     IndexCommit.fsFor(spark, path)
       .delete(new org.apache.hadoop.fs.Path(IndexCommit.stagingDir(path)), true)
+    IndexCommit.clearTags(spark, path)
     assignCells(corpus, corpusVec, centroidSeq, "list_id")
       .select(col(corpusId), col(corpusVec), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/corpus")
@@ -637,17 +640,24 @@ object Similarity {
       newVecs: DataFrame,
       path: String,
       corpusId: String = "vec_id",
-      corpusVec: String = "embedding"
+      corpusVec: String = "embedding",
+      batchTag: Option[Long] = None
   ): Unit = {
     val spark = newVecs.sparkSession
     IndexCommit.recover(spark, path)
+    // exactly-once fencing for streaming appenders: a committed tag
+    // means this whole increment already landed (the tag's row rode the
+    // same atomic marker replay) — the crash-retried batch no-ops
+    if (batchTag.exists(IndexCommit.tagCommitted(spark, path, _))) return
     val cents = loadIvfCentroids(spark, path)
     assignCells(newVecs, corpusVec, cents, "list_id")
       .select(col(corpusId), col(corpusVec), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"${IndexCommit.stagingDir(path)}/corpus")
+    val actions = Seq("merge" -> "corpus") ++
+      batchTag.map(IndexCommit.stageTag(spark, path, _))
     IndexCommit.commit(IndexCommit.fsFor(spark, path),
-      new org.apache.hadoop.fs.Path(path), Seq("merge" -> "corpus"))
+      new org.apache.hadoop.fs.Path(path), actions)
   }
 
   /** Replay a pending IVF maintenance commit after a crash, or discard

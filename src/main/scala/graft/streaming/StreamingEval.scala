@@ -1129,6 +1129,45 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming LEXICAL INDEXING — documents flow continuously into a
+    * standing [[graft.ops.Retrieval.saveBm25Index]] postings tree: each
+    * micro-batch appends through the O(increment) marker-fenced
+    * [[graft.ops.Retrieval.appendToBm25Index]] with the batch id as the
+    * exactly-once tag, so a crash-retried batch never double-counts a
+    * document's postings (df and stats would silently inflate
+    * otherwise — worse than duplicate rows, it skews every score).
+    * Serving reads ([[bm25QueryStream]], `bm25SearchPreindexed`) see
+    * each batch as it commits. Seed the index once with `saveBm25Index`
+    * (even over an empty corpus); one writer per index root — run
+    * compactions with the stream stopped. */
+  def bm25IndexStream(
+      docs: DataFrame,
+      textCol: String,
+      indexPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.ops.Retrieval.appendToBm25Index(
+        batch, textCol, indexPath, batchTag = Some(batchId))
+      ()
+    }
+
+  /** Streaming VECTOR INDEXING — the [[bm25IndexStream]] twin for the
+    * IVF index: each micro-batch assigns against the FROZEN persisted
+    * quantizer and appends cell-partitioned, exactly once per batch id.
+    * Seed with [[graft.ops.Similarity.saveIvfIndex]]; retrain the
+    * quantizer by rebuilding (the append never moves centroids). */
+  def ivfIndexStream(
+      vecs: DataFrame,
+      indexPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.ops.Similarity.appendToIvfIndex(
+        batch, indexPath, idCol, vecCol, batchTag = Some(batchId))
+      ()
+    }
+
   /** Shared foreachBatch ingest core: hash the batch, vet against the
     * persisted index, append admissions. */
   private def ingestWith(

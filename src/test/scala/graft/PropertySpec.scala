@@ -550,4 +550,76 @@ class PropertySpec extends SparkSpec {
       assert(inc == full, s"apply diverged from rebuild for obs=$obs")
     }
   }
+
+  test("property: rankingMetrics equals an in-memory brute force on random runs/qrels") {
+    import spark.implicits._
+    import graft.ops.RankEval
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val nq = 6
+      // random run: each query ranks a random doc subset
+      val run = (1 to nq).flatMap { q =>
+        val docs = rnd.shuffle((1L to 30L).toVector).take(rnd.nextInt(12) + 1)
+        docs.zipWithIndex.map { case (d, i) => (q.toLong, d, i + 1) }
+      }
+      // random qrels: unique (q, doc), grades 0..3
+      val qrels = (1 to nq).flatMap { q =>
+        rnd.shuffle((1L to 30L).toVector).take(rnd.nextInt(10))
+          .map(d => (q.toLong, d, rnd.nextInt(4)))
+      }
+      val k = 5
+      val got = byKey(RankEval.rankingMetrics(
+        run.toDF("qid", "doc", "rank"), qrels.toDF("qid", "doc", "rel"),
+        "qid", "doc", "rank", "rel", k), "qid")
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val pos = qrels.filter(_._3 > 0).groupBy(_._1)
+        .map { case (q, g) => q -> g.map(t => t._2 -> t._3.toLong).toMap }
+      val allQ = (run.map(_._1) ++ qrels.filter(_._3 > 0).map(_._1)).distinct
+      for (q <- allQ) {
+        val row = got(q)
+        val judged = pos.getOrElse(q, Map.empty)
+        val topk = run.filter(r => r._1 == q && r._3 <= k).sortBy(_._3)
+        val hits = topk.filter(r => judged.contains(r._2))
+        assert(row.getAs[Long]("n_judged") == judged.size.toLong, s"seed=$seed q=$q")
+        assert(row.getAs[Long]("n_retrieved") == topk.size.toLong)
+        assert(row.getAs[Long]("n_hits") == hits.size.toLong)
+        assert(row.getAs[Double]("precision_r") == r6(hits.size.toDouble / k))
+        if (judged.isEmpty) {
+          assert(row.isNullAt(row.fieldIndex("ndcg_r")) &&
+            row.isNullAt(row.fieldIndex("mrr_r")), s"seed=$seed q=$q")
+        } else {
+          val mrr = hits.headOption.map(h => r6(1.0 / h._3)).getOrElse(0.0)
+          assert(row.getAs[Double]("mrr_r") == mrr, s"seed=$seed q=$q mrr")
+          assert(row.getAs[Double]("recall_r") ==
+            r6(hits.size.toDouble / judged.size), s"seed=$seed q=$q recall")
+          // the brute nDCG replays the same fold orders
+          val dcg = topk.foldLeft(0.0) { (acc, r) =>
+            acc + judged.getOrElse(r._2, 0L).toDouble / log2(r._3 + 1.0)
+          }
+          val idcg = judged.toSeq.sortBy(t => (-t._2, t._1)).zipWithIndex
+            .foldLeft(0.0) { case (acc, ((_, g), i)) => acc + g.toDouble / log2(i + 2.0) }
+          assert(row.getAs[Double]("ndcg_r") == r6(dcg / idcg), s"seed=$seed q=$q ndcg")
+        }
+      }
+    }
+  }
+
+  test("property: lengthBucketedBatches equals the in-memory sort on random shards") {
+    import spark.implicits._
+    import graft.ops.Packing
+    for (seed <- Seq(5, 63)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 80L).map(i => (i, s"s${rnd.nextInt(4)}", rnd.nextInt(50).toLong))
+      val bs = rnd.nextInt(6) + 2
+      val got = Packing.lengthBucketedBatches(
+        docs.toDF("id", "shard", "len").repartition(9), "id", "len", "shard", bs)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("batch_idx")).toMap
+      val want = docs.groupBy(_._2).flatMap { case (_, g) =>
+        g.sortBy(t => (-t._3, t._1)).zipWithIndex
+          .map { case ((id, _, _), i) => id -> (i / bs).toLong }
+      }
+      assert(got == want, s"seed=$seed batchSize=$bs")
+    }
+  }
 }

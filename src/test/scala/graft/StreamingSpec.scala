@@ -783,6 +783,78 @@ class StreamingSpec extends SparkSpec {
     assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
   }
 
+  test("streaming bm25 indexing: batches commit exactly once, serving equals save-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Retrieval
+    import spark.implicits._
+    val d1 = Seq((1L, "spark shuffles data between stages"),
+      (2L, "broadcast joins avoid the shuffle"))
+    val d2 = Seq((3L, "shuffle partitions size the reducers"),
+      (4L, "catalyst prunes columns and partitions"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25-stream").toString
+    // seed over the empty corpus: the index exists, then batches flow in
+    Retrieval.saveBm25Index(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", idx, numBuckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.bm25IndexStream(
+        input.toDF().toDF("doc_id", "text"), "text", idx)
+      .start()
+    try {
+      input.addData(d1: _*); query.processAllAvailable()
+      input.addData(d2: _*); query.processAllAvailable()
+    } finally query.stop()
+    val want = java.nio.file.Files.createTempDirectory("graft-bm25-once").toString
+    Retrieval.saveBm25Index((d1 ++ d2).toDF("doc_id", "text"),
+      "doc_id", "text", want, numBuckets = 8)
+    def serve(p: String) = Retrieval.bm25SearchPreindexed(spark, p,
+        Seq((1L, "shuffle partitions"), (2L, "broadcast data")).toDF("qid", "qtext"),
+        "qid", "qtext", topK = 5)
+      .collect().map(_.toSeq).toSet
+    assert(serve(idx) == serve(want),
+      "streamed index must serve exactly like the save-once build")
+    // a crash-retried batch (same tag) must not inflate df/stats
+    val statsBefore = spark.read.parquet(s"$idx/stats").collect().map(_.toSeq).toSet
+    Retrieval.appendToBm25Index(d2.toDF("doc_id", "text"), "text", idx,
+      batchTag = Some(1L))
+    assert(spark.read.parquet(s"$idx/stats").collect().map(_.toSeq).toSet ==
+      statsBefore, "replayed tag must no-op")
+    assert(serve(idx) == serve(want))
+  }
+
+  test("streaming ivf indexing: batches commit exactly once, corpus equals save-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(4)(i => ((seed * 31 + i * 7) % 10).toFloat)
+    val seedCorpus = (1L to 8L).map(i => (i, vec(i.toInt).toSeq))
+    val b1 = (9L to 12L).map(i => (i, vec(i.toInt).toSeq))
+    val b2 = (13L to 16L).map(i => (i, vec(i.toInt).toSeq))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val cents = Similarity.trainIvfCentroids(
+      seedCorpus.toDF("vec_id", "embedding"), "embedding", nLists = 2)
+    Similarity.saveIvfIndex(seedCorpus.toDF("vec_id", "embedding"), cents, idx)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = graft.streaming.StreamingEval.ivfIndexStream(
+        input.toDF().toDF("vec_id", "embedding"), idx)
+      .start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    val want = java.nio.file.Files.createTempDirectory("graft-ivf-once").toString
+    Similarity.saveIvfIndex((seedCorpus ++ b1 ++ b2).toDF("vec_id", "embedding"),
+      cents, want)
+    def corpus(p: String) = spark.read.parquet(s"$p/corpus")
+      .select(col("vec_id"), col("list_id").cast("long")).collect()
+      .map(_.toSeq).toSet
+    assert(corpus(idx) == corpus(want),
+      "streamed IVF corpus must equal the save-once build")
+    // replayed tag no-ops
+    Similarity.appendToIvfIndex(b2.toDF("vec_id", "embedding"), idx,
+      batchTag = Some(1L))
+    assert(corpus(idx) == corpus(want))
+  }
+
   test("streaming audio fingerprinting matches batch (stateless decode)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.AudioCodecs
