@@ -120,6 +120,13 @@ object Layout {
       salt: String = ""
   ): Unit = {
     require(numShards >= 1, "numShards must be >= 1")
+    // a fresh export OWNS the root: a stale maintenance stage from a
+    // previous delivery at this path must not replay into the new one
+    // (a MARKED leftover would merge old files into fresh shards), and
+    // the old incarnation's batch-tag history must not make a restarted
+    // stream skip batches
+    graft.ops.IndexCommit.fsFor(df.sparkSession, path).delete(
+      new org.apache.hadoop.fs.Path(graft.ops.IndexCommit.stagingDir(path)), true)
     graft.ops.IndexCommit.clearTags(df.sparkSession, path)
     val routed = df.withColumn("shard",
       pmod(shardHash(col(idCol), salt), lit(numShards.toLong)))

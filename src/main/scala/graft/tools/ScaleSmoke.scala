@@ -989,6 +989,23 @@ object ScaleSmoke {
         }
       }
 
+      // sharded delivery: the append must cost the INCREMENT however
+      // big the standing export is (manifest merge is shard-grain sums,
+      // staged files read back once — never a rescan of live data)
+      locally {
+        val dir = java.nio.file.Files.createTempDirectory("smoke-shards").toString
+        val base = spark.range(n * 50000L)
+          .select(col("id"), concat(lit("payload-"), col("id")).as("payload"))
+        time(s"writeShardsWithManifest over ${n * 50000} rows") {
+          graft.io.Layout.writeShardsWithManifest(base, "id", dir, numShards = 16)
+        }
+        val inc = spark.range(n * 50000L, n * 50000L + 2000L)
+          .select(col("id"), concat(lit("payload-"), col("id")).as("payload"))
+        time(s"appendShardsWithManifest 2000-row increment onto ${n * 50000}-row export") {
+          graft.io.Layout.appendShardsWithManifest(inc, dir)
+        }
+      }
+
       // adversarial: a LONG PATH is the shape that defeats min-label
       // flooding (eccentricity-bound rounds — the old formulation
       // crawled one hop per round and hung on the compounding-
