@@ -205,6 +205,12 @@ object Layout {
     // crash must not double-count the delivery
     if (batchTag.exists(graft.ops.IndexCommit.tagCommitted(spark, path, _)))
       return
+    // an EMPTY increment (an idle micro-batch tick) must be a no-op,
+    // not a crash: the staged-data read-back below cannot infer a
+    // schema from a file-less write, and there is nothing to deliver.
+    // The batch tag intentionally does not commit for an empty batch —
+    // replaying it appends nothing either way.
+    if (df.isEmpty) return
     val manifest = spark.read.parquet(s"$path/manifest")
     val meta = manifest.select("id_col", "num_shards", "salt").head()
     val idCol = meta.getAs[String]("id_col")

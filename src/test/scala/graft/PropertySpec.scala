@@ -605,6 +605,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dawidSkenePosteriors sums to 1 with the hard winner on top, any corpus") {
+    import spark.implicits._
+    import graft.ops.Judges
+    for (seed <- Seq(7, 123)) {
+      val rnd = new scala.util.Random(seed)
+      val labels = Seq("a", "b", "c")
+      val votes = (1L to 25L).flatMap { item =>
+        rnd.shuffle((1 to 6).toVector).take(rnd.nextInt(4) + 2)
+          .map(j => (item, s"j$j", labels(rnd.nextInt(3))))
+      }.toDF("item", "judge", "label")
+      val hard = byKey(Judges.dawidSkene(votes, "item", "judge", "label"), "item")
+      val post = Judges.dawidSkenePosteriors(votes, "item", "judge", "label")
+        .collect().groupBy(_.getAs[Long]("item"))
+      assert(post.keySet == (1L to 25L).toSet)
+      post.foreach { case (item, rows) =>
+        assert(rows.length == labels.size, s"seed=$seed item=$item row count")
+        val ps = rows.map(_.getAs[Double]("posterior_r"))
+        assert(ps.forall(p => p > 0.0 && p <= 1.0), s"seed=$seed item=$item range")
+        assert(math.abs(ps.sum - 1.0) <= 3e-6, s"seed=$seed item=$item sum=${ps.sum}")
+        val marked = rows.filter(_.getAs[Boolean]("is_consensus"))
+        assert(marked.length == 1)
+        assert(marked.head.getAs[String]("label") ==
+          hard(item).getAs[String]("consensus"), s"seed=$seed item=$item winner")
+        assert(marked.head.getAs[Double]("posterior_r") == ps.max)
+      }
+    }
+  }
+
+  test("property: multi-way shard appends equal the write-once export, any split") {
+    import spark.implicits._
+    import graft.io.Layout
+    for (seed <- Seq(3, 81)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 120L).map(i => (i, s"p-$i"))
+      // random 3-way split, first slice written, the rest appended
+      val tagged = rows.map(r => (rnd.nextInt(3), r))
+      val out = java.nio.file.Files.createTempDirectory(s"graft-app-$seed").toString
+      Layout.writeShardsWithManifest(
+        tagged.filter(_._1 == 0).map(_._2).toDF("id", "payload"),
+        "id", out, numShards = 4, salt = s"s$seed")
+      for (slice <- 1 to 2)
+        Layout.appendShardsWithManifest(
+          tagged.filter(_._1 == slice).map(_._2).toDF("id", "payload"), out)
+      val ref = java.nio.file.Files.createTempDirectory(s"graft-ref-$seed").toString
+      Layout.writeShardsWithManifest(rows.toDF("id", "payload"),
+        "id", ref, numShards = 4, salt = s"s$seed")
+      def manifest(p: String) = spark.read.parquet(s"$p/manifest")
+        .select("shard", "n_rows", "id_checksum").collect().map(_.toSeq).toSet
+      assert(manifest(out) == manifest(ref), s"seed=$seed manifest")
+      assert(Layout.verifyShards(spark, out).collect()
+        .forall(_.getAs[Boolean]("ok")), s"seed=$seed verify")
+      assert(spark.read.parquet(s"$out/data").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq == (1L to 120L), s"seed=$seed rows")
+    }
+  }
+
   test("property: lengthBucketedBatches equals the in-memory sort on random shards") {
     import spark.implicits._
     import graft.ops.Packing

@@ -781,6 +781,12 @@ class StreamingSpec extends SparkSpec {
       out, batchTag = Some(2L))
     assert(spark.read.parquet(s"$out/data").count() == 95L)
     assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+    // an EMPTY increment (idle micro-batch tick) is a clean no-op
+    Layout.appendShardsWithManifest(
+      Seq.empty[(Long, String)].toDF("id", "payload"), out, batchTag = Some(3L))
+    assert(spark.read.parquet(s"$out/data").count() == 95L)
+    assert(manifest(out).map(_.head).size == 4)
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
   }
 
   test("streaming bm25 indexing: batches commit exactly once, serving equals save-once") {
