@@ -111,6 +111,20 @@ object IndexCommit {
     "merge" -> "batches"
   }
 
+  /** Compaction rider for the tag table: a long-lived stream leaves one
+    * tiny `batches/` file per micro-batch; fold them to one file in the
+    * same staged commit as the index compaction (tags keep fencing —
+    * the rows are identical). Returns the action to append, or None
+    * when the root has no tag history. */
+  def stageTagCompaction(
+      spark: SparkSession, root: String): Option[(String, String)] = {
+    if (!fsFor(spark, root).exists(new Path(s"$root/batches"))) return None
+    spark.read.parquet(s"$root/batches")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${stagingDir(root)}/batches")
+    Some("swap" -> "batches")
+  }
+
   /** A FRESH artifact save owns its root: drop any tag history a
     * previous index/export at the same path accumulated — a restarted
     * stream against a rebuilt artifact must not skip batches because an

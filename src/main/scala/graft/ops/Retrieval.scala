@@ -431,6 +431,7 @@ object Retrieval {
     spark.read.parquet(s"$indexPath/doclens")
       .write.mode("overwrite").parquet(s"$staging/doclens")
     actions :+= (("swap", "doclens"))
+    actions ++= IndexCommit.stageTagCompaction(spark, indexPath)
     IndexCommit.commit(IndexCommit.fsFor(spark, indexPath),
       new org.apache.hadoop.fs.Path(indexPath), actions)
   }

@@ -684,7 +684,8 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"${IndexCommit.stagingDir(path)}/corpus")
     IndexCommit.commit(IndexCommit.fsFor(spark, path),
-      new org.apache.hadoop.fs.Path(path), Seq("swap" -> "corpus"))
+      new org.apache.hadoop.fs.Path(path),
+      Seq("swap" -> "corpus") ++ IndexCommit.stageTagCompaction(spark, path))
   }
 
   /** TAKEDOWN: remove vectors from the persisted index corpus by id —

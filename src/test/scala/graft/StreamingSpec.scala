@@ -825,6 +825,18 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/stats").collect().map(_.toSeq).toSet ==
       statsBefore, "replayed tag must no-op")
     assert(serve(idx) == serve(want))
+    // compaction folds the per-batch tag files to one and the tags
+    // KEEP fencing (same rows, one file)
+    def tagFiles() = new java.io.File(s"$idx/batches").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(tagFiles() >= 2, "two streamed batches leave two tag files")
+    Retrieval.compactBm25Index(spark, idx)
+    assert(tagFiles() == 1, "compaction must fold the tag table")
+    assert(serve(idx) == serve(want), "compaction is serving-invariant")
+    Retrieval.appendToBm25Index(d1.toDF("doc_id", "text"), "text", idx,
+      batchTag = Some(0L))
+    assert(spark.read.parquet(s"$idx/stats").collect().map(_.toSeq).toSet ==
+      statsBefore, "tags must fence across compaction")
   }
 
   test("streaming ivf indexing: batches commit exactly once, corpus equals save-once") {
