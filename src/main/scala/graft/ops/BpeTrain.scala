@@ -97,7 +97,13 @@ object BpeTrain {
     *  - a candidate sharing a symbol with any earlier batch member is
     *    rejected: merging `(a,b)` only rewrites occurrences touching
     *    `a` or `b`, so a symbol-disjoint pair's count is exactly
-    *    unchanged by the earlier merges — its rank claim still holds;
+    *    unchanged by the earlier merges — its rank claim still holds.
+    *    "Sharing" includes the CREATED symbol `a||b`: BPE symbols are
+    *    strings, and the same string is reachable via different merge
+    *    paths (symbol `ab` can pre-exist while `(a,b)` merges), so a
+    *    later candidate whose left or right symbol EQUALS an accepted
+    *    member's concatenation could have its count increased by that
+    *    member and must not ride the batch;
     *  - a candidate whose count does not STRICTLY exceed the largest
     *    possible count of any pair CREATED by earlier batch members is
     *    rejected: a new pair `(x, a||b)` inherits occurrences of the
@@ -186,12 +192,19 @@ object BpeTrain {
         // what makes natural-text batches large
         val lefts2 = scala.collection.mutable.Set.empty[String]
         val rights2 = scala.collection.mutable.Set.empty[String]
+        // concatenations a||b of accepted members: a later candidate
+        // whose own symbol equals one is NOT count-stable — the earlier
+        // merge mints new copies of that exact string (reachable via a
+        // different merge path), so its standing count can INCREASE and
+        // its rank claim no longer holds
+        val created = scala.collection.mutable.Set.empty[String]
         var newPairBound = Long.MinValue
         val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var open = true
         for (cand <- top if open) {
           val (a, b, c) = cand
           val rejected = batch.nonEmpty && (lefts2(b) || rights2(a) ||
+            created(a) || created(b) ||
             (exactGreedy && c <= newPairBound))
           if (rejected) {
             // exact mode: the prefix STOPS (never skips) — everything
@@ -203,7 +216,7 @@ object BpeTrain {
             if (exactGreedy) open = false
           } else {
             batch += cand
-            lefts2 += a; rights2 += b
+            lefts2 += a; rights2 += b; created += (a + b)
             // a new pair (x, a||b) inherits occurrences of BOTH (x, a)
             // and the merge itself, so min(count, adjacent max) is the
             // tight bound

@@ -216,7 +216,9 @@ object Packing {
     * division off exact integers, 6dp). Sorted batching drives this
     * toward 0; compare against an arrival-order assignment to size the
     * win. Output: `(shardCol, batchCol, n_docs, max_len, sum_len,
-    * pad_frac_r)` — one hash aggregation at batch grain. */
+    * pad_frac_r)` — one hash aggregation at batch grain. A batch of
+    * all-zero-length docs (legal [[lengthBucketedBatches]] input) has
+    * no compute to pad: it reports 0.0, not 0/0 = NaN. */
   def paddingReport(
       df: DataFrame,
       lenCol: String,
@@ -228,6 +230,7 @@ object Packing {
         max(col(lenCol).cast("long")).as("max_len"),
         sum(col(lenCol).cast("long")).as("sum_len"))
       .withColumn("pad_frac_r",
-        round((col("n_docs") * col("max_len") - col("sum_len")).cast("double") /
-          (col("n_docs") * col("max_len")).cast("double"), 6) + lit(0.0))
+        when(col("n_docs") * col("max_len") === 0L, lit(0.0)).otherwise(
+          round((col("n_docs") * col("max_len") - col("sum_len")).cast("double") /
+            (col("n_docs") * col("max_len")).cast("double"), 6) + lit(0.0)))
 }

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * Determinism contract (oracle-replayable): hit counts and relevance
   * gains are exact integers; MRR is one division off the integer first
   * hit rank; DCG folds its terms in RANK order and iDCG in
-  * (gain DESC, doc ASC) order — both as ordered folds over collected
+  * (gain DESC, doc ASC) order TRUNCATED at k (the TREC nDCG@k ideal:
+  * only the k best judged gains enter the denominator) — both as
+  * ordered folds over collected
   * struct arrays (the q84 sorted-fold convention), and the log2 in the
   * discount is spelled `ln(x) / ln(2)` so both engines run the same
   * libm calls (the BM25/PSI `ln` portability precedent). Ratios round
@@ -35,7 +37,9 @@ object RankEval {
     *
     * @param run   ranked results: one row per (query, doc) with a
     *              1-based rank column (ties/gaps are the caller's
-    *              contract — [[graft.ops.GroupTopK]] emits dense ranks)
+    *              contract — [[graft.ops.GroupTopK]] emits dense ranks).
+    *              A null rank, or the same (query, doc) retrieved at
+    *              two ranks within top-k, refuses loudly
     * @param qrels graded judgments: one row per (query, doc) with an
     *              integer relevance gain; gain <= 0 rows are ignored
     *              (TREC convention: judged non-relevant). A (query,
@@ -72,23 +76,47 @@ object RankEval {
           lit("' — resolve judgments upstream")))).otherwise(col("__g")).as("__g"))
       .filter(col("__g") > 0)
     // per-query judgment-side totals: recall denominator + ideal DCG
-    // (gains folded best-first, doc ASC on ties — engine-portable)
+    // (gains folded best-first, doc ASC on ties — engine-portable).
+    // The ideal is TRUNCATED at k (TREC nDCG@k: iDCG = DCG of the best
+    // possible top-k page) — the fold keeps counting judged positives
+    // for n_judged but stops accumulating discount terms at rank k, so
+    // a perfect top-k run scores ndcg_r = 1.0 even with surplus
+    // positives.
     val ideal = g.groupBy("__q")
       .agg(count(lit(1)).as("n_judged"),
         aggregate(
           array_sort(collect_list(struct((-col("__g")).as("ng"), col("__d").as("d")))),
           struct(lit(0.0).as("s"), lit(0L).as("i")),
           (acc, x) => struct(
-            (acc.getField("s") + (-x.getField("ng")).cast("double") /
-              (log((acc.getField("i") + 2L).cast("double")) / lit(ln2))).as("s"),
+            when(acc.getField("i") < lit(k.toLong),
+              acc.getField("s") + (-x.getField("ng")).cast("double") /
+                (log((acc.getField("i") + 2L).cast("double")) / lit(ln2)))
+              .otherwise(acc.getField("s")).as("s"),
             (acc.getField("i") + 1L).as("i")),
           acc => acc.getField("s")).as("__idcg"))
-    // the run's top-k rows joined to the positive judgments
+    // the run's top-k rows joined to the positive judgments. A null
+    // rank refuses loudly (mirrors the qrels-side dup discipline — a
+    // malformed run must not silently shrink n_retrieved), and so does
+    // the same (query, doc) retrieved at two ranks within top-k (it
+    // would double-count n_hits/DCG; recall could exceed 1).
     val topk = run
-      .filter(col(queryCol).isNotNull && col(docCol).isNotNull &&
-        col(rankCol) <= k)
+      .filter(col(queryCol).isNotNull && col(docCol).isNotNull)
       .select(col(queryCol).as("__q"), col(docCol).as("__d"),
-        col(rankCol).cast("long").as("__r"))
+        when(col(rankCol).isNull, raise_error(concat(
+          lit("rankingMetrics: null rank for query '"),
+          col(queryCol).cast("string"), lit("', document '"),
+          col(docCol).cast("string"),
+          lit("' — every run row must carry a rank"))))
+          .otherwise(col(rankCol).cast("long")).as("__r"))
+      .filter(col("__r") <= k)
+      .groupBy("__q", "__d")
+      .agg(count(lit(1)).as("__c"), min(col("__r")).as("__r"))
+      .select(col("__q"), col("__d"),
+        when(col("__c") > 1, raise_error(concat(
+          lit("rankingMetrics: document '"), col("__d").cast("string"),
+          lit("' retrieved more than once within top-k for query '"),
+          col("__q").cast("string"),
+          lit("' — dedup the run upstream")))).otherwise(col("__r")).as("__r"))
     val scored = topk.join(g, Seq("__q", "__d"), "left")
       .groupBy("__q")
       .agg(count(lit(1)).as("n_retrieved"),

@@ -517,11 +517,13 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |  CROSS JOIN (VALUES (1, 'query'), (2, 'window'), (3, 'customer')) q2(qid, term)
        |  WHERE contains(d.text, q2.term)
        |), ideal AS (
+       |  -- iDCG truncated at k = 10 (TREC nDCG@k: the best possible
+       |  -- top-k page), while n_judged still counts every positive
        |  SELECT qid, count(*) AS n_judged,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list(CAST(g AS DOUBLE) /
        |        (ln(CAST(rn + 1 AS DOUBLE)) / CAST(${math.log(2.0)} AS DOUBLE))
-       |        ORDER BY rn)), (a, b) -> a + b) AS idcg
+       |        ORDER BY rn) FILTER (WHERE rn <= 10)), (a, b) -> a + b) AS idcg
        |  FROM (SELECT qid, g, row_number()
        |          OVER (PARTITION BY qid ORDER BY g DESC, doc_id ASC) AS rn FROM g)
        |  GROUP BY qid

@@ -193,7 +193,17 @@ class BpeSpec extends SparkSpec {
       Seq("aaaa aaa aa a", "aaaaaa aaaaa"), // self-pair chains
       Seq("xy xz yx zy", "qr st uv wx"), // many disjoint count-1 ties
       Seq("the quick brown fox jumps over the lazy dog",
-        "pack my box with five dozen liquor jugs"))
+        "pack my box with five dozen liquor jugs"),
+      // created-symbol collisions: two-letter runs where one merge's
+      // concatenation (ab, aa, ...) is itself a symbol other candidates
+      // carry — the batch must reject (stop at) such candidates, since
+      // the earlier member mints new copies of that exact string
+      {
+        val rnd = new scala.util.Random(41)
+        Seq.fill(6)(Seq.fill(8)(
+          if (rnd.nextBoolean()) "a" * (1 + rnd.nextInt(4))
+          else "b" * (1 + rnd.nextInt(3))).mkString("")).mkString(" ").split(" ").toSeq
+      })
     for (docs <- corpora; n <- Seq(4, 10)) {
       val df = docs.map(Tuple1(_)).toDF("text")
       val seqM = BpeTrain.trainSequential(df, "text", n)

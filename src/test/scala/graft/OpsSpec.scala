@@ -2757,6 +2757,14 @@ class OpsSpec extends SparkSpec {
         .map(r => r.getAs[Long]("n_docs") * r.getAs[Long]("max_len") -
           r.getAs[Long]("sum_len")).sum
     assert(waste(assigned) <= waste(arrival))
+    // a batch of only zero-length docs reports 0 padding, not 0/0 = NaN
+    val zeros = Packing.paddingReport(
+      Packing.lengthBucketedBatches(
+        Seq((1L, "z", 0L), (2L, "z", 0L)).toDF("doc_id", "shard", "n_chars"),
+        "doc_id", "n_chars", "shard", 2),
+      "n_chars", "shard").collect()
+    assert(zeros.length == 1 && zeros.head.getAs[Double]("pad_frac_r") == 0.0 &&
+      !zeros.head.getAs[Double]("pad_frac_r").isNaN)
     // nulls refuse loudly; invariance under partitioning
     val err = intercept[Exception] {
       Packing.lengthBucketedBatches(

@@ -79,6 +79,49 @@ class RankEvalSpec extends SparkSpec {
     assert(e.getMessage.contains("judged more than once"), e.getMessage)
   }
 
+  test("rankingMetrics: nDCG ideal truncates at k (TREC) — surplus positives don't deflate") {
+    // 5 judged positives, k = 2: the ideal is the best possible top-2
+    // page (grades 5 and 4), NOT all five judged gains
+    val manyQrels = Seq(
+      (9L, 1L, 5), (9L, 2L, 4), (9L, 3L, 3), (9L, 4L, 2), (9L, 5L, 1)
+    ).toDF("qid", "doc", "rel")
+    // run hits grade 4 at rank 1 and grade 3 at rank 2
+    val run2 = Seq((9L, 2L, 1), (9L, 3L, 2)).toDF("qid", "doc", "rank")
+    val r = byKey(RankEval.rankingMetrics(
+      run2, manyQrels, "qid", "doc", "rank", "rel", k = 2), "qid")(9L)
+    val dcg = 4.0 / log2(2.0) + 3.0 / log2(3.0)
+    val idcg = 5.0 / log2(2.0) + 4.0 / log2(3.0) // truncated at k = 2
+    val want = BigDecimal(dcg / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ndcg_r") == want, s"ndcg ${r.getAs[Double]("ndcg_r")}")
+    assert(r.getAs[Long]("n_judged") == 5L) // recall denominator untruncated
+    assert(r.getAs[Double]("recall_r") == 0.4)
+    // a PERFECT top-k page scores exactly 1.0 even with surplus positives
+    val perfect = Seq((9L, 1L, 1), (9L, 2L, 2)).toDF("qid", "doc", "rank")
+    val p = byKey(RankEval.rankingMetrics(
+      perfect, manyQrels, "qid", "doc", "rank", "rel", k = 2), "qid")(9L)
+    assert(p.getAs[Double]("ndcg_r") == 1.0 && p.getAs[Double]("precision_r") == 1.0)
+  }
+
+  test("rankingMetrics: run-side duplicate within top-k and null rank refuse loudly") {
+    val dupRun = run.unionByName(Seq((1L, 10L, 3)).toDF("qid", "doc", "rank"))
+    val e = intercept[Exception] {
+      RankEval.rankingMetrics(dupRun, qrels, "qid", "doc", "rank", "rel", k = 3).collect()
+    }
+    assert(e.getMessage.contains("retrieved more than once"), e.getMessage)
+    // the same duplicate BEYOND the cutoff is fine (never double-counts)
+    val deepDup = run.unionByName(Seq((1L, 10L, 9)).toDF("qid", "doc", "rank"))
+    val ok = byKey(RankEval.rankingMetrics(
+      deepDup, qrels, "qid", "doc", "rank", "rel", k = 3), "qid")(1L)
+    assert(ok.getAs[Long]("n_hits") == 2L)
+    val nullRun = run.select(col("qid"), col("doc"),
+      when(col("doc") === 61L, lit(null)).otherwise(col("rank")).as("rank"))
+    val e2 = intercept[Exception] {
+      RankEval.rankingMetrics(nullRun, qrels, "qid", "doc", "rank", "rel", k = 3).collect()
+    }
+    assert(e2.getMessage.contains("null rank"), e2.getMessage)
+  }
+
   test("rankingSummary: macro-average over judged queries only; partition invariance") {
     val s = RankEval.rankingSummary(run, qrels, "qid", "doc", "rank", "rel", k = 3)
       .head()
