@@ -120,17 +120,46 @@ object Layout {
       salt: String = ""
   ): Unit = {
     require(numShards >= 1, "numShards must be >= 1")
+    val spark = df.sparkSession
     // a fresh export OWNS the root: a stale maintenance stage from a
     // previous delivery at this path must not replay into the new one
     // (a MARKED leftover would merge old files into fresh shards), and
     // the old incarnation's batch-tag history must not make a restarted
     // stream skip batches
-    graft.ops.IndexCommit.fsFor(df.sparkSession, path).delete(
+    graft.ops.IndexCommit.fsFor(spark, path).delete(
       new org.apache.hadoop.fs.Path(graft.ops.IndexCommit.stagingDir(path)), true)
-    graft.ops.IndexCommit.clearTags(df.sparkSession, path)
-    val routed = df.withColumn("shard",
-      pmod(shardHash(col(idCol), salt), lit(numShards.toLong)))
-    writePartitioned(routed, s"$path/data", Seq("shard"), filesPerShard)
+    graft.ops.IndexCommit.clearTags(spark, path)
+    // the routing RECIPE persists as its own one-row sidecar, not only
+    // as manifest columns: an export seeded EMPTY (a standing streaming
+    // delivery starts before data exists) has a zero-row manifest, and
+    // every later append/verify still needs the id column, shard count,
+    // and salt
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(idCol, numShards, salt)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_col",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_shards",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("salt",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/recipe")
+    if (df.isEmpty) {
+      // EMPTY SEED: a delivery may legitimately start before any data
+      // exists ([[graft.streaming.StreamingEval.exportStream]] appends
+      // into it). Write a schema-bearing empty file under one shard dir
+      // so every read-back (appends, verifyShards, compaction) can
+      // infer the schema, and a zero-row (but typed) manifest.
+      graft.ops.IndexCommit.fsFor(spark, path).delete(
+        new org.apache.hadoop.fs.Path(s"$path/data"), true)
+      df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/data/shard=0")
+    } else {
+      val routed = df.withColumn("shard",
+        pmod(shardHash(col(idCol), salt), lit(numShards.toLong)))
+      writePartitioned(routed, s"$path/data", Seq("shard"), filesPerShard)
+    }
     // the manifest derives from a READ-BACK of the bytes just written,
     // not a second evaluation of `df`: a non-deterministic input frame
     // (a sample, a fresh uuid column) would otherwise produce a manifest
@@ -140,8 +169,26 @@ object Layout {
     // scan of the export, and makes writer and manifest agree by
     // construction for ANY input.
     manifestFromShardData(
-      df.sparkSession.read.parquet(s"$path/data"), idCol, numShards, salt)
+      spark.read.parquet(s"$path/data"), idCol, numShards, salt)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+  }
+
+  /** The export's routing recipe: the `recipe/` sidecar when present
+    * (always written since the empty-seed support landed), else the
+    * manifest's self-describing columns (pre-sidecar exports — those
+    * necessarily have manifest rows). */
+  private def readRecipe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): (String, Int, String) = {
+    val fs = graft.ops.IndexCommit.fsFor(spark, path)
+    val meta =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/recipe")))
+        spark.read.parquet(s"$path/recipe").head()
+      else spark.read.parquet(s"$path/manifest")
+        .select("id_col", "num_shards", "salt").head()
+    (meta.getAs[String]("id_col"), meta.getAs[Int]("num_shards"),
+      meta.getAs[String]("salt"))
   }
 
   /** The manifest recomputed from an already-routed frame carrying its
@@ -212,10 +259,7 @@ object Layout {
     // replaying it appends nothing either way.
     if (df.isEmpty) return
     val manifest = spark.read.parquet(s"$path/manifest")
-    val meta = manifest.select("id_col", "num_shards", "salt").head()
-    val idCol = meta.getAs[String]("id_col")
-    val numShards = meta.getAs[Int]("num_shards")
-    val salt = meta.getAs[String]("salt")
+    val (idCol, numShards, salt) = readRecipe(spark, path)
     val staging = graft.ops.IndexCommit.stagingDir(path)
     val routed = df.withColumn("shard",
       pmod(shardHash(col(idCol), salt), lit(numShards.toLong)))
@@ -244,9 +288,7 @@ object Layout {
       path: String
   ): DataFrame = {
     val manifest = spark.read.parquet(s"$path/manifest")
-    val meta = manifest.select("id_col", "salt").head()
-    val idCol = meta.getAs[String]("id_col")
-    val salt = meta.getAs[String]("salt")
+    val (idCol, _, salt) = readRecipe(spark, path)
     // group by the ON-DISK shard directory (not a re-derivation from the
     // id): a file landed in the wrong shard dir must surface as a
     // count/checksum mismatch, not silently re-route itself
@@ -263,6 +305,121 @@ object Layout {
         col("manifest_checksum"), col("actual_checksum"),
         (col("manifest_rows") <=> col("actual_rows") &&
           col("manifest_checksum") <=> col("actual_checksum")).as("ok"))
+  }
+
+  /** TAKEDOWN (right-to-be-forgotten) for a standing shard export:
+    * remove every row whose id is in `ids` from a
+    * [[writeShardsWithManifest]] delivery, updating the manifest's
+    * exact counts and checksums — the post-takedown export is
+    * bit-equivalent to a write-once export of the survivors
+    * (oracle-pinned), completing the delivery lifecycle the way
+    * [[graft.ops.Retrieval.removeFromBm25Index]] does for the lexical
+    * index. `ids` is a one-column frame (broadcast — a takedown batch
+    * is small); ids never delivered are ignored.
+    *
+    * Cost is O(affected shards), not O(corpus): the routing recipe
+    * locates each id's shard WITHOUT scanning (the same-id-same-shard
+    * invariant), so only those shard directories are read (partition-
+    * pruned), anti-join-rewritten (which also compacts them), and
+    * swapped — a 100 TB delivery pays for the handful of shards the
+    * request touches. An export whose data violates its recipe (rows in
+    * the wrong shard dir) fails [[verifyShards]] and is not a valid
+    * takedown target. Marker-fenced and idempotent like every
+    * maintenance op; one maintenance op at a time per export root. */
+  def removeFromShardExport(ids: DataFrame, path: String,
+      filesPerShard: Int = 1): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame of row ids, got ${ids.columns.toSeq}")
+    val spark = ids.sparkSession
+    graft.ops.IndexCommit.recover(spark, path)
+    val (idCol, numShards, salt) = readRecipe(spark, path)
+    val data = spark.read.parquet(s"$path/data")
+    val rmIds = broadcast(ids.select(col(ids.columns.head)
+      .cast(data.schema(idCol).dataType).as(idCol)).na.drop().distinct())
+    // the recipe locates each id's shard with pure arithmetic — the
+    // scan below prunes to these directories
+    val affected = rmIds
+      .select(pmod(shardHash(col(idCol), salt), lit(numShards.toLong)).as("shard"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (affected.isEmpty) return
+    val pruned = data.filter(col("shard").isin(affected: _*))
+    // per-shard removal deltas off the rows actually on disk (dup-id
+    // appends count per ROW, exactly as the manifest summed them)
+    val removed = pruned.join(rmIds, Seq(idCol), "left_semi")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("r_rows"),
+        sum(shardHash(col(idCol), salt)).as("r_checksum"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    if (removed.isEmpty) return // nothing of these ids was ever delivered
+    val hit = removed.keys.toSeq.sorted
+    val staging = graft.ops.IndexCommit.stagingDir(path)
+    val fs = graft.ops.IndexCommit.fsFor(spark, path)
+    // survivors of the HIT shards rewrite in place (also compacting
+    // them); untouched shards keep their files
+    val kept = data.filter(col("shard").isin(hit: _*))
+      .join(rmIds, Seq(idCol), "left_anti")
+    writePartitioned(kept, s"$staging/data", Seq("shard"), filesPerShard)
+    // a shard whose every row was removed writes no staged files — its
+    // swap still needs a source dir, or the replay would skip it and
+    // the live rows would survive the takedown
+    hit.foreach { s =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/data/shard=$s")); ()
+    }
+    val manifest = spark.read.parquet(s"$path/manifest")
+    val deltas = spark.createDataFrame(
+      hit.map(s => (s, removed(s)._1, removed(s)._2)))
+      .toDF("shard", "r_rows", "r_checksum")
+    val newManifest = manifest.join(broadcast(deltas), Seq("shard"), "left")
+      .select(col("shard"),
+        (col("n_rows") - coalesce(col("r_rows"), lit(0L))).as("n_rows"),
+        (col("id_checksum") - coalesce(col("r_checksum"), lit(0L))).as("id_checksum"),
+        col("id_col"), col("num_shards"), col("salt"))
+      .filter(col("n_rows") > 0)
+    val emptiedOut = newManifest.isEmpty
+    newManifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$staging/manifest")
+    if (emptiedOut) {
+      // the takedown emptied the whole delivery: keep one schema-bearing
+      // empty file so read-backs (appends, verifies, compactions) still
+      // infer the schema — the empty-seed invariant
+      data.drop("shard").limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$staging/data/shard=${hit.head}")
+    }
+    val actions = hit.map(s => "swap" -> s"data/shard=$s") :+ ("swap" -> "manifest")
+    graft.ops.IndexCommit.commit(fs,
+      new org.apache.hadoop.fs.Path(path), actions)
+  }
+
+  /** OFFLINE maintenance for a standing shard export: fold the small
+    * files accumulated by [[appendShardsWithManifest]] (one per shard
+    * per append, forever under a streaming delivery) back to
+    * `filesPerShard` files per shard, and compact the `batches/`
+    * exactly-once tag table alongside (the
+    * [[graft.ops.IndexCommit.stageTagCompaction]] rider) — identical
+    * rows, the manifest untouched because counts and checksums don't
+    * change. The [[graft.ops.Retrieval.compactBm25Index]] discipline at
+    * the delivery: marker-fenced, run with the export stream stopped
+    * (one maintenance op at a time per root). */
+  def compactShardExport(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      filesPerShard: Int = 1
+  ): Unit = {
+    graft.ops.IndexCommit.recover(spark, path)
+    val staging = graft.ops.IndexCommit.stagingDir(path)
+    val data = spark.read.parquet(s"$path/data")
+    var actions = Seq.empty[(String, String)]
+    if (!data.isEmpty) {
+      writePartitioned(data, s"$staging/data", Seq("shard"), filesPerShard)
+      actions :+= (("swap", "data"))
+    }
+    // an empty (seeded, nothing appended yet) export keeps its
+    // schema-bearing file: rewriting zero rows would drop the footer
+    // and break every later read-back
+    actions ++= graft.ops.IndexCommit.stageTagCompaction(spark, path)
+    if (actions.nonEmpty)
+      graft.ops.IndexCommit.commit(graft.ops.IndexCommit.fsFor(spark, path),
+        new org.apache.hadoop.fs.Path(path), actions)
   }
 
   /** Z-order (Morton) key over numeric columns: each value quantizes to

@@ -89,7 +89,17 @@ object IndexCommit {
     * committed into this root's `batches/` table? A tag's row rides the
     * same atomic marker replay as the data it fences ([[stageTag]]), so
     * a crash-retried micro-batch that finds its tag knows the whole
-    * append landed — and one that doesn't knows none of it did. */
+    * append landed — and one that doesn't knows none of it did.
+    *
+    * Cost contract: the check reads the `batches/` table, which gains
+    * one small file per committed batch — so each check costs O(batches
+    * since the last compaction) file listings/footers. Every index
+    * family's compactor folds the table back to one file (the
+    * [[stageTagCompaction]] rider), which bounds the check: a
+    * long-lived stream must run its artifact's compaction on a cadence
+    * (every ~10³ batches keeps the per-batch check at a few thousand
+    * footer reads worst-case), the same stop-the-writer maintenance
+    * window the data files need anyway. */
   def tagCommitted(spark: SparkSession, root: String, tag: Long): Boolean = {
     val fs = fsFor(spark, root)
     fs.exists(new Path(s"$root/batches")) &&

@@ -2756,6 +2756,17 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
     // sharded-export manifest: md5-prefix shard routing, exact counts,
     // order-independent integer id checksums
+    // the takedown'd delivery manifest re-derived over the SURVIVORS:
+    // takedown ≡ write-once without the removed rows
+    "q281_shard_takedown" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'm16'), 1, 8)) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 7 <> 3
+        |)
+        |SELECT h % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) AS BIGINT) AS id_checksum
+        |FROM h GROUP BY h % 8 ORDER BY shard""".stripMargin,
+
     "q268_shard_manifest" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'm14'), 1, 8)) AS BIGINT) AS h

@@ -145,6 +145,31 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Post-TAKEDOWN shard export keyed by sf dir (q281): the full corpus
+    * delivered via [[graft.io.Layout.writeShardsWithManifest]], then
+    * every `doc_id % 7 == 3` row REMOVED via
+    * [[graft.io.Layout.removeFromShardExport]] — the published manifest
+    * must equal the oracle's derivation over the SURVIVORS (takedown ≡
+    * write-once without the rows), completing the delivery lifecycle
+    * the q256/q257 index takedowns pin for their artifacts. */
+  private[queries] object ShardTakedownState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(docs: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-shard-rm").toString
+            graft.io.Layout.writeShardsWithManifest(
+              docs, "doc_id", p, numShards = 8, salt = "m16")
+            graft.io.Layout.removeFromShardExport(
+              docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), p)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Post-TAKEDOWN BM25 index keyed by sf dir (q256): a fresh index
     * over `documents` with every `doc_id % 7 == 3` document REMOVED via
     * [[graft.ops.Retrieval.removeFromBm25Index]] — the oracle rebuilds
@@ -3090,6 +3115,18 @@ object PipelineQueries extends OracleSqlStatic {
       // write-once, counts and checksums additive-exact)
       val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
       val p = ShardAppendState.forDir(d, dir)
+      s.read.parquet(s"$p/manifest")
+        .select(col("shard"), col("n_rows"), col("id_checksum"))
+        .orderBy("shard")
+    },
+
+    "q281_shard_takedown" -> { (s, dir) =>
+      // right-to-be-forgotten against a STANDING delivery: the export's
+      // manifest after removeFromShardExport must equal the manifest of
+      // a write-once export over the survivors — the oracle re-derives
+      // it from the filtered corpus (exact counts, integer checksums)
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val p = ShardTakedownState.forDir(d, dir)
       s.read.parquet(s"$p/manifest")
         .select(col("shard"), col("n_rows"), col("id_checksum"))
         .orderBy("shard")

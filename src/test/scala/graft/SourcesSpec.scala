@@ -245,4 +245,104 @@ class SourcesSpec extends SparkSpec {
       "live tables untouched by a discarded stage")
     assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
   }
+
+  test("shard takedown: ≡ write-once over survivors, untouched shards keep files, audit clean") {
+    import spark.implicits._
+    import graft.io.Layout
+    val all = (1L to 300L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-rm").toString
+    Layout.writeShardsWithManifest(all, "id", out, numShards = 4, salt = "x")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    // locate one id's shard, remember every OTHER shard's exact file set
+    val one = 137L
+    val oneShard = spark.read.parquet(s"$out/data")
+      .filter(col("id") === one).select(col("shard").cast("long"))
+      .head().getLong(0)
+    def files(shard: Long) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$out/data/shard=$shard"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toSet
+    val before = (0L to 3L).filter(_ != oneShard).map(s => s -> files(s)).toMap
+    Layout.removeFromShardExport(Seq(one).toDF("id"), out)
+    // survivors match a write-once export bit for bit (manifest + rows)
+    val ref = java.nio.file.Files.createTempDirectory("graft-shard-rm-ref").toString
+    Layout.writeShardsWithManifest(all.filter(col("id") =!= one), "id", ref,
+      numShards = 4, salt = "x")
+    def manifest(p: String) = spark.read.parquet(s"$p/manifest")
+      .select("shard", "n_rows", "id_checksum").collect().map(_.toSeq).toSet
+    assert(manifest(out) == manifest(ref))
+    assert(spark.read.parquet(s"$out/data").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 300L).filter(_ != one))
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+    // O(affected shards): the three untouched shard dirs kept their files
+    assert((0L to 3L).filter(_ != oneShard).forall(s => files(s) == before(s)),
+      "untouched shards must not rewrite")
+    // the right-to-be-forgotten audit reads clean afterwards
+    val audit = graft.ops.Reports.takedownAudit(spark, Seq(one).toDF("id"), "id",
+      Seq(("export", s"$out/data", "id"))).collect()
+    assert(audit.forall(_.getAs[Boolean]("clean")), audit.mkString(", "))
+    // ids never delivered are a no-op (manifest byte-identical)
+    val m0 = manifest(out)
+    Layout.removeFromShardExport(Seq(99999L).toDF("id"), out)
+    assert(manifest(out) == m0)
+    // removing EVERYTHING leaves a readable, appendable, verifiable export
+    Layout.removeFromShardExport(all.select("id"), out)
+    assert(spark.read.parquet(s"$out/data").count() == 0L)
+    assert(spark.read.parquet(s"$out/manifest").count() == 0L)
+    assert(Layout.verifyShards(spark, out).collect().isEmpty)
+    Layout.appendShardsWithManifest(
+      Seq((7L, "back")).toDF("id", "payload"), out)
+    assert(spark.read.parquet(s"$out/data").count() == 1L)
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+  }
+
+  test("shard export: empty seed, tagged appends, compaction folds files and tags") {
+    import spark.implicits._
+    import graft.io.Layout
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-seed").toString
+    val empty = Seq.empty[(Long, String)].toDF("id", "payload")
+    // a streaming delivery seeds BEFORE data exists
+    Layout.writeShardsWithManifest(empty, "id", out, numShards = 4, salt = "x")
+    assert(spark.read.parquet(s"$out/data").count() == 0L)
+    assert(spark.read.parquet(s"$out/manifest").count() == 0L)
+    assert(Layout.verifyShards(spark, out).collect().isEmpty)
+    // tagged appends land exactly once; a retried tag no-ops
+    (1 to 3).foreach { b =>
+      val inc = ((b * 100L + 1) to (b * 100L + 40)).map(i => (i, s"p-$i"))
+        .toDF("id", "payload")
+      Layout.appendShardsWithManifest(inc, out, batchTag = Some(b.toLong))
+    }
+    Layout.appendShardsWithManifest(
+      (201L to 240L).map(i => (i, s"p-$i")).toDF("id", "payload"),
+      out, batchTag = Some(2L)) // retry of batch 2: must no-op
+    assert(spark.read.parquet(s"$out/data").count() == 120L)
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    def dataFiles(shard: Long) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$out/data/shard=$shard"))
+      .count(s => !s.getPath.getName.startsWith("_"))
+    assert((0L to 3L).exists(dataFiles(_) > 1), "appends should accrete files")
+    val tagFiles0 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/batches"))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+    assert(tagFiles0 >= 3)
+    val mBefore = spark.read.parquet(s"$out/manifest")
+      .select("shard", "n_rows", "id_checksum").collect().map(_.toSeq).toSet
+    Layout.compactShardExport(spark, out)
+    assert((0L to 3L).forall(s => dataFiles(s) <= 1), "compaction must fold shard files")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/batches"))
+      .count(s => s.getPath.getName.endsWith(".parquet")) == 1,
+      "compaction must fold the tag table")
+    assert(spark.read.parquet(s"$out/manifest")
+      .select("shard", "n_rows", "id_checksum").collect().map(_.toSeq).toSet == mBefore)
+    assert(spark.read.parquet(s"$out/data").count() == 120L)
+    assert(Layout.verifyShards(spark, out).collect().forall(_.getAs[Boolean]("ok")))
+    // tags keep fencing after the fold: replaying an old batch still no-ops
+    Layout.appendShardsWithManifest(
+      Seq((9999L, "dup")).toDF("id", "payload"), out, batchTag = Some(1L))
+    assert(spark.read.parquet(s"$out/data").count() == 120L)
+    // compacting an EMPTY export keeps it readable
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shard-seed2").toString
+    Layout.writeShardsWithManifest(empty, "id", out2, numShards = 2, salt = "")
+    Layout.compactShardExport(spark, out2)
+    assert(spark.read.parquet(s"$out2/data").count() == 0L)
+  }
 }
