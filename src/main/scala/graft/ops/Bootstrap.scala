@@ -33,8 +33,9 @@ object Bootstrap {
 
   private val TwoPow60 = 1152921504606846976.0
 
-  /** Deterministic uniform draw in [0, 1) for (row id, replica). */
-  private def unit(id: Column, replica: Column): Column =
+  /** Deterministic uniform draw in [0, 1) for (row id, replica) — shared
+    * with [[RankEval.compareRuns]]'s paired query resampling. */
+  private[graft] def unit(id: Column, replica: Column): Column =
     (conv(substring(md5(concat(id.cast("string"), lit(":"), replica.cast("string"))),
       1, 15), 16, 10).cast("long").cast("double") / lit(TwoPow60))
 

@@ -172,4 +172,94 @@ object RankEval {
       foldAvg("mrr_r"), foldAvg("precision_r"), foldAvg("recall_r"),
       foldAvg("ndcg_r"))
   }
+
+  /** Paired A/B comparison of two runs on the SAME qrels — the eval
+    * loop's real question after an index or model change: is run B
+    * better than run A, and is the difference distinguishable from
+    * query-sampling noise? Per judged query, [[rankingMetrics]] scores
+    * both runs; the per-query metric DELTAS (B − A) are paired (the
+    * qrels-side difficulty cancels), and a deterministic Poisson
+    * bootstrap over QUERIES ([[Bootstrap]]'s md5-seeded one-pass
+    * resampling, keyed on the query id so both the CI and every
+    * re-run agree bit for bit) puts a percentile CI on the mean delta.
+    * A CI excluding 0 is a detectable change at the chosen level.
+    *
+    * Output: one row per metric (`metric`, `n_queries`, `mean_a_r`,
+    * `mean_b_r`, `delta_r`, `ci_low_r`, `ci_high_r`, `replicas`).
+    * Means and deltas are query-ordered folds of the ROUNDED per-query
+    * values (the [[rankingSummary]] convention); replica means fold
+    * `w · delta` in query order and divide by the exact integer weight
+    * sum; the CI interpolates with Spark's exact `percentile` (DuckDB
+    * `quantile_cont`-portable). Scale shape: two [[rankingMetrics]]
+    * passes, one |queries|-grain join, then a replicas-way explode into
+    * one metric-grain aggregation — the collect buffers hold |judged
+    * queries| entries, the evaluation grain (thousands), never corpus
+    * rows. */
+  def compareRuns(
+      runA: DataFrame,
+      runB: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int,
+      replicas: Int = 200,
+      low: Double = 0.025,
+      high: Double = 0.975
+  ): DataFrame = {
+    require(replicas >= 10, "need at least 10 replicas for a CI")
+    require(0.0 < low && low < high && high < 1.0, "need 0 < low < high < 1")
+    val ms = Seq("mrr_r", "precision_r", "recall_r", "ndcg_r")
+    def judged(run: DataFrame, tag: String) =
+      rankingMetrics(run, qrels, queryCol, docCol, rankCol, relCol, k)
+        .filter(col("n_judged") > 0)
+        .select(col(queryCol).as("__q") +: ms.map(m => col(m).as(s"${tag}_$m")): _*)
+    // same qrels ⇒ identical judged-query sets on both sides (a judged
+    // query the run never answered still scores — zeros), so the inner
+    // join IS the full pairing
+    val paired = judged(runA, "__a").join(judged(runB, "__b"), Seq("__q"))
+    val long = paired
+      .select(col("__q"), explode(array(ms.map(m => struct(
+        lit(m).as("metric"), col(s"__a_$m").as("va"),
+        col(s"__b_$m").as("vb"))): _*)).as("__x"))
+      .select(col("__q"), col("__x.metric").as("metric"),
+        col("__x.va").as("__va"), col("__x.vb").as("__vb"),
+        (col("__x.vb") - col("__x.va")).as("__d"))
+    def foldAvg(c: String, out: String) = (round(
+      aggregate(
+        array_sort(collect_list(struct(col("__q").as("q"), col(c).as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")) /
+        count(lit(1)).cast("double"), 6) + lit(0.0)).as(out)
+    val base = long.groupBy("metric").agg(
+      count(lit(1)).as("n_queries"),
+      foldAvg("__va", "mean_a_r"), foldAvg("__vb", "mean_b_r"),
+      foldAvg("__d", "delta_r"))
+    val weighted = long
+      .select(col("metric"), col("__q"), col("__d"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__b"))
+      .withColumn("__w",
+        Bootstrap.poissonWeight(Bootstrap.unit(col("__q"), col("__b"))))
+    val perReplica = weighted
+      .groupBy("metric", "__b")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("__q").as("q"),
+            (col("__w").cast("double") * col("__d")).as("wd")))),
+          lit(0.0), (acc, x) => acc + x.getField("wd")).as("__num"),
+        sum(col("__w")).as("__den"))
+      .filter(col("__den") > 0L)
+      .select(col("metric"), (col("__num") / col("__den").cast("double")).as("__m"))
+    val ci = perReplica.groupBy("metric").agg(
+      percentile(col("__m"), array(lit(low), lit(high))).as("__ci"),
+      count(lit(1)).as("replicas"))
+      .select(col("metric"),
+        (round(col("__ci").getItem(0), 6) + lit(0.0)).as("ci_low_r"),
+        (round(col("__ci").getItem(1), 6) + lit(0.0)).as("ci_high_r"),
+        col("replicas"))
+    base.join(ci, Seq("metric"))
+      .select(col("metric"), col("n_queries"), col("mean_a_r"),
+        col("mean_b_r"), col("delta_r"), col("ci_low_r"), col("ci_high_r"),
+        col("replicas"))
+  }
 }

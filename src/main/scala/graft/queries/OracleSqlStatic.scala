@@ -508,10 +508,8 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
   /** The q278 qrels + per-query metric CTE chain over the q84 run —
     * shared by the per-query statement (q278) and the macro-average
     * (q280). */
-  private lazy val rankingEvalCtes: String = bm25RunCtes("") +
-    s""", topk AS (
-       |  SELECT qid, doc_id, rank AS r FROM rk WHERE rank <= 10
-       |), g AS MATERIALIZED (
+  private lazy val rankingQrelsIdealCtes: String =
+    s""", g AS MATERIALIZED (
        |  SELECT q2.qid, d.doc_id, 1 + d.doc_id % 3 AS g
        |  FROM documents d
        |  CROSS JOIN (VALUES (1, 'query'), (2, 'window'), (3, 'customer')) q2(qid, term)
@@ -527,7 +525,12 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |  FROM (SELECT qid, g, row_number()
        |          OVER (PARTITION BY qid ORDER BY g DESC, doc_id ASC) AS rn FROM g)
        |  GROUP BY qid
-       |), met AS (
+       |)""".stripMargin
+
+  /** The run-side metric CTE over a named top-k CTE — instantiated once
+    * for q278/q280 and twice (run A / run B) for q282. */
+  private def rankingMetCte(topk: String, met: String): String =
+    s""", $met AS (
        |  SELECT t.qid, count(*) AS n_retrieved,
        |    CAST(sum(CASE WHEN g.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
        |    min(CASE WHEN g.g IS NOT NULL THEN t.r END) AS first_hit,
@@ -535,21 +538,97 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |      list(CAST(coalesce(g.g, 0) AS DOUBLE) /
        |        (ln(CAST(t.r + 1 AS DOUBLE)) / CAST(${math.log(2.0)} AS DOUBLE))
        |        ORDER BY t.r)), (a, b) -> a + b) AS dcg
-       |  FROM topk t LEFT JOIN g ON g.qid = t.qid AND g.doc_id = t.doc_id
+       |  FROM $topk t LEFT JOIN g ON g.qid = t.qid AND g.doc_id = t.doc_id
        |  GROUP BY t.qid
        |)""".stripMargin
 
+  private lazy val rankingEvalCtes: String = bm25RunCtes("") +
+    """, topk AS (
+      |  SELECT qid, doc_id, rank AS r FROM rk WHERE rank <= 10
+      |)""".stripMargin +
+    rankingQrelsIdealCtes + rankingMetCte("topk", "met")
+
+  /** The per-query metric SELECT over a named met CTE. */
+  private def rankingPerQuerySel(met: String): String =
+    s"""SELECT i.qid, i.n_judged,
+       |  coalesce(m.n_retrieved, 0) AS n_retrieved,
+       |  coalesce(m.n_hits, 0) AS n_hits,
+       |  coalesce(round(1.0 / m.first_hit, 6) + 0.0, 0.0) AS mrr_r,
+       |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+       |    + 0.0 AS precision_r,
+       |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / i.n_judged, 6) + 0.0 AS recall_r,
+       |  round(coalesce(m.dcg, 0.0) / i.idcg, 6) + 0.0 AS ndcg_r
+       |FROM ideal i LEFT JOIN $met m USING (qid)""".stripMargin
+
   /** q278's per-query SELECT (no ORDER BY — q280 wraps it as a CTE). */
-  private lazy val rankingEvalPerQuery: String =
-    """SELECT i.qid, i.n_judged,
-      |  coalesce(m.n_retrieved, 0) AS n_retrieved,
-      |  coalesce(m.n_hits, 0) AS n_hits,
-      |  coalesce(round(1.0 / m.first_hit, 6) + 0.0, 0.0) AS mrr_r,
-      |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
-      |    + 0.0 AS precision_r,
-      |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / i.n_judged, 6) + 0.0 AS recall_r,
-      |  round(coalesce(m.dcg, 0.0) / i.idcg, 6) + 0.0 AS ndcg_r
-      |FROM ideal i LEFT JOIN met m USING (qid)""".stripMargin
+  private lazy val rankingEvalPerQuery: String = rankingPerQuerySel("met")
+
+  /** q282: paired A/B of the q84 run against its rank-REVERSED twin —
+    * per-query deltas, then the deterministic Poisson query bootstrap
+    * (the q126 weight idiom keyed qid:replica) and quantile_cont CI. */
+  private lazy val rankingCompareSql: String = bm25RunCtes("") +
+    """, topk AS (
+      |  SELECT qid, doc_id, rank AS r FROM rk WHERE rank <= 10
+      |), topkb AS (
+      |  SELECT qid, doc_id, 11 - rank AS r FROM rk WHERE rank <= 10
+      |)""".stripMargin +
+    rankingQrelsIdealCtes +
+    rankingMetCte("topk", "met") + rankingMetCte("topkb", "metb") +
+    s""", pa AS (${rankingPerQuerySel("met")})
+       |, pb AS (${rankingPerQuerySel("metb")})
+       |, longt AS (
+       |  SELECT a.qid, 'mrr_r' AS metric, a.mrr_r AS va, b.mrr_r AS vb
+       |    FROM pa a JOIN pb b USING (qid)
+       |  UNION ALL SELECT a.qid, 'precision_r', a.precision_r, b.precision_r
+       |    FROM pa a JOIN pb b USING (qid)
+       |  UNION ALL SELECT a.qid, 'recall_r', a.recall_r, b.recall_r
+       |    FROM pa a JOIN pb b USING (qid)
+       |  UNION ALL SELECT a.qid, 'ndcg_r', a.ndcg_r, b.ndcg_r
+       |    FROM pa a JOIN pb b USING (qid)
+       |), dlt AS (
+       |  SELECT qid, metric, va, vb, vb - va AS d FROM longt
+       |), mbase AS (
+       |  SELECT metric, count(*) AS n_queries,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(va ORDER BY qid)), (x, y) -> x + y) / count(*), 6) + 0.0 AS mean_a_r,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(vb ORDER BY qid)), (x, y) -> x + y) / count(*), 6) + 0.0 AS mean_b_r,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(d ORDER BY qid)), (x, y) -> x + y) / count(*), 6) + 0.0 AS delta_r
+       |  FROM dlt GROUP BY metric
+       |), wt AS (
+       |  SELECT metric, qid, d, b,
+       |    CASE WHEN u < 0.36787944117144233 THEN 0
+       |         WHEN u < 0.7357588823428847 THEN 1
+       |         WHEN u < 0.9196986029286058 THEN 2
+       |         WHEN u < 0.9810118431238462 THEN 3
+       |         WHEN u < 0.9963401531726563 THEN 4
+       |         WHEN u < 0.9994058151824183 THEN 5
+       |         WHEN u < 0.9999167588507119 THEN 6
+       |         WHEN u < 0.9999909967049427 THEN 7
+       |         ELSE 8 END AS w
+       |  FROM (
+       |    SELECT metric, qid, d, b,
+       |      CAST(CAST(('0x' || substr(md5(CAST(qid AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+       |        / 1152921504606846976.0 AS u
+       |    FROM dlt, (SELECT unnest(range(0, 200)) AS b))
+       |), pr AS (
+       |  SELECT metric, b,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(w AS DOUBLE) * d ORDER BY qid)), (x, y) -> x + y) AS num,
+       |    sum(w) AS den
+       |  FROM wt GROUP BY metric, b HAVING sum(w) > 0
+       |), prm AS (
+       |  SELECT metric, num / CAST(den AS DOUBLE) AS m FROM pr
+       |), cis AS (
+       |  SELECT metric, round(quantile_cont(m, 0.025), 6) + 0.0 AS ci_low_r,
+       |    round(quantile_cont(m, 0.975), 6) + 0.0 AS ci_high_r,
+       |    count(*) AS replicas
+       |  FROM prm GROUP BY metric
+       |)
+       |SELECT metric, n_queries, mean_a_r, mean_b_r, delta_r,
+       |  ci_low_r, ci_high_r, replicas
+       |FROM mbase JOIN cis USING (metric) ORDER BY metric""".stripMargin
 
   /** The q269 chunk-grain BM25 RAG statement — shared verbatim by the
     * persisted chunk-index serving replay q274 (the q248 pattern at
@@ -2803,6 +2882,13 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // every sum is a rank- or ideal-ordered fold
     "q278_ranking_eval" -> (rankingEvalCtes + rankingEvalPerQuery +
       "\nORDER BY i.qid"),
+
+    // paired A/B ranking comparison with a deterministic bootstrap CI
+    // over queries: run B is run A with its top-10 page REVERSED, so
+    // the same-document metrics (precision/recall) delta exactly 0 and
+    // the order-sensitive ones (MRR/nDCG) regress with a CI that
+    // excludes 0
+    "q282_ranking_compare" -> rankingCompareSql,
 
     // the one-row TREC macro-average over q278's per-query metrics:
     // judged queries only, query-ordered folds over the ROUNDED

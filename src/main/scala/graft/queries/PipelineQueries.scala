@@ -3039,6 +3039,32 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("shard", "batch_idx")
     },
 
+    "q282_ranking_compare" -> { (s, dir) =>
+      // the eval loop's decision question: is run B distinguishable
+      // from run A on the same qrels? Run B here is run A's top-10
+      // page REVERSED — a pure ranking regression, so precision/recall
+      // deltas are exactly 0 while MRR/nDCG drop with a paired
+      // query-bootstrap CI excluding 0 (deterministic md5 Poisson
+      // draws keyed on qid:replica, quantile CI over replica means)
+      val d = t(s, dir, "documents")
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val runA = graft.ops.Retrieval.bm25Search(
+        d, "doc_id", "text", qs, "qid", "qtext", topK = 10)
+      val runB = runA.withColumn("rank", lit(11) - col("rank"))
+      val heads = s.createDataFrame(Seq(
+        (1L, "query"), (2L, "window"), (3L, "customer"))).toDF("qid", "term")
+      val qrels = d.crossJoin(broadcast(heads))
+        .filter(col("text").contains(col("term")))
+        .select(col("qid"), col("doc_id"),
+          (lit(1L) + pmod(col("doc_id"), lit(3))).as("rel"))
+      graft.ops.RankEval.compareRuns(
+          runA, runB, qrels, "qid", "doc_id", "rank", "rel", k = 10)
+        .orderBy("metric")
+    },
+
     "q278_ranking_eval" -> { (s, dir) =>
       // graded ranking evaluation of the q84 BM25 run: qrels derive
       // from the corpus (docs containing the query's head term, grade

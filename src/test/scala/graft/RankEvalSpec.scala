@@ -122,6 +122,44 @@ class RankEvalSpec extends SparkSpec {
     assert(e2.getMessage.contains("null rank"), e2.getMessage)
   }
 
+  test("compareRuns: planted improvement excludes 0, balanced noise doesn't, paired zeros stay zero") {
+    // 40 queries, one relevant doc each
+    val qrels40 = (1L to 40L).map(q => (q, 1L, 1)).toDF("qid", "doc", "rel")
+    def runAt(rank: Long => Int) =
+      (1L to 40L).map(q => (q, 1L, rank(q))).toDF("qid", "doc", "rank")
+    // A hits at rank 2 everywhere, B at rank 1: a uniform +0.5 MRR lift
+    val up = byKey(RankEval.compareRuns(
+      runAt(_ => 2), runAt(_ => 1), qrels40,
+      "qid", "doc", "rank", "rel", k = 3), "metric")
+    val mrr = up("mrr_r")
+    assert(mrr.getAs[Long]("n_queries") == 40L)
+    assert(mrr.getAs[Double]("mean_a_r") == 0.5 && mrr.getAs[Double]("mean_b_r") == 1.0)
+    assert(mrr.getAs[Double]("delta_r") == 0.5)
+    assert(mrr.getAs[Double]("ci_low_r") > 0.0,
+      s"uniform improvement must exclude 0: $mrr")
+    assert(mrr.getAs[Double]("ci_low_r") == 0.5 && mrr.getAs[Double]("ci_high_r") == 0.5)
+    // the SAME doc set both sides: precision/recall deltas are exactly 0
+    assert(up("precision_r").getAs[Double]("delta_r") == 0.0 &&
+      up("precision_r").getAs[Double]("ci_low_r") == 0.0 &&
+      up("precision_r").getAs[Double]("ci_high_r") == 0.0)
+    assert(up("recall_r").getAs[Double]("delta_r") == 0.0)
+    assert(up("ndcg_r").getAs[Double]("ci_low_r") > 0.0)
+    // balanced noise: half the queries improve, half regress by the same
+    // amount — the paired CI must straddle 0
+    val noise = byKey(RankEval.compareRuns(
+      runAt(q => if (q % 2 == 0) 2 else 1), runAt(q => if (q % 2 == 0) 1 else 2),
+      qrels40, "qid", "doc", "rank", "rel", k = 3), "metric")("mrr_r")
+    assert(noise.getAs[Double]("ci_low_r") < 0.0 && noise.getAs[Double]("ci_high_r") > 0.0,
+      s"balanced noise must include 0: $noise")
+    // determinism under partitioning
+    val a = RankEval.compareRuns(runAt(_ => 2), runAt(_ => 1), qrels40,
+      "qid", "doc", "rank", "rel", 3).collect().map(_.toSeq).toSet
+    val b = RankEval.compareRuns(runAt(_ => 2).repartition(7),
+      runAt(_ => 1).repartition(3), qrels40.repartition(5),
+      "qid", "doc", "rank", "rel", 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("rankingSummary: macro-average over judged queries only; partition invariance") {
     val s = RankEval.rankingSummary(run, qrels, "qid", "doc", "rank", "rel", k = 3)
       .head()
