@@ -2362,6 +2362,11 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
     // full 12-round BPE re-training in DuckDB: the merge table must be
     // IDENTICAL to the engine's (same greedy semantics, same tie-break)
+    // approximate batched BPE (the exactGreedy=false production path):
+    // full SQL replay of the ranked skip-scan and chained rewrites
+    "q283_bpe_approx_train" ->
+      bpeApproxSql(numMerges = 6, maxBatch = 3, rounds = 6),
+
     "q133_bpe_train" ->
       (bpeStatePrefix(BpeNumMerges) + "\n" +
         (1 to BpeNumMerges).map(r =>

@@ -1571,6 +1571,17 @@ object PipelineQueries extends OracleSqlStatic {
         .limit(30)
     },
 
+    "q283_bpe_approx_train" -> { (s, dir) =>
+      // the PRODUCTION batched-BPE path (exactGreedy = false): up to 3
+      // merges commit per aggregation round via the deterministic
+      // skip-scan (conflicting candidates are skipped, not stopped at),
+      // so rounds ≈ merges / maxBatch. The oracle replays the whole
+      // thing — ranked candidates, conflict skips, budget-capped
+      // windows, chained greedy rewrites — unrolled in SQL.
+      val merges = BpeApproxState.forDir(t(s, dir, "documents"), dir)
+      graft.ops.BpeTrain.mergeTable(s, merges)
+    },
+
     "q133_bpe_train" -> { (s, dir) =>
       // full BPE tokenizer training (Sennrich-style): 12 sequential merge
       // rounds, each ONE aggregation job over the distinct-word histogram
@@ -4534,6 +4545,117 @@ object PipelineQueries extends OracleSqlStatic {
 
   private[queries] def bpeStatePrefix(n: Int): String =
     "WITH " + bpeW0Sql + ",\n" + (1 to n).map(bpeRoundSql).mkString(",\n")
+
+  /** APPROXIMATE batched BPE oracle (q283): replays
+    * `BpeTrain.train(…, exactGreedy = false)` — the production path a
+    * 32k-merge vocabulary uses — entirely in SQL. Per round, the top
+    * `maxBatch` ranked candidates are SKIP-scanned (a candidate
+    * conflicts iff its right symbol is an accepted left, its left an
+    * accepted right, or either symbol equals an accepted member's
+    * concatenation), the round's candidate window is capped at the
+    * remaining merge budget, and each accepted merge applies as its own
+    * greedy left-to-right pass in rank order (chained application ≡
+    * sequential passes). Rounds are unrolled `rounds` deep: every round
+    * with pairs accepts at least its top candidate, so
+    * `rounds = numMerges` covers the worst case and late rounds
+    * pass through once the budget is spent. */
+  private[queries] def bpeApproxSql(
+      numMerges: Int, maxBatch: Int, rounds: Int): String = {
+    val sb = new StringBuilder("WITH " + bpeW0Sql)
+    var prevState = "state_0"
+    val sels = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    for (r <- 1 to rounds) {
+      val acceptedBefore =
+        if (sels.isEmpty) "0"
+        else s"(SELECT count(*) FROM (${sels.map(s => s"SELECT a FROM ${s._3}")
+          .mkString(" UNION ALL ")}))"
+      sb ++= s""",
+        |cand_$r AS MATERIALIZED (
+        |  SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rnk
+        |  FROM (
+        |    SELECT s[i+1] AS a, s[i+2] AS b, sum(cnt) AS c
+        |    FROM $prevState, unnest(range(len(s)-1)) AS u(i)
+        |    GROUP BY 1, 2)
+        |  QUALIFY rnk <= $maxBatch
+        |)""".stripMargin
+      val roundSels = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (i <- 1 to maxBatch) {
+        val sel = s"sel_${r}_$i"
+        val conflict =
+          if (roundSels.isEmpty) ""
+          else {
+            val p = roundSels.map(n => s"SELECT a, b FROM $n").mkString(" UNION ALL ")
+            s"""
+               |    AND NOT EXISTS (SELECT 1 FROM ($p) p
+               |      WHERE p.a = c0.b OR p.b = c0.a
+               |         OR p.a || p.b = c0.a OR p.a || p.b = c0.b)""".stripMargin
+          }
+        sb ++= s""",
+          |$sel AS MATERIALIZED (
+          |  SELECT a, b, c FROM cand_$r c0
+          |  WHERE c0.rnk = $i AND $i <= $numMerges - $acceptedBefore$conflict
+          |)""".stripMargin
+        roundSels += sel
+        val st = s"st_${r}_$i"
+        sb ++= s""",
+          |ex_${r}_$i AS (
+          |  SELECT word, cnt, i, s[i+1] AS sym,
+          |    coalesce(s[i+1] = (SELECT a FROM $sel) AND i+2 <= len(s)
+          |      AND s[i+2] = (SELECT b FROM $sel), false) AS m
+          |  FROM $prevState, unnest(range(len(s))) AS u(i)
+          |),
+          |run_${r}_$i AS (
+          |  SELECT word, cnt, i, sym, m,
+          |    CASE WHEN m THEN i - row_number() OVER (PARTITION BY word, m ORDER BY i) END AS isl
+          |  FROM ex_${r}_$i
+          |),
+          |mk_${r}_$i AS (
+          |  SELECT word, cnt, i, sym, m, isl,
+          |    CASE WHEN m THEN row_number() OVER (PARTITION BY word, isl ORDER BY i) END AS ridx
+          |  FROM run_${r}_$i
+          |),
+          |dec_${r}_$i AS (
+          |  SELECT word, cnt, i, sym,
+          |    (m AND ridx % 2 = 1) AS do_merge,
+          |    lag(m AND ridx % 2 = 1, 1, false) OVER (PARTITION BY word ORDER BY i) AS absorbed
+          |  FROM mk_${r}_$i
+          |),
+          |$st AS MATERIALIZED (
+          |  SELECT word, any_value(cnt) AS cnt,
+          |    list(CASE WHEN do_merge THEN sym || (SELECT b FROM $sel) ELSE sym END ORDER BY i) AS s
+          |  FROM dec_${r}_$i
+          |  WHERE NOT absorbed
+          |  GROUP BY word
+          |)""".stripMargin
+        prevState = st
+        sels += ((r, i, sel))
+      }
+    }
+    sb ++= "\n" + s"""SELECT CAST(row_number() OVER (ORDER BY r, i) AS INT) AS merge_rank,
+      |  a AS left_sym, b AS right_sym, CAST(c AS BIGINT) AS pair_count
+      |FROM (${sels.map { case (r, i, n) => s"SELECT $r AS r, $i AS i, a, b, c FROM $n" }
+        .mkString(" UNION ALL ")})
+      |ORDER BY merge_rank""".stripMargin
+    sb.toString
+  }
+
+  /** Approximate-mode trained merges keyed by sf dir (q283) — the
+    * [[BpeState]] pattern for `exactGreedy = false`. */
+  private[queries] object BpeApproxState {
+    @volatile private var cache: Map[String, Seq[graft.ops.BpeTrain.Merge]] =
+      Map.empty
+    def forDir(docs: DataFrame, dir: String): Seq[graft.ops.BpeTrain.Merge] =
+      synchronized {
+        cache.get(dir) match {
+          case Some(m) => m
+          case None =>
+            val m = graft.ops.BpeTrain.train(docs, "text",
+              numMerges = 6, maxBatch = 3, exactGreedy = false)
+            cache += dir -> m
+            m
+        }
+      }
+  }
 
   /** q108-convention synthetic PPM payloads: w = 4 + id%5, h = 3 + id%4,
     * pixel byte = (id·31 + flat) % 256 — deterministic, so oracles

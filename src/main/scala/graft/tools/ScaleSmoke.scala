@@ -345,6 +345,20 @@ object ScaleSmoke {
           f"rounds (${got.size.toDouble / rounds}%.1f merges/round)")
       }
 
+      // the PRODUCTION approximate path (oracle-pinned by q283): the
+      // skip-scan commits near-full batches, so rounds ≈ merges/maxBatch
+      // — the 32k-vocabulary asymptote exact greedy can't reach
+      for ((nm, mb) <- Seq((96, 16), (256, 32))) {
+        val t0 = System.nanoTime()
+        val (got, rounds) = graft.ops.BpeTrain.trainCounted(dN, "text", nm,
+          maxBatch = mb, exactGreedy = false)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"bpe approx train $nm merges maxBatch=$mb ($nDocs docs): " +
+          f"$dt%.1fs = ${got.size / dt}%.1f merges/sec, ${got.size} merges " +
+          f"in $rounds rounds (${got.size.toDouble / rounds}%.1f merges/round, " +
+          f"ideal ${mb})")
+      }
+
       // sampled quantiles under a degenerate group: 90% of rows share one
       // key, state stays k rows per group (the exact-percentile blowup
       // this operator exists to avoid)
