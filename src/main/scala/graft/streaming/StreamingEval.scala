@@ -533,14 +533,18 @@ object StreamingEval {
     * exist yet — an absent index admits everything in batch 0 and is
     * created by the first append.
     *
-    * Failure/replay semantics: foreachBatch is at-least-once, but the
-    * loop is IDEMPOTENT at hash-class level — a replayed batch whose
-    * first attempt already appended finds its classes in the index and
-    * admits nothing, so a crash between append and checkpoint commit
-    * cannot double-admit a class (duplicate `(id, hash)` rows from a
-    * crash mid-append are harmless: vetting reduces to distinct classes
-    * first). The same holds for [[imageIngestStream256]] and
-    * [[textIngestStream]] (signature classes). */
+    * Failure/replay semantics: EXACTLY-ONCE per micro-batch. Each
+    * batch's admitted rows and its batch-id fence publish in one
+    * marker-fenced commit ([[ingestBatch]]): a retried batch that finds
+    * its fence no-ops, a crash mid-commit is completed by the next
+    * call's recovery preamble, and an unmarked stage is discarded with
+    * the live files untouched — so signature-row counts stay exact and
+    * the file set never bloats under replays. (The vetting was already
+    * IDEMPOTENT at hash-class level — a replayed batch finds its
+    * classes in the index and admits nothing — so correctness never
+    * depended on the fence; the fence keeps the COUNTS honest.) The
+    * same holds for [[imageIngestStream256]], [[audioIngestStream]],
+    * [[videoIngestStream]], and [[textIngestStream]]. */
   def imageIngestStream(
       images: DataFrame,
       idCol: String,
@@ -993,6 +997,9 @@ object StreamingEval {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
     recoverIngestIndex(spark, indexPath)
+    // a crashed stream may have left a MARKED append stage: publish it
+    // first, so the takedown's rewrite sees (and filters) those rows too
+    recoverIngestAppend(spark, indexPath)
     // an index with no data files (never appended, or fully emptied by a
     // previous takedown whose staged write produced none) has nothing to
     // rewrite — and asking parquet to infer its schema would throw
@@ -1176,24 +1183,131 @@ object StreamingEval {
       hashFn: DataFrame => DataFrame,
       dedupFn: (DataFrame, DataFrame) => DataFrame
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    images.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val spark = batch.sparkSession
-      val hashes = hashFn(batch)
-      // first batch against a not-yet-created index: empty frame of the
-      // hash schema (an existence probe, not try/catch — Spark logs the
-      // failed read's full stack before the exception surfaces)
-      val path = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-      val index =
-        if (fs.exists(path)) spark.read.parquet(indexPath)
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hashes.schema)
-      val admitted = dedupFn(index, hashes)
-      // one deterministic append per micro-batch; the NEXT batch's read
-      // sees it, which is what makes cross-batch dedup work
-      admitted.write.mode("append").parquet(indexPath)
-      ()
+    images.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestBatch(batch, batchId, indexPath, hashFn, dedupFn)
     }
+
+  private val IngestStagingName = "_ing_staging"
+  private val IngestTagDirName = "_batches"
+
+  /** Exactly-once fence probe for the flat ingest indexes: tags are
+    * zero-byte FILES under `_batches/` (underscore-prefixed, so parquet
+    * reads of the flat root never see them), created by the same marker
+    * replay that publishes the batch's admitted rows — an O(1)
+    * existence check per micro-batch, no table scan at all (the flat
+    * layout's answer to [[graft.ops.IndexCommit.tagCommitted]]'s
+    * cost contract). */
+  private[graft] def ingestTagCommitted(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      batchId: Long): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexPath/$IngestTagDirName/b$batchId"))
+
+  /** Replay a marked exactly-once ingest append left by a crash, or
+    * discard an unmarked (incomplete) stage. Returns true iff a pending
+    * commit was completed. Runs as the preamble of every ingest batch
+    * and of [[removeFromIngestIndex]]. */
+  def recoverIngestAppend(spark: SparkSession, indexPath: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(root, IngestStagingName)
+    if (!fs.exists(staging)) return false
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_COMMIT"))) {
+      replayIngestAppend(fs, root); true
+    } else {
+      fs.delete(staging, true); false
+    }
+  }
+
+  /** Preamble for a NEW stream incarnation (a fresh checkpoint) against
+    * a standing ingest index: batch ids restart at 0, so the previous
+    * incarnation's fences must drop — otherwise the new stream's first
+    * batches find old tags and silently no-op. Only call after a CLEAN
+    * stop (and after [[recoverIngestAppend]]): a same-checkpoint
+    * restart must NOT clear, its retried batch id relies on the fence.
+    * The flat-index analogue of [[graft.ops.IndexCommit.clearTags]]
+    * (where the index-seeding save performs this implicitly). */
+  def clearIngestTags(spark: SparkSession, indexPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, IngestTagDirName), true)
+    ()
+  }
+
+  /** The idempotent publish the `_COMMIT` marker describes: move each
+    * staged data file into the flat root (files already moved are no
+    * longer listed), fence the batch id the marker names, drop the
+    * stage. From the marker's existence on, the append is
+    * authoritative — a crash anywhere in here is completed by
+    * [[recoverIngestAppend]]. */
+  private def replayIngestAppend(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(root, IngestStagingName)
+    val marker = new org.apache.hadoop.fs.Path(staging, "_COMMIT")
+    val batchId = new String(org.apache.hadoop.io.IOUtils
+      .readFullyToByteArray(fs.open(marker)), "UTF-8").trim
+    val dataDir = new org.apache.hadoop.fs.Path(staging, "data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n)); ()
+        }
+      }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, IngestTagDirName))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/$IngestTagDirName/b$batchId"), true).close()
+    fs.delete(staging, true)
+    ()
+  }
+
+  /** One exactly-once ingest micro-batch — the foreachBatch body of
+    * every modality's ingest stream, split out so crash/retry specs can
+    * drive it directly. The batch's admitted rows and its batch-id
+    * fence publish in ONE marker-fenced commit: a crash before the
+    * marker discards the stage (and the retry re-vets — the index never
+    * saw the attempt), a crash after it is completed by the next call's
+    * recovery preamble, and a retry of a committed batch id no-ops — so
+    * a foreachBatch replay can neither double-append signature rows
+    * (counts stayed honest before only at CLASS level) nor bloat the
+    * file set. */
+  private[graft] def ingestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      hashFn: DataFrame => DataFrame,
+      dedupFn: (DataFrame, DataFrame) => DataFrame
+  ): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverIngestAppend(spark, indexPath)
+    if (ingestTagCommitted(fs, indexPath, batchId)) return
+    val hashes = hashFn(batch)
+    // first batch against a not-yet-created (or tag-only) index: empty
+    // frame of the hash schema (an existence probe, not try/catch —
+    // Spark logs the failed read's full stack before the exception
+    // surfaces, and a root holding only fences/staging has no schema)
+    val hasData = fs.exists(path) && fs.listStatus(path).exists(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val index =
+      if (hasData) spark.read.parquet(indexPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hashes.schema)
+    val admitted = dedupFn(index, hashes)
+    // stage the admissions, mark, publish: the NEXT batch's read sees
+    // them, which is what makes cross-batch dedup work. An empty
+    // admission set stages no data files and still fences the tag.
+    val staging = s"$indexPath/$IngestStagingName"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    admitted.write.mode("overwrite").parquet(s"$staging/data")
+    graft.ops.IndexCommit.atomicWrite(fs,
+      new org.apache.hadoop.fs.Path(s"$staging/_COMMIT"),
+      batchId.toString.getBytes("UTF-8"))
+    replayIngestAppend(fs, path)
+  }
 
   /** Streaming SCD2 MAINTENANCE: a CDC/observation stream keeps a
     * persisted [[graft.ops.Snapshot.scd2History]] frame current. Each

@@ -687,6 +687,111 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest appends are exactly-once: retried batches no-op, crash points converge, every modality") {
+    import graft.ops.{AudioCodecs, Dedup, ImageCodecs, Multimodal, VideoCodecs}
+    import graft.streaming.StreamingEval
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-once").toString
+    def dataFiles(p: String) = fs.listStatus(new Path(p)).count(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+
+    // --- text modality: the full crash-point battery
+    def doc(i: Int) = ('a' to 'l').map(c => s"w$i$c$i").mkString(" ")
+    val idx = s"$dir/text"
+    val hashFn = (b: org.apache.spark.sql.DataFrame) =>
+      Dedup.polySignatures(b, "text", "doc_id", 16, 5)
+    val dedupFn = (index: org.apache.spark.sql.DataFrame,
+        sigs: org.apache.spark.sql.DataFrame) => {
+      val hits = Dedup.incrementalNearDupPairsFromSigs(index, sigs, "doc_id", 0.5, 16, 4)
+        .select(col("new_id")).distinct()
+      sigs.join(hits, sigs("doc_id") === hits("new_id"), "left_anti")
+    }
+    val b0 = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    StreamingEval.ingestBatch(b0, 0L, idx, hashFn, dedupFn)
+    def ids() = spark.read.parquet(idx).select("doc_id").as[Long].collect().toSet
+    assert(ids() == Set(1L, 2L))
+    val files0 = dataFiles(idx)
+    // a RETRY of batch 0 must not add a row OR a file — exact counts,
+    // not just class-level idempotence
+    StreamingEval.ingestBatch(b0, 0L, idx, hashFn, dedupFn)
+    assert(ids() == Set(1L, 2L) && spark.read.parquet(idx).count() == 2L)
+    assert(dataFiles(idx) == files0, "a retried batch must not bloat the file set")
+    // normal progress still works after the no-op
+    StreamingEval.ingestBatch(
+      Seq((3L, doc(1)), (4L, doc(3))).toDF("doc_id", "text"), 1L, idx,
+      hashFn, dedupFn)
+    assert(ids() == Set(1L, 2L, 4L))
+    // an all-duplicates batch fences its tag with zero new rows, and its
+    // retry no-ops
+    StreamingEval.ingestBatch(
+      Seq((5L, doc(2))).toDF("doc_id", "text"), 2L, idx, hashFn, dedupFn)
+    assert(fs.exists(new Path(s"$idx/_batches/b2")))
+    StreamingEval.ingestBatch(
+      Seq((5L, doc(2))).toDF("doc_id", "text"), 2L, idx, hashFn, dedupFn)
+    assert(ids() == Set(1L, 2L, 4L))
+    // crash AFTER the marker: hand-stage batch 3 exactly as ingestBatch
+    // does, mark it, "crash" — recovery must publish rows + fence once
+    val staged = hashFn(Seq((6L, doc(6))).toDF("doc_id", "text"))
+    staged.write.mode("overwrite").parquet(s"$idx/_ing_staging/data")
+    graft.ops.IndexCommit.atomicWrite(fs, new Path(s"$idx/_ing_staging/_COMMIT"),
+      "3".getBytes("UTF-8"))
+    assert(StreamingEval.recoverIngestAppend(spark, idx), "marked stage must replay")
+    assert(ids() == Set(1L, 2L, 4L, 6L))
+    assert(fs.exists(new Path(s"$idx/_batches/b3")))
+    assert(!fs.exists(new Path(s"$idx/_ing_staging")))
+    // the retry of the recovered batch no-ops
+    StreamingEval.ingestBatch(
+      Seq((6L, doc(6))).toDF("doc_id", "text"), 3L, idx, hashFn, dedupFn)
+    assert(spark.read.parquet(idx).count() == 4L)
+    // crash BEFORE the marker: an unmarked stage is discarded untouched
+    hashFn(Seq((7L, doc(7))).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$idx/_ing_staging/data")
+    assert(!StreamingEval.recoverIngestAppend(spark, idx))
+    assert(!fs.exists(new Path(s"$idx/_ing_staging")) && ids() == Set(1L, 2L, 4L, 6L))
+
+    // --- image / audio / video: the shared fence through each modality's
+    // hash + vet functions (one batch, then its retry)
+    def img(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      ImageCodecs.encodePpm(ImageCodecs.DecodedImage(16, 8,
+        Array.fill(16 * 8 * 3)(r2.nextInt(256).toByte)))
+    }
+    def wav(seed: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      AudioCodecs.encodeWavPcm16(16000, 1,
+        Array.fill(512)((r2.nextInt(16000) - 8000).toShort))
+    }
+    def clip(seed: Int): Array[Byte] =
+      VideoCodecs.encodeClip((0 until 4).map { f =>
+        val r2 = new scala.util.Random(seed * 10 + f)
+        ImageCodecs.DecodedImage(16, 12, Array.fill(16 * 12 * 3)(r2.nextInt(256).toByte))
+      })
+    val modalities = Seq[(String, Array[Byte],
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)](
+      ("image", img(1), Multimodal.imageHashes(_, "doc_id", "payload"),
+        Dedup.incrementalImageDedup(_, _, "doc_id", 3)),
+      ("audio", wav(1), Multimodal.audioFingerprints(_, "doc_id", "payload"),
+        Dedup.incrementalAudioDedup(_, _, "doc_id", 3)),
+      ("video", clip(1), Multimodal.videoFrameHashes(_, "doc_id", "payload"),
+        Dedup.incrementalVideoDedup(_, _, "doc_id", 0.5)))
+    for ((name, payload, hf, df) <- modalities) {
+      val p = s"$dir/$name"
+      val b = Seq((1L, payload)).toDF("doc_id", "payload")
+      StreamingEval.ingestBatch(b, 0L, p, hf, df)
+      val n0 = spark.read.parquet(p).count()
+      val f0 = dataFiles(p)
+      assert(n0 > 0, s"$name: first batch must admit")
+      StreamingEval.ingestBatch(b, 0L, p, hf, df)
+      assert(spark.read.parquet(p).count() == n0,
+        s"$name: a retried batch must not duplicate rows")
+      assert(dataFiles(p) == f0, s"$name: a retried batch must not add files")
+    }
+  }
+
   test("flat ingest-index compaction: append-heavy stream, then one file-set, bit-identical vetting") {
     // the BM25/IVF/span compaction pin for the FLAT indexes:
     // removeFromIngestIndex doubles as the compaction point (even with
@@ -726,8 +831,13 @@ class StreamingSpec extends SparkSpec {
     assert(rows(indexPath) == rowsBefore, "compaction must not change content")
     assert(files(indexPath) < filesBefore,
       s"compaction must bound the listing: $filesBefore -> ${files(indexPath)}")
-    // the compacted index keeps vetting bit-identically: a restarted
-    // stream rejects a copy of an old admission, admits a fresh doc
+    // the compacted index keeps vetting bit-identically: a NEW stream
+    // incarnation (fresh checkpoint — batch ids restart at 0) rejects a
+    // copy of an old admission, admits a fresh doc. Clearing the old
+    // incarnation's exactly-once fences is the documented preamble;
+    // without it the new stream's batch 0 would find the old tag and
+    // silently no-op.
+    graft.streaming.StreamingEval.clearIngestTags(spark, indexPath)
     val input2 = MemoryStream[(Long, String)]
     val query2 = graft.streaming.StreamingEval.textIngestStream(
         input2.toDF().toDF("doc_id", "text"), "text", "doc_id", indexPath)
