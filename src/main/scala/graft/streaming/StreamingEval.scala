@@ -1158,6 +1158,50 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming CHUNK-GRAIN INDEXING — the RAG ingest path as ONE
+    * operator: document micro-batches chunk
+    * ([[graft.ops.Retrieval.chunkText]], fixed windows with overlap)
+    * into `(cid = id · maxChunksPerDoc + chunk_idx, chunk)` rows — the
+    * q269/q274 provenance convention, so `cid div maxChunksPerDoc`
+    * recovers the document and a doc takedown's cid set is exactly its
+    * chunk range — and append to a standing chunk-grain BM25 index
+    * through the marker-fenced [[graft.ops.Retrieval.appendToBm25Index]]
+    * with the batch id as the exactly-once tag at DOC-BATCH grain: a
+    * crash-retried document batch finds its tag and no-ops, so no
+    * document's chunks ever index twice (chunk df/stats stay exact).
+    * Seed once with `saveBm25Index` over the (possibly empty) chunk
+    * corpus; serve with `bm25SearchPreindexed`; one writer per index
+    * root. A document longer than `maxChunksPerDoc` windows refuses
+    * loudly — a silent wrap would alias another document's cid space.
+    * `idCol` must be an integral id (the cid arithmetic is exact long
+    * multiplication). */
+  def chunkStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      chunkSize: Int = 200,
+      overlap: Int = 50,
+      maxChunksPerDoc: Int = 1000
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(maxChunksPerDoc >= 1, "maxChunksPerDoc must be >= 1")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val chunks = graft.ops.Retrieval
+        .chunkText(batch, idCol, textCol, chunkSize, overlap)
+        .select(
+          when(col("chunk_idx") >= maxChunksPerDoc, raise_error(concat(
+            lit(s"chunkStream: document '"), col(idCol).cast("string"),
+            lit(s"' exceeds maxChunksPerDoc = $maxChunksPerDoc windows — "),
+            lit("raise the ceiling or split upstream"))))
+            .otherwise(col(idCol).cast("long") * maxChunksPerDoc +
+              col("chunk_idx")).as("cid"),
+          col("chunk"))
+      graft.ops.Retrieval.appendToBm25Index(
+        chunks, "chunk", indexPath, batchTag = Some(batchId))
+      ()
+    }
+  }
+
   /** Streaming VECTOR INDEXING — the [[bm25IndexStream]] twin for the
     * IVF index: each micro-batch assigns against the FROZEN persisted
     * quantizer and appends cell-partitioned, exactly once per batch id.

@@ -949,6 +949,72 @@ class StreamingSpec extends SparkSpec {
       statsBefore, "tags must fence across compaction")
   }
 
+  test("streaming chunk ingest: doc batches chunk+index exactly once, serve equals rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Retrieval
+    import spark.implicits._
+    // docs long enough to chunk into several 40-char windows
+    def doc(i: Int) = (0 until 12).map(j => s"w${i}t$j token$i$j data").mkString(" ")
+    val d1 = Seq((1L, doc(1)), (2L, doc(2)))
+    val d2 = Seq((3L, doc(3)))
+    def chunksOf(ds: Seq[(Long, String)]) = Retrieval.chunkText(
+        ds.toDF("doc_id", "text"), "doc_id", "text", chunkSize = 40, overlap = 10)
+      .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-chunk-stream").toString
+    Retrieval.saveBm25Index(Seq.empty[(Long, String)].toDF("cid", "chunk"),
+      "cid", "chunk", idx, numBuckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.chunkStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", idx,
+        chunkSize = 40, overlap = 10)
+      .start()
+    try {
+      input.addData(d1: _*); query.processAllAvailable()
+      input.addData(d2: _*); query.processAllAvailable()
+    } finally query.stop()
+    // serve ≡ a save-once chunk index over the union
+    val want = java.nio.file.Files.createTempDirectory("graft-chunk-once").toString
+    Retrieval.saveBm25Index(chunksOf(d1 ++ d2), "cid", "chunk", want, numBuckets = 8)
+    def serve(p: String) = Retrieval.bm25SearchPreindexed(spark, p,
+        Seq((1L, "token1 data"), (2L, "token3 w3t0")).toDF("qid", "qtext"),
+        "qid", "qtext", topK = 5)
+      .collect().map(_.toSeq).toSet
+    assert(serve(idx) == serve(want),
+      "streamed chunk index must serve exactly like the save-once build")
+    // a crash-retried DOC batch (same tag) must not double-index chunks
+    val statsBefore = spark.read.parquet(s"$idx/stats").collect().map(_.toSeq).toSet
+    graft.ops.Retrieval.appendToBm25Index(chunksOf(d2), "chunk", idx,
+      batchTag = Some(1L))
+    assert(spark.read.parquet(s"$idx/stats").collect().map(_.toSeq).toSet ==
+      statsBefore, "replayed doc batch must no-op")
+    assert(serve(idx) == serve(want))
+    // doc takedown at chunk grain stays available: removing doc 2's cid
+    // set leaves the index ≡ rebuild without the doc
+    Retrieval.removeFromBm25Index(chunksOf(d1.filter(_._1 == 2L)).select("cid"), idx)
+    val want2 = java.nio.file.Files.createTempDirectory("graft-chunk-rm").toString
+    Retrieval.saveBm25Index(chunksOf(d1.filter(_._1 == 1L) ++ d2),
+      "cid", "chunk", want2, numBuckets = 8)
+    assert(serve(idx) == serve(want2), "doc takedown must equal the rebuild")
+    // a doc blowing the cid ceiling refuses loudly
+    val tiny = java.nio.file.Files.createTempDirectory("graft-chunk-ceil").toString
+    Retrieval.saveBm25Index(Seq.empty[(Long, String)].toDF("cid", "chunk"),
+      "cid", "chunk", tiny, numBuckets = 4)
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingEval.chunkStream(
+        input2.toDF().toDF("doc_id", "text"), "text", "doc_id", tiny,
+        chunkSize = 40, overlap = 10, maxChunksPerDoc = 3)
+      .start()
+    try {
+      input2.addData((9L, doc(9)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("maxChunksPerDoc") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxChunksPerDoc")),
+        e.getMessage)
+    } finally q2.stop()
+  }
+
   test("streaming ivf indexing: batches commit exactly once, corpus equals save-once") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Similarity
