@@ -113,11 +113,16 @@ object BpeTrain {
     *    that bound, no new pair can outrank it (ties reject: a new
     *    pair at equal count could win the binary-order tie-break).
     *
-    * Per round the cost is one pair-count aggregation over the
-    * histogram (persisted, consumed by the top-`maxBatch` fetch and
-    * two symbol-grain max lookups bounded to the candidates' symbols)
-    * and one chained rewrite projection applying the batch in rank
-    * order — exactly the sequential rewrites.
+    * Per round the cost is one chained rewrite projection applying the
+    * batch in rank order (exactly the sequential rewrites) plus the
+    * pair-table refresh: the table is DELTA-MAINTAINED — seeded by one
+    * full aggregation, then updated each round from only the words the
+    * batch actually rewrote (retract old adjacencies, assert new ones;
+    * untouched words contribute identically by the batch's disjointness,
+    * so the maintained table equals a full re-aggregation by induction,
+    * spec-pinned). Late rounds merge rare pairs touching a sliver of
+    * the histogram, so per-round cost tracks the sliver, not the
+    * corpus — the other half of the 32k-vocabulary asymptote.
     *
     * Exact batches are CORPUS-DEPENDENT: merge cascades bound them —
     * after `(e, r)` wins, the brand-new `(er, </w>)` may legitimately
@@ -147,7 +152,8 @@ object BpeTrain {
       textCol: String,
       numMerges: Int,
       maxBatch: Int = 64,
-      exactGreedy: Boolean = true
+      exactGreedy: Boolean = true,
+      deltaPairs: Boolean = true
   ): (Seq[Merge], Int) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(maxBatch >= 1, "maxBatch must be >= 1")
@@ -156,13 +162,33 @@ object BpeTrain {
     // first action below is the full-pass pairs aggregation → lazy blocks
     var anchor = graft.Checkpoints.localCheckpoint(base, eager = false)
     var state = anchor
+    // DELTA-MAINTAINED pair table (the default): ONE full aggregation
+    // seeds it, then each round subtracts the rewritten words' old
+    // pairs and adds their new ones — a word the batch doesn't touch
+    // contributes identically before and after (batch members are
+    // symbol- and created-concat-disjoint, so no untouched word can
+    // gain or lose an adjacency), so the maintained table equals the
+    // full re-aggregation by induction, at the cost of aggregating only
+    // the CHANGED words per round. That is the 32k-vocabulary
+    // asymptote: late rounds merge rare pairs that touch a sliver of
+    // the histogram, and the per-round cost tracks that sliver instead
+    // of the corpus. `deltaPairs = false` keeps the re-aggregating
+    // loop (the ScaleSmoke comparison baseline and the induction spec's
+    // reference).
+    var pairsTbl: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var sinceCheckpoint = 0
     var exhausted = false
     var rounds = 0
     while (merges.size < numMerges && !exhausted) {
       rounds += 1
-      val pairs = pairCounts(state, "syms", "cnt").persist()
+      val pairs =
+        if (deltaPairs) {
+          if (pairsTbl == null)
+            pairsTbl = graft.Checkpoints.localCheckpoint(
+              pairCounts(state, "syms", "cnt"), eager = true)
+          pairsTbl
+        } else pairCounts(state, "syms", "cnt").persist()
       val want = math.min(maxBatch, numMerges - merges.size)
       val top = pairs
         .orderBy(desc("pair_count"), asc("left_sym"), asc("right_sym"))
@@ -171,7 +197,7 @@ object BpeTrain {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) {
         exhausted = true
-        pairs.unpersist(blocking = false)
+        if (!deltaPairs) pairs.unpersist(blocking = false)
       } else {
         // symbol-grain maxes over the candidates' symbols only: the
         // tightest count any merge-created pair can reach
@@ -183,7 +209,7 @@ object BpeTrain {
         val maxRight = pairs.filter(col("right_sym").isin(rights.toSeq: _*))
           .groupBy("right_sym").agg(max("pair_count").as("m"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        pairs.unpersist(blocking = false)
+        if (!deltaPairs) pairs.unpersist(blocking = false)
         // merging (a, b) changes ONLY pairs (x, a) — the a is consumed
         // when followed by b — and (b, y): a candidate (c, d) is
         // affected by an earlier batch member iff d equals its LEFT
@@ -229,10 +255,36 @@ object BpeTrain {
         }
         // one projection, greedy passes chained in rank order (disjoint
         // symbols ⇒ identical to applying them in separate passes)
-        state = state.withColumn("syms",
-          batch.foldLeft(col("syms")) { case (acc, (a, b, _)) =>
-            BpeExpressions.bpeMergeStep(acc, a, b)
-          })
+        val chained = batch.foldLeft(col("syms")) { case (acc, (a, b, _)) =>
+          BpeExpressions.bpeMergeStep(acc, a, b)
+        }
+        if (deltaPairs) {
+          // delta the pair table off ONLY the words the batch rewrote:
+          // a changed row retracts its old adjacencies and asserts its
+          // new ones; integer sums, rows reaching zero drop
+          val staged = state.withColumn("__new", chained)
+          val changed = staged.filter(col("__new") =!= col("syms"))
+          val d3 = Seq(col("left_sym"), col("right_sym"), col("d"))
+          val newPairs = pairsTbl
+            .select(col("left_sym"), col("right_sym"), col("pair_count").as("d"))
+            .unionByName(pairCounts(changed.select(col("cnt"), col("syms")),
+              "syms", "cnt")
+              .select(col("left_sym"), col("right_sym"), (-col("pair_count")).as("d"))
+              .select(d3: _*))
+            .unionByName(pairCounts(
+              changed.select(col("cnt"), col("__new").as("syms")), "syms", "cnt")
+              .select(col("left_sym"), col("right_sym"), col("pair_count").as("d"))
+              .select(d3: _*))
+            .groupBy("left_sym", "right_sym")
+            .agg(sum(col("d")).as("pair_count"))
+            .filter(col("pair_count") > 0)
+          val np = graft.Checkpoints.localCheckpoint(newPairs, eager = true)
+          graft.Checkpoints.free(pairsTbl)
+          pairsTbl = np
+          state = staged.select(col("word"), col("cnt"), col("__new").as("syms"))
+        } else {
+          state = state.withColumn("syms", chained)
+        }
         sinceCheckpoint += batch.size
         if (sinceCheckpoint >= CheckpointEvery && merges.size < numMerges) {
           val next = graft.Checkpoints.localCheckpoint(state, eager = true)
@@ -244,6 +296,7 @@ object BpeTrain {
       }
     }
     graft.Checkpoints.free(anchor)
+    if (pairsTbl != null) graft.Checkpoints.free(pairsTbl)
     (merges.toSeq, rounds)
   }
 

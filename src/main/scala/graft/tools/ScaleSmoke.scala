@@ -345,6 +345,19 @@ object ScaleSmoke {
           f"rounds (${got.size.toDouble / rounds}%.1f merges/round)")
       }
 
+      // the delta-maintained pair table vs full per-round re-aggregation
+      // at a fixed corpus: late rounds touch a sliver of the histogram,
+      // so the delta path's per-round cost tracks the sliver
+      for (delta <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val (got, rounds) = graft.ops.BpeTrain.trainCounted(dN, "text", 24,
+          maxBatch = 8, deltaPairs = delta)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"bpe train 24 merges deltaPairs=$delta ($nDocs docs): " +
+          f"$dt%.1fs over $rounds rounds (${dt / rounds}%.2fs/round, " +
+          f"${got.size} merges)")
+      }
+
       // the PRODUCTION approximate path (oracle-pinned by q283): the
       // skip-scan commits near-full batches, so rounds ≈ merges/maxBatch
       // — the 32k-vocabulary asymptote exact greedy can't reach

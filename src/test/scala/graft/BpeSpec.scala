@@ -213,6 +213,15 @@ class BpeSpec extends SparkSpec {
           s"maxBatch=$batch diverged on ${docs.head.take(20)}...: " +
             s"batched=$batM sequential=$seqM")
       }
+      // the delta-maintained pair table (the default above) equals the
+      // full per-round re-aggregation — the induction the train
+      // scaladoc claims
+      val reagg = BpeTrain.trainCounted(df, "text", n, maxBatch = 8,
+        deltaPairs = false)._1
+      val delta = BpeTrain.trainCounted(df, "text", n, maxBatch = 8,
+        deltaPairs = true)._1
+      assert(delta == reagg,
+        s"delta pair table diverged on ${docs.head.take(20)}...")
     }
   }
 
