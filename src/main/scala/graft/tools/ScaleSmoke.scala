@@ -313,6 +313,37 @@ object ScaleSmoke {
         }
       }
 
+      // shard-export lifecycle: an append-heavy delivery accretes one
+      // file set per batch; compaction folds each shard back to one
+      // file and the tag table to one file; a takedown rewrites ONLY
+      // the affected shard dirs (recipe-located, partition-pruned)
+      {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-smoke-export").toString
+        graft.io.Layout.writeShardsWithManifest(
+          dN.select("doc_id", "text"), "doc_id", dir, numShards = 8)
+        (1 to 6).foreach { b =>
+          graft.io.Layout.appendShardsWithManifest(
+            dN.select((col("doc_id") + lit(b * 100000000L)).as("doc_id"),
+              col("text")),
+            dir, batchTag = Some(b.toLong))
+        }
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sessionState.newHadoopConf())
+        def shardFiles() = (0 until 8).map(s => fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/data/shard=$s"))
+          .count(st => st.getPath.getName.endsWith(".parquet"))).sum
+        val before = shardFiles()
+        time(s"compactShardExport 7 appends x 8 shards ($nDocs docs each)") {
+          graft.io.Layout.compactShardExport(spark, dir)
+        }
+        println(s"  shard-export files: $before -> ${shardFiles()}")
+        time(s"removeFromShardExport 500 ids (affected shards only)") {
+          graft.io.Layout.removeFromShardExport(
+            spark.range(500L).select((col("id") * 20L).as("doc_id")), dir)
+        }
+      }
+
       // KMV sketch: replicas add NO new distinct hashes — cost tracks the
       // scan + map-side distinct, state stays k rows per group
       time(s"kmv distinct per source ($nDocs docs, k=256)") {

@@ -597,7 +597,8 @@ class PropertySpec extends SparkSpec {
           val dcg = topk.foldLeft(0.0) { (acc, r) =>
             acc + judged.getOrElse(r._2, 0L).toDouble / log2(r._3 + 1.0)
           }
-          val idcg = judged.toSeq.sortBy(t => (-t._2, t._1)).zipWithIndex
+          // ideal truncated at k — the TREC nDCG@k definition
+          val idcg = judged.toSeq.sortBy(t => (-t._2, t._1)).take(k).zipWithIndex
             .foldLeft(0.0) { case (acc, ((_, g), i)) => acc + g.toDouble / log2(i + 2.0) }
           assert(row.getAs[Double]("ndcg_r") == r6(dcg / idcg), s"seed=$seed q=$q ndcg")
         }
