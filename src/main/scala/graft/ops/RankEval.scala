@@ -48,9 +48,13 @@ object RankEval {
     *
     * Output per query (queries present in EITHER side):
     * `(queryCol, n_judged, n_retrieved, n_hits, mrr_r, precision_r,
-    * recall_r, ndcg_r)` — a query with no positive judgments reports
-    * null mrr/recall/ndcg (nothing to find) and its retrieved count; a
-    * judged query the run never answered reports zeros. */
+    * recall_r, ndcg_r, map_r)` — a query with no positive judgments
+    * reports null rate metrics (nothing to find) and its retrieved
+    * count; a judged query the run never answered reports zeros.
+    * `map_r` is average precision at k under the TREC convention:
+    * Σ over hits of (hit index / rank), divided by n_judged (ALL
+    * judged positives, not min(R, k)) — binary relevance (gain > 0),
+    * terms folded in rank order. */
   def rankingMetrics(
       run: DataFrame,
       qrels: DataFrame,
@@ -128,7 +132,21 @@ object RankEval {
             coalesce(col("__g"), lit(0L)).as("g")))),
           lit(0.0),
           (acc, x) => acc + x.getField("g").cast("double") /
-            (log((x.getField("r") + 1L).cast("double")) / lit(ln2))).as("__dcg"))
+            (log((x.getField("r") + 1L).cast("double")) / lit(ln2))).as("__dcg"),
+        // average-precision numerator folds P@r at each hit in rank
+        // order, carrying the running hit count (binary relevance)
+        aggregate(
+          array_sort(collect_list(struct(col("__r").as("r"),
+            coalesce(col("__g"), lit(0L)).as("g")))),
+          struct(lit(0.0).as("s"), lit(0L).as("h")),
+          (acc, x) => struct(
+            when(x.getField("g") > 0L,
+              acc.getField("s") + (acc.getField("h") + 1L).cast("double") /
+                x.getField("r").cast("double"))
+              .otherwise(acc.getField("s")).as("s"),
+            when(x.getField("g") > 0L, acc.getField("h") + 1L)
+              .otherwise(acc.getField("h")).as("h")),
+          acc => acc.getField("s")).as("__apnum"))
     scored.join(ideal, Seq("__q"), "full")
       .select(col("__q").as(queryCol),
         coalesce(col("n_judged"), lit(0L)).as("n_judged"),
@@ -145,13 +163,18 @@ object RankEval {
             col("n_judged").cast("double"), 6) + lit(0.0)).as("recall_r"),
         when(col("n_judged").isNull, lit(null).cast("double"))
           .otherwise(round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6)
-            + lit(0.0)).as("ndcg_r"))
+            + lit(0.0)).as("ndcg_r"),
+        when(col("n_judged").isNull, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("__apnum"), lit(0.0)) /
+            col("n_judged").cast("double"), 6) + lit(0.0)).as("map_r"))
   }
 
   /** Macro-average of [[rankingMetrics]] over the JUDGED queries (the
     * TREC convention: unjudged queries can't score), each metric a
     * query-ordered fold divided by the judged-query count — one summary
-    * row: `(n_queries, mrr_r, precision_r, recall_r, ndcg_r)`. */
+    * row: `(n_queries, mrr_r, precision_r, recall_r, ndcg_r, map_r)`
+    * (`map_r` here IS the classic MAP: the mean of per-query average
+    * precision). */
   def rankingSummary(
       run: DataFrame,
       qrels: DataFrame,
@@ -170,7 +193,7 @@ object RankEval {
         count(lit(1)).cast("double"), 6) + lit(0.0)).as(c)
     per.agg(count(lit(1)).as("n_queries"),
       foldAvg("mrr_r"), foldAvg("precision_r"), foldAvg("recall_r"),
-      foldAvg("ndcg_r"))
+      foldAvg("ndcg_r"), foldAvg("map_r"))
   }
 
   /** Paired A/B comparison of two runs on the SAME qrels — the eval
@@ -210,7 +233,7 @@ object RankEval {
   ): DataFrame = {
     require(replicas >= 10, "need at least 10 replicas for a CI")
     require(0.0 < low && low < high && high < 1.0, "need 0 < low < high < 1")
-    val ms = Seq("mrr_r", "precision_r", "recall_r", "ndcg_r")
+    val ms = Seq("mrr_r", "precision_r", "recall_r", "ndcg_r", "map_r")
     def judged(run: DataFrame, tag: String) =
       rankingMetrics(run, qrels, queryCol, docCol, rankCol, relCol, k)
         .filter(col("n_judged") > 0)

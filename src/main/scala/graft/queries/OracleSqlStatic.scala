@@ -540,6 +540,16 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |        ORDER BY t.r)), (a, b) -> a + b) AS dcg
        |  FROM $topk t LEFT JOIN g ON g.qid = t.qid AND g.doc_id = t.doc_id
        |  GROUP BY t.qid
+       |), ap_$met AS (
+       |  -- average-precision numerator: P@r at each hit, folded in rank
+       |  -- order (hit index hi via row_number over the hits alone)
+       |  SELECT qid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(CAST(hi AS DOUBLE) / CAST(r AS DOUBLE) ORDER BY r)),
+       |    (a, b) -> a + b) AS ap_num
+       |  FROM (SELECT t.qid, t.r,
+       |          row_number() OVER (PARTITION BY t.qid ORDER BY t.r) AS hi
+       |        FROM $topk t JOIN g ON g.qid = t.qid AND g.doc_id = t.doc_id)
+       |  GROUP BY qid
        |)""".stripMargin
 
   private lazy val rankingEvalCtes: String = bm25RunCtes("") +
@@ -557,8 +567,10 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
        |    + 0.0 AS precision_r,
        |  round(CAST(coalesce(m.n_hits, 0) AS DOUBLE) / i.n_judged, 6) + 0.0 AS recall_r,
-       |  round(coalesce(m.dcg, 0.0) / i.idcg, 6) + 0.0 AS ndcg_r
-       |FROM ideal i LEFT JOIN $met m USING (qid)""".stripMargin
+       |  round(coalesce(m.dcg, 0.0) / i.idcg, 6) + 0.0 AS ndcg_r,
+       |  round(coalesce(ap.ap_num, 0.0) / i.n_judged, 6) + 0.0 AS map_r
+       |FROM ideal i LEFT JOIN $met m USING (qid)
+       |  LEFT JOIN ap_$met ap USING (qid)""".stripMargin
 
   /** q278's per-query SELECT (no ORDER BY — q280 wraps it as a CTE). */
   private lazy val rankingEvalPerQuery: String = rankingPerQuerySel("met")
@@ -584,6 +596,8 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |  UNION ALL SELECT a.qid, 'recall_r', a.recall_r, b.recall_r
        |    FROM pa a JOIN pb b USING (qid)
        |  UNION ALL SELECT a.qid, 'ndcg_r', a.ndcg_r, b.ndcg_r
+       |    FROM pa a JOIN pb b USING (qid)
+       |  UNION ALL SELECT a.qid, 'map_r', a.map_r, b.map_r
        |    FROM pa a JOIN pb b USING (qid)
        |), dlt AS (
        |  SELECT qid, metric, va, vb, vb - va AS d FROM longt
@@ -2914,7 +2928,10 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |    + 0.0 AS recall_r,
          |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |    list(ndcg_r ORDER BY qid)), (a, b) -> a + b) / count(*), 6)
-         |    + 0.0 AS ndcg_r
+         |    + 0.0 AS ndcg_r,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(map_r ORDER BY qid)), (a, b) -> a + b) / count(*), 6)
+         |    + 0.0 AS map_r
          |FROM pq WHERE n_judged > 0""".stripMargin),
 
     // iterated DoReMi: q265's losses through TWO MW rounds, each

@@ -601,6 +601,12 @@ class PropertySpec extends SparkSpec {
           val idcg = judged.toSeq.sortBy(t => (-t._2, t._1)).take(k).zipWithIndex
             .foldLeft(0.0) { case (acc, ((_, g), i)) => acc + g.toDouble / log2(i + 2.0) }
           assert(row.getAs[Double]("ndcg_r") == r6(dcg / idcg), s"seed=$seed q=$q ndcg")
+          // AP@k: P@r at each hit in rank order, divided by ALL judged
+          val apNum = hits.zipWithIndex.foldLeft(0.0) { case (acc, (h, i)) =>
+            acc + (i + 1).toDouble / h._3.toDouble
+          }
+          assert(row.getAs[Double]("map_r") == r6(apNum / judged.size),
+            s"seed=$seed q=$q map")
         }
       }
     }

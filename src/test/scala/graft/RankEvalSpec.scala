@@ -42,6 +42,10 @@ class RankEvalSpec extends SparkSpec {
     val wantNdcg = BigDecimal(dcg / idcg)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(q1.getAs[Double]("ndcg_r") == wantNdcg, s"ndcg ${q1.getAs[Double]("ndcg_r")}")
+    // AP@3: hits at ranks 2 (1st hit) and 3 (2nd hit) over 3 judged
+    val wantMap = BigDecimal((1.0 / 2.0 + 2.0 / 3.0) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q1.getAs[Double]("map_r") == wantMap, s"map ${q1.getAs[Double]("map_r")}")
     // q2: judged but zero positives -> nothing to find, null rate metrics
     val q2 = got(2L)
     assert(q2.getAs[Long]("n_judged") == 0L && q2.getAs[Long]("n_retrieved") == 2L)
@@ -70,7 +74,8 @@ class RankEvalSpec extends SparkSpec {
     val p = byKey(RankEval.rankingMetrics(
       perfect, qrels, "qid", "doc", "rank", "rel", k = 3), "qid")(1L)
     assert(p.getAs[Double]("mrr_r") == 1.0 && p.getAs[Double]("recall_r") == 1.0 &&
-      p.getAs[Double]("ndcg_r") == 1.0 && p.getAs[Double]("precision_r") == 1.0)
+      p.getAs[Double]("ndcg_r") == 1.0 && p.getAs[Double]("precision_r") == 1.0 &&
+      p.getAs[Double]("map_r") == 1.0)
     // duplicate (query, doc) judgment refuses loudly
     val dup = qrels.unionByName(Seq((1L, 10L, 2)).toDF("qid", "doc", "rel"))
     val e = intercept[Exception] {
@@ -96,6 +101,8 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("ndcg_r") == want, s"ndcg ${r.getAs[Double]("ndcg_r")}")
     assert(r.getAs[Long]("n_judged") == 5L) // recall denominator untruncated
     assert(r.getAs[Double]("recall_r") == 0.4)
+    // AP@2: hits at ranks 1 and 2, over ALL 5 judged (TREC divides by R)
+    assert(r.getAs[Double]("map_r") == 0.4, s"map ${r.getAs[Double]("map_r")}")
     // a PERFECT top-k page scores exactly 1.0 even with surplus positives
     val perfect = Seq((9L, 1L, 1), (9L, 2L, 2)).toDF("qid", "doc", "rank")
     val p = byKey(RankEval.rankingMetrics(
