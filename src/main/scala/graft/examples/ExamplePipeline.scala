@@ -630,7 +630,21 @@ object ExamplePipeline {
         ("shard_export", s"$exportDir/data", "doc_id")))
     println("takedown audit: " + rtbfAudit.collect()
       .map(r => s"${r.getString(0)}=${r.getAs[Long]("n_matches")}").mkString(", ") +
-      " (the export keeps the docs by design — the audit NAMES that)")
+      " (the audit NAMES the dirty artifact; now honor the request)")
+    // ... and ACT on it: removeFromShardExport rewrites only the
+    // affected shard dirs (recipe-located), updates the manifest
+    // exactly, and the re-audit reads clean across every artifact
+    graft.io.Layout.removeFromShardExport(
+      d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id"), exportDir)
+    val cleanAfter = graft.ops.Reports.takedownAudit(spark,
+      d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id"), "doc_id",
+      Seq(("bm25_doclens", s"$bm25Dir/doclens", "__docid"),
+        ("shard_export", s"$exportDir/data", "doc_id")))
+      .filter(!col("clean")).count() == 0
+    val exportStillOk = graft.io.Layout.verifyShards(spark, exportDir)
+      .filter(!col("ok")).count() == 0
+    println(s"export takedown: audit clean=$cleanAfter, " +
+      s"verifyShards clean=$exportStillOk — full right-to-be-forgotten loop")
 
     // 39. retrieval eval: score the step-33 lexical serving against
     //     derived qrels — the offline gate a retrieval change ships with
