@@ -192,6 +192,121 @@ object Judges {
           + lit(0.0))
   }
 
+  /** Cohen's kappa (1960) for EVERY judge pair over their co-judged
+    * items — the inter-annotator agreement matrix a labeling report
+    * leads with: chance-corrected agreement per pair, where consensus
+    * agreement rates ([[judgeReliability]]) can't separate "agrees
+    * because right" from "agrees because both always say hi".
+    *
+    * Exact arithmetic: with n co-judged items, `agree` exact matches,
+    * and S = Σ over labels of (judge-a count × judge-b count),
+    * kappa = (po − pe) / (1 − pe) reduces to the single exact-integer
+    * ratio `(agree·n − S) / (n² − S)` — one double division, no
+    * ordered-fold machinery needed. A pair whose marginals are both
+    * constant (n² = S) has undefined kappa and reports null.
+    *
+    * Scale shape: the co-judgment self-join is Σ over items of
+    * (panel size)² rows — panel-bounded per item, never corpus² — and
+    * the output is at most judges²/2 rows; a panel wider than
+    * `maxJudges` refuses loudly before the join (one scalar count, the
+    * [[guardConfusionCells]] convention). Output per pair (judge_a <
+    * judge_b, binary order): `(judge_a, judge_b, n_items, n_agree,
+    * kappa_r)`. */
+  def pairwiseKappa(
+      df: DataFrame,
+      itemCol: String,
+      judgeCol: String,
+      labelCol: String,
+      maxJudges: Long = 1000L
+  ): DataFrame = {
+    require(maxJudges >= 2, "maxJudges must be >= 2")
+    val v = cleanVotes(df, itemCol, judgeCol, labelCol, "pairwiseKappa")
+    val nJudges = v.select(col("__j")).distinct().count()
+    if (nJudges > maxJudges)
+      throw new IllegalArgumentException(
+        s"pairwiseKappa: $nJudges distinct judges would emit ~" +
+          s"${nJudges * (nJudges - 1) / 2} pairs (and a per-item panel² " +
+          s"join) — pool judges upstream or raise maxJudges")
+    val co = v.select(col("__i"), col("__j").as("judge_a"), col("__l").as("__la"))
+      .join(v.select(col("__i"), col("__j").as("judge_b"), col("__l").as("__lb")),
+        Seq("__i"))
+      .filter(col("judge_a") < col("judge_b"))
+    val counts = co.groupBy("judge_a", "judge_b")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__la") === col("__lb"), 1L).otherwise(0L)).as("n_agree"))
+    val ac = co.groupBy(col("judge_a"), col("judge_b"), col("__la").as("__c"))
+      .agg(count(lit(1)).as("__ac"))
+    val bc = co.groupBy(col("judge_a"), col("judge_b"), col("__lb").as("__c"))
+      .agg(count(lit(1)).as("__bc"))
+    val s = ac.join(bc, Seq("judge_a", "judge_b", "__c"))
+      .groupBy("judge_a", "judge_b")
+      .agg(sum(col("__ac") * col("__bc")).as("__s"))
+    counts.join(s, Seq("judge_a", "judge_b"), "left")
+      .select(col("judge_a"), col("judge_b"), col("n_items"), col("n_agree"),
+        when(col("n_items") * col("n_items") === coalesce(col("__s"), lit(0L)),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_agree") * col("n_items") - coalesce(col("__s"), lit(0L)))
+              .cast("double") /
+              (col("n_items") * col("n_items") - coalesce(col("__s"), lit(0L)))
+                .cast("double"), 6) + lit(0.0)).as("kappa_r"))
+  }
+
+  /** Krippendorff's alpha (nominal data) over the whole vote frame —
+    * the one-number agreement summary that handles MISSING votes
+    * (judges need not co-judge everything, unlike [[pairwiseKappa]]'s
+    * pair grain): 1 − observed/expected disagreement over every unit
+    * with ≥ 2 ratings (Krippendorff 2004's coincidence formulation).
+    *
+    * Exact and engine-portable: with n_u ratings of a unit and n_uc of
+    * its ratings on label c, the observed-disagreement mass groups by
+    * PANEL SIZE m — units sharing m share the 1/(m−1) denominator, so
+    * `Do_sum = Σ_m (Σ_{units of size m} Σ_c n_uc(m − n_uc)) / (m − 1)`
+    * is a fold over at most max-panel-size terms (each an exact
+    * integer over an exact integer), ordered by m; the expected side is
+    * pure integers (`D = n² − Σ_c n_c²`). `alpha_r = 1 − Do_sum·(n−1)/D`;
+    * all-ratings-one-label (D = 0) reports null. Output one row:
+    * `(n_units, n_ratings, n_labels, do_r, de_r, alpha_r)`.
+    *
+    * Scale shape: two hash aggregations at (unit, label) and label
+    * grain; the only collected buffer holds ≤ max-panel-size entries. */
+  def krippendorffAlpha(
+      df: DataFrame,
+      itemCol: String,
+      judgeCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val v = cleanVotes(df, itemCol, judgeCol, labelCol, "krippendorffAlpha")
+    val nu = v.groupBy("__i").agg(count(lit(1)).as("__nu"))
+    val vu = v.join(nu.filter(col("__nu") >= 2), Seq("__i"))
+    val nuc = vu.groupBy(col("__i"), col("__nu"), col("__l"))
+      .agg(count(lit(1)).as("__nuc"))
+    val doSum = nuc.groupBy(col("__nu").as("__m"))
+      .agg(sum(col("__nuc") * (col("__nu") - col("__nuc"))).as("__sm"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__m").as("m"),
+          (col("__sm").cast("double") / (col("__m") - 1L).cast("double")).as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("__dosum"))
+    val tot = vu.agg(count(lit(1)).as("n_ratings"),
+      countDistinct(col("__i")).as("n_units"))
+    val lab = vu.groupBy("__l").agg(count(lit(1)).as("__nc"))
+      .agg(count(lit(1)).as("n_labels"), sum(col("__nc") * col("__nc")).as("__sumc2"))
+    val d = col("n_ratings") * col("n_ratings") - col("__sumc2")
+    tot.crossJoin(lab).crossJoin(doSum)
+      .select(col("n_units"), col("n_ratings"), col("n_labels"),
+        when(col("n_ratings") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("__dosum") / col("n_ratings").cast("double"), 6)
+            + lit(0.0)).as("do_r"),
+        when(col("n_ratings") < 2L, lit(null).cast("double"))
+          .otherwise(round(d.cast("double") /
+            (col("n_ratings") * (col("n_ratings") - 1L)).cast("double"), 6)
+            + lit(0.0)).as("de_r"),
+        when(col("n_ratings") < 2L || d === 0L, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - col("__dosum") *
+            (col("n_ratings") - 1L).cast("double") / d.cast("double"), 6)
+            + lit(0.0)).as("alpha_r"))
+  }
+
   /** One hard Dawid–Skene scoring pass: posterior per (item, candidate
     * label) from a current labeling's class prior and per-judge
     * confusion rows, argmax ties toward the binary-smaller label.

@@ -48,6 +48,49 @@ object Privacy {
       round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6) + lit(0.0))
   }
 
+  /** Equivalence classes with their SENSITIVE-value diversity: one row
+    * per distinct `quasiCols` tuple with its occupancy and the count of
+    * distinct `sensitiveCol` values inside it (nulls in the sensitive
+    * column don't count as a value — a suppressed secret protects
+    * nobody). k-anonymity without this is hollow: a 50-person class
+    * that all share one diagnosis re-identifies the ATTRIBUTE even
+    * though no row is singled out (Machanavajjhala et al.'s
+    * l-diversity). One exact distinct aggregation at class grain. */
+  def lDiversityClasses(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityClasses needs quasi-identifier columns")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot be one of the quasi-identifiers")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+  }
+
+  /** One-row l-diversity verdict under `quasiCols` for `sensitiveCol`:
+    * the achieved diversity (`l_actual` = the least-diverse class —
+    * the frame IS l_actual-diverse), classes and rows below the
+    * requested `l`, and the homogeneous core (`n_homogeneous` =
+    * classes with exactly one sensitive value — attribute disclosure
+    * by membership alone). The [[kAnonymityAudit]] shape at the same
+    * |classes|-row second-pass cost. */
+  def lDiversityAudit(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(l >= 1, "l must be >= 1")
+    lDiversityClasses(df, quasiCols, sensitiveCol).agg(
+      sum(col("class_n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("n_sensitive")).as("l_actual"),
+      sum(when(col("n_sensitive") < l, lit(1L)).otherwise(lit(0L)))
+        .as("n_classes_below_l"),
+      coalesce(sum(when(col("n_sensitive") < l, col("class_n"))), lit(0L))
+        .as("n_rows_at_risk"),
+      sum(when(col("n_sensitive") === 1L, lit(1L)).otherwise(lit(0L)))
+        .as("n_homogeneous")
+    ).withColumn("at_risk_frac_r",
+      round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6) + lit(0.0))
+  }
+
   /** Suppression gate: keep only rows whose quasi-identifier class has
     * at least `k` members — the output frame is k-anonymous on
     * `quasiCols` by construction. Implemented as an inner join against

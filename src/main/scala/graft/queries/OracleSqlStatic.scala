@@ -2731,6 +2731,119 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // (judge-ordered weight folds, ties binary-smaller)
     "q254_judge_consensus" -> judgeConsensusSql,
 
+    // pairwise Cohen's kappa over the q254 panel: co-judgment self-join
+    // with judge_a < judge_b (binary order), exact-integer marginal
+    // products, kappa = (agree*n - S)/(n^2 - S) in one division
+    "q284_judge_kappa" ->
+      (s"""WITH $judgePanelCtes, co AS MATERIALIZED (
+          |  SELECT a.judge AS judge_a, b.judge AS judge_b,
+          |         a.label AS la, b.label AS lb
+          |  FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.judge < b.judge
+          |), cnt AS (
+          |  SELECT judge_a, judge_b, CAST(count(*) AS BIGINT) AS n_items,
+          |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+          |  FROM co GROUP BY 1, 2
+          |), ac AS (
+          |  SELECT judge_a, judge_b, la AS c, CAST(count(*) AS BIGINT) AS ac
+          |  FROM co GROUP BY 1, 2, 3
+          |), bc AS (
+          |  SELECT judge_a, judge_b, lb AS c, CAST(count(*) AS BIGINT) AS bc
+          |  FROM co GROUP BY 1, 2, 3
+          |), sm AS (
+          |  SELECT judge_a, judge_b, CAST(sum(ac * bc) AS BIGINT) AS s
+          |  FROM ac JOIN bc USING (judge_a, judge_b, c) GROUP BY 1, 2
+          |)
+          |SELECT cnt.judge_a, cnt.judge_b, n_items, n_agree,
+          |  CASE WHEN n_items * n_items - coalesce(s, 0) = 0 THEN NULL
+          |       ELSE round(CAST(n_agree * n_items - coalesce(s, 0) AS DOUBLE)
+          |         / CAST(n_items * n_items - coalesce(s, 0) AS DOUBLE), 6) + 0.0
+          |  END AS kappa_r
+          |FROM cnt LEFT JOIN sm USING (judge_a, judge_b)
+          |ORDER BY judge_a, judge_b""".stripMargin),
+
+    // Krippendorff's nominal alpha over a panel WITH abstentions (each
+    // judge skips a doc_id % 7 slice): observed disagreement grouped by
+    // panel size (shared 1/(m-1) denominator, folded in m order),
+    // expected side pure integers, alpha = 1 - Do_sum*(n-1)/(n^2 - sum nc^2)
+    "q285_krippendorff" ->
+      ("""WITH d AS (
+         |  SELECT doc_id, n_chars, lang,
+         |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), v AS MATERIALIZED (
+         |  SELECT doc_id, 'len' AS judge,
+         |    CASE WHEN n_chars >= 300 THEN 'hi' ELSE 'lo' END AS label
+         |  FROM d WHERE doc_id % 7 <> 0
+         |  UNION ALL SELECT doc_id, 'tok',
+         |    CASE WHEN len(ts) >= 50 THEN 'hi' ELSE 'lo' END
+         |  FROM d WHERE doc_id % 7 <> 1
+         |  UNION ALL SELECT doc_id, 'lang',
+         |    CASE WHEN lang = 'en' THEN 'hi' ELSE 'lo' END
+         |  FROM d WHERE doc_id % 7 <> 2
+         |  UNION ALL SELECT doc_id, 'fuzz',
+         |    CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-judge'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 >= 0.5
+         |         THEN 'hi' ELSE 'lo' END
+         |  FROM d WHERE doc_id % 7 <> 3
+         |), nu AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nu FROM v GROUP BY doc_id
+         |), vu AS MATERIALIZED (
+         |  SELECT v.doc_id, v.label, nu.nu FROM v JOIN nu USING (doc_id)
+         |  WHERE nu.nu >= 2
+         |), nuc AS (
+         |  SELECT doc_id, nu, label, CAST(count(*) AS BIGINT) AS nuc
+         |  FROM vu GROUP BY 1, 2, 3
+         |), bym AS (
+         |  SELECT nu AS m, CAST(sum(nuc * (nu - nuc)) AS BIGINT) AS sm
+         |  FROM nuc GROUP BY nu
+         |), dos AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(CAST(sm AS DOUBLE) / CAST(m - 1 AS DOUBLE) ORDER BY m)),
+         |    (a, b) -> a + b) AS dosum FROM bym
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_units FROM vu
+         |), lc AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS nc FROM vu GROUP BY label
+         |), l2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_labels,
+         |    CAST(sum(nc * nc) AS BIGINT) AS sumc2 FROM lc
+         |)
+         |SELECT n_units, n AS n_ratings, n_labels,
+         |  round(dosum / n, 6) + 0.0 AS do_r,
+         |  round(CAST(n * n - sumc2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6)
+         |    + 0.0 AS de_r,
+         |  CASE WHEN n * n - sumc2 = 0 THEN NULL
+         |       ELSE round(1.0 - dosum * CAST(n - 1 AS DOUBLE)
+         |         / CAST(n * n - sumc2 AS DOUBLE), 6) + 0.0
+         |  END AS alpha_r
+         |FROM dos, tot, l2""".stripMargin),
+
+    // l-diversity verdict: distinct sensitive balance bands per
+    // (nation, segment) class — exact distinct counts, one division
+    "q286_l_diversity" ->
+      ("""WITH c AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_band
+         |  FROM customer
+         |), cls AS (
+         |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_n,
+         |    CAST(count(DISTINCT bal_band) AS BIGINT) AS n_sensitive
+         |  FROM c GROUP BY 1, 2
+         |)
+         |SELECT CAST(sum(class_n) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(min(n_sensitive) AS BIGINT) AS l_actual,
+         |  CAST(sum(CASE WHEN n_sensitive < 8 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_classes_below_l,
+         |  CAST(coalesce(sum(CASE WHEN n_sensitive < 8 THEN class_n END), 0)
+         |    AS BIGINT) AS n_rows_at_risk,
+         |  CAST(sum(CASE WHEN n_sensitive = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_homogeneous,
+         |  round(CAST(coalesce(sum(CASE WHEN n_sensitive < 8 THEN class_n END), 0)
+         |    AS DOUBLE) / sum(class_n), 6) + 0.0 AS at_risk_frac_r
+         |FROM cls""".stripMargin),
+
     // serving-path parity: consensus from the STANDING counters
     // (judgeCounters -> consensusWithCounters) answers the same panel
     // with the same weights, so it shares q254's oracle verbatim

@@ -2850,6 +2850,64 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("doc_id")
     },
 
+    "q284_judge_kappa" -> { (s, dir) =>
+      // the inter-annotator agreement MATRIX over the q254 panel:
+      // chance-corrected pairwise Cohen's kappa — the md5-coin judge
+      // lands near 0 against everyone while the correlated heuristics
+      // pair high; the whole statistic is one exact-integer ratio
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def judge(name: String, label: Column) =
+        d.select(col("doc_id"), lit(name).as("judge"), label.as("label"))
+      val nTok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val nDist = size(graft.expressions.WordGrams.distinctTokens(col("text")))
+      val uh = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("graft-judge"))), 1, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      val votes = judge("len", when(col("n_chars") >= 300, "hi").otherwise("lo"))
+        .unionByName(judge("tok", when(nTok >= 50, "hi").otherwise("lo")))
+        .unionByName(judge("dtr",
+          when(nTok > 0 && lit(2) * nDist >= nTok, "hi").otherwise("lo")))
+        .unionByName(judge("lang", when(col("lang") === "en", "hi").otherwise("lo")))
+        .unionByName(judge("fuzz", when(uh >= 0.5, "hi").otherwise("lo")))
+      graft.ops.Judges.pairwiseKappa(votes, "doc_id", "judge", "label")
+        .orderBy("judge_a", "judge_b")
+    },
+
+    "q285_krippendorff" -> { (s, dir) =>
+      // the one-number agreement summary over the same panel, on a
+      // vote frame with MISSING ratings (each judge abstains on a
+      // deterministic doc_id slice — the case pairwise kappa can't
+      // summarize): Krippendorff's nominal alpha, exact integer
+      // coincidences, the observed side folded by panel size
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def judge(name: String, m: Int, label: Column) =
+        d.filter(pmod(col("doc_id"), lit(7)) =!= m)
+          .select(col("doc_id"), lit(name).as("judge"), label.as("label"))
+      val nTok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val uh = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("graft-judge"))), 1, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      val votes = judge("len", 0, when(col("n_chars") >= 300, "hi").otherwise("lo"))
+        .unionByName(judge("tok", 1, when(nTok >= 50, "hi").otherwise("lo")))
+        .unionByName(judge("lang", 2,
+          when(col("lang") === "en", "hi").otherwise("lo")))
+        .unionByName(judge("fuzz", 3, when(uh >= 0.5, "hi").otherwise("lo")))
+      graft.ops.Judges.krippendorffAlpha(votes, "doc_id", "judge", "label")
+    },
+
+    "q286_l_diversity" -> { (s, dir) =>
+      // attribute-disclosure audit on top of q212's k-anonymity: the
+      // (nation, segment) classes may each hold many customers, but if
+      // a class's balance band is uniform, membership alone leaks it —
+      // l-diversity counts distinct sensitive values per class
+      val c = t(s, dir, "customer").withColumn("bal_band",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"))
+      graft.ops.Privacy.lDiversityAudit(c,
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 8L)
+    },
+
     "q254_judge_consensus" -> { (s, dir) =>
       // LLM-as-judge ensemble vetting: five deterministic heuristic
       // judges (length, token count, distinct-token ratio, language,

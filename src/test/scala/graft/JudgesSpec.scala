@@ -416,4 +416,89 @@ class JudgesSpec extends SparkSpec {
     assert(Judges.dawidSkene(rareClassVotes, "item", "judge", "label",
       maxConfusionCells = 1000L).count() == 30L)
   }
+
+  test("pairwiseKappa: hand-computed kappa, degenerate null, dup refusal, judge ceiling") {
+    // 4 items, judges a/b agree on 3 of 4 with mixed marginals:
+    // a: hi,hi,lo,lo  b: hi,hi,lo,hi  -> agree=3, S = 2*3 + 2*1 = 8,
+    // kappa = (3*4 - 8) / (16 - 8) = 0.5
+    val votes = Seq(
+      (1L, "a", "hi"), (2L, "a", "hi"), (3L, "a", "lo"), (4L, "a", "lo"),
+      (1L, "b", "hi"), (2L, "b", "hi"), (3L, "b", "lo"), (4L, "b", "hi"),
+      // judge c is CONSTANT hi: against any constant-hi-marginal pair,
+      // kappa is undefined (n^2 == S) -> null
+      (1L, "c", "hi"), (2L, "c", "hi"), (3L, "c", "hi"), (4L, "c", "hi")
+    ).toDF("item", "judge", "label")
+    val got = Judges.pairwiseKappa(votes, "item", "judge", "label").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("n_agree"),
+          Option(r.getAs[java.lang.Double]("kappa_r"))))).toMap
+    assert(got.size == 3)
+    assert(got(("a", "b")) == ((4L, 3L, Some(0.5))))
+    // c vs a: c constant -> S = 4 * (2 + 2)?? c marginals: hi=4; a: hi=2,lo=2
+    // S = 2*4 = 8 (only 'hi' shared), n^2 = 16, agree = 2:
+    // kappa = (8 - 8)/(16 - 8) = 0
+    assert(got(("a", "c")) == ((4L, 2L, Some(0.0))))
+    // b vs c share 3 'hi'; b: hi=3,lo=1; c: hi=4 -> S = 12, agree = 3,
+    // kappa = (12-12)/(16-12) = 0
+    assert(got(("b", "c")) == ((4L, 3L, Some(0.0))))
+    // two constant judges with the SAME constant: n^2 == S -> null
+    val both = Seq((1L, "x", "hi"), (2L, "x", "hi"),
+      (1L, "y", "hi"), (2L, "y", "hi")).toDF("item", "judge", "label")
+    val kNull = Judges.pairwiseKappa(both, "item", "judge", "label").collect().head
+    assert(kNull.isNullAt(kNull.fieldIndex("kappa_r")))
+    // dup vote refuses; too many judges refuses loudly before the join
+    val e = intercept[Exception] {
+      Judges.pairwiseKappa(votes.unionByName(
+        Seq((1L, "a", "lo")).toDF("item", "judge", "label")),
+        "item", "judge", "label").collect()
+    }
+    assert(e.getMessage.contains("voted more than once"), e.getMessage)
+    val wide = (1 to 40).map(j => (1L, s"j$j", "hi")).toDF("item", "judge", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      Judges.pairwiseKappa(wide, "item", "judge", "label", maxJudges = 10L)
+    }
+    assert(e2.getMessage.contains("pairs"), e2.getMessage)
+    // partition invariance
+    val a1 = Judges.pairwiseKappa(votes, "item", "judge", "label")
+      .collect().map(_.toSeq).toSet
+    val a2 = Judges.pairwiseKappa(votes.repartition(7), "item", "judge", "label")
+      .collect().map(_.toSeq).toSet
+    assert(a1 == a2)
+  }
+
+  test("krippendorffAlpha: hand-computed alpha with missing votes, degenerate cases") {
+    // Krippendorff's own worked shape: units with 2-3 ratings, one
+    // abstention. Units: u1 (a,b,c)=hi,hi,hi; u2 (a,b)=hi,lo;
+    // u3 (b,c)=lo,lo; u4 only a -> dropped (n_u < 2).
+    val votes = Seq(
+      (1L, "a", "hi"), (1L, "b", "hi"), (1L, "c", "hi"),
+      (2L, "a", "hi"), (2L, "b", "lo"),
+      (3L, "b", "lo"), (3L, "c", "lo"),
+      (4L, "a", "hi")
+    ).toDF("item", "judge", "label")
+    val r = Judges.krippendorffAlpha(votes, "item", "judge", "label").head()
+    assert(r.getAs[Long]("n_units") == 3L && r.getAs[Long]("n_ratings") == 7L)
+    assert(r.getAs[Long]("n_labels") == 2L)
+    // Do_sum: u1 contributes 0 (3 hi, m=3); u2: both labels 1*(2-1)=1
+    // each -> 2, m=2; u3: 0. byM: m=2 -> 2, m=3 -> 0.
+    // Do_sum = 2/1 + 0/2 = 2.0; Do = 2/7
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("do_r") == r6(2.0 / 7.0))
+    // labels over kept units: hi=4, lo=3 -> D = 49 - (16+9) = 24;
+    // De = 24/42; alpha = 1 - 2.0*6/24 = 0.5
+    assert(r.getAs[Double]("de_r") == r6(24.0 / 42.0))
+    assert(r.getAs[Double]("alpha_r") == 0.5, s"alpha ${r.getAs[Double]("alpha_r")}")
+    // all-same-label corpus: expected disagreement 0 -> alpha null
+    val same = Seq((1L, "a", "hi"), (1L, "b", "hi")).toDF("item", "judge", "label")
+    val s0 = Judges.krippendorffAlpha(same, "item", "judge", "label").head()
+    assert(s0.isNullAt(s0.fieldIndex("alpha_r")) && s0.getAs[Double]("do_r") == 0.0)
+    // nothing co-judged: one null row, zero counts
+    val lone = Seq((1L, "a", "hi"), (2L, "b", "lo")).toDF("item", "judge", "label")
+    val l0 = Judges.krippendorffAlpha(lone, "item", "judge", "label").head()
+    assert(l0.getAs[Long]("n_units") == 0L &&
+      l0.isNullAt(l0.fieldIndex("alpha_r")))
+    // partition invariance
+    assert(Judges.krippendorffAlpha(votes.repartition(5), "item", "judge", "label")
+      .head().toSeq == r.toSeq)
+  }
 }

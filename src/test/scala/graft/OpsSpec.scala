@@ -1627,6 +1627,38 @@ class OpsSpec extends SparkSpec {
     assert(Privacy.suppressBelowK(df, Seq("q1", "q2"), 1L).count() == 9L)
   }
 
+  test("lDiversity: homogeneous classes flag, null sensitive doesn't count, quasi overlap refuses") {
+    import graft.ops.Privacy
+    // classes: (a) 3 rows / 2 diagnoses; (b) 2 rows / 1 diagnosis
+    // (homogeneous); (c) 2 rows where one diagnosis is NULL -> 1 value
+    val df = Seq(
+      (1L, "a", Option("flu")), (2L, "a", Option("flu")), (3L, "a", Option("cold")),
+      (4L, "b", Option("flu")), (5L, "b", Option("flu")),
+      (6L, "c", Option("cold")), (7L, "c", None: Option[String])
+    ).toDF("id", "q", "diag")
+    val cls = Privacy.lDiversityClasses(df, Seq("q"), "diag").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("class_n"), r.getAs[Long]("n_sensitive")))).toMap
+    assert(cls == Map("a" -> ((3L, 2L)), "b" -> ((2L, 1L)), "c" -> ((2L, 1L))))
+    val audit = Privacy.lDiversityAudit(df, Seq("q"), "diag", l = 2L).head()
+    assert(audit.getAs[Long]("n_rows") == 7L && audit.getAs[Long]("n_classes") == 3L)
+    assert(audit.getAs[Long]("l_actual") == 1L)
+    assert(audit.getAs[Long]("n_classes_below_l") == 2L)
+    assert(audit.getAs[Long]("n_rows_at_risk") == 4L)
+    assert(audit.getAs[Long]("n_homogeneous") == 2L)
+    assert(math.abs(audit.getAs[Double]("at_risk_frac_r") - 4.0 / 7.0) < 1e-6)
+    // a frame that passes: every class carries >= 2 sensitive values
+    val ok = Privacy.lDiversityAudit(
+      df.filter(col("q") === "a"), Seq("q"), "diag", l = 2L).head()
+    assert(ok.getAs[Long]("n_classes_below_l") == 0L &&
+      ok.getAs[Long]("l_actual") == 2L)
+    // the sensitive column among the quasi identifiers is a misuse
+    val e = intercept[IllegalArgumentException] {
+      Privacy.lDiversityAudit(df, Seq("q", "diag"), "diag", 2L)
+    }
+    assert(e.getMessage.contains("sensitive column"), e.getMessage)
+  }
+
   test("recordLinkage: weighted field sims, null evidence, anchor reach, minScore") {
     import graft.ops.Joins
     import graft.ops.Joins.{LinkField, LinkFieldKind}
