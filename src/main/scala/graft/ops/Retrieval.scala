@@ -72,6 +72,27 @@ object Retrieval {
       b: Double = 0.75,
       topK: Int = 10
   ): DataFrame = {
+    // each query's DISTINCT terms; duplicates in the query text must not
+    // double-count a term's contribution
+    val qTerms = queries.select(
+      col(queryIdCol),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
+    searchWithTerms(docs, idCol, textCol, qTerms, queryIdCol, k1, b, topK)
+  }
+
+  /** [[bm25Search]]'s body over an already-derived `(queryIdCol, term)`
+    * frame — shared by the text front-end and the expanded second pass
+    * of [[bm25SearchPrf]]. */
+  private def searchWithTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      qTerms: DataFrame,
+      queryIdCol: String,
+      k1: Double,
+      b: Double,
+      topK: Int
+  ): DataFrame = {
     require(topK > 0, "topK must be positive")
     val withLen = docs.select(
       col(idCol),
@@ -83,12 +104,6 @@ object Retrieval {
     val consts = withLen.agg(
       count(lit(1)).as("__n"),
       avg(col("__dl").cast("double")).as("__avgdl"))
-
-    // each query's DISTINCT terms; duplicates in the query text must not
-    // double-count a term's contribution
-    val qTerms = queries.select(
-      col(queryIdCol),
-      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
 
     // prune BEFORE the tf aggregate: the broadcast semi-join is a map-side
     // filter, so the groupBy shuffles only tokens matching the query
@@ -152,6 +167,67 @@ object Retrieval {
         (acc, x) => acc + x.getField("c")).as("score"))
 
     GroupTopK.topKPerGroup(scored, Seq(queryIdCol), idCol, "score", topK)
+  }
+
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (Rocchio-style query
+    * expansion) — the retrieval stack's standard second knob after raw
+    * BM25: run the query, harvest the most frequent terms of its top
+    * `fbDocs` results (the pseudo-relevant set), append the top
+    * `fbTerms` new terms to the query, and score again. Vocabulary
+    * mismatch ("automobile" vs "car") is the failure mode this closes.
+    *
+    * Deterministic end to end: candidate terms rank by exact integer
+    * frequency over the feedback docs (ties toward the binary-smaller
+    * term, the [[topNgrams]] convention), original query terms are
+    * excluded (they're already in the query), terms shorter than
+    * `minTermLen` are skipped (single characters and stop-ish shorties
+    * dominate any frequency ranking), and both scoring passes are the
+    * [[bm25Search]] arithmetic — so the whole chain replays in the
+    * oracle engine.
+    *
+    * Scale shape: pass one is [[bm25Search]]; the harvest explodes
+    * ONLY the feedback docs' tokens (a broadcast semi-join of
+    * |queries|·fbDocs ids prunes the corpus scan map-side) into a
+    * (query, term)-grain aggregate; pass two is [[bm25Search]] over
+    * the widened vocabulary. Output: the pass-two ranking
+    * `(queryIdCol, idCol, score, rank)`. */
+  def bm25SearchPrf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10,
+      fbDocs: Int = 5,
+      fbTerms: Int = 3,
+      minTermLen: Int = 3
+  ): DataFrame = {
+    require(fbDocs > 0, "fbDocs must be positive")
+    require(fbTerms > 0, "fbTerms must be positive (use bm25Search for none)")
+    val qTerms = queries.select(
+      col(queryIdCol),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
+    val first = searchWithTerms(docs, idCol, textCol, qTerms, queryIdCol,
+      k1, b, fbDocs)
+    val fbIds = first.select(col(queryIdCol), col(idCol))
+    // the feedback docs' token stream: the corpus scan prunes map-side
+    // against the (tiny) union of feedback ids before exploding
+    val fbToks = docs
+      .join(broadcast(fbIds.select(col(idCol)).distinct()), Seq(idCol))
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val cand = fbIds.join(fbToks, Seq(idCol))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy(col(queryIdCol), col("term"))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(qTerms, Seq(queryIdCol, "term"), "left_anti")
+    val picked = GroupTopK.topKPerGroupString(
+        cand, Seq(queryIdCol), "term", "__cnt", fbTerms)
+      .select(col(queryIdCol), col("term"))
+    searchWithTerms(docs, idCol, textCol, qTerms.unionByName(picked),
+      queryIdCol, k1, b, topK)
   }
 
   /** Persist a BM25 SERVING INDEX — the lexical analogue of

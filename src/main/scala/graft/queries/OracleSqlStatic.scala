@@ -750,6 +750,48 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |  FROM sc
          |)""".stripMargin
 
+  /** q287: the q84 run (pass one, `rk`) harvests each query's top-5
+    * page for its 3 most frequent NEW >=3-char terms, then the widened
+    * vocabulary re-scores through the identical BM25 CTE shapes
+    * (m2/dfq2/contrib2/sc2 mirror m/dfq/contrib/sc). */
+  private lazy val bm25PrfSql: String = bm25RunCtes("") +
+    s""", fbdoc AS (
+       |  SELECT qid, doc_id FROM rk WHERE rank <= 5
+       |), cand AS (
+       |  SELECT f.qid, p.term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM fbdoc f JOIN posting p USING (doc_id)
+       |  WHERE len(p.term) >= 3
+       |  GROUP BY 1, 2
+       |), newcand AS (
+       |  SELECT c.qid, c.term, c.cnt FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM q WHERE q.qid = c.qid AND q.term = c.term)
+       |), exp_ AS (
+       |  SELECT qid, term FROM newcand
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, term ASC) <= 3
+       |), q2 AS MATERIALIZED (
+       |  SELECT qid, term FROM q UNION ALL SELECT qid, term FROM exp_
+       |), m2 AS (
+       |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf
+       |  FROM tf JOIN (SELECT DISTINCT term FROM q2) qt USING (term)
+       |), dfq2 AS (
+       |  SELECT term, count(*) AS df FROM m2 GROUP BY term
+       |), contrib2 AS (
+       |  SELECT m2.doc_id, m2.term,
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |      ((tf * ${1.2 + 1.0}) / (tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * dl / avgdl))) AS c
+       |  FROM m2 JOIN dfq2 USING (term) CROSS JOIN consts
+       |), sc2 AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
+       |  FROM contrib2 JOIN q2 USING (term) GROUP BY 1, 2
+       |), rk2 AS (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc2
+       |)
+       |SELECT qid, rank, doc_id, round(score, 6) + 0.0 AS score_r
+       |FROM rk2 WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** q235's full entity-canonicalization derivation — shared verbatim
     * by the incremental-loop replay q252 (increment == rebuild). */
   private lazy val entityKeepersOracleSql: String =
@@ -2651,6 +2693,10 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // operator uses (Double.toString round-trips exactly), so the two
     // sides cannot drift; the contribution fold is term-sorted on both.
     "q84_bm25" -> bm25OracleSql,
+
+    // pseudo-relevance feedback: pass one's top page donates expansion
+    // terms, the widened query re-scores through identical BM25 CTEs
+    "q287_bm25_prf" -> bm25PrfSql,
 
     // persisted-index BM25 (q248) serves the SAME scores as the ad-hoc
     // search — one oracle, two engine paths (the drift-proof contract)

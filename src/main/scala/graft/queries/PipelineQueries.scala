@@ -848,6 +848,22 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy(col("doc_freq").desc, col("term").asc)
     },
 
+    "q287_bm25_prf" -> { (s, dir) =>
+      // pseudo-relevance feedback on the q84 queries: each query's top-5
+      // BM25 page donates its 3 most frequent new terms (>= 3 chars,
+      // exact integer counts, binary tie-break), and the widened query
+      // re-scores — the oracle replays both passes plus the harvest
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25SearchPrf(
+        t(s, dir, "documents"), "doc_id", "text", qs, "qid", "qtext",
+        topK = 10, fbDocs = 5, fbTerms = 3, minTermLen = 3)
+        .select(col("qid"), col("rank"), col("doc_id"), roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
+    },
+
     "q84_bm25" -> { (s, dir) =>
       // BM25 top-10 per query: postings pruned to query terms before any
       // corpus-wide agg; term-sorted contribution fold (IEEE-reproducible);

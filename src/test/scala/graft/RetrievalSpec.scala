@@ -108,6 +108,47 @@ class RetrievalSpec extends SparkSpec {
     assert(res.collect().map(_.toSeq).toSeq == res2.collect().map(_.toSeq).toSeq)
   }
 
+  test("bm25SearchPrf: expansion terms bridge vocabulary mismatch; exclusions and ceilings hold") {
+    // query says "automobile"; only doc 1 says both "automobile" and
+    // "car", the rest of the car cluster says only "car" — plain BM25
+    // finds doc 1 alone, PRF harvests "car" from it and reaches the rest
+    val docs = Seq(
+      (1L, "automobile car motor"),
+      (2L, "car engine wheels car"),
+      (3L, "car brake pads"),
+      (4L, "banana smoothie recipe")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "automobile")).toDF("qid", "qtext")
+    val plain = Retrieval.bm25Search(docs, "doc_id", "text", qs, "qid", "qtext",
+      topK = 10).select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L), s"plain bm25 should only reach doc 1: $plain")
+    val prf = Retrieval.bm25SearchPrf(docs, "doc_id", "text", qs, "qid", "qtext",
+      topK = 10, fbDocs = 2, fbTerms = 2, minTermLen = 3)
+    val reached = prf.select("doc_id").as[Long].collect().toSet
+    assert(Set(2L, 3L).subsetOf(reached),
+      s"expansion must reach the car cluster: $reached")
+    assert(!reached.contains(4L), "unrelated docs stay unreachable")
+    // the original term keeps contributing: doc 1 (automobile AND the
+    // expansion terms) outranks the expansion-only docs
+    val top = prf.orderBy("rank").select("doc_id").as[Long].head()
+    assert(top == 1L, s"the original-term doc must stay on top, got $top")
+    // expansion terms exclude the original query's own terms and respect
+    // minTermLen: with every candidate shorter than the floor, PRF
+    // degenerates to plain BM25
+    val same = Retrieval.bm25SearchPrf(docs, "doc_id", "text", qs, "qid", "qtext",
+      topK = 10, fbDocs = 2, fbTerms = 2, minTermLen = 20)
+      .select("qid", "doc_id", "score").collect().map(_.toSeq).toSet
+    val base = Retrieval.bm25Search(docs, "doc_id", "text", qs, "qid", "qtext",
+      topK = 10).select("qid", "doc_id", "score").collect().map(_.toSeq).toSet
+    assert(same == base, "no eligible candidates => pass two == plain bm25")
+    // partition invariance
+    val a = prf.collect().map(_.toSeq).toSet
+    val b = Retrieval.bm25SearchPrf(docs.repartition(7), "doc_id", "text",
+      qs.repartition(3), "qid", "qtext", topK = 10, fbDocs = 2, fbTerms = 2,
+      minTermLen = 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("bm25Search is partition-invariant") {
     val docs = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} tail")).toDF("doc_id", "text")
     val qs = Seq((1L, "w1 w2"), (2L, "w3 tail")).toDF("qid", "qtext")
