@@ -930,6 +930,60 @@ object Similarity {
         (round(coalesce(col("__h"), lit(0L)) / col("__n"), 6) + lit(0.0)).as("recall_r"))
   }
 
+  /** MATRYOSHKA / DIMENSION-BUDGET evaluation: retrieval recall when the
+    * embedding column is TRUNCATED to its first `d` dimensions, for each
+    * `d` in `dims` — the measurement behind the "can we serve at 16 of
+    * the 64 dims?" decision (Kusupati et al.'s matryoshka embeddings
+    * make prefixes meaningful; this reports what a given corpus actually
+    * loses). Ground truth is the full-dimension exact top-k (computed
+    * once, checkpointed); each budget re-ranks with cosine over the
+    * sliced vectors (norms re-derived from the slice, the correct
+    * truncation semantics) and scores [[recallAtK]] against the truth;
+    * the report macro-averages per-query recall in query order (the
+    * rankingSummary convention). A truncated zero-norm vector has no
+    * cosine and drops from that budget's ranking, exactly like the
+    * full-dim contract. Output one row per budget:
+    * `(dim, n_queries, mean_recall_r)` — `dims` containing the full
+    * width pins 1.0.
+    *
+    * Scale shape: one exact pass plus |dims| truncated passes, all
+    * through the heap-aggregated [[bruteForceTopKAgg]] (map-side k per
+    * query before the shuffle). Brute force is the ESTIMATOR here — run
+    * it on a query sample; the serving path at any chosen budget is the
+    * IVF family over sliced vectors. */
+  def truncatedRecallReport(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Seq[Int],
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "vec_id",
+      queryVec: String = "embedding"
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be positive")
+    val exact = graft.Checkpoints.localCheckpoint(
+      bruteForceTopKAgg(corpus, queries, k, corpusId, corpusVec,
+        queryId, queryVec), eager = true)
+    dims.map { d =>
+      val cT = corpus.select(col(corpusId),
+        slice(col(corpusVec), 1, d).as(corpusVec))
+      val qT = queries.select(col(queryId),
+        slice(col(queryVec), 1, d).as(queryVec))
+      val approx = bruteForceTopKAgg(cT, qT, k, corpusId, corpusVec,
+        queryId, queryVec)
+      recallAtK(approx, exact, k, "query_id", corpusId)
+        .agg(count(lit(1)).as("n_queries"),
+          (round(aggregate(
+            array_sort(collect_list(struct(col("query_id").as("q"),
+              col("recall_r").as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")) /
+            count(lit(1)).cast("double"), 6) + lit(0.0)).as("mean_recall_r"))
+        .select(lit(d).as("dim"), col("n_queries"), col("mean_recall_r"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Blocked exact nearest neighbor: per id in `blockCol` block, the top-1
     * neighbor among rows sharing the block (an IVF-style partition-local
     * search — the scalable pattern when a coarse partitioner exists).

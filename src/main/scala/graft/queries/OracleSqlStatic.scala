@@ -4745,6 +4745,50 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
     // ANN recall audit: the q45 LSH chain and the exact ranking, reduced
     // to per-query hit counts over the exact denominator
+    // matryoshka dimension-budget sweep: per budget d, cosine re-ranking
+    // over v[1:d] (norms from the slice) vs the full-width exact top-10;
+    // per-query recall rounds 6dp, then a query-ordered fold macro-avg
+    "q288_matryoshka_recall" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val perDim = dims.map { d =>
+        s"""trk_$d AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      list_dot_product(q.v[1:$d], c.v[1:$d]) / (sqrt(list_dot_product(q.v[1:$d], q.v[1:$d])) * sqrt(list_dot_product(c.v[1:$d], c.v[1:$d]))) DESC, c.vec_id) AS rnk
+           |  FROM e c JOIN e q ON c.vec_id <> q.vec_id AND q.vec_id < 20
+           |  WHERE NOT isnan(list_dot_product(q.v[1:$d], c.v[1:$d]) / (sqrt(list_dot_product(q.v[1:$d], q.v[1:$d])) * sqrt(list_dot_product(c.v[1:$d], c.v[1:$d]))))
+           |), tap_$d AS (SELECT query_id, cid FROM trk_$d WHERE rnk <= 10),
+           |hit_$d AS (
+           |  SELECT x.query_id,
+           |    CAST(count(CASE WHEN a.cid IS NOT NULL THEN 1 END) AS BIGINT) AS h,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM exact x LEFT JOIN tap_$d a
+           |    ON a.query_id = x.query_id AND a.cid = x.cid
+           |  GROUP BY x.query_id
+           |), rec_$d AS (
+           |  SELECT query_id, round(h / n, 6) + 0.0 AS recall_r FROM hit_$d
+           |), agg_$d AS (
+           |  SELECT $d AS dim, CAST(count(*) AS BIGINT) AS n_queries,
+           |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(recall_r ORDER BY query_id)), (a, b) -> a + b)
+           |      / count(*), 6) + 0.0 AS mean_recall_r
+           |  FROM rec_$d
+           |)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |erk AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rnk
+         |  FROM e c JOIN e q ON c.vec_id <> q.vec_id AND q.vec_id < 20
+         |  WHERE NOT isnan(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))))
+         |), exact AS (SELECT query_id, cid FROM erk WHERE rnk <= 10),
+         |${perDim.mkString(",\n")}
+         |${dims.map(d => s"SELECT dim, n_queries, mean_recall_r FROM agg_$d")
+           .mkString(" UNION ALL ")}
+         |ORDER BY dim""".stripMargin
+    },
+
     "q170_ann_recall" -> {
       val (sums, keys) = hyperplaneKeySql(64, 8, 4, t => 7919L * (t + 1))
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -3891,6 +3891,17 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("doc_id")
     },
 
+    "q288_matryoshka_recall" -> { (s, dir) =>
+      // dimension-budget sweep: recall@10 of cosine retrieval over the
+      // first 8/16/32/64 dims against the full-width exact ranking —
+      // the serve-at-fewer-dims decision, fully oracle-replayed (the
+      // 64 row pins 1.0 by construction)
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      Similarity.truncatedRecallReport(emb, qs, k = 10, dims = Seq(8, 16, 32, 64))
+        .orderBy("dim")
+    },
+
     "q170_ann_recall" -> { (s, dir) =>
       // recall@10 of hyperplane-LSH retrieval vs the exact ranking, per
       // query — the ANN stack's own estimator audit, fully oracle-replayed

@@ -3612,6 +3612,43 @@ class OpsSpec extends SparkSpec {
     assert(deep == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("truncatedRecallReport: prefix-heavy vectors keep recall, full width pins 1.0") {
+    import graft.ops.Similarity
+    // vectors whose FIRST two dims carry the neighborhood structure and
+    // whose tail is noise that flips the ranking when included at low d
+    // the pairs (1,2) and (3,4) are prefix-neighbors
+    def v(a: Double, b: Double, tail: Double*) = Seq(a, b) ++ tail
+    val vecs = Seq(
+      (1L, v(1.0, 0.0, 0.3, -0.2)),
+      (2L, v(0.9, 0.1, -0.4, 0.1)),
+      (3L, v(0.0, 1.0, 0.2, 0.5)),
+      (4L, v(0.1, 0.9, -0.1, -0.5))
+    ).toDF("vec_id", "embedding")
+    val rep = Similarity.truncatedRecallReport(vecs, vecs, k = 1,
+      dims = Seq(2, 4))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Double]("mean_recall_r")))).toMap
+    // full width against itself is the ground truth: recall exactly 1.0
+    assert(rep(4) == ((4L, 1.0)))
+    // at d = 2 the noise tail is gone — prefix neighbors need not agree
+    // with the full ranking, but the report shape holds and every query
+    // scores in [0, 1]
+    assert(rep(2)._1 == 4L && rep(2)._2 >= 0.0 && rep(2)._2 <= 1.0)
+    // degenerate: a vector whose PREFIX is all-zero drops from the
+    // truncated ranking (NaN cosine) without poisoning the report
+    val withZero = vecs.unionByName(
+      Seq((9L, Seq(0.0, 0.0, 1.0, 1.0))).toDF("vec_id", "embedding"))
+    val rep2 = Similarity.truncatedRecallReport(withZero, withZero, k = 1,
+      dims = Seq(2, 4)).collect()
+    assert(rep2.forall(r => !r.getAs[Double]("mean_recall_r").isNaN))
+    // partition invariance
+    val a = Similarity.truncatedRecallReport(vecs, vecs, 1, Seq(2, 4))
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.truncatedRecallReport(vecs.repartition(5),
+      vecs.repartition(3), 1, Seq(2, 4)).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("nearDupAudit: exact Jaccard rides each reported pair, bounded sliver") {
     import graft.ops.Dedup
     val base = "the quick brown fox jumps over the lazy dog and keeps running fast"
