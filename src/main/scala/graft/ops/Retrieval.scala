@@ -230,6 +230,246 @@ object Retrieval {
       queryIdCol, k1, b, topK)
   }
 
+  /** Persist a doc-grain FORWARD INDEX sidecar — the "what terms does
+    * document X contain" table the term-partitioned postings tree
+    * cannot answer without a full scan: `docterms/` holds
+    * `(__docid, term, __tf)` PARTITIONED BY
+    * `doc_bucket = pmod(xxhash64(__docid), numBuckets)`, so any
+    * doc-grain read (the [[bm25SearchPrfPreindexed]] feedback harvest,
+    * a more-like-this query) prunes to its documents' buckets; `stats/`
+    * pins one row `(num_buckets, id_col, id_type, __nrows)` (exact
+    * integer row count — appends and takedowns update it without
+    * rescans, and an EMPTY forward index short-circuits on it rather
+    * than asking parquet to infer a schema from a file-less dir).
+    * Tokenization is [[bm25Search]]'s, so per-doc term frequencies
+    * equal the ad-hoc token counts exactly. Build-once next to
+    * [[saveBm25Index]]; [[appendToBm25Forward]] /
+    * [[removeFromBm25Forward]] / [[compactBm25Forward]] are the
+    * lifecycle, all marker-fenced. */
+  def saveBm25Forward(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numBuckets: Int = 64
+  ): Unit = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val spark = docs.sparkSession
+    IndexCommit.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(IndexCommit.stagingDir(path)), true)
+    IndexCommit.clearTags(spark, path)
+    val idType = docs.select(col(idCol)).schema.head.dataType.sql
+    val tf = forwardRows(docs, idCol, textCol, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.write.mode("overwrite").partitionBy("doc_bucket").parquet(s"$path/docterms")
+    writeForwardStats(spark, s"$path/stats", numBuckets, idCol, idType,
+      tf.count())
+    tf.unpersist()
+    ()
+  }
+
+  /** The forward table's row derivation (shared by save and append):
+    * one row per (doc, term) with its exact term frequency, bucketed by
+    * the document id's hash. */
+  private def forwardRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int): DataFrame =
+    docs.select(col(idCol).as("__docid"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("__docid"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("doc_bucket", pmod(xxhash64(col("__docid")), lit(numBuckets.toLong)))
+
+  private def writeForwardStats(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      numBuckets: Int, idCol: String, idType: String, nRows: Long): Unit = {
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(numBuckets, idCol, idType, nRows)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("num_buckets",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("id_col",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("id_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__nrows",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    ()
+  }
+
+  /** O(increment) append to a standing [[saveBm25Forward]] sidecar: the
+    * new documents' rows stage bucketed and MERGE into the live bucket
+    * dirs; the stats row's exact count updates alongside. `batchTag`
+    * gives streaming callers the exactly-once fence
+    * ([[IndexCommit.stageTag]] — a retried batch no-ops). An empty
+    * increment is a no-op. One maintenance op at a time per root. */
+  def appendToBm25Forward(
+      newDocs: DataFrame,
+      textCol: String,
+      path: String,
+      batchTag: Option[Long] = None
+  ): Unit = {
+    val spark = newDocs.sparkSession
+    IndexCommit.recover(spark, path)
+    if (batchTag.exists(IndexCommit.tagCommitted(spark, path, _)))
+      return
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val nb = stats.getAs[Int]("num_buckets")
+    val idCol = stats.getAs[String]("id_col")
+    val idType = org.apache.spark.sql.types.DataType
+      .fromDDL(stats.getAs[String]("id_type"))
+    val staging = IndexCommit.stagingDir(path)
+    val inc = forwardRows(
+      newDocs.select(col(idCol).cast(idType).as(idCol), col(textCol)),
+      idCol, textCol, nb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = inc.count()
+    if (n == 0L) { inc.unpersist(); return }
+    inc.write.mode("overwrite").partitionBy("doc_bucket")
+      .parquet(s"$staging/docterms")
+    writeForwardStats(spark, s"$staging/stats", nb, idCol,
+      stats.getAs[String]("id_type"), stats.getAs[Long]("__nrows") + n)
+    inc.unpersist()
+    val actions = Seq("merge" -> "docterms", "swap" -> "stats") ++
+      batchTag.map(IndexCommit.stageTag(spark, path, _))
+    IndexCommit.commit(IndexCommit.fsFor(spark, path),
+      new org.apache.hadoop.fs.Path(path), actions)
+  }
+
+  /** TAKEDOWN for the forward sidecar: remove documents by id,
+    * rewriting ONLY the bucket directories the ids hash to (the
+    * [[graft.io.Layout.removeFromShardExport]] pattern — the bucket is
+    * pure arithmetic, the scan partition-prunes, untouched buckets keep
+    * their files); the affected buckets also compact as a side effect.
+    * Ids never ingested are ignored; marker-fenced. */
+  def removeFromBm25Forward(ids: DataFrame, path: String): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame of document ids, got ${ids.columns.toSeq}")
+    val spark = ids.sparkSession
+    IndexCommit.recover(spark, path)
+    val stats = spark.read.parquet(s"$path/stats").head()
+    if (stats.getAs[Long]("__nrows") == 0L) return
+    val nb = stats.getAs[Int]("num_buckets")
+    val idType = org.apache.spark.sql.types.DataType
+      .fromDDL(stats.getAs[String]("id_type"))
+    val rmIds = broadcast(ids.select(col(ids.columns.head)
+      .cast(idType).as("__docid")).na.drop().distinct())
+    val affected = rmIds
+      .select(pmod(xxhash64(col("__docid")), lit(nb.toLong)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (affected.isEmpty) return
+    val pruned = spark.read.parquet(s"$path/docterms")
+      .filter(col("doc_bucket").isin(affected: _*))
+    val removed = pruned.join(rmIds, Seq("__docid"), "left_semi").count()
+    if (removed == 0L) return // nothing of these ids was ever ingested
+    val staging = IndexCommit.stagingDir(path)
+    val fs = IndexCommit.fsFor(spark, path)
+    pruned.join(rmIds, Seq("__docid"), "left_anti")
+      .write.mode("overwrite").partitionBy("doc_bucket")
+      .parquet(s"$staging/docterms")
+    // a bucket whose every row was removed writes no staged files — its
+    // swap still needs a source dir or the live rows would survive
+    affected.foreach { b =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/docterms/doc_bucket=$b")); ()
+    }
+    writeForwardStats(spark, s"$staging/stats", nb,
+      stats.getAs[String]("id_col"), stats.getAs[String]("id_type"),
+      stats.getAs[Long]("__nrows") - removed)
+    val actions = affected.map(b => "swap" -> s"docterms/doc_bucket=$b") :+
+      ("swap" -> "stats")
+    IndexCommit.commit(fs, new org.apache.hadoop.fs.Path(path), actions)
+  }
+
+  /** OFFLINE maintenance: fold the forward sidecar's per-append small
+    * files back to ~one per bucket, plus the tag-table rider — the
+    * [[compactBm25Index]] discipline. */
+  def compactBm25Forward(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    IndexCommit.recover(spark, path)
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val staging = IndexCommit.stagingDir(path)
+    var actions = Seq.empty[(String, String)]
+    if (stats.getAs[Long]("__nrows") > 0L) {
+      spark.read.parquet(s"$path/docterms")
+        .repartition(col("doc_bucket"))
+        .write.mode("overwrite").partitionBy("doc_bucket")
+        .parquet(s"$staging/docterms")
+      actions :+= (("swap", "docterms"))
+    }
+    actions ++= IndexCommit.stageTagCompaction(spark, path)
+    if (actions.nonEmpty)
+      IndexCommit.commit(IndexCommit.fsFor(spark, path),
+        new org.apache.hadoop.fs.Path(path), actions)
+  }
+
+  /** [[bm25SearchPrf]] SERVED OFF THE PERSISTED ARTIFACTS — no corpus
+    * scan anywhere: pass one is [[bm25SearchPreindexed]], the feedback
+    * harvest reads the forward sidecar pruned to the feedback ids'
+    * buckets (per-doc term frequencies equal the ad-hoc token counts by
+    * construction, so the expansion picks are identical), and pass two
+    * scores the widened vocabulary through the same pruned-postings
+    * body — results are bit-identical to the ad-hoc
+    * [[bm25SearchPrf]] over the indexed corpus (oracle-pinned, the
+    * q248 serving-parity discipline). An EMPTY forward sidecar (seeded
+    * before data) degrades to plain preindexed BM25. */
+  def bm25SearchPrfPreindexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      forwardPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10,
+      fbDocs: Int = 5,
+      fbTerms: Int = 3,
+      minTermLen: Int = 3
+  ): DataFrame = {
+    require(fbDocs > 0, "fbDocs must be positive")
+    require(fbTerms > 0, "fbTerms must be positive (use bm25SearchPreindexed for none)")
+    val qTerms = queries.select(
+      col(queryIdCol),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
+    val fwdStats = spark.read.parquet(s"$forwardPath/stats").head()
+    if (fwdStats.getAs[Long]("__nrows") == 0L)
+      return searchPreindexedWithTerms(spark, indexPath, qTerms,
+        queryIdCol, k1, b, topK)
+    val idCol = spark.read.parquet(s"$indexPath/stats").head()
+      .getAs[String]("id_col")
+    val first = bm25SearchPreindexed(spark, indexPath, queries,
+      queryIdCol, queryTextCol, k1, b, fbDocs)
+    val nb = fwdStats.getAs[Int]("num_buckets")
+    val idType = org.apache.spark.sql.types.DataType
+      .fromDDL(fwdStats.getAs[String]("id_type"))
+    val fbIds = graft.Checkpoints.trackCache(
+      first.select(col(queryIdCol), col(idCol).cast(idType).as("__docid"))
+        .persist())
+    // |queries|·fbDocs ids → their buckets: the forward read prunes to
+    // exactly these directories
+    val buckets = fbIds
+      .select(pmod(xxhash64(col("__docid")), lit(nb.toLong)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val expanded =
+      if (buckets.isEmpty) qTerms // pass one found nothing to feed back
+      else {
+        val fwd = spark.read.parquet(s"$forwardPath/docterms")
+          .filter(col("doc_bucket").isin(buckets: _*))
+          .join(broadcast(fbIds.select("__docid").distinct()), Seq("__docid"))
+        val cand = fbIds.join(fwd, Seq("__docid"))
+          .filter(length(col("term")) >= minTermLen)
+          .groupBy(col(queryIdCol), col("term"))
+          .agg(sum(col("__tf")).as("__cnt"))
+          .join(qTerms, Seq(queryIdCol, "term"), "left_anti")
+        qTerms.unionByName(GroupTopK.topKPerGroupString(
+            cand, Seq(queryIdCol), "term", "__cnt", fbTerms)
+          .select(col(queryIdCol), col("term")))
+      }
+    searchPreindexedWithTerms(spark, indexPath, expanded, queryIdCol, k1, b, topK)
+  }
+
   /** Persist a BM25 SERVING INDEX — the lexical analogue of
     * [[graft.ops.Similarity.saveIvfIndex]]'s build-once/query-forever
     * treatment, for the corpus a query loop would otherwise re-tokenize
@@ -593,6 +833,24 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75,
       topK: Int = 10
+  ): DataFrame =
+    searchPreindexedWithTerms(spark, indexPath,
+      queries.select(
+        col(queryIdCol),
+        explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term")),
+      queryIdCol, k1, b, topK)
+
+  /** [[bm25SearchPreindexed]]'s body over an already-derived
+    * `(queryIdCol, term)` frame — shared by the text front-end and the
+    * expanded second pass of [[bm25SearchPrfPreindexed]]. */
+  private def searchPreindexedWithTerms(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      qTermsIn: DataFrame,
+      queryIdCol: String,
+      k1: Double,
+      b: Double,
+      topK: Int
   ): DataFrame = {
     require(topK > 0, "topK must be positive")
     val stats = spark.read.parquet(s"$indexPath/stats").head()
@@ -625,10 +883,7 @@ object Retrieval {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("__avgdl",
           org.apache.spark.sql.types.DoubleType, nullable = true))))
-    val qTerms = graft.Checkpoints.trackCache(queries.select(
-        col(queryIdCol),
-        explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
-      .persist())
+    val qTerms = graft.Checkpoints.trackCache(qTermsIn.persist())
     // the bucket sliver: <= numBuckets longs on the driver, the partition
     // prune for both index reads. An index over a TOKEN-LESS corpus has
     // no postings files at all (partitionBy writes none) — short-circuit

@@ -2698,6 +2698,10 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // terms, the widened query re-scores through identical BM25 CTEs
     "q287_bm25_prf" -> bm25PrfSql,
 
+    // the persisted-artifact serving replay shares q287's oracle
+    // verbatim (the q248/q274 serving-parity discipline)
+    "q289_bm25_prf_served" -> bm25PrfSql,
+
     // persisted-index BM25 (q248) serves the SAME scores as the ad-hoc
     // search — one oracle, two engine paths (the drift-proof contract)
     "q248_bm25_preindexed" -> bm25OracleSql,

@@ -100,6 +100,23 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Doc-grain FORWARD sidecar next to [[Bm25ServeState]]'s index (q289):
+    * built once per sf dir, read bucket-pruned by the PRF harvest. */
+  private[queries] object Bm25ForwardState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(docs: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-bm25-fwd").toString
+            graft.ops.Retrieval.saveBm25Forward(docs, "doc_id", "text", p, numBuckets = 32)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Persisted CHUNK-GRAIN BM25 index keyed by sf dir (q274): the q269
     * chunk frame (q86 chunker + surrogate `cid` carrying integer
     * provenance back to (doc_id, chunk_idx)) saved once with
@@ -846,6 +863,26 @@ object PipelineQueries extends OracleSqlStatic {
       // TakeOrderedAndProject, never a full sort
       graft.ops.Retrieval.vocabulary(t(s, dir, "documents"), "doc_id", "text", topK = 50)
         .orderBy(col("doc_freq").desc, col("term").asc)
+    },
+
+    "q289_bm25_prf_served" -> { (s, dir) =>
+      // q287's pseudo-relevance feedback SERVED off the persisted
+      // artifacts — pass one from the postings index, the harvest from
+      // the doc-grain forward sidecar (bucket-pruned), pass two through
+      // the same pruned scoring body; no corpus scan anywhere, same
+      // oracle as q287 verbatim (serving ≡ ad-hoc by construction)
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val d = t(s, dir, "documents")
+      val idx = Bm25ServeState.forDir(d, dir)
+      val fwd = Bm25ForwardState.forDir(d, dir)
+      graft.ops.Retrieval.bm25SearchPrfPreindexed(
+        s, idx, fwd, qs, "qid", "qtext",
+        topK = 10, fbDocs = 5, fbTerms = 3, minTermLen = 3)
+        .select(col("qid"), col("rank"), col("doc_id"), roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
     },
 
     "q287_bm25_prf" -> { (s, dir) =>

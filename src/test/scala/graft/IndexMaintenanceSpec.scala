@@ -462,4 +462,67 @@ class IndexMaintenanceSpec extends SparkSpec {
     // recovery is idempotent: nothing pending afterwards
     assert(!graft.streaming.StreamingEval.recoverIngestIndex(spark, dir))
   }
+
+  test("forward sidecar: append ≡ rebuild, bucket-pruned takedown, compaction folds, tags fence") {
+    import graft.ops.Retrieval
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    def doc(i: Int) = (0 until 6).map(j => s"w$i$j tok$i").mkString(" ")
+    val d1 = (1L to 20L).map(i => (i, doc(i.toInt)))
+    val d2 = (21L to 30L).map(i => (i, doc(i.toInt)))
+    val p = java.nio.file.Files.createTempDirectory("graft-fwd").toString
+    Retrieval.saveBm25Forward(d1.toDF("doc_id", "text"), "doc_id", "text", p,
+      numBuckets = 4)
+    def rows(path: String) = spark.read.parquet(s"$path/docterms")
+      .select("__docid", "term", "__tf").collect().map(_.toSeq).toSet
+    def nrows(path: String) = spark.read.parquet(s"$path/stats")
+      .head().getAs[Long]("__nrows")
+    // tagged append lands once; a retried tag no-ops
+    Retrieval.appendToBm25Forward(d2.toDF("doc_id", "text"), "text", p,
+      batchTag = Some(1L))
+    val want = java.nio.file.Files.createTempDirectory("graft-fwd-ref").toString
+    Retrieval.saveBm25Forward((d1 ++ d2).toDF("doc_id", "text"), "doc_id", "text",
+      want, numBuckets = 4)
+    assert(rows(p) == rows(want), "append must equal the rebuild")
+    assert(nrows(p) == nrows(want))
+    Retrieval.appendToBm25Forward(d2.toDF("doc_id", "text"), "text", p,
+      batchTag = Some(1L))
+    assert(rows(p) == rows(want), "a replayed tag must no-op")
+    // takedown: only the removed ids' buckets rewrite; rows == rebuild
+    def files(b: Long) = fs.listStatus(new Path(s"$p/docterms/doc_bucket=$b"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toSet
+    val rmId = 7L
+    val rmBucket = spark.range(1).select(
+      pmod(xxhash64(lit(rmId)), lit(4L))).head().getLong(0)
+    val before = (0L to 3L).filter(_ != rmBucket).map(b => b -> files(b)).toMap
+    Retrieval.removeFromBm25Forward(Seq(rmId).toDF("doc_id"), p)
+    val want2 = java.nio.file.Files.createTempDirectory("graft-fwd-ref2").toString
+    Retrieval.saveBm25Forward(
+      (d1 ++ d2).filter(_._1 != rmId).toDF("doc_id", "text"), "doc_id", "text",
+      want2, numBuckets = 4)
+    assert(rows(p) == rows(want2), "takedown must equal the rebuild")
+    assert(nrows(p) == nrows(want2))
+    assert((0L to 3L).filter(_ != rmBucket).forall(b => files(b) == before(b)),
+      "untouched buckets must keep their files")
+    // unknown ids are a no-op
+    Retrieval.removeFromBm25Forward(Seq(99999L).toDF("doc_id"), p)
+    assert(rows(p) == rows(want2))
+    // compaction folds per-append files, rows identical, tags keep fencing
+    val filesBefore = (0L to 3L).map(b => fs.listStatus(
+      new Path(s"$p/docterms/doc_bucket=$b"))
+      .count(s => s.getPath.getName.endsWith(".parquet"))).sum
+    Retrieval.compactBm25Forward(spark, p)
+    val filesAfter = (0L to 3L).map(b => fs.listStatus(
+      new Path(s"$p/docterms/doc_bucket=$b"))
+      .count(s => s.getPath.getName.endsWith(".parquet"))).sum
+    assert(filesAfter < filesBefore, s"compaction must fold: $filesBefore -> $filesAfter")
+    assert(rows(p) == rows(want2))
+    Retrieval.appendToBm25Forward(d2.toDF("doc_id", "text"), "text", p,
+      batchTag = Some(1L))
+    assert(rows(p) == rows(want2), "tags must fence across compaction")
+    // wiping everything leaves a short-circuiting (not crashing) sidecar
+    Retrieval.removeFromBm25Forward((d1 ++ d2).map(_._1).toDF("doc_id"), p)
+    assert(nrows(p) == 0L)
+  }
 }

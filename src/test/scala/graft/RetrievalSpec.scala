@@ -149,6 +149,37 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bm25SearchPrfPreindexed: bit-identical to ad-hoc PRF; empty forward degrades to plain") {
+    val docs = Seq(
+      (1L, "automobile car motor"),
+      (2L, "car engine wheels car"),
+      (3L, "car brake pads"),
+      (4L, "banana smoothie recipe")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "automobile"), (2L, "banana recipe")).toDF("qid", "qtext")
+    val idx = java.nio.file.Files.createTempDirectory("graft-prf-idx").toString
+    val fwd = java.nio.file.Files.createTempDirectory("graft-prf-fwd").toString
+    Retrieval.saveBm25Index(docs, "doc_id", "text", idx, numBuckets = 8)
+    Retrieval.saveBm25Forward(docs, "doc_id", "text", fwd, numBuckets = 4)
+    val adhoc = Retrieval.bm25SearchPrf(docs, "doc_id", "text", qs, "qid", "qtext",
+      topK = 10, fbDocs = 2, fbTerms = 2, minTermLen = 3)
+      .collect().map(_.toSeq).toSet
+    val served = Retrieval.bm25SearchPrfPreindexed(spark, idx, fwd, qs,
+      "qid", "qtext", topK = 10, fbDocs = 2, fbTerms = 2, minTermLen = 3)
+      .collect().map(_.toSeq).toSet
+    assert(served == adhoc, s"served PRF must equal ad-hoc PRF:\n$served\n$adhoc")
+    // a forward sidecar seeded EMPTY (before data) degrades to plain
+    // preindexed BM25 instead of failing
+    val fwd0 = java.nio.file.Files.createTempDirectory("graft-prf-fwd0").toString
+    Retrieval.saveBm25Forward(docs.limit(0), "doc_id", "text", fwd0, numBuckets = 4)
+    val degraded = Retrieval.bm25SearchPrfPreindexed(spark, idx, fwd0, qs,
+      "qid", "qtext", topK = 10, fbDocs = 2, fbTerms = 2)
+      .collect().map(_.toSeq).toSet
+    val plain = Retrieval.bm25SearchPreindexed(spark, idx, qs, "qid", "qtext",
+      topK = 10).collect().map(_.toSeq).toSet
+    assert(degraded == plain)
+  }
+
   test("bm25Search is partition-invariant") {
     val docs = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} tail")).toDF("doc_id", "text")
     val qs = Seq((1L, "w1 w2"), (2L, "w3 tail")).toDF("qid", "qtext")
