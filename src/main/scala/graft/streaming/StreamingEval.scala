@@ -1243,9 +1243,63 @@ object StreamingEval {
     * cost contract). */
   private[graft] def ingestTagCommitted(
       fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
-      batchId: Long): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(
-      s"$indexPath/$IngestTagDirName/b$batchId"))
+      batchId: Long): Boolean = {
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexPath/$IngestTagDirName/b$batchId"))) return true
+    // folded history: a range summary left by [[compactIngestTags]]
+    // covers its whole contiguous id span. The listing is bounded by
+    // the compaction cadence (one range file + fences since the fold).
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$IngestTagDirName")
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("range_") && {
+        val p = n.split("_")
+        p.length == 3 && p(1).toLong <= batchId && batchId <= p(2).toLong
+      }
+    }
+  }
+
+  /** OFFLINE maintenance for a long-lived ingest stream's fences: fold
+    * the per-batch zero-byte tag files into ONE `range_<lo>_<hi>`
+    * summary. Safe ONLY for a contiguous committed-id history (the
+    * foreachBatch norm — batch ids are sequential per checkpoint
+    * lineage): a GAP means some id in the span never committed, and a
+    * summary would wrongly fence it as done (its retry would no-op and
+    * LOSE the batch) — so a gap refuses loudly and the fences stay
+    * files. Crash-safe by ordering: the covering summary publishes
+    * first, then the redundant fences delete — a crash in between
+    * leaves extra (harmless) fences. Run with the stream stopped, like
+    * every maintenance op. */
+  def compactIngestTags(spark: SparkSession, indexPath: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$IngestTagDirName")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return
+    val entries = fs.listStatus(dir).map(_.getPath.getName)
+    val ids = entries.filter(n => n.startsWith("b") && !n.startsWith("range_"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+    val ranges = entries.filter(_.startsWith("range_")).flatMap { n =>
+      val p = n.split("_")
+      if (p.length == 3) Some((p(1).toLong, p(2).toLong)) else None
+    }
+    if (ids.isEmpty && ranges.length <= 1) return // already folded
+    val intervals = (ids.map(i => (i, i)) ++ ranges).sortBy(_._1)
+    intervals.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) if lo2 > hi1 + 1 =>
+        throw new IllegalStateException(
+          s"compactIngestTags: committed batch ids jump from $hi1 to $lo2 — " +
+            "a range summary would fence the missing ids as committed and a " +
+            "retry of one would silently lose its batch; leave the fences " +
+            "as files (or investigate the gap)")
+      case _ => ()
+    }
+    val lo = intervals.head._1
+    val hi = intervals.map(_._2).max
+    val summary = s"range_${lo}_$hi"
+    fs.create(new org.apache.hadoop.fs.Path(dir, summary), true).close()
+    entries.filter(_ != summary).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)
+    }
+  }
 
   /** Replay a marked exactly-once ingest append left by a crash, or
     * discard an unmarked (incomplete) stage. Returns true iff a pending

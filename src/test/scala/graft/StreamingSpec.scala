@@ -751,6 +751,31 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$idx/_ing_staging/data")
     assert(!StreamingEval.recoverIngestAppend(spark, idx))
     assert(!fs.exists(new Path(s"$idx/_ing_staging")) && ids() == Set(1L, 2L, 4L, 6L))
+    // fence compaction: batches 0..3 fold to ONE range summary; old and
+    // new tags keep fencing; a fresh batch commits and a re-fold merges
+    // the summary with the new fences
+    assert(fs.listStatus(new Path(s"$idx/_batches")).length == 4)
+    StreamingEval.compactIngestTags(spark, idx)
+    assert(fs.listStatus(new Path(s"$idx/_batches")).length == 1, "fences must fold")
+    StreamingEval.ingestBatch(
+      Seq((8L, doc(2))).toDF("doc_id", "text"), 2L, idx, hashFn, dedupFn)
+    assert(ids() == Set(1L, 2L, 4L, 6L), "a folded tag must keep fencing")
+    StreamingEval.ingestBatch(
+      Seq((8L, doc(8))).toDF("doc_id", "text"), 4L, idx, hashFn, dedupFn)
+    assert(ids() == Set(1L, 2L, 4L, 6L, 8L))
+    StreamingEval.compactIngestTags(spark, idx)
+    assert(fs.listStatus(new Path(s"$idx/_batches")).length == 1)
+    assert(fs.exists(new Path(s"$idx/_batches/range_0_4")))
+    // a GAP in the committed ids refuses loudly: folding would claim the
+    // missing batch committed and its retry would silently lose data
+    val gappy = s"$dir/gaptags"
+    fs.mkdirs(new Path(s"$gappy/_batches"))
+    Seq(0L, 1L, 3L).foreach(i =>
+      fs.create(new Path(s"$gappy/_batches/b$i"), true).close())
+    val eGap = intercept[IllegalStateException] {
+      StreamingEval.compactIngestTags(spark, gappy)
+    }
+    assert(eGap.getMessage.contains("jump"), eGap.getMessage)
 
     // --- image / audio / video: the shared fence through each modality's
     // hash + vet functions (one batch, then its retry)
