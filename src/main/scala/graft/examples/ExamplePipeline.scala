@@ -544,13 +544,27 @@ object ExamplePipeline {
     println(s"fluency gate: ${fluency.filter(col("avg_lnp_r") < -8.0).count()} " +
       "docs below -8 avg ln-prob")
 
-    // 33. lexical serving artifact: build the BM25 postings index ONCE
-    //     (term-bucket partitioned), answer queries from it forever
+    // 33. lexical serving artifacts: build the BM25 postings index AND
+    //     its doc-grain forward sidecar as ONE fused family (every later
+    //     mutation rides one marker — served PRF can never read the
+    //     pair out of step), plus a chunk-grain RAG index with the
+    //     cid = doc_id·1000 + chunk_idx provenance
     val bm25Dir = java.nio.file.Files.createTempDirectory("graft-ex-bm25").toString
-    graft.ops.Retrieval.saveBm25Index(prepared.df, "doc_id", "text", bm25Dir)
+    graft.ops.Retrieval.saveBm25WithForward(prepared.df, "doc_id", "text", bm25Dir)
     graft.ops.Retrieval.bm25SearchPreindexed(
         spark, bm25Dir, queries, "qid", "qtext", topK = 3)
       .orderBy("qid", "rank").show()
+    graft.ops.Retrieval.bm25SearchPrfPreindexed(
+        spark, bm25Dir, graft.ops.Retrieval.bm25ForwardPathFor(bm25Dir),
+        queries, "qid", "qtext", topK = 3, fbDocs = 3, fbTerms = 2)
+      .orderBy("qid", "rank").show()
+    val chunkDir = java.nio.file.Files.createTempDirectory("graft-ex-chunk").toString
+    def cidsOf(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Retrieval.chunkText(d, "doc_id", "text", 200, 50)
+        .select((col("doc_id") * lit(1000L) + col("chunk_idx")).as("cid"),
+          col("chunk"))
+    graft.ops.Retrieval.saveBm25Index(cidsOf(prepared.df), "cid", "chunk",
+      chunkDir)
 
     // 34. tokenizer serving artifact: freeze step 32's vocabulary to
     //     disk, encode through the frozen artifact (what every later
@@ -622,29 +636,41 @@ object ExamplePipeline {
     val shardsOk = graft.io.Layout.verifyShards(spark, exportDir)
       .filter(!col("ok")).count() == 0
     println(s"incremental export: append committed, verifyShards clean=$shardsOk")
-    graft.ops.Retrieval.removeFromBm25Index(
-      d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id"), bm25Dir)
+    // the fused takedown scrubs index AND sidecar under one marker; the
+    // chunk index forgets the docs' cid spans (re-derived
+    // arithmetically from the removed docs, never read from the index)
+    val rmDocs = d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id")
+    graft.ops.Retrieval.removeFromBm25WithForward(rmDocs, bm25Dir)
+    val rmCids = cidsOf(prepared.df.join(rmDocs, Seq("doc_id"), "left_semi"))
+      .select("cid")
+    graft.ops.Retrieval.removeFromBm25Index(rmCids, chunkDir)
+    val docArtifacts = Seq(
+      ("bm25_doclens", s"$bm25Dir/doclens", "__docid"),
+      ("bm25_forward",
+        s"${graft.ops.Retrieval.bm25ForwardPathFor(bm25Dir)}/docterms", "__docid"),
+      ("shard_export", s"$exportDir/data", "doc_id"))
     val rtbfAudit = graft.ops.Reports.takedownAudit(spark,
-      d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id"), "doc_id",
-      Seq(("bm25_doclens", s"$bm25Dir/doclens", "__docid"),
-        ("shard_export", s"$exportDir/data", "doc_id")))
+      rmDocs, "doc_id", docArtifacts)
     println("takedown audit: " + rtbfAudit.collect()
       .map(r => s"${r.getString(0)}=${r.getAs[Long]("n_matches")}").mkString(", ") +
       " (the audit NAMES the dirty artifact; now honor the request)")
     // ... and ACT on it: removeFromShardExport rewrites only the
     // affected shard dirs (recipe-located), updates the manifest
-    // exactly, and the re-audit reads clean across every artifact
-    graft.io.Layout.removeFromShardExport(
-      d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id"), exportDir)
+    // exactly, and the re-audit reads clean across EVERY standing
+    // artifact — index, forward sidecar, chunk index (its own cid id
+    // space), and the export
+    graft.io.Layout.removeFromShardExport(rmDocs, exportDir)
     val cleanAfter = graft.ops.Reports.takedownAudit(spark,
-      d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id"), "doc_id",
-      Seq(("bm25_doclens", s"$bm25Dir/doclens", "__docid"),
-        ("shard_export", s"$exportDir/data", "doc_id")))
+        rmDocs, "doc_id", docArtifacts)
+      .filter(!col("clean")).count() == 0
+    val chunkClean = graft.ops.Reports.takedownAudit(spark, rmCids, "cid",
+        Seq(("bm25_chunks", s"$chunkDir/doclens", "__docid")))
       .filter(!col("clean")).count() == 0
     val exportStillOk = graft.io.Layout.verifyShards(spark, exportDir)
       .filter(!col("ok")).count() == 0
-    println(s"export takedown: audit clean=$cleanAfter, " +
-      s"verifyShards clean=$exportStillOk — full right-to-be-forgotten loop")
+    println(s"export takedown: audit clean=$cleanAfter, chunk-grain " +
+      s"clean=$chunkClean, verifyShards clean=$exportStillOk — full " +
+      "right-to-be-forgotten loop")
 
     // 39. retrieval eval: score the step-33 lexical serving against
     //     derived qrels — the offline gate a retrieval change ships with

@@ -252,59 +252,119 @@ object Judges {
                 .cast("double"), 6) + lit(0.0)).as("kappa_r"))
   }
 
-  /** Krippendorff's alpha (nominal data) over the whole vote frame —
-    * the one-number agreement summary that handles MISSING votes
-    * (judges need not co-judge everything, unlike [[pairwiseKappa]]'s
-    * pair grain): 1 − observed/expected disagreement over every unit
-    * with ≥ 2 ratings (Krippendorff 2004's coincidence formulation).
+  /** Krippendorff's alpha over the whole vote frame — the one-number
+    * agreement summary that handles MISSING votes (judges need not
+    * co-judge everything, unlike [[pairwiseKappa]]'s pair grain):
+    * 1 − observed/expected disagreement over every unit with ≥ 2
+    * ratings (Krippendorff 2004's coincidence formulation).
     *
-    * Exact and engine-portable: with n_u ratings of a unit and n_uc of
-    * its ratings on label c, the observed-disagreement mass groups by
-    * PANEL SIZE m — units sharing m share the 1/(m−1) denominator, so
-    * `Do_sum = Σ_m (Σ_{units of size m} Σ_c n_uc(m − n_uc)) / (m − 1)`
-    * is a fold over at most max-panel-size terms (each an exact
-    * integer over an exact integer), ordered by m; the expected side is
-    * pure integers (`D = n² − Σ_c n_c²`). `alpha_r = 1 − Do_sum·(n−1)/D`;
-    * all-ratings-one-label (D = 0) reports null. Output one row:
+    * `metric = "nominal"` (default) uses δ(a,b) = 1{a≠b};
+    * `metric = "interval"` uses δ(a,b) = (a−b)² for NUMERIC graded
+    * labels (1–5 quality panels — this family's actual payload), so a
+    * near-miss panel (4 vs 5) disagrees less than a full-split one
+    * (1 vs 5). Interval labels must be integral and numeric-castable —
+    * a UUID-ish or fractional label refuses loudly (the
+    * [[graft.ops.Ids.withSurrogateId]] convention); magnitudes up to
+    * ~10³ with up to ~10⁹ ratings keep every product exactly inside a
+    * long.
+    *
+    * Exact and engine-portable: with n_u ratings of a unit, the
+    * observed-disagreement mass groups by PANEL SIZE m — units sharing
+    * m share the 1/(m−1) denominator, so `Do_sum = Σ_m (Σ_{units of
+    * size m} S_u) / (m − 1)` is a fold over at most max-panel-size
+    * terms, ordered by m, where the per-unit ordered-pair sum S_u is
+    * exact integers either way: nominal `Σ_c n_uc(m − n_uc)`, interval
+    * `2(m·Σv² − (Σv)²)`. The expected side is pure integers too:
+    * nominal `D = n² − Σ_c n_c²`, interval `D = 2(n·Σv² − (Σv)²)` over
+    * all ratings. `alpha_r = 1 − Do_sum·(n−1)/D`; all-ratings-one-label
+    * (D = 0) reports null. Output one row:
     * `(n_units, n_ratings, n_labels, do_r, de_r, alpha_r)`.
     *
-    * Scale shape: two hash aggregations at (unit, label) and label
+    * Scale shape: two hash aggregations at (unit[, label]) and label
     * grain; the only collected buffer holds ≤ max-panel-size entries. */
   def krippendorffAlpha(
       df: DataFrame,
       itemCol: String,
       judgeCol: String,
-      labelCol: String
+      labelCol: String,
+      metric: String = "nominal"
   ): DataFrame = {
+    require(metric == "nominal" || metric == "interval",
+      s"metric must be 'nominal' or 'interval', got '$metric'")
     val v = cleanVotes(df, itemCol, judgeCol, labelCol, "krippendorffAlpha")
     val nu = v.groupBy("__i").agg(count(lit(1)).as("__nu"))
     val vu = v.join(nu.filter(col("__nu") >= 2), Seq("__i"))
-    val nuc = vu.groupBy(col("__i"), col("__nu"), col("__l"))
-      .agg(count(lit(1)).as("__nuc"))
-    val doSum = nuc.groupBy(col("__nu").as("__m"))
-      .agg(sum(col("__nuc") * (col("__nu") - col("__nuc"))).as("__sm"))
+    // per-panel-size observed-disagreement numerators Σ_{units of size
+    // m} S_u (exact integers), then ONE ordered fold over ≤
+    // max-panel-size terms
+    val byM =
+      if (metric == "nominal")
+        vu.groupBy(col("__i"), col("__nu"), col("__l"))
+          .agg(count(lit(1)).as("__nuc"))
+          .groupBy(col("__nu").as("__m"))
+          .agg(sum(col("__nuc") * (col("__nu") - col("__nuc"))).as("__sm"))
+      else {
+        val lv = intervalLabel("krippendorffAlpha")
+        vu.groupBy(col("__i"), col("__nu"))
+          .agg(sum(lv).as("__s"), sum(lv * lv).as("__q"))
+          .groupBy(col("__nu").as("__m"))
+          .agg(sum(lit(2L) * (col("__nu") * col("__q") - col("__s") * col("__s")))
+            .as("__sm"))
+      }
+    val doSum = byM
       .agg(aggregate(
         array_sort(collect_list(struct(col("__m").as("m"),
           (col("__sm").cast("double") / (col("__m") - 1L).cast("double")).as("t")))),
         lit(0.0), (acc, x) => acc + x.getField("t")).as("__dosum"))
     val tot = vu.agg(count(lit(1)).as("n_ratings"),
       countDistinct(col("__i")).as("n_units"))
-    val lab = vu.groupBy("__l").agg(count(lit(1)).as("__nc"))
-      .agg(count(lit(1)).as("n_labels"), sum(col("__nc") * col("__nc")).as("__sumc2"))
-    val d = col("n_ratings") * col("n_ratings") - col("__sumc2")
-    tot.crossJoin(lab).crossJoin(doSum)
+    // expected-disagreement mass D over ALL ratings — exact integers
+    val joined =
+      if (metric == "nominal") {
+        val lab = vu.groupBy("__l").agg(count(lit(1)).as("__nc"))
+          .agg(count(lit(1)).as("n_labels"),
+            sum(col("__nc") * col("__nc")).as("__sumc2"))
+        tot.crossJoin(lab).crossJoin(doSum)
+          .withColumn("__d",
+            col("n_ratings") * col("n_ratings") - col("__sumc2"))
+      } else {
+        val lv = intervalLabel("krippendorffAlpha")
+        val lab = vu.agg(countDistinct(col("__l")).as("n_labels"),
+            count(lit(1)).as("__n"), sum(lv).as("__gs"), sum(lv * lv).as("__gq"))
+          .select(col("n_labels"),
+            (lit(2L) * (col("__n") * col("__gq") - col("__gs") * col("__gs")))
+              .as("__d"))
+        tot.crossJoin(lab).crossJoin(doSum)
+      }
+    joined
       .select(col("n_units"), col("n_ratings"), col("n_labels"),
         when(col("n_ratings") === 0L, lit(null).cast("double"))
           .otherwise(round(col("__dosum") / col("n_ratings").cast("double"), 6)
             + lit(0.0)).as("do_r"),
         when(col("n_ratings") < 2L, lit(null).cast("double"))
-          .otherwise(round(d.cast("double") /
+          .otherwise(round(col("__d").cast("double") /
             (col("n_ratings") * (col("n_ratings") - 1L)).cast("double"), 6)
             + lit(0.0)).as("de_r"),
-        when(col("n_ratings") < 2L || d === 0L, lit(null).cast("double"))
+        when(col("n_ratings") < 2L || col("__d") === 0L, lit(null).cast("double"))
           .otherwise(round(lit(1.0) - col("__dosum") *
-            (col("n_ratings") - 1L).cast("double") / d.cast("double"), 6)
+            (col("n_ratings") - 1L).cast("double") / col("__d").cast("double"), 6)
             + lit(0.0)).as("alpha_r"))
+  }
+
+  /** The interval metric's checked numeric label (riding the consumed
+    * column so Catalyst cannot prune the refusal): non-castable or
+    * fractional labels raise with the surrogate-id pointer. */
+  private def intervalLabel(opName: String): org.apache.spark.sql.Column = {
+    val ln = col("__l").cast("long")
+    when(col("__l").isNotNull && ln.isNull, raise_error(concat(
+        lit(s"$opName(interval): label must be numeric-castable "),
+        lit("(route categorical labels through the nominal metric, or "),
+        lit("map grades via Ids.withSurrogateId); got: "),
+        col("__l").cast("string"))))
+      .when(col("__l").cast("double") =!= ln.cast("double"), raise_error(concat(
+        lit(s"$opName(interval): label must be integral (a graded "),
+        lit("scale); got: "), col("__l").cast("string"))))
+      .otherwise(ln)
   }
 
   /** One hard Dawid–Skene scoring pass: posterior per (item, candidate

@@ -217,7 +217,13 @@ object RankEval {
     * passes, one |queries|-grain join, then a replicas-way explode into
     * one metric-grain aggregation — the collect buffers hold |judged
     * queries| entries, the evaluation grain (thousands), never corpus
-    * rows. */
+    * rows.
+    *
+    * Qrels that judge NO queries still emit one row per metric with
+    * `n_queries = 0`, `replicas = 0`, and null means/deltas/CI (the
+    * [[rankingSummary]] zero-count convention) — callers gating on the
+    * CI row see an explicit zero-count signal, never a silently empty
+    * frame. */
   def compareRuns(
       runA: DataFrame,
       runB: DataFrame,
@@ -280,9 +286,25 @@ object RankEval {
         (round(col("__ci").getItem(0), 6) + lit(0.0)).as("ci_low_r"),
         (round(col("__ci").getItem(1), 6) + lit(0.0)).as("ci_high_r"),
         col("replicas"))
-    base.join(ci, Seq("metric"))
+    val computed = base.join(ci, Seq("metric"))
       .select(col("metric"), col("n_queries"), col("mean_a_r"),
         col("mean_b_r"), col("delta_r"), col("ci_low_r"), col("ci_high_r"),
         col("replicas"))
+    // no-judged-queries contract: emit an explicit n_queries = 0 row
+    // per metric (nulls for means/CI) instead of an empty frame — the
+    // skeleton anti-joins against the computed rows, so any judged
+    // query at all leaves the output byte-identical to `computed`
+    // (every judged query scores all five metrics)
+    import runA.sparkSession.implicits._
+    val skeleton = ms.toDF("metric").select(
+      col("metric"), lit(0L).as("n_queries"),
+      lit(null).cast("double").as("mean_a_r"),
+      lit(null).cast("double").as("mean_b_r"),
+      lit(null).cast("double").as("delta_r"),
+      lit(null).cast("double").as("ci_low_r"),
+      lit(null).cast("double").as("ci_high_r"),
+      lit(0L).as("replicas"))
+    computed.unionByName(
+      skeleton.join(computed.select("metric"), Seq("metric"), "left_anti"))
   }
 }

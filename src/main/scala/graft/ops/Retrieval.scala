@@ -315,27 +315,45 @@ object Retrieval {
     IndexCommit.recover(spark, path)
     if (batchTag.exists(IndexCommit.tagCommitted(spark, path, _)))
       return
-    val stats = spark.read.parquet(s"$path/stats").head()
+    val staged = stageForwardAppend(newDocs, textCol, path, path, "")
+    if (staged.isEmpty) return
+    val actions = staged ++ batchTag.map(IndexCommit.stageTag(spark, path, _))
+    IndexCommit.commit(IndexCommit.fsFor(spark, path),
+      new org.apache.hadoop.fs.Path(path), actions)
+  }
+
+  /** [[appendToBm25Forward]]'s staging half: write the increment's
+    * bucketed rows + rolled stats under `commitRoot`'s staging dir at
+    * relative prefix `rel` ("" for a standalone sidecar commit,
+    * "forward/" when riding the index root's fused marker) WITHOUT
+    * publishing. Returns the commit actions, empty for an empty
+    * increment. */
+  private[graft] def stageForwardAppend(
+      newDocs: DataFrame,
+      textCol: String,
+      fwdLive: String,
+      commitRoot: String,
+      rel: String
+  ): Seq[(String, String)] = {
+    val spark = newDocs.sparkSession
+    val stats = spark.read.parquet(s"$fwdLive/stats").head()
     val nb = stats.getAs[Int]("num_buckets")
     val idCol = stats.getAs[String]("id_col")
     val idType = org.apache.spark.sql.types.DataType
       .fromDDL(stats.getAs[String]("id_type"))
-    val staging = IndexCommit.stagingDir(path)
+    val staging = IndexCommit.stagingDir(commitRoot)
     val inc = forwardRows(
       newDocs.select(col(idCol).cast(idType).as(idCol), col(textCol)),
       idCol, textCol, nb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = inc.count()
-    if (n == 0L) { inc.unpersist(); return }
+    if (n == 0L) { inc.unpersist(); return Seq.empty }
     inc.write.mode("overwrite").partitionBy("doc_bucket")
-      .parquet(s"$staging/docterms")
-    writeForwardStats(spark, s"$staging/stats", nb, idCol,
+      .parquet(s"$staging/${rel}docterms")
+    writeForwardStats(spark, s"$staging/${rel}stats", nb, idCol,
       stats.getAs[String]("id_type"), stats.getAs[Long]("__nrows") + n)
     inc.unpersist()
-    val actions = Seq("merge" -> "docterms", "swap" -> "stats") ++
-      batchTag.map(IndexCommit.stageTag(spark, path, _))
-    IndexCommit.commit(IndexCommit.fsFor(spark, path),
-      new org.apache.hadoop.fs.Path(path), actions)
+    Seq("merge" -> s"${rel}docterms", "swap" -> s"${rel}stats")
   }
 
   /** TAKEDOWN for the forward sidecar: remove documents by id,
@@ -349,8 +367,25 @@ object Retrieval {
       s"ids must be a one-column frame of document ids, got ${ids.columns.toSeq}")
     val spark = ids.sparkSession
     IndexCommit.recover(spark, path)
-    val stats = spark.read.parquet(s"$path/stats").head()
-    if (stats.getAs[Long]("__nrows") == 0L) return
+    val actions = stageForwardRemove(ids, path, path, "")
+    if (actions.isEmpty) return
+    IndexCommit.commit(IndexCommit.fsFor(spark, path),
+      new org.apache.hadoop.fs.Path(path), actions)
+  }
+
+  /** [[removeFromBm25Forward]]'s staging half (the
+    * [[stageForwardAppend]] convention: `rel`-prefixed paths under
+    * `commitRoot`'s staging). Returns the commit actions, empty when
+    * none of the ids was ever ingested. */
+  private[graft] def stageForwardRemove(
+      ids: DataFrame,
+      fwdLive: String,
+      commitRoot: String,
+      rel: String
+  ): Seq[(String, String)] = {
+    val spark = ids.sparkSession
+    val stats = spark.read.parquet(s"$fwdLive/stats").head()
+    if (stats.getAs[Long]("__nrows") == 0L) return Seq.empty
     val nb = stats.getAs[Int]("num_buckets")
     val idType = org.apache.spark.sql.types.DataType
       .fromDDL(stats.getAs[String]("id_type"))
@@ -359,27 +394,27 @@ object Retrieval {
     val affected = rmIds
       .select(pmod(xxhash64(col("__docid")), lit(nb.toLong)).as("__b"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    if (affected.isEmpty) return
-    val pruned = spark.read.parquet(s"$path/docterms")
+    if (affected.isEmpty) return Seq.empty
+    val pruned = spark.read.parquet(s"$fwdLive/docterms")
       .filter(col("doc_bucket").isin(affected: _*))
     val removed = pruned.join(rmIds, Seq("__docid"), "left_semi").count()
-    if (removed == 0L) return // nothing of these ids was ever ingested
-    val staging = IndexCommit.stagingDir(path)
-    val fs = IndexCommit.fsFor(spark, path)
+    if (removed == 0L) return Seq.empty // nothing of these ids ingested
+    val staging = IndexCommit.stagingDir(commitRoot)
+    val fs = IndexCommit.fsFor(spark, commitRoot)
     pruned.join(rmIds, Seq("__docid"), "left_anti")
       .write.mode("overwrite").partitionBy("doc_bucket")
-      .parquet(s"$staging/docterms")
+      .parquet(s"$staging/${rel}docterms")
     // a bucket whose every row was removed writes no staged files — its
     // swap still needs a source dir or the live rows would survive
     affected.foreach { b =>
-      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/docterms/doc_bucket=$b")); ()
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$staging/${rel}docterms/doc_bucket=$b")); ()
     }
-    writeForwardStats(spark, s"$staging/stats", nb,
+    writeForwardStats(spark, s"$staging/${rel}stats", nb,
       stats.getAs[String]("id_col"), stats.getAs[String]("id_type"),
       stats.getAs[Long]("__nrows") - removed)
-    val actions = affected.map(b => "swap" -> s"docterms/doc_bucket=$b") :+
-      ("swap" -> "stats")
-    IndexCommit.commit(fs, new org.apache.hadoop.fs.Path(path), actions)
+    affected.map(b => "swap" -> s"${rel}docterms/doc_bucket=$b") :+
+      (("swap", s"${rel}stats"))
   }
 
   /** OFFLINE maintenance: fold the forward sidecar's per-append small
@@ -402,6 +437,101 @@ object Retrieval {
     if (actions.nonEmpty)
       IndexCommit.commit(IndexCommit.fsFor(spark, path),
         new org.apache.hadoop.fs.Path(path), actions)
+  }
+
+  /** The FUSED-lifecycle sidecar location: the forward index lives
+    * INSIDE the index root (`<indexPath>/forward`), so both artifacts'
+    * mutations can ride ONE [[IndexCommit]] marker at the index root —
+    * the whole point of the fused wrappers below. The nested root is
+    * invisible to the index's own readers (they read the named
+    * `postings`/`terms`/`doclens`/`stats` subdirs only) and is a fully
+    * valid standalone sidecar path for [[bm25SearchPrfPreindexed]]. */
+  def bm25ForwardPathFor(indexPath: String): String = s"$indexPath/forward"
+
+  /** Build the BM25 index AND its forward sidecar as ONE artifact
+    * family under `indexPath` (sidecar at [[bm25ForwardPathFor]]) — the
+    * fused lifecycle that keeps served pseudo-relevance feedback
+    * ([[bm25SearchPrfPreindexed]]) exact without the caller issuing
+    * every mutation twice: [[appendToBm25WithForward]] /
+    * [[removeFromBm25WithForward]] stage BOTH artifacts and publish
+    * under ONE marker, so no crash or forgotten second call can leave
+    * the pair out of step (a missed sidecar takedown would silently
+    * keep serving feedback terms from a forgotten document — a
+    * right-to-be-forgotten leak). The corpus pins (persist) before the
+    * two builds so both tokenize the SAME rows even for
+    * non-deterministic inputs. */
+  def saveBm25WithForward(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      numBuckets: Int = 64
+  ): Unit = {
+    val pinned = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      saveBm25Index(pinned, idCol, textCol, indexPath, numBuckets)
+      saveBm25Forward(pinned, idCol, textCol, bm25ForwardPathFor(indexPath),
+        numBuckets)
+    } finally { pinned.unpersist(); () }
+  }
+
+  /** Fused APPEND: stage the postings-tree increment AND the forward
+    * sidecar's increment, publish both under ONE marker at the index
+    * root — a crash replays both or neither, and `batchTag`'s
+    * exactly-once fence (at the index root) covers the pair. The
+    * increment pins before staging so both halves index the same rows.
+    * Same caller contract as [[appendToBm25Index]]: a document id
+    * appends at most once. */
+  def appendToBm25WithForward(
+      newDocs: DataFrame,
+      textCol: String,
+      indexPath: String,
+      batchTag: Option[Long] = None
+  ): Unit = {
+    val spark = newDocs.sparkSession
+    val fwd = bm25ForwardPathFor(indexPath)
+    IndexCommit.recover(spark, indexPath)
+    IndexCommit.recover(spark, fwd) // a crashed STANDALONE sidecar op
+    if (batchTag.exists(IndexCommit.tagCommitted(spark, indexPath, _))) return
+    val pinned = newDocs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val actions = stageBm25Append(pinned, textCol, indexPath) ++
+        stageForwardAppend(pinned, textCol, fwd, indexPath, "forward/") ++
+        batchTag.map(IndexCommit.stageTag(spark, indexPath, _))
+      IndexCommit.commit(IndexCommit.fsFor(spark, indexPath),
+        new org.apache.hadoop.fs.Path(indexPath), actions)
+    } finally { pinned.unpersist(); () }
+  }
+
+  /** Fused TAKEDOWN (right-to-be-forgotten): remove the documents from
+    * the postings tree AND the forward sidecar under ONE marker — the
+    * mutation where an out-of-step pair is not just inexact but a
+    * compliance leak. Post-commit, searches AND served feedback are
+    * bit-identical to a pair rebuilt without the documents. */
+  def removeFromBm25WithForward(ids: DataFrame, indexPath: String): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame of document ids, got ${ids.columns.toSeq}")
+    val spark = ids.sparkSession
+    val fwd = bm25ForwardPathFor(indexPath)
+    IndexCommit.recover(spark, indexPath)
+    IndexCommit.recover(spark, fwd)
+    val actions = stageBm25Remove(ids, indexPath) ++
+      stageForwardRemove(ids, fwd, indexPath, "forward/")
+    if (actions.isEmpty) return
+    IndexCommit.commit(IndexCommit.fsFor(spark, indexPath),
+      new org.apache.hadoop.fs.Path(indexPath), actions)
+  }
+
+  /** Fused OFFLINE maintenance: compact both artifacts. Sequential
+    * commits are safe HERE (unlike append/remove): compaction rewrites
+    * identical content, so a crash between the two cannot put the
+    * pair's CONTENT out of step — each root's own marker keeps each
+    * rewrite crash-safe. */
+  def compactBm25WithForward(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    compactBm25Index(spark, indexPath)
+    compactBm25Forward(spark, bm25ForwardPathFor(indexPath))
   }
 
   /** [[bm25SearchPrf]] SERVED OFF THE PERSISTED ARTIFACTS — no corpus
@@ -439,6 +569,16 @@ object Retrieval {
         queryIdCol, k1, b, topK)
     val idCol = spark.read.parquet(s"$indexPath/stats").head()
       .getAs[String]("id_col")
+    // the two artifacts must have been built on the same id column —
+    // a mismatched pair would make the feedback join silently match
+    // nothing (degrading to plain BM25 with no signal); refuse loudly
+    // instead, the codebase convention
+    val fwdIdCol = fwdStats.getAs[String]("id_col")
+    require(fwdIdCol == idCol,
+      s"bm25SearchPrfPreindexed: index at '$indexPath' was built on id " +
+        s"column '$idCol' but forward sidecar at '$forwardPath' on " +
+        s"'$fwdIdCol' — the artifacts are out of step (rebuild the " +
+        "sidecar from the same corpus/id, or use saveBm25WithForward)")
     val first = bm25SearchPreindexed(spark, indexPath, queries,
       queryIdCol, queryTextCol, k1, b, fbDocs)
     val nb = fwdStats.getAs[Int]("num_buckets")
@@ -506,11 +646,15 @@ object Retrieval {
     val spark = docs.sparkSession
     // a fresh save OWNS the root: a stale maintenance stage from a
     // previous index at the same path must not replay into this one,
-    // and an old incarnation's batch-tag history must not make a
-    // restarted stream skip batches
+    // an old incarnation's batch-tag history must not make a restarted
+    // stream skip batches, and a previous FUSED family's nested forward
+    // sidecar must not survive the rebuild out of step (rebuild it too,
+    // or use saveBm25WithForward)
     IndexCommit.fsFor(spark, path)
       .delete(new org.apache.hadoop.fs.Path(IndexCommit.stagingDir(path)), true)
     IndexCommit.clearTags(spark, path)
+    IndexCommit.fsFor(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(bm25ForwardPathFor(path)), true)
     val idType = docs.select(col(idCol)).schema.head.dataType.sql
     val withLen = docs.select(
       col(idCol).as("__docid"),
@@ -773,6 +917,21 @@ object Retrieval {
       s"ids must be a one-column frame of document ids, got ${ids.columns.toSeq}")
     val spark = ids.sparkSession
     IndexCommit.recover(spark, indexPath)
+    val actions = stageBm25Remove(ids, indexPath)
+    if (actions.isEmpty) return
+    IndexCommit.commit(IndexCommit.fsFor(spark, indexPath),
+      new org.apache.hadoop.fs.Path(indexPath), actions)
+  }
+
+  /** [[removeFromBm25Index]]'s staging half: stage the kept-rows
+    * rewrite + df-corrected terms + rolled stats under the index root's
+    * staging WITHOUT publishing. Returns the commit actions, empty when
+    * none of the ids was ever ingested. */
+  private[graft] def stageBm25Remove(
+      ids: DataFrame,
+      indexPath: String
+  ): Seq[(String, String)] = {
+    val spark = ids.sparkSession
     val stats = spark.read.parquet(s"$indexPath/stats").head()
     val lens = spark.read.parquet(s"$indexPath/doclens")
     val rmIds = broadcast(
@@ -781,7 +940,7 @@ object Retrieval {
     val rm = lens.join(rmIds, Seq("__docid"), "left_semi")
       .agg(count(lit(1)).as("rn"), count(col("__dl")).as("rndl"),
         coalesce(sum(col("__dl").cast("long")), lit(0L)).as("rsumdl")).head()
-    if (rm.getAs[Long]("rn") == 0L) return // nothing of these ids ingested
+    if (rm.getAs[Long]("rn") == 0L) return Seq.empty // ids never ingested
     val staging = IndexCommit.stagingDir(indexPath)
     lens.join(rmIds, Seq("__docid"), "left_anti")
       .write.mode("overwrite").parquet(s"$staging/doclens")
@@ -810,9 +969,7 @@ object Retrieval {
       stats.getAs[Long]("__sumdl") - rm.getAs[Long]("rsumdl"),
       stats.getAs[Int]("num_buckets"), stats.getAs[String]("id_col"),
       stats.getAs[String]("id_type"))
-    actions :+= (("swap", "stats"))
-    IndexCommit.commit(IndexCommit.fsFor(spark, indexPath),
-      new org.apache.hadoop.fs.Path(indexPath), actions)
+    actions :+ (("swap", "stats"))
   }
 
   /** BM25 top-k against a PERSISTED [[saveBm25Index]] — scores are
@@ -1099,5 +1256,65 @@ object Retrieval {
         rankCol = "fused_rank")
       .select(col(queryCol), col(docCol),
         (round(col("__rrf"), 6) + lit(0.0)).as("rrf_score_r"), col("fused_rank"))
+  }
+
+  /** SERVED HYBRID RETRIEVAL — the query shape a RAG stack actually
+    * runs, as ONE operator: keyword candidates from the persisted BM25
+    * postings tree ([[bm25SearchPreindexed]], reads pruned to the query
+    * terms' buckets) and vector candidates from the persisted IVF index
+    * ([[graft.ops.Similarity.ivfTopKPreassigned]], reads pruned to the
+    * probed cells' partitions), each to depth `candK`, fused by
+    * reciprocal rank ([[rrfFuse]], systems "bm25" < "ivf" in the
+    * fold's tie order). No corpus scan anywhere; the fusion input is
+    * |queries| · 2 · candK rows — evaluation grain.
+    *
+    * The two indexes must cover the SAME id space (the same documents
+    * indexed lexically and by embedding); the IVF side's ids cast to
+    * the BM25 index's id type for the union. Note the IVF side keeps
+    * its self-match exclusion (a query vector never retrieves its own
+    * corpus row) while BM25 has no such notion — the composition
+    * inherits both systems' published semantics unchanged.
+    *
+    * Deterministic end to end: both candidate chains are the
+    * oracle-pinned q248/q191 serving paths and the fusion is
+    * [[rrfFuse]]'s ordered fold — the whole operator replays in the
+    * oracle engine by composing their SQL. Served ≡ ad-hoc fusion is
+    * spec-pinned. */
+  def hybridSearchPreindexed(
+      spark: org.apache.spark.sql.SparkSession,
+      bm25IndexPath: String,
+      ivfIndexPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      candK: Int = 20,
+      rrfK: Int = 60,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      nProbe: Int = 8,
+      ivfIdCol: String = "vec_id",
+      ivfVecCol: String = "embedding"
+  ): DataFrame = {
+    val stats = spark.read.parquet(s"$bm25IndexPath/stats").head()
+    val docIdCol = stats.getAs[String]("id_col")
+    val idType = org.apache.spark.sql.types.DataType
+      .fromDDL(stats.getAs[String]("id_type"))
+    val lex = bm25SearchPreindexed(spark, bm25IndexPath, queries,
+        queryIdCol, queryTextCol, k1, b, candK)
+      .select(col(queryIdCol).as("__q"), col(docIdCol).as("__doc"),
+        lit("bm25").as("__sys"), col("rank").as("__rank"))
+    val vec = Similarity.ivfTopKPreassigned(
+        spark.read.parquet(s"$ivfIndexPath/corpus"), queries, candK,
+        Similarity.loadIvfCentroids(spark, ivfIndexPath), nProbe,
+        corpusId = ivfIdCol, corpusVec = ivfVecCol,
+        queryId = queryIdCol, queryVec = queryVecCol)
+      .select(col("query_id").as("__q"), col(ivfIdCol).cast(idType).as("__doc"),
+        lit("ivf").as("__sys"), col("nn_rank").as("__rank"))
+    rrfFuse(lex.unionByName(vec), "__q", "__doc", "__sys", "__rank",
+        k = rrfK, topK = topK)
+      .select(col("__q").as(queryIdCol), col("__doc").as(docIdCol),
+        col("rrf_score_r"), col("fused_rank"))
   }
 }

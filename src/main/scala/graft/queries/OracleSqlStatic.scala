@@ -712,7 +712,7 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
   /** The q84 CTE chain alone (`WITH toks ... rk`) — reused by the
     * ranking-evaluation oracle (q278), which appends its own qrels and
     * metric CTEs over the `rk` run. */
-  private def bm25RunCtes(corpusWhere: String): String =
+  private[queries] def bm25RunCtes(corpusWhere: String): String =
     s"""WITH toks AS (
          |  SELECT doc_id,
          |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
@@ -2868,6 +2868,65 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |         / CAST(n * n - sumc2 AS DOUBLE), 6) + 0.0
          |  END AS alpha_r
          |FROM dos, tot, l2""".stripMargin),
+
+    // interval-metric alpha over the graded 0–3 twin of the q285 panel:
+    // per-unit ordered-pair squared-difference sums 2(m·Σv² − (Σv)²)
+    // folded by panel size; expected side 2(n·Σv² − (Σv)²) over all
+    // ratings — exact integers on both sides
+    "q291_krippendorff_interval" ->
+      ("""WITH d AS (
+         |  SELECT doc_id, n_chars, lang,
+         |    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS ts
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |), v AS MATERIALIZED (
+         |  SELECT doc_id, 'len' AS judge,
+         |    least(CAST(floor(n_chars / 200) AS BIGINT), 3) AS label
+         |  FROM d WHERE doc_id % 7 <> 0
+         |  UNION ALL SELECT doc_id, 'tok',
+         |    least(CAST(floor(len(ts) / 30) AS BIGINT), 3)
+         |  FROM d WHERE doc_id % 7 <> 1
+         |  UNION ALL SELECT doc_id, 'lang',
+         |    CASE WHEN lang = 'en' THEN 3 ELSE 1 END
+         |  FROM d WHERE doc_id % 7 <> 2
+         |  UNION ALL SELECT doc_id, 'fuzz',
+         |    CAST(floor(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-judge'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 * 4.0) AS BIGINT)
+         |  FROM d WHERE doc_id % 7 <> 3
+         |), nu AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nu FROM v GROUP BY doc_id
+         |), vu AS MATERIALIZED (
+         |  SELECT v.doc_id, v.label, nu.nu FROM v JOIN nu USING (doc_id)
+         |  WHERE nu.nu >= 2
+         |), su AS (
+         |  SELECT doc_id, nu, CAST(sum(label) AS BIGINT) AS s,
+         |    CAST(sum(label * label) AS BIGINT) AS q
+         |  FROM vu GROUP BY 1, 2
+         |), bym AS (
+         |  SELECT nu AS m, CAST(sum(2 * (nu * q - s * s)) AS BIGINT) AS sm
+         |  FROM su GROUP BY nu
+         |), dos AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(CAST(sm AS DOUBLE) / CAST(m - 1 AS DOUBLE) ORDER BY m)),
+         |    (a, b) -> a + b) AS dosum FROM bym
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_units,
+         |    CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+         |    CAST(sum(label) AS BIGINT) AS gs,
+         |    CAST(sum(label * label) AS BIGINT) AS gq
+         |  FROM vu
+         |), dd AS (
+         |  SELECT CAST(2 * (n * gq - gs * gs) AS BIGINT) AS d2 FROM tot
+         |)
+         |SELECT n_units, n AS n_ratings, n_labels,
+         |  round(dosum / n, 6) + 0.0 AS do_r,
+         |  round(CAST(d2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6)
+         |    + 0.0 AS de_r,
+         |  CASE WHEN d2 = 0 THEN NULL
+         |       ELSE round(1.0 - dosum * CAST(n - 1 AS DOUBLE)
+         |         / CAST(d2 AS DOUBLE), 6) + 0.0
+         |  END AS alpha_r
+         |FROM dos, tot, dd""".stripMargin),
 
     // l-diversity verdict: distinct sensitive balance bands per
     // (nation, segment) class — exact distinct counts, one division

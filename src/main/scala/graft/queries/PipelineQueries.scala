@@ -885,6 +885,29 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("qid", "rank")
     },
 
+    "q290_hybrid_served" -> { (s, dir) =>
+      // served HYBRID retrieval (the RAG production query shape): the
+      // q84 text queries carry their doc's embedding; keyword
+      // candidates from the persisted postings tree (q248 chain) and
+      // vector candidates from the persisted IVF index (q191 chain,
+      // same trained quantizer) fuse by reciprocal rank (q218
+      // arithmetic) — the oracle composes the three chains
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      val ivfPath = ServeState.forDir(emb, cents, dir)
+      val bm25Path = Bm25ServeState.forDir(docs, dir)
+      val qs = s.createDataFrame(Seq(
+          (1L, "query hash join"),
+          (2L, "window agg fast"),
+          (3L, "customer order value part"))).toDF("qid", "qtext")
+        .join(emb.select(col("vec_id").as("qid"), col("embedding")), Seq("qid"))
+      graft.ops.Retrieval.hybridSearchPreindexed(
+          s, bm25Path, ivfPath, qs, "qid", "qtext", "embedding",
+          topK = 10, candK = 10, rrfK = 60, nProbe = 4)
+        .orderBy("qid", "fused_rank")
+    },
+
     "q287_bm25_prf" -> { (s, dir) =>
       // pseudo-relevance feedback on the q84 queries: each query's top-5
       // BM25 page donates its 3 most frequent new terms (>= 3 chars,
@@ -2950,6 +2973,31 @@ object PipelineQueries extends OracleSqlStatic {
       graft.ops.Judges.krippendorffAlpha(votes, "doc_id", "judge", "label")
     },
 
+    "q291_krippendorff_interval" -> { (s, dir) =>
+      // the same abstention-riddled panel with GRADED 0–3 labels
+      // (quality scores — the family's actual payload): interval-metric
+      // alpha weights a near-miss (2 vs 3) under a full split (0 vs 3)
+      // via δ = (a−b)² — exact integer squared-difference sums on both
+      // disagreement sides, observed side folded by panel size
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      def judge(name: String, m: Int, label: Column) =
+        d.filter(pmod(col("doc_id"), lit(7)) =!= m)
+          .select(col("doc_id"), lit(name).as("judge"), label.as("label"))
+      val nTok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val uh = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("graft-judge"))), 1, 8), 16, 10).cast("long").cast("double") /
+        lit(4294967296.0)
+      val votes = judge("len", 0,
+          least(floor(col("n_chars") / lit(200)).cast("long"), lit(3L)))
+        .unionByName(judge("tok", 1, least(floor(nTok / lit(30)).cast("long"), lit(3L))))
+        .unionByName(judge("lang", 2,
+          when(col("lang") === "en", 3L).otherwise(1L)))
+        .unionByName(judge("fuzz", 3, floor(uh * lit(4.0)).cast("long")))
+      graft.ops.Judges.krippendorffAlpha(votes, "doc_id", "judge", "label",
+        metric = "interval")
+    },
+
     "q286_l_diversity" -> { (s, dir) =>
       // attribute-disclosure audit on top of q212's k-anonymity: the
       // (nation, segment) classes may each hold many customers, but if
@@ -4369,6 +4417,9 @@ object PipelineQueries extends OracleSqlStatic {
       // rebuild over the SURVIVOR corpus serves (cell assignment is
       // per-vector) — the oracle filters the corpus, same quantizer
       "q257_ivf_takedown" -> q54IvfSql(rows, " WHERE e.vec_id % 5 <> 2"),
+      // served hybrid: the q84 lexical run + the q54 vector chain
+      // (same quantizer, queries 1–3) fused by the q218 RRF fold
+      "q290_hybrid_served" -> q290HybridSql(rows),
       // embedding-space outliers: same literal-centroid cells, dist² in
       // integer micro-units, exact-moment z per cell (the q85 contract)
       "q194_embedding_outliers" ->
@@ -4446,6 +4497,66 @@ object PipelineQueries extends OracleSqlStatic {
        |SELECT query_id, vec_id, round(cosine, 6) + 0.0 AS cosine_r, nn_rank
        |FROM rk WHERE nn_rank <= 10
        |ORDER BY query_id, nn_rank""".stripMargin
+
+  /** q290: served hybrid retrieval — the q84 BM25 run (`rk`, qids 1–3)
+    * and the q54 IVF chain (same trained quantizer, query vectors 1–3,
+    * 4 probes, self-excluded, NaN-dropped) each to depth 10, fused by
+    * the q218 reciprocal-rank fold (k = 60, terms in system-name
+    * order, fused ties toward the smaller doc id). */
+  private[queries] def q290HybridSql(rows: String): String =
+    bm25RunCtes("") +
+    s""", e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (
+       |  SELECT * FROM (VALUES
+       |$rows
+       |  ) t(list_id, c, c2)
+       |), cells AS (
+       |  SELECT e.vec_id, cent.list_id,
+       |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
+       |  FROM e, cent
+       |), vassigned AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
+       |    FROM cells) WHERE rn = 1
+       |), vq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+       |vprobes AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT vq.query_id, cent.list_id,
+       |      row_number() OVER (PARTITION BY vq.query_id
+       |        ORDER BY 2.0 * list_dot_product(vq.qv, cent.c) - cent.c2 DESC, cent.list_id) AS rn
+       |    FROM vq, cent) WHERE rn <= 4
+       |), vscored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    list_dot_product(vq.qv, e.v)
+       |      / (sqrt(list_dot_product(vq.qv, vq.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+       |  FROM vprobes p
+       |  JOIN vassigned a USING (list_id)
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN vq ON vq.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id
+       |), vrk AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
+       |  FROM vscored WHERE NOT isnan(cosine)
+       |), cand AS (
+       |  SELECT qid, doc_id, 'bm25' AS sys, rank FROM rk WHERE rank <= 10
+       |  UNION ALL
+       |  SELECT query_id AS qid, vec_id AS doc_id, 'ivf' AS sys, nn_rank AS rank
+       |  FROM vrk WHERE nn_rank <= 10
+       |), fused AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list(1.0 / (60.0 + CAST(rank AS DOUBLE)) ORDER BY sys)),
+       |      (a, b) -> a + b) AS rrf
+       |  FROM cand GROUP BY 1, 2
+       |), frk AS (
+       |  SELECT qid, doc_id, rrf,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS fused_rank
+       |  FROM fused
+       |)
+       |SELECT qid, doc_id, round(rrf, 6) + 0.0 AS rrf_score_r, fused_rank
+       |FROM frk WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
 
   /** Static oracles plus the trained-quantizer q54/q111 oracles and the
     * trained-PQ q149/q150 oracles (present once the corresponding query

@@ -1173,8 +1173,13 @@ object StreamingEval {
     * corpus; serve with `bm25SearchPreindexed`; one writer per index
     * root. A document longer than `maxChunksPerDoc` windows refuses
     * loudly — a silent wrap would alias another document's cid space.
-    * `idCol` must be an integral id (the cid arithmetic is exact long
-    * multiplication). */
+    * `idCol` must be an integral id in `[0, (Long.MaxValue −
+    * (maxChunksPerDoc − 1)) / maxChunksPerDoc]` (every chunk's cid is
+    * exact long arithmetic): a NON-castable id (a UUID/URL key) refuses
+    * loudly with the [[graft.ops.Ids.withSurrogateId]] pointer — the
+    * [[graft.ops.GroupTopK]] convention — rather than casting to null
+    * and corrupting the chunk index, and an id outside the bound
+    * refuses rather than overflowing/aliasing another doc's cid span. */
   def chunkStream(
       docs: DataFrame,
       textCol: String,
@@ -1186,6 +1191,25 @@ object StreamingEval {
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(maxChunksPerDoc >= 1, "maxChunksPerDoc must be >= 1")
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // loud id discipline (the GroupTopK checkedId pattern): a
+      // non-castable id would null every cid silently; an id past
+      // Long.MaxValue / maxChunksPerDoc would overflow into another
+      // document's cid span. The guard rides the consumed column so
+      // Catalyst cannot prune it away.
+      val idLong = col(idCol).cast("long")
+      // the LAST chunk's cid (id·max + max−1) must also fit in a long
+      val maxId = (Long.MaxValue - (maxChunksPerDoc - 1)) / maxChunksPerDoc
+      val checkedId =
+        when(col(idCol).isNotNull && idLong.isNull, raise_error(concat(
+          lit(s"chunkStream: id column '$idCol' must be numeric-castable " +
+            "(route string keys through Ids.withSurrogateId first); got: "),
+          col(idCol).cast("string"))))
+        .when(idLong < 0 || idLong > maxId, raise_error(concat(
+          lit(s"chunkStream: id column '$idCol' must be in [0, $maxId] " +
+            s"(cid = id * $maxChunksPerDoc + chunk_idx is exact long " +
+            "arithmetic); got: "),
+          col(idCol).cast("string"))))
+        .otherwise(idLong)
       val chunks = graft.ops.Retrieval
         .chunkText(batch, idCol, textCol, chunkSize, overlap)
         .select(
@@ -1193,8 +1217,8 @@ object StreamingEval {
             lit(s"chunkStream: document '"), col(idCol).cast("string"),
             lit(s"' exceeds maxChunksPerDoc = $maxChunksPerDoc windows — "),
             lit("raise the ceiling or split upstream"))))
-            .otherwise(col(idCol).cast("long") * maxChunksPerDoc +
-              col("chunk_idx")).as("cid"),
+            .otherwise(checkedId * maxChunksPerDoc + col("chunk_idx"))
+            .as("cid"),
           col("chunk"))
       graft.ops.Retrieval.appendToBm25Index(
         chunks, "chunk", indexPath, batchTag = Some(batchId))
@@ -1251,52 +1275,73 @@ object StreamingEval {
     // the compaction cadence (one range file + fences since the fold).
     val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$IngestTagDirName")
     fs.exists(dir) && fs.listStatus(dir).exists { st =>
-      val n = st.getPath.getName
-      n.startsWith("range_") && {
-        val p = n.split("_")
-        p.length == 3 && p(1).toLong <= batchId && batchId <= p(2).toLong
-      }
+      // Try-guarded parse: a stray `range_*` entry (editor backup,
+      // interrupted tooling) must not brick every subsequent
+      // micro-batch's fence probe — unparseable names are ignored,
+      // matching compactIngestTags' own b<id> parse.
+      parseRangeName(st.getPath.getName)
+        .exists { case (lo, hi) => lo <= batchId && batchId <= hi }
     }
   }
 
+  /** `range_<lo>_<hi>` → Some((lo, hi)); anything else (including a
+    * stray or corrupt `range_*`-prefixed entry) → None. */
+  private def parseRangeName(n: String): Option[(Long, Long)] =
+    if (!n.startsWith("range_")) None
+    else {
+      val p = n.split("_")
+      if (p.length != 3) None
+      else scala.util.Try((p(1).toLong, p(2).toLong)).toOption
+    }
+
   /** OFFLINE maintenance for a long-lived ingest stream's fences: fold
-    * the per-batch zero-byte tag files into ONE `range_<lo>_<hi>`
-    * summary. Safe ONLY for a contiguous committed-id history (the
-    * foreachBatch norm — batch ids are sequential per checkpoint
-    * lineage): a GAP means some id in the span never committed, and a
-    * summary would wrongly fence it as done (its retry would no-op and
-    * LOSE the batch) — so a gap refuses loudly and the fences stay
-    * files. Crash-safe by ordering: the covering summary publishes
-    * first, then the redundant fences delete — a crash in between
-    * leaves extra (harmless) fences. Run with the stream stopped, like
-    * every maintenance op. */
-  def compactIngestTags(spark: SparkSession, indexPath: String): Unit = {
+    * the per-batch zero-byte tag files into `range_<lo>_<hi>`
+    * summaries — one per CONTIGUOUS committed-id run, so even a gappy
+    * history (a checkpoint restored across a skipped batch id) folds
+    * to a bounded list of ranges. A summary NEVER spans a gap: the
+    * missing id in the span never committed, and fencing it as done
+    * would make its retry no-op and silently LOSE the batch — each
+    * gap simply starts a new range. `singleRange = true` requests the
+    * strict one-summary fold and refuses loudly on any gap (the
+    * foreachBatch norm is sequential ids, so a gap under strict mode
+    * is a real anomaly worth investigating). Crash-safe by ordering:
+    * the covering summaries publish first, then the redundant entries
+    * delete — a crash in between leaves extra (harmless) fences. Run
+    * with the stream stopped, like every maintenance op. */
+  def compactIngestTags(
+      spark: SparkSession, indexPath: String,
+      singleRange: Boolean = false): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$IngestTagDirName")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return
     val entries = fs.listStatus(dir).map(_.getPath.getName)
     val ids = entries.filter(n => n.startsWith("b") && !n.startsWith("range_"))
       .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
-    val ranges = entries.filter(_.startsWith("range_")).flatMap { n =>
-      val p = n.split("_")
-      if (p.length == 3) Some((p(1).toLong, p(2).toLong)) else None
-    }
-    if (ids.isEmpty && ranges.length <= 1) return // already folded
+    val ranges = entries.flatMap(parseRangeName)
+    if (ids.isEmpty && ranges.isEmpty) return // nothing fences — no-op
+    // already folded AND nothing stray to sweep
+    if (ids.isEmpty && ranges.length == 1 && entries.length == 1) return
     val intervals = (ids.map(i => (i, i)) ++ ranges).sortBy(_._1)
-    intervals.sliding(2).foreach {
-      case Array((_, hi1), (lo2, _)) if lo2 > hi1 + 1 =>
-        throw new IllegalStateException(
-          s"compactIngestTags: committed batch ids jump from $hi1 to $lo2 — " +
-            "a range summary would fence the missing ids as committed and a " +
-            "retry of one would silently lose its batch; leave the fences " +
-            "as files (or investigate the gap)")
-      case _ => ()
+    // merge touching/overlapping intervals; a gap starts a new run
+    val merged = intervals.tail.foldLeft(List(intervals.head)) {
+      case ((lo1, hi1) :: rest, (lo2, hi2)) if lo2 <= hi1 + 1 =>
+        (lo1, math.max(hi1, hi2)) :: rest
+      case (acc, iv) => iv :: acc
+    }.reverse
+    if (singleRange && merged.length > 1) {
+      val (_, hi1) = merged.head
+      val (lo2, _) = merged(1)
+      throw new IllegalStateException(
+        s"compactIngestTags: committed batch ids jump from $hi1 to $lo2 — " +
+          "a single range summary would fence the missing ids as committed " +
+          "and a retry of one would silently lose its batch; rerun without " +
+          "singleRange to fold per contiguous run (or investigate the gap)")
     }
-    val lo = intervals.head._1
-    val hi = intervals.map(_._2).max
-    val summary = s"range_${lo}_$hi"
-    fs.create(new org.apache.hadoop.fs.Path(dir, summary), true).close()
-    entries.filter(_ != summary).foreach { n =>
+    val summaries = merged.map { case (lo, hi) => s"range_${lo}_$hi" }.toSet
+    summaries.foreach { s =>
+      fs.create(new org.apache.hadoop.fs.Path(dir, s), true).close()
+    }
+    entries.filterNot(summaries.contains).foreach { n =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)
     }
   }

@@ -525,4 +525,92 @@ class IndexMaintenanceSpec extends SparkSpec {
     Retrieval.removeFromBm25Forward((d1 ++ d2).map(_._1).toDF("doc_id"), p)
     assert(nrows(p) == 0L)
   }
+
+  test("fused BM25+forward lifecycle: one marker; append/takedown/compact keep served PRF ≡ ad-hoc") {
+    import spark.implicits._
+    val idx = tmp("graft-fused")
+    Retrieval.saveBm25WithForward(docs1.toDF("doc_id", "text"),
+      "doc_id", "text", idx, numBuckets = 4)
+    val fwd = Retrieval.bm25ForwardPathFor(idx)
+    val qs = queries.toDF("qid", "qtext")
+    def served = Retrieval.bm25SearchPrfPreindexed(spark, idx, fwd, qs,
+      "qid", "qtext", topK = 5, fbDocs = 2, fbTerms = 2)
+      .collect().map(_.toSeq).toSet
+    def adhoc(rows: Seq[(Long, String)]) = Retrieval.bm25SearchPrf(
+      rows.toDF("doc_id", "text"), "doc_id", "text", qs, "qid", "qtext",
+      topK = 5, fbDocs = 2, fbTerms = 2).collect().map(_.toSeq).toSet
+    assert(served == adhoc(docs1), "fused save must serve exact PRF")
+    // fused append: ONE call advances both artifacts; a retried tag
+    // no-ops BOTH halves (the single fence covers the pair)
+    Retrieval.appendToBm25WithForward(docs2.toDF("doc_id", "text"), "text",
+      idx, batchTag = Some(1L))
+    assert(served == adhoc(docs1 ++ docs2), "fused append must stay exact")
+    Retrieval.appendToBm25WithForward(docs2.toDF("doc_id", "text"), "text",
+      idx, batchTag = Some(1L))
+    assert(served == adhoc(docs1 ++ docs2), "a replayed tag must no-op both")
+    // crash BETWEEN the fused stage and the marker: staging discards,
+    // NEITHER artifact moves (the one-marker atomicity the fusion buys)
+    val rmIds = Seq(2L, 6L).toDF("doc_id")
+    Retrieval.stageBm25Remove(rmIds, idx)
+    Retrieval.stageForwardRemove(rmIds, fwd, idx, "forward/")
+    assert(!IndexCommit.recover(spark, idx),
+      "an unmarked fused stage must discard")
+    assert(served == adhoc(docs1 ++ docs2),
+      "a pre-marker crash must leave BOTH artifacts untouched")
+    // crash AFTER the marker: recovery replays BOTH halves
+    val actions = Retrieval.stageBm25Remove(rmIds, idx) ++
+      Retrieval.stageForwardRemove(rmIds, fwd, idx, "forward/")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    IndexCommit.writeMarker(fs, new org.apache.hadoop.fs.Path(idx), actions)
+    assert(IndexCommit.recover(spark, idx),
+      "a marked fused stage must replay")
+    val kept = (docs1 ++ docs2).filterNot(r => Set(2L, 6L)(r._1))
+    assert(served == adhoc(kept),
+      "post-marker recovery must complete the takedown on BOTH artifacts")
+    // takedown audit across BOTH artifacts reads clean
+    val audit = graft.ops.Reports.takedownAudit(spark, rmIds, "doc_id", Seq(
+      ("bm25_doclens", s"$idx/doclens", "__docid"),
+      ("bm25_forward", s"$fwd/docterms", "__docid")))
+    assert(audit.collect().forall(_.getAs[Boolean]("clean")),
+      "fused takedown must scrub index AND sidecar")
+    // the fused entry point itself (same semantics as the staged pair)
+    Retrieval.removeFromBm25WithForward(Seq(7L).toDF("doc_id"), idx)
+    val kept2 = kept.filterNot(_._1 == 7L)
+    assert(served == adhoc(kept2))
+    // fused compaction: content identical, served still exact
+    Retrieval.compactBm25WithForward(spark, idx)
+    assert(served == adhoc(kept2), "fused compaction must not move content")
+    // a fresh STANDALONE save owns the root: the stale fused sidecar
+    // from the previous family must not survive out of step
+    Retrieval.saveBm25Index(kept2.toDF("doc_id", "text"), "doc_id", "text",
+      idx, numBuckets = 4)
+    assert(!new java.io.File(fwd).exists(),
+      "a standalone rebuild must drop the previous fused sidecar")
+  }
+
+  test("takedown audit names a planted sidecar miss (the two-call footgun the fusion closes)") {
+    import spark.implicits._
+    val idx = tmp("graft-fused-miss")
+    Retrieval.saveBm25WithForward((docs1 ++ docs2).toDF("doc_id", "text"),
+      "doc_id", "text", idx, numBuckets = 4)
+    val fwd = Retrieval.bm25ForwardPathFor(idx)
+    // the footgun: takedown issued against the postings index ONLY —
+    // the forward sidecar silently keeps serving the forgotten doc's
+    // feedback terms
+    val rm = Seq(3L).toDF("doc_id")
+    Retrieval.removeFromBm25Index(rm, idx)
+    val audit = graft.ops.Reports.takedownAudit(spark, rm, "doc_id", Seq(
+        ("bm25_doclens", s"$idx/doclens", "__docid"),
+        ("bm25_forward", s"$fwd/docterms", "__docid")))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("clean")).toMap
+    assert(audit("bm25_doclens"), "the index side was scrubbed")
+    assert(!audit("bm25_forward"),
+      "the audit must NAME the forgotten sidecar as dirty")
+    // honoring the request through the fused op scrubs what remains
+    Retrieval.removeFromBm25WithForward(rm, idx)
+    val after = graft.ops.Reports.takedownAudit(spark, rm, "doc_id", Seq(
+      ("bm25_doclens", s"$idx/doclens", "__docid"),
+      ("bm25_forward", s"$fwd/docterms", "__docid")))
+    assert(after.collect().forall(_.getAs[Boolean]("clean")))
+  }
 }

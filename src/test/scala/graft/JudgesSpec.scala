@@ -501,4 +501,66 @@ class JudgesSpec extends SparkSpec {
     assert(Judges.krippendorffAlpha(votes.repartition(5), "item", "judge", "label")
       .head().toSeq == r.toSeq)
   }
+
+  test("krippendorffAlpha interval: near-miss panels score above full splits; guards refuse") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def alpha(votes: org.apache.spark.sql.DataFrame): Double =
+      Judges.krippendorffAlpha(votes, "item", "judge", "label",
+        metric = "interval").head().getAs[Double]("alpha_r")
+    // same marginal label SETS, different pairings: the near-miss panel
+    // (4 vs 5 within units) must score ABOVE the full-split panel
+    // (1 vs 5 within units) — exactly what nominal alpha cannot see
+    val nearMiss = Seq(
+      (1L, "a", 4L), (1L, "b", 5L),
+      (2L, "a", 1L), (2L, "b", 1L),
+      (3L, "a", 5L), (3L, "b", 4L)
+    ).toDF("item", "judge", "label")
+    val fullSplit = Seq(
+      (1L, "a", 1L), (1L, "b", 5L),
+      (2L, "a", 4L), (2L, "b", 4L),
+      (3L, "a", 5L), (3L, "b", 1L)
+    ).toDF("item", "judge", "label")
+    assert(alpha(nearMiss) > alpha(fullSplit),
+      s"near-miss ${alpha(nearMiss)} must beat full-split ${alpha(fullSplit)}")
+    // hand-computed: units (1,2), (1,1), m=2 each.
+    // S_u: 2*(2*(1+4) - 9) = 2; 2*(2*2 - 4) = 0 -> Do_sum = 2/1 = 2
+    // global: n=4, Σv=5, Σv²=7 -> D = 2*(28-25) = 6
+    // alpha = 1 - 2*3/6 = 0.0; de = 6/12 = 0.5; do = 2/4 = 0.5
+    val hand = Seq(
+      (1L, "a", 1L), (1L, "b", 2L),
+      (2L, "a", 1L), (2L, "b", 1L)
+    ).toDF("item", "judge", "label")
+    val h = Judges.krippendorffAlpha(hand, "item", "judge", "label",
+      metric = "interval").head()
+    assert(h.getAs[Double]("alpha_r") == 0.0 &&
+      h.getAs[Double]("do_r") == r6(0.5) && h.getAs[Double]("de_r") == r6(0.5),
+      h.toString)
+    // perfect graded agreement: Do = 0 -> alpha = 1
+    val perfect = Seq(
+      (1L, "a", 2L), (1L, "b", 2L),
+      (2L, "a", 5L), (2L, "b", 5L)
+    ).toDF("item", "judge", "label")
+    assert(alpha(perfect) == 1.0)
+    // non-numeric labels refuse loudly; fractional grades refuse loudly
+    val bad = Seq((1L, "a", "good"), (1L, "b", "bad")).toDF("item", "judge", "label")
+    val e1 = intercept[Exception] {
+      Judges.krippendorffAlpha(bad, "item", "judge", "label",
+        metric = "interval").collect()
+    }
+    assert(e1.getMessage.contains("numeric-castable"), e1.getMessage)
+    val frac = Seq((1L, "a", 1.5), (1L, "b", 2.0)).toDF("item", "judge", "label")
+    val e2 = intercept[Exception] {
+      Judges.krippendorffAlpha(frac, "item", "judge", "label",
+        metric = "interval").collect()
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    // nominal stays the default and unchanged
+    val nom = Judges.krippendorffAlpha(nearMiss, "item", "judge", "label").head()
+    assert(nom.getAs[Long]("n_ratings") == 6L)
+    // partition invariance
+    assert(Judges.krippendorffAlpha(nearMiss.repartition(5), "item", "judge",
+        "label", metric = "interval").head().toSeq ==
+      Judges.krippendorffAlpha(nearMiss, "item", "judge", "label",
+        metric = "interval").head().toSeq)
+  }
 }

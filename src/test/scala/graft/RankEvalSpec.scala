@@ -167,6 +167,32 @@ class RankEvalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compareRuns: qrels judging no queries emit explicit zero-count rows, not an empty frame") {
+    val qrels40 = (1L to 40L).map(q => (q, 1L, 1)).toDF("qid", "doc", "rel")
+    def runAt(rank: Long => Int) =
+      (1L to 40L).map(q => (q, 1L, rank(q))).toDF("qid", "doc", "rank")
+    // qrels with NO positive judgment anywhere (rel = 0 throughout):
+    // every query has n_judged = 0, so nothing scores
+    val none = RankEval.compareRuns(
+      runAt(_ => 1), runAt(_ => 2),
+      (100L to 110L).map(q => (q, 1L, 0)).toDF("qid", "doc", "rel"),
+      "qid", "doc", "rank", "rel", k = 3)
+    val rows = byKey(none, "metric")
+    assert(rows.keySet == Set("mrr_r", "precision_r", "recall_r", "ndcg_r", "map_r"),
+      s"one row per metric even with nothing judged: ${rows.keySet}")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 0L && r.getAs[Long]("replicas") == 0L)
+      assert(r.isNullAt(r.fieldIndex("delta_r")) &&
+        r.isNullAt(r.fieldIndex("ci_low_r")) && r.isNullAt(r.fieldIndex("ci_high_r")),
+        s"zero-count rows carry null means/CI: $r")
+    }
+    // with anything judged, the skeleton must leave the output untouched
+    val normal = byKey(RankEval.compareRuns(
+      runAt(_ => 2), runAt(_ => 1), qrels40,
+      "qid", "doc", "rank", "rel", k = 3), "metric")
+    assert(normal.size == 5 && normal.values.forall(_.getAs[Long]("n_queries") == 40L))
+  }
+
   test("rankingSummary: macro-average over judged queries only; partition invariance") {
     val s = RankEval.rankingSummary(run, qrels, "qid", "doc", "rank", "rel", k = 3)
       .head()

@@ -178,6 +178,17 @@ class RetrievalSpec extends SparkSpec {
     val plain = Retrieval.bm25SearchPreindexed(spark, idx, qs, "qid", "qtext",
       topK = 10).collect().map(_.toSeq).toSet
     assert(degraded == plain)
+    // an index/sidecar pair built on DIFFERENT id columns refuses
+    // loudly — the silent alternative is a feedback join matching
+    // nothing (degrading to plain BM25 with no signal)
+    val fwdOther = java.nio.file.Files.createTempDirectory("graft-prf-mid").toString
+    Retrieval.saveBm25Forward(docs.withColumnRenamed("doc_id", "other_id"),
+      "other_id", "text", fwdOther, numBuckets = 4)
+    val eMis = intercept[IllegalArgumentException] {
+      Retrieval.bm25SearchPrfPreindexed(spark, idx, fwdOther, qs,
+        "qid", "qtext", topK = 10, fbDocs = 2, fbTerms = 2)
+    }
+    assert(eMis.getMessage.contains("out of step"), eMis.getMessage)
   }
 
   test("bm25Search is partition-invariant") {

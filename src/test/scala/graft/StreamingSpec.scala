@@ -766,16 +766,45 @@ class StreamingSpec extends SparkSpec {
     StreamingEval.compactIngestTags(spark, idx)
     assert(fs.listStatus(new Path(s"$idx/_batches")).length == 1)
     assert(fs.exists(new Path(s"$idx/_batches/range_0_4")))
-    // a GAP in the committed ids refuses loudly: folding would claim the
-    // missing batch committed and its retry would silently lose data
+    // a GAP in the committed ids: strict singleRange refuses loudly
+    // (folding ONE range over it would claim the missing batch
+    // committed and its retry would silently lose data); the default
+    // folds per contiguous run — one range per side of the gap, the
+    // gap itself stays unfenced
     val gappy = s"$dir/gaptags"
     fs.mkdirs(new Path(s"$gappy/_batches"))
     Seq(0L, 1L, 3L).foreach(i =>
       fs.create(new Path(s"$gappy/_batches/b$i"), true).close())
     val eGap = intercept[IllegalStateException] {
-      StreamingEval.compactIngestTags(spark, gappy)
+      StreamingEval.compactIngestTags(spark, gappy, singleRange = true)
     }
     assert(eGap.getMessage.contains("jump"), eGap.getMessage)
+    StreamingEval.compactIngestTags(spark, gappy)
+    assert(fs.exists(new Path(s"$gappy/_batches/range_0_1")) &&
+      fs.exists(new Path(s"$gappy/_batches/range_3_3")) &&
+      fs.listStatus(new Path(s"$gappy/_batches")).length == 2,
+      "a gappy history must fold to one range per contiguous run")
+    // fencing across the gap-tolerant fold: committed ids fence, the
+    // gap id does NOT (its retry must still run)
+    assert(StreamingEval.ingestTagCommitted(fs, gappy, 1L))
+    assert(StreamingEval.ingestTagCommitted(fs, gappy, 3L))
+    assert(!StreamingEval.ingestTagCommitted(fs, gappy, 2L),
+      "the gap batch must stay unfenced after the fold")
+    // the gap closes later -> a re-fold merges everything to one range
+    fs.create(new Path(s"$gappy/_batches/b2"), true).close()
+    StreamingEval.compactIngestTags(spark, gappy)
+    assert(fs.exists(new Path(s"$gappy/_batches/range_0_3")) &&
+      fs.listStatus(new Path(s"$gappy/_batches")).length == 1,
+      "a closed gap must re-fold to one covering range")
+    // a stray unparseable range_* file must neither brick the fence
+    // probe nor be mistaken for a summary
+    fs.create(new Path(s"$gappy/_batches/range_tmp_x"), true).close()
+    assert(StreamingEval.ingestTagCommitted(fs, gappy, 2L))
+    assert(!StreamingEval.ingestTagCommitted(fs, gappy, 9L))
+    StreamingEval.compactIngestTags(spark, gappy)
+    assert(!fs.exists(new Path(s"$gappy/_batches/range_tmp_x")),
+      "a re-fold sweeps stray files (their names fence nothing)")
+    assert(StreamingEval.ingestTagCommitted(fs, gappy, 3L))
 
     // --- image / audio / video: the shared fence through each modality's
     // hash + vet functions (one batch, then its retry)
@@ -1038,6 +1067,59 @@ class StreamingSpec extends SparkSpec {
         Option(e.getCause).exists(_.getMessage.contains("maxChunksPerDoc")),
         e.getMessage)
     } finally q2.stop()
+  }
+
+  test("chunkStream id discipline: non-numeric and out-of-range doc ids refuse loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Retrieval
+    import spark.implicits._
+    def failsWith(needle: String)(feed: MemoryStream[(String, String)] => Unit,
+        maxChunks: Int = 1000): Unit = {
+      val idx = java.nio.file.Files.createTempDirectory("graft-chunk-id").toString
+      Retrieval.saveBm25Index(Seq.empty[(Long, String)].toDF("cid", "chunk"),
+        "cid", "chunk", idx, numBuckets = 4)
+      val input = MemoryStream[(String, String)]
+      val q = graft.streaming.StreamingEval.chunkStream(
+          input.toDF().toDF("doc_id", "text"), "text", "doc_id", idx,
+          chunkSize = 40, overlap = 10, maxChunksPerDoc = maxChunks)
+        .start()
+      try {
+        feed(input)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def hit(t: Throwable): Boolean = t != null &&
+          (Option(t.getMessage).exists(_.contains(needle)) || hit(t.getCause))
+        assert(hit(e), s"expected '$needle' in: ${e.getMessage}")
+      } finally q.stop()
+    }
+    // a UUID-keyed stream must refuse with the surrogate-id pointer,
+    // not cast to null and silently corrupt the chunk index
+    failsWith("Ids.withSurrogateId")(
+      _.addData(("3f1b-not-a-number", "some document text here")))
+    // an id past (Long.MaxValue − (max−1)) / max would overflow the
+    // LAST chunk's cid into another document's span — refuse past the
+    // boundary
+    val maxId = (Long.MaxValue - 999) / 1000
+    failsWith("must be in [0,")(
+      _.addData(((maxId + 1).toString, "boundary doc text")))
+    // negative ids alias the cid space the same way
+    failsWith("must be in [0,")(_.addData(("-5", "negative id doc text")))
+    // the boundary itself is legal: every chunk cid of id == maxId fits
+    val okIdx = java.nio.file.Files.createTempDirectory("graft-chunk-ok").toString
+    Retrieval.saveBm25Index(Seq.empty[(Long, String)].toDF("cid", "chunk"),
+      "cid", "chunk", okIdx, numBuckets = 4)
+    val okIn = MemoryStream[(String, String)]
+    val okQ = graft.streaming.StreamingEval.chunkStream(
+        okIn.toDF().toDF("doc_id", "text"), "text", "doc_id", okIdx,
+        chunkSize = 40, overlap = 10, maxChunksPerDoc = 1000)
+      .start()
+    try {
+      okIn.addData((maxId.toString, "tiny"))
+      okQ.processAllAvailable()
+    } finally okQ.stop()
+    assert(spark.read.parquet(s"$okIdx/stats").head().getAs[Long]("__n") == 1L,
+      "the boundary id itself must index")
   }
 
   test("streaming ivf indexing: batches commit exactly once, corpus equals save-once") {
