@@ -650,6 +650,16 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     * provenance mapping, so the served scores are the ad-hoc scores by
     * construction). */
   private lazy val ragChunksSql: String =
+    ragChunkRunCtes +
+    s"""
+       |SELECT qid, rank, cid // 1000 AS doc_id, cid % 1000 AS chunk_idx,
+       |  round(score, 6) + 0.0 AS score_r
+       |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The q269 chunk-grain CTE chain alone (`WITH n ... rk`) — reused by
+    * the chunk-grain PRF oracle (q292), which appends the q287 harvest
+    * + second pass over the chunk run. */
+  private lazy val ragChunkRunCtes: String =
     s"""WITH n AS (
        |  SELECT doc_id, text,
        |    CASE WHEN len(text) <= 200 THEN 1
@@ -696,10 +706,51 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |  SELECT qid, cid, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
        |  FROM sc
+       |)""".stripMargin
+
+  /** q292: the q287 pseudo-relevance-feedback chain at CHUNK grain —
+    * the q269 run (`rk`) harvests each query's top-5 chunk page for its
+    * 3 most frequent new >=3-char terms, the widened vocabulary
+    * re-scores through the identical chunk-grain CTE shapes, and the
+    * surrogate cid maps back to (doc_id, chunk_idx) provenance. */
+  private lazy val ragChunksPrfSql: String = ragChunkRunCtes +
+    s""", fbdoc AS (
+       |  SELECT qid, cid FROM rk WHERE rank <= 5
+       |), cand AS (
+       |  SELECT f.qid, p.term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM fbdoc f JOIN posting p USING (cid)
+       |  WHERE len(p.term) >= 3
+       |  GROUP BY 1, 2
+       |), newcand AS (
+       |  SELECT c.qid, c.term, c.cnt FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM q WHERE q.qid = c.qid AND q.term = c.term)
+       |), exp_ AS (
+       |  SELECT qid, term FROM newcand
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, term ASC) <= 3
+       |), q2 AS MATERIALIZED (
+       |  SELECT qid, term FROM q UNION ALL SELECT qid, term FROM exp_
+       |), m2 AS (
+       |  SELECT tf.cid, tf.dl, tf.term, tf.tf
+       |  FROM tf JOIN (SELECT DISTINCT term FROM q2) qt USING (term)
+       |), dfq2 AS (
+       |  SELECT term, count(*) AS df FROM m2 GROUP BY term
+       |), contrib2 AS (
+       |  SELECT m2.cid, m2.term,
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |      ((tf * ${1.2 + 1.0}) / (tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * dl / avgdl))) AS c
+       |  FROM m2 JOIN dfq2 USING (term) CROSS JOIN consts
+       |), sc2 AS (
+       |  SELECT qid, cid,
+       |    list_reduce(list_prepend(0.0, list(c ORDER BY term)), (a, b) -> a + b) AS score
+       |  FROM contrib2 JOIN q2 USING (term) GROUP BY 1, 2
+       |), rk2 AS (
+       |  SELECT qid, cid, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+       |  FROM sc2
        |)
        |SELECT qid, rank, cid // 1000 AS doc_id, cid % 1000 AS chunk_idx,
        |  round(score, 6) + 0.0 AS score_r
-       |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |FROM rk2 WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** The q84 BM25 derivation over an optionally FILTERED corpus — the
     * takedown oracle (q256) injects the survivor predicate and thereby
@@ -3073,6 +3124,11 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // q269's oracle verbatim — the q248 serve-forever discipline at
     // chunk grain
     "q274_rag_chunks_served" -> ragChunksSql,
+
+    // chunk-grain PRF served off the persisted chunk index + its
+    // chunk-grain forward sidecar: the q287 two-pass chain at chunk
+    // grain, cid provenance mapped back to (doc_id, chunk_idx)
+    "q292_rag_prf_served" -> ragChunksPrfSql,
 
     // sharded-export manifest: md5-prefix shard routing, exact counts,
     // order-independent integer id checksums

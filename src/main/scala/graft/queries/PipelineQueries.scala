@@ -138,6 +138,56 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** MATRYOSHKA serving artifacts (q293): the IVF family built over
+    * 16-dim SLICED vectors — quantizer trained on the slices, corpus
+    * persisted cell-partitioned at the budget width — cached per sf
+    * dir; the sliced centroids interpolate into the oracle via
+    * [[matryoshkaOracleSql]] (the [[IvfState]] late-binding pattern). */
+  private[queries] object MatryoshkaState {
+    val Dim = 16
+    val NLists = 16
+    @volatile private var cache:
+      Map[String, (Seq[(Int, Seq[Double], Double)], String)] = Map.empty
+    @volatile private var lastDir: Option[String] = None
+    def forDir(sliced: DataFrame, dir: String):
+        (Seq[(Int, Seq[Double], Double)], String) =
+      synchronized {
+        lastDir = Some(dir)
+        cache.get(dir) match {
+          case Some(v) => v
+          case None =>
+            val cents = Similarity.trainIvfCentroids(sliced, "embedding", NLists)
+            val p = java.nio.file.Files.createTempDirectory("graft-mat-ivf").toString
+            Similarity.saveIvfIndex(sliced, cents, p)
+            cache += dir -> ((cents, p))
+            (cents, p)
+        }
+      }
+    def current: Option[Seq[(Int, Seq[Double], Double)]] =
+      synchronized { lastDir.flatMap(cache.get).map(_._1) }
+  }
+
+  /** CHUNK-grain forward sidecar at the fused nested location inside
+    * [[Bm25ChunkServeState]]'s index (q292): built once per sf dir,
+    * read bucket-pruned by the chunk-grain PRF harvest. (The index is
+    * already cached when this runs, so the standalone sidecar build
+    * slots into the fused layout without a rebuild.) */
+  private[queries] object Bm25ChunkForwardState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(chunks: DataFrame, idxPath: String, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = graft.ops.Retrieval.bm25ForwardPathFor(idxPath)
+            graft.ops.Retrieval.saveBm25Forward(chunks, "cid", "chunk", p,
+              numBuckets = 32)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Incremental shard EXPORT keyed by sf dir (q277): two thirds of the
     * corpus delivered via [[graft.io.Layout.writeShardsWithManifest]],
     * the last third appended through the marker-fenced
@@ -3174,6 +3224,33 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("qid", "rank")
     },
 
+    "q292_rag_prf_served" -> { (s, dir) =>
+      // chunk-grain pseudo-relevance feedback SERVED off the persisted
+      // chunk index + its chunk-grain forward sidecar (the fused
+      // layout's nested path): RAG stacks expand queries against
+      // CHUNKS, not whole docs — each query's top-5 chunk page donates
+      // its 3 most frequent new >=3-char terms, the widened query
+      // re-scores through the same pruned postings, and the surrogate
+      // cid maps feedback provenance back to (doc_id, chunk_idx)
+      val chunks = graft.ops.Retrieval.chunkText(
+          t(s, dir, "documents"), "doc_id", "text", chunkSize = 200, overlap = 50)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+      val idx = Bm25ChunkServeState.forDir(chunks, dir)
+      val fwd = Bm25ChunkForwardState.forDir(chunks, idx, dir)
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25SearchPrfPreindexed(
+          s, idx, fwd, qs, "qid", "qtext",
+          topK = 5, fbDocs = 5, fbTerms = 3, minTermLen = 3)
+        .select(col("qid"), col("rank"),
+          expr("cid div 1000").as("doc_id"),
+          pmod(col("cid"), lit(1000L)).as("chunk_idx"),
+          roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
+    },
+
     "q280_ranking_summary" -> { (s, dir) =>
       // the one-row TREC macro-average over q278's per-query metrics —
       // the headline number a retrieval change ships with; judged
@@ -3987,6 +4064,30 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("dim")
     },
 
+    "q293_matryoshka_served" -> { (s, dir) =>
+      // ACT on q288's decision: SERVE at the 16-dim budget — quantizer
+      // trained on sliced vectors, IVF corpus persisted at the budget
+      // width (cell-partitioned, so the serving read prunes AND moves
+      // a quarter of the bytes), queries sliced to match, and every
+      // query's recall vs the FULL-width exact ranking rides the
+      // output — the sliced-IVF top-k replays in the oracle from the
+      // interpolated sliced centroids (q54 machinery at reduced dims)
+      val emb = t(s, dir, "embeddings")
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, MatryoshkaState.Dim).as("embedding"))
+      val (_, path) = MatryoshkaState.forDir(sliced, dir)
+      val served = Similarity.ivfTopKPreassigned(
+        s.read.parquet(s"$path/corpus"), sliced.filter(col("vec_id") < 5),
+        k = 10, Similarity.loadIvfCentroids(s, path), nProbe = 4)
+      val exact = Similarity.bruteForceTopKAgg(
+        emb, emb.filter(col("vec_id") < 5), k = 10)
+      served.join(Similarity.recallAtK(served, exact, k = 10), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          roundz(col("cosine"), 6).as("cosine_r"), col("nn_rank"),
+          col("n_hits"), col("recall_r"))
+        .orderBy("query_id", "nn_rank")
+    },
+
     "q170_ann_recall" -> { (s, dir) =>
       // recall@10 of hyperplane-LSH retrieval vs the exact ranking, per
       // query — the ANN stack's own estimator audit, fully oracle-replayed
@@ -4563,7 +4664,84 @@ object PipelineQueries extends OracleSqlStatic {
     * has run in this JVM — Verify runs every query before dumping
     * oracle_sql.json, so the driver always sees them). */
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ ivfOracleSql ++ pqOracleSql ++ ivfPqOracleSql
+    staticOracleSql ++ ivfOracleSql ++ pqOracleSql ++ ivfPqOracleSql ++
+      matryoshkaOracleSql
+
+  /** DuckDB oracle for the q293 matryoshka serving flow, written from
+    * the TRAINED sliced-vector quantizer ([[MatryoshkaState]], the
+    * [[ivfOracleSql]] late-binding pattern): the sliced IVF chain is
+    * the q54 machinery over `v[1:16]`, the recall side joins the
+    * FULL-width exact brute ranking, both self-excluded/NaN-dropped. */
+  private[queries] def matryoshkaOracleSql: Map[String, String] =
+    MatryoshkaState.current.toSeq.map { cents =>
+      def d(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
+      val rows = cents.map { case (i, c, c2) =>
+        s"    ($i, [${c.map(d).mkString(", ")}], ${d(c2)})"
+      }.mkString(",\n")
+      val dim = MatryoshkaState.Dim
+      "q293_matryoshka_served" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |et AS (SELECT vec_id, v[1:$dim] AS vt FROM e),
+           |cent AS (
+           |  SELECT * FROM (VALUES
+           |$rows
+           |  ) t(list_id, c, c2)
+           |), cells AS (
+           |  SELECT et.vec_id, cent.list_id,
+           |    2.0 * list_dot_product(et.vt, cent.c) - cent.c2 AS neg
+           |  FROM et, cent
+           |), assigned AS (
+           |  SELECT vec_id, list_id FROM (
+           |    SELECT vec_id, list_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
+           |    FROM cells) WHERE rn = 1
+           |), vq AS (SELECT vec_id AS query_id, vt AS qv FROM et WHERE vec_id < 5),
+           |probes AS (
+           |  SELECT query_id, list_id FROM (
+           |    SELECT vq.query_id, cent.list_id,
+           |      row_number() OVER (PARTITION BY vq.query_id
+           |        ORDER BY 2.0 * list_dot_product(vq.qv, cent.c) - cent.c2 DESC, cent.list_id) AS rn
+           |    FROM vq, cent) WHERE rn <= 4
+           |), scored AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    list_dot_product(vq.qv, et.vt)
+           |      / (sqrt(list_dot_product(vq.qv, vq.qv)) * sqrt(list_dot_product(et.vt, et.vt))) AS cosine
+           |  FROM probes p
+           |  JOIN assigned a USING (list_id)
+           |  JOIN et ON et.vec_id = a.vec_id
+           |  JOIN vq ON vq.query_id = p.query_id
+           |  WHERE a.vec_id <> p.query_id
+           |), served AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
+           |  FROM scored WHERE NOT isnan(cosine)
+           |  QUALIFY nn_rank <= 10
+           |), fq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |fsc AS (
+           |  SELECT fq.query_id, e.vec_id,
+           |    list_dot_product(fq.qv, e.v)
+           |      / (sqrt(list_dot_product(fq.qv, fq.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+           |  FROM fq JOIN e ON e.vec_id <> fq.query_id
+           |), frk AS (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS nn_rank
+           |  FROM fsc WHERE NOT isnan(cosine)
+           |  QUALIFY nn_rank <= 10
+           |), hits AS (
+           |  SELECT s.query_id, CAST(count(*) AS BIGINT) AS h
+           |  FROM served s JOIN frk f ON s.query_id = f.query_id AND s.vec_id = f.vec_id
+           |  GROUP BY 1
+           |), en AS (
+           |  SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM frk GROUP BY 1
+           |)
+           |SELECT s.query_id, s.vec_id, round(s.cosine, 6) + 0.0 AS cosine_r,
+           |  s.nn_rank, coalesce(h.h, 0) AS n_hits,
+           |  round(coalesce(h.h, 0) / en.n, 6) + 0.0 AS recall_r
+           |FROM served s
+           |JOIN en USING (query_id)
+           |LEFT JOIN hits h ON h.query_id = s.query_id
+           |ORDER BY s.query_id, s.nn_rank""".stripMargin
+    }.toMap
 
   private[queries] def sqlDouble(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
 

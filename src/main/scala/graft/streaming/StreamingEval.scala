@@ -1158,6 +1158,28 @@ object StreamingEval {
       ()
     }
 
+  /** [[bm25IndexStream]] for the FUSED index + forward-sidecar family
+    * ([[graft.ops.Retrieval.saveBm25WithForward]]): each micro-batch
+    * appends BOTH artifacts under ONE marker with the batch id as the
+    * shared exactly-once fence — so served pseudo-relevance feedback
+    * ([[graft.ops.Retrieval.bm25SearchPrfPreindexed]]) stays exact
+    * over a STREAMED corpus, which the index-only stream cannot
+    * guarantee (its sidecar would silently fall behind every batch).
+    * Seed once with `saveBm25WithForward` (even over an empty corpus);
+    * one writer per index root; run compactions
+    * ([[graft.ops.Retrieval.compactBm25WithForward]]) with the stream
+    * stopped. */
+  def bm25WithForwardStream(
+      docs: DataFrame,
+      textCol: String,
+      indexPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.ops.Retrieval.appendToBm25WithForward(
+        batch, textCol, indexPath, batchTag = Some(batchId))
+      ()
+    }
+
   /** Streaming CHUNK-GRAIN INDEXING — the RAG ingest path as ONE
     * operator: document micro-batches chunk
     * ([[graft.ops.Retrieval.chunkText]], fixed windows with overlap)
@@ -1187,7 +1209,8 @@ object StreamingEval {
       indexPath: String,
       chunkSize: Int = 200,
       overlap: Int = 50,
-      maxChunksPerDoc: Int = 1000
+      maxChunksPerDoc: Int = 1000,
+      withForward: Boolean = false
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(maxChunksPerDoc >= 1, "maxChunksPerDoc must be >= 1")
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1220,8 +1243,17 @@ object StreamingEval {
             .otherwise(checkedId * maxChunksPerDoc + col("chunk_idx"))
             .as("cid"),
           col("chunk"))
-      graft.ops.Retrieval.appendToBm25Index(
-        chunks, "chunk", indexPath, batchTag = Some(batchId))
+      // withForward: the fused append keeps a chunk-grain forward
+      // sidecar in step under the same marker/fence, so served
+      // chunk-grain PRF (bm25SearchPrfPreindexed over the q292 layout)
+      // stays exact over the streamed corpus — seed with
+      // saveBm25WithForward in that case
+      if (withForward)
+        graft.ops.Retrieval.appendToBm25WithForward(
+          chunks, "chunk", indexPath, batchTag = Some(batchId))
+      else
+        graft.ops.Retrieval.appendToBm25Index(
+          chunks, "chunk", indexPath, batchTag = Some(batchId))
       ()
     }
   }

@@ -1052,6 +1052,64 @@ object ScaleSmoke {
         }
       }
 
+      // served hybrid retrieval: keyword + vector candidates fused by
+      // RRF from the PERSISTED indexes — both reads partition-pruned
+      // (query-term buckets / probed cells), so serving tracks the
+      // candidate slice, never the corpus; the build rows above/below
+      // carry the corpus-sized cost
+      locally {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val embN = blowUpKeyed(emb, n, "vec_id")
+          .select("vec_id", "embedding")
+        val docsN = embN.select(col("vec_id").as("doc_id"),
+          concat(lit("term"), pmod(col("vec_id"), lit(997L)),
+            lit(" shared corpus filler text block "),
+            pmod(col("vec_id") * 31L, lit(997L))).as("text"))
+        val bmDir = java.nio.file.Files
+          .createTempDirectory("graft-smoke-hyb-bm").toString
+        val ivDir = java.nio.file.Files
+          .createTempDirectory("graft-smoke-hyb-iv").toString
+        graft.ops.Retrieval.saveBm25Index(docsN, "doc_id", "text", bmDir,
+          numBuckets = 32)
+        val cents = graft.ops.Similarity.trainKmeansPortable(
+          embN, "vec_id", "embedding", k = 16, iters = 2)
+        graft.ops.Similarity.saveIvfIndex(embN, cents, ivDir)
+        val qs = embN.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            concat(lit("term"), pmod(col("vec_id"), lit(997L))).as("qtext"),
+            col("embedding"))
+        time(s"hybridSearchPreindexed over ${n * 50000}-vec corpus (served, pruned reads)") {
+          graft.ops.Retrieval.hybridSearchPreindexed(
+            spark, bmDir, ivDir, qs, "qid", "qtext", "embedding",
+            topK = 10, candK = 10, nProbe = 4)
+            .agg(count(lit(1))).collect()
+        }
+        // matryoshka budget serving: the SAME corpus at 16 of 64 dims —
+        // the sliced build moves/holds a quarter of the vector bytes
+        // and the sliced serve reads a quarter per probed cell
+        val slDir = java.nio.file.Files
+          .createTempDirectory("graft-smoke-hyb-sl").toString
+        val slicedN = embN.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        time(s"matryoshka build: IVF over ${n * 50000} sliced (16/64-dim) vectors") {
+          val sc = graft.ops.Similarity.trainKmeansPortable(
+            slicedN, "vec_id", "embedding", k = 16, iters = 2)
+          graft.ops.Similarity.saveIvfIndex(slicedN, sc, slDir)
+        }
+        time(s"matryoshka serve: sliced-IVF top-10 vs full-width IVF top-10") {
+          graft.ops.Similarity.ivfTopKPreassigned(
+            spark.read.parquet(s"$slDir/corpus"),
+            slicedN.filter(col("vec_id") < 5), k = 10,
+            graft.ops.Similarity.loadIvfCentroids(spark, slDir), nProbe = 4)
+            .agg(count(lit(1))).collect()
+          graft.ops.Similarity.ivfTopKPreassigned(
+            spark.read.parquet(s"$ivDir/corpus"),
+            embN.filter(col("vec_id") < 5), k = 10,
+            graft.ops.Similarity.loadIvfCentroids(spark, ivDir), nProbe = 4)
+            .agg(count(lit(1))).collect()
+        }
+      }
+
       // sharded delivery: the append must cost the INCREMENT however
       // big the standing export is (manifest merge is shard-grain sums,
       // staged files read back once — never a rescan of live data)

@@ -1003,6 +1003,84 @@ class StreamingSpec extends SparkSpec {
       statsBefore, "tags must fence across compaction")
   }
 
+  test("streaming FUSED bm25+forward: batches advance both artifacts, served PRF equals fused save-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Retrieval
+    import spark.implicits._
+    val d1 = Seq((1L, "spark shuffles data between stages"),
+      (2L, "broadcast joins avoid the shuffle"))
+    val d2 = Seq((3L, "shuffle partitions size the reducers"),
+      (4L, "catalyst prunes columns and partitions"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-fused-stream").toString
+    Retrieval.saveBm25WithForward(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", idx, numBuckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.bm25WithForwardStream(
+        input.toDF().toDF("doc_id", "text"), "text", idx)
+      .start()
+    try {
+      input.addData(d1: _*); query.processAllAvailable()
+      input.addData(d2: _*); query.processAllAvailable()
+    } finally query.stop()
+    val want = java.nio.file.Files.createTempDirectory("graft-fused-once").toString
+    Retrieval.saveBm25WithForward((d1 ++ d2).toDF("doc_id", "text"),
+      "doc_id", "text", want, numBuckets = 8)
+    def servePrf(p: String) = Retrieval.bm25SearchPrfPreindexed(spark, p,
+        Retrieval.bm25ForwardPathFor(p),
+        Seq((1L, "shuffle partitions"), (2L, "broadcast data")).toDF("qid", "qtext"),
+        "qid", "qtext", topK = 5, fbDocs = 2, fbTerms = 2)
+      .collect().map(_.toSeq).toSet
+    assert(servePrf(idx) == servePrf(want),
+      "streamed fused family must serve PRF exactly like the fused save-once")
+    // a crash-retried batch (same tag) no-ops BOTH artifacts
+    val statsBefore = spark.read.parquet(s"$idx/stats").collect().map(_.toSeq).toSet
+    val fwdBefore = spark.read
+      .parquet(s"${Retrieval.bm25ForwardPathFor(idx)}/stats")
+      .collect().map(_.toSeq).toSet
+    Retrieval.appendToBm25WithForward(d2.toDF("doc_id", "text"), "text", idx,
+      batchTag = Some(1L))
+    assert(spark.read.parquet(s"$idx/stats").collect().map(_.toSeq).toSet ==
+      statsBefore, "replayed tag must no-op the index")
+    assert(spark.read.parquet(s"${Retrieval.bm25ForwardPathFor(idx)}/stats")
+      .collect().map(_.toSeq).toSet == fwdBefore,
+      "replayed tag must no-op the sidecar too (one fence covers the pair)")
+    assert(servePrf(idx) == servePrf(want))
+  }
+
+  test("streaming chunk ingest with forward: served chunk-grain PRF equals fused rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Retrieval
+    import spark.implicits._
+    def doc(i: Int) = (0 until 12).map(j => s"w${i}t$j token$i$j data").mkString(" ")
+    val d1 = Seq((1L, doc(1)), (2L, doc(2)))
+    val d2 = Seq((3L, doc(3)))
+    def chunksOf(ds: Seq[(Long, String)]) = Retrieval.chunkText(
+        ds.toDF("doc_id", "text"), "doc_id", "text", chunkSize = 40, overlap = 10)
+      .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-chunk-fwd").toString
+    Retrieval.saveBm25WithForward(Seq.empty[(Long, String)].toDF("cid", "chunk"),
+      "cid", "chunk", idx, numBuckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.chunkStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", idx,
+        chunkSize = 40, overlap = 10, withForward = true)
+      .start()
+    try {
+      input.addData(d1: _*); query.processAllAvailable()
+      input.addData(d2: _*); query.processAllAvailable()
+    } finally query.stop()
+    val want = java.nio.file.Files.createTempDirectory("graft-chunk-fwd-once").toString
+    Retrieval.saveBm25WithForward(chunksOf(d1 ++ d2), "cid", "chunk", want,
+      numBuckets = 8)
+    def servePrf(p: String) = Retrieval.bm25SearchPrfPreindexed(spark, p,
+        Retrieval.bm25ForwardPathFor(p),
+        Seq((1L, "token1 data"), (2L, "token3 w3t0")).toDF("qid", "qtext"),
+        "qid", "qtext", topK = 5, fbDocs = 2, fbTerms = 2)
+      .collect().map(_.toSeq).toSet
+    assert(servePrf(idx) == servePrf(want),
+      "streamed chunk family must serve chunk-grain PRF like the fused rebuild")
+  }
+
   test("streaming chunk ingest: doc batches chunk+index exactly once, serve equals rebuild") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Retrieval
