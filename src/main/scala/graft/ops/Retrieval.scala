@@ -1258,6 +1258,215 @@ object Retrieval {
         (round(col("__rrf"), 6) + lit(0.0)).as("rrf_score_r"), col("fused_rank"))
   }
 
+  /** RAG CONTEXT EXPANSION — stitch each chunk-grain hit back into a
+    * contiguous source span using ONLY the chunk corpus (no document
+    * store round-trip): for a hit `cid`, the neighbors
+    * `cid ± window` within the document's cid span (the
+    * q269/q274/q292 convention `cid = doc_id · maxChunksPerDoc +
+    * chunk_idx`) join in, and the pieces stitch with each
+    * non-leading chunk's `overlap`-char prefix dropped — because
+    * fixed-window chunks overlap by construction, the stitched string
+    * is EXACTLY the original text's span
+    * `[chunk_lo · stride, chunk_hi · stride + chunkSize)` (stride =
+    * chunkSize − overlap), which is what the oracle pins (the stitch
+    * reconstructs the source, not just concatenates).
+    *
+    * Edges clamp arithmetically: the left edge at the document's
+    * chunk 0, the right edge by the join (a missing neighbor simply
+    * doesn't exist — chunk indexes are contiguous from 0, so only the
+    * document's end truncates). Output per hit:
+    * `(queryCol, cidCol, doc_id, chunk_lo, chunk_hi, context)`;
+    * callers carrying a rank join it back on `(queryCol, cidCol)`.
+    *
+    * Scale shape: |hits| · (2·window + 1) join rows against the
+    * bucketless chunk frame — evaluation grain on the left; the chunk
+    * side is one equi-join on its id (Catalyst broadcast-hashes the
+    * tiny hit side). The string fold is an ordered HOF over ≤
+    * 2·window + 1 pieces. */
+  def expandChunkContext(
+      hits: DataFrame,
+      chunks: DataFrame,
+      queryCol: String,
+      cidCol: String,
+      chunkIdCol: String = "cid",
+      chunkCol: String = "chunk",
+      window: Int = 1,
+      chunkSize: Int = 200,
+      overlap: Int = 50,
+      maxChunksPerDoc: Int = 1000
+  ): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    require(maxChunksPerDoc >= 1, "maxChunksPerDoc must be >= 1")
+    val m = maxChunksPerDoc.toLong
+    val h = hits.select(col(queryCol).as("__q"), col(cidCol).cast("long").as("__cid"))
+    val doc = expr(s"__cid div $m")
+    val lo = greatest(col("__cid") - lit(window.toLong), doc * lit(m))
+    val neighbors = h.select(col("__q"), col("__cid"), lo.as("__lo"),
+        explode(sequence(lo, col("__cid") + lit(window.toLong))).as("__n"))
+    val ch = chunks.select(col(chunkIdCol).cast("long").as("__n"),
+      col(chunkCol).as("__chunk"))
+    neighbors.join(ch, Seq("__n"))
+      .select(col("__q"), col("__cid"), col("__n"),
+        when(col("__n") === col("__lo"), col("__chunk"))
+          .otherwise(col("__chunk").substr(lit(overlap + 1), lit(chunkSize)))
+          .as("__piece"))
+      .groupBy(col("__q"), col("__cid"))
+      .agg(min(col("__n")).as("__nlo"), max(col("__n")).as("__nhi"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__n").as("n"),
+            col("__piece").as("p")))),
+          x => x.getField("p")), "").as("context"))
+      .select(col("__q").as(queryCol), col("__cid").as(cidCol),
+        expr(s"__cid div $m").as("doc_id"),
+        pmod(col("__nlo"), lit(m)).as("chunk_lo"),
+        pmod(col("__nhi"), lit(m)).as("chunk_hi"),
+        col("context"))
+  }
+
+  /** CONTEXT-WINDOW PACKING — the last step before prompt assembly:
+    * keep each query's hits in rank order while the running cost
+    * (token count, char count — any non-negative integer) stays
+    * within `budget`; the first overflowing hit and everything after
+    * it drop. Because costs are non-negative the running sum is
+    * monotone, so "running total ≤ budget" IS the greedy prefix — a
+    * negative cost would silently turn the prefix into a knapsack and
+    * refuses loudly instead, as does a duplicate rank within a query
+    * (the prefix would depend on arrival order). Output: the kept
+    * hits with their running `cum_cost`.
+    *
+    * Scale shape: one window pass partitioned by query (evaluation
+    * grain — hits are a top-k stage's output, never a corpus). */
+  def packContextByBudget(
+      hits: DataFrame,
+      queryCol: String,
+      rankCol: String,
+      costCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0L, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val checkedCost = when(col(costCol).isNull || col(costCol) < 0,
+      raise_error(concat(
+        lit("packContextByBudget: cost must be a non-negative integer "),
+        lit("for query '"), col(queryCol).cast("string"),
+        lit("' rank "), col(rankCol).cast("string"),
+        lit("; got: "), col(costCol).cast("string"))))
+      .otherwise(col(costCol).cast("long"))
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol))
+    val dupW = Window.partitionBy(col(queryCol), col(rankCol))
+    hits
+      .withColumn("__dups", count(lit(1)).over(dupW))
+      .withColumn("cum_cost",
+        when(col("__dups") > 1, raise_error(concat(
+          lit("packContextByBudget: duplicate rank "), col(rankCol).cast("string"),
+          lit(" for query '"), col(queryCol).cast("string"),
+          lit("' — the greedy prefix would be arrival-order-dependent"))))
+          .otherwise(sum(checkedCost).over(w)))
+      .drop("__dups")
+      .filter(col("cum_cost") <= budget)
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the standard diversification pass between retrieval
+    * and the context window: greedily pick k candidates maximizing
+    * `λ·relevance − (1−λ)·max cosine to the already-picked set`, so a
+    * page of near-duplicate chunks collapses to one representative and
+    * the rest of the budget covers the query's other aspects.
+    *
+    * Deterministic and oracle-replayable end to end: candidates sort
+    * canonically by doc id, every greedy step picks via one ordered
+    * scan (score desc, doc asc — the engine-wide tie order), the
+    * penalty is the exact q54 cosine arithmetic, and the whole greedy
+    * runs as a HOF fold over the COLLECTED candidate array — which the
+    * oracle engine mirrors as a recursive CTE carrying the picked-set
+    * state. A candidate whose vector has zero norm scores a NaN
+    * penalty and sinks to the end of every pick order (NaN sorts
+    * greatest in both engines).
+    *
+    * Scale shape: candidates are a PREVIOUS top-k stage's output —
+    * evaluation grain, never the corpus. Per query the fold costs
+    * O(k · n · |picked|) interpreted-HOF cosine evaluations (n =
+    * candidates ≤ `maxCandidates`, the loud ceiling: the greedy is
+    * quadratic-ish by nature, so a caller feeding a raw corpus refuses
+    * instead of melting). Duplicate (query, doc) candidates refuse
+    * loudly — the greedy's remove-by-id would silently drop both
+    * copies. Output: `(queryCol, docCol, mmr_rank, mmr_r)` — `mmr_r`
+    * is the pick-time MMR objective (6dp); the first pick's is
+    * `λ·relevance` exactly. */
+  def mmrRerank(
+      candidates: DataFrame,
+      queryCol: String,
+      docCol: String,
+      scoreCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.7,
+      maxCandidates: Int = 1024
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    require(maxCandidates >= 1, "maxCandidates must be >= 1")
+    val uniq = candidates
+      .filter(col(queryCol).isNotNull && col(docCol).isNotNull &&
+        col(scoreCol).isNotNull && col(vecCol).isNotNull)
+      .groupBy(col(queryCol).as("__q"), col(docCol).as("__d"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(scoreCol).cast("double").as("score"),
+          col(vecCol).cast("array<double>").as("vec"))).as("__sv"))
+      .select(col("__q"), col("__d"),
+        when(col("__c") > 1, raise_error(concat(
+          lit("mmrRerank: candidate '"), col("__d").cast("string"),
+          lit("' appears twice for query '"), col("__q").cast("string"),
+          lit("' — dedupe the candidate stage upstream")))).otherwise(col("__sv"))
+          .as("__sv"))
+    val grouped = uniq.groupBy("__q")
+      .agg(count(lit(1)).as("__n"),
+        array_sort(collect_list(struct(col("__d").as("doc"),
+          col("__sv.score").as("score"), col("__sv.vec").as("vec"))))
+          .as("__cands"))
+      .select(col("__q"),
+        when(col("__n") > maxCandidates, raise_error(concat(
+          lit("mmrRerank: query '"), col("__q").cast("string"),
+          lit(s"' has more than $maxCandidates candidates — the greedy is "),
+          lit("O(k·n·picked); feed a top-k stage's output, not a corpus"))))
+          .otherwise(col("__cands")).as("__cands"))
+    // the greedy fold: accumulator (sel, rem); each step scores every
+    // remaining candidate against the picked set and takes the ordered
+    // scan's head (score desc, doc asc via the (-mmr, doc) struct sort)
+    def mmrOf(sel: Column, c: Column): Column =
+      lit(lambda) * c.getField("score") - lit(1.0 - lambda) *
+        coalesce(array_max(transform(sel,
+          s => Similarity.cosine(c.getField("vec"), s.getField("vec")))),
+          lit(0.0))
+    val selProto = transform(col("__cands"), c => struct(
+      c.getField("doc").as("doc"), c.getField("vec").as("vec"),
+      lit(0.0).as("mmr")))
+    val zero = struct(slice(selProto, 1, 0).as("sel"), col("__cands").as("rem"))
+    val folded = aggregate(
+      sequence(lit(1), lit(k)), zero,
+      (acc, _) => {
+        val sel = acc.getField("sel")
+        val rem = acc.getField("rem")
+        val scored = transform(rem, c => struct(
+          (-mmrOf(sel, c)).as("negm"), c.getField("doc").as("doc"),
+          c.getField("vec").as("vec")))
+        val best = element_at(array_sort(scored), 1)
+        val newSel = concat(sel, array(struct(
+          best.getField("doc").as("doc"), best.getField("vec").as("vec"),
+          (-best.getField("negm")).as("mmr"))))
+        val newRem = filter(rem, c => !(c.getField("doc") === best.getField("doc")))
+        when(size(rem) === 0, acc)
+          .otherwise(struct(newSel.as("sel"), newRem.as("rem")))
+      },
+      acc => acc.getField("sel"))
+    grouped
+      .select(col("__q"), posexplode(folded))
+      .select(col("__q").as(queryCol), col("col.doc").as(docCol),
+        (col("pos") + 1).cast("int").as("mmr_rank"),
+        (round(col("col.mmr"), 6) + lit(0.0)).as("mmr_r"))
+  }
+
   /** SERVED HYBRID RETRIEVAL — the query shape a RAG stack actually
     * runs, as ONE operator: keyword candidates from the persisted BM25
     * postings tree ([[bm25SearchPreindexed]], reads pruned to the query

@@ -3130,6 +3130,55 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     // grain, cid provenance mapped back to (doc_id, chunk_idx)
     "q292_rag_prf_served" -> ragChunksPrfSql,
 
+    // RAG context expansion: ±1-neighbor stitch of the served chunk
+    // hits — pinned as EXACT source-span reconstruction
+    // (substr(text, lo·150+1, (hi−lo)·150+200), the overlap-trim
+    // identity)
+    "q295_rag_context" -> (ragChunkRunCtes +
+      s""", hit AS (
+         |  SELECT qid, cid, rank FROM rk WHERE rank <= 5
+         |), span AS (
+         |  SELECT h.qid, h.rank, h.cid, h.cid // 1000 AS doc_id,
+         |    greatest(h.cid % 1000 - 1, 0) AS clo,
+         |    least(h.cid % 1000 + 1, n.nc - 1) AS chi,
+         |    n.text
+         |  FROM hit h JOIN n ON n.doc_id = h.cid // 1000
+         |)
+         |SELECT qid, rank, doc_id, clo AS chunk_lo, chi AS chunk_hi,
+         |  substr(text, CAST(clo * 150 + 1 AS BIGINT),
+         |    CAST((chi - clo) * 150 + 200 AS BIGINT)) AS context
+         |FROM span ORDER BY qid, rank""".stripMargin),
+
+    // token-budget context packing: the q295 contexts in rank order
+    // under a running-sum 200-token ceiling (monotone greedy prefix)
+    "q296_context_budget" -> (ragChunkRunCtes +
+      s""", hit AS (
+         |  SELECT qid, cid, rank FROM rk WHERE rank <= 5
+         |), span AS (
+         |  SELECT h.qid, h.rank, h.cid, h.cid // 1000 AS doc_id,
+         |    greatest(h.cid % 1000 - 1, 0) AS clo,
+         |    least(h.cid % 1000 + 1, n.nc - 1) AS chi,
+         |    n.text
+         |  FROM hit h JOIN n ON n.doc_id = h.cid // 1000
+         |), ctx AS (
+         |  SELECT qid, rank, doc_id,
+         |    substr(text, CAST(clo * 150 + 1 AS BIGINT),
+         |      CAST((chi - clo) * 150 + 200 AS BIGINT)) AS context
+         |  FROM span
+         |), cost AS (
+         |  SELECT qid, rank, doc_id,
+         |    CASE WHEN len(regexp_replace(context, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |         ELSE len(string_split_regex(regexp_replace(context, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tokens
+         |  FROM ctx
+         |), packed AS (
+         |  SELECT qid, rank, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY qid ORDER BY rank) AS cum_cost
+         |  FROM cost
+         |)
+         |SELECT qid, rank, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(cum_cost AS BIGINT) AS cum_cost
+         |FROM packed WHERE cum_cost <= 200 ORDER BY qid, rank""".stripMargin),
+
     // sharded-export manifest: md5-prefix shard routing, exact counts,
     // order-independent integer id checksums
     // the takedown'd delivery manifest re-derived over the SURVIVORS:

@@ -2237,6 +2237,25 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("query_id", "nn_rank")
     },
 
+    "q294_mmr_rerank" -> { (s, dir) =>
+      // MMR diversification between retrieval and the context window:
+      // the q191 served IVF candidates (top-20) re-rank greedily by
+      // λ·cosine − (1−λ)·max-sim-to-picked (λ = 0.7), so near-duplicate
+      // neighbors collapse and the page covers more of the query's
+      // neighborhood — the oracle replays the greedy as a recursive
+      // CTE carrying the picked set
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      val path = ServeState.forDir(emb, cents, dir)
+      val cand = Similarity.ivfTopKPreassigned(
+          s.read.parquet(s"$path/corpus"), emb.filter(col("vec_id") < 5),
+          k = 20, Similarity.loadIvfCentroids(s, path), nProbe = 4)
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      graft.ops.Retrieval.mmrRerank(cand, "query_id", "vec_id", "cosine",
+          "embedding", k = 10, lambda = 0.7)
+        .orderBy("query_id", "mmr_rank")
+    },
+
     "q192_skew_report" -> { (s, dir) =>
       // heavy-key diagnostic before a big join/groupBy: top-20 suppliers
       // by lineitem rows with their share — one count shuffle + the
@@ -3248,6 +3267,56 @@ object PipelineQueries extends OracleSqlStatic {
           expr("cid div 1000").as("doc_id"),
           pmod(col("cid"), lit(1000L)).as("chunk_idx"),
           roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
+    },
+
+    "q295_rag_context" -> { (s, dir) =>
+      // RAG context expansion: the q274-served chunk hits stitch their
+      // ±1 neighbors back into the contiguous source span using ONLY
+      // the chunk corpus — the oracle pins the STRONG property that
+      // the stitch reconstructs substr(text, span) of the original
+      // document exactly (overlap-trimmed concatenation)
+      val chunks = graft.ops.Retrieval.chunkText(
+          t(s, dir, "documents"), "doc_id", "text", chunkSize = 200, overlap = 50)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+      val idx = Bm25ChunkServeState.forDir(chunks, dir)
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val hits = graft.ops.Retrieval.bm25SearchPreindexed(
+        s, idx, qs, "qid", "qtext", topK = 5)
+      hits.select(col("qid"), col("rank"), col("cid"))
+        .join(graft.ops.Retrieval.expandChunkContext(
+          hits, chunks, "qid", "cid", window = 1), Seq("qid", "cid"))
+        .select(col("qid"), col("rank"), col("doc_id"),
+          col("chunk_lo"), col("chunk_hi"), col("context"))
+        .orderBy("qid", "rank")
+    },
+
+    "q296_context_budget" -> { (s, dir) =>
+      // the last serving step before prompt assembly: the q295
+      // expanded contexts pack greedily in rank order until the
+      // 200-token budget fills — the first overflowing hit and
+      // everything after it drop (monotone prefix, never a knapsack)
+      val chunks = graft.ops.Retrieval.chunkText(
+          t(s, dir, "documents"), "doc_id", "text", chunkSize = 200, overlap = 50)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+      val idx = Bm25ChunkServeState.forDir(chunks, dir)
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val hits = graft.ops.Retrieval.bm25SearchPreindexed(
+        s, idx, qs, "qid", "qtext", topK = 5)
+      val ctx = hits.select(col("qid"), col("rank"), col("cid"))
+        .join(graft.ops.Retrieval.expandChunkContext(
+          hits, chunks, "qid", "cid", window = 1), Seq("qid", "cid"))
+        .withColumn("n_tokens", graft.ops.TextAnalysis.tokenCount(col("context")))
+      graft.ops.Retrieval.packContextByBudget(ctx, "qid", "rank", "n_tokens",
+          budget = 200L)
+        .select(col("qid"), col("rank"), col("doc_id"), col("n_tokens"),
+          col("cum_cost"))
         .orderBy("qid", "rank")
     },
 
@@ -4521,6 +4590,10 @@ object PipelineQueries extends OracleSqlStatic {
       // served hybrid: the q84 lexical run + the q54 vector chain
       // (same quantizer, queries 1–3) fused by the q218 RRF fold
       "q290_hybrid_served" -> q290HybridSql(rows),
+      // MMR diversification over the q54 top-20: the greedy replays as
+      // a recursive CTE carrying the picked ids/vectors; λ and 1−λ
+      // interpolate as exact doubles (1−0.7 is NOT 0.3 in IEEE)
+      "q294_mmr_rerank" -> q294MmrSql(rows),
       // embedding-space outliers: same literal-centroid cells, dist² in
       // integer micro-units, exact-moment z per cell (the q85 contract)
       "q194_embedding_outliers" ->
@@ -4658,6 +4731,84 @@ object PipelineQueries extends OracleSqlStatic {
        |)
        |SELECT qid, doc_id, round(rrf, 6) + 0.0 AS rrf_score_r, fused_rank
        |FROM frk WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
+
+  /** q294: MMR re-ranking of the q54/q191 IVF top-20 — the recursive
+    * CTE carries the picked (ids, vectors, objectives) per query; each
+    * step's pick is `max(struct(m, −doc, v))` (= objective desc, doc
+    * asc, the engine's tie order), with the penalty cosine the exact
+    * q54 arithmetic over the carried vectors. */
+  private[queries] def q294MmrSql(rows: String): String = {
+    val lam = 0.7
+    val oneMinus = 1.0 - lam // NOT 0.3: interpolate the exact IEEE value
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (
+       |  SELECT * FROM (VALUES
+       |$rows
+       |  ) t(list_id, c, c2)
+       |), cells AS (
+       |  SELECT e.vec_id, cent.list_id,
+       |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
+       |  FROM e, cent
+       |), assigned AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
+       |    FROM cells) WHERE rn = 1
+       |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT q.query_id, cent.list_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY 2.0 * list_dot_product(q.qv, cent.c) - cent.c2 DESC, cent.list_id) AS rn
+       |    FROM q, cent) WHERE rn <= 4
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    list_dot_product(q.qv, e.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+       |  FROM probes p
+       |  JOIN assigned a USING (list_id)
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id
+       |), cand AS MATERIALIZED (
+       |  SELECT query_id, vec_id, cosine, v FROM (
+       |    SELECT sc.query_id, sc.vec_id, sc.cosine, e.v,
+       |      row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.cosine DESC, sc.vec_id) AS nn_rank
+       |    FROM scored sc JOIN e USING (vec_id)
+       |    WHERE NOT isnan(sc.cosine)) WHERE nn_rank <= 20
+       |), sel AS (
+       |  SELECT query_id, 0 AS step,
+       |    CAST([] AS BIGINT[]) AS ids, CAST([] AS DOUBLE[][]) AS vecs,
+       |    CAST([] AS DOUBLE[]) AS mmrs
+       |  FROM (SELECT DISTINCT query_id FROM cand)
+       |  UNION ALL
+       |  SELECT p.query_id, p.step + 1,
+       |    list_append(p.ids, -p.pick.nd),
+       |    list_append(p.vecs, p.pick.v),
+       |    list_append(p.mmrs, p.pick.m)
+       |  FROM (
+       |    SELECT s.query_id, s.step, s.ids, s.vecs, s.mmrs,
+       |      max(struct_pack(
+       |        m := CAST(${lam.toString} AS DOUBLE) * c.cosine
+       |          - CAST(${oneMinus.toString} AS DOUBLE) * coalesce(
+       |            list_max(list_transform(s.vecs, sv ->
+       |              list_dot_product(c.v, sv) /
+       |                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(sv, sv))))),
+       |            CAST(0.0 AS DOUBLE)),
+       |        nd := -c.vec_id,
+       |        v := c.v)) AS pick
+       |    FROM sel s JOIN cand c
+       |      ON c.query_id = s.query_id AND NOT list_contains(s.ids, c.vec_id)
+       |    WHERE s.step < 10
+       |    GROUP BY s.query_id, s.step, s.ids, s.vecs, s.mmrs
+       |  ) p
+       |)
+       |SELECT query_id, ids[i] AS vec_id, i AS mmr_rank,
+       |  round(mmrs[i], 6) + 0.0 AS mmr_r
+       |FROM sel, UNNEST(range(1, len(ids) + 1)) t(i)
+       |WHERE step = (SELECT max(step) FROM sel s2 WHERE s2.query_id = sel.query_id)
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
 
   /** Static oracles plus the trained-quantizer q54/q111 oracles and the
     * trained-PQ q149/q150 oracles (present once the corresponding query

@@ -191,6 +191,124 @@ class RetrievalSpec extends SparkSpec {
     assert(eMis.getMessage.contains("out of step"), eMis.getMessage)
   }
 
+  test("expandChunkContext: stitch reconstructs the exact source span, edges clamp") {
+    // a 520-char doc chunks into 4 windows (200 @ stride 150)
+    val text = (0 until 520).map(i => ('a' + (i % 26)).toChar).mkString
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = Retrieval.chunkText(docs, "doc_id", "text", 200, 50)
+      .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+    assert(chunks.count() == 4)
+    def ctx(cid: Long, w: Int) = Retrieval.expandChunkContext(
+        Seq((1L, cid)).toDF("qid", "cid"), chunks, "qid", "cid", window = w)
+      .head()
+    // middle hit: ±1 stitch == the exact original span [150, 500)
+    val mid = ctx(7001L, 1)
+    assert(mid.getAs[Long]("doc_id") == 7L &&
+      mid.getAs[Long]("chunk_lo") == 0L && mid.getAs[Long]("chunk_hi") == 2L)
+    assert(mid.getAs[String]("context") == text.substring(0, 500),
+      "stitch must reconstruct the source span exactly")
+    val mid2 = ctx(7002L, 1)
+    assert(mid2.getAs[String]("context") == text.substring(150, 520) &&
+      mid2.getAs[Long]("chunk_lo") == 1L && mid2.getAs[Long]("chunk_hi") == 3L)
+    // left edge clamps at chunk 0; right edge at the last chunk
+    val first = ctx(7000L, 1)
+    assert(first.getAs[Long]("chunk_lo") == 0L && first.getAs[Long]("chunk_hi") == 1L)
+    assert(first.getAs[String]("context") == text.substring(0, 350))
+    val last = ctx(7003L, 1)
+    assert(last.getAs[Long]("chunk_lo") == 2L && last.getAs[Long]("chunk_hi") == 3L)
+    assert(last.getAs[String]("context") == text.substring(300, 520))
+    // window = 0 returns the hit chunk itself
+    assert(ctx(7001L, 0).getAs[String]("context") == text.substring(150, 350))
+    // a wide window covers the whole doc
+    assert(ctx(7000L, 10).getAs[String]("context") == text)
+  }
+
+  test("packContextByBudget: monotone greedy prefix, overflow stops, guards refuse") {
+    val hits = Seq(
+      (1L, 1, 50L), (1L, 2, 60L), (1L, 3, 70L), (1L, 4, 10L),
+      (2L, 1, 300L), (2L, 2, 10L)
+    ).toDF("qid", "rank", "cost")
+    val r = Retrieval.packContextByBudget(hits, "qid", "rank", "cost", 120L)
+      .orderBy("qid", "rank")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getAs[Long]("cum_cost")))
+    // qid 1: 50, 110 kept; rank 3 overflows (180) and rank 4 drops
+    // WITH it (prefix semantics — a knapsack would sneak rank 4 in)
+    assert(r.toSeq == Seq((1L, 1, 50L), (1L, 2, 110L)), r.mkString(", "))
+    // qid 2: the very first hit overflows -> the query packs nothing
+    assert(!r.exists(_._1 == 2L))
+    // a negative cost refuses loudly (prefix would become a knapsack)
+    val e1 = intercept[Exception] {
+      Retrieval.packContextByBudget(
+        Seq((1L, 1, -5L)).toDF("qid", "rank", "cost"),
+        "qid", "rank", "cost", 100L).collect()
+    }
+    assert(e1.getMessage.contains("non-negative"), e1.getMessage)
+    // duplicate ranks refuse loudly (arrival-order-dependent prefix)
+    val e2 = intercept[Exception] {
+      Retrieval.packContextByBudget(
+        Seq((1L, 1, 5L), (1L, 1, 6L)).toDF("qid", "rank", "cost"),
+        "qid", "rank", "cost", 100L).collect()
+    }
+    assert(e2.getMessage.contains("duplicate rank"), e2.getMessage)
+    // partition invariance
+    val a = Retrieval.packContextByBudget(hits, "qid", "rank", "cost", 120L)
+      .collect().map(_.toSeq).toSet
+    val b = Retrieval.packContextByBudget(hits.repartition(5), "qid", "rank",
+      "cost", 120L).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("mmrRerank: diversification beats a near-duplicate, hand-checked objective, guards") {
+    // qid 1: doc 11 is a near-duplicate of top hit 10; MMR's second
+    // pick must be the DIVERSE doc 12 even though 11 outscores it.
+    // Hand values (λ = 0.7): pick1 = 10 @ 0.7·0.9 = 0.63; pick2 = 12 @
+    // 0.7·0.5 − 0.3·cos(12,10) = 0.35; pick3 = 11 @ 0.7·0.89 −
+    // 0.3·max(cos(11,10), cos(11,12)) ≈ 0.324519
+    val cands = Seq(
+      (1L, 10L, 0.9, Seq(1.0, 0.0)),
+      (1L, 11L, 0.89, Seq(0.99, 0.1)),
+      (1L, 12L, 0.5, Seq(0.0, 1.0)),
+      (1L, 13L, 0.4, Seq(0.1, 0.9)),
+      (2L, 20L, 0.8, Seq(1.0, 0.0)),
+      (2L, 21L, 0.7, Seq(0.0, 1.0))
+    ).toDF("qid", "doc", "rel", "vec")
+    val r = Retrieval.mmrRerank(cands, "qid", "doc", "rel", "vec", k = 3)
+      .orderBy("qid", "mmr_rank")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3)))
+    assert(r.map(t => (t._1, t._3, t._2)).toSeq == Seq(
+      (1L, 1, 10L), (1L, 2, 12L), (1L, 3, 11L),
+      (2L, 1, 20L), (2L, 2, 21L)),
+      r.mkString(", "))
+    assert(r(0)._4 == 0.63 && r(1)._4 == 0.35 && r(2)._4 == 0.324519, r.mkString(", "))
+    // qid 2 runs out of candidates before k: truncates, no padding
+    assert(r.count(_._1 == 2L) == 2)
+    // duplicate (query, doc) candidates refuse loudly
+    val dup = cands.unionByName(Seq((1L, 10L, 0.5, Seq(1.0, 0.0)))
+      .toDF("qid", "doc", "rel", "vec"))
+    val e1 = intercept[Exception] {
+      Retrieval.mmrRerank(dup, "qid", "doc", "rel", "vec", k = 2).collect()
+    }
+    assert(e1.getMessage.contains("appears twice"), e1.getMessage)
+    // candidate ceiling refuses loudly (the greedy is quadratic-ish)
+    val e2 = intercept[Exception] {
+      Retrieval.mmrRerank(cands, "qid", "doc", "rel", "vec", k = 2,
+        maxCandidates = 3).collect()
+    }
+    assert(e2.getMessage.contains("top-k stage"), e2.getMessage)
+    // partition invariance
+    val a = Retrieval.mmrRerank(cands, "qid", "doc", "rel", "vec", k = 3)
+      .collect().map(_.toSeq).toSet
+    val b = Retrieval.mmrRerank(cands.repartition(7), "qid", "doc", "rel", "vec",
+      k = 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+    // pure-relevance degenerate case: λ = 1 reproduces the score order
+    val pure = Retrieval.mmrRerank(cands, "qid", "doc", "rel", "vec", k = 3,
+        lambda = 1.0)
+      .filter(col("qid") === 1L).orderBy("mmr_rank")
+      .collect().map(_.getLong(1)).toSeq
+    assert(pure == Seq(10L, 11L, 12L), pure.toString)
+  }
+
   test("bm25Search is partition-invariant") {
     val docs = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} tail")).toDF("doc_id", "text")
     val qs = Seq((1L, "w1 w2"), (2L, "w3 tail")).toDF("qid", "qtext")
