@@ -534,6 +534,65 @@ object Retrieval {
     compactBm25Forward(spark, bm25ForwardPathFor(indexPath))
   }
 
+  /** CHUNK-GRAIN RIGHT-TO-BE-FORGOTTEN — takedown by DOCUMENT id
+    * against a CHUNK-keyed index (the q269/q274/[[chunkText]] cid
+    * convention `cid = doc_id · maxChunksPerDoc + chunk_idx`): the
+    * forgotten documents' chunk ids are recovered from the index's own
+    * `doclens` ledger by the arithmetic `cid div maxChunksPerDoc` — no
+    * chunker re-run, no corpus access, so the takedown works even when
+    * the source document is already gone (the RTBF norm). The derived
+    * cid set removes through [[removeFromBm25WithForward]] when the
+    * fused forward sidecar exists (ONE marker covers the pair — served
+    * chunk-grain PRF cannot keep feedback terms from a forgotten
+    * document) and [[removeFromBm25Index]] otherwise. Post-commit,
+    * chunk searches ≡ an index rebuilt from the surviving documents'
+    * chunks (oracle-pinned, the q256 discipline at chunk grain).
+    *
+    * Loud id discipline (the [[graft.ops.GroupTopK]] convention): a
+    * non-long-castable doc id refuses with the
+    * [[graft.ops.Ids.withSurrogateId]] pointer rather than silently
+    * matching nothing. `maxChunksPerDoc` must equal the value the index
+    * was CHUNKED with — a mismatch would take down the wrong cid range.
+    *
+    * Scale shape: one `doclens` scan (semi-joined against the
+    * broadcast takedown list) + the remove's own staged rewrite; the
+    * derived cid frame is |takedown list| · chunks-per-doc, broadcast-
+    * small by construction. */
+  def removeDocsFromChunkIndex(
+      docIds: DataFrame,
+      indexPath: String,
+      maxChunksPerDoc: Int = 1000
+  ): Unit = {
+    require(docIds.columns.length == 1,
+      s"docIds must be a one-column frame of document ids, got ${docIds.columns.toSeq}")
+    require(maxChunksPerDoc >= 1, "maxChunksPerDoc must be >= 1")
+    val spark = docIds.sparkSession
+    IndexCommit.recover(spark, indexPath)
+    val idc = docIds.columns.head
+    val idLong = col(idc).cast("long")
+    val checkedDoc = when(col(idc).isNotNull && idLong.isNull,
+        raise_error(concat(lit("removeDocsFromChunkIndex: doc id not castable to long: '"),
+          col(idc).cast("string"),
+          lit("' — map ids through graft.ops.Ids.withSurrogateId first"))))
+      .otherwise(idLong)
+    val rmDocs = docIds.select(checkedDoc.as("__doc")).na.drop().distinct()
+    val m = maxChunksPerDoc.toLong
+    // pin the derived cid sliver: the staged remove references it from
+    // several joins, and each reference would otherwise re-scan doclens
+    val cids = spark.read.parquet(s"$indexPath/doclens")
+      .select(col("__docid").cast("long").as("cid"))
+      .join(broadcast(rmDocs),
+        expr(s"cid div $m") === col("__doc"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fs = IndexCommit.fsFor(spark, indexPath)
+      val hasForward = fs.exists(new org.apache.hadoop.fs.Path(
+        s"${bm25ForwardPathFor(indexPath)}/stats"))
+      if (hasForward) removeFromBm25WithForward(cids, indexPath)
+      else removeFromBm25Index(cids, indexPath)
+    } finally { cids.unpersist(); () }
+  }
+
   /** [[bm25SearchPrf]] SERVED OFF THE PERSISTED ARTIFACTS — no corpus
     * scan anywhere: pass one is [[bm25SearchPreindexed]], the feedback
     * harvest reads the forward sidecar pruned to the feedback ids'
@@ -1322,6 +1381,42 @@ object Retrieval {
         pmod(col("__nlo"), lit(m)).as("chunk_lo"),
         pmod(col("__nhi"), lit(m)).as("chunk_hi"),
         col("context"))
+  }
+
+  /** CHUNK→DOCUMENT RANKING COLLAPSE — the grain adapter between
+    * chunk-level retrieval and document-level evaluation: a RAG stack
+    * retrieves CHUNKS (q269/q274/q292), but qrels and dedup policies
+    * live at DOCUMENT grain, and a page where three chunks of one
+    * document occupy ranks 1–3 is one hit, not three. Per query, each
+    * document (recovered arithmetically from
+    * `cid div maxChunksPerDoc`) keeps its BEST chunk rank, and
+    * documents re-rank by it (ties toward the smaller doc id — best
+    * chunk ranks are unique within a query, so ties only arise
+    * between documents sharing a best rank after upstream
+    * manipulation). Output:
+    * `(queryCol, doc_id, best_chunk_rank, doc_rank)` — feed it to
+    * [[graft.ops.RankEval.rankingMetrics]] with doc-grain qrels.
+    *
+    * Scale shape: one hash aggregation + one per-query window at
+    * evaluation grain (hits are a top-k page, never a corpus). */
+  def collapseChunkRanking(
+      hits: DataFrame,
+      queryCol: String,
+      cidCol: String,
+      rankCol: String,
+      maxChunksPerDoc: Int = 1000
+  ): DataFrame = {
+    require(maxChunksPerDoc >= 1, "maxChunksPerDoc must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val best = hits
+      .filter(col(queryCol).isNotNull && col(cidCol).isNotNull &&
+        col(rankCol).isNotNull)
+      .groupBy(col(queryCol),
+        expr(s"cast(`$cidCol` as bigint) div $maxChunksPerDoc").as("doc_id"))
+      .agg(min(col(rankCol).cast("long")).as("best_chunk_rank"))
+    best.withColumn("doc_rank",
+      row_number().over(Window.partitionBy(col(queryCol))
+        .orderBy(col("best_chunk_rank").asc, col("doc_id").asc)).cast("int"))
   }
 
   /** CONTEXT-WINDOW PACKING — the last step before prompt assembly:

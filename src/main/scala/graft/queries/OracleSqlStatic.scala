@@ -3149,6 +3149,21 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |    CAST((chi - clo) * 150 + 200 AS BIGINT)) AS context
          |FROM span ORDER BY qid, rank""".stripMargin),
 
+    // chunk→doc ranking collapse: best chunk rank per document, docs
+    // re-ranked (rank asc, doc asc) — the grain adapter for doc qrels
+    "q298_doc_collapse" -> (ragChunkRunCtes +
+      s""", hit AS (
+         |  SELECT qid, cid, rank FROM rk WHERE rank <= 10
+         |), b AS (
+         |  SELECT qid, cid // 1000 AS doc_id,
+         |    CAST(min(rank) AS BIGINT) AS best_chunk_rank
+         |  FROM hit GROUP BY 1, 2
+         |)
+         |SELECT qid, doc_id, best_chunk_rank,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY best_chunk_rank, doc_id) AS doc_rank
+         |FROM b ORDER BY qid, doc_rank""".stripMargin),
+
     // token-budget context packing: the q295 contexts in rank order
     // under a running-sum 200-token ceiling (monotone greedy prefix)
     "q296_context_budget" -> (ragChunkRunCtes +

@@ -2256,6 +2256,58 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("query_id", "mmr_rank")
     },
 
+    "q297_hybrid_mmr" -> { (s, dir) =>
+      // the full served first-stage: the q290 hybrid page (top-20)
+      // min-max-normalizes its fused scores per query (RRF and cosine
+      // live on different scales — normalization makes λ meaningful)
+      // and diversifies through MMR with the docs' embeddings — the
+      // retrieve → fuse → diversify pipeline in three oracle-pinned
+      // steps
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      val ivfPath = ServeState.forDir(emb, cents, dir)
+      val bm25Path = Bm25ServeState.forDir(docs, dir)
+      val qs = s.createDataFrame(Seq(
+          (1L, "query hash join"),
+          (2L, "window agg fast"),
+          (3L, "customer order value part"))).toDF("qid", "qtext")
+        .join(emb.select(col("vec_id").as("qid"), col("embedding")), Seq("qid"))
+      val page = graft.ops.Retrieval.hybridSearchPreindexed(
+        s, bm25Path, ivfPath, qs, "qid", "qtext", "embedding",
+        topK = 20, candK = 10, rrfK = 60, nProbe = 4)
+      val withVec = page.join(
+        emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      val ext = withVec.groupBy("qid")
+        .agg(min("rrf_score_r").as("__mn"), max("rrf_score_r").as("__mx"))
+      val cand = withVec.join(ext, Seq("qid"))
+        .withColumn("rel_n", when(col("__mx") === col("__mn"), lit(1.0))
+          .otherwise((col("rrf_score_r") - col("__mn")) /
+            (col("__mx") - col("__mn"))))
+      graft.ops.Retrieval.mmrRerank(cand, "qid", "doc_id", "rel_n",
+          "embedding", k = 10, lambda = 0.7)
+        .orderBy("qid", "mmr_rank")
+    },
+
+    "q298_doc_collapse" -> { (s, dir) =>
+      // the grain adapter between chunk retrieval and doc-grain eval:
+      // the q274-served top-10 chunk page collapses to documents by
+      // best chunk rank (three chunks of one doc at ranks 1-3 are ONE
+      // hit), re-ranked for doc-grain qrels
+      val chunks = graft.ops.Retrieval.chunkText(
+          t(s, dir, "documents"), "doc_id", "text", chunkSize = 200, overlap = 50)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+      val idx = Bm25ChunkServeState.forDir(chunks, dir)
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val hits = graft.ops.Retrieval.bm25SearchPreindexed(
+        s, idx, qs, "qid", "qtext", topK = 10)
+      graft.ops.Retrieval.collapseChunkRanking(hits, "qid", "cid", "rank")
+        .orderBy("qid", "doc_rank")
+    },
+
     "q192_skew_report" -> { (s, dir) =>
       // heavy-key diagnostic before a big join/groupBy: top-20 suppliers
       // by lineitem rows with their share — one count shuffle + the
@@ -4594,6 +4646,9 @@ object PipelineQueries extends OracleSqlStatic {
       // a recursive CTE carrying the picked ids/vectors; λ and 1−λ
       // interpolate as exact doubles (1−0.7 is NOT 0.3 in IEEE)
       "q294_mmr_rerank" -> q294MmrSql(rows),
+      // the hybrid page (q290 chain, top-20), min-max normalized per
+      // query, diversified by the q294 recursive greedy
+      "q297_hybrid_mmr" -> q297HybridMmrSql(rows),
       // embedding-space outliers: same literal-centroid cells, dist² in
       // integer micro-units, exact-moment z per cell (the q85 contract)
       "q194_embedding_outliers" ->
@@ -4678,6 +4733,15 @@ object PipelineQueries extends OracleSqlStatic {
     * the q218 reciprocal-rank fold (k = 60, terms in system-name
     * order, fused ties toward the smaller doc id). */
   private[queries] def q290HybridSql(rows: String): String =
+    q290HybridChain(rows) +
+    s"""
+       |SELECT qid, doc_id, round(rrf, 6) + 0.0 AS rrf_score_r, fused_rank
+       |FROM frk WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
+
+  /** The q290 CTE chain alone (`WITH toks … frk`) — reused by the
+    * hybrid-page MMR oracle (q297), which appends normalization + the
+    * recursive greedy over the fused page. */
+  private[queries] def q290HybridChain(rows: String): String =
     bm25RunCtes("") +
     s""", e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (
@@ -4728,9 +4792,7 @@ object PipelineQueries extends OracleSqlStatic {
        |  SELECT qid, doc_id, rrf,
        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS fused_rank
        |  FROM fused
-       |)
-       |SELECT qid, doc_id, round(rrf, 6) + 0.0 AS rrf_score_r, fused_rank
-       |FROM frk WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
+       |)""".stripMargin
 
   /** q294: MMR re-ranking of the q54/q191 IVF top-20 — the recursive
     * CTE carries the picked (ids, vectors, objectives) per query; each
@@ -4808,6 +4870,62 @@ object PipelineQueries extends OracleSqlStatic {
        |FROM sel, UNNEST(range(1, len(ids) + 1)) t(i)
        |WHERE step = (SELECT max(step) FROM sel s2 WHERE s2.query_id = sel.query_id)
        |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
+  /** q297: the q290 fused page (top-20) joined to its vectors, scores
+    * min-max normalized per query (ties: a degenerate page of one
+    * score normalizes to 1.0), then the q294 recursive MMR greedy over
+    * the normalized relevance. The chain's leading `WITH` gains the
+    * RECURSIVE keyword the greedy needs. */
+  private[queries] def q297HybridMmrSql(rows: String): String = {
+    val lam = 0.7
+    val oneMinus = 1.0 - lam
+    q290HybridChain(rows).replaceFirst("WITH toks", "WITH RECURSIVE toks") +
+    s""", page AS (
+       |  SELECT qid, doc_id, round(rrf, 6) + 0.0 AS r
+       |  FROM frk WHERE fused_rank <= 20
+       |), pv AS MATERIALIZED (
+       |  SELECT p.qid, p.doc_id, p.r, e.v
+       |  FROM page p JOIN e ON e.vec_id = p.doc_id
+       |), ext AS (
+       |  SELECT qid, min(r) AS mn, max(r) AS mx FROM pv GROUP BY qid
+       |), cand2 AS MATERIALIZED (
+       |  SELECT pv.qid, pv.doc_id, pv.v,
+       |    CASE WHEN ext.mx = ext.mn THEN 1.0
+       |         ELSE (pv.r - ext.mn) / (ext.mx - ext.mn) END AS rel
+       |  FROM pv JOIN ext USING (qid)
+       |), msel AS (
+       |  SELECT qid, 0 AS step,
+       |    CAST([] AS BIGINT[]) AS ids, CAST([] AS DOUBLE[][]) AS vecs,
+       |    CAST([] AS DOUBLE[]) AS mmrs
+       |  FROM (SELECT DISTINCT qid FROM cand2)
+       |  UNION ALL
+       |  SELECT p.qid, p.step + 1,
+       |    list_append(p.ids, -p.pick.nd),
+       |    list_append(p.vecs, p.pick.v),
+       |    list_append(p.mmrs, p.pick.m)
+       |  FROM (
+       |    SELECT s.qid, s.step, s.ids, s.vecs, s.mmrs,
+       |      max(struct_pack(
+       |        m := CAST(${lam.toString} AS DOUBLE) * c.rel
+       |          - CAST(${oneMinus.toString} AS DOUBLE) * coalesce(
+       |            list_max(list_transform(s.vecs, sv ->
+       |              list_dot_product(c.v, sv) /
+       |                (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(sv, sv))))),
+       |            CAST(0.0 AS DOUBLE)),
+       |        nd := -c.doc_id,
+       |        v := c.v)) AS pick
+       |    FROM msel s JOIN cand2 c
+       |      ON c.qid = s.qid AND NOT list_contains(s.ids, c.doc_id)
+       |    WHERE s.step < 10
+       |    GROUP BY s.qid, s.step, s.ids, s.vecs, s.mmrs
+       |  ) p
+       |)
+       |SELECT qid, ids[i] AS doc_id, i AS mmr_rank,
+       |  round(mmrs[i], 6) + 0.0 AS mmr_r
+       |FROM msel, UNNEST(range(1, len(ids) + 1)) t(i)
+       |WHERE step = (SELECT max(step) FROM msel s2 WHERE s2.qid = msel.qid)
+       |ORDER BY qid, mmr_rank""".stripMargin
   }
 
   /** Static oracles plus the trained-quantizer q54/q111 oracles and the

@@ -850,6 +850,38 @@ object StreamingEval {
       ()
     }
 
+  /** Streaming HYBRID query serving — the [[bm25QueryStream]] /
+    * [[annQueryStream]] twin for
+    * [[graft.ops.Retrieval.hybridSearchPreindexed]]: each micro-batch
+    * of `(id, text, vector)` queries answers from BOTH persisted
+    * indexes (keyword buckets + probed IVF cells, each read
+    * partition-pruned) fused by reciprocal rank, and the fused page
+    * appends to `outPath`. Per-batch results equal the batch operator
+    * over the same queries (spec-pinned) — serving is stateless over
+    * the frozen artifacts. */
+  def hybridQueryStream(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      queryVecCol: String,
+      bm25IndexPath: String,
+      ivfIndexPath: String,
+      outPath: String,
+      topK: Int = 10,
+      candK: Int = 20,
+      rrfK: Int = 60,
+      nProbe: Int = 8
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      graft.ops.Retrieval.hybridSearchPreindexed(
+          spark, bm25IndexPath, ivfIndexPath, batch,
+          queryIdCol, queryTextCol, queryVecCol,
+          topK = topK, candK = candK, rrfK = rrfK, nProbe = nProbe)
+        .write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** Streaming LLM-as-judge consensus with CUMULATIVE labeler
     * calibration: each micro-batch of `(item, judge, label)` votes is
     * scored by [[graft.ops.Judges.consensusWithCounters]] against the

@@ -223,6 +223,34 @@ class RetrievalSpec extends SparkSpec {
     assert(ctx(7000L, 10).getAs[String]("context") == text)
   }
 
+  test("collapseChunkRanking: best chunk rank per doc, stable doc re-rank") {
+    // doc 7's chunks hold ranks 1 and 3; doc 9 holds rank 2: the doc
+    // page is 7 (best 1), 9 (best 2) — one hit per doc, not three rows
+    val hits = Seq(
+      (1L, 7001L, 1), (1L, 9000L, 2), (1L, 7003L, 3), (1L, 4002L, 4),
+      (2L, 9001L, 1)
+    ).toDF("qid", "cid", "rank")
+    val r = Retrieval.collapseChunkRanking(hits, "qid", "cid", "rank")
+      .orderBy("qid", "doc_rank")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    assert(r.toSeq == Seq(
+      (1L, 7L, 1L, 1), (1L, 9L, 2L, 2), (1L, 4L, 4L, 3),
+      (2L, 9L, 1L, 1)), r.mkString(", "))
+    // partition invariance
+    val a = Retrieval.collapseChunkRanking(hits, "qid", "cid", "rank")
+      .collect().map(_.toSeq).toSet
+    val b = Retrieval.collapseChunkRanking(hits.repartition(5), "qid", "cid",
+      "rank").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // feeds doc-grain eval directly: rankingMetrics accepts the output
+    val qrels = Seq((1L, 7L, 1), (1L, 4L, 1)).toDF("qid", "doc_id", "rel")
+    val m = graft.ops.RankEval.rankingMetrics(
+      Retrieval.collapseChunkRanking(hits, "qid", "cid", "rank"),
+      qrels, "qid", "doc_id", "doc_rank", "rel", k = 3)
+      .filter(col("qid") === 1L).head()
+    assert(m.getAs[Long]("n_hits") == 2L)
+  }
+
   test("packContextByBudget: monotone greedy prefix, overflow stops, guards refuse") {
     val hits = Seq(
       (1L, 1, 50L), (1L, 2, 60L), (1L, 3, 70L), (1L, 4, 10L),

@@ -1574,6 +1574,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming hybrid serving equals the batch fused operator per query batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Retrieval, Similarity}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hyb-srv").toString
+    val r = new scala.util.Random(7)
+    val corpus = (1L to 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} tail",
+      Seq.fill(4)(r.nextDouble())))
+      .toDF("doc_id", "text", "embedding")
+    Retrieval.saveBm25Index(corpus.select("doc_id", "text"), "doc_id", "text",
+      s"$dir/bm", numBuckets = 16)
+    val vecs = corpus.select(col("doc_id").as("vec_id"), col("embedding"))
+    val cents = Similarity.trainKmeansPortable(vecs, "vec_id", "embedding",
+      k = 4, iters = 2)
+    Similarity.saveIvfIndex(vecs, cents, s"$dir/iv")
+    // query ids OUTSIDE the corpus id space so the IVF self-exclusion
+    // doesn't hide corpus rows; vectors reuse corpus rows 1-3
+    val base = corpus.collect().map(x => (x.getLong(0), x.getString(1),
+      x.getSeq[Double](2)))
+    val qs = Seq((1000L, "w1 w2", base(0)._3), (1001L, "w3 tail", base(1)._3),
+      (1002L, "w4", base(2)._3))
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val query = graft.streaming.StreamingEval.hybridQueryStream(
+        input.toDF().toDF("qid", "qtext", "embedding"), "qid", "qtext",
+        "embedding", s"$dir/bm", s"$dir/iv", s"$dir/results",
+        topK = 5, candK = 5, nProbe = 2)
+      .start()
+    try {
+      input.addData(qs(0), qs(1))
+      query.processAllAvailable()
+      input.addData(qs(2))
+      query.processAllAvailable()
+      val streamed = spark.read.parquet(s"$dir/results")
+        .collect().map(_.toSeq).toSet
+      val batch = Retrieval.hybridSearchPreindexed(spark, s"$dir/bm",
+          s"$dir/iv", qs.toDF("qid", "qtext", "embedding"), "qid", "qtext",
+          "embedding", topK = 5, candK = 5, nProbe = 2)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming embedding drift: per-batch cells equal the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
