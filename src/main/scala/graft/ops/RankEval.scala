@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** RANKING-QUALITY evaluation for the retrieval family — the offline
@@ -306,5 +306,184 @@ object RankEval {
       lit(0L).as("replicas"))
     computed.unionByName(
       skeleton.join(computed.select("metric"), Seq("metric"), "left_anti"))
+  }
+
+  /** TREC-STYLE JUDGING POOL — the step between running retrieval
+    * systems and paying annotators: the union of every run's top
+    * `poolDepth` results per query, one row per (query, doc) with its
+    * provenance — how many systems surfaced it (`n_runs`), the best
+    * rank any gave it (`best_rank`), the contributing system names
+    * (`systems`, comma-joined in name order), and — when existing
+    * judgments are passed — whether it is already `judged` (the
+    * annotation queue is the `judged = false` slice). Duplicate
+    * (run, query, doc) rows within the depth collapse (provenance
+    * counts SYSTEMS, not rows); null ranks are ignored.
+    *
+    * Scale shape: one hash aggregation at pool grain
+    * (≤ |queries| · |systems| · depth rows — an evaluation page, never
+    * a corpus) + one left join against the judgments at (query, doc)
+    * grain. No windows, no driver state. */
+  def pooledJudgingSet(
+      runs: DataFrame,
+      queryCol: String,
+      docCol: String,
+      systemCol: String,
+      rankCol: String,
+      poolDepth: Int = 10,
+      qrels: Option[DataFrame] = None
+  ): DataFrame = {
+    require(poolDepth >= 1, "poolDepth must be >= 1")
+    val pool = runs
+      .filter(col(queryCol).isNotNull && col(docCol).isNotNull &&
+        col(rankCol).isNotNull && col(rankCol).cast("long") <= poolDepth)
+      .groupBy(col(queryCol), col(docCol))
+      .agg(
+        countDistinct(col(systemCol)).as("n_runs"),
+        min(col(rankCol).cast("long")).as("best_rank"),
+        concat_ws(",", array_sort(collect_set(col(systemCol).cast("string"))))
+          .as("systems"))
+    qrels match {
+      case None => pool
+      case Some(j) =>
+        val judged = j.select(col(queryCol), col(docCol)).distinct()
+          .withColumn("__judged", lit(true))
+        pool.join(judged, Seq(queryCol, docCol), "left")
+          .withColumn("judged", coalesce(col("__judged"), lit(false)))
+          .drop("__judged")
+    }
+  }
+
+  /** TEAM-DRAFT INTERLEAVING (Radlinski–Kurup–Joachims) — the online
+    * A/B for rankers: two systems' lists merge into ONE page, each
+    * position owned by the team that picked it, and clicks credit the
+    * owning team ([[interleaveCredit]]). Per query and step the team
+    * with fewer picks drafts its best not-yet-shown document; a tied
+    * count flips a DETERMINISTIC coin (md5 over (query, step) — the
+    * [[compareRuns]] bootstrap convention, so replays and the oracle
+    * agree); a team whose list is exhausted cedes the pick. `runs`
+    * must carry EXACTLY two distinct system names (refused loudly
+    * otherwise — interleaving is pairwise); team "a" is the
+    * lexicographically smaller name. Duplicate (system, query, doc)
+    * rows refuse loudly (the draft's remove-by-id would silently drop
+    * both). Output: `(queryCol, pos, docCol, team)` — `pos` 1-based,
+    * `team` the drafting system's name.
+    *
+    * Scale shape: the per-query draft is a sequential greedy by
+    * nature; it runs as an ordered fold over the two collected
+    * k-bounded lists (the [[Retrieval.mmrRerank]] HOF convention) —
+    * per-query state only, no driver loop, no window over the runs.
+    * Feed top-k pages (rank ≤ `maxRunLength` enforced loudly), never
+    * corpora. */
+  def teamDraftInterleave(
+      runs: DataFrame,
+      queryCol: String,
+      docCol: String,
+      systemCol: String,
+      rankCol: String,
+      k: Int = 10,
+      maxRunLength: Int = 1024
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRunLength >= 1, "maxRunLength must be >= 1")
+    val spark = runs.sparkSession
+    val sys2 = runs.select(col(systemCol).cast("string")).distinct()
+      .orderBy(col(systemCol)).collect().map(_.getString(0)).toSeq
+    require(sys2.length == 2,
+      s"teamDraftInterleave is pairwise: need exactly 2 systems, got $sys2")
+    val Seq(nameA, nameB) = sys2
+    val clean = runs
+      .filter(col(queryCol).isNotNull && col(docCol).isNotNull &&
+        col(rankCol).isNotNull)
+      .groupBy(col(queryCol).as("__q"), col(systemCol).cast("string").as("__s"),
+        col(docCol).as("__d"))
+      .agg(count(lit(1)).as("__c"), min(col(rankCol).cast("long")).as("__r"))
+      .select(col("__q"), col("__s"), col("__d"),
+        when(col("__c") > 1, raise_error(concat(
+          lit("teamDraftInterleave: document '"), col("__d").cast("string"),
+          lit("' appears twice in system '"), col("__s"),
+          lit("' for query '"), col("__q").cast("string"),
+          lit("' — dedupe the runs upstream")))).otherwise(col("__r")).as("__r"))
+      .select(col("__q"), col("__s"), col("__d"),
+        when(col("__r") > maxRunLength, raise_error(concat(
+          lit(s"teamDraftInterleave: rank beyond maxRunLength=$maxRunLength "),
+          lit("for query '"), col("__q").cast("string"),
+          lit("' — feed top-k pages, not corpora")))).otherwise(col("__r"))
+          .as("__r"))
+    def listOf(s: String) = array_sort(collect_list(
+      when(col("__s") === s, struct(col("__r").as("r"), col("__d").as("doc")))))
+    val grouped = clean.groupBy("__q").agg(
+      listOf(nameA).as("__la"), listOf(nameB).as("__lb"))
+    // the draft fold: accumulator (sel: picked structs, na, nb); each
+    // step resolves the drafting team (counts, then the md5 coin),
+    // takes that team's best unpicked doc, cedes to the other team on
+    // an exhausted list, and stops (acc unchanged) when both are dry
+    val docsOf = (sel: Column) => transform(sel, p => p.getField("doc"))
+    def headAvail(lst: Column, sel: Column): Column =
+      element_at(filter(lst,
+        c => !array_contains(docsOf(sel), c.getField("doc"))), 1)
+    val zero = struct(
+      slice(transform(col("__la"), c => struct(c.getField("doc").as("doc"),
+        lit("").as("team"))), 1, 0).as("sel"),
+      lit(0L).as("na"), lit(0L).as("nb"))
+    val folded = aggregate(
+      sequence(lit(1), lit(k)), zero,
+      (acc, step) => {
+        val sel = acc.getField("sel")
+        val pa = headAvail(col("__la"), sel)
+        val pb = headAvail(col("__lb"), sel)
+        val coinA = Bootstrap.unit(col("__q"), step) < 0.5
+        val wantA = (acc.getField("na") < acc.getField("nb")) ||
+          ((acc.getField("na") === acc.getField("nb")) && coinA)
+        val pickA = (wantA && pa.isNotNull) || (!wantA && pb.isNull && pa.isNotNull)
+        val pickB = !pickA && pb.isNotNull
+        val pick = when(pickA, struct(pa.getField("doc").as("doc"),
+            lit(nameA).as("team")))
+          .when(pickB, struct(pb.getField("doc").as("doc"), lit(nameB).as("team")))
+        when(pick.isNull, acc).otherwise(struct(
+          concat(sel, array(pick)).as("sel"),
+          (acc.getField("na") + when(pickA, 1L).otherwise(0L)).as("na"),
+          (acc.getField("nb") + when(pickB, 1L).otherwise(0L)).as("nb")))
+      },
+      acc => acc.getField("sel"))
+    grouped.select(col("__q"), posexplode(folded))
+      .select(col("__q").as(queryCol), (col("pos") + 1).cast("int").as("pos"),
+        col("col.doc").as(docCol), col("col.team").as("team"))
+  }
+
+  /** Click credit for a [[teamDraftInterleave]] page: clicks join the
+    * interleaved page at (query, pos) grain and credit the position's
+    * OWNING team; per query the higher credit wins. Output one row per
+    * interleaved query: `(queryCol, clicks_a, clicks_b, winner)` —
+    * `winner` is the winning system's name or null on a tie (including
+    * the all-zero no-click query, which still reports: silence is
+    * signal in an interleaving readout). Team "a" is the
+    * lexicographically smaller system name, matching the interleave.
+    * One broadcast-size join + one aggregation at query grain. */
+  def interleaveCredit(
+      interleaved: DataFrame,
+      clicks: DataFrame,
+      queryCol: String,
+      posCol: String
+  ): DataFrame = {
+    val sys2 = interleaved.select(col("team")).distinct()
+      .orderBy(col("team")).collect().map(_.getString(0)).toSeq
+    require(sys2.nonEmpty && sys2.length <= 2,
+      s"interleaveCredit: expected 1-2 team names, got $sys2")
+    val nameA = sys2.head
+    val nameB = if (sys2.length == 2) sys2(1) else sys2.head
+    val clicked = clicks.select(col(queryCol), col(posCol).cast("int").as("pos"))
+      .distinct().withColumn("__clicked", lit(1L))
+    interleaved
+      .join(clicked, Seq(queryCol, "pos"), "left")
+      .groupBy(col(queryCol))
+      .agg(
+        coalesce(sum(when(col("team") === nameA, col("__clicked"))), lit(0L))
+          .as("clicks_a"),
+        coalesce(sum(when(col("team") === nameB && lit(sys2.length == 2),
+          col("__clicked"))), lit(0L)).as("clicks_b"))
+      .withColumn("winner",
+        when(col("clicks_a") > col("clicks_b"), lit(nameA))
+          .when(col("clicks_b") > col("clicks_a"), lit(nameB))
+          .otherwise(lit(null).cast("string")))
   }
 }

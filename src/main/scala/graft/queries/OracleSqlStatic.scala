@@ -659,12 +659,19 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
   /** The q269 chunk-grain CTE chain alone (`WITH n ... rk`) — reused by
     * the chunk-grain PRF oracle (q292), which appends the q287 harvest
     * + second pass over the chunk run. */
-  private lazy val ragChunkRunCtes: String =
+  private lazy val ragChunkRunCtes: String = ragChunkRunCtesWhere("")
+
+  /** [[ragChunkRunCtes]] over an optionally FILTERED document corpus —
+    * the chunk-grain takedown oracle (q299) injects the survivor
+    * predicate, pinning post-delete chunk search ≡ rebuild from the
+    * surviving documents' chunks (the q256 discipline at chunk grain,
+    * exact because the remove's df subtraction IS the rebuild). */
+  private def ragChunkRunCtesWhere(corpusWhere: String): String =
     s"""WITH n AS (
        |  SELECT doc_id, text,
        |    CASE WHEN len(text) <= 200 THEN 1
        |         ELSE CAST(ceil(CAST(len(text) - 200 AS DOUBLE) / 150.0) AS BIGINT) + 1 END AS nc
-       |  FROM documents WHERE text IS NOT NULL
+       |  FROM documents WHERE text IS NOT NULL$corpusWhere
        |), ech AS (
        |  SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM n
        |), ch AS (
@@ -3163,6 +3170,16 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |  row_number() OVER (PARTITION BY qid
          |    ORDER BY best_chunk_rank, doc_id) AS doc_rank
          |FROM b ORDER BY qid, doc_rank""".stripMargin),
+
+    // chunk-grain RTBF: every doc_id % 7 == 3 document forgotten BY DOC
+    // ID against the chunk index (cids recovered from the doclens
+    // ledger, no corpus access); oracle = the chunk run over the
+    // surviving documents — post-delete serve ≡ rebuild
+    "q299_chunk_takedown" -> (ragChunkRunCtesWhere(" AND doc_id % 7 != 3") +
+      s"""
+         |SELECT qid, rank, cid // 1000 AS doc_id, cid % 1000 AS chunk_idx,
+         |  round(score, 6) + 0.0 AS score_r
+         |FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
     // token-budget context packing: the q295 contexts in rank order
     // under a running-sum 200-token ceiling (monotone greedy prefix)

@@ -260,6 +260,35 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** Post-TAKEDOWN chunk-grain BM25 index keyed by sf dir (q299): the
+    * q274 chunker's index rebuilt fresh, then every `doc_id % 7 == 3`
+    * DOCUMENT forgotten through
+    * [[graft.ops.Retrieval.removeDocsFromChunkIndex]] — the takedown
+    * list is doc ids only; the cid set comes from the index's own
+    * doclens ledger, so the oracle (chunk run over the surviving
+    * documents) pins the arithmetic recovery AND the df-exact remove. */
+  private[queries] object ChunkTakedownState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(docs: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-chunk-rm").toString
+            val chunks = graft.ops.Retrieval.chunkText(
+                docs, "doc_id", "text", chunkSize = 200, overlap = 50)
+              .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"),
+                col("chunk"))
+            graft.ops.Retrieval.saveBm25Index(chunks, "cid", "chunk", p,
+              numBuckets = 32)
+            graft.ops.Retrieval.removeDocsFromChunkIndex(
+              docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), p)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Post-TAKEDOWN IVF index keyed by sf dir (q257): q191's serving
     * artifact rebuilt fresh, then every `vec_id % 5 == 2` vector REMOVED
     * via [[graft.ops.Similarity.removeFromIvfIndex]]; the oracle assigns
@@ -2306,6 +2335,26 @@ object PipelineQueries extends OracleSqlStatic {
         s, idx, qs, "qid", "qtext", topK = 10)
       graft.ops.Retrieval.collapseChunkRanking(hits, "qid", "cid", "rank")
         .orderBy("qid", "doc_rank")
+    },
+
+    "q299_chunk_takedown" -> { (s, dir) =>
+      // chunk-grain right-to-be-forgotten BY DOCUMENT id: every
+      // doc_id % 7 == 3 document forgotten against the chunk index with
+      // the cid set recovered from the doclens ledger (no corpus
+      // access); serve over the survivor index ≡ rebuild from the
+      // surviving documents' chunks, bit for bit
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val idx = ChunkTakedownState.forDir(t(s, dir, "documents"), dir)
+      graft.ops.Retrieval.bm25SearchPreindexed(
+          s, idx, qs, "qid", "qtext", topK = 5)
+        .select(col("qid"), col("rank"),
+          expr("cid div 1000").as("doc_id"),
+          pmod(col("cid"), lit(1000L)).as("chunk_idx"),
+          roundz(col("score"), 6).as("score_r"))
+        .orderBy("qid", "rank")
     },
 
     "q192_skew_report" -> { (s, dir) =>

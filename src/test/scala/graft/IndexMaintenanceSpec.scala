@@ -613,4 +613,51 @@ class IndexMaintenanceSpec extends SparkSpec {
       ("bm25_forward", s"$fwd/docterms", "__docid")))
     assert(after.collect().forall(_.getAs[Boolean]("clean")))
   }
+
+  test("chunk-grain RTBF by DOC id: cids from doclens alone, fused pair scrubbed, plain path too, bad id refuses") {
+    def chunksOf(docs: Seq[(Long, String)]): DataFrame =
+      Retrieval.chunkText(docs.toDF("doc_id", "text"), "doc_id", "text",
+          chunkSize = 12, overlap = 4)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"), col("chunk"))
+    val longDocs = Seq(
+      (1L, "spark shuffles data between stages and resizes partitions"),
+      (2L, "broadcast joins avoid the shuffle on small dimension tables"),
+      (3L, "catalyst prunes columns and partitions before the scan"))
+    def serveChunks(d: String) = Retrieval.bm25SearchPreindexed(
+        spark, d, Seq((1L, "shuffle partitions"), (2L, "broadcast tables"))
+          .toDF("qid", "qtext"), "qid", "qtext", topK = 5)
+      .collect().map(_.toSeq).toSet
+    // fused chunk family: takedown by DOCUMENT id with NO corpus access
+    // (the source docs are "already deleted" — only the index exists)
+    val idx = tmp("graft-chunk-rtbf")
+    Retrieval.saveBm25WithForward(chunksOf(longDocs), "cid", "chunk", idx,
+      numBuckets = 8)
+    Retrieval.removeDocsFromChunkIndex(Seq(2L).toDF("doc_id"), idx)
+    val want = tmp("graft-chunk-rtbf-want")
+    Retrieval.saveBm25WithForward(chunksOf(longDocs.filterNot(_._1 == 2L)),
+      "cid", "chunk", want, numBuckets = 8)
+    for (t <- Seq("postings", "terms", "doclens", "stats",
+        "forward/docterms", "forward/stats"))
+      assert(tableRows(idx, t) == tableRows(want, t),
+        s"$t diverged after doc-grain chunk takedown")
+    assert(serveChunks(idx) == serveChunks(want))
+    assert(!serveChunks(idx).exists(r => r(2).asInstanceOf[Long] / 1000L == 2L),
+      "no chunk of the forgotten doc may serve")
+    // plain (sidecar-less) chunk index takes the index-only remove path
+    val plain = tmp("graft-chunk-rtbf-plain")
+    Retrieval.saveBm25Index(chunksOf(longDocs), "cid", "chunk", plain,
+      numBuckets = 8)
+    Retrieval.removeDocsFromChunkIndex(Seq(2L, 999L).toDF("doc_id"), plain)
+    val wantPlain = tmp("graft-chunk-rtbf-plainwant")
+    Retrieval.saveBm25Index(chunksOf(longDocs.filterNot(_._1 == 2L)),
+      "cid", "chunk", wantPlain, numBuckets = 8)
+    for (t <- Seq("postings", "terms", "doclens", "stats"))
+      assert(tableRows(plain, t) == tableRows(wantPlain, t),
+        s"$t diverged on the plain path (unknown id must no-op)")
+    // a non-castable doc id refuses loudly with the surrogate pointer
+    val e = intercept[Exception] {
+      Retrieval.removeDocsFromChunkIndex(Seq("doc-uuid-7").toDF("doc_id"), plain)
+    }
+    assert(e.getMessage.contains("withSurrogateId"), e.getMessage)
+  }
 }

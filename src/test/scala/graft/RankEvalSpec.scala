@@ -211,4 +211,129 @@ class RankEvalSpec extends SparkSpec {
       "qid", "doc", "rank", "rel", 3).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("pooledJudgingSet: union of top-depth with provenance; dup rows collapse; judged flag") {
+    val runs = Seq(
+      (1L, 10L, "A", 1), (1L, 11L, "A", 2), (1L, 12L, "A", 3),
+      (1L, 10L, "A", 2), // dup (run, q, doc): collapses, best rank kept
+      (1L, 11L, "B", 1), (1L, 13L, "B", 2),
+      (2L, 20L, "A", 1)
+    ).toDF("qid", "doc", "system", "rank")
+    val pool = RankEval.pooledJudgingSet(runs, "qid", "doc", "system", "rank",
+        poolDepth = 2)
+      .orderBy("qid", "doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // doc 12 is below depth; doc 10's dup collapses to one system
+    assert(pool.toSeq == Seq(
+      (1L, 10L, 1L, 1L, "A"), (1L, 11L, 2L, 1L, "A,B"),
+      (1L, 13L, 1L, 2L, "B"), (2L, 20L, 1L, 1L, "A")), pool.mkString(", "))
+    // judged flag: (1, 11) already judged -> the annotation queue is
+    // everything else
+    val j = Seq((1L, 11L, 2)).toDF("qid", "doc", "rel")
+    val flagged = RankEval.pooledJudgingSet(runs, "qid", "doc", "system",
+        "rank", poolDepth = 2, qrels = Some(j))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Boolean]("judged"))).toSet
+    assert(flagged == Set((1L, 10L, false), (1L, 11L, true),
+      (1L, 13L, false), (2L, 20L, false)))
+    // partition invariance
+    val x = RankEval.pooledJudgingSet(runs, "qid", "doc", "system", "rank", 2)
+      .collect().map(_.toSeq).toSet
+    val y = RankEval.pooledJudgingSet(runs.repartition(5), "qid", "doc",
+      "system", "rank", 2).collect().map(_.toSeq).toSet
+    assert(x == y)
+  }
+
+  test("teamDraftInterleave: differential vs a plain-Scala draft with the same coin; invariants") {
+    // two systems over 3 queries with different overlaps and lengths
+    // (q3's B list is short: exhaustion cedes picks to A)
+    val runs = Seq(
+      (1L, 10L, "sysA", 1), (1L, 11L, "sysA", 2), (1L, 12L, "sysA", 3),
+      (1L, 13L, "sysA", 4),
+      (1L, 11L, "sysB", 1), (1L, 14L, "sysB", 2), (1L, 10L, "sysB", 3),
+      (1L, 15L, "sysB", 4),
+      (2L, 20L, "sysA", 1), (2L, 21L, "sysA", 2),
+      (2L, 21L, "sysB", 1), (2L, 20L, "sysB", 2),
+      (3L, 30L, "sysA", 1), (3L, 31L, "sysA", 2), (3L, 32L, "sysA", 3),
+      (3L, 33L, "sysB", 1)
+    ).toDF("qid", "doc", "system", "rank")
+    val out = RankEval.teamDraftInterleave(runs, "qid", "doc", "system",
+        "rank", k = 4)
+      .orderBy("qid", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3)))
+    // the coin the operator uses, evaluated through the same expression
+    def coin(q: Long, step: Int): Boolean =
+      spark.range(1).select(
+        (graft.ops.Bootstrap.unit(lit(q), lit(step)) < 0.5).as("c"))
+        .head().getBoolean(0)
+    // plain-Scala team draft with that coin
+    val lists = Seq(1L, 2L, 3L).map { q =>
+      val rows = runs.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getInt(3))).filter(_._1 == q)
+      q -> (rows.filter(_._3 == "sysA").sortBy(_._4).map(_._2).toList,
+        rows.filter(_._3 == "sysB").sortBy(_._4).map(_._2).toList)
+    }.toMap
+    val want = lists.toSeq.sortBy(_._1).flatMap { case (q, (la, lb)) =>
+      var (sel, na, nb) = (List.empty[(Long, String)], 0, 0)
+      for (step <- 1 to 4) {
+        val pa = la.find(d => !sel.exists(_._1 == d))
+        val pb = lb.find(d => !sel.exists(_._1 == d))
+        val wantA = na < nb || (na == nb && coin(q, step))
+        val pickA = (wantA && pa.isDefined) || (!wantA && pb.isEmpty && pa.isDefined)
+        if (pickA) { sel :+= ((pa.get, "sysA")); na += 1 }
+        else if (pb.isDefined) { sel :+= ((pb.get, "sysB")); nb += 1 }
+      }
+      sel.zipWithIndex.map { case ((d, t), i) => (q, i + 1, d, t) }
+    }
+    assert(out.toSeq == want, s"\nout=${out.toSeq}\nwant=$want")
+    // invariants: no dup docs per query; team counts within 1 while
+    // both lists live; each team's picks follow its own rank order
+    for (q <- Seq(1L, 2L)) {
+      val page = out.filter(_._1 == q)
+      assert(page.map(_._3).distinct.length == page.length)
+      val (ca, cb) = (page.count(_._4 == "sysA"), page.count(_._4 == "sysB"))
+      assert(math.abs(ca - cb) <= 1, s"q$q counts $ca/$cb")
+    }
+    // q3: B exhausts after 1 doc, A cedes the rest
+    assert(out.filter(_._1 == 3L).count(_._4 == "sysB") == 1)
+    assert(out.filter(_._1 == 3L).length == 4)
+    // three systems refuse loudly
+    val e = intercept[Exception] {
+      RankEval.teamDraftInterleave(
+        runs.unionByName(Seq((1L, 99L, "sysC", 1))
+          .toDF("qid", "doc", "system", "rank")),
+        "qid", "doc", "system", "rank", k = 4)
+    }
+    assert(e.getMessage.contains("pairwise"))
+    // dup (system, query, doc) refuses loudly
+    val e2 = intercept[Exception] {
+      RankEval.teamDraftInterleave(
+        runs.unionByName(Seq((1L, 10L, "sysA", 9))
+          .toDF("qid", "doc", "system", "rank")),
+        "qid", "doc", "system", "rank", k = 4).collect()
+    }
+    assert(e2.getMessage.contains("appears twice"))
+    // partition invariance
+    val p2 = RankEval.teamDraftInterleave(runs.repartition(7), "qid", "doc",
+        "system", "rank", k = 4)
+      .collect().map(_.toSeq).toSet
+    assert(p2 == out.map(x => Seq[Any](x._1, x._2, x._3, x._4)).toSet)
+  }
+
+  test("interleaveCredit: clicks credit the owning team; silent queries report; dup clicks collapse") {
+    val page = Seq(
+      (1L, 1, 10L, "sysA"), (1L, 2, 11L, "sysB"), (1L, 3, 12L, "sysA"),
+      (2L, 1, 20L, "sysB"), (2L, 2, 21L, "sysA")
+    ).toDF("qid", "pos", "doc", "team")
+    val clicks = Seq((1L, 1), (1L, 3), (1L, 3), (9L, 1))
+      .toDF("qid", "pos") // dup click collapses; unknown query ignored
+    val r = RankEval.interleaveCredit(page, clicks, "qid", "pos")
+      .orderBy("qid")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getString(3)))
+    assert(r.toSeq == Seq((1L, 2L, 0L, "sysA"), (2L, 0L, 0L, null)),
+      r.mkString(", "))
+  }
 }
