@@ -661,6 +661,69 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     * + second pass over the chunk run. */
   private lazy val ragChunkRunCtes: String = ragChunkRunCtesWhere("")
 
+  /** The q218 two-system run pair (len-order vs md5-order, top-20 per
+    * lang) as a reusable chain ending in `u` — shared by the judging
+    * pool (q300) and the interleaving draft (q301/q302). */
+  private lazy val interleaveRunCtes: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, n_chars, text FROM documents WHERE text IS NOT NULL
+      |), a AS (
+      |  SELECT lang, doc_id, 'len' AS system, rank FROM (
+      |    SELECT lang, doc_id,
+      |      row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rank
+      |    FROM d) WHERE rank <= 20
+      |), b AS (
+      |  SELECT lang, doc_id, 'md5' AS system, rank FROM (
+      |    SELECT lang, doc_id,
+      |      row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rank
+      |    FROM d) WHERE rank <= 20
+      |), u AS (SELECT * FROM a UNION ALL SELECT * FROM b)""".stripMargin
+
+  /** The team-draft recursion over [[interleaveRunCtes]]'s `u` (k = 10):
+    * per lang the state carries (ids, teams, na, nb); each transition
+    * aggregates both systems' best unpicked candidate (min over a rank-
+    * first struct), resolves the drafting team — counts first, then the
+    * md5 coin over (lang, step) in [[graft.ops.Bootstrap.unit]]'s exact
+    * formula — and an exhausted list cedes the pick; recursion stops
+    * when no candidate remains (the join goes empty). */
+  private lazy val interleaveDraftCtes: String =
+    interleaveRunCtes +
+    """, msel AS (
+      |  SELECT lang, 0 AS step, CAST([] AS BIGINT[]) AS ids,
+      |    CAST([] AS VARCHAR[]) AS teams, 0 AS na, 0 AS nb
+      |  FROM (SELECT DISTINCT lang FROM u)
+      |  UNION ALL
+      |  SELECT p.lang, p.step + 1,
+      |    list_append(p.ids, CASE WHEN p.pick_a THEN p.pa.d ELSE p.pb.d END),
+      |    list_append(p.teams, CASE WHEN p.pick_a THEN 'len' ELSE 'md5' END),
+      |    p.na + CASE WHEN p.pick_a THEN 1 ELSE 0 END,
+      |    p.nb + CASE WHEN p.pick_a THEN 0 ELSE 1 END
+      |  FROM (
+      |    SELECT s2.*,
+      |      (s2.want_a AND s2.pa IS NOT NULL)
+      |        OR (NOT s2.want_a AND s2.pb IS NULL AND s2.pa IS NOT NULL)
+      |        AS pick_a
+      |    FROM (
+      |      SELECT s1.*,
+      |        (s1.na < s1.nb OR (s1.na = s1.nb AND s1.u01 < 0.5)) AS want_a
+      |      FROM (
+      |        SELECT s.lang, s.step, s.ids, s.teams, s.na, s.nb,
+      |          CAST(CAST(('0x' || substr(md5(s.lang || ':' ||
+      |            CAST(s.step + 1 AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+      |            / 1152921504606846976.0 AS u01,
+      |          min(CASE WHEN c.system = 'len'
+      |            THEN struct_pack(r := c.rank, d := c.doc_id) END) AS pa,
+      |          min(CASE WHEN c.system = 'md5'
+      |            THEN struct_pack(r := c.rank, d := c.doc_id) END) AS pb
+      |        FROM msel s JOIN u c
+      |          ON c.lang = s.lang AND NOT list_contains(s.ids, c.doc_id)
+      |        WHERE s.step < 10
+      |        GROUP BY ALL
+      |      ) s1
+      |    ) s2
+      |  ) p
+      |)""".stripMargin
+
   /** [[ragChunkRunCtes]] over an optionally FILTERED document corpus —
     * the chunk-grain takedown oracle (q299) injects the survivor
     * predicate, pinning post-delete chunk search ≡ rebuild from the
@@ -5514,6 +5577,58 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |  CAST(fused_rank AS BIGINT) AS fused_rank
         |FROM ranked WHERE fused_rank <= 10
         |ORDER BY lang, fused_rank""".stripMargin,
+
+    // TREC pooling over the q218 run pair: union of top-10 per lang,
+    // provenance (n_runs, best rank, comma-joined system names) and the
+    // judged flag vs the doc_id % 3 == 0 synthetic qrels
+    "q300_judging_pool" -> (interleaveRunCtes +
+      """, su AS (
+        |  SELECT DISTINCT lang, doc_id, system FROM u WHERE rank <= 10
+        |), sys AS (
+        |  SELECT lang, doc_id, string_agg(system, ',' ORDER BY system) AS systems
+        |  FROM su GROUP BY 1, 2
+        |), pool AS (
+        |  SELECT lang, doc_id, count(DISTINCT system) AS n_runs,
+        |    CAST(min(rank) AS BIGINT) AS best_rank
+        |  FROM u WHERE rank <= 10 GROUP BY 1, 2
+        |)
+        |SELECT p.lang, p.doc_id, p.n_runs, p.best_rank, s.systems,
+        |  (p.doc_id % 3 = 0) AS judged
+        |FROM pool p JOIN sys s USING (lang, doc_id)
+        |ORDER BY p.lang, p.doc_id""".stripMargin),
+
+    // team-draft interleaving of the q218 run pair: the recursive CTE
+    // replays the draft — counts decide the team, ties flip the md5
+    // coin over (lang, step), an exhausted list cedes the pick
+    "q301_interleave" -> (interleaveDraftCtes +
+      """
+        |SELECT lang, i AS pos, ids[i] AS doc_id, teams[i] AS team
+        |FROM msel, UNNEST(range(1, len(ids) + 1)) t(i)
+        |WHERE step = (SELECT max(step) FROM msel m2 WHERE m2.lang = msel.lang)
+        |ORDER BY lang, pos""".stripMargin),
+
+    // click credit over the q301 page: clicks land on positions showing
+    // doc_id % 4 == 1; the owning teams' counts decide the winner
+    "q302_interleave_credit" -> (interleaveDraftCtes +
+      """, fin AS (
+        |  SELECT lang, i AS pos, ids[i] AS doc_id, teams[i] AS team
+        |  FROM msel, UNNEST(range(1, len(ids) + 1)) t(i)
+        |  WHERE step = (SELECT max(step) FROM msel m2 WHERE m2.lang = msel.lang)
+        |), ck AS (
+        |  SELECT DISTINCT lang, pos FROM fin WHERE doc_id % 4 = 1
+        |), cc AS (
+        |  SELECT f.lang,
+        |    CAST(coalesce(sum(CASE WHEN f.team = 'len' AND c.pos IS NOT NULL
+        |      THEN 1 END), 0) AS BIGINT) AS clicks_a,
+        |    CAST(coalesce(sum(CASE WHEN f.team = 'md5' AND c.pos IS NOT NULL
+        |      THEN 1 END), 0) AS BIGINT) AS clicks_b
+        |  FROM fin f LEFT JOIN ck c ON c.lang = f.lang AND c.pos = f.pos
+        |  GROUP BY 1
+        |)
+        |SELECT lang, clicks_a, clicks_b,
+        |  CASE WHEN clicks_a > clicks_b THEN 'len'
+        |       WHEN clicks_b > clicks_a THEN 'md5' END AS winner
+        |FROM cc ORDER BY lang""".stripMargin),
 
     // CUSUM via the prefix identity: running sum of deviations minus its
     // running min, exact integer moments for mean/sigma

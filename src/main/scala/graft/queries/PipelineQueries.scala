@@ -2643,6 +2643,76 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("lang", "fused_rank")
     },
 
+    "q300_judging_pool" -> { (s, dir) =>
+      // TREC pooling over the q218 run pair: the union of both systems'
+      // top-10 per lang with provenance (how many systems, best rank,
+      // contributing names) and the judged flag against synthetic
+      // qrels (doc_id % 3 == 0 already judged) — the annotation queue
+      // is the judged = false slice
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "lang", "n_chars", "text")
+      val byLen = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("len").as("system"), col("rank"))
+      val byHash = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")).asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("md5").as("system"), col("rank"))
+      val qrels = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("lang"), col("doc_id"))
+      graft.ops.RankEval.pooledJudgingSet(byLen.unionByName(byHash),
+          "lang", "doc_id", "system", "rank", poolDepth = 10,
+          qrels = Some(qrels))
+        .orderBy("lang", "doc_id")
+    },
+
+    "q301_interleave" -> { (s, dir) =>
+      // team-draft interleaving of the q218 run pair (k = 10): per lang
+      // the two systems merge into one page, each position owned by the
+      // drafting team; ties flip the md5-deterministic coin so the
+      // oracle's recursive replay agrees draw for draw
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "lang", "n_chars", "text")
+      val byLen = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("len").as("system"), col("rank"))
+      val byHash = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")).asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("md5").as("system"), col("rank"))
+      graft.ops.RankEval.teamDraftInterleave(byLen.unionByName(byHash),
+          "lang", "doc_id", "system", "rank", k = 10)
+        .orderBy("lang", "pos")
+    },
+
+    "q302_interleave_credit" -> { (s, dir) =>
+      // click credit over the q301 page: synthetic clicks land on every
+      // position showing a doc_id % 4 == 1 document; per lang the
+      // owning teams' click counts decide the winner (null = tie,
+      // including the all-silent page — silence is signal)
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "lang", "n_chars", "text")
+      val byLen = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("len").as("system"), col("rank"))
+      val byHash = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")).asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("md5").as("system"), col("rank"))
+      val page = graft.ops.RankEval.teamDraftInterleave(
+        byLen.unionByName(byHash), "lang", "doc_id", "system", "rank", k = 10)
+      val clicks = page.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select(col("lang"), col("pos"))
+      graft.ops.RankEval.interleaveCredit(page, clicks, "lang", "pos")
+        .orderBy("lang")
+    },
+
     "q219_cusum_changepoints" -> { (s, dir) =>
       // sustained-shift monitor: CUSUM over hourly per-type counts via
       // the prefix identity (running sum - running min) — plain window
