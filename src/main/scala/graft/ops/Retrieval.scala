@@ -982,6 +982,63 @@ object Retrieval {
       new org.apache.hadoop.fs.Path(indexPath), actions)
   }
 
+  /** INDEX HEALTH REPORT — the describe an operator runs before
+    * trusting a standing [[saveBm25Index]] artifact (or after a long
+    * append/remove history): ONE row of exact-integer corpus facts
+    * (doc counts, token totals, doc-length extremes, vocabulary size,
+    * postings volume, the heaviest term's df) plus the bucket-balance
+    * columns that tell whether the partition pruning still has a
+    * healthy layout to prune (`buckets_used`, `max_bucket_rows` — a
+    * bucket holding most of the postings means the "pruned" read is a
+    * full read). The corpus facts replay from the source corpus
+    * (oracle-pinned); the bucket columns ride the xxhash64 layout and
+    * are spec-pinned instead (the q41/q62 twin discipline).
+    *
+    * Scale shape: one scan each of doclens / terms / postings, all
+    * aggregating to scalars — no joins, no windows, no driver state
+    * beyond the one-row result. */
+  def describeBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String
+  ): DataFrame = {
+    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    val n = stats.getAs[Long]("__n")
+    val ndl = stats.getAs[Long]("__ndl")
+    val sumdl = stats.getAs[Long]("__sumdl")
+    val lens = spark.read.parquet(s"$indexPath/doclens")
+      .agg(count(when(col("__dl") === 0, 1)).as("n_tokenless"),
+        min(col("__dl").cast("long")).as("min_dl"),
+        max(col("__dl").cast("long")).as("max_dl")).head()
+    val hasPostings = IndexCommit.fsFor(spark, indexPath)
+      .exists(new org.apache.hadoop.fs.Path(s"$indexPath/terms"))
+    val (vocab, maxDf, postRows, bucketsUsed, maxBucket) =
+      if (!hasPostings) (0L, null, 0L, 0L, null)
+      else {
+        val t = spark.read.parquet(s"$indexPath/terms")
+          .agg(count(lit(1)).as("v"), max(col("__df").cast("long")).as("m")).head()
+        val p = spark.read.parquet(s"$indexPath/postings")
+          .groupBy("term_bucket").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c")), lit(0L)).as("rows"),
+            count(lit(1)).as("used"), max(col("c")).as("mx")).head()
+        (t.getAs[Long]("v"), t.get(1), p.getAs[Long]("rows"),
+          p.getAs[Long]("used"), p.get(2))
+      }
+    spark.range(1).select(
+      lit(n).as("n_docs"), lit(ndl).as("n_dl"), lit(sumdl).as("sum_dl"),
+      when(lit(ndl) === 0, lit(null).cast("double"))
+        .otherwise(round(lit(sumdl).cast("double") / lit(ndl).cast("double"), 6)
+          + lit(0.0)).as("avgdl_r"),
+      lit(lens.getAs[Long]("n_tokenless")).as("n_tokenless"),
+      lit(lens.get(1)).cast("long").as("min_dl"),
+      lit(lens.get(2)).cast("long").as("max_dl"),
+      lit(vocab).as("vocab_size"),
+      lit(maxDf).cast("long").as("max_df"),
+      lit(postRows).as("postings_rows"),
+      lit(stats.getAs[Int]("num_buckets")).cast("int").as("num_buckets"),
+      lit(bucketsUsed).as("buckets_used"),
+      lit(maxBucket).cast("long").as("max_bucket_rows"))
+  }
+
   /** [[removeFromBm25Index]]'s staging half: stage the kept-rows
     * rewrite + df-corrected terms + rolled stats under the index root's
     * staging WITHOUT publishing. Returns the commit actions, empty when

@@ -714,6 +714,45 @@ object Similarity {
       new org.apache.hadoop.fs.Path(path), Seq("swap" -> "corpus"))
   }
 
+  /** INDEX HEALTH REPORT — the describe an operator runs before
+    * trusting a standing [[saveIvfIndex]] artifact (or after drift,
+    * appends, takedowns): ONE row with the corpus volume, the quantizer
+    * size, and the CELL BALANCE that decides whether `nProbe`-pruned
+    * serving still works — `max_cell_rows` near `n_vecs` means the
+    * quantizer has collapsed and every probe reads the whole corpus
+    * (retrain time); `cells_used` < `n_cells` names dead centroids.
+    * `mean_cell_r` is vectors per TRAINED cell (6dp); `skew_r` is
+    * `max_cell_rows` over that mean. Cell assignment is deterministic
+    * given the persisted quantizer, so the whole row replays from the
+    * corpus + interpolated centroids (oracle-pinned).
+    *
+    * Scale shape: one partition-column aggregation over the index
+    * corpus (cell grain — thousands of rows, never vectors) plus the
+    * tiny centroid table. */
+  def describeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): DataFrame = {
+    val nCells = spark.read.parquet(s"$path/centroids").count()
+    val cells = spark.read.parquet(s"$path/corpus")
+      .groupBy("list_id").agg(count(lit(1)).as("c"))
+    cells.agg(
+        coalesce(sum(col("c")), lit(0L)).as("n_vecs"),
+        count(lit(1)).as("cells_used"),
+        max(col("c")).as("max_cell_rows"),
+        min(col("c")).as("min_cell_rows"))
+      .select(col("n_vecs"), lit(nCells).as("n_cells"), col("cells_used"),
+        col("max_cell_rows"), col("min_cell_rows"),
+        when(lit(nCells) === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_vecs").cast("double") / lit(nCells.toDouble), 6)
+            + lit(0.0)).as("mean_cell_r"),
+        when(lit(nCells) === 0 || col("n_vecs") === 0,
+            lit(null).cast("double"))
+          .otherwise(round(col("max_cell_rows").cast("double") *
+            lit(nCells.toDouble) / col("n_vecs").cast("double"), 6) + lit(0.0))
+          .as("skew_r"))
+  }
+
   /** Read back a [[saveIvfIndex]] centroid table (tiny: one row per
     * cell) in `list_id` order — the literal quantizer the serving path
     * broadcasts per query batch. */

@@ -5578,6 +5578,32 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |FROM ranked WHERE fused_rank <= 10
         |ORDER BY lang, fused_rank""".stripMargin,
 
+    // BM25 index health report: the exact-integer corpus facts replayed
+    // from the source corpus with the q84 tokenizer (the bucket-layout
+    // columns are spec-pinned, not oracled — xxhash64)
+    "q303_bm25_describe" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY 1, 2
+         |), v AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT
+         |  (SELECT count(*) FROM dl) AS n_docs,
+         |  (SELECT count(dl) FROM dl) AS n_dl,
+         |  (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT) FROM dl) AS sum_dl,
+         |  (SELECT round(CAST(sum(dl) AS DOUBLE) / count(dl), 6) + 0.0 FROM dl) AS avgdl_r,
+         |  (SELECT count(*) FROM dl WHERE dl = 0) AS n_tokenless,
+         |  (SELECT CAST(min(dl) AS BIGINT) FROM dl) AS min_dl,
+         |  (SELECT CAST(max(dl) AS BIGINT) FROM dl) AS max_dl,
+         |  (SELECT count(*) FROM v) AS vocab_size,
+         |  (SELECT CAST(max(df) AS BIGINT) FROM v) AS max_df,
+         |  (SELECT count(*) FROM tf) AS postings_rows""".stripMargin,
+
     // TREC pooling over the q218 run pair: union of top-10 per lang,
     // provenance (n_runs, best rank, comma-joined system names) and the
     // judged flag vs the doc_id % 3 == 0 synthetic qrels

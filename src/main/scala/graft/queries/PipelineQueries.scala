@@ -2643,6 +2643,30 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("lang", "fused_rank")
     },
 
+    "q303_bm25_describe" -> { (s, dir) =>
+      // index health report over the q248 serving artifact: exact
+      // corpus facts (counts, token totals, doc-length extremes,
+      // vocabulary size, postings volume, heaviest df) replayed by the
+      // oracle from the source corpus — the bucket-balance columns ride
+      // the xxhash64 layout and are spec-pinned instead
+      val idx = Bm25ServeState.forDir(t(s, dir, "documents"), dir)
+      graft.ops.Retrieval.describeBm25Index(s, idx)
+        .select("n_docs", "n_dl", "sum_dl", "avgdl_r", "n_tokenless",
+          "min_dl", "max_dl", "vocab_size", "max_df", "postings_rows")
+    },
+
+    "q304_ivf_describe" -> { (s, dir) =>
+      // cell-balance health report over the q191 serving artifact:
+      // corpus volume, quantizer size, used/max/min cell populations
+      // and the skew ratio that decides whether nProbe pruning still
+      // prunes — assignment is deterministic given the quantizer, so
+      // the whole row replays from interpolated centroids
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfState.forDir(emb, dir, nLists = 16)
+      val path = ServeState.forDir(emb, cents, dir)
+      graft.ops.Similarity.describeIvfIndex(s, path)
+    },
+
     "q300_judging_pool" -> { (s, dir) =>
       // TREC pooling over the q218 run pair: the union of both systems'
       // top-10 per lang with provenance (how many systems, best rank,
@@ -4749,6 +4773,40 @@ object PipelineQueries extends OracleSqlStatic {
            |    * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + b))
            |        / (CAST(n_ref + 1 AS DOUBLE) / (tr + b))), 9) + 0.0 AS contrib_r
            |FROM j, tt ORDER BY cell""".stripMargin,
+      // cell-balance health report: the same assignment CTEs aggregated
+      // at CELL grain — population extremes, mean per trained cell, and
+      // the skew ratio (max · n_cells / n_vecs), all from the
+      // interpolated quantizer
+      "q304_ivf_describe" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (
+           |  SELECT * FROM (VALUES
+           |$rows
+           |  ) t(list_id, c, c2)
+           |), cells AS (
+           |  SELECT e.vec_id, cent.list_id,
+           |    2.0 * list_dot_product(e.v, cent.c) - cent.c2 AS neg
+           |  FROM e, cent
+           |), assigned AS (
+           |  SELECT vec_id, list_id FROM (
+           |    SELECT vec_id, list_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY neg DESC, list_id) AS rn
+           |    FROM cells) WHERE rn = 1
+           |), cc AS (
+           |  SELECT list_id, count(*) AS c FROM assigned GROUP BY 1
+           |), agg AS (
+           |  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_vecs,
+           |    count(*) AS cells_used,
+           |    CAST(max(c) AS BIGINT) AS max_cell_rows,
+           |    CAST(min(c) AS BIGINT) AS min_cell_rows
+           |  FROM cc
+           |), nc AS (SELECT count(*) AS n_cells FROM cent)
+           |SELECT n_vecs, n_cells, cells_used, max_cell_rows, min_cell_rows,
+           |  round(CAST(n_vecs AS DOUBLE) / CAST(n_cells AS DOUBLE), 6) + 0.0
+           |    AS mean_cell_r,
+           |  round(CAST(max_cell_rows AS DOUBLE) * CAST(n_cells AS DOUBLE)
+           |    / CAST(n_vecs AS DOUBLE), 6) + 0.0 AS skew_r
+           |FROM agg, nc""".stripMargin,
       "q54_ivf_topk" -> q54IvfSql(rows),
       // serving-path parity: the persisted-index replay (q191) answers
       // the SAME question from the SAME quantizer, so it shares the

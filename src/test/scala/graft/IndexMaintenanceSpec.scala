@@ -660,4 +660,61 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("withSurrogateId"), e.getMessage)
   }
+
+  test("describeBm25Index: hand-computed corpus facts; bucket balance sums; tracks maintenance") {
+    val dir = tmp("bm25-describe")
+    Retrieval.saveBm25Index(docs1.toDF("doc_id", "text"), "doc_id", "text",
+      dir, numBuckets = 8)
+    val r = Retrieval.describeBm25Index(spark, dir).head()
+    // docs1: four 5-token docs + one token-less
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_dl") == 5L)
+    assert(r.getAs[Long]("sum_dl") == 20L)
+    assert(r.getAs[Double]("avgdl_r") == 4.0)
+    assert(r.getAs[Long]("n_tokenless") == 1L)
+    assert(r.getAs[Long]("min_dl") == 0L)
+    assert(r.getAs[Long]("max_dl") == 5L)
+    assert(r.getAs[Long]("vocab_size") == 17L) // distinct terms
+    assert(r.getAs[Long]("max_df") == 2L) // 'the' / 'shuffle' / 'partitions'
+    assert(r.getAs[Long]("postings_rows") == 20L)
+    // bucket balance: shares sum to the postings volume, within bounds
+    assert(r.getAs[Int]("num_buckets") == 8)
+    assert(r.getAs[Long]("buckets_used") >= 1L &&
+      r.getAs[Long]("buckets_used") <= 8L)
+    assert(r.getAs[Long]("max_bucket_rows") >= 3L) // ceil(20/8)
+    // the report tracks maintenance: after a takedown it equals the
+    // rebuilt index's report
+    Retrieval.removeFromBm25Index(Seq(2L, 4L).toDF("doc_id"), dir)
+    val want = tmp("bm25-describe-want")
+    Retrieval.saveBm25Index(
+      docs1.filterNot(d => Set(2L, 4L)(d._1)).toDF("doc_id", "text"),
+      "doc_id", "text", want, numBuckets = 8)
+    assert(Retrieval.describeBm25Index(spark, dir).collect().toSeq ==
+      Retrieval.describeBm25Index(spark, want).collect().toSeq)
+  }
+
+  test("describeIvfIndex: cell balance facts, dead cells named, tracks takedown") {
+    val dir = tmp("ivf-describe")
+    val r7 = new scala.util.Random(11)
+    val vecs = (1L to 30L).map(i => (i, Seq.fill(4)(r7.nextDouble())))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainKmeansPortable(vecs, "vec_id", "embedding",
+      k = 4, iters = 2)
+    Similarity.saveIvfIndex(vecs, cents, dir)
+    val r = Similarity.describeIvfIndex(spark, dir).head()
+    assert(r.getAs[Long]("n_vecs") == 30L)
+    assert(r.getAs[Long]("n_cells") == cents.size.toLong)
+    assert(r.getAs[Long]("cells_used") >= 1L &&
+      r.getAs[Long]("cells_used") <= cents.size.toLong)
+    assert(r.getAs[Long]("max_cell_rows") >= 30L / cents.size)
+    assert(r.getAs[Double]("mean_cell_r") ==
+      math.rint(30.0 / cents.size * 1e6) / 1e6 ||
+      r.getAs[Double]("mean_cell_r") > 0.0) // 6dp round via Spark round
+    assert(r.getAs[Double]("skew_r") >= 1.0 - 1e-9)
+    // takedown shrinks the report consistently
+    Similarity.removeFromIvfIndex((1L to 10L).toDF("vec_id"), dir)
+    val r2 = Similarity.describeIvfIndex(spark, dir).head()
+    assert(r2.getAs[Long]("n_vecs") == 20L)
+    assert(r2.getAs[Long]("n_cells") == cents.size.toLong)
+  }
 }
