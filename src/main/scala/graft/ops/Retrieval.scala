@@ -47,6 +47,147 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** QUERY SPELL CORRECTION (symmetric-delete, SymSpell-style) — the
+    * query-understanding step in front of lexical search: each query
+    * term meets every vocabulary term within Levenshtein distance 1
+    * through a DELETE-KEY join (a term's keys are itself plus its
+    * one-char deletions; two terms within one edit share a key), the
+    * exact distance verifies the survivors, and candidates rank by
+    * (distance asc, corpus frequency desc, term asc) — an exact-match
+    * query term wins its own rank 1, so correction never rewrites a
+    * word the corpus knows. Output: `(queryIdCol, termCol, suggestion,
+    * distance, freq, sugg_rank)`; terms with NO candidate within one
+    * edit emit nothing (the caller's fallback is the raw term).
+    *
+    * Scale shape: the delete-key tables are |terms| · (len + 1) rows
+    * (len capped loudly at `maxTermLen` — key volume is linear in it),
+    * the join is an equi-join on the key, and the exact-distance
+    * verify runs only on key-colliding pairs — never all-pairs. The
+    * vocabulary side is re-derived per call; pass a bounded vocabulary
+    * (e.g. [[vocabulary]]'s top-k), not a raw corpus. */
+  def spellCorrect(
+      queries: DataFrame,
+      queryIdCol: String,
+      termCol: String,
+      vocab: DataFrame,
+      vocabTermCol: String,
+      freqCol: String,
+      topK: Int = 3,
+      maxTermLen: Int = 64
+  ): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    require(maxTermLen >= 1, "maxTermLen must be >= 1")
+    def checkedLen(t: Column, side: String): Column =
+      when(length(t) > maxTermLen, raise_error(concat(
+        lit(s"spellCorrect: $side term longer than maxTermLen=$maxTermLen: '"),
+        t, lit("' — raise the ceiling or pre-filter"))))
+        .otherwise(t)
+    def keysOf(t: Column): Column = array_union(
+      array(t),
+      transform(sequence(lit(1), length(t)),
+        i => concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t) - i))))
+    val q = queries
+      .filter(col(queryIdCol).isNotNull && col(termCol).isNotNull)
+      .select(col(queryIdCol).as("__qid"),
+        checkedLen(col(termCol).cast("string"), "query").as("__qt"))
+      .distinct()
+      .select(col("__qid"), col("__qt"), explode(keysOf(col("__qt"))).as("__k"))
+    val v = vocab
+      .filter(col(vocabTermCol).isNotNull)
+      .select(checkedLen(col(vocabTermCol).cast("string"), "vocab").as("__vt"),
+        col(freqCol).cast("long").as("__f"))
+      .select(col("__vt"), col("__f"), explode(keysOf(col("__vt"))).as("__k"))
+    val cand = q.join(v, Seq("__k"))
+      .select(col("__qid"), col("__qt"), col("__vt"), col("__f"))
+      .distinct()
+      .withColumn("__d", levenshtein(col("__qt"), col("__vt")))
+      .filter(col("__d") <= 1)
+    import org.apache.spark.sql.expressions.Window
+    cand.withColumn("sugg_rank", row_number().over(
+        Window.partitionBy(col("__qid"), col("__qt"))
+          .orderBy(col("__d").asc, col("__f").desc, col("__vt").asc)).cast("int"))
+      .filter(col("sugg_rank") <= topK)
+      .select(col("__qid").as(queryIdCol), col("__qt").as(termCol),
+        col("__vt").as("suggestion"), col("__d").cast("int").as("distance"),
+        col("__f").as("freq"), col("sugg_rank"))
+  }
+
+  /** PHRASE SEARCH — exact token-sequence matching over a corpus, the
+    * quoted-query operator BM25's bag-of-words scoring cannot express:
+    * a document matches when the phrase's tokens appear CONSECUTIVELY
+    * (same [[TextAnalysis.tokens]] tokenizer both sides). Two stages:
+    * a postings-style PREFILTER keeps only documents containing every
+    * distinct phrase term (an equi-join + count at (phrase, doc)
+    * grain — never a cross join of corpus × phrases), then one
+    * map-side fold over each survivor's token array verifies
+    * adjacency and counts occurrences. Output: `(phraseIdCol, idCol,
+    * n_occurrences, first_pos)` (1-based; matches only, occurrences
+    * >= 1). Phrases longer than `maxPhraseTerms` refuse loudly;
+    * token-less phrases emit nothing.
+    *
+    * Scale shape: the prefilter is the selective step (rare terms cut
+    * the candidate set the way a postings intersection does); the
+    * verify cost is |survivor docs| · |doc tokens| — map-side, no
+    * shuffle beyond the prefilter's aggregation. */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      maxPhraseTerms: Int = 16
+  ): DataFrame = {
+    require(maxPhraseTerms >= 1, "maxPhraseTerms must be >= 1")
+    val p = phrases
+      .filter(col(phraseIdCol).isNotNull && col(phraseCol).isNotNull)
+      .select(col(phraseIdCol).as("__pid"),
+        TextAnalysis.tokens(col(phraseCol)).as("__ptoks"))
+      .select(col("__pid"),
+        when(size(col("__ptoks")) > maxPhraseTerms, raise_error(concat(
+          lit(s"phraseSearch: phrase longer than maxPhraseTerms=$maxPhraseTerms "),
+          lit("tokens for id '"), col("__pid").cast("string"),
+          lit("' — proximity windows, not phrases, are the long-pattern tool"))))
+          .otherwise(col("__ptoks")).as("__ptoks"))
+      .filter(size(col("__ptoks")) >= 1)
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+    // prefilter: documents containing EVERY distinct phrase term
+    val pTerms = p.select(col("__pid"),
+        explode(array_distinct(col("__ptoks"))).as("term"))
+    val pn = pTerms.groupBy("__pid").agg(count(lit(1)).as("__need"))
+    val dTerms = toks.select(col("__doc"),
+      explode(array_distinct(col("__toks"))).as("term"))
+    val candIds = dTerms.join(pTerms, Seq("term"))
+      .groupBy(col("__pid"), col("__doc"))
+      .agg(count(lit(1)).as("__have"))
+      .join(pn, Seq("__pid"))
+      .filter(col("__have") === col("__need"))
+      .select("__pid", "__doc")
+    // verify: one fold over the survivor's tokens per phrase
+    val cand = candIds
+      .join(p, Seq("__pid"))
+      .join(toks, Seq("__doc"))
+      .filter(size(col("__toks")) >= size(col("__ptoks")))
+    val m = size(col("__ptoks"))
+    val folded = aggregate(
+      sequence(lit(1), size(col("__toks")) - m + 1),
+      struct(lit(0L).as("cnt"), lit(0L).as("first")),
+      (acc, i) => {
+        val hit = slice(col("__toks"), i, m) === col("__ptoks")
+        struct(
+          (acc.getField("cnt") + when(hit, 1L).otherwise(0L)).as("cnt"),
+          when(acc.getField("first") === 0L && hit, i.cast("long"))
+            .otherwise(acc.getField("first")).as("first"))
+      })
+    cand.select(col("__pid"), col("__doc"), folded.as("__m"))
+      .filter(col("__m.cnt") > 0L)
+      .select(col("__pid").as(phraseIdCol), col("__doc").as(idCol),
+        col("__m.cnt").as("n_occurrences"), col("__m.first").as("first_pos"))
+  }
+
   /** Okapi BM25 top-k search: scores every document against every query in
     * `queries` (a SMALL frame — it is broadcast) and returns the `topK`
     * best documents per query with competition-ordered `rank` (ties on

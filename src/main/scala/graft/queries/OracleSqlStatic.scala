@@ -5578,6 +5578,91 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |FROM ranked WHERE fused_rank <= 10
         |ORDER BY lang, fused_rank""".stripMargin,
 
+    // SymSpell query correction: delete-key join against the ascii
+    // top-200 df vocabulary, exact Levenshtein verify, rank by
+    // (distance, freq desc, term)
+    "q305_spell_correct" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY 1, 2
+         |), v AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |top AS (
+         |  SELECT term, df FROM (
+         |    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn
+         |    FROM v) WHERE rn <= 200
+         |), av AS (
+         |  SELECT term, df FROM top WHERE regexp_matches(term, '^[a-z]+$$')
+         |), qs AS (
+         |  SELECT term AS qid, substr(term, 1, 1) || substr(term, 3) AS qt
+         |  FROM (
+         |    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+         |    FROM av WHERE len(term) >= 4) WHERE rn <= 50
+         |), qk AS (
+         |  SELECT qid, qt,
+         |    unnest(list_append(list_transform(range(1, len(qt) + 1),
+         |      i -> substr(qt, 1, i - 1) || substr(qt, i + 1)), qt)) AS k
+         |  FROM qs
+         |), vk AS (
+         |  SELECT term AS vt, df,
+         |    unnest(list_append(list_transform(range(1, len(term) + 1),
+         |      i -> substr(term, 1, i - 1) || substr(term, i + 1)), term)) AS k
+         |  FROM av
+         |), cand AS (
+         |  SELECT DISTINCT qid, qt, vt, df FROM qk JOIN vk USING (k)
+         |), sc AS (
+         |  SELECT qid, qt, vt, df, levenshtein(qt, vt) AS d
+         |  FROM cand WHERE levenshtein(qt, vt) <= 1
+         |), rk AS (
+         |  SELECT qid, qt AS term, vt AS suggestion, d AS distance,
+         |    CAST(df AS BIGINT) AS freq,
+         |    row_number() OVER (PARTITION BY qid, qt
+         |      ORDER BY d, df DESC, vt) AS sugg_rank
+         |  FROM sc
+         |)
+         |SELECT qid, term, suggestion, distance, freq, sugg_rank
+         |FROM rk WHERE sugg_rank <= 3 ORDER BY qid, sugg_rank""".stripMargin,
+
+    // phrase search: prefilter to docs holding every phrase term, then
+    // position-enumerated adjacency over the token lists
+    "q306_phrase_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), tt AS (
+         |  SELECT doc_id, ts FROM toks WHERE len(ts) >= 1
+         |), ph AS (
+         |  SELECT doc_id AS pid, list_slice(ts, 1, 2) AS pt
+         |  FROM toks WHERE doc_id % 97 = 1 AND len(ts) >= 2
+         |), pterm AS (
+         |  SELECT pid, unnest(list_distinct(pt)) AS term FROM ph
+         |), pn AS (SELECT pid, count(*) AS need FROM pterm GROUP BY 1),
+         |dterm AS (
+         |  SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tt
+         |), cand AS (
+         |  SELECT c.pid, c.doc_id
+         |  FROM (
+         |    SELECT pid, doc_id, count(*) AS have
+         |    FROM pterm JOIN dterm USING (term) GROUP BY 1, 2) c
+         |  JOIN pn USING (pid) WHERE c.have = pn.need
+         |), occ AS (
+         |  SELECT c.pid, c.doc_id, t.i
+         |  FROM cand c
+         |  JOIN ph ON ph.pid = c.pid
+         |  JOIN tt ON tt.doc_id = c.doc_id,
+         |  UNNEST(range(1, len(tt.ts))) t(i)
+         |  WHERE list_slice(tt.ts, t.i, t.i + 1) = ph.pt
+         |)
+         |SELECT pid, doc_id, count(*) AS n_occurrences,
+         |  CAST(min(i) AS BIGINT) AS first_pos
+         |FROM occ GROUP BY 1, 2 ORDER BY pid, doc_id""".stripMargin,
+
     // BM25 index health report: the exact-integer corpus facts replayed
     // from the source corpus with the q84 tokenizer (the bucket-layout
     // columns are spec-pinned, not oracled — xxhash64)

@@ -2643,6 +2643,41 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("lang", "fused_rank")
     },
 
+    "q305_spell_correct" -> { (s, dir) =>
+      // SymSpell-style query correction against the corpus vocabulary:
+      // the ascii slice of the top-200 df terms is the dictionary; the
+      // 50 heaviest >=4-char words, each with its 2nd char dropped,
+      // play the misspelled queries; candidates meet through the
+      // delete-key join and rank (distance, freq desc, term)
+      val d = t(s, dir, "documents")
+      val vocab = graft.ops.Retrieval.vocabulary(d, "doc_id", "text", 200)
+        .filter(col("term").rlike("^[a-z]+$"))
+        .select(col("term"), col("doc_freq"))
+      val qs = vocab.filter(length(col("term")) >= 4)
+        .orderBy(col("doc_freq").desc, col("term").asc).limit(50)
+        .select(col("term").as("qid"),
+          concat(col("term").substr(lit(1), lit(1)),
+            col("term").substr(lit(3), length(col("term")) - 2)).as("term"))
+      graft.ops.Retrieval.spellCorrect(qs, "qid", "term", vocab, "term",
+          "doc_freq", topK = 3)
+        .orderBy("qid", "sugg_rank")
+    },
+
+    "q306_phrase_search" -> { (s, dir) =>
+      // quoted-query search: every doc_id % 97 == 1 document donates
+      // its first two tokens as a phrase; matches require the tokens
+      // CONSECUTIVELY (the prefilter narrows to docs holding all terms,
+      // the fold verifies adjacency and counts occurrences)
+      val d = t(s, dir, "documents")
+      val ph = d.filter(pmod(col("doc_id"), lit(97)) === 1)
+        .select(col("doc_id").as("pid"),
+          slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 2).as("pt"))
+        .filter(size(col("pt")) === 2)
+        .select(col("pid"), concat_ws(" ", col("pt")).as("phrase"))
+      graft.ops.Retrieval.phraseSearch(d, "doc_id", "text", ph, "pid", "phrase")
+        .orderBy("pid", "doc_id")
+    },
+
     "q303_bm25_describe" -> { (s, dir) =>
       // index health report over the q248 serving artifact: exact
       // corpus facts (counts, token totals, doc-length extremes,

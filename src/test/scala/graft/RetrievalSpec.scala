@@ -251,6 +251,75 @@ class RetrievalSpec extends SparkSpec {
     assert(m.getAs[Long]("n_hits") == 2L)
   }
 
+  test("spellCorrect: delete-key join finds distance-1 candidates; exact match wins; ceiling refuses") {
+    val vocab = Seq(("spark", 100L), ("spank", 50L), ("spar", 5L),
+      ("shuffle", 80L)).toDF("term", "freq")
+    val qs = Seq((1L, "spark"), (2L, "shufle"), (3L, "zzz"))
+      .toDF("qid", "term")
+    val r = Retrieval.spellCorrect(qs, "qid", "term", vocab, "term", "freq",
+        topK = 3)
+      .orderBy("qid", "sugg_rank")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getInt(3), x.getLong(4), x.getInt(5)))
+    // exact match ranks first at distance 0; distance-1 ties rank by
+    // frequency desc; an insertion-error query still meets its word
+    // through the vocab side's delete key
+    assert(r.toSeq == Seq(
+      (1L, "spark", "spark", 0, 100L, 1),
+      (1L, "spark", "spank", 1, 50L, 2),
+      (1L, "spark", "spar", 1, 5L, 3),
+      (2L, "shufle", "shuffle", 1, 80L, 1)), r.mkString(", "))
+    // partition invariance
+    val a = Retrieval.spellCorrect(qs, "qid", "term", vocab, "term", "freq")
+      .collect().map(_.toSeq).toSet
+    val b = Retrieval.spellCorrect(qs.repartition(5), "qid", "term",
+      vocab.repartition(3), "term", "freq").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // term-length ceiling refuses loudly
+    val e = intercept[Exception] {
+      Retrieval.spellCorrect(Seq((1L, "a" * 20)).toDF("qid", "term"),
+        "qid", "term", vocab, "term", "freq", maxTermLen = 8).collect()
+    }
+    assert(e.getMessage.contains("maxTermLen"))
+  }
+
+  test("phraseSearch: adjacency verified, occurrences counted, repeated-term phrases exact") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "quick brown quick brown fox"),
+      (3L, "brown quick")
+    ).toDF("doc_id", "text")
+    val phrases = Seq(
+      (10L, "quick brown"), (11L, "fox jumps"), (12L, "missing here"),
+      (13L, "quick brown quick"), (14L, "   ")
+    ).toDF("pid", "phrase")
+    val r = Retrieval.phraseSearch(docs, "doc_id", "text", phrases,
+        "pid", "phrase")
+      .orderBy("pid", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    // doc 3 holds both terms but reversed: the prefilter passes it, the
+    // adjacency fold drops it; doc 2 matches twice; the repeated-term
+    // phrase needs the SECOND quick, which doc 1 lacks
+    assert(r.toSeq == Seq(
+      (10L, 1L, 1L, 2L), (10L, 2L, 2L, 1L),
+      (11L, 1L, 1L, 4L),
+      (13L, 2L, 1L, 1L)), r.mkString(", "))
+    // partition invariance
+    val a = Retrieval.phraseSearch(docs, "doc_id", "text", phrases,
+      "pid", "phrase").collect().map(_.toSeq).toSet
+    val b = Retrieval.phraseSearch(docs.repartition(5), "doc_id", "text",
+      phrases.repartition(3), "pid", "phrase").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // phrase-length ceiling refuses loudly
+    val e = intercept[Exception] {
+      Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq((1L, "a b c d")).toDF("pid", "phrase"), "pid", "phrase",
+        maxPhraseTerms = 3).collect()
+    }
+    assert(e.getMessage.contains("maxPhraseTerms"))
+  }
+
   test("packContextByBudget: monotone greedy prefix, overflow stops, guards refuse") {
     val hits = Seq(
       (1L, 1, 50L), (1L, 2, 60L), (1L, 3, 70L), (1L, 4, 10L),
