@@ -641,9 +641,13 @@ object ExamplePipeline {
     // arithmetically from the removed docs, never read from the index)
     val rmDocs = d0.filter(pmod(col("doc_id"), lit(50)) === 7).select("doc_id")
     graft.ops.Retrieval.removeFromBm25WithForward(rmDocs, bm25Dir)
+    // chunk index forgets by DOC id alone — the cid set comes from the
+    // index's own doclens ledger, so this works even after the source
+    // rows are gone; rmCids (re-derived from the corpus) stays as the
+    // INDEPENDENT check the audit sweeps with
+    graft.ops.Retrieval.removeDocsFromChunkIndex(rmDocs, chunkDir)
     val rmCids = cidsOf(prepared.df.join(rmDocs, Seq("doc_id"), "left_semi"))
       .select("cid")
-    graft.ops.Retrieval.removeFromBm25Index(rmCids, chunkDir)
     val docArtifacts = Seq(
       ("bm25_doclens", s"$bm25Dir/doclens", "__docid"),
       ("bm25_forward",
@@ -682,6 +686,45 @@ object ExamplePipeline {
       evalRun, evalQrels, "qid", "doc_id", "rank", "rel", k = 10).head()
     println(f"retrieval eval: nDCG@10=${summary.getAs[Double]("ndcg_r")}%.4f " +
       f"recall@10=${summary.getAs[Double]("recall_r")}%.4f")
+
+    // 40. online eval: the step-33/39 lexical server vs a challenger
+    //     (higher k1) — pool their pages for the judging queue, then
+    //     interleave and credit simulated clicks on the judged docs
+    val evalQs = Seq((1L, "query hash join"), (2L, "window agg fast"))
+      .toDF("qid", "qtext")
+    def runOf(name: String, k1: Double) =
+      graft.ops.Retrieval.bm25SearchPreindexed(spark, bm25Dir, evalQs,
+          "qid", "qtext", k1 = k1, topK = 10)
+        .select(col("qid"), col("doc_id"), lit(name).as("system"), col("rank"))
+    val runs = runOf("champ", 1.2).unionByName(runOf("chall", 1.6))
+    val pool = graft.ops.RankEval.pooledJudgingSet(runs, "qid", "doc_id",
+      "system", "rank", poolDepth = 10, qrels = Some(evalQrels))
+    println(s"judging pool: ${pool.count()} docs, " +
+      s"${pool.filter(!col("judged")).count()} still to judge")
+    val page = graft.ops.RankEval.teamDraftInterleave(runs, "qid", "doc_id",
+      "system", "rank", k = 10)
+    val clicks = page.join(evalQrels.select("qid", "doc_id"),
+      Seq("qid", "doc_id"), "left_semi").select("qid", "pos")
+    val credit = graft.ops.RankEval.interleaveCredit(page, clicks, "qid", "pos")
+    println("interleave credit: " + credit.orderBy("qid").collect()
+      .map(r => s"q${r.get(0)}:${r.getAs[Long]("clicks_a")}-" +
+        s"${r.getAs[Long]("clicks_b")}(${Option(r.getString(3)).getOrElse("tie")})")
+      .mkString(", "))
+
+    // 41. query understanding: a misspelled query corrects against the
+    //     corpus vocabulary before it ever hits the index, and the
+    //     index's own health report closes the serving story
+    val vocab = graft.ops.Retrieval.vocabulary(prepared.df, "doc_id", "text", 200)
+    val fixed = graft.ops.Retrieval.spellCorrect(
+      Seq((1L, "qury")).toDF("qid", "term"), "qid", "term",
+      vocab, "term", "doc_freq", topK = 1)
+    println("spell correction: qury -> " +
+      fixed.collect().map(_.getString(2)).mkString(", "))
+    val health = graft.ops.Retrieval.describeBm25Index(spark, bm25Dir).head()
+    println(s"index health: ${health.getAs[Long]("n_docs")} docs, " +
+      s"${health.getAs[Long]("vocab_size")} terms, max bucket " +
+      s"${health.getAs[Long]("max_bucket_rows")} of " +
+      s"${health.getAs[Long]("postings_rows")} postings rows")
 
     // release every operator checkpoint the pipeline accumulated — the
     // barrier a long-lived session calls between units of work

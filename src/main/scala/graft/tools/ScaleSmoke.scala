@@ -116,6 +116,36 @@ object ScaleSmoke {
           .agg(count(col("dedup_text"))).collect()
       }
 
+      // spell correction: the vocab derivation scans the corpus (linear);
+      // the delete-key join itself rides the BOUNDED top-200 dictionary,
+      // so suggestion cost stays flat as the corpus grows
+      time(s"spell correction (vocab from $nDocs docs, 50 queries)") {
+        val vocab = graft.ops.Retrieval.vocabulary(dN, "doc_id", "text", 200)
+          .select(col("term"), col("doc_freq"))
+        val qs = vocab.filter(length(col("term")) >= 4)
+          .orderBy(col("doc_freq").desc, col("term").asc).limit(50)
+          .select(col("term").as("qid"),
+            concat(col("term").substr(lit(1), lit(1)),
+              col("term").substr(lit(3), length(col("term")) - 2)).as("term"))
+        graft.ops.Retrieval.spellCorrect(qs, "qid", "term", vocab, "term",
+            "doc_freq", topK = 3)
+          .agg(count(lit(1))).collect()
+      }
+
+      // phrase search: prefilter equi-join narrows to docs holding every
+      // phrase term before any position scan — linear in the corpus, and
+      // the verify fold touches survivors only
+      time(s"phrase search (12 phrases over $nDocs docs)") {
+        val ph = docs.filter(pmod(col("doc_id"), lit(41)) === 1)
+          .select(col("doc_id").as("pid"),
+            slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 2).as("pt"))
+          .filter(size(col("pt")) === 2).limit(12)
+          .select(col("pid"), concat_ws(" ", col("pt")).as("phrase"))
+        graft.ops.Retrieval.phraseSearch(dN, "doc_id", "text", ph,
+            "pid", "phrase")
+          .agg(count(lit(1))).collect()
+      }
+
       // bloom decontamination: the bench-gram sketch is probed inside the
       // corpus scan, so docs sharing no gram with the bench never reach
       // the exact containment join — cost tracks the scan, not the

@@ -65,6 +65,28 @@ class PlanShapeSpec extends SparkSpec {
       s"hardNegativesLsh should contain the GroupTopK aggregate:\n$plan")
   }
 
+  test("spellCorrect and phraseSearch plans: equi-joins only, no cartesian") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = graft.ops.Retrieval.vocabulary(docs, "doc_id", "text", 50)
+    val fixed = graft.ops.Retrieval.spellCorrect(
+      Seq((1L, "qury")).toDF("qid", "term"), "qid", "term",
+      vocab, "term", "doc_freq")
+    fixed.collect()
+    val sPlan = fixed.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("CartesianProduct"),
+      s"spellCorrect must candidate-generate via the delete-key equi-join:\n$sPlan")
+    val ph = Seq((1L, "the data")).toDF("pid", "phrase")
+    val hits = graft.ops.Retrieval.phraseSearch(docs, "doc_id", "text",
+      ph, "pid", "phrase")
+    hits.collect()
+    val pPlan = hits.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("CartesianProduct"),
+      s"phraseSearch must prefilter via the term equi-join, never corpus x phrases:\n$pPlan")
+    assert(!pPlan.contains("Window"),
+      s"phraseSearch verifies with the map-side fold, not a window:\n$pPlan")
+  }
+
   test("recordLinkage and triangleCounts plans: equi-joins only, no cartesian") {
     import spark.implicits._
     import graft.ops.Joins.{LinkField, LinkFieldKind}
