@@ -154,20 +154,8 @@ object Retrieval {
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 1)
-    // prefilter: documents containing EVERY distinct phrase term
-    val pTerms = p.select(col("__pid"),
-        explode(array_distinct(col("__ptoks"))).as("term"))
-    val pn = pTerms.groupBy("__pid").agg(count(lit(1)).as("__need"))
-    val dTerms = toks.select(col("__doc"),
-      explode(array_distinct(col("__toks"))).as("term"))
-    val candIds = dTerms.join(pTerms, Seq("term"))
-      .groupBy(col("__pid"), col("__doc"))
-      .agg(count(lit(1)).as("__have"))
-      .join(pn, Seq("__pid"))
-      .filter(col("__have") === col("__need"))
-      .select("__pid", "__doc")
     // verify: one fold over the survivor's tokens per phrase
-    val cand = candIds
+    val cand = allTermsCandidates(toks, p)
       .join(p, Seq("__pid"))
       .join(toks, Seq("__doc"))
       .filter(size(col("__toks")) >= size(col("__ptoks")))
@@ -186,6 +174,136 @@ object Retrieval {
       .filter(col("__m.cnt") > 0L)
       .select(col("__pid").as(phraseIdCol), col("__doc").as(idCol),
         col("__m.cnt").as("n_occurrences"), col("__m.first").as("first_pos"))
+  }
+
+  /** The postings-style prefilter [[phraseSearch]] / [[proximitySearch]]
+    * share: (pattern id, doc id) pairs where the document contains
+    * EVERY distinct pattern token — an equi-join on the term + a count
+    * at pair grain, never a cross join of corpus × patterns. Inputs are
+    * the internal `(__pid, __ptoks)` / `(__doc, __toks)` frames. */
+  private def allTermsCandidates(toks: DataFrame, p: DataFrame): DataFrame = {
+    val pTerms = p.select(col("__pid"),
+      explode(array_distinct(col("__ptoks"))).as("term"))
+    val pn = pTerms.groupBy("__pid").agg(count(lit(1)).as("__need"))
+    val dTerms = toks.select(col("__doc"),
+      explode(array_distinct(col("__toks"))).as("term"))
+    dTerms.join(pTerms, Seq("term"))
+      .groupBy(col("__pid"), col("__doc"))
+      .agg(count(lit(1)).as("__have"))
+      .join(pn, Seq("__pid"))
+      .filter(col("__have") === col("__need"))
+      .select("__pid", "__doc")
+  }
+
+  /** PROXIMITY SEARCH — the long-pattern relaxation of [[phraseSearch]]:
+    * a document matches when every query term occurs within SOME window
+    * of `window` consecutive tokens, in any order. The same prefilter
+    * narrows to documents holding every term; the verify fold then
+    * counts qualifying window START positions (`n_windows`, overlapping
+    * windows each count) and records the first (`first_window_pos`,
+    * 1-based). Output: `(queryIdCol, idCol, n_windows,
+    * first_window_pos)` — matches only.
+    *
+    * Scale shape: prefilter as [[phraseSearch]]; the fold is
+    * |survivors| · |doc tokens| · `window` · |terms| map-side work —
+    * keep `window` tens, not thousands (loudly capped at
+    * `maxWindow`). */
+  def proximitySearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      window: Int = 10,
+      maxWindow: Int = 256
+  ): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(window <= maxWindow,
+      s"proximitySearch: window=$window above maxWindow=$maxWindow — " +
+        "the verify fold is linear in it; widen maxWindow only deliberately")
+    val p = queries
+      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).as("__pid"),
+        array_distinct(TextAnalysis.tokens(col(queryTextCol))).as("__ptoks"))
+      .filter(size(col("__ptoks")) >= 1)
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+    val cand = allTermsCandidates(toks, p)
+      .join(p, Seq("__pid"))
+      .join(toks, Seq("__doc"))
+    val w = lit(window)
+    val folded = aggregate(
+      sequence(lit(1), greatest(size(col("__toks")) - w + 1, lit(1))),
+      struct(lit(0L).as("cnt"), lit(0L).as("first")),
+      (acc, i) => {
+        val win = slice(col("__toks"), i, w)
+        val hit = forall(col("__ptoks"), t => array_contains(win, t))
+        struct(
+          (acc.getField("cnt") + when(hit, 1L).otherwise(0L)).as("cnt"),
+          when(acc.getField("first") === 0L && hit, i.cast("long"))
+            .otherwise(acc.getField("first")).as("first"))
+      })
+    cand.select(col("__pid"), col("__doc"), folded.as("__m"))
+      .filter(col("__m.cnt") > 0L)
+      .select(col("__pid").as(queryIdCol), col("__doc").as(idCol),
+        col("__m.cnt").as("n_windows"), col("__m.first").as("first_window_pos"))
+  }
+
+  /** SNIPPET EXTRACTION — the result-presentation step after retrieval:
+    * for each (query, doc) hit, the `window`-token span covering the
+    * MOST distinct query terms (ties toward the earliest start) renders
+    * as the snippet. One fold over the hit document's tokens scores
+    * every start position by matched-term count; the winning span
+    * re-joins with spaces (tokenization is whitespace-normalizing, so
+    * the snippet is the span's text up to whitespace). Output:
+    * `(queryIdCol, idCol, snippet, n_matched, snippet_pos)`.
+    *
+    * Scale shape: hits are a served page (tens per query), never a
+    * corpus — the docs side is equi-joined to the hit ids before any
+    * tokenization, and the fold is |hits| · |doc tokens| · |terms|
+    * map-side work. */
+  def extractSnippets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      hits: DataFrame,
+      queryIdCol: String,
+      queries: DataFrame,
+      queryTextCol: String,
+      window: Int = 10
+  ): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val q = queries
+      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).as("__qid"),
+        array_distinct(TextAnalysis.tokens(col(queryTextCol))).as("__qt"))
+    val h = hits.select(col(queryIdCol).as("__qid"), col(idCol).as("__doc"))
+      .distinct()
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+    val cand = h.join(toks, Seq("__doc")).join(broadcast(q), Seq("__qid"))
+    val w = lit(window)
+    val folded = aggregate(
+      sequence(lit(1), greatest(size(col("__toks")) - w + 1, lit(1))),
+      struct(lit(-1L).as("best"), lit(0L).as("pos")),
+      (acc, i) => {
+        val win = slice(col("__toks"), i, w)
+        val sc = aggregate(col("__qt"), lit(0L),
+          (a, t) => a + when(array_contains(win, t), 1L).otherwise(0L))
+        when(sc > acc.getField("best"),
+          struct(sc.as("best"), i.cast("long").as("pos")))
+          .otherwise(acc)
+      })
+    cand.select(col("__qid"), col("__doc"), col("__toks"), folded.as("__m"))
+      .select(col("__qid").as(queryIdCol), col("__doc").as(idCol),
+        concat_ws(" ", slice(col("__toks"), col("__m.pos").cast("int"), w))
+          .as("snippet"),
+        col("__m.best").as("n_matched"), col("__m.pos").as("snippet_pos"))
   }
 
   /** Okapi BM25 top-k search: scores every document against every query in

@@ -5663,6 +5663,70 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |  CAST(min(i) AS BIGINT) AS first_pos
          |FROM occ GROUP BY 1, 2 ORDER BY pid, doc_id""".stripMargin,
 
+    // proximity retrieval: all-terms prefilter, then qualifying 10-token
+    // window starts counted per (query, doc)
+    "q307_proximity_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), tt AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 1),
+         |q(qid, qtext) AS (
+         |  VALUES (1, 'query hash join'), (2, 'window agg fast'),
+         |         (3, 'customer order value part')
+         |), qq AS (
+         |  SELECT qid, list_distinct(string_split(qtext, ' ')) AS qt FROM q
+         |), pterm AS (SELECT qid, unnest(qt) AS term FROM qq),
+         |pn AS (SELECT qid, count(*) AS need FROM pterm GROUP BY 1),
+         |dterm AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tt),
+         |cand AS (
+         |  SELECT c.qid, c.doc_id
+         |  FROM (
+         |    SELECT qid, doc_id, count(*) AS have
+         |    FROM pterm JOIN dterm USING (term) GROUP BY 1, 2) c
+         |  JOIN pn USING (qid) WHERE c.have = pn.need
+         |), occ AS (
+         |  SELECT c.qid, c.doc_id, t.i
+         |  FROM cand c
+         |  JOIN qq ON qq.qid = c.qid
+         |  JOIN tt ON tt.doc_id = c.doc_id,
+         |  UNNEST(range(1, greatest(len(tt.ts) - 10 + 1, 1) + 1)) t(i)
+         |  WHERE list_has_all(list_slice(tt.ts, t.i, t.i + 9), qq.qt)
+         |)
+         |SELECT qid, doc_id, count(*) AS n_windows,
+         |  CAST(min(i) AS BIGINT) AS first_window_pos
+         |FROM occ GROUP BY 1, 2 ORDER BY qid, doc_id""".stripMargin,
+
+    // snippets: the q84/q248 top-5 page's best 10-token span by distinct
+    // query terms covered (ties earliest), re-joined with spaces
+    "q308_snippets" -> (bm25RunCtes("") +
+      s""", hits AS (
+         |  SELECT qid, doc_id FROM rk WHERE rank <= 5
+         |), qq AS (
+         |  SELECT qid, list_distinct(string_split(qtext, ' ')) AS qt
+         |  FROM (VALUES (1, 'query hash join'), (2, 'window agg fast'),
+         |               (3, 'customer order value part')) v(qid, qtext)
+         |), snsc AS (
+         |  SELECT h.qid, h.doc_id, t.i, d.ts,
+         |    CAST(list_sum(list_transform(qq.qt, x ->
+         |      CASE WHEN list_contains(list_slice(d.ts, t.i, t.i + 9), x)
+         |        THEN 1 ELSE 0 END)) AS BIGINT) AS m
+         |  FROM hits h
+         |  JOIN dl d ON d.doc_id = h.doc_id
+         |  JOIN qq ON qq.qid = h.qid,
+         |  UNNEST(range(1, greatest(d.dl - 10 + 1, 1) + 1)) t(i)
+         |), best AS (
+         |  SELECT qid, doc_id, i, ts, m,
+         |    row_number() OVER (PARTITION BY qid, doc_id
+         |      ORDER BY m DESC, i) AS rn
+         |  FROM snsc
+         |)
+         |SELECT qid, doc_id,
+         |  array_to_string(list_slice(ts, i, i + 9), ' ') AS snippet,
+         |  m AS n_matched, CAST(i AS BIGINT) AS snippet_pos
+         |FROM best WHERE rn = 1 ORDER BY qid, doc_id""".stripMargin),
+
     // BM25 index health report: the exact-integer corpus facts replayed
     // from the source corpus with the q84 tokenizer (the bucket-layout
     // columns are spec-pinned, not oracled — xxhash64)

@@ -2678,6 +2678,38 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("pid", "doc_id")
     },
 
+    "q307_proximity_search" -> { (s, dir) =>
+      // proximity retrieval: documents where every query term occurs
+      // within a 10-token window in ANY order — the long-pattern
+      // relaxation of the q306 phrase match, same prefilter, window
+      // fold counts qualifying starts
+      val d = t(s, dir, "documents")
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      graft.ops.Retrieval.proximitySearch(d, "doc_id", "text", qs,
+          "qid", "qtext", window = 10)
+        .orderBy("qid", "doc_id")
+    },
+
+    "q308_snippets" -> { (s, dir) =>
+      // result presentation: the q248 served page's top-5 hits render
+      // their best 10-token span (max distinct query terms covered,
+      // ties earliest) as the snippet
+      val d = t(s, dir, "documents")
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val idx = Bm25ServeState.forDir(d, dir)
+      val hits = graft.ops.Retrieval.bm25SearchPreindexed(
+        s, idx, qs, "qid", "qtext", topK = 5)
+      graft.ops.Retrieval.extractSnippets(d, "doc_id", "text",
+          hits.select("qid", "doc_id"), "qid", qs, "qtext", window = 10)
+        .orderBy("qid", "doc_id")
+    },
+
     "q303_bm25_describe" -> { (s, dir) =>
       // index health report over the q248 serving artifact: exact
       // corpus facts (counts, token totals, doc-length extremes,

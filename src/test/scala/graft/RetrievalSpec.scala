@@ -320,6 +320,70 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("maxPhraseTerms"))
   }
 
+  test("proximitySearch: windows counted in any term order; window ceiling refuses") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a x x x x b"), (3L, "b a")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "a b")).toDF("qid", "qtext")
+    val r3 = Retrieval.proximitySearch(docs, "doc_id", "text", qs,
+        "qid", "qtext", window = 3)
+      .orderBy("qid", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // doc 1: only [a b c] holds both; doc 2: a..b span 6 > 3; doc 3:
+    // reversed order still matches (proximity, not phrase)
+    assert(r3.toSeq == Seq((1L, 1L, 1L, 1L), (1L, 3L, 1L, 1L)),
+      r3.mkString(", "))
+    val r6 = Retrieval.proximitySearch(docs, "doc_id", "text", qs,
+        "qid", "qtext", window = 6)
+      .orderBy("qid", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r6.exists(x => x._2 == 2L && x._3 == 1L && x._4 == 1L),
+      s"span-6 doc must match at window 6: ${r6.mkString(", ")}")
+    // partition invariance
+    val a = Retrieval.proximitySearch(docs, "doc_id", "text", qs, "qid",
+      "qtext", window = 3).collect().map(_.toSeq).toSet
+    val b = Retrieval.proximitySearch(docs.repartition(5), "doc_id", "text",
+      qs, "qid", "qtext", window = 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.proximitySearch(docs, "doc_id", "text", qs, "qid", "qtext",
+        window = 1000)
+    }
+    assert(e.getMessage.contains("maxWindow"))
+  }
+
+  test("extractSnippets: max-coverage window wins, ties earliest, short docs whole") {
+    val docs = Seq(
+      (1L, "x x query hash y y join z"),
+      (2L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "query hash join")).toDF("qid", "qtext")
+    val hits = Seq((1L, 1L), (1L, 2L)).toDF("qid", "doc_id")
+    val r4 = Retrieval.extractSnippets(docs, "doc_id", "text", hits,
+        "qid", qs, "qtext", window = 4)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(1), x.getString(2), x.getLong(3),
+        x.getLong(4)))
+    // no 4-window covers all three terms (span 5): the EARLIEST
+    // 2-of-3 window wins (pos 1 ties pos 3 at two terms); the short
+    // doc renders whole with 0 matches
+    assert(r4.toSeq == Seq(
+      (1L, "x x query hash", 2L, 1L),
+      (2L, "tiny doc", 0L, 1L)), r4.mkString(", "))
+    val r5 = Retrieval.extractSnippets(docs, "doc_id", "text", hits,
+        "qid", qs, "qtext", window = 5)
+      .filter(col("doc_id") === 1L).head()
+    assert(r5.getString(2) == "query hash y y join" &&
+      r5.getLong(3) == 3L && r5.getLong(4) == 3L)
+    // partition invariance
+    val a = Retrieval.extractSnippets(docs, "doc_id", "text", hits, "qid",
+      qs, "qtext", window = 4).collect().map(_.toSeq).toSet
+    val b = Retrieval.extractSnippets(docs.repartition(5), "doc_id", "text",
+      hits.repartition(3), "qid", qs, "qtext", window = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("packContextByBudget: monotone greedy prefix, overflow stops, guards refuse") {
     val hits = Seq(
       (1L, 1, 50L), (1L, 2, 60L), (1L, 3, 70L), (1L, 4, 10L),
