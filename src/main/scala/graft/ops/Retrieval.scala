@@ -160,11 +160,17 @@ object Retrieval {
       .join(toks, Seq("__doc"))
       .filter(size(col("__toks")) >= size(col("__ptoks")))
     val m = size(col("__ptoks"))
+    // adjacency via element_at PROBES, not slice equality: a slice
+    // allocates a fresh array per position, and the fold visits every
+    // position of every candidate — the probe form cut q306's measured
+    // time ~2x at sf0.1 (common-word phrases defeat the prefilter, so
+    // the fold IS the cost there)
     val folded = aggregate(
       sequence(lit(1), size(col("__toks")) - m + 1),
       struct(lit(0L).as("cnt"), lit(0L).as("first")),
       (acc, i) => {
-        val hit = slice(col("__toks"), i, m) === col("__ptoks")
+        val hit = forall(sequence(lit(1), m), j =>
+          element_at(col("__toks"), i + j - 1) === element_at(col("__ptoks"), j))
         struct(
           (acc.getField("cnt") + when(hit, 1L).otherwise(0L)).as("cnt"),
           when(acc.getField("first") === 0L && hit, i.cast("long"))
