@@ -182,6 +182,90 @@ object Retrieval {
         col("__m.cnt").as("n_occurrences"), col("__m.first").as("first_pos"))
   }
 
+  /** [[phraseSearch]] SERVED OFF A POSITIONAL INDEX — no corpus scan,
+    * no re-tokenization: phrase terms prune the postings read to their
+    * buckets (the [[bm25SearchPreindexed]] discipline), each phrase
+    * SLOT (1-based position within the phrase — duplicate terms are
+    * distinct slots) equi-joins the pruned postings, documents holding
+    * every slot survive, and the occurrence check intersects the stored
+    * position arrays by arithmetic: a start `p` in slot 1's positions
+    * matches when slot `j` holds `p + j − 1` for every `j`. Results are
+    * bit-identical to the ad-hoc [[phraseSearch]] over the indexed
+    * corpus (oracle-pinned, the q248 serving-parity discipline). The
+    * index must be built `saveBm25Index(..., withPositions = true)` —
+    * a tf-only index refuses loudly.
+    *
+    * Scale shape: pruned postings reads + one equi-join at
+    * (slot, term) grain + one hash aggregation at (phrase, doc) grain;
+    * the position intersection folds over stored arrays — per-document
+    * token counts, never the corpus. */
+  def phraseSearchPreindexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      phrases: DataFrame,
+      phraseIdCol: String,
+      phraseCol: String,
+      maxPhraseTerms: Int = 16
+  ): DataFrame = {
+    require(maxPhraseTerms >= 1, "maxPhraseTerms must be >= 1")
+    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    require(statsPositional(stats),
+      s"phraseSearchPreindexed needs a POSITIONAL index — '$indexPath' " +
+        "has tf-only postings; rebuild with saveBm25Index(..., " +
+        "withPositions = true)")
+    val idCol = stats.getAs[String]("id_col")
+    val nb = stats.getAs[Int]("num_buckets")
+    val p = phrases
+      .filter(col(phraseIdCol).isNotNull && col(phraseCol).isNotNull)
+      .select(col(phraseIdCol).as("__pid"),
+        TextAnalysis.tokens(col(phraseCol)).as("__ptoks"))
+      .select(col("__pid"),
+        when(size(col("__ptoks")) > maxPhraseTerms, raise_error(concat(
+          lit(s"phraseSearchPreindexed: phrase longer than " +
+            s"maxPhraseTerms=$maxPhraseTerms tokens for id '"),
+          col("__pid").cast("string"), lit("'"))))
+          .otherwise(col("__ptoks")).as("__ptoks"))
+      .filter(size(col("__ptoks")) >= 1)
+    if (stats.getAs[Long]("__sumdl") == 0L)
+      return p.select(col("__pid").as(phraseIdCol))
+        .filter(lit(false))
+        .withColumn(idCol, lit(null).cast(stats.getAs[String]("id_type")))
+        .withColumn("n_occurrences", lit(0L))
+        .withColumn("first_pos", lit(0L))
+    val slots = p.select(col("__pid"),
+        posexplode(col("__ptoks")).as(Seq("__j0", "term")))
+      .select(col("__pid"), (col("__j0") + 1).as("__j"), col("term"))
+    val need = p.select(col("__pid"), size(col("__ptoks")).as("__m"))
+    val termSet = broadcast(slots.select("term").distinct())
+    val buckets = slots
+      .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(termSet, Seq("term"))
+      .select(col("term"), col("__docid"), col("__pos"))
+    val grouped = slots.join(postings, Seq("term"))
+      .groupBy(col("__pid"), col("__docid"))
+      .agg(count(lit(1)).as("__have"),
+        array_sort(collect_list(struct(col("__j").as("j"),
+          col("__pos").as("pos")))).as("__slots"))
+      .join(need, Seq("__pid"))
+      .filter(col("__have") === col("__m"))
+    // a start p in slot 1 matches when every slot j holds p + j - 1
+    // (j = 1 re-checks p itself — trivially true, and it keeps the
+    // sequence ascending for single-term phrases)
+    val starts = filter(
+      element_at(col("__slots"), 1).getField("pos"),
+      pp => forall(sequence(lit(1), col("__m")),
+        j => array_contains(
+          element_at(col("__slots"), j).getField("pos"), pp + j - 1)))
+    grouped.select(col("__pid"), col("__docid"), starts.as("__s"))
+      .filter(size(col("__s")) > 0)
+      .select(col("__pid").as(phraseIdCol), col("__docid").as(idCol),
+        size(col("__s")).cast("long").as("n_occurrences"),
+        array_min(col("__s")).cast("long").as("first_pos"))
+  }
+
   /** The postings-style prefilter [[phraseSearch]] / [[proximitySearch]]
     * share: (pattern id, doc id) pairs where the document contains
     * EVERY distinct pattern token — an equi-join on the term + a count
@@ -964,7 +1048,8 @@ object Retrieval {
       idCol: String,
       textCol: String,
       path: String,
-      numBuckets: Int = 64
+      numBuckets: Int = 64,
+      withPositions: Boolean = false
   ): Unit = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     val spark = docs.sparkSession
@@ -987,11 +1072,7 @@ object Retrieval {
     // postings persisted for the build's two consumers (the write and the
     // df aggregate) — one corpus pass, and no read-back of a possibly
     // file-less write (partitionBy over an empty corpus writes nothing)
-    val postings = withLen
-      .select(col("__docid"), col("__dl"), explode(col("__toks")).as("term"))
-      .groupBy(col("__docid"), col("__dl"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
-      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(numBuckets.toLong)))
+    val postings = postingRows(withLen, numBuckets, withPositions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     postings.write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
     // (doc, term) is unique after the tf aggregate, so count(*) IS df
@@ -1017,9 +1098,38 @@ object Retrieval {
       .withColumn("num_buckets", lit(numBuckets))
       .withColumn("id_col", lit(idCol))
       .withColumn("id_type", lit(idType))
+      .withColumn("positional", lit(withPositions))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     lens.unpersist()
     ()
+  }
+
+  /** The postings-tree row derivation shared by [[saveBm25Index]] and
+    * [[stageBm25Append]]: one row per (doc, term) with its exact term
+    * frequency, bucketed by the term's hash — and, for a POSITIONAL
+    * index, the term's sorted 1-based occurrence positions (`__pos`),
+    * the column [[phraseSearchPreindexed]] intersects by position
+    * arithmetic. Positions cost ~one int per token — the standing
+    * postings tree grows by roughly the tokenized corpus size, the
+    * price of serving phrase queries without a corpus scan. */
+  private def postingRows(
+      withLen: DataFrame, numBuckets: Int, withPositions: Boolean
+  ): DataFrame = {
+    val base =
+      if (!withPositions)
+        withLen
+          .select(col("__docid"), col("__dl"), explode(col("__toks")).as("term"))
+          .groupBy(col("__docid"), col("__dl"), col("term"))
+          .agg(count(lit(1)).as("__tf"))
+      else
+        withLen
+          .select(col("__docid"), col("__dl"),
+            posexplode(col("__toks")).as(Seq("__p0", "term")))
+          .groupBy(col("__docid"), col("__dl"), col("term"))
+          .agg(count(lit(1)).as("__tf"),
+            array_sort(collect_list(col("__p0").cast("int") + 1)).as("__pos"))
+    base.withColumn("term_bucket",
+      pmod(xxhash64(col("term")), lit(numBuckets.toLong)))
   }
 
   /** One exact-integer stats row, written to `dir` — the shared writer
@@ -1029,11 +1139,13 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       n: Long, ndl: Long, sumdl: Long,
-      numBuckets: Int, idCol: String, idType: String
+      numBuckets: Int, idCol: String, idType: String,
+      positional: Boolean
   ): Unit = {
     spark.createDataFrame(
       java.util.Collections.singletonList(
-        org.apache.spark.sql.Row(n, ndl, sumdl, numBuckets, idCol, idType)),
+        org.apache.spark.sql.Row(n, ndl, sumdl, numBuckets, idCol, idType,
+          positional)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__n",
           org.apache.spark.sql.types.LongType, nullable = false),
@@ -1046,9 +1158,17 @@ object Retrieval {
         org.apache.spark.sql.types.StructField("id_col",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("id_type",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("positional",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
+
+  /** Whether a standing index carries positional postings — older stats
+    * rows (pre-positional artifacts) lack the column and read false. */
+  private def statsPositional(stats: org.apache.spark.sql.Row): Boolean =
+    stats.schema.fieldNames.contains("positional") &&
+      stats.getAs[Boolean]("positional")
 
   /** Replay a pending [[appendToBm25Index]]/[[compactBm25Index]]/
     * [[removeFromBm25Index]] commit left by a crash (authoritative
@@ -1125,12 +1245,11 @@ object Retrieval {
       TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val incPost = withLen
-      .select(col("__docid"), col("__dl"), explode(col("__toks")).as("term"))
-      .groupBy(col("__docid"), col("__dl"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
-      .withColumn("term_bucket",
-        pmod(xxhash64(col("term")), lit(nb.toLong)).cast("int"))
+    // the increment's postings match the standing tree's mode: a
+    // positional index appends positional rows (the stats flag is the
+    // contract — a schema mismatch would poison the merged read)
+    val incPost = postingRows(withLen, nb, statsPositional(stats))
+      .withColumn("term_bucket", col("term_bucket").cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     incPost.write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$staging/postings")
@@ -1170,7 +1289,7 @@ object Retrieval {
       stats.getAs[Long]("__n") + inc.getAs[Long]("n2"),
       stats.getAs[Long]("__ndl") + inc.getAs[Long]("ndl2"),
       oldSumdl + incSumdl,
-      nb, idCol, stats.getAs[String]("id_type"))
+      nb, idCol, stats.getAs[String]("id_type"), statsPositional(stats))
     actions :+= (("swap", "stats"))
     incPost.unpersist()
     withLen.unpersist()
@@ -1349,7 +1468,7 @@ object Retrieval {
       stats.getAs[Long]("__ndl") - rm.getAs[Long]("rndl"),
       stats.getAs[Long]("__sumdl") - rm.getAs[Long]("rsumdl"),
       stats.getAs[Int]("num_buckets"), stats.getAs[String]("id_col"),
-      stats.getAs[String]("id_type"))
+      stats.getAs[String]("id_type"), statsPositional(stats))
     actions :+ (("swap", "stats"))
   }
 

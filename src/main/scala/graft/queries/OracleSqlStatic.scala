@@ -661,6 +661,45 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
     * + second pass over the chunk run. */
   private lazy val ragChunkRunCtes: String = ragChunkRunCtesWhere("")
 
+  /** The q306 phrase-search derivation (every doc_id % 97 == 1
+    * document's first two tokens as the phrase, all-terms prefilter,
+    * position-enumerated adjacency) — shared VERBATIM by the
+    * positional-index serving replay q309 (served ≡ ad-hoc, the
+    * q248/q274 parity discipline). */
+  private lazy val phraseSearchOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+       |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+       |  FROM documents
+       |), tt AS (
+       |  SELECT doc_id, ts FROM toks WHERE len(ts) >= 1
+       |), ph AS (
+       |  SELECT doc_id AS pid, list_slice(ts, 1, 2) AS pt
+       |  FROM toks WHERE doc_id % 97 = 1 AND len(ts) >= 2
+       |), pterm AS (
+       |  SELECT pid, unnest(list_distinct(pt)) AS term FROM ph
+       |), pn AS (SELECT pid, count(*) AS need FROM pterm GROUP BY 1),
+       |dterm AS (
+       |  SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tt
+       |), cand AS (
+       |  SELECT c.pid, c.doc_id
+       |  FROM (
+       |    SELECT pid, doc_id, count(*) AS have
+       |    FROM pterm JOIN dterm USING (term) GROUP BY 1, 2) c
+       |  JOIN pn USING (pid) WHERE c.have = pn.need
+       |), occ AS (
+       |  SELECT c.pid, c.doc_id, t.i
+       |  FROM cand c
+       |  JOIN ph ON ph.pid = c.pid
+       |  JOIN tt ON tt.doc_id = c.doc_id,
+       |  UNNEST(range(1, len(tt.ts))) t(i)
+       |  WHERE list_slice(tt.ts, t.i, t.i + 1) = ph.pt
+       |)
+       |SELECT pid, doc_id, count(*) AS n_occurrences,
+       |  CAST(min(i) AS BIGINT) AS first_pos
+       |FROM occ GROUP BY 1, 2 ORDER BY pid, doc_id""".stripMargin
+
   /** The q218 two-system run pair (len-order vs md5-order, top-20 per
     * lang) as a reusable chain ending in `u` — shared by the judging
     * pool (q300) and the interleaving draft (q301/q302). */
@@ -5629,39 +5668,12 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
     // phrase search: prefilter to docs holding every phrase term, then
     // position-enumerated adjacency over the token lists
-    "q306_phrase_search" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
-         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
-         |  FROM documents
-         |), tt AS (
-         |  SELECT doc_id, ts FROM toks WHERE len(ts) >= 1
-         |), ph AS (
-         |  SELECT doc_id AS pid, list_slice(ts, 1, 2) AS pt
-         |  FROM toks WHERE doc_id % 97 = 1 AND len(ts) >= 2
-         |), pterm AS (
-         |  SELECT pid, unnest(list_distinct(pt)) AS term FROM ph
-         |), pn AS (SELECT pid, count(*) AS need FROM pterm GROUP BY 1),
-         |dterm AS (
-         |  SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tt
-         |), cand AS (
-         |  SELECT c.pid, c.doc_id
-         |  FROM (
-         |    SELECT pid, doc_id, count(*) AS have
-         |    FROM pterm JOIN dterm USING (term) GROUP BY 1, 2) c
-         |  JOIN pn USING (pid) WHERE c.have = pn.need
-         |), occ AS (
-         |  SELECT c.pid, c.doc_id, t.i
-         |  FROM cand c
-         |  JOIN ph ON ph.pid = c.pid
-         |  JOIN tt ON tt.doc_id = c.doc_id,
-         |  UNNEST(range(1, len(tt.ts))) t(i)
-         |  WHERE list_slice(tt.ts, t.i, t.i + 1) = ph.pt
-         |)
-         |SELECT pid, doc_id, count(*) AS n_occurrences,
-         |  CAST(min(i) AS BIGINT) AS first_pos
-         |FROM occ GROUP BY 1, 2 ORDER BY pid, doc_id""".stripMargin,
+    "q306_phrase_search" -> phraseSearchOracleSql,
+
+    // serving-path parity: the positional-index replay answers the SAME
+    // phrase queries from the persisted postings' position arrays, so
+    // it shares the ad-hoc oracle verbatim (the q248/q274 discipline)
+    "q309_phrase_served" -> phraseSearchOracleSql,
 
     // proximity retrieval: all-terms prefilter, then qualifying 10-token
     // window starts counted per (query, doc)

@@ -260,6 +260,28 @@ object PipelineQueries extends OracleSqlStatic {
       }
   }
 
+  /** POSITIONAL BM25 index keyed by sf dir (q309): the q248 corpus
+    * rebuilt with `withPositions = true` — postings carry each term's
+    * sorted occurrence positions, the artifact
+    * [[graft.ops.Retrieval.phraseSearchPreindexed]] intersects by
+    * position arithmetic. Separate from [[Bm25ServeState]]: the layouts
+    * differ (tf-only vs positional), and q248's must stay pristine. */
+  private[queries] object Bm25PositionalState {
+    @volatile private var cache: Map[String, String] = Map.empty
+    def forDir(docs: DataFrame, dir: String): String =
+      synchronized {
+        cache.get(dir) match {
+          case Some(p) => p
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-bm25-pos").toString
+            graft.ops.Retrieval.saveBm25Index(docs, "doc_id", "text", p,
+              numBuckets = 32, withPositions = true)
+            cache += dir -> p
+            p
+        }
+      }
+  }
+
   /** Post-TAKEDOWN chunk-grain BM25 index keyed by sf dir (q299): the
     * q274 chunker's index rebuilt fresh, then every `doc_id % 7 == 3`
     * DOCUMENT forgotten through
@@ -2708,6 +2730,22 @@ object PipelineQueries extends OracleSqlStatic {
       graft.ops.Retrieval.extractSnippets(d, "doc_id", "text",
           hits.select("qid", "doc_id"), "qid", qs, "qtext", window = 10)
         .orderBy("qid", "doc_id")
+    },
+
+    "q309_phrase_served" -> { (s, dir) =>
+      // q306 answered from the PERSISTED positional index: phrase terms
+      // prune the postings read to their buckets, slots equi-join the
+      // pruned postings, stored position arrays intersect by arithmetic
+      // — shares q306's oracle verbatim (served ≡ ad-hoc)
+      val d = t(s, dir, "documents")
+      val ph = d.filter(pmod(col("doc_id"), lit(97)) === 1)
+        .select(col("doc_id").as("pid"),
+          slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 2).as("pt"))
+        .filter(size(col("pt")) === 2)
+        .select(col("pid"), concat_ws(" ", col("pt")).as("phrase"))
+      val idx = Bm25PositionalState.forDir(d, dir)
+      graft.ops.Retrieval.phraseSearchPreindexed(s, idx, ph, "pid", "phrase")
+        .orderBy("pid", "doc_id")
     },
 
     "q303_bm25_describe" -> { (s, dir) =>

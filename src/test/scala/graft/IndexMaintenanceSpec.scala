@@ -661,6 +661,53 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("withSurrogateId"), e.getMessage)
   }
 
+  test("positional index: served phrase search ≡ ad-hoc through append/remove/compact; tf-only refuses") {
+    val corpus1 = Seq(
+      (1L, "the quick brown fox jumps over the quick dog"),
+      (2L, "quick brown quick brown fox"),
+      (3L, "brown quick"),
+      (4L, ""))
+    val corpus2 = Seq(
+      (5L, "a quick brown fox appears"),
+      (6L, "nothing relevant here"))
+    val phrases = Seq(
+      (10L, "quick brown"), (11L, "fox jumps"), (12L, "quick brown quick"),
+      (13L, "the quick"), (14L, "absent words")).toDF("pid", "phrase")
+    def adhoc(rows: Seq[(Long, String)]) =
+      Retrieval.phraseSearch(rows.toDF("doc_id", "text"), "doc_id", "text",
+        phrases, "pid", "phrase").collect().map(_.toSeq).toSet
+    def served(d: String) =
+      Retrieval.phraseSearchPreindexed(spark, d, phrases, "pid", "phrase")
+        .collect().map(_.toSeq).toSet
+    val dir = tmp("bm25-positional")
+    Retrieval.saveBm25Index(corpus1.toDF("doc_id", "text"), "doc_id", "text",
+      dir, numBuckets = 8, withPositions = true)
+    assert(served(dir) == adhoc(corpus1),
+      "served phrase search must equal the ad-hoc operator")
+    assert(served(dir).nonEmpty)
+    // the positional column must not disturb BM25 serving: a tf-only
+    // twin index answers identically
+    val plain = tmp("bm25-positional-plain")
+    Retrieval.saveBm25Index(corpus1.toDF("doc_id", "text"), "doc_id", "text",
+      plain, numBuckets = 8)
+    assert(searchRows(dir) == searchRows(plain),
+      "BM25 over a positional index must equal the tf-only index")
+    // append keeps the positional mode: increment rows carry positions
+    Retrieval.appendToBm25Index(corpus2.toDF("doc_id", "text"), "text", dir)
+    assert(served(dir) == adhoc(corpus1 ++ corpus2),
+      "append must extend the positional tree")
+    // takedown: anti-join keeps the positions of survivors
+    Retrieval.removeFromBm25Index(Seq(2L).toDF("doc_id"), dir)
+    val kept = (corpus1 ++ corpus2).filterNot(_._1 == 2L)
+    assert(served(dir) == adhoc(kept), "takedown must forget positions too")
+    // compaction rewrites identical content
+    Retrieval.compactBm25Index(spark, dir)
+    assert(served(dir) == adhoc(kept), "compaction must not move content")
+    // a tf-only index refuses the positional operator loudly
+    val e = intercept[IllegalArgumentException] { served(plain) }
+    assert(e.getMessage.contains("withPositions"), e.getMessage)
+  }
+
   test("describeBm25Index: hand-computed corpus facts; bucket balance sums; tracks maintenance") {
     val dir = tmp("bm25-describe")
     Retrieval.saveBm25Index(docs1.toDF("doc_id", "text"), "doc_id", "text",
