@@ -49,22 +49,24 @@ object Retrieval {
 
   /** QUERY SPELL CORRECTION (symmetric-delete, SymSpell-style) — the
     * query-understanding step in front of lexical search: each query
-    * term meets every vocabulary term within Levenshtein distance 1
-    * through a DELETE-KEY join (a term's keys are itself plus its
-    * one-char deletions; two terms within one edit share a key), the
-    * exact distance verifies the survivors, and candidates rank by
-    * (distance asc, corpus frequency desc, term asc) — an exact-match
-    * query term wins its own rank 1, so correction never rewrites a
-    * word the corpus knows. Output: `(queryIdCol, termCol, suggestion,
-    * distance, freq, sugg_rank)`; terms with NO candidate within one
-    * edit emit nothing (the caller's fallback is the raw term).
+    * term meets every vocabulary term within Levenshtein distance
+    * `maxEdits` (1 or 2) through a DELETE-KEY join (a term's keys are
+    * itself plus its deletions up to `maxEdits` chars; two terms
+    * within that many edits share a key — `maxEdits = 2` reaches
+    * transpositions like "qeury"), the exact distance verifies the
+    * survivors, and candidates rank by (distance asc, corpus frequency
+    * desc, term asc) — an exact-match query term wins its own rank 1,
+    * so correction never rewrites a word the corpus knows. Output:
+    * `(queryIdCol, termCol, suggestion, distance, freq, sugg_rank)`;
+    * terms with NO candidate in range emit nothing (the caller's
+    * fallback is the raw term).
     *
-    * Scale shape: the delete-key tables are |terms| · (len + 1) rows
-    * (len capped loudly at `maxTermLen` — key volume is linear in it),
-    * the join is an equi-join on the key, and the exact-distance
-    * verify runs only on key-colliding pairs — never all-pairs. The
-    * vocabulary side is re-derived per call; pass a bounded vocabulary
-    * (e.g. [[vocabulary]]'s top-k), not a raw corpus. */
+    * Scale shape: the delete-key tables are |terms| · O(len^maxEdits)
+    * rows (len capped loudly at `maxTermLen`), the join is an
+    * equi-join on the key, and the exact-distance verify runs only on
+    * key-colliding pairs — never all-pairs. The vocabulary side is
+    * re-derived per call; pass a bounded vocabulary (e.g.
+    * [[vocabulary]]'s top-k), not a raw corpus. */
   def spellCorrect(
       queries: DataFrame,
       queryIdCol: String,
@@ -73,19 +75,31 @@ object Retrieval {
       vocabTermCol: String,
       freqCol: String,
       topK: Int = 3,
-      maxTermLen: Int = 64
+      maxTermLen: Int = 64,
+      maxEdits: Int = 1
   ): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     require(maxTermLen >= 1, "maxTermLen must be >= 1")
+    require(maxEdits == 1 || maxEdits == 2,
+      s"maxEdits must be 1 or 2, got $maxEdits — symmetric delete keys " +
+        "grow O(len^maxEdits) per term")
     def checkedLen(t: Column, side: String): Column =
       when(length(t) > maxTermLen, raise_error(concat(
         lit(s"spellCorrect: $side term longer than maxTermLen=$maxTermLen: '"),
         t, lit("' — raise the ceiling or pre-filter"))))
         .otherwise(t)
-    def keysOf(t: Column): Column = array_union(
-      array(t),
+    def delsOf(t: Column): Column =
       transform(sequence(lit(1), length(t)),
-        i => concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t) - i))))
+        i => concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t) - i)))
+    // maxEdits = 2 adds the deletions OF the deletions (distance-2
+    // keys): two terms within two edits share a key — the exact
+    // Levenshtein verify below still decides, keys only generate
+    def keysOf(t: Column): Column = {
+      val d1 = delsOf(t)
+      val base = array_union(array(t), d1)
+      if (maxEdits == 1) base
+      else array_union(base, array_distinct(flatten(transform(d1, delsOf(_)))))
+    }
     val q = queries
       .filter(col(queryIdCol).isNotNull && col(termCol).isNotNull)
       .select(col(queryIdCol).as("__qid"),
@@ -101,7 +115,7 @@ object Retrieval {
       .select(col("__qid"), col("__qt"), col("__vt"), col("__f"))
       .distinct()
       .withColumn("__d", levenshtein(col("__qt"), col("__vt")))
-      .filter(col("__d") <= 1)
+      .filter(col("__d") <= maxEdits)
     import org.apache.spark.sql.expressions.Window
     cand.withColumn("sugg_rank", row_number().over(
         Window.partitionBy(col("__qid"), col("__qt"))
@@ -264,6 +278,80 @@ object Retrieval {
       .select(col("__pid").as(phraseIdCol), col("__docid").as(idCol),
         size(col("__s")).cast("long").as("n_occurrences"),
         array_min(col("__s")).cast("long").as("first_pos"))
+  }
+
+  /** [[proximitySearch]] SERVED OFF THE POSITIONAL INDEX — the same
+    * artifact [[phraseSearchPreindexed]] reads, relaxed to windows: a
+    * document matches at start `p` when EVERY distinct query term has
+    * an occurrence inside `[p, p + window − 1]`. Query terms prune the
+    * postings read to their buckets, documents holding every term
+    * survive the slot join, and the window check folds over the stored
+    * position arrays with the document length from the postings row —
+    * the corpus is never re-tokenized. Results are bit-identical to
+    * the ad-hoc [[proximitySearch]] over the indexed corpus
+    * (oracle-pinned, serving parity). Same loud `maxWindow` ceiling. */
+  def proximitySearchPreindexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      window: Int = 10,
+      maxWindow: Int = 256
+  ): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(window <= maxWindow,
+      s"proximitySearchPreindexed: window=$window above maxWindow=$maxWindow")
+    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    require(statsPositional(stats),
+      s"proximitySearchPreindexed needs a POSITIONAL index — '$indexPath' " +
+        "has tf-only postings; rebuild with saveBm25Index(..., " +
+        "withPositions = true)")
+    val idCol = stats.getAs[String]("id_col")
+    val nb = stats.getAs[Int]("num_buckets")
+    val p = queries
+      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).as("__pid"),
+        array_distinct(TextAnalysis.tokens(col(queryTextCol))).as("__ptoks"))
+      .filter(size(col("__ptoks")) >= 1)
+    if (stats.getAs[Long]("__sumdl") == 0L)
+      return p.select(col("__pid").as(queryIdCol))
+        .filter(lit(false))
+        .withColumn(idCol, lit(null).cast(stats.getAs[String]("id_type")))
+        .withColumn("n_windows", lit(0L))
+        .withColumn("first_window_pos", lit(0L))
+    val slots = p.select(col("__pid"), explode(col("__ptoks")).as("term"))
+    val need = p.select(col("__pid"), size(col("__ptoks")).as("__m"))
+    val termSet = broadcast(slots.select("term").distinct())
+    val buckets = slots
+      .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(termSet, Seq("term"))
+      .select(col("term"), col("__docid"), col("__dl"), col("__pos"))
+    val grouped = slots.join(postings, Seq("term"))
+      .groupBy(col("__pid"), col("__docid"))
+      .agg(count(lit(1)).as("__have"), min(col("__dl")).as("__dl"),
+        collect_list(col("__pos")).as("__plists"))
+      .join(need, Seq("__pid"))
+      .filter(col("__have") === col("__m"))
+    val w = lit(window)
+    val folded = aggregate(
+      sequence(lit(1), greatest(col("__dl") - w + 1, lit(1))),
+      struct(lit(0L).as("cnt"), lit(0L).as("first")),
+      (acc, i) => {
+        val hit = forall(col("__plists"), ps =>
+          exists(ps, q => q >= i && q <= i + w - 1))
+        struct(
+          (acc.getField("cnt") + when(hit, 1L).otherwise(0L)).as("cnt"),
+          when(acc.getField("first") === 0L && hit, i.cast("long"))
+            .otherwise(acc.getField("first")).as("first"))
+      })
+    grouped.select(col("__pid"), col("__docid"), folded.as("__m2"))
+      .filter(col("__m2.cnt") > 0L)
+      .select(col("__pid").as(queryIdCol), col("__docid").as(idCol),
+        col("__m2.cnt").as("n_windows"), col("__m2.first").as("first_window_pos"))
   }
 
   /** The postings-style prefilter [[phraseSearch]] / [[proximitySearch]]

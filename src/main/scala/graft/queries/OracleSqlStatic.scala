@@ -700,6 +700,42 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |  CAST(min(i) AS BIGINT) AS first_pos
        |FROM occ GROUP BY 1, 2 ORDER BY pid, doc_id""".stripMargin
 
+  /** The q307 proximity derivation (the three standard queries, 10-token
+    * windows, all-terms prefilter, window-start enumeration) — shared
+    * VERBATIM by the positional-index serving replay q310. */
+  private lazy val proximitySearchOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+       |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+       |  FROM documents
+       |), tt AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 1),
+       |q(qid, qtext) AS (
+       |  VALUES (1, 'query hash join'), (2, 'window agg fast'),
+       |         (3, 'customer order value part')
+       |), qq AS (
+       |  SELECT qid, list_distinct(string_split(qtext, ' ')) AS qt FROM q
+       |), pterm AS (SELECT qid, unnest(qt) AS term FROM qq),
+       |pn AS (SELECT qid, count(*) AS need FROM pterm GROUP BY 1),
+       |dterm AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tt),
+       |cand AS (
+       |  SELECT c.qid, c.doc_id
+       |  FROM (
+       |    SELECT qid, doc_id, count(*) AS have
+       |    FROM pterm JOIN dterm USING (term) GROUP BY 1, 2) c
+       |  JOIN pn USING (qid) WHERE c.have = pn.need
+       |), occ AS (
+       |  SELECT c.qid, c.doc_id, t.i
+       |  FROM cand c
+       |  JOIN qq ON qq.qid = c.qid
+       |  JOIN tt ON tt.doc_id = c.doc_id,
+       |  UNNEST(range(1, greatest(len(tt.ts) - 10 + 1, 1) + 1)) t(i)
+       |  WHERE list_has_all(list_slice(tt.ts, t.i, t.i + 9), qq.qt)
+       |)
+       |SELECT qid, doc_id, count(*) AS n_windows,
+       |  CAST(min(i) AS BIGINT) AS first_window_pos
+       |FROM occ GROUP BY 1, 2 ORDER BY qid, doc_id""".stripMargin
+
   /** The q218 two-system run pair (len-order vs md5-order, top-20 per
     * lang) as a reusable chain ending in `u` — shared by the judging
     * pool (q300) and the interleaving draft (q301/q302). */
@@ -5677,38 +5713,12 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
 
     // proximity retrieval: all-terms prefilter, then qualifying 10-token
     // window starts counted per (query, doc)
-    "q307_proximity_search" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
-         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
-         |  FROM documents
-         |), tt AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 1),
-         |q(qid, qtext) AS (
-         |  VALUES (1, 'query hash join'), (2, 'window agg fast'),
-         |         (3, 'customer order value part')
-         |), qq AS (
-         |  SELECT qid, list_distinct(string_split(qtext, ' ')) AS qt FROM q
-         |), pterm AS (SELECT qid, unnest(qt) AS term FROM qq),
-         |pn AS (SELECT qid, count(*) AS need FROM pterm GROUP BY 1),
-         |dterm AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tt),
-         |cand AS (
-         |  SELECT c.qid, c.doc_id
-         |  FROM (
-         |    SELECT qid, doc_id, count(*) AS have
-         |    FROM pterm JOIN dterm USING (term) GROUP BY 1, 2) c
-         |  JOIN pn USING (qid) WHERE c.have = pn.need
-         |), occ AS (
-         |  SELECT c.qid, c.doc_id, t.i
-         |  FROM cand c
-         |  JOIN qq ON qq.qid = c.qid
-         |  JOIN tt ON tt.doc_id = c.doc_id,
-         |  UNNEST(range(1, greatest(len(tt.ts) - 10 + 1, 1) + 1)) t(i)
-         |  WHERE list_has_all(list_slice(tt.ts, t.i, t.i + 9), qq.qt)
-         |)
-         |SELECT qid, doc_id, count(*) AS n_windows,
-         |  CAST(min(i) AS BIGINT) AS first_window_pos
-         |FROM occ GROUP BY 1, 2 ORDER BY qid, doc_id""".stripMargin,
+    "q307_proximity_search" -> proximitySearchOracleSql,
+
+    // serving-path parity: the positional-index replay answers the SAME
+    // proximity queries from stored position arrays + doclens — shares
+    // the ad-hoc oracle verbatim
+    "q310_proximity_served" -> proximitySearchOracleSql,
 
     // snippets: the q84/q248 top-5 page's best 10-token span by distinct
     // query terms covered (ties earliest), re-joined with spaces
@@ -5738,6 +5748,65 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
          |  array_to_string(list_slice(ts, i, i + 9), ' ') AS snippet,
          |  m AS n_matched, CAST(i AS BIGINT) AS snippet_pos
          |FROM best WHERE rn = 1 ORDER BY qid, doc_id""".stripMargin),
+
+    // distance-2 SymSpell: keys widen to deletions-of-deletions, the 50
+    // heaviest >=4-char ascii words each with chars 2 and 3 SWAPPED (a
+    // transposition, distance 2) play the queries
+    "q311_spell_correct2" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN []
+         |         ELSE string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS ts
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY 1, 2
+         |), v AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |top AS (
+         |  SELECT term, df FROM (
+         |    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn
+         |    FROM v) WHERE rn <= 200
+         |), av AS (
+         |  SELECT term, df FROM top WHERE regexp_matches(term, '^[a-z]+$$')
+         |), qs AS (
+         |  SELECT term AS qid,
+         |    substr(term, 1, 1) || substr(term, 3, 1) || substr(term, 2, 1)
+         |      || substr(term, 4) AS qt
+         |  FROM (
+         |    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+         |    FROM av WHERE len(term) >= 4) WHERE rn <= 50
+         |), qk AS (
+         |  SELECT qid, qt, unnest(list_distinct(flatten([[qt], d1,
+         |    flatten(list_transform(d1, s -> list_transform(range(1, len(s) + 1),
+         |      j -> substr(s, 1, j - 1) || substr(s, j + 1))))]))) AS k
+         |  FROM (
+         |    SELECT qid, qt,
+         |      list_transform(range(1, len(qt) + 1),
+         |        i -> substr(qt, 1, i - 1) || substr(qt, i + 1)) AS d1
+         |    FROM qs)
+         |), vk AS (
+         |  SELECT vt, df, unnest(list_distinct(flatten([[vt], d1,
+         |    flatten(list_transform(d1, s -> list_transform(range(1, len(s) + 1),
+         |      j -> substr(s, 1, j - 1) || substr(s, j + 1))))]))) AS k
+         |  FROM (
+         |    SELECT term AS vt, df,
+         |      list_transform(range(1, len(term) + 1),
+         |        i -> substr(term, 1, i - 1) || substr(term, i + 1)) AS d1
+         |    FROM av)
+         |), cand AS (
+         |  SELECT DISTINCT qid, qt, vt, df FROM qk JOIN vk USING (k)
+         |), sc AS (
+         |  SELECT qid, qt, vt, df, levenshtein(qt, vt) AS d
+         |  FROM cand WHERE levenshtein(qt, vt) <= 2
+         |), rk AS (
+         |  SELECT qid, qt AS term, vt AS suggestion, d AS distance,
+         |    CAST(df AS BIGINT) AS freq,
+         |    row_number() OVER (PARTITION BY qid, qt
+         |      ORDER BY d, df DESC, vt) AS sugg_rank
+         |  FROM sc
+         |)
+         |SELECT qid, term, suggestion, distance, freq, sugg_rank
+         |FROM rk WHERE sugg_rank <= 3 ORDER BY qid, sugg_rank""".stripMargin,
 
     // BM25 index health report: the exact-integer corpus facts replayed
     // from the source corpus with the q84 tokenizer (the bucket-layout

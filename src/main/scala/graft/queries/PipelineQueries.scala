@@ -2748,6 +2748,42 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("pid", "doc_id")
     },
 
+    "q310_proximity_served" -> { (s, dir) =>
+      // q307 answered from the persisted positional index: stored
+      // position arrays + doclens replace the corpus scan — shares
+      // q307's oracle verbatim (served ≡ ad-hoc)
+      val d = t(s, dir, "documents")
+      val qs = s.createDataFrame(Seq(
+        (1L, "query hash join"),
+        (2L, "window agg fast"),
+        (3L, "customer order value part"))).toDF("qid", "qtext")
+      val idx = Bm25PositionalState.forDir(d, dir)
+      graft.ops.Retrieval.proximitySearchPreindexed(s, idx, qs,
+          "qid", "qtext", window = 10)
+        .orderBy("qid", "doc_id")
+    },
+
+    "q311_spell_correct2" -> { (s, dir) =>
+      // distance-2 correction: the q305 dictionary, queries with chars
+      // 2 and 3 SWAPPED (a transposition — unreachable at one edit),
+      // met through deletion-of-deletion keys and verified by exact
+      // Levenshtein <= 2
+      val d = t(s, dir, "documents")
+      val vocab = graft.ops.Retrieval.vocabulary(d, "doc_id", "text", 200)
+        .filter(col("term").rlike("^[a-z]+$"))
+        .select(col("term"), col("doc_freq"))
+      val qs = vocab.filter(length(col("term")) >= 4)
+        .orderBy(col("doc_freq").desc, col("term").asc).limit(50)
+        .select(col("term").as("qid"),
+          concat(col("term").substr(lit(1), lit(1)),
+            col("term").substr(lit(3), lit(1)),
+            col("term").substr(lit(2), lit(1)),
+            col("term").substr(lit(4), length(col("term")) - 3)).as("term"))
+      graft.ops.Retrieval.spellCorrect(qs, "qid", "term", vocab, "term",
+          "doc_freq", topK = 3, maxEdits = 2)
+        .orderBy("qid", "sugg_rank")
+    },
+
     "q303_bm25_describe" -> { (s, dir) =>
       // index health report over the q248 serving artifact: exact
       // corpus facts (counts, token totals, doc-length extremes,

@@ -706,6 +706,26 @@ class IndexMaintenanceSpec extends SparkSpec {
     // a tf-only index refuses the positional operator loudly
     val e = intercept[IllegalArgumentException] { served(plain) }
     assert(e.getMessage.contains("withPositions"), e.getMessage)
+    // proximity serves off the SAME artifact: window parity vs ad-hoc
+    // (doc 3 "brown quick" matches reversed; spans beyond the window
+    // drop), through the same post-maintenance tree
+    val prox = Seq((1L, "quick dog"), (2L, "fox brown")).toDF("qid", "qtext")
+    for (w <- Seq(3, 6)) {
+      val adhocProx = Retrieval.proximitySearch(kept.toDF("doc_id", "text"),
+          "doc_id", "text", prox, "qid", "qtext", window = w)
+        .collect().map(_.toSeq).toSet
+      val servedProx = Retrieval.proximitySearchPreindexed(spark, dir, prox,
+          "qid", "qtext", window = w)
+        .collect().map(_.toSeq).toSet
+      assert(servedProx == adhocProx, s"window $w: $servedProx != $adhocProx")
+    }
+    assert(Retrieval.proximitySearchPreindexed(spark, dir, prox, "qid",
+      "qtext", window = 6).count() > 0)
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.proximitySearchPreindexed(spark, plain, prox, "qid", "qtext")
+        .collect()
+    }
+    assert(e2.getMessage.contains("withPositions"), e2.getMessage)
   }
 
   test("describeBm25Index: hand-computed corpus facts; bucket balance sums; tracks maintenance") {

@@ -283,6 +283,31 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("maxTermLen"))
   }
 
+  test("spellCorrect maxEdits=2: transpositions and double deletions reachable, distance ranks first") {
+    val vocab = Seq(("spark", 100L), ("spam", 500L), ("shuffle", 80L))
+      .toDF("term", "freq")
+    val qs = Seq((1L, "sprak"), (2L, "spk"), (3L, "sprk"))
+      .toDF("qid", "term")
+    // maxEdits=1 cannot reach the transposition or the double deletion
+    val r1 = Retrieval.spellCorrect(qs, "qid", "term", vocab, "term",
+        "freq", topK = 1, maxEdits = 1)
+      .collect().map(x => (x.getLong(0), x.getString(2), x.getInt(3))).toSet
+    assert(r1 == Set((3L, "spark", 1)), r1.mkString(", "))
+    // maxEdits=2 reaches both; frequency breaks the distance-2 ties
+    // (spam at 5x freq wins them), but a CLOSER candidate outranks a
+    // more frequent farther one (sprk: spark d1 beats spam d2)
+    val r2 = Retrieval.spellCorrect(qs, "qid", "term", vocab, "term",
+        "freq", topK = 1, maxEdits = 2)
+      .collect().map(x => (x.getLong(0), x.getString(2), x.getInt(3))).toSet
+    assert(r2 == Set((1L, "spam", 2), (2L, "spam", 2), (3L, "spark", 1)),
+      r2.mkString(", "))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.spellCorrect(qs, "qid", "term", vocab, "term", "freq",
+        maxEdits = 3)
+    }
+    assert(e.getMessage.contains("maxEdits"))
+  }
+
   test("phraseSearch: adjacency verified, occurrences counted, repeated-term phrases exact") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),
