@@ -450,6 +450,126 @@ object RankEval {
         col("col.doc").as(docCol), col("col.team").as("team"))
   }
 
+  /** TEAM-DRAFT MULTILEAVING — [[teamDraftInterleave]] generalized to
+    * k ≥ 2 systems (one page from ALL rankers under comparison, the
+    * multileaved online eval): per step the ELIGIBLE teams (list not
+    * yet exhausted) with the fewest picks tie-break through the same
+    * md5 coin — the draw indexes into the tied teams in name order
+    * (`floor(u · |tied|)`), so two systems reproduce
+    * [[teamDraftInterleave]] draw for draw (spec-pinned). Same dup
+    * refusal, same `maxRunLength` ceiling, same output shape:
+    * `(queryCol, pos, docCol, team)`.
+    *
+    * Scale shape: the draft folds over k collected k-bounded lists at
+    * evaluation grain — the accumulator adds a per-team pick-count
+    * array, nothing else grows with k. */
+  def teamDraftMultileave(
+      runs: DataFrame,
+      queryCol: String,
+      docCol: String,
+      systemCol: String,
+      rankCol: String,
+      k: Int = 10,
+      maxRunLength: Int = 1024
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRunLength >= 1, "maxRunLength must be >= 1")
+    val names = runs.select(col(systemCol).cast("string")).distinct()
+      .orderBy(col(systemCol)).collect().map(_.getString(0)).toSeq
+    require(names.length >= 2,
+      s"teamDraftMultileave compares k >= 2 systems, got $names")
+    val n = names.length
+    val clean = runs
+      .filter(col(queryCol).isNotNull && col(docCol).isNotNull &&
+        col(rankCol).isNotNull)
+      .groupBy(col(queryCol).as("__q"), col(systemCol).cast("string").as("__s"),
+        col(docCol).as("__d"))
+      .agg(count(lit(1)).as("__c"), min(col(rankCol).cast("long")).as("__r"))
+      .select(col("__q"), col("__s"), col("__d"),
+        when(col("__c") > 1, raise_error(concat(
+          lit("teamDraftMultileave: document '"), col("__d").cast("string"),
+          lit("' appears twice in system '"), col("__s"),
+          lit("' for query '"), col("__q").cast("string"),
+          lit("' — dedupe the runs upstream"))))
+          .when(col("__r") > maxRunLength, raise_error(concat(
+            lit(s"teamDraftMultileave: rank beyond maxRunLength=$maxRunLength "),
+            lit("for query '"), col("__q").cast("string"),
+            lit("' — feed top-k pages, not corpora"))))
+          .otherwise(col("__r")).as("__r"))
+    def listOf(s: String) = array_sort(collect_list(
+      when(col("__s") === s, struct(col("__r").as("r"), col("__d").as("doc")))))
+    val grouped = clean.groupBy("__q")
+      .agg(array(names.map(listOf): _*).as("__lists"))
+    val teamNames = array(names.map(lit): _*)
+    val docsOf = (sel: Column) => transform(sel, p => p.getField("doc"))
+    def headAvail(lst: Column, sel: Column): Column =
+      element_at(filter(lst,
+        c => !array_contains(docsOf(sel), c.getField("doc"))), 1)
+    val zero = struct(
+      slice(transform(element_at(col("__lists"), 1),
+        c => struct(c.getField("doc").as("doc"), lit("").as("team"))), 1, 0)
+        .as("sel"),
+      transform(sequence(lit(1), lit(n)), _ => lit(0L)).as("cnts"))
+    val folded = aggregate(
+      sequence(lit(1), lit(k)), zero,
+      (acc, step) => {
+        val sel = acc.getField("sel")
+        val cnts = acc.getField("cnts")
+        // per-team head of the unpicked remainder (null = exhausted)
+        val heads = transform(sequence(lit(1), lit(n)),
+          t => headAvail(element_at(col("__lists"), t), sel))
+        val eligCnts = zip_with(cnts, heads,
+          (c, h) => when(h.isNotNull, c))
+        val minCnt = array_min(eligCnts)
+        val tied = filter(sequence(lit(0), lit(n - 1)),
+          t => element_at(heads, t + 1).isNotNull &&
+            element_at(cnts, t + 1) === minCnt)
+        val u = Bootstrap.unit(col("__q"), step)
+        val idx = least(floor(u * size(tied)).cast("int"), size(tied) - 1)
+        val ti = element_at(tied, idx + 1) // 0-based winning team index
+        val pick = struct(
+          element_at(heads, ti + 1).getField("doc").as("doc"),
+          element_at(teamNames, ti + 1).as("team"))
+        when(size(tied) === 0, acc).otherwise(struct(
+          concat(sel, array(pick)).as("sel"),
+          zip_with(cnts, sequence(lit(0), lit(n - 1)),
+            (c, t) => c + when(t === ti, 1L).otherwise(0L)).as("cnts")))
+      },
+      acc => acc.getField("sel"))
+    grouped.select(col("__q"), posexplode(folded))
+      .select(col("__q").as(queryCol), (col("pos") + 1).cast("int").as("pos"),
+        col("col.doc").as(docCol), col("col.team").as("team"))
+  }
+
+  /** Click credit for a [[teamDraftMultileave]] page in LONG format:
+    * one row per (query, team) with its click count and an
+    * `is_winner` flag (the strict maximum — a tied top reports no
+    * winner, the pairwise [[interleaveCredit]] convention). Teams that
+    * drafted no position for a query report zero clicks for it. */
+  def multileaveCredit(
+      interleaved: DataFrame,
+      clicks: DataFrame,
+      queryCol: String,
+      posCol: String
+  ): DataFrame = {
+    val clicked = clicks.select(col(queryCol), col(posCol).cast("int").as("pos"))
+      .distinct().withColumn("__clicked", lit(1L))
+    val perTeam = interleaved
+      .join(clicked, Seq(queryCol, "pos"), "left")
+      .groupBy(col(queryCol), col("team"))
+      .agg(coalesce(sum(col("__clicked")), lit(0L)).as("clicks"))
+    // count-of-max needs two passes (an agg cannot nest): join the max
+    // back and count matches
+    val mx = perTeam.groupBy(col(queryCol)).agg(max(col("clicks")).as("__mx"))
+    val nmx = perTeam.join(mx, Seq(queryCol))
+      .filter(col("clicks") === col("__mx"))
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("__nmx"))
+    perTeam.join(mx, Seq(queryCol)).join(nmx, Seq(queryCol))
+      .withColumn("is_winner",
+        col("clicks") === col("__mx") && col("__nmx") === 1)
+      .drop("__mx", "__nmx")
+  }
+
   /** Click credit for a [[teamDraftInterleave]] page: clicks join the
     * interleaved page at (query, pos) grain and credit the position's
     * OWNING team; per query the higher credit wins. Output one row per

@@ -736,6 +736,80 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
        |  CAST(min(i) AS BIGINT) AS first_window_pos
        |FROM occ GROUP BY 1, 2 ORDER BY qid, doc_id""".stripMargin
 
+  /** The three-system multileave draft (len / md5 / rev runs, k = 10):
+    * the recursion carries per-team counts; each transition aggregates
+    * every team's best unpicked candidate, keeps the ELIGIBLE teams at
+    * the minimum count (team order — the Spark side's name order), and
+    * the md5 coin INDEXES into the tied list (`floor(u · |tied|)`).
+    * Shared by q312 (the page) and q313 (its click credit). */
+  private lazy val multileaveDraftCtes: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, n_chars, text FROM documents WHERE text IS NOT NULL
+      |), a AS (
+      |  SELECT lang, doc_id, 'len' AS system, rank FROM (
+      |    SELECT lang, doc_id,
+      |      row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rank
+      |    FROM d) WHERE rank <= 20
+      |), b AS (
+      |  SELECT lang, doc_id, 'md5' AS system, rank FROM (
+      |    SELECT lang, doc_id,
+      |      row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rank
+      |    FROM d) WHERE rank <= 20
+      |), c3 AS (
+      |  SELECT lang, doc_id, 'rev' AS system, rank FROM (
+      |    SELECT lang, doc_id,
+      |      row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+      |    FROM d) WHERE rank <= 20
+      |), u3 AS (
+      |  SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c3
+      |), msel AS (
+      |  SELECT lang, 0 AS step, CAST([] AS BIGINT[]) AS ids,
+      |    CAST([] AS VARCHAR[]) AS teams, 0 AS c0, 0 AS c1, 0 AS c2
+      |  FROM (SELECT DISTINCT lang FROM u3)
+      |  UNION ALL
+      |  SELECT p.lang, p.step + 1,
+      |    list_append(p.ids, p.pick.d),
+      |    list_append(p.teams, ['len', 'md5', 'rev'][p.pick.t + 1]),
+      |    p.c0 + CASE WHEN p.pick.t = 0 THEN 1 ELSE 0 END,
+      |    p.c1 + CASE WHEN p.pick.t = 1 THEN 1 ELSE 0 END,
+      |    p.c2 + CASE WHEN p.pick.t = 2 THEN 1 ELSE 0 END
+      |  FROM (
+      |    SELECT s2.*,
+      |      s2.tied[1 + least(CAST(floor(s2.u01 * len(s2.tied)) AS INT),
+      |        len(s2.tied) - 1)] AS pick
+      |    FROM (
+      |      SELECT s1.*,
+      |        list_filter([
+      |          struct_pack(c := s1.c0, t := 0, d := s1.pa.d),
+      |          struct_pack(c := s1.c1, t := 1, d := s1.pb.d),
+      |          struct_pack(c := s1.c2, t := 2, d := s1.pc.d)],
+      |          x -> x.d IS NOT NULL AND x.c = s1.mn) AS tied
+      |      FROM (
+      |        SELECT s0.*, least(
+      |          CASE WHEN s0.pa.d IS NOT NULL THEN s0.c0 END,
+      |          CASE WHEN s0.pb.d IS NOT NULL THEN s0.c1 END,
+      |          CASE WHEN s0.pc.d IS NOT NULL THEN s0.c2 END) AS mn
+      |        FROM (
+      |          SELECT s.lang, s.step, s.ids, s.teams, s.c0, s.c1, s.c2,
+      |            CAST(CAST(('0x' || substr(md5(s.lang || ':' ||
+      |              CAST(s.step + 1 AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+      |              / 1152921504606846976.0 AS u01,
+      |            min(CASE WHEN c.system = 'len'
+      |              THEN struct_pack(r := c.rank, d := c.doc_id) END) AS pa,
+      |            min(CASE WHEN c.system = 'md5'
+      |              THEN struct_pack(r := c.rank, d := c.doc_id) END) AS pb,
+      |            min(CASE WHEN c.system = 'rev'
+      |              THEN struct_pack(r := c.rank, d := c.doc_id) END) AS pc
+      |          FROM msel s JOIN u3 c
+      |            ON c.lang = s.lang AND NOT list_contains(s.ids, c.doc_id)
+      |          WHERE s.step < 10
+      |          GROUP BY ALL
+      |        ) s0
+      |      ) s1
+      |    ) s2
+      |  ) p
+      |)""".stripMargin
+
   /** The q218 two-system run pair (len-order vs md5-order, top-20 per
     * lang) as a reusable chain ending in `u` — shared by the judging
     * pool (q300) and the interleaving draft (q301/q302). */
@@ -5862,6 +5936,41 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |FROM msel, UNNEST(range(1, len(ids) + 1)) t(i)
         |WHERE step = (SELECT max(step) FROM msel m2 WHERE m2.lang = msel.lang)
         |ORDER BY lang, pos""".stripMargin),
+
+    // three-system multileave: the recursive draft with per-team counts,
+    // the coin indexing into the tied teams in name order
+    "q312_multileave" -> (multileaveDraftCtes +
+      """
+        |SELECT lang, i AS pos, ids[i] AS doc_id, teams[i] AS team
+        |FROM msel, UNNEST(range(1, len(ids) + 1)) t(i)
+        |WHERE step = (SELECT max(step) FROM msel m2 WHERE m2.lang = msel.lang)
+        |ORDER BY lang, pos""".stripMargin),
+
+    // long-format credit over the q312 page: per (lang, team) click
+    // counts, strict-max winner flag
+    "q313_multileave_credit" -> (multileaveDraftCtes +
+      """, fin AS (
+        |  SELECT lang, i AS pos, ids[i] AS doc_id, teams[i] AS team
+        |  FROM msel, UNNEST(range(1, len(ids) + 1)) t(i)
+        |  WHERE step = (SELECT max(step) FROM msel m2 WHERE m2.lang = msel.lang)
+        |), ck AS (
+        |  SELECT DISTINCT lang, pos FROM fin WHERE doc_id % 4 = 1
+        |), pt AS (
+        |  SELECT f.lang, f.team,
+        |    CAST(coalesce(sum(CASE WHEN c.pos IS NOT NULL THEN 1 END), 0)
+        |      AS BIGINT) AS clicks
+        |  FROM fin f LEFT JOIN ck c ON c.lang = f.lang AND c.pos = f.pos
+        |  GROUP BY 1, 2
+        |), mx AS (
+        |  SELECT lang, max(clicks) AS m,
+        |    count(*) FILTER (WHERE clicks = max_c) AS x
+        |  FROM (SELECT lang, clicks, max(clicks) OVER (PARTITION BY lang) AS max_c
+        |        FROM pt) GROUP BY lang
+        |)
+        |SELECT pt.lang, pt.team, pt.clicks,
+        |  (pt.clicks = mx.m AND mx.x = 1) AS is_winner
+        |FROM pt JOIN mx USING (lang)
+        |ORDER BY pt.lang, pt.team""".stripMargin),
 
     // click credit over the q301 page: clicks land on positions showing
     // doc_id % 4 == 1; the owning teams' counts decide the winner

@@ -2878,6 +2878,60 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("lang")
     },
 
+    "q312_multileave" -> { (s, dir) =>
+      // three-system multileaving (len-order, md5-order, reverse-length
+      // order) per lang: the draft's coin indexes into the tied teams
+      // in name order, so the oracle's recursive replay re-draws the
+      // same picks
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "lang", "n_chars", "text")
+      val byLen = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("len").as("system"), col("rank"))
+      val byHash = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")).asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("md5").as("system"), col("rank"))
+      val byRev = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("rev").as("system"), col("rank"))
+      graft.ops.RankEval.teamDraftMultileave(
+          byLen.unionByName(byHash).unionByName(byRev),
+          "lang", "doc_id", "system", "rank", k = 10)
+        .orderBy("lang", "pos")
+    },
+
+    "q313_multileave_credit" -> { (s, dir) =>
+      // long-format credit over the q312 page: clicks land on every
+      // position showing a doc_id % 4 == 1 document; per (lang, team)
+      // counts with the strict-max winner flag
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "lang", "n_chars", "text")
+      val byLen = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("len").as("system"), col("rank"))
+      val byHash = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")).asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("md5").as("system"), col("rank"))
+      val byRev = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("rev").as("system"), col("rank"))
+      val page = graft.ops.RankEval.teamDraftMultileave(
+        byLen.unionByName(byHash).unionByName(byRev),
+        "lang", "doc_id", "system", "rank", k = 10)
+      val clicks = page.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select(col("lang"), col("pos"))
+      graft.ops.RankEval.multileaveCredit(page, clicks, "lang", "pos")
+        .orderBy("lang", "team")
+    },
+
     "q219_cusum_changepoints" -> { (s, dir) =>
       // sustained-shift monitor: CUSUM over hourly per-type counts via
       // the prefix identity (running sum - running min) — plain window

@@ -322,6 +322,72 @@ class RankEvalSpec extends SparkSpec {
     assert(p2 == out.map(x => Seq[Any](x._1, x._2, x._3, x._4)).toSet)
   }
 
+  test("teamDraftMultileave: two systems reproduce the pairwise draft; k=3 page valid; credit long format") {
+    val runs2 = Seq(
+      (1L, 10L, "sysA", 1), (1L, 11L, "sysA", 2), (1L, 12L, "sysA", 3),
+      (1L, 13L, "sysA", 4),
+      (1L, 11L, "sysB", 1), (1L, 14L, "sysB", 2), (1L, 10L, "sysB", 3),
+      (1L, 15L, "sysB", 4),
+      (2L, 20L, "sysA", 1), (2L, 21L, "sysA", 2),
+      (2L, 21L, "sysB", 1), (2L, 20L, "sysB", 2)
+    ).toDF("qid", "doc", "system", "rank")
+    // with exactly two systems the multileave IS the pairwise draft —
+    // same coin, same ceding, row for row
+    val pair = RankEval.teamDraftInterleave(runs2, "qid", "doc", "system",
+      "rank", k = 4).collect().map(_.toSeq).toSet
+    val multi = RankEval.teamDraftMultileave(runs2, "qid", "doc", "system",
+      "rank", k = 4).collect().map(_.toSeq).toSet
+    assert(multi == pair, s"\nmulti=$multi\npair=$pair")
+    // three systems: no dup docs, picks follow each team's own order,
+    // balanced counts while no list is exhausted
+    val runs3 = runs2.unionByName(Seq(
+      (1L, 40L, "sysC", 1), (1L, 41L, "sysC", 2), (1L, 42L, "sysC", 3),
+      (2L, 50L, "sysC", 1)).toDF("qid", "doc", "system", "rank"))
+    val out = RankEval.teamDraftMultileave(runs3, "qid", "doc", "system",
+        "rank", k = 6)
+      .orderBy("qid", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3)))
+    val page1 = out.filter(_._1 == 1L)
+    assert(page1.map(_._3).distinct.length == page1.length, "dup doc on page")
+    assert(page1.length == 6)
+    val byTeam = page1.groupBy(_._4).view.mapValues(_.map(_._3).toList).toMap
+    // each team's picks appear in its own rank order
+    assert(byTeam.getOrElse("sysC", Nil) ==
+      byTeam.getOrElse("sysC", Nil).sorted)
+    val cs = Seq("sysA", "sysB", "sysC").map(t => page1.count(_._4 == t))
+    assert(cs.max - cs.min <= 1, s"unbalanced draft: $cs")
+    // determinism + partition invariance
+    val out2 = RankEval.teamDraftMultileave(runs3.repartition(7), "qid",
+        "doc", "system", "rank", k = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(out2 == out.toSet)
+    // one system refuses
+    val e = intercept[IllegalArgumentException] {
+      RankEval.teamDraftMultileave(runs3.filter(col("system") === "sysA"),
+        "qid", "doc", "system", "rank")
+    }
+    assert(e.getMessage.contains("k >= 2"))
+    // long-format credit with the strict-max winner flag
+    val page = Seq(
+      (1L, 1, 10L, "sysA"), (1L, 2, 11L, "sysB"), (1L, 3, 12L, "sysC"),
+      (1L, 4, 13L, "sysA")
+    ).toDF("qid", "pos", "doc", "team")
+    val clicks = Seq((1L, 1), (1L, 4), (1L, 2)).toDF("qid", "pos")
+    val credit = RankEval.multileaveCredit(page, clicks, "qid", "pos")
+      .orderBy("team")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        r.getAs[Boolean]("is_winner")))
+    assert(credit.toSeq == Seq(("sysA", 2L, true), ("sysB", 1L, false),
+      ("sysC", 0L, false)), credit.mkString(", "))
+    // a tied top reports NO winner
+    val credit2 = RankEval.multileaveCredit(page,
+        Seq((1L, 1), (1L, 2)).toDF("qid", "pos"), "qid", "pos")
+      .collect().map(r => r.getAs[Boolean]("is_winner"))
+    assert(credit2.forall(!_))
+  }
+
   test("interleaveCredit: clicks credit the owning team; silent queries report; dup clicks collapse") {
     val page = Seq(
       (1L, 1, 10L, "sysA"), (1L, 2, 11L, "sysB"), (1L, 3, 12L, "sysA"),
