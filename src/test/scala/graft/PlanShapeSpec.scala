@@ -413,6 +413,29 @@ class PlanShapeSpec extends SparkSpec {
       s"the serving corpus scan should carry a dynamic partition filter:\n$formatted")
   }
 
+  test("positional phrase/proximity serving reads are bucket-pruned, cartesian-free") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pos-plan").toString
+    graft.ops.Retrieval.saveBm25Index(docs, "doc_id", "text", dir,
+      numBuckets = 16, withPositions = true)
+    val ph = Seq((1L, "the data")).toDF("pid", "phrase")
+    val served = graft.ops.Retrieval.phraseSearchPreindexed(spark, dir, ph,
+      "pid", "phrase")
+    served.collect()
+    val pPlan = served.queryExecution.executedPlan.toString
+    assert(pPlan.contains("PartitionFilters: [term_bucket"),
+      s"the phrase postings scan must prune to the phrase terms' buckets:\n$pPlan")
+    assert(!pPlan.contains("CartesianProduct"), pPlan)
+    val prox = graft.ops.Retrieval.proximitySearchPreindexed(spark, dir,
+      Seq((1L, "the data")).toDF("qid", "qtext"), "qid", "qtext", window = 8)
+    prox.collect()
+    val xPlan = prox.queryExecution.executedPlan.toString
+    assert(xPlan.contains("PartitionFilters: [term_bucket"),
+      s"the proximity postings scan must prune to the query terms' buckets:\n$xPlan")
+    assert(!xPlan.contains("CartesianProduct"), xPlan)
+  }
+
   test("editDistanceJoin guards survive optimization; candidates join, not cross") {
     import spark.implicits._
     val df = Seq(("b", 1L, "abc"), ("b", 2L, "abd"), ("c", 3L, "xyz"))

@@ -1003,6 +1003,37 @@ class StreamingSpec extends SparkSpec {
       statsBefore, "tags must fence across compaction")
   }
 
+  test("streaming POSITIONAL indexing: appended batches keep phrase serving exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Retrieval
+    import spark.implicits._
+    val d1 = Seq((1L, "spark shuffles data between stages"),
+      (2L, "broadcast joins avoid the shuffle"))
+    val d2 = Seq((3L, "the shuffle partitions size the reducers"),
+      (4L, "catalyst prunes columns and the shuffle partitions"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-pos-stream").toString
+    // seed a POSITIONAL index over the empty corpus; the stats flag
+    // makes every streamed append derive positional increments
+    Retrieval.saveBm25Index(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", idx, numBuckets = 8, withPositions = true)
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingEval.bm25IndexStream(
+        input.toDF().toDF("doc_id", "text"), "text", idx)
+      .start()
+    try {
+      input.addData(d1: _*); query.processAllAvailable()
+      input.addData(d2: _*); query.processAllAvailable()
+    } finally query.stop()
+    val phrases = Seq((10L, "shuffle partitions"), (11L, "the shuffle"))
+      .toDF("pid", "phrase")
+    val streamed = Retrieval.phraseSearchPreindexed(spark, idx, phrases,
+      "pid", "phrase").collect().map(_.toSeq).toSet
+    val adhoc = Retrieval.phraseSearch((d1 ++ d2).toDF("doc_id", "text"),
+      "doc_id", "text", phrases, "pid", "phrase").collect().map(_.toSeq).toSet
+    assert(streamed == adhoc, s"streamed $streamed != adhoc $adhoc")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming FUSED bm25+forward: batches advance both artifacts, served PRF equals fused save-once") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Retrieval
