@@ -570,6 +570,40 @@ object RankEval {
       .drop("__mx", "__nmx")
   }
 
+  /** PAIRWISE PREFERENCE MATRIX over a [[teamDraftMultileave]] credit
+    * readout — who beats whom: for every unordered system pair, the
+    * number of queries where each side drew strictly more clicks (ties
+    * counted separately; queries where a side drafted nothing score it
+    * zero — [[multileaveCredit]] already emits the zero rows for teams
+    * ON the page, and a team absent from a query's page entirely is
+    * treated as zero clicks here too). Output one row per pair:
+    * `(team_a, team_b, wins_a, wins_b, ties)` with `team_a` the
+    * lexicographically smaller name. One self-join of the per-query
+    * credit at query grain + one pair-grain aggregation. */
+  def multileavePreference(
+      credit: DataFrame,
+      queryCol: String
+  ): DataFrame = {
+    val teams = credit.select(col("team").cast("string")).distinct()
+    val queries = credit.select(col(queryCol)).distinct()
+    // densify: every (query, team) cell, absent ones at zero clicks
+    val dense = queries.crossJoin(broadcast(teams))
+      .join(credit.select(col(queryCol), col("team"),
+        col("clicks").cast("long").as("clicks")), Seq(queryCol, "team"), "left")
+      .withColumn("clicks", coalesce(col("clicks"), lit(0L)))
+    val a = dense.select(col(queryCol), col("team").as("team_a"),
+      col("clicks").as("__ca"))
+    val b = dense.select(col(queryCol), col("team").as("team_b"),
+      col("clicks").as("__cb"))
+    a.join(b, Seq(queryCol))
+      .filter(col("team_a") < col("team_b"))
+      .groupBy(col("team_a"), col("team_b"))
+      .agg(
+        coalesce(sum(when(col("__ca") > col("__cb"), 1L)), lit(0L)).as("wins_a"),
+        coalesce(sum(when(col("__cb") > col("__ca"), 1L)), lit(0L)).as("wins_b"),
+        coalesce(sum(when(col("__ca") === col("__cb"), 1L)), lit(0L)).as("ties"))
+  }
+
   /** Click credit for a [[teamDraftInterleave]] page: clicks join the
     * interleaved page at (query, pos) grain and credit the position's
     * OWNING team; per query the higher credit wins. Output one row per

@@ -5972,6 +5972,38 @@ private[queries] trait OracleSqlStatic { this: PipelineQueries.type =>
         |FROM pt JOIN mx USING (lang)
         |ORDER BY pt.lang, pt.team""".stripMargin),
 
+    // pairwise preference matrix over the q313 credit: per unordered
+    // system pair, strict click wins per query (absent teams at zero)
+    "q314_multileave_pref" -> (multileaveDraftCtes +
+      """, fin AS (
+        |  SELECT lang, i AS pos, ids[i] AS doc_id, teams[i] AS team
+        |  FROM msel, UNNEST(range(1, len(ids) + 1)) t(i)
+        |  WHERE step = (SELECT max(step) FROM msel m2 WHERE m2.lang = msel.lang)
+        |), ck AS (
+        |  SELECT DISTINCT lang, pos FROM fin WHERE doc_id % 4 = 1
+        |), pt AS (
+        |  SELECT f.lang, f.team,
+        |    CAST(coalesce(sum(CASE WHEN c.pos IS NOT NULL THEN 1 END), 0)
+        |      AS BIGINT) AS clicks
+        |  FROM fin f LEFT JOIN ck c ON c.lang = f.lang AND c.pos = f.pos
+        |  GROUP BY 1, 2
+        |), lgs AS (SELECT DISTINCT lang FROM pt),
+        |tm(team) AS (VALUES ('len'), ('md5'), ('rev')),
+        |dn AS (
+        |  SELECT l.lang, t.team, coalesce(pt.clicks, 0) AS clicks
+        |  FROM lgs l CROSS JOIN tm t
+        |  LEFT JOIN pt ON pt.lang = l.lang AND pt.team = t.team
+        |)
+        |SELECT a.team AS team_a, b.team AS team_b,
+        |  CAST(coalesce(sum(CASE WHEN a.clicks > b.clicks THEN 1 END), 0)
+        |    AS BIGINT) AS wins_a,
+        |  CAST(coalesce(sum(CASE WHEN b.clicks > a.clicks THEN 1 END), 0)
+        |    AS BIGINT) AS wins_b,
+        |  CAST(coalesce(sum(CASE WHEN a.clicks = b.clicks THEN 1 END), 0)
+        |    AS BIGINT) AS ties
+        |FROM dn a JOIN dn b ON a.lang = b.lang AND a.team < b.team
+        |GROUP BY 1, 2 ORDER BY team_a, team_b""".stripMargin),
+
     // click credit over the q301 page: clicks land on positions showing
     // doc_id % 4 == 1; the owning teams' counts decide the winner
     "q302_interleave_credit" -> (interleaveDraftCtes +

@@ -2932,6 +2932,36 @@ object PipelineQueries extends OracleSqlStatic {
         .orderBy("lang", "team")
     },
 
+    "q314_multileave_pref" -> { (s, dir) =>
+      // who beats whom: the q313 credit readout folded into the
+      // pairwise preference matrix — per unordered system pair, the
+      // queries each side won strictly on clicks (teams absent from a
+      // query's page count zero)
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "lang", "n_chars", "text")
+      val byLen = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("len").as("system"), col("rank"))
+      val byHash = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")).asc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("md5").as("system"), col("rank"))
+      val byRev = d.withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), lit("rev").as("system"), col("rank"))
+      val page = graft.ops.RankEval.teamDraftMultileave(
+        byLen.unionByName(byHash).unionByName(byRev),
+        "lang", "doc_id", "system", "rank", k = 10)
+      val clicks = page.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select(col("lang"), col("pos"))
+      val credit = graft.ops.RankEval.multileaveCredit(page, clicks, "lang", "pos")
+      graft.ops.RankEval.multileavePreference(credit, "lang")
+        .orderBy("team_a", "team_b")
+    },
+
     "q219_cusum_changepoints" -> { (s, dir) =>
       // sustained-shift monitor: CUSUM over hourly per-type counts via
       // the prefix identity (running sum - running min) — plain window

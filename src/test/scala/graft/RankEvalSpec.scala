@@ -388,6 +388,28 @@ class RankEvalSpec extends SparkSpec {
     assert(credit2.forall(!_))
   }
 
+  test("multileavePreference: pairwise wins/ties from credit, absent teams at zero") {
+    val credit = Seq(
+      (1L, "A", 3L), (1L, "B", 1L), (1L, "C", 1L),
+      (2L, "A", 0L), (2L, "B", 2L), // C absent from q2's page -> zero
+      (3L, "A", 1L), (3L, "B", 1L)
+    ).toDF("qid", "team", "clicks")
+    val r = RankEval.multileavePreference(credit, "qid")
+      .orderBy("team_a", "team_b")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      ("A", "B", 1L, 1L, 1L),
+      ("A", "C", 2L, 0L, 1L),
+      ("B", "C", 2L, 0L, 1L)), r.mkString(", "))
+    // partition invariance
+    val a = RankEval.multileavePreference(credit, "qid")
+      .collect().map(_.toSeq).toSet
+    val b = RankEval.multileavePreference(credit.repartition(5), "qid")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("interleaveCredit: clicks credit the owning team; silent queries report; dup clicks collapse") {
     val page = Seq(
       (1L, 1, 10L, "sysA"), (1L, 2, 11L, "sysB"), (1L, 3, 12L, "sysA"),
