@@ -119,14 +119,18 @@ object Graphs {
     val bucket = pmod(
       conv(substring(md5(col("src").cast("string")), 1, 4), 16, 10).cast("long"),
       lit(foldBuckets.toLong))
-    // one frame, referenced every round: truncate its lineage eagerly
+    // one frame, referenced every round: truncate its lineage. Lazy —
+    // the n = nodes.count() action right below is a full pass that
+    // materializes nodes' blocks and, through them, normEdges', so the
+    // two upfront materialization jobs would re-pay the same scans.
     val normEdges = graft.Checkpoints.localCheckpoint(
       merged.join(outW, "src")
-        .select(col("src"), col("dst"), col("w"), col("outw"), bucket.as("__b")))
+        .select(col("src"), col("dst"), col("w"), col("outw"), bucket.as("__b")),
+      eager = false)
     val nodes = graft.Checkpoints.localCheckpoint(
       normEdges.select(col("src").as("node"))
         .union(normEdges.select(col("dst").as("node")))
-        .distinct())
+        .distinct(), eager = false)
     val n = nodes.count()
     // global: uniform teleport + uniform init; seeded: all teleport and
     // all initial mass on the seed set (nodes off the seed set start —
@@ -270,7 +274,7 @@ object Graphs {
     // peels one node per round and walks straight into it. Superseded
     // rounds free their blocks immediately (two rounds live at most).
     var cur = graft.Checkpoints.localCheckpoint(
-      simpleEdges(edges, src, dst), resetStats = true)
+      simpleEdges(edges, src, dst), eager = false, resetStats = true)
     var prevEdges = cur.count()
     var it = 0
     var converged = prevEdges == 0L
@@ -278,12 +282,14 @@ object Graphs {
       val deg = cur.select(col("a").as("node")).unionAll(cur.select(col("b")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("node")
+      // lazy: next.count() below is the full-pass materializing action —
+      // one job per peeling round instead of two
       val next = graft.Checkpoints.localCheckpoint(
         cur
           .join(keep.select(col("node").as("a")), "a")
           .join(keep.select(col("node").as("b")), "b")
           .select("a", "b"),
-        resetStats = true)
+        eager = false, resetStats = true)
       val n = next.count()
       graft.Checkpoints.free(cur)
       cur = next
@@ -356,7 +362,14 @@ object Graphs {
         lit("Ids.withSurrogateId first"))).cast("long"))
         .otherwise(col(c).cast("long"))
     // one pass over the (possibly expensive) upstream: nodes, the
-    // canonical edge set, and the final mapping join all read blocks
+    // canonical edge set, and the final mapping join all read blocks.
+    // raw stays EAGER: its subtree is an arbitrary caller join tree
+    // (q226 feeds the edit-distance self-join straight in) that plans
+    // best as its own materialization query — folding it lazily into
+    // potential(cur)'s agg job measured q226 1.25x SLOWER. cur/next are
+    // lazy (below): their subtrees are shallow aggregations over
+    // already-persisted blocks, and the potential() agg that follows
+    // each is the full-pass action that materializes them in-job.
     val raw = graft.Checkpoints.localCheckpoint(edges
       .filter(col(src).isNotNull && col(dst).isNotNull)
       .select(checked(src).as("a"), checked(dst).as("b")), resetStats = true)
@@ -366,7 +379,7 @@ object Graphs {
     var cur = graft.Checkpoints.localCheckpoint(
       raw.filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-        .distinct(), resetStats = true)
+        .distinct(), eager = false, resetStats = true)
     import org.apache.spark.sql.types.DecimalType
     def potential(e: DataFrame): (java.math.BigDecimal, Long) = {
       val r = e.agg(
@@ -397,8 +410,10 @@ object Graphs {
         .filter(col("a") =!= col("mn"))
         .select(col("mn").as("a"), col("a").as("b")) // (mn, y): mn < y
       val perNode = mins2.select(col("mn").as("a"), col("x").as("b")) // (mn, x)
+      // lazy: potential(next) on the next line is the full-pass action
+      // that materializes the round's blocks — one job per round, not two
       val next = graft.Checkpoints.localCheckpoint(
-        perEdge.unionAll(perNode).distinct(), resetStats = true)
+        perEdge.unionAll(perNode).distinct(), eager = false, resetStats = true)
       val nextPot = potential(next)
       graft.Checkpoints.free(cur)
       cur = next
@@ -472,9 +487,12 @@ object Graphs {
     // one pass over the (possibly expensive) increment upstream: the
     // endpoint set, both contraction joins, and the new-node split all
     // read blocks
+    // lazy: the eNodes.count() guard below is the first action — a full
+    // distinct pass that materializes the increment's blocks in-job
     val e = graft.Checkpoints.localCheckpoint(newEdges
       .filter(col(src).isNotNull && col(dst).isNotNull)
-      .select(checked(src).as("u"), checked(dst).as("v")), resetStats = true)
+      .select(checked(src).as("u"), checked(dst).as("v")),
+      eager = false, resetStats = true)
     val eNodes = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .distinct()
     // the "increment must be broadcast-small" contract, enforced LOUDLY

@@ -68,7 +68,7 @@ object RankEval {
     val ln2 = math.log(2.0)
     // clean graded judgments; duplicate (query, doc) refuses loudly —
     // a silent last-wins would move every metric of the query
-    val g = qrels
+    val g0 = qrels
       .filter(col(queryCol).isNotNull && col(docCol).isNotNull &&
         col(relCol).isNotNull)
       .groupBy(col(queryCol).as("__q"), col(docCol).as("__d"))
@@ -79,6 +79,11 @@ object RankEval {
           lit("' judged more than once for query '"), col("__q").cast("string"),
           lit("' — resolve judgments upstream")))).otherwise(col("__g")).as("__g"))
       .filter(col("__g") > 0)
+    // the cleaned judgments feed BOTH the ideal-DCG aggregate and the
+    // run join: when qrels is itself a derivation (the q278/q282 shape
+    // scans the corpus to synthesize judgments) each consumer re-runs
+    // it — barrier deep inputs once at judged-(query, doc) grain
+    val g = graft.Checkpoints.localCheckpointIfDeep(g0)
     // per-query judgment-side totals: recall denominator + ideal DCG
     // (gains folded best-first, doc ASC on ties — engine-portable).
     // The ideal is TRUNCATED at k (TREC nDCG@k: iDCG = DCG of the best
@@ -248,13 +253,19 @@ object RankEval {
     // query the run never answered still scores — zeros), so the inner
     // join IS the full pairing
     val paired = judged(runA, "__a").join(judged(runB, "__b"), Seq("__q"))
-    val long = paired
+    // `long` feeds BOTH the base means and the replica bootstrap: without
+    // a barrier each branch re-evaluates the full A and B metric
+    // pipelines (runA/runB are typically whole retrieval stacks — q282
+    // pays four BM25 corpus passes instead of two). Deep inputs
+    // checkpoint once at judged-query grain — k-bounded rows, tiny.
+    val long0 = paired
       .select(col("__q"), explode(array(ms.map(m => struct(
         lit(m).as("metric"), col(s"__a_$m").as("va"),
         col(s"__b_$m").as("vb"))): _*)).as("__x"))
       .select(col("__q"), col("__x.metric").as("metric"),
         col("__x.va").as("__va"), col("__x.vb").as("__vb"),
         (col("__x.vb") - col("__x.va")).as("__d"))
+    val long = graft.Checkpoints.localCheckpointIfDeep(long0)
     def foldAvg(c: String, out: String) = (round(
       aggregate(
         array_sort(collect_list(struct(col("__q").as("q"), col(c).as("v")))),
@@ -554,10 +565,15 @@ object RankEval {
   ): DataFrame = {
     val clicked = clicks.select(col(queryCol), col(posCol).cast("int").as("pos"))
       .distinct().withColumn("__clicked", lit(1L))
-    val perTeam = interleaved
+    // perTeam is read THREE times below (max join, count-of-max, final
+    // join) and sits on top of the multileave PAGE FOLD — without a
+    // barrier each consumer re-runs that whole draft (q313 measured 3
+    // page evaluations per run). Deep inputs checkpoint once at
+    // (query, team) grain; shallow spec inputs keep their exchange.
+    val perTeam = graft.Checkpoints.localCheckpointIfDeep(interleaved
       .join(clicked, Seq(queryCol, "pos"), "left")
       .groupBy(col(queryCol), col("team"))
-      .agg(coalesce(sum(col("__clicked")), lit(0L)).as("clicks"))
+      .agg(coalesce(sum(col("__clicked")), lit(0L)).as("clicks")))
     // count-of-max needs two passes (an agg cannot nest): join the max
     // back and count matches
     val mx = perTeam.groupBy(col(queryCol)).agg(max(col("clicks")).as("__mx"))
@@ -584,11 +600,19 @@ object RankEval {
       credit: DataFrame,
       queryCol: String
   ): DataFrame = {
-    val teams = credit.select(col("team").cast("string")).distinct()
-    val queries = credit.select(col(queryCol)).distinct()
+    // the credit frame is read FIVE times below (team alphabet, query
+    // set, densify join, both self-join sides): when it is itself a
+    // composed multileave readout (page fold + credit joins), repeating
+    // that subtree per consumer multiplies a huge plan — q314 measured
+    // minutes at sf0.001 on plan/codegen repetition alone. One barrier
+    // makes every consumer read materialized rows (r9 discipline:
+    // shallow spec inputs skip the checkpoint and keep their exchange).
+    val credit0 = graft.Checkpoints.localCheckpointIfDeep(credit)
+    val teams = credit0.select(col("team").cast("string")).distinct()
+    val queries = credit0.select(col(queryCol)).distinct()
     // densify: every (query, team) cell, absent ones at zero clicks
     val dense = queries.crossJoin(broadcast(teams))
-      .join(credit.select(col(queryCol), col("team"),
+      .join(credit0.select(col(queryCol), col("team"),
         col("clicks").cast("long").as("clicks")), Seq(queryCol, "team"), "left")
       .withColumn("clicks", coalesce(col("clicks"), lit(0L)))
     val a = dense.select(col(queryCol), col("team").as("team_a"),

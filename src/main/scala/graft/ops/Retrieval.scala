@@ -129,20 +129,22 @@ object Retrieval {
   /** PHRASE SEARCH — exact token-sequence matching over a corpus, the
     * quoted-query operator BM25's bag-of-words scoring cannot express:
     * a document matches when the phrase's tokens appear CONSECUTIVELY
-    * (same [[TextAnalysis.tokens]] tokenizer both sides). Two stages:
-    * a postings-style PREFILTER keeps only documents containing every
-    * distinct phrase term (an equi-join + count at (phrase, doc)
-    * grain — never a cross join of corpus × phrases), then one
-    * map-side fold over each survivor's token array verifies
-    * adjacency and counts occurrences. Output: `(phraseIdCol, idCol,
-    * n_occurrences, first_pos)` (1-based; matches only, occurrences
-    * >= 1). Phrases longer than `maxPhraseTerms` refuse loudly;
-    * token-less phrases emit nothing.
+    * (same [[TextAnalysis.tokens]] tokenizer both sides). The verify
+    * is the POSITIONAL-JOIN algorithm [[phraseSearchPreindexed]] runs
+    * off stored positions, built ad hoc: a posting (doc, pos, term)
+    * joined to phrase slot (phrase, j, term) votes for start
+    * `pos − j + 1`, and a start holding ALL m slot votes is an
+    * occurrence — an equi-join on the term plus hash aggregations at
+    * (phrase, doc, start) grain, never a cross join of corpus ×
+    * phrases and never a shuffle of token arrays. Output:
+    * `(phraseIdCol, idCol, n_occurrences, first_pos)` (1-based;
+    * matches only, occurrences >= 1). Phrases longer than
+    * `maxPhraseTerms` refuse loudly; token-less phrases emit nothing.
     *
-    * Scale shape: the prefilter is the selective step (rare terms cut
-    * the candidate set the way a postings intersection does); the
-    * verify cost is |survivor docs| · |doc tokens| — map-side, no
-    * shuffle beyond the prefilter's aggregation. */
+    * Scale shape: verification runs at DISTINCT-PHRASE grain with ids
+    * expanded back by one equi-join (the [[graft.ops.Joins]] deletion-
+    * index discipline); shuffle volume is the matched-term postings —
+    * rows whose term appears in some phrase — not documents. */
   def phraseSearch(
       docs: DataFrame,
       idCol: String,
@@ -164,36 +166,49 @@ object Retrieval {
           lit("' — proximity windows, not phrases, are the long-pattern tool"))))
           .otherwise(col("__ptoks")).as("__ptoks"))
       .filter(size(col("__ptoks")) >= 1)
-    val toks = docs
+    // POSITIONAL-JOIN verify (replaces the per-candidate adjacency fold):
+    // the fold form re-shuffled every survivor document's FULL token
+    // array once per matching phrase and then scanned every position —
+    // |survivors| · |doc tokens| work on data the prefilter cannot cut
+    // when phrases start with common words (q306's measured profile).
+    // Instead, build the positional-index algorithm ad hoc — the exact
+    // computation [[phraseSearchPreindexed]] runs off stored positions:
+    // a posting (doc, pos, term) joined to phrase slot (ph, j, term)
+    // votes for start = pos − j + 1, and a start with ALL m slot votes
+    // is an occurrence. One term equi-join + one hash aggregation at
+    // (phrase, doc, start) grain; only matched-term postings ever
+    // shuffle, never token arrays. Work runs at DISTINCT-PHRASE grain
+    // (tokens are whitespace-split, so the space-joined string is an
+    // injective key) and ids expand back by one equi-join at the end —
+    // the editDistanceJoin discipline: a thousand ids sharing one
+    // phrase cost one verification.
+    val pk = p.select(col("__pid"), concat_ws(" ", col("__ptoks")).as("__ph"))
+    val pd = pk.select(col("__ph")).distinct()
+      .select(col("__ph"), split(col("__ph"), " ").as("__ptoks"))
+    val slots = pd
+      .select(col("__ph"), size(col("__ptoks")).as("__m"),
+        posexplode(col("__ptoks")).as(Seq("__j0", "__term")))
+      .select(col("__ph"), col("__m"), (col("__j0") + 1).as("__j"), col("__term"))
+    val termSet = broadcast(slots.select(col("__term")).distinct())
+    val postings = docs
       .filter(col(idCol).isNotNull)
-      .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= 1)
-    // verify: one fold over the survivor's tokens per phrase
-    val cand = allTermsCandidates(toks, p)
-      .join(p, Seq("__pid"))
-      .join(toks, Seq("__doc"))
-      .filter(size(col("__toks")) >= size(col("__ptoks")))
-    val m = size(col("__ptoks"))
-    // adjacency via element_at PROBES, not slice equality: a slice
-    // allocates a fresh array per position, and the fold visits every
-    // position of every candidate — the probe form cut q306's measured
-    // time ~2x at sf0.1 (common-word phrases defeat the prefilter, so
-    // the fold IS the cost there)
-    val folded = aggregate(
-      sequence(lit(1), size(col("__toks")) - m + 1),
-      struct(lit(0L).as("cnt"), lit(0L).as("first")),
-      (acc, i) => {
-        val hit = forall(sequence(lit(1), m), j =>
-          element_at(col("__toks"), i + j - 1) === element_at(col("__ptoks"), j))
-        struct(
-          (acc.getField("cnt") + when(hit, 1L).otherwise(0L)).as("cnt"),
-          when(acc.getField("first") === 0L && hit, i.cast("long"))
-            .otherwise(acc.getField("first")).as("first"))
-      })
-    cand.select(col("__pid"), col("__doc"), folded.as("__m"))
-      .filter(col("__m.cnt") > 0L)
+      .select(col(idCol).as("__doc"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos0", "__term")))
+      .join(termSet, Seq("__term"))
+      .select(col("__doc"), col("__term"), (col("__pos0") + 1).as("__pos"))
+    val occ = slots.join(postings, Seq("__term"))
+      .select(col("__ph"), col("__m"), col("__doc"),
+        (col("__pos") - col("__j") + 1).as("__start"))
+      .filter(col("__start") >= 1)
+      .groupBy(col("__ph"), col("__m"), col("__doc"), col("__start"))
+      .agg(count(lit(1)).as("__have"))
+      .filter(col("__have") === col("__m"))
+      .groupBy(col("__ph"), col("__doc"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("__start")).cast("long").as("first_pos"))
+    pk.join(occ, Seq("__ph"))
       .select(col("__pid").as(phraseIdCol), col("__doc").as(idCol),
-        col("__m.cnt").as("n_occurrences"), col("__m.first").as("first_pos"))
+        col("n_occurrences"), col("first_pos"))
   }
 
   /** [[phraseSearch]] SERVED OFF A POSITIONAL INDEX — no corpus scan,
@@ -354,36 +369,23 @@ object Retrieval {
         col("__m2.cnt").as("n_windows"), col("__m2.first").as("first_window_pos"))
   }
 
-  /** The postings-style prefilter [[phraseSearch]] / [[proximitySearch]]
-    * share: (pattern id, doc id) pairs where the document contains
-    * EVERY distinct pattern token — an equi-join on the term + a count
-    * at pair grain, never a cross join of corpus × patterns. Inputs are
-    * the internal `(__pid, __ptoks)` / `(__doc, __toks)` frames. */
-  private def allTermsCandidates(toks: DataFrame, p: DataFrame): DataFrame = {
-    val pTerms = p.select(col("__pid"),
-      explode(array_distinct(col("__ptoks"))).as("term"))
-    val pn = pTerms.groupBy("__pid").agg(count(lit(1)).as("__need"))
-    val dTerms = toks.select(col("__doc"),
-      explode(array_distinct(col("__toks"))).as("term"))
-    dTerms.join(pTerms, Seq("term"))
-      .groupBy(col("__pid"), col("__doc"))
-      .agg(count(lit(1)).as("__have"))
-      .join(pn, Seq("__pid"))
-      .filter(col("__have") === col("__need"))
-      .select("__pid", "__doc")
-  }
 
   /** PROXIMITY SEARCH — the long-pattern relaxation of [[phraseSearch]]:
     * a document matches when every query term occurs within SOME window
-    * of `window` consecutive tokens, in any order. The same prefilter
-    * narrows to documents holding every term; the verify fold then
-    * counts qualifying window START positions (`n_windows`, overlapping
-    * windows each count) and records the first (`first_window_pos`,
-    * 1-based). Output: `(queryIdCol, idCol, n_windows,
-    * first_window_pos)` — matches only.
+    * of `window` consecutive tokens, in any order. Per-(doc, term)
+    * position lists for query terms only are grouped at (query, doc)
+    * grain — a document holding every term survives (the all-terms
+    * count check IS the prefilter) — and the verify fold over the
+    * lists counts qualifying window START positions (`n_windows`,
+    * overlapping windows each count) and records the first
+    * (`first_window_pos`, 1-based), exactly as
+    * [[proximitySearchPreindexed]] folds over its stored positions.
+    * Output: `(queryIdCol, idCol, n_windows, first_window_pos)` —
+    * matches only.
     *
-    * Scale shape: prefilter as [[phraseSearch]]; the fold is
-    * |survivors| · |doc tokens| · `window` · |terms| map-side work —
+    * Scale shape: shuffle volume is the matched-term postings; the
+    * fold is |survivors| · |doc tokens| · |terms| map-side work over
+    * position lists, linear in `window` only through the start count —
     * keep `window` tens, not thousands (loudly capped at
     * `maxWindow`). */
   def proximitySearch(
@@ -405,29 +407,45 @@ object Retrieval {
       .select(col(queryIdCol).as("__pid"),
         array_distinct(TextAnalysis.tokens(col(queryTextCol))).as("__ptoks"))
       .filter(size(col("__ptoks")) >= 1)
-    val toks = docs
+    // Positional verify (the [[proximitySearchPreindexed]] computation
+    // built ad hoc — the same rewrite as [[phraseSearch]]): instead of
+    // re-shuffling each survivor's FULL token array per matching query
+    // and slicing a fresh window at every position, collect per
+    // (doc, term) position lists for query terms only, group them at
+    // (query, doc) grain (the all-terms count check IS the prefilter),
+    // and fold the window check over the lists with the document length
+    // — oracle-equivalent by the q307 ≡ q310 serving-parity pin.
+    val slots = p.select(col("__pid"), size(col("__ptoks")).as("__m"),
+      explode(col("__ptoks")).as("__term"))
+    val termSet = broadcast(slots.select(col("__term")).distinct())
+    val dposs = docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= 1)
-    val cand = allTermsCandidates(toks, p)
-      .join(p, Seq("__pid"))
-      .join(toks, Seq("__doc"))
+      .select(col("__doc"), size(col("__toks")).as("__dl"),
+        posexplode(col("__toks")).as(Seq("__pos0", "__term")))
+      .join(termSet, Seq("__term"))
+      .groupBy(col("__doc"), col("__dl"), col("__term"))
+      .agg(sort_array(collect_list(col("__pos0") + 1)).as("__ps"))
+    val grouped = slots.join(dposs, Seq("__term"))
+      .groupBy(col("__pid"), col("__m"), col("__doc"), col("__dl"))
+      .agg(count(lit(1)).as("__have"), collect_list(col("__ps")).as("__plists"))
+      .filter(col("__have") === col("__m"))
     val w = lit(window)
     val folded = aggregate(
-      sequence(lit(1), greatest(size(col("__toks")) - w + 1, lit(1))),
+      sequence(lit(1), greatest(col("__dl") - w + 1, lit(1))),
       struct(lit(0L).as("cnt"), lit(0L).as("first")),
       (acc, i) => {
-        val win = slice(col("__toks"), i, w)
-        val hit = forall(col("__ptoks"), t => array_contains(win, t))
+        val hit = forall(col("__plists"), ps =>
+          exists(ps, q => q >= i && q <= i + w - 1))
         struct(
           (acc.getField("cnt") + when(hit, 1L).otherwise(0L)).as("cnt"),
           when(acc.getField("first") === 0L && hit, i.cast("long"))
             .otherwise(acc.getField("first")).as("first"))
       })
-    cand.select(col("__pid"), col("__doc"), folded.as("__m"))
-      .filter(col("__m.cnt") > 0L)
+    grouped.select(col("__pid"), col("__doc"), folded.as("__m2"))
+      .filter(col("__m2.cnt") > 0L)
       .select(col("__pid").as(queryIdCol), col("__doc").as(idCol),
-        col("__m.cnt").as("n_windows"), col("__m.first").as("first_window_pos"))
+        col("__m2.cnt").as("n_windows"), col("__m2.first").as("first_window_pos"))
   }
 
   /** SNIPPET EXTRACTION — the result-presentation step after retrieval:
@@ -528,7 +546,8 @@ object Retrieval {
       queryIdCol: String,
       k1: Double,
       b: Double,
-      topK: Int
+      topK: Int,
+      constsIn: Option[DataFrame] = None
   ): DataFrame = {
     require(topK > 0, "topK must be positive")
     val withLen = docs.select(
@@ -537,10 +556,12 @@ object Retrieval {
       .withColumn("__dl", size(col("__toks")))
 
     // one tiny corpus-constants row, broadcast into the plan (never a
-    // driver-side collect)
-    val consts = withLen.agg(
+    // driver-side collect); callers that score the SAME corpus twice
+    // (the PRF passes) hand in a checkpointed row instead of paying
+    // this full tokenize+agg corpus scan once per pass
+    val consts = constsIn.getOrElse(withLen.agg(
       count(lit(1)).as("__n"),
-      avg(col("__dl").cast("double")).as("__avgdl"))
+      avg(col("__dl").cast("double")).as("__avgdl")))
 
     // prune BEFORE the tf aggregate: the broadcast semi-join is a map-side
     // filter, so the groupBy shuffles only tokens matching the query
@@ -647,8 +668,17 @@ object Retrieval {
     val qTerms = queries.select(
       col(queryIdCol),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
-    val first = searchWithTerms(docs, idCol, textCol, qTerms, queryIdCol,
-      k1, b, fbDocs)
+    // corpus constants once for BOTH scoring passes (each pass otherwise
+    // re-tokenizes the whole corpus for its own one-row agg — and the
+    // first pass is itself read twice below, tripling that scan), and a
+    // barrier on the first-pass page (topK-bounded rows): the harvest
+    // broadcast and the candidate join both read it
+    val consts = graft.Checkpoints.localCheckpoint(
+      docs.select(TextAnalysis.tokenCount(col(textCol)).as("__dl"))
+        .agg(count(lit(1)).as("__n"), avg(col("__dl").cast("double")).as("__avgdl")))
+    val first = graft.Checkpoints.localCheckpoint(
+      searchWithTerms(docs, idCol, textCol, qTerms, queryIdCol,
+        k1, b, fbDocs, Some(consts)))
     val fbIds = first.select(col(queryIdCol), col(idCol))
     // the feedback docs' token stream: the corpus scan prunes map-side
     // against the (tiny) union of feedback ids before exploding
@@ -664,7 +694,7 @@ object Retrieval {
         cand, Seq(queryIdCol), "term", "__cnt", fbTerms)
       .select(col(queryIdCol), col("term"))
     searchWithTerms(docs, idCol, textCol, qTerms.unionByName(picked),
-      queryIdCol, k1, b, topK)
+      queryIdCol, k1, b, topK, Some(consts))
   }
 
   /** Persist a doc-grain FORWARD INDEX sidecar — the "what terms does

@@ -2327,8 +2327,11 @@ object PipelineQueries extends OracleSqlStatic {
       val page = graft.ops.Retrieval.hybridSearchPreindexed(
         s, bm25Path, ivfPath, qs, "qid", "qtext", "embedding",
         topK = 20, candK = 10, rrfK = 60, nProbe = 4)
-      val withVec = page.join(
-        emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      // barrier: withVec is read twice below (extrema agg + candidate
+      // join) and carries the whole served-hybrid pipeline — without it
+      // both consumers re-run the BM25+IVF+fuse stack
+      val withVec = graft.Checkpoints.localCheckpoint(page.join(
+        emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id")))
       val ext = withVec.groupBy("qid")
         .agg(min("rrf_score_r").as("__mn"), max("rrf_score_r").as("__mx"))
       val cand = withVec.join(ext, Seq("qid"))
@@ -3704,8 +3707,11 @@ object PipelineQueries extends OracleSqlStatic {
         (1L, "query hash join"),
         (2L, "window agg fast"),
         (3L, "customer order value part"))).toDF("qid", "qtext")
-      val hits = graft.ops.Retrieval.bm25SearchPreindexed(
-        s, idx, qs, "qid", "qtext", topK = 5)
+      // barrier: hits feeds both the rank projection and the context
+      // expansion — one served page evaluation instead of two
+      val hits = graft.Checkpoints.localCheckpoint(
+        graft.ops.Retrieval.bm25SearchPreindexed(
+          s, idx, qs, "qid", "qtext", topK = 5))
       hits.select(col("qid"), col("rank"), col("cid"))
         .join(graft.ops.Retrieval.expandChunkContext(
           hits, chunks, "qid", "cid", window = 1), Seq("qid", "cid"))
@@ -3727,8 +3733,11 @@ object PipelineQueries extends OracleSqlStatic {
         (1L, "query hash join"),
         (2L, "window agg fast"),
         (3L, "customer order value part"))).toDF("qid", "qtext")
-      val hits = graft.ops.Retrieval.bm25SearchPreindexed(
-        s, idx, qs, "qid", "qtext", topK = 5)
+      // barrier: hits feeds both the rank projection and the context
+      // expansion (the q295 shape)
+      val hits = graft.Checkpoints.localCheckpoint(
+        graft.ops.Retrieval.bm25SearchPreindexed(
+          s, idx, qs, "qid", "qtext", topK = 5))
       val ctx = hits.select(col("qid"), col("rank"), col("cid"))
         .join(graft.ops.Retrieval.expandChunkContext(
           hits, chunks, "qid", "cid", window = 1), Seq("qid", "cid"))
