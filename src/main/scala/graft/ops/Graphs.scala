@@ -456,8 +456,11 @@ object Graphs {
     *
     * Scale shape: the history is SCANNED, never shuffled — touched
     * rows come from a broadcast left-semi of the increment's endpoint
-    * set, the star contraction runs on the increment-sized contracted
-    * graph only, and the final relabel is one broadcast left join
+    * set, the increment-sized contracted graph is solved by a
+    * driver-side union-find over its distinct edges (union-by-min, so
+    * labels stay the min member id; a contracted edge set beyond ~4×
+    * the node ceiling falls back to the distributed star contraction),
+    * and the final relabel is one broadcast left join
     * over the history scan. The increment (its endpoints, touched
     * entities, and label map) must be broadcast-small — the operator's
     * contract, ENFORCED loudly: an increment whose distinct endpoint
@@ -521,9 +524,48 @@ object Graphs {
       .select(coalesce(col("cu"), col("u")).as("cu"),
         coalesce(col("cv"), col("v")).as("cv"))
     // entities of the contracted graph: old component labels and brand-
-    // new node ids (disjoint by construction — labels are history nodes)
-    val cc2 = graft.Checkpoints.trackCache(
-      connectedComponents(contracted, "cu", "cv", maxIter).persist())
+    // new node ids (disjoint by construction — labels are history nodes).
+    // The contracted graph is INCREMENT-SIZED and broadcast-small by the
+    // operator's enforced contract (its labels and new nodes are
+    // collected for the relabel broadcast below either way), so solve it
+    // with one driver-side union-find over the DISTINCT contracted edges
+    // instead of running the full star contraction — each contraction
+    // round costs ~7 sequential stage launches, and an increment-sized
+    // graph pays ~5 rounds of them for work a union-find does in
+    // microseconds (union-by-min keeps the component label = min member
+    // id invariant exactly, so the result is identical). A contracted
+    // edge set too large for the driver (possible only when the
+    // increment carries ≳4 distinct edges per endpoint at the node
+    // ceiling) falls back to the distributed contraction.
+    val cEdges = contracted.distinct()
+    val nCE = cEdges.count()
+    val cc2 = graft.Checkpoints.trackCache((
+      if (nCE <= math.max(maxIncrementNodes, 1000000L) * 4) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val seen = scala.collection.mutable.LongMap.empty[Unit]
+        cEdges.collect().foreach { row =>
+          val u = row.getLong(0); val v = row.getLong(1)
+          seen(u) = (); seen(v) = ()
+          if (u != v) {
+            val ru = find(u); val rv = find(v)
+            if (ru != rv) {
+              val lo = math.min(ru, rv); val hi = math.max(ru, rv)
+              parent(hi) = lo
+            }
+          }
+        }
+        val spark = newEdges.sparkSession
+        import spark.implicits._
+        seen.keys.toSeq.sorted.map(n => (n, find(n))).toDF("node", "component")
+      } else connectedComponents(contracted, "cu", "cv", maxIter)
+    ).persist())
     val oldLabels = touched.select(col("component").as("node")).distinct()
     val newNodeRows = cc2.join(oldLabels, Seq("node"), "left_anti")
     val labelMap = cc2.join(oldLabels, Seq("node"), "left_semi")
