@@ -391,29 +391,45 @@ object Graphs {
     var pot = potential(cur)
     var it = 0
     var converged = pot._2 == 0L
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
     while (!converged && it < maxIter) {
       ccRoundProbe(it)
+      // Each round is a LINEAR pipeline — every intermediate frame is
+      // consumed exactly once, so nothing re-evaluates and the round is
+      // exactly 3 exchanges (u-window, b-window, dedup) + the potential
+      // agg. The previous aggregate-join formulation consumed `mins`,
+      // `ls` and `mins2` from two branches each: the planner re-planned
+      // the subtree per consumer and every extra Exchange was a
+      // sequential AQE stage launch — at bench scale this loop's cost IS
+      // its stage count (q226: 67 one-stage jobs / 94 tasks before).
+      // Skew note: a hot node's neighborhood lands in one window
+      // partition, exactly as it landed in one SMJ partition before.
+      //
       // LARGE-STAR: neighborhoods from both directions; every strictly-
-      // larger neighbor v of u re-points at m = min(N(u) ∪ {u})
+      // larger neighbor v of u re-points at m = min(N(u) ∪ {u}) — the
+      // per-u min rides a window over the one u-keyed exchange.
       val bidir = cur.select(col("a").as("u"), col("b").as("v"))
         .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
-      val mins = bidir.groupBy("u")
-        .agg(least(min(col("v")), min(col("u"))).as("m")) // min(u) = u (key)
-      val ls = bidir.filter(col("v") > col("u"))
-        .join(mins, "u")
+      val ls = bidir
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b")) // m <= u < v: no self-edges
-        .distinct()
       // SMALL-STAR: edges now all point smaller<-larger; each node x
       // re-points its smaller neighbors (and itself) at their minimum
-      val mins2 = ls.groupBy(col("b").as("x")).agg(min(col("a")).as("mn"))
-      val perEdge = ls.join(mins2, col("b") === col("x"))
-        .filter(col("a") =!= col("mn"))
-        .select(col("mn").as("a"), col("a").as("b")) // (mn, y): mn < y
-      val perNode = mins2.select(col("mn").as("a"), col("x").as("b")) // (mn, x)
-      // lazy: potential(next) on the next line is the full-pass action
+      // mn = min over the b-partition (all a < b, so mn < b always).
+      // One explode emits the re-pointed edge (mn, a) and the membership
+      // row (mn, b) from the same pass; ls duplicates (several u
+      // pointing the same v at the same m — at most one ls row per cur
+      // edge, min() ignores them) fold in the round's distinct.
+      // lazy checkpoint: potential(next) below is the full-pass action
       // that materializes the round's blocks — one job per round, not two
       val next = graft.Checkpoints.localCheckpoint(
-        perEdge.unionAll(perNode).distinct(), eager = false, resetStats = true)
+        ls.withColumn("mn", min(col("a")).over(wB))
+          .select(col("mn"), explode(array(col("a"), col("b"))).as("y"))
+          .filter(col("y") =!= col("mn"))
+          .select(col("mn").as("a"), col("y").as("b"))
+          .distinct(), eager = false, resetStats = true)
       val nextPot = potential(next)
       graft.Checkpoints.free(cur)
       cur = next
