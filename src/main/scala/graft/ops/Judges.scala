@@ -384,32 +384,39 @@ object Judges {
       cur: DataFrame,
       labels: DataFrame,
       nLabels: Long,
-      alpha: Long
+      alpha: Long,
+      nEst: Long
   ): DataFrame = {
-    val nEst = cur.count()
-    // class prior over the estimation set, every alphabet label smoothed in
+    // class prior over the estimation set, every alphabet label smoothed
+    // in. nEst (the estimation-set size) is caller-supplied: inside the
+    // EM loop it is the constant voted-item count — counting it per
+    // round was one driver job per round for a number that never moves.
     val prior = labels
       .join(cur.groupBy(col("__t")).agg(count(lit(1)).as("__pc")),
         labels("__l") === col("__t"), "left")
       .select(labels("__l").as("__t"),
         ((coalesce(col("__pc"), lit(0L)) + lit(alpha)).cast("double") /
           lit((nEst + alpha * nLabels).toDouble)).as("__pi"))
-    // per-judge confusion over the estimation set: numerator at
-    // (judge, true, observed) grain, denominator at (judge, true)
-    val jt = votes.join(cur, Seq("__i"))
-    val denom = jt.groupBy("__j", "__t").agg(count(lit(1)).as("__d"))
-    val numer = jt.groupBy("__j", "__t", "__l").agg(count(lit(1)).as("__c"))
+    // per-judge confusion over the estimation set, ONE broadcast frame
+    // at (judge, true) grain: the per-observed-label numerators ride a
+    // map payload next to their denominator, so the scoring pass pays
+    // one broadcast build and one join where it paid two of each (and
+    // the votes ⋈ cur join underneath ran once per aggregate). Cell
+    // counts stay the exact integers; maxConfusionCells bounds the map.
+    val conf = votes.join(cur, Seq("__i"))
+      .groupBy("__j", "__t", "__l").agg(count(lit(1)).as("__c"))
+      .groupBy("__j", "__t").agg(sum(col("__c")).as("__d"),
+        map_from_entries(collect_list(struct(col("__l"), col("__c")))).as("__cm"))
     // score every voted item against every alphabet label: ln prior +
     // judge-ordered fold of ln confusion terms (missing (j, t[, o])
     // rows smooth to alpha-floored cells — a judge is maximally
     // uninformative about classes it never judged)
     val cand = votes.crossJoin(broadcast(labels.select(col("__l").as("__t"))))
     val lnc = log(
-      (coalesce(col("__c"), lit(0L)) + lit(alpha)).cast("double") /
+      (coalesce(element_at(col("__cm"), col("__l")), lit(0L)) + lit(alpha)).cast("double") /
         (coalesce(col("__d"), lit(0L)) + lit(alpha * nLabels)).cast("double"))
     cand
-      .join(broadcast(numer), Seq("__j", "__t", "__l"), "left")
-      .join(broadcast(denom), Seq("__j", "__t"), "left")
+      .join(broadcast(conf), Seq("__j", "__t"), "left")
       .select(col("__i"), col("__t"), col("__j"), lnc.as("__lnc"))
       .groupBy("__i", "__t")
       .agg(aggregate(
@@ -487,10 +494,13 @@ object Judges {
       .withColumn("__post", lit(0.0)), itemCol)
     var cur = graft.Checkpoints.localCheckpoint(rawMajority(votes),
       resetStats = true)
+    // the estimation set is item-grain every round: its size is the
+    // voted-item count, constant across the EM loop — count once
+    val nEst = cur.count()
     var fin: DataFrame = null
     for (_ <- 1 to iters) {
       val next = graft.Checkpoints.localCheckpoint(
-        dsScorePass(votes, cur, labels, nLabels, alpha), resetStats = true)
+        dsScorePass(votes, cur, labels, nLabels, alpha, nEst), resetStats = true)
       graft.Checkpoints.free(cur)
       cur = next.select("__i", "__t")
       fin = next
@@ -549,9 +559,11 @@ object Judges {
     guardConfusionCells(votes, nLabels, maxConfusionCells, "dawidSkenePosteriors")
     var cur = graft.Checkpoints.localCheckpoint(rawMajority(votes),
       resetStats = true)
+    // item-grain every round: the estimation-set size is constant
+    val nEst = cur.count()
     for (_ <- 1 until iters) {
       val next = graft.Checkpoints.localCheckpoint(
-        dsScorePass(votes, cur, labels, nLabels, alpha).select("__i", "__t"),
+        dsScorePass(votes, cur, labels, nLabels, alpha, nEst).select("__i", "__t"),
         resetStats = true)
       graft.Checkpoints.free(cur)
       cur = next
@@ -562,23 +574,24 @@ object Judges {
     // collected buffer — the expensive data-grain job runs once, not
     // twice), then the winner argmaxes the ln side exactly as
     // dsScorePass does
-    val nEst = cur.count()
     val prior = labels
       .join(cur.groupBy(col("__t")).agg(count(lit(1)).as("__pc")),
         labels("__l") === col("__t"), "left")
       .select(labels("__l").as("__t"),
         ((coalesce(col("__pc"), lit(0L)) + lit(alpha)).cast("double") /
           lit((nEst + alpha * nLabels).toDouble)).as("__pi"))
-    val jt = votes.join(cur, Seq("__i"))
-    val denom = jt.groupBy("__j", "__t").agg(count(lit(1)).as("__d"))
-    val numer = jt.groupBy("__j", "__t", "__l").agg(count(lit(1)).as("__c"))
+    // one (judge, true)-grain confusion broadcast with a per-observed-
+    // label map payload — the dsScorePass fusion, same exact cells
+    val conf = votes.join(cur, Seq("__i"))
+      .groupBy("__j", "__t", "__l").agg(count(lit(1)).as("__c"))
+      .groupBy("__j", "__t").agg(sum(col("__c")).as("__d"),
+        map_from_entries(collect_list(struct(col("__l"), col("__c")))).as("__cm"))
     val cand = votes.crossJoin(broadcast(labels.select(col("__l").as("__t"))))
-    val cell = (coalesce(col("__c"), lit(0L)) + lit(alpha)).cast("double") /
+    val cell = (coalesce(element_at(col("__cm"), col("__l")), lit(0L)) + lit(alpha)).cast("double") /
       (coalesce(col("__d"), lit(0L)) + lit(alpha * nLabels)).cast("double")
     val lnc = log(cell)
-    val scored = graft.Checkpoints.trackCache(cand
-      .join(broadcast(numer), Seq("__j", "__t", "__l"), "left")
-      .join(broadcast(denom), Seq("__j", "__t"), "left")
+    val scored = cand
+      .join(broadcast(conf), Seq("__j", "__t"), "left")
       .select(col("__i"), col("__t"), col("__j"),
         lnc.as("__lnc"), cell.as("__r"))
       .groupBy("__i", "__t")
@@ -593,24 +606,25 @@ object Judges {
       .select(col("__i"), col("__t"),
         (log(col("__pi")) + col("__s")).as("__post"),
         (col("__pi") * col("__prod")).as("__p"))
-      .persist())
-    val win = scored
-      .groupBy("__i")
-      .agg(min(struct((-col("__post")).as("p"), col("__t").as("t"))).as("__m"))
-      .select(col("__i"), col("__m.t").as("__win"))
-    val mass = scored.select("__i", "__t", "__p").join(win, Seq("__i"))
-    val ref = mass.filter(col("__t") === col("__win"))
-      .select(col("__i"), col("__p").as("__pwin"))
-    val ratios = mass.join(ref, Seq("__i"))
+    // winner, winner-mass, and the t-ordered normalizer all ride ONE
+    // item-grain window stage: the old shape re-joined the persisted
+    // `scored` frame four times at __i grain — four exchanges and a
+    // persist where one suffices. Arithmetic is unchanged: same argmax
+    // struct, same q = p / pwin ratios, same t-sorted fold for z.
+    val wI = org.apache.spark.sql.expressions.Window.partitionBy(col("__i"))
+    val withWin = scored
+      .withColumn("__m", min(struct((-col("__post")).as("p"), col("__t").as("t"))).over(wI))
+      .withColumn("__win", col("__m.t"))
+    val ratios = withWin
+      .withColumn("__pwin", max(when(col("__t") === col("__win"), col("__p"))).over(wI))
       .withColumn("__q", col("__p") / col("__pwin"))
-    val z = ratios.groupBy("__i")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("__t").as("t"), col("__q").as("q")))),
-        lit(0.0), (acc, x) => acc + x.getField("q")).as("__z"))
-    ratios.join(z, Seq("__i"))
-      .select(col("__i").as(itemCol), col("__t").as("label"),
-        (round(col("__q") / col("__z"), 6) + lit(0.0)).as("posterior_r"),
-        (col("__t") === col("__win")).as("is_consensus"))
+    val z = ratios
+      .withColumn("__z", aggregate(
+        array_sort(collect_list(struct(col("__t").as("t"), col("__q").as("q"))).over(wI)),
+        lit(0.0), (acc, x) => acc + x.getField("q")))
+    z.select(col("__i").as(itemCol), col("__t").as("label"),
+      (round(col("__q") / col("__z"), 6) + lit(0.0)).as("posterior_r"),
+      (col("__t") === col("__win")).as("is_consensus"))
   }
 
   /** PREFERENCE-PAIR construction — the RLHF/DPO data-prep step after
@@ -862,7 +876,8 @@ object Judges {
     guardConfusionCells(votes, nLabels, maxConfusionCells, "goldAnchoredConsensus")
     // estimation set: gold items only (their label is the gold label)
     val cur = graft.Checkpoints.localCheckpoint(g, resetStats = true)
-    dsOutput(votes, dsScorePass(votes, cur, labels, nLabels, alpha), itemCol)
+    dsOutput(votes, dsScorePass(votes, cur, labels, nLabels, alpha, cur.count()),
+      itemCol)
   }
 
   /** The confusion-broadcast ceiling shared by [[dawidSkene]] and

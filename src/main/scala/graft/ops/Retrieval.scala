@@ -1093,8 +1093,10 @@ object Retrieval {
     if (fwdStats.getAs[Long]("__nrows") == 0L)
       return searchPreindexedWithTerms(spark, indexPath, qTerms,
         queryIdCol, k1, b, topK)
-    val idCol = spark.read.parquet(s"$indexPath/stats").head()
-      .getAs[String]("id_col")
+    // ONE stats snapshot for the whole invocation — both scoring passes
+    // and the id-column check below share it (was three driver jobs)
+    val idxStats = spark.read.parquet(s"$indexPath/stats").head()
+    val idCol = idxStats.getAs[String]("id_col")
     // the two artifacts must have been built on the same id column —
     // a mismatched pair would make the feedback join silently match
     // nothing (degrading to plain BM25 with no signal); refuse loudly
@@ -1105,8 +1107,8 @@ object Retrieval {
         s"column '$idCol' but forward sidecar at '$forwardPath' on " +
         s"'$fwdIdCol' — the artifacts are out of step (rebuild the " +
         "sidecar from the same corpus/id, or use saveBm25WithForward)")
-    val first = bm25SearchPreindexed(spark, indexPath, queries,
-      queryIdCol, queryTextCol, k1, b, fbDocs)
+    val first = searchPreindexedWithTerms(spark, indexPath, qTerms,
+      queryIdCol, k1, b, fbDocs, statsIn = Some(idxStats))
     val nb = fwdStats.getAs[Int]("num_buckets")
     val idType = org.apache.spark.sql.types.DataType
       .fromDDL(fwdStats.getAs[String]("id_type"))
@@ -1133,7 +1135,8 @@ object Retrieval {
             cand, Seq(queryIdCol), "term", "__cnt", fbTerms)
           .select(col(queryIdCol), col("term")))
       }
-    searchPreindexedWithTerms(spark, indexPath, expanded, queryIdCol, k1, b, topK)
+    searchPreindexedWithTerms(spark, indexPath, expanded, queryIdCol, k1, b,
+      topK, statsIn = Some(idxStats))
   }
 
   /** Persist a BM25 SERVING INDEX — the lexical analogue of
@@ -1625,10 +1628,15 @@ object Retrieval {
       queryIdCol: String,
       k1: Double,
       b: Double,
-      topK: Int
+      topK: Int,
+      statsIn: Option[org.apache.spark.sql.Row] = None
   ): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val stats = spark.read.parquet(s"$indexPath/stats").head()
+    // statsIn: a caller that already read this index's stats row in the
+    // SAME invocation (the PRF double pass) hands it in — one snapshot
+    // per operator call, not one driver job per pass. Never cached
+    // ACROSS calls: takedown/append mutate stats in place.
+    val stats = statsIn.getOrElse(spark.read.parquet(s"$indexPath/stats").head())
     val nb = stats.getAs[Int]("num_buckets")
     val idCol = stats.getAs[String]("id_col")
     // the GroupTopK heap serves ids AS LONG (the engine-wide numeric-id
