@@ -278,16 +278,27 @@ object Graphs {
     var prevEdges = cur.count()
     var it = 0
     var converged = prevEdges == 0L
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     while (!converged && it < maxIter) {
-      val deg = cur.select(col("a").as("node")).unionAll(cur.select(col("b")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select("node")
+      // LINEAR round (the connectedComponents discipline): each bidir
+      // row picks up its endpoint's degree from a window over the one
+      // u-keyed exchange, and the edge survives iff min(deg_a, deg_b)
+      // >= k — folded at edge grain in the same aggregation that
+      // restores the canonical (a, b) row. The old shape re-derived the
+      // degree aggregate and joined the keep set twice per round: every
+      // extra Exchange is a sequential AQE stage launch, and the
+      // peeling loop's cost at bench scale is its stage count.
+      val bidirDeg = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
+        .withColumn("__deg", count(lit(1)).over(wU))
       // lazy: next.count() below is the full-pass materializing action —
       // one job per peeling round instead of two
       val next = graft.Checkpoints.localCheckpoint(
-        cur
-          .join(keep.select(col("node").as("a")), "a")
-          .join(keep.select(col("node").as("b")), "b")
+        bidirDeg
+          .groupBy(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b"))
+          .agg(min(col("__deg")).as("__mindeg"))
+          .filter(col("__mindeg") >= k)
           .select("a", "b"),
         eager = false, resetStats = true)
       val n = next.count()
@@ -512,8 +523,13 @@ object Graphs {
       .filter(col(src).isNotNull && col(dst).isNotNull)
       .select(checked(src).as("u"), checked(dst).as("v")),
       eager = false, resetStats = true)
-    val eNodes = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
-      .distinct()
+    // checkpointed: the guard count below materializes the blocks, and
+    // the broadcast build then READS them instead of re-running the
+    // distinct over the increment (every re-evaluation is a sequential
+    // AQE stage launch)
+    val eNodes = graft.Checkpoints.localCheckpoint(
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .distinct(), eager = false, resetStats = true)
     // the "increment must be broadcast-small" contract, enforced LOUDLY
     // before either broadcast (eNodes below, labelMap at the relabel) —
     // the engine's uniform refusal convention (maxHotKeys, maxUserPairs,
@@ -553,42 +569,62 @@ object Graphs {
     // edge set too large for the driver (possible only when the
     // increment carries ≳4 distinct edges per endpoint at the node
     // ceiling) falls back to the distributed contraction.
-    val cEdges = contracted.distinct()
+    // checkpointed: the size guard's count materializes the distinct
+    // edge set once; the union-find's collect then reads the blocks
+    // instead of re-running the contraction joins
+    val cEdges = graft.Checkpoints.localCheckpoint(
+      contracted.distinct(), eager = false, resetStats = true)
     val nCE = cEdges.count()
-    val cc2 = graft.Checkpoints.trackCache((
-      if (nCE <= math.max(maxIncrementNodes, 1000000L) * 4) {
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        val seen = scala.collection.mutable.LongMap.empty[Unit]
-        cEdges.collect().foreach { row =>
-          val u = row.getLong(0); val v = row.getLong(1)
-          seen(u) = (); seen(v) = ()
-          if (u != v) {
-            val ru = find(u); val rv = find(v)
-            if (ru != rv) {
-              val lo = math.min(ru, rv); val hi = math.max(ru, rv)
-              parent(hi) = lo
-            }
+    val spark = newEdges.sparkSession
+    import spark.implicits._
+    if (nCE <= math.max(maxIncrementNodes, 1000000L) * 4) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val seen = scala.collection.mutable.LongMap.empty[Unit]
+      cEdges.collect().foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        seen(u) = (); seen(v) = ()
+        if (u != v) {
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) {
+            val lo = math.min(ru, rv); val hi = math.max(ru, rv)
+            parent(hi) = lo
           }
         }
-        val spark = newEdges.sparkSession
-        import spark.implicits._
-        seen.keys.toSeq.sorted.map(n => (n, find(n))).toDF("node", "component")
-      } else connectedComponents(contracted, "cu", "cv", maxIter)
-    ).persist())
-    val oldLabels = touched.select(col("component").as("node")).distinct()
-    val newNodeRows = cc2.join(oldLabels, Seq("node"), "left_anti")
-    val labelMap = cc2.join(oldLabels, Seq("node"), "left_semi")
-      .select(col("node").as("component"), col("component").as("__new"))
-    h.join(broadcast(labelMap), Seq("component"), "left")
-      .select(col("node"), coalesce(col("__new"), col("component")).as("component"))
-      .unionByName(newNodeRows.select(col("node"), col("component")))
+      }
+      // the label map and new-node split are driver-side too: the
+      // contracted solution is already local, and the touched rows'
+      // component set is increment-bounded (the same class as the
+      // labelMap broadcast this feeds) — the old distributed left_anti/
+      // left_semi pair re-evaluated `oldLabels` once per join for data
+      // already small enough to collect
+      val oldLabelSet = touched.select(col("component")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val comp = seen.keys.toSeq.sorted.map(n => (n, find(n)))
+      val (mapPairs, newPairs) = comp.partition(p => oldLabelSet.contains(p._1))
+      val labelMap = mapPairs.toDF("component", "__new")
+      h.join(broadcast(labelMap), Seq("component"), "left")
+        .select(col("node"), coalesce(col("__new"), col("component")).as("component"))
+        .unionByName(newPairs.toDF("node", "component"))
+    } else {
+      // distributed fallback: the contracted edge set is too large to
+      // collect — run the star contraction and split labels with joins
+      val cc2 = graft.Checkpoints.trackCache(
+        connectedComponents(cEdges, "cu", "cv", maxIter).persist())
+      val oldLabels = touched.select(col("component").as("node")).distinct()
+      val newNodeRows = cc2.join(oldLabels, Seq("node"), "left_anti")
+      val labelMap = cc2.join(oldLabels, Seq("node"), "left_semi")
+        .select(col("node").as("component"), col("component").as("__new"))
+      h.join(broadcast(labelMap), Seq("component"), "left")
+        .select(col("node"), coalesce(col("__new"), col("component")).as("component"))
+        .unionByName(newNodeRows.select(col("node"), col("component")))
+    }
   }
 
   /** Edge reciprocity per node over the DIRECTED simple graph (distinct

@@ -569,16 +569,19 @@ object Retrieval {
     // matters: the pruned postings feed BOTH the doc-frequency agg
     // and the contribution join — without it Catalyst recomputes the full
     // corpus scan + explode for each consumer (observed: 3 parquet scans
-    // in the q84 plan). Eager checkpoint, not persist: the returned
-    // frame references the postings, so no unpersist point exists inside
+    // in the q84 plan). Checkpoint, not persist: the returned frame
+    // references the postings, so no unpersist point exists inside
     // this function — the blocks are released by the host's
     // `Checkpoints.freeAll` barrier once the result is materialized (or
-    // by the ContextCleaner as a fallback).
+    // by the ContextCleaner as a fallback). LAZY: the first downstream
+    // action is the docFreq broadcast build right below — a full pass
+    // over the postings that materializes the blocks in-job, so an
+    // eager upfront scan would pay the corpus tokenize twice.
     val postings = graft.Checkpoints.localCheckpoint(withLen
       .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy(col(idCol), col("__dl"), col("term"))
-      .agg(count(lit(1)).as("__tf")))
+      .agg(count(lit(1)).as("__tf")), eager = false)
 
     // document frequency over the pruned postings: (doc, term) is unique
     // after the tf aggregate, so count(*) IS the doc frequency
