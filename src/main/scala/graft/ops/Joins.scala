@@ -253,8 +253,12 @@ object Joins {
     def texts(df: DataFrame, suffix: String): DataFrame = {
       val tc = s"text_$suffix"
       val distinctTexts = nonNull(df).select(bcols :+ col(textCol).as(tc): _*).distinct()
-      val counts = distinctTexts.groupBy(bcols: _*).agg(count(lit(1)).as("__tn"))
-      distinctTexts.join(counts, blockCols)
+      // per-block text count via a window over the distinct exchange —
+      // the old groupBy + join-back re-evaluated the distinct subtree
+      // once per consumer and paid two more exchanges per side
+      distinctTexts
+        .withColumn("__tn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(bcols: _*)))
         .withColumn(tc,
           when(col("__tn") > maxBlockTexts, raise_error(concat(
             lit("editDistanceJoin: block "),

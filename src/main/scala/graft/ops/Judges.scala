@@ -145,28 +145,37 @@ object Judges {
   ): DataFrame = {
     val weighted = votes.join(broadcast(rel), Seq("__j"), "left")
       .withColumn("__rel", coalesce(col("__rel"), lit(0.0)))
+    // ONE (item, label)-grain aggregate + ONE item-grain window stage.
+    // The old shape read `weighted` twice (per-label and per-item folds)
+    // and `votes` once more for the agree count, then stitched four
+    // frames with item-grain joins — every branch re-ran the weighted
+    // join and each join was its own exchange. The per-item total
+    // weight stays BIT-EXACT: flattening the per-label (j, rel) lists
+    // over the item window and re-sorting yields the same judge-sorted
+    // array the old per-item collect_list produced (j is unique per
+    // item — the cleanVotes contract), so the fold order is identical.
     val perLabel = weighted.groupBy("__i", "__l")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("__j").as("j"), col("__rel").as("r")))),
-        lit(0.0), (acc, x) => acc + x.getField("r")).as("__w"))
-    val perItem = weighted.groupBy("__i")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("__j").as("j"), col("__rel").as("r")))),
-        lit(0.0), (acc, x) => acc + x.getField("r")).as("__wt"),
-        count(lit(1)).as("n_judges"))
-    val winner = perLabel.groupBy("__i")
-      .agg(min(struct((-col("__w")).as("w"), col("__l").as("l"))).as("__m"))
-      .select(col("__i"), col("__m.l").as("consensus"), (-col("__m.w")).as("__wwin"))
-    val agree = votes.join(winner, Seq("__i"))
-      .groupBy("__i")
-      .agg(sum(when(col("__l") === col("consensus"), 1L).otherwise(0L)).as("n_agree"))
-    winner.join(perItem, Seq("__i")).join(agree, Seq("__i"))
-      .select(col("__i").as(itemCol), col("consensus"),
-        col("n_judges"), col("n_agree"),
-        (round(col("n_agree").cast("double") / col("n_judges").cast("double"), 6)
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("__j").as("j"), col("__rel").as("r")))),
+          lit(0.0), (acc, x) => acc + x.getField("r")).as("__w"),
+        collect_list(struct(col("__j").as("j"), col("__rel").as("r"))).as("__jrs"),
+        count(lit(1)).as("__nl"))
+    val wI = org.apache.spark.sql.expressions.Window.partitionBy(col("__i"))
+    perLabel
+      .withColumn("__m",
+        min(struct((-col("__w")).as("w"), col("__l").as("l"))).over(wI))
+      .withColumn("__wt", aggregate(
+        array_sort(flatten(collect_list(col("__jrs")).over(wI))),
+        lit(0.0), (acc, x) => acc + x.getField("r")))
+      .withColumn("n_judges", sum(col("__nl")).over(wI))
+      .filter(col("__l") === col("__m.l")) // exactly one row per item
+      .select(col("__i").as(itemCol), col("__l").as("consensus"),
+        col("n_judges"), col("__nl").as("n_agree"),
+        (round(col("__nl").cast("double") / col("n_judges").cast("double"), 6)
           + lit(0.0)).as("support_r"),
-        (round(col("__wwin") / col("__wt"), 6) + lit(0.0)).as("weighted_support_r"),
-        (col("n_agree") === col("n_judges")).as("unanimous"))
+        (round(-col("__m.w") / col("__wt"), 6) + lit(0.0)).as("weighted_support_r"),
+        (col("__nl") === col("n_judges")).as("unanimous"))
   }
 
   /** Per-judge report card against the weighted consensus: how many

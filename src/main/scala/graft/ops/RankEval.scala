@@ -565,22 +565,23 @@ object RankEval {
   ): DataFrame = {
     val clicked = clicks.select(col(queryCol), col(posCol).cast("int").as("pos"))
       .distinct().withColumn("__clicked", lit(1L))
-    // perTeam is read THREE times below (max join, count-of-max, final
-    // join) and sits on top of the multileave PAGE FOLD — without a
-    // barrier each consumer re-runs that whole draft (q313 measured 3
-    // page evaluations per run). Deep inputs checkpoint once at
-    // (query, team) grain; shallow spec inputs keep their exchange.
-    val perTeam = graft.Checkpoints.localCheckpointIfDeep(interleaved
+    // ONE linear pipeline: the per-team counts feed two stacked windows
+    // over the same query partitioning (the max, then the count of rows
+    // AT the max — a window expression cannot reference a sibling
+    // window, so they sequence, but share one exchange + sort). The old
+    // shape read perTeam from THREE branches (max join, count-of-max,
+    // final join): each consumer re-ran the multileave page fold under
+    // it — q313 measured 3 page evaluations per run — which forced a
+    // checkpoint barrier; with single consumption the barrier itself
+    // is unnecessary and the draft runs exactly once in-plan.
+    val wQ = org.apache.spark.sql.expressions.Window.partitionBy(col(queryCol))
+    interleaved
       .join(clicked, Seq(queryCol, "pos"), "left")
       .groupBy(col(queryCol), col("team"))
-      .agg(coalesce(sum(col("__clicked")), lit(0L)).as("clicks")))
-    // count-of-max needs two passes (an agg cannot nest): join the max
-    // back and count matches
-    val mx = perTeam.groupBy(col(queryCol)).agg(max(col("clicks")).as("__mx"))
-    val nmx = perTeam.join(mx, Seq(queryCol))
-      .filter(col("clicks") === col("__mx"))
-      .groupBy(col(queryCol)).agg(count(lit(1)).as("__nmx"))
-    perTeam.join(mx, Seq(queryCol)).join(nmx, Seq(queryCol))
+      .agg(coalesce(sum(col("__clicked")), lit(0L)).as("clicks"))
+      .withColumn("__mx", max(col("clicks")).over(wQ))
+      .withColumn("__nmx",
+        sum(when(col("clicks") === col("__mx"), 1L).otherwise(0L)).over(wQ))
       .withColumn("is_winner",
         col("clicks") === col("__mx") && col("__nmx") === 1)
       .drop("__mx", "__nmx")

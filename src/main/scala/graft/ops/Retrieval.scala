@@ -1115,14 +1115,21 @@ object Retrieval {
     val nb = fwdStats.getAs[Int]("num_buckets")
     val idType = org.apache.spark.sql.types.DataType
       .fromDDL(fwdStats.getAs[String]("id_type"))
-    val fbIds = graft.Checkpoints.trackCache(
-      first.select(col(queryIdCol), col(idCol).cast(idType).as("__docid"))
-        .persist())
-    // |queries|·fbDocs ids → their buckets: the forward read prunes to
-    // exactly these directories
-    val buckets = fbIds
-      .select(pmod(xxhash64(col("__docid")), lit(nb.toLong)).as("__b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // the pass-one page is |queries|·fbDocs rows BY CONSTRUCTION — the
+    // old path persisted it, collected the bucket sliver in one job and
+    // built two broadcasts in two more; ONE collect makes fbIds, its
+    // distinct ids and the bucket prune all local (job-free broadcasts)
+    val fbRows = first
+      .select(col(queryIdCol), col(idCol).cast(idType).as("__docid"),
+        pmod(xxhash64(col(idCol).cast(idType)), lit(nb.toLong)).as("__b"))
+      .collect()
+    val fbSchema = org.apache.spark.sql.types.StructType(Seq(
+      qTerms.schema(queryIdCol),
+      org.apache.spark.sql.types.StructField("__docid", idType, nullable = true)))
+    val fbIds = spark.createDataFrame(
+      java.util.Arrays.asList(fbRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), fbSchema)
+    val buckets = fbRows.iterator.map(_.getLong(2)).toSet.toSeq
     val expanded =
       if (buckets.isEmpty) qTerms // pass one found nothing to feed back
       else {
@@ -1669,16 +1676,30 @@ object Retrieval {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("__avgdl",
           org.apache.spark.sql.types.DoubleType, nullable = true))))
-    val qTerms = graft.Checkpoints.trackCache(qTermsIn.persist())
-    // the bucket sliver: <= numBuckets longs on the driver, the partition
-    // prune for both index reads. An index over a TOKEN-LESS corpus has
-    // no postings files at all (partitionBy writes none) — short-circuit
-    // on the stats row rather than asking parquet to infer a schema.
-    val buckets =
-      if (stats.getAs[Long]("__sumdl") == 0L) Seq.empty[Long]
-      else qTerms
-        .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("__b"))
-        .distinct().collect().map(_.getLong(0)).toSeq
+    // ONE driver collect of the (query, term, bucket) rows — the exact
+    // frame the old path persisted and then re-read three ways (bucket
+    // collect, term-set broadcast build, contribution-join broadcast
+    // build, each its own driver job). The query-term frame is
+    // broadcast-small BY THE OPERATOR'S DESIGN (scorePostings broadcasts
+    // it whole), so collecting it holds nothing the driver did not
+    // already hold for that broadcast; the local relations then feed
+    // every consumer with job-free broadcast builds. A token-less index
+    // (no postings files at all) short-circuits on the stats row before
+    // paying the collect's upstream (e.g. PRF's expanded-terms subtree).
+    val qtSchema = org.apache.spark.sql.types.StructType(Seq(
+      qTermsIn.schema(queryIdCol),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val qtRows: Array[org.apache.spark.sql.Row] =
+      if (stats.getAs[Long]("__sumdl") == 0L) Array.empty
+      else qTermsIn
+        .select(col(queryIdCol), col("term"),
+          pmod(xxhash64(col("term")), lit(nb.toLong)).as("__b"))
+        .collect()
+    val qTerms = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), qtSchema)
+    val buckets = qtRows.iterator.map(_.getLong(2)).toSet.toSeq
     if (buckets.isEmpty) {
       // no query terms (or a token-less index): empty result with the
       // contract schema — LONG id, exactly what the non-empty path's
@@ -1690,7 +1711,12 @@ object Retrieval {
           .withColumnRenamed("__docid", idCol),
         Seq(queryIdCol), idCol, "score", topK)
     }
-    val termSet = broadcast(qTerms.select("term").distinct())
+    val termSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val termSet = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qtRows.iterator.map(_.getString(1)).toSet.toSeq
+        .map((t: String) => org.apache.spark.sql.Row(t)): _*), termSchema))
     val postings = spark.read.parquet(s"$indexPath/postings")
       .filter(col("term_bucket").isin(buckets: _*))
       .join(termSet, Seq("term"))
