@@ -1379,9 +1379,13 @@ object Dedup {
     val pre = ranked.join(sizes, "__id")
       .filter(col("__rn") <= prefixLen)
       .select(col("__id"), col("sz"), col("tok"), col("__rn"), col("__f"))
-    // hot-prefix ceiling, riding the consumed join key
+    // hot-prefix ceiling, riding the consumed join key. Persisted: both
+    // candidate-join sides read guarded — without the barrier each side
+    // re-ran the frequency aggregate + ranking window + prefix joins
+    // over the full token stream (prefix rows are the SMALL end of the
+    // pipeline, ≤ prefix length per doc, so the cache is cheap).
     val preCounts = pre.groupBy("tok").agg(count(lit(1)).as("__pf"))
-    val guarded = pre.join(preCounts, "tok")
+    val guarded = graft.Checkpoints.trackCache(pre.join(preCounts, "tok")
       .withColumn("tok",
         when(col("__pf") > maxPrefixFreq, raise_error(concat(
           lit("prefixJaccardJoin: prefix token '"), col("tok"),
@@ -1391,6 +1395,7 @@ object Dedup {
           .cast("string"))
         .otherwise(col("tok")))
       .drop("__pf")
+      .persist())
     val aSide = guarded.select(col("__id").as("id_a"), col("sz").as("sz_a"),
       col("tok"), col("__rn").as("__rna"), col("__f"))
     val bSide = guarded.select(col("__id").as("id_b"), col("sz").as("sz_b"),

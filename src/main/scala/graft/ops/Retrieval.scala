@@ -679,10 +679,17 @@ object Retrieval {
     val consts = graft.Checkpoints.localCheckpoint(
       docs.select(TextAnalysis.tokenCount(col(textCol)).as("__dl"))
         .agg(count(lit(1)).as("__n"), avg(col("__dl").cast("double")).as("__avgdl")))
-    val first = graft.Checkpoints.localCheckpoint(
-      searchWithTerms(docs, idCol, textCol, qTerms, queryIdCol,
-        k1, b, fbDocs, Some(consts)))
-    val fbIds = first.select(col(queryIdCol), col(idCol))
+    val first = searchWithTerms(docs, idCol, textCol, qTerms, queryIdCol,
+      k1, b, fbDocs, Some(consts))
+    // the first-pass page is |queries|·fbDocs rows by construction:
+    // ONE collect replaces the old eager checkpoint, and fbIds becomes
+    // a local relation (job-free broadcast builds downstream)
+    val spark = docs.sparkSession
+    val fbSchema = org.apache.spark.sql.types.StructType(Seq(
+      first.schema(queryIdCol), first.schema(idCol)))
+    val fbIds = spark.createDataFrame(
+      java.util.Arrays.asList(
+        first.select(col(queryIdCol), col(idCol)).collect(): _*), fbSchema)
     // the feedback docs' token stream: the corpus scan prunes map-side
     // against the (tiny) union of feedback ids before exploding
     val fbToks = docs
@@ -693,9 +700,18 @@ object Retrieval {
       .groupBy(col(queryIdCol), col("term"))
       .agg(count(lit(1)).as("__cnt"))
       .join(qTerms, Seq(queryIdCol, "term"), "left_anti")
-    val picked = GroupTopK.topKPerGroupString(
-        cand, Seq(queryIdCol), "term", "__cnt", fbTerms)
-      .select(col(queryIdCol), col("term"))
+    // picked is fbTerms·|queries| rows: landed locally so the widened
+    // pass-2 vocabulary is a projection ∪ local relation — the old lazy
+    // shape re-ran the harvest's PRUNED CORPUS SCAN once per pass-2
+    // broadcast build of the expanded terms (two extra scans per call)
+    val pickedSchema = org.apache.spark.sql.types.StructType(Seq(
+      first.schema(queryIdCol),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val picked = spark.createDataFrame(
+      java.util.Arrays.asList(
+        GroupTopK.topKPerGroupString(cand, Seq(queryIdCol), "term", "__cnt", fbTerms)
+          .select(col(queryIdCol), col("term")).collect(): _*), pickedSchema)
     searchWithTerms(docs, idCol, textCol, qTerms.unionByName(picked),
       queryIdCol, k1, b, topK, Some(consts))
   }
