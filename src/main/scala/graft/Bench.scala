@@ -226,14 +226,21 @@ object Bench {
         System.err.println(s"[bench-diff] comparator failed: ${e.getMessage}")
       }
     }
-    println(line)
     // The driver's BENCH artifact keeps only the LAST ~2000 stdout chars,
-    // and the full line above outgrew that at ~150 queries (round 7's
-    // per-query diff covered 65 of 153). Two fixes: (1) persist the
-    // complete line as a COMMITTED repo-root artifact (target/ is
-    // gitignored) so any future round can diff every query; (2) end
-    // stdout with a SHORT summary line that always fits the tail capture
-    // whole, with a pointer to the full map.
+    // and the full line outgrew that at ~150 queries (round 7's
+    // per-query diff covered 65 of 153; rounds 16-17's PERF parsed ZERO
+    // per-query entries — n_common = 0 — because the short summary line
+    // came last and carries no per-query map). Three measures: (1)
+    // persist the complete line as a COMMITTED repo-root artifact
+    // (target/ is gitignored) so any future round can diff every query;
+    // (2) print the SHORT summary line FIRST, then end stdout with the
+    // FULL line whose LAST JSON field is the per-query seconds map — so
+    // whatever suffix of stdout a tail capture keeps always ends in
+    // per-query "qNNN_name":sec entries a parser can regex out; (3) keep
+    // per-query values at 4 decimals so each entry stays short. This is
+    // a measurement-VISIBILITY fix only (round-17 verdict item 2): the
+    // timed methodology, the queries, and the artifact contents are
+    // unchanged — only stdout line order and field order moved.
     // a filtered dev run must never clobber the committed full-registry
     // artifact future rounds diff against
     if (only.isEmpty)
@@ -243,6 +250,10 @@ object Bench {
     // parser at the stale full-registry artifact: advertise null instead
     val fullRef = if (only.isEmpty) "\"BENCH_FULL.json\"" else "null"
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","iters_min_of":$iters,"queries_n":${results.size},"failures":$failJson,"full":$fullRef,"sf":"$sfDir"}""")
+    // the full line, LAST, with "queries" as its FINAL field (tasks/load/
+    // remeasured/failures/sf stay in the durable artifacts above, which
+    // keep the original field order for older parsers)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","iters_min_of":$iters,"sf":"$sfDir","failures":$failJson,"queries":$qs}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} FAILED queries: ${failed.mkString(", ")}")

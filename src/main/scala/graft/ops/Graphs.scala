@@ -505,6 +505,62 @@ object Graphs {
       maxIter: Int = 64,
       maxIncrementNodes: Long = 5000000L
   ): DataFrame = {
+    val (e, eNodes, nIncNodes) =
+      ccPrepIncrement(newEdges, src, dst, maxIncrementNodes)
+    ccApplyPrepared(components, e, eNodes, nIncNodes, maxIter, maxIncrementNodes)
+  }
+
+  /** [[ccApply]] with the HISTORY CONTRACTION and the increment preamble
+    * run as CONCURRENT Spark jobs (guide §2.6 "overlap independent
+    * jobs"): `connectedComponents(histEdges)` and the increment's
+    * endpoint-set materialization + ceiling guard are independent
+    * subtrees that [[ccApply]]'s call shape awaits sequentially — the
+    * star-contraction rounds leave most executors idle at bench/
+    * increment scale (each round is a handful of sequential AQE stage
+    * launches), so the increment preamble back-fills them instead of
+    * queueing behind the loop. Identical result to
+    * `ccApply(connectedComponents(histEdges, src, dst), newEdges, ...)`
+    * by construction — same operators, same arguments, only job overlap.
+    * Job descriptions are thread-local, so the UI labels both lines. */
+  def ccIncremental(
+      histEdges: DataFrame,
+      newEdges: DataFrame,
+      src: String,
+      dst: String,
+      maxIter: Int = 64,
+      maxIncrementNodes: Long = 5000000L
+  ): DataFrame = {
+    val prep = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+      ccPrepIncrement(newEdges, src, dst, maxIncrementNodes))
+    val comps =
+      try connectedComponents(histEdges, src, dst, maxIter)
+      catch { case t: Throwable =>
+        // the preamble's jobs are harmless if orphaned, but surface the
+        // PRIMARY failure, not a racing secondary one
+        try prep.cancel(true) catch { case _: Throwable => () }
+        throw t
+      }
+    val (e, eNodes, nIncNodes) =
+      try prep.join()
+      catch { case ce: java.util.concurrent.CompletionException =>
+        throw Option(ce.getCause).getOrElse(ce)
+      }
+    ccApplyPrepared(comps, e, eNodes, nIncNodes, maxIter, maxIncrementNodes)
+  }
+
+  /** The increment preamble shared by [[ccApply]] and [[ccIncremental]]:
+    * checkpoint the cleaned increment and its distinct endpoint set, and
+    * enforce the "increment must be broadcast-small" contract LOUDLY
+    * before any broadcast is attempted (the engine's uniform refusal
+    * convention — maxHotKeys, maxUserPairs, maxPrefixFreq: a generic
+    * broadcast OOM hours in is not an error message). One scalar count
+    * over the checkpointed increment. */
+  private def ccPrepIncrement(
+      newEdges: DataFrame,
+      src: String,
+      dst: String,
+      maxIncrementNodes: Long
+  ): (DataFrame, DataFrame, Long) = {
     require(maxIncrementNodes >= 1, "maxIncrementNodes must be >= 1")
     def checked(c: String): Column =
       when(col(c).cast("long").isNull, raise_error(concat(
@@ -512,8 +568,6 @@ object Graphs {
         lit(" is not long-castable — route string ids through "),
         lit("Ids.withSurrogateId first"))).cast("long"))
         .otherwise(col(c).cast("long"))
-    val h = components.select(col("node").cast("long").as("node"),
-      col("component").cast("long").as("component"))
     // one pass over the (possibly expensive) increment upstream: the
     // endpoint set, both contraction joins, and the new-node split all
     // read blocks
@@ -530,19 +584,30 @@ object Graphs {
     val eNodes = graft.Checkpoints.localCheckpoint(
       e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
         .distinct(), eager = false, resetStats = true)
-    // the "increment must be broadcast-small" contract, enforced LOUDLY
-    // before either broadcast (eNodes below, labelMap at the relabel) —
-    // the engine's uniform refusal convention (maxHotKeys, maxUserPairs,
-    // maxPrefixFreq): a generic broadcast OOM hours in is not an error
-    // message. One scalar count over the checkpointed increment.
     val nIncNodes = eNodes.count()
     if (nIncNodes > maxIncrementNodes)
       throw new IllegalArgumentException(
         s"ccApply: the edge increment touches $nIncNodes distinct endpoints " +
-          s"> maxIncrementNodes=$maxIncrementNodes — an increment comparable " +
-          "to the graph itself should rebuild with connectedComponents " +
-          "instead (or raise maxIncrementNodes if the endpoint set is " +
-          "genuinely broadcast-small)")
+          s"> maxIncrementNodes=$maxIncrementNodes (≈${nIncNodes * 16 / (1 << 20)}" +
+          " MiB of endpoint pairs on the driver/executors as a broadcast) — " +
+          "an increment comparable to the graph itself should rebuild with " +
+          "connectedComponents instead (or raise maxIncrementNodes if the " +
+          "endpoint set is genuinely broadcast-small)")
+    (e, eNodes, nIncNodes)
+  }
+
+  /** [[ccApply]]'s tail over a validated increment: contract through the
+    * standing labels, solve the contracted graph, relabel the history. */
+  private def ccApplyPrepared(
+      components: DataFrame,
+      e: DataFrame,
+      eNodes: DataFrame,
+      nIncNodes: Long,
+      maxIter: Int,
+      maxIncrementNodes: Long
+  ): DataFrame = {
+    val h = components.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
     // touched history rows: a broadcast semi — the history is scanned
     // once, its shuffle-free read being the entire point of the
     // incremental path
@@ -567,7 +632,7 @@ object Graphs {
     // microseconds (union-by-min keeps the component label = min member
     // id invariant exactly, so the result is identical). A contracted
     // edge set too large for the driver (possible only when the
-    // increment carries ≳4 distinct edges per endpoint at the node
+    // increment carries ≳2 distinct edges per endpoint at the node
     // ceiling) falls back to the distributed contraction.
     // checkpointed: the size guard's count materializes the distinct
     // edge set once; the union-find's collect then reads the blocks
@@ -575,9 +640,14 @@ object Graphs {
     val cEdges = graft.Checkpoints.localCheckpoint(
       contracted.distinct(), eager = false, resetStats = true)
     val nCE = cEdges.count()
-    val spark = newEdges.sparkSession
+    val spark = e.sparkSession
     import spark.implicits._
-    if (nCE <= math.max(maxIncrementNodes, 1000000L) * 4) {
+    // 2× the node ceiling (was 4×): a connected simple graph on the
+    // ceiling's node count is solved by any spanning-tree-dense subset,
+    // and 2× already admits it with slack — at the 5M default the
+    // worst-case driver hold is ~10M primitive pairs ≈ 160 MB, half the
+    // old bound's (§5: the driver should do almost no data work)
+    if (nCE <= math.max(maxIncrementNodes, 1000000L) * 2) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -587,17 +657,20 @@ object Graphs {
         r
       }
       val seen = scala.collection.mutable.LongMap.empty[Unit]
-      cEdges.collect().foreach { row =>
-        val u = row.getLong(0); val v = row.getLong(1)
-        seen(u) = (); seen(v) = ()
-        if (u != v) {
-          val ru = find(u); val rv = find(v)
-          if (ru != rv) {
-            val lo = math.min(ru, rv); val hi = math.max(ru, rv)
-            parent(hi) = lo
+      // primitive (Long, Long) tuples, not Row objects: the collect is
+      // the operator's largest driver hold, and a Row costs ~3× the
+      // tuple in header + boxing overhead (§5)
+      cEdges.select(col("cu"), col("cv")).as[(Long, Long)]
+        .collect().foreach { case (u, v) =>
+          seen(u) = (); seen(v) = ()
+          if (u != v) {
+            val ru = find(u); val rv = find(v)
+            if (ru != rv) {
+              val lo = math.min(ru, rv); val hi = math.max(ru, rv)
+              parent(hi) = lo
+            }
           }
         }
-      }
       // the label map and new-node split are driver-side too: the
       // contracted solution is already local, and the touched rows'
       // component set is increment-bounded (the same class as the
@@ -605,7 +678,15 @@ object Graphs {
       // left_semi pair re-evaluated `oldLabels` once per join for data
       // already small enough to collect
       val oldLabelSet = touched.select(col("component")).distinct()
-        .collect().map(_.getLong(0)).toSet
+        .as[Long].collect().toSet
+      // the collect is transitively bounded by the enforced endpoint
+      // ceiling (touched ⊆ history ⋉ eNodes, so ≤ nIncNodes rows);
+      // assert the invariant AT the collect site so any future change
+      // to the touched derivation fails here, not as a driver OOM
+      assert(oldLabelSet.size <= nIncNodes,
+        s"ccApply invariant violated: ${oldLabelSet.size} touched labels > " +
+          s"$nIncNodes increment endpoints — the touched derivation is " +
+          "no longer endpoint-bounded")
       val comp = seen.keys.toSeq.sorted.map(n => (n, find(n)))
       val (mapPairs, newPairs) = comp.partition(p => oldLabelSet.contains(p._1))
       val labelMap = mapPairs.toDF("component", "__new")

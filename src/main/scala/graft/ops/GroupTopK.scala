@@ -247,6 +247,128 @@ object GroupTopK {
       ExpressionEncoder[Seq[ScoredKey]]()
   }
 
+  // ------------------------------------------ string keys with payload
+
+  /** A string-keyed candidate carrying one LONG payload through the heap
+    * (a raw count — n_pair, tf) so the winner's payload needs no
+    * join-back re-evaluation of the scored subtree. The payload rides
+    * inertly: ordering and eviction are [[ScoredKey]]'s exactly, so the
+    * selected (key, score, rank) set is identical to
+    * [[topKPerGroupString]]'s. */
+  final case class ScoredKeyP(score: Double, key: String, payload: Long)
+
+  final case class TopKStrPBuf(
+      scores: Array[Double], keys: Array[Array[Byte]], payloads: Array[Long], var n: Int)
+
+  private class TopKStrPayloadAggregator(k: Int)
+      extends Aggregator[ScoredKeyP, TopKStrPBuf, Seq[ScoredKeyP]]
+      with Serializable {
+
+    override def zero: TopKStrPBuf =
+      TopKStrPBuf(new Array[Double](k), new Array[Array[Byte]](k), new Array[Long](k), 0)
+
+    private def insert(b: TopKStrPBuf, s: Double, key: Array[Byte], p: Long): Unit = {
+      val sc = b.scores
+      val kk = b.keys
+      val pp = b.payloads
+      if (b.n < k) {
+        var i = b.n
+        sc(i) = s; kk(i) = key; pp(i) = p
+        b.n += 1
+        var cont = i > 0
+        while (cont) {
+          val q = (i - 1) >> 1
+          if (betterK(sc(q), kk(q), sc(i), kk(i))) {
+            val ts = sc(q); sc(q) = sc(i); sc(i) = ts
+            val tk = kk(q); kk(q) = kk(i); kk(i) = tk
+            val tp = pp(q); pp(q) = pp(i); pp(i) = tp
+            i = q
+            cont = i > 0
+          } else cont = false
+        }
+      } else if (betterK(s, key, sc(0), kk(0))) {
+        sc(0) = s; kk(0) = key; pp(0) = p
+        var i = 0
+        var cont = true
+        while (cont) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var w = i
+          if (l < b.n && betterK(sc(w), kk(w), sc(l), kk(l))) w = l
+          if (r < b.n && betterK(sc(w), kk(w), sc(r), kk(r))) w = r
+          if (w == i) cont = false
+          else {
+            val ts = sc(i); sc(i) = sc(w); sc(w) = ts
+            val tk = kk(i); kk(i) = kk(w); kk(w) = tk
+            val tp = pp(i); pp(i) = pp(w); pp(w) = tp
+            i = w
+          }
+        }
+      }
+    }
+
+    override def reduce(b: TopKStrPBuf, x: ScoredKeyP): TopKStrPBuf = {
+      insert(b, x.score,
+        x.key.getBytes(java.nio.charset.StandardCharsets.UTF_8), x.payload)
+      b
+    }
+
+    override def merge(a: TopKStrPBuf, b: TopKStrPBuf): TopKStrPBuf = {
+      var i = 0
+      while (i < b.n) { insert(a, b.scores(i), b.keys(i), b.payloads(i)); i += 1 }
+      a
+    }
+
+    override def finish(b: TopKStrPBuf): Seq[ScoredKeyP] =
+      (0 until b.n).map(i => (b.scores(i), b.keys(i), b.payloads(i)))
+        .sortWith((x, y) => betterK(x._1, x._2, y._1, y._2))
+        .map(t => ScoredKeyP(t._1,
+          new String(t._2, java.nio.charset.StandardCharsets.UTF_8), t._3))
+
+    override def bufferEncoder: Encoder[TopKStrPBuf] = ExpressionEncoder[TopKStrPBuf]()
+    override def outputEncoder: Encoder[Seq[ScoredKeyP]] =
+      ExpressionEncoder[Seq[ScoredKeyP]]()
+  }
+
+  /** [[topKPerGroupString]] carrying one LONG `payloadCol` through the
+    * heap — for callers that would otherwise JOIN BACK to the scored
+    * frame just to recover a count column (collocations' n_pair, TF-IDF's
+    * tf): the join-back re-evaluates the whole scored subtree a second
+    * time and adds an exchange, where the payload rides the aggregate for
+    * free. Selection, ordering and ties are identical to
+    * [[topKPerGroupString]] (the payload never enters the comparator).
+    * Output: group cols + `rankCol`, `keyCol`, `scoreCol`, `payloadCol`.
+    * Null payloads are not representable (LONG through the primitive
+    * buffer) — payloads are raw counts, never null by construction; a
+    * null payload row refuses loudly rather than silently becoming 0. */
+  def topKPerGroupStringPayload(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      scoreCol: String,
+      payloadCol: String,
+      k: Int,
+      rankCol: String = "rank"
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val agg = udaf(new TopKStrPayloadAggregator(k), ExpressionEncoder[ScoredKeyP]())
+    val checkedPayload = when(col(payloadCol).isNull,
+      raise_error(concat(
+        lit(s"GroupTopK payload column '$payloadCol' must be non-null " +
+          "(it rides a primitive LONG buffer); got null for key: "),
+        col(keyCol).cast("string")))).otherwise(col(payloadCol).cast("long"))
+    df.filter(col(keyCol).isNotNull && col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col(scoreCol).cast("double"), col(keyCol).cast("string"),
+        checkedPayload).as("__topk"))
+      .select((groupCols.map(col) :+ posexplode(col("__topk"))): _*)
+      .select((groupCols.map(col) :+
+        (col("pos") + 1).cast("long").as(rankCol) :+
+        col("col.key").as(keyCol) :+
+        col("col.score").as(scoreCol) :+
+        col("col.payload").as(payloadCol)): _*)
+  }
+
   /** [[topKPerGroup]] for STRING-keyed candidates (heavy hitters: top
     * n-grams, top URLs/domains per group) — same size-k min-heap with
     * map-side partial aggregation, ties toward the binary-smaller key.

@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Loud ceiling on the query-grain / served-page frames the serving
+    * paths collect to the driver as local relations (the query-term
+    * sliver, the PRF feedback page and picked terms). These frames are
+    * topK- or |queries|·terms-bounded by construction AND were already
+    * broadcast whole before the local-relation optimization — but a
+    * pathologically large query batch must refuse with the knob's name,
+    * not OOM the driver with a generic error (the maxIncrementNodes /
+    * maxPrefixFreq refusal convention). 5M rows ≈ a few hundred MB of
+    * Row objects — far past any sane serving batch, well short of the
+    * heap. */
+  private val maxLocalPageRows = 5000000
+
+  private def checkLocalPageRows(n: Int, what: String, op: String): Unit =
+    require(n <= maxLocalPageRows,
+      s"$op: $what has $n rows > maxLocalPageRows=$maxLocalPageRows — " +
+        "batch the query set; this frame lands on the driver as a local " +
+        "relation by design")
+
   /** Corpus vocabulary: for each whitespace token, the number of documents
     * containing it (`doc_freq`) and its total occurrence count
     * (`term_freq`); the `topK` most document-frequent terms, ties broken
@@ -351,22 +369,74 @@ object Retrieval {
         collect_list(col("__pos")).as("__plists"))
       .join(need, Seq("__pid"))
       .filter(col("__have") === col("__m"))
-    val w = lit(window)
-    val folded = aggregate(
-      sequence(lit(1), greatest(col("__dl") - w + 1, lit(1))),
-      struct(lit(0L).as("cnt"), lit(0L).as("first")),
-      (acc, i) => {
-        val hit = forall(col("__plists"), ps =>
-          exists(ps, q => q >= i && q <= i + w - 1))
-        struct(
-          (acc.getField("cnt") + when(hit, 1L).otherwise(0L)).as("cnt"),
-          when(acc.getField("first") === 0L && hit, i.cast("long"))
-            .otherwise(acc.getField("first")).as("first"))
-      })
+    val folded = proximityWindowFold(col("__plists"), col("__dl"), window)
     grouped.select(col("__pid"), col("__docid"), folded.as("__m2"))
       .filter(col("__m2.cnt") > 0L)
       .select(col("__pid").as(queryIdCol), col("__docid").as(idCol),
         col("__m2.cnt").as("n_windows"), col("__m2.first").as("first_window_pos"))
+  }
+
+  /** The proximity window count/first fold shared by [[proximitySearch]]
+    * and [[proximitySearchPreindexed]] (one implementation, so serving
+    * parity is structural): given the per-term position lists of a
+    * surviving (query, doc) pair and the document length, returns
+    * `struct(cnt, first)` — the number of start positions
+    * `i ∈ [1, max(dl − w + 1, 1)]` whose window `[i, i + w − 1]` holds
+    * at least one occurrence of EVERY term, and the smallest such `i`
+    * (0 when none).
+    *
+    * O(positions · terms), not O(doc length): the old fold materialized
+    * a `sequence(1, dl − w + 1)` integer array per surviving row and
+    * probed every term list at every start — a 100k-token document made
+    * that a per-row memory spike and a quadratic-ish probe (guide §5).
+    * This fold walks the position-sorted merge of the tagged lists once,
+    * maintaining each term's LAST occurrence: for right-ends
+    * `j' ∈ [prevj, j−1]` between consecutive occurrences that state is
+    * constant, so each step closes the start-interval
+    * `i ∈ [max(prevj−w+1, 1), min(min_t last_t, maxStart, j−w)]` in O(1)
+    * (a start `i` qualifies iff every term's last occurrence at
+    * right-end `i+w−1` is ≥ i). Token positions are unique across terms
+    * (one token per position), so the merge is strictly increasing and
+    * the closed intervals partition the start axis — counts add, and
+    * the first nonempty interval's lower bound is the global first. */
+  private def proximityWindowFold(plists: Column, dl: Column, window: Int): Column = {
+    val w = lit(window.toLong)
+    val maxStart = greatest(dl.cast("long") - w + lit(1L), lit(1L))
+    // (position, term-index) merge, strictly increasing by position
+    val tagged = array_sort(flatten(transform(plists,
+      (ps, t) => transform(ps, p =>
+        struct(p.cast("long").as("p"), t.cast("long").as("t"))))))
+    val init = struct(
+      array_repeat(lit(0L), size(plists)).as("last"),
+      lit(0L).as("cnt"), lit(0L).as("first"), lit(1L).as("prevj"))
+    aggregate(
+      tagged, init,
+      (acc, x) => {
+        val j = x.getField("p")
+        val t = x.getField("t")
+        val h = array_min(acc.getField("last"))
+        val lo = greatest(acc.getField("prevj") - w + lit(1L), lit(1L))
+        val hi = least(least(h, maxStart), j - w)
+        val add = greatest(hi - lo + lit(1L), lit(0L))
+        struct(
+          transform(acc.getField("last"),
+            (v, i) => when(i.cast("long") === t, j).otherwise(v)).as("last"),
+          (acc.getField("cnt") + add).as("cnt"),
+          when(acc.getField("first") === lit(0L) && add > lit(0L), lo)
+            .otherwise(acc.getField("first")).as("first"),
+          j.as("prevj"))
+      },
+      acc => {
+        // close the final interval: right-ends from the last occurrence on
+        val h = array_min(acc.getField("last"))
+        val lo = greatest(acc.getField("prevj") - w + lit(1L), lit(1L))
+        val hi = least(h, maxStart)
+        val add = greatest(hi - lo + lit(1L), lit(0L))
+        struct(
+          (acc.getField("cnt") + add).as("cnt"),
+          when(acc.getField("first") === lit(0L) && add > lit(0L), lo)
+            .otherwise(acc.getField("first")).as("first"))
+      })
   }
 
 
@@ -430,18 +500,7 @@ object Retrieval {
       .groupBy(col("__pid"), col("__m"), col("__doc"), col("__dl"))
       .agg(count(lit(1)).as("__have"), collect_list(col("__ps")).as("__plists"))
       .filter(col("__have") === col("__m"))
-    val w = lit(window)
-    val folded = aggregate(
-      sequence(lit(1), greatest(col("__dl") - w + 1, lit(1))),
-      struct(lit(0L).as("cnt"), lit(0L).as("first")),
-      (acc, i) => {
-        val hit = forall(col("__plists"), ps =>
-          exists(ps, q => q >= i && q <= i + w - 1))
-        struct(
-          (acc.getField("cnt") + when(hit, 1L).otherwise(0L)).as("cnt"),
-          when(acc.getField("first") === 0L && hit, i.cast("long"))
-            .otherwise(acc.getField("first")).as("first"))
-      })
+    val folded = proximityWindowFold(col("__plists"), col("__dl"), window)
     grouped.select(col("__pid"), col("__doc"), folded.as("__m2"))
       .filter(col("__m2.cnt") > 0L)
       .select(col("__pid").as(queryIdCol), col("__doc").as(idCol),
@@ -548,20 +607,30 @@ object Retrieval {
       b: Double,
       topK: Int,
       constsIn: Option[DataFrame] = None
-  ): DataFrame = {
+  ): DataFrame =
+    searchWithTermsAndConsts(docs, idCol, textCol, qTerms, queryIdCol,
+      k1, b, topK, constsIn)._1
+
+  /** [[searchWithTerms]] that also RETURNS the one-row corpus-constants
+    * frame it derived (or was handed), so a two-pass caller
+    * ([[bm25SearchPrf]]) reuses pass one's constants without its own
+    * corpus scan. */
+  private def searchWithTermsAndConsts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      qTerms: DataFrame,
+      queryIdCol: String,
+      k1: Double,
+      b: Double,
+      topK: Int,
+      constsIn: Option[DataFrame]
+  ): (DataFrame, DataFrame) = {
     require(topK > 0, "topK must be positive")
     val withLen = docs.select(
       col(idCol),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
-
-    // one tiny corpus-constants row, broadcast into the plan (never a
-    // driver-side collect); callers that score the SAME corpus twice
-    // (the PRF passes) hand in a checkpointed row instead of paying
-    // this full tokenize+agg corpus scan once per pass
-    val consts = constsIn.getOrElse(withLen.agg(
-      count(lit(1)).as("__n"),
-      avg(col("__dl").cast("double")).as("__avgdl")))
 
     // prune BEFORE the tf aggregate: the broadcast semi-join is a map-side
     // filter, so the groupBy shuffles only tokens matching the query
@@ -574,21 +643,65 @@ object Retrieval {
     // this function — the blocks are released by the host's
     // `Checkpoints.freeAll` barrier once the result is materialized (or
     // by the ContextCleaner as a fallback). LAZY: the first downstream
-    // action is the docFreq broadcast build right below — a full pass
-    // over the postings that materializes the blocks in-job, so an
-    // eager upfront scan would pay the corpus tokenize twice.
-    val postings = graft.Checkpoints.localCheckpoint(withLen
-      .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy(col(idCol), col("__dl"), col("term"))
-      .agg(count(lit(1)).as("__tf")), eager = false)
+    // action (the consts agg when this call derives its own constants,
+    // the docFreq broadcast build otherwise) is a full pass over the
+    // postings that materializes the blocks in-job, so an eager upfront
+    // scan would pay the corpus tokenize twice.
+    //
+    // Corpus constants (doc count + avgdl) ride the SAME scan when not
+    // supplied: each doc emits one null-term MARKER row ahead of its
+    // tokens (null-safe prune against a term set that carries one null
+    // row — EqualNullSafe is a hash-join key, so the plan shape is the
+    // same broadcast prune), and the constants agg reads the doc-grain
+    // marker slice of the checkpoint. The old shape ran a SECOND full
+    // corpus tokenize just for the one-row agg (2 scans per ad-hoc
+    // call, 6 per PRF call); at 100 TB the extra pass is the whole
+    // point. Marker rows add |docs| tiny (id, dl, null) rows to the
+    // checkpoint — doc-grain metadata, guide §2.3. coalesce keeps the
+    // marker alive for null-text docs (tokens(null) = null, and
+    // concat-with-null would swallow the row): count must see EVERY
+    // doc, exactly as the old `count(lit(1))` over the raw scan did.
+    val emitMarkers = constsIn.isEmpty
+    val termSet = qTerms.select("term").distinct()
+    val stream =
+      if (!emitMarkers)
+        withLen
+          .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
+          .join(broadcast(termSet), Seq("term"))
+      else {
+        val pruneSet = termSet.unionAll(
+          qTerms.sparkSession.range(1).select(lit(null).cast("string").as("term")))
+          .select(col("term").as("__qt"))
+        withLen
+          .select(col(idCol), col("__dl"), explode(concat(
+            array(lit(null).cast("string")),
+            coalesce(col("__toks"), array().cast("array<string>")))).as("term"))
+          .join(broadcast(pruneSet), col("term") <=> col("__qt"), "left_semi")
+      }
+    val postings = graft.Checkpoints.localCheckpoint(
+      stream.groupBy(col(idCol), col("__dl"), col("term"))
+        .agg(count(lit(1)).as("__tf")), eager = false)
+
+    // one tiny corpus-constants row, broadcast into the plan (never a
+    // driver-side collect): the eager checkpoint's agg job is the full
+    // pass that materializes the postings blocks, and its values are
+    // byte-identical to the old separate-scan agg (count over every
+    // doc's marker, avg over the same integer __dl set — exact in
+    // double). Callers that score the SAME corpus twice (the PRF
+    // passes) hand in pass one's row instead.
+    val consts = constsIn.getOrElse(graft.Checkpoints.localCheckpoint(
+      postings.filter(col("term").isNull).agg(
+        count(lit(1)).as("__n"),
+        avg(col("__dl").cast("double")).as("__avgdl"))))
+    val realPostings =
+      if (emitMarkers) postings.filter(col("term").isNotNull) else postings
 
     // document frequency over the pruned postings: (doc, term) is unique
     // after the tf aggregate, so count(*) IS the doc frequency
-    val docFreq = postings.groupBy("term").agg(count(lit(1)).as("__df"))
+    val docFreq = realPostings.groupBy("term").agg(count(lit(1)).as("__df"))
 
-    scorePostings(postings, docFreq, consts, qTerms,
-      idCol, queryIdCol, k1, b, topK)
+    (scorePostings(realPostings, docFreq, consts, qTerms,
+      idCol, queryIdCol, k1, b, topK), consts)
   }
 
   /** Shared BM25 scoring tail — the single formula both the ad-hoc
@@ -671,25 +784,28 @@ object Retrieval {
     val qTerms = queries.select(
       col(queryIdCol),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
-    // corpus constants once for BOTH scoring passes (each pass otherwise
-    // re-tokenizes the whole corpus for its own one-row agg — and the
-    // first pass is itself read twice below, tripling that scan), and a
-    // barrier on the first-pass page (topK-bounded rows): the harvest
-    // broadcast and the candidate join both read it
-    val consts = graft.Checkpoints.localCheckpoint(
-      docs.select(TextAnalysis.tokenCount(col(textCol)).as("__dl"))
-        .agg(count(lit(1)).as("__n"), avg(col("__dl").cast("double")).as("__avgdl")))
-    val first = searchWithTerms(docs, idCol, textCol, qTerms, queryIdCol,
-      k1, b, fbDocs, Some(consts))
+    // corpus constants once for BOTH scoring passes: pass one derives
+    // them from ITS OWN postings scan (the marker rows inside
+    // searchWithTermsAndConsts) and hands the one-row frame to pass two
+    // — the old shape paid a separate full corpus tokenize just for the
+    // constants agg (4 scans per PRF call; now 3: combined
+    // constants+pass-1 postings, the feedback harvest, pass-2 postings
+    // — the last two are PRF's definition)
+    val (first, consts) = searchWithTermsAndConsts(docs, idCol, textCol,
+      qTerms, queryIdCol, k1, b, fbDocs, None)
     // the first-pass page is |queries|·fbDocs rows by construction:
     // ONE collect replaces the old eager checkpoint, and fbIds becomes
-    // a local relation (job-free broadcast builds downstream)
+    // a local relation (job-free broadcast builds downstream). The
+    // ceiling keeps the bound LOUD: a pathological query batch must
+    // refuse with the knob's name, not OOM the driver mid-collect.
     val spark = docs.sparkSession
     val fbSchema = org.apache.spark.sql.types.StructType(Seq(
       first.schema(queryIdCol), first.schema(idCol)))
+    val fbCollected = first.select(col(queryIdCol), col(idCol)).collect()
+    checkLocalPageRows(fbCollected.length,
+      "the first-pass feedback page (|queries| * fbDocs)", "bm25SearchPrf")
     val fbIds = spark.createDataFrame(
-      java.util.Arrays.asList(
-        first.select(col(queryIdCol), col(idCol)).collect(): _*), fbSchema)
+      java.util.Arrays.asList(fbCollected: _*), fbSchema)
     // the feedback docs' token stream: the corpus scan prunes map-side
     // against the (tiny) union of feedback ids before exploding
     val fbToks = docs
@@ -708,10 +824,13 @@ object Retrieval {
       first.schema(queryIdCol),
       org.apache.spark.sql.types.StructField("term",
         org.apache.spark.sql.types.StringType, nullable = true)))
+    val pickedRows =
+      GroupTopK.topKPerGroupString(cand, Seq(queryIdCol), "term", "__cnt", fbTerms)
+        .select(col(queryIdCol), col("term")).collect()
+    checkLocalPageRows(pickedRows.length,
+      "the picked feedback-term set (|queries| * fbTerms)", "bm25SearchPrf")
     val picked = spark.createDataFrame(
-      java.util.Arrays.asList(
-        GroupTopK.topKPerGroupString(cand, Seq(queryIdCol), "term", "__cnt", fbTerms)
-          .select(col(queryIdCol), col("term")).collect(): _*), pickedSchema)
+      java.util.Arrays.asList(pickedRows: _*), pickedSchema)
     searchWithTerms(docs, idCol, textCol, qTerms.unionByName(picked),
       queryIdCol, k1, b, topK, Some(consts))
   }
@@ -1139,6 +1258,9 @@ object Retrieval {
       .select(col(queryIdCol), col(idCol).cast(idType).as("__docid"),
         pmod(xxhash64(col(idCol).cast(idType)), lit(nb.toLong)).as("__b"))
       .collect()
+    checkLocalPageRows(fbRows.length,
+      "the first-pass feedback page (|queries| * fbDocs)",
+      "bm25SearchPrfPreindexed")
     val fbSchema = org.apache.spark.sql.types.StructType(Seq(
       qTerms.schema(queryIdCol),
       org.apache.spark.sql.types.StructField("__docid", idType, nullable = true)))
@@ -1712,6 +1834,8 @@ object Retrieval {
         .select(col(queryIdCol), col("term"),
           pmod(xxhash64(col("term")), lit(nb.toLong)).as("__b"))
         .collect()
+    checkLocalPageRows(qtRows.length, "the (query, term) sliver",
+      "bm25SearchPreindexed")
     val qTerms = spark.createDataFrame(
       java.util.Arrays.asList(qtRows.map(r =>
         org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), qtSchema)

@@ -370,9 +370,10 @@ object TextAnalysis {
         log(col("n_pair").cast("double")) + log(col("__n").cast("double"))
           - log(col("__cx").cast("double")) - log(col("__cy").cast("double")))
       .withColumn("bigram", concat_ws(" ", col("__x"), col("__y")))
-    GroupTopK.topKPerGroupString(
-        scored.withColumn("__g", lit(0)), Seq("__g"), "bigram", "__pmi", k)
-      .join(scored.select(col("bigram"), col("n_pair")), "bigram")
+    // n_pair rides the heap as payload: the old join-back re-evaluated
+    // the whole pair aggregation a second time just to recover it
+    GroupTopK.topKPerGroupStringPayload(
+        scored.withColumn("__g", lit(0)), Seq("__g"), "bigram", "__pmi", "n_pair", k)
       .select(col("bigram"), col("n_pair"),
         (round(col("__pmi"), 6) + lit(0.0)).as("pmi_r"), col("rank"))
   }
@@ -422,8 +423,10 @@ object TextAnalysis {
       .withColumn("__score",
         col("tf").cast("double") *
           log(col("__n").cast("double") / col("__df").cast("double")))
-    GroupTopK.topKPerGroupString(scored, Seq("__id"), "token", "__score", k)
-      .join(tf, Seq("__id", "token"))
+    // tf rides the heap as payload: the old join-back re-ran the tf
+    // aggregate and paid a (doc, token)-grain exchange just to recover it
+    GroupTopK.topKPerGroupStringPayload(
+        scored, Seq("__id"), "token", "__score", "tf", k)
       .select(col("__id").as(idCol), col("rank"), col("token"), col("tf"),
         (round(col("__score"), 6) + lit(0.0)).as("tfidf_r"))
   }

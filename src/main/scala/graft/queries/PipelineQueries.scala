@@ -3323,9 +3323,10 @@ object PipelineQueries extends OracleSqlStatic {
           "c_custkey", "c_name", maxDist = 1).persist())
       val hist = pairs.filter(pmod(col("id_a"), lit(3)) =!= 0)
       val inc = pairs.filter(pmod(col("id_a"), lit(3)) === 0)
-      graft.ops.Graphs.ccApply(
-        graft.ops.Graphs.connectedComponents(hist, "id_a", "id_b"),
-        inc, "id_a", "id_b")
+      // ccIncremental ≡ ccApply(connectedComponents(hist), inc) with the
+      // independent history-contraction and increment-preamble subtrees
+      // run as concurrent jobs (guide §2.6) — same operators, same result
+      graft.ops.Graphs.ccIncremental(hist, inc, "id_a", "id_b")
         .orderBy("node")
     },
 
@@ -3397,10 +3398,9 @@ object PipelineQueries extends OracleSqlStatic {
           "c_custkey", "c_name", maxDist = 1).persist())
       val hist = pairs.filter(pmod(col("id_a"), lit(3)) =!= 0)
       val inc = pairs.filter(pmod(col("id_a"), lit(3)) === 0)
+      // concurrent history-CC + increment preamble (the q247 note)
       val comps = graft.Checkpoints.trackCache(
-        graft.ops.Graphs.ccApply(
-          graft.ops.Graphs.connectedComponents(hist, "id_a", "id_b"),
-          inc, "id_a", "id_b").persist())
+        graft.ops.Graphs.ccIncremental(hist, inc, "id_a", "id_b").persist())
       graft.ops.Joins.entityKeepersFromComponents(
         t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
         comps, "c_custkey", "c_acctbal")

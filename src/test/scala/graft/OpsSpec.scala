@@ -1449,6 +1449,47 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set("a"))
   }
 
+  test("payload-carrying string heap: selection identical to join-back, null payload refuses") {
+    import graft.ops.GroupTopK
+    // the r18 variant rides a LONG payload (n_pair, tf) through the
+    // heap so collocations/tfidfKeywords skip the join-back that
+    // re-evaluated the scored subtree; selection must be bit-identical
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val g = s"g${i % 5}"
+      val key = s"k${rnd.nextInt(80)}"
+      (g, key, rnd.nextInt(10).toDouble, (i % 97).toLong)
+    }
+    // the payload must be FUNCTIONALLY determined by (g, key) — as
+    // n_pair/tf are (the scored frame is key-grain) — for the join-back
+    // comparison to be well-defined
+    val df = rows.groupBy(r => (r._1, r._2)).map { case ((g, k), rs) =>
+      (g, k, rs.head._3, rs.head._4)
+    }.toSeq.toDF("g", "key", "s", "p")
+    val viaPayload = GroupTopK.topKPerGroupStringPayload(
+        df, Seq("g"), "key", "s", "p", k = 7)
+      .select("g", "rank", "key", "s", "p")
+      .collect().map(_.toSeq).toSet
+    val viaJoin = GroupTopK.topKPerGroupString(df, Seq("g"), "key", "s", k = 7)
+      .join(df.select("g", "key", "p"), Seq("g", "key"))
+      .select("g", "rank", "key", "s", "p")
+      .collect().map(_.toSeq).toSet
+    assert(viaPayload == viaJoin,
+      s"payload heap diverged from join-back: ${viaPayload.diff(viaJoin)} / ${viaJoin.diff(viaPayload)}")
+    // no Window node, same as the payload-less heap
+    val plan = GroupTopK.topKPerGroupStringPayload(
+      df, Seq("g"), "key", "s", "p", k = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"heap top-k must not plan a window:\n$plan")
+    // a null payload refuses loudly rather than becoming 0
+    val nullP = Seq((1, "a", 1.0, Some(2L)), (1, "b", 2.0, None: Option[Long]))
+      .toDF("g", "key", "s", "p")
+    val e = intercept[Exception] {
+      GroupTopK.topKPerGroupStringPayload(nullP, Seq("g"), "key", "s", "p", k = 2).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("payload"),
+      s"expected loud payload refusal, got: ${e.getMessage}")
+  }
+
   test("skewReport: heavy keys ranked with shares; null keys weigh the total only") {
     import graft.ops.Reports
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c") ++
@@ -2088,6 +2129,20 @@ class OpsSpec extends SparkSpec {
     val atCeil = Graphs.ccApply(hist40, edges.drop(40).toDF("s", "d"), "s", "d",
       maxIncrementNodes = edges.drop(40).flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
     assert(asMap(atCeil) == full)
+    // ccIncremental (concurrent history-CC + increment preamble) is
+    // result-identical to the sequential composition at every split
+    for (split <- Seq(20, 45, 80)) {
+      val got = asMap(Graphs.ccIncremental(
+        edges.take(split).toDF("s", "d"), edges.drop(split).toDF("s", "d"), "s", "d"))
+      assert(got == full, s"ccIncremental split $split diverged: " +
+        s"missing=${full.toSet -- got.toSet}, extra=${got.toSet -- full.toSet}")
+    }
+    // the concurrent path's ceiling refusal propagates the PRIMARY error
+    val bigInc = intercept[IllegalArgumentException] {
+      Graphs.ccIncremental(edges.take(60).toDF("s", "d"),
+        edges.toDF("s", "d"), "s", "d", maxIncrementNodes = 10L)
+    }
+    assert(bigInc.getMessage.contains("rebuild with connectedComponents"))
   }
 
   test("horizonDedup: greedy anchors, boundary kept, ties, brute-force replay") {

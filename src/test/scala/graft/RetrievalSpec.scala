@@ -377,6 +377,56 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("maxWindow"))
   }
 
+  test("proximitySearch: O(positions) interval fold equals brute-force enumeration") {
+    // the r18 fold walks the merged position lists instead of
+    // materializing a sequence(1, dl) array per survivor — pin it
+    // against literal start-by-start enumeration on adversarial shapes:
+    // long docs, dense repeats, windows wider than the doc, boundary
+    // occurrences, and multi-term queries
+    def brute(text: String, terms: Seq[String], w: Int): (Long, Long) = {
+      val toks = text.trim.split("\\s+").toSeq
+      val maxStart = math.max(toks.size - w + 1, 1)
+      val starts = (1 to maxStart).filter(i =>
+        terms.forall(t => toks.zipWithIndex.exists {
+          case (tok, p0) => tok == t && p0 + 1 >= i && p0 + 1 <= i + w - 1
+        }))
+      (starts.size.toLong, starts.headOption.map(_.toLong).getOrElse(0L))
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "x", "y")
+    val longDoc = (1 to 3000).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq(
+      (1L, longDoc),
+      (2L, "a a a b b b a b"), // dense repeats, overlapping windows
+      (3L, "a " + ("x " * 50) + "b"), // one far pair
+      (4L, "b a"), // window wider than the doc
+      (5L, "a b"), // boundary occurrences exactly at the edges
+      (6L, "a x b x a b x a") // interleaved multi-window
+    ).toDF("doc_id", "text")
+    val docTexts = Map(1L -> longDoc, 2L -> "a a a b b b a b",
+      3L -> ("a " + ("x " * 50) + "b"), 4L -> "b a", 5L -> "a b",
+      6L -> "a x b x a b x a")
+    for (w <- Seq(2, 3, 7, 60)) {
+      val got = Retrieval.proximitySearch(docs, "doc_id", "text",
+          Seq((1L, "a b")).toDF("qid", "qtext"), "qid", "qtext", window = w)
+        .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      docTexts.foreach { case (id, text) =>
+        val (cnt, first) = brute(text, Seq("a", "b"), w)
+        if (cnt == 0L)
+          assert(!got.contains(id), s"doc $id window $w: expected no match, got ${got.get(id)}")
+        else
+          assert(got.get(id).contains((cnt, first)),
+            s"doc $id window $w: expected ($cnt, $first), got ${got.get(id)}")
+      }
+    }
+    // three-term query on the long doc too
+    val got3 = Retrieval.proximitySearch(docs, "doc_id", "text",
+        Seq((1L, "a b c")).toDF("qid", "qtext"), "qid", "qtext", window = 9)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val (c3, f3) = brute(longDoc, Seq("a", "b", "c"), 9)
+    assert(got3.get(1L).contains((c3, f3)), s"3-term long doc: $got3 vs ($c3, $f3)")
+  }
+
   test("extractSnippets: max-coverage window wins, ties earliest, short docs whole") {
     val docs = Seq(
       (1L, "x x query hash y y join z"),
